@@ -1,0 +1,11 @@
+#!/bin/bash
+# Run a graft main class against the compiled classes + Spark jars,
+# without sbt's log prefixing. Usage: ./run.sh graft.Probe [args...]
+set -e
+CLS="$1"; shift || true
+CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*:/root/repo/target/scala-2.13/test-classes"
+ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+exec java $ADD_OPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dlog4j2.level=warn \
+  -cp "$CP" "$CLS" "$@"
