@@ -15,11 +15,14 @@ object SparkEntry {
     core.CoreQueries.queries("q04_pricing_summary")(
       spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operators (dedup / similarity / text
+    * analysis) over documents+embeddings. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core.CoreQueries.queries
+    core.CoreQueries.queries ++ ops.PipelineQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
-  def oracleSql: Map[String, String] = core.CoreQueries.oracles
+  def oracleSql: Map[String, String] =
+    core.CoreQueries.oracles ++ ops.PipelineQueries.oracles
 }
