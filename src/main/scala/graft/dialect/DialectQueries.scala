@@ -1,0 +1,142 @@
+package graft.dialect
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.Tables
+
+/** Driver-inventory queries routed through the EdgeSql dialect front-end —
+  * each one parses the reference's actual command surface (`sql <dbms>
+  * <options> "SELECT ..."`, member_cmd.py:3256 `run_client` path) and
+  * compiles to a Catalyst plan; the DuckDB oracle checks the END-TO-END
+  * result, so the parser + compiler are inside the correctness gate.
+  */
+object DialectQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def run(cmd: String): QFn = (s, d) =>
+    EdgeSql.query(s, name => Tables.load(s, d, name), cmd)
+
+  // Exact-decimal sum/avg shorthand for the oracles (the dialect compiles
+  // sum/avg through DECIMAL(18,2) — unify_results.py:236-277 semantics).
+  private def oSum(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private def oAvg(x: String) =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / COUNT($x)"
+
+  /** q39 — the reference's canonical query shape (member_cmd.py:21029):
+    * group + full agg set + order, through the command parser. */
+  private val q39 = run(
+    """sql edge format=json "select event_type, count(*) as n, """ +
+      """sum(value) as sum_value, avg(value) as avg_value, """ +
+      """min(value) as min_value, max(value) as max_value from events """ +
+      """where ts >= '2024-01-03' and ts < '2024-01-11' """ +
+      """group by event_type order by event_type"""")
+  private val q39Sql = s"""
+    SELECT event_type, count(*) AS n, ${oSum("value")} AS sum_value,
+      ${oAvg("value")} AS avg_value, min(value) AS min_value,
+      max(value) AS max_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-11'
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** q40 — increments(minute, 10, ts) through the dialect: the SELECT-list
+    * function becomes two grouping expressions
+    * (unify_results.py:482-556). */
+  private val q40 = run(
+    """sql edge "select increments(minute, 10, ts), min(value) as min_value, """ +
+      """max(value) as max_value, avg(value) as avg_value, count(*) as n """ +
+      """from events where ts >= '2024-01-05' and ts < '2024-01-06' """ +
+      """order by minute_parent, minute_bucket"""")
+  private val q40Sql = s"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS minute_parent,
+      CAST(FLOOR(EXTRACT(minute FROM ts) / 10) AS BIGINT) AS minute_bucket,
+      min(value) AS min_value, max(value) AS max_value,
+      ${oAvg("value")} AS avg_value, count(*) AS n
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q41 — period(day, 1, anchor, ts) in WHERE: two-phase anchored
+    * trailing window through the dialect (unify_results.py:695-770). */
+  private val q41 = run(
+    """sql edge "select count(*) as n, sum(value) as sum_value """ +
+      """from events where period(day, 1, '2024-01-15 12:00:00', ts)"""")
+  private val q41Sql = s"""
+    WITH m AS (SELECT max(ts) AS mx FROM events
+               WHERE ts <= TIMESTAMP '2024-01-15 12:00:00')
+    SELECT count(*) AS n, ${oSum("value")} AS sum_value
+    FROM events, m WHERE ts > m.mx - INTERVAL 1 DAY AND ts <= m.mx"""
+
+  /** q42 — period with the optional trailing filter: it narrows BOTH the
+    * anchor search and the returned rows (unify_results.py:797-834). */
+  private val q42 = run(
+    """sql edge "select event_type, count(*) as n from events """ +
+      """where period(minute, 30, '2024-01-20 00:00:00', ts, """ +
+      """and event_type = 'click') group by event_type"""")
+  private val q42Sql = """
+    WITH m AS (SELECT max(ts) AS mx FROM events
+               WHERE ts <= TIMESTAMP '2024-01-20 00:00:00'
+                 AND event_type = 'click')
+    SELECT event_type, count(*) AS n
+    FROM events, m
+    WHERE event_type = 'click'
+      AND ts > m.mx - INTERVAL 30 MINUTE AND ts <= m.mx
+    GROUP BY event_type"""
+
+  /** q43 — `limit 2 per user_id` (al_parser.py:327-336): per-key top-n as
+    * one window spec instead of the reference's delivery-time counters. */
+  private val q43 = run(
+    """sql edge "select user_id, event_id, value from events """ +
+      """where user_id < 50 order by value desc, event_id limit 2 per user_id"""")
+  private val q43Sql = """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value, row_number() OVER (
+        PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events WHERE user_id < 50)
+    WHERE rn <= 2 ORDER BY value DESC, event_id"""
+
+  /** q44 — extend=(@table_name) + include=(supplier): provenance column
+    * stamped per source table, leading the GROUP BY
+    * (member_cmd.py:110-113, unify_results.py:1260-1262). */
+  private val q44 = run(
+    """sql edge extend = (@table_name) include = (supplier) """ +
+      """"select table_name, count(*) as n from customer group by table_name """ +
+      """order by table_name"""")
+  private val q44Sql = """
+    SELECT table_name, count(*) AS n FROM (
+      SELECT 'customer' AS table_name FROM customer
+      UNION ALL SELECT 'supplier' AS table_name FROM supplier)
+    GROUP BY table_name ORDER BY table_name"""
+
+  /** q45 — `::` casting-suffix chains (utils_columns.py:1963-1977)
+    * through the dialect parser. */
+  private val q45 = run(
+    """sql edge "select event_id, value::float(0) as value_f0, """ +
+      """event_type::ljust(10) as type_ljust, event_type::rjust(8) as type_rjust, """ +
+      """event_type::replace(click by tap) as type_repl """ +
+      """from events order by event_id limit 200"""")
+  private val q45Sql = """
+    SELECT event_id, round(value, 0) AS value_f0,
+      rpad(event_type, 10, ' ') AS type_ljust,
+      lpad(event_type, 8, ' ') AS type_rjust,
+      replace(event_type, 'click', 'tap') AS type_repl
+    FROM events ORDER BY event_id LIMIT 200"""
+
+  val queries: Map[String, QFn] = Map(
+    "q39_dialect_group_aggs" -> q39,
+    "q40_dialect_increments" -> q40,
+    "q41_dialect_period" -> q41,
+    "q42_dialect_period_filter" -> q42,
+    "q43_dialect_limit_per" -> q43,
+    "q44_dialect_extend_include" -> q44,
+    "q45_dialect_casts" -> q45)
+
+  val oracles: Map[String, String] = Map(
+    "q39_dialect_group_aggs" -> q39Sql,
+    "q40_dialect_increments" -> q40Sql,
+    "q41_dialect_period" -> q41Sql,
+    "q42_dialect_period_filter" -> q42Sql,
+    "q43_dialect_limit_per" -> q43Sql,
+    "q44_dialect_extend_include" -> q44Sql,
+    "q45_dialect_casts" -> q45Sql)
+}

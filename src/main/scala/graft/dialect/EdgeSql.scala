@@ -1,0 +1,495 @@
+package graft.dialect
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** The EdgeLake SQL dialect front-end: parses the reference's
+  * `sql <dbms> <options> "SELECT ..."` command surface and compiles it to
+  * ONE declarative Spark plan.
+  *
+  * Reference grammar (all citations /root/reference):
+  *  - command options `cmd/member_cmd.py:110-135` (format, timezone,
+  *    extend, include, ...); dialect functions registry
+  *    `dbms/unify_results.py:631-643`; SELECT parser
+  *    `generic/al_parser.py:170-342` (projection, where, group by,
+  *    order by [desc], limit [n per col]); casting suffixes
+  *    `generic/al_parser.py:406-429` + `generic/utils_columns.py:1963-1977`.
+  *
+  * Design stance (SURVEY §7): EdgeLake's remote/local two-level rewrite is
+  * NOT rebuilt — `increments(...)` becomes two grouping expressions,
+  * `period(...)` a two-phase anchored filter, `avg/sum` exact decimal
+  * aggregates, and Catalyst owns partial/final aggregation, pushdown and
+  * merge. The compiled plan is the one you would hand-write with the
+  * DataFrame API, so it scales like any Spark query.
+  */
+object EdgeSql {
+
+  /** Parsed `sql` command: target dbms, key=value options, SELECT text. */
+  final case class Command(dbms: String, options: Map[String, String],
+      select: String)
+
+  /** Split `sql <dbms> [k = v ...] "SELECT ..."` into its three parts.
+    * Option values may be parenthesised lists (extend/include). */
+  def parseCommand(cmd: String): Command = {
+    val trimmed = cmd.trim
+    require(trimmed.toLowerCase.startsWith("sql "),
+      s"not a sql command: $cmd")
+    val rest = trimmed.drop(4).trim
+    val dbmsEnd = rest.indexWhere(_.isWhitespace)
+    require(dbmsEnd > 0, s"missing dbms in: $cmd")
+    val dbms = rest.substring(0, dbmsEnd)
+    var s = rest.substring(dbmsEnd).trim
+    var opts = Map.empty[String, String]
+    // options run until the quoted/bare SELECT begins
+    val selStart = """(?is)(["']?)\s*select\b.*""".r
+    var done = false
+    while (!done) {
+      if (s.isEmpty) throw new IllegalArgumentException(s"no select in: $cmd")
+      val low = s.toLowerCase
+      if (low.startsWith("select") || low.startsWith("\"select") ||
+          low.startsWith("'select")) { done = true }
+      else {
+        val eq = s.indexOf('=')
+        require(eq > 0, s"bad option syntax at: $s")
+        val key = s.substring(0, eq).trim.toLowerCase
+        var v = s.substring(eq + 1).trim
+        val (value, rest2) =
+          if (v.startsWith("(")) {
+            val close = v.indexOf(')')
+            require(close > 0, s"unclosed option list: $v")
+            (v.substring(1, close).trim, v.substring(close + 1))
+          } else {
+            val sp = v.indexWhere(_.isWhitespace)
+            if (sp < 0) (v, "") else (v.substring(0, sp), v.substring(sp))
+          }
+        opts += key -> value
+        s = rest2.trim
+      }
+    }
+    val select = s.stripPrefix("\"").stripPrefix("'")
+      .stripSuffix("\"").stripSuffix("'").trim
+    Command(dbms, opts, select)
+  }
+
+  // -------------------------------------------------------------------
+  // SELECT statement model
+  // -------------------------------------------------------------------
+
+  final case class ProjItem(raw: String, alias: Option[String])
+
+  final case class Select(
+      distinct: Boolean,
+      projection: Seq[ProjItem],
+      table: String,
+      where: Option[String],
+      groupBy: Seq[String],
+      orderBy: Seq[(String, Boolean)], // (expr, descending)
+      limit: Option[Int],
+      limitPer: Option[String])
+
+  /** Line-oriented SELECT parser (the reference's grammar is regular —
+    * al_parser.py is a hand parser too). Splits on top-level keywords,
+    * then projection items on top-level commas. */
+  def parseSelect(sql: String): Select = {
+    val text = sql.trim.replaceAll("\\s+", " ")
+    val low = text.toLowerCase
+    require(low.startsWith("select "), s"not a select: $sql")
+
+    // find top-level keyword positions (not inside parens/quotes)
+    def findKeyword(kw: String, from: Int): Int = {
+      var depth = 0; var i = from
+      val pat = " " + kw + " "
+      while (i < low.length) {
+        low.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '\'' => i += 1 + low.substring(i + 1).indexOf('\'')
+          case _ =>
+            if (depth == 0 && low.regionMatches(i, pat, 0, pat.length))
+              return i
+        }
+        i += 1
+      }
+      -1
+    }
+    val kwFrom = findKeyword("from", 0)
+    require(kwFrom > 0, s"no FROM in: $sql")
+    val kwWhere = findKeyword("where", kwFrom)
+    val kwGroup = low.indexOf(" group by ")
+    val kwOrder = low.indexOf(" order by ")
+    val kwLimit = low.lastIndexOf(" limit ")
+    val ends = Seq(kwWhere, kwGroup, kwOrder, kwLimit, low.length)
+      .filter(_ >= 0)
+
+    def section(start: Int, headerLen: Int): String = {
+      val end = ends.filter(_ > start).min
+      text.substring(start + headerLen, end).trim
+    }
+
+    var proj = text.substring("select".length, kwFrom).trim
+    val distinct = proj.toLowerCase.startsWith("distinct ")
+    if (distinct) proj = proj.substring("distinct ".length)
+
+    val table = section(kwFrom, " from ".length)
+    val where = if (kwWhere < 0) None else Some(section(kwWhere, " where ".length))
+    val groupBy = if (kwGroup < 0) Nil
+      else splitTopLevel(section(kwGroup, " group by ".length), ',').map(_.trim)
+    val orderBy = if (kwOrder < 0) Nil
+      else splitTopLevel(section(kwOrder, " order by ".length), ',').map { o =>
+        val t = o.trim
+        val lower = t.toLowerCase
+        if (lower.endsWith(" desc")) (t.dropRight(5).trim, true)
+        else if (lower.endsWith(" asc")) (t.dropRight(4).trim, false)
+        else (t, false)
+      }
+    var limit: Option[Int] = None
+    var limitPer: Option[String] = None
+    if (kwLimit >= 0) {
+      val l = section(kwLimit, " limit ".length)
+      val parts = l.split("\\s+")
+      limit = Some(parts(0).toInt)
+      if (parts.length >= 3 && parts(1).equalsIgnoreCase("per"))
+        limitPer = Some(parts(2))
+    }
+    val items = splitTopLevel(proj, ',').map { p =>
+      val t = p.trim
+      val asIdx = t.toLowerCase.lastIndexOf(" as ")
+      // only treat top-level ` as ` (not inside parens) as alias
+      if (asIdx > 0 && parenDepthAt(t, asIdx) == 0)
+        ProjItem(t.substring(0, asIdx).trim, Some(t.substring(asIdx + 4).trim))
+      else ProjItem(t, None)
+    }
+    Select(distinct, items, table, where, groupBy, orderBy, limit, limitPer)
+  }
+
+  private def parenDepthAt(s: String, pos: Int): Int =
+    s.substring(0, pos).count(_ == '(') - s.substring(0, pos).count(_ == ')')
+
+  private[dialect] def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var cur = new StringBuilder; var inQ = false
+    s.foreach { c =>
+      if (c == '\'') inQ = !inQ
+      if (!inQ) c match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      if (c == sep && depth == 0 && !inQ) { out += cur.toString; cur = new StringBuilder }
+      else cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  // -------------------------------------------------------------------
+  // Compiler
+  // -------------------------------------------------------------------
+
+  /** Exact decimal view of a money-scale double (cross-engine-stable
+    * aggregation; mirrors the reference's sum/count avg decomposition,
+    * unify_results.py:236-277). */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  private val aggFns = Set("count", "sum", "min", "max", "avg", "range",
+    "distinct")
+
+  /** Compile one `sql ...` command to a DataFrame. `load` resolves a bare
+    * table name (the catalog boundary — tests/driver inject the parquet
+    * loader). */
+  def query(spark: SparkSession, load: String => DataFrame, command: String)
+      : DataFrame = {
+    val cmd = parseCommand(command)
+    val sel = parseSelect(cmd.select)
+
+    val extendCols: Seq[(String, Column)] =
+      cmd.options.get("extend").toSeq.flatMap(_.split(",")).map(_.trim)
+        .filter(_.nonEmpty).map {
+          case "@table_name" => "table_name" -> lit("")
+          case "@dbms_name" => "dbms_name" -> lit(cmd.dbms)
+          case "@ip" => "ip" -> lit("127.0.0.1")
+          case "@port" => "port" -> lit(0)
+          case other if other.startsWith("+") =>
+            other.drop(1) -> lit(other.drop(1))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported extend: $other")
+        }
+
+    // include=(t2, t3): union the same query over several tables with
+    // provenance stamped per table (member_cmd.py:110-113)
+    val tables = sel.table +: cmd.options.get("include").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+    val base = tables.map { tn =>
+      val df0 = load(tn)
+      extendCols.foldLeft(df0) { case (df, (name, v)) =>
+        df.withColumn(name, if (name == "table_name") lit(tn) else v)
+      }
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+
+    compileSelect(spark, base, sel, cmd.options)
+  }
+
+  private def compileSelect(spark: SparkSession, base: DataFrame, sel: Select,
+      options: Map[String, String]): DataFrame = {
+    val tz = options.get("timezone")
+
+    // ---- WHERE: split out period(...), keep the rest for Catalyst ----
+    var df = base
+    var whereRest: Option[String] = None
+    sel.where.foreach { w =>
+      val (periodSpec, rest) = extractPeriod(w)
+      rest.foreach(r => df = df.filter(expr(DateLiterals.rewrite(r))))
+      whereRest = rest
+      periodSpec.foreach { case (unit, n, anchor, tsCol, extraFilter) =>
+        val f = extraFilter.map(e => expr(DateLiterals.rewrite(e)))
+        df = Period.apply(df, tsCol, anchor, unit, n, f)
+      }
+    }
+
+    // ---- projection: classify items ----
+    var groupKeys = Seq.newBuilder[Column].result()
+    var groupNames = Seq.newBuilder[String].result()
+    var aggs = Seq.empty[Column]
+    var plain = Seq.empty[Column]
+    var sawAgg = false
+    var keyCounter = 0
+
+    def nextName(prefix: String): String = { keyCounter += 1; s"$prefix$keyCounter" }
+
+    sel.projection.foreach { item =>
+      val raw = item.raw
+      val fn = functionName(raw)
+      fn match {
+        case Some("increments") =>
+          val args = splitTopLevel(argsOf(raw), ',').map(_.trim)
+          val (unit, n, tsCol) = args match {
+            case Seq(u, nn, c) => (u, nn.toInt, c)
+            case Seq(c) => ("hour", 1, c) // auto-sizing default shape
+            case other => throw new IllegalArgumentException(
+              s"increments(${other.mkString(",")})")
+          }
+          val ts = col(tsCol)
+          val bucketCols =
+            if (unit == "year") Seq(
+              (floor(year(ts) / n) * n).cast("int").as("year_bucket"))
+            else Seq(
+              date_format(date_trunc(Increments.parentUnit(unit), ts),
+                bucketFormat(Increments.parentUnit(unit)))
+                .as(s"${unit}_parent"),
+              floor(Increments.extractUnit(unit, ts) / n).as(s"${unit}_bucket"))
+          groupKeys ++= bucketCols.map(c => c)
+          groupNames ++= bucketCols.map(c => c.toString)
+          plain ++= bucketCols
+        case Some(f) if aggFns(f) =>
+          sawAgg = true
+          val argRaw = argsOf(raw)
+          val alias = item.alias.getOrElse(
+            s"$f(${argRaw.replaceAll("\\s+", "")})".replace("*", "star"))
+          aggs :+= compileAgg(f, argRaw, alias)
+        case Some("date_trunc") | Some("extract") | None | Some(_) =>
+          // plain column (with optional :: casts) or passthrough scalar fn
+          val c = compileScalar(raw, tz)
+          val named = item.alias.map(c.as).getOrElse(
+            if (raw.matches("[A-Za-z_][A-Za-z0-9_]*")) c else c.as(
+              raw.replaceAll("[^A-Za-z0-9_]", "_")))
+          plain :+= named
+          if (sel.groupBy.nonEmpty || sawAgg) () // grouped below by name
+      }
+    }
+
+    // ---- grouping ----
+    val userGroupCols = sel.groupBy.map { g =>
+      // group-by may reference a projected alias or a raw column
+      g.trim
+    }
+    val hasGrouping = sawAgg || groupKeys.nonEmpty
+
+    var out: DataFrame =
+      if (hasGrouping) {
+        // extended/provenance columns lead the group-by
+        // (unify_results.py:1260-1262)
+        val extendNames = Seq("table_name", "dbms_name", "ip", "port")
+          .filter(df.columns.contains)
+        val plainKeyNames = plain.map(colName)
+        val keyCols: Seq[Column] =
+          (extendNames.map(col) ++
+            plain.filterNot(p => extendNames.contains(colName(p)))) ++
+            userGroupCols.filterNot(g => plainKeyNames.contains(g) ||
+              extendNames.contains(g)).map(col)
+        if (keyCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
+      } else {
+        val extendNames = Seq("table_name", "dbms_name", "ip", "port")
+          .filter(df.columns.contains)
+        val cols = extendNames.map(col) ++ plain
+        if (sel.projection.exists(_.raw.trim == "*")) df
+        else df.select(cols: _*)
+      }
+
+    if (sel.distinct) out = out.distinct()
+
+    // ---- limit n per col (al_parser.py:327-336): top-n per key over the
+    // ORDER BY spec, applied before the global sort ----
+    sel.limitPer.foreach { perCol =>
+      val ord = sel.orderBy.map { case (e, desc) =>
+        val c = col(e); if (desc) c.desc else c.asc
+      }
+      require(ord.nonEmpty, "limit per requires an order by")
+      val w = Window.partitionBy(col(perCol)).orderBy(ord: _*)
+      out = out.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= sel.limit.getOrElse(1))
+        .drop("__rn")
+    }
+
+    // ---- order by / limit ----
+    if (sel.orderBy.nonEmpty) {
+      val ord = sel.orderBy.map { case (e, desc) =>
+        val c = col(e); if (desc) c.desc else c.asc
+      }
+      out = out.orderBy(ord: _*)
+    }
+    if (sel.limitPer.isEmpty) sel.limit.foreach(n => out = out.limit(n))
+    out
+  }
+
+  private def colName(c: Column): String = {
+    val s = c.toString
+    val asIdx = s.toLowerCase.lastIndexOf(" as ")
+    if (asIdx > 0) s.substring(asIdx + 4).replaceAll("[`]", "").trim else s
+  }
+
+  private def bucketFormat(parent: String): String = parent match {
+    case "year" => "yyyy"
+    case "month" => "yyyy-MM"
+    case "day" => "yyyy-MM-dd"
+    case _ => "yyyy-MM-dd HH:mm:ss"
+  }
+
+  /** Leading function name of a projection item, if any. */
+  private def functionName(raw: String): Option[String] = {
+    val m = "^([A-Za-z_]+)\\s*\\(".r.findFirstMatchIn(raw.trim)
+    m.map(_.group(1).toLowerCase)
+  }
+
+  private def argsOf(raw: String): String = {
+    val t = raw.trim
+    val open = t.indexOf('(')
+    val close = t.lastIndexOf(')')
+    require(open >= 0 && close > open, s"malformed function: $raw")
+    t.substring(open + 1, close)
+  }
+
+  /** Aggregate functions with the reference's decomposition semantics
+    * (unify_results.py:190-307), decimal-stabilized for doubles. */
+  private def compileAgg(f: String, arg: String, alias: String): Column = {
+    val a = arg.trim
+    f match {
+      case "count" =>
+        if (a == "*") count(lit(1)).as(alias)
+        else if (a.toLowerCase.startsWith("distinct "))
+          countDistinct(col(a.substring(9).trim)).as(alias)
+        else count(col(a)).as(alias)
+      case "sum" => sum(dec(col(a))).cast(DoubleType).as(alias)
+      case "min" => min(col(a)).as(alias)
+      case "max" => max(col(a)).as(alias)
+      case "avg" =>
+        // remote SUM+COUNT -> local SUM/SUM (unify_results.py:236-277):
+        // exact decimal sum over count, one partial/final agg in Spark
+        (sum(dec(col(a))).cast(DoubleType) / count(col(a))).as(alias)
+      case "range" =>
+        abs(max(col(a)) - min(col(a))).as(alias)
+      case "distinct" => first(col(a)).as(alias) // used with GROUP BY
+      case other => throw new IllegalArgumentException(s"agg $other")
+    }
+  }
+
+  /** Scalar projection item: bare column, date_trunc/extract passthrough,
+    * and the `::` casting-suffix chain (utils_columns.py:1963-1977). */
+  private def compileScalar(raw: String, tz: Option[String]): Column = {
+    val parts = raw.split("::")
+    var c: Column = {
+      val head = parts(0).trim
+      functionName(head) match {
+        case Some("date_trunc") =>
+          val args = splitTopLevel(argsOf(head), ',').map(_.trim)
+          date_trunc(args(0).stripPrefix("'").stripSuffix("'"), col(args(1)))
+        case Some("extract") =>
+          expr(head)
+        case _ => if (head.matches("[A-Za-z_][A-Za-z0-9_.]*")) col(head)
+          else expr(head)
+      }
+    }
+    parts.drop(1).foreach { cast0 =>
+      val cst = cast0.trim
+      val fn = cst.takeWhile(ch => ch.isLetter)
+      val arg = if (cst.contains("(")) cst.substring(cst.indexOf('(') + 1,
+        cst.lastIndexOf(')')) else ""
+      fn match {
+        case "int" => c = c.cast("long")
+        case "str" => c = c.cast("string")
+        case "float" =>
+          val digits = arg.stripPrefix("%")
+          c = round(c.cast("double"), if (digits.isEmpty) 2 else digits.toInt)
+        case "ljust" => c = rpad(c.cast("string"), arg.toInt, " ")
+        case "rjust" => c = lpad(c.cast("string"), arg.toInt, " ")
+        case "lstrip" => c = ltrim(c.cast("string"))
+        case "rstrip" => c = rtrim(c.cast("string"))
+        case "replace" =>
+          val m = "(.+) by (.*)".r.findFirstMatchIn(arg).getOrElse(
+            throw new IllegalArgumentException(s"replace($arg)"))
+          c = regexp_replace(c.cast("string"),
+            java.util.regex.Pattern.quote(m.group(1).trim), m.group(2).trim)
+        case "datetime" => c = c.cast("timestamp")
+        case "timezone" =>
+          c = from_utc_timestamp(c, tz.getOrElse("UTC"))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported cast ::$other")
+      }
+    }
+    // UTC storage -> caller timezone at the presentation edge
+    // (utils_columns.py:1655-1712)
+    c
+  }
+
+  /** Pull `period(unit, n, anchor, tsCol [, and <filter>])` out of the
+    * WHERE clause (the reference treats it as a WHERE-level function —
+    * unify_results.py:695-770). Returns the period spec and the remaining
+    * WHERE text (period may be AND-combined with other predicates). */
+  def extractPeriod(where: String)
+      : (Option[(String, Int, String, String, Option[String])], Option[String]) = {
+    val low = where.toLowerCase
+    val idx = low.indexOf("period(")
+    val idx2 = if (idx < 0) low.indexOf("period (") else idx
+    if (idx2 < 0) return (None, Some(where))
+    val open = where.indexOf('(', idx2)
+    var depth = 1; var i = open + 1
+    while (depth > 0 && i < where.length) {
+      where.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    val inner = where.substring(open + 1, i - 1)
+    val args = splitTopLevel(inner, ',').map(_.trim)
+    require(args.length >= 4, s"period($inner)")
+    val unit = args(0)
+    val n = args(1).toInt
+    val anchor = DateLiterals.evalToLiteral(args(2))
+    val tsCol = args(3)
+    val extra = if (args.length >= 5)
+      Some(args(4).trim.stripPrefix("and ").trim) else None
+    // remaining predicates around the period(...) call
+    val before = where.substring(0, idx2).trim
+      .stripSuffix("and").stripSuffix("AND").trim
+    val after = where.substring(i).trim
+      .stripPrefix("and").stripPrefix("AND").trim
+    val rest = Seq(before, after).filter(_.nonEmpty)
+      .reduceOption((a, b) => s"($a) and ($b)")
+    (Some((unit, n, anchor, tsCol, extra)), rest)
+  }
+}
