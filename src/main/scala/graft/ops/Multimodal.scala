@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: opaque binary payloads
+  * with typed metadata, processed per-partition in batch.
+  *
+  * The real decoders (JPEG/PNG, PCM, container demux) are NOT available
+  * in this environment, so `decodeStub` is a clearly-marked deterministic
+  * fake — but everything Spark-side is real and tested: the schema shape,
+  * the per-partition batch iteration (the Scala analog of a vectorized
+  * python `mapInPandas` decode), the derived-feature columns, and the
+  * partitioning behavior. Swapping the fake for a JNI/library decoder
+  * changes ONE function body, not the pipeline.
+  *
+  * Scale notes: decode runs inside `mapPartitions` — embarrassingly
+  * parallel, no shuffle, and the binary payload is column-pruned away
+  * when downstream selects only features. Frame sampling emits rows via
+  * an iterator (no per-partition materialization of all frames).
+  */
+object Multimodal {
+
+  /** Canonical multimodal row: id, modality tag, opaque payload, typed
+    * metadata struct (the blob-store pattern of the reference —
+    * dbms/mongodb_dbms.py blobs + hash column in the SQL row,
+    * json_to_sql/map_json_to_insert.py:240 apply_blob_storage). */
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", IntegerType))), nullable = true)))
+
+  /** Feature row produced by decode: per-item fixed-size feature vector
+    * plus byte-level stats. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType), nullable = false)))
+
+  /** STUB decoder (deterministic fake): real deployments replace this
+    * body with an image/audio library call. The fake derives a stable
+    * 8-dim "feature vector" from the payload bytes so tests are exact. */
+  private def decodeStub(payload: Array[Byte]): Array[Float] = {
+    // ??? <- real decoder goes here (e.g. JPEG -> pixels -> embedding);
+    // deterministic byte-fold fake keeps the pipeline testable:
+    val feats = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) {
+      feats(i % 8) = feats(i % 8) + (payload(i) & 0xFF) / 255.0f
+      i += 1
+    }
+    feats
+  }
+
+  private def checksum(payload: Array[Byte]): Long = {
+    var h = 0L
+    payload.foreach(b => h = (h * 31 + (b & 0xFF)) % TextOps.P)
+    h
+  }
+
+  /** Per-partition batch decode — the Scala analog of a `mapInPandas`
+    * vectorized UDF: one iterator pass per partition, constant memory. */
+  def decodeFeatures(df: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    df.select("id", "modality", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]]("payload"))
+          .getOrElse(Array.emptyByteArray)
+        Row(r.getLong(0), r.getString(1), payload.length,
+          checksum(payload), decodeStub(payload))
+      }
+    }(enc)
+  }
+
+  /** "Resize": recompute features at a target resolution — metadata-only
+    * in the stub (real impl rescales pixels). Kept as a Column transform
+    * so it stays inside codegen. */
+  def resizeMeta(df: DataFrame, width: Int, height: Int): DataFrame =
+    df.withColumn("meta", struct(
+      col("meta.codec").as("codec"),
+      lit(width).as("width"),
+      lit(height).as("height"),
+      col("meta.duration_ms").as("duration_ms")))
+
+  /** Frame sampling for video payloads: emit one row per sampled frame
+    * index (every `everyMs` of duration), payload sliced per frame by the
+    * stub (real impl seeks the container). Iterator-based — no
+    * materialization. */
+  def sampleFrames(df: DataFrame, everyMs: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_ms", IntegerType, nullable = false),
+      StructField("frame_bytes", BinaryType, nullable = true)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col("id"), col("payload"), col("meta.duration_ms").as("dur"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = Option(r.getAs[Array[Byte]](1))
+            .getOrElse(Array.emptyByteArray)
+          val dur = if (r.isNullAt(2)) 0 else r.getInt(2)
+          val n = math.max(1, dur / math.max(1, everyMs))
+          (0 until n).iterator.map { i =>
+            // stub frame = byte slice; real impl decodes frame i*everyMs
+            val start = if (payload.isEmpty) 0
+              else (i.toLong * payload.length / n).toInt
+            val end = if (payload.isEmpty) 0
+              else (((i + 1).toLong * payload.length) / n).toInt
+            Row(id, i, i * everyMs, payload.slice(start, end))
+          }
+        }
+      }(enc)
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.functions._
+
+import graft.dialect._
+import graft.engine.Tables
+
+class DateLiteralsSpec extends SparkSpec {
+  private val clock = () => LocalDateTime.parse("2024-06-15T10:30:45")
+
+  test("now() folds to the clock instant") {
+    assert(DateLiterals.evalFunction("now()", clock) === "2024-06-15 10:30:45")
+  }
+
+  test("date('now','start of month','-1 day') per the reference modifiers") {
+    assert(DateLiterals.evalFunction(
+      "date('now','start of month','-1 day')", clock) === "2024-05-31")
+    assert(DateLiterals.evalFunction(
+      "timestamp('now','start of day','+2 hour')", clock) ===
+      "2024-06-15 02:00:00")
+    assert(DateLiterals.evalFunction(
+      "timestamp('now','-1 month')", clock) === "2024-05-15 10:30:45")
+  }
+
+  test("rewrite replaces date functions inside a WHERE text") {
+    val out = DateLiterals.rewrite(
+      "ts >= now() and ts < timestamp('now', '+1 day') and x = 3", clock)
+    assert(out ===
+      "ts >= '2024-06-15 10:30:45' and ts < '2024-06-16 10:30:45' and x = 3")
+  }
+
+  test("explicit base timestamp") {
+    assert(DateLiterals.evalFunction(
+      "timestamp('2024-01-10 00:00:00', '+90 minute')", clock) ===
+      "2024-01-10 01:30:00")
+  }
+}
+
+class IncrementsSpec extends SparkSpec {
+  test("parent-unit chain second->minute->hour->day->month->year") {
+    assert(Increments.parentUnit("second") === "minute")
+    assert(Increments.parentUnit("minute") === "hour")
+    assert(Increments.parentUnit("hour") === "day")
+    assert(Increments.parentUnit("day") === "month")
+    assert(Increments.parentUnit("month") === "year")
+  }
+
+  test("auto-sizing picks (unit, n) giving ~points buckets") {
+    // 30 days / 100 points = 25920 s -> hour unit, n = 7
+    val (u, n) = Increments.resolve(
+      LocalDateTime.parse("2024-01-01T00:00:00"),
+      LocalDateTime.parse("2024-01-31T00:00:00"), points = 100)
+    assert((u, n) === ("hour", 7))
+    // 1 hour / 60 points = 60 s -> minute, 1
+    val (u2, n2) = Increments.resolve(
+      LocalDateTime.parse("2024-01-01T00:00:00"),
+      LocalDateTime.parse("2024-01-01T01:00:00"), points = 60)
+    assert((u2, n2) === ("minute", 1))
+  }
+
+  test("bucket keys partition all rows exactly once (count invariance)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val total = ev.count()
+    val bucketed = ev.groupBy(Increments.keys("minute", 10, col("ts")): _*)
+      .count().agg(sum("count")).head().getLong(0)
+    assert(bucketed === total)
+  }
+}
+
+class PeriodSpec extends SparkSpec {
+  test("window is (max-n*unit, max] under the anchor") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val out = Period.apply(ev, "ts", "2024-01-15 12:00:00", "day", 1, None)
+    val row = out.agg(max(col("ts")), min(col("ts")), count(lit(1))).head()
+    val mx = row.getTimestamp(0)
+    val mn = row.getTimestamp(1)
+    assert(!mx.after(java.sql.Timestamp.valueOf("2024-01-15 12:00:00")))
+    // strict > lower bound: min must be within (mx - 1 day, mx]
+    assert(mn.after(new java.sql.Timestamp(
+      mx.getTime - 24L * 3600 * 1000)))
+  }
+
+  test("empty anchor set returns no rows (reference behavior)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val out = Period.apply(ev, "ts", "1999-01-01 00:00:00", "day", 1, None)
+    assert(out.count() === 0)
+  }
+
+  test("filter narrows the anchor search too") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val out = Period.apply(ev, "ts", "2024-01-20 00:00:00", "minute", 30,
+      Some(col("event_type") === "click"))
+    assert(out.filter(col("event_type") =!= "click").count() === 0)
+  }
+}
+
+class EdgeSqlSpec extends SparkSpec {
+  private def load(n: String) = Tables.load(spark, sfDir, n)
+
+  test("parseCommand splits dbms / options / select") {
+    val c = EdgeSql.parseCommand(
+      """sql edge format=json extend = (@table_name) "select * from t"""")
+    assert(c.dbms === "edge")
+    assert(c.options === Map("format" -> "json", "extend" -> "@table_name"))
+    assert(c.select === "select * from t")
+  }
+
+  test("parseSelect captures all clauses") {
+    val s = EdgeSql.parseSelect(
+      "select a, count(*) as n from t where x > 3 and y = 'from me' " +
+        "group by a order by n desc, a limit 10 per a")
+    assert(s.projection.map(_.raw) === Seq("a", "count(*)"))
+    assert(s.projection(1).alias === Some("n"))
+    assert(s.table === "t")
+    assert(s.where === Some("x > 3 and y = 'from me'"))
+    assert(s.groupBy === Seq("a"))
+    assert(s.orderBy === Seq(("n", true), ("a", false)))
+    assert(s.limit === Some(10))
+    assert(s.limitPer === Some("a"))
+  }
+
+  test("compiled dialect query equals the hand-written plan") {
+    val viaDialect = EdgeSql.query(spark, load,
+      """sql edge "select event_type, count(*) as n from events """ +
+        """where value > 50 group by event_type order by event_type"""")
+    val direct = load("events").filter(col("value") > 50)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    assert(viaDialect.collect().toSeq === direct.collect().toSeq)
+  }
+
+  test("period inside WHERE composes with other predicates") {
+    val (spec, rest) = EdgeSql.extractPeriod(
+      "user_id < 10 and period(minute, 5, '2024-01-02 00:00:00', ts)")
+    assert(spec === Some(("minute", 5, "2024-01-02 00:00:00", "ts", None)))
+    assert(rest === Some("user_id < 10"))
+  }
+
+  test("casting chain compiles") {
+    val df = EdgeSql.query(spark, load,
+      """sql edge "select event_id::str as id_s, value::float(0) as v0 """ +
+        """from events order by event_id limit 3"""")
+    val rows = df.collect()
+    assert(rows.length === 3)
+    assert(rows.head.schema("id_s").dataType.typeName === "string")
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.SchemaInference._
+import graft.ingest.MappingPolicy
+
+class SchemaInferenceSpec extends SparkSpec {
+
+  test("value inference follows the reference rules") {
+    assert(inferValue("x", true) === ELBool)
+    assert(inferValue("x", 5) === ELInt)
+    assert(inferValue("x", 0x5F5E0FFL) === ELInt)
+    assert(inferValue("x", 0x5F5E100L) === ELBigInt)
+    assert(inferValue("x", 3.14) === ELDecimal)       // 2 fraction digits
+    assert(inferValue("x", 3.14159265) === ELFloat)   // > 5 fraction digits
+    assert(inferValue("x", "550e8400-e29b-41d4-a716-446655440000") === ELUuid)
+    assert(inferValue("x", "2024-01-02 10:00:00") === ELTimestamp)
+    assert(inferValue("x", "2024-01-02") === ELDate)
+    assert(inferValue("x", "10:00:00") === ELTime)
+    assert(inferValue("x", "192.168.1.1") === ELCidr)
+    assert(inferValue("x", "short") === ELChar(5))
+    assert(inferValue("x", "longer than eight") === ELVarchar)
+    assert(inferValue("x", Seq(1, 2)) === ELVarchar)  // lists -> VARCHAR
+  }
+
+  test("'*time*'-named digit strings become TIMESTAMP (>= year 2000)") {
+    assert(inferValue("event_time", "1700000000") === ELTimestamp)
+    assert(inferValue("event_time", "900000000") === ELBigInt)
+    assert(inferValue("counter", "1700000000") === ELBigInt)
+  }
+
+  test("explicit widening pairs from resolve_data_type") {
+    assert(widen(ELInt, ELDecimal) === ELDecimal)
+    assert(widen(ELDecimal, ELFloat) === ELFloat)
+    assert(widen(ELInt, ELBigInt) === ELBigInt)
+    assert(widen(ELChar(3), ELChar(7)) === ELChar(7))
+    assert(widen(ELInt, ELVarchar) === ELVarchar)
+    assert(widen(ELBool, ELInt) === ELVarchar)
+  }
+
+  // the lattice is finite -> verify the join laws EXHAUSTIVELY
+  private val allTypes: Seq[ELType] =
+    Seq(ELBool, ELInt, ELBigInt, ELDecimal, ELFloat, ELUuid, ELTimestamp,
+      ELDate, ELTime, ELCidr, ELVarchar) ++ (1 to 8).map(ELChar)
+
+  test("widen is a join: idempotent, commutative, associative (exhaustive)") {
+    for (a <- allTypes) assert(widen(a, a) === a)
+    for (a <- allTypes; b <- allTypes)
+      assert(widen(a, b) === widen(b, a))
+    for (a <- allTypes; b <- allTypes; c <- allTypes)
+      assert(widen(widen(a, b), c) === widen(a, widen(b, c)))
+  }
+
+  test("inferSchema is order-insensitive") {
+    val rows = Seq(
+      Map[String, Any]("a" -> 1, "b" -> "2024-01-01"),
+      Map[String, Any]("a" -> 2.5, "b" -> "2024-01-01 10:00:00"),
+      Map[String, Any]("a" -> 99999999999L, "c" -> "x"))
+    val fwd = inferSchema(rows).toMap
+    val rev = inferSchema(rows.reverse).toMap
+    assert(fwd === rev)
+    // INT widen DECIMAL -> DECIMAL, then DECIMAL widen BIGINT -> DECIMAL
+    assert(fwd("a") === ELDecimal)
+  }
+
+  test("suggestCreate leads with the four system columns") {
+    val sch = suggestCreate(Seq(Map("temp" -> 21.5, "device" -> "abc")))
+    assert(sch.fieldNames.take(4) ===
+      Array("row_id", "insert_timestamp", "tsd_name", "tsd_id"))
+    assert(sch.fieldNames.drop(4) === Array("temp", "device"))
+  }
+}
+
+class MappingPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val policyJson = """
+  {"mapping": {
+    "dbms": "iot", "table": "readings", "readings": "readings",
+    "condition": "value is not null",
+    "schema": {
+      "device": {"type": "varchar", "bring": "[device]"},
+      "ts": {"type": "timestamp", "bring": "[timestamp]"},
+      "value": {"type": "float", "bring": "[value]"},
+      "unit": {"type": "varchar", "bring": "[unit]", "default": "C"}
+    }}}"""
+
+  private val doc =
+    """{"device_group": "g1", "readings": [
+      {"device": "d1", "timestamp": "2024-01-01 10:00:00", "value": 21.5, "unit": "F"},
+      {"device": "d2", "timestamp": "2024-01-01 10:00:05", "value": 22.0},
+      {"device": "d3", "timestamp": "2024-01-01 10:00:10"}
+    ]}"""
+
+  test("policy JSON parses to the model") {
+    val p = MappingPolicy.fromJson(policyJson)
+    assert(p.dbms === "iot")
+    assert(p.readings === Some("readings"))
+    assert(p.columns.map(_.name).toSet === Set("device", "ts", "value", "unit"))
+    assert(p.columns.find(_.name == "unit").get.default === Some("C"))
+  }
+
+  test("readings fan out to rows; defaults fill; condition filters") {
+    val p = MappingPolicy.fromJson(policyJson)
+    val out = MappingPolicy.compile(p, Seq(doc).toDF("value"), "value")
+      .orderBy("device").collect()
+    // d3 has no value -> dropped by the condition
+    assert(out.map(_.getString(0)).toSeq === Seq("d1", "d2"))
+    assert(out(0).getAs[Double]("value") === 21.5)
+    assert(out(0).getAs[String]("unit") === "F")
+    assert(out(1).getAs[String]("unit") === "C") // default applied
+    assert(out(0).getAs[java.sql.Timestamp]("ts") ===
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+  }
+
+  test("regex extraction and nested root paths") {
+    val p = MappingPolicy.Policy("db", "t", None, Seq(
+      MappingPolicy.ColumnSpec("num", "int", "[msg]",
+        regex = Some("id=(\\d+)")),
+      MappingPolicy.ColumnSpec("city", "varchar", "[loc][city]")))
+    val out = MappingPolicy.compile(p,
+      Seq("""{"msg": "id=42 ok", "loc": {"city": "berlin"}}""").toDF("value"))
+      .head()
+    assert(out.getAs[Int]("num") === 42)
+    assert(out.getAs[String]("city") === "berlin")
+  }
+}
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamOps
+  import graft.streaming.StreamOps._
+
+  test("conditions split store/drop/alert") {
+    val df = Seq((1, 10.0), (2, 150.0), (3, -5.0)).toDF("id", "v")
+    val (kept, alerts) = StreamOps.applyConditions(df, Seq(
+      Condition("v < 0", Drop),
+      Condition("v > 100", Alert("high"))))
+    assert(kept.select("id").as[Int].collect().sorted === Array(1, 2))
+    val a = alerts.collect()
+    assert(a.length === 1)
+    assert(a.head.getAs[Int]("id") === 2)
+    assert(a.head.getAs[String]("alert_tag") === "high")
+  }
+
+  test("monitor aggregates tumbling intervals with alert flag") {
+    val df = Seq(
+      ("2024-01-01 00:00:10", "t1", 10.0),
+      ("2024-01-01 00:00:50", "t1", 30.0),
+      ("2024-01-01 00:01:10", "t1", 300.0))
+      .toDF("ts0", "k", "v")
+      .select(to_timestamp($"ts0").as("ts"), $"k", $"v")
+    val out = StreamOps.monitor(df, "ts", "k", "v", 60,
+      alertAvgAbove = Some(100.0)).orderBy("interval.start").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Double]("sum_value") === 40.0)
+    assert(out(0).getAs[Boolean]("alert") === false)
+    assert(out(1).getAs[Boolean]("alert") === true)
+  }
+
+  test("monitor works on a stream with watermark (bounded state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val src = mem.toDF().toDF("ts", "k", "v").withWatermark("ts", "2 minutes")
+    val agg = StreamOps.monitor(src, "ts", "k", "v", 60)
+    val q = agg.writeStream.format("memory").queryName("mon")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "t1", 5.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), "t1", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("mon").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("events_count") === 2)
+    } finally q.stop()
+  }
+}

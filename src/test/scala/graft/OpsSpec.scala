@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Multimodal, TextOps, VectorOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq("x").toDF("dummy").select(c).head().getAs[T](0)
+
+  test("polyHash matches the mod-P polynomial recurrence") {
+    // fold('abc') = (0*31+97)*31+98)*31+99 = 96354 (== String.hashCode
+    // for short ASCII strings, before any mod wrap)
+    val h = Seq("abc").toDF("s").select(TextOps.polyHash(col("s"))).head().getLong(0)
+    assert(h === 96354L)
+    assert(h === "abc".hashCode.toLong)
+  }
+
+  test("tokens drops empties; shingles window correctly") {
+    val df = Seq("a b c d").toDF("t")
+    val sh = df.select(TextOps.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextOps.wordShingles(col("t"), 3)).head().getSeq[String](0)
+    assert(short === Seq("a b"))
+  }
+
+  test("minHash signature has k components, values < P") {
+    val df = Seq("the quick brown fox jumps over the lazy dog").toDF("t")
+    val sig = df.select(TextOps.minHash(
+      TextOps.shingleHashes(col("t"), 3), 16)).head().getSeq[Long](0)
+    assert(sig.length === 16)
+    assert(sig.forall(v => v >= 0 && v < TextOps.P))
+  }
+
+  test("identical texts collide on every LSH band; disjoint texts on none") {
+    val df = Seq(
+      (1, "alpha beta gamma delta epsilon zeta"),
+      (2, "alpha beta gamma delta epsilon zeta"),
+      (3, "one two three four five six seven")).toDF("id", "t")
+    val sigs = df.select(col("id"), TextOps.lshBands(
+      TextOps.minHash(TextOps.shingleHashes(col("t"), 3), 16), 4, 4).as("b"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) === sigs(2))
+    assert(sigs(1).intersect(sigs(3)).isEmpty)
+  }
+
+  test("simHash is stable and within 32 bits") {
+    val df = Seq("spark catalyst tungsten codegen").toDF("t")
+    val s1 = df.select(TextOps.simHash(col("t"))).head().getLong(0)
+    val s2 = df.select(TextOps.simHash(col("t"))).head().getLong(0)
+    assert(s1 === s2)
+    assert(s1 >= 0 && s1 < (1L << 32))
+  }
+
+  test("hamming distance via bit_count of xor") {
+    val df = Seq((0b1011L, 0b0011L)).toDF("a", "b")
+    assert(df.select(TextOps.hamming(col("a"), col("b"))).head().getInt(0) === 1)
+  }
+
+  test("winnow: fingerprints are a subset of gram hashes, deduped") {
+    val df = Seq("abcdefghijklmnopqrstuvwxyz").toDF("t")
+    val fp = df.select(TextOps.winnow(col("t"), 8, 4)).head().getSeq[Long](0)
+    assert(fp.nonEmpty)
+    assert(fp.distinct.length === fp.length)
+  }
+
+  test("langId picks the max-stopword-hit language deterministically") {
+    val en = Seq("the cat sat on the mat and a dog").toDF("t")
+      .select(TextOps.langId(col("t"))).head().getString(0)
+    assert(en === "en")
+    val de = Seq("der hund und die katze ist ein tier").toDF("t")
+      .select(TextOps.langId(col("t"))).head().getString(0)
+    assert(de === "de")
+  }
+}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot/norm/cosine fold left in array order") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val dot = df.select(VectorOps.dot(col("a"), col("b"))).head().getDouble(0)
+    assert(dot === 32.0)
+    val cos = df.select(VectorOps.cosine(col("a"), col("a"))).head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
+  test("lshSignature is deterministic and bucket-bounded") {
+    val df = Seq(Tuple1(Seq.fill(64)(0.25f))).toDF("v")
+    val s1 = df.select(VectorOps.lshSignature(col("v"), 4)).head().getLong(0)
+    val s2 = df.select(VectorOps.lshSignature(col("v"), 4)).head().getLong(0)
+    assert(s1 === s2)
+    assert(s1 >= 0 && s1 < 16)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDf = {
+    val rows = Seq(
+      Row(1L, "image", "abcdef".getBytes("UTF-8"),
+        Row("png", 32, 32, null.asInstanceOf[Integer])),
+      Row(2L, "video", ("x" * 100).getBytes("UTF-8"),
+        Row("h264", 640, 480, Integer.valueOf(3000))),
+      Row(3L, "audio", null, Row("pcm", null.asInstanceOf[Integer],
+        null.asInstanceOf[Integer], Integer.valueOf(1500))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.schema)
+  }
+
+  test("decodeFeatures: schema, checksum and deterministic fake features") {
+    val out = Multimodal.decodeFeatures(mkDf).orderBy("id").collect()
+    assert(out.length === 3)
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_bytes") === 6)
+    // checksum = mod-P polynomial fold over the bytes
+    val expected = "abcdef".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => (h * 31 + (b & 0xFF)) % graft.ops.TextOps.P)
+    assert(r1.getAs[Long]("checksum") === expected)
+    assert(r1.getAs[Seq[Float]]("features").length === 8)
+    // null payload -> empty features, zero checksum
+    assert(out(2).getAs[Int]("n_bytes") === 0)
+    assert(out(2).getAs[Long]("checksum") === 0L)
+  }
+
+  test("sampleFrames emits one row per everyMs of duration") {
+    val frames = Multimodal.sampleFrames(mkDf, everyMs = 1000)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(frames(2L) === 3) // 3000 ms / 1000
+    assert(frames(1L) === 1) // no duration -> 1 frame minimum
+    // frame bytes of id=2 partition the payload
+    val total = Multimodal.sampleFrames(mkDf, 1000)
+      .filter(col("id") === 2)
+      .select(sum(length(col("frame_bytes")))).head().getLong(0)
+    assert(total === 100)
+  }
+
+  test("resizeMeta rewrites width/height only") {
+    val out = Multimodal.resizeMeta(mkDf, 64, 64)
+      .select("meta.width", "meta.height", "meta.codec")
+      .orderBy("id").collect()
+    assert(out.forall(r => r.getInt(0) === 64 && r.getInt(1) === 64))
+    assert(out(0).getString(2) === "png")
+  }
+}
