@@ -122,7 +122,24 @@ object DialectQueries {
       replace(event_type, 'click', 'tap') AS type_repl
     FROM events ORDER BY event_id LIMIT 200"""
 
+  /** q46 — auto-sized increments(points, ts): (unit, n) derived from the
+    * WHERE range (30 days / 100 points -> hour, 7 —
+    * unify_results.py:339-459). */
+  private val q46 = run(
+    """sql edge "select increments(100, ts), count(*) as n, """ +
+      """avg(value) as avg_value from events """ +
+      """where ts >= '2024-01-01' and ts < '2024-01-31' """ +
+      """order by hour_parent, hour_bucket"""")
+  private val q46Sql = s"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS hour_parent,
+      CAST(FLOOR(EXTRACT(hour FROM ts) / 7) AS BIGINT) AS hour_bucket,
+      count(*) AS n, ${oAvg("value")} AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, QFn] = Map(
+    "q46_dialect_increments_auto" -> q46,
     "q39_dialect_group_aggs" -> q39,
     "q40_dialect_increments" -> q40,
     "q41_dialect_period" -> q41,
@@ -132,6 +149,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q46_dialect_increments_auto" -> q46Sql,
     "q39_dialect_group_aggs" -> q39Sql,
     "q40_dialect_increments" -> q40Sql,
     "q41_dialect_period" -> q41Sql,

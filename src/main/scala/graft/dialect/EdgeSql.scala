@@ -265,9 +265,21 @@ object EdgeSql {
       fn match {
         case Some("increments") =>
           val args = splitTopLevel(argsOf(raw), ',').map(_.trim)
+          // auto-sizing (`increments(ts)` / `increments(points, ts)`):
+          // choose (unit, n) so the WHERE time range yields ~points
+          // buckets, default 1000 (unify_results.py:339-459, :352)
+          def autoSize(c: String, points: Int): (String, Int, String) =
+            whereRest.flatMap(w =>
+              timeBounds(DateLiterals.rewrite(w), c)) match {
+              case Some((lo, hi)) =>
+                val (u, n) = Increments.resolve(lo, hi, points)
+                (u, n, c)
+              case None => ("hour", 1, c) // unbounded range: fixed default
+            }
           val (unit, n, tsCol) = args match {
             case Seq(u, nn, c) => (u, nn.toInt, c)
-            case Seq(c) => ("hour", 1, c) // auto-sizing default shape
+            case Seq(p, c) if p.forall(_.isDigit) => autoSize(c, p.toInt)
+            case Seq(c) => autoSize(c, 1000)
             case other => throw new IllegalArgumentException(
               s"increments(${other.mkString(",")})")
           }
@@ -452,6 +464,28 @@ object EdgeSql {
     // UTC storage -> caller timezone at the presentation edge
     // (utils_columns.py:1655-1712)
     c
+  }
+
+  /** Extract a bounded time range for `tsCol` from a WHERE text
+    * (`ts >= 'lo'` / `ts < 'hi'` style literals, after date-function
+    * folding) — feeds increments() auto-sizing. */
+  def timeBounds(where: String, tsCol: String)
+      : Option[(java.time.LocalDateTime, java.time.LocalDateTime)] = {
+    val rx = ("(?i)\\b" + java.util.regex.Pattern.quote(tsCol) +
+      "\\s*(>=|<=|<|>)\\s*'([^']+)'").r
+    var lo: Option[java.time.LocalDateTime] = None
+    var hi: Option[java.time.LocalDateTime] = None
+    def parse(s: String): java.time.LocalDateTime =
+      if (s.matches("\\d{4}-\\d{2}-\\d{2}"))
+        java.time.LocalDate.parse(s).atStartOfDay
+      else java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+    rx.findAllMatchIn(where).foreach { m =>
+      m.group(1) match {
+        case ">=" | ">" => lo = Some(parse(m.group(2)))
+        case "<=" | "<" => hi = Some(parse(m.group(2)))
+      }
+    }
+    for (l <- lo; h <- hi) yield (l, h)
   }
 
   /** Pull `period(unit, n, anchor, tsCol [, and <filter>])` out of the

@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Output rendering — the reference's OutputManager surface
+  * (/root/reference/edge_lake/generic/output_data.py:35-128; formats
+  * `json`, `json:output` rows, `json:list`, `table`
+  * cmd/member_cmd.py:136-141; stat footer output_data.py:636).
+  *
+  * Rendering collects ONLY what it prints — callers cap rows before
+  * rendering (`limit`); nothing here pulls an unbounded result to the
+  * driver.
+  */
+object Render {
+
+  /** `format=json` — {"Query": [ {col: value, ...}, ... ]}. */
+  def json(df: DataFrame, maxRows: Int = 10000): String = {
+    val rows = df.limit(maxRows).toJSON.collect()
+    rows.mkString("{\"Query\": [", ",", "]}")
+  }
+
+  /** `format=json:list` — one JSON object per line. */
+  def jsonList(df: DataFrame, maxRows: Int = 10000): String =
+    df.limit(maxRows).toJSON.collect().mkString("\n")
+
+  /** `format=table` — fixed-width ASCII table like the reference CLI. */
+  def table(df: DataFrame, maxRows: Int = 10000): String = {
+    val cols = df.columns
+    val data = df.limit(maxRows).collect()
+      .map(_.toSeq.map(v => if (v == null) "" else v.toString))
+    val widths = cols.indices.map { i =>
+      (cols(i).length +: data.map(_(i).length)).max
+    }
+    def line(vals: Seq[String]): String =
+      vals.zip(widths).map { case (v, w) => v.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    val sep = widths.map("-" * _).mkString("+-", "-+-", "-+")
+    (Seq(sep, line(cols.toSeq), sep) ++ data.map(l => line(l)) :+ sep)
+      .mkString("\n")
+  }
+
+  /** `stat=true` footer: row count + elapsed time
+    * (output_data.py:636 output_test_footer shape). */
+  def withStat(df: DataFrame, render: DataFrame => String): String = {
+    val t0 = System.nanoTime()
+    val body = render(df)
+    val rows = df.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    f"$body%s%n{\"Statistics\":[{\"Count\": $rows%d, \"Time\":\"$secs%.2f seconds\"}]}"
+  }
+}

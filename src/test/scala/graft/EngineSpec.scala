@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Render, Tables, TimePartitions}
+
+class RenderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq((1, "a"), (2, "b")).toDF("id", "name")
+
+  test("json format wraps rows under Query") {
+    val out = Render.json(df.orderBy("id"))
+    assert(out ===
+      """{"Query": [{"id":1,"name":"a"},{"id":2,"name":"b"}]}""")
+  }
+
+  test("json:list is one object per line") {
+    assert(Render.jsonList(df.orderBy("id")).linesIterator.size === 2)
+  }
+
+  test("table format renders fixed-width ASCII") {
+    val out = Render.table(df.orderBy("id"))
+    assert(out.contains("| id | name |"))
+    assert(out.contains("| 1  | a    |"))
+  }
+
+  test("stat footer appends count") {
+    val out = Render.withStat(df, Render.json(_))
+    assert(out.contains("\"Count\": 2"))
+  }
+}
+
+class CatalogSpec extends SparkSpec {
+  test("tables register and resolve; views rename/subset") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet")
+    assert(cat.table("events").count() > 0)
+    cat.createView("ev_slim", "events",
+      Seq("event_id" -> "id", "event_type" -> "kind"))
+    val v = cat.table("ev_slim")
+    assert(v.columns.toSeq === Seq("id", "kind"))
+    // column pruning sees through the view to the scan
+    val plan = v.select("kind").queryExecution.executedPlan.toString
+    assert(plan.contains("event_type"))
+    assert(!plan.contains("user_id"))
+  }
+
+  test("policies persist to the metadata root") {
+    val dir = java.nio.file.Files.createTempDirectory("cat")
+    val cat = new Catalog(spark, Some(dir))
+    cat.addPolicy("p1", """{"mapping": {"dbms": "d", "table": "t"}}""")
+    assert(cat.policy("p1").isDefined)
+    assert(java.nio.file.Files.exists(dir.resolve("policy_p1.json")))
+  }
+}
+
+class TimePartitionsSpec extends SparkSpec {
+  test("write partitioned by day; prune; drop old partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("par").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") >= lit("2024-01-01") && col("ts") < lit("2024-01-06"))
+    TimePartitions.write(ev, "ts", "day", 1, dir)
+    val parts = TimePartitions.partitions(spark, dir)
+    assert(parts === Seq("2024-01-01", "2024-01-02", "2024-01-03",
+      "2024-01-04", "2024-01-05"))
+
+    // partition pruning: filtering the derived key scans one directory
+    val pruned = spark.read.parquet(dir).filter(col("__par") === "2024-01-03")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() ===
+      ev.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-03").count())
+
+    // retention drop
+    val dropped = TimePartitions.dropOlderThan(spark, dir, "2024-01-03")
+    assert(dropped === Seq("2024-01-01", "2024-01-02"))
+    assert(TimePartitions.partitions(spark, dir) ===
+      Seq("2024-01-03", "2024-01-04", "2024-01-05"))
+  }
+
+  test("7-day buckets (the reference's week replacement)") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val buckets = ev.select(TimePartitions.bucketExpr("ts", "day", 7).as("b"))
+      .distinct().orderBy("b").collect().map(_.getString(0))
+    assert(buckets.nonEmpty)
+    // consecutive buckets are exactly 7 days apart
+    val days = buckets.map(java.time.LocalDate.parse)
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(java.time.temporal.ChronoUnit.DAYS.between(a, b) === 7)
+    }
+  }
+}
+
+class IncrementsAutoDialectSpec extends SparkSpec {
+  test("timeBounds extracts literal ranges") {
+    val b = graft.dialect.EdgeSql.timeBounds(
+      "ts >= '2024-01-01' and ts < '2024-01-31' and x = 1", "ts")
+    assert(b.isDefined)
+    assert(b.get._1 === java.time.LocalDateTime.parse("2024-01-01T00:00"))
+  }
+}
