@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regressions: these assertions encode the 100 TB design
+  * contract — filters reach the parquet scan, projection prunes columns,
+  * aggregation is partial/final, small dimensions broadcast, per-row
+  * signature stages stay shuffle-free. A change that silently turns one
+  * of these into a full scan / shuffle / cartesian fails here before it
+  * ever reaches a cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q02: predicates push down to the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(!p.contains("PushedFilters: []"))
+  }
+
+  test("q02: column pruning — scan reads only referenced columns") {
+    val p = planOf("q02_filter_project")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment"))
+    assert(!readSchema.contains("l_suppkey"))
+  }
+
+  test("q04: aggregation is two-phase partial/final (no raw-row shuffle)") {
+    val p = planOf("q04_pricing_summary")
+    assert(p.contains("partial_sum"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q20: dimension join broadcasts (no shuffle of the small side)") {
+    val p = planOf("q20_join_3way")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q12: period phase 2 is a pushed-down range filter on ts") {
+    // events.ts is read as nanosecond longs then converted, so the filter
+    // itself can't reach parquet — but it must sit directly on the scan
+    // (no shuffle between), and the scan must prune columns
+    val df = SparkEntry.queries("q12_period_day")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FileScan"))
+    assert(!p.split("HashAggregate")(0).contains("Exchange") ||
+      p.contains("Filter"))
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // AQE finalizes the plan on execution; the '*(n)' prefix then marks
+    // codegen stages in the plan string
+    Seq("q04_pricing_summary", "q20_join_3way", "q08_topn_groups").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("*("),
+        s"$q lost codegen")
+    }
+  }
+
+  test("q30: simhash dedup is ONE aggregate after per-row signatures") {
+    val p = planOf("q30_dedup_simhash")
+    // exactly two exchanges: the deliberate widen-repartition and the
+    // group-by on sig — no join, no cartesian
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q32: ANN probe side is broadcast, not shuffled") {
+    val p = planOf("q32_ann_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+}
