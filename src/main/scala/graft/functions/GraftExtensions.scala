@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Session extension registering the native signature expressions as SQL
+  * functions, so `spark.sql("SELECT minhash_sig(shingle_hashes(text, 3),
+  * 16) ...")` works — activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def lit(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected integer literal, got $other")
+  }
+
+  /** (name, info, builder) triples — used by apply() at session build and
+    * registrable post-hoc on an existing session's FunctionRegistry. */
+  def registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "")
+    Seq(
+      (FunctionIdentifier("shingle_hashes"),
+        info("shingle_hashes", "distinct word n-gram polynomial hashes"),
+        (args: Seq[Expression]) => ShingleHashesExpr(args(0), lit(args(1)))),
+      (FunctionIdentifier("minhash_sig"),
+        info("minhash_sig", "k-permutation MinHash signature"),
+        (args: Seq[Expression]) => MinHashSigExpr(args(0), lit(args(1)))),
+      (FunctionIdentifier("simhash32"),
+        info("simhash32", "32-bit SimHash of the token multiset"),
+        (args: Seq[Expression]) => SimHash32Expr(args(0))),
+      (FunctionIdentifier("winnow_fp"),
+        info("winnow_fp", "winnowing fingerprint hash set"),
+        (args: Seq[Expression]) =>
+          WinnowFpExpr(args(0), lit(args(1)), lit(args(2)))),
+      (FunctionIdentifier("dot_f"),
+        info("dot_f", "left-fold float-array dot product"),
+        (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
+      (FunctionIdentifier("vec_lsh"),
+        info("vec_lsh", "random-hyperplane LSH bucket"),
+        (args: Seq[Expression]) => VecLshExpr(args(0), lit(args(1)))))
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registrations.foreach(ext.injectFunction)
+}
+
+/** Column-API wrappers over the native expressions. */
+object F {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def shingleHashes(text: Column, n: Int): Column =
+    c(ShingleHashesExpr(e(text), n))
+  def minhashSig(hashes: Column, k: Int): Column =
+    c(MinHashSigExpr(e(hashes), k))
+  def simhash32(text: Column): Column = c(SimHash32Expr(e(text)))
+  def winnowFp(text: Column, k: Int, w: Int): Column =
+    c(WinnowFpExpr(e(text), k, w))
+  def dotF(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
+  def vecLsh(v: Column, bits: Int): Column = c(VecLshExpr(e(v), bits))
+}

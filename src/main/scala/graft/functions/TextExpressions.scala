@@ -1,0 +1,212 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text/vector signature primitives.
+  *
+  * These compute EXACTLY the same values as the SQL higher-order-function
+  * formulations in `graft.ops.{TextOps, PipelineQueries}` (same polynomial
+  * recurrence mod 2^31-1 over codepoints, same fold order for floats) —
+  * the DuckDB oracles are unchanged — but in ONE compiled pass per row
+  * instead of nested interpreted lambda trees: a SimHash over T tokens is
+  * T*32 interpreted lambda evaluations as a HOF vs one tight loop here.
+  * CodegenFallback keeps them valid inside any plan; the per-row work is
+  * a single JVM-compiled method either way.
+  *
+  * This is the preference order SURVEY §7 prescribes for operators Spark
+  * lacks: compose built-ins first (the HOF versions remain in TextOps as
+  * the reference formulation), then a native `Expression` where the hot
+  * path warrants it.
+  */
+object TextExpressions {
+  final val P = 2147483647L
+
+  @inline private[functions] def polyHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    h
+  }
+
+  private[functions] def tokens(text: String): Array[String] =
+    text.split(" ").filter(_.nonEmpty)
+
+  /** Distinct word-n-gram shingle hashes, first-occurrence order (same
+    * set as TextOps.shingleHashes). */
+  private[functions] def shingleHashes(text: String, n: Int): Array[Long] = {
+    val t = tokens(text)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (t.length < n) out.add(polyHash(t.mkString(" ")))
+    else {
+      var i = 0
+      while (i <= t.length - n) {
+        val sb = new StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(t(i + j)); j += 1
+        }
+        out.add(polyHash(sb.toString)); i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator; var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    arr
+  }
+}
+
+/** shingle_hashes(text, n): distinct word n-gram polynomial hashes. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      TextExpressions.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** minhash_sig(hashes, k): k-permutation MinHash signature over a hash
+  * array — sig_i = min (h*(1+7919 i) + (1+104729 i)) mod P. */
+case class MinHashSigExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = 1L + 7919L * i
+      val b = 1L + 104729L * i
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < hs.length) {
+        val v = (hs(j) * a + b) % TextExpressions.P
+        if (v < mn) mn = v
+        j += 1
+      }
+      sig(i) = if (hs.isEmpty) 0L else mn
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** simhash32(text): 32-bit SimHash over the token multiset (bit j set iff
+  * sum over tokens of +-1 on bit j of polyHash(token) is positive). */
+case class SimHash32Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextExpressions.polyHash(toks(i))
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** winnow_fp(text, k, w): distinct minima of w-windows over char k-gram
+  * rolling hashes (MOSS winnowing fingerprint). */
+case class WinnowFpExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val nGrams = math.max(text.length - k, 0) + 1
+    val grams = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      grams(i) = TextExpressions.polyHash(
+        text.substring(i, math.min(i + k, text.length)))
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (grams.length < w) out.add(grams.min)
+    else {
+      var j = 0
+      while (j <= grams.length - w) {
+        var mn = Long.MaxValue
+        var x = 0
+        while (x < w) { if (grams(j + x) < mn) mn = grams(j + x); x += 1 }
+        out.add(mn); j += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator; var y = 0
+    while (it.hasNext) { arr(y) = it.next(); y += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** dot_f(a, b): left-fold dot product of two float arrays accumulated in
+  * double — IEEE-identical to the HOF/list_reduce formulation. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toFloatArray()
+    val y = b.asInstanceOf[ArrayData].toFloatArray()
+    var acc = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { acc = acc + x(i).toDouble * y(i).toDouble; i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** vec_lsh(v, bits): random-hyperplane LSH bucket (same deterministic
+  * integer planes as VectorOps.lshSignature). */
+case class VecLshExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData].toFloatArray()
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var d = 0.0
+      var i = 0
+      while (i < v.length) {
+        // NB: ((x * planeInt) / 1000.0) — the exact op order of the SQL
+        // formulation (x * plane / 1000.0 parses left-assoc); a
+        // mathematically-equal x * (planeInt/1000.0) can differ in ULPs
+        // and flip a bucket sign
+        val planeInt = ((i + j.toLong * 64L) * 2654435761L % TextExpressions.P
+          % 2001L - 1000L).toDouble
+        d = d + v(i).toDouble * planeInt / 1000.0
+        i += 1
+      }
+      if (d > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.F
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
   * tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash),
@@ -166,7 +167,7 @@ object PipelineQueries {
     * count intersections, Jaccard = inter/(|A|+|B|-inter). */
   private val q28: QFn = (s, d) => {
     val sh = wide(s, d, "documents", "doc_id")
-      .select(col("doc_id"), explode(expr(sShingleHashes)).as("h"))
+      .select(col("doc_id"), explode(F.shingleHashes(col("text"), 3)).as("h"))
       .persist()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sh2 = sh.toDF("doc_id2", "h2")
@@ -198,14 +199,9 @@ object PipelineQueries {
     * key only — never all-pairs), estimated similarity = fraction of
     * equal signature components. */
   private val q29: QFn = (s, d) => {
-    // The repartition between the two projections is deliberate: it is
-    // an optimizer barrier that materializes `hs` once per row — without
-    // it CollapseProject inlines the shingle-hash expression into the
-    // 16-permutation lambda and recomputes it 16x per row.
-    val base = t(s, d, "documents")
-      .select(col("doc_id"), expr(sShingleHashes).as("hs"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(sMinhash("hs")).as("sig"))
+    val base = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"),
+        F.minhashSig(F.shingleHashes(col("text"), 3), 16).as("sig"))
       .persist()
     val banded = base.select(col("doc_id"), col("sig"),
       explode(expr(sBands("sig"))).as("bk"))
@@ -239,13 +235,8 @@ object PipelineQueries {
     * 2.5M candidate pairs at sf0.1 for a 2x16-bit block join, vs 703
     * clusters for signature-identity grouping). */
   private val q30: QFn = (s, d) =>
-    // repartition = materialization barrier for `th` (else the token-hash
-    // array is re-derived for each of the 32 signature bits)
-    t(s, d, "documents")
-      .select(col("doc_id"),
-        expr(s"transform(${sToks("text")}, t -> ${sPoly("t")})").as("th"))
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), expr(sSimhash("th")).as("sig"))
+    wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), F.simhash32(col("text")).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
         max(col("doc_id")).as("max_id"))
@@ -270,13 +261,13 @@ object PipelineQueries {
   private val q31: QFn = (s, d) => {
     val v = wide(s, d, "embeddings", "vec_id")
       .select(col("vec_id"), col("embedding"),
-        expr(s"sqrt(${sDot("embedding", "embedding")})").as("nrm"),
-        expr(sVecLsh("embedding")).as("bucket"))
+        sqrt(F.dotF(col("embedding"), col("embedding"))).as("nrm"),
+        F.vecLsh(col("embedding"), 4).as("bucket"))
       .persist()
     val v2 = v.toDF("vec_id2", "embedding2", "nrm2", "bucket2")
     v.join(v2, col("bucket") === col("bucket2") && col("vec_id") < col("vec_id2"))
       .select(col("vec_id").as("vec_a"), col("vec_id2").as("vec_b"),
-        (expr(sDot("embedding", "embedding2")) / (col("nrm") * col("nrm2")))
+        (F.dotF(col("embedding"), col("embedding2")) / (col("nrm") * col("nrm2")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -297,14 +288,14 @@ object PipelineQueries {
     * broadcast; ranking is a per-probe window. */
   private val q32: QFn = (s, d) => {
     val all = wide(s, d, "embeddings", "vec_id")
-      .withColumn("nrm", expr(s"sqrt(${sDot("embedding", "embedding")})"))
+      .withColumn("nrm", sqrt(F.dotF(col("embedding"), col("embedding"))))
     val probes = all.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     broadcast(probes)
       .join(all, col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        (expr(sDot("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+        (F.dotF(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
           .as("cos_sim"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
@@ -331,8 +322,8 @@ object PipelineQueries {
   private val q33: QFn = (s, d) => {
     val v = wide(s, d, "embeddings", "vec_id")
       .select(col("vec_id"), col("embedding"),
-        expr(s"sqrt(${sDot("embedding", "embedding")})").as("nrm"),
-        expr(sVecLsh("embedding")).as("bucket"))
+        sqrt(F.dotF(col("embedding"), col("embedding"))).as("nrm"),
+        F.vecLsh(col("embedding"), 4).as("bucket"))
       .persist()
     val probes = v.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -340,7 +331,7 @@ object PipelineQueries {
     broadcast(probes)
       .join(v, col("q_bucket") === col("bucket") && col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        (expr(sDot("q_emb", "embedding")) / (col("q_nrm") * col("nrm")))
+        (F.dotF(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
           .as("cos_sim"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
@@ -478,15 +469,9 @@ object PipelineQueries {
     * distinct; emit per-doc fingerprint-set stats (order-independent:
     * size / min / max / sum mod P). */
   private val q37: QFn = (s, d) => {
-    val grams = s"transform(sequence(0, greatest(length(head) - 8, 0)), " +
-      s"i -> ${sPoly("substring(head, i + 1, 8)")})"
-    t(s, d, "documents")
-      .withColumn("head", expr("substring(text, 1, 256)"))
-      .select(col("doc_id"), expr(grams).as("g"))
-      .repartition(col("doc_id"))
-      .withColumn("fp", expr(
-        "array_distinct(CASE WHEN size(g) < 4 THEN array(array_min(g)) " +
-          "ELSE transform(sequence(0, size(g) - 4), j -> array_min(slice(g, j + 1, 4))) END)"))
+    wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"),
+        F.winnowFp(expr("substring(text, 1, 256)"), 8, 4).as("fp"))
       .select(col("doc_id"), size(col("fp")).as("n_fp"),
         expr("array_min(fp)").as("fp_min"), expr("array_max(fp)").as("fp_max"),
         expr(s"aggregate(fp, cast(0 as bigint), (a, v) -> (a + v) % $P)").as("fp_sum"))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.F
+import graft.ops.{TextOps, VectorOps}
+
+/** The native Catalyst expressions must be BIT-IDENTICAL to the
+  * higher-order-function formulations (which the DuckDB oracles mirror) —
+  * cross-validated here on real corpus rows. */
+class NativeExprSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").limit(50)
+  private lazy val embs = Tables.load(spark, sfDir, "embeddings").limit(50)
+
+  test("shingle_hashes == HOF shingleHashes (as sets)") {
+    val both = docs.select(
+      sort_array(F.shingleHashes(col("text"), 3)).as("native"),
+      sort_array(TextOps.shingleHashes(col("text"), 3)).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("minhash_sig == HOF minHash") {
+    val both = docs.select(
+      F.minhashSig(F.shingleHashes(col("text"), 3), 16).as("native"),
+      TextOps.minHash(TextOps.shingleHashes(col("text"), 3), 16).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("simhash32 == HOF simHash") {
+    val both = docs.select(
+      F.simhash32(col("text")).as("native"),
+      TextOps.simHash(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("winnow_fp == HOF winnow (as sets)") {
+    val both = docs.select(
+      sort_array(F.winnowFp(expr("substring(text, 1, 256)"), 8, 4)).as("native"),
+      sort_array(TextOps.winnow(expr("substring(text, 1, 256)"), 8, 4)).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("dot_f == HOF dot (bit-identical doubles)") {
+    val both = embs.select(
+      F.dotF(col("embedding"), col("embedding")).as("native"),
+      VectorOps.dot(col("embedding"), col("embedding")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("vec_lsh == HOF lshSignature") {
+    val both = embs.select(
+      F.vecLsh(col("embedding"), 4).as("native"),
+      VectorOps.lshSignature(col("embedding"), 4).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("functions register into a session FunctionRegistry for SQL use") {
+    val reg = spark.sessionState.functionRegistry
+    new graft.functions.GraftExtensions().registrations.foreach {
+      case (ident, info, builder) =>
+        reg.registerFunction(ident, info, builder)
+    }
+    val out = spark.sql(
+      "SELECT simhash32('spark catalyst tungsten') AS s, " +
+        "minhash_sig(shingle_hashes('a b c d e', 3), 16) AS m, " +
+        "dot_f(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "      array(cast(3.0 as float), cast(4.0 as float))) AS d").head()
+    assert(out.getAs[Long]("s") >= 0L)
+    assert(out.getAs[Seq[Long]]("m").length === 16)
+    assert(out.getAs[Double]("d") === 11.0)
+  }
+}
