@@ -68,8 +68,12 @@ object EdgeSql {
         s = rest2.trim
       }
     }
-    val select = s.stripPrefix("\"").stripPrefix("'")
-      .stripSuffix("\"").stripSuffix("'").trim
+    // strip only a MATCHING quote pair — a blind stripSuffix('\'') would
+    // eat the closing quote of a trailing string literal
+    val select =
+      if (s.length >= 2 && (s.head == '"' || s.head == '\'') &&
+          s.last == s.head) s.substring(1, s.length - 1).trim
+      else s.trim
     Command(dbms, opts, select)
   }
 

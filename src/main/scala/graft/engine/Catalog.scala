@@ -18,7 +18,8 @@ import org.apache.spark.sql.types.StructType
   */
 final class Catalog(spark: SparkSession, root: Option[Path] = None) {
 
-  final case class TableReg(name: String, path: String, schemaJson: String)
+  final case class TableReg(name: String, path: String, schemaJson: String,
+      nanoTs: Seq[String])
   /** View: target table + projected (sourceColumn -> viewColumn) pairs
     * (a rename/subset map, exactly the reference's view shape). */
   final case class ViewDef(name: String, table: String,
@@ -29,9 +30,10 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   private var policies = Map.empty[String, String] // id -> policy JSON
 
   def registerTable(name: String, path: String,
-      schema: Option[StructType] = None): Unit = {
-    val sch = schema.getOrElse(spark.read.parquet(path).schema)
-    tables += name -> TableReg(name, path, sch.json)
+      schema: Option[StructType] = None,
+      nanoTs: Seq[String] = Nil): Unit = {
+    val sch = schema.getOrElse(Tables.loadPath(spark, path, nanoTs).schema)
+    tables += name -> TableReg(name, path, sch.json, nanoTs)
     persist(s"table_$name.json",
       s"""{"table": {"name": "${name}", "path": "${path}"}}""")
   }
@@ -60,9 +62,7 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
       case None =>
         val reg = tables.getOrElse(name,
           throw new IllegalArgumentException(s"unknown table $name"))
-        val sch = org.apache.spark.sql.types.DataType
-          .fromJson(reg.schemaJson).asInstanceOf[StructType]
-        spark.read.schema(sch).parquet(reg.path)
+        Tables.loadPath(spark, reg.path, reg.nanoTs)
     }
 
   def tableNames: Seq[String] = tables.keys.toSeq.sorted

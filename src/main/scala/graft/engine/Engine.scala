@@ -1,0 +1,170 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.dialect.EdgeSql
+import graft.ingest.SchemaInference
+
+/** The command facade — the engine-side surface of the reference's
+  * `member_cmd` dispatch (/root/reference/edge_lake/cmd/member_cmd.py):
+  * a user of the reference drives everything through command strings;
+  * this maps each one onto the Spark-native machinery.
+  *
+  * Supported commands:
+  *   sql <dbms> [options] "SELECT ..."      -> dialect query; options:
+  *     format=json|json:list|table, stat=true, timezone=<tz>,
+  *     extend=(...), include=(...), committed=true
+  *   create view <name> on <table> (src as dst, ...)
+  *   partition <table> using <tsCol> by <n> <unit> into <path>
+  *   drop partition <path> before <bucket>
+  *   suggest create <table> from <json-array>  (schema inference -> DDL)
+  *   get tables / get views
+  */
+final class Engine(val spark: SparkSession, val catalog: Catalog) {
+
+  /** Per-table high-watermark of fully-replicated rows (the reference's
+    * HA "committed" boundary, dbms/ha.py:225 safe ids). */
+  private var safeTsdIds = Map.empty[String, Int]
+  def setSafeTsdId(table: String, id: Int): Unit =
+    safeTsdIds += table -> id
+
+  /** Run a `sql` command, returning the DataFrame (pre-rendering). */
+  def query(command: String): DataFrame = {
+    val cmd = EdgeSql.parseCommand(command)
+    val df = EdgeSql.query(spark, loadWithOptions(cmd), command)
+    df
+  }
+
+  private def loadWithOptions(cmd: EdgeSql.Command)
+      : String => DataFrame = { name =>
+    val base = catalog.table(name)
+    // committed=true -> restrict to rows replicated on all peers
+    // (where-cond injection, unify_results.py:1228-1234)
+    if (cmd.options.get("committed").contains("true") &&
+        base.columns.contains("tsd_id")) {
+      val safe = safeTsdIds.getOrElse(name, Int.MaxValue)
+      base.filter(col("tsd_id") <= lit(safe))
+    } else base
+  }
+
+  /** Execute any command; returns rendered text output. */
+  def execute(command: String): String = {
+    val t = command.trim
+    val low = t.toLowerCase
+    if (low.startsWith("sql ")) renderSql(t)
+    else if (low.startsWith("create view ")) createView(t)
+    else if (low.startsWith("partition ")) partition(t)
+    else if (low.startsWith("drop partition ")) dropPartition(t)
+    else if (low.startsWith("suggest create ")) suggestCreate(t)
+    else if (low == "get tables") catalog.tableNames.mkString("\n")
+    else if (low == "get views") catalog.viewNames.mkString("\n")
+    else throw new IllegalArgumentException(s"unknown command: $command")
+  }
+
+  private def renderSql(command: String): String = {
+    val cmd = EdgeSql.parseCommand(command)
+    var df = query(command)
+    // timezone presentation edge: convert timestamp outputs to the
+    // caller's zone (utils_columns.py:1655-1712)
+    cmd.options.get("timezone").foreach { tz =>
+      df.schema.fields.filter(_.dataType == TimestampType).foreach { f =>
+        df = df.withColumn(f.name,
+          date_format(from_utc_timestamp(col(f.name), tz),
+            "yyyy-MM-dd HH:mm:ss"))
+      }
+    }
+    val render: DataFrame => String = cmd.options.get("format") match {
+      case Some("table") => Render.table(_)
+      case Some("json:list") => Render.jsonList(_)
+      case _ => Render.json(_)
+    }
+    if (cmd.options.get("stat").contains("true"))
+      Render.withStat(df, render)
+    else render(df)
+  }
+
+  /** create view <name> on <table> (src as dst, ...) */
+  private def createView(t: String): String = {
+    val rx = "(?i)create view\\s+(\\S+)\\s+on\\s+(\\S+)\\s*\\((.*)\\)".r
+    rx.findFirstMatchIn(t) match {
+      case Some(m) =>
+        val cols = m.group(3).split(",").map(_.trim).filter(_.nonEmpty).map {
+          c =>
+            val parts = c.split("(?i)\\s+as\\s+")
+            if (parts.length == 2) (parts(0).trim, parts(1).trim)
+            else (c, c)
+        }
+        catalog.createView(m.group(1), m.group(2), cols.toSeq)
+        s"view ${m.group(1)} created"
+      case None => throw new IllegalArgumentException(s"bad create view: $t")
+    }
+  }
+
+  /** partition <table> using <tsCol> by <n> <unit> into <path>
+    * (member_cmd.py:5011 syntax; week rejected -> use days,
+    * member_cmd.py:5044-5046) */
+  private def partition(t: String): String = {
+    val rx =
+      "(?i)partition\\s+(\\S+)\\s+using\\s+(\\S+)\\s+by\\s+(\\d+)\\s+(\\w+)\\s+into\\s+(\\S+)".r
+    rx.findFirstMatchIn(t) match {
+      case Some(m) =>
+        val unit = m.group(4).stripSuffix("s")
+        require(unit != "week",
+          "week is not supported, use '7 days'") // member_cmd.py:5044-5046
+        TimePartitions.write(catalog.table(m.group(1)), m.group(2),
+          unit, m.group(3).toInt, m.group(5))
+        val parts = TimePartitions.partitions(spark, m.group(5))
+        s"partitioned ${m.group(1)} into ${parts.length} buckets"
+      case None => throw new IllegalArgumentException(s"bad partition: $t")
+    }
+  }
+
+  private def dropPartition(t: String): String = {
+    val rx = "(?i)drop partition\\s+(\\S+)\\s+before\\s+(\\S+)".r
+    rx.findFirstMatchIn(t) match {
+      case Some(m) =>
+        val dropped = TimePartitions.dropOlderThan(spark, m.group(1),
+          m.group(2))
+        s"dropped ${dropped.length} partitions: ${dropped.mkString(", ")}"
+      case None => throw new IllegalArgumentException(s"bad drop: $t")
+    }
+  }
+
+  /** suggest create <table> from <json-array-of-docs> — the reference's
+    * schema-inference output (suggest_create_table.py:292). */
+  private def suggestCreate(t: String): String = {
+    val rx = "(?is)suggest create\\s+(\\S+)\\s+from\\s+(\\[.*\\])".r
+    rx.findFirstMatchIn(t) match {
+      case Some(m) =>
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val rows = JsonMethods.parse(m.group(2)) match {
+          case JArray(docs) => docs.map {
+            case JObject(fields) => fields.map {
+              case (k, JString(v)) => k -> (v: Any)
+              case (k, JInt(v)) => k -> (
+                if (v.isValidLong) (v.toLong: Any) else (v.toString: Any))
+              case (k, JDouble(v)) => k -> (v: Any)
+              case (k, JBool(v)) => k -> (v: Any)
+              case (k, JArray(a)) => k -> (a.map(_.values): Any)
+              case (k, v) => k -> (v.values: Any)
+            }.toMap
+            case _ => Map.empty[String, Any]
+          }
+          case _ => Nil
+        }
+        val inferred = SchemaInference.inferSchema(rows)
+        val sysCols = Seq(
+          "row_id BIGINT", "insert_timestamp TIMESTAMP",
+          "tsd_name CHAR(3)", "tsd_id INT")
+        val userCols = inferred.map { case (n, tp) =>
+          s"$n ${SchemaInference.toDdl(tp)}"
+        }
+        (sysCols ++ userCols).mkString(
+          s"CREATE TABLE ${m.group(1)} (\n  ", ",\n  ", "\n)")
+      case None => throw new IllegalArgumentException(s"bad suggest: $t")
+    }
+  }
+}

@@ -28,10 +28,15 @@ object Tables {
     * both engines see identical values. */
   private val nanoTsCols: Map[String, Seq[String]] = Map("events" -> Seq("ts"))
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadPath(spark, s"$dir/$name.parquet", nanoTsCols.getOrElse(name, Nil))
+
+  /** Path-level loader with the same ns handling (used by the Catalog). */
+  def loadPath(spark: SparkSession, path: String,
+      nanoTs: Seq[String] = Nil): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanoTsCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+    val df = spark.read.parquet(path)
+    nanoTs.foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) &&
           d.schema(c).dataType == LongType)
         d.withColumn(c, expr(s"timestamp_micros($c DIV 1000)"))

