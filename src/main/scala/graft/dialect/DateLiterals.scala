@@ -87,6 +87,24 @@ object DateLiterals {
     else a
   }
 
+  /** Convert the quoted timestamp/date literals inside a WHERE text from
+    * the caller's timezone to UTC — the reference converts WHERE date
+    * literals local->UTC at parse time (unify_results.py:722-729), since
+    * storage is always UTC. */
+  def localizeLiterals(where: String, tz: String): String = {
+    val zone = java.time.ZoneId.of(tz)
+    val litRx = "'(\\d{4}-\\d{2}-\\d{2}( \\d{2}:\\d{2}:\\d{2})?)'".r
+    litRx.replaceAllIn(where, m => {
+      val s = m.group(1)
+      val local =
+        if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay
+        else LocalDateTime.parse(s.replace(' ', 'T'))
+      val utc = local.atZone(zone).withZoneSameInstant(ZoneOffset.UTC)
+        .toLocalDateTime
+      "'" + utc.format(fmt) + "'"
+    })
+  }
+
   private val fnPattern =
     "(?i)\\b(now|date|timestamp)\\s*\\(([^()]*)\\)".r
 

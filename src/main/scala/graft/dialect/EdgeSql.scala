@@ -240,16 +240,25 @@ object EdgeSql {
       options: Map[String, String]): DataFrame = {
     val tz = options.get("timezone")
 
-    // ---- WHERE: split out period(...), keep the rest for Catalyst ----
+    // ---- WHERE: split out period(...), keep the rest for Catalyst.
+    // Date literals are caller-timezone -> converted to UTC at parse
+    // (unify_results.py:722-729); date functions fold to UTC instants ----
     var df = base
     var whereRest: Option[String] = None
+    def normalize(w: String): String = {
+      val folded = DateLiterals.rewrite(w)
+      tz.map(z => DateLiterals.localizeLiterals(folded, z)).getOrElse(folded)
+    }
     sel.where.foreach { w =>
       val (periodSpec, rest) = extractPeriod(w)
-      rest.foreach(r => df = df.filter(expr(DateLiterals.rewrite(r))))
+      rest.foreach(r => df = df.filter(expr(normalize(r))))
       whereRest = rest
       periodSpec.foreach { case (unit, n, anchor, tsCol, extraFilter) =>
-        val f = extraFilter.map(e => expr(DateLiterals.rewrite(e)))
-        df = Period.apply(df, tsCol, anchor, unit, n, f)
+        val f = extraFilter.map(e => expr(normalize(e)))
+        val anchorUtc = tz.map(z =>
+          DateLiterals.localizeLiterals(s"'$anchor'", z).stripPrefix("'")
+            .stripSuffix("'")).getOrElse(anchor)
+        df = Period.apply(df, tsCol, anchorUtc, unit, n, f)
       }
     }
 

@@ -168,7 +168,6 @@ object PipelineQueries {
   private val q28: QFn = (s, d) => {
     val sh = wide(s, d, "documents", "doc_id")
       .select(col("doc_id"), explode(F.shingleHashes(col("text"), 3)).as("h"))
-      .persist()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val sh2 = sh.toDF("doc_id2", "h2")
     val inter = sh.join(sh2, col("h") === col("h2") && col("doc_id") < col("doc_id2"))
@@ -202,7 +201,6 @@ object PipelineQueries {
     val base = wide(s, d, "documents", "doc_id")
       .select(col("doc_id"),
         F.minhashSig(F.shingleHashes(col("text"), 3), 16).as("sig"))
-      .persist()
     val banded = base.select(col("doc_id"), col("sig"),
       explode(expr(sBands("sig"))).as("bk"))
     val b2 = banded.toDF("doc_id2", "sig2", "bk2")
@@ -263,7 +261,6 @@ object PipelineQueries {
       .select(col("vec_id"), col("embedding"),
         sqrt(F.dotF(col("embedding"), col("embedding"))).as("nrm"),
         F.vecLsh(col("embedding"), 4).as("bucket"))
-      .persist()
     val v2 = v.toDF("vec_id2", "embedding2", "nrm2", "bucket2")
     v.join(v2, col("bucket") === col("bucket2") && col("vec_id") < col("vec_id2"))
       .select(col("vec_id").as("vec_a"), col("vec_id2").as("vec_b"),
@@ -324,7 +321,6 @@ object PipelineQueries {
       .select(col("vec_id"), col("embedding"),
         sqrt(F.dotF(col("embedding"), col("embedding"))).as("nrm"),
         F.vecLsh(col("embedding"), 4).as("bucket"))
-      .persist()
     val probes = v.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bucket").as("q_bucket"))
@@ -353,6 +349,81 @@ object PipelineQueries {
         ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
     SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 3
     ORDER BY q_id, rank"""
+
+  /** q47 — IVF-style ANN: 16 deterministic seed centroids (vec_id < 16 —
+    * one k-means assignment pass with seed init), every vector assigned
+    * to its nearest centroid (squared-L2 argmin, ties to the lowest
+    * centroid id), probes search ONLY their own cell. The inverted-file
+    * scale path: assignment is a broadcast nested-loop over C centroids
+    * (C tiny), search shuffles on cell id — never all-pairs. */
+  private val q47: QFn = (s, d) => {
+    val emb = wide(s, d, "embeddings", "vec_id")
+      .withColumn("n2", F.dotF(col("embedding"), col("embedding")))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cemb"),
+        col("n2").as("cn2"))
+    // dist^2 = |v|^2 - 2 v.c + |c|^2 — identical arithmetic in the oracle
+    val scored = emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"),
+        (col("n2") - lit(2.0) * F.dotF(col("embedding"), col("cemb"))
+          + col("cn2")).as("dist2"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist2"), col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("n2"), col("cent_id"))
+    val probes = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("n2").as("q_n2"), col("cent_id").as("q_cell"))
+    broadcast(probes)
+      .join(assigned,
+        col("q_cell") === col("cent_id") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        (F.dotF(col("q_emb"), col("embedding"))
+          / (sqrt(col("q_n2")) * sqrt(col("n2")))).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val q47Sql = s"""
+    WITH e AS (SELECT vec_id, embedding,
+        ${dDot("embedding", "embedding")} AS n2 FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, embedding AS cemb, n2 AS cn2
+      FROM e WHERE vec_id < 16),
+    scored AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id,
+        e.n2 - 2.0 * ${dDot("e.embedding", "c.cemb")} + c.cn2 AS dist2
+      FROM e, c),
+    assigned AS (SELECT vec_id, embedding, n2, cent_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist2, cent_id) AS rn FROM scored) WHERE rn = 1),
+    srch AS (SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+        ${dDot("q.embedding", "v.embedding")} / (sqrt(q.n2) * sqrt(v.n2))
+          AS cos_sim
+      FROM assigned q JOIN assigned v ON q.vec_id < 20
+        AND q.cent_id = v.cent_id AND q.vec_id != v.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, vec_id) AS rank FROM srch)
+    SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 3
+    ORDER BY q_id, rank"""
+
+  /** q48 — vocabulary building: global token counts, top 50 by
+    * (count desc, token) — map-side partial counts then one shuffle on
+    * the token (the canonical word-count plan). */
+  private val q48: QFn = (s, d) =>
+    wide(s, d, "documents", "doc_id")
+      .select(explode(expr(sToks("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  private val q48Sql = s"""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(${dToks("text")}) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 50"""
 
   // =====================================================================
   // Text analysis
@@ -520,6 +591,8 @@ object PipelineQueries {
     "q32_ann_bruteforce_topk" -> q32,
     "q33_ann_lsh_topk" -> q33,
     "q34_lang_id" -> q34,
+    "q47_ann_ivf_topk" -> q47,
+    "q48_vocab_topk" -> q48,
     "q35_quality_score" -> q35,
     "q36_token_stats" -> q36,
     "q37_fingerprint_winnow" -> q37,
@@ -534,6 +607,8 @@ object PipelineQueries {
     "q32_ann_bruteforce_topk" -> q32Sql,
     "q33_ann_lsh_topk" -> q33Sql,
     "q34_lang_id" -> q34Sql,
+    "q47_ann_ivf_topk" -> q47Sql,
+    "q48_vocab_topk" -> q48Sql,
     "q35_quality_score" -> q35Sql,
     "q36_token_stats" -> q36Sql,
     "q37_fingerprint_winnow" -> q37Sql,

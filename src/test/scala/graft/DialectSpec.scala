@@ -147,3 +147,27 @@ class EdgeSqlSpec extends SparkSpec {
     assert(rows.head.schema("id_s").dataType.typeName === "string")
   }
 }
+
+class TimezoneLiteralsSpec extends SparkSpec {
+  import graft.dialect.{DateLiterals, EdgeSql}
+  import graft.engine.Tables
+
+  test("localizeLiterals shifts caller-tz literals to UTC") {
+    val out = DateLiterals.localizeLiterals(
+      "ts >= '2024-01-01 05:30:00' and ts < '2024-01-02'", "+05:30")
+    assert(out ===
+      "ts >= '2024-01-01 00:00:00' and ts < '2024-01-01 18:30:00'")
+  }
+
+  test("timezone option converts WHERE literals before planning") {
+    def load(n: String) = Tables.load(spark, sfDir, n)
+    val viaTz = EdgeSql.query(spark, load,
+      """sql edge timezone=+05:30 "select count(*) as n from events """ +
+        """where ts >= '2024-01-05 05:30:00' and ts < '2024-01-06 05:30:00'"""")
+    val utc = EdgeSql.query(spark, load,
+      """sql edge "select count(*) as n from events """ +
+        """where ts >= '2024-01-05 00:00:00' and ts < '2024-01-06 00:00:00'"""")
+    assert(viaTz.head().getLong(0) === utc.head().getLong(0))
+    assert(viaTz.head().getLong(0) > 0)
+  }
+}
