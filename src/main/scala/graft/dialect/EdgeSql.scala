@@ -121,9 +121,9 @@ object EdgeSql {
     val kwFrom = findKeyword("from", 0)
     require(kwFrom > 0, s"no FROM in: $sql")
     val kwWhere = findKeyword("where", kwFrom)
-    val kwGroup = low.indexOf(" group by ")
-    val kwOrder = low.indexOf(" order by ")
-    val kwLimit = low.lastIndexOf(" limit ")
+    val kwGroup = findKeyword("group by", kwFrom)
+    val kwOrder = findKeyword("order by", kwFrom)
+    val kwLimit = findKeyword("limit", math.max(kwOrder, kwFrom))
     val ends = Seq(kwWhere, kwGroup, kwOrder, kwLimit, low.length)
       .filter(_ >= 0)
 

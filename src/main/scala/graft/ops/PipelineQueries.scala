@@ -425,6 +425,50 @@ object PipelineQueries {
     FROM (SELECT unnest(${dToks("text")}) AS token FROM documents)
     GROUP BY token ORDER BY n DESC, token LIMIT 50"""
 
+  /** q49 — deterministic train/valid/test split assignment: bucket =
+    * polyhash(md5(doc_id || text)) mod 100 -> 80/10/10. Content-hash
+    * based (stable under re-ingest and re-partitioning — row order never
+    * matters), pure map, no shuffle except the audit count. */
+  private val q49: QFn = (s, d) =>
+    wide(s, d, "documents", "doc_id")
+      .withColumn("bucket", expr(s"${sPoly("md5(text)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("split"))
+  private val q49Sql = s"""
+    WITH b AS (SELECT doc_id, lang, ${dPoly("md5(text)")} % 100 AS bucket
+      FROM documents)
+    SELECT lang,
+      CASE WHEN bucket < 80 THEN 'train'
+           WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+      count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM b GROUP BY 1, 2 ORDER BY lang, split"""
+
+  /** q50 — PII-style redaction pass: mask digit runs and long tokens,
+    * report per-doc redaction counts — the text-cleaning map stage of a
+    * training pipeline (pure map, regexp engines agree on these simple
+    * patterns). */
+  private val q50: QFn = (s, d) =>
+    wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"),
+        expr("regexp_replace(text, '[0-9]+', '<NUM>')").as("redacted"),
+        expr("size(regexp_extract_all(text, '[0-9]+', 0))").as("n_num"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]{10,}', 0))")
+          .as("n_long_tokens"))
+      .select(col("doc_id"), md5(col("redacted")).as("redacted_md5"),
+        col("n_num"), col("n_long_tokens"))
+      .orderBy(col("doc_id"))
+  private val q50Sql = """
+    SELECT doc_id,
+      md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS redacted_md5,
+      len(regexp_extract_all(text, '[0-9]+')) AS n_num,
+      len(regexp_extract_all(text, '[A-Za-z]{10,}')) AS n_long_tokens
+    FROM documents ORDER BY doc_id"""
+
   // =====================================================================
   // Text analysis
   // =====================================================================
@@ -592,6 +636,8 @@ object PipelineQueries {
     "q33_ann_lsh_topk" -> q33,
     "q34_lang_id" -> q34,
     "q47_ann_ivf_topk" -> q47,
+    "q49_split_assign" -> q49,
+    "q50_redact" -> q50,
     "q48_vocab_topk" -> q48,
     "q35_quality_score" -> q35,
     "q36_token_stats" -> q36,
@@ -608,6 +654,8 @@ object PipelineQueries {
     "q33_ann_lsh_topk" -> q33Sql,
     "q34_lang_id" -> q34Sql,
     "q47_ann_ivf_topk" -> q47Sql,
+    "q49_split_assign" -> q49Sql,
+    "q50_redact" -> q50Sql,
     "q48_vocab_topk" -> q48Sql,
     "q35_quality_score" -> q35Sql,
     "q36_token_stats" -> q36Sql,
