@@ -197,8 +197,7 @@ object EdgeSql {
     * unify_results.py:236-277). */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  private val aggFns = Set("count", "sum", "min", "max", "avg", "range",
-    "distinct")
+  private val aggFns = Set("count", "sum", "min", "max", "avg", "range")
 
   /** Compile one `sql ...` command to a DataFrame. `load` resolves a bare
     * table name (the catalog boundary — tests/driver inject the parquet
@@ -268,6 +267,7 @@ object EdgeSql {
     var aggs = Seq.empty[Column]
     var plain = Seq.empty[Column]
     var sawAgg = false
+    var forceDistinct = false
     var keyCounter = 0
 
     def nextName(prefix: String): String = { keyCounter += 1; s"$prefix$keyCounter" }
@@ -308,6 +308,13 @@ object EdgeSql {
           groupKeys ++= bucketCols.map(c => c)
           groupNames ++= bucketCols.map(c => c.toString)
           plain ++= bucketCols
+        case Some("distinct") =>
+          // distinct(x) projection function: remote ships distinct values,
+          // local re-dedups via an added GROUP BY on the staged column
+          // (unify_results.py:78-110) — here: project + global dedup
+          val c = col(argsOf(raw).trim)
+          plain :+= item.alias.map(c.as).getOrElse(c)
+          forceDistinct = true
         case Some(f) if aggFns(f) =>
           sawAgg = true
           val argRaw = argsOf(raw)
@@ -354,7 +361,7 @@ object EdgeSql {
         else df.select(cols: _*)
       }
 
-    if (sel.distinct) out = out.distinct()
+    if (sel.distinct || forceDistinct) out = out.distinct()
 
     // ---- limit n per col (al_parser.py:327-336): top-n per key over the
     // ORDER BY spec, applied before the global sort ----
@@ -426,7 +433,6 @@ object EdgeSql {
         (sum(dec(col(a))).cast(DoubleType) / count(col(a))).as(alias)
       case "range" =>
         abs(max(col(a)) - min(col(a))).as(alias)
-      case "distinct" => first(col(a)).as(alias) // used with GROUP BY
       case other => throw new IllegalArgumentException(s"agg $other")
     }
   }

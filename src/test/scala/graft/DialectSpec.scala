@@ -171,3 +171,25 @@ class TimezoneLiteralsSpec extends SparkSpec {
     assert(viaTz.head().getLong(0) > 0)
   }
 }
+
+class DistinctDialectSpec extends SparkSpec {
+  import graft.dialect.EdgeSql
+  import graft.engine.Tables
+  private def load(n: String) = Tables.load(spark, sfDir, n)
+
+  test("distinct(x) projection function dedups (unify_results.py:78-110)") {
+    val df = EdgeSql.query(spark, load,
+      """sql edge "select distinct(event_type) from events order by event_type"""")
+    val expected = load("events").select("event_type").distinct().count()
+    assert(df.count() === expected)
+  }
+
+  test("SELECT DISTINCT prefix") {
+    val df = EdgeSql.query(spark, load,
+      """sql edge "select distinct event_type, user_id from events """ +
+        """where user_id < 5 order by event_type, user_id"""")
+    val expected = load("events").filter(col("user_id") < 5)
+      .select("event_type", "user_id").distinct().count()
+    assert(df.count() === expected)
+  }
+}

@@ -99,3 +99,36 @@ class IncrementsAutoDialectSpec extends SparkSpec {
     assert(b.get._1 === java.time.LocalDateTime.parse("2024-01-01T00:00"))
   }
 }
+
+class BucketingSpec extends SparkSpec {
+  import graft.engine.{Bucketing, Tables}
+
+  test("bucketed tables join with NO exchange on either side") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val facts = ev.select(col("event_id"), col("user_id"), col("value"))
+    val dims = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(col("value")).as("max_value"))
+    Bucketing.writeBucketed(facts, "ev_bucketed", "user_id", 8,
+      sortCols = Seq("user_id"))
+    Bucketing.writeBucketed(dims, "user_bucketed", "user_id", 8,
+      sortCols = Seq("user_id"))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("user_bucketed"), "user_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // correctness too
+      assert(joined.count() === spark.table("ev_bucketed").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+      spark.sql("DROP TABLE IF EXISTS user_bucketed")
+    }
+  }
+}
