@@ -320,7 +320,8 @@ object EdgeSql {
           val argRaw = argsOf(raw)
           val alias = item.alias.getOrElse(
             s"$f(${argRaw.replaceAll("\\s+", "")})".replace("*", "star"))
-          aggs :+= compileAgg(f, argRaw, alias)
+          aggs :+= compileAgg(f, argRaw, alias,
+            approx = options.get("approx").contains("true"))
         case Some("date_trunc") | Some("extract") | None | Some(_) =>
           // plain column (with optional :: casts) or passthrough scalar fn
           val c = compileScalar(raw, tz)
@@ -416,13 +417,19 @@ object EdgeSql {
 
   /** Aggregate functions with the reference's decomposition semantics
     * (unify_results.py:190-307), decimal-stabilized for doubles. */
-  private def compileAgg(f: String, arg: String, alias: String): Column = {
+  private def compileAgg(f: String, arg: String, alias: String,
+      approx: Boolean = false): Column = {
     val a = arg.trim
     f match {
       case "count" =>
         if (a == "*") count(lit(1)).as(alias)
-        else if (a.toLowerCase.startsWith("distinct "))
-          countDistinct(col(a.substring(9).trim)).as(alias)
+        else if (a.toLowerCase.startsWith("distinct ")) {
+          val c = col(a.substring(9).trim)
+          // approx=true: HLL sketch instead of exact two-phase distinct —
+          // the 100 TB default (SURVEY §2.4 count-distinct row)
+          if (approx) approx_count_distinct(c).as(alias)
+          else countDistinct(c).as(alias)
+        }
         else count(col(a)).as(alias)
       case "sum" => sum(dec(col(a))).cast(DoubleType).as(alias)
       case "min" => min(col(a)).as(alias)

@@ -58,6 +58,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     else if (low.startsWith("partition ")) partition(t)
     else if (low.startsWith("drop partition ")) dropPartition(t)
     else if (low.startsWith("suggest create ")) suggestCreate(t)
+    else if (low.startsWith("get columns ")) {
+      val name = t.substring("get columns ".length).trim
+      catalog.table(name).schema.fields
+        .map(f => s"${f.name} ${f.dataType.simpleString}").mkString("\n")
+    }
     else if (low == "get tables") catalog.tableNames.mkString("\n")
     else if (low == "get views") catalog.viewNames.mkString("\n")
     else throw new IllegalArgumentException(s"unknown command: $command")

@@ -46,6 +46,15 @@ object StreamOps {
     (kept, alerts)
   }
 
+  /** Session windows (absent in the reference — SURVEY §2.8 "free if
+    * wanted"): group events into gap-separated sessions per key. Works on
+    * batch and streams (add a watermark upstream for streaming). */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String,
+      gapSeconds: Int): DataFrame =
+    df.groupBy(session_window(col(tsCol), s"$gapSeconds seconds")
+        .as("session"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Data-monitor aggregation: tumbling `intervalSec`-second windows per
     * key with min/max/sum/count and a derived alert flag. On a stream,
     * add `withWatermark(tsCol, ...)` upstream (the reference keeps the

@@ -148,3 +148,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getString(2) === "png")
   }
 }
+
+class SkewJoinSpec extends SparkSpec {
+  import graft.engine.Tables
+  import graft.ops.SkewJoin
+
+  test("salted join is row-identical to the plain join") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dims = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val plain = ev.join(dims, "user_id")
+    val salted = SkewJoin.saltedJoin(ev, dims, "user_id", s = 8,
+      probeId = col("event_id"))
+    assert(salted.count() === plain.count())
+    assert(salted.select("event_id", "n_events")
+      .exceptAll(plain.select("event_id", "n_events")).count() === 0)
+  }
+}
+
+class ApproxDistinctSpec extends SparkSpec {
+  import graft.dialect.EdgeSql
+  import graft.engine.Tables
+  private def load(n: String) = Tables.load(spark, sfDir, n)
+
+  test("approx=true compiles count(distinct) to an HLL sketch within 5%") {
+    val approx = EdgeSql.query(spark, load,
+      """sql edge approx=true "select count(distinct user_id) as n from events"""")
+      .head().getLong(0)
+    val exact = EdgeSql.query(spark, load,
+      """sql edge "select count(distinct user_id) as n from events"""")
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}
+
+class SessionWindowSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamOps
+
+  test("sessionize groups gap-separated activity per key") {
+    val df = Seq(
+      ("2024-01-01 00:00:00", "u1"), ("2024-01-01 00:00:30", "u1"),
+      ("2024-01-01 01:00:00", "u1"), // new session after the gap
+      ("2024-01-01 00:00:10", "u2"))
+      .toDF("ts0", "k").select(to_timestamp($"ts0").as("ts"), $"k")
+    val out = StreamOps.sessionize(df, "ts", "k", gapSeconds = 60)
+    assert(out.count() === 3) // u1 x2 sessions + u2 x1
+    assert(out.filter($"k" === "u1").count() === 2)
+  }
+}
