@@ -138,7 +138,31 @@ object DialectQueries {
     WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** q51 — increments(month, 1, ts): month unit -> year parent
+    * (increment_date_types chain, utils_sql.py:18-26). */
+  private val q51 = run(
+    """sql edge "select increments(month, 1, ts), count(*) as n, """ +
+      """min(value) as min_value from events """ +
+      """order by month_parent, month_bucket"""")
+  private val q51Sql = """
+    SELECT strftime(date_trunc('year', ts), '%Y') AS month_parent,
+      CAST(FLOOR(EXTRACT(month FROM ts) / 1) AS BIGINT) AS month_bucket,
+      count(*) AS n, min(value) AS min_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** q52 — increments(year, n, ts): the year special case — extract
+    * only, no parent truncation (unify_results.py:535-550). */
+  private val q52 = run(
+    """sql edge "select increments(year, 1, ts), count(*) as n """ +
+      """from events order by year_bucket"""")
+  private val q52Sql = """
+    SELECT CAST(FLOOR(EXTRACT(year FROM ts) / 1) * 1 AS INTEGER) AS year_bucket,
+      count(*) AS n
+    FROM events GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, QFn] = Map(
+    "q51_dialect_increments_month" -> q51,
+    "q52_dialect_increments_year" -> q52,
     "q46_dialect_increments_auto" -> q46,
     "q39_dialect_group_aggs" -> q39,
     "q40_dialect_increments" -> q40,
@@ -149,6 +173,8 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q51_dialect_increments_month" -> q51Sql,
+    "q52_dialect_increments_year" -> q52Sql,
     "q46_dialect_increments_auto" -> q46Sql,
     "q39_dialect_group_aggs" -> q39Sql,
     "q40_dialect_increments" -> q40Sql,

@@ -83,11 +83,42 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     val render: DataFrame => String = cmd.options.get("format") match {
       case Some("table") => Render.table(_)
       case Some("json:list") => Render.jsonList(_)
+      case Some("json:output") => Render.jsonOutput(_)
       case _ => Render.json(_)
     }
-    if (cmd.options.get("stat").contains("true"))
-      Render.withStat(df, render)
-    else render(df)
+    val body =
+      if (cmd.options.get("stat").contains("true")) Render.withStat(df, render)
+      else render(df)
+
+    // test=true + source=<golden file>: the reference's built-in
+    // golden-output comparison (cmd/member_cmd.py:124-127 test/source
+    // options; rendering generic/output_data.py:211/:249) — compare the
+    // rendered output against the stored expectation
+    val out = cmd.options.get("test") match {
+      case Some("true") =>
+        val title = cmd.options.getOrElse("title", "")
+        val header = s"Test: $title\nCommand: ${cmd.select}\n"
+        cmd.options.get("source") match {
+          case Some(golden) =>
+            val expected = java.nio.file.Files.readString(
+              java.nio.file.Paths.get(golden)).trim
+            val verdict = if (expected == body.trim) "Test passed"
+              else "Test failed"
+            header + body + s"\n$verdict"
+          case None => header + body
+        }
+      case _ => body
+    }
+
+    // dest=file:<path> writes the rendered output (OutputManager file
+    // sink, generic/output_data.py:35-128)
+    cmd.options.get("dest") match {
+      case Some(d) if d.startsWith("file:") =>
+        val path = d.stripPrefix("file:")
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path), out)
+        s"written to $path"
+      case _ => out
+    }
   }
 
   /** create view <name> on <table> (src as dst, ...) */

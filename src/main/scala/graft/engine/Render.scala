@@ -19,6 +19,11 @@ object Render {
     rows.mkString("{\"Query\": [", ",", "]}")
   }
 
+  /** `format=json:output` — bare JSON array of row objects
+    * (output_data.py "json:output" = rows only). */
+  def jsonOutput(df: DataFrame, maxRows: Int = 10000): String =
+    df.limit(maxRows).toJSON.collect().mkString("[", ",", "]")
+
   /** `format=json:list` — one JSON object per line. */
   def jsonList(df: DataFrame, maxRows: Int = 10000): String =
     df.limit(maxRows).toJSON.collect().mkString("\n")

@@ -172,3 +172,42 @@ class StreamIngestE2ESpec extends SparkSpec {
       Seq("2024-01-01", "2024-01-02"))
   }
 }
+
+class GoldenOutputSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  private lazy val engine = {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet",
+      nanoTs = Seq("ts"))
+    new Engine(spark, cat)
+  }
+  private val q =
+    """"select event_type, count(*) as n from events """ +
+      """group by event_type order by event_type""""
+
+  test("dest=file writes the rendered output") {
+    val f = java.nio.file.Files.createTempFile("golden", ".txt")
+    val msg = engine.execute(
+      s"""sql edge format=table dest=file:$f $q""")
+    assert(msg === s"written to $f")
+    assert(java.nio.file.Files.readString(f).contains("| event_type |"))
+  }
+
+  test("test=true + source=<golden> compares against the stored output") {
+    val f = java.nio.file.Files.createTempFile("golden", ".txt")
+    engine.execute(s"""sql edge format=table dest=file:$f $q""")
+    val pass = engine.execute(
+      s"""sql edge format=table test=true source=$f title=t1 $q""")
+    assert(pass.contains("Test passed"))
+    java.nio.file.Files.writeString(f, "something else")
+    val fail = engine.execute(
+      s"""sql edge format=table test=true source=$f title=t1 $q""")
+    assert(fail.contains("Test failed"))
+  }
+
+  test("format=json:output renders a bare row array") {
+    val out = engine.execute(s"""sql edge format=json:output $q""")
+    assert(out.startsWith("[{") && out.endsWith("}]"))
+  }
+}
