@@ -43,7 +43,6 @@ object EdgeSql {
     var s = rest.substring(dbmsEnd).trim
     var opts = Map.empty[String, String]
     // options run until the quoted/bare SELECT begins
-    val selStart = """(?is)(["']?)\s*select\b.*""".r
     var done = false
     while (!done) {
       if (s.isEmpty) throw new IllegalArgumentException(s"no select in: $cmd")
@@ -262,15 +261,11 @@ object EdgeSql {
     }
 
     // ---- projection: classify items ----
-    var groupKeys = Seq.newBuilder[Column].result()
-    var groupNames = Seq.newBuilder[String].result()
     var aggs = Seq.empty[Column]
     var plain = Seq.empty[Column]
     var sawAgg = false
+    var sawIncrements = false
     var forceDistinct = false
-    var keyCounter = 0
-
-    def nextName(prefix: String): String = { keyCounter += 1; s"$prefix$keyCounter" }
 
     sel.projection.foreach { item =>
       val raw = item.raw
@@ -305,9 +300,8 @@ object EdgeSql {
                 bucketFormat(Increments.parentUnit(unit)))
                 .as(s"${unit}_parent"),
               floor(Increments.extractUnit(unit, ts) / n).as(s"${unit}_bucket"))
-          groupKeys ++= bucketCols.map(c => c)
-          groupNames ++= bucketCols.map(c => c.toString)
           plain ++= bucketCols
+          sawIncrements = true
         case Some("distinct") =>
           // distinct(x) projection function: remote ships distinct values,
           // local re-dedups via an added GROUP BY on the staged column
@@ -338,7 +332,7 @@ object EdgeSql {
       // group-by may reference a projected alias or a raw column
       g.trim
     }
-    val hasGrouping = sawAgg || groupKeys.nonEmpty
+    val hasGrouping = sawAgg || sawIncrements
 
     var out: DataFrame =
       if (hasGrouping) {
@@ -353,6 +347,7 @@ object EdgeSql {
             userGroupCols.filterNot(g => plainKeyNames.contains(g) ||
               extendNames.contains(g)).map(col)
         if (keyCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else if (aggs.isEmpty) df.select(keyCols: _*).distinct()
         else df.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
       } else {
         val extendNames = Seq("table_name", "dbms_name", "ip", "port")

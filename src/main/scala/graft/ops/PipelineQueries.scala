@@ -7,10 +7,11 @@ import graft.engine.Tables
 import graft.functions.F
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
-  * tables: deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash),
-  * embedding similarity search (brute-force and LSH-bucketed ANN),
-  * text analysis (language-ID, quality scoring, token counting,
-  * winnowing fingerprints), and binary-column plumbing.
+  * tables (q27-q38, q47-q50): deduplication (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash), embedding similarity search (brute-force,
+  * LSH-bucketed and IVF ANN), text analysis (language-ID, quality
+  * scoring, token counting, winnowing fingerprints, vocabulary,
+  * redaction), train/test split assignment, and binary-column plumbing.
   *
   * These go beyond the reference's surface (EdgeLake has no document/
   * vector operators) but are first-class here: a 100 TB training-data

@@ -76,3 +76,26 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"))
   }
 }
+
+/** Plan gates for the newest pipeline queries. */
+class PlanSpec2 extends SparkSpec {
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q47: IVF centroid assignment broadcasts the centroid side") {
+    val p = planOf("q47_ann_ivf_topk")
+    assert(p.contains("Broadcast"))
+  }
+
+  test("q49: split assignment has no join and exactly one aggregate path") {
+    val p = planOf("q49_split_assign")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q50: redaction is a pure map over the scan (no exchange after widen)") {
+    val p = planOf("q50_redact")
+    assert(!p.contains("Join"))
+  }
+}
