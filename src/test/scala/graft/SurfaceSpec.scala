@@ -211,3 +211,46 @@ class GoldenOutputSpec extends SparkSpec {
     assert(out.startsWith("[{") && out.endsWith("}]"))
   }
 }
+
+class WatchDirArchiveSpec extends SparkSpec {
+  import graft.ingest.MappingPolicy
+  import graft.streaming.StreamIngest
+
+  test("consumed files are archived (the reference's watch->archive flow)") {
+    val watch = java.nio.file.Files.createTempDirectory("watch2")
+    val arch = java.nio.file.Files.createTempDirectory("arch").toString
+    val out = java.nio.file.Files.createTempDirectory("out2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt2").toString
+    java.nio.file.Files.writeString(watch.resolve("a.json"),
+      """{"readings": [{"device": "d1", "value": 1.0}]}""")
+
+    val policy = MappingPolicy.Policy("iot", "t", Some("readings"), Seq(
+      MappingPolicy.ColumnSpec("device", "varchar", "[device]"),
+      MappingPolicy.ColumnSpec("value", "float", "[value]")))
+    val raw = spark.readStream.format("text")
+      .option("cleanSource", "archive")
+      .option("sourceArchiveDir", arch)
+      .load(watch.toString)
+    val (rows, _) = StreamIngest.pipeline(raw, policy)
+    val q = rows.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // archiving happens at the NEXT batch planning; force another cycle
+      java.nio.file.Files.writeString(watch.resolve("b.json"),
+        """{"readings": [{"device": "d2", "value": 2.0}]}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // a.json moved out of the watch dir into the archive tree
+    def findIn(dir: String): Seq[String] = {
+      val b = Seq.newBuilder[String]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).forEach(p =>
+        if (p.toString.endsWith(".json")) b += p.getFileName.toString)
+      b.result()
+    }
+    assert(findIn(arch).contains("a.json"))
+    assert(!findIn(watch.toString).contains("a.json"))
+  }
+}
