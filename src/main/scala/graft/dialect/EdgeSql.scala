@@ -415,6 +415,11 @@ object EdgeSql {
   private def compileAgg(f: String, arg: String, alias: String,
       approx: Boolean = false): Column = {
     val a = arg.trim
+    // aggregate arguments may be full expressions (sum(a*b)) — the
+    // unnamed-function passthrough path of the reference
+    // (unify_results.py:586-625)
+    def ac: Column =
+      if (a.matches("[A-Za-z_][A-Za-z0-9_.]*")) col(a) else expr(a)
     f match {
       case "count" =>
         if (a == "*") count(lit(1)).as(alias)
@@ -425,16 +430,16 @@ object EdgeSql {
           if (approx) approx_count_distinct(c).as(alias)
           else countDistinct(c).as(alias)
         }
-        else count(col(a)).as(alias)
-      case "sum" => sum(dec(col(a))).cast(DoubleType).as(alias)
-      case "min" => min(col(a)).as(alias)
-      case "max" => max(col(a)).as(alias)
+        else count(ac).as(alias)
+      case "sum" => sum(dec(ac)).cast(DoubleType).as(alias)
+      case "min" => min(ac).as(alias)
+      case "max" => max(ac).as(alias)
       case "avg" =>
         // remote SUM+COUNT -> local SUM/SUM (unify_results.py:236-277):
         // exact decimal sum over count, one partial/final agg in Spark
-        (sum(dec(col(a))).cast(DoubleType) / count(col(a))).as(alias)
+        (sum(dec(ac)).cast(DoubleType) / count(ac)).as(alias)
       case "range" =>
-        abs(max(col(a)) - min(col(a))).as(alias)
+        abs(max(ac) - min(ac)).as(alias)
       case other => throw new IllegalArgumentException(s"agg $other")
     }
   }

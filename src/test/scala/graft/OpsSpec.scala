@@ -198,3 +198,75 @@ class SessionWindowSpec extends SparkSpec {
     assert(out.filter($"k" === "u1").count() === 2)
   }
 }
+
+class DedupApiSpec extends SparkSpec {
+  import graft.engine.Tables
+  import graft.ops.{Dedup, Similarity}
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val embs = Tables.load(spark, sfDir, "embeddings")
+
+  test("exact dedup groups by content key") {
+    val out = Dedup.exact(docs, md5(col("text")), "doc_id")
+    assert(out.count() === docs.select("text").distinct().count())
+  }
+
+  test("minhashCandidates matches the oracle-checked q29 pair set") {
+    val api = Dedup.minhashCandidates(docs, "text", "doc_id")
+      .select("id_a", "id_b")
+    val q29 = graft.ops.PipelineQueries
+      .queries("q29_dedup_minhash_lsh")(spark, sfDir)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"))
+    assert(api.exceptAll(q29).count() === 0)
+    assert(q29.exceptAll(api).count() === 0)
+  }
+
+  test("simhashClusters equals q30") {
+    val api = Dedup.simhashClusters(docs, "text", "doc_id")
+    val q30 = graft.ops.PipelineQueries
+      .queries("q30_dedup_simhash")(spark, sfDir)
+    assert(api.count() === q30.count())
+  }
+
+  test("jaccardPairs respects the threshold") {
+    val out = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+    assert(out.filter(col("jaccard") < 0.5).count() === 0)
+  }
+
+  test("embeddingNearDups verified by exact cosine") {
+    val out = Dedup.embeddingNearDups(embs, "embedding", "vec_id")
+    assert(out.filter(col("cos_sim") < 0.35).count() === 0)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors per probe") {
+    val probes = embs.filter(col("vec_id") < 3)
+    val out = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 5)
+    assert(out.groupBy("q_id").count().filter(col("count") =!= 5).count() === 0)
+    // rank 1 has the max similarity per probe
+    val r1 = out.filter(col("rank") === 1).select("q_id", "cos_sim")
+    val mx = out.groupBy("q_id").agg(max("cos_sim").as("cos_sim"))
+    assert(r1.exceptAll(mx).count() === 0)
+  }
+
+  test("lshTopK searches only the probe bucket") {
+    val probes = embs.filter(col("vec_id") < 5)
+    val out = Similarity.lshTopK(embs, probes, "embedding", "vec_id", 3)
+    assert(out.filter(col("rank") > 3).count() === 0)
+  }
+}
+
+class DialectExprAggSpec extends SparkSpec {
+  import graft.dialect.EdgeSql
+  import graft.engine.Tables
+  private def load(n: String) = Tables.load(spark, sfDir, n)
+
+  test("aggregate over an expression (unnamed-function passthrough)") {
+    val df = EdgeSql.query(spark, load,
+      """sql edge "select event_type, sum(value * 2) as dbl """ +
+        """from events group by event_type order by event_type"""")
+    val direct = load("events").groupBy(col("event_type"))
+      .agg(sum(expr("cast(value * 2 as decimal(18,2))")).cast("double").as("dbl"))
+      .orderBy(col("event_type"))
+    assert(df.collect().toSeq === direct.collect().toSeq)
+  }
+}
