@@ -54,6 +54,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     val t = command.trim
     val low = t.toLowerCase
     if (low.startsWith("sql ")) renderSql(t)
+    else if (low.startsWith("explain sql ")) {
+      // plan introspection (no reference analog — Spark-native value-add)
+      val df = query(t.substring("explain ".length))
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    else if (low == "get status")
+      s"engine: graft; tables: ${catalog.tableNames.size}; " +
+        s"views: ${catalog.viewNames.size}; spark: ${spark.version}" 
     else if (low.startsWith("create view ")) createView(t)
     else if (low.startsWith("partition ")) partition(t)
     else if (low.startsWith("drop partition ")) dropPartition(t)

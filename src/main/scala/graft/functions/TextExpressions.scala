@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextExpressions {
   final val P = 2147483647L
 
-  @inline private[functions] def polyHash(s: String): Long = {
+  @inline def polyHash(s: String): Long = {
     var h = 0L
     var i = 0
     while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.dialect.Increments
+import graft.functions.TextExpressions
+import graft.ingest.SchemaInference
+
+/** Property-based invariants (SURVEY §5 test plan) — pure-logic layers
+  * only, so these run without a Spark session. */
+object GraftProps extends Properties("graft") {
+
+  private val genTime = for {
+    epoch <- Gen.choose(0L, 4102444800L) // 1970..2100
+  } yield java.time.LocalDateTime.ofEpochSecond(epoch, 0,
+    java.time.ZoneOffset.UTC)
+
+  property("increments.resolve yields positive n and a known unit") =
+    forAll(genTime, Gen.choose(1L, 10L * 365 * 86400), Gen.choose(1, 10000)) {
+      (lo, spanSec, points) =>
+        val hi = lo.plusSeconds(spanSec)
+        val (unit, n) = Increments.resolve(lo, hi, points)
+        n >= 1 && Seq("second", "minute", "hour", "day", "month", "year")
+          .contains(unit)
+    }
+
+  property("increments.resolve bucket width is within the target span") =
+    forAll(genTime, Gen.choose(3600L, 5L * 365 * 86400), Gen.choose(10, 5000)) {
+      (lo, spanSec, points) =>
+        val hi = lo.plusSeconds(spanSec)
+        val (unit, n) = Increments.resolve(lo, hi, points)
+        val unitSec = Map("second" -> 1L, "minute" -> 60L, "hour" -> 3600L,
+          "day" -> 86400L, "month" -> 2592000L, "year" -> 31536000L)(unit)
+        // bucket width never exceeds the span itself
+        unitSec * n <= math.max(spanSec, unitSec)
+    }
+
+  private val genAscii = Gen.listOf(Gen.choose(32.toChar, 126.toChar))
+    .map(_.mkString)
+
+  property("polyHash stays in [0, P)") = forAll(genAscii) { s =>
+    val h = TextExpressions.polyHash(s)
+    h >= 0 && h < TextExpressions.P
+  }
+
+  property("polyHash is deterministic and content-sensitive") =
+    forAll(genAscii, genAscii) { (a, b) =>
+      (TextExpressions.polyHash(a) == TextExpressions.polyHash(a)) &&
+        (a == b || a.length > 12 ||
+          // short distinct strings essentially never collide mod P
+          TextExpressions.polyHash(a + "x") != TextExpressions.polyHash(a + "y"))
+    }
+
+  private val genValue: Gen[Any] = Gen.oneOf(
+    Gen.choose(-1000000, 1000000).map(x => x: Any),
+    Gen.choose(-1e6, 1e6).map(x => x: Any),
+    Gen.alphaNumStr.map(x => x: Any),
+    Gen.oneOf(true, false).map(x => x: Any))
+
+  property("inferSchema accepts any row order (lattice join commutes)") =
+    forAll(Gen.listOfN(5, genValue)) { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        Map[String, Any]("c" -> v, s"k$i" -> i)
+      }
+      SchemaInference.inferSchema(rows).toMap ==
+        SchemaInference.inferSchema(rows.reverse).toMap
+    }
+
+  property("widened type accepts both operands' widths (absorption)") =
+    forAll(Gen.choose(0, 10), Gen.choose(0, 10)) { (i, j) =>
+      import SchemaInference._
+      val all = Vector[ELType](ELBool, ELInt, ELBigInt, ELDecimal, ELFloat,
+        ELUuid, ELTimestamp, ELDate, ELTime, ELCidr, ELVarchar)
+      val a = all(i % all.size); val b = all(j % all.size)
+      val w = widen(a, b)
+      // joining again with either operand is a no-op (absorption law)
+      widen(w, a) == w && widen(w, b) == w
+    }
+}

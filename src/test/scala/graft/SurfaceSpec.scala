@@ -254,3 +254,26 @@ class WatchDirArchiveSpec extends SparkSpec {
     assert(!findIn(watch.toString).contains("a.json"))
   }
 }
+
+class EngineIntrospectionSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+  private lazy val engine = {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    new Engine(spark, cat)
+  }
+
+  test("explain sql returns the formatted plan") {
+    val out = engine.execute(
+      """explain sql edge "select event_type, count(*) as n from events """ +
+        """group by event_type"""")
+    assert(out.contains("HashAggregate"))
+    assert(out.contains("Scan parquet"))
+  }
+
+  test("get status reports catalog size") {
+    val out = engine.execute("get status")
+    assert(out.contains("tables: 1"))
+    assert(out.contains("spark: "))
+  }
+}
