@@ -25,6 +25,8 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   final case class ViewDef(name: String, table: String,
       columns: Seq[(String, String)])
 
+  /** (tsCol, unit, n) for tables written via TimePartitions. */
+  private var partitionMetas = Map.empty[String, (String, String, Int)]
   private var tables = Map.empty[String, TableReg]
   private var views = Map.empty[String, ViewDef]
   private var policies = Map.empty[String, String] // id -> policy JSON
@@ -37,6 +39,17 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     persist(s"table_$name.json",
       s"""{"table": {"name": "${name}", "path": "${path}"}}""")
   }
+
+  /** Register a TimePartitions-written table: scans get directory-level
+    * pruning when the Engine injects the time-range partition filter. */
+  def registerPartitionedTable(name: String, path: String, tsCol: String,
+      unit: String, n: Int, nanoTs: Seq[String] = Nil): Unit = {
+    registerTable(name, path, None, nanoTs)
+    partitionMetas += name -> ((tsCol, unit, n))
+  }
+
+  def partitionMeta(name: String): Option[(String, String, Int)] =
+    partitionMetas.get(name)
 
   def createView(name: String, table: String,
       columns: Seq[(String, String)]): Unit = {

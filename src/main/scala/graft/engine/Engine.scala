@@ -39,7 +39,18 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
 
   private def loadWithOptions(cmd: EdgeSql.Command)
       : String => DataFrame = { name =>
-    val base = catalog.table(name)
+    var base = catalog.table(name)
+    // time-partitioned table + bounded WHERE time range -> inject the
+    // partition predicate so the scan prunes directories (the reference's
+    // partition-name matching, partitions.py:406-466)
+    catalog.partitionMeta(name).foreach { case (tsCol, unit, n) =>
+      val bounds = EdgeSql.parseSelect(cmd.select).where
+        .flatMap(w => EdgeSql.timeBounds(
+          graft.dialect.DateLiterals.rewrite(w), tsCol))
+      bounds.foreach { case (lo, hi) =>
+        base = base.filter(TimePartitions.pruneFilter(unit, n, lo, hi))
+      }
+    }
     // committed=true -> restrict to rows replicated on all peers
     // (where-cond injection, unify_results.py:1228-1234)
     if (cmd.options.get("committed").contains("true") &&

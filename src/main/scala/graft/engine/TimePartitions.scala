@@ -43,6 +43,34 @@ object TimePartitions {
     df.withColumn("__par", bucketExpr(tsCol, unit, n))
       .write.mode(mode).partitionBy("__par").parquet(path)
 
+  /** Bucket string for an instant — the Scala mirror of `bucketExpr`,
+    * used to derive partition predicates from a query's time range. */
+  def bucketString(t: java.time.LocalDateTime, unit: String, n: Int): String =
+    unit match {
+      case "year" => f"${t.getYear}%04d"
+      case "month" => f"${t.getYear}%04d-${t.getMonthValue}%02d"
+      case "day" if n == 1 => t.toLocalDate.toString
+      case "day" =>
+        val epochSec = t.toEpochSecond(java.time.ZoneOffset.UTC)
+        val bucket = math.floorDiv(epochSec, n * 86400L) * (n * 86400L)
+        java.time.LocalDateTime.ofEpochSecond(bucket, 0,
+          java.time.ZoneOffset.UTC).toLocalDate.toString
+      case "hour" =>
+        f"${t.toLocalDate}%s-${t.getHour}%02d"
+      case other =>
+        throw new IllegalArgumentException(s"partition unit $other")
+    }
+
+  /** Partition predicate covering [lo, hi] — bucket strings sort
+    * lexicographically in time order, so a string range suffices. This is
+    * the reference's time-range -> partition-name matching
+    * (partitions.py:474-541 is_par_with_data/compare_one_date_to_par)
+    * expressed as a Catalyst partition filter. */
+  def pruneFilter(unit: String, n: Int, lo: java.time.LocalDateTime,
+      hi: java.time.LocalDateTime): org.apache.spark.sql.Column =
+    col("__par") >= lit(bucketString(lo, unit, n)) &&
+      col("__par") <= lit(bucketString(hi, unit, n))
+
   /** List partition bucket values present at a path. */
   def partitions(spark: org.apache.spark.sql.SparkSession, path: String)
       : Seq[String] =

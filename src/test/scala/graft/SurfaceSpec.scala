@@ -277,3 +277,51 @@ class EngineIntrospectionSpec extends SparkSpec {
     assert(out.contains("spark: "))
   }
 }
+
+class PartitionPruningSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine, Tables, TimePartitions}
+
+  test("time-range WHERE prunes partition directories through the Engine") {
+    val dir = java.nio.file.Files.createTempDirectory("parq").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    TimePartitions.write(ev, "ts", "day", 1, dir)
+
+    val cat = new Catalog(spark)
+    cat.registerPartitionedTable("events", dir, "ts", "day", 1)
+    val engine = new Engine(spark, cat)
+
+    val cmd = """sql edge "select count(*) as n, sum(value) as s from events """ +
+      """where ts >= '2024-01-03' and ts < '2024-01-05'""""
+    val df = engine.query(cmd)
+
+    // the scan must carry non-empty PartitionFilters on __par
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse(fail(s"no scan in plan:\n$plan"))
+    assert(scanLine.contains("__par"),
+      s"expected __par partition filter: $scanLine")
+    assert(!scanLine.contains("PartitionFilters: []"))
+
+    // and the result equals the unpartitioned computation
+    val direct = ev.filter(col("ts") >= "2024-01-03" && col("ts") < "2024-01-05")
+      .agg(count(lit(1)), sum(expr("cast(value as decimal(18,2))")).cast("double"))
+      .head()
+    val got = df.head()
+    assert(got.getLong(0) === direct.getLong(0))
+    assert(got.getDouble(1) === direct.getDouble(1))
+  }
+
+  test("bucketString mirrors bucketExpr for every unit") {
+    val ev = Tables.load(spark, sfDir, "events").limit(200)
+    for ((unit, n) <- Seq(("day", 1), ("day", 7), ("month", 1),
+        ("hour", 1), ("year", 1))) {
+      val mismatches = ev.select(col("ts"),
+        TimePartitions.bucketExpr("ts", unit, n).as("expr_b"))
+        .collect().count { r =>
+          val t = r.getTimestamp(0).toLocalDateTime
+          TimePartitions.bucketString(t, unit, n) != r.getString(1)
+        }
+      assert(mismatches === 0, s"unit=$unit n=$n")
+    }
+  }
+}
