@@ -549,9 +549,62 @@ object CoreQueries {
     WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-10 04:00:00'
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Semi join (EXISTS): customers holding at least one urgent order.
+    * left_semi ships only join keys — no payload duplication. */
+  private val q53: QFn = (s, d) => {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+  private val q53Sql = """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** UNION (distinct) across two predicates — dedup across branches. */
+  private val q54: QFn = (s, d) => {
+    val li = t(s, d, "lineitem")
+    li.filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      .union(li.filter(col("l_discount") > 0.09).select(col("l_orderkey")))
+      .distinct()
+      .orderBy(col("l_orderkey"))
+  }
+  private val q54Sql = """
+    SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    UNION
+    SELECT l_orderkey FROM lineitem WHERE l_discount > 0.09
+    ORDER BY l_orderkey"""
+
+  /** Scalar subquery: parts priced above the global average retail
+    * price — the 1-row aggregate broadcast against the scan (same
+    * two-phase shape as period()). */
+  private val q55: QFn = (s, d) => {
+    val p = t(s, d, "part")
+    val avgDf = p.agg(davg(col("p_retailprice")).as("avg_price"))
+    p.crossJoin(broadcast(avgDf))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_above"), dsum(col("p_retailprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+  private val q55Sql = s"""
+    SELECT p_brand, count(*) AS n_above,
+      ${oDsum("p_retailprice")} AS sum_price
+    FROM part
+    WHERE p_retailprice > (SELECT ${oDavg("p_retailprice")} FROM part)
+    GROUP BY p_brand ORDER BY p_brand"""
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, QFn] = Map(
+    "q53_semi_join" -> q53,
+    "q54_union_distinct" -> q54,
+    "q55_scalar_subquery" -> q55,
     "q01_scan_limit" -> q01,
     "q02_filter_project" -> q02,
     "q03_global_aggs" -> q03,
@@ -580,6 +633,9 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q53_semi_join" -> q53Sql,
+    "q54_union_distinct" -> q54Sql,
+    "q55_scalar_subquery" -> q55Sql,
     "q01_scan_limit" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_global_aggs" -> q03Sql,
