@@ -178,13 +178,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
   }
 
   private def dropPartition(t: String): String = {
-    val rx = "(?i)drop partition\\s+(\\S+)\\s+before\\s+(\\S+)".r
-    rx.findFirstMatchIn(t) match {
-      case Some(m) =>
+    val beforeRx = "(?i)drop partition\\s+(\\S+)\\s+before\\s+(\\S+)".r
+    val ageRx =
+      "(?i)drop partition\\s+(\\S+)\\s+older than\\s+(\\d+)\\s+(\\w+)".r
+    (beforeRx.findFirstMatchIn(t), ageRx.findFirstMatchIn(t)) match {
+      case (_, Some(m)) =>
+        // age relative to now (the reference drops the oldest partitions
+        // by age, member_cmd.py:21115)
+        val horizon = graft.dialect.DateLiterals.applyModifier(
+          graft.dialect.DateLiterals.utcNow(),
+          s"-${m.group(2)} ${m.group(3)}")
+        val keepFrom = horizon.toLocalDate.toString
+        val dropped = TimePartitions.dropOlderThan(spark, m.group(1), keepFrom)
+        s"dropped ${dropped.length} partitions: ${dropped.mkString(", ")}"
+      case (Some(m), _) =>
         val dropped = TimePartitions.dropOlderThan(spark, m.group(1),
           m.group(2))
         s"dropped ${dropped.length} partitions: ${dropped.mkString(", ")}"
-      case None => throw new IllegalArgumentException(s"bad drop: $t")
+      case _ => throw new IllegalArgumentException(s"bad drop: $t")
     }
   }
 

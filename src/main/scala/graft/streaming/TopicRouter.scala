@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ingest.MappingPolicy
+
+/** Topic -> table routing for message-bus ingest: each arriving message
+  * carries a topic; the topic selects the mapping policy, which in turn
+  * names the target (dbms, table).
+  *
+  * Reference: `run msg client` registers per-topic mappings
+  * (/root/reference/edge_lake/tcpip/mqtt_client.py:495-513 `add_topic`)
+  * and resolves the dbms/table per message (:1153-1190, policy-computed
+  * names :1252-1259). Here a route = (topic regex, policy); one shared
+  * source stream fans out into per-table writers — each output is a
+  * plain filtered+mapped frame, so a single Kafka/MQTT-bridge source
+  * feeds N tables without re-reading.
+  */
+object TopicRouter {
+
+  final case class Route(topicPattern: String, policy: MappingPolicy.Policy)
+
+  /** Split a (topic, payload) frame into per-(dbms, table) mapped frames.
+    * Works on batch and streaming frames alike. */
+  def route(df: DataFrame, routes: Seq[Route],
+      topicCol: String = "topic", payloadCol: String = "value")
+      : Map[(String, String), DataFrame] =
+    routes.map { r =>
+      val matched = df.filter(col(topicCol).rlike(r.topicPattern))
+      (r.policy.dbms, r.policy.table) ->
+        MappingPolicy.compile(r.policy, matched, payloadCol)
+    }.toMap
+
+  /** Rows whose topic matches no route (the reference logs and drops
+    * them; surfacing them as a frame lets callers dead-letter instead). */
+  def unrouted(df: DataFrame, routes: Seq[Route],
+      topicCol: String = "topic"): DataFrame = {
+    val anyMatch = routes.map(r => col(topicCol).rlike(r.topicPattern))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.filter(!anyMatch)
+  }
+}

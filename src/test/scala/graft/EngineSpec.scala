@@ -132,3 +132,21 @@ class BucketingSpec extends SparkSpec {
     }
   }
 }
+
+class AgePartitionDropSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine, Tables, TimePartitions}
+
+  test("drop partition ... older than <n> <unit> uses the age horizon") {
+    val dir = java.nio.file.Files.createTempDirectory("aged").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") < lit("2024-01-04"))
+    TimePartitions.write(ev, "ts", "day", 1, dir)
+    assert(TimePartitions.partitions(spark, dir).nonEmpty)
+    val cat = new Catalog(spark)
+    val engine = new Engine(spark, cat)
+    // data is from 2024 — anything "older than 1 day" from now drops all
+    val out = engine.execute(s"drop partition $dir older than 1 day")
+    assert(out.startsWith("dropped 3"))
+    assert(TimePartitions.partitions(spark, dir).isEmpty)
+  }
+}

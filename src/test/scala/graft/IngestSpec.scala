@@ -178,3 +178,69 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class TopicRouterSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ingest.MappingPolicy
+  import graft.streaming.TopicRouter
+  import graft.streaming.TopicRouter.Route
+
+  private def policy(dbms: String, table: String) =
+    MappingPolicy.Policy(dbms, table, None, Seq(
+      MappingPolicy.ColumnSpec("device", "varchar", "[device]"),
+      MappingPolicy.ColumnSpec("value", "float", "[value]")))
+
+  private val msgs = Seq(
+    ("factory/temp", """{"device": "t1", "value": 21.0}"""),
+    ("factory/pressure", """{"device": "p1", "value": 2.4}"""),
+    ("office/temp", """{"device": "t9", "value": 19.5}"""),
+    ("junk/unknown", """{"device": "x", "value": 0.0}"""))
+    .toDF("topic", "value")
+
+  test("topics route to their policy's (dbms, table)") {
+    val routes = Seq(
+      Route("^factory/temp$", policy("iot", "factory_temp")),
+      Route("^factory/pressure$", policy("iot", "factory_pressure")),
+      Route("^office/.*", policy("iot", "office")))
+    val out = TopicRouter.route(msgs, routes)
+    assert(out.keySet === Set(("iot", "factory_temp"),
+      ("iot", "factory_pressure"), ("iot", "office")))
+    assert(out(("iot", "factory_temp")).head().getString(0) === "t1")
+    assert(out(("iot", "office")).count() === 1)
+  }
+
+  test("unrouted messages surface for dead-lettering") {
+    val routes = Seq(Route("^factory/.*", policy("iot", "f")))
+    val dead = TopicRouter.unrouted(msgs, routes)
+    assert(dead.select("topic").as[String].collect().toSet ===
+      Set("office/temp", "junk/unknown"))
+  }
+}
+
+class MonitorAlertSinkSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.StreamOps
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("data-monitor alerts reach a foreachBatch sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val src = mem.toDF().toDF("ts", "k", "v").withWatermark("ts", "5 minutes")
+    val agg = StreamOps.monitor(src, "ts", "k", "v", 60,
+      alertAvgAbove = Some(100.0))
+    val fired = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.filter(org.apache.spark.sql.functions.col("alert"))
+          .collect().foreach(r => fired.add(r.getAs[String]("k")))
+      }.start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), "hot", 500.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:20"), "cool", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(fired.contains("hot"))
+    assert(!fired.contains("cool"))
+  }
+}
