@@ -193,3 +193,29 @@ class DistinctDialectSpec extends SparkSpec {
     assert(df.count() === expected)
   }
 }
+
+class WherePredicateSpec extends SparkSpec {
+  import graft.dialect.EdgeSql
+  import graft.engine.Tables
+  private def load(n: String) = Tables.load(spark, sfDir, n)
+
+  test("IN lists and BETWEEN pass through to Catalyst") {
+    val df = EdgeSql.query(spark, load,
+      """sql edge "select count(*) as n from events """ +
+        """where event_type in ('click', 'view') and user_id between 10 and 20"""")
+    val direct = load("events")
+      .filter(col("event_type").isin("click", "view") &&
+        col("user_id").between(10, 20)).count()
+    assert(df.head().getLong(0) === direct)
+  }
+
+  test("parenthesised OR groups") {
+    val df = EdgeSql.query(spark, load,
+      """sql edge "select count(*) as n from events """ +
+        """where (event_type = 'click' or event_type = 'view') and value > 50"""")
+    val direct = load("events")
+      .filter((col("event_type") === "click" || col("event_type") === "view")
+        && col("value") > 50).count()
+    assert(df.head().getLong(0) === direct)
+  }
+}

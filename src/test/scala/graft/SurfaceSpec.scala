@@ -325,3 +325,39 @@ class PartitionPruningSpec extends SparkSpec {
     }
   }
 }
+
+class CommittedFilterSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.engine.{Catalog, Engine}
+  import graft.ingest.SystemColumns
+
+  test("committed=true restricts to the replicated tsd_id watermark") {
+    // two ingest batches: tsd_id 1 (replicated) and 2 (not yet)
+    val dir = java.nio.file.Files.createTempDirectory("ha").toString
+    val b1 = SystemColumns.stamp(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("device", "value"), "n01", 1)
+    val b2 = SystemColumns.stamp(
+      Seq(("c", 3.0)).toDF("device", "value"), "n01", 2)
+    b1.unionByName(b2).write.mode("overwrite").parquet(dir)
+
+    val cat = new Catalog(spark)
+    cat.registerTable("sensor", dir)
+    val engine = new Engine(spark, cat)
+    engine.setSafeTsdId("sensor", 1)
+
+    val all = engine.query("""sql edge "select count(*) as n from sensor"""")
+    val committed = engine.query(
+      """sql edge committed=true "select count(*) as n from sensor"""")
+    assert(all.head().getLong(0) === 3)
+    assert(committed.head().getLong(0) === 2)
+  }
+
+  test("stamp adds the four system columns with the tsd lineage") {
+    val out = SystemColumns.stamp(Seq(("x", 1.0)).toDF("d", "v"), "node1", 7)
+    assert(out.columns.toSet ===
+      Set("d", "v", "row_id", "insert_timestamp", "tsd_name", "tsd_id"))
+    val r = out.head()
+    assert(r.getAs[String]("tsd_name") === "nod") // CHAR(3) truncation
+    assert(r.getAs[Int]("tsd_id") === 7)
+  }
+}
