@@ -37,10 +37,15 @@ object TimePartitions {
     }
   }
 
-  /** Write a table partitioned by the derived time bucket. */
+  /** Write a table partitioned by the derived time bucket, rows sorted
+    * by event time WITHIN each file — the Spark analog of the reference
+    * auto-indexing every timestamp column on ingest
+    * (suggest_create_table.py:275-276): sorted row groups give parquet
+    * min/max statistics that skip whole row groups on ts-range scans. */
   def write(df: DataFrame, tsCol: String, unit: String, n: Int,
       path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.withColumn("__par", bucketExpr(tsCol, unit, n))
+      .sortWithinPartitions(col("__par"), col(tsCol))
       .write.mode(mode).partitionBy("__par").parquet(path)
 
   /** Bucket string for an instant — the Scala mirror of `bucketExpr`,
