@@ -220,9 +220,12 @@ object EdgeSql {
         }
 
     // include=(t2, t3): union the same query over several tables with
-    // provenance stamped per table (member_cmd.py:110-113)
-    val tables = sel.table +: cmd.options.get("include").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // provenance stamped per table (member_cmd.py:110-113).
+    // Names may be dbms-qualified (db.table) — the catalog resolves the
+    // bare table (the dbms is the command's first token in the reference)
+    val tables = (sel.table +: cmd.options.get("include").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+      .map(n => if (n.contains('.')) n.substring(n.lastIndexOf('.') + 1) else n)
 
     val base = tables.map { tn =>
       val df0 = load(tn)

@@ -1,0 +1,56 @@
+package graft.engine
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** Minimal REST front-end over the Engine — the reference's HTTP command
+  * surface (/root/reference/edge_lake/tcpip/http_server.py:931 `do_GET`:
+  * the command arrives in the `command` header or query parameter, e.g.
+  * `command=sql edge format=json select ...`; POST executes commands,
+  * PUT ingests data). JDK-built-in server, zero dependencies; one route:
+  *
+  *   GET /?command=<urlencoded command>   -> Engine.execute output
+  *   POST / with the command as the body  -> same
+  *
+  * The Spark driver owns the engine; each request runs on the server's
+  * dispatch thread against the shared SparkSession (Spark sessions are
+  * thread-safe for concurrent actions — the reference's REST worker
+  * thread does the same, member_cmd.py:5070-5079).
+  */
+final class HttpFrontend(engine: Engine, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val command = ex.getRequestMethod match {
+        case "GET" =>
+          Option(ex.getRequestURI.getRawQuery).getOrElse("")
+            .split("&").collectFirst {
+              case p if p.startsWith("command=") =>
+                java.net.URLDecoder.decode(
+                  p.substring("command=".length), "UTF-8")
+            }.getOrElse("")
+        case _ =>
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      }
+      val (code, body) =
+        try (200, engine.execute(command))
+        catch { case e: Exception => (400, s"error: ${e.getMessage}") }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+  })
+
+  def start(): Int = {
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = server.stop(0)
+}

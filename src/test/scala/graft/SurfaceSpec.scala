@@ -361,3 +361,52 @@ class CommittedFilterSpec extends SparkSpec {
     assert(r.getAs[Int]("tsd_id") === 7)
   }
 }
+
+class HttpFrontendSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine, HttpFrontend}
+
+  test("GET ?command= executes through the engine") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val fe = new HttpFrontend(new Engine(spark, cat))
+    val port = fe.start()
+    try {
+      val cmd = java.net.URLEncoder.encode(
+        """sql edge format=json "select event_type, count(*) as n """ +
+          """from events group by event_type order by event_type"""", "UTF-8")
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/?command=$cmd")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(resp.body().contains("\"Query\": ["))
+
+      // POST body form + error path
+      val post = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString("get tables"))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(post.body() === "events")
+      val bad = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/?command=nonsense")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 400)
+    } finally fe.stop()
+  }
+}
+
+class QualifiedTableNameSpec extends SparkSpec {
+  import graft.dialect.EdgeSql
+  import graft.engine.Tables
+
+  test("dbms-qualified table names resolve to the bare table") {
+    def load(n: String) = Tables.load(spark, sfDir, n)
+    val df = EdgeSql.query(spark, load,
+      """sql edge "select count(*) as n from edge.events"""")
+    assert(df.head().getLong(0) > 0)
+  }
+}
