@@ -599,9 +599,35 @@ object CoreQueries {
     WHERE p_retailprice > (SELECT ${oDavg("p_retailprice")} FROM part)
     GROUP BY p_brand ORDER BY p_brand"""
 
+  /** Pivot-style conditional aggregation: one column per event type —
+    * the wide-format rollup a dashboard asks for, expressed portably as
+    * FILTER aggregates (one pass, one shuffle). */
+  private val q56: QFn = (s, d) => {
+    val types = Seq("click", "view", "purchase", "login", "logout")
+    val aggs = types.map(tp =>
+      count(when(col("event_type") === tp, 1)).as(s"n_$tp")) :+
+      count(lit(1)).as("n_total")
+    t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("n_total") >= 40)
+      .orderBy(col("user_id"))
+  }
+  private val q56Sql = """
+    SELECT user_id,
+      count(*) FILTER (event_type = 'click') AS n_click,
+      count(*) FILTER (event_type = 'view') AS n_view,
+      count(*) FILTER (event_type = 'purchase') AS n_purchase,
+      count(*) FILTER (event_type = 'login') AS n_login,
+      count(*) FILTER (event_type = 'logout') AS n_logout,
+      count(*) AS n_total
+    FROM events GROUP BY user_id HAVING count(*) >= 40
+    ORDER BY user_id"""
+
   // ---------------------------------------------------------------------
 
   val queries: Map[String, QFn] = Map(
+    "q56_pivot_conditional" -> q56,
     "q53_semi_join" -> q53,
     "q54_union_distinct" -> q54,
     "q55_scalar_subquery" -> q55,
@@ -633,6 +659,7 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q56_pivot_conditional" -> q56Sql,
     "q53_semi_join" -> q53Sql,
     "q54_union_distinct" -> q54Sql,
     "q55_scalar_subquery" -> q55Sql,

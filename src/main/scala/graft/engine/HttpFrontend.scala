@@ -47,6 +47,23 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
     }
   })
 
+  // Grafana JSON-datasource route (al_grafana.py over HTTP — §3.3):
+  // POST /grafana with the panel payload -> json rows
+  server.createContext("/grafana", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val payload = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      val (code, body) =
+        try (200, Render.json(GrafanaRoute.run(engine, payload)))
+        catch { case e: Exception => (400, s"error: ${e.getMessage}") }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+  })
+
   def start(): Int = {
     server.start()
     server.getAddress.getPort

@@ -410,3 +410,31 @@ class QualifiedTableNameSpec extends SparkSpec {
     assert(df.head().getLong(0) > 0)
   }
 }
+
+class GrafanaHttpSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine, HttpFrontend}
+
+  test("POST /grafana serves the datasource payload") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val fe = new HttpFrontend(new Engine(spark, cat))
+    val port = fe.start()
+    try {
+      val payload = """
+        {"range": {"from": "2024-01-02T00:00:00.000Z", "to": "2024-01-05T00:00:00.000Z"},
+         "maxDataPoints": 20,
+         "targets": [{"target": "events",
+           "payload": {"dbms": "edge", "type": "increments",
+                       "time_column": "ts", "value_column": "value"}}]}"""
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/grafana"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(payload))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(resp.body().contains("avg_value"))
+    } finally fe.stop()
+  }
+}
