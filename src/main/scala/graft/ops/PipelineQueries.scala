@@ -470,6 +470,88 @@ object PipelineQueries {
       len(regexp_extract_all(text, '[A-Za-z]{10,}')) AS n_long_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** q57 — the full corpus-cleaning pipeline as ONE declarative plan:
+    * (1) exact dedup keeps the min-doc_id per md5;
+    * (2) near-dup removal drops the doc_b side of every Jaccard>=0.5 pair
+    *     (inverted-index join);
+    * (3) quality gate: >= 20 tokens;
+    * (4) content-hash train/valid/test split;
+    * output = per-(lang, split) survivor counts. Catalyst fuses the
+    * whole chain — scan once, two candidate-key shuffles, one final agg. */
+  private val q57: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+      .withColumn("h", md5(col("text")))
+    val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val exactKept = docs.join(keep,
+      docs("h") === keep("h") && docs("doc_id") === keep("keep_id"))
+      .select(docs("doc_id"), col("lang"), col("text"))
+    val sh = exactKept
+      .select(col("doc_id"), explode(F.shingleHashes(col("text"), 3)).as("sh"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val sh2 = sh.toDF("doc_id2", "sh2")
+    val nearDupIds = sh.join(sh2,
+        col("sh") === col("sh2") && col("doc_id") < col("doc_id2"))
+      .groupBy(col("doc_id").as("a"), col("doc_id2").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.toDF("a", "na"), "a").join(sz.toDF("b", "nb"), "b")
+      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.5)
+      .select(col("b").as("doc_id")).distinct()
+    exactKept.join(nearDupIds, Seq("doc_id"), "left_anti")
+      .filter(expr(s"size(${sToks("text")}) >= 20"))
+      .withColumn("bucket", expr(s"${sPoly("md5(text)")} % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+  }
+  private val q57Sql = s"""
+    WITH docs AS (SELECT doc_id, lang, text, md5(text) AS h FROM documents),
+    keep AS (SELECT h, min(doc_id) AS keep_id FROM docs GROUP BY h),
+    exact_kept AS (SELECT d.doc_id, d.lang, d.text FROM docs d
+      JOIN keep k ON d.h = k.h AND d.doc_id = k.keep_id),
+    sh AS (SELECT doc_id, unnest($dShingleHashes) AS sh
+      FROM exact_kept AS documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    neardup AS (SELECT DISTINCT p.b AS doc_id FROM pairs p
+      JOIN sz x ON x.doc_id = p.a JOIN sz y ON y.doc_id = p.b
+      WHERE CAST(p.inter AS DOUBLE) / (x.n + y.n - p.inter) >= 0.5),
+    cleaned AS (SELECT e.doc_id, e.lang, e.text FROM exact_kept e
+      WHERE e.doc_id NOT IN (SELECT doc_id FROM neardup)
+        AND len(list_filter(string_split(e.text, ' '), t -> t != '')) >= 20),
+    split AS (SELECT lang, CASE
+        WHEN ${dPoly("md5(text)")} % 100 < 80 THEN 'train'
+        WHEN ${dPoly("md5(text)")} % 100 < 90 THEN 'valid'
+        ELSE 'test' END AS split
+      FROM cleaned AS documents)
+    SELECT lang, split, count(*) AS n_docs
+    FROM split GROUP BY lang, split ORDER BY lang, split"""
+
+  /** q58 — multimodal feature extraction end-to-end: utf-8 payloads as
+    * binary, per-partition batch decode (`Multimodal.decodeFeatures`,
+    * the mapPartitions path), per-modality feature stats. The decode is
+    * a mapPartitions operator — not SQL-expressible, so this entry has
+    * NO oracle (the driver records a rows-only check; the exact decode
+    * values are unit-tested in MultimodalSpec). */
+  private val q58: QFn = (s, d) => {
+    val bin = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 0, "text_a").otherwise("text_b")
+          .as("modality"),
+        expr("cast(text as binary)").as("payload"))
+    graft.ops.Multimodal.decodeFeatures(bin)
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("checksum")).as("min_checksum"),
+        max(col("checksum")).as("max_checksum"))
+      .orderBy(col("modality"))
+  }
+
   // =====================================================================
   // Text analysis
   // =====================================================================
@@ -638,6 +720,8 @@ object PipelineQueries {
     "q34_lang_id" -> q34,
     "q47_ann_ivf_topk" -> q47,
     "q49_split_assign" -> q49,
+    "q57_clean_pipeline" -> q57,
+    "q58_multimodal_features" -> q58,
     "q50_redact" -> q50,
     "q48_vocab_topk" -> q48,
     "q35_quality_score" -> q35,
@@ -656,6 +740,7 @@ object PipelineQueries {
     "q34_lang_id" -> q34Sql,
     "q47_ann_ivf_topk" -> q47Sql,
     "q49_split_assign" -> q49Sql,
+    "q57_clean_pipeline" -> q57Sql,
     "q50_redact" -> q50Sql,
     "q48_vocab_topk" -> q48Sql,
     "q35_quality_score" -> q35Sql,

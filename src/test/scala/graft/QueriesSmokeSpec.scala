@@ -16,7 +16,10 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle") {
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  test("every query has an oracle (known rows-only exceptions)") {
+    // mapPartitions-based ops are not SQL-expressible -> driver records
+    // a rows-only check for them
+    val rowsOnly = Set("q58_multimodal_features")
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
   }
 }
