@@ -287,13 +287,16 @@ object EdgeSql {
                 (u, n, c)
               case None => ("hour", 1, c) // unbounded range: fixed default
             }
-          val (unit, n, tsCol) = args match {
+          val (unit0, n0, tsCol) = args match {
             case Seq(u, nn, c) => (u, nn.toInt, c)
             case Seq(p, c) if p.forall(_.isDigit) => autoSize(c, p.toInt)
             case Seq(c) => autoSize(c, 1000)
             case other => throw new IllegalArgumentException(
               s"increments(${other.mkString(",")})")
           }
+          // week folds to 7 days (unify_results.py:321-323)
+          val (unit, n) =
+            if (unit0 == "week") ("day", n0 * 7) else (unit0, n0)
           val ts = col(tsCol)
           val bucketCols =
             if (unit == "year") Seq(
@@ -359,6 +362,14 @@ object EdgeSql {
         if (sel.projection.exists(_.raw.trim == "*")) df
         else df.select(cols: _*)
       }
+
+    // duplicate projected names are errors (unify_results.py:1106-1111)
+    val outNames = out.columns
+    val dups = outNames.groupBy(identity).collect {
+      case (name, occ) if occ.length > 1 => name
+    }
+    if (dups.nonEmpty) throw new IllegalArgumentException(
+      s"duplicate projected column name(s): ${dups.mkString(", ")}")
 
     if (sel.distinct || forceDistinct) out = out.distinct()
 

@@ -219,3 +219,28 @@ class WherePredicateSpec extends SparkSpec {
     assert(df.head().getLong(0) === direct)
   }
 }
+
+class HardPartsSpec extends SparkSpec {
+  import graft.dialect.EdgeSql
+  import graft.engine.Tables
+  private def load(n: String) = Tables.load(spark, sfDir, n)
+
+  test("increments(week, 1, ts) folds to 7-day buckets") {
+    val viaWeek = EdgeSql.query(spark, load,
+      """sql edge "select increments(week, 1, ts), count(*) as n """ +
+        """from events order by day_parent, day_bucket"""")
+    val viaDays = EdgeSql.query(spark, load,
+      """sql edge "select increments(day, 7, ts), count(*) as n """ +
+        """from events order by day_parent, day_bucket"""")
+    assert(viaWeek.collect().toSeq === viaDays.collect().toSeq)
+  }
+
+  test("duplicate projected names are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      EdgeSql.query(spark, load,
+        """sql edge "select count(*) as n, sum(value) as n from events"""")
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+}
