@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative corpus-cleaning pipeline: a JSON spec names the stages,
+  * the compiler folds them into ONE DataFrame plan (the composition the
+  * oracle-checked q57 hand-writes). Mirrors the mapping-policy
+  * philosophy on the query side: configuration -> Catalyst expressions,
+  * no per-row interpreter, every stage a documented scale shape.
+  *
+  * Spec shape:
+  * {"pipeline": {
+  *    "id": "doc_id", "text": "text",
+  *    "stages": [
+  *      {"op": "dedup_exact"},
+  *      {"op": "neardup_jaccard", "threshold": 0.5, "shingle_n": 3},
+  *      {"op": "quality_min_tokens", "min": 20},
+  *      {"op": "lang_keep", "langs": ["en", "de"], "column": "lang"},
+  *      {"op": "redact_numbers"},
+  *      {"op": "split", "train": 80, "valid": 10}
+  *    ]}}
+  */
+object CleanPipeline {
+
+  sealed trait Stage
+  final case class DedupExact() extends Stage
+  final case class NeardupJaccard(threshold: Double, shingleN: Int) extends Stage
+  final case class QualityMinTokens(min: Int) extends Stage
+  final case class LangKeep(langs: Seq[String], column: String) extends Stage
+  final case class RedactNumbers() extends Stage
+  final case class Split(train: Int, valid: Int) extends Stage
+
+  final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
+
+  def fromJson(json: String): Spec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val p = JsonMethods.parse(json) \ "pipeline"
+    val stages = (p \ "stages") match {
+      case JArray(xs) => xs.map { st =>
+        (st \ "op").extract[String] match {
+          case "dedup_exact" => DedupExact()
+          case "neardup_jaccard" => NeardupJaccard(
+            (st \ "threshold").extractOpt[Double].getOrElse(0.5),
+            (st \ "shingle_n").extractOpt[Int].getOrElse(3))
+          case "quality_min_tokens" =>
+            QualityMinTokens((st \ "min").extractOpt[Int].getOrElse(1))
+          case "lang_keep" => LangKeep(
+            (st \ "langs").extract[Seq[String]],
+            (st \ "column").extractOpt[String].getOrElse("lang"))
+          case "redact_numbers" => RedactNumbers()
+          case "split" => Split(
+            (st \ "train").extractOpt[Int].getOrElse(80),
+            (st \ "valid").extractOpt[Int].getOrElse(10))
+          case other =>
+            throw new IllegalArgumentException(s"unknown stage op: $other")
+        }
+      }
+      case _ => Nil
+    }
+    Spec(
+      (p \ "id").extractOpt[String].getOrElse("doc_id"),
+      (p \ "text").extractOpt[String].getOrElse("text"),
+      stages)
+  }
+
+  /** Compile the spec over a document frame. Output keeps the input
+    * columns (text possibly redacted) plus a `split` column when a Split
+    * stage is present. */
+  def compile(spec: Spec, df: DataFrame): DataFrame = {
+    val id = spec.idCol
+    val txt = spec.textCol
+    spec.stages.foldLeft(df) { (cur, stage) =>
+      stage match {
+        case DedupExact() =>
+          val keep = cur.groupBy(md5(col(txt)).as("__h"))
+            .agg(min(col(id)).as("__keep"))
+          cur.join(keep, md5(cur(txt)) === keep("__h") &&
+            cur(id) === keep("__keep"))
+            .drop("__h", "__keep")
+        case NeardupJaccard(threshold, n) =>
+          val drop = Dedup.jaccardPairs(cur, txt, id, n, threshold)
+            .select(col("id_b").as(id)).distinct()
+          cur.join(drop, Seq(id), "left_anti")
+        case QualityMinTokens(min) =>
+          cur.filter(size(TextOps.tokens(col(txt))) >= min)
+        case LangKeep(langs, column) =>
+          cur.filter(col(column).isin(langs: _*))
+        case RedactNumbers() =>
+          cur.withColumn(txt, regexp_replace(col(txt), "[0-9]+", "<NUM>"))
+        case Split(train, valid) =>
+          cur.withColumn("__b",
+            expr(s"aggregate(filter(split(md5($txt), ''), c -> c != ''), " +
+              s"cast(0 as bigint), (a, c) -> (a*31 + cast(ascii(c) as bigint)) " +
+              s"% ${TextOps.P}) % 100"))
+            .withColumn("split",
+              when(col("__b") < train, "train")
+                .when(col("__b") < train + valid, "valid")
+                .otherwise("test"))
+            .drop("__b")
+      }
+    }
+  }
+
+  /** Parse + compile in one call. */
+  def run(json: String, df: DataFrame): DataFrame =
+    compile(fromJson(json), df)
+}

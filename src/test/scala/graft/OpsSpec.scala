@@ -270,3 +270,44 @@ class DialectExprAggSpec extends SparkSpec {
     assert(df.collect().toSeq === direct.collect().toSeq)
   }
 }
+
+class CleanPipelineSpec extends SparkSpec {
+  import graft.engine.Tables
+  import graft.ops.CleanPipeline
+
+  private val specJson = """
+    {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+      {"op": "dedup_exact"},
+      {"op": "neardup_jaccard", "threshold": 0.5, "shingle_n": 3},
+      {"op": "quality_min_tokens", "min": 20},
+      {"op": "split", "train": 80, "valid": 10}
+    ]}}"""
+
+  test("spec parses to typed stages") {
+    val spec = CleanPipeline.fromJson(specJson)
+    assert(spec.stages.length === 4)
+    assert(spec.stages(1) === CleanPipeline.NeardupJaccard(0.5, 3))
+  }
+
+  test("compiled pipeline matches the hand-written q57 counts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CleanPipeline.run(specJson, docs)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    val q57 = graft.ops.PipelineQueries
+      .queries("q57_clean_pipeline")(spark, sfDir)
+    assert(out.exceptAll(q57).count() === 0)
+    assert(q57.exceptAll(out).count() === 0)
+  }
+
+  test("lang filter and redaction stages") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"stages": [
+        {"op": "lang_keep", "langs": ["en"]},
+        {"op": "redact_numbers"}
+      ]}}""", docs)
+    assert(out.filter(col("lang") =!= "en").count() === 0)
+    assert(out.filter(col("text").rlike("[0-9]")).count() === 0)
+  }
+}
