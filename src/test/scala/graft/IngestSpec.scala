@@ -244,3 +244,26 @@ class MonitorAlertSinkSpec extends SparkSpec {
     assert(!fired.contains("cool"))
   }
 }
+
+class MalformedDocSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ingest.MappingPolicy
+
+  test("malformed / schema-missing docs yield nulls and can be dead-lettered") {
+    val p = MappingPolicy.Policy("db", "t", None, Seq(
+      MappingPolicy.ColumnSpec("device", "varchar", "[device]"),
+      MappingPolicy.ColumnSpec("value", "float", "[value]")),
+      condition = Some("device is not null"))
+    val docs = Seq(
+      """{"device": "ok", "value": 1.5}""",
+      """not json at all""",
+      """{"other": 1}""").toDF("value")
+    val out = MappingPolicy.compile(p, docs)
+    // only the valid doc survives the condition
+    assert(out.count() === 1)
+    assert(out.head().getString(0) === "ok")
+    // the dead-letter view: compile without condition, filter the nulls
+    val all = MappingPolicy.compile(p.copy(condition = None), docs)
+    assert(all.filter(col("device").isNull).count() === 2)
+  }
+}

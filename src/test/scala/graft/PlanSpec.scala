@@ -99,3 +99,12 @@ class PlanSpec2 extends SparkSpec {
     assert(!p.contains("Join"))
   }
 }
+
+class PipelinePlanSpec extends SparkSpec {
+  test("q57: composed cleaning pipeline has no cartesian product") {
+    val p = SparkEntry.queries("q57_clean_pipeline")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
+}
