@@ -552,6 +552,85 @@ object PipelineQueries {
       .orderBy(col("modality"))
   }
 
+  /** q59 — char 5-gram Jaccard near-dup over the first 128 chars: the
+    * tokenless-script variant of q28 (CJK and code have no whitespace
+    * words). Hot grams are removed with a document-frequency cut
+    * (df <= 20) BEFORE the inverted-index join — the standard stop-gram
+    * technique and a hard scale requirement: on this corpus the uncut
+    * index joins 589M rows, the cut one 23.5k (measured at sf0.1).
+    * Jaccard is then over each doc's rare-gram set. */
+  private val q59: QFn = (s, d) => {
+    val grams = "array_distinct(transform(sequence(0, greatest(length(head) - 5, 0)), " +
+      s"i -> ${sPoly("substring(head, i + 1, 5)")}))"
+    val sh = wide(s, d, "documents", "doc_id")
+      .withColumn("head", expr("substring(text, 1, 128)"))
+      .select(col("doc_id"), explode(expr(grams)).as("g"))
+    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("g")
+    val kept = sh.join(rare, "g")
+    val sz = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val kept2 = kept.toDF("g2", "doc_id2")
+    kept.join(kept2, col("g") === col("g2") && col("doc_id") < col("doc_id2"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_id2").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .join(sz.toDF("doc_b", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q59Sql = s"""
+    WITH base AS (SELECT doc_id, substr(text, 1, 128) AS head FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(greatest(length(head) - 5, 0) + 1),
+        i -> ${dPoly("substr(head, i + 1, 5)")}))) AS g FROM base),
+    rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY g)
+      WHERE df <= 20),
+    kept AS (SELECT sh.doc_id, sh.g FROM sh JOIN rare ON sh.g = rare.g),
+    sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+    FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  /** q60 — feature-hashing vectorizer: 16-dim token-count vector per doc
+    * (dim = polyhash(token) mod 16) — the deterministic text-to-vector
+    * op of a featurization stage; output = order-independent vector
+    * stats. Pure map + one final sort. */
+  private val q60: QFn = (s, d) =>
+    // repartition = materialization barrier: without it CollapseProject
+    // inlines the token-hash array into the 16-dim lambda (16x recompute)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        expr(s"transform(${sToks("text")}, t -> ${sPoly("t")})").as("th"))
+      .repartition(col("doc_id"))
+      .withColumn("vec", expr(
+        "transform(sequence(0, 15), i -> size(filter(th, h -> h % 16 = i)))"))
+      .select(col("doc_id"),
+        expr("size(filter(vec, v -> v > 0))").as("nnz"),
+        expr("array_max(vec)").as("max_count"),
+        expr(s"aggregate(vec, cast(0 as bigint), (a, v) -> (a*31 + v) % $P)")
+          .as("vec_hash"))
+      .orderBy(col("doc_id"))
+  private val q60Sql = s"""
+    WITH th AS (SELECT doc_id, list_transform(${dToks("text")},
+        t -> ${dPoly("t")}) AS th FROM documents),
+    v AS (SELECT doc_id, list_transform(range(16),
+        i -> CAST(len(list_filter(th, h -> h % 16 = i)) AS BIGINT)) AS vec
+      FROM th)
+    SELECT doc_id,
+      len(list_filter(vec, x -> x > 0)) AS nnz,
+      list_max(vec) AS max_count,
+      list_reduce(list_prepend(CAST(0 AS BIGINT), vec),
+        (a, x) -> (a*31 + x) % $P) AS vec_hash
+    FROM v ORDER BY doc_id"""
+
   // =====================================================================
   // Text analysis
   // =====================================================================
@@ -721,6 +800,8 @@ object PipelineQueries {
     "q47_ann_ivf_topk" -> q47,
     "q49_split_assign" -> q49,
     "q57_clean_pipeline" -> q57,
+    "q59_dedup_chargram_jaccard" -> q59,
+    "q60_feature_hashing" -> q60,
     "q58_multimodal_features" -> q58,
     "q50_redact" -> q50,
     "q48_vocab_topk" -> q48,
@@ -741,6 +822,8 @@ object PipelineQueries {
     "q47_ann_ivf_topk" -> q47Sql,
     "q49_split_assign" -> q49Sql,
     "q57_clean_pipeline" -> q57Sql,
+    "q59_dedup_chargram_jaccard" -> q59Sql,
+    "q60_feature_hashing" -> q60Sql,
     "q50_redact" -> q50Sql,
     "q48_vocab_topk" -> q48Sql,
     "q35_quality_score" -> q35Sql,
