@@ -69,6 +69,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Consolidate near-dup PAIRS into clusters via iterative min-label
+    * propagation (connected components): every doc gets the smallest id
+    * reachable through the pair graph — the step that turns pairwise
+    * similarity into an actionable keep/drop decision. Near-dup graphs
+    * are shallow (dup groups, not social networks), so a handful of
+    * join+aggregate rounds reaches the fixpoint; each round is two
+    * shuffles, no driver iteration over rows. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+      .union(pairs.select(col(bCol).as("x"), col(aCol).as("y")))
+    var labels = edges.select(col("x").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("y") === labels("id"))
+        .groupBy(col("x").as("id")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      converged = next.join(labels.toDF("id", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup pairs: LSH bucket candidates verified by exact
     * cosine >= `threshold`. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,

@@ -631,6 +631,28 @@ object PipelineQueries {
         (a, x) -> (a*31 + x) % $P) AS vec_hash
     FROM v ORDER BY doc_id"""
 
+  /** q61 — stratified sampling: at most 30 docs per language, selected
+    * deterministically by content-hash rank (stable under re-ingest and
+    * re-partitioning — never `rand()`). One window shuffle on the
+    * stratum key. */
+  private val q61: QFn = (s, d) =>
+    wide(s, d, "documents", "doc_id")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(md5(col("text")), col("doc_id"))))
+      .filter(col("rk") <= 30)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  private val q61Sql = """
+    WITH ranked AS (SELECT lang, doc_id, row_number() OVER (
+        PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+      FROM documents)
+    SELECT lang, count(*) AS n, min(doc_id) AS min_doc,
+      max(doc_id) AS max_doc
+    FROM ranked WHERE rk <= 30 GROUP BY lang ORDER BY lang"""
+
   // =====================================================================
   // Text analysis
   // =====================================================================
@@ -801,6 +823,7 @@ object PipelineQueries {
     "q49_split_assign" -> q49,
     "q57_clean_pipeline" -> q57,
     "q59_dedup_chargram_jaccard" -> q59,
+    "q61_stratified_sample" -> q61,
     "q60_feature_hashing" -> q60,
     "q58_multimodal_features" -> q58,
     "q50_redact" -> q50,
@@ -823,6 +846,7 @@ object PipelineQueries {
     "q49_split_assign" -> q49Sql,
     "q57_clean_pipeline" -> q57Sql,
     "q59_dedup_chargram_jaccard" -> q59Sql,
+    "q61_stratified_sample" -> q61Sql,
     "q60_feature_hashing" -> q60Sql,
     "q50_redact" -> q50Sql,
     "q48_vocab_topk" -> q48Sql,

@@ -311,3 +311,27 @@ class CleanPipelineSpec extends SparkSpec {
     assert(out.filter(col("text").rlike("[0-9]")).count() === 0)
   }
 }
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Dedup
+
+  test("chains collapse to the min label (transitive closure)") {
+    // components: {1,2,3,4} via chain, {10,11}, isolated pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L &&
+      labels(3L) === 1L && labels(4L) === 1L)
+    assert(labels(10L) === 10L && labels(11L) === 10L)
+  }
+
+  test("real near-dup pairs consolidate to one representative per cluster") {
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.5)
+    val labels = Dedup.connectedComponents(pairs)
+    // every doc's label is <= its own id and labels are member ids
+    assert(labels.filter(col("label") > col("id")).count() === 0)
+  }
+}
