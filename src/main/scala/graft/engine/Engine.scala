@@ -83,6 +83,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       catalog.table(name).schema.fields
         .map(f => s"${f.name} ${f.dataType.simpleString}").mkString("\n")
     }
+    else if (low.startsWith("policy add ")) {
+      // metadata-policy CRUD (the ledger surface, blockchain/metadata.py)
+      val rest = t.substring("policy add ".length).trim
+      val sp = rest.indexWhere(_.isWhitespace)
+      require(sp > 0, "policy add <id> <json>")
+      catalog.addPolicy(rest.substring(0, sp), rest.substring(sp).trim)
+      s"policy ${rest.substring(0, sp)} stored"
+    }
+    else if (low.startsWith("policy get "))
+      catalog.policy(t.substring("policy get ".length).trim)
+        .getOrElse(throw new IllegalArgumentException("unknown policy"))
     else if (low == "get tables") catalog.tableNames.mkString("\n")
     else if (low == "get views") catalog.viewNames.mkString("\n")
     else throw new IllegalArgumentException(s"unknown command: $command")

@@ -135,6 +135,39 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style top-k: vectors assigned to their nearest seed centroid
+    * (squared-L2 argmin, ties to the lowest centroid id), probes search
+    * only their own cell. `centroids` must be small (broadcast). */
+  def ivfTopK(corpus: DataFrame, probeFilter: Column, vecCol: String,
+      idCol: String, k: Int, numCentroids: Int): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      F.dotF(col(vecCol), col(vecCol)).as("n2"))
+    val cents = e.filter(col("id") < numCentroids)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val assigned = e.join(broadcast(cents))
+      .select(col("id"), col("v"), col("n2"), col("cent_id"),
+        (col("n2") - lit(2.0) * F.dotF(col("v"), col("cv")) + col("cn2"))
+          .as("dist2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("dist2"), col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cent_id"))
+    val probes = assigned.filter(probeFilter)
+      .select(col("id").as("q_id"), col("v").as("q_v"),
+        col("n2").as("q_n2"), col("cent_id").as("q_cell"))
+    broadcast(probes)
+      .join(assigned,
+        col("q_cell") === col("cent_id") && col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        (F.dotF(col("q_v"), col("v")) / (sqrt(col("q_n2")) * sqrt(col("n2"))))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: probes search only their hyperplane-LSH bucket. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, k: Int, bits: Int = 4): DataFrame = {

@@ -150,3 +150,35 @@ class AgePartitionDropSpec extends SparkSpec {
     assert(TimePartitions.partitions(spark, dir).isEmpty)
   }
 }
+
+class PolicyCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  test("policy add / get round-trips through the command surface") {
+    val engine = new Engine(spark, new Catalog(spark))
+    val json = """{"mapping": {"dbms": "iot", "table": "t"}}"""
+    assert(engine.execute(s"policy add p1 $json") === "policy p1 stored")
+    assert(engine.execute("policy get p1") === json)
+    intercept[IllegalArgumentException](engine.execute("policy get nope"))
+  }
+}
+
+class AppendPartitionSpec extends SparkSpec {
+  import graft.engine.{Tables, TimePartitions}
+  import org.apache.spark.sql.SaveMode
+
+  test("append mode accretes new days without rewriting old ones") {
+    val dir = java.nio.file.Files.createTempDirectory("app").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    TimePartitions.write(ev.filter(col("ts") < "2024-01-03"),
+      "ts", "day", 1, dir)
+    val before = TimePartitions.partitions(spark, dir)
+    TimePartitions.write(
+      ev.filter(col("ts") >= "2024-01-03" && col("ts") < "2024-01-05"),
+      "ts", "day", 1, dir, mode = SaveMode.Append)
+    val after = TimePartitions.partitions(spark, dir)
+    assert(after.length === before.length + 2)
+    assert(spark.read.parquet(dir).count() ===
+      ev.filter(col("ts") < "2024-01-05").count())
+  }
+}

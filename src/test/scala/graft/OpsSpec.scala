@@ -335,3 +335,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.filter(col("label") > col("id")).count() === 0)
   }
 }
+
+class IvfApiSpec extends SparkSpec {
+  import graft.engine.Tables
+  import graft.ops.Similarity
+
+  test("ivfTopK matches the oracle-checked q47 output") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val api = Similarity.ivfTopK(embs, col("id") < 20, "embedding",
+      "vec_id", k = 3, numCentroids = 16)
+      .select(col("q_id"), col("rank"), col("id").as("vec_id"), col("cos_sim"))
+    val q47 = graft.ops.PipelineQueries
+      .queries("q47_ann_ivf_topk")(spark, sfDir)
+    assert(api.exceptAll(q47).count() === 0)
+    assert(q47.exceptAll(api).count() === 0)
+  }
+}
