@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.F
+
 /** Declarative corpus-cleaning pipeline: a JSON spec names the stages,
   * the compiler folds them into ONE DataFrame plan (the composition the
   * oracle-checked q57 hand-writes). Mirrors the mapping-policy
@@ -26,6 +28,8 @@ object CleanPipeline {
   sealed trait Stage
   final case class DedupExact() extends Stage
   final case class NeardupJaccard(threshold: Double, shingleN: Int) extends Stage
+  final case class SimhashDedup() extends Stage
+  final case class MinhashDedup(estSim: Double) extends Stage
   final case class QualityMinTokens(min: Int) extends Stage
   final case class LangKeep(langs: Seq[String], column: String) extends Stage
   final case class RedactNumbers() extends Stage
@@ -45,6 +49,9 @@ object CleanPipeline {
           case "neardup_jaccard" => NeardupJaccard(
             (st \ "threshold").extractOpt[Double].getOrElse(0.5),
             (st \ "shingle_n").extractOpt[Int].getOrElse(3))
+          case "simhash_dedup" => SimhashDedup()
+          case "minhash_dedup" => MinhashDedup(
+            (st \ "est_sim").extractOpt[Double].getOrElse(0.8))
           case "quality_min_tokens" =>
             QualityMinTokens((st \ "min").extractOpt[Int].getOrElse(1))
           case "lang_keep" => LangKeep(
@@ -82,6 +89,17 @@ object CleanPipeline {
             .drop("__h", "__keep")
         case NeardupJaccard(threshold, n) =>
           val drop = Dedup.jaccardPairs(cur, txt, id, n, threshold)
+            .select(col("id_b").as(id)).distinct()
+          cur.join(drop, Seq(id), "left_anti")
+        case SimhashDedup() =>
+          // keep only each signature cluster's representative
+          val sig = cur.select(col(id), F.simhash32(col(txt)).as("__sig"))
+          val keep = sig.groupBy(col("__sig"))
+            .agg(min(col(id)).as(id)).select(id)
+          cur.join(keep, Seq(id), "left_semi")
+        case MinhashDedup(estSim) =>
+          val drop = Dedup.minhashCandidates(cur, txt, id)
+            .filter(col("est_sim") >= estSim)
             .select(col("id_b").as(id)).distinct()
           cur.join(drop, Seq(id), "left_anti")
         case QualityMinTokens(min) =>

@@ -69,6 +69,37 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup: test a NEW batch against an EXISTING corpus
+    * without re-pairing the corpus with itself — the daily-ingest pattern
+    * at scale (the corpus side ships as a precomputed shingle index, e.g.
+    * a parquet table maintained across batches). Returns (new_id,
+    * corpus_id, jaccard) pairs >= threshold plus within-batch pairs. */
+  def incrementalJaccard(newDocs: DataFrame, corpusIndex: DataFrame,
+      textCol: String, idCol: String, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    // corpusIndex: (id, h) exploded shingle hashes + (id, n) sizes
+    val newSh = newDocs.select(col(idCol).as("new_id"),
+      explode(F.shingleHashes(col(textCol), shingleN)).as("h"))
+    val newSz = newSh.groupBy("new_id").agg(count(lit(1)).as("n_new"))
+    val corpusSz = corpusIndex.groupBy(col("id").as("corpus_id"))
+      .agg(count(lit(1)).as("n_corpus"))
+    newSh.join(corpusIndex.toDF("corpus_id", "h"), "h")
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(newSz, "new_id")
+      .join(corpusSz, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (col("inter").cast("double") /
+          (col("n_new") + col("n_corpus") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Build/refresh the shingle index a corpus carries across batches. */
+  def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(F.shingleHashes(col(textCol), shingleN)).as("h"))
+
   /** Consolidate near-dup PAIRS into clusters via iterative min-label
     * propagation (connected components): every doc gets the smallest id
     * reachable through the pair graph — the step that turns pairwise

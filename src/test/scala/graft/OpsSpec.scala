@@ -351,3 +351,43 @@ class IvfApiSpec extends SparkSpec {
     assert(q47.exceptAll(api).count() === 0)
   }
 }
+
+class IncrementalDedupSpec extends SparkSpec {
+  import graft.engine.Tables
+  import graft.ops.Dedup
+
+  test("new batch dedups against the standing corpus index") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val index = Dedup.shingleIndex(corpus, "text", "doc_id")
+    val inc = Dedup.incrementalJaccard(batch, index, "text", "doc_id")
+    // must equal the cross-partition subset of full-corpus pairs
+    val full = Dedup.jaccardPairs(docs, "text", "doc_id")
+      .filter(col("id_a") < 400 && col("id_b") >= 400)
+      .select(col("id_b").as("new_id"), col("id_a").as("corpus_id"),
+        col("jaccard"))
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+  }
+}
+
+class PipelineStagesSpec extends SparkSpec {
+  import graft.engine.Tables
+  import graft.ops.CleanPipeline
+
+  test("simhash and minhash dedup stages reduce the corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val before = docs.count()
+    val out = CleanPipeline.run("""
+      {"pipeline": {"stages": [
+        {"op": "simhash_dedup"},
+        {"op": "minhash_dedup", "est_sim": 0.9}
+      ]}}""", docs)
+    val after = out.count()
+    assert(after > 0 && after <= before)
+    // representatives survive: min doc_id still present
+    assert(out.agg(org.apache.spark.sql.functions.min("doc_id"))
+      .head().getLong(0) === 0L)
+  }
+}
