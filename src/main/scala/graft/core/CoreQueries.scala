@@ -520,7 +520,8 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_big_orders"),
         sum(col("n_lines")).as("n_lines_total"))
   private val q25Sql = """
-    SELECT count(*) AS n_big_orders, sum(n_lines) AS n_lines_total FROM (
+    SELECT count(*) AS n_big_orders,
+      CAST(sum(n_lines) AS BIGINT) AS n_lines_total FROM (
       SELECT l_orderkey, count(*) AS n_lines FROM lineitem
       GROUP BY l_orderkey HAVING count(*) >= 5)"""
 

@@ -78,6 +78,16 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
         Tables.loadPath(spark, reg.path, reg.nanoTs)
     }
 
+  /** Storage path of a registered (non-view) table — the append target
+    * for REST PUT ingest. */
+  def tablePath(name: String): Option[String] = tables.get(name).map(_.path)
+
+  /** Frozen schema of a registered table (what ingest aligns rows to). */
+  def tableSchema(name: String): Option[StructType] =
+    tables.get(name).map(r =>
+      org.apache.spark.sql.types.DataType.fromJson(r.schemaJson)
+        .asInstanceOf[StructType])
+
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
   def viewNames: Seq[String] = views.keys.toSeq.sorted
 

@@ -44,9 +44,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     // partition predicate so the scan prunes directories (the reference's
     // partition-name matching, partitions.py:406-466)
     catalog.partitionMeta(name).foreach { case (tsCol, unit, n) =>
+      // normalize EXACTLY as compileSelect does (rewrite + caller-tz ->
+      // UTC literal shift) so the prune window matches the filter window;
+      // deriving bounds from raw local literals would silently prune UTC
+      // rows in the preceding/following bucket
       val bounds = EdgeSql.parseSelect(cmd.select).where
-        .flatMap(w => EdgeSql.timeBounds(
-          graft.dialect.DateLiterals.rewrite(w), tsCol))
+        .map(w => graft.dialect.DateLiterals.rewrite(w))
+        .map(w => cmd.options.get("timezone")
+          .map(z => graft.dialect.DateLiterals.localizeLiterals(w, z))
+          .getOrElse(w))
+        .flatMap(w => EdgeSql.timeBounds(w, tsCol))
       bounds.foreach { case (lo, hi) =>
         base = base.filter(TimePartitions.pruneFilter(unit, n, lo, hi))
       }
@@ -55,9 +62,60 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     // (where-cond injection, unify_results.py:1228-1234)
     if (cmd.options.get("committed").contains("true") &&
         base.columns.contains("tsd_id")) {
-      val safe = safeTsdIds.getOrElse(name, Int.MaxValue)
+      // unknown replication state -> return NOTHING, matching the
+      // reference's conservative consensus init (dbms/ha.py: safe id
+      // starts at 0 until the cluster reports); defaulting high would
+      // hand back uncommitted rows to a caller who asked for committed
+      val safe = safeTsdIds.getOrElse(name, 0)
       base.filter(col("tsd_id") <= lit(safe))
     } else base
+  }
+
+  /** REST PUT data ingest — the reference's primary data-in path
+    * (tcpip/http_server.py:1844 `do_PUT` -> al_put; header params
+    * dbms/table/instructions, put_params_from_header `:2708`). The body
+    * is JSON rows: a JSON array, one object, or newline-delimited
+    * objects (utils_json.make_json_rows). `instructions` names a stored
+    * mapping policy to transform rows; otherwise rows are aligned to
+    * the table's registered schema (missing columns -> NULL, extras
+    * dropped, values cast). Appends to the table's storage path and
+    * returns the appended row count.
+    *
+    * The parse + align + append is one small Spark job per PUT — the
+    * batching for high-frequency small PUTs is the watch-dir/stream
+    * path (StreamIngest), exactly the reference's streaming mode. */
+  def ingest(table: String, body: String,
+      instructions: Option[String] = None): Long = {
+    import spark.implicits._
+    val trimmed = body.trim
+    require(trimmed.nonEmpty, "PUT body is empty")
+    // spark.read.json explodes a top-level array record into rows, so an
+    // array body stays one record; NDJSON splits into one record per line
+    val lines: Seq[String] =
+      if (trimmed.startsWith("[")) Seq(trimmed)
+      else trimmed.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    val path = catalog.tablePath(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown table $table — register it before PUT ingest"))
+    val aligned = instructions.flatMap(catalog.policy) match {
+      case Some(policyJson) =>
+        graft.ingest.MappingPolicy.compile(
+          graft.ingest.MappingPolicy.fromJson(policyJson),
+          lines.toDF("value"), "value")
+      case None =>
+        val raw = spark.read.json(spark.createDataset(lines))
+        catalog.tableSchema(table) match {
+          case Some(schema) =>
+            raw.select(schema.fields.toSeq.map { f =>
+              (if (raw.columns.contains(f.name)) col(f.name)
+               else lit(null)).cast(f.dataType).as(f.name)
+            }: _*)
+          case None => raw
+        }
+    }
+    val n = aligned.count()
+    aligned.write.mode("append").parquet(path)
+    n
   }
 
   /** Execute any command; returns rendered text output. */

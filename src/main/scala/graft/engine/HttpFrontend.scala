@@ -25,6 +25,9 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
 
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
+      // PUT = data ingest (http_server.py:1844 do_PUT): headers carry
+      // dbms/table/instructions, the body carries the JSON rows
+      if (ex.getRequestMethod == "PUT") { handlePut(ex); return }
       val command = ex.getRequestMethod match {
         case "GET" =>
           Option(ex.getRequestURI.getRawQuery).getOrElse("")
@@ -46,6 +49,30 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
       ex.close()
     }
   })
+
+  /** PUT data ingest: `table` (and optional `instructions` = mapping
+    * policy id) arrive as headers, matching the reference's
+    * put_params_from_header (http_server.py:2708); the `dbms` header is
+    * accepted and ignored (one catalog here). Replies with the appended
+    * row count. */
+  private def handlePut(ex: HttpExchange): Unit = {
+    val hdr = (k: String) => Option(ex.getRequestHeaders.getFirst(k))
+    val body = new String(ex.getRequestBody.readAllBytes(),
+      StandardCharsets.UTF_8)
+    val (code, reply) =
+      try {
+        val table = hdr("table").getOrElse(
+          throw new IllegalArgumentException(
+            "Missing 'table' name in REST PUT command"))
+        val n = engine.ingest(table, body, hdr("instructions"))
+        (200, s"""{"appended": $n, "table": "$table"}""")
+      } catch { case e: Exception => (400, s"error: ${e.getMessage}") }
+    val bytes = reply.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
 
   // Grafana JSON-datasource route (al_grafana.py over HTTP — §3.3):
   // POST /grafana with the panel payload -> json rows

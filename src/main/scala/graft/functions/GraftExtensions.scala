@@ -61,6 +61,10 @@ object F {
   def simhash32(text: Column): Column = c(SimHash32Expr(e(text)))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     c(WinnowFpExpr(e(text), k, w))
+  def charGramHashes(text: Column, k: Int): Column =
+    c(CharGramHashesExpr(e(text), k))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    c(SortedIntersectSizeExpr(e(a), e(b)))
   def dotF(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
   def vecLsh(v: Column, bits: Int): Column = c(VecLshExpr(e(v), bits))
 }

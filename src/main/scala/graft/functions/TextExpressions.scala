@@ -27,9 +27,16 @@ object TextExpressions {
   final val P = 2147483647L
 
   @inline def polyHash(s: String): Long = {
+    // fold CODE POINTS, not UTF-16 units: the HOF form (split + ascii)
+    // and DuckDB (unicode()) both see one value per code point, so a
+    // surrogate pair (emoji, CJK-ext) must hash as one term here too
     var h = 0L
     var i = 0
-    while (i < s.length) { h = (h * 31 + s.charAt(i)) % P; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -160,6 +167,61 @@ case class WinnowFpExpr(child: Expression, k: Int, w: Int)
   }
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
+}
+
+/** char_gram_hashes(text, k): distinct char k-gram polynomial hashes in
+  * first-occurrence order — the char-mode sibling of ShingleHashesExpr
+  * (grams at code-point positions 0..max(len-k, 0), the final ones
+  * clamped, matching the SQL `transform(sequence(0, greatest(len-k,0)),
+  * i -> poly(substring(text, i+1, k)))` spec kept as the DuckDB oracle).
+  * One tight loop over the code-point array — no per-position substring
+  * allocation, no interpreted lambda tree. */
+case class CharGramHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val nPos = math.max(cps.length - k, 0) + 1
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < nPos) {
+      var h = 0L
+      var j = i
+      val end = math.min(i + k, cps.length)
+      while (j < end) { h = (h * 31 + cps(j)) % TextExpressions.P; j += 1 }
+      out.add(h)
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator; var y = 0
+    while (it.hasNext) { arr(y) = it.next(); y += 1 }
+    new GenericArrayData(arr)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** sorted_intersect_size(a, b): |A ∩ B| of two ASCENDING-sorted distinct
+  * long arrays via a zero-allocation merge walk — the verify kernel of
+  * the prefix-filtered Jaccard join. Equals size(array_intersect(a, b))
+  * for distinct inputs but is O(|a|+|b|) with no per-row hash set (the
+  * built-in was measured 10x slower on the q28 candidate verify). */
+case class SortedIntersectSizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toLongArray()
+    val y = b.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var n = 0
+    while (i < x.length && j < y.length) {
+      if (x(i) == y(j)) { n += 1; i += 1; j += 1 }
+      else if (x(i) < y(j)) i += 1
+      else j += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }
 
 /** dot_f(a, b): left-fold dot product of two float arrays accumulated in

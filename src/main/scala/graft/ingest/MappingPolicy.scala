@@ -118,7 +118,12 @@ object MappingPolicy {
         case _ => lit(null).cast(StringType)
       }
       val extracted = spec.regex match {
-        case Some(rx) => regexp_extract(raw, rx, 1)
+        case Some(rx) =>
+          // regexp_extract yields '' (not NULL) on no-match, which would
+          // defeat the coalesce default below and cast to NULL for
+          // numeric/timestamp targets — normalize no-match to NULL
+          val e = regexp_extract(raw, rx, 1)
+          when(length(e) === 0, lit(null).cast(StringType)).otherwise(e)
         case None => raw
       }
       val defaulted = spec.default match {

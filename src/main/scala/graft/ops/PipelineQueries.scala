@@ -32,14 +32,17 @@ object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
-  /** Documents/embeddings with the partition count restored to the
-    * cluster's parallelism. The testdata tables are single small parquet
-    * files -> one input split, which would serialize the signature
-    * computation onto one core; on a real 100 TB layout the files
-    * themselves provide the splits and this repartition is a no-op
-    * cost-wise (it shuffles only to widen, before the CPU-bound map). */
-  private def wide(s: SparkSession, dir: String, n: String, key: String): DataFrame =
-    t(s, dir, n).repartition(col(key))
+  /** Documents/embeddings widened to the cluster's parallelism ONLY when
+    * the scan yields fewer splits than cores (the testdata tables are
+    * single small parquet files -> one input split, which would serialize
+    * the CPU-bound signature computation onto one core). On a real
+    * 100 TB layout the files themselves provide >= parallelism splits and
+    * this is the identity — no extra exchange in the plan. */
+  private def wide(s: SparkSession, dir: String, n: String, key: String): DataFrame = {
+    val df = t(s, dir, n)
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(col(key)) else df
+  }
 
   // =====================================================================
   // Shared Spark-SQL / DuckDB-SQL fragment pairs. The two dialects differ
@@ -162,27 +165,17 @@ object PipelineQueries {
       count(*) - count(DISTINCT md5(text)) AS n_exact_dups
     FROM documents GROUP BY lang ORDER BY lang"""
 
-  /** q28 — exact n-gram Jaccard near-dup pairs (threshold 0.5) via a
-    * shingle-hash inverted index: explode distinct shingle hashes, self-
-    * join on the hash (the ONE shuffle; complete for any threshold > 0),
-    * count intersections, Jaccard = inter/(|A|+|B|-inter). */
-  private val q28: QFn = (s, d) => {
-    val sh = wide(s, d, "documents", "doc_id")
-      .select(col("doc_id"), explode(F.shingleHashes(col("text"), 3)).as("h"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sh2 = sh.toDF("doc_id2", "h2")
-    val inter = sh.join(sh2, col("h") === col("h2") && col("doc_id") < col("doc_id2"))
-      .groupBy(col("doc_id").as("doc_a"), col("doc_id2").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.toDF("doc_a", "na"), "doc_a")
-      .join(sz.toDF("doc_b", "nb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+  /** q28 — exact n-gram Jaccard near-dup pairs (threshold 0.5) via
+    * PREFIX-FILTERED candidate generation (Dedup.jaccardPairs: df-ordered
+    * prefixes, exactness-preserving — see the completeness argument
+    * there). The DuckDB oracle keeps the plain inverted-index join as
+    * the SPEC: identical result set, since prefix filtering only prunes
+    * pairs that cannot reach the threshold. */
+  private val q28: QFn = (s, d) =>
+    Dedup.jaccardPairs(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", shingleN = 3, threshold = 0.5)
+      .toDF("doc_a", "doc_b", "jaccard")
       .orderBy(col("doc_a"), col("doc_b"))
-  }
   private val q28Sql = s"""
     WITH sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
     sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -210,7 +203,7 @@ object PipelineQueries {
         col("sig").as("sa"), col("sig2").as("sb"))
       .distinct()
       .select(col("doc_a"), col("doc_b"),
-        expr("size(filter(sequence(0, 15), i -> sa[i] = sb[i])) / 16.0")
+        expr("CAST(size(filter(sequence(0, 15), i -> sa[i] = sb[i])) AS DOUBLE) / 16.0")
           .as("est_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -481,21 +474,20 @@ object PipelineQueries {
   private val q57: QFn = (s, d) => {
     val docs = wide(s, d, "documents", "doc_id")
       .withColumn("h", md5(col("text")))
+    // rename the aggregated side's key: joining docs("h") === keep("h")
+    // would resolve both sides to the SAME attribute (a trivially-true
+    // predicate) and silently rely on keep_id uniqueness alone
     val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      .withColumnRenamed("h", "kh")
     val exactKept = docs.join(keep,
-      docs("h") === keep("h") && docs("doc_id") === keep("keep_id"))
+      docs("h") === keep("kh") && docs("doc_id") === keep("keep_id"))
       .select(docs("doc_id"), col("lang"), col("text"))
-    val sh = exactKept
-      .select(col("doc_id"), explode(F.shingleHashes(col("text"), 3)).as("sh"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val sh2 = sh.toDF("doc_id2", "sh2")
-    val nearDupIds = sh.join(sh2,
-        col("sh") === col("sh2") && col("doc_id") < col("doc_id2"))
-      .groupBy(col("doc_id").as("a"), col("doc_id2").as("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sz.toDF("a", "na"), "a").join(sz.toDF("b", "nb"), "b")
-      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.5)
-      .select(col("b").as("doc_id")).distinct()
+    // near-dup removal via the prefix-filtered exact-Jaccard join
+    // (Dedup.jaccardPairs) — same result set as the oracle's plain
+    // inverted-index formulation, scale-safe candidate generation
+    val nearDupIds = Dedup.jaccardPairs(exactKept, "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
     exactKept.join(nearDupIds, Seq("doc_id"), "left_anti")
       .filter(expr(s"size(${sToks("text")}) >= 20"))
       .withColumn("bucket", expr(s"${sPoly("md5(text)")} % 100"))
@@ -560,11 +552,13 @@ object PipelineQueries {
     * index joins 589M rows, the cut one 23.5k (measured at sf0.1).
     * Jaccard is then over each doc's rare-gram set. */
   private val q59: QFn = (s, d) => {
-    val grams = "array_distinct(transform(sequence(0, greatest(length(head) - 5, 0)), " +
-      s"i -> ${sPoly("substring(head, i + 1, 5)")}))"
+    // native char-gram kernel (CharGramHashesExpr) — same values as the
+    // HOF `transform(sequence(...), i -> poly(substring(...)))` spec the
+    // oracle keeps, in one compiled pass instead of an interpreted
+    // lambda per gram position
     val sh = wide(s, d, "documents", "doc_id")
       .withColumn("head", expr("substring(text, 1, 128)"))
-      .select(col("doc_id"), explode(expr(grams)).as("g"))
+      .select(col("doc_id"), explode(F.charGramHashes(col("head"), 5)).as("g"))
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20).select("g")
     val kept = sh.join(rare, "g")

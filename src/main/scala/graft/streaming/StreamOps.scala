@@ -36,9 +36,13 @@ object StreamOps {
       : (DataFrame, DataFrame) = {
     val dropPred = conds.collect { case Condition(w, Drop) => expr(w) }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val kept = df.filter(!dropPred)
+    // null-safe negation: a NULL predicate (e.g. `value > 100` on a NULL
+    // value) means "matched no Drop rule" -> KEEP the row. Plain
+    // !NULL = NULL would silently drop it at ingest.
+    val kept = df.filter(!coalesce(dropPred, lit(false)))
     val alerts = conds.collect { case Condition(w, Alert(tag)) =>
-      df.filter(expr(w)).withColumn("alert_tag", lit(tag))
+      // NULL alert predicate = no alert, explicitly
+      df.filter(coalesce(expr(w), lit(false))).withColumn("alert_tag", lit(tag))
     } match {
       case Nil => df.filter(lit(false)).withColumn("alert_tag", lit(""))
       case seq => seq.reduce(_.unionByName(_))

@@ -334,6 +334,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     // every doc's label is <= its own id and labels are member ids
     assert(labels.filter(col("label") > col("id")).count() === 0)
   }
+
+  test("iteration lineage is truncated — final plan is O(1), not O(rounds)") {
+    // a 6-long chain needs several min-label rounds; with per-round
+    // localCheckpoint the returned plan must start from the materialized
+    // RDD of the LAST round only (no Join pyramid replaying history)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+    val plan = labels.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"),
+      s"expected checkpoint-truncated plan, got:\n$plan")
+    assert(labels.collect().map(_.getLong(1)).forall(_ === 1L))
+  }
 }
 
 class IvfApiSpec extends SparkSpec {

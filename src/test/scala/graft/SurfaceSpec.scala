@@ -399,6 +399,88 @@ class HttpFrontendSpec extends SparkSpec {
   }
 }
 
+class PutIngestSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine, HttpFrontend}
+  import org.apache.spark.sql.functions._
+
+  test("REST PUT appends JSON rows readable via a sql command") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("put-ingest").toString
+    Seq(("dev1", 10.0, "2024-01-01 00:00:00"))
+      .toDF("device", "value", "ts_str")
+      .write.mode("overwrite").parquet(s"$dir/sensor")
+    val cat = new Catalog(spark)
+    cat.registerTable("sensor", s"$dir/sensor")
+    val engine = new Engine(spark, cat)
+    val fe = new HttpFrontend(engine)
+    val port = fe.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      // NDJSON body; 'extra' is dropped, missing 'ts_str' -> NULL
+      val body =
+        """{"device": "dev2", "value": 20.5, "ts_str": "2024-01-02 00:00:00", "extra": 1}
+          |{"device": "dev3", "value": 31.5}""".stripMargin
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/"))
+          .header("table", "sensor").header("dbms", "edge")
+          .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      assert(resp.body().contains("\"appended\": 2"))
+
+      val n = engine.query(
+        """sql edge "select count(*) as n from sensor"""").head().getLong(0)
+      assert(n === 3)
+      val vals = engine.query(
+        """sql edge "select device, value from sensor order by device"""")
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(vals === Array(("dev1", 10.0), ("dev2", 20.5), ("dev3", 31.5)))
+
+      // array body form + missing table header -> 400
+      val arr = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/"))
+          .header("table", "sensor")
+          .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(
+            """[{"device": "dev4", "value": 4.0}, {"device": "dev5", "value": 5.0}]"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(arr.body().contains("\"appended\": 2"))
+      val bad = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/"))
+          .PUT(java.net.http.HttpRequest.BodyPublishers.ofString("{}"))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 400)
+    } finally fe.stop()
+  }
+
+  test("PUT with instructions routes rows through the mapping policy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("put-policy").toString
+    Seq(("dev0", 1.0)).toDF("device", "reading")
+      .write.mode("overwrite").parquet(s"$dir/mapped")
+    val cat = new Catalog(spark)
+    cat.registerTable("mapped", s"$dir/mapped")
+    cat.addPolicy("m1", """
+      {"mapping": {"dbms": "edge", "table": "mapped", "schema": {
+        "device": {"type": "varchar", "bring": "[meta][id]"},
+        "reading": {"type": "float", "bring": "[val]"}}}}""")
+    val engine = new Engine(spark, cat)
+    val n = engine.ingest("mapped",
+      """{"meta": {"id": "devX"}, "val": 7.25}""", Some("m1"))
+    assert(n === 1)
+    val got = engine.query(
+      """sql edge "select device, reading from mapped where device = 'devX'"""")
+      .head()
+    assert(got.getString(0) === "devX")
+    assert(got.getDouble(1) === 7.25)
+  }
+}
+
 class QualifiedTableNameSpec extends SparkSpec {
   import graft.dialect.EdgeSql
   import graft.engine.Tables
