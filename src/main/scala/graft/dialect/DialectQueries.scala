@@ -160,7 +160,38 @@ object DialectQueries {
       count(*) AS n
     FROM events GROUP BY 1 ORDER BY 1"""
 
+  /** q62 — the formatting tail of the cast registry: `::format(spec)`
+    * (cast_with_format, utils_columns.py:1837-1848), `::float(%n)`
+    * thousands rendering (cast_to_float `:1787`) and
+    * `::timediff(other)` on aggregates (ret_time_diff `:1895-1913`,
+    * whose own doc example is min(ts)::timediff(max(ts))). */
+  private val q62 = run(
+    """sql edge "select l_returnflag, """ +
+      """sum(l_extendedprice)::format(:.3f) as sum_fmt, """ +
+      """sum(l_extendedprice)::float(%2) as sum_thousands, """ +
+      """min(l_shipdate)::timediff(max(l_shipdate)) as span_hms """ +
+      """from lineitem group by l_returnflag order by l_returnflag"""")
+  private val q62Sql = s"""
+    WITH g AS (
+      SELECT l_returnflag,
+        ${oSum("l_extendedprice")} AS s,
+        ABS(epoch(max(l_shipdate)) - epoch(min(l_shipdate))) AS secs
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+      printf('%.3f', s) AS sum_fmt,
+      printf('%,d', CAST(FLOOR(ROUND(s, 2)) AS BIGINT)) || '.' ||
+        lpad(CAST(CAST(ROUND((ROUND(s, 2) - FLOOR(ROUND(s, 2))) * 100)
+          AS BIGINT) AS VARCHAR), 2, '0') AS sum_thousands,
+      printf('%02d:%02d:%02d.%d',
+        CAST(FLOOR(secs / 3600) AS BIGINT),
+        CAST(FLOOR((secs - FLOOR(secs / 3600) * 3600) / 60) AS BIGINT),
+        CAST(FLOOR(secs - FLOOR(secs / 3600) * 3600
+          - FLOOR((secs - FLOOR(secs / 3600) * 3600) / 60) * 60) AS BIGINT),
+        CAST(FLOOR((secs - FLOOR(secs)) * 100000) AS BIGINT)) AS span_hms
+    FROM g ORDER BY l_returnflag"""
+
   val queries: Map[String, QFn] = Map(
+    "q62_dialect_format_casts" -> q62,
     "q51_dialect_increments_month" -> q51,
     "q52_dialect_increments_year" -> q52,
     "q46_dialect_increments_auto" -> q46,
@@ -173,6 +204,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q62_dialect_format_casts" -> q62Sql,
     "q51_dialect_increments_month" -> q51Sql,
     "q52_dialect_increments_year" -> q52Sql,
     "q46_dialect_increments_auto" -> q46Sql,

@@ -201,22 +201,52 @@ object EdgeSql {
   /** Compile one `sql ...` command to a DataFrame. `load` resolves a bare
     * table name (the catalog boundary — tests/driver inject the parquet
     * loader). */
-  def query(spark: SparkSession, load: String => DataFrame, command: String)
-      : DataFrame = {
+  def query(spark: SparkSession, load: String => DataFrame, command: String,
+      vars: Map[String, String] = Map.empty,
+      nodeAddress: (String, Int) = ("127.0.0.1", 0)): DataFrame = {
     val cmd = parseCommand(command)
     val sel = parseSelect(cmd.select)
 
+    // extend item grammar (process_extended_columns,
+    // unify_results.py:1490-1545): [@|!|+]name[.type][ as alias] —
+    // @predefined node values, !dictionary variables, +literals
     val extendCols: Seq[(String, Column)] =
       cmd.options.get("extend").toSeq.flatMap(_.split(",")).map(_.trim)
-        .filter(_.nonEmpty).map {
-          case "@table_name" => "table_name" -> lit("")
-          case "@dbms_name" => "dbms_name" -> lit(cmd.dbms)
-          case "@ip" => "ip" -> lit("127.0.0.1")
-          case "@port" => "port" -> lit(0)
-          case other if other.startsWith("+") =>
-            other.drop(1) -> lit(other.drop(1))
-          case other =>
-            throw new IllegalArgumentException(s"unsupported extend: $other")
+        .filter(_.nonEmpty).map { item =>
+          val (spec, alias) = item.split("(?i)\\s+as\\s+") match {
+            case Array(s, a) => (s.trim, Some(a.trim))
+            case _ => (item, None)
+          }
+          val (nameWithPrefix, dtype) = spec.split("\\.") match {
+            case Array(n, t) => (n.trim, t.trim.toLowerCase)
+            case _ => (spec, "varchar")
+          }
+          def typed(c: Column): Column = dtype match {
+            case "int" => c.cast("long")
+            case "float" => c.cast("double")
+            case _ => c.cast("string")
+          }
+          val bare = nameWithPrefix.drop(1)
+          val value: Column = nameWithPrefix match {
+            case "@table_name" => lit("") // replaced by the null marker below
+            case "@dbms_name" | "@dbms" => lit(cmd.dbms)
+            case "@ip" => lit(nodeAddress._1)
+            case "@port" => lit(nodeAddress._2)
+            case v if v.startsWith("!") =>
+              typed(lit(vars.getOrElse(bare,
+                throw new IllegalArgumentException(
+                  s"extend: undefined variable !$bare"))))
+            case v if v.startsWith("+") => typed(lit(bare))
+            case other =>
+              throw new IllegalArgumentException(s"unsupported extend: $other")
+          }
+          val outName = alias.getOrElse(
+            if (nameWithPrefix == "@table_name") "table_name"
+            else if (nameWithPrefix == "@dbms_name" ||
+              nameWithPrefix == "@dbms") "dbms_name"
+            else bare)
+          // a NULL-literal value marks "stamp the per-table name here"
+          (outName, if (nameWithPrefix == "@table_name") null else value)
         }
 
     // include=(t2, t3): union the same query over several tables with
@@ -230,7 +260,7 @@ object EdgeSql {
     val base = tables.map { tn =>
       val df0 = load(tn)
       extendCols.foldLeft(df0) { case (df, (name, v)) =>
-        df.withColumn(name, if (name == "table_name") lit(tn) else v)
+        df.withColumn(name, if (v == null) lit(tn) else v)
       }
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
@@ -317,11 +347,16 @@ object EdgeSql {
           forceDistinct = true
         case Some(f) if aggFns(f) =>
           sawAgg = true
-          val argRaw = argsOf(raw)
+          // split off any `::` cast chain BEFORE taking the arg parens —
+          // min(ts)::timediff(max(ts)) ends with the cast's ')', not the
+          // aggregate's
+          val (aggBase, aggCasts) = splitCasts(raw)
+          val argRaw = argsOf(aggBase)
           val alias = item.alias.getOrElse(
             s"$f(${argRaw.replaceAll("\\s+", "")})".replace("*", "star"))
           aggs :+= compileAgg(f, argRaw, alias,
-            approx = options.get("approx").contains("true"))
+            approx = options.get("approx").contains("true"),
+            casts = aggCasts, tz = tz)
         case Some("date_trunc") | Some("extract") | None | Some(_) =>
           // plain column (with optional :: casts) or passthrough scalar fn
           val c = compileScalar(raw, tz)
@@ -427,43 +462,70 @@ object EdgeSql {
   /** Aggregate functions with the reference's decomposition semantics
     * (unify_results.py:190-307), decimal-stabilized for doubles. */
   private def compileAgg(f: String, arg: String, alias: String,
-      approx: Boolean = false): Column = {
+      approx: Boolean = false, casts: Seq[String] = Nil,
+      tz: Option[String] = None): Column = {
     val a = arg.trim
     // aggregate arguments may be full expressions (sum(a*b)) — the
     // unnamed-function passthrough path of the reference
     // (unify_results.py:586-625)
     def ac: Column =
       if (a.matches("[A-Za-z_][A-Za-z0-9_.]*")) col(a) else expr(a)
-    f match {
+    val base: Column = f match {
       case "count" =>
-        if (a == "*") count(lit(1)).as(alias)
+        if (a == "*") count(lit(1))
         else if (a.toLowerCase.startsWith("distinct ")) {
           val c = col(a.substring(9).trim)
           // approx=true: HLL sketch instead of exact two-phase distinct —
           // the 100 TB default (SURVEY §2.4 count-distinct row)
-          if (approx) approx_count_distinct(c).as(alias)
-          else countDistinct(c).as(alias)
+          if (approx) approx_count_distinct(c)
+          else countDistinct(c)
         }
-        else count(ac).as(alias)
-      case "sum" => sum(dec(ac)).cast(DoubleType).as(alias)
-      case "min" => min(ac).as(alias)
-      case "max" => max(ac).as(alias)
+        else count(ac)
+      case "sum" => sum(dec(ac)).cast(DoubleType)
+      case "min" => min(ac)
+      case "max" => max(ac)
       case "avg" =>
         // remote SUM+COUNT -> local SUM/SUM (unify_results.py:236-277):
         // exact decimal sum over count, one partial/final agg in Spark
-        (sum(dec(ac)).cast(DoubleType) / count(ac)).as(alias)
+        sum(dec(ac)).cast(DoubleType) / count(ac)
       case "range" =>
-        abs(max(ac) - min(ac)).as(alias)
+        abs(max(ac) - min(ac))
       case other => throw new IllegalArgumentException(s"agg $other")
     }
+    // `::` cast chains apply to aggregate outputs too — the reference's
+    // own flagship example is min(ts)::timediff(max(ts))
+    // (utils_columns.py:1901)
+    casts.foldLeft(base)((c, cst) => applyCast(c, cst, tz)).as(alias)
+  }
+
+  /** Split a projection item into (base expression, `::` cast suffixes)
+    * at paren depth 0 — `min(ts)::timediff(max(ts))` must not split
+    * inside the cast argument. */
+  private def splitCasts(raw: String): (String, Seq[String]) = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < raw.length) {
+      val ch = raw.charAt(i)
+      if (ch == '(') { depth += 1; cur.append(ch); i += 1 }
+      else if (ch == ')') { depth -= 1; cur.append(ch); i += 1 }
+      else if (depth == 0 && ch == ':' && i + 1 < raw.length &&
+          raw.charAt(i + 1) == ':') {
+        parts += cur.toString; cur.clear(); i += 2
+      }
+      else { cur.append(ch); i += 1 }
+    }
+    parts += cur.toString
+    (parts.head, parts.tail.toSeq)
   }
 
   /** Scalar projection item: bare column, date_trunc/extract passthrough,
     * and the `::` casting-suffix chain (utils_columns.py:1963-1977). */
   private def compileScalar(raw: String, tz: Option[String]): Column = {
-    val parts = raw.split("::")
-    var c: Column = {
-      val head = parts(0).trim
+    val (head0, casts) = splitCasts(raw)
+    val base: Column = {
+      val head = head0.trim
       functionName(head) match {
         case Some("date_trunc") =>
           val args = splitTopLevel(argsOf(head), ',').map(_.trim)
@@ -474,36 +536,72 @@ object EdgeSql {
           else expr(head)
       }
     }
-    parts.drop(1).foreach { cast0 =>
-      val cst = cast0.trim
-      val fn = cst.takeWhile(ch => ch.isLetter)
-      val arg = if (cst.contains("(")) cst.substring(cst.indexOf('(') + 1,
-        cst.lastIndexOf(')')) else ""
-      fn match {
-        case "int" => c = c.cast("long")
-        case "str" => c = c.cast("string")
-        case "float" =>
-          val digits = arg.stripPrefix("%")
-          c = round(c.cast("double"), if (digits.isEmpty) 2 else digits.toInt)
-        case "ljust" => c = rpad(c.cast("string"), arg.toInt, " ")
-        case "rjust" => c = lpad(c.cast("string"), arg.toInt, " ")
-        case "lstrip" => c = ltrim(c.cast("string"))
-        case "rstrip" => c = rtrim(c.cast("string"))
-        case "replace" =>
-          val m = "(.+) by (.*)".r.findFirstMatchIn(arg).getOrElse(
-            throw new IllegalArgumentException(s"replace($arg)"))
-          c = regexp_replace(c.cast("string"),
-            java.util.regex.Pattern.quote(m.group(1).trim), m.group(2).trim)
-        case "datetime" => c = c.cast("timestamp")
-        case "timezone" =>
-          c = from_utc_timestamp(c, tz.getOrElse("UTC"))
-        case other =>
-          throw new IllegalArgumentException(s"unsupported cast ::$other")
-      }
+    casts.foldLeft(base)((c, cst) => applyCast(c, cst, tz))
+  }
+
+  /** One `::` casting suffix (the reference's casting_methods_ registry,
+    * utils_columns.py:1963-1977). */
+  private def applyCast(c0: Column, cast0: String, tz: Option[String])
+      : Column = {
+    val cst = cast0.trim
+    val fn = cst.takeWhile(ch => ch.isLetter)
+    val arg = if (cst.contains("(")) cst.substring(cst.indexOf('(') + 1,
+      cst.lastIndexOf(')')) else ""
+    fn match {
+      case "int" => c0.cast("long")
+      case "str" => c0.cast("string")
+      case "float" =>
+        // float(n) = round to n digits; float(%n) additionally renders
+        // with thousands separators ("{:,.nf}", utils_columns.py:1787 —
+        // HALF_EVEN in both format_number and python/fmt)
+        if (arg.startsWith("%")) {
+          val digits = if (arg.length > 1) arg.substring(1).toInt else 2
+          format_number(c0.cast("double"), digits)
+        } else
+          round(c0.cast("double"), if (arg.isEmpty) 2 else arg.toInt)
+      case "format" =>
+        // "{spec}".format(value) (cast_with_format,
+        // utils_columns.py:1837-1848) — the printf-expressible subset
+        val fixed = "^:\\.(\\d+)f$".r
+        val thousands = "^:,\\.(\\d+)f$".r
+        val intPad = "^:(0?)(\\d+)d$".r
+        arg.trim match {
+          case fixed(d) => format_string(s"%.${d}f", c0.cast("double"))
+          case thousands(d) => format_number(c0.cast("double"), d.toInt)
+          case intPad(z, w) =>
+            format_string(s"%${if (z.nonEmpty) "0" else ""}${w}d",
+              c0.cast("long"))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported format($other)")
+        }
+      case "timediff" =>
+        // HH:MM:SS.f of |value - other| (ret_time_diff,
+        // utils_columns.py:1895-1913: seconds_to_hms + frac*100000)
+        val other = expr(arg).cast("timestamp")
+        val secs = abs(c0.cast("timestamp").cast("double") -
+          other.cast("double"))
+        val h = floor(secs / 3600).cast("long")
+        val m = floor((secs - h * 3600) / 60).cast("long")
+        val s2 = floor(secs - h * 3600 - m * 60).cast("long")
+        val frac = floor((secs - floor(secs)) * 100000).cast("long")
+        format_string("%02d:%02d:%02d.%d", h, m, s2, frac)
+      case "ljust" => rpad(c0.cast("string"), arg.toInt, " ")
+      case "rjust" => lpad(c0.cast("string"), arg.toInt, " ")
+      case "lstrip" => ltrim(c0.cast("string"))
+      case "rstrip" => rtrim(c0.cast("string"))
+      case "replace" =>
+        val m = "(.+) by (.*)".r.findFirstMatchIn(arg).getOrElse(
+          throw new IllegalArgumentException(s"replace($arg)"))
+        regexp_replace(c0.cast("string"),
+          java.util.regex.Pattern.quote(m.group(1).trim), m.group(2).trim)
+      case "datetime" => c0.cast("timestamp")
+      case "timezone" =>
+        // UTC storage -> caller timezone at the presentation edge
+        // (utils_columns.py:1655-1712)
+        from_utc_timestamp(c0, tz.getOrElse("UTC"))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported cast ::$other")
     }
-    // UTC storage -> caller timezone at the presentation edge
-    // (utils_columns.py:1655-1712)
-    c
   }
 
   /** Extract a bounded time range for `tsCol` from a WHERE text

@@ -24,6 +24,24 @@ import graft.ingest.SchemaInference
   */
 final class Engine(val spark: SparkSession, val catalog: Catalog) {
 
+  /** Transport for `dest=kafka@host:port` output
+    * (api/al_kafka.py get_producer/send_data; dest registry
+    * cmd/member_cmd.py:142-148): (bootstrapServers, topic, payload).
+    * This container ships no Kafka client jar, so the default fails with
+    * guidance; deployments (and specs) inject a producer. */
+  var kafkaTransport: (String, String, String) => Unit = { (servers, _, _) =>
+    throw new IllegalStateException(
+      s"no kafka client on the classpath to reach $servers — add " +
+        "kafka-clients and set Engine.kafkaTransport")
+  }
+
+  /** Node dictionary (the reference's params dict — `!var` values that
+    * extend=() can stamp into results) and the node's own address
+    * (@ip/@port extends). */
+  private var dict = Map.empty[String, String]
+  var nodeAddress: (String, Int) = ("127.0.0.1", 0)
+  def setVar(name: String, value: String): Unit = dict += name -> value
+
   /** Per-table high-watermark of fully-replicated rows (the reference's
     * HA "committed" boundary, dbms/ha.py:225 safe ids). */
   private var safeTsdIds = Map.empty[String, Int]
@@ -33,7 +51,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
   /** Run a `sql` command, returning the DataFrame (pre-rendering). */
   def query(command: String): DataFrame = {
     val cmd = EdgeSql.parseCommand(command)
-    val df = EdgeSql.query(spark, loadWithOptions(cmd), command)
+    val df = EdgeSql.query(spark, loadWithOptions(cmd), command,
+      vars = dict, nodeAddress = nodeAddress)
     df
   }
 
@@ -152,6 +171,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     else if (low.startsWith("policy get "))
       catalog.policy(t.substring("policy get ".length).trim)
         .getOrElse(throw new IllegalArgumentException("unknown policy"))
+    else if (low.startsWith("set ") && t.contains("=")) {
+      // dictionary assignment (the reference's params dict; scripts use
+      // `name = value`, surfaced here as `set name = value`)
+      val eq = t.indexOf('=')
+      val name = t.substring(4, eq).trim
+      val value = t.substring(eq + 1).trim
+      setVar(name, value)
+      s"$name = $value"
+    }
+    else if (low == "get dictionary")
+      dict.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }.mkString("\n")
     else if (low == "get tables") catalog.tableNames.mkString("\n")
     else if (low == "get views") catalog.viewNames.mkString("\n")
     else throw new IllegalArgumentException(s"unknown command: $command")
@@ -206,6 +236,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         val path = d.stripPrefix("file:")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path), out)
         s"written to $path"
+      case Some(d) if d.startsWith("kafka@") =>
+        // kafka@ip:port + topic=<t> (output_data.py:75-77, send :297)
+        val servers = d.stripPrefix("kafka@")
+        val topic = cmd.options.getOrElse("topic", "graft")
+        kafkaTransport(servers, topic, out)
+        s"sent to kafka@$servers topic=$topic"
       case _ => out
     }
   }

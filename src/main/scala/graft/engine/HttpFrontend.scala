@@ -93,7 +93,11 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
 
   def start(): Int = {
     server.start()
-    server.getAddress.getPort
+    val port = server.getAddress.getPort
+    // @port extends report the live REST port (the reference stamps the
+    // answering node's address, unify_results.py:1260)
+    engine.nodeAddress = (engine.nodeAddress._1, port)
+    port
   }
 
   def stop(): Unit = server.stop(0)

@@ -543,6 +543,21 @@ object PipelineQueries {
         max(col("checksum")).as("max_checksum"))
       .orderBy(col("modality"))
   }
+  /** The stub decode IS SQL-expressible: payload = utf-8 bytes of `text`
+    * (a pure-ASCII corpus, verified octet_length == length for every
+    * row), so checksum = the byte-fold polyhash = dPoly over codepoints
+    * and n_bytes = length(text). The q58 aggregate only consumes
+    * (n_bytes, checksum), so the oracle closes the loop on the
+    * mapPartitions decode path without needing float features in SQL. */
+  private val q58Sql = s"""
+    WITH f AS (SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'text_a' ELSE 'text_b' END AS modality,
+        length(text) AS n_bytes, ${dPoly("text")} AS checksum
+      FROM documents)
+    SELECT modality, count(*) AS n,
+      CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      min(checksum) AS min_checksum, max(checksum) AS max_checksum
+    FROM f GROUP BY modality ORDER BY modality"""
 
   /** q59 — char 5-gram Jaccard near-dup over the first 128 chars: the
     * tokenless-script variant of q28 (CJK and code have no whitespace
@@ -847,5 +862,6 @@ object PipelineQueries {
     "q35_quality_score" -> q35Sql,
     "q36_token_stats" -> q36Sql,
     "q37_fingerprint_winnow" -> q37Sql,
-    "q38_binary_columns" -> q38Sql)
+    "q38_binary_columns" -> q38Sql,
+    "q58_multimodal_features" -> q58Sql)
 }

@@ -16,10 +16,9 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle (known rows-only exceptions)") {
-    // mapPartitions-based ops are not SQL-expressible -> driver records
-    // a rows-only check for them
-    val rowsOnly = Set("q58_multimodal_features")
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- rowsOnly)
+  test("every query has an oracle") {
+    // q58's stub decode turned out SQL-expressible over the pure-ASCII
+    // corpus, so the rows-only exception set is now empty
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
   }
 }

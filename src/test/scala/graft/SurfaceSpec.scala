@@ -399,6 +399,68 @@ class HttpFrontendSpec extends SparkSpec {
   }
 }
 
+class ExtendVarsSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  test("extend !var.type / @ip / @port with aliases stamp result columns") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val engine = new Engine(spark, cat)
+    engine.nodeAddress = ("10.0.0.7", 32048)
+    engine.execute("set disk_space = 512")
+    assert(engine.execute("get dictionary").contains("disk_space = 512"))
+    val df = engine.query(
+      """sql edge extend=(@ip, @port.int, !disk_space.int as space, +prod) """ +
+        """"select ip, port, space, prod, count(*) as n from events """ +
+        """group by ip, port, space, prod"""")
+    val r = df.head()
+    assert(r.getAs[String]("ip") === "10.0.0.7")
+    assert(r.getAs[Long]("port") === 32048L)
+    assert(r.getAs[Long]("space") === 512L)
+    assert(r.getAs[String]("prod") === "prod")
+    assert(r.getAs[Long]("n") > 0)
+  }
+
+  test("undefined !var is an error") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val engine = new Engine(spark, cat)
+    val e = intercept[IllegalArgumentException](engine.query(
+      """sql edge extend=(!nope.int) "select count(*) as n from events""""))
+    assert(e.getMessage.contains("undefined variable"))
+  }
+}
+
+class KafkaDestSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  test("dest=kafka@host routes rendered output through the transport") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val engine = new Engine(spark, cat)
+    val sent = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    engine.kafkaTransport = (s, t, p) => sent += ((s, t, p))
+    val reply = engine.execute(
+      """sql edge dest=kafka@broker:9092 topic=alerts format=json:list """ +
+        """"select event_type, count(*) as n from events group by event_type """ +
+        """order by event_type"""")
+    assert(reply === "sent to kafka@broker:9092 topic=alerts")
+    assert(sent.length === 1)
+    val (servers, topic, payload) = sent.head
+    assert(servers === "broker:9092" && topic === "alerts")
+    assert(payload.contains("\"event_type\""))
+  }
+
+  test("kafka dest without a transport fails with guidance") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val engine = new Engine(spark, cat)
+    val e = intercept[IllegalStateException](engine.execute(
+      """sql edge dest=kafka@b:9092 "select count(*) as n from events""""))
+    assert(e.getMessage.contains("kafka"))
+  }
+}
+
 class PutIngestSpec extends SparkSpec {
   import graft.engine.{Catalog, Engine, HttpFrontend}
   import org.apache.spark.sql.functions._
