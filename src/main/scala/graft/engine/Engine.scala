@@ -42,6 +42,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
   var nodeAddress: (String, Int) = ("127.0.0.1", 0)
   def setVar(name: String, value: String): Unit = dict += name -> value
 
+  /** Ingest ledger (almgm.tsd_info) — every PUT batch is recorded here,
+    * duplicate payload hashes are refused, and `get tsd list` renders
+    * it. */
+  val tsdLedger = new graft.ingest.TsdLedger
+
   /** Per-table high-watermark of fully-replicated rows (the reference's
     * HA "committed" boundary, dbms/ha.py:225 safe ids). */
   private var safeTsdIds = Map.empty[String, Int]
@@ -132,9 +137,30 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           case None => raw
         }
     }
+    // ledger first: UNIQUE(file_hash) makes re-ingest of an identical
+    // payload a no-op (tsd_info hash_index, db_info.py:1750) — the
+    // idempotence a retrying REST client needs
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(trimmed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val n = aligned.count()
-    aligned.write.mode("append").parquet(path)
-    n
+    tsdLedger.record("edge", table, "rest_put", hash,
+      instructions.getOrElse("0"), n) match {
+      case None => 0L // duplicate payload — already ingested
+      case Some(tsdId) =>
+        // stamp the TSD lineage only when the table carries system
+        // columns (suggest_create_table.py:255 adds them at creation)
+        val schemaCols = catalog.tableSchema(table)
+          .map(_.fieldNames.toSet).getOrElse(Set.empty)
+        val stamped =
+          if (schemaCols.contains("tsd_id"))
+            graft.ingest.SystemColumns.stamp(
+              aligned.drop("row_id", "insert_timestamp", "tsd_name",
+                "tsd_id"), "rst", tsdId)
+          else aligned
+        stamped.write.mode("append").parquet(path)
+        n
+    }
   }
 
   /** Execute any command; returns rendered text output. */
@@ -179,6 +205,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       val value = t.substring(eq + 1).trim
       setVar(name, value)
       s"$name = $value"
+    }
+    else if (low.startsWith("get tsd list")) {
+      // the tsd_info SELECT surface (ha.py get_recent_tsd_info reads the
+      // same table to answer peers)
+      val tbl = t.substring("get tsd list".length).trim match {
+        case "" => None
+        case s => Some(s)
+      }
+      Render.table(tsdLedger.df(spark).transform(d =>
+        tbl.fold(d)(x => d.filter(col("table_name") === x)))
+        .orderBy(col("file_id")))
     }
     else if (low == "get dictionary")
       dict.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }.mkString("\n")

@@ -1,0 +1,64 @@
+package graft.ingest
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ingest ledger — the reference's `almgm.tsd_info` table
+  * (/root/reference/edge_lake/dbms/db_info.py:1738 DDL: file_id SERIAL,
+  * dbms_name, table_name, source, file_hash UNIQUE, instructions,
+  * file_time, rows, status1/2): one row per ingested file/batch. It is
+  * what the HA "committed" watermark and duplicate-file rejection read,
+  * and what `get tsd list` renders.
+  *
+  * Ledger entries are driver-side metadata (one per ingest BATCH, not per
+  * row — thousands, not billions), so a plain in-memory vector exposed as
+  * a DataFrame is the right scale shape; a fleet deployment swaps the
+  * store for a shared Delta/JDBC table behind the same interface. The
+  * UNIQUE(file_hash) index becomes an idempotence check: re-ingesting an
+  * already-seen payload is refused, exactly the reference's semantics.
+  */
+final class TsdLedger {
+
+  final case class Entry(fileId: Int, dbms: String, table: String,
+      source: String, fileHash: String, instructions: String,
+      fileTime: Timestamp, rows: Long, status1: String, status2: String)
+
+  private var entries = Vector.empty[Entry]
+  private var nextId = 1
+
+  /** Record an ingest batch; returns the assigned tsd_id, or None when
+    * the file_hash was already ingested (the unique hash_index — the
+    * caller must skip the duplicate payload). */
+  def record(dbms: String, table: String, source: String, fileHash: String,
+      instructions: String, rows: Long): Option[Int] = synchronized {
+    if (entries.exists(_.fileHash == fileHash)) None
+    else {
+      val id = nextId
+      nextId += 1
+      entries :+= Entry(id, dbms, table, source, fileHash, instructions,
+        new Timestamp(System.currentTimeMillis()), rows, "", "")
+      Some(id)
+    }
+  }
+
+  /** Highest ledger id recorded for a table (0 when none) — the local
+    * input to the cluster's safe-id consensus (dbms/ha.py:225). */
+  def maxId(table: String): Int = synchronized {
+    entries.filter(_.table == table).map(_.fileId).maxOption.getOrElse(0)
+  }
+
+  def list(table: Option[String]): Seq[Entry] = synchronized {
+    table.fold(entries)(t => entries.filter(_.table == t))
+  }
+
+  /** The ledger as a queryable DataFrame (tsd_info SELECT surface). */
+  def df(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    synchronized {
+      entries.map(e => (e.fileId, e.dbms, e.table, e.source, e.fileHash,
+        e.instructions, e.fileTime, e.rows))
+    }.toDF("file_id", "dbms_name", "table_name", "source", "file_hash",
+      "instructions", "file_time", "rows")
+  }
+}

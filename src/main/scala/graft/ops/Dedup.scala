@@ -226,15 +226,80 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** IVF-style top-k: vectors assigned to their nearest seed centroid
-    * (squared-L2 argmin, ties to the lowest centroid id), probes search
-    * only their own cell. `centroids` must be small (broadcast). */
-  def ivfTopK(corpus: DataFrame, probeFilter: Column, vecCol: String,
-      idCol: String, k: Int, numCentroids: Int): DataFrame = {
+  /** Nearest-centroid assignment (squared-L2 argmin, ties to the lowest
+    * centroid id) — the shared kernel of IVF search and k-means. */
+  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents))
+      .select(col("id"), col("v"), col("n2"), col("cent_id"),
+        (col("n2") - lit(2.0) * F.dotF(col("v"), col("cv")) + col("cn2"))
+          .as("dist2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("dist2"), col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("n2"), col("cent_id"), col("dist2"))
+
+  /** Lloyd's k-means refinement of the IVF seed centroids: `iters`
+    * rounds of assign (broadcast centroids, map-side) + recenter (one
+    * aggregate per round over (cell, dimension)). Each round's centroid
+    * table is tiny (k rows) and localCheckpoint'd so iteration lineage
+    * stays O(1) — the same discipline as Dedup.connectedComponents.
+    * Float means use double accumulation; partial-agg order makes the
+    * low bits nondeterministic, which is inherent to distributed k-means
+    * and harmless to search quality (cells shift by ULPs, not members).
+    */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 3): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       F.dotF(col(vecCol), col(vecCol)).as("n2"))
-    val cents = e.filter(col("id") < numCentroids)
+    var cents = e.filter(col("id") < k)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val recentered = assign(e, cents)
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), " +
+          "s -> cast(s.m as float))").as("cv"))
+        .select(col("cent_id"), col("cv"), F.dotF(col("cv"), col("cv")).as("cn2"))
+      // a cell that lost all members keeps its previous centroid
+      cents = cents.select(col("cent_id"), col("cv").as("old_cv"),
+          col("cn2").as("old_cn2"))
+        .join(recentered.toDF("cent_id", "new_cv", "new_cn2"),
+          Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_cv"), col("old_cv")).as("cv"),
+          coalesce(col("new_cn2"), col("old_cn2")).as("cn2"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Total within-cluster squared distance — the k-means objective, for
+    * measuring refinement quality. */
+  def inertia(corpus: DataFrame, cents: DataFrame, vecCol: String,
+      idCol: String): Double = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      F.dotF(col(vecCol), col(vecCol)).as("n2"))
+    assign(e, cents).agg(sum(col("dist2"))).head().getDouble(0)
+  }
+
+  /** IVF-style top-k: vectors assigned to their nearest centroid, probes
+    * search only their own cell. Centroids are the first `numCentroids`
+    * ids' vectors, optionally refined by `kmeansIters` Lloyd rounds
+    * (`centroids` stay small — broadcast). */
+  def ivfTopK(corpus: DataFrame, probeFilter: Column, vecCol: String,
+      idCol: String, k: Int, numCentroids: Int,
+      kmeansIters: Int = 0): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      F.dotF(col(vecCol), col(vecCol)).as("n2"))
+    val cents =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, vecCol, idCol, numCentroids, kmeansIters)
+      else e.filter(col("id") < numCentroids)
+        .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
     val assigned = e.join(broadcast(cents))
       .select(col("id"), col("v"), col("n2"), col("cent_id"),
         (col("n2") - lit(2.0) * F.dotF(col("v"), col("cv")) + col("cn2"))

@@ -80,4 +80,45 @@ object StreamOps {
       case None => withAvg
     }
   }
+
+  /** Streaming exact dedup: keep only the FIRST row per dedup key across
+    * the whole stream, with per-key state expired after `retentionMs` of
+    * processing time — the streaming face of the batch hash-dedup
+    * (ops.Dedup.exact) for continuous ingest.
+    *
+    * Spark's own `dropDuplicates` on a stream keeps state until the
+    * watermark; this variant uses `flatMapGroupsWithState` so the
+    * retention policy is explicit. retentionMs > 0 arms a
+    * processing-time timeout that expires idle keys (a re-sent payload
+    * after the window is admitted again — the at-least-once upstream
+    * contract of the reference's ingest buffers); note an armed timeout
+    * makes the micro-batch engine self-trigger to fire expirations, so
+    * pair it with a ProcessingTime trigger, not the default ASAP
+    * trigger. retentionMs <= 0 keeps state for the stream's lifetime.
+    * State per key is one boolean: bounded by distinct keys, never by
+    * row volume. */
+  def streamingDedup(df: DataFrame, keyCol: String,
+      retentionMs: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val rowEnc = RowEncoder.encoderFor(df.schema)
+    val keyIdx = df.schema.fieldIndex(keyCol)
+    val timeoutConf =
+      if (retentionMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, Row](OutputMode.Append, timeoutConf)(
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) => {
+          if (retentionMs > 0 && state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          }
+          else if (state.exists) Iterator.empty // key seen -> drop batch
+          else {
+            state.update(true)
+            if (retentionMs > 0) state.setTimeoutDuration(retentionMs)
+            rows.take(1) // first occurrence within the batch wins too
+          }
+        })(Encoders.scalaBoolean, rowEnc)
+  }
 }

@@ -159,6 +159,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(1).getAs[Boolean]("alert") === true)
   }
 
+  test("streamingDedup keeps first occurrence per key across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val src = mem.toDF().toDF("k", "v")
+    val deduped = StreamOps.streamingDedup(src, "k")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 3.0))
+      q.processAllAvailable()
+      mem.addData(("a", 4.0), ("c", 5.0)) // 'a' already seen -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("sdedup").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+      assert(rows.toSeq === Seq("a" -> 1.0, "b" -> 3.0, "c" -> 5.0))
+    } finally q.stop()
+  }
+
   test("monitor works on a stream with watermark (bounded state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -363,6 +363,25 @@ class IvfApiSpec extends SparkSpec {
     assert(api.exceptAll(q47).count() === 0)
     assert(q47.exceptAll(api).count() === 0)
   }
+
+  test("k-means refinement does not worsen the clustering objective") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val seed = embs
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        graft.functions.F.dotF(col("embedding"), col("embedding")).as("cn2"))
+      .filter(col("cent_id") < 16)
+    val refined = Similarity.kmeansCentroids(embs, "embedding", "vec_id",
+      k = 16, iters = 3)
+    assert(refined.count() === 16)
+    val before = Similarity.inertia(embs, seed, "embedding", "vec_id")
+    val after = Similarity.inertia(embs, refined, "embedding", "vec_id")
+    assert(after <= before * (1.0 + 1e-9),
+      s"inertia worsened: $before -> $after")
+    // refined centroids drive the same search API
+    val topk = Similarity.ivfTopK(embs, col("id") < 5, "embedding",
+      "vec_id", k = 3, numCentroids = 16, kmeansIters = 2)
+    assert(topk.count() > 0)
+  }
 }
 
 class IncrementalDedupSpec extends SparkSpec {

@@ -520,6 +520,24 @@ class PutIngestSpec extends SparkSpec {
     } finally fe.stop()
   }
 
+  test("duplicate PUT payloads are refused via the tsd ledger hash index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("put-dup").toString
+    Seq(("d0", 1.0)).toDF("device", "value")
+      .write.mode("overwrite").parquet(s"$dir/m")
+    val cat = new Catalog(spark)
+    cat.registerTable("m", s"$dir/m")
+    val engine = new Engine(spark, cat)
+    val body = """{"device": "d1", "value": 2.0}"""
+    assert(engine.ingest("m", body) === 1)
+    assert(engine.ingest("m", body) === 0) // same payload hash -> no-op
+    assert(engine.query("""sql edge "select count(*) as n from m"""")
+      .head().getLong(0) === 2)
+    val ledger = engine.execute("get tsd list m")
+    assert(ledger.contains("rest_put") && ledger.contains("m"))
+    assert(engine.tsdLedger.maxId("m") === 1)
+  }
+
   test("PUT with instructions routes rows through the mapping policy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("put-policy").toString
