@@ -106,5 +106,25 @@ class PipelinePlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("HashAggregate"))
+    // the degenerate self-join fix: no trivially-true h == h condition
+    // means the exact-dedup join must still be a real equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"))
+  }
+
+  test("q28: prefix-filtered jaccard joins are equi-joins with the " +
+      "positional filter, never nested-loop") {
+    val p = SparkEntry.queries("q28_dedup_jaccard_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // candidate join keys on the prefix token; PPJoin positional bound
+    // survives into the join condition
+    assert(p.contains("ph"))
+    assert(p.contains("least"))
+    // verify reads the materialized ordered index (checkpoint RDD scan),
+    // not a replay of the signature lineage
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
+      p.contains("ExistingRDD"))
   }
 }
