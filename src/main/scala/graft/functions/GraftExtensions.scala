@@ -42,7 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (args: Seq[Expression]) => DotProductExpr(args(0), args(1))),
       (FunctionIdentifier("vec_lsh"),
         info("vec_lsh", "random-hyperplane LSH bucket"),
-        (args: Seq[Expression]) => VecLshExpr(args(0), lit(args(1)))))
+        (args: Seq[Expression]) => VecLshExpr(args(0), lit(args(1)))),
+      (FunctionIdentifier("char_gram_hashes"),
+        info("char_gram_hashes", "distinct char k-gram polynomial hashes"),
+        (args: Seq[Expression]) => CharGramHashesExpr(args(0), lit(args(1)))),
+      (FunctionIdentifier("sorted_intersect_size"),
+        info("sorted_intersect_size",
+          "|A ∩ B| of two ascending-sorted distinct long arrays"),
+        (args: Seq[Expression]) =>
+          SortedIntersectSizeExpr(args(0), args(1))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =

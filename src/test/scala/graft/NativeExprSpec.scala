@@ -56,6 +56,39 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("char_gram_hashes == HOF char-gram spec (as sets)") {
+    val hof = "array_distinct(transform(" +
+      "sequence(0, greatest(length(head) - 5, 0)), " +
+      "i -> aggregate(filter(split(substring(head, i + 1, 5), ''), " +
+      "c -> c != ''), cast(0 as bigint), " +
+      "(a, c) -> (a*31 + cast(ascii(c) as bigint)) % 2147483647)))"
+    val both = docs.withColumn("head", expr("substring(text, 1, 128)"))
+      .select(sort_array(F.charGramHashes(col("head"), 5)).as("native"),
+        sort_array(expr(hof)).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("sorted_intersect_size == size(array_intersect) on sorted sets") {
+    val both = docs.select(
+      sort_array(F.shingleHashes(col("text"), 3)).as("a"),
+      sort_array(F.shingleHashes(expr("substring(text, 1, 200)"), 3)).as("b"))
+      .select(F.sortedIntersectSize(col("a"), col("b")).as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+    assert(both.filter(col("native") =!= col("builtin")).count() === 0)
+  }
+
+  test("polyhash folds code points — surrogate pairs match the SQL form") {
+    import spark.implicits._
+    // U+1F600 emoji (surrogate pair in UTF-16) + CJK: one term per code
+    // point in both the native loop and the split+ascii HOF
+    val rows = Seq("hello 😀 world", "中文 text 😀")
+      .toDF("text")
+    val both = rows.select(
+      F.simhash32(col("text")).as("native"),
+      TextOps.simHash(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("functions register into a session FunctionRegistry for SQL use") {
     val reg = spark.sessionState.functionRegistry
     new graft.functions.GraftExtensions().registrations.foreach {
@@ -66,9 +99,14 @@ class NativeExprSpec extends SparkSpec {
       "SELECT simhash32('spark catalyst tungsten') AS s, " +
         "minhash_sig(shingle_hashes('a b c d e', 3), 16) AS m, " +
         "dot_f(array(cast(1.0 as float), cast(2.0 as float)), " +
-        "      array(cast(3.0 as float), cast(4.0 as float))) AS d").head()
+        "      array(cast(3.0 as float), cast(4.0 as float))) AS d, " +
+        "char_gram_hashes('abcdefgh', 5) AS g, " +
+        "sorted_intersect_size(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS i")
+      .head()
     assert(out.getAs[Long]("s") >= 0L)
     assert(out.getAs[Seq[Long]]("m").length === 16)
     assert(out.getAs[Double]("d") === 11.0)
+    assert(out.getAs[Seq[Long]]("g").length === 4)
+    assert(out.getAs[Int]("i") === 2)
   }
 }

@@ -349,6 +349,35 @@ class ConnectedComponentsSpec extends SparkSpec {
   }
 }
 
+class BlobStoreSpec extends SparkSpec {
+  import graft.ops.BlobStore
+  import org.apache.spark.sql.functions._
+
+  test("externalize/hydrate round-trips and dedups identical payloads") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("blobs").toString
+    val rows = Seq(
+      (1L, "img", "payload-one"),
+      (2L, "img", "payload-two"),
+      (3L, "img", "payload-one"), // duplicate content -> same blob file
+      (4L, "img", null)
+    ).toDF("id", "modality", "s")
+      .withColumn("payload", expr("cast(s as binary)")).drop("s")
+    val slim = BlobStore.externalize(rows, "payload", "edge", "photos", dir)
+    val refs = slim.orderBy("id").collect().map(_.getAs[String]("payload"))
+    assert(refs(0) === refs(2))
+    assert(refs(0) != refs(1))
+    assert(refs(3) == null)
+    assert(refs(0).startsWith("edge.photos.") && refs(0).endsWith(".blob"))
+    // distinct contents -> exactly two blob files on disk
+    assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".blob")) === 2)
+    val back = BlobStore.hydrate(slim, "payload", dir).orderBy("id")
+      .collect().map(r => Option(r.getAs[Array[Byte]]("payload"))
+        .map(new String(_, "UTF-8")).orNull)
+    assert(back.toSeq === Seq("payload-one", "payload-two", "payload-one", null))
+  }
+}
+
 class IvfApiSpec extends SparkSpec {
   import graft.engine.Tables
   import graft.ops.Similarity
