@@ -585,15 +585,32 @@ object EdgeSql {
         val s2 = floor(secs - h * 3600 - m * 60).cast("long")
         val frac = floor((secs - floor(secs)) * 100000).cast("long")
         format_string("%02d:%02d:%02d.%d", h, m, s2, frac)
-      case "ljust" => rpad(c0.cast("string"), arg.toInt, " ")
-      case "rjust" => lpad(c0.cast("string"), arg.toInt, " ")
+      case "ljust" =>
+        // pad-or-truncate (cast_to_just, utils_columns.py:1816-1822):
+        // Spark's rpad both pads AND shortens to the FIRST n chars —
+        // exactly python ljust + [:n]
+        rpad(c0.cast("string"), arg.toInt, " ")
+      case "rjust" =>
+        // rjust truncation keeps the LAST n chars (`[-length:]`,
+        // utils_columns.py:1827); Spark's lpad would keep the first
+        val n = arg.toInt
+        val s = c0.cast("string")
+        when(length(s) > n, substring(s, -n, n))
+          .otherwise(lpad(s, n, " "))
       case "lstrip" => ltrim(c0.cast("string"))
       case "rstrip" => rtrim(c0.cast("string"))
       case "replace" =>
+        // FIRST-occurrence only (str.replace(a, b, 1),
+        // utils_columns.py:1863) — regexp_replace would replace all
         val m = "(.+) by (.*)".r.findFirstMatchIn(arg).getOrElse(
           throw new IllegalArgumentException(s"replace($arg)"))
-        regexp_replace(c0.cast("string"),
-          java.util.regex.Pattern.quote(m.group(1).trim), m.group(2).trim)
+        val a = m.group(1).trim
+        val b = m.group(2).trim
+        val s = c0.cast("string")
+        val pos = instr(s, a)
+        when(pos === 0, s).otherwise(concat(
+          s.substr(lit(1), pos - 1), lit(b),
+          s.substr(pos + a.length, lit(Int.MaxValue))))
       case "datetime" => c0.cast("timestamp")
       case "timezone" =>
         // UTC storage -> caller timezone at the presentation edge

@@ -61,6 +61,7 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     persist(s"policy_$id.json", json)
   }
   def policy(id: String): Option[String] = policies.get(id)
+  def policyList: Seq[(String, String)] = policies.toSeq.sortBy(_._1)
 
   /** Resolve a (table or view) name to a DataFrame: views compile to a
     * select-with-alias over their base table — Catalyst folds this into

@@ -197,6 +197,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     else if (low.startsWith("policy get "))
       catalog.policy(t.substring("policy get ".length).trim)
         .getOrElse(throw new IllegalArgumentException("unknown policy"))
+    else if (low.startsWith("blockchain insert") ||
+        low.startsWith("blockchain get ")) blockchainCmd(t)
     else if (low.startsWith("set ") && t.contains("=")) {
       // dictionary assignment (the reference's params dict; scripts use
       // `name = value`, surfaced here as `set name = value`)
@@ -224,6 +226,103 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     else throw new IllegalArgumentException(s"unknown command: $command")
   }
 
+  /** The reference's primary metadata interface
+    * (cmd/member_cmd.py:884-917 examples; local resolution
+    * `:1253 blockchain_get_local`):
+    *   blockchain insert where policy = <json>
+    *   blockchain get <type>|* [where k = v [and ...]]
+    *     [bring [path]... ["lit"]... [separator = <s>]]
+    * A policy is `{"<type>": {...}}`; `get` filters by type + attribute
+    * equality; `bring` projects paths out of each match. */
+  private def blockchainCmd(t: String): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val low = t.toLowerCase
+    if (low.startsWith("blockchain insert")) {
+      val idx = t.indexOf("policy =")
+      require(idx > 0, "blockchain insert where policy = <json>")
+      val json = t.substring(idx + "policy =".length).trim
+      val root = JsonMethods.parse(json)
+      val (ptype, inner) = root match {
+        case JObject((k, v) :: _) => (k, v)
+        case _ => throw new IllegalArgumentException("policy must be an object")
+      }
+      val id = (inner \ "id") match {
+        case JString(s) => s
+        case _ =>
+          // content-addressed id, like the ledger's hash key
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(json.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      catalog.addPolicy(id, json)
+      s"policy $ptype $id stored"
+    } else {
+      val rest = t.substring("blockchain get ".length).trim
+      // split off bring / where clauses
+      val bringIdx = rest.toLowerCase.indexOf(" bring ")
+      val (head, bringSpec) =
+        if (bringIdx >= 0) (rest.substring(0, bringIdx).trim,
+          Some(rest.substring(bringIdx + 7).trim))
+        else (rest, None)
+      val whereIdx = head.toLowerCase.indexOf(" where ")
+      val (ptype, conds) =
+        if (whereIdx >= 0) {
+          val w = head.substring(whereIdx + 7)
+          val kvs = w.split("(?i)\\s+and\\s+").toSeq.map { kv =>
+            val Array(k, v) = kv.split("=", 2).map(_.trim
+              .stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("'").stripSuffix("'"))
+            (k, v)
+          }
+          (head.substring(0, whereIdx).trim, kvs)
+        } else (head.trim, Nil)
+      def str(v: JValue): String = v match {
+        case JString(s) => s
+        case JInt(i) => i.toString
+        case JDouble(d) => d.toString
+        case JBool(b) => b.toString
+        case other => JsonMethods.compact(JsonMethods.render(other))
+      }
+      val matches = catalog.policyList.flatMap { case (_, json) =>
+        scala.util.Try(JsonMethods.parse(json)).toOption.collect {
+          case JObject((k, inner) :: _)
+              if (ptype == "*" || k == ptype) &&
+                conds.forall { case (ck, cv) => str(inner \ ck) == cv } =>
+            (k, inner, json)
+        }
+      }
+      bringSpec match {
+        case None => matches.map(_._3).mkString("[", ",", "]")
+        case Some(spec) =>
+          // bring items: [a][b] paths and quoted literals; trailing
+          // `separator = <s>` joins per-policy outputs
+          val sepRx = "(?i)\\s+separator\\s*=\\s*(\\S+)\\s*$".r
+          val (items, sep) = sepRx.findFirstMatchIn(spec) match {
+            case Some(m) => (spec.substring(0, m.start).trim,
+              m.group(1).stripPrefix("\"").stripSuffix("\"")
+                .replace("\\n", "\n"))
+            case None => (spec, "")
+          }
+          val tokRx = "(\\[[^\\]]+\\])+|\"[^\"]*\"|'[^']*'".r
+          val toks = tokRx.findAllIn(items).toSeq
+          matches.map { case (_, inner, _) =>
+            toks.map { tok =>
+              if (tok.startsWith("\"") || tok.startsWith("'"))
+                tok.substring(1, tok.length - 1)
+              else tok.stripPrefix("[").stripSuffix("]").split("\\]\\[")
+                .foldLeft(JObject(ptype -> inner): JValue) {
+                  // paths may start at the type key or inside it
+                  case (acc, seg) => acc \ seg match {
+                    case JNothing => inner \ seg
+                    case v => v
+                  }
+                } match { case v => str(v) }
+            }.mkString
+          }.mkString(sep)
+      }
+    }
+  }
+
   private def renderSql(command: String): String = {
     val cmd = EdgeSql.parseCommand(command)
     var df = query(command)
@@ -242,9 +341,40 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       case Some("json:output") => Render.jsonOutput(_)
       case _ => Render.json(_)
     }
-    val body =
+    def compute(): String =
       if (cmd.options.get("stat").contains("true")) Render.withStat(df, render)
       else render(df)
+
+    // query admission control (the reference's query_mode,
+    // cmd/member_cmd.py:97-100: per-query `max_time` cap enforced at
+    // :4433, reply `max_volume` cap default 10 MB)
+    val body = cmd.options.get("max_time") match {
+      case Some(secsStr) =>
+        val secs = secsStr.stripSuffix("s").trim.toLong
+        val group = s"graft-maxtime-${System.nanoTime}"
+        import scala.concurrent.{Await, Future, TimeoutException}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration._
+        val fut = Future {
+          // job group must be set on the THREAD that launches the jobs
+          spark.sparkContext.setJobGroup(group, command,
+            interruptOnCancel = true)
+          try compute() finally spark.sparkContext.clearJobGroup()
+        }
+        try Await.result(fut, secs.seconds)
+        catch { case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          throw new IllegalStateException(
+            s"query exceeded max_time = ${secs}s and was cancelled")
+        }
+      case None => compute()
+    }
+    cmd.options.get("max_volume").foreach { volStr =>
+      val cap = volStr.trim.toLong
+      val sz = body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      if (sz > cap) throw new IllegalStateException(
+        s"result volume $sz B exceeds max_volume = $cap B")
+    }
 
     // test=true + source=<golden file>: the reference's built-in
     // golden-output comparison (cmd/member_cmd.py:124-127 test/source

@@ -146,6 +146,25 @@ class EdgeSqlSpec extends SparkSpec {
     assert(rows.length === 3)
     assert(rows.head.schema("id_s").dataType.typeName === "string")
   }
+
+  test("just/replace casts match the reference's exact semantics") {
+    import spark.implicits._
+    // ljust truncates keeping the FIRST n chars; rjust keeps the LAST n
+    // (cast_to_just utils_columns.py:1816-1827); replace substitutes the
+    // FIRST occurrence only (str.replace(a, b, 1), :1863)
+    val df = Seq(("abcdef", "x-y-x-y")).toDF("s", "r")
+      .createOrReplaceTempView("just_t")
+    val out = EdgeSql.query(spark,
+      n => spark.table("just_t"),
+      """sql edge "select s::ljust(3) as lj, s::rjust(3) as rj, """ +
+        """s::ljust(8) as ljp, s::rjust(8) as rjp, """ +
+        """r::replace(x by z) as rep from just_t"""").head()
+    assert(out.getAs[String]("lj") === "abc")
+    assert(out.getAs[String]("rj") === "def")
+    assert(out.getAs[String]("ljp") === "abcdef  ")
+    assert(out.getAs[String]("rjp") === "  abcdef")
+    assert(out.getAs[String]("rep") === "z-y-x-y")
+  }
 }
 
 class TimezoneLiteralsSpec extends SparkSpec {

@@ -399,6 +399,56 @@ class HttpFrontendSpec extends SparkSpec {
   }
 }
 
+class BlockchainCmdSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  test("insert / get / bring over typed policies") {
+    val engine = new Engine(spark, new Catalog(spark))
+    engine.execute("""blockchain insert where policy = """ +
+      """{"operator": {"id": "op1", "dbms": "edge", "ip": "10.0.0.1", "port": 32148}}""")
+    engine.execute("""blockchain insert where policy = """ +
+      """{"operator": {"id": "op2", "dbms": "other", "ip": "10.0.0.2", "port": 32149}}""")
+    engine.execute("""blockchain insert where policy = """ +
+      """{"cluster": {"id": "cl1", "company": "acme"}}""")
+
+    val all = engine.execute("blockchain get operator")
+    assert(all.contains("op1") && all.contains("op2") && !all.contains("cl1"))
+
+    val filtered = engine.execute("blockchain get operator where dbms = edge")
+    assert(filtered.contains("op1") && !filtered.contains("op2"))
+
+    // the reference's canonical bring example (member_cmd.py:884)
+    val brought = engine.execute(
+      """blockchain get operator bring [operator][ip] ":" [operator][port] separator = ","""")
+    assert(brought === "10.0.0.1:32148,10.0.0.2:32149")
+
+    val star = engine.execute("blockchain get *")
+    assert(star.contains("cl1") && star.contains("op1"))
+  }
+}
+
+class AdmissionControlSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  private def engine() = {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    new Engine(spark, cat)
+  }
+
+  test("max_time within budget returns normally") {
+    val out = engine().execute(
+      """sql edge max_time=60 "select count(*) as n from events"""")
+    assert(out.contains("\"n\""))
+  }
+
+  test("max_volume caps the reply size") {
+    val e = intercept[IllegalStateException](engine().execute(
+      """sql edge max_volume=64 "select * from events""""))
+    assert(e.getMessage.contains("max_volume"))
+  }
+}
+
 class ExtendVarsSpec extends SparkSpec {
   import graft.engine.{Catalog, Engine}
 
