@@ -76,42 +76,43 @@ object Dedup {
       explode(F.shingleHashes(col(textCol), shingleN)).as("h"))
     // global order key: (df asc, h asc) — one aggregate on the hash
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
-    // per-doc globally-ordered token array, materialized ONCE
-    // (localCheckpoint): the signature kernel and the df join run a
-    // single time, and both the prefix explode and the verify probes
-    // below read the materialization instead of replaying the lineage.
-    // At cluster scale this is the "write the ordered index to storage"
-    // step of every AllPairs implementation.
-    val docsets = sh.join(dfreq, "h")
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ord"))
-      .select(col("id"),
-        expr("transform(ord, x -> x.h)").as("hs"),
-        // hash-ascending copy for the verify merge walk
-        sort_array(expr("transform(ord, x -> x.h)")).as("srt"),
-        size(col("ord")).as("n"))
-      .localCheckpoint()
-    // candidate pairs: self-join on prefix tokens ONLY (slim rows — no
-    // arrays carried; at 100 TB the array-carrying variant would shuffle
-    // O(n^2) bytes per long doc). The positional filter (PPJoin, Xiao et
-    // al.): at the first common prefix token, every remaining
-    // intersection token sits at or after that position in BOTH docs, so
-    // min(n - pos, n2 - pos2) upper-bounds |A∩B|; J >= t needs
-    // |A∩B| >= t/(1+t)*(n+n2) — pairs that cannot reach it never leave
-    // the join.
-    val prefix = docsets.select(col("id"), col("n"), posexplode(expr(
-      s"slice(hs, 1, n - cast(ceil(n * $threshold) as int) + 1)"))
-        .as(Seq("pos", "ph")))
+    // per-doc prefix rows straight from a window rank — no per-doc array
+    // build, no materialization: rank tokens within each doc by the
+    // global order, keep rank <= p = n - ceil(t*n) + 1. Slim 4-column
+    // rows; at 100 TB an array-carrying variant would shuffle O(n^2)
+    // bytes per long doc.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("h"))
+    val prefix = sh.join(dfreq, "h")
+      .select(col("id"), col("h"),
+        row_number().over(w).as("rank1"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")).as("n"))
+      .filter(col("rank1") <=
+        col("n") - ceil(col("n") * threshold).cast("int") + 1)
+      .select(col("id"), col("n"), (col("rank1") - 1).as("pos"),
+        col("h").as("ph"))
+    // candidate pairs: self-join on prefix tokens ONLY. The positional
+    // filter (PPJoin, Xiao et al.): at the globally-first common token,
+    // every remaining intersection token sits at or after that position
+    // in BOTH docs, so min(n - pos, n2 - pos2) upper-bounds |A∩B|;
+    // J >= t needs |A∩B| >= t/(1+t)*(n+n2) — pairs that cannot reach it
+    // never leave the join (measured 409k -> 125k candidates at sf0.1
+    // for 256 true pairs).
     val minOverlapFrac = threshold / (1.0 + threshold)
     val cand = prefix.join(prefix.toDF("id2", "n2", "pos2", "ph2"),
         col("ph") === col("ph2") && col("id") < col("id2") &&
         least(col("n") - col("pos"), col("n2") - col("pos2")) >=
           (col("n") + col("n2")) * minOverlapFrac)
       .select(col("id").as("id_a"), col("id2").as("id_b")).distinct()
-    // exact verify against the materialized full sets: native merge-walk
-    // intersect over the hash-sorted copies (size(array_intersect) builds
-    // a hash set per row — measured 10x slower on the candidate volume)
-    val sets = docsets.select(col("id"), col("srt"), col("n"))
+    // exact verify: full hash sets are a PURE MAP over the input (only
+    // prefixes need the frequency order), recomputed map-side per probe
+    // join — cheaper than materializing at any scale. Native merge-walk
+    // intersect over hash-sorted arrays (size(array_intersect) builds a
+    // hash set per row — measured 10x slower on the candidate volume).
+    val sets = df.select(col(idCol).as("id"),
+      sort_array(F.shingleHashes(col(textCol), shingleN)).as("srt"))
+      .select(col("id"), col("srt"), size(col("srt")).as("n"))
     cand.join(sets.toDF("id_a", "ha", "na"), "id_a")
       .join(sets.toDF("id_b", "hb", "nb"), "id_b")
       .withColumn("inter", F.sortedIntersectSize(col("ha"), col("hb")))

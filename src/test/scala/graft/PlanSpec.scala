@@ -122,9 +122,9 @@ class PipelinePlanSpec extends SparkSpec {
     // survives into the join condition
     assert(p.contains("ph"))
     assert(p.contains("least"))
-    // verify reads the materialized ordered index (checkpoint RDD scan),
-    // not a replay of the signature lineage
-    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD") ||
-      p.contains("ExistingRDD"))
+    // the verify path uses the native merge-walk intersect, not the
+    // hash-set-per-row builtin
+    assert(p.contains("sortedintersectsizeexpr") ||
+      p.toLowerCase.contains("sortedintersectsize"))
   }
 }
