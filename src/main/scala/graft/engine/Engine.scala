@@ -403,6 +403,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         val path = d.stripPrefix("file:")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path), out)
         s"written to $path"
+      case Some("buffer") =>
+        // dest=buffer assigns the rendered output to a dictionary
+        // variable (dest_values member_cmd.py:146; key option
+        // `output_key`, output_data.py:53-55) readable via
+        // `get dictionary` / extend !var
+        val key = cmd.options.getOrElse("output_key", "buffer")
+        setVar(key, out)
+        s"assigned to !$key"
       case Some(d) if d.startsWith("kafka@") =>
         // kafka@ip:port + topic=<t> (output_data.py:75-77, send :297)
         val servers = d.stripPrefix("kafka@")

@@ -501,6 +501,17 @@ class KafkaDestSpec extends SparkSpec {
     assert(payload.contains("\"event_type\""))
   }
 
+  test("dest=buffer assigns output to a dictionary variable") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val engine = new Engine(spark, cat)
+    val reply = engine.execute(
+      """sql edge dest=buffer output_key=evcount format=json:list """ +
+        """"select count(*) as n from events"""")
+    assert(reply === "assigned to !evcount")
+    assert(engine.execute("get dictionary").contains("evcount"))
+  }
+
   test("kafka dest without a transport fails with guidance") {
     val cat = new Catalog(spark)
     cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
