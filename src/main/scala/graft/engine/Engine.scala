@@ -35,6 +35,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         "kafka-clients and set Engine.kafkaTransport")
   }
 
+  /** Data root for tables auto-created by PUT ingest (the reference
+    * creates operator tables from the first arriving data,
+    * dbms/create_table.py:156 create_new_table). Unset -> unknown-table
+    * PUTs are rejected. */
+  var dataDir: Option[String] = None
+
   /** Node dictionary (the reference's params dict — `!var` values that
     * extend=() can stamp into results) and the node's own address
     * (@ip/@port extends). */
@@ -118,9 +124,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     val lines: Seq[String] =
       if (trimmed.startsWith("[")) Seq(trimmed)
       else trimmed.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-    val path = catalog.tablePath(table).getOrElse(
-      throw new IllegalArgumentException(
-        s"unknown table $table — register it before PUT ingest"))
+    // unknown table + a configured data root -> auto-create from the
+    // arriving data with the inferred schema + system columns
+    // (create_table.py:156 create_new_table / suggest_create_table)
+    val path = catalog.tablePath(table).orElse(dataDir.map { root =>
+      val p = s"$root/$table"
+      val schema = SchemaInference.suggestCreate(jsonRowsToMaps(lines))
+      catalog.registerTable(table, p, Some(schema))
+      p
+    }).getOrElse(throw new IllegalArgumentException(
+      s"unknown table $table — register it (or set a data dir) before PUT"))
     val aligned = instructions.flatMap(catalog.policy) match {
       case Some(policyJson) =>
         graft.ingest.MappingPolicy.compile(
@@ -481,27 +494,32 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
 
   /** suggest create <table> from <json-array-of-docs> — the reference's
     * schema-inference output (suggest_create_table.py:292). */
+  /** JSON documents (objects or arrays of objects) -> untyped row maps
+    * for schema inference. */
+  private def jsonRowsToMaps(lines: Seq[String]): Seq[Map[String, Any]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def rows(v: JValue): Seq[Map[String, Any]] = v match {
+      case JArray(docs) => docs.flatMap(rows)
+      case JObject(fields) => Seq(fields.map {
+        case (k, JString(s)) => k -> (s: Any)
+        case (k, JInt(i)) => k -> (
+          if (i.isValidLong) (i.toLong: Any) else (i.toString: Any))
+        case (k, JDouble(d)) => k -> (d: Any)
+        case (k, JBool(b)) => k -> (b: Any)
+        case (k, JArray(a)) => k -> (a.map(_.values): Any)
+        case (k, x) => k -> (x.values: Any)
+      }.toMap)
+      case _ => Nil
+    }
+    lines.flatMap(l => rows(JsonMethods.parse(l)))
+  }
+
   private def suggestCreate(t: String): String = {
     val rx = "(?is)suggest create\\s+(\\S+)\\s+from\\s+(\\[.*\\])".r
     rx.findFirstMatchIn(t) match {
       case Some(m) =>
-        import org.json4s._
-        import org.json4s.jackson.JsonMethods
-        val rows = JsonMethods.parse(m.group(2)) match {
-          case JArray(docs) => docs.map {
-            case JObject(fields) => fields.map {
-              case (k, JString(v)) => k -> (v: Any)
-              case (k, JInt(v)) => k -> (
-                if (v.isValidLong) (v.toLong: Any) else (v.toString: Any))
-              case (k, JDouble(v)) => k -> (v: Any)
-              case (k, JBool(v)) => k -> (v: Any)
-              case (k, JArray(a)) => k -> (a.map(_.values): Any)
-              case (k, v) => k -> (v.values: Any)
-            }.toMap
-            case _ => Map.empty[String, Any]
-          }
-          case _ => Nil
-        }
+        val rows = jsonRowsToMaps(Seq(m.group(2)))
         val inferred = SchemaInference.inferSchema(rows)
         val sysCols = Seq(
           "row_id BIGINT", "insert_timestamp TIMESTAMP",

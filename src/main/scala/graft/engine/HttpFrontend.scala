@@ -30,12 +30,17 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
       if (ex.getRequestMethod == "PUT") { handlePut(ex); return }
       val command = ex.getRequestMethod match {
         case "GET" =>
-          Option(ex.getRequestURI.getRawQuery).getOrElse("")
-            .split("&").collectFirst {
-              case p if p.startsWith("command=") =>
-                java.net.URLDecoder.decode(
-                  p.substring("command=".length), "UTF-8")
-            }.getOrElse("")
+          // the reference's canonical REST shape sends the command in
+          // the `command` HEADER (http_server.py:931 do_GET; curl
+          // examples use -H "command: sql ..."); the ?command= query
+          // param is the browser-friendly alternative
+          Option(ex.getRequestHeaders.getFirst("command")).getOrElse(
+            Option(ex.getRequestURI.getRawQuery).getOrElse("")
+              .split("&").collectFirst {
+                case p if p.startsWith("command=") =>
+                  java.net.URLDecoder.decode(
+                    p.substring("command=".length), "UTF-8")
+              }.getOrElse(""))
         case _ =>
           new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
       }

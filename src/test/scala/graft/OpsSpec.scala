@@ -233,6 +233,35 @@ class DedupApiSpec extends SparkSpec {
     assert(out.filter(col("jaccard") < 0.5).count() === 0)
   }
 
+  test("prefix filtering stays COMPLETE under adversarial hot shingles") {
+    // every doc gets the same boilerplate prefix -> its shingles have
+    // df = N (the hot-token worst case that makes a raw inverted-index
+    // join quadratic). The prefix-filtered result must still equal the
+    // raw-formulation reference exactly.
+    val corpus = docs.limit(120).select(col("doc_id"),
+      concat(lit("terms of service apply to all content herein " +
+        "all rights reserved by the original author "), col("text"))
+        .as("text"))
+    val fast = Dedup.jaccardPairs(corpus, "text", "doc_id", threshold = 0.5)
+    // raw reference: full inverted-index join (the oracle formulation)
+    val sh = corpus.select(col("doc_id").as("id"),
+      explode(graft.functions.F.shingleHashes(col("text"), 3)).as("h"))
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val raw = sh.join(sh.toDF("id2", "h2"),
+        col("h") === col("h2") && col("id") < col("id2"))
+      .groupBy(col("id").as("id_a"), col("id2").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.toDF("id_a", "na"), "id_a")
+      .join(sz.toDF("id_b", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+    assert(fast.exceptAll(raw).count() === 0)
+    assert(raw.exceptAll(fast).count() === 0)
+    assert(raw.count() > 0) // boilerplate pushes pairs over threshold
+  }
+
   test("embeddingNearDups verified by exact cosine") {
     val out = Dedup.embeddingNearDups(embs, "embedding", "vec_id")
     assert(out.filter(col("cos_sim") < 0.35).count() === 0)

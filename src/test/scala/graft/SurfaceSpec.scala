@@ -382,6 +382,14 @@ class HttpFrontendSpec extends SparkSpec {
       assert(resp.statusCode() === 200)
       assert(resp.body().contains("\"Query\": ["))
 
+      // command HEADER form (the reference's canonical REST shape)
+      val viaHeader = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/"))
+          .header("command", "get tables").build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(viaHeader.body() === "events")
+
       // POST body form + error path
       val post = client.send(
         java.net.http.HttpRequest.newBuilder(
@@ -579,6 +587,26 @@ class PutIngestSpec extends SparkSpec {
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() === 400)
     } finally fe.stop()
+  }
+
+  test("PUT auto-creates unknown tables from the data when a data dir is set") {
+    val dir = java.nio.file.Files.createTempDirectory("put-auto").toString
+    val cat = new Catalog(spark)
+    val engine = new Engine(spark, cat)
+    engine.dataDir = Some(dir)
+    val n = engine.ingest("fresh_t",
+      """{"device": "d1", "reading": 2.25, "ok": true}
+        |{"device": "d2", "reading": 3.5, "ok": false}""".stripMargin)
+    assert(n === 2)
+    // inferred user columns + the four system columns, tsd lineage stamped
+    val df = engine.query("""sql edge "select * from fresh_t"""")
+    assert(df.columns.toSet.contains("tsd_id"))
+    assert(df.count() === 2)
+    val r = engine.query(
+      """sql edge "select device, reading from fresh_t where ok = true"""")
+      .head()
+    assert(r.getString(0) === "d1" && r.getDouble(1) === 2.25)
+    assert(engine.tsdLedger.maxId("fresh_t") === 1)
   }
 
   test("duplicate PUT payloads are refused via the tsd ledger hash index") {
