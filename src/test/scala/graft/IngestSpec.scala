@@ -198,6 +198,74 @@ class StreamOpsSpec extends SparkSpec {
   }
 }
 
+class MqttBrokerSpec extends SparkSpec {
+  import graft.streaming.{MqttBroker, TopicRouter}
+  import graft.ingest.MappingPolicy
+
+  // raw MQTT 3.1.1 client frames — no client library needed
+  private def connectPacket: Array[Byte] = {
+    val varHeader = Array[Byte](0, 4, 'M', 'Q', 'T', 'T', 4, 2, 0, 60)
+    val clientId = "graft-test".getBytes("UTF-8")
+    val payload = Array[Byte](0, clientId.length.toByte) ++ clientId
+    Array[Byte](0x10, (varHeader.length + payload.length).toByte) ++
+      varHeader ++ payload
+  }
+  private def publishPacket(topic: String, msg: String, qos: Int,
+      packetId: Int = 7): Array[Byte] = {
+    val t = topic.getBytes("UTF-8")
+    val m = msg.getBytes("UTF-8")
+    val pid = if (qos > 0) Array[Byte](((packetId >> 8) & 0xff).toByte,
+      (packetId & 0xff).toByte) else Array.emptyByteArray
+    val body = Array[Byte](0, t.length.toByte) ++ t ++ pid ++ m
+    require(body.length < 128) // single-byte remaining length in tests
+    Array[Byte]((0x30 | (qos << 1)).toByte, body.length.toByte) ++ body
+  }
+
+  test("raw MQTT publishes arrive at the sink; QoS 1 gets PUBACK") {
+    val got = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]
+    val broker = new MqttBroker((t, p) => got.add((t, p)))
+    val port = broker.start()
+    try {
+      val sock = new java.net.Socket("localhost", port)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(connectPacket); out.flush()
+      val connack = new Array[Byte](4)
+      assert(in.read(connack) === 4 && connack(0) === 0x20.toByte)
+      out.write(publishPacket("factory/temp",
+        """{"device": "t1", "value": 21.5}""", qos = 0)); out.flush()
+      out.write(publishPacket("factory/pressure",
+        """{"device": "p1", "value": 2.5}""", qos = 1, packetId = 42))
+      out.flush()
+      val puback = new Array[Byte](4)
+      assert(in.read(puback) === 4)
+      assert(puback(0) === 0x40.toByte && puback(3) === 42.toByte)
+      // PINGREQ -> PINGRESP
+      out.write(Array[Byte](0xc0.toByte, 0x00)); out.flush()
+      val ping = new Array[Byte](2)
+      assert(in.read(ping) === 2 && ping(0) === 0xd0.toByte)
+      sock.close()
+      val deadline = System.currentTimeMillis + 5000
+      while (got.size < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(got.size === 2)
+
+      // the broker's frames drive the SAME TopicRouter chain as files
+      import spark.implicits._
+      val frames = got.toArray.map(_.asInstanceOf[(String, String)]).toSeq
+        .toDF("topic", "value")
+      val policy = MappingPolicy.Policy("edge", "temps", None, Seq(
+        MappingPolicy.ColumnSpec("device", "varchar", "[device]"),
+        MappingPolicy.ColumnSpec("value", "float", "[value]")))
+      val routed = TopicRouter.route(frames,
+        Seq(TopicRouter.Route("^factory/temp$", policy)))
+      val rows = routed(("edge", "temps")).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getString(0) === "t1")
+    } finally broker.stop()
+  }
+}
+
 class TopicRouterSpec extends SparkSpec {
   import spark.implicits._
   import graft.ingest.MappingPolicy
