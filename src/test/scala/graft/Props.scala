@@ -77,4 +77,51 @@ object GraftProps extends Properties("graft") {
       // joining again with either operand is a no-op (absorption law)
       widen(w, a) == w && widen(w, b) == w
     }
+
+  // ---- prefix-filtered AllPairs completeness (the theorem behind
+  // Dedup.jaccardPairs, mirrored in pure logic): a pair at or above the
+  // Jaccard threshold ALWAYS shares a token inside both docs' prefixes
+  // at a position passing the PPJoin bound. Small alphabets force heavy
+  // token sharing — the adversarial regime for the filter.
+  private val genDocSet: Gen[Set[Long]] = for {
+    n <- Gen.choose(1, 12)
+    toks <- Gen.listOfN(n, Gen.choose(0L, 20L))
+  } yield toks.toSet
+  private val genCorpus: Gen[List[Set[Long]]] =
+    Gen.choose(3, 9).flatMap(k => Gen.listOfN(k, genDocSet))
+
+  property("prefix+positional candidate generation is complete") =
+    forAll(genCorpus, Gen.oneOf(0.3, 0.5, 0.7)) { (docs, t) =>
+      val df = docs.flatten.groupBy(identity).map { case (h, o) =>
+        h -> o.size
+      }
+      // global total order: (df asc, token asc)
+      def ordered(s: Set[Long]): Vector[Long] =
+        s.toVector.sortBy(h => (df(h), h))
+      def prefix(s: Set[Long]): Vector[(Long, Int)] = {
+        val ord = ordered(s)
+        val p = ord.size - math.ceil(t * ord.size).toInt + 1
+        ord.take(p).zipWithIndex
+      }
+      val minFrac = t / (1.0 + t)
+      val candidates = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        pi = prefix(docs(i)); pj = prefix(docs(j))
+        ni = docs(i).size; nj = docs(j).size
+        shared = pi.exists { case (h, pos) =>
+          pj.exists { case (h2, pos2) =>
+            h == h2 &&
+              math.min(ni - pos, nj - pos2) >= (ni + nj) * minFrac
+          }
+        }
+        if shared
+      } yield (i, j)).toSet
+      val truePairs = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        inter = (docs(i) & docs(j)).size
+        jac = inter.toDouble / (docs(i).size + docs(j).size - inter)
+        if jac >= t
+      } yield (i, j)).toSet
+      truePairs.subsetOf(candidates)
+    }
 }
