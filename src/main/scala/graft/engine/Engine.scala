@@ -171,7 +171,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
               aligned.drop("row_id", "insert_timestamp", "tsd_name",
                 "tsd_id"), "rst", tsdId)
           else aligned
-        stamped.write.mode("append").parquet(path)
+        // a time-partitioned target keeps its bucket layout on append,
+        // so the pruning injected by loadWithOptions stays valid for
+        // PUT-ingested rows too (the reference routes arriving data into
+        // the par_<table>_<date> physical tables, partitions.py:17-23)
+        catalog.partitionMeta(table) match {
+          case Some((tsCol, unit, pn)) if stamped.columns.contains(tsCol) =>
+            TimePartitions.write(stamped, tsCol, unit, pn, path,
+              org.apache.spark.sql.SaveMode.Append)
+          case _ => stamped.write.mode("append").parquet(path)
+        }
         n
     }
   }

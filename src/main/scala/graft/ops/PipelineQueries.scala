@@ -479,9 +479,14 @@ object PipelineQueries {
     // predicate) and silently rely on keep_id uniqueness alone
     val keep = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
       .withColumnRenamed("h", "kh")
+    // materialize once: jaccardPairs consumes its input FOUR times
+    // (shingle explode, df join, and two verify probes) — without the
+    // checkpoint the dedup groupBy+join replays per consumer (PERF.md
+    // lesson 8: materialize shuffled intermediates, recompute pure maps)
     val exactKept = docs.join(keep,
       docs("h") === keep("kh") && docs("doc_id") === keep("keep_id"))
       .select(docs("doc_id"), col("lang"), col("text"))
+      .localCheckpoint()
     // near-dup removal via the prefix-filtered exact-Jaccard join
     // (Dedup.jaccardPairs) — same result set as the oracle's plain
     // inverted-index formulation, scale-safe candidate generation

@@ -609,6 +609,30 @@ class PutIngestSpec extends SparkSpec {
     assert(engine.tsdLedger.maxId("fresh_t") === 1)
   }
 
+  test("PUT into a time-partitioned table lands in the right bucket") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("put-par").toString
+    Seq(("2024-01-01 10:00:00", 1.0), ("2024-01-02 11:00:00", 2.0))
+      .toDF("ts_str", "value")
+      .withColumn("ts", to_timestamp(col("ts_str"))).drop("ts_str")
+      .createOrReplaceTempView("seed_par")
+    graft.engine.TimePartitions.write(
+      spark.table("seed_par"), "ts", "day", 1, s"$dir/pt")
+    val cat = new Catalog(spark)
+    cat.registerPartitionedTable("pt", s"$dir/pt", "ts", "day", 1)
+    val engine = new Engine(spark, cat)
+    val n = engine.ingest("pt",
+      """{"ts": "2024-01-03 09:30:00", "value": 3.5}""")
+    assert(n === 1)
+    // new bucket directory exists and pruned queries see the new row
+    val parts = graft.engine.TimePartitions.partitions(spark, s"$dir/pt")
+    assert(parts.contains("2024-01-03"))
+    val got = engine.query(
+      """sql edge "select value from pt where ts >= '2024-01-03' """ +
+        """and ts < '2024-01-04'"""").head()
+    assert(got.getDouble(0) === 3.5)
+  }
+
   test("duplicate PUT payloads are refused via the tsd ledger hash index") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("put-dup").toString
