@@ -22,7 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def registrations: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = {
     def info(name: String, usage: String) =
-      new ExpressionInfo("graft", null, name, usage, "")
+      new ExpressionInfo("graft", null, name, s"_FUNC_ - $usage", "", "",
+        "", "", "", "", "java_udf")
     Seq(
       (FunctionIdentifier("shingle_hashes"),
         info("shingle_hashes", "distinct word n-gram polynomial hashes"),
