@@ -230,6 +230,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       setVar(name, value)
       s"$name = $value"
     }
+    else if (low.startsWith("get rows count")) {
+      // `get rows count [where dbms = d and table = t]`
+      // (cmd/member_cmd.py:13970) — per-table row counts; no filter ->
+      // every registered table
+      val tableRx = "(?i)table\\s*=\\s*(\\S+)".r
+      val wanted = tableRx.findFirstMatchIn(t).map(_.group(1))
+      val names = wanted.map(Seq(_)).getOrElse(catalog.tableNames)
+      names.map { n =>
+        s"$n: ${catalog.table(n).count()}"
+      }.mkString("\n")
+    }
     else if (low.startsWith("get tsd list")) {
       // the tsd_info SELECT surface (ha.py get_recent_tsd_info reads the
       // same table to answer peers)

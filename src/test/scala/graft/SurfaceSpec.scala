@@ -66,6 +66,15 @@ class EngineSpec extends SparkSpec {
       .contains("events"))
   }
 
+  test("get rows count reports per-table counts") {
+    val all = engine.execute("get rows count")
+    assert(all.linesIterator.exists(_.startsWith("events: ")))
+    val one = engine.execute(
+      "get rows count where dbms = edge and table = events")
+    assert(one.matches("events: \\d+"))
+    assert(one.split(": ")(1).toLong > 0)
+  }
+
   test("timezone option converts timestamp output at the edge") {
     val cat = new Catalog(spark)
     cat.registerTable("events", s"$sfDir/events.parquet",
