@@ -217,10 +217,17 @@ object EdgeSql {
             case Array(s, a) => (s.trim, Some(a.trim))
             case _ => (item, None)
           }
-          val (nameWithPrefix, dtype) = spec.split("\\.") match {
-            case Array(n, t) => (n.trim, t.trim.toLowerCase)
-            case _ => (spec, "varchar")
-          }
+          // strip a dtype suffix only when it IS one of the known type
+          // names — otherwise a literal like `+3.14` or `+file.txt`
+          // would silently truncate at the dot
+          val knownTypes = Set("int", "float", "str", "varchar", "string")
+          val dotIdx = spec.lastIndexOf('.')
+          val (nameWithPrefix, dtype) =
+            if (dotIdx > 0 &&
+                knownTypes.contains(spec.substring(dotIdx + 1).trim.toLowerCase))
+              (spec.substring(0, dotIdx).trim,
+                spec.substring(dotIdx + 1).trim.toLowerCase)
+            else (spec, "varchar")
           def typed(c: Column): Column = dtype match {
             case "int" => c.cast("long")
             case "float" => c.cast("double")

@@ -119,11 +119,28 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     import spark.implicits._
     val trimmed = body.trim
     require(trimmed.nonEmpty, "PUT body is empty")
-    // spark.read.json explodes a top-level array record into rows, so an
-    // array body stays one record; NDJSON splits into one record per line
-    val lines: Seq[String] =
-      if (trimmed.startsWith("[")) Seq(trimmed)
-      else trimmed.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+    // body shapes (utils_json.make_json_rows): a JSON array -> one line
+    // per ELEMENT (so mapping policies see one document per row), one
+    // object -> one line (even pretty-printed across lines), NDJSON ->
+    // one line per row. Parse-first: only fall back to line-splitting
+    // when the whole body is not a single JSON value.
+    val lines: Seq[String] = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val ls = trimmed.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
+      // NDJSON first (every line its own JSON value) — jackson would
+      // otherwise silently parse only the FIRST value of the body
+      if (ls.length > 1 && ls.forall(l => JsonMethods.parseOpt(l).isDefined))
+        ls
+      else JsonMethods.parseOpt(trimmed) match {
+        case Some(JArray(docs)) =>
+          docs.map(d => JsonMethods.compact(JsonMethods.render(d)))
+        case Some(obj: JObject) =>
+          Seq(JsonMethods.compact(JsonMethods.render(obj)))
+        case _ => throw new IllegalArgumentException(
+          s"PUT body is not JSON rows: ${trimmed.take(60)}")
+      }
+    }
     // unknown table + a configured data root -> auto-create from the
     // arriving data with the inferred schema + system columns
     // (create_table.py:156 create_new_table / suggest_create_table)
@@ -134,6 +151,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       p
     }).getOrElse(throw new IllegalArgumentException(
       s"unknown table $table — register it (or set a data dir) before PUT"))
+    // an unknown policy id is an ERROR, not a silent fall-through to
+    // plain schema alignment (which would ingest NULLs with a 200)
+    instructions.foreach(id => require(catalog.policy(id).isDefined,
+      s"unknown mapping policy: $id"))
     val aligned = instructions.flatMap(catalog.policy) match {
       case Some(policyJson) =>
         graft.ingest.MappingPolicy.compile(
@@ -175,11 +196,19 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         // so the pruning injected by loadWithOptions stays valid for
         // PUT-ingested rows too (the reference routes arriving data into
         // the par_<table>_<date> physical tables, partitions.py:17-23)
-        catalog.partitionMeta(table) match {
-          case Some((tsCol, unit, pn)) if stamped.columns.contains(tsCol) =>
-            TimePartitions.write(stamped, tsCol, unit, pn, path,
-              org.apache.spark.sql.SaveMode.Append)
-          case _ => stamped.write.mode("append").parquet(path)
+        try {
+          catalog.partitionMeta(table) match {
+            case Some((tsCol, unit, pn)) if stamped.columns.contains(tsCol) =>
+              TimePartitions.write(stamped, tsCol, unit, pn, path,
+                org.apache.spark.sql.SaveMode.Append)
+            case _ => stamped.write.mode("append").parquet(path)
+          }
+        } catch { case e: Throwable =>
+          // roll the reservation back or a transient write failure would
+          // permanently poison this payload hash and a retry would be a
+          // silent 0-row no-op
+          tsdLedger.remove(hash)
+          throw e
         }
         n
     }
@@ -302,10 +331,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         if (whereIdx >= 0) {
           val w = head.substring(whereIdx + 7)
           val kvs = w.split("(?i)\\s+and\\s+").toSeq.map { kv =>
-            val Array(k, v) = kv.split("=", 2).map(_.trim
+            kv.split("=", 2).map(_.trim
               .stripPrefix("\"").stripSuffix("\"")
-              .stripPrefix("'").stripSuffix("'"))
-            (k, v)
+              .stripPrefix("'").stripSuffix("'")) match {
+              case Array(k, v) => (k, v)
+              case _ => throw new IllegalArgumentException(
+                s"blockchain get: condition '$kv' is not <key> = <value>")
+            }
           }
           (head.substring(0, whereIdx).trim, kvs)
         } else (head.trim, Nil)
@@ -388,14 +420,19 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         import scala.concurrent.{Await, Future, TimeoutException}
         import scala.concurrent.ExecutionContext.Implicits.global
         import scala.concurrent.duration._
+        val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
         val fut = Future {
-          // job group must be set on the THREAD that launches the jobs
+          // job group must be set on the THREAD that launches the jobs;
+          // a late-scheduled future must not start AFTER the caller
+          // already gave up (cancelJobGroup would have hit nothing)
+          if (cancelled.get()) throw new IllegalStateException("cancelled")
           spark.sparkContext.setJobGroup(group, command,
             interruptOnCancel = true)
           try compute() finally spark.sparkContext.clearJobGroup()
         }
         try Await.result(fut, secs.seconds)
         catch { case _: TimeoutException =>
+          cancelled.set(true)
           spark.sparkContext.cancelJobGroup(group)
           throw new IllegalStateException(
             s"query exceeded max_time = ${secs}s and was cancelled")

@@ -46,7 +46,7 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
       }
       val (code, body) =
         try (200, engine.execute(command))
-        catch { case e: Exception => (400, s"error: ${e.getMessage}") }
+        catch { case e: Exception => (400, Render.errorJson(e.getMessage)) }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)
@@ -71,7 +71,7 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
             "Missing 'table' name in REST PUT command"))
         val n = engine.ingest(table, body, hdr("instructions"))
         (200, s"""{"appended": $n, "table": "$table"}""")
-      } catch { case e: Exception => (400, s"error: ${e.getMessage}") }
+      } catch { case e: Exception => (400, Render.errorJson(e.getMessage)) }
     val bytes = reply.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
@@ -87,7 +87,7 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
         StandardCharsets.UTF_8)
       val (code, body) =
         try (200, Render.json(GrafanaRoute.run(engine, payload)))
-        catch { case e: Exception => (400, s"error: ${e.getMessage}") }
+        catch { case e: Exception => (400, Render.errorJson(e.getMessage)) }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)

@@ -13,6 +13,22 @@ import org.apache.spark.sql.DataFrame
   */
 object Render {
 
+  /** Error reply as actual JSON — the REST routes declare
+    * application/json, so the body must parse as JSON. */
+  def errorJson(msg: String): String = {
+    val m = Option(msg).getOrElse("")
+    val escaped = m.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    s"""{"error": "$escaped"}"""
+  }
+
   /** `format=json` — {"Query": [ {col: value, ...}, ... ]}. */
   def json(df: DataFrame, maxRows: Int = 10000): String = {
     val rows = df.limit(maxRows).toJSON.collect()

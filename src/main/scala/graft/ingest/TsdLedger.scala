@@ -42,6 +42,13 @@ final class TsdLedger {
     }
   }
 
+  /** Roll back a reservation whose write failed: the hash must become
+    * ingestable again or a transient IO error would permanently poison
+    * it (record() would keep refusing the retry). */
+  def remove(fileHash: String): Unit = synchronized {
+    entries = entries.filterNot(_.fileHash == fileHash)
+  }
+
   /** Highest ledger id recorded for a table (0 when none) — the local
     * input to the cluster's safe-id consensus (dbms/ha.py:225). */
   def maxId(table: String): Int = synchronized {

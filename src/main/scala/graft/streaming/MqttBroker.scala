@@ -81,11 +81,23 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
               val payload = new String(body, pos, body.length - pos,
                 StandardCharsets.UTF_8)
               sink(topic, payload)
-              if (qos >= 1) { // PUBACK
+              if (qos == 1) { // PUBACK
                 out.write(Array[Byte](0x40, 0x02,
                   ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
                 out.flush()
+              } else if (qos == 2) {
+                // QoS 2 receiver flow "method A" (spec §4.3.3): deliver
+                // on PUBLISH receipt, answer PUBREC, complete with
+                // PUBCOMP when PUBREL arrives (handled below)
+                out.write(Array[Byte](0x50, 0x02,
+                  ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
+                out.flush()
               }
+            case 6 => // PUBREL -> PUBCOMP (completes the QoS 2 exchange)
+              val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+              out.write(Array[Byte](0x70, 0x02,
+                ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
+              out.flush()
             case 12 => // PINGREQ -> PINGRESP
               out.write(Array[Byte](0xd0.toByte, 0x00)); out.flush()
             case 14 => // DISCONNECT

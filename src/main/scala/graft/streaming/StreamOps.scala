@@ -113,7 +113,13 @@ object StreamOps {
           if (retentionMs > 0 && state.hasTimedOut) {
             state.remove(); Iterator.empty
           }
-          else if (state.exists) Iterator.empty // key seen -> drop batch
+          else if (state.exists) {
+            // refresh the timeout on every sighting so retention means
+            // IDLE time — a still-hot key must not expire and re-admit
+            // its duplicates just because the first sighting is old
+            if (retentionMs > 0) state.setTimeoutDuration(retentionMs)
+            Iterator.empty // key seen -> drop batch
+          }
           else {
             state.update(true)
             if (retentionMs > 0) state.setTimeoutDuration(retentionMs)

@@ -680,6 +680,27 @@ class PutIngestSpec extends SparkSpec {
       .head()
     assert(got.getString(0) === "devX")
     assert(got.getDouble(1) === 7.25)
+
+    // a JSON ARRAY body through the policy maps one row per ELEMENT
+    val n2 = engine.ingest("mapped",
+      """[{"meta": {"id": "devY"}, "val": 1.5},
+        | {"meta": {"id": "devZ"}, "val": 2.5}]""".stripMargin, Some("m1"))
+    assert(n2 === 2)
+    val ys = engine.query(
+      """sql edge "select device, reading from mapped """ +
+        """where device in ('devY', 'devZ') order by device"""").collect()
+    assert(ys.map(_.getString(0)).toSeq === Seq("devY", "devZ"))
+    assert(ys.map(_.getDouble(1)).toSeq === Seq(1.5, 2.5))
+
+    // a pretty-printed single object spanning lines is ONE row
+    val n3 = engine.ingest("mapped",
+      "{\n  \"meta\": {\"id\": \"devP\"},\n  \"val\": 9.75\n}", Some("m1"))
+    assert(n3 === 1)
+
+    // an unknown policy id is an error, never silent misalignment
+    val err = intercept[IllegalArgumentException](
+      engine.ingest("mapped", """{"val": 1}""", Some("no-such-policy")))
+    assert(err.getMessage.contains("unknown mapping policy"))
   }
 }
 
