@@ -259,6 +259,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       setVar(name, value)
       s"$name = $value"
     }
+    else if (low.startsWith("get partitions")) {
+      // `get partitions [table]` — the reference's partition listing
+      // (cmd/member_cmd.py `get partitions`; naming partitions.py:17-23)
+      val arg = t.substring("get partitions".length).trim
+      val names = if (arg.isEmpty) catalog.tableNames else Seq(arg)
+      names.flatMap { n =>
+        catalog.partitionMeta(n).zip(catalog.tablePath(n)).map {
+          case ((tsCol, unit, pn), path) =>
+            val parts = TimePartitions.partitions(spark, path)
+            s"$n using $tsCol by $pn $unit: ${parts.mkString(", ")}"
+        }
+      } match {
+        case Nil => "no partitioned tables"
+        case xs => xs.mkString("\n")
+      }
+    }
     else if (low.startsWith("get rows count")) {
       // `get rows count [where dbms = d and table = t]`
       // (cmd/member_cmd.py:13970) — per-table row counts; no filter ->

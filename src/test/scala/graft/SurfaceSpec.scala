@@ -49,6 +49,19 @@ class EngineSpec extends SparkSpec {
     assert(dropOut.contains(s"dropped ${parts.length - 1}"))
   }
 
+  test("get partitions lists a partitioned table's buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("engp2").toString
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val eng = new Engine(spark, cat)
+    eng.execute(s"partition events using ts by 1 month into $dir")
+    cat.registerPartitionedTable("events_p", dir, "ts", "month", 1)
+    val listing = eng.execute("get partitions events_p")
+    assert(listing.startsWith("events_p using ts by 1 month: "))
+    assert(listing.contains("2024-01"))
+    assert(eng.execute("get partitions nope") === "no partitioned tables")
+  }
+
   test("suggest create infers the reference DDL") {
     val ddl = engine.execute(
       """suggest create iot.sensor from [""" +
