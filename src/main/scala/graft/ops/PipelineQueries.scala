@@ -822,9 +822,73 @@ object PipelineQueries {
       hex(encode(substr(text, 1, 8))) AS head_hex
     FROM documents ORDER BY doc_id LIMIT 300"""
 
+  /** q63 — bigram-rarity fluency gate: per-doc distinct word-bigram
+    * hashes joined with their corpus document frequency; n_rare (df<=2)
+    * and min_df flag template/gibberish text (all-common bigrams) vs
+    * unique prose — the cheap LM-free fluency signal of a data-quality
+    * stage. Deliberately INTEGER-only outputs (counts and df minima):
+    * a log-prob formulation would sum doubles in nondeterministic
+    * partial-agg order and break the cross-engine hash. Plan: per-row
+    * signature, ONE df aggregate, one join back — same scale shape as
+    * the dedup family. */
+  private val q63: QFn = (s, d) => {
+    val sh = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), explode(F.shingleHashes(col("text"), 2)).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") <= 2, 1).otherwise(0)).as("n_rare"),
+        min(col("df")).as("min_df"))
+      .orderBy(col("doc_id")).limit(300)
+  }
+  private val q63Sql = s"""
+    WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        ELSE list_transform(range(len(tk) - 1),
+          i -> array_to_string((tk)[i+1:i+2], ' ')) END,
+        s -> ${dPoly("s")}))) AS h FROM toks),
+    df AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+    SELECT doc_id, count(*) AS n_bigrams,
+      CAST(sum(CASE WHEN df.df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      min(df.df) AS min_df
+    FROM sh JOIN df USING (h)
+    GROUP BY doc_id ORDER BY doc_id LIMIT 300"""
+
+  /** q64 — incremental near-dup through the driver gate: a NEW batch
+    * (doc_id >= 400) tested against the STANDING corpus index
+    * (doc_id < 400) without re-pairing the corpus with itself — the
+    * daily-ingest shape (Dedup.incrementalJaccard + shingleIndex). The
+    * corpus side is exactly what a fleet persists between batches. */
+  private val q64: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    Dedup.incrementalJaccard(batch,
+        Dedup.shingleIndex(corpus, "text", "doc_id"), "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+  private val q64Sql = s"""
+    WITH sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
+    csh AS (SELECT doc_id AS corpus_id, h FROM sh WHERE doc_id < 400),
+    bsh AS (SELECT doc_id AS new_id, h FROM sh WHERE doc_id >= 400),
+    cs AS (SELECT corpus_id, count(*) AS n_corpus FROM csh GROUP BY 1),
+    bs AS (SELECT new_id, count(*) AS n_new FROM bsh GROUP BY 1),
+    inter AS (SELECT new_id, corpus_id, count(*) AS inter
+      FROM bsh JOIN csh USING (h) GROUP BY 1, 2)
+    SELECT new_id, corpus_id,
+      CAST(inter AS DOUBLE) / (n_new + n_corpus - inter) AS jaccard
+    FROM inter JOIN bs USING (new_id) JOIN cs USING (corpus_id)
+    WHERE CAST(inter AS DOUBLE) / (n_new + n_corpus - inter) >= 0.5
+    ORDER BY new_id, corpus_id"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q64_incremental_jaccard" -> q64,
+    "q63_bigram_rarity" -> q63,
     "q27_dedup_exact" -> q27,
     "q28_dedup_jaccard_pairs" -> q28,
     "q29_dedup_minhash_lsh" -> q29,
@@ -848,6 +912,8 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q64_incremental_jaccard" -> q64Sql,
+    "q63_bigram_rarity" -> q63Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_dedup_jaccard_pairs" -> q28Sql,
     "q29_dedup_minhash_lsh" -> q29Sql,
