@@ -127,12 +127,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
     val lines: Seq[String] = {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
+      // strict parse: jackson's default readValue stops at the FIRST
+      // JSON value and silently discards trailing tokens — '{"a":1}
+      // {"b":2}' would ingest one row and drop the other
+      def parseStrict(s: String): Option[JValue] = {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        mapper.enable(com.fasterxml.jackson.databind
+          .DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+        try { mapper.readTree(s); JsonMethods.parseOpt(s) }
+        catch { case _: Exception => None }
+      }
       val ls = trimmed.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
-      // NDJSON first (every line its own JSON value) — jackson would
-      // otherwise silently parse only the FIRST value of the body
-      if (ls.length > 1 && ls.forall(l => JsonMethods.parseOpt(l).isDefined))
-        ls
-      else JsonMethods.parseOpt(trimmed) match {
+      // NDJSON first (every line its own complete JSON value)
+      if (ls.length > 1 && ls.forall(l => parseStrict(l).isDefined)) ls
+      else parseStrict(trimmed) match {
         case Some(JArray(docs)) =>
           docs.map(d => JsonMethods.compact(JsonMethods.render(d)))
         case Some(obj: JObject) =>
@@ -141,16 +149,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           s"PUT body is not JSON rows: ${trimmed.take(60)}")
       }
     }
-    // unknown table + a configured data root -> auto-create from the
-    // arriving data with the inferred schema + system columns
-    // (create_table.py:156 create_new_table / suggest_create_table)
-    val path = catalog.tablePath(table).orElse(dataDir.map { root =>
-      val p = s"$root/$table"
-      val schema = SchemaInference.suggestCreate(jsonRowsToMaps(lines))
-      catalog.registerTable(table, p, Some(schema))
-      p
-    }).getOrElse(throw new IllegalArgumentException(
-      s"unknown table $table — register it (or set a data dir) before PUT"))
+    // duplicate check BEFORE any side effect (registration or write):
+    // UNIQUE(file_hash) makes re-ingest of an identical payload a no-op
+    // (tsd_info hash_index, db_info.py:1750) — the idempotence a
+    // retrying REST client needs
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(trimmed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val existingPath = catalog.tablePath(table)
+    // auto-create target (create_table.py:156 create_new_table): the
+    // table is REGISTERED only after its first write succeeds, so a
+    // duplicate payload or a failed write leaves no dangling
+    // registration pointing at a path with no files
+    val autoCreate = existingPath.isEmpty && dataDir.isDefined
+    val path = existingPath.orElse(dataDir.map(r => s"$r/$table"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown table $table — register it (or set a data dir) before PUT"))
     // an unknown policy id is an ERROR, not a silent fall-through to
     // plain schema alignment (which would ingest NULLs with a 200)
     instructions.foreach(id => require(catalog.policy(id).isDefined,
@@ -162,7 +176,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           lines.toDF("value"), "value")
       case None =>
         val raw = spark.read.json(spark.createDataset(lines))
-        catalog.tableSchema(table) match {
+        val sysNames = Set("row_id", "insert_timestamp", "tsd_name", "tsd_id")
+        // auto-create aligns to the reference's inference rules
+        // (timestamp-shaped strings become TIMESTAMP etc.) — but the
+        // schema is only REGISTERED after the write succeeds
+        val target = catalog.tableSchema(table).orElse(
+          if (autoCreate) Some(org.apache.spark.sql.types.StructType(
+            SchemaInference.suggestCreate(jsonRowsToMaps(lines))
+              .filterNot(f => sysNames(f.name))))
+          else None)
+        target match {
           case Some(schema) =>
             raw.select(schema.fields.toSeq.map { f =>
               (if (raw.columns.contains(f.name)) col(f.name)
@@ -171,23 +194,18 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           case None => raw
         }
     }
-    // ledger first: UNIQUE(file_hash) makes re-ingest of an identical
-    // payload a no-op (tsd_info hash_index, db_info.py:1750) — the
-    // idempotence a retrying REST client needs
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(trimmed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
     val n = aligned.count()
     tsdLedger.record("edge", table, "rest_put", hash,
       instructions.getOrElse("0"), n) match {
       case None => 0L // duplicate payload — already ingested
       case Some(tsdId) =>
-        // stamp the TSD lineage only when the table carries system
-        // columns (suggest_create_table.py:255 adds them at creation)
+        // stamp the TSD lineage when the table carries system columns —
+        // auto-created tables always get them
+        // (suggest_create_table.py:255)
         val schemaCols = catalog.tableSchema(table)
           .map(_.fieldNames.toSet).getOrElse(Set.empty)
         val stamped =
-          if (schemaCols.contains("tsd_id"))
+          if (autoCreate || schemaCols.contains("tsd_id"))
             graft.ingest.SystemColumns.stamp(
               aligned.drop("row_id", "insert_timestamp", "tsd_name",
                 "tsd_id"), "rst", tsdId)
@@ -198,10 +216,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         // the par_<table>_<date> physical tables, partitions.py:17-23)
         try {
           catalog.partitionMeta(table) match {
-            case Some((tsCol, unit, pn)) if stamped.columns.contains(tsCol) =>
+            case Some((tsCol, unit, pn)) =>
+              // a flat fallback here would drop loose part-files next to
+              // the __par=... dirs and break partition discovery for the
+              // whole table — missing the ts column is an ERROR
+              require(stamped.columns.contains(tsCol),
+                s"partitioned table $table requires column $tsCol in " +
+                  "ingested rows")
               TimePartitions.write(stamped, tsCol, unit, pn, path,
                 org.apache.spark.sql.SaveMode.Append)
-            case _ => stamped.write.mode("append").parquet(path)
+            case None => stamped.write.mode("append").parquet(path)
           }
         } catch { case e: Throwable =>
           // roll the reservation back or a transient write failure would
@@ -210,6 +234,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           tsdLedger.remove(hash)
           throw e
         }
+        // register AFTER the data exists, with the schema of what was
+        // actually WRITTEN (policy-mapped + stamped — inferring from the
+        // raw body would freeze pre-policy column names)
+        if (autoCreate)
+          catalog.registerTable(table, path, Some(stamped.schema))
         n
     }
   }
@@ -280,7 +309,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
       // (cmd/member_cmd.py:13970) — per-table row counts; no filter ->
       // every registered table
       val tableRx = "(?i)table\\s*=\\s*(\\S+)".r
-      val wanted = tableRx.findFirstMatchIn(t).map(_.group(1))
+      val wanted = tableRx.findFirstMatchIn(t).map(_.group(1)
+        .stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("'").stripSuffix("'"))
       val names = wanted.map(Seq(_)).getOrElse(catalog.tableNames)
       names.map { n =>
         s"$n: ${catalog.table(n).count()}"
@@ -444,7 +475,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           if (cancelled.get()) throw new IllegalStateException("cancelled")
           spark.sparkContext.setJobGroup(group, command,
             interruptOnCancel = true)
-          try compute() finally spark.sparkContext.clearJobGroup()
+          try {
+            // re-check after the group is attached: a cancelJobGroup
+            // that fired between the two checks found no jobs, so we
+            // must not launch any (narrows the race to the gap between
+            // this check and job submission)
+            if (cancelled.get()) throw new IllegalStateException("cancelled")
+            compute()
+          } finally spark.sparkContext.clearJobGroup()
         }
         try Await.result(fut, secs.seconds)
         catch { case _: TimeoutException =>

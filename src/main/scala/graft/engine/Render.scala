@@ -16,17 +16,10 @@ object Render {
   /** Error reply as actual JSON — the REST routes declare
     * application/json, so the body must parse as JSON. */
   def errorJson(msg: String): String = {
-    val m = Option(msg).getOrElse("")
-    val escaped = m.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    s"""{"error": "$escaped"}"""
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(
+      "error" -> Option(msg).getOrElse("")))
   }
 
   /** `format=json` — {"Query": [ {col: value, ...}, ... ]}. */

@@ -106,7 +106,12 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
           }
         }
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      // malformed frames (short PUBLISH bodies) or a throwing sink must
+      // drop THIS connection cleanly, not kill the worker with an
+      // uncaught exception mid-protocol
+      case scala.util.control.NonFatal(_) => ()
+    }
     finally sock.close()
   }
 
