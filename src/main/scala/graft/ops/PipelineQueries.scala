@@ -884,9 +884,36 @@ object PipelineQueries {
     WHERE CAST(inter AS DOUBLE) / (n_new + n_corpus - inter) >= 0.5
     ORDER BY new_id, corpus_id"""
 
+  /** q65 — length-distribution cut points per language: exact
+    * interpolated quartiles of n_chars (the percentile thresholds a
+    * data-quality stage derives its keep/trim rules from). Exact
+    * `percentile` (sort-based) == DuckDB `quantile_cont`; quarters over
+    * INTEGER inputs interpolate as a + (b-a)*{.25,.5,.75} — exact binary
+    * fractions times integers, so both engines produce bit-identical
+    * doubles. Spark's plan is a partial/final ObjectHashAggregate —
+    * no global sort. */
+  private val q65: QFn = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.25D)").as("p25"),
+        expr("percentile(n_chars, 0.5D)").as("median"),
+        expr("percentile(n_chars, 0.75D)").as("p75"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  private val q65Sql = """
+    SELECT lang, count(*) AS n_docs,
+      quantile_cont(n_chars, 0.25) AS p25,
+      quantile_cont(n_chars, 0.5) AS median,
+      quantile_cont(n_chars, 0.75) AS p75,
+      min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY lang ORDER BY lang"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q65_length_quartiles" -> q65,
     "q64_incremental_jaccard" -> q64,
     "q63_bigram_rarity" -> q63,
     "q27_dedup_exact" -> q27,
@@ -912,6 +939,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q65_length_quartiles" -> q65Sql,
     "q64_incremental_jaccard" -> q64Sql,
     "q63_bigram_rarity" -> q63Sql,
     "q27_dedup_exact" -> q27Sql,
