@@ -72,6 +72,8 @@ object TextExpressions {
 case class ShingleHashesExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(
       TextExpressions.shingleHashes(input.asInstanceOf[UTF8String].toString, n))
@@ -84,6 +86,8 @@ case class ShingleHashesExpr(child: Expression, n: Int)
 case class MinHashSigExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData].toLongArray()
     val sig = new Array[Long](k)
@@ -112,6 +116,8 @@ case class MinHashSigExpr(child: Expression, k: Int)
 case class SimHash32Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any = {
     val toks = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
     val votes = new Array[Int](32)
@@ -139,6 +145,8 @@ case class SimHash32Expr(child: Expression)
 case class WinnowFpExpr(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val nGrams = math.max(text.length - k, 0) + 1
@@ -179,6 +187,8 @@ case class WinnowFpExpr(child: Expression, k: Int, w: Int)
 case class CharGramHashesExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any = {
     val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
     val nPos = math.max(cps.length - k, 0) + 1
@@ -209,6 +219,7 @@ case class CharGramHashesExpr(child: Expression, k: Int)
 case class SortedIntersectSizeExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
+  override def foldable: Boolean = left.foldable && right.foldable
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toLongArray()
     val y = b.asInstanceOf[ArrayData].toLongArray()
@@ -229,6 +240,7 @@ case class SortedIntersectSizeExpr(left: Expression, right: Expression)
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  override def foldable: Boolean = left.foldable && right.foldable
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
@@ -247,6 +259,8 @@ case class DotProductExpr(left: Expression, right: Expression)
 case class VecLshExpr(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toFloatArray()
     var sig = 0L

@@ -89,6 +89,20 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("native expressions over literals constant-fold at plan time") {
+    // a probe signature written as a literal must be computed ONCE by
+    // the optimizer, not per row — the plan carries the folded array,
+    // no shingle/minhash expression survives
+    val df = docs.select(col("doc_id"),
+      F.minhashSig(F.shingleHashes(lit("the quick brown fox"), 3), 16)
+        .as("probe_sig"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("shinglehashes"),
+      s"expected folded literal, got:\n$optimized")
+    assert(!optimized.toLowerCase.contains("minhashsig"))
+    assert(df.head().getAs[Seq[Long]]("probe_sig").length === 16)
+  }
+
   test("functions register into a session FunctionRegistry for SQL use") {
     val reg = spark.sessionState.functionRegistry
     new graft.functions.GraftExtensions().registrations.foreach {
