@@ -896,19 +896,26 @@ object PipelineQueries {
     t(s, d, "documents")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        expr("percentile(n_chars, 0.25D)").as("p25"),
-        expr("percentile(n_chars, 0.5D)").as("median"),
-        expr("percentile(n_chars, 0.75D)").as("p75"),
+        // ONE array-percentile aggregate shares one value->count map per
+        // group; three scalar percentile() calls would build and merge
+        // three independent maps over the same column
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("qs"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"))
+      .select(col("lang"), col("n_docs"),
+        col("qs").getItem(0).as("p25"),
+        col("qs").getItem(1).as("median"),
+        col("qs").getItem(2).as("p75"),
+        col("min_chars"), col("max_chars"))
       .orderBy(col("lang"))
   private val q65Sql = """
-    SELECT lang, count(*) AS n_docs,
-      quantile_cont(n_chars, 0.25) AS p25,
-      quantile_cont(n_chars, 0.5) AS median,
-      quantile_cont(n_chars, 0.75) AS p75,
-      min(n_chars) AS min_chars, max(n_chars) AS max_chars
-    FROM documents GROUP BY lang ORDER BY lang"""
+    WITH g AS (SELECT lang, count(*) AS n_docs,
+        quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS qs,
+        min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM documents GROUP BY lang)
+    SELECT lang, n_docs, qs[1] AS p25, qs[2] AS median, qs[3] AS p75,
+      min_chars, max_chars
+    FROM g ORDER BY lang"""
 
   // =====================================================================
 
