@@ -618,6 +618,21 @@ object EdgeSql {
         when(pos === 0, s).otherwise(concat(
           s.substr(lit(1), pos - 1), lit(b),
           s.substr(pos + a.length, lit(Int.MaxValue))))
+      case "function" =>
+        // the reference evals arbitrary PYTHON over the row
+        // (cast_by_function, utils_columns.py:1870-1891) — python parity
+        // is deliberately excluded (SURVEY §2.9 call). The safe subset
+        // exposed instead: a Spark SQL scalar expression where `value`
+        // refers to the current column — codegen'd, sandboxed to SQL
+        // semantics, no eval
+        val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(arg)
+        val substituted = parsed.transformUp {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.name.equalsIgnoreCase("value") =>
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(c0)
+        }
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(substituted)
       case "datetime" => c0.cast("timestamp")
       case "timezone" =>
         // UTC storage -> caller timezone at the presentation edge

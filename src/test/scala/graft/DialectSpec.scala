@@ -147,6 +147,21 @@ class EdgeSqlSpec extends SparkSpec {
     assert(rows.head.schema("id_s").dataType.typeName === "string")
   }
 
+  test("::function exposes a safe SQL-expression subset over `value`") {
+    val df = EdgeSql.query(spark, load,
+      """sql edge "select event_id, """ +
+        """value::function(round(value * 2, 0) + 1)::int as doubled, """ +
+        """event_type::function(upper(value))::str as typ """ +
+        """from events order by event_id limit 3"""")
+    val rows = df.collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[String]("typ").forall(ch => !ch.isLower))
+    }
+    // chains compose: the function output feeds the next cast
+    assert(rows.head.schema("doubled").dataType.typeName === "long")
+  }
+
   test("just/replace casts match the reference's exact semantics") {
     import spark.implicits._
     // ljust truncates keeping the FIRST n chars; rjust keeps the LAST n
