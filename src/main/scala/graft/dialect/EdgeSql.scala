@@ -548,6 +548,38 @@ object EdgeSql {
 
   /** One `::` casting suffix (the reference's casting_methods_ registry,
     * utils_columns.py:1963-1977). */
+  /** Pure scalar builtins reachable from `::function(expr)`. Everything
+    * else — notably reflect/java_method (arbitrary static Java calls),
+    * generators, and aggregates — is rejected at parse time. */
+  private val functionAllowlist: Set[String] = Set(
+    // numeric
+    "abs", "ceil", "ceiling", "floor", "round", "bround", "sqrt", "cbrt",
+    "exp", "ln", "log", "log2", "log10", "pow", "power", "pmod", "mod",
+    "sign", "signum", "greatest", "least", "rint", "truncate",
+    // string
+    "upper", "lower", "length", "char_length", "character_length",
+    "trim", "ltrim", "rtrim", "lpad", "rpad", "substring", "substr",
+    "instr", "locate", "position", "concat", "concat_ws", "replace",
+    "translate", "reverse", "left", "right", "initcap", "repeat",
+    "split_part", "format_string", "format_number", "ascii", "chr",
+    "char", "btrim", "levenshtein", "soundex", "regexp_replace",
+    "regexp_extract", "regexp_like", "rlike", "like", "startswith",
+    "endswith", "contains",
+    // null handling / conditionals
+    "coalesce", "nullif", "nvl", "nvl2", "if", "ifnull", "isnull",
+    "isnotnull", "nanvl",
+    // datetime (deterministic forms)
+    "year", "quarter", "month", "day", "dayofmonth", "dayofweek",
+    "dayofyear", "weekofyear", "hour", "minute", "second", "date_trunc",
+    "trunc", "to_date", "to_timestamp", "date_add", "date_sub",
+    "datediff", "add_months", "months_between", "last_day", "next_day",
+    "unix_timestamp", "from_unixtime", "extract", "date_part",
+    "date_format", "make_date", "make_timestamp",
+    // type/representation
+    "bin", "hex", "unhex", "conv", "base64", "unbase64", "md5", "sha1",
+    "sha2", "crc32", "hash", "xxhash64", "encode", "decode",
+    "to_char", "to_number", "typeof")
+
   private def applyCast(c0: Column, cast0: String, tz: Option[String])
       : Column = {
     val cst = cast0.trim
@@ -623,10 +655,23 @@ object EdgeSql {
         // (cast_by_function, utils_columns.py:1870-1891) — python parity
         // is deliberately excluded (SURVEY §2.9 call). The safe subset
         // exposed instead: a Spark SQL scalar expression where `value`
-        // refers to the current column — codegen'd, sandboxed to SQL
-        // semantics, no eval
+        // refers to the current column — codegen'd, and restricted to a
+        // vetted scalar-builtin allowlist (reflect()/java_method() reach
+        // arbitrary static Java; subqueries reach the whole catalog —
+        // both rejected here, BEFORE resolution)
         val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseExpression(arg)
+        parsed.foreach {
+          case _: org.apache.spark.sql.catalyst.expressions.PlanExpression[_] =>
+            throw new IllegalArgumentException(
+              "::function: subquery expressions are not allowed")
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+            val n = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+            if (!functionAllowlist.contains(n))
+              throw new IllegalArgumentException(
+                s"::function: '$n' is not in the safe scalar allowlist")
+          case _ => ()
+        }
         val substituted = parsed.transformUp {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
               if a.name.equalsIgnoreCase("value") =>

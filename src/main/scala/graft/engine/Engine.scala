@@ -22,7 +22,11 @@ import graft.ingest.SchemaInference
   *   suggest create <table> from <json-array>  (schema inference -> DDL)
   *   get tables / get views
   */
-final class Engine(val spark: SparkSession, val catalog: Catalog) {
+final class Engine(val spark: SparkSession, val catalog: Catalog,
+    /** Reply-volume cap applied when the sql command carries no
+      * `max_volume=` option — the reference's query_mode default
+      * (cmd/member_cmd.py:97-100, 10 MB). */
+    val defaultMaxVolume: Long = 10L * 1024 * 1024) {
 
   /** Transport for `dest=kafka@host:port` output
     * (api/al_kafka.py get_producer/send_data; dest registry
@@ -417,18 +421,26 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
           }
           val tokRx = "(\\[[^\\]]+\\])+|\"[^\"]*\"|'[^']*'".r
           val toks = tokRx.findAllIn(items).toSeq
-          matches.map { case (_, inner, _) =>
+          matches.map { case (key, inner, _) =>
             toks.map { tok =>
               if (tok.startsWith("\"") || tok.startsWith("'"))
                 tok.substring(1, tok.length - 1)
-              else tok.stripPrefix("[").stripSuffix("]").split("\\]\\[")
-                .foldLeft(JObject(ptype -> inner): JValue) {
-                  // paths may start at the type key or inside it
-                  case (acc, seg) => acc \ seg match {
-                    case JNothing => inner \ seg
-                    case v => v
-                  }
-                } match { case v => str(v) }
+              else {
+                val segs = tok.stripPrefix("[").stripSuffix("]")
+                  .split("\\]\\[").toSeq
+                // the FIRST segment may be the policy-type key itself
+                // ([operator][ip]) or a field inside the body ([ip]);
+                // the rest resolve strictly — a wrong path yields
+                // nothing, never a re-rooted lookup at the body
+                val root =
+                  if (segs.head == key) inner
+                  else inner \ segs.head
+                val v = segs.tail.foldLeft(root)(_ \ _)
+                v match {
+                  case JNothing => ""
+                  case other => str(other)
+                }
+              }
             }.mkString
           }.mkString(sep)
       }
@@ -493,12 +505,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog) {
         }
       case None => compute()
     }
-    cmd.options.get("max_volume").foreach { volStr =>
-      val cap = volStr.trim.toLong
-      val sz = body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-      if (sz > cap) throw new IllegalStateException(
-        s"result volume $sz B exceeds max_volume = $cap B")
-    }
+    // the reference applies the 10 MB reply cap by DEFAULT in
+    // query_mode; an explicit max_volume= option overrides it
+    val cap = cmd.options.get("max_volume").map(_.trim.toLong)
+      .getOrElse(defaultMaxVolume)
+    val sz = body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    if (sz > cap) throw new IllegalStateException(
+      s"result volume $sz B exceeds max_volume = $cap B")
 
     // test=true + source=<golden file>: the reference's built-in
     // golden-output comparison (cmd/member_cmd.py:124-127 test/source

@@ -79,7 +79,9 @@ object TimePartitions {
   /** List partition bucket values present at a path. */
   def partitions(spark: org.apache.spark.sql.SparkSession, path: String)
       : Seq[String] =
-    new java.io.File(path).listFiles()
+    // a registered-but-not-yet-written table path (or a plain file)
+    // must render an empty bucket list, not NPE (listFiles -> null)
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("__par="))
       .map(_.getName.stripPrefix("__par="))
       .toSeq.sorted

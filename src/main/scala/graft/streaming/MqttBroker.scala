@@ -56,6 +56,11 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
   private def handle(sock: Socket): Unit = {
     val in = sock.getInputStream
     val out: OutputStream = sock.getOutputStream
+    // QoS 2 exactly-once receiver state (MQTT 3.1.1 §4.3.3): packet ids
+    // that got PUBREC but not yet PUBREL. A retransmitted PUBLISH
+    // (DUP=1, same id) while in this set must re-send PUBREC WITHOUT
+    // delivering to the sink again.
+    val qos2Inflight = scala.collection.mutable.Set.empty[Int]
     try {
       var open = true
       while (open && running) {
@@ -80,21 +85,25 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
               }
               val payload = new String(body, pos, body.length - pos,
                 StandardCharsets.UTF_8)
-              sink(topic, payload)
+              // QoS 2 receiver flow "method A" (spec §4.3.3): deliver on
+              // first PUBLISH receipt, answer PUBREC, and suppress
+              // delivery for a retransmission of the same packet id
+              // until PUBREL completes the exchange
+              if (!(qos == 2 && qos2Inflight.contains(packetId)))
+                sink(topic, payload)
               if (qos == 1) { // PUBACK
                 out.write(Array[Byte](0x40, 0x02,
                   ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
                 out.flush()
-              } else if (qos == 2) {
-                // QoS 2 receiver flow "method A" (spec §4.3.3): deliver
-                // on PUBLISH receipt, answer PUBREC, complete with
-                // PUBCOMP when PUBREL arrives (handled below)
+              } else if (qos == 2) { // PUBREC (re-sent on DUP too)
+                qos2Inflight += packetId
                 out.write(Array[Byte](0x50, 0x02,
                   ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
                 out.flush()
               }
             case 6 => // PUBREL -> PUBCOMP (completes the QoS 2 exchange)
               val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+              qos2Inflight -= packetId
               out.write(Array[Byte](0x70, 0x02,
                 ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
               out.flush()

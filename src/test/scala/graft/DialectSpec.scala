@@ -162,6 +162,30 @@ class EdgeSqlSpec extends SparkSpec {
     assert(rows.head.schema("doubled").dataType.typeName === "long")
   }
 
+  test("::function rejects non-allowlisted functions and subqueries") {
+    def q(fn: String) = EdgeSql.query(spark, load,
+      s"""sql edge "select value::function($fn) as x """ +
+        """from events limit 1"""")
+    // reflect()/java_method() reach arbitrary static Java — rejected
+    // at parse time, BEFORE any resolution against the registry
+    val e1 = intercept[IllegalArgumentException](
+      q("reflect('java.lang.System', 'getenv')"))
+    assert(e1.getMessage.contains("allowlist"))
+    val e2 = intercept[IllegalArgumentException](
+      q("java_method('java.lang.Runtime', 'getRuntime')"))
+    assert(e2.getMessage.contains("allowlist"))
+    // scalar subqueries reach the whole catalog — rejected
+    val e3 = intercept[IllegalArgumentException](
+      q("(select max(value) from events)"))
+    assert(e3.getMessage.contains("subquery"))
+    // nesting inside an allowed call does not smuggle one through
+    val e4 = intercept[IllegalArgumentException](
+      q("abs(reflect('a', 'b'))"))
+    assert(e4.getMessage.contains("allowlist"))
+    // allowlisted builtins still work
+    assert(q("greatest(abs(value), 1.0)").collect().length === 1)
+  }
+
   test("just/replace casts match the reference's exact semantics") {
     import spark.implicits._
     // ljust truncates keeping the FIRST n chars; rjust keeps the LAST n

@@ -78,6 +78,15 @@ class TimePartitionsSpec extends SparkSpec {
       Seq("2024-01-03", "2024-01-04", "2024-01-05"))
   }
 
+  test("a not-yet-written table path lists zero partitions (no NPE)") {
+    val missing = java.nio.file.Files.createTempDirectory("par").toString +
+      "/never_written"
+    assert(TimePartitions.partitions(spark, missing) === Seq.empty)
+    // plain file (not a directory) — same clean empty answer
+    val f = java.nio.file.Files.createTempFile("par", ".dat")
+    assert(TimePartitions.partitions(spark, f.toString) === Seq.empty)
+  }
+
   test("7-day buckets (the reference's week replacement)") {
     val ev = Tables.load(spark, sfDir, "events")
     val buckets = ev.select(TimePartitions.bucketExpr("ts", "day", 7).as("b"))

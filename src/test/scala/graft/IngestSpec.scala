@@ -211,14 +211,16 @@ class MqttBrokerSpec extends SparkSpec {
       varHeader ++ payload
   }
   private def publishPacket(topic: String, msg: String, qos: Int,
-      packetId: Int = 7): Array[Byte] = {
+      packetId: Int = 7, dup: Boolean = false): Array[Byte] = {
     val t = topic.getBytes("UTF-8")
     val m = msg.getBytes("UTF-8")
     val pid = if (qos > 0) Array[Byte](((packetId >> 8) & 0xff).toByte,
       (packetId & 0xff).toByte) else Array.emptyByteArray
     val body = Array[Byte](0, t.length.toByte) ++ t ++ pid ++ m
     require(body.length < 128) // single-byte remaining length in tests
-    Array[Byte]((0x30 | (qos << 1)).toByte, body.length.toByte) ++ body
+    val dupBit = if (dup) 0x08 else 0x00
+    Array[Byte]((0x30 | dupBit | (qos << 1)).toByte, body.length.toByte) ++
+      body
   }
 
   test("raw MQTT publishes arrive at the sink; QoS 1 gets PUBACK") {
@@ -262,6 +264,44 @@ class MqttBrokerSpec extends SparkSpec {
       val rows = routed(("edge", "temps")).collect()
       assert(rows.length === 1)
       assert(rows.head.getString(0) === "t1")
+    } finally broker.stop()
+  }
+
+  test("QoS 2 retransmit before PUBREL is delivered exactly once") {
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]
+    val broker = new MqttBroker((_, p) => got.add(p))
+    val port = broker.start()
+    try {
+      val sock = new java.net.Socket("localhost", port)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(connectPacket); out.flush()
+      val connack = new Array[Byte](4)
+      assert(in.read(connack) === 4)
+      def expect4(tpe: Byte, pid: Int): Unit = {
+        val buf = new Array[Byte](4)
+        var off = 0
+        while (off < 4) { val r = in.read(buf, off, 4 - off)
+          assert(r > 0); off += r }
+        assert(buf(0) === tpe && buf(3) === (pid & 0xff).toByte)
+      }
+      out.write(publishPacket("t", "m1", qos = 2, packetId = 9)); out.flush()
+      expect4(0x50, 9) // PUBREC
+      // sender retransmits (DUP=1, same id) before completing with
+      // PUBREL — MQTT 3.1.1 §4.3.3: must NOT be delivered again
+      out.write(publishPacket("t", "m1", qos = 2, packetId = 9, dup = true))
+      out.flush()
+      expect4(0x50, 9) // PUBREC re-sent, no second delivery
+      out.write(Array[Byte](0x62, 0x02, 0x00, 0x09)); out.flush() // PUBREL
+      expect4(0x70, 9) // PUBCOMP
+      // a NEW exchange reusing the id after PUBREL is a fresh message
+      out.write(publishPacket("t", "m2", qos = 2, packetId = 9)); out.flush()
+      expect4(0x50, 9)
+      sock.close()
+      val deadline = System.currentTimeMillis + 5000
+      while (got.size < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(got.toArray.toSeq === Seq("m1", "m2"))
     } finally broker.stop()
   }
 }

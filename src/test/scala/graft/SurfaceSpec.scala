@@ -454,6 +454,26 @@ class BlockchainCmdSpec extends SparkSpec {
 
     val star = engine.execute("blockchain get *")
     assert(star.contains("cl1") && star.contains("op1"))
+
+    // bring paths resolve strictly: a wrong head segment yields empty,
+    // NOT a re-rooted lookup at the policy body ([bogus][ip] must not
+    // silently act like [ip])
+    val bogus = engine.execute(
+      """blockchain get operator where id = op1 bring [bogus][ip]""")
+    assert(bogus === "")
+    // 3-segment path through nested structure resolves end-to-end
+    engine.execute("""blockchain insert where policy = """ +
+      """{"config": {"id": "c1", "net": {"addr": {"host": "h9"}}}}""")
+    val deep = engine.execute(
+      """blockchain get config bring [config][net][addr]""")
+    assert(deep.contains("h9"))
+    val deep4 = engine.execute(
+      """blockchain get config bring [net][addr][host]""")
+    assert(deep4 === "h9")
+    // body-rooted single segment still works
+    val body1 = engine.execute(
+      """blockchain get operator where id = op1 bring [ip]""")
+    assert(body1 === "10.0.0.1")
   }
 }
 
@@ -476,6 +496,20 @@ class AdmissionControlSpec extends SparkSpec {
     val e = intercept[IllegalStateException](engine().execute(
       """sql edge max_volume=64 "select * from events""""))
     assert(e.getMessage.contains("max_volume"))
+  }
+
+  test("the 10 MB reply cap applies by DEFAULT (query_mode parity)") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    // shrink the default so the spec doesn't need a 10 MB result
+    val tiny = new Engine(spark, cat, defaultMaxVolume = 64)
+    val e = intercept[IllegalStateException](tiny.execute(
+      """sql edge "select * from events""""))
+    assert(e.getMessage.contains("max_volume"))
+    // explicit option overrides the default upward
+    val out = tiny.execute(
+      """sql edge max_volume=100000000 "select count(*) as n from events"""")
+    assert(out.contains("\"n\""))
   }
 }
 
