@@ -72,10 +72,11 @@ object PipelineQueries {
     s"CASE WHEN size($toks) < 3 THEN array(array_join($toks, ' ')) " +
       s"ELSE transform(sequence(0, size($toks) - 3), " +
       s"i -> array_join(slice($toks, i + 1, 3), ' ')) END"
-  private def dShingles(toks: String) =
-    s"CASE WHEN len($toks) < 3 THEN [array_to_string($toks, ' ')] " +
-      s"ELSE list_transform(range(len($toks) - 2), " +
-      s"i -> array_to_string(($toks)[i+1:i+3], ' ')) END"
+  private def dShingles(toks: String) = dShinglesN(toks, 3)
+  private def dShinglesN(toks: String, n: Int) =
+    s"CASE WHEN len($toks) < $n THEN [array_to_string($toks, ' ')] " +
+      s"ELSE list_transform(range(len($toks) - ${n - 1}), " +
+      s"i -> array_to_string(($toks)[i+1:i+$n], ' ')) END"
 
   /** Distinct shingle hashes — the Jaccard/MinHash input set. */
   private def sShingleHashes =
@@ -917,9 +918,113 @@ object PipelineQueries {
       min_chars, max_chars
     FROM g ORDER BY lang"""
 
+  /** q68 — test-set decontamination: flag training docs sharing any
+    * distinct word 5-gram with the benchmark partition (doc_id % 10 = 7
+    * stands in for a held-out eval set). The benchmark side of the
+    * inverted-index join is BROADCAST: on a real lake the eval sets are
+    * KBs against 100 TB of training text, so the contamination scan is
+    * one broadcast-hash pass over the corpus — no shuffle at all. */
+  private val q68: QFn = (s, d) => {
+    val sh = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), explode(F.shingleHashes(col("text"), 5)).as("h"))
+    val bench = sh.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    sh.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(bench), "h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+  private val q68Sql = s"""
+    WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        ${dShinglesN("tk", 5)}, s -> ${dPoly("s")}))) AS h FROM toks),
+    bench AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id % 10 = 7),
+    train AS (SELECT doc_id, h FROM sh WHERE doc_id % 10 != 7)
+    SELECT doc_id, count(DISTINCT h) AS n_shared_grams,
+      count(DISTINCT bench_id) AS n_bench_docs
+    FROM train JOIN bench USING (h)
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q69 — repetition signals (the Gopher-rule family adapted to
+    * single-line docs): token total/distinct counts, the most-repeated
+    * token and bigram counts, and the duplicate-token fraction. Two
+    * explode+groupBy passes (tokens, bigrams) joined on doc_id; counts
+    * stay integers, the one fraction is a single int/int double division
+    * both engines execute identically. */
+  private val q69: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    val tokStats = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("c")).as("top_token_n"))
+    val bigramStats = docs
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    tokStats.join(bigramStats, "doc_id")
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct_tokens")).cast("double") /
+          col("n_tokens"))
+      .orderBy(col("doc_id")).limit(300)
+  }
+  private val q69Sql = s"""
+    WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+    t AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+    tc AS (SELECT doc_id, t, count(*) AS c FROM t GROUP BY 1, 2),
+    ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        count(*) AS n_distinct_tokens, max(c) AS top_token_n
+      FROM tc GROUP BY 1),
+    bg AS (SELECT doc_id, unnest(${dShinglesN("tk", 2)}) AS g FROM toks),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1)
+    SELECT doc_id, n_tokens, n_distinct_tokens, top_token_n, top_bigram_n,
+      CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens
+        AS dup_token_frac
+    FROM ts JOIN bs USING (doc_id) ORDER BY doc_id LIMIT 300"""
+
+  /** q70 — rarity-weighted top terms per doc (tf-idf ranking without the
+    * float idf): rank tokens by (tf DESC, df ASC, token ASC) and keep
+    * the top 3. The integer-lexicographic rank IS the tf-idf order for
+    * fixed N — log(N/df) is monotone in -df — while keeping the output
+    * hash-stable across engines (no transcendental floats). Plan: tf
+    * aggregate, df aggregate over it, join back, window top-k. */
+  private val q70: QFn = (s, d) => {
+    val tf = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("t").asc)
+    tf.join(dfreq, "t")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("t"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+  private val q70Sql = s"""
+    WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+    t AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+    tf AS (SELECT doc_id, t, count(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    r AS (SELECT doc_id, t, tf, df, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf DESC, df ASC, t ASC) AS rank
+      FROM tf JOIN df USING (t))
+    SELECT doc_id, rank, t, tf, df FROM r WHERE rank <= 3
+    ORDER BY doc_id, rank"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q68_decontaminate" -> q68,
+    "q69_repetition_signals" -> q69,
+    "q70_tfidf_topk" -> q70,
     "q65_length_quartiles" -> q65,
     "q64_incremental_jaccard" -> q64,
     "q63_bigram_rarity" -> q63,
@@ -946,6 +1051,9 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q68_decontaminate" -> q68Sql,
+    "q69_repetition_signals" -> q69Sql,
+    "q70_tfidf_topk" -> q70Sql,
     "q65_length_quartiles" -> q65Sql,
     "q64_incremental_jaccard" -> q64Sql,
     "q63_bigram_rarity" -> q63Sql,

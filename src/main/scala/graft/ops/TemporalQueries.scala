@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Temporal operators over the `events` stream table (q66, q67, q71):
+  * as-of join, banded range join, and batch sessionization — the
+  * event-time primitives a telemetry/training-data lake queries
+  * constantly and Spark has no built-in operator for.
+  *
+  * Determinism across engines: `events.ts` is micro-aligned (no
+  * sub-microsecond residue in the corpus) and (user_id, ts) is unique,
+  * so every window order below is total and both engines agree on ties
+  * by construction. All outputs are integers, timestamps, or raw stored
+  * doubles — no float arithmetic that could diverge.
+  */
+object TemporalQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** q66 — as-of join: each purchase picks the user's LATEST click at or
+    * before the purchase time (backward-inclusive), left-outer. The
+    * classic "attribute the conversion to the click" query. ONE shuffle
+    * on user_id (TemporalJoins.asOf union+sort formulation) — at 100 TB
+    * this is a sort-merge pass, never a per-row probe. */
+  private val q66: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    TemporalJoins.asOf(purchases, clicks, Seq("user_id"), "p_ts", "c_ts")
+      .withColumn("gap_us",
+        unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+      .orderBy(col("purchase_id"))
+  }
+  private val q66Sql = """
+    WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts,
+        value AS p_value FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        FROM events WHERE event_type = 'click')
+    SELECT purchase_id, p.user_id, p_ts, p_value, click_id, c_ts,
+      epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
+    ORDER BY purchase_id"""
+
+  /** q67 — banded range join: per error event, how many clicks the same
+    * user made in the preceding 5 minutes `[ts-300s, ts)`. The banded
+    * equi-join (TemporalJoins.rangeCount) shuffles on (user, 5-min bin)
+    * — candidate pairs are bounded by bin population, so the plan never
+    * degenerates to the BroadcastNestedLoopJoin a naive inequality join
+    * produces. */
+  private val q67: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    TemporalJoins.rangeCount(errors, clicks, Seq("user_id"), "ts", "ts",
+        lowerSec = -300, upperSec = 0, countName = "n_clicks_5m")
+      .orderBy(col("event_id"))
+  }
+  private val q67Sql = """
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id, e.ts,
+      CAST(count(c.cts) AS BIGINT) AS n_clicks_5m
+    FROM e LEFT JOIN c ON e.user_id = c.user_id
+      AND epoch_us(c.cts) >= epoch_us(e.ts) - 300000000
+      AND epoch_us(c.cts) < epoch_us(e.ts)
+    GROUP BY e.event_id, e.user_id, e.ts
+    ORDER BY e.event_id"""
+
+  /** q71 — batch sessionization: 30-minute-gap sessions per user (the
+    * batch twin of StreamOps.sessionize), then per-user session shape
+    * stats. Window + running sum over user_id — the groupBy(user, sid)
+    * reuses the window's hash partitioning, so the whole query is ONE
+    * shuffle. Integer-only outputs. */
+  private val q71: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val gapUs = 1800L * 1000000L
+    val sess = t(s, d, "events").select(col("user_id"), col("ts"))
+      .withColumn("brk", when(
+        lag(col("ts"), 1).over(w).isNull ||
+          unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"),
+        (unix_micros(max(col("ts"))) -
+          unix_micros(min(col("ts")))).as("span_us"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_sessions"),
+        max(col("n")).as("max_session_events"),
+        max(col("span_us")).as("max_session_span_us"))
+      .orderBy(col("user_id"))
+  }
+  private val q71Sql = """
+    WITH o AS (SELECT user_id, ts,
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    b AS (SELECT user_id, ts, CASE WHEN prev IS NULL
+        OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        THEN 1 ELSE 0 END AS brk FROM o),
+    s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id
+        ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS sid FROM b),
+    ps AS (SELECT user_id, sid, count(*) AS n,
+        epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+      FROM s GROUP BY 1, 2)
+    SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+      count(*) AS n_sessions, max(n) AS max_session_events,
+      max(span_us) AS max_session_span_us
+    FROM ps GROUP BY user_id ORDER BY user_id"""
+
+  val queries: Map[String, QFn] = Map(
+    "q66_asof_join" -> q66,
+    "q67_range_join_count" -> q67,
+    "q71_sessionize_batch" -> q71)
+
+  val oracles: Map[String, String] = Map(
+    "q66_asof_join" -> q66Sql,
+    "q67_range_join_count" -> q67Sql,
+    "q71_sessionize_batch" -> q71Sql)
+}

@@ -167,6 +167,62 @@ class SkewJoinSpec extends SparkSpec {
   }
 }
 
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.TemporalJoins
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before, null when none") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u2", ts("2024-01-01 09:00:00"))) // no prior right row
+      .toDF("lid", "k", "lts")
+    val right = Seq(
+      ("u1", 100L, ts("2024-01-01 09:30:00")),
+      ("u1", 101L, ts("2024-01-01 10:00:00")), // ties lid=1 (inclusive)
+      ("u1", 102L, ts("2024-01-01 11:00:00")),
+      ("u2", 200L, ts("2024-01-01 23:00:00"))) // after left — no match
+      .toDF("k", "rid", "rts")
+    val out = TemporalJoins.asOf(left, right, Seq("k"), "lts", "rts")
+      .orderBy("lid").collect()
+    // equal timestamps match (backward-INCLUSIVE: rid 101, not 100)
+    assert(out(0).getAs[Long]("rid") === 101L)
+    assert(out(1).getAs[Long]("rid") === 102L)
+    assert(out(2).isNullAt(out(2).fieldIndex("rid")))
+  }
+
+  test("rangeCount equals the brute-force inequality join") {
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+    val l = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "click").select($"user_id", $"ts")
+    val banded = TemporalJoins.rangeCount(l, r, Seq("user_id"), "ts", "ts",
+      -300, 0, "n").select($"event_id", $"n")
+    val rr = r.withColumnRenamed("ts", "cts")
+    val brute = l.join(rr,
+        l("user_id") === rr("user_id") &&
+          unix_micros($"cts") >= unix_micros(l("ts")) - 300000000L &&
+          unix_micros($"cts") < unix_micros(l("ts")), "left_outer")
+      .groupBy(l("event_id"))
+      .agg(sum(when($"cts".isNotNull, 1L).otherwise(0L)).as("n"))
+    assert(banded.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(banded).count() === 0)
+  }
+
+  test("rangeCount plans an equi-join, never a nested loop") {
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+    val l = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts")
+    val r = ev.filter($"event_type" === "click").select($"user_id", $"ts")
+    val plan = TemporalJoins.rangeCount(l, r, Seq("user_id"), "ts", "ts",
+      -300, 0).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
+
 class ApproxDistinctSpec extends SparkSpec {
   import graft.dialect.EdgeSql
   import graft.engine.Tables
