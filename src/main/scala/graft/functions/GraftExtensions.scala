@@ -51,7 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("sorted_intersect_size",
           "|A ∩ B| of two ascending-sorted distinct long arrays"),
         (args: Seq[Expression]) =>
-          SortedIntersectSizeExpr(args(0), args(1))))
+          SortedIntersectSizeExpr(args(0), args(1))),
+      (FunctionIdentifier("ngram_repeat_stats"),
+        info("ngram_repeat_stats",
+          "per-doc word n-gram repetition stats struct"),
+        (args: Seq[Expression]) =>
+          NgramRepeatStatsExpr(args(0), lit(args(1)))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -76,4 +81,6 @@ object F {
     c(SortedIntersectSizeExpr(e(a), e(b)))
   def dotF(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
   def vecLsh(v: Column, bits: Int): Column = c(VecLshExpr(e(v), bits))
+  def ngramRepeatStats(text: Column, n: Int): Column =
+    c(NgramRepeatStatsExpr(e(text), n))
 }

@@ -286,3 +286,51 @@ case class VecLshExpr(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
 }
+
+/** ngram_repeat_stats(text, n): per-document repetition statistics over
+  * the word n-gram MULTISET — struct(n_grams, n_distinct, top_n) where
+  * top_n is the occurrence count of the most repeated n-gram. Same
+  * values as the explode + groupBy(doc, gram) + groupBy(doc) two-shuffle
+  * formulation (the DuckDB oracle keeps that shape), but computed in one
+  * hash-map pass per row: repetition is a PER-DOCUMENT signal, so a
+  * 100 TB quality scan needs zero shuffles — this expression is the
+  * difference between a map-only stage and two corpus-wide exchanges.
+  * Short docs (< n tokens) collapse to one whole-doc gram, matching
+  * TextOps.wordShingles. */
+case class NgramRepeatStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_n", LongType, nullable = false)))
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    val counts = new java.util.HashMap[String, Long]()
+    var total = 0L
+    if (t.length < n) {
+      counts.put(t.mkString(" "), 1L)
+      total = 1L
+    } else {
+      var i = 0
+      while (i <= t.length - n) {
+        val sb = new StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(t(i + j)); j += 1
+        }
+        counts.merge(sb.toString, 1L, _ + _)
+        total += 1L
+        i += 1
+      }
+    }
+    var top = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) { val c = it.next(); if (c > top) top = c }
+    InternalRow(total, counts.size.toLong, top)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

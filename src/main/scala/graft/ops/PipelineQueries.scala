@@ -949,30 +949,28 @@ object PipelineQueries {
 
   /** q69 — repetition signals (the Gopher-rule family adapted to
     * single-line docs): token total/distinct counts, the most-repeated
-    * token and bigram counts, and the duplicate-token fraction. Two
-    * explode+groupBy passes (tokens, bigrams) joined on doc_id; counts
-    * stay integers, the one fraction is a single int/int double division
+    * token and bigram counts, and the duplicate-token fraction.
+    * Repetition is a PER-DOCUMENT signal, so this is a map-only plan:
+    * one native hash-map pass per row (NgramRepeatStatsExpr) for tokens
+    * and one for bigrams — ZERO shuffles at any scale, vs the two
+    * corpus-wide explode+groupBy exchanges of the naive formulation
+    * (which the DuckDB oracle retains as the independent spec). Counts
+    * stay integers; the one fraction is a single int/int double division
     * both engines execute identically. */
-  private val q69: QFn = (s, d) => {
-    val docs = wide(s, d, "documents", "doc_id")
-    val tokStats = docs
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"),
-        count(lit(1)).as("n_distinct_tokens"),
-        max(col("c")).as("top_token_n"))
-    val bigramStats = docs
+  private val q69: QFn = (s, d) =>
+    wide(s, d, "documents", "doc_id")
       .select(col("doc_id"),
-        explode(TextOps.wordShingles(col("text"), 2)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
-    tokStats.join(bigramStats, "doc_id")
+        F.ngramRepeatStats(col("text"), 1).as("ts"),
+        F.ngramRepeatStats(col("text"), 2).as("bs"))
+      .select(col("doc_id"),
+        col("ts").getField("n_grams").as("n_tokens"),
+        col("ts").getField("n_distinct").as("n_distinct_tokens"),
+        col("ts").getField("top_n").as("top_token_n"),
+        col("bs").getField("top_n").as("top_bigram_n"))
       .withColumn("dup_token_frac",
         (col("n_tokens") - col("n_distinct_tokens")).cast("double") /
           col("n_tokens"))
       .orderBy(col("doc_id")).limit(300)
-  }
   private val q69Sql = s"""
     WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
     t AS (SELECT doc_id, unnest(tk) AS t FROM toks),

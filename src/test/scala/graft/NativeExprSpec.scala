@@ -123,4 +123,34 @@ class NativeExprSpec extends SparkSpec {
     assert(out.getAs[Seq[Long]]("g").length === 4)
     assert(out.getAs[Int]("i") === 2)
   }
+
+  test("ngram_repeat_stats == the explode+groupBy formulation") {
+    // naive two-shuffle formulation (the oracle's shape) over tokens
+    val naive = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_n"))
+    val native = docs.select(col("doc_id"),
+      F.ngramRepeatStats(col("text"), 1).as("s"))
+      .select(col("doc_id"), col("s.n_grams"), col("s.n_distinct"),
+        col("s.top_n"))
+    assert(native.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(native).count() === 0)
+    // bigram path: most-repeated bigram count matches too
+    val naive2 = docs
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_n"))
+    val native2 = docs.select(col("doc_id"),
+      F.ngramRepeatStats(col("text"), 2).getField("top_n").as("top_n"))
+    assert(native2.exceptAll(naive2).count() === 0)
+    // short doc (< n tokens) collapses to ONE whole-doc gram
+    import spark.implicits._
+    val short = Seq("one").toDF("text").select(
+      F.ngramRepeatStats(col("text"), 2).as("s")).head()
+    assert(short.getStruct(0).getLong(0) === 1L)
+  }
 }
