@@ -1017,9 +1017,40 @@ object PipelineQueries {
     SELECT doc_id, rank, t, tf, df FROM r WHERE rank <= 3
     ORDER BY doc_id, rank"""
 
+  /** q72 — near-dup cluster consolidation: the q28 Jaccard pairs
+    * (threshold 0.5) collapsed into connected components, each doc
+    * labeled with its component's minimum id (the canonical
+    * representative a dedup stage keeps). Spark side is the iterative
+    * min-label propagation (Dedup.connectedComponents — localCheckpoint
+    * per round, O(1) plan depth); the oracle computes the same fixpoint
+    * as a DuckDB RECURSIVE transitive closure — two independent
+    * algorithms, one answer. */
+  private val q72: QFn = (s, d) => {
+    val pairs = Dedup.jaccardPairs(wide(s, d, "documents", "doc_id"),
+      "text", "doc_id", shingleN = 3, threshold = 0.5)
+    Dedup.connectedComponents(pairs).orderBy(col("id"))
+  }
+  private val q72Sql = s"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b
+      FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5),
+    edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT x AS id, y AS r FROM edges
+      UNION
+      SELECT e.x AS id, reach.r FROM edges e JOIN reach ON reach.id = e.y)
+    SELECT id, least(id, min(r)) AS label
+    FROM reach GROUP BY id ORDER BY id"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q72_neardup_components" -> q72,
     "q68_decontaminate" -> q68,
     "q69_repetition_signals" -> q69,
     "q70_tfidf_topk" -> q70,
@@ -1049,6 +1080,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q72_neardup_components" -> q72Sql,
     "q68_decontaminate" -> q68Sql,
     "q69_repetition_signals" -> q69Sql,
     "q70_tfidf_topk" -> q70Sql,
