@@ -98,6 +98,42 @@ class PlanSpec2 extends SparkSpec {
     val p = planOf("q50_redact")
     assert(!p.contains("Join"))
   }
+
+  test("q66: as-of join is the one-shuffle window form, never a nested loop") {
+    val p = planOf("q66_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"))
+    // union + window: no join operator at all
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
+  test("q67: range join is a banded equi-join, never a nested loop") {
+    val p = planOf("q67_range_join_count")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("__bin"))
+  }
+
+  test("q68: decontamination broadcasts the benchmark side") {
+    val p = planOf("q68_decontaminate")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q69: repetition stats are map-only — no join, no mid-plan shuffle") {
+    val p = planOf("q69_repetition_signals")
+    assert(!p.contains("Join"))
+    assert(p.contains("ngramrepeatstatsexpr") ||
+      p.toLowerCase.contains("ngramrepeatstats"))
+  }
+
+  test("q71: sessionization aggregates reuse the window partitioning " +
+      "(one exchange on user_id)") {
+    val p = planOf("q71_sessionize_batch")
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
 }
 
 class PipelinePlanSpec extends SparkSpec {
