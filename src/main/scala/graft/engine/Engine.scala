@@ -57,6 +57,45 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * it. */
   val tsdLedger = new graft.ingest.TsdLedger
 
+  /** Query execution-time histogram (the reference's QueryMonitor,
+    * job/job_instance.py:34-104: 10 one-second buckets + overflow,
+    * reset()able, rendered by `get queries time`). */
+  private val queryBuckets = new Array[Long](11)
+  private var queryMonitorStart = System.currentTimeMillis
+  /** `set query log` threshold (job_instance.query_log_time): -1 = off,
+    * 0 = log all, n = log queries slower than n seconds. */
+  private var queryLogTime: Int = -1
+  private val queryLog =
+    new scala.collection.mutable.ArrayBuffer[(Long, Double, String)]
+
+  private def recordQueryTime(command: String, secs: Double): Unit =
+    synchronized {
+      val idx = math.min(secs.toInt, 10)
+      queryBuckets(idx) += 1
+      if (queryLogTime >= 0 && secs >= queryLogTime)
+        queryLog += ((System.currentTimeMillis, secs, command))
+    }
+
+  private def queriesTimeReport(json: Boolean): String = synchronized {
+    val total = queryBuckets.sum
+    val interval = (System.currentTimeMillis - queryMonitorStart) / 1000
+    val hms = f"${interval / 3600}%d:${interval % 3600 / 60}%d:${interval % 60}%d"
+    if (json) {
+      val buckets = (0 until 10).map(i =>
+        f""""Up to ${i + 1}%2d sec.":"${queryBuckets(i)}"""") :+
+        f""""Over  10 sec.":"${queryBuckets(10)}""""
+      s"""{"Queries Statistics":{${buckets.mkString(",")},""" +
+        s""""Total queries":"$total",""" +
+        s""""Time interval":"$interval (sec.) : $hms (H:M:S)"}}"""
+    } else {
+      val buckets = (0 until 10).map(i =>
+        f"Up to ${i + 1}%2d sec.: ${queryBuckets(i)}") :+
+        f"Over  10 sec.: ${queryBuckets(10)}"
+      (buckets :+ s"Total queries: $total" :+
+        s"Time interval: $interval (sec.) : $hms (H:M:S)").mkString("\n")
+    }
+  }
+
   /** Per-table high-watermark of fully-replicated rows (the reference's
     * HA "committed" boundary, dbms/ha.py:225 safe ids). */
   private var safeTsdIds = Map.empty[String, Int]
@@ -251,7 +290,49 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   def execute(command: String): String = {
     val t = command.trim
     val low = t.toLowerCase
-    if (low.startsWith("sql ")) renderSql(t)
+    if (low.startsWith("sql ")) {
+      // every sql execution feeds the QueryMonitor histogram and (when
+      // enabled) the slow-query log — member_cmd.py "get queries time" /
+      // "set query log profile [n] seconds"
+      val t0 = System.nanoTime()
+      try renderSql(t)
+      finally recordQueryTime(t, (System.nanoTime() - t0) / 1e9)
+    }
+    else if (low.startsWith("get queries time")) {
+      val json = "(?i)where\\s+format\\s*=\\s*json".r
+        .findFirstIn(low).isDefined
+      queriesTimeReport(json)
+    }
+    else if (low == "get query log") synchronized {
+      if (queryLogTime < 0) "query log is off"
+      else if (queryLog.isEmpty) "query log is empty"
+      else queryLog.map { case (ts, secs, cmd) =>
+        f"${java.time.Instant.ofEpochMilli(ts)} ${secs}%.3f sec: $cmd"
+      }.mkString("\n")
+    }
+    else if (low == "reset query log") synchronized {
+      queryLog.clear()
+      "query log reset"
+    }
+    else if (low == "reset queries time") synchronized {
+      // QueryMonitor.reset (job_instance.py:44-48)
+      java.util.Arrays.fill(queryBuckets, 0L)
+      queryMonitorStart = System.currentTimeMillis
+      "queries time reset"
+    }
+    else if (low.startsWith("set query log")) synchronized {
+      val rest = low.substring("set query log".length).trim
+      val profileRx = "profile\\s+(\\d+)\\s+seconds?".r
+      rest match {
+        case "on" => queryLogTime = 0; "query log on"
+        case "off" => queryLogTime = -1; "query log off"
+        case profileRx(n) =>
+          queryLogTime = n.toInt
+          s"query log profile $n seconds"
+        case other => throw new IllegalArgumentException(
+          s"set query log: expected on|off|profile [n] seconds, got '$other'")
+      }
+    }
     else if (low.startsWith("explain sql ")) {
       // plan introspection (no reference analog — Spark-native value-add)
       val df = query(t.substring("explain ".length))

@@ -498,6 +498,35 @@ class AdmissionControlSpec extends SparkSpec {
     assert(e.getMessage.contains("max_volume"))
   }
 
+  test("get queries time histogram + query log profile (job_instance parity)") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val e = new Engine(spark, cat)
+    // empty monitor: zero total
+    assert(e.execute("get queries time").contains("Total queries: 0"))
+    e.execute("""sql edge "select count(*) as n from events"""")
+    e.execute("""sql edge "select count(*) as n from events"""")
+    val rep = e.execute("get queries time")
+    assert(rep.contains("Total queries: 2"))
+    assert(rep.contains("Up to  1 sec.:"))
+    val js = e.execute("get queries time where format = json")
+    assert(js.contains("\"Queries Statistics\""))
+    assert(js.contains("\"Total queries\":\"2\""))
+    // log off by default; `on` logs everything (threshold 0)
+    assert(e.execute("get query log") === "query log is off")
+    assert(e.execute("set query log on") === "query log on")
+    e.execute("""sql edge "select count(*) as n from events"""")
+    assert(e.execute("get query log").contains("select count(*)"))
+    // profile N seconds: fast queries drop below the threshold
+    assert(e.execute("reset query log") === "query log reset")
+    e.execute("set query log profile 10 seconds")
+    e.execute("""sql edge "select count(*) as n from events"""")
+    assert(e.execute("get query log") === "query log is empty")
+    // reset clears the histogram
+    e.execute("reset queries time")
+    assert(e.execute("get queries time").contains("Total queries: 0"))
+  }
+
   test("the 10 MB reply cap applies by DEFAULT (query_mode parity)") {
     val cat = new Catalog(spark)
     cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
