@@ -333,6 +333,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           s"set query log: expected on|off|profile [n] seconds, got '$other'")
       }
     }
+    else if (low.startsWith("get streaming")) {
+      // the reference's per-table streaming buffer stats (member_cmd.py
+      // get_streaming_info / streaming_data.show_info) mapped onto
+      // Structured Streaming's live query registry + progress
+      val qs = spark.streams.active
+      if (qs.isEmpty) "no active streaming queries"
+      else qs.map { q =>
+        val p = Option(q.lastProgress)
+        val ident = Option(q.name).filter(_.nonEmpty).getOrElse(q.id.toString)
+        s"$ident: active=${q.isActive}" +
+          p.fold(" (no batch yet)")(pr =>
+            s" batch=${pr.batchId} lastBatchRows=${pr.numInputRows}")
+      }.mkString("\n")
+    }
     else if (low.startsWith("explain sql ")) {
       // plan introspection (no reference analog — Spark-native value-add)
       val df = query(t.substring("explain ".length))

@@ -47,13 +47,16 @@ object StreamIngest {
     * the given column, with the reference's 60 s default flush cadence. */
   def startParquetSink(rows: DataFrame, outDir: String,
       checkpoint: String, partitionCol: Option[String] = None,
-      flushSeconds: Long = 60): org.apache.spark.sql.streaming.StreamingQuery = {
-    val w: DataStreamWriter[Row] = rows.writeStream
+      flushSeconds: Long = 60, name: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0: DataStreamWriter[Row] = rows.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(flushSeconds, TimeUnit.SECONDS))
       .outputMode("append")
+    // a named query shows up in `get streaming` (Engine) by that name
+    val w = name.map(w0.queryName).getOrElse(w0)
     partitionCol.map(c => w.partitionBy(c)).getOrElse(w).start()
   }
 }

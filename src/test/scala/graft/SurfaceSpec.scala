@@ -527,6 +527,24 @@ class AdmissionControlSpec extends SparkSpec {
     assert(e.execute("get queries time").contains("Total queries: 0"))
   }
 
+  test("get streaming lists active named queries with batch progress") {
+    val cat = new Catalog(spark)
+    val e = new Engine(spark, cat)
+    assert(e.execute("get streaming") === "no active streaming queries")
+    val out = java.nio.file.Files.createTempDirectory("gs").toString
+    val q = spark.readStream.format("rate")
+      .option("rowsPerSecond", "5").load()
+      .writeStream.queryName("rate_ingest").format("noop")
+      .option("checkpointLocation", s"$out/ckpt").start()
+    try {
+      q.processAllAvailable()
+      val rep = e.execute("get streaming")
+      assert(rep.contains("rate_ingest"))
+      assert(rep.contains("active=true"))
+    } finally { q.stop(); q.awaitTermination() }
+    assert(e.execute("get streaming") === "no active streaming queries")
+  }
+
   test("the 10 MB reply cap applies by DEFAULT (query_mode parity)") {
     val cat = new Catalog(spark)
     cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
