@@ -193,6 +193,24 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("rid")))
   }
 
+  test("asOf equals the brute-force latest-at-or-before join on events") {
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("lid"), $"user_id", $"ts".as("lts"))
+    val r = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("rid"), $"ts".as("rts"))
+    val fast = TemporalJoins.asOf(l, r, Seq("user_id"), "lts", "rts")
+      .select($"lid", $"rid")
+    // brute force: max-rts row per left row among rts <= lts
+    val rr = r.toDF("u2", "rid", "rts")
+    val brute = l.join(rr, $"user_id" === $"u2" && $"rts" <= $"lts",
+        "left_outer")
+      .groupBy($"lid")
+      .agg(max(struct($"rts", $"rid")).getField("rid").as("rid"))
+    assert(fast.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(fast).count() === 0)
+  }
+
   test("rangeCount equals the brute-force inequality join") {
     val ev = graft.engine.Tables.load(spark, sfDir, "events")
     val l = ev.filter($"event_type" === "error")
