@@ -37,7 +37,14 @@ object TemporalJoins {
     * match is otherwise ambiguous in ANY engine.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      direction: String = "backward"): DataFrame = {
+    val backward = direction match {
+      case "backward" => true
+      case "forward" => false
+      case other => throw new IllegalArgumentException(
+        s"asOf direction must be backward|forward, got '$other'")
+    }
     val rightPayload = right.columns.filterNot(keys.contains).toSeq
     val rStruct = struct(rightPayload.map(right(_)): _*)
     val lStruct = struct(left.columns.toSeq.map(left(_)): _*)
@@ -49,10 +56,15 @@ object TemporalJoins {
     val l2 = left.select(keys.map(col) ++ Seq(
       col(leftTs).as("__ts"), lit(1).as("__side"),
       lit(null).cast(rType).as("__r"), lStruct.as("__l")): _*)
-    // right rows sort BEFORE left rows at equal ts (__side 0 < 1), so a
-    // right row exactly at leftTs is visible to the frame — inclusive.
+    // backward: right rows sort BEFORE left at equal ts (__side 0 < 1)
+    // and the frame looks back — a right row exactly at leftTs is
+    // visible (inclusive). forward: mirror everything (descending time,
+    // frame still "preceding" = later timestamps), same inclusivity.
+    val ord =
+      if (backward) Seq(col("__ts").asc, col("__side").asc)
+      else Seq(col("__ts").desc, col("__side").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r2.unionByName(l2)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

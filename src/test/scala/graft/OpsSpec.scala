@@ -193,6 +193,23 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(2).isNullAt(out(2).fieldIndex("rid")))
   }
 
+  test("asOf forward picks the EARLIEST right row at-or-after") {
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+    val l = ev.filter($"event_type" === "click")
+      .select($"event_id".as("lid"), $"user_id", $"ts".as("lts"))
+    val r = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("rid"), $"ts".as("rts"))
+    val fast = TemporalJoins.asOf(l, r, Seq("user_id"), "lts", "rts",
+      direction = "forward").select($"lid", $"rid")
+    val rr = r.toDF("u2", "rid", "rts")
+    val brute = l.join(rr, $"user_id" === $"u2" && $"rts" >= $"lts",
+        "left_outer")
+      .groupBy($"lid")
+      .agg(min(struct($"rts", $"rid")).getField("rid").as("rid"))
+    assert(fast.exceptAll(brute).count() === 0)
+    assert(brute.exceptAll(fast).count() === 0)
+  }
+
   test("asOf equals the brute-force latest-at-or-before join on events") {
     val ev = graft.engine.Tables.load(spark, sfDir, "events")
     val l = ev.filter($"event_type" === "purchase")
@@ -227,6 +244,35 @@ class TemporalJoinsSpec extends SparkSpec {
       .agg(sum(when($"cts".isNotNull, 1L).otherwise(0L)).as("n"))
     assert(banded.exceptAll(brute).count() === 0)
     assert(brute.exceptAll(banded).count() === 0)
+  }
+
+  test("asOf matches an in-memory reference model on random corpora") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      def rts() = ts("2024-01-01 00:00:00").getTime + rnd.nextInt(500000)
+      // unique (key, ts) on the right — the as-of contract
+      val rightRows = rnd.shuffle(
+        (0 until 120).map(i => (s"k${rnd.nextInt(6)}", rts(), i.toLong)))
+        .distinctBy(r => (r._1, r._2))
+      val leftRows = (0 until 80).map(i =>
+        (s"k${rnd.nextInt(8)}", rts(), (1000 + i).toLong))
+      val left = leftRows.toDF("k", "lms", "lid")
+        .select($"k", ($"lms" / 1000).cast("timestamp").as("lts"), $"lid")
+      val right = rightRows.toDF("k", "rms", "rid")
+        .select($"k", ($"rms" / 1000).cast("timestamp").as("rts"), $"rid")
+      val got = TemporalJoins.asOf(left, right, Seq("k"), "lts", "rts")
+        .select($"lid", $"rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      // reference model: scan-and-pick per left row
+      val byKey = rightRows.groupBy(_._1)
+      val want = leftRows.map { case (k, lms, lid) =>
+        val cand = byKey.getOrElse(k, Seq.empty).filter(_._2 <= lms)
+        lid -> (if (cand.isEmpty) -1L
+                else cand.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      assert(got === want, s"seed $seed")
+    }
   }
 
   test("rangeCount plans an equi-join, never a nested loop") {
