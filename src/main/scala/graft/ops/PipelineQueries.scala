@@ -1047,9 +1047,38 @@ object PipelineQueries {
     SELECT id, least(id, min(r)) AS label
     FROM reach GROUP BY id ORDER BY id"""
 
+  /** q73 — dedup representative selection: per duplicate cluster
+    * (identical SimHash signature), KEEP the longest member — the
+    * quality-aware canonical-choice policy a real dedup stage applies
+    * (min-id keeps arbitrary docs; longest keeps the most complete).
+    * Deterministic argmax via max_by over the integer sort key
+    * n_chars*1e6 + doc_id (ties impossible: doc_id unique) — the same
+    * expression runs in both engines. ONE aggregate after the per-row
+    * signature, like q30. */
+  private val q73: QFn = (s, d) =>
+    wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), col("n_chars"), F.simhash32(col("text")).as("sig"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("max_by(doc_id, n_chars * 1000000 + doc_id)").as("keep_id"),
+        max(col("n_chars")).as("keep_chars"),
+        sum(col("n_chars")).as("cluster_chars"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("sig"))
+  private val q73Sql = s"""
+    WITH sd AS (SELECT doc_id, n_chars,
+        ${dSimhash(s"list_transform(${dToks("text")}, t -> ${dPoly("t")})")} AS sig
+      FROM documents)
+    SELECT sig, count(*) AS n_docs,
+      max_by(doc_id, n_chars * 1000000 + doc_id) AS keep_id,
+      max(n_chars) AS keep_chars,
+      CAST(sum(n_chars) AS BIGINT) AS cluster_chars
+    FROM sd GROUP BY sig HAVING count(*) > 1 ORDER BY sig"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q73_dedup_keep_longest" -> q73,
     "q72_neardup_components" -> q72,
     "q68_decontaminate" -> q68,
     "q69_repetition_signals" -> q69,
@@ -1080,6 +1109,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q73_dedup_keep_longest" -> q73Sql,
     "q72_neardup_components" -> q72Sql,
     "q68_decontaminate" -> q68Sql,
     "q69_repetition_signals" -> q69Sql,
