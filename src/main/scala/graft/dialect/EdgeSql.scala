@@ -573,7 +573,9 @@ object EdgeSql {
     "dayofyear", "weekofyear", "hour", "minute", "second", "date_trunc",
     "trunc", "to_date", "to_timestamp", "date_add", "date_sub",
     "datediff", "add_months", "months_between", "last_day", "next_day",
-    "unix_timestamp", "from_unixtime", "extract", "date_part",
+    // NB: unix_timestamp deliberately absent — its zero-arg form
+    // returns the current wall clock (nondeterministic)
+    "from_unixtime", "extract", "date_part",
     "date_format", "make_date", "make_timestamp",
     // type/representation
     "bin", "hex", "unhex", "conv", "base64", "unbase64", "md5", "sha1",

@@ -68,18 +68,27 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   private val queryLog =
     new scala.collection.mutable.ArrayBuffer[(Long, Double, String)]
 
+  /** Slow-query log retention: a bounded ring (newest kept) so a
+    * long-lived engine with `set query log on` cannot grow heap without
+    * bound on full command strings. */
+  private val queryLogCap = 1000
+
   private def recordQueryTime(command: String, secs: Double): Unit =
     synchronized {
       val idx = math.min(secs.toInt, 10)
       queryBuckets(idx) += 1
-      if (queryLogTime >= 0 && secs >= queryLogTime)
+      if (queryLogTime >= 0 && secs >= queryLogTime) {
         queryLog += ((System.currentTimeMillis, secs, command))
+        if (queryLog.length > queryLogCap)
+          queryLog.remove(0, queryLog.length - queryLogCap)
+      }
     }
 
   private def queriesTimeReport(json: Boolean): String = synchronized {
     val total = queryBuckets.sum
     val interval = (System.currentTimeMillis - queryMonitorStart) / 1000
-    val hms = f"${interval / 3600}%d:${interval % 3600 / 60}%d:${interval % 60}%d"
+    val hms =
+      f"${interval / 3600}%d:${interval % 3600 / 60}%02d:${interval % 60}%02d"
     if (json) {
       val buckets = (0 until 10).map(i =>
         f""""Up to ${i + 1}%2d sec.":"${queryBuckets(i)}"""") :+
@@ -600,13 +609,18 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         }
       case None => compute()
     }
-    // the reference applies the 10 MB reply cap by DEFAULT in
-    // query_mode; an explicit max_volume= option overrides it
+    // the reference applies the 10 MB cap by DEFAULT in query_mode, but
+    // it is a REPLY cap: a dest=file/kafka/buffer EXPORT is not a reply,
+    // so the default only binds when the output returns to the caller.
+    // An explicit max_volume= option binds everywhere (caller intent).
+    val isReply = cmd.options.get("dest").forall(_ == "stdout")
     val cap = cmd.options.get("max_volume").map(_.trim.toLong)
-      .getOrElse(defaultMaxVolume)
-    val sz = body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-    if (sz > cap) throw new IllegalStateException(
-      s"result volume $sz B exceeds max_volume = $cap B")
+      .orElse(if (isReply) Some(defaultMaxVolume) else None)
+    cap.foreach { c =>
+      val sz = body.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      if (sz > c) throw new IllegalStateException(
+        s"result volume $sz B exceeds max_volume = $c B")
+    }
 
     // test=true + source=<golden file>: the reference's built-in
     // golden-output comparison (cmd/member_cmd.py:124-127 test/source

@@ -296,7 +296,9 @@ case class VecLshExpr(child: Expression, bits: Int)
   * 100 TB quality scan needs zero shuffles — this expression is the
   * difference between a map-only stage and two corpus-wide exchanges.
   * Short docs (< n tokens) collapse to one whole-doc gram, matching
-  * TextOps.wordShingles. */
+  * TextOps.wordShingles; ZERO-token docs yield (0, 0, 0) — the
+  * explode formulation produces no rows for them, so downstream
+  * queries drop them with a `n_grams > 0` filter to stay aligned. */
 case class NgramRepeatStatsExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
@@ -307,6 +309,7 @@ case class NgramRepeatStatsExpr(child: Expression, n: Int)
   override def foldable: Boolean = child.foldable
   override protected def nullSafeEval(input: Any): Any = {
     val t = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    if (t.length == 0) return InternalRow(0L, 0L, 0L)
     val counts = new java.util.HashMap[String, Long]()
     var total = 0L
     if (t.length < n) {

@@ -156,10 +156,12 @@ object Dedup {
   /** Consolidate near-dup PAIRS into clusters via iterative min-label
     * propagation (connected components): every doc gets the smallest id
     * reachable through the pair graph — the step that turns pairwise
-    * similarity into an actionable keep/drop decision. Near-dup graphs
-    * are shallow (dup groups, not social networks), so a handful of
-    * join+aggregate rounds reaches the fixpoint; each round is two
-    * shuffles, no driver iteration over rows. */
+    * similarity into an actionable keep/drop decision. Each round does
+    * a neighbor-min step PLUS a pointer-jumping hop (adopt the label's
+    * own label), so convergence is O(log diameter) rounds, not
+    * O(diameter) — maxIter=10 covers any component a dedup graph can
+    * produce (diameter ~2^10). A non-converged exit THROWS instead of
+    * returning silently-partial labels. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 10): DataFrame = {
     // materialize the edge list once — every round joins against it
@@ -174,19 +176,30 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x").as("id")).agg(min(col("label")).as("nbr"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      // pointer jumping: labels are node ids, so every label row has a
+      // row of its own — adopting label(label) halves the remaining
+      // path each round (the classic Shiloach-Vishkin shortcut)
+      val ptr = stepped.toDF("pid", "plabel")
       // localCheckpoint truncates lineage: round k's plan starts from
       // round k-1's MATERIALIZED labels instead of replaying every prior
       // round (plan depth O(1), and the convergence isEmpty below reads
       // the checkpoint instead of recomputing history)
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+      val next = stepped.join(ptr, stepped("label") === ptr("pid"), "left")
+        .select(stepped("id"),
+          least(stepped("label"),
+            coalesce(col("plabel"), stepped("label"))).as("label"))
         .localCheckpoint()
       converged = next.join(labels.toDF("id", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
       labels = next
       i += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (each extra round doubles the reachable diameter)")
     labels
   }
 

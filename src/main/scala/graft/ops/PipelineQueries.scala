@@ -967,6 +967,9 @@ object PipelineQueries {
         col("ts").getField("n_distinct").as("n_distinct_tokens"),
         col("ts").getField("top_n").as("top_token_n"),
         col("bs").getField("top_n").as("top_bigram_n"))
+      // zero-token docs: the oracle's unnest produces no rows for them
+      // (inner join drops the doc); mirror that membership here
+      .filter(col("n_tokens") > 0)
       .withColumn("dup_token_frac",
         (col("n_tokens") - col("n_distinct_tokens")).cast("double") /
           col("n_tokens"))
@@ -1051,16 +1054,18 @@ object PipelineQueries {
     * (identical SimHash signature), KEEP the longest member — the
     * quality-aware canonical-choice policy a real dedup stage applies
     * (min-id keeps arbitrary docs; longest keeps the most complete).
-    * Deterministic argmax via max_by over the integer sort key
-    * n_chars*1e6 + doc_id (ties impossible: doc_id unique) — the same
-    * expression runs in both engines. ONE aggregate after the per-row
-    * signature, like q30. */
+    * Deterministic argmax via a lexicographic struct max on
+    * (n_chars, doc_id) — no packed integer key, so no doc_id range
+    * assumption at any scale (ties impossible: doc_id unique). ONE
+    * aggregate after the per-row signature, like q30; the oracle uses
+    * an equivalent per-cluster window rank. */
   private val q73: QFn = (s, d) =>
     wide(s, d, "documents", "doc_id")
       .select(col("doc_id"), col("n_chars"), F.simhash32(col("text")).as("sig"))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_docs"),
-        expr("max_by(doc_id, n_chars * 1000000 + doc_id)").as("keep_id"),
+        max(struct(col("n_chars"), col("doc_id")))
+          .getField("doc_id").as("keep_id"),
         max(col("n_chars")).as("keep_chars"),
         sum(col("n_chars")).as("cluster_chars"))
       .filter(col("n_docs") > 1)
@@ -1068,12 +1073,14 @@ object PipelineQueries {
   private val q73Sql = s"""
     WITH sd AS (SELECT doc_id, n_chars,
         ${dSimhash(s"list_transform(${dToks("text")}, t -> ${dPoly("t")})")} AS sig
-      FROM documents)
-    SELECT sig, count(*) AS n_docs,
-      max_by(doc_id, n_chars * 1000000 + doc_id) AS keep_id,
-      max(n_chars) AS keep_chars,
-      CAST(sum(n_chars) AS BIGINT) AS cluster_chars
-    FROM sd GROUP BY sig HAVING count(*) > 1 ORDER BY sig"""
+      FROM documents),
+    g AS (SELECT sig, count(*) AS n_docs, max(n_chars) AS keep_chars,
+        CAST(sum(n_chars) AS BIGINT) AS cluster_chars
+      FROM sd GROUP BY sig HAVING count(*) > 1),
+    r AS (SELECT sig, doc_id, row_number() OVER (PARTITION BY sig
+        ORDER BY n_chars DESC, doc_id DESC) AS rn FROM sd)
+    SELECT g.sig, n_docs, r.doc_id AS keep_id, keep_chars, cluster_chars
+    FROM g JOIN r ON g.sig = r.sig AND r.rn = 1 ORDER BY g.sig"""
 
   // =====================================================================
 

@@ -88,15 +88,18 @@ object TemporalJoins {
     val binMicros = (upperSec - lowerSec) * 1000000L
     val lo = col("__lm") + lit(lowerSec * 1000000L)
     val hi = col("__lm") + lit(upperSec * 1000000L)
-    // positive micros: long division truncates == floor
+    // floor(), not cast-truncation: pre-1970 timestamps have negative
+    // epoch micros, where truncation rounds toward zero and would put
+    // rows one bin too high (micros stay < 2^53, so the double
+    // division is exact before flooring)
     val l2 = left
       .withColumn("__lm", unix_micros(col(leftTs)))
       .withColumn("__bin", explode(array_distinct(array(
-        (lo / binMicros).cast("long"),
-        ((hi - 1) / binMicros).cast("long")))))
+        floor(lo / binMicros).cast("long"),
+        floor((hi - 1) / binMicros).cast("long")))))
     val r2 = right.select(keys.map(col) :+
       unix_micros(col(rightTs)).as("__rm"): _*)
-      .withColumn("__bin", (col("__rm") / binMicros).cast("long"))
+      .withColumn("__bin", floor(col("__rm") / binMicros).cast("long"))
     val hit = col("__rm").isNotNull && col("__rm") >= lo && col("__rm") < hi
     l2.join(r2, keys :+ "__bin", "left_outer")
       .groupBy(left.columns.toSeq.map(col): _*)

@@ -476,6 +476,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels(10L) === 10L && labels(11L) === 10L)
   }
 
+  test("a 60-node path converges within maxIter=10 (pointer jumping)") {
+    // diameter 60 — plain neighbor-min propagation would need ~60
+    // rounds; the label(label) hop makes it O(log d), and a
+    // non-converged exit throws instead of returning partial labels
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 60)
+    assert(labels.values.forall(_ === 1L))
+  }
+
   test("real near-dup pairs consolidate to one representative per cluster") {
     val docs = graft.engine.Tables.load(spark, sfDir, "documents")
     val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.5)

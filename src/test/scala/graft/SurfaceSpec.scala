@@ -557,6 +557,17 @@ class AdmissionControlSpec extends SparkSpec {
     val out = tiny.execute(
       """sql edge max_volume=100000000 "select count(*) as n from events"""")
     assert(out.contains("\"n\""))
+    // the default is a REPLY cap: a dest=file EXPORT larger than the
+    // default must still succeed (an explicit max_volume would bind)
+    val f = java.nio.file.Files.createTempFile("cap", ".json")
+    val r = tiny.execute(
+      s"""sql edge dest=file:$f "select * from events limit 50"""")
+    assert(r.contains("written to"))
+    assert(java.nio.file.Files.size(f) > 64)
+    // explicit max_volume binds even for exports
+    val e2 = intercept[IllegalStateException](tiny.execute(
+      s"""sql edge max_volume=64 dest=file:$f "select * from events""""))
+    assert(e2.getMessage.contains("max_volume"))
   }
 }
 
