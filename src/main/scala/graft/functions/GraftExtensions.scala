@@ -56,7 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("ngram_repeat_stats",
           "per-doc word n-gram repetition stats struct"),
         (args: Seq[Expression]) =>
-          NgramRepeatStatsExpr(args(0), lit(args(1)))))
+          NgramRepeatStatsExpr(args(0), lit(args(1)))),
+      (FunctionIdentifier("feature_hash_counts"),
+        info("feature_hash_counts",
+          "token-count vector, dim = polyhash(token) mod dims"),
+        (args: Seq[Expression]) =>
+          FeatureHashCountsExpr(args(0), lit(args(1)))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -83,4 +88,6 @@ object F {
   def vecLsh(v: Column, bits: Int): Column = c(VecLshExpr(e(v), bits))
   def ngramRepeatStats(text: Column, n: Int): Column =
     c(NgramRepeatStatsExpr(e(text), n))
+  def featureHashCounts(text: Column, dims: Int): Column =
+    c(FeatureHashCountsExpr(e(text), dims))
 }

@@ -337,3 +337,29 @@ case class NgramRepeatStatsExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
 }
+
+/** feature_hash_counts(text, dims): token-count vector of length `dims`
+  * with dim = polyHash(token) mod dims — the feature-hashing vectorizer
+  * kernel. Same values as the HOF formulation
+  * `transform(sequence(0, dims-1), i -> size(filter(th, h -> h % dims
+  * = i)))` (which the DuckDB oracle keeps), but one tokenize+hash pass
+  * per row instead of dims interpreted filter scans over an
+  * interpreted per-token hash. */
+case class FeatureHashCountsExpr(child: Expression, dims: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    val vec = new Array[Long](dims)
+    var i = 0
+    while (i < t.length) {
+      vec((TextExpressions.polyHash(t(i)) % dims).toInt) += 1L
+      i += 1
+    }
+    new GenericArrayData(vec)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

@@ -619,14 +619,13 @@ object PipelineQueries {
     * op of a featurization stage; output = order-independent vector
     * stats. Pure map + one final sort. */
   private val q60: QFn = (s, d) =>
-    // repartition = materialization barrier: without it CollapseProject
-    // inlines the token-hash array into the 16-dim lambda (16x recompute)
+    // native one-pass vectorizer (FeatureHashCountsExpr) replaces 16
+    // interpreted filter scans over interpreted per-token hashes; the
+    // repartition doubles as widen AND CollapseProject barrier, and now
+    // ships only 16 longs per row (not the full token-hash array)
     t(s, d, "documents")
-      .select(col("doc_id"),
-        expr(s"transform(${sToks("text")}, t -> ${sPoly("t")})").as("th"))
+      .select(col("doc_id"), F.featureHashCounts(col("text"), 16).as("vec"))
       .repartition(col("doc_id"))
-      .withColumn("vec", expr(
-        "transform(sequence(0, 15), i -> size(filter(th, h -> h % 16 = i)))"))
       .select(col("doc_id"),
         expr("size(filter(vec, v -> v > 0))").as("nnz"),
         expr("array_max(vec)").as("max_count"),

@@ -124,6 +124,20 @@ class NativeExprSpec extends SparkSpec {
     assert(out.getAs[Int]("i") === 2)
   }
 
+  test("feature_hash_counts == the HOF transform/filter formulation") {
+    val hof = docs.select(col("doc_id"), expr(
+      "transform(sequence(0, 15), i -> size(filter(" +
+        "transform(filter(split(text, ' '), t -> t != ''), " +
+        "t -> aggregate(filter(split(t, ''), c -> c != ''), " +
+        "cast(0 as bigint), (a, c) -> (a*31 + cast(ascii(c) as bigint)) " +
+        "% 2147483647)), h -> h % 16 = i)))").as("vec"))
+    val nat = docs.select(col("doc_id"),
+      F.featureHashCounts(col("text"), 16).as("v"))
+      .select(col("doc_id"), expr("transform(v, x -> cast(x as int))").as("vec"))
+    assert(nat.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(nat).count() === 0)
+  }
+
   test("ngram_repeat_stats == the explode+groupBy formulation") {
     // naive two-shuffle formulation (the oracle's shape) over tokens
     val naive = docs
