@@ -195,6 +195,71 @@ class StreamIngestE2ESpec extends SparkSpec {
   }
 }
 
+class MqttChainE2ESpec extends SparkSpec {
+  import graft.ingest.MappingPolicy
+  import graft.streaming.{MqttBroker, StreamIngest}
+  import graft.engine.{Catalog, Engine}
+
+  test("MQTT publish -> watch-dir -> policy stream -> parquet -> sql") {
+    val watch = java.nio.file.Files.createTempDirectory("mq_watch")
+    val out = java.nio.file.Files.createTempDirectory("mq_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mq_ckpt").toString
+
+    // broker sink = the reference's message-broker-to-streamer handoff:
+    // each PUBLISH lands as one NDJSON file in the watch dir
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val broker = new MqttBroker((topic, payload) =>
+      java.nio.file.Files.writeString(
+        watch.resolve(s"m${n.incrementAndGet()}.json"), payload))
+    val port = broker.start()
+    try {
+      val sock = new java.net.Socket("localhost", port)
+      val os = sock.getOutputStream
+      def pub(msg: String): Unit = {
+        val t = "factory/temp".getBytes("UTF-8")
+        val m = msg.getBytes("UTF-8")
+        val body = Array[Byte](0, t.length.toByte) ++ t ++ m
+        os.write(Array[Byte](0x30, body.length.toByte) ++ body)
+        os.flush()
+      }
+      val varHeader = Array[Byte](0, 4, 'M', 'Q', 'T', 'T', 4, 2, 0, 60)
+      val cid = "chain".getBytes("UTF-8")
+      val payload = Array[Byte](0, cid.length.toByte) ++ cid
+      os.write(Array[Byte](0x10,
+        (varHeader.length + payload.length).toByte) ++ varHeader ++ payload)
+      os.flush()
+      pub("""{"device": "t1", "value": 21.5}""")
+      pub("""{"device": "t2", "value": 22.5}""")
+      sock.close()
+      val deadline = System.currentTimeMillis + 5000
+      while (n.get < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(n.get === 2)
+
+      // the SAME streaming chain files use: watch-dir source -> mapping
+      // policy -> parquet append
+      val policy = MappingPolicy.Policy("edge", "temps", None, Seq(
+        MappingPolicy.ColumnSpec("device", "varchar", "[device]"),
+        MappingPolicy.ColumnSpec("value", "float", "[value]")))
+      val (rows, _) =
+        StreamIngest.pipeline(StreamIngest.watchDir(spark, watch.toString),
+          policy)
+      val q = StreamIngest.startParquetSink(rows, out, ckpt,
+        flushSeconds = 1, name = Some("mqtt_temps"))
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+
+      // queryable through the Engine like any table
+      val cat = new Catalog(spark)
+      cat.registerTable("temps", out)
+      val e = new Engine(spark, cat)
+      val reply = e.execute(
+        """sql edge "select device, count(*) as n from temps """ +
+          """group by device order by device"""")
+      assert(reply.contains("t1") && reply.contains("t2"))
+    } finally broker.stop()
+  }
+}
+
 class GoldenOutputSpec extends SparkSpec {
   import graft.engine.{Catalog, Engine}
 
