@@ -1081,9 +1081,76 @@ object PipelineQueries {
     SELECT g.sig, n_docs, r.doc_id AS keep_id, keep_chars, cluster_chars
     FROM g JOIN r ON g.sig = r.sig AND r.rn = 1 ORDER BY g.sig"""
 
+  /** Sign-bit halves of a 64-dim embedding: bits lo..lo+31 packed into
+    * one BIGINT (two halves avoid the sign bit of a single 64-bit
+    * pack, which DuckDB's checked BIGINT arithmetic rejects). */
+  private def sSignBits(v: String, lo: Int) =
+    s"aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc + " +
+      s"CASE WHEN element_at($v, j + $lo + 1) > 0 " +
+      s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+  private def dSignBits(v: String, lo: Int) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), range(32)), " +
+      s"(acc, j) -> acc + CASE WHEN ($v)[j + $lo + 1] > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)"
+
+  /** q74 — binary-quantized ANN: 1 bit per dimension (sign), hamming
+    * pre-rank to 20 candidates, exact-cosine re-rank to top 3. THE
+    * memory-bandwidth play at 100 TB: the scan side touches 8 bytes per
+    * vector instead of 256, and only ~20 full vectors per probe are
+    * ever fetched for the exact pass. Integer hamming with id
+    * tie-breaks keeps the candidate set hash-stable cross-engine. */
+  private val q74: QFn = (s, d) => {
+    val all = wide(s, d, "embeddings", "vec_id")
+      .withColumn("nrm", sqrt(F.dotF(col("embedding"), col("embedding"))))
+      .withColumn("s1", expr(sSignBits("embedding", 0)))
+      .withColumn("s2", expr(sSignBits("embedding", 32)))
+    val probes = all.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("s1").as("q_s1"), col("s2").as("q_s2"))
+    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    broadcast(probes)
+      .join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("q_emb"), col("q_nrm"),
+        col("embedding"), col("nrm"),
+        (bit_count(col("q_s1").bitwiseXOR(col("s1"))) +
+          bit_count(col("q_s2").bitwiseXOR(col("s2")))).as("hamming"))
+      .withColumn("pre_rank", row_number().over(w1))
+      .filter(col("pre_rank") <= 20)
+      .withColumn("cos_sim",
+        F.dotF(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("hamming"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val q74Sql = s"""
+    WITH e AS (SELECT vec_id, embedding,
+        sqrt(${dDot("embedding", "embedding")}) AS nrm,
+        ${dSignBits("embedding", 0)} AS s1,
+        ${dSignBits("embedding", 32)} AS s2
+      FROM embeddings),
+    ham AS (SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+        q.embedding AS q_emb, q.nrm AS q_nrm, v.embedding, v.nrm,
+        bit_count(xor(q.s1, v.s1)) + bit_count(xor(q.s2, v.s2)) AS hamming
+      FROM e q JOIN e v ON q.vec_id < 20 AND q.vec_id != v.vec_id),
+    pre AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY hamming, vec_id) AS pre_rank FROM ham),
+    scored AS (SELECT q_id, vec_id, hamming,
+        ${dDot("q_emb", "embedding")} / (q_nrm * nrm) AS cos_sim
+      FROM pre WHERE pre_rank <= 20),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+    SELECT q_id, rank, vec_id, hamming, cos_sim FROM ranked
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q74_ann_binary_quantized" -> q74,
     "q73_dedup_keep_longest" -> q73,
     "q72_neardup_components" -> q72,
     "q68_decontaminate" -> q68,
@@ -1115,6 +1182,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q74_ann_binary_quantized" -> q74Sql,
     "q73_dedup_keep_longest" -> q73Sql,
     "q72_neardup_components" -> q72Sql,
     "q68_decontaminate" -> q68Sql,
