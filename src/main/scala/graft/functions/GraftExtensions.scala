@@ -90,4 +90,5 @@ object F {
     c(NgramRepeatStatsExpr(e(text), n))
   def featureHashCounts(text: Column, dims: Int): Column =
     c(FeatureHashCountsExpr(e(text), dims))
+  def tokenTf(text: Column): Column = c(TokenTfExpr(e(text)))
 }

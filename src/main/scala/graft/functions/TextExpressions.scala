@@ -363,3 +363,38 @@ case class FeatureHashCountsExpr(child: Expression, dims: Int)
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
 }
+
+/** token_tf(text): per-document term frequencies as an array of
+  * (t, tf) structs in first-occurrence order — the same pairs the
+  * explode + groupBy(doc, token) formulation produces (which the DuckDB
+  * oracle keeps), computed in one hash-map pass per row. Turns a
+  * corpus-wide shuffle of EVERY token occurrence into a map-only stage:
+  * downstream only shuffles one row per DISTINCT token per doc. */
+case class TokenTfExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < t.length) {
+      counts.merge(t(i), 1L, _ + _)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

@@ -992,12 +992,15 @@ object PipelineQueries {
     * float idf): rank tokens by (tf DESC, df ASC, token ASC) and keep
     * the top 3. The integer-lexicographic rank IS the tf-idf order for
     * fixed N — log(N/df) is monotone in -df — while keeping the output
-    * hash-stable across engines (no transcendental floats). Plan: tf
-    * aggregate, df aggregate over it, join back, window top-k. */
+    * hash-stable across engines (no transcendental floats). Plan:
+    * per-row native tf map (token_tf — NO shuffle of raw token
+    * occurrences; only one row per DISTINCT token per doc leaves the
+    * scan), df aggregate, join back, window top-k; the oracle keeps the
+    * explode+groupBy shape as the independent spec. */
   private val q70: QFn = (s, d) => {
     val tf = wide(s, d, "documents", "doc_id")
-      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(F.tokenTf(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.t").as("t"), col("e.tf").as("tf"))
     val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))

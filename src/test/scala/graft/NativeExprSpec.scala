@@ -138,6 +138,17 @@ class NativeExprSpec extends SparkSpec {
     assert(hof.exceptAll(nat).count() === 0)
   }
 
+  test("token_tf == the explode+groupBy tf formulation") {
+    val naive = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val native = docs
+      .select(col("doc_id"), explode(F.tokenTf(col("text"))).as("e"))
+      .select(col("doc_id"), col("e.t").as("t"), col("e.tf").as("tf"))
+    assert(native.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(native).count() === 0)
+  }
+
   test("ngram_repeat_stats == the explode+groupBy formulation") {
     // naive two-shuffle formulation (the oracle's shape) over tokens
     val naive = docs
