@@ -573,9 +573,9 @@ object EdgeSql {
     "dayofyear", "weekofyear", "hour", "minute", "second", "date_trunc",
     "trunc", "to_date", "to_timestamp", "date_add", "date_sub",
     "datediff", "add_months", "months_between", "last_day", "next_day",
-    // NB: unix_timestamp deliberately absent — its zero-arg form
-    // returns the current wall clock (nondeterministic)
-    "from_unixtime", "extract", "date_part",
+    // unix_timestamp is allowed only WITH arguments (the zero-arg form
+    // is the wall clock — rejected separately in the validator)
+    "unix_timestamp", "from_unixtime", "extract", "date_part",
     "date_format", "make_date", "make_timestamp",
     // type/representation
     "bin", "hex", "unhex", "conv", "base64", "unbase64", "md5", "sha1",
@@ -672,6 +672,12 @@ object EdgeSql {
             if (!functionAllowlist.contains(n))
               throw new IllegalArgumentException(
                 s"::function: '$n' is not in the safe scalar allowlist")
+            // unix_timestamp(ts) is deterministic; unix_timestamp() is
+            // the current wall clock — arity-gate the zero-arg form
+            if (n == "unix_timestamp" && f.arguments.isEmpty)
+              throw new IllegalArgumentException(
+                "::function: zero-arg unix_timestamp() is the current " +
+                  "time (nondeterministic) — pass a timestamp argument")
           case _ => ()
         }
         val substituted = parsed.transformUp {

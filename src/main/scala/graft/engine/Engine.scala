@@ -613,7 +613,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // it is a REPLY cap: a dest=file/kafka/buffer EXPORT is not a reply,
     // so the default only binds when the output returns to the caller.
     // An explicit max_volume= option binds everywhere (caller intent).
-    val isReply = cmd.options.get("dest").forall(_ == "stdout")
+    // NB: classify by the SAME prefixes the dest router below diverts —
+    // an unrecognized dest value falls through to the reply path and
+    // must stay capped.
+    val isReply = !cmd.options.get("dest").exists(d =>
+      d.startsWith("file:") || d == "buffer" || d.startsWith("kafka@"))
     val cap = cmd.options.get("max_volume").map(_.trim.toLong)
       .orElse(if (isReply) Some(defaultMaxVolume) else None)
     cap.foreach { c =>

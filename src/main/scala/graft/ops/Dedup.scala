@@ -176,9 +176,14 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("y") === labels("id"))
         .groupBy(col("x").as("id")).agg(min(col("label")).as("nbr"))
+      // materialize: `stepped` feeds `next` twice (directly and as
+      // `ptr`) — without the checkpoint the edges-join + aggregation
+      // subtree would be replayed for each occurrence unless exchange
+      // reuse happens to dedupe it
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint()
       // pointer jumping: labels are node ids, so every label row has a
       // row of its own — adopting label(label) halves the remaining
       // path each round (the classic Shiloach-Vishkin shortcut)

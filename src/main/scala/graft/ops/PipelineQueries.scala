@@ -958,6 +958,13 @@ object PipelineQueries {
     * both engines execute identically. */
   private val q69: QFn = (s, d) =>
     wide(s, d, "documents", "doc_id")
+      // zero-token docs: the oracle's unnest produces no rows for them
+      // (inner join drops the doc); mirror that membership with a CHEAP
+      // scan-level predicate — tokens are space-split, so zero tokens
+      // iff the text is all spaces. Filtering on n_tokens AFTER the
+      // stats projection would be pushed below the exchange and re-run
+      // the full tokenize pass per row (seen in PLANS.md).
+      .filter(expr("trim(BOTH ' ' FROM text) != ''"))
       .select(col("doc_id"),
         F.ngramRepeatStats(col("text"), 1).as("ts"),
         F.ngramRepeatStats(col("text"), 2).as("bs"))
@@ -966,9 +973,6 @@ object PipelineQueries {
         col("ts").getField("n_distinct").as("n_distinct_tokens"),
         col("ts").getField("top_n").as("top_token_n"),
         col("bs").getField("top_n").as("top_bigram_n"))
-      // zero-token docs: the oracle's unnest produces no rows for them
-      // (inner join drops the doc); mirror that membership here
-      .filter(col("n_tokens") > 0)
       .withColumn("dup_token_frac",
         (col("n_tokens") - col("n_distinct_tokens")).cast("double") /
           col("n_tokens"))
@@ -1114,14 +1118,24 @@ object PipelineQueries {
       .orderBy(col("hamming"), col("vec_id"))
     val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    broadcast(probes)
-      .join(all, col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"), col("q_emb"), col("q_nrm"),
-        col("embedding"), col("nrm"),
+    // pre-rank on SLIM rows only (q_id, vec_id, hamming — 24 B), then
+    // join the <=20 survivors back to fetch full vectors: the window
+    // shuffle must not carry two 64-float embeddings per candidate or
+    // the 8-bytes-per-vector scan win is lost in the exchange
+    val slim = broadcast(probes
+        .select(col("q_id"), col("q_s1"), col("q_s2")))
+      .join(all.select(col("vec_id"), col("s1"), col("s2")),
+        col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
         (bit_count(col("q_s1").bitwiseXOR(col("s1"))) +
           bit_count(col("q_s2").bitwiseXOR(col("s2")))).as("hamming"))
       .withColumn("pre_rank", row_number().over(w1))
       .filter(col("pre_rank") <= 20)
+    slim
+      .join(broadcast(probes
+        .select(col("q_id"), col("q_emb"), col("q_nrm"))), "q_id")
+      .join(all.select(col("vec_id"), col("embedding"), col("nrm")),
+        "vec_id")
       .withColumn("cos_sim",
         F.dotF(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
       .withColumn("rank", row_number().over(w2))

@@ -184,6 +184,10 @@ class EdgeSqlSpec extends SparkSpec {
     assert(e4.getMessage.contains("allowlist"))
     // allowlisted builtins still work
     assert(q("greatest(abs(value), 1.0)").collect().length === 1)
+    // unix_timestamp: deterministic one-arg form allowed, zero-arg
+    // (current wall clock) arity-gated
+    val e5 = intercept[IllegalArgumentException](q("unix_timestamp()"))
+    assert(e5.getMessage.contains("zero-arg"))
   }
 
   test("just/replace casts match the reference's exact semantics") {

@@ -633,6 +633,11 @@ class AdmissionControlSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException](tiny.execute(
       s"""sql edge max_volume=64 dest=file:$f "select * from events""""))
     assert(e2.getMessage.contains("max_volume"))
+    // an UNRECOGNIZED dest value falls through to the reply path and
+    // must stay capped (a typo'd dest must not bypass the default cap)
+    val e3 = intercept[IllegalStateException](tiny.execute(
+      """sql edge dest=files:/tmp/x "select * from events""""))
+    assert(e3.getMessage.contains("max_volume"))
   }
 }
 
