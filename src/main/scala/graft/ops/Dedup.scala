@@ -344,6 +344,54 @@ object Similarity {
   }
 
   /** Approximate top-k: probes search only their hyperplane-LSH bucket. */
+  /** Sign bits lo..lo+31 of a float-array column packed into one long
+    * (two 32-bit halves per 64-dim vector — checked BIGINT engines
+    * reject a 64-bit pack's sign bit). */
+  private def signBits(v: Column, lo: Int): Column =
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+      acc + when(element_at(v, j + lit(lo + 1)) > lit(0f),
+        call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+
+  /** Binary-quantized ANN: 1 sign bit per dimension, integer hamming
+    * pre-rank to `preK` candidates per probe, exact-cosine re-rank to
+    * top `k`. The memory-bandwidth variant for 64-dim vectors: the
+    * scan side touches 8 bytes per vector, the pre-rank window carries
+    * slim (q_id, id, hamming) rows only, and full vectors are fetched
+    * by joining the <=preK survivors back. Deterministic (id
+    * tie-breaks on both ranks). */
+  def binaryQuantTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, k: Int, preK: Int = 20): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
+      signBits(col(vecCol), 0).as("s1"), signBits(col(vecCol), 32).as("s2"))
+    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("q_nrm"),
+      signBits(col(vecCol), 0).as("q_s1"),
+      signBits(col(vecCol), 32).as("q_s2"))
+    val slim = broadcast(p.select(col("q_id"), col("q_s1"), col("q_s2")))
+      .join(c.select(col("id"), col("s1"), col("s2")),
+        col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        (bit_count(col("q_s1").bitwiseXOR(col("s1"))) +
+          bit_count(col("q_s2").bitwiseXOR(col("s2")))).as("hamming"))
+      .withColumn("pre_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("hamming"), col("id"))))
+      .filter(col("pre_rank") <= preK)
+    slim
+      .join(broadcast(p.select(col("q_id"), col("q_v"), col("q_nrm"))),
+        "q_id")
+      .join(c.select(col("id"), col("v"), col("nrm")), "id")
+      .withColumn("cos_sim",
+        F.dotF(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("hamming"),
+        col("cos_sim"))
+  }
+
   def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, k: Int, bits: Int = 4): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),

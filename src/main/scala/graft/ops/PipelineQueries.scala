@@ -1090,11 +1090,8 @@ object PipelineQueries {
 
   /** Sign-bit halves of a 64-dim embedding: bits lo..lo+31 packed into
     * one BIGINT (two halves avoid the sign bit of a single 64-bit
-    * pack, which DuckDB's checked BIGINT arithmetic rejects). */
-  private def sSignBits(v: String, lo: Int) =
-    s"aggregate(sequence(0, 31), cast(0 as bigint), (acc, j) -> acc + " +
-      s"CASE WHEN element_at($v, j + $lo + 1) > 0 " +
-      s"THEN shiftleft(cast(1 as bigint), j) ELSE cast(0 as bigint) END)"
+    * pack, which DuckDB's checked BIGINT arithmetic rejects). The
+    * Spark side lives in Similarity.binaryQuantTopK. */
   private def dSignBits(v: String, lo: Int) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), range(32)), " +
       s"(acc, j) -> acc + CASE WHEN ($v)[j + $lo + 1] > 0 " +
@@ -1108,40 +1105,9 @@ object PipelineQueries {
     * tie-breaks keeps the candidate set hash-stable cross-engine. */
   private val q74: QFn = (s, d) => {
     val all = wide(s, d, "embeddings", "vec_id")
-      .withColumn("nrm", sqrt(F.dotF(col("embedding"), col("embedding"))))
-      .withColumn("s1", expr(sSignBits("embedding", 0)))
-      .withColumn("s2", expr(sSignBits("embedding", 32)))
-    val probes = all.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("s1").as("q_s1"), col("s2").as("q_s2"))
-    val w1 = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-      .orderBy(col("hamming"), col("vec_id"))
-    val w2 = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    // pre-rank on SLIM rows only (q_id, vec_id, hamming — 24 B), then
-    // join the <=20 survivors back to fetch full vectors: the window
-    // shuffle must not carry two 64-float embeddings per candidate or
-    // the 8-bytes-per-vector scan win is lost in the exchange
-    val slim = broadcast(probes
-        .select(col("q_id"), col("q_s1"), col("q_s2")))
-      .join(all.select(col("vec_id"), col("s1"), col("s2")),
-        col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        (bit_count(col("q_s1").bitwiseXOR(col("s1"))) +
-          bit_count(col("q_s2").bitwiseXOR(col("s2")))).as("hamming"))
-      .withColumn("pre_rank", row_number().over(w1))
-      .filter(col("pre_rank") <= 20)
-    slim
-      .join(broadcast(probes
-        .select(col("q_id"), col("q_emb"), col("q_nrm"))), "q_id")
-      .join(all.select(col("vec_id"), col("embedding"), col("nrm")),
-        "vec_id")
-      .withColumn("cos_sim",
-        F.dotF(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
-      .withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= 3)
-      .select(col("q_id"), col("rank"), col("vec_id"),
-        col("hamming"), col("cos_sim"))
+    Similarity.binaryQuantTopK(all, all.filter(col("vec_id") < 20),
+        "embedding", "vec_id", k = 3, preK = 20)
+      .withColumnRenamed("id", "vec_id")
       .orderBy(col("q_id"), col("rank"))
   }
   private val q74Sql = s"""

@@ -287,6 +287,39 @@ class TemporalJoinsSpec extends SparkSpec {
   }
 }
 
+class BinaryQuantSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Similarity
+
+  test("binaryQuantTopK results come from the true hamming-top-preK set " +
+      "and re-rank by exact cosine") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    val probes = embs.filter($"vec_id" < 10)
+    val out = Similarity.binaryQuantTopK(embs, probes,
+      "embedding", "vec_id", k = 3, preK = 20)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per probe: exactly k ranked rows, cosine non-increasing by rank
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      val cs = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+    // every returned candidate's hamming is within the true 20th-lowest
+    // hamming for its probe (k=20/preK=20 run returns the full pre-rank
+    // candidate set, so its max hamming IS the 20th-lowest)
+    val brute = out.select($"q_id", $"hamming")
+      .groupBy($"q_id").agg(max($"hamming").as("max_h"))
+    val all = Similarity.binaryQuantTopK(embs, probes,
+      "embedding", "vec_id", k = 20, preK = 20)
+      .groupBy($"q_id").agg(max($"hamming").as("h20"))
+    val joined = brute.join(all, "q_id")
+      .filter($"max_h" > $"h20")
+    assert(joined.count() === 0)
+  }
+}
+
 class ApproxDistinctSpec extends SparkSpec {
   import graft.dialect.EdgeSql
   import graft.engine.Tables
