@@ -125,13 +125,59 @@ object TemporalQueries {
       max(span_us) AS max_session_span_us
     FROM ps GROUP BY user_id ORDER BY user_id"""
 
+  /** q75 — rate-anomaly flags: per (event_type, minute) counts compared
+    * against the trailing hour, flagged when the minute runs at more
+    * than 2x the trailing per-minute rate. The alert rule of the data
+    * monitor family, made INTEGER-EXACT for the cross-engine gate:
+    * `n * 60 > 2 * trailing_sum` avoids the order-sensitive float
+    * average entirely (the trailing window is a RANGE frame over epoch
+    * seconds, [-3600, -60] — prior 59 minutes, current excluded). One
+    * aggregate plus one window, both keyed on event_type. */
+  private val q75: QFn = (s, d) => {
+    val perMin = t(s, d, "events")
+      .groupBy(col("event_type"),
+        date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("epoch_s",
+        (unix_micros(col("minute")) / lit(1000000L)).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("epoch_s")
+      .rangeBetween(-3600, -60)
+    perMin
+      .withColumn("trailing_sum",
+        coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("trailing_mins", count(lit(1)).over(w))
+      // full-history gate: only flag once a complete trailing hour of
+      // buckets exists ([-3600s, -60s] inclusive = minutes t-60..t-1,
+      // 60 one-minute buckets)
+      .withColumn("anomaly",
+        col("trailing_mins") === 60 &&
+          col("n") * 60 > col("trailing_sum") * 2)
+      .select(col("event_type"), col("minute"), col("n"),
+        col("trailing_sum"), col("anomaly"))
+      .orderBy(col("event_type"), col("minute"))
+  }
+  private val q75Sql = """
+    WITH pm AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+        count(*) AS n FROM events GROUP BY 1, 2),
+    e AS (SELECT *, epoch_us(minute) // 1000000 AS epoch_s FROM pm),
+    tw AS (SELECT event_type, minute, n,
+        COALESCE(CAST(sum(n) OVER w AS BIGINT), 0) AS trailing_sum,
+        count(*) OVER w AS trailing_mins
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY epoch_s
+        RANGE BETWEEN 3600 PRECEDING AND 60 PRECEDING))
+    SELECT event_type, minute, n, trailing_sum,
+      (trailing_mins = 60 AND n * 60 > trailing_sum * 2) AS anomaly
+    FROM tw ORDER BY event_type, minute"""
+
   val queries: Map[String, QFn] = Map(
     "q66_asof_join" -> q66,
     "q67_range_join_count" -> q67,
-    "q71_sessionize_batch" -> q71)
+    "q71_sessionize_batch" -> q71,
+    "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
     "q66_asof_join" -> q66Sql,
     "q67_range_join_count" -> q67Sql,
-    "q71_sessionize_batch" -> q71Sql)
+    "q71_sessionize_batch" -> q71Sql,
+    "q75_rate_anomaly" -> q75Sql)
 }
