@@ -169,13 +169,60 @@ object TemporalQueries {
       (trailing_mins = 60 AND n * 60 > trailing_sum * 2) AS anomaly
     FROM tw ORDER BY event_type, minute"""
 
+  /** q76 — conversion funnel: each signup attributed to the user's FIRST
+    * purchase at-or-after it (forward as-of), then rolled up per signup
+    * day: signups, conversions within 24 h, and the integer-exact
+    * median-free latency sum (micros) for the converted. Exercises the
+    * forward direction of TemporalJoins.asOf through the driver gate
+    * (q66 covers backward); same one-shuffle union+window plan. */
+  private val q76: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("s_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    TemporalJoins.asOf(signups, purchases, Seq("user_id"), "s_ts", "p_ts",
+        direction = "forward")
+      .withColumn("gap_us",
+        unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
+      .withColumn("converted",
+        col("gap_us").isNotNull && col("gap_us") <= 86400L * 1000000L)
+      .groupBy(date_trunc("day", col("s_ts")).as("day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"),
+        sum(when(col("converted"), col("gap_us")).otherwise(0L))
+          .as("latency_us_sum"))
+      .orderBy(col("day"))
+  }
+  private val q76Sql = """
+    WITH s AS (SELECT event_id AS signup_id, user_id, ts AS s_ts
+        FROM events WHERE event_type = 'signup'),
+    p AS (SELECT user_id, ts AS p_ts FROM events
+        WHERE event_type = 'purchase'),
+    m AS (SELECT signup_id, s.user_id, s_ts, p_ts,
+        epoch_us(p_ts) - epoch_us(s_ts) AS gap_us
+      FROM s ASOF LEFT JOIN p
+        ON s.user_id = p.user_id AND s.s_ts <= p.p_ts),
+    c AS (SELECT *, (gap_us IS NOT NULL AND gap_us <= 86400000000)
+        AS converted FROM m)
+    SELECT date_trunc('day', s_ts) AS day,
+      count(*) AS n_signups,
+      CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_converted,
+      CAST(sum(CASE WHEN converted THEN gap_us ELSE 0 END) AS BIGINT)
+        AS latency_us_sum
+    FROM c GROUP BY 1 ORDER BY day"""
+
   val queries: Map[String, QFn] = Map(
+    "q76_funnel_conversion" -> q76,
     "q66_asof_join" -> q66,
     "q67_range_join_count" -> q67,
     "q71_sessionize_batch" -> q71,
     "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
+    "q76_funnel_conversion" -> q76Sql,
     "q66_asof_join" -> q66Sql,
     "q67_range_join_count" -> q67Sql,
     "q71_sessionize_batch" -> q71Sql,
