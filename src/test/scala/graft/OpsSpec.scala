@@ -275,6 +275,31 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("rangeCount matches an in-memory reference model on random corpora") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      def rms() = ts("2024-01-01 00:00:00").getTime + rnd.nextInt(120000)
+      val leftRows = (0 until 60).map(i =>
+        (s"k${rnd.nextInt(5)}", rms(), i.toLong))
+      val rightRows = (0 until 150).map(_ => (s"k${rnd.nextInt(6)}", rms()))
+      val left = leftRows.toDF("k", "lms", "lid")
+        .select($"k", ($"lms" / 1000).cast("timestamp").as("lts"), $"lid")
+      val right = rightRows.toDF("k", "rms")
+        .select($"k", ($"rms" / 1000).cast("timestamp").as("rts"))
+      // window [-30s, +10s) — asymmetric, spans bin boundaries
+      val got = TemporalJoins.rangeCount(left, right, Seq("k"),
+          "lts", "rts", -30, 10, "n").select($"lid", $"n").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byKey = rightRows.groupBy(_._1)
+      val want = leftRows.map { case (k, lms, lid) =>
+        lid -> byKey.getOrElse(k, Seq.empty).count { case (_, rm) =>
+          rm >= lms - 30000 && rm < lms + 10000
+        }.toLong
+      }.toMap
+      assert(got === want, s"seed $seed")
+    }
+  }
+
   test("rangeCount plans an equi-join, never a nested loop") {
     val ev = graft.engine.Tables.load(spark, sfDir, "events")
     val l = ev.filter($"event_type" === "error")
