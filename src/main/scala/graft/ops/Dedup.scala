@@ -358,7 +358,11 @@ object Similarity {
     * scan side touches 8 bytes per vector, the pre-rank window carries
     * slim (q_id, id, hamming) rows only, and full vectors are fetched
     * by joining the <=preK survivors back. Deterministic (id
-    * tie-breaks on both ranks). */
+    * tie-breaks on both ranks). NB: rows where the probe id equals the
+    * corpus id are EXCLUDED (self-match suppression, like
+    * bruteForceTopK/lshTopK) — probes and corpus must share an id
+    * namespace, or a corpus row that coincidentally reuses a probe id
+    * is silently dropped from that probe's candidates. */
   def binaryQuantTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
       idCol: String, k: Int, preK: Int = 20): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),

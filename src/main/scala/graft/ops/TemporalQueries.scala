@@ -131,15 +131,15 @@ object TemporalQueries {
     * monitor family, made INTEGER-EXACT for the cross-engine gate:
     * `n * 60 > 2 * trailing_sum` avoids the order-sensitive float
     * average entirely (the trailing window is a RANGE frame over epoch
-    * seconds, [-3600, -60] — prior 59 minutes, current excluded). One
-    * aggregate plus one window, both keyed on event_type. */
+    * seconds, [-3600, -60] inclusive = minutes t-60..t-1, 60 buckets,
+    * current excluded). One aggregate plus one window, both keyed on
+    * event_type. */
   private val q75: QFn = (s, d) => {
     val perMin = t(s, d, "events")
       .groupBy(col("event_type"),
         date_trunc("minute", col("ts")).as("minute"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("epoch_s",
-        (unix_micros(col("minute")) / lit(1000000L)).cast("long"))
+      .withColumn("epoch_s", unix_seconds(col("minute")))
     val w = Window.partitionBy("event_type").orderBy("epoch_s")
       .rangeBetween(-3600, -60)
     perMin
@@ -188,7 +188,10 @@ object TemporalQueries {
         unix_micros(col("p_ts")) - unix_micros(col("s_ts")))
       .withColumn("converted",
         col("gap_us").isNotNull && col("gap_us") <= 86400L * 1000000L)
-      .groupBy(date_trunc("day", col("s_ts")).as("day"))
+      // day key as a STRING: DuckDB's date_trunc('day') yields DATE
+      // where Spark yields TIMESTAMP — the repo-wide convention
+      // (q10/q16) renders day buckets via strftime/date_format
+      .groupBy(date_format(col("s_ts"), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("n_signups"),
         sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"),
         sum(when(col("converted"), col("gap_us")).otherwise(0L))
@@ -206,7 +209,7 @@ object TemporalQueries {
         ON s.user_id = p.user_id AND s.s_ts <= p.p_ts),
     c AS (SELECT *, (gap_us IS NOT NULL AND gap_us <= 86400000000)
         AS converted FROM m)
-    SELECT date_trunc('day', s_ts) AS day,
+    SELECT strftime(date_trunc('day', s_ts), '%Y-%m-%d') AS day,
       count(*) AS n_signups,
       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
         AS n_converted,

@@ -257,9 +257,9 @@ class TemporalJoinsSpec extends SparkSpec {
       val leftRows = (0 until 80).map(i =>
         (s"k${rnd.nextInt(8)}", rts(), (1000 + i).toLong))
       val left = leftRows.toDF("k", "lms", "lid")
-        .select($"k", ($"lms" / 1000).cast("timestamp").as("lts"), $"lid")
+        .select($"k", timestamp_millis($"lms").as("lts"), $"lid")
       val right = rightRows.toDF("k", "rms", "rid")
-        .select($"k", ($"rms" / 1000).cast("timestamp").as("rts"), $"rid")
+        .select($"k", timestamp_millis($"rms").as("rts"), $"rid")
       val got = TemporalJoins.asOf(left, right, Seq("k"), "lts", "rts")
         .select($"lid", $"rid").collect()
         .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
@@ -283,9 +283,9 @@ class TemporalJoinsSpec extends SparkSpec {
         (s"k${rnd.nextInt(5)}", rms(), i.toLong))
       val rightRows = (0 until 150).map(_ => (s"k${rnd.nextInt(6)}", rms()))
       val left = leftRows.toDF("k", "lms", "lid")
-        .select($"k", ($"lms" / 1000).cast("timestamp").as("lts"), $"lid")
+        .select($"k", timestamp_millis($"lms").as("lts"), $"lid")
       val right = rightRows.toDF("k", "rms")
-        .select($"k", ($"rms" / 1000).cast("timestamp").as("rts"))
+        .select($"k", timestamp_millis($"rms").as("rts"))
       // window [-30s, +10s) — asymmetric, spans bin boundaries
       val got = TemporalJoins.rangeCount(left, right, Seq("k"),
           "lts", "rts", -30, 10, "n").select($"lid", $"n").collect()
@@ -324,24 +324,43 @@ class BinaryQuantSpec extends SparkSpec {
       "embedding", "vec_id", k = 3, preK = 20)
     val rows = out.collect()
     assert(rows.nonEmpty)
-    // per probe: exactly k ranked rows, cosine non-increasing by rank
+    // per probe: EXACTLY k ranked rows, cosine non-increasing by rank
     rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length === 3)
       val sorted = rs.sortBy(_.getAs[Int]("rank"))
-      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to 3))
       val cs = sorted.map(_.getAs[Double]("cos_sim")).toSeq
       assert(cs === cs.sorted.reverse)
     }
-    // every returned candidate's hamming is within the true 20th-lowest
-    // hamming for its probe (k=20/preK=20 run returns the full pre-rank
-    // candidate set, so its max hamming IS the 20th-lowest)
-    val brute = out.select($"q_id", $"hamming")
-      .groupBy($"q_id").agg(max($"hamming").as("max_h"))
-    val all = Similarity.binaryQuantTopK(embs, probes,
-      "embedding", "vec_id", k = 20, preK = 20)
-      .groupBy($"q_id").agg(max($"hamming").as("h20"))
-    val joined = brute.join(all, "q_id")
-      .filter($"max_h" > $"h20")
-    assert(joined.count() === 0)
+    // INDEPENDENT reference: recompute sign bits + hamming in plain
+    // Scala from the collected vectors, take the true hamming-top-preK
+    // set per probe (with the same id tie-break), and require every
+    // returned candidate AND its hamming to agree with it
+    val vecs = embs.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def sig(v: Array[Float]): (Long, Long) = {
+      var s1 = 0L; var s2 = 0L
+      for (j <- 0 until 32) {
+        if (v(j) > 0) s1 |= (1L << j)
+        if (v(j + 32) > 0) s2 |= (1L << j)
+      }
+      (s1, s2)
+    }
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val sigs = vecs.map { case (id, v) => id -> sig(v) }
+    for (qId <- 0L until 10L) {
+      val (qs1, qs2) = sigs(qId)
+      val ranked = sigs.toSeq.filter(_._1 != qId)
+        .map { case (id, (s1, s2)) =>
+          (id, ham(qs1, s1) + ham(qs2, s2)) }
+        .sortBy { case (id, h) => (h, id) }
+      val top20 = ranked.take(20).toMap
+      rows.filter(_.getAs[Long]("q_id") == qId).foreach { r =>
+        val id = r.getAs[Long]("id")
+        assert(top20.contains(id), s"probe $qId candidate $id not in top20")
+        assert(top20(id) === r.getAs[Int]("hamming"))
+      }
+    }
   }
 }
 
