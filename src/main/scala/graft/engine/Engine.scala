@@ -295,8 +295,41 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
   }
 
-  /** Execute any command; returns rendered text output. */
+  /** Recently executed / recently failed commands (the reference's
+    * `get event log` / `get error log`, generic/process_log.py rings) —
+    * bounded, newest kept. */
+  private val eventLog =
+    new scala.collection.mutable.ArrayBuffer[(Long, String)]
+  private val errorLog =
+    new scala.collection.mutable.ArrayBuffer[(Long, String, String)]
+  private val processLogCap = 1000
+
+  private def logRing[A](buf: scala.collection.mutable.ArrayBuffer[A],
+      entry: A): Unit = synchronized {
+    buf += entry
+    if (buf.length > processLogCap) buf.remove(0, buf.length - processLogCap)
+  }
+
+  private def renderLog(rows: Seq[(Long, String)]): String =
+    if (rows.isEmpty) "log is empty"
+    else rows.map { case (ts, line) =>
+      s"${java.time.Instant.ofEpochMilli(ts)} $line"
+    }.mkString("\n")
+
+  /** Execute any command; returns rendered text output. Every command
+    * lands in the event log; failures land in the error log too. */
   def execute(command: String): String = {
+    logRing(eventLog, (System.currentTimeMillis, command.trim))
+    try executeImpl(command)
+    catch { case e: Throwable =>
+      logRing(errorLog,
+        (System.currentTimeMillis, command.trim,
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+      throw e
+    }
+  }
+
+  private def executeImpl(command: String): String = {
     val t = command.trim
     val low = t.toLowerCase
     if (low.startsWith("sql ")) {
@@ -318,6 +351,23 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       else queryLog.map { case (ts, secs, cmd) =>
         f"${java.time.Instant.ofEpochMilli(ts)} ${secs}%.3f sec: $cmd"
       }.mkString("\n")
+    }
+    else if (low == "get event log") synchronized {
+      // recently executed commands (member_cmd.py "get event log")
+      renderLog(eventLog.toSeq.dropRight(1)) // exclude this command
+    }
+    else if (low == "get error log") synchronized {
+      // recently failed commands with their error text
+      if (errorLog.isEmpty) "log is empty"
+      else errorLog.map { case (ts, cmd, err) =>
+        s"${java.time.Instant.ofEpochMilli(ts)} $cmd -> $err"
+      }.mkString("\n")
+    }
+    else if (low == "reset event log") synchronized {
+      eventLog.clear(); "event log reset"
+    }
+    else if (low == "reset error log") synchronized {
+      errorLog.clear(); "error log reset"
     }
     else if (low == "reset query log") synchronized {
       queryLog.clear()

@@ -592,6 +592,23 @@ class AdmissionControlSpec extends SparkSpec {
     assert(e.execute("get queries time").contains("Total queries: 0"))
   }
 
+  test("event log records commands; error log records failures") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
+    val e = new Engine(spark, cat)
+    assert(e.execute("get event log") === "log is empty")
+    e.execute("""sql edge "select count(*) as n from events"""")
+    val ev = e.execute("get event log")
+    assert(ev.contains("select count(*)"))
+    assert(e.execute("get error log") === "log is empty")
+    intercept[Exception](e.execute("sql edge \"select * from no_such\""))
+    val er = e.execute("get error log")
+    assert(er.contains("no_such") && er.contains("->"))
+    assert(e.execute("reset error log") === "error log reset")
+    assert(e.execute("get error log") === "log is empty")
+    assert(e.execute("reset event log") === "event log reset")
+  }
+
   test("get streaming lists active named queries with batch progress") {
     val cat = new Catalog(spark)
     val e = new Engine(spark, cat)
