@@ -217,7 +217,37 @@ object TemporalQueries {
         AS latency_us_sum
     FROM c GROUP BY 1 ORDER BY day"""
 
+  /** q77 — weekly cohort retention: users grouped by first-seen week,
+    * counted as retained in each later week they were active. The
+    * classic engagement matrix, all-integer: distinct (user, week)
+    * activity joined to per-user cohort minima, week offsets by exact
+    * epoch floor-division. Two aggregates + one join, all keyed on
+    * user_id/cohort — no window, no floats. */
+  private val q77: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val active = ev.distinct()
+    val cohort = active.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort"))
+    active.join(cohort, "user_id")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        ((unix_seconds(col("week")) - unix_seconds(col("cohort"))) /
+          604800L).cast("long").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_n"))
+  }
+  private val q77Sql = """
+    WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events),
+    c AS (SELECT user_id, min(week) AS cohort FROM a GROUP BY user_id)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+      (epoch_us(week) - epoch_us(cohort)) // 604800000000 AS week_n,
+      count(DISTINCT a.user_id) AS n_users
+    FROM a JOIN c ON a.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY cohort_week, week_n"""
+
   val queries: Map[String, QFn] = Map(
+    "q77_cohort_retention" -> q77,
     "q76_funnel_conversion" -> q76,
     "q66_asof_join" -> q66,
     "q67_range_join_count" -> q67,
@@ -225,6 +255,7 @@ object TemporalQueries {
     "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
+    "q77_cohort_retention" -> q77Sql,
     "q76_funnel_conversion" -> q76Sql,
     "q66_asof_join" -> q66Sql,
     "q67_range_join_count" -> q67Sql,
