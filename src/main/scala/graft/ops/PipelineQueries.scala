@@ -1130,9 +1130,36 @@ object PipelineQueries {
     SELECT q_id, rank, vec_id, hamming, cos_sim FROM ranked
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  /** q78 — per-source data scorecard: the vendor-quality rollup a
+    * curation stage reviews before admitting a source — volume, exact
+    * duplication, language mix, and length spread per source. One
+    * hash-groupBy; only int/int divisions reach doubles. */
+  private val q78: QFn = (s, d) =>
+    t(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_unique")).cast("double") / col("n_docs"))
+      .orderBy(col("source"))
+  private val q78Sql = """
+    SELECT source, count(*) AS n_docs,
+      count(DISTINCT md5(text)) AS n_unique,
+      CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      count(DISTINCT lang) AS n_langs,
+      min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / count(*)
+        AS dup_rate
+    FROM documents GROUP BY source ORDER BY source"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q78_source_scorecard" -> q78,
     "q74_ann_binary_quantized" -> q74,
     "q73_dedup_keep_longest" -> q73,
     "q72_neardup_components" -> q72,
@@ -1165,6 +1192,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q78_source_scorecard" -> q78Sql,
     "q74_ann_binary_quantized" -> q74Sql,
     "q73_dedup_keep_longest" -> q73Sql,
     "q72_neardup_components" -> q72Sql,

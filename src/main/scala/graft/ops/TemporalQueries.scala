@@ -246,7 +246,40 @@ object TemporalQueries {
     FROM a JOIN c ON a.user_id = c.user_id
     GROUP BY 1, 2 ORDER BY cohort_week, week_n"""
 
+  /** q79 — inter-event gap distribution: per event_type, the exact
+    * median / min / max of the gap (micros) between a user's
+    * consecutive events of that type. Lag window per (type, user) —
+    * total order guaranteed by (user_id, ts) uniqueness — then ONE
+    * percentile aggregate per type; exact interpolated median over
+    * integer micros is bit-identical to DuckDB quantile_cont (q65
+    * precedent). The arrival-cadence profile a monitor baselines. */
+  private val q79: QFn = (s, d) => {
+    val w = Window.partitionBy("event_type", "user_id").orderBy("ts")
+    t(s, d, "events")
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_us, 0.5D)").as("median_gap_us"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("event_type"))
+  }
+  private val q79Sql = """
+    WITH g AS (SELECT event_type,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type,
+          user_id ORDER BY ts)) AS gap_us
+      FROM events)
+    SELECT event_type, count(*) AS n_gaps,
+      quantile_cont(gap_us, 0.5) AS median_gap_us,
+      min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, QFn] = Map(
+    "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
     "q76_funnel_conversion" -> q76,
     "q66_asof_join" -> q66,
@@ -255,6 +288,7 @@ object TemporalQueries {
     "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
+    "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,
     "q76_funnel_conversion" -> q76Sql,
     "q66_asof_join" -> q66Sql,
