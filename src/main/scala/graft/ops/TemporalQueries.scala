@@ -220,49 +220,68 @@ object TemporalQueries {
   /** q77 — weekly cohort retention: users grouped by first-seen week,
     * counted as retained in each later week they were active. The
     * classic engagement matrix, all-integer: distinct (user, week)
-    * activity joined to per-user cohort minima, week offsets by exact
-    * epoch floor-division. Two aggregates + one join, all keyed on
-    * user_id/cohort — no window, no floats. */
+    * activity with the per-user cohort minimum taken as a WINDOW over
+    * the same pass (no self-join, one scan), week offsets by exact
+    * epoch floor-division. Each user contributes at most one row per
+    * (cohort, week_n) group by construction, so the final count is a
+    * plain count — no distinct-aggregate expand. */
   private val q77: QFn = (s, d) => {
-    val ev = t(s, d, "events")
+    val active = t(s, d, "events")
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
-    val active = ev.distinct()
-    val cohort = active.groupBy(col("user_id"))
-      .agg(min(col("week")).as("cohort"))
-    active.join(cohort, "user_id")
+      .distinct()
+    val wc = Window.partitionBy("user_id")
+    active
+      .withColumn("cohort", min(col("week")).over(wc))
       .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
         ((unix_seconds(col("week")) - unix_seconds(col("cohort"))) /
           604800L).cast("long").as("week_n"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort_week"), col("week_n"))
   }
   private val q77Sql = """
     WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
         FROM events),
-    c AS (SELECT user_id, min(week) AS cohort FROM a GROUP BY user_id)
+    w AS (SELECT user_id, week,
+        min(week) OVER (PARTITION BY user_id) AS cohort FROM a)
     SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
       (epoch_us(week) - epoch_us(cohort)) // 604800000000 AS week_n,
-      count(DISTINCT a.user_id) AS n_users
-    FROM a JOIN c ON a.user_id = c.user_id
-    GROUP BY 1, 2 ORDER BY cohort_week, week_n"""
+      count(*) AS n_users
+    FROM w GROUP BY 1, 2 ORDER BY cohort_week, week_n"""
 
   /** q79 — inter-event gap distribution: per event_type, the exact
     * median / min / max of the gap (micros) between a user's
     * consecutive events of that type. Lag window per (type, user) —
-    * total order guaranteed by (user_id, ts) uniqueness — then ONE
-    * percentile aggregate per type; exact interpolated median over
-    * integer micros is bit-identical to DuckDB quantile_cont (q65
-    * precedent). The arrival-cadence profile a monitor baselines. */
+    * total order guaranteed by (user_id, ts) uniqueness. The median is
+    * the SORT-BASED interpolated formulation (row_number over an
+    * in-type sort; average the two middle rows): identical values to
+    * `percentile`/`quantile_cont` on integer micros, but bounded-state
+    * — an exact `percentile` aggregate builds a value→count map per
+    * group, and gap_us is near-all-distinct with only ~5 groups, so at
+    * corpus scale one reducer would hold O(N/5) map entries; a sort
+    * spills gracefully instead. */
   private val q79: QFn = (s, d) => {
-    val w = Window.partitionBy("event_type", "user_id").orderBy("ts")
-    t(s, d, "events")
+    val wl = Window.partitionBy("event_type", "user_id").orderBy("ts")
+    val gaps = t(s, d, "events")
       .select(col("event_type"), col("user_id"), col("ts"))
       .withColumn("gap_us",
-        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(wl)))
       .filter(col("gap_us").isNotNull)
+    val ws = Window.partitionBy("event_type").orderBy("gap_us")
+    val wn = Window.partitionBy("event_type")
+    gaps
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("n", count(lit(1)).over(wn))
+      // continuous-quantile positions for q=0.5: k=(n-1)/2 0-based →
+      // rows floor(k)+1 and ceil(k)+1 (equal when n is odd); their
+      // mean over ≤2 longs is exact in double
+      .withColumn("lo", (((col("n") - 1) / 2).cast("long")) + 1)
+      .withColumn("hi", (col("n") / 2).cast("long") + 1)
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_gaps"),
-        expr("percentile(gap_us, 0.5D)").as("median_gap_us"),
+      .agg(max(col("n")).as("n_gaps"),
+        (sum(when(col("rn") === col("lo") || col("rn") === col("hi"),
+          col("gap_us"))).cast("double") /
+          sum(when(col("rn") === col("lo") || col("rn") === col("hi"), 1)))
+          .as("median_gap_us"),
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
       .orderBy(col("event_type"))
