@@ -27,9 +27,16 @@ object Bench {
     SparkEntry.queries.get("q03_global_aggs")
       .foreach(fn => fn(spark, sfDir).collect())
 
+    // Optional comma-separated substring filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=q62,q39); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.contains))
+    }
+
     // two timed iterations per query, report the min — steady-state
     // timing that is robust to transient machine load (the box is shared)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()

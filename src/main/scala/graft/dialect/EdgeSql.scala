@@ -678,6 +678,15 @@ object EdgeSql {
               throw new IllegalArgumentException(
                 "::function: zero-arg unix_timestamp() is the current " +
                   "time (nondeterministic) — pass a timestamp argument")
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            // bare CURRENT_TIMESTAMP / CURRENT_DATE / NOW etc. parse as
+            // attributes and are later resolved by Spark's
+            // literal-function resolution to wall-clock/session values —
+            // the only attribute the contract admits is `value`
+            if (!a.name.equalsIgnoreCase("value"))
+              throw new IllegalArgumentException(
+                s"::function: unknown identifier '${a.name}' — only " +
+                  "'value' (the current column) may be referenced")
           case _ => ()
         }
         val substituted = parsed.transformUp {

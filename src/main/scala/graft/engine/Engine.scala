@@ -319,8 +319,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   /** Execute any command; returns rendered text output. Every command
     * lands in the event log; failures land in the error log too. */
   def execute(command: String): String = {
-    logRing(eventLog, (System.currentTimeMillis, command.trim))
-    try executeImpl(command)
+    val entry = (System.currentTimeMillis, command.trim)
+    logRing(eventLog, entry)
+    try executeImpl(command, entry)
     catch { case e: Throwable =>
       logRing(errorLog,
         (System.currentTimeMillis, command.trim,
@@ -329,7 +330,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
   }
 
-  private def executeImpl(command: String): String = {
+  private def executeImpl(command: String,
+      selfEntry: (Long, String) = null): String = {
     val t = command.trim
     val low = t.toLowerCase
     if (low.startsWith("sql ")) {
@@ -353,8 +355,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }.mkString("\n")
     }
     else if (low == "get event log") synchronized {
-      // recently executed commands (member_cmd.py "get event log")
-      renderLog(eventLog.toSeq.dropRight(1)) // exclude this command
+      // recently executed commands (member_cmd.py "get event log") —
+      // excluding THIS command by entry identity (a concurrent execute()
+      // may have logged after ours, so dropping the tail would drop the
+      // wrong entry and leave ours in the output)
+      renderLog(eventLog.toSeq.filter(_.asInstanceOf[AnyRef] ne
+        selfEntry.asInstanceOf[AnyRef]))
     }
     else if (low == "get error log") synchronized {
       // recently failed commands with their error text
@@ -663,11 +669,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // it is a REPLY cap: a dest=file/kafka/buffer EXPORT is not a reply,
     // so the default only binds when the output returns to the caller.
     // An explicit max_volume= option binds everywhere (caller intent).
-    // NB: classify by the SAME prefixes the dest router below diverts —
-    // an unrecognized dest value falls through to the reply path and
-    // must stay capped.
-    val isReply = !cmd.options.get("dest").exists(d =>
-      d.startsWith("file:") || d == "buffer" || d.startsWith("kafka@"))
+    // One registry decides BOTH the classification and the dispatch —
+    // an unrecognized dest value resolves no route, falls through to the
+    // reply path, and stays capped; a new route added below is
+    // automatically uncapped.
+    val destRoute = cmd.options.get("dest").flatMap(exportRoute)
+    val isReply = destRoute.isEmpty
     val cap = cmd.options.get("max_volume").map(_.trim.toLong)
       .orElse(if (isReply) Some(defaultMaxVolume) else None)
     cap.foreach { c =>
@@ -696,29 +703,46 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       case _ => body
     }
 
-    // dest=file:<path> writes the rendered output (OutputManager file
-    // sink, generic/output_data.py:35-128)
-    cmd.options.get("dest") match {
-      case Some(d) if d.startsWith("file:") =>
+    // export routes resolved up front (same registry as the cap
+    // classification); no route = reply to caller
+    destRoute match {
+      case Some(route) => route(cmd, out)
+      case None => out
+    }
+  }
+
+  /** Single dest-prefix registry: resolves `dest=` to an export action,
+    * or None for the reply path. Classification (max_volume reply cap)
+    * and dispatch both read THIS function so they cannot drift. */
+  private def exportRoute(d: String)
+      : Option[(EdgeSql.Command, String) => String] = d match {
+    case _ if d.startsWith("file:") =>
+      // dest=file:<path> writes the rendered output (OutputManager file
+      // sink, generic/output_data.py:35-128)
+      Some { (_, out) =>
         val path = d.stripPrefix("file:")
         java.nio.file.Files.writeString(java.nio.file.Paths.get(path), out)
         s"written to $path"
-      case Some("buffer") =>
-        // dest=buffer assigns the rendered output to a dictionary
-        // variable (dest_values member_cmd.py:146; key option
-        // `output_key`, output_data.py:53-55) readable via
-        // `get dictionary` / extend !var
+      }
+    case "buffer" =>
+      // dest=buffer assigns the rendered output to a dictionary
+      // variable (dest_values member_cmd.py:146; key option
+      // `output_key`, output_data.py:53-55) readable via
+      // `get dictionary` / extend !var
+      Some { (cmd, out) =>
         val key = cmd.options.getOrElse("output_key", "buffer")
         setVar(key, out)
         s"assigned to !$key"
-      case Some(d) if d.startsWith("kafka@") =>
-        // kafka@ip:port + topic=<t> (output_data.py:75-77, send :297)
+      }
+    case _ if d.startsWith("kafka@") =>
+      // kafka@ip:port + topic=<t> (output_data.py:75-77, send :297)
+      Some { (cmd, out) =>
         val servers = d.stripPrefix("kafka@")
         val topic = cmd.options.getOrElse("topic", "graft")
         kafkaTransport(servers, topic, out)
         s"sent to kafka@$servers topic=$topic"
-      case _ => out
-    }
+      }
+    case _ => None
   }
 
   /** create view <name> on <table> (src as dst, ...) */

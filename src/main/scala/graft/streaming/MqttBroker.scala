@@ -25,6 +25,20 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
   private val server = new ServerSocket(port)
   @volatile private var running = true
 
+  /** QoS 2 exactly-once receiver state, keyed by CLIENT ID at the broker
+    * level (MQTT 3.1.1 §4.3.3): packet ids that got PUBREC but not yet
+    * PUBREL. Broker-level (not per-connection) so a sender that
+    * reconnects and retransmits an incomplete QoS 2 PUBLISH (DUP=1,
+    * same packet id) is still suppressed — exactly-once survives TCP
+    * session loss, matching the spec's session-state requirement. */
+  private val qos2Inflight =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Int]]
+  private def inflightFor(clientId: String): scala.collection.mutable.Set[Int] =
+    qos2Inflight.synchronized {
+      qos2Inflight.getOrElseUpdate(clientId,
+        scala.collection.mutable.Set.empty[Int])
+    }
+
   private def readRemainingLength(in: InputStream): Int = {
     // MQTT varint: 7 bits per byte, MSB = continuation
     var mult = 1
@@ -56,11 +70,11 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
   private def handle(sock: Socket): Unit = {
     val in = sock.getInputStream
     val out: OutputStream = sock.getOutputStream
-    // QoS 2 exactly-once receiver state (MQTT 3.1.1 §4.3.3): packet ids
-    // that got PUBREC but not yet PUBREL. A retransmitted PUBLISH
-    // (DUP=1, same id) while in this set must re-send PUBREC WITHOUT
-    // delivering to the sink again.
-    val qos2Inflight = scala.collection.mutable.Set.empty[Int]
+    // Until CONNECT names the client, key QoS 2 state by a socket-unique
+    // fallback (a client violating the CONNECT-first rule still gets
+    // within-connection exactly-once).
+    var inflight = inflightFor(
+      "anon:" + System.identityHashCode(sock).toHexString)
     try {
       var open = true
       while (open && running) {
@@ -72,6 +86,16 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
           val body = readFully(in, readRemainingLength(in))
           msgType match {
             case 1 => // CONNECT -> CONNACK (session not present, accepted)
+              // variable header: protocol name (2+4), level (1),
+              // flags (1), keepalive (2) -> client id at offset 10
+              if (body.length >= 12) {
+                val idLen = ((body(10) & 0xff) << 8) | (body(11) & 0xff)
+                if (body.length >= 12 + idLen && idLen > 0) {
+                  val clientId =
+                    new String(body, 12, idLen, StandardCharsets.UTF_8)
+                  inflight = inflightFor(clientId)
+                }
+              }
               out.write(Array[Byte](0x20, 0x02, 0x00, 0x00)); out.flush()
             case 3 => // PUBLISH
               val qos = (flags >> 1) & 0x03
@@ -89,21 +113,21 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
               // first PUBLISH receipt, answer PUBREC, and suppress
               // delivery for a retransmission of the same packet id
               // until PUBREL completes the exchange
-              if (!(qos == 2 && qos2Inflight.contains(packetId)))
+              if (!(qos == 2 && inflight.synchronized(inflight.contains(packetId))))
                 sink(topic, payload)
               if (qos == 1) { // PUBACK
                 out.write(Array[Byte](0x40, 0x02,
                   ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
                 out.flush()
               } else if (qos == 2) { // PUBREC (re-sent on DUP too)
-                qos2Inflight += packetId
+                inflight.synchronized(inflight += packetId)
                 out.write(Array[Byte](0x50, 0x02,
                   ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
                 out.flush()
               }
             case 6 => // PUBREL -> PUBCOMP (completes the QoS 2 exchange)
               val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
-              qos2Inflight -= packetId
+              inflight.synchronized(inflight -= packetId)
               out.write(Array[Byte](0x70, 0x02,
                 ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
               out.flush()

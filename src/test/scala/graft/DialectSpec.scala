@@ -188,6 +188,18 @@ class EdgeSqlSpec extends SparkSpec {
     // (current wall clock) arity-gated
     val e5 = intercept[IllegalArgumentException](q("unix_timestamp()"))
     assert(e5.getMessage.contains("zero-arg"))
+    // bare CURRENT_TIMESTAMP/CURRENT_DATE parse as ATTRIBUTES, not
+    // function calls, and Spark's literal-function resolution would turn
+    // them into wall-clock values — the attribute gate rejects any
+    // identifier other than `value`
+    for (lit <- Seq("current_timestamp", "CURRENT_DATE", "now",
+        "localtimestamp", "current_user", "session_user")) {
+      val e = intercept[IllegalArgumentException](q(lit))
+      assert(e.getMessage.contains("unknown identifier"), lit)
+    }
+    // ...and the same gate catches stray column references
+    val e6 = intercept[IllegalArgumentException](q("value + other_col"))
+    assert(e6.getMessage.contains("unknown identifier"))
   }
 
   test("just/replace casts match the reference's exact semantics") {

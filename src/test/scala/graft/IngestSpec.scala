@@ -304,6 +304,47 @@ class MqttBrokerSpec extends SparkSpec {
       assert(got.toArray.toSeq === Seq("m1", "m2"))
     } finally broker.stop()
   }
+
+  test("QoS 2 state survives reconnect: retransmit on a NEW connection " +
+      "is still suppressed") {
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]
+    val broker = new MqttBroker((_, p) => got.add(p))
+    val port = broker.start()
+    try {
+      def expect4(in: java.io.InputStream, tpe: Byte, pid: Int): Unit = {
+        val buf = new Array[Byte](4)
+        var off = 0
+        while (off < 4) { val r = in.read(buf, off, 4 - off)
+          assert(r > 0); off += r }
+        assert(buf(0) === tpe && buf(3) === (pid & 0xff).toByte)
+      }
+      // session 1: QoS 2 PUBLISH, PUBREC received, then the TCP
+      // connection drops BEFORE the sender's PUBREL
+      val s1 = new java.net.Socket("localhost", port)
+      s1.getOutputStream.write(connectPacket); s1.getOutputStream.flush()
+      expect4(s1.getInputStream, 0x20, 0)
+      s1.getOutputStream.write(publishPacket("t", "m1", qos = 2,
+        packetId = 9))
+      s1.getOutputStream.flush()
+      expect4(s1.getInputStream, 0x50, 9)
+      s1.close()
+      // session 2 (same client id): retransmit DUP=1 with the same
+      // packet id — exactly-once must hold ACROSS connections
+      val s2 = new java.net.Socket("localhost", port)
+      s2.getOutputStream.write(connectPacket); s2.getOutputStream.flush()
+      expect4(s2.getInputStream, 0x20, 0)
+      s2.getOutputStream.write(publishPacket("t", "m1", qos = 2,
+        packetId = 9, dup = true))
+      s2.getOutputStream.flush()
+      expect4(s2.getInputStream, 0x50, 9) // PUBREC re-sent, no redelivery
+      s2.getOutputStream.write(Array[Byte](0x62, 0x02, 0x00, 0x09))
+      s2.getOutputStream.flush()
+      expect4(s2.getInputStream, 0x70, 9) // PUBCOMP
+      s2.close()
+      Thread.sleep(100)
+      assert(got.toArray.toSeq === Seq("m1"))
+    } finally broker.stop()
+  }
 }
 
 class TopicRouterSpec extends SparkSpec {
