@@ -208,6 +208,37 @@ object Dedup {
     labels
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * clustering — every vector is assigned to its nearest centroid
+    * (broadcast, map-side), pairwise cosine runs ONLY within a cell, and
+    * any vector with a lower-id cell-mate at cosine >= `threshold` is
+    * marked dropped. The cells bound the pair join exactly like IVF
+    * bounds ANN search: at 100 TB the shuffle key is the cell id and the
+    * quadratic term is (cell size)^2, never N^2. Centroids are the
+    * first `numCells` ids' vectors (the deterministic IVF seeding;
+    * callers wanting refined cells pass `Similarity.kmeansCentroids`
+    * output thresholds through `ivfTopK`-style composition).
+    * Returns (id, cell_id, keep 1/0) for every input row. */
+  def semdedup(df: DataFrame, vecCol: String, idCol: String,
+      numCells: Int = 16, threshold: Double = 0.35): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      F.dotF(col(vecCol), col(vecCol)).as("n2"))
+    val cents = e.filter(col("id") < numCells)
+      .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val assigned = Similarity.assign(e, cents)
+      .select(col("id"), col("v"), col("n2"), col("cent_id"))
+    val mate = assigned.toDF("id2", "v2", "n22", "cent_id2")
+    val dropped = assigned.join(mate,
+        col("cent_id") === col("cent_id2") && col("id") < col("id2") &&
+        F.dotF(col("v"), col("v2")) / (sqrt(col("n2")) * sqrt(col("n22")))
+          >= threshold)
+      .select(col("id2").as("id")).distinct()
+      .withColumn("dropped", lit(1))
+    assigned.join(dropped, Seq("id"), "left")
+      .select(col("id"), col("cent_id").as("cell_id"),
+        when(col("dropped").isNull, 1).otherwise(0).as("keep"))
+  }
+
   /** Embedding near-dup pairs: LSH bucket candidates verified by exact
     * cosine >= `threshold`. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
@@ -246,8 +277,9 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment (squared-L2 argmin, ties to the lowest
-    * centroid id) — the shared kernel of IVF search and k-means. */
-  private def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    * centroid id) — the shared kernel of IVF search, k-means, and
+    * SemDeDup cell formation. */
+  private[ops] def assign(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents))
       .select(col("id"), col("v"), col("n2"), col("cent_id"),
         (col("n2") - lit(2.0) * F.dotF(col("v"), col("cv")) + col("cn2"))
@@ -394,6 +426,32 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id"), col("hamming"),
         col("cos_sim"))
+  }
+
+  /** Hard-negative mining for contrastive training: per probe, the
+    * `k` most-similar in-bucket vectors whose cosine is still BELOW
+    * `maxSim` — near in LSH space, dissimilar in embedding space, the
+    * negatives that actually move a contrastive loss. Same bucket-join
+    * shape as `lshTopK` (bucket key bounds the join; probes broadcast),
+    * with the similarity ceiling applied before the rank. */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, k: Int, maxSim: Double, bits: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
+      F.vecLsh(col(vecCol), bits).as("bucket"))
+    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("q_nrm"),
+      F.vecLsh(col(vecCol), bits).as("q_bucket"))
+    broadcast(p).join(c,
+        col("q_bucket") === col("bucket") && col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        (F.dotF(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") < maxSim)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("id"))))
+      .filter(col("rank") <= k)
   }
 
   def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,

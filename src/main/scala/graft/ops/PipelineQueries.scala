@@ -7,11 +7,13 @@ import graft.engine.Tables
 import graft.functions.F
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
-  * tables (q27-q38, q47-q50): deduplication (exact, n-gram Jaccard,
-  * MinHash+LSH, SimHash), embedding similarity search (brute-force,
-  * LSH-bucketed and IVF ANN), text analysis (language-ID, quality
-  * scoring, token counting, winnowing fingerprints, vocabulary,
-  * redaction), train/test split assignment, and binary-column plumbing.
+  * tables (q27-q38, q47-q50, q57-q65, q68-q74, q78, q80-q85):
+  * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, SemDeDup),
+  * embedding similarity search (brute-force, LSH-bucketed, IVF and
+  * binary-quantized ANN, hard-negative mining), text analysis
+  * (language-ID, quality scoring, token counting, winnowing
+  * fingerprints, boilerplate detection, vocabulary), train/test split
+  * assignment, and binary-column plumbing.
   *
   * These go beyond the reference's surface (EdgeLake has no document/
   * vector operators) but are first-class here: a 100 TB training-data
@@ -1156,9 +1158,210 @@ object PipelineQueries {
         AS dup_rate
     FROM documents GROUP BY source ORDER BY source"""
 
+  /** q80 — SemDeDup (Abbas et al. 2023): semantic dedup via cluster
+    * cells — nearest-centroid assignment (16 deterministic seed
+    * centroids, the q47 IVF seeding), pairwise cosine ONLY within a
+    * cell, drop any vector with a lower-id cell-mate at cosine >= 0.35.
+    * The cells bound the pair join the way IVF bounds ANN search: the
+    * shuffle key is the cell id and the quadratic term is (cell size)^2,
+    * never N^2. Spark side is Dedup.semdedup. */
+  private val q80: QFn = (s, d) =>
+    Dedup.semdedup(wide(s, d, "embeddings", "vec_id"), "embedding",
+        "vec_id", numCells = 16, threshold = 0.35)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  private val q80Sql = s"""
+    WITH e AS (SELECT vec_id, embedding,
+        ${dDot("embedding", "embedding")} AS n2 FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, embedding AS cemb, n2 AS cn2
+      FROM e WHERE vec_id < 16),
+    scored AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id,
+        e.n2 - 2.0 * ${dDot("e.embedding", "c.cemb")} + c.cn2 AS dist2
+      FROM e, c),
+    assigned AS (SELECT vec_id, embedding, n2, cent_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist2, cent_id) AS rn FROM scored) WHERE rn = 1),
+    drops AS (SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id
+        AND a.vec_id < b.vec_id
+      WHERE ${dDot("a.embedding", "b.embedding")}
+        / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35)
+    SELECT a.vec_id, a.cent_id AS cell_id,
+      CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM assigned a LEFT JOIN drops d ON a.vec_id = d.vec_id
+    ORDER BY a.vec_id"""
+
+  /** q81 — boilerplate-shingle detection (the CCNet/RefinedWeb repeated-
+    * span signal): per source, a shingle present in >= 5% of that
+    * source's docs is boilerplate (headers, nav bars, license blurbs);
+    * each doc reports how much of it is boilerplate. Doc-frequency agg
+    * on (source, shingle), flag broadcast back via the same key — two
+    * shuffles on bounded keys, all-integer output. */
+  private val q81: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    val sh = docs.select(col("doc_id"), col("source"),
+      explode(F.shingleHashes(col("text"), 3)).as("h"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val flagged = sh.groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(nd), "source")
+      .select(col("source"), col("h"),
+        (col("df") * 20 >= col("n_docs")).as("boiler"))
+    sh.join(flagged, Seq("source", "h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"))
+      .orderBy(col("doc_id"))
+  }
+  private val q81Sql = s"""
+    WITH sh AS (SELECT doc_id, source, unnest($dShingleHashes) AS h
+      FROM documents),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    f AS (SELECT df.source, h, (df * 20 >= n_docs) AS boiler
+      FROM (SELECT source, h, count(*) AS df FROM sh GROUP BY source, h) df
+      JOIN nd ON df.source = nd.source)
+    SELECT doc_id, count(*) AS n_shingles,
+      CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+    FROM sh JOIN f ON sh.source = f.source AND sh.h = f.h
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q82 — winnowing-fingerprint overlap pairs (MOSS-style plagiarism /
+    * near-copy detection): docs sharing >= 2 RARE winnow fingerprints
+    * (df <= 5 — common fingerprints are boilerplate and would pair
+    * quadratically; the df-cut is the same scale valve as q59, and
+    * winnowing itself has already compressed the index ~4x vs raw
+    * 8-grams). Join key is the fingerprint, never all-pairs. */
+  private val q82: QFn = (s, d) => {
+    val fp = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"),
+        explode(F.winnowFp(expr("substring(text, 1, 256)"), 8, 4)).as("f"))
+    val rare = fp.join(
+        fp.groupBy("f").agg(count(lit(1)).as("df")).filter(col("df") <= 5),
+        "f")
+      .select(col("doc_id"), col("f"))
+    rare.toDF("doc_a", "f").join(rare.toDF("doc_b", "f2"),
+        col("f") === col("f2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q82Sql = s"""
+    WITH base AS (SELECT doc_id, substr(text, 1, 256) AS head FROM documents),
+    g AS (SELECT doc_id, list_transform(range(greatest(length(head) - 8, 0) + 1),
+        i -> ${dPoly("substr(head, i + 1, 8)")}) AS g FROM base),
+    fp AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(g) < 4
+        THEN [list_min(g)]
+        ELSE list_transform(range(len(g) - 3), j -> list_min(g[j+1:j+4]))
+        END)) AS f FROM g),
+    rare AS (SELECT doc_id, fp.f FROM fp
+      JOIN (SELECT f, count(*) AS df FROM fp GROUP BY f) d ON fp.f = d.f
+      WHERE df <= 5)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM rare a JOIN rare b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b"""
+
+  /** q83 — duplicate-cluster size histogram: the dedup audit view —
+    * how many SimHash clusters of each size exist and how many docs
+    * they hold (cluster size 1 = unique). Two cheap aggregates after
+    * the per-row signature; output is O(max cluster size). */
+  private val q83: QFn = (s, d) =>
+    wide(s, d, "documents", "doc_id")
+      .select(F.simhash32(col("text")).as("sig"))
+      .groupBy(col("sig")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy(col("cluster_size"))
+  private val q83Sql = s"""
+    WITH sd AS (SELECT doc_id,
+        ${dSimhash(s"list_transform(${dToks("text")}, t -> ${dPoly("t")})")} AS sig
+      FROM documents),
+    c AS (SELECT sig, count(*) AS cluster_size FROM sd GROUP BY sig)
+    SELECT cluster_size, count(*) AS n_clusters,
+      CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM c GROUP BY cluster_size ORDER BY cluster_size"""
+
+  /** q84 — vocabulary coverage curve: what fraction of all token
+    * occurrences the top-5/10/20 vocabulary entries cover (the
+    * tokenizer-budget question). Token counts shuffle once on the
+    * token; the top-20 come from a distributed TakeOrdered (limit
+    * after sort — never a global window over the full vocabulary),
+    * then two single-row aggregates cross-join. All-integer. */
+  private val q84: QFn = (s, d) => {
+    // token counts feed BOTH the top-20 and the total — materialize once
+    // (|V| rows, tiny) so the corpus-wide explode+agg runs a single time
+    val cnt = wide(s, d, "documents", "doc_id")
+      .select(explode(expr(sToks("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // the top-20 come from a distributed TakeOrdered (limit after sort);
+    // prefix sums over the <=20 survivors via ONE collect_list aggregate
+    // sorted by struct(-n, token) = (count desc, token asc) — no global
+    // window anywhere in the plan
+    val top = cnt.orderBy(col("n").desc, col("token")).limit(20)
+    val tot = cnt.agg(count(lit(1)).as("n_vocab"),
+      sum(col("n")).as("n_total"))
+    val covs = top
+      .agg(expr("array_sort(collect_list(struct(-n AS neg, n, token)))")
+        .as("a"))
+      .select(
+        expr("aggregate(slice(a, 1, 5), cast(0 as bigint), (s, x) -> s + x.n)")
+          .as("cov_5"),
+        expr("aggregate(slice(a, 1, 10), cast(0 as bigint), (s, x) -> s + x.n)")
+          .as("cov_10"),
+        expr("aggregate(a, cast(0 as bigint), (s, x) -> s + x.n)")
+          .as("cov_20"))
+    tot.crossJoin(covs)
+  }
+  private val q84Sql = s"""
+    WITH cnt AS (SELECT token, count(*) AS n
+      FROM (SELECT unnest(${dToks("text")}) AS token FROM documents)
+      GROUP BY token),
+    r AS (SELECT *, row_number() OVER (ORDER BY n DESC, token) AS rank
+      FROM cnt)
+    SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+      CAST(sum(n) AS BIGINT) AS n_total,
+      CAST(sum(CASE WHEN rank <= 5 THEN n ELSE 0 END) AS BIGINT) AS cov_5,
+      CAST(sum(CASE WHEN rank <= 10 THEN n ELSE 0 END) AS BIGINT) AS cov_10,
+      CAST(sum(CASE WHEN rank <= 20 THEN n ELSE 0 END) AS BIGINT) AS cov_20
+    FROM r"""
+
+  /** q85 — hard-negative mining (contrastive training): per probe, the
+    * 3 most-similar same-LSH-bucket vectors with cosine still < 0.3 —
+    * near in hash space, dissimilar in embedding space. Same bounded
+    * bucket join as q33 with a similarity ceiling before the rank
+    * (Similarity.hardNegatives). */
+  private val q85: QFn = (s, d) => {
+    val all = wide(s, d, "embeddings", "vec_id")
+    Similarity.hardNegatives(all, all.filter(col("vec_id") < 20),
+        "embedding", "vec_id", k = 3, maxSim = 0.3)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val q85Sql = s"""
+    WITH e AS (SELECT vec_id, embedding,
+        sqrt(${dDot("embedding", "embedding")}) AS nrm,
+        ${dVecLsh("embedding")} AS bucket FROM embeddings),
+    cand AS (SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+        ${dDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos_sim
+      FROM e q JOIN e v ON q.vec_id < 20 AND q.bucket = v.bucket
+        AND q.vec_id != v.vec_id),
+    neg AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM cand WHERE cos_sim < 0.3)
+    SELECT q_id, vec_id, cos_sim, rank FROM neg WHERE rank <= 3
+    ORDER BY q_id, rank"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q80_semdedup" -> q80,
+    "q81_boilerplate_shingles" -> q81,
+    "q82_winnow_overlap" -> q82,
+    "q83_dup_cluster_histogram" -> q83,
+    "q84_vocab_coverage" -> q84,
+    "q85_hard_negatives" -> q85,
     "q78_source_scorecard" -> q78,
     "q74_ann_binary_quantized" -> q74,
     "q73_dedup_keep_longest" -> q73,
@@ -1192,6 +1395,12 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q80_semdedup" -> q80Sql,
+    "q81_boilerplate_shingles" -> q81Sql,
+    "q82_winnow_overlap" -> q82Sql,
+    "q83_dup_cluster_histogram" -> q83Sql,
+    "q84_vocab_coverage" -> q84Sql,
+    "q85_hard_negatives" -> q85Sql,
     "q78_source_scorecard" -> q78Sql,
     "q74_ann_binary_quantized" -> q74Sql,
     "q73_dedup_keep_longest" -> q73Sql,

@@ -479,6 +479,44 @@ class DedupApiSpec extends SparkSpec {
     val out = Similarity.lshTopK(embs, probes, "embedding", "vec_id", 3)
     assert(out.filter(col("rank") > 3).count() === 0)
   }
+
+  test("semdedup drops exactly the vectors with a lower-id similar cell-mate") {
+    import graft.functions.F
+    val out = Dedup.semdedup(embs, "embedding", "vec_id",
+      numCells = 8, threshold = 0.3)
+    assert(out.count() === embs.count()) // every row labeled exactly once
+    // brute-force reference: within the SAME cell assignment, a vector
+    // is dropped iff some lower-id cell-mate has cosine >= threshold
+    val v = embs.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .join(out.select(col("id"), col("cell_id")), "id")
+    val refDropped = v.toDF("a", "va", "ca")
+      .join(v.toDF("b", "vb", "cb"), col("ca") === col("cb") && col("a") < col("b"))
+      .filter(F.dotF(col("va"), col("vb")) /
+        (sqrt(F.dotF(col("va"), col("va"))) * sqrt(F.dotF(col("vb"), col("vb"))))
+        >= 0.3)
+      .select(col("b").as("id")).distinct()
+    val gotDropped = out.filter(col("keep") === 0).select("id")
+    assert(gotDropped.exceptAll(refDropped).count() === 0)
+    assert(refDropped.exceptAll(gotDropped).count() === 0)
+    assert(refDropped.count() > 0) // non-vacuous at this threshold
+  }
+
+  test("hardNegatives stay in-bucket, below the ceiling, ranked") {
+    import graft.functions.F
+    val probes = embs.filter(col("vec_id") < 5)
+    val out = Similarity.hardNegatives(embs, probes, "embedding", "vec_id",
+      k = 3, maxSim = 0.3)
+    assert(out.filter(col("cos_sim") >= 0.3).count() === 0)
+    assert(out.filter(col("rank") > 3).count() === 0)
+    assert(out.filter(col("q_id") === col("id")).count() === 0)
+    // every negative shares its probe's LSH bucket
+    val b = embs.select(col("vec_id"), F.vecLsh(col("embedding"), 4).as("bk"))
+    val mismatched = out
+      .join(b.toDF("q_id", "q_bk"), "q_id")
+      .join(b.toDF("id", "n_bk"), "id")
+      .filter(col("q_bk") =!= col("n_bk"))
+    assert(mismatched.count() === 0)
+  }
 }
 
 class DialectExprAggSpec extends SparkSpec {
