@@ -34,6 +34,16 @@ object CleanPipeline {
   final case class LangKeep(langs: Seq[String], column: String) extends Stage
   final case class RedactNumbers() extends Stage
   final case class Split(train: Int, valid: Int) extends Stage
+  /** Drop docs whose boilerplate-shingle share exceeds `maxPct` percent;
+    * a shingle is boilerplate when present in >= `dfPct` percent of its
+    * `sourceCol` group's docs (the q81 signal as a filter). */
+  final case class BoilerplateMax(maxPct: Int, dfPct: Int, sourceCol: String)
+      extends Stage
+  /** SemDeDup over a vector column carried alongside the text (the q80
+    * stage as a filter): keep only vectors with no lower-id similar
+    * cell-mate. */
+  final case class SemDedup(vecCol: String, cells: Int, threshold: Double)
+      extends Stage
 
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
@@ -58,6 +68,14 @@ object CleanPipeline {
             (st \ "langs").extract[Seq[String]],
             (st \ "column").extractOpt[String].getOrElse("lang"))
           case "redact_numbers" => RedactNumbers()
+          case "boilerplate_max" => BoilerplateMax(
+            (st \ "max_pct").extractOpt[Int].getOrElse(30),
+            (st \ "df_pct").extractOpt[Int].getOrElse(5),
+            (st \ "source").extractOpt[String].getOrElse("source"))
+          case "semdedup" => SemDedup(
+            (st \ "vec").extractOpt[String].getOrElse("embedding"),
+            (st \ "cells").extractOpt[Int].getOrElse(16),
+            (st \ "threshold").extractOpt[Double].getOrElse(0.35))
           case "split" => Split(
             (st \ "train").extractOpt[Int].getOrElse(80),
             (st \ "valid").extractOpt[Int].getOrElse(10))
@@ -108,6 +126,30 @@ object CleanPipeline {
           cur.filter(col(column).isin(langs: _*))
         case RedactNumbers() =>
           cur.withColumn(txt, regexp_replace(col(txt), "[0-9]+", "<NUM>"))
+        case BoilerplateMax(maxPct, dfPct, sourceCol) =>
+          // q81's shape: shingle doc-frequency per source group, flags
+          // joined back on (source, shingle) — bounded keys, no N^2
+          val sh = cur.select(col(id), col(sourceCol).as("__src"),
+            explode(F.shingleHashes(col(txt), 3)).as("__h"))
+          val nd = cur.groupBy(col(sourceCol).as("__src"))
+            .agg(count(lit(1)).as("__nd"))
+          val flagged = sh.groupBy(col("__src"), col("__h"))
+            .agg(count(lit(1)).as("__df"))
+            .join(broadcast(nd), "__src")
+            .select(col("__src"), col("__h"),
+              (col("__df") * 100 >= col("__nd") * dfPct).as("__boiler"))
+          val keep = sh.join(flagged, Seq("__src", "__h"))
+            .groupBy(col(id))
+            .agg(count(lit(1)).as("__n"),
+              sum(when(col("__boiler"), 1L).otherwise(0L)).as("__nb"))
+            .filter(col("__nb") * 100 <= col("__n") * maxPct)
+            .select(id)
+          cur.join(keep, Seq(id), "left_semi")
+        case SemDedup(vecCol, cells, threshold) =>
+          val keep = Dedup.semdedup(cur, vecCol, id, cells, threshold)
+            .filter(col("keep") === 1)
+            .select(col("id").as(id))
+          cur.join(keep, Seq(id), "left_semi")
         case Split(train, valid) =>
           cur.withColumn("__b",
             expr(s"aggregate(filter(split(md5($txt), ''), c -> c != ''), " +

@@ -574,6 +574,34 @@ class CleanPipelineSpec extends SparkSpec {
     assert(out.filter(col("lang") =!= "en").count() === 0)
     assert(out.filter(col("text").rlike("[0-9]")).count() === 0)
   }
+
+  test("boilerplate_max stage equals the q81 signal applied as a filter") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"stages": [
+        {"op": "boilerplate_max", "max_pct": 50, "df_pct": 5}
+      ]}}""", docs)
+    // reference: q81 counts with the same cut applied by hand
+    val q81 = graft.ops.PipelineQueries
+      .queries("q81_boilerplate_shingles")(spark, sfDir)
+      .filter(col("n_boiler") * 100 <= col("n_shingles") * 50)
+    assert(out.count() === q81.count())
+    assert(out.select("doc_id").exceptAll(q81.select("doc_id")).count() === 0)
+  }
+
+  test("semdedup stage keeps exactly Dedup.semdedup's keep=1 set") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"id": "vec_id", "stages": [
+        {"op": "semdedup", "vec": "embedding", "cells": 8, "threshold": 0.3}
+      ]}}""", embs)
+    val ref = graft.ops.Dedup
+      .semdedup(embs, "embedding", "vec_id", 8, 0.3)
+      .filter(col("keep") === 1)
+    assert(out.count() === ref.count())
+    assert(out.select(col("vec_id"))
+      .exceptAll(ref.select(col("id"))).count() === 0)
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {

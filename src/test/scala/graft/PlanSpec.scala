@@ -134,6 +134,43 @@ class PlanSpec2 extends SparkSpec {
       .findAllIn(p).length
     assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
+
+  test("q80: semdedup centroid assignment broadcasts; cell join is equi") {
+    val p = planOf("q80_semdedup")
+    assert(p.contains("Broadcast"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q81: boilerplate flags join on bounded keys — no nested loop") {
+    val p = planOf("q81_boilerplate_shingles")
+    assert(p.contains("BroadcastHashJoin")) // per-source doc counts
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q82: winnow overlap joins only on the fingerprint key") {
+    val p = planOf("q82_winnow_overlap")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q83: cluster histogram is aggregates only — no join") {
+    val p = planOf("q83_dup_cluster_histogram")
+    assert(!p.contains("Join"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q84: vocab coverage has no global window; top-k is TakeOrdered") {
+    val p = planOf("q84_vocab_coverage")
+    assert(!p.contains("Window"))
+    assert(p.contains("TakeOrdered"))
+  }
+
+  test("q85: hard-negative probes broadcast into the bucket join") {
+    val p = planOf("q85_hard_negatives")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
 
 class PipelinePlanSpec extends SparkSpec {
