@@ -36,10 +36,18 @@ object Tables {
       nanoTs: Seq[String] = Nil): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
-    nanoTs.foldLeft(df) { (d, c) =>
+    val withTs = nanoTs.foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) &&
           d.schema(c).dataType == LongType)
         d.withColumn(c, expr(s"timestamp_micros($c DIV 1000)"))
+      else d
+    }
+    // normalize TIMESTAMP_NTZ (e.g. DuckDB/pandas-written parquet) to
+    // session-local TIMESTAMP: the session runs UTC, so values are
+    // identical, and timestamp functions (unix_micros & co) resolve
+    withTs.schema.fields.foldLeft(withTs) { (d, f) =>
+      if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
       else d
     }
   }

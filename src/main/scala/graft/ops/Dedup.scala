@@ -179,7 +179,8 @@ object Dedup {
       // materialize: `stepped` feeds `next` twice (directly and as
       // `ptr`) — without the checkpoint the edges-join + aggregation
       // subtree would be replayed for each occurrence unless exchange
-      // reuse happens to dedupe it
+      // reuse happens to dedupe it (measured: dropping this checkpoint
+      // does NOT speed the q72 bench — reuse is not reliable here)
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
@@ -223,7 +224,9 @@ object Dedup {
       numCells: Int = 16, threshold: Double = 0.35): DataFrame = {
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       F.dotF(col(vecCol), col(vecCol)).as("n2"))
-    val cents = e.filter(col("id") < numCells)
+    // seed = the numCells SMALLEST ids (TakeOrdered, not `id < n` — the
+    // latter silently returns an empty frame when ids are not 0-based)
+    val cents = e.orderBy(col("id")).limit(numCells)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
     val assigned = Similarity.assign(e, cents)
       .select(col("id"), col("v"), col("n2"), col("cent_id"))
@@ -303,7 +306,7 @@ object Similarity {
       k: Int, iters: Int = 3): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       F.dotF(col(vecCol), col(vecCol)).as("n2"))
-    var cents = e.filter(col("id") < k)
+    var cents = e.orderBy(col("id")).limit(k)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
@@ -349,7 +352,7 @@ object Similarity {
     val cents =
       if (kmeansIters > 0)
         kmeansCentroids(corpus, vecCol, idCol, numCentroids, kmeansIters)
-      else e.filter(col("id") < numCentroids)
+      else e.orderBy(col("id")).limit(numCentroids)
         .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
     val assigned = e.join(broadcast(cents))
       .select(col("id"), col("v"), col("n2"), col("cent_id"),

@@ -924,7 +924,16 @@ object PipelineQueries {
     * stands in for a held-out eval set). The benchmark side of the
     * inverted-index join is BROADCAST: on a real lake the eval sets are
     * KBs against 100 TB of training text, so the contamination scan is
-    * one broadcast-hash pass over the corpus — no shuffle at all. */
+    * one broadcast-hash pass over the corpus — no shuffle at all.
+    *
+    * Scale caveat (measured, tools/make_probe.py): a 5-gram that is hot
+    * on BOTH sides multiplies — a degenerate probe whose permutation
+    * grouped duplicate tokens into runs pushed this join from 248k to
+    * 123M rows. Real pipelines cap the gram's corpus doc-frequency
+    * before joining (boilerplate grams carry no contamination signal) —
+    * the same df-cut q28/q59/q82 apply; the oracle here keeps the
+    * uncapped spec because the eval-set grams of the driver corpus are
+    * cold. */
   private val q68: QFn = (s, d) => {
     val sh = wide(s, d, "documents", "doc_id")
       .select(col("doc_id"), explode(F.shingleHashes(col("text"), 5)).as("h"))

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Build a bench-only scale probe: documents/embeddings/events replicated
+Kx with id offsets (every copy keeps its content — the worst-case dedup
+workload: each doc gains K-1 exact near-dup partners), TPC-H tables
+passed through unchanged. NO oracle runs here — timing evidence only
+(see SCALING.md); correctness stays gated on the driver's sf dirs.
+
+Usage: python3 tools/make_probe.py <srcSfDir> <outDir> [K=10] [--perturb]
+
+--perturb re-permutes each copy's tokens with a PER-COPY deterministic
+order (sort by md5(token || copy index)), so replicas share a vocabulary
+but almost no 3-gram shingles — they do NOT form Jaccard/winnow near-dup
+clusters: the "organic growth" probe (input-volume scaling), vs the
+default exact-copy probe (output-volume scaling, the adversarial dedup
+workload). Caveats: simhash is order-blind, so even permuted copies stay
+simhash-identical, and embeddings are exact copies in both probes.
+"""
+import sys, os, shutil
+import duckdb
+
+def main():
+    src, out = sys.argv[1], sys.argv[2]
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    perturb = "--perturb" in sys.argv
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    # permute POSITIONS (not values): sorting the tokens themselves would
+    # group duplicates into runs and mint super-hot n-grams ("x x x x x")
+    # shared corpus-wide — measured to blow the q68 decontamination join
+    # to 123M rows. Position-keyed md5 order spreads duplicates randomly.
+    text = ("CASE WHEN i = 0 THEN text ELSE array_to_string("
+            "list_transform(list_sort(list_transform("
+            "range(len(string_split(text, ' '))), "
+            "j -> md5(CAST(j AS VARCHAR) || '#' || i) || '|' "
+            "|| CAST(j AS VARCHAR))), "
+            "s -> string_split(text, ' ')"
+            "[CAST(string_split(s, '|')[2] AS INT) + 1]), ' ') "
+            "|| ' v' || i END")
+    reps = {
+        # id offsets keep seed/probe ids (vec_id<20 etc.) unique to copy 0
+        # and preserve (user_id, ts) uniqueness for the window queries
+        "documents": {"doc_id": "doc_id + i * 10000000",
+                      **({"text": text} if perturb else {})},
+        "embeddings": {"vec_id": "vec_id + i * 10000000"},
+        "events": {"event_id": "event_id + i * 1000000000",
+                   "user_id": "user_id + i * 1000000000"},
+    }
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings", "events"]:
+        s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
+        if not os.path.exists(s):
+            continue
+        if t not in reps:
+            shutil.copyfile(s, d)
+            continue
+        exprs = reps[t]
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{s}')").fetchall()]
+        # select list in ORIGINAL column order, applying per-col rewrites
+        sel = [f"{exprs[c]} AS {c}" if c in exprs else c for c in cols]
+        con.sql(
+            f"COPY (SELECT {', '.join(sel)} "
+            f"FROM read_parquet('{s}'), range({k}) r(i)) "
+            f"TO '{d}' (FORMAT parquet)")
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{d}')").fetchone()[0]
+        print(f"{t}: {n} rows ({k}x)")
+
+if __name__ == "__main__":
+    main()
