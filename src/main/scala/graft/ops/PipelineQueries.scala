@@ -1362,9 +1362,49 @@ object PipelineQueries {
     SELECT q_id, vec_id, cos_sim, rank FROM neg WHERE rank <= 3
     ORDER BY q_id, rank"""
 
+  /** q86 — training-sequence packing (GPT-style concat-and-chop): docs
+    * are concatenated in a deterministic order and chopped into
+    * fixed-length (512-token) sequences; each doc is attributed to the
+    * sequence holding its FIRST token. Packing is SHARDED (content-hash
+    * mod 8): each shard packs independently — a running token sum over
+    * a per-shard window, parallel across shards — so no global
+    * single-partition window exists at any scale; cross-shard waste is
+    * bounded by one partial sequence per shard. At 100 TB you raise the
+    * shard count to the cluster's parallelism; the per-shard running sum
+    * stays a single exchange + sort. All-integer output. */
+  private val q86: QFn = (s, d) => {
+    val seqLen = 512
+    val docs = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"),
+        expr(s"size(${sToks("text")})").as("n_tok"),
+        expr(s"${sPoly("md5(text)")} % 8").as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    docs
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("seq_id", ((col("cum") - col("n_tok")) / seqLen)
+        .cast("long"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+  private val q86Sql = s"""
+    WITH t AS (SELECT doc_id, len(${dToks("text")}) AS n_tok,
+        ${dPoly("md5(text)")} % 8 AS shard FROM documents),
+    c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
+        AS cum FROM t)
+    SELECT shard, (cum - n_tok) // 512 AS seq_id,
+      count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q86_sequence_packing" -> q86,
     "q80_semdedup" -> q80,
     "q81_boilerplate_shingles" -> q81,
     "q82_winnow_overlap" -> q82,
@@ -1404,6 +1444,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q86_sequence_packing" -> q86Sql,
     "q80_semdedup" -> q80Sql,
     "q81_boilerplate_shingles" -> q81Sql,
     "q82_winnow_overlap" -> q82Sql,

@@ -171,6 +171,19 @@ class PlanSpec2 extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q86: packing groupBy reuses the shard window partitioning " +
+      "(no exchange between window and aggregate, no global window)") {
+    val p = planOf("q86_sequence_packing")
+    // the partial aggregate must sit DIRECTLY on the window output —
+    // HashPartitioning(shard) satisfies grouping on (shard, seq_id)
+    val agg = p.indexOf("partial_count")
+    val win = p.indexOf("Window [")
+    assert(agg >= 0 && win > agg, s"unexpected plan shape:\n$p")
+    assert(!p.substring(agg, win).contains("Exchange"),
+      s"exchange between aggregate and window:\n$p")
+    assert(!p.contains("SinglePartition")) // never a global window
+  }
 }
 
 class PipelinePlanSpec extends SparkSpec {
