@@ -7,7 +7,7 @@ import graft.engine.Tables
 import graft.functions.F
 
 /** Training-data pipeline operators over the `documents` and `embeddings`
-  * tables (q27-q38, q47-q50, q57-q65, q68-q74, q78, q80-q85):
+  * tables (q27-q38, q47-q50, q57-q65, q68-q74, q78, q80-q86):
   * deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, SemDeDup),
   * embedding similarity search (brute-force, LSH-bucketed, IVF and
   * binary-quantized ANN, hard-negative mining), text analysis
@@ -1204,8 +1204,9 @@ object PipelineQueries {
     * span signal): per source, a shingle present in >= 5% of that
     * source's docs is boilerplate (headers, nav bars, license blurbs);
     * each doc reports how much of it is boilerplate. Doc-frequency agg
-    * on (source, shingle), flag broadcast back via the same key — two
-    * shuffles on bounded keys, all-integer output. */
+    * on (source, shingle), flags joined back on the same key (only the
+    * tiny per-source doc counts broadcast) — shuffles stay on bounded
+    * keys, all-integer output. */
   private val q81: QFn = (s, d) => {
     val docs = wide(s, d, "documents", "doc_id")
     val sh = docs.select(col("doc_id"), col("source"),
