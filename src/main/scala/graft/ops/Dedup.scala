@@ -11,6 +11,13 @@ import graft.functions.F
   *
   * All candidate generation is signature-per-row (no shuffle) followed by
   * ONE shuffle on the candidate key — the only shapes that survive 100 TB.
+  *
+  * Cosine caveat (all vector entry points here and in [[Similarity]]):
+  * a ZERO-NORM vector yields NaN cosine; Java comparisons make every
+  * `NaN >= t` false, so zero vectors are never near-dups / dropped /
+  * ranked — while SQL engines that order NaN above all values (DuckDB)
+  * would treat them as similar-to-everything. Filter zero vectors at
+  * ingest if your corpus can contain them.
   */
 object Dedup {
 

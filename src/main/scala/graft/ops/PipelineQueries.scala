@@ -1402,9 +1402,50 @@ object PipelineQueries {
       min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""
 
+  /** q87 — cross-source duplication matrix: the q28 near-dup pairs
+    * rolled up by UNORDERED source pair (least/greatest normalization
+    * keeps one matrix cell per pair) — the "which vendors resell each
+    * other's data" audit a curation team reviews before paying twice.
+    * Adds one broadcast-able (doc_id -> source) join per side and one
+    * bounded-key aggregate on top of the prefix-filtered pair machinery;
+    * at 100 TB the doc->source map is a projection of the scan, the
+    * matrix is |sources|^2 rows. */
+  private val q87: QFn = (s, d) => {
+    val src = t(s, d, "documents")
+      .select(col("doc_id"), col("source"))
+    Dedup.jaccardPairs(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", shingleN = 3, threshold = 0.5)
+      .join(src.toDF("id_a", "src_a"), "id_a")
+      .join(src.toDF("id_b", "src_b"), "id_b")
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_a")).as("n_docs_a"),
+        countDistinct(col("id_b")).as("n_docs_b"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+  private val q87Sql = s"""
+    WITH sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b
+      FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5),
+    lab AS (SELECT p.doc_a, p.doc_b, da.source AS src_a, db.source AS src_b
+      FROM pairs p JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b)
+    SELECT least(src_a, src_b) AS source_x,
+      greatest(src_a, src_b) AS source_y,
+      count(*) AS n_pairs,
+      count(DISTINCT doc_a) AS n_docs_a,
+      count(DISTINCT doc_b) AS n_docs_b
+    FROM lab GROUP BY 1, 2 ORDER BY source_x, source_y"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q87_cross_source_dups" -> q87,
     "q86_sequence_packing" -> q86,
     "q80_semdedup" -> q80,
     "q81_boilerplate_shingles" -> q81,
@@ -1445,6 +1486,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q87_cross_source_dups" -> q87Sql,
     "q86_sequence_packing" -> q86Sql,
     "q80_semdedup" -> q80Sql,
     "q81_boilerplate_shingles" -> q81Sql,

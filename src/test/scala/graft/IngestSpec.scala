@@ -178,6 +178,32 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming clean chain: quality filter + content-hash dedup " +
+      "(the q57 dedup_exact/quality stages as a live stream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+      // quality gate: >= 3 whitespace tokens (Condition exprs compile to
+      // Catalyst filters, so the same rule text works batch or stream)
+      .filter(expr("size(filter(split(text, ' '), t -> t != '')) >= 3"))
+      .withColumn("h", md5(col("text")))
+    val cleaned = StreamOps.streamingDedup(src, "h")
+    val q = cleaned.writeStream.format("memory").queryName("sclean")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "alpha beta gamma"), (2L, "too short"),
+        (3L, "alpha beta gamma")) // 3 dup of 1 within the batch
+      q.processAllAvailable()
+      mem.addData((4L, "alpha beta gamma"), // dup of 1 across batches
+        (5L, "delta epsilon zeta eta"))
+      q.processAllAvailable()
+      val ids = spark.table("sclean").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 5L)) // 2 quality-dropped; 3,4 deduped
+    } finally q.stop()
+  }
+
   test("monitor works on a stream with watermark (bounded state)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
