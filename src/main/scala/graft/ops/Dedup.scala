@@ -249,6 +249,24 @@ object Dedup {
         when(col("dropped").isNull, 1).otherwise(0).as("keep"))
   }
 
+  /** Cross-label duplication matrix: near-dup pairs (jaccardPairs)
+    * rolled up by UNORDERED label pair (e.g. source/vendor) — which
+    * label pairs share content, the pay-twice audit. One broadcast-able
+    * (id -> label) projection joined per side, |labels|^2 output. */
+  def crossSourceMatrix(df: DataFrame, textCol: String, idCol: String,
+      labelCol: String, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val lab = df.select(col(idCol).as("id"), col(labelCol).as("lab"))
+    jaccardPairs(df, textCol, idCol, shingleN, threshold)
+      .join(lab.toDF("id_a", "lab_a"), "id_a")
+      .join(lab.toDF("id_b", "lab_b"), "id_b")
+      .groupBy(least(col("lab_a"), col("lab_b")).as("label_x"),
+        greatest(col("lab_a"), col("lab_b")).as("label_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_a")).as("n_docs_a"),
+        countDistinct(col("id_b")).as("n_docs_b"))
+  }
+
   /** Embedding near-dup pairs: LSH bucket candidates verified by exact
     * cosine >= `threshold`. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,

@@ -501,6 +501,16 @@ class DedupApiSpec extends SparkSpec {
     assert(refDropped.count() > 0) // non-vacuous at this threshold
   }
 
+  test("crossSourceMatrix equals the oracle-checked q87 rollup") {
+    val api = Dedup.crossSourceMatrix(docs, "text", "doc_id", "source")
+      .withColumnRenamed("label_x", "source_x")
+      .withColumnRenamed("label_y", "source_y")
+    val q87 = graft.ops.PipelineQueries
+      .queries("q87_cross_source_dups")(spark, sfDir)
+    assert(api.exceptAll(q87).count() === 0)
+    assert(q87.exceptAll(api).count() === 0)
+  }
+
   test("hardNegatives stay in-bucket, below the ceiling, ranked") {
     import graft.functions.F
     val probes = embs.filter(col("vec_id") < 5)
@@ -516,6 +526,52 @@ class DedupApiSpec extends SparkSpec {
       .join(b.toDF("id", "n_bk"), "id")
       .filter(col("q_bk") =!= col("n_bk"))
     assert(mismatched.count() === 0)
+  }
+}
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Packing
+
+  private def docs(ns: Seq[Int]) =
+    ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("doc_id", "n_tok")
+
+  test("every doc packs exactly once; offsets stay inside the sequence") {
+    val in = docs(Seq(100, 200, 300, 50, 512, 600, 10, 10, 10))
+    val out = Packing.sequencePack(in, col("n_tok"), "doc_id",
+      seqLen = 512, shards = 2)
+    assert(out.count() === 9)
+    assert(out.filter(col("start_offset") < 0 ||
+      col("start_offset") >= 512).count() === 0)
+    assert(out.filter(col("seq_id") < 0).count() === 0)
+  }
+
+  test("single shard packs greedily: seq boundary at the running sum") {
+    val in = docs(Seq(300, 300, 300)) // cum 300, 600, 900
+    val out = Packing.sequencePack(in, col("n_tok"), "doc_id",
+      seqLen = 512, shards = 1, shardExpr = Some(lit(0L)))
+      .select("doc_id", "seq_id", "start_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // doc0 starts at 0 (seq 0), doc1 at 300 (seq 0), doc2 at 600 (seq 1)
+    assert(out.toSeq === Seq((0L, 0L, 0L), (1L, 0L, 300L), (2L, 1L, 88L)))
+  }
+
+  test("a doc longer than seqLen legitimately skips start sequences") {
+    val in = docs(Seq(2000, 10)) // doc1 starts at 2000 -> seq 3
+    val out = Packing.sequencePack(in, col("n_tok"), "doc_id",
+      seqLen = 512, shards = 1, shardExpr = Some(lit(0L)))
+      .select("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq === Seq((0L, 0L), (1L, 3L)))
+  }
+
+  test("packingStats accounts every doc") {
+    val in = docs(Seq.fill(40)(100))
+    val packed = Packing.sequencePack(in, col("n_tok"), "doc_id",
+      seqLen = 512, shards = 4)
+    val stats = Packing.packingStats(packed)
+    assert(stats.agg(sum("n_docs")).head().getLong(0) === 40L)
   }
 }
 
