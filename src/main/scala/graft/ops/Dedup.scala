@@ -249,6 +249,28 @@ object Dedup {
         when(col("dropped").isNull, 1).otherwise(0).as("keep"))
   }
 
+  /** The full near-dup dedup DECISION in one call: jaccardPairs →
+    * connectedComponents → quality-aware representative (longest doc,
+    * id tie-break). Returns one row per doc that belongs to a near-dup
+    * component: (id, label, keep_id, is_kept 1/0) — the drop-list a
+    * cleaning stage applies (docs with no near-dup partner never appear
+    * and are implicitly kept). Inherits every stage's scale shape:
+    * prefix-filtered pair join, O(log d) label rounds, one aggregate
+    * for the representative. */
+  def nearDupKeepList(df: DataFrame, textCol: String, idCol: String,
+      qualityCol: String, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val labels = connectedComponents(
+      jaccardPairs(df, textCol, idCol, shingleN, threshold))
+    val q = df.select(col(idCol).as("id"), col(qualityCol).as("__q"))
+    val labeled = labels.join(q, "id")
+    val reps = labeled.groupBy(col("label"))
+      .agg(max(struct(col("__q"), col("id"))).getField("id").as("keep_id"))
+    labeled.join(reps, "label")
+      .select(col("id"), col("label"), col("keep_id"),
+        when(col("id") === col("keep_id"), 1).otherwise(0).as("is_kept"))
+  }
+
   /** Cross-label duplication matrix: near-dup pairs (jaccardPairs)
     * rolled up by UNORDERED label pair (e.g. source/vendor) — which
     * label pairs share content, the pay-twice audit. One broadcast-able

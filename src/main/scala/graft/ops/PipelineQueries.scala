@@ -1442,9 +1442,47 @@ object PipelineQueries {
       count(DISTINCT doc_b) AS n_docs_b
     FROM lab GROUP BY 1, 2 ORDER BY source_x, source_y"""
 
+  /** q88 — the composed near-dup dedup decision (Dedup.nearDupKeepList):
+    * Jaccard pairs → connected components → keep the LONGEST member per
+    * component (doc_id tie-break). One row per doc in a near-dup
+    * component with its keep/drop verdict — what a cleaning stage
+    * actually applies. The oracle recomputes the same fixpoint as a
+    * DuckDB RECURSIVE closure plus a window representative — two
+    * independent algorithms, one answer (the q72 discipline extended
+    * through representative selection). */
+  private val q88: QFn = (s, d) =>
+    Dedup.nearDupKeepList(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", "n_chars", shingleN = 3, threshold = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  private val q88Sql = s"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b
+      FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5),
+    edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs),
+    reach AS (SELECT x AS id, y AS r FROM edges
+      UNION
+      SELECT e.x AS id, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+    lbl AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+    rep AS (SELECT label, doc_id AS keep_id FROM (
+        SELECT l.label, d.doc_id, row_number() OVER (PARTITION BY l.label
+          ORDER BY d.n_chars DESC, d.doc_id DESC) AS rn
+        FROM lbl l JOIN documents d ON d.doc_id = l.id) WHERE rn = 1)
+    SELECT l.id AS doc_id, l.label, r.keep_id,
+      CASE WHEN l.id = r.keep_id THEN 1 ELSE 0 END AS is_kept
+    FROM lbl l JOIN rep r ON l.label = r.label
+    ORDER BY doc_id"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q88_dedup_keeplist" -> q88,
     "q87_cross_source_dups" -> q87,
     "q86_sequence_packing" -> q86,
     "q80_semdedup" -> q80,
@@ -1486,6 +1524,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q88_dedup_keeplist" -> q88Sql,
     "q87_cross_source_dups" -> q87Sql,
     "q86_sequence_packing" -> q86Sql,
     "q80_semdedup" -> q80Sql,
