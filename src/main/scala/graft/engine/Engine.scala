@@ -492,11 +492,51 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         tbl.fold(d)(x => d.filter(col("table_name") === x)))
         .orderBy(col("file_id")))
     }
+    else if (low.startsWith("pipeline clean")) pipelineClean(t)
     else if (low == "get dictionary")
       dict.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }.mkString("\n")
     else if (low == "get tables") catalog.tableNames.mkString("\n")
     else if (low == "get views") catalog.viewNames.mkString("\n")
     else throw new IllegalArgumentException(s"unknown command: $command")
+  }
+
+  /** `pipeline clean where table = <src> and dest = <new> and spec = <json>`
+    * — run a declarative corpus-cleaning pipeline (ops.CleanPipeline: the
+    * JSON spec names dedup/quality/redaction/split stages) over a
+    * registered table and MATERIALIZE the result as a new registered
+    * table next to the source. This is the command-surface hook for the
+    * training-data operators: after it returns, `sql edge "select ...
+    * from <new>"` queries the cleaned corpus. The spec must be the LAST
+    * clause (JSON contains no bare `=`, so the earlier k=v parses stay
+    * unambiguous). */
+  private def pipelineClean(t: String): String = {
+    val body = t.substring("pipeline clean".length).trim
+      .stripPrefix("where").trim
+    val specIdx = body.toLowerCase.indexOf("spec")
+    require(specIdx >= 0, "pipeline clean requires spec = <json>")
+    val specJson = body.substring(specIdx).split("=", 2) match {
+      case Array(_, j) => j.trim
+      case _ => throw new IllegalArgumentException("spec = <json> malformed")
+    }
+    val head = body.substring(0, specIdx)
+    def kv(k: String): Option[String] =
+      s"(?i)$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(head)
+        .map(_.group(1).stripSuffix("and").trim)
+    val src = kv("table").getOrElse(
+      throw new IllegalArgumentException("pipeline clean requires table ="))
+    val dest = kv("dest").getOrElse(
+      throw new IllegalArgumentException("pipeline clean requires dest ="))
+    require(dest.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad dest name: $dest")
+    val srcPath = catalog.tablePath(src).getOrElse(
+      throw new IllegalArgumentException(
+        s"$src is not a registered storage table"))
+    val out = graft.ops.CleanPipeline.run(specJson, catalog.table(src))
+    val destPath = java.nio.file.Paths.get(srcPath).toAbsolutePath
+      .getParent.resolve(s"$dest.parquet").toString
+    out.write.mode("overwrite").parquet(destPath)
+    catalog.registerTable(dest, destPath)
+    val n = catalog.table(dest).count()
+    s"table $dest created: $n rows"
   }
 
   /** The reference's primary metadata interface

@@ -160,6 +160,41 @@ class AgePartitionDropSpec extends SparkSpec {
   }
 }
 
+class PipelineCleanCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  test("pipeline clean materializes a cleaned table queryable via sql") {
+    // testdata is read-only — stage a copy so the dest lands beside it
+    val dir = java.nio.file.Files.createTempDirectory("pclean")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("documents", dir.resolve("documents.parquet").toString)
+    val engine = new Engine(spark, cat)
+    val out = engine.execute("pipeline clean where table = documents " +
+      """and dest = cleaned and spec = {"pipeline": {"stages": [
+        {"op": "lang_keep", "langs": ["en"]},
+        {"op": "dedup_exact"},
+        {"op": "split", "train": 80, "valid": 10}
+      ]}}""")
+    assert(out.startsWith("table cleaned created: "))
+    // the cleaned corpus is now a first-class table on the sql surface
+    val reply = engine.execute(
+      """sql edge format = json "select count(*) as n from cleaned"""")
+    val en = cat.table("documents")
+      .filter(col("lang") === "en").select("text").distinct().count()
+    assert(reply.contains(s""""n":$en"""))
+    assert(cat.table("cleaned").columns.contains("split"))
+  }
+
+  test("pipeline clean rejects unregistered sources and bad dest names") {
+    val engine = new Engine(spark, new Catalog(spark))
+    intercept[IllegalArgumentException](engine.execute(
+      """pipeline clean where table = nope and dest = x and spec = {}"""))
+  }
+}
+
 class PolicyCommandSpec extends SparkSpec {
   import graft.engine.{Catalog, Engine}
 
