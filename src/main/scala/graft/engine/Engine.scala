@@ -512,16 +512,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   private def pipelineClean(t: String): String = {
     val body = t.substring("pipeline clean".length).trim
       .stripPrefix("where").trim
-    val specIdx = body.toLowerCase.indexOf("spec")
-    require(specIdx >= 0, "pipeline clean requires spec = <json>")
-    val specJson = body.substring(specIdx).split("=", 2) match {
-      case Array(_, j) => j.trim
-      case _ => throw new IllegalArgumentException("spec = <json> malformed")
-    }
-    val head = body.substring(0, specIdx)
+    // the spec clause is matched as a WORD ('table = inspection' must
+    // not trip the substring "spec"), and everything after its '=' is
+    // the JSON verbatim
+    val specM = "(?i)\\bspec\\s*=".r.findFirstMatchIn(body).getOrElse(
+      throw new IllegalArgumentException(
+        "pipeline clean requires spec = <json>"))
+    val specJson = body.substring(specM.end).trim
+    val head = body.substring(0, specM.start)
     def kv(k: String): Option[String] =
-      s"(?i)$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(head)
-        .map(_.group(1).stripSuffix("and").trim)
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(head)
+        .map(_.group(1))
     val src = kv("table").getOrElse(
       throw new IllegalArgumentException("pipeline clean requires table ="))
     val dest = kv("dest").getOrElse(

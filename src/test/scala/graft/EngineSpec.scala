@@ -193,6 +193,21 @@ class PipelineCleanCommandSpec extends SparkSpec {
     intercept[IllegalArgumentException](engine.execute(
       """pipeline clean where table = nope and dest = x and spec = {}"""))
   }
+
+  test("a source name containing the letters 'spec' parses cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("pclean2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("inspection.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("inspection",
+      dir.resolve("inspection.parquet").toString)
+    val engine = new Engine(spark, cat)
+    val out = engine.execute("pipeline clean where table = inspection " +
+      """and dest = insp_clean and spec = {"pipeline": {"stages": [
+        {"op": "dedup_exact"}]}}""")
+    assert(out.startsWith("table insp_clean created: "))
+  }
 }
 
 class PolicyCommandSpec extends SparkSpec {
