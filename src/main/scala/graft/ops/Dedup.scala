@@ -223,9 +223,9 @@ object Dedup {
     * marked dropped. The cells bound the pair join exactly like IVF
     * bounds ANN search: at 100 TB the shuffle key is the cell id and the
     * quadratic term is (cell size)^2, never N^2. Centroids are the
-    * first `numCells` ids' vectors (the deterministic IVF seeding;
-    * callers wanting refined cells pass `Similarity.kmeansCentroids`
-    * output thresholds through `ivfTopK`-style composition).
+    * `numCells` smallest ids' vectors (the deterministic IVF seeding);
+    * for k-means-refined cells use the overload taking a centroids
+    * frame (e.g. `Similarity.kmeansCentroids` output).
     * Returns (id, cell_id, keep 1/0) for every input row. */
   def semdedup(df: DataFrame, vecCol: String, idCol: String,
       numCells: Int = 16, threshold: Double = 0.35): DataFrame = {
@@ -235,6 +235,19 @@ object Dedup {
     // latter silently returns an empty frame when ids are not 0-based)
     val cents = e.orderBy(col("id")).limit(numCells)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+    semdedup(df, vecCol, idCol, cents, threshold)
+  }
+
+  /** SemDeDup against caller-provided centroids — `centroids` must have
+    * (cent_id, cv[, cn2]) columns, e.g. `Similarity.kmeansCentroids`
+    * output (tiny: it broadcasts). */
+  def semdedup(df: DataFrame, vecCol: String, idCol: String,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      F.dotF(col(vecCol), col(vecCol)).as("n2"))
+    val cents =
+      if (centroids.columns.contains("cn2")) centroids
+      else centroids.withColumn("cn2", F.dotF(col("cv"), col("cv")))
     val assigned = Similarity.assign(e, cents)
       .select(col("id"), col("v"), col("n2"), col("cent_id"))
     val mate = assigned.toDF("id2", "v2", "n22", "cent_id2")

@@ -501,6 +501,14 @@ class DedupApiSpec extends SparkSpec {
     assert(refDropped.count() > 0) // non-vacuous at this threshold
   }
 
+  test("semdedup accepts k-means-refined centroids") {
+    val cents = Similarity.kmeansCentroids(embs, "embedding", "vec_id",
+      k = 8, iters = 2)
+    val out = Dedup.semdedup(embs, "embedding", "vec_id", cents, 0.3)
+    assert(out.count() === embs.count())
+    assert(out.select("cell_id").distinct().count() <= 8)
+  }
+
   test("crossSourceMatrix equals the oracle-checked q87 rollup") {
     val api = Dedup.crossSourceMatrix(docs, "text", "doc_id", "source")
       .withColumnRenamed("label_x", "source_x")
