@@ -160,6 +160,34 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(F.shingleHashes(col(textCol), shingleN)).as("h"))
 
+  /** Incremental EMBEDDING dedup: test a NEW batch of vectors against an
+    * EXISTING corpus index without re-pairing the corpus with itself —
+    * the vector twin of [[incrementalJaccard]]. `corpusIndex` is the
+    * standing (id, v, nrm, bucket) table maintained by
+    * [[embeddingIndex]]; candidates come from the shared LSH bucket,
+    * verified by exact cosine >= `threshold`. Returns (new_id,
+    * corpus_id, cos_sim). */
+  def incrementalEmbeddingDedup(newVecs: DataFrame, corpusIndex: DataFrame,
+      vecCol: String, idCol: String, bits: Int = 4,
+      threshold: Double = 0.35): DataFrame = {
+    val n = newVecs.select(col(idCol).as("new_id"), col(vecCol).as("nv"),
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nnrm"),
+      F.vecLsh(col(vecCol), bits).as("bucket"))
+    n.join(corpusIndex.toDF("corpus_id", "v", "nrm", "bucket"), "bucket")
+      .select(col("new_id"), col("corpus_id"),
+        (F.dotF(col("nv"), col("v")) / (col("nnrm") * col("nrm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Build/refresh the embedding index a corpus carries across batches
+    * (persist this as a parquet table; ~40 bytes + vector per row). */
+  def embeddingIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      bits: Int = 4): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
+      F.vecLsh(col(vecCol), bits).as("bucket"))
+
   /** Consolidate near-dup PAIRS into clusters via iterative min-label
     * propagation (connected components): every doc gets the smallest id
     * reachable through the pair graph — the step that turns pairwise

@@ -501,6 +501,28 @@ class DedupApiSpec extends SparkSpec {
     assert(refDropped.count() > 0) // non-vacuous at this threshold
   }
 
+  test("incrementalEmbeddingDedup: new batch vs standing index equals " +
+      "the full-corpus pair set restricted to cross-batch pairs") {
+    val corpus = embs.filter(col("vec_id") % 5 =!= 0)
+    val batch = embs.filter(col("vec_id") % 5 === 0)
+    val idx = Dedup.embeddingIndex(corpus, "embedding", "vec_id")
+    val inc = Dedup.incrementalEmbeddingDedup(batch, idx,
+      "embedding", "vec_id")
+    // reference: full-corpus near-dup pairs, keeping only pairs that
+    // cross the batch/corpus split (either orientation)
+    val full = Dedup.embeddingNearDups(embs, "embedding", "vec_id")
+    val ref = full
+      .filter((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+      .select(
+        when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b"))
+          .as("new_id"),
+        when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a"))
+          .as("corpus_id"))
+    val got = inc.select("new_id", "corpus_id")
+    assert(got.exceptAll(ref).count() === 0)
+    assert(ref.exceptAll(got).count() === 0)
+  }
+
   test("semdedup accepts k-means-refined centroids") {
     val cents = Similarity.kmeansCentroids(embs, "embedding", "vec_id",
       k = 8, iters = 2)
@@ -651,6 +673,25 @@ class CleanPipelineSpec extends SparkSpec {
       .filter(col("n_boiler") * 100 <= col("n_shingles") * 50)
     assert(out.count() === q81.count())
     assert(out.select("doc_id").exceptAll(q81.select("doc_id")).count() === 0)
+  }
+
+  test("cross-modal pipeline: text and vector stages compose over a " +
+      "joined frame") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val joined = docs.join(embs, docs("doc_id") === embs("vec_id"))
+      .drop("vec_id")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"stages": [
+        {"op": "dedup_exact"},
+        {"op": "semdedup", "vec": "embedding", "cells": 8, "threshold": 0.3},
+        {"op": "quality_min_tokens", "min": 5},
+        {"op": "split", "train": 80, "valid": 10}
+      ]}}""", joined)
+    assert(out.count() > 0)
+    assert(out.columns.contains("split"))
+    // the semdedup stage actually dropped someone
+    assert(out.count() < joined.count())
   }
 
   test("semdedup stage keeps exactly Dedup.semdedup's keep=1 set") {
