@@ -44,6 +44,11 @@ object CleanPipeline {
     * cell-mate. */
   final case class SemDedup(vecCol: String, cells: Int, threshold: Double)
       extends Stage
+  /** Near-dup components keep their HIGHEST-`qualityCol` member instead
+    * of the lowest id (Dedup.nearDupKeepList — the q88 decision as a
+    * filter). */
+  final case class NeardupKeepBest(qualityCol: String, threshold: Double,
+      shingleN: Int) extends Stage
 
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
@@ -72,6 +77,10 @@ object CleanPipeline {
             (st \ "max_pct").extractOpt[Int].getOrElse(30),
             (st \ "df_pct").extractOpt[Int].getOrElse(5),
             (st \ "source").extractOpt[String].getOrElse("source"))
+          case "neardup_keep_best" => NeardupKeepBest(
+            (st \ "quality").extractOpt[String].getOrElse("n_chars"),
+            (st \ "threshold").extractOpt[Double].getOrElse(0.5),
+            (st \ "shingle_n").extractOpt[Int].getOrElse(3))
           case "semdedup" => SemDedup(
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
             (st \ "cells").extractOpt[Int].getOrElse(16),
@@ -145,6 +154,12 @@ object CleanPipeline {
             .filter(col("__nb") * 100 <= col("__n") * maxPct)
             .select(id)
           cur.join(keep, Seq(id), "left_semi")
+        case NeardupKeepBest(qualityCol, threshold, n) =>
+          val dropped = Dedup.nearDupKeepList(cur, txt, id, qualityCol,
+              n, threshold)
+            .filter(col("is_kept") === 0)
+            .select(col("id").as(id))
+          cur.join(dropped, Seq(id), "left_anti")
         case SemDedup(vecCol, cells, threshold) =>
           val keep = Dedup.semdedup(cur, vecCol, id, cells, threshold)
             .filter(col("keep") === 1)

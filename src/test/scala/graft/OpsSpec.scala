@@ -675,6 +675,23 @@ class CleanPipelineSpec extends SparkSpec {
     assert(out.select("doc_id").exceptAll(q81.select("doc_id")).count() === 0)
   }
 
+  test("neardup_keep_best stage keeps exactly q88's is_kept set " +
+      "plus unpaired docs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"stages": [
+        {"op": "neardup_keep_best", "quality": "n_chars"}
+      ]}}""", docs)
+    val verdicts = graft.ops.Dedup.nearDupKeepList(
+      docs, "text", "doc_id", "n_chars")
+    val expected = docs.count() -
+      verdicts.filter(col("is_kept") === 0).count()
+    assert(out.count() === expected)
+    // no dropped doc survives
+    assert(out.join(verdicts.filter(col("is_kept") === 0)
+      .select(col("id").as("doc_id")), Seq("doc_id")).count() === 0)
+  }
+
   test("cross-modal pipeline: text and vector stages compose over a " +
       "joined frame") {
     val docs = Tables.load(spark, sfDir, "documents")
