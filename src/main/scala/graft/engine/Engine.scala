@@ -534,6 +534,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val out = graft.ops.CleanPipeline.run(specJson, catalog.table(src))
     val destPath = java.nio.file.Paths.get(srcPath).toAbsolutePath
       .getParent.resolve(s"$dest.parquet").toString
+    // a dest that resolves onto the source file would overwrite the
+    // corpus being read (and any registered table's storage)
+    require(catalog.tableNames.forall(n =>
+        !catalog.tablePath(n).map(p => java.nio.file.Paths.get(p)
+          .toAbsolutePath.toString).contains(destPath)),
+      s"dest $dest collides with a registered table's storage")
     out.write.mode("overwrite").parquet(destPath)
     catalog.registerTable(dest, destPath)
     val n = catalog.table(dest).count()

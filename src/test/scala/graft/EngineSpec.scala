@@ -194,6 +194,20 @@ class PipelineCleanCommandSpec extends SparkSpec {
       """pipeline clean where table = nope and dest = x and spec = {}"""))
   }
 
+  test("dest colliding with the source's storage is rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("pclean3")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("docs.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("docs", dir.resolve("docs.parquet").toString)
+    val engine = new Engine(spark, cat)
+    val ex = intercept[IllegalArgumentException](engine.execute(
+      """pipeline clean where table = docs and dest = docs and spec = """ +
+        """{"pipeline": {"stages": [{"op": "dedup_exact"}]}}"""))
+    assert(ex.getMessage.contains("collides"))
+  }
+
   test("a source name containing the letters 'spec' parses cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("pclean2")
     java.nio.file.Files.copy(
