@@ -129,6 +129,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Containment pairs — the ASYMMETRIC overlap |A∩B| / |A| >= t:
+    * excerpt/quote detection (a short doc living inside a long one
+    * scores near 1.0 even when Jaccard is tiny). Directional output
+    * (id_a contained in id_b, both orientations possible).
+    *
+    * Prefix filtering adapts: only the CONTAINED side can be prefixed
+    * (p = n - ceil(t*n) + 1 rarest tokens — if no intersection token
+    * sat in A's prefix the whole intersection would fit in the
+    * ceil(t*n) - 1 suffix, contradicting |A∩B| >= ceil(t*n)); the index
+    * side must keep ALL tokens, since containment puts no lower bound
+    * on B's share. A's prefix tokens are its globally RAREST, which is
+    * what bounds the join fan-out at scale. Verify is the same native
+    * merge-walk intersect as jaccardPairs. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(F.shingleHashes(col(textCol), shingleN)).as("h"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("h"))
+    val prefix = sh.join(dfreq, "h")
+      .select(col("id"), col("h"),
+        row_number().over(w).as("rank1"),
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")).as("n"))
+      .filter(col("rank1") <=
+        col("n") - ceil(col("n") * threshold).cast("int") + 1)
+      .select(col("id").as("id_a"), col("h"))
+    val cand = prefix.join(sh.toDF("id_b", "h2"),
+        col("h") === col("h2") && col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = df.select(col(idCol).as("id"),
+      sort_array(F.shingleHashes(col(textCol), shingleN)).as("srt"))
+      .select(col("id"), col("srt"), size(col("srt")).as("n"))
+    cand.join(sets.toDF("id_a", "ha", "na"), "id_a")
+      .join(sets.toDF("id_b", "hb", "nb"), "id_b")
+      .withColumn("inter", F.sortedIntersectSize(col("ha"), col("hb")))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Incremental near-dup: test a NEW batch against an EXISTING corpus
     * without re-pairing the corpus with itself — the daily-ingest pattern
     * at scale (the corpus side ships as a precomputed shingle index, e.g.

@@ -1479,9 +1479,32 @@ object PipelineQueries {
     FROM lbl l JOIN rep r ON l.label = r.label
     ORDER BY doc_id"""
 
+  /** q89 — containment (excerpt/quote) pairs: directional overlap
+    * |A∩B| / |A| >= 0.8 via Dedup.containmentPairs — the asymmetric
+    * complement of q28 (a short excerpt inside a long doc scores ~1.0
+    * where Jaccard stays tiny). Prefix filter on the contained side
+    * only; the oracle keeps the raw inverted-index formulation as the
+    * independent spec. */
+  private val q89: QFn = (s, d) =>
+    Dedup.containmentPairs(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", shingleN = 3, threshold = 0.8)
+      .toDF("doc_a", "doc_b", "containment")
+      .orderBy(col("doc_a"), col("doc_b"))
+  private val q89Sql = s"""
+    WITH sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id != b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / x.n AS containment
+    FROM inter JOIN sz x ON x.doc_id = doc_a
+    WHERE CAST(inter AS DOUBLE) / x.n >= 0.8
+    ORDER BY doc_a, doc_b"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q89_containment_pairs" -> q89,
     "q88_dedup_keeplist" -> q88,
     "q87_cross_source_dups" -> q87,
     "q86_sequence_packing" -> q86,
@@ -1524,6 +1547,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q89_containment_pairs" -> q89Sql,
     "q88_dedup_keeplist" -> q88Sql,
     "q87_cross_source_dups" -> q87Sql,
     "q86_sequence_packing" -> q86Sql,

@@ -501,6 +501,44 @@ class DedupApiSpec extends SparkSpec {
     assert(refDropped.count() > 0) // non-vacuous at this threshold
   }
 
+  test("containmentPairs catches an excerpt Jaccard misses, and stays " +
+      "complete against the raw formulation") {
+    import graft.functions.F
+    // doc 9001 = the first 10 tokens of the LONGEST doc, embedded in
+    // nothing else: containment(9001 -> host) ~ 1.0 while
+    // Jaccard(9001, host) stays far below 0.5
+    val base = docs.limit(60)
+    val hostId = base.orderBy(col("n_chars").desc).select("doc_id")
+      .head().getLong(0)
+    val excerpt = base.filter(col("doc_id") === hostId)
+      .select(lit(9001L).as("doc_id"),
+        expr("array_join(slice(filter(split(text, ' '), t -> t != ''), 1, 10), ' ')")
+          .as("text"))
+    val corpus = base.select(col("doc_id"), col("text")).union(excerpt)
+    val cont = Dedup.containmentPairs(corpus, "text", "doc_id",
+      threshold = 0.8)
+    assert(cont.filter(col("id_a") === 9001 && col("id_b") === hostId)
+      .count() === 1)
+    val jac = Dedup.jaccardPairs(corpus, "text", "doc_id", threshold = 0.5)
+    assert(jac.filter((col("id_a") === hostId && col("id_b") === 9001) ||
+      (col("id_a") === 9001 && col("id_b") === hostId)).count() === 0)
+    // completeness: equals the raw inverted-index formulation exactly
+    val sh = corpus.select(col("doc_id").as("id"),
+      explode(F.shingleHashes(col("text"), 3)).as("h"))
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val raw = sh.join(sh.toDF("id2", "h2"),
+        col("h") === col("h2") && col("id") =!= col("id2"))
+      .groupBy(col("id").as("doc_a"), col("id2").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.toDF("doc_a", "na"), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .filter(col("containment") >= 0.8)
+    val fast = cont.toDF("doc_a", "doc_b", "containment")
+    assert(fast.exceptAll(raw).count() === 0)
+    assert(raw.exceptAll(fast).count() === 0)
+  }
+
   test("incrementalEmbeddingDedup: new batch vs standing index equals " +
       "the full-corpus pair set restricted to cross-batch pairs") {
     val corpus = embs.filter(col("vec_id") % 5 =!= 0)
