@@ -20,7 +20,8 @@ import duckdb
 
 def main():
     src, out = sys.argv[1], sys.argv[2]
-    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    rest = [a for a in sys.argv[3:] if a != "--perturb"]
+    k = int(rest[0]) if rest else 10
     perturb = "--perturb" in sys.argv
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
