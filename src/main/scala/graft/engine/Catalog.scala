@@ -16,14 +16,17 @@ import org.apache.spark.sql.types.StructType
   * scale this becomes a Delta table or an external store; the interface
   * is what matters (resolve table -> DataFrame).
   */
-final class Catalog(spark: SparkSession, root: Option[Path] = None) {
-
+object Catalog {
   final case class TableReg(name: String, path: String, schemaJson: String,
       nanoTs: Seq[String])
   /** View: target table + projected (sourceColumn -> viewColumn) pairs
     * (a rename/subset map, exactly the reference's view shape). */
   final case class ViewDef(name: String, table: String,
       columns: Seq[(String, String)])
+}
+
+final class Catalog(spark: SparkSession, root: Option[Path] = None) {
+  import Catalog.{TableReg, ViewDef}
 
   /** (tsCol, unit, n) for tables written via TimePartitions. */
   private var partitionMetas = Map.empty[String, (String, String, Int)]

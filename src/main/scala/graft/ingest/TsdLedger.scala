@@ -18,11 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * UNIQUE(file_hash) index becomes an idempotence check: re-ingesting an
   * already-seen payload is refused, exactly the reference's semantics.
   */
-final class TsdLedger {
-
+object TsdLedger {
   final case class Entry(fileId: Int, dbms: String, table: String,
       source: String, fileHash: String, instructions: String,
       fileTime: Timestamp, rows: Long, status1: String, status2: String)
+}
+
+final class TsdLedger {
+  import TsdLedger.Entry
 
   private var entries = Vector.empty[Entry]
   private var nextId = 1
