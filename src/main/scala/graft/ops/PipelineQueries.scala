@@ -1501,9 +1501,41 @@ object PipelineQueries {
     WHERE CAST(inter AS DOUBLE) / x.n >= 0.8
     ORDER BY doc_a, doc_b"""
 
+  /** q90 — directional excerpt-flow matrix: q89's containment pairs
+    * rolled up by ORDERED (source of contained, source of container) —
+    * who borrows from whom, the provenance question q87's symmetric
+    * matrix cannot answer. Same shape: two broadcast-able doc->source
+    * joins over the bounded pair set, |sources|^2 output. */
+  private val q90: QFn = (s, d) => {
+    val src = t(s, d, "documents")
+      .select(col("doc_id"), col("source"))
+    Dedup.containmentPairs(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", shingleN = 3, threshold = 0.8)
+      .join(src.toDF("id_a", "src_from"), "id_a")
+      .join(src.toDF("id_b", "src_into"), "id_b")
+      .groupBy(col("src_from"), col("src_into"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_a")).as("n_excerpts"))
+      .orderBy(col("src_from"), col("src_into"))
+  }
+  private val q90Sql = s"""
+    WITH sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id != b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (SELECT doc_a, doc_b FROM inter JOIN sz x ON x.doc_id = doc_a
+      WHERE CAST(inter AS DOUBLE) / x.n >= 0.8)
+    SELECT da.source AS src_from, db.source AS src_into,
+      count(*) AS n_pairs, count(DISTINCT doc_a) AS n_excerpts
+    FROM pairs JOIN documents da ON da.doc_id = doc_a
+    JOIN documents db ON db.doc_id = doc_b
+    GROUP BY 1, 2 ORDER BY src_from, src_into"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q90_excerpt_flow" -> q90,
     "q89_containment_pairs" -> q89,
     "q88_dedup_keeplist" -> q88,
     "q87_cross_source_dups" -> q87,
@@ -1547,6 +1579,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q90_excerpt_flow" -> q90Sql,
     "q89_containment_pairs" -> q89Sql,
     "q88_dedup_keeplist" -> q88Sql,
     "q87_cross_source_dups" -> q87Sql,
