@@ -1532,9 +1532,62 @@ object PipelineQueries {
     JOIN documents db ON db.doc_id = doc_b
     GROUP BY 1, 2 ORDER BY src_from, src_into"""
 
+  /** q91 — MinHash calibration audit: for every q29 LSH candidate pair,
+    * the error between the 16-component signature ESTIMATE and the
+    * EXACT shingle Jaccard, histogrammed — the "are my sketch
+    * parameters good enough" ops question answered from the data.
+    * The error bucket is computed in PURE INTEGER arithmetic
+    * (|c*u - 16*i| div u, with c = matching components, i = |A∩B|,
+    * u = |A∪B|) = floor(16*|est - exact|) with no double rounding to
+    * drift cross-engine. One extra map-side array-intersect per
+    * candidate pair on top of q29's band join. */
+  private val q91: QFn = (s, d) => {
+    val base = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"),
+        F.minhashSig(F.shingleHashes(col("text"), 3), 16).as("sig"),
+        sort_array(F.shingleHashes(col("text"), 3)).as("srt"))
+    val banded = base.select(col("doc_id"), col("sig"), col("srt"),
+      explode(expr(sBands("sig"))).as("bk"))
+    val b2 = banded.toDF("doc_id2", "sig2", "srt2", "bk2")
+    banded.join(b2,
+        col("bk") === col("bk2") && col("doc_id") < col("doc_id2"))
+      .select(col("doc_id").as("doc_a"), col("doc_id2").as("doc_b"),
+        col("sig").as("sa"), col("sig2").as("sb"),
+        col("srt").as("ha"), col("srt2").as("hb"))
+      .distinct()
+      .withColumn("c",
+        expr("size(filter(sequence(0, 15), i -> sa[i] = sb[i]))").cast("long"))
+      .withColumn("i", F.sortedIntersectSize(col("ha"), col("hb")))
+      .withColumn("u", size(col("ha")) + size(col("hb")) - col("i"))
+      .withColumn("bucket",
+        expr("CAST(abs(c * u - 16 * i) DIV u AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("bucket"))
+  }
+  private val q91Sql = s"""
+    WITH base AS (SELECT doc_id,
+        ${dMinhash(dShingleHashes)} AS sig,
+        list_sort($dShingleHashes) AS srt FROM documents),
+    banded AS (SELECT doc_id, sig, srt, unnest(${dBands("sig")}) AS bk
+      FROM base),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.sig AS sa, b.sig AS sb, a.srt AS ha, b.srt AS hb
+      FROM banded a JOIN banded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+    m AS (SELECT doc_a, doc_b,
+        CAST(len(list_filter(range(16), i -> sa[i+1] = sb[i+1])) AS BIGINT)
+          AS c,
+        CAST(len(list_filter(ha, x -> list_contains(hb, x))) AS BIGINT) AS i,
+        CAST(len(ha) + len(hb) AS BIGINT) AS nn
+      FROM cand)
+    SELECT abs(c * (nn - i) - 16 * i) // (nn - i) AS bucket,
+      count(*) AS n_pairs
+    FROM m GROUP BY 1 ORDER BY bucket"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q91_minhash_calibration" -> q91,
     "q90_excerpt_flow" -> q90,
     "q89_containment_pairs" -> q89,
     "q88_dedup_keeplist" -> q88,
@@ -1579,6 +1632,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q91_minhash_calibration" -> q91Sql,
     "q90_excerpt_flow" -> q90Sql,
     "q89_containment_pairs" -> q89Sql,
     "q88_dedup_keeplist" -> q88Sql,
