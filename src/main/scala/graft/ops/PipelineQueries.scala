@@ -1584,9 +1584,63 @@ object PipelineQueries {
       count(*) AS n_pairs
     FROM m GROUP BY 1 ORDER BY bucket"""
 
+  /** q92 — effective-data accounting: after the q88 keep-list, how many
+    * docs/tokens each SOURCE actually contributes once near-dups
+    * collapse — the what-am-I-paying-for rollup (a vendor whose corpus
+    * is 40% duplicates of another's contributes far less than its raw
+    * volume). Docs outside any near-dup component count as kept. One
+    * source join + one aggregate on top of the keep-list; all-integer. */
+  private val q92: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    val toks = docs.select(col("doc_id"), col("source"),
+      expr(s"size(${sToks("text")})").cast("long").as("n_tok"))
+    val verdicts = Dedup.nearDupKeepList(docs, "text", "doc_id", "n_chars")
+      .select(col("id").as("doc_id"), col("is_kept"))
+    toks.join(verdicts, Seq("doc_id"), "left")
+      .withColumn("kept", coalesce(col("is_kept"), lit(1)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("n_tok") * col("kept")).as("tokens_kept"),
+        sum(col("n_tok") * (lit(1) - col("kept"))).as("tokens_dropped"))
+      .orderBy(col("source"))
+  }
+  private val q92Sql = s"""
+    WITH RECURSIVE
+    sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    prs AS (SELECT doc_a, doc_b
+      FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5),
+    edges AS (SELECT doc_a AS x, doc_b AS y FROM prs
+      UNION ALL SELECT doc_b, doc_a FROM prs),
+    reach AS (SELECT x AS id, y AS r FROM edges
+      UNION
+      SELECT e.x AS id, reach.r FROM edges e JOIN reach ON reach.id = e.y),
+    lbl AS (SELECT id, least(id, min(r)) AS label FROM reach GROUP BY id),
+    rep AS (SELECT label, doc_id AS keep_id FROM (
+        SELECT l.label, d.doc_id, row_number() OVER (PARTITION BY l.label
+          ORDER BY d.n_chars DESC, d.doc_id DESC) AS rn
+        FROM lbl l JOIN documents d ON d.doc_id = l.id) WHERE rn = 1),
+    verdict AS (SELECT l.id AS doc_id,
+        CASE WHEN l.id = r.keep_id THEN 1 ELSE 0 END AS is_kept
+      FROM lbl l JOIN rep r ON l.label = r.label),
+    t AS (SELECT d.doc_id, d.source,
+        CAST(len(${dToks("d.text")}) AS BIGINT) AS n_tok,
+        COALESCE(v.is_kept, 1) AS kept
+      FROM documents d LEFT JOIN verdict v ON v.doc_id = d.doc_id)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(kept) AS BIGINT) AS n_kept,
+      CAST(sum(n_tok * kept) AS BIGINT) AS tokens_kept,
+      CAST(sum(n_tok * (1 - kept)) AS BIGINT) AS tokens_dropped
+    FROM t GROUP BY source ORDER BY source"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q92_effective_data" -> q92,
     "q91_minhash_calibration" -> q91,
     "q90_excerpt_flow" -> q90,
     "q89_containment_pairs" -> q89,
@@ -1632,6 +1686,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q92_effective_data" -> q92Sql,
     "q91_minhash_calibration" -> q91Sql,
     "q90_excerpt_flow" -> q90Sql,
     "q89_containment_pairs" -> q89Sql,
