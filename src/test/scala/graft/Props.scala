@@ -124,4 +124,49 @@ object GraftProps extends Properties("graft") {
       } yield (i, j)).toSet
       truePairs.subsetOf(candidates)
     }
+
+  // ---- containment candidate completeness (the q89 theorem): a pair
+  // with |A∩B|/|A| >= t always shares a token inside A's df-ordered
+  // prefix — the index side keeps ALL tokens, so the A-prefix join
+  // generates every qualifying directional pair.
+  property("containment prefix candidate generation is complete") =
+    forAll(genCorpus, Gen.oneOf(0.5, 0.8, 0.9)) { (docs, t) =>
+      val df = docs.flatten.groupBy(identity).map { case (h, o) =>
+        h -> o.size
+      }
+      def prefix(s: Set[Long]): Set[Long] = {
+        val ord = s.toVector.sortBy(h => (df(h), h))
+        ord.take(ord.size - math.ceil(t * ord.size).toInt + 1).toSet
+      }
+      (for {
+        a <- docs.indices; b <- docs.indices if a != b
+        inter = (docs(a) & docs(b)).size
+        if inter.toDouble / docs(a).size >= t
+      } yield (prefix(docs(a)) & docs(b)).nonEmpty).forall(identity)
+    }
+
+  // ---- sequence-packing arithmetic (Packing.sequencePack in pure
+  // logic): offsets stay inside the sequence, seq ids never decrease,
+  // and an id gap can only follow a doc longer than the gap it skips.
+  property("packing offsets and seq ids are consistent") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(1, 2000)), Gen.choose(16, 1024)) {
+      (toks, seqLen) =>
+        val cums = toks.scanLeft(0L)(_ + _).tail
+        val rows = toks.zip(cums).map { case (n, cum) =>
+          ((cum - n) / seqLen, (cum - n) % seqLen, n)
+        }
+        val offsetsOk = rows.forall { case (_, off, _) =>
+          off >= 0 && off < seqLen
+        }
+        val monotone = rows.sliding(2).forall {
+          case Seq((s1, _, _), (s2, _, _)) => s2 >= s1
+          case _ => true
+        }
+        val gapsExplained = rows.sliding(2).forall {
+          case Seq((s1, _, n1), (s2, _, _)) =>
+            s2 <= s1 + 1 || n1 > (s2 - s1 - 1) * seqLen
+          case _ => true
+        }
+        offsetsOk && monotone && gapsExplained
+    }
 }
