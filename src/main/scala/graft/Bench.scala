@@ -23,8 +23,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM + codegen warm-up (untimed).
-    SparkEntry.queries.get("q03_global_aggs")
+    // JVM + codegen warm-up (untimed): one representative of each major
+    // plan family (scan+limit, aggregate, window, broadcast join), so
+    // the first TIMED queries don't absorb first-use JIT/codegen cost
+    Seq("q01_scan_limit", "q03_global_aggs", "q22_window_funcs",
+        "q20_join_3way")
+      .flatMap(SparkEntry.queries.get)
       .foreach(fn => fn(spark, sfDir).collect())
 
     // Optional comma-separated substring filter for local iteration
