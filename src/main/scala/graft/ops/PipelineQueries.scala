@@ -1637,9 +1637,56 @@ object PipelineQueries {
       CAST(sum(n_tok * (1 - kept)) AS BIGINT) AS tokens_dropped
     FROM t GROUP BY source ORDER BY source"""
 
+  /** q93 — split-leakage audit: near-dup pairs (q28, threshold 0.5)
+    * whose members land in DIFFERENT q49 splits — the classic
+    * eval-inflation hazard. Content-hash assignment pins EXACT
+    * duplicates to one split by construction (identical text, identical
+    * bucket — the reason q49 hashes content, not ids); near-duplicates
+    * can still straddle the boundary, and every straddling pair leaks
+    * training signal into eval. Output: the full (split, split) pair
+    * matrix with a leak flag — rows where leak=1 are the pairs a
+    * pipeline must re-unify (e.g. via q88's components) before
+    * training. */
+  private val q93: QFn = (s, d) => {
+    val split = t(s, d, "documents")
+      .withColumn("bucket", expr(s"${sPoly("md5(text)")} % 100"))
+      .select(col("doc_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "valid").otherwise("test").as("split"))
+    Dedup.jaccardPairs(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", shingleN = 3, threshold = 0.5)
+      .join(split.toDF("id_a", "split_a"), "id_a")
+      .join(split.toDF("id_b", "split_b"), "id_b")
+      .groupBy(least(col("split_a"), col("split_b")).as("split_x"),
+        greatest(col("split_a"), col("split_b")).as("split_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leak",
+        when(col("split_x") === col("split_y"), 0).otherwise(1))
+      .orderBy(col("split_x"), col("split_y"))
+  }
+  private val q93Sql = s"""
+    WITH sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2),
+    prs AS (SELECT doc_a, doc_b
+      FROM inter JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.5),
+    sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+        WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+      FROM (SELECT doc_id, ${dPoly("md5(text)")} % 100 AS b FROM documents)),
+    lab AS (SELECT least(sa.split, sb.split) AS split_x,
+        greatest(sa.split, sb.split) AS split_y
+      FROM prs JOIN sp sa ON sa.doc_id = doc_a
+      JOIN sp sb ON sb.doc_id = doc_b)
+    SELECT split_x, split_y, count(*) AS n_pairs,
+      CASE WHEN split_x = split_y THEN 0 ELSE 1 END AS leak
+    FROM lab GROUP BY 1, 2 ORDER BY split_x, split_y"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q93_split_leakage" -> q93,
     "q92_effective_data" -> q92,
     "q91_minhash_calibration" -> q91,
     "q90_excerpt_flow" -> q90,
@@ -1686,6 +1733,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q93_split_leakage" -> q93Sql,
     "q92_effective_data" -> q92Sql,
     "q91_minhash_calibration" -> q91Sql,
     "q90_excerpt_flow" -> q90Sql,
