@@ -540,6 +540,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         !catalog.tablePath(n).map(p => java.nio.file.Paths.get(p)
           .toAbsolutePath.toString).contains(destPath)),
       s"dest $dest collides with a registered table's storage")
+    // unregistered siblings (e.g. another table's parquet in the same
+    // dir) must not be silently clobbered either: an existing dest path
+    // requires an explicit overwrite = true clause
+    val overwrite = kv("overwrite").exists(_.equalsIgnoreCase("true"))
+    require(overwrite || !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(destPath)),
+      s"dest path $destPath already exists; add overwrite = true to replace")
     out.write.mode("overwrite").parquet(destPath)
     catalog.registerTable(dest, destPath)
     val n = catalog.table(dest).count()

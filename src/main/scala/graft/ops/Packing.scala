@@ -27,6 +27,9 @@ object Packing {
       seqLen: Int, shards: Int = 64,
       shardExpr: Option[Column] = None): DataFrame = {
     require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    require(!df.columns.contains("shard") && !df.columns.contains("seq_id")
+      && !df.columns.contains("start_offset"),
+      "input already has a shard/seq_id/start_offset column; rename it first")
     val shard = shardExpr.getOrElse(
       pmod(xxhash64(col(orderCol)), lit(shards)))
     val w = org.apache.spark.sql.expressions.Window
@@ -34,8 +37,10 @@ object Packing {
     df.withColumn("__shard", shard)
       .withColumn("__n_tok", nTokens.cast("long"))
       .withColumn("__cum", sum(col("__n_tok")).over(w))
-      .withColumn("seq_id",
-        ((col("__cum") - col("__n_tok")) / seqLen).cast("long"))
+      // integer `div`: exact for any long cumulative sum (a double
+      // intermediate loses exactness past 2^53 and diverges from an
+      // integer-division oracle spec)
+      .withColumn("seq_id", expr(s"(`__cum` - `__n_tok`) div $seqLen"))
       .withColumn("start_offset",
         (col("__cum") - col("__n_tok")) % seqLen)
       .withColumnRenamed("__shard", "shard")

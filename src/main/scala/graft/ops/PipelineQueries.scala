@@ -390,7 +390,7 @@ object PipelineQueries {
     WITH e AS (SELECT vec_id, embedding,
         ${dDot("embedding", "embedding")} AS n2 FROM embeddings),
     c AS (SELECT vec_id AS cent_id, embedding AS cemb, n2 AS cn2
-      FROM e WHERE vec_id < 16),
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
     scored AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id,
         e.n2 - 2.0 * ${dDot("e.embedding", "c.cemb")} + c.cn2 AS dist2
       FROM e, c),
@@ -1183,7 +1183,7 @@ object PipelineQueries {
     WITH e AS (SELECT vec_id, embedding,
         ${dDot("embedding", "embedding")} AS n2 FROM embeddings),
     c AS (SELECT vec_id AS cent_id, embedding AS cemb, n2 AS cn2
-      FROM e WHERE vec_id < 16),
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
     scored AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id,
         e.n2 - 2.0 * ${dDot("e.embedding", "c.cemb")} + c.cn2 AS dist2
       FROM e, c),
@@ -1383,8 +1383,9 @@ object PipelineQueries {
       .partitionBy("shard").orderBy("doc_id")
     docs
       .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("seq_id", ((col("cum") - col("n_tok")) / seqLen)
-        .cast("long"))
+      // integer `div`, not float `/` + cast: exact for any long cum, and
+      // type-identical to the oracle's CAST(... AS BIGINT) (r4 hash red)
+      .withColumn("seq_id", expr(s"(cum - n_tok) div $seqLen"))
       .groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
@@ -1397,7 +1398,7 @@ object PipelineQueries {
         ${dPoly("md5(text)")} % 8 AS shard FROM documents),
     c AS (SELECT *, sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id)
         AS cum FROM t)
-    SELECT shard, (cum - n_tok) // 512 AS seq_id,
+    SELECT shard, CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
       min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM c GROUP BY 1, 2 ORDER BY shard, seq_id"""

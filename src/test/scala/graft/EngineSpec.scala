@@ -208,6 +208,33 @@ class PipelineCleanCommandSpec extends SparkSpec {
     assert(ex.getMessage.contains("collides"))
   }
 
+  test("an unregistered parquet sibling is not clobbered without overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("pclean4")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    // an UNREGISTERED parquet sitting beside the source: the catalog
+    // collision check can't see it, the on-disk check must
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("bystander.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("documents", dir.resolve("documents.parquet").toString)
+    val engine = new Engine(spark, cat)
+    val spec = """{"pipeline": {"stages": [{"op": "dedup_exact"}]}}"""
+    val ex = intercept[IllegalArgumentException](engine.execute(
+      "pipeline clean where table = documents and dest = bystander " +
+        s"and spec = $spec"))
+    assert(ex.getMessage.contains("overwrite = true"))
+    // bystander survived untouched
+    assert(spark.read.parquet(dir.resolve("bystander.parquet").toString)
+      .columns.contains("ts"))
+    // explicit overwrite = true is honored
+    val out = engine.execute("pipeline clean where table = documents " +
+      s"and dest = bystander and overwrite = true and spec = $spec")
+    assert(out.startsWith("table bystander created: "))
+  }
+
   test("a source name containing the letters 'spec' parses cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("pclean2")
     java.nio.file.Files.copy(

@@ -641,6 +641,24 @@ class PackingSpec extends SparkSpec {
     val stats = Packing.packingStats(packed)
     assert(stats.agg(sum("n_docs")).head().getLong(0) === 40L)
   }
+
+  test("seq_id is exact past the double-mantissa range (pure integer div)") {
+    // cum > 2^53: a double intermediate would round; integer div must not
+    val big = (1L << 53) + 4097L
+    val in = Seq((0L, big), (1L, 100L)).toDF("doc_id", "n_tok")
+    val out = Packing.sequencePack(in, col("n_tok"), "doc_id",
+      seqLen = 512, shards = 1, shardExpr = Some(lit(0L)))
+      .select("doc_id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(out.toSeq === Seq((0L, 0L), (1L, big / 512L)))
+  }
+
+  test("a pre-existing shard/seq_id column is rejected, not shadowed") {
+    val in = docs(Seq(10, 20)).withColumn("shard", lit(99))
+    val ex = intercept[IllegalArgumentException](
+      Packing.sequencePack(in, col("n_tok"), "doc_id", seqLen = 512))
+    assert(ex.getMessage.contains("shard"))
+  }
 }
 
 class DialectExprAggSpec extends SparkSpec {
