@@ -83,7 +83,8 @@ object CleanPipeline {
             (st \ "shingle_n").extractOpt[Int].getOrElse(3))
           case "semdedup" => SemDedup(
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
-            (st \ "cells").extractOpt[Int].getOrElse(16),
+            // 0 = derive cell count from corpus size (Dedup.semdedup)
+            (st \ "cells").extractOpt[Int].getOrElse(0),
             (st \ "threshold").extractOpt[Double].getOrElse(0.35))
           case "split" => Split(
             (st \ "train").extractOpt[Int].getOrElse(80),

@@ -21,6 +21,26 @@ import graft.functions.F
   */
 object Dedup {
 
+  /** Hyperplane-LSH signature width for a corpus of `n` vectors: enough
+    * sign bits that EXPECTED bucket occupancy is ~`targetRows`
+    * (bits = ceil(log2(n / targetRows))), floored at 4 (16 buckets) and
+    * capped at 20 (1M buckets). The within-bucket join is quadratic in
+    * bucket size, so a FIXED bucket count is O(N^2/buckets) at scale —
+    * deriving from N keeps the per-bucket work constant as the corpus
+    * grows. */
+  def deriveBits(n: Long, targetRows: Long = 1024L): Int = {
+    val buckets = math.max(1L, (n + targetRows - 1) / targetRows)
+    val b = if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(20, math.max(4, b))
+  }
+
+  /** SemDeDup cell count for `n` vectors: ~`targetRows` per cell,
+    * floored at 16, capped at 16384 (centroids must stay broadcast-able
+    * — beyond that pass k-means centroids explicitly). */
+  def deriveCells(n: Long, targetRows: Long = 1024L): Int =
+    math.min(16384L, math.max(16L, (n + targetRows - 1) / targetRows)).toInt
+
   /** Exact dedup: one representative (min of `idCol`) per distinct value
     * of `keyExpr` (e.g. `md5(col("text"))`). */
   def exact(df: DataFrame, keyExpr: Column, idCol: String): DataFrame =
@@ -156,9 +176,17 @@ object Dedup {
           org.apache.spark.sql.expressions.Window.partitionBy("id")).as("n"))
       .filter(col("rank1") <=
         col("n") - ceil(col("n") * threshold).cast("int") + 1)
-      .select(col("id").as("id_a"), col("h"))
+      .select(col("id").as("id_a"), col("h"),
+        (col("rank1") - 1).as("pos"), col("n"))
+    // positional bound on the contained side (exactness-preserving): at
+    // the globally-FIRST common token w the whole intersection sits at
+    // or after pos(w) in A's order, so |A∩B| <= n - pos; containment
+    // >= t needs |A∩B| >= ceil(t*n). A qualifying pair always survives
+    // at its first common token, so dropping the rest trims the
+    // verify volume without losing pairs.
     val cand = prefix.join(sh.toDF("id_b", "h2"),
-        col("h") === col("h2") && col("id_a") =!= col("id_b"))
+        col("h") === col("h2") && col("id_a") =!= col("id_b") &&
+        col("n") - col("pos") >= ceil(col("n") * threshold))
       .select(col("id_a"), col("id_b")).distinct()
     val sets = df.select(col(idCol).as("id"),
       sort_array(F.shingleHashes(col(textCol), shingleN)).as("srt"))
@@ -173,34 +201,104 @@ object Dedup {
 
   /** Incremental near-dup: test a NEW batch against an EXISTING corpus
     * without re-pairing the corpus with itself — the daily-ingest pattern
-    * at scale (the corpus side ships as a precomputed shingle index, e.g.
-    * a parquet table maintained across batches). Returns (new_id,
-    * corpus_id, jaccard) pairs >= threshold plus within-batch pairs. */
+    * at scale (the corpus side ships as the precomputed [[shingleIndex]]
+    * parquet table maintained across batches). Returns (new_id,
+    * corpus_id, jaccard) pairs >= threshold.
+    *
+    * Candidate generation is PREFIX-FILTERED on both sides, exactly the
+    * [[jaccardPairs]] machinery: the global token order is the CORPUS
+    * document frequency (ascending, hash tiebreak; a batch-only token
+    * gets df 0 and sorts first — it is maximally rare). Prefix filtering
+    * is exact under ANY single total order applied to both sides, so
+    * using the standing corpus order keeps the index batch-independent.
+    * A boilerplate shingle present in most corpus docs has maximal df,
+    * sorts last, and falls out of every prefix — the hot-token blowup
+    * (one shared header pairing each new doc with most of the corpus;
+    * the q68 hot-gram incident, 248k -> 123M join rows) cannot happen.
+    * Verify is the native merge-walk intersect over full sorted sets;
+    * the corpus side rebuilds sets from index rows of CANDIDATE ids
+    * only, so no corpus text is ever needed. */
   def incrementalJaccard(newDocs: DataFrame, corpusIndex: DataFrame,
       textCol: String, idCol: String, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    // corpusIndex: (id, h) exploded shingle hashes + (id, n) sizes
+    // accept both the enriched (id, h, df, pos, n) index and the legacy
+    // bare (id, h) form (enriched on the fly — one extra aggregate)
+    val idx = if (corpusIndex.columns.contains("pos")) corpusIndex
+      else enrichShingleIndex(corpusIndex.select(col("id"), col("h")))
+    // corpus prefix rows: rank1 <= n - ceil(t*n) + 1  <=>  pos <= n - ceil(t*n)
+    val cPrefix = idx
+      .filter(col("pos") <=
+        col("n") - ceil(col("n") * threshold).cast("int"))
+      .select(col("id").as("corpus_id"), col("h"),
+        col("pos").as("cpos"), col("n").as("n_corpus"))
+    // the corpus token order, joined onto the batch (absent token -> df 0)
+    val dfTab = idx.select(col("h"), col("df")).distinct()
     val newSh = newDocs.select(col(idCol).as("new_id"),
       explode(F.shingleHashes(col(textCol), shingleN)).as("h"))
-    val newSz = newSh.groupBy("new_id").agg(count(lit(1)).as("n_new"))
-    val corpusSz = corpusIndex.groupBy(col("id").as("corpus_id"))
-      .agg(count(lit(1)).as("n_corpus"))
-    newSh.join(corpusIndex.toDF("corpus_id", "h"), "h")
-      .groupBy(col("new_id"), col("corpus_id"))
-      .agg(count(lit(1)).as("inter"))
-      .join(newSz, "new_id")
-      .join(corpusSz, "corpus_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id").orderBy(col("df"), col("h"))
+    val bPrefix = newSh.join(dfTab, Seq("h"), "left")
+      .na.fill(0L, Seq("df"))
+      .select(col("new_id"), col("h"),
+        row_number().over(w).as("rank1"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("new_id")).as("n_new"))
+      .filter(col("rank1") <=
+        col("n_new") - ceil(col("n_new") * threshold).cast("int") + 1)
+      .select(col("new_id"), col("h"), (col("rank1") - 1).as("bpos"),
+        col("n_new"))
+    // candidates on prefix tokens only, with the PPJoin positional bound
+    // (see jaccardPairs: min remaining tokens from the first common
+    // token upper-bounds the intersection)
+    val minOverlapFrac = threshold / (1.0 + threshold)
+    val cand = bPrefix.join(cPrefix, "h")
+      .filter(least(col("n_new") - col("bpos"),
+          col("n_corpus") - col("cpos")) >=
+        (col("n_new") + col("n_corpus")) * minOverlapFrac)
+      .select(col("new_id"), col("corpus_id")).distinct()
+    // exact verify: batch sets are a pure map over the batch text;
+    // corpus sets rebuild from index rows of candidate ids only
+    val bSets = newDocs.select(col(idCol).as("new_id"),
+      sort_array(F.shingleHashes(col(textCol), shingleN)).as("hb"))
+      .select(col("new_id"), col("hb"), size(col("hb")).as("n_new"))
+    val cSets = idx.join(cand.select("corpus_id").distinct(),
+        idx("id") === col("corpus_id"))
+      .groupBy(col("corpus_id"))
+      .agg(sort_array(collect_list(col("h"))).as("hc"),
+        count(lit(1)).as("n_corpus"))
+    cand.join(bSets, "new_id").join(cSets, "corpus_id")
+      .withColumn("inter", F.sortedIntersectSize(col("hb"), col("hc")))
       .select(col("new_id"), col("corpus_id"),
         (col("inter").cast("double") /
           (col("n_new") + col("n_corpus") - col("inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Build/refresh the shingle index a corpus carries across batches. */
+  /** Build/refresh the shingle index a corpus carries across batches:
+    * (id, h, df, pos, n) — h = distinct shingle hashes per doc, df =
+    * corpus document frequency of h, pos = h's 0-based rank within the
+    * doc under the global (df asc, h asc) order, n = doc set size. The
+    * df/pos columns are what lets [[incrementalJaccard]] prefix-filter
+    * without touching corpus text; refresh the index when the corpus
+    * grows enough to shift frequencies (stale df only degrades pruning,
+    * never correctness — the order just stops being optimal). */
   def shingleIndex(docs: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3): DataFrame =
-    docs.select(col(idCol).as("id"),
-      explode(F.shingleHashes(col(textCol), shingleN)).as("h"))
+    enrichShingleIndex(docs.select(col(idCol).as("id"),
+      explode(F.shingleHashes(col(textCol), shingleN)).as("h")))
+
+  /** (id, h) -> (id, h, df, pos, n): attach corpus df and the per-doc
+    * rank under the global (df asc, h asc) order. */
+  private def enrichShingleIndex(sh: DataFrame): DataFrame = {
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("h"))
+    sh.join(dfreq, "h")
+      .select(col("id"), col("h"), col("df"),
+        (row_number().over(w) - 1).as("pos"),
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("id")).as("n"))
+  }
 
   /** Incremental EMBEDDING dedup: test a NEW batch of vectors against an
     * EXISTING corpus index without re-pairing the corpus with itself —
@@ -210,12 +308,22 @@ object Dedup {
     * verified by exact cosine >= `threshold`. Returns (new_id,
     * corpus_id, cos_sim). */
   def incrementalEmbeddingDedup(newVecs: DataFrame, corpusIndex: DataFrame,
-      vecCol: String, idCol: String, bits: Int = 4,
+      vecCol: String, idCol: String, bits: Int = 0,
       threshold: Double = 0.35): DataFrame = {
+    // the batch MUST hash with the same signature width the index was
+    // built with, or buckets silently stop aligning: default reads the
+    // width the index carries; a legacy index without it means bits=4
+    // (the historical default)
+    val b =
+      if (bits > 0) bits
+      else if (corpusIndex.columns.contains("bits"))
+        corpusIndex.select(col("bits")).head().getInt(0)
+      else 4
     val n = newVecs.select(col(idCol).as("new_id"), col(vecCol).as("nv"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nnrm"),
-      F.vecLsh(col(vecCol), bits).as("bucket"))
-    n.join(corpusIndex.toDF("corpus_id", "v", "nrm", "bucket"), "bucket")
+      F.vecLsh(col(vecCol), b).as("bucket"))
+    n.join(corpusIndex.select(col("id").as("corpus_id"), col("v"),
+        col("nrm"), col("bucket")), "bucket")
       .select(col("new_id"), col("corpus_id"),
         (F.dotF(col("nv"), col("v")) / (col("nnrm") * col("nrm")))
           .as("cos_sim"))
@@ -223,12 +331,17 @@ object Dedup {
   }
 
   /** Build/refresh the embedding index a corpus carries across batches
-    * (persist this as a parquet table; ~40 bytes + vector per row). */
+    * (persist this as a parquet table; ~40 bytes + vector per row).
+    * `bits <= 0` derives the signature width from the corpus size
+    * ([[deriveBits]]); the width used is recorded in the `bits` column
+    * so [[incrementalEmbeddingDedup]] hashes new batches identically. */
   def embeddingIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      bits: Int = 4): DataFrame =
+      bits: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else deriveBits(corpus.count())
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
-      F.vecLsh(col(vecCol), bits).as("bucket"))
+      F.vecLsh(col(vecCol), b).as("bucket"), lit(b).as("bits"))
+  }
 
   /** Consolidate near-dup PAIRS into clusters via iterative min-label
     * propagation (connected components): every doc gets the smallest id
@@ -298,12 +411,16 @@ object Dedup {
     * frame (e.g. `Similarity.kmeansCentroids` output).
     * Returns (id, cell_id, keep 1/0) for every input row. */
   def semdedup(df: DataFrame, vecCol: String, idCol: String,
-      numCells: Int = 16, threshold: Double = 0.35): DataFrame = {
+      numCells: Int = 0, threshold: Double = 0.35): DataFrame = {
+    // numCells <= 0 derives ~1024-row cells from the corpus size
+    // (deriveCells; one count job) — the within-cell join is quadratic
+    // in cell size, so a fixed cell count is O(N^2/cells) at scale
+    val cells = if (numCells > 0) numCells else deriveCells(df.count())
     val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       F.dotF(col(vecCol), col(vecCol)).as("n2"))
     // seed = the numCells SMALLEST ids (TakeOrdered, not `id < n` — the
     // latter silently returns an empty frame when ids are not 0-based)
-    val cents = e.orderBy(col("id")).limit(numCells)
+    val cents = e.orderBy(col("id")).limit(cells)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
     semdedup(df, vecCol, idCol, cents, threshold)
   }
@@ -373,12 +490,16 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: LSH bucket candidates verified by exact
-    * cosine >= `threshold`. */
+    * cosine >= `threshold`. `bits <= 0` (the default) derives the
+    * signature width from the corpus size ([[deriveBits]]; costs one
+    * count job) — pass it explicitly to pin bucket boundaries across
+    * runs or match a standing index. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      bits: Int = 4, threshold: Double = 0.35): DataFrame = {
+      bits: Int = 0, threshold: Double = 0.35): DataFrame = {
+    val b = if (bits > 0) bits else deriveBits(df.count())
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
-      F.vecLsh(col(vecCol), bits).as("bucket"))
+      F.vecLsh(col(vecCol), b).as("bucket"))
     val v2 = v.toDF("id2", "v2", "nrm2", "bucket2")
     v.join(v2, col("bucket") === col("bucket2") && col("id") < col("id2"))
       .select(col("id").as("id_a"), col("id2").as("id_b"),
@@ -568,13 +689,14 @@ object Similarity {
     * shape as `lshTopK` (bucket key bounds the join; probes broadcast),
     * with the similarity ceiling applied before the rank. */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, vecCol: String,
-      idCol: String, k: Int, maxSim: Double, bits: Int = 4): DataFrame = {
+      idCol: String, k: Int, maxSim: Double, bits: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else Dedup.deriveBits(corpus.count())
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
-      F.vecLsh(col(vecCol), bits).as("bucket"))
+      F.vecLsh(col(vecCol), b).as("bucket"))
     val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("q_nrm"),
-      F.vecLsh(col(vecCol), bits).as("q_bucket"))
+      F.vecLsh(col(vecCol), b).as("q_bucket"))
     broadcast(p).join(c,
         col("q_bucket") === col("bucket") && col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),
@@ -587,14 +709,17 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Approximate top-k via shared hyperplane-LSH bucket. `bits <= 0`
+    * derives the signature width from the corpus size (one count job). */
   def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
-      idCol: String, k: Int, bits: Int = 4): DataFrame = {
+      idCol: String, k: Int, bits: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else Dedup.deriveBits(corpus.count())
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
-      F.vecLsh(col(vecCol), bits).as("bucket"))
+      F.vecLsh(col(vecCol), b).as("bucket"))
     val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("q_nrm"),
-      F.vecLsh(col(vecCol), bits).as("q_bucket"))
+      F.vecLsh(col(vecCol), b).as("q_bucket"))
     broadcast(p).join(c,
         col("q_bucket") === col("bucket") && col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"),

@@ -1345,7 +1345,7 @@ object PipelineQueries {
   private val q85: QFn = (s, d) => {
     val all = wide(s, d, "embeddings", "vec_id")
     Similarity.hardNegatives(all, all.filter(col("vec_id") < 20),
-        "embedding", "vec_id", k = 3, maxSim = 0.3)
+        "embedding", "vec_id", k = 3, maxSim = 0.3, bits = 4)
       .withColumnRenamed("id", "vec_id")
       .orderBy(col("q_id"), col("rank"))
   }

@@ -464,6 +464,24 @@ class DedupApiSpec extends SparkSpec {
     assert(out.filter(col("cos_sim") < 0.35).count() === 0)
   }
 
+  test("LSH bits / semdedup cells derive from corpus size") {
+    // ~1024 rows per bucket, floor 4 bits, cap 20 bits
+    assert(Dedup.deriveBits(0L) === 4)
+    assert(Dedup.deriveBits(500L) === 4)
+    assert(Dedup.deriveBits(16L * 1024L) === 4)
+    assert(Dedup.deriveBits(17L * 1024L) === 5)
+    assert(Dedup.deriveBits(1L << 20) === 10)       // 1M rows -> 1024 buckets
+    assert(Dedup.deriveBits(100L * 1000L * 1000L * 1000L) === 20) // capped
+    assert(Dedup.deriveCells(0L) === 16)
+    assert(Dedup.deriveCells(1L << 20) === 1024)
+    assert(Dedup.deriveCells(1L << 40) === 16384)   // broadcast cap
+    // the derived width actually bounds realized bucket cardinality
+    val idx = Dedup.embeddingIndex(embs, "embedding", "vec_id")
+    val bits = idx.select(col("bits")).head().getInt(0)
+    assert(bits === Dedup.deriveBits(embs.count()))
+    assert(idx.select(col("bucket")).distinct().count() <= (1L << bits))
+  }
+
   test("bruteForceTopK returns k ranked neighbors per probe") {
     val probes = embs.filter(col("vec_id") < 3)
     val out = Similarity.bruteForceTopK(embs, probes, "embedding", "vec_id", 5)
@@ -911,6 +929,47 @@ class IncrementalDedupSpec extends SparkSpec {
         col("jaccard"))
     assert(inc.exceptAll(full).count() === 0)
     assert(full.exceptAll(inc).count() === 0)
+  }
+
+  test("legacy bare (id, h) index form still verifies exactly") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(200)
+    val corpus = docs.filter(col("doc_id") < 100)
+    val batch = docs.filter(col("doc_id") >= 100)
+    val bare = corpus.select(col("doc_id").as("id"),
+      explode(graft.functions.F.shingleHashes(col("text"), 3)).as("h"))
+    val viaBare = Dedup.incrementalJaccard(batch, bare, "text", "doc_id")
+    val viaEnriched = Dedup.incrementalJaccard(batch,
+      Dedup.shingleIndex(corpus, "text", "doc_id"), "text", "doc_id")
+    assert(viaBare.exceptAll(viaEnriched).count() === 0)
+    assert(viaEnriched.exceptAll(viaBare).count() === 0)
+  }
+
+  test("adversarial hot shingle: a universal boilerplate token neither " +
+      "blows up candidates nor changes results") {
+    import spark.implicits._
+    // every doc shares one boilerplate 3-gram; true near-dups only
+    // between doc 0 and doc 1000 (same body). A raw h-join would pair
+    // every batch doc with every corpus doc through the hot shingle.
+    val boiler = "terms of service apply here"
+    def body(i: Long) = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+    val corpus = (0L until 200L).map(i => (i, s"$boiler ${body(i)}"))
+      .toDF("doc_id", "text")
+    val batch = ((1000L, s"$boiler ${body(0)}") ::
+      (1001L to 1050L).map(i => (i, s"$boiler ${body(i)}")).toList)
+      .toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(corpus, "text", "doc_id")
+    val out = Dedup.incrementalJaccard(batch, idx, "text", "doc_id",
+      shingleN = 3, threshold = 0.5).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 1000L && out.head.getLong(1) === 0L)
+    // the hot shingle (df = corpus size) must fall out of every corpus
+    // prefix: no index row with maximal df survives the prefix cut
+    val hotH = idx.groupBy("h").agg(max(col("df")).as("d"))
+      .orderBy(col("d").desc).limit(1).collect().head.getLong(0)
+    val hotPrefixRows = idx
+      .filter(col("pos") <= col("n") - ceil(col("n") * 0.5).cast("int"))
+      .filter(col("h") === hotH).count()
+    assert(hotPrefixRows === 0L)
   }
 }
 
