@@ -169,24 +169,28 @@ object Dedup {
     val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("h"))
-    val prefix = sh.join(dfreq, "h")
+    // every token ranked within its doc by the global (df, h) order —
+    // the prefix cut needs it for the contained side, and keeping it on
+    // the index side too feeds the positional bound below
+    val ranked = sh.join(dfreq, "h")
       .select(col("id"), col("h"),
-        row_number().over(w).as("rank1"),
+        (row_number().over(w) - 1).as("pos"),
         count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("id")).as("n"))
-      .filter(col("rank1") <=
-        col("n") - ceil(col("n") * threshold).cast("int") + 1)
-      .select(col("id").as("id_a"), col("h"),
-        (col("rank1") - 1).as("pos"), col("n"))
-    // positional bound on the contained side (exactness-preserving): at
-    // the globally-FIRST common token w the whole intersection sits at
-    // or after pos(w) in A's order, so |A∩B| <= n - pos; containment
-    // >= t needs |A∩B| >= ceil(t*n). A qualifying pair always survives
-    // at its first common token, so dropping the rest trims the
-    // verify volume without losing pairs.
-    val cand = prefix.join(sh.toDF("id_b", "h2"),
+    val prefix = ranked
+      .filter(col("pos") <= col("n") - ceil(col("n") * threshold))
+      .select(col("id").as("id_a"), col("h"), col("n").as("n_a"))
+    // positional bound on the INDEX side (exactness-preserving): at the
+    // globally-FIRST common token w, every intersection member ranks at
+    // or after w in B's order too, so |A∩B| <= n_b - pos_b(w);
+    // containment >= t needs |A∩B| >= ceil(t*n_a). A qualifying pair
+    // always survives at its first common token, so candidates whose
+    // shared token sits too deep in B never reach the verify join.
+    // (A bound from A's own pos would be redundant — pos <= n_a -
+    // ceil(t*n_a) IS the prefix cut.)
+    val cand = prefix.join(ranked.toDF("id_b", "h2", "pos_b", "n_b"),
         col("h") === col("h2") && col("id_a") =!= col("id_b") &&
-        col("n") - col("pos") >= ceil(col("n") * threshold))
+        col("n_b") - col("pos_b") >= ceil(col("n_a") * threshold))
       .select(col("id_a"), col("id_b")).distinct()
     val sets = df.select(col(idCol).as("id"),
       sort_array(F.shingleHashes(col(textCol), shingleN)).as("srt"))
