@@ -586,6 +586,71 @@ object Similarity {
     cents
   }
 
+  /** Integer-quantized Lloyd refinement with EXACTLY reproducible
+    * arithmetic, returning the final per-vector assignment
+    * (id, cell_id, cell_size). Vectors quantize to `floor(x * scale)`
+    * longs; a centroid is kept as its (sum-vector, member-count) pair so
+    * recentering is an integer sum (exact under ANY partial-aggregation
+    * order) and the assignment argmin compares
+    * `(m^2*|x|^2 - 2m*(x.s) + |s|^2) / m^2` where the numerator and
+    * divisor are exact int64 — the double division of two identical
+    * longs is IEEE-deterministic on every engine. [[kmeansCentroids]]
+    * (float means) is ULP-nondeterministic across reduction orders:
+    * fine for search quality, wrong for a differentially-tested /
+    * CI-pinned curation pipeline — this is the reproducible variant
+    * (oracle-checked end-to-end as q94).
+    *
+    * Overflow guard: pick `scale` so that
+    * dims * (maxRowsPerCell * scale * max|x|)^2 < 2^62. The defaults
+    * (scale 1000, 64 dims, |x| <= ~1) hold to ~65k rows per cell; at
+    * larger cells lower `scale`. */
+  def quantizedKmeans(corpus: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int = 1, scale: Int = 1000): DataFrame = {
+    require(k > 0 && iters >= 0 && scale > 0, "k, iters, scale must be positive")
+    def dotq(a: String, b: String) =
+      s"aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+        s"cast(0 as bigint), (acc, v) -> acc + v)"
+    val e = corpus.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
+        .as("vq"))
+    var cents = e.orderBy(col("id")).limit(k)
+      .select(col("id").as("cent_id"), col("vq").as("s"), lit(1L).as("m"))
+      .localCheckpoint()
+    def assignQ(cs: DataFrame): DataFrame =
+      e.join(broadcast(cs))
+        .withColumn("num",
+          col("m") * col("m") * expr(dotq("vq", "vq"))
+            - lit(2L) * col("m") * expr(dotq("vq", "s"))
+            + expr(dotq("s", "s")))
+        .withColumn("dist", col("num").cast("double")
+          / (col("m") * col("m")).cast("double"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("dist"), col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("cent_id"))
+    for (_ <- 1 to iters) {
+      val re = assignQ(cents).join(e, "id")
+        .select(col("cent_id"), posexplode(col("vq")).as(Seq("pos", "x")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(sum(col("x")).as("sv"), count(lit(1)).as("cm"))
+        .groupBy(col("cent_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, sv))), " +
+          "p -> p.sv)").as("s"), max(col("cm")).as("m"))
+      // a cell that lost all members keeps its previous (sum, count)
+      cents = cents.select(col("cent_id"), col("s").as("os"),
+          col("m").as("om"))
+        .join(re.toDF("cent_id", "ns", "nm"), Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("ns"), col("os")).as("s"),
+          coalesce(col("nm"), col("om")).as("m"))
+        .localCheckpoint()
+    }
+    val fin = assignQ(cents)
+    fin.join(fin.groupBy("cent_id").agg(count(lit(1)).as("cell_size")),
+        "cent_id")
+      .select(col("id"), col("cent_id").as("cell_id"), col("cell_size"))
+  }
+
   /** Total within-cluster squared distance — the k-means objective, for
     * measuring refinement quality. */
   def inertia(corpus: DataFrame, cents: DataFrame, vecCol: String,

@@ -1684,9 +1684,56 @@ object PipelineQueries {
       CASE WHEN split_x = split_y THEN 0 ELSE 1 END AS leak
     FROM lab GROUP BY 1, 2 ORDER BY split_x, split_y"""
 
+  /** q94 — reproducible k-means refinement under the differential gate:
+    * one full Lloyd iteration (assign -> integer recenter -> reassign)
+    * over integer-quantized embeddings, 16 smallest-id seeds — the
+    * Similarity.quantizedKmeans path. Float-mean k-means cannot be
+    * differentially tested (partial-agg order shifts centroid ULPs and
+    * can flip boundary assignments); quantized sums are exact under any
+    * reduction order, so BOTH engines must produce the identical
+    * assignment — which puts the refinement LOOP itself (not just the
+    * seed path q47 exercises) under the oracle. All-integer output. */
+  private val q94: QFn = (s, d) =>
+    Similarity.quantizedKmeans(wide(s, d, "embeddings", "vec_id"),
+        "embedding", "vec_id", k = 16, iters = 1, scale = 1000)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"))
+  private def dDotQ(a: String, b: String) =
+    s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(len($a)), i -> ($a)[i+1] * ($b)[i+1])), " +
+      s"(acc, v) -> acc + v) AS BIGINT)"
+  private def dAssignQ(cents: String) = s"""
+    SELECT vec_id, cent_id FROM (
+      SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY CAST(c.m*c.m*${dDotQ("e.vq", "e.vq")}
+            - 2*c.m*${dDotQ("e.vq", "c.s")}
+            + ${dDotQ("c.s", "c.s")} AS DOUBLE)
+          / CAST(c.m*c.m AS DOUBLE), c.cent_id) AS rn
+      FROM e, $cents c) WHERE rn = 1"""
+  private val q94Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    seeds AS (SELECT vec_id AS cent_id, vq AS s, CAST(1 AS BIGINT) AS m
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+    a1 AS (${dAssignQ("seeds")}),
+    re AS (SELECT cent_id, list(sv ORDER BY i) AS s, max(m) AS m FROM (
+        SELECT a1.cent_id, t.i, CAST(sum(e.vq[t.i + 1]) AS BIGINT) AS sv,
+          count(*) AS m
+        FROM a1 JOIN e USING (vec_id), range(64) t(i)
+        GROUP BY 1, 2) GROUP BY cent_id),
+    c1 AS (SELECT seeds.cent_id, coalesce(re.s, seeds.s) AS s,
+        coalesce(re.m, seeds.m) AS m
+      FROM seeds LEFT JOIN re USING (cent_id)),
+    a2 AS (${dAssignQ("c1")}),
+    sizes AS (SELECT cent_id, count(*) AS cell_size FROM a2 GROUP BY 1)
+    SELECT vec_id, a2.cent_id AS cell_id, cell_size
+    FROM a2 JOIN sizes ON a2.cent_id = sizes.cent_id ORDER BY vec_id"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q94_kmeans_refine" -> q94,
     "q93_split_leakage" -> q93,
     "q92_effective_data" -> q92,
     "q91_minhash_calibration" -> q91,
@@ -1734,6 +1781,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q94_kmeans_refine" -> q94Sql,
     "q93_split_leakage" -> q93Sql,
     "q92_effective_data" -> q92Sql,
     "q91_minhash_calibration" -> q91Sql,

@@ -910,6 +910,24 @@ class IvfApiSpec extends SparkSpec {
       "vec_id", k = 3, numCentroids = 16, kmeansIters = 2)
     assert(topk.count() > 0)
   }
+
+  test("quantizedKmeans is reproducible and partitions the corpus") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val a = Similarity.quantizedKmeans(embs, "embedding", "vec_id",
+      k = 16, iters = 2)
+    val b = Similarity.quantizedKmeans(
+      embs.repartition(7), "embedding", "vec_id", k = 16, iters = 2)
+    // integer sums are exact under any partial-agg order: a different
+    // physical partitioning MUST yield the identical assignment
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    assert(a.count() === embs.count())
+    assert(a.agg(countDistinct(col("cell_id"))).head().getLong(0) <= 16L)
+    // cell_size is consistent with the assignment itself
+    val sizes = a.groupBy("cell_id").count()
+      .join(a.select("cell_id", "cell_size").distinct(), "cell_id")
+    assert(sizes.filter(col("count") =!= col("cell_size")).count() === 0)
+  }
 }
 
 class IncrementalDedupSpec extends SparkSpec {
