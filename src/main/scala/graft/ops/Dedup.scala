@@ -291,6 +291,20 @@ object Dedup {
     enrichShingleIndex(docs.select(col(idCol).as("id"),
       explode(F.shingleHashes(col(textCol), shingleN)).as("h")))
 
+  /** Fold an ACCEPTED batch into the standing shingle index (call after
+    * [[incrementalJaccard]] decides what to keep): re-derives df and
+    * per-doc ranks over corpus ∪ batch WITHOUT touching corpus text —
+    * the standing index already carries every (id, h), so the corpus
+    * side of the refresh is a projection of the index, and only the new
+    * batch pays tokenize+shingle+hash. One df aggregate + one per-doc
+    * window over the union, same cost shape as building the index from
+    * an (id, h) list. */
+  def refreshShingleIndex(index: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String, shingleN: Int = 3): DataFrame =
+    enrichShingleIndex(index.select(col("id"), col("h"))
+      .union(newDocs.select(col(idCol).as("id"),
+        explode(F.shingleHashes(col(textCol), shingleN)).as("h"))))
+
   /** (id, h) -> (id, h, df, pos, n): attach corpus df and the per-doc
     * rank under the global (df asc, h asc) order. */
   private def enrichShingleIndex(sh: DataFrame): DataFrame = {
@@ -345,6 +359,20 @@ object Dedup {
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
       F.vecLsh(col(vecCol), b).as("bucket"), lit(b).as("bits"))
+  }
+
+  /** Fold an accepted batch into the standing embedding index: truly
+    * incremental — new rows hash with the WIDTH THE INDEX RECORDS (so
+    * buckets keep aligning) and append; corpus rows are untouched.
+    * Re-derive the width with a fresh [[embeddingIndex]] build when the
+    * corpus outgrows its bucket count (expected occupancy is the `bits`
+    * scaladoc's target). */
+  def refreshEmbeddingIndex(index: DataFrame, newVecs: DataFrame,
+      vecCol: String, idCol: String): DataFrame = {
+    require(index.columns.contains("bits"),
+      "index lacks a bits column — rebuild it with embeddingIndex first")
+    val b = index.select(col("bits")).head().getInt(0)
+    index.unionByName(embeddingIndex(newVecs, vecCol, idCol, b))
   }
 
   /** Consolidate near-dup PAIRS into clusters via iterative min-label

@@ -962,6 +962,36 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaEnriched.exceptAll(viaBare).count() === 0)
   }
 
+  test("refreshShingleIndex equals a from-scratch rebuild without " +
+      "touching corpus text") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val refreshed = Dedup.refreshShingleIndex(
+      Dedup.shingleIndex(corpus, "text", "doc_id"), batch, "text", "doc_id")
+    val rebuilt = Dedup.shingleIndex(docs, "text", "doc_id")
+    assert(refreshed.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(refreshed).count() === 0)
+  }
+
+  test("refreshEmbeddingIndex appends with the index's recorded width") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val corpus = embs.filter(col("vec_id") < 400)
+    val batch = embs.filter(col("vec_id") >= 400)
+    val idx = Dedup.embeddingIndex(corpus, "embedding", "vec_id")
+    val bits = idx.select(col("bits")).head().getInt(0)
+    val refreshed = Dedup.refreshEmbeddingIndex(idx, batch,
+      "embedding", "vec_id")
+    val rebuilt = Dedup.embeddingIndex(embs, "embedding", "vec_id", bits)
+    assert(refreshed.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(refreshed).count() === 0)
+    // a legacy index without the width column is refused, not misjoined
+    val ex = intercept[IllegalArgumentException](
+      Dedup.refreshEmbeddingIndex(idx.drop("bits"), batch,
+        "embedding", "vec_id"))
+    assert(ex.getMessage.contains("bits"))
+  }
+
   test("adversarial hot shingle: a universal boilerplate token neither " +
       "blows up candidates nor changes results") {
     import spark.implicits._
