@@ -1730,9 +1730,61 @@ object PipelineQueries {
     SELECT vec_id, a2.cent_id AS cell_id, cell_size
     FROM a2 JOIN sizes ON a2.cent_id = sizes.cent_id ORDER BY vec_id"""
 
+  /** q95 — incremental EMBEDDING dedup through the driver gate: a NEW
+    * vector batch (vec_id >= 400) tested against the STANDING embedding
+    * index (vec_id < 400) — the vector twin of q64's daily-ingest
+    * shape (Dedup.incrementalEmbeddingDedup + embeddingIndex). The
+    * index records its signature width; the batch hashes with the
+    * recorded width (4 here, pinned to match the oracle's fixed-width
+    * LSH macro), so buckets align by construction. */
+  private val q95: QFn = (s, d) => {
+    val vecs = wide(s, d, "embeddings", "vec_id")
+    val idx = Dedup.embeddingIndex(vecs.filter(col("vec_id") < 400),
+      "embedding", "vec_id", bits = 4)
+    Dedup.incrementalEmbeddingDedup(vecs.filter(col("vec_id") >= 400),
+        idx, "embedding", "vec_id", threshold = 0.35)
+      .orderBy(col("new_id"), col("corpus_id"))
+  }
+  private val q95Sql = s"""
+    WITH v AS (SELECT vec_id, embedding,
+        sqrt(${dDot("embedding", "embedding")}) AS nrm,
+        ${dVecLsh("embedding")} AS bucket FROM embeddings)
+    SELECT b.vec_id AS new_id, c.vec_id AS corpus_id,
+      ${dDot("b.embedding", "c.embedding")} / (b.nrm * c.nrm) AS cos_sim
+    FROM v b JOIN v c ON b.bucket = c.bucket
+      AND b.vec_id >= 400 AND c.vec_id < 400
+    WHERE ${dDot("b.embedding", "c.embedding")} / (b.nrm * c.nrm) >= 0.35
+    ORDER BY new_id, corpus_id"""
+
+  /** q96 — standing shingle-index REFRESH through the driver gate: the
+    * corpus index (doc_id < 400) folds in a new batch (doc_id >= 400)
+    * via Dedup.refreshShingleIndex — corpus text is never re-read; the
+    * oracle independently builds the index over the full corpus with
+    * its own window arithmetic, so the df / per-doc-rank / size columns
+    * every prefix filter stands on are themselves cross-engine checked.
+    * This is the artifact a fleet persists between daily batches. */
+  private val q96: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    Dedup.refreshShingleIndex(
+        Dedup.shingleIndex(docs.filter(col("doc_id") < 400),
+          "text", "doc_id"),
+        docs.filter(col("doc_id") >= 400), "text", "doc_id")
+      .orderBy(col("id"), col("pos"))
+  }
+  private val q96Sql = s"""
+    WITH sh AS (SELECT doc_id AS id, unnest($dShingleHashes) AS h
+      FROM documents),
+    dfq AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+    SELECT id, h, df,
+      row_number() OVER (PARTITION BY id ORDER BY df, h) - 1 AS pos,
+      count(*) OVER (PARTITION BY id) AS n
+    FROM sh JOIN dfq USING (h) ORDER BY id, pos"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q96_index_refresh" -> q96,
+    "q95_incremental_embedding" -> q95,
     "q94_kmeans_refine" -> q94,
     "q93_split_leakage" -> q93,
     "q92_effective_data" -> q92,
@@ -1781,6 +1833,8 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q96_index_refresh" -> q96Sql,
+    "q95_incremental_embedding" -> q95Sql,
     "q94_kmeans_refine" -> q94Sql,
     "q93_split_leakage" -> q93Sql,
     "q92_effective_data" -> q92Sql,
