@@ -867,8 +867,13 @@ object PipelineQueries {
     val docs = wide(s, d, "documents", "doc_id")
     val corpus = docs.filter(col("doc_id") < 400)
     val batch = docs.filter(col("doc_id") >= 400)
-    Dedup.incrementalJaccard(batch,
-        Dedup.shingleIndex(corpus, "text", "doc_id"), "text", "doc_id",
+    // the standing index is MATERIALIZED in production (a parquet table
+    // carried across batches); localCheckpoint reproduces that here —
+    // incrementalJaccard reads it three ways (prefix rows, token order,
+    // verify sets), and an unmaterialized index replays its window
+    // subtree per consumer (measured 16 Window nodes -> 4)
+    val idx = Dedup.shingleIndex(corpus, "text", "doc_id").localCheckpoint()
+    Dedup.incrementalJaccard(batch, idx, "text", "doc_id",
         shingleN = 3, threshold = 0.5)
       .orderBy(col("new_id"), col("corpus_id"))
   }
