@@ -492,6 +492,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         tbl.fold(d)(x => d.filter(col("table_name") === x)))
         .orderBy(col("file_id")))
     }
+    else if (low.startsWith("get tsd diff")) {
+      // HA sync decision (ha.py:19-35): diff this node's ledger against
+      // a peer's exported ledger (a registered table or a parquet path
+      // fetched from the peer's `get tsd list` surface) — renders the
+      // pull/push plan; REST PUT is the transport that then moves files
+      val peerRef = "(?i)\\bpeer\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "get tsd diff where peer = <table|parquet path>"))
+      val peer =
+        if (catalog.tableNames.contains(peerRef)) catalog.table(peerRef)
+        else Tables.loadPath(spark, peerRef)
+      Render.table(graft.ingest.TsdLedger.diff(tsdLedger.df(spark), peer)
+        .orderBy(col("action"), col("file_hash")))
+    }
     else if (low.startsWith("pipeline clean")) pipelineClean(t)
     else if (low == "get dictionary")
       dict.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }.mkString("\n")

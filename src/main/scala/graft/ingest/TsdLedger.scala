@@ -22,6 +22,29 @@ object TsdLedger {
   final case class Entry(fileId: Int, dbms: String, table: String,
       source: String, fileHash: String, instructions: String,
       fileTime: Timestamp, rows: Long, status1: String, status2: String)
+
+  /** HA peer-sync DECISION — the relational half of the reference's
+    * file-sync protocol (dbms/ha.py:19-35: nodes exchange tsd_info and
+    * copy whichever source files the other is missing): given this
+    * node's ledger and a peer's, report per-file actions — `pull` rows
+    * the peer has that we lack, `push` rows we hold that the peer
+    * lacks, keyed by the content hash that makes ingest idempotent.
+    * Moving the bytes is transport (REST PUT exists for that); deciding
+    * WHAT to move is an anti-join per direction, and stays one at fleet
+    * scale (ledgers are per-batch metadata, broadcast-sized). */
+  def diff(local: DataFrame, peer: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols = Seq("table_name", "source", "file_hash", "rows")
+    val l = local.select(cols.map(col): _*)
+    val p = peer.select(cols.map(col): _*)
+    p.join(l.select("file_hash"), Seq("file_hash"), "left_anti")
+      .withColumn("action", lit("pull"))
+      .unionByName(
+        l.join(p.select("file_hash"), Seq("file_hash"), "left_anti")
+          .withColumn("action", lit("push")))
+      .select(col("action"), col("table_name"), col("source"),
+        col("file_hash"), col("rows"))
+  }
 }
 
 final class TsdLedger {

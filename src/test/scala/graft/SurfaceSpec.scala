@@ -852,6 +852,33 @@ class PutIngestSpec extends SparkSpec {
     assert(engine.tsdLedger.maxId("m") === 1)
   }
 
+  test("get tsd diff plans the pull/push set against a peer ledger") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tsd-diff").toString
+    Seq(("d0", 1.0)).toDF("device", "value")
+      .write.mode("overwrite").parquet(s"$dir/m")
+    val cat = new Catalog(spark)
+    cat.registerTable("m", s"$dir/m")
+    val engine = new Engine(spark, cat)
+    engine.ingest("m", """{"device": "d1", "value": 2.0}""") // shared
+    engine.ingest("m", """{"device": "d2", "value": 3.0}""") // local-only
+    // peer ledger: the shared batch plus one batch this node lacks
+    val localLedger = engine.tsdLedger.df(spark)
+    val sharedHash = localLedger.orderBy("file_id")
+      .head().getAs[String]("file_hash")
+    localLedger.filter(col("file_hash") === sharedHash)
+      .unionByName(localLedger.limit(1)
+        .withColumn("file_hash", lit("peerhash123"))
+        .withColumn("source", lit("peer_put")))
+      .write.mode("overwrite").parquet(s"$dir/peer_ledger")
+    val out = engine.execute(s"get tsd diff where peer = $dir/peer_ledger")
+    // pull the peer-only batch, push the local-only one, shared absent
+    assert(out.contains("pull") && out.contains("peerhash123"))
+    assert(out.contains("push"))
+    assert(!out.contains(sharedHash))
+    intercept[IllegalArgumentException](engine.execute("get tsd diff"))
+  }
+
   test("PUT with instructions routes rows through the mapping policy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("put-policy").toString
