@@ -127,4 +127,63 @@ object StreamOps {
           }
         })(Encoders.scalaBoolean, rowEnc)
   }
+
+  /** Streaming NEAR-dup gate, one micro-batch at a time: the
+    * `foreachBatch` body for continuous near-dup-free ingest. Each batch
+    * is (1) tested against the STANDING shingle index at `indexDir`
+    * with the prefix-filtered incremental join (ops.Dedup
+    * .incrementalJaccard — a universal boilerplate shingle cannot blow
+    * up the candidate set), (2) self-deduped (within-batch pairs via
+    * jaccardPairs; the LOWER id of each near-dup pair survives), and
+    * (3) folded into the index (refreshShingleIndex for an existing
+    * index, a fresh build for the first batch). Returns the accepted
+    * rows for the caller to append to the corpus sink.
+    *
+    * The dedup state lives in the PARQUET INDEX, not executor memory —
+    * unlike keyed streaming state, it is bounded only by corpus size,
+    * survives restarts with the checkpoint, and is the same artifact
+    * batch jobs query (q96). Wire it as:
+    * {{{
+    * stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    *   val kept = StreamOps.nearDupIngestBatch(b, idxDir, "text", "doc_id")
+    *   kept.write.mode("append").parquet(corpusDir)
+    * }
+    * }}} */
+  def nearDupIngestBatch(batch: DataFrame, indexDir: String,
+      textCol: String, idCol: String, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.ops.Dedup
+    val spark = batch.sparkSession
+    val hasIndex = {
+      val p = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    // (1) drop batch docs that near-dup the standing corpus
+    val survivors =
+      if (!hasIndex) batch
+      else {
+        val idx = spark.read.parquet(indexDir)
+        batch.join(
+          Dedup.incrementalJaccard(batch, idx, textCol, idCol, shingleN,
+              threshold)
+            .select(col("new_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      }
+    // (2) resolve within-batch near-dups: lower id survives
+    val kept = survivors.join(
+        Dedup.jaccardPairs(survivors, textCol, idCol, shingleN, threshold)
+          .select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      // materialize: consumed twice below (index fold + caller append),
+      // and severing lineage lets the index overwrite its own input
+      .localCheckpoint()
+    // (3) fold the accepted docs into the standing index
+    val newIdx =
+      if (!hasIndex) Dedup.shingleIndex(kept, textCol, idCol, shingleN)
+      else Dedup.refreshShingleIndex(spark.read.parquet(indexDir), kept,
+        textCol, idCol, shingleN)
+    newIdx.localCheckpoint().write.mode("overwrite").parquet(indexDir)
+    kept
+  }
 }

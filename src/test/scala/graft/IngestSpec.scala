@@ -222,6 +222,39 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.head.getAs[Long]("events_count") === 2)
     } finally q.stop()
   }
+
+  test("nearDupIngestBatch gates micro-batches against the standing index") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val idxDir = java.nio.file.Files.createTempDirectory("ndgate")
+      .resolve("idx").toString
+    def body(i: Long) = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+    // batch 1: two distinct docs + a within-batch twin of doc 0
+    val b1 = Seq((0L, body(0)), (1L, body(1)), (2L, body(0)))
+      .toDF("doc_id", "text")
+    val k1 = graft.streaming.StreamOps
+      .nearDupIngestBatch(b1, idxDir, "text", "doc_id")
+    assert(k1.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(0L, 1L)) // lower id of the twin pair survives
+    // batch 2: a cross-batch twin of doc 1 + one genuinely new doc
+    val b2 = Seq((10L, body(1)), (11L, body(7))).toDF("doc_id", "text")
+    val k2 = graft.streaming.StreamOps
+      .nearDupIngestBatch(b2, idxDir, "text", "doc_id")
+    assert(k2.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+    // batch 3: a twin of the doc ADMITTED in batch 2 — the index grew
+    val b3 = Seq((20L, body(7))).toDF("doc_id", "text")
+    val k3 = graft.streaming.StreamOps
+      .nearDupIngestBatch(b3, idxDir, "text", "doc_id")
+    assert(k3.count() === 0)
+    // the on-disk index is exactly the index of every accepted doc
+    val allKept = Seq((0L, body(0)), (1L, body(1)), (11L, body(7)))
+      .toDF("doc_id", "text")
+    val expected = Dedup.shingleIndex(allKept, "text", "doc_id")
+    val onDisk = spark.read.parquet(idxDir)
+      .select("id", "h", "df", "pos", "n")
+    assert(onDisk.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(onDisk).count() === 0)
+  }
 }
 
 class MqttBrokerSpec extends SparkSpec {
