@@ -49,6 +49,13 @@ object CleanPipeline {
     * filter). */
   final case class NeardupKeepBest(qualityCol: String, threshold: Double,
       shingleN: Int) extends Stage
+  /** Drop docs that near-dup a STANDING corpus index (parquet path of a
+    * `Dedup.shingleIndex` table) — clean a new crawl against the corpus
+    * you already own without re-pairing the corpus (q64's shape as a
+    * stage). Read-only over the index; folding accepted docs back in is
+    * the ingest step (`StreamOps.nearDupIngestBatch`). */
+  final case class IncrementalNeardup(indexPath: String, threshold: Double,
+      shingleN: Int) extends Stage
 
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
@@ -79,6 +86,10 @@ object CleanPipeline {
             (st \ "source").extractOpt[String].getOrElse("source"))
           case "neardup_keep_best" => NeardupKeepBest(
             (st \ "quality").extractOpt[String].getOrElse("n_chars"),
+            (st \ "threshold").extractOpt[Double].getOrElse(0.5),
+            (st \ "shingle_n").extractOpt[Int].getOrElse(3))
+          case "incremental_neardup" => IncrementalNeardup(
+            (st \ "index").extract[String],
             (st \ "threshold").extractOpt[Double].getOrElse(0.5),
             (st \ "shingle_n").extractOpt[Int].getOrElse(3))
           case "semdedup" => SemDedup(
@@ -161,6 +172,12 @@ object CleanPipeline {
             .filter(col("is_kept") === 0)
             .select(col("id").as(id))
           cur.join(dropped, Seq(id), "left_anti")
+        case IncrementalNeardup(path, threshold, n) =>
+          val idx = cur.sparkSession.read.parquet(path)
+          val drop = Dedup.incrementalJaccard(cur, idx, txt, id, n,
+              threshold)
+            .select(col("new_id").as(id)).distinct()
+          cur.join(drop, Seq(id), "left_anti")
         case SemDedup(vecCol, cells, threshold) =>
           val keep = Dedup.semdedup(cur, vecCol, id, cells, threshold)
             .filter(col("keep") === 1)

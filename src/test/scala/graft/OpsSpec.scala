@@ -785,6 +785,24 @@ class CleanPipelineSpec extends SparkSpec {
     assert(out.count() < joined.count())
   }
 
+  test("incremental_neardup stage gates against a standing index path") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val idxDir = java.nio.file.Files.createTempDirectory("incstage")
+      .resolve("idx").toString
+    graft.ops.Dedup.shingleIndex(corpus, "text", "doc_id")
+      .write.parquet(idxDir)
+    val out = CleanPipeline.run(
+      s"""{"pipeline": {"stages": [
+        {"op": "incremental_neardup", "index": "$idxDir"}]}}""", batch)
+    val expectedDropped = graft.ops.Dedup.incrementalJaccard(batch,
+        spark.read.parquet(idxDir), "text", "doc_id")
+      .select(col("new_id")).distinct().count()
+    assert(out.count() === batch.count() - expectedDropped)
+    assert(expectedDropped > 0) // the gate actually dropped someone
+  }
+
   test("semdedup stage keeps exactly Dedup.semdedup's keep=1 set") {
     val embs = Tables.load(spark, sfDir, "embeddings")
     val out = CleanPipeline.run("""
