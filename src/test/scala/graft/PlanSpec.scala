@@ -213,4 +213,19 @@ class PipelinePlanSpec extends SparkSpec {
     assert(p.contains("sortedintersectsizeexpr") ||
       p.toLowerCase.contains("sortedintersectsize"))
   }
+
+  test("q64: incremental jaccard keeps the prefix-filter shape against " +
+      "the standing index") {
+    val p = SparkEntry.queries("q64_incremental_jaccard")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the PPJoin positional bound survives into the candidate join
+    assert(p.contains("least"))
+    // verify is the native merge-walk, same as the batch path
+    assert(p.toLowerCase.contains("sortedintersectsize"))
+    // prefix extraction ranks tokens with a window, and the candidate
+    // join consumes FILTERED prefix rows (rank cut present)
+    assert(p.contains("row_number"))
+  }
 }
