@@ -980,6 +980,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(viaEnriched.exceptAll(viaBare).count() === 0)
   }
 
+  test("randomized corpora: incremental equals the batch cross-subset " +
+      "at three thresholds (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // word pool small enough to force overlaps, docs of 1..8 tokens so
+    // prefix lengths hit every boundary case (incl. single-shingle docs)
+    def doc(i: Long) = (i, (0 until (1 + rnd.nextInt(8)))
+      .map(_ => s"w${rnd.nextInt(12)}").mkString(" "))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val all = (0L until 60L).map(doc).toDF("doc_id", "text")
+      val corpus = all.filter(col("doc_id") < 40)
+      val batch = all.filter(col("doc_id") >= 40)
+      val inc = Dedup.incrementalJaccard(batch,
+        Dedup.shingleIndex(corpus, "text", "doc_id"), "text", "doc_id",
+        shingleN = 3, threshold = t)
+      val full = Dedup.jaccardPairs(all, "text", "doc_id", 3, t)
+        .filter(col("id_a") < 40 && col("id_b") >= 40)
+        .select(col("id_b").as("new_id"), col("id_a").as("corpus_id"),
+          col("jaccard"))
+      assert(inc.exceptAll(full).count() === 0, s"extra pairs at t=$t")
+      assert(full.exceptAll(inc).count() === 0, s"missing pairs at t=$t")
+    }
+  }
+
   test("refreshShingleIndex equals a from-scratch rebuild without " +
       "touching corpus text") {
     val docs = Tables.load(spark, sfDir, "documents")
