@@ -1785,9 +1785,35 @@ object PipelineQueries {
       count(*) OVER (PARTITION BY id) AS n
     FROM sh JOIN dfq USING (h) ORDER BY id, pos"""
 
+  /** q97 — exact duplicate-span audit (Lee et al. 2021's substring
+    * signal at 8-token spans): per doc, total rolling spans, spans that
+    * appear VERBATIM in another doc, and the widest span spread.
+    * Grouping is on the span text itself — exact, no hash — with the
+    * hash-first variant noted for 100 TB in the Dedup.duplicateSpans
+    * scaladoc. */
+  private val q97: QFn = (s, d) =>
+    Dedup.duplicateSpans(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", spanTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  private val q97Sql = s"""
+    WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+    sp AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8
+          THEN CAST([] AS VARCHAR[])
+          ELSE list_transform(range(len(tk)-7),
+            i -> array_to_string(tk[i+1:i+8], ' ')) END) AS s
+      FROM toks),
+    dfs AS (SELECT s, count(DISTINCT doc_id) AS span_df FROM sp GROUP BY s)
+    SELECT doc_id, count(*) AS n_spans,
+      CAST(sum(CASE WHEN span_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_spans,
+      max(span_df) AS max_span_df
+    FROM sp JOIN dfs USING (s) GROUP BY doc_id ORDER BY doc_id"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q97_duplicate_spans" -> q97,
     "q96_index_refresh" -> q96,
     "q95_incremental_embedding" -> q95,
     "q94_kmeans_refine" -> q94,
@@ -1838,6 +1864,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q97_duplicate_spans" -> q97Sql,
     "q96_index_refresh" -> q96Sql,
     "q95_incremental_embedding" -> q95Sql,
     "q94_kmeans_refine" -> q94Sql,

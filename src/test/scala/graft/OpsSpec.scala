@@ -459,6 +459,22 @@ class DedupApiSpec extends SparkSpec {
     assert(raw.count() > 0) // boilerplate pushes pairs over threshold
   }
 
+  test("duplicateSpans counts verbatim cross-doc spans exactly") {
+    import spark.implicits._
+    val nine = (1 to 9).map(i => s"t$i").mkString(" ")  // 2 rolling 8-spans
+    val in = Seq(
+      (0L, nine),                                  // shares both with doc 1
+      (1L, nine),                                  // verbatim twin
+      (2L, (1 to 8).map(i => s"u$i").mkString(" ")), // 1 span, unique
+      (3L, "too short")                            // < 8 tokens: no spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(in, "text", "doc_id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 2L, 2L, 2L), (1L, 2L, 2L, 2L),
+      (2L, 1L, 0L, 1L)))
+  }
+
   test("embeddingNearDups verified by exact cosine") {
     val out = Dedup.embeddingNearDups(embs, "embedding", "vec_id")
     assert(out.filter(col("cos_sim") < 0.35).count() === 0)
