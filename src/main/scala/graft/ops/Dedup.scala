@@ -535,11 +535,23 @@ object Dedup {
     * corpus-wide hot span is bounded by the distinct-doc count inside
     * countDistinct) + one join back (AQE skew-join handles the hot-span
     * fan-out). Span strings shuffle ~spanTokens x corpus bytes — linear
-    * but heavy; at 100 TB run the same plan over `xxhash64(span)` first
-    * and verify the tiny df>=2 remainder on strings. Docs shorter than
+    * but heavy; `hashFirst = true` (see [[duplicateSpansHashFirst]]) is
+    * the 100 TB form: the position pass shuffles one long per span and
+    * only spans whose HASH repeats are re-materialized as strings for
+    * exact verification — output is identical by construction (a true
+    * duplicate span always has a repeated hash, so it always reaches
+    * the exact re-check; a hash collision is corrected there). NB the
+    * measured crossover: at sf0.1 the exact-string path is FASTER
+    * (6.6 s vs 15 s — see [[duplicateSpansHashFirst]]); hashFirst wins
+    * only when span-string shuffle volume binds. Docs shorter than
     * `spanTokens` contribute no spans. */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
-      spanTokens: Int = 8): DataFrame = {
+      spanTokens: Int = 8, hashFirst: Boolean = false): DataFrame =
+    if (hashFirst) duplicateSpansHashFirst(df, textCol, idCol, spanTokens)
+    else duplicateSpansExactStrings(df, textCol, idCol, spanTokens)
+
+  private def duplicateSpansExactStrings(df: DataFrame, textCol: String,
+      idCol: String, spanTokens: Int): DataFrame = {
     val toks = s"filter(split($textCol, ' '), t -> t != '')"
     val sp = df.select(col(idCol).as("id"),
       explode(expr(
@@ -560,6 +572,56 @@ object Dedup {
         sum(when(col("span_df") >= 2, col("c")).otherwise(0L))
           .as("n_dup_spans"),
         max(col("span_df")).as("max_span_df"))
+  }
+
+  /** The shuffle-optimal form of [[duplicateSpans]]: pass 1 shuffles
+    * (id, hash) per span position (one long, no string build); pass 2
+    * re-materializes span STRINGS only for positions whose hash occurs
+    * in >= 2 docs — in an organic corpus a sliver of the input — and
+    * regroups them exactly, correcting any hash collision.
+    *
+    * MEASURED CROSSOVER CAVEAT: at local scale this LOSES (15 s vs
+    * 6.6 s at sf0.1) — it pays two interpreted-lambda explodes and a
+    * per-position xxhash64, while the exact path's strings are small
+    * enough that their single shuffle is cheap (PERF lesson 3: the
+    * interpreted HOF constant dominates until shuffle bytes do). Choose
+    * it when span-string shuffle volume is the binding constraint
+    * (wide spans, long docs, network-bound clusters), not by default. */
+  private def duplicateSpansHashFirst(df: DataFrame, textCol: String,
+      idCol: String, spanTokens: Int): DataFrame = {
+    val toks = s"filter(split($textCol, ' '), t -> t != '')"
+    def spansOf(inner: String) =
+      s"CASE WHEN size($toks) < $spanTokens THEN array() ELSE " +
+        s"transform(sequence(0, size($toks) - $spanTokens), i -> $inner) END"
+    // pass 1: slim (id, hh) position rows
+    val sp1 = df.select(col(idCol).as("id"),
+      explode(expr(spansOf(
+        s"xxhash64(slice($toks, i + 1, $spanTokens))"))).as("hh"))
+    val spc1 = sp1.groupBy(col("id"), col("hh")).agg(count(lit(1)).as("c"))
+    val dfs1 = spc1.groupBy("hh").agg(count(lit(1)).as("hash_df"))
+    val nSpans = spc1.groupBy(col("id")).agg(sum(col("c")).as("n_spans"))
+    // pass 2: exact string regroup of the hot-hash positions only
+    val hot = dfs1.filter(col("hash_df") >= 2).select(col("hh"))
+    val sp2 = df.select(col(idCol).as("id"),
+      explode(expr(spansOf(
+        s"named_struct('hh', xxhash64(slice($toks, i + 1, $spanTokens)), " +
+          s"'s', array_join(slice($toks, i + 1, $spanTokens), ' '))")))
+        .as("p"))
+      .select(col("id"), col("p.hh").as("hh"), col("p.s").as("s"))
+      // the hot set is tiny by construction (hashes seen in >= 2 docs);
+      // broadcasting it keeps cold-span strings from ever shuffling
+      .join(broadcast(hot), "hh")
+    val spc2 = sp2.groupBy(col("id"), col("s")).agg(count(lit(1)).as("c"))
+    val dfs2 = spc2.groupBy("s").agg(count(lit(1)).as("span_df"))
+    val verified = spc2.join(dfs2, "s").groupBy(col("id"))
+      .agg(sum(when(col("span_df") >= 2, col("c")).otherwise(0L))
+          .as("__dup"),
+        max(col("span_df")).as("__max"))
+    nSpans.join(verified, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("__dup"), lit(0L)).as("n_dup_spans"),
+        greatest(coalesce(col("__max"), lit(1L)), lit(1L))
+          .as("max_span_df"))
   }
 
   /** Embedding near-dup pairs: LSH bucket candidates verified by exact

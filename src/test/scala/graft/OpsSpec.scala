@@ -468,11 +468,23 @@ class DedupApiSpec extends SparkSpec {
       (2L, (1 to 8).map(i => s"u$i").mkString(" ")), // 1 span, unique
       (3L, "too short")                            // < 8 tokens: no spans
     ).toDF("doc_id", "text")
-    val out = Dedup.duplicateSpans(in, "text", "doc_id")
-      .orderBy("id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(out.toSeq === Seq((0L, 2L, 2L, 2L), (1L, 2L, 2L, 2L),
-      (2L, 1L, 0L, 1L)))
+    for (hashFirst <- Seq(false, true)) {
+      val out = Dedup.duplicateSpans(in, "text", "doc_id",
+          hashFirst = hashFirst)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSeq === Seq((0L, 2L, 2L, 2L), (1L, 2L, 2L, 2L),
+        (2L, 1L, 0L, 1L)), s"hashFirst=$hashFirst")
+    }
+  }
+
+  test("hash-first duplicateSpans equals the exact-string path on the " +
+      "corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val a = Dedup.duplicateSpans(docs, "text", "doc_id")
+    val b = Dedup.duplicateSpans(docs, "text", "doc_id", hashFirst = true)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
   }
 
   test("embeddingNearDups verified by exact cosine") {
