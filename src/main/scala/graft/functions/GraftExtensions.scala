@@ -88,6 +88,8 @@ object F {
   def vecLsh(v: Column, bits: Int): Column = c(VecLshExpr(e(v), bits))
   def ngramRepeatStats(text: Column, n: Int): Column =
     c(NgramRepeatStatsExpr(e(text), n))
+  def tokenSpans(text: Column, n: Int): Column =
+    c(TokenSpansExpr(e(text), n))
   def featureHashCounts(text: Column, dims: Int): Column =
     c(FeatureHashCountsExpr(e(text), dims))
   def tokenTf(text: Column): Column = c(TokenTfExpr(e(text)))

@@ -299,6 +299,39 @@ case class VecLshExpr(child: Expression, bits: Int)
   * TextOps.wordShingles; ZERO-token docs yield (0, 0, 0) — the
   * explode formulation produces no rows for them, so downstream
   * queries drop them with a `n_grams > 0` filter to stay aligned. */
+/** token_spans(text, n): every rolling n-token span (single-space
+  * joined), in position order, duplicates kept; empty when the doc has
+  * fewer than n tokens. The compiled form of the transform + slice +
+  * array_join HOF chain the duplicate-span audit explodes (interpreted
+  * lambdas measured ~3x slower on the q97 volume — PERF lesson 3). */
+case class TokenSpansExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    if (t.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](t.length - n + 1)
+      var i = 0
+      while (i <= t.length - n) {
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(t(i + j)); j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString); i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 case class NgramRepeatStatsExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(

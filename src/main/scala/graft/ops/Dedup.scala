@@ -542,7 +542,7 @@ object Dedup {
     * duplicate span always has a repeated hash, so it always reaches
     * the exact re-check; a hash collision is corrected there). NB the
     * measured crossover: at sf0.1 the exact-string path is FASTER
-    * (6.6 s vs 15 s — see [[duplicateSpansHashFirst]]); hashFirst wins
+    * (2.6 s vs 15 s — see [[duplicateSpansHashFirst]]); hashFirst wins
     * only when span-string shuffle volume binds. Docs shorter than
     * `spanTokens` contribute no spans. */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
@@ -552,18 +552,15 @@ object Dedup {
 
   private def duplicateSpansExactStrings(df: DataFrame, textCol: String,
       idCol: String, spanTokens: Int): DataFrame = {
-    val toks = s"filter(split($textCol, ' '), t -> t != '')"
+    // native one-pass span kernel (cross-validated against the HOF
+    // formulation in NativeExprSpec); interpreted transform/slice/
+    // array_join lambdas measured ~3x slower on this volume
     val sp = df.select(col(idCol).as("id"),
-      explode(expr(
-        s"CASE WHEN size($toks) < $spanTokens THEN array() ELSE " +
-          s"transform(sequence(0, size($toks) - $spanTokens), " +
-          s"i -> array_join(slice($toks, i + 1, $spanTokens), ' ')) END"))
-        .as("s"))
+      explode(F.tokenSpans(col(textCol), spanTokens)).as("s"))
     // pre-aggregate per (doc, span): the distinct-doc count becomes a
     // plain row count (no countDistinct expand) and the join back runs
-    // on the DISTINCT (doc, span) rows, not every position (measured
-    // 7.4 -> 6.6 s at sf0.1 — the remaining constant is span-string
-    // materialization itself; see the hash-first note above for 100 TB)
+    // on the DISTINCT (doc, span) rows, not every position (with the
+    // native span kernel: 7.4 -> 2.6 s measured at sf0.1)
     val spc = sp.groupBy(col("id"), col("s"))
       .agg(count(lit(1)).as("c"))
     val dfs = spc.groupBy("s").agg(count(lit(1)).as("span_df"))

@@ -21,6 +21,22 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("token_spans == HOF transform/slice/array_join (positions kept)") {
+    val hof = "CASE WHEN size(filter(split(text, ' '), t -> t != '')) < 8 " +
+      "THEN array() ELSE transform(sequence(0, " +
+      "size(filter(split(text, ' '), t -> t != '')) - 8), " +
+      "i -> array_join(slice(filter(split(text, ' '), t -> t != ''), " +
+      "i + 1, 8), ' ')) END"
+    val both = docs.select(
+      F.tokenSpans(col("text"), 8).as("native"), expr(hof).as("hofc"))
+    assert(both.filter(col("native") =!= col("hofc")).count() === 0)
+    // a doc shorter than the span yields an EMPTY array, not a collapse
+    import spark.implicits._
+    val short = Seq("a b c").toDF("text")
+      .select(F.tokenSpans(col("text"), 8).as("s")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("minhash_sig == HOF minHash") {
     val both = docs.select(
       F.minhashSig(F.shingleHashes(col("text"), 3), 16).as("native"),
