@@ -145,6 +145,26 @@ object GraftProps extends Properties("graft") {
       } yield (prefix(docs(a)) & docs(b)).nonEmpty).forall(identity)
     }
 
+  // ---- native token-span kernel (TokenSpansExpr eval, no session):
+  // span count, width, and content must match the slicing definition
+  property("token_spans: count and per-span reconstruction") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "d", "")),
+        Gen.choose(1, 6)) { (ws, n) =>
+      val text = ws.mkString(" ")
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val out = graft.functions.TokenSpansExpr(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            text, org.apache.spark.sql.types.StringType), n)
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val spans = (0 until out.numElements())
+        .map(i => out.getUTF8String(i).toString)
+      spans.length == math.max(0, toks.length - n + 1) &&
+        spans.zipWithIndex.forall { case (s, i) =>
+          s == toks.slice(i, i + n).mkString(" ")
+        }
+    }
+
   // ---- sequence-packing arithmetic (Packing.sequencePack in pure
   // logic): offsets stay inside the sequence, seq ids never decrease,
   // and an id gap can only follow a doc longer than the gap it skips.
