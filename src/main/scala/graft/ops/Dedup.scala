@@ -335,7 +335,10 @@ object Dedup {
     val b =
       if (bits > 0) bits
       else if (corpusIndex.columns.contains("bits"))
-        corpusIndex.select(col("bits")).head().getInt(0)
+        // an EMPTY index (first batch against a fresh table) has no
+        // width row to read — any width yields the same empty join
+        corpusIndex.select(col("bits")).take(1)
+          .headOption.map(_.getInt(0)).getOrElse(4)
       else 4
     val n = newVecs.select(col(idCol).as("new_id"), col(vecCol).as("nv"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nnrm"),
@@ -371,7 +374,9 @@ object Dedup {
       vecCol: String, idCol: String): DataFrame = {
     require(index.columns.contains("bits"),
       "index lacks a bits column — rebuild it with embeddingIndex first")
-    val b = index.select(col("bits")).head().getInt(0)
+    // an empty index records no width: derive a fresh one from the batch
+    val b = index.select(col("bits")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(0)
     index.unionByName(embeddingIndex(newVecs, vecCol, idCol, b))
   }
 

@@ -1060,6 +1060,12 @@ class IncrementalDedupSpec extends SparkSpec {
       Dedup.refreshEmbeddingIndex(idx.drop("bits"), batch,
         "embedding", "vec_id"))
     assert(ex.getMessage.contains("bits"))
+    // an EMPTY index (first batch) neither throws nor drops anyone
+    val empty = idx.limit(0)
+    assert(Dedup.incrementalEmbeddingDedup(batch, empty,
+      "embedding", "vec_id").count() === 0)
+    assert(Dedup.refreshEmbeddingIndex(empty, batch,
+      "embedding", "vec_id").count() === batch.count())
   }
 
   test("adversarial hot shingle: a universal boilerplate token neither " +
