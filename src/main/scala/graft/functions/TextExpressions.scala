@@ -306,6 +306,9 @@ case class VecLshExpr(child: Expression, bits: Int)
   * lambdas measured ~3x slower on the q97 volume — PERF lesson 3). */
 case class TokenSpansExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
+  // n <= 0 would silently yield t.length - n + 1 degenerate spans per
+  // doc instead of an error — fail at construction (= plan time)
+  require(n >= 1, s"token_spans span width must be >= 1, got $n")
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   // literal inputs fold to a literal at plan time (ConstantFolding)

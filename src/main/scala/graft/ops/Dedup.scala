@@ -549,11 +549,61 @@ object Dedup {
     * measured crossover: at sf0.1 the exact-string path is FASTER
     * (2.6 s vs 15 s — see [[duplicateSpansHashFirst]]); hashFirst wins
     * only when span-string shuffle volume binds. Docs shorter than
-    * `spanTokens` contribute no spans. */
+    * `spanTokens` contribute no spans.
+    *
+    * `variant` defaults to [[SpanAuto]]: one tiny agg job estimates the
+    * exact path's span-string shuffle volume (avg(len(text)) x rows x
+    * spanTokens — every token lands in ~spanTokens span strings) and
+    * flips to hash-first above [[SpanHashFirstThresholdBytes]]. Both
+    * variants return IDENTICAL rows, so the choice never changes a
+    * result hash — pass [[SpanExact]] / [[SpanHashFirst]] to pin the
+    * physical form explicitly (e.g. benchmarking either side). */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
-      spanTokens: Int = 8, hashFirst: Boolean = false): DataFrame =
-    if (hashFirst) duplicateSpansHashFirst(df, textCol, idCol, spanTokens)
+      spanTokens: Int = 8, variant: SpanVariant = SpanAuto): DataFrame = {
+    val v = variant match {
+      case SpanAuto =>
+        val r = df.agg(avg(length(col(textCol))).as("a"),
+          count(lit(1)).as("n")).head()
+        val avgLen = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        selectSpanVariant(avgLen, r.getLong(1), spanTokens)
+      case pinned => pinned
+    }
+    if (v == SpanHashFirst)
+      duplicateSpansHashFirst(df, textCol, idCol, spanTokens)
     else duplicateSpansExactStrings(df, textCol, idCol, spanTokens)
+  }
+
+  /** Physical form of [[duplicateSpans]] — the logical result is the
+    * same for all three. */
+  sealed trait SpanVariant
+  /** Estimate shuffle volume, pick the measured winner. */
+  case object SpanAuto extends SpanVariant
+  /** Group on span strings directly (wins while strings fit the wire). */
+  case object SpanExact extends SpanVariant
+  /** Hash positions first, re-materialize only repeated hashes (the
+    * 100 TB form). */
+  case object SpanHashFirst extends SpanVariant
+
+  /** Exact-path span-string shuffle estimate in bytes: each of the
+    * ~`avgTextBytes x rows` corpus bytes appears in ~`spanTokens`
+    * rolling span strings. */
+  def spanShuffleEstimate(avgTextBytes: Double, rows: Long,
+      spanTokens: Int): Double = avgTextBytes * rows * spanTokens
+
+  /** Crossover above which [[SpanAuto]] picks the hash-first form. The
+    * local measurement (sf0.1: exact 2.6 s vs hashFirst 15 s at ~140 MB
+    * estimated span shuffle — PERF lesson 15) shows the exact path wins
+    * while span strings fit comfortably in one shuffle; 4 GiB is where
+    * the string shuffle starts to bind on a network-bound cluster while
+    * the hash pass still moves 8 bytes/span. */
+  val SpanHashFirstThresholdBytes: Double = 4.0 * (1L << 30).toDouble
+
+  /** Pure selection rule behind [[SpanAuto]] (unit-testable). */
+  def selectSpanVariant(avgTextBytes: Double, rows: Long,
+      spanTokens: Int): SpanVariant =
+    if (spanShuffleEstimate(avgTextBytes, rows, spanTokens)
+        >= SpanHashFirstThresholdBytes) SpanHashFirst
+    else SpanExact
 
   private def duplicateSpansExactStrings(df: DataFrame, textCol: String,
       idCol: String, spanTokens: Int): DataFrame = {

@@ -1793,7 +1793,20 @@ object PipelineQueries {
     * scaladoc. */
   private val q97: QFn = (s, d) =>
     Dedup.duplicateSpans(wide(s, d, "documents", "doc_id"),
-        "text", "doc_id", spanTokens = 8)
+        "text", "doc_id", spanTokens = 8, variant = Dedup.SpanExact)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** q98 — the SAME duplicate-span audit through the 100 TB physical
+    * form: positions shuffle as 8-byte hashes and only repeated hashes
+    * re-materialize as strings (Dedup.duplicateSpansHashFirst). The
+    * oracle is IDENTICAL to q97's — the differential gate proves the
+    * two physical plans compute one logical result, which is what lets
+    * SpanAuto flip between them on estimated shuffle volume without
+    * ever changing an answer. */
+  private val q98: QFn = (s, d) =>
+    Dedup.duplicateSpans(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", spanTokens = 8, variant = Dedup.SpanHashFirst)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
   private val q97Sql = s"""
@@ -1813,6 +1826,7 @@ object PipelineQueries {
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q98_duplicate_spans_hashfirst" -> q98,
     "q97_duplicate_spans" -> q97,
     "q96_index_refresh" -> q96,
     "q95_incremental_embedding" -> q95,
@@ -1864,6 +1878,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q98_duplicate_spans_hashfirst" -> q97Sql,
     "q97_duplicate_spans" -> q97Sql,
     "q96_index_refresh" -> q96Sql,
     "q95_incremental_embedding" -> q95Sql,

@@ -468,23 +468,72 @@ class DedupApiSpec extends SparkSpec {
       (2L, (1 to 8).map(i => s"u$i").mkString(" ")), // 1 span, unique
       (3L, "too short")                            // < 8 tokens: no spans
     ).toDF("doc_id", "text")
-    for (hashFirst <- Seq(false, true)) {
+    for (variant <- Seq(Dedup.SpanExact, Dedup.SpanHashFirst)) {
       val out = Dedup.duplicateSpans(in, "text", "doc_id",
-          hashFirst = hashFirst)
+          variant = variant)
         .orderBy("id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       assert(out.toSeq === Seq((0L, 2L, 2L, 2L), (1L, 2L, 2L, 2L),
-        (2L, 1L, 0L, 1L)), s"hashFirst=$hashFirst")
+        (2L, 1L, 0L, 1L)), s"variant=$variant")
     }
   }
 
   test("hash-first duplicateSpans equals the exact-string path on the " +
       "corpus") {
     val docs = Tables.load(spark, sfDir, "documents")
-    val a = Dedup.duplicateSpans(docs, "text", "doc_id")
-    val b = Dedup.duplicateSpans(docs, "text", "doc_id", hashFirst = true)
+    val a = Dedup.duplicateSpans(docs, "text", "doc_id",
+      variant = Dedup.SpanExact)
+    val b = Dedup.duplicateSpans(docs, "text", "doc_id",
+      variant = Dedup.SpanHashFirst)
     assert(a.exceptAll(b).count() === 0)
     assert(b.exceptAll(a).count() === 0)
+  }
+
+  test("hash-first equals exact on a duplicate-seeded corpus (hot span " +
+      "in many docs + near-miss one-token variants)") {
+    import spark.implicits._
+    val hot = (1 to 12).map(i => s"w$i").mkString(" ") // shared verbatim
+    val rows = (0 until 40).map { i =>
+      // every doc carries the hot span plus a near-miss variant that
+      // differs in exactly one token (same length, never a duplicate)
+      // and a unique tail — dup and non-dup spans interleave per doc
+      val miss = (1 to 12).map(j =>
+        if (j == 7) s"m${i}x" else s"w$j").mkString(" ")
+      (i.toLong, s"$hot $miss unique$i tail$i")
+    } :+ (99L, "short doc")
+    val docs = rows.toDF("doc_id", "text")
+    val a = Dedup.duplicateSpans(docs, "text", "doc_id",
+      variant = Dedup.SpanExact)
+    val b = Dedup.duplicateSpans(docs, "text", "doc_id",
+      variant = Dedup.SpanHashFirst)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+    // sanity: the seed actually produces both dup and non-dup spans
+    val any = a.orderBy("id").collect()
+    assert(any.exists(r => r.getLong(2) > 0) &&
+      any.exists(r => r.getLong(1) > r.getLong(2)))
+  }
+
+  test("SpanAuto selection: exact below the shuffle threshold, " +
+      "hash-first above, and the estimate is avgLen*rows*spanTokens") {
+    assert(Dedup.spanShuffleEstimate(300.0, 1000L, 8) === 300.0 * 1000 * 8)
+    // sf0.1-ish volume (~140 MB estimated span shuffle) -> exact
+    assert(Dedup.selectSpanVariant(300.0, 60000L, 8) === Dedup.SpanExact)
+    // 100 TB-ish volume -> hash-first
+    assert(Dedup.selectSpanVariant(300.0, 1L << 32, 8)
+      === Dedup.SpanHashFirst)
+    // exact boundary: >= threshold flips
+    assert(Dedup.selectSpanVariant(Dedup.SpanHashFirstThresholdBytes,
+      1L, 1) === Dedup.SpanHashFirst)
+    assert(Dedup.selectSpanVariant(Dedup.SpanHashFirstThresholdBytes - 1,
+      1L, 1) === Dedup.SpanExact)
+  }
+
+  test("token_spans rejects a non-positive span width at plan time") {
+    intercept[IllegalArgumentException] {
+      graft.functions.F.tokenSpans(org.apache.spark.sql.functions
+        .lit("a b c"), 0)
+    }
   }
 
   test("embeddingNearDups verified by exact cosine") {
