@@ -173,7 +173,11 @@ object CleanPipeline {
             .select(col("id").as(id))
           cur.join(dropped, Seq(id), "left_anti")
         case IncrementalNeardup(path, threshold, n) =>
-          val idx = cur.sparkSession.read.parquet(path)
+          // IndexStore resolves the live committed version (and still
+          // reads the legacy flat-parquet layout)
+          val idx = IndexStore.read(cur.sparkSession, path).getOrElse(
+            throw new IllegalArgumentException(
+              s"incremental_neardup: no index at $path"))
           val drop = Dedup.incrementalJaccard(cur, idx, txt, id, n,
               threshold)
             .select(col("new_id").as(id)).distinct()

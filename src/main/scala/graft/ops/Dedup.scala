@@ -369,7 +369,10 @@ object Dedup {
     * buckets keep aligning) and append; corpus rows are untouched.
     * Re-derive the width with a fresh [[embeddingIndex]] build when the
     * corpus outgrows its bucket count (expected occupancy is the `bits`
-    * scaladoc's target). */
+    * scaladoc's target). PERSISTENCE: commit the result through
+    * [[IndexStore.write]] (immutable version + atomic marker), never
+    * `mode("overwrite")` on the live path — a crash mid-overwrite
+    * destroys the standing index. */
   def refreshEmbeddingIndex(index: DataFrame, newVecs: DataFrame,
       vecCol: String, idCol: String): DataFrame = {
     require(index.columns.contains("bits"),

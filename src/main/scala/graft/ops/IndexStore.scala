@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Crash-atomic persistence for STANDING index tables (the shingle /
+  * embedding indexes a dedup pipeline carries across batches — the most
+  * expensive artifact a 100 TB ingest gate owns: rebuilding one means
+  * re-reading the corpus).
+  *
+  * A plain `write.mode("overwrite").parquet(dir)` deletes the old index
+  * before the new one finishes — a driver/executor failure mid-write
+  * destroys the accumulated state. This store never mutates a committed
+  * version:
+  *
+  *  - layout: `dir/v=N/` immutable version directories; the LIVE version
+  *    is the highest N carrying a `_GRAFT_COMMIT` marker file.
+  *  - [[write]] materializes `dir/v=N+1` completely, then creates the
+  *    marker (a single atomically-visible file create — the commit
+  *    point), then prunes older versions. A crash at ANY point leaves
+  *    the previous committed version untouched and readable; a dirty
+  *    uncommitted `v=` dir is skipped by readers and eventually pruned.
+  *  - the marker is our own file (not Spark's `_SUCCESS`) so commits
+  *    stay correct even where success markers are disabled.
+  *  - legacy layout (parquet files at `dir` root, the historical
+  *    in-place form) is still readable; the first [[write]] upgrades to
+  *    versioned and removes the root files only after its commit.
+  *
+  * Single-writer discipline (a `foreachBatch` body, a nightly refresh
+  * job) is assumed, exactly like any non-transactional table format;
+  * concurrent readers are safe because committed versions are
+  * immutable. Reference behavior: the standing dedup state the
+  * reference keeps in its DBMS layer survives process crashes
+  * (edge_lake/dbms — tables, not files); this store gives the parquet
+  * index the same durability.
+  */
+object IndexStore {
+  private val Marker = "_GRAFT_COMMIT"
+  private val VersionRx = "^v=(\\d+)$".r
+
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** All `v=N` children (committed or dirty). */
+  private def versions(spark: SparkSession, dir: String): Seq[(Long, Boolean)] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isDirectory =>
+        st.getPath.getName match {
+          case VersionRx(n) =>
+            Some((n.toLong, fs.exists(new Path(st.getPath, Marker))))
+          case _ => None
+        }
+      case _ => None
+    }.flatten
+  }
+
+  /** Highest committed version, if any. */
+  def currentVersion(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).collect { case (n, true) => n }.maxOption
+
+  /** True when a committed version OR legacy root-level data exists. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    currentVersion(spark, dir).isDefined || {
+      val (fs, p) = fsOf(spark, dir)
+      fs.exists(p) && fs.listStatus(p)
+        .exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    }
+
+  /** Load the live index: the highest committed `v=N`, else the legacy
+    * root-level parquet files, else None. Dirty (uncommitted) version
+    * dirs are never read. */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] =
+    currentVersion(spark, dir) match {
+      case Some(n) => Some(spark.read.parquet(s"$dir/v=$n"))
+      case None =>
+        val (fs, p) = fsOf(spark, dir)
+        val legacy = fs.exists(p) && fs.listStatus(p)
+          .exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        if (legacy) Some(spark.read.parquet(dir)) else None
+    }
+
+  /** Commit `df` as the next version and return its number. The old
+    * version stays live until the new one's marker lands; pruning after
+    * the commit is best-effort (a crash mid-prune leaves extra
+    * directories, never a broken index). */
+  def write(df: DataFrame, dir: String): Long = {
+    val spark = df.sparkSession
+    val (fs, p) = fsOf(spark, dir)
+    // number above every existing dir, dirty ones included, so a
+    // half-written crash leftover is never re-entered
+    val next = versions(spark, dir).map(_._1).maxOption.getOrElse(0L) + 1L
+    val vDir = s"$dir/v=$next"
+    df.write.mode("overwrite").parquet(vDir)
+    // the commit point: one atomically-visible file create
+    fs.create(new Path(vDir, Marker), false).close()
+    // prune: older versions (committed or dirty) and legacy root files
+    versions(spark, dir).foreach { case (n, _) =>
+      if (n < next) fs.delete(new Path(s"$dir/v=$n"), true)
+    }
+    fs.listStatus(p).foreach { st =>
+      if (st.isFile) fs.delete(st.getPath, false)
+    }
+    next
+  }
+}

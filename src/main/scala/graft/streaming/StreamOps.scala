@@ -148,42 +148,65 @@ object StreamOps {
     *   val kept = StreamOps.nearDupIngestBatch(b, idxDir, "text", "doc_id")
     *   kept.write.mode("append").parquet(corpusDir)
     * }
-    * }}} */
+    * }}}
+    *
+    * CRASH STORY (the index is the most expensive artifact the gate
+    * owns — it must survive any failure):
+    *  - the index is committed through [[graft.ops.IndexStore]]: a new
+    *    immutable version + atomic marker, never an in-place overwrite,
+    *    so a crash mid-write leaves the previous version live.
+    *  - the index commits BEFORE the caller appends `kept` to the
+    *    corpus sink, and the whole batch is REPLAY-IDEMPOTENT, so a
+    *    crash between the two just re-runs the batch: a doc never
+    *    near-dups ITSELF (`corpus_id == new_id` is excluded — on replay
+    *    the batch is already in the index), and the fold-in first drops
+    *    index rows carrying the batch's own ids, so re-folding yields
+    *    the identical index (shingles are a pure function of text).
+    *    Replaying a fully-committed batch therefore returns the same
+    *    `kept` rows and leaves the index byte-identical — foreachBatch
+    *    at-least-once becomes exactly-once as long as `idCol` is stable
+    *    across retries (derive it from content, not an invocation
+    *    counter) and the corpus sink dedupes on batch id as usual. */
   def nearDupIngestBatch(batch: DataFrame, indexDir: String,
       textCol: String, idCol: String, shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    import graft.ops.Dedup
-    val spark = batch.sparkSession
-    val hasIndex = {
-      val p = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).nonEmpty
-    }
-    // (1) drop batch docs that near-dup the standing corpus
-    val survivors =
-      if (!hasIndex) batch
-      else {
-        val idx = spark.read.parquet(indexDir)
+    import graft.ops.{Dedup, IndexStore}
+    val standing = IndexStore.read(batch.sparkSession, indexDir)
+    // (1) drop batch docs that near-dup the standing corpus; a doc
+    // already folded in by a crashed earlier attempt must not reject
+    // its own replay, so self-matches are excluded
+    val survivors = standing match {
+      case None => batch
+      case Some(idx) =>
         batch.join(
           Dedup.incrementalJaccard(batch, idx, textCol, idCol, shingleN,
               threshold)
+            .filter(col("corpus_id") =!= col("new_id"))
             .select(col("new_id").as(idCol)).distinct(),
           Seq(idCol), "left_anti")
-      }
+    }
     // (2) resolve within-batch near-dups: lower id survives
     val kept = survivors.join(
         Dedup.jaccardPairs(survivors, textCol, idCol, shingleN, threshold)
           .select(col("id_b").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
-      // materialize: consumed twice below (index fold + caller append),
-      // and severing lineage lets the index overwrite its own input
+      // materialize: consumed twice below (index fold + caller append)
       .localCheckpoint()
-    // (3) fold the accepted docs into the standing index
-    val newIdx =
-      if (!hasIndex) Dedup.shingleIndex(kept, textCol, idCol, shingleN)
-      else Dedup.refreshShingleIndex(spark.read.parquet(indexDir), kept,
-        textCol, idCol, shingleN)
-    newIdx.localCheckpoint().write.mode("overwrite").parquet(indexDir)
+    // (3) fold the accepted docs into the standing index — idempotent:
+    // rows with the batch's own ids (a replayed fold) are dropped and
+    // re-derived identically from the batch text
+    val newIdx = standing match {
+      case None => Dedup.shingleIndex(kept, textCol, idCol, shingleN)
+      case Some(idx) =>
+        Dedup.refreshShingleIndex(
+          idx.join(kept.select(col(idCol).as("id")), Seq("id"),
+            "left_anti"),
+          kept, textCol, idCol, shingleN)
+    }
+    // no localCheckpoint: the new version's write STREAMS from the old
+    // version's files (distinct dirs — no self-overwrite hazard), so
+    // the index never has to fit in executor storage
+    IndexStore.write(newIdx, indexDir)
     kept
   }
 }

@@ -250,10 +250,94 @@ class StreamOpsSpec extends SparkSpec {
     val allKept = Seq((0L, body(0)), (1L, body(1)), (11L, body(7)))
       .toDF("doc_id", "text")
     val expected = Dedup.shingleIndex(allKept, "text", "doc_id")
-    val onDisk = spark.read.parquet(idxDir)
+    val onDisk = graft.ops.IndexStore.read(spark, idxDir).get
       .select("id", "h", "df", "pos", "n")
     assert(onDisk.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(onDisk).count() === 0)
+  }
+
+  test("nearDupIngestBatch replay is idempotent: a crashed batch re-runs " +
+      "to the same kept set and a byte-identical index") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("ndreplay")
+      .resolve("idx").toString
+    def body(i: Long) = (0 until 12).map(j => s"r${i}_$j").mkString(" ")
+    val b1 = Seq((0L, body(0)), (1L, body(1))).toDF("doc_id", "text")
+    graft.streaming.StreamOps
+      .nearDupIngestBatch(b1, idxDir, "text", "doc_id")
+    // batch 2 commits its index fold, then "crashes" before the caller
+    // appends kept to the corpus sink (we just drop the return value)
+    val b2 = Seq((10L, body(2)), (11L, body(1))).toDF("doc_id", "text")
+    val k2a = graft.streaming.StreamOps
+      .nearDupIngestBatch(b2, idxDir, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val idxAfterCrash = graft.ops.IndexStore.read(spark, idxDir).get
+      .collect().map(_.toString).sorted
+    // foreachBatch replays the SAME batch against the index that
+    // already contains it: self-matches are excluded, so doc 10 is
+    // re-accepted (not rejected by its own ghost entry)
+    val k2b = graft.streaming.StreamOps
+      .nearDupIngestBatch(b2, idxDir, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k2a === Seq(10L) && k2b === k2a)
+    val idxAfterReplay = graft.ops.IndexStore.read(spark, idxDir).get
+      .collect().map(_.toString).sorted
+    assert(idxAfterReplay === idxAfterCrash) // no duplicate index rows
+  }
+}
+
+class IndexStoreSpec extends SparkSpec {
+  import graft.ops.IndexStore
+
+  private def tmp() = java.nio.file.Files
+    .createTempDirectory("idxstore").resolve("idx").toString
+
+  test("write/read roundtrip, versions increment, old versions pruned") {
+    import spark.implicits._
+    val dir = tmp()
+    assert(IndexStore.read(spark, dir).isEmpty && !IndexStore.exists(spark, dir))
+    assert(IndexStore.write(Seq((1L, "a")).toDF("id", "x"), dir) === 1L)
+    assert(IndexStore.write(Seq((2L, "b")).toDF("id", "x"), dir) === 2L)
+    assert(IndexStore.currentVersion(spark, dir) === Some(2L))
+    assert(IndexStore.read(spark, dir).get.collect().map(_.getLong(0))
+      .toSeq === Seq(2L))
+    // v=1 pruned after v=2's commit
+    assert(!new java.io.File(s"${dir.stripPrefix("file:")}/v=1").exists())
+  }
+
+  test("a write that dies mid-flight leaves the previous version live " +
+      "and the next write recovers") {
+    import spark.implicits._
+    val dir = tmp()
+    IndexStore.write(Seq((1L, "good")).toDF("id", "x"), dir)
+    // poisoned frame: evaluation throws inside the parquet write job
+    val poisoned = Seq(1L, 2L).toDF("id")
+      .select(col("id"), udf((i: Long) =>
+        if (i > 1L) throw new RuntimeException("injected crash")
+        else "v").apply(col("id")).as("x"))
+    intercept[Exception] { IndexStore.write(poisoned, dir) }
+    // the committed index is untouched by the dead write
+    assert(IndexStore.currentVersion(spark, dir) === Some(1L))
+    assert(IndexStore.read(spark, dir).get.select("x").head().getString(0)
+      === "good")
+    // and the store recovers: the next commit lands above the dirty dir
+    val v = IndexStore.write(Seq((3L, "after")).toDF("id", "x"), dir)
+    assert(v > 1L && IndexStore.read(spark, dir).get
+      .select("x").head().getString(0) === "after")
+  }
+
+  test("legacy root-level parquet is readable and upgraded on first write") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq((7L, "legacy")).toDF("id", "x").write.parquet(dir)
+    assert(IndexStore.exists(spark, dir))
+    assert(IndexStore.read(spark, dir).get.head().getLong(0) === 7L)
+    IndexStore.write(Seq((8L, "versioned")).toDF("id", "x"), dir)
+    assert(IndexStore.read(spark, dir).get.head().getLong(0) === 8L)
+    // root data files removed after the versioned commit
+    val root = new java.io.File(dir.stripPrefix("file:"))
+    assert(!root.listFiles().exists(f => f.isFile &&
+      f.getName.endsWith(".parquet")))
   }
 }
 
