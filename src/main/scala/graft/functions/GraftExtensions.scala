@@ -86,6 +86,10 @@ object F {
     c(SortedIntersectSizeExpr(e(a), e(b)))
   def dotF(a: Column, b: Column): Column = c(DotProductExpr(e(a), e(b)))
   def vecLsh(v: Column, bits: Int): Column = c(VecLshExpr(e(v), bits))
+  /** Signature of hyperplane TABLE `t` (independent plane family per
+    * table — OR-amplified LSH); table 0 == [[vecLsh]]. */
+  def vecLshT(v: Column, bits: Int, t: Int): Column =
+    c(VecLshExpr(e(v), bits, t))
   def ngramRepeatStats(text: Column, n: Int): Column =
     c(NgramRepeatStatsExpr(e(text), n))
   def tokenSpans(text: Column, n: Int): Column =

@@ -256,8 +256,14 @@ case class DotProductExpr(left: Expression, right: Expression)
 
 /** vec_lsh(v, bits): random-hyperplane LSH bucket (same deterministic
   * integer planes as VectorOps.lshSignature). */
-case class VecLshExpr(child: Expression, bits: Int)
+case class VecLshExpr(child: Expression, bits: Int, table: Int = 0)
     extends UnaryExpression with CodegenFallback {
+  // OR-amplification support: `table` selects an INDEPENDENT hyperplane
+  // family — bit j of table t uses global plane index t*bits + j, so
+  // table 0 is exactly the historical single-table signature and tables
+  // never share a plane (Charikar STOC'02 sign-random-projection;
+  // amplified 1-(1-p^bits)^L recall like MinHash banding)
+  require(table >= 0, s"vec_lsh table must be >= 0, got $table")
   override def dataType: DataType = LongType
   // literal inputs fold to a literal at plan time (ConstantFolding)
   override def foldable: Boolean = child.foldable
@@ -268,12 +274,13 @@ case class VecLshExpr(child: Expression, bits: Int)
     while (j < bits) {
       var d = 0.0
       var i = 0
+      val plane = table.toLong * bits + j
       while (i < v.length) {
         // NB: ((x * planeInt) / 1000.0) — the exact op order of the SQL
         // formulation (x * plane / 1000.0 parses left-assoc); a
         // mathematically-equal x * (planeInt/1000.0) can differ in ULPs
         // and flip a bucket sign
-        val planeInt = ((i + j.toLong * 64L) * 2654435761L % TextExpressions.P
+        val planeInt = ((i + plane * 64L) * 2654435761L % TextExpressions.P
           % 2001L - 1000L).toDouble
         d = d + v(i).toDouble * planeInt / 1000.0
         i += 1

@@ -41,6 +41,51 @@ object Dedup {
   def deriveCells(n: Long, targetRows: Long = 1024L): Int =
     math.min(16384L, math.max(16L, (n + targetRows - 1) / targetRows)).toInt
 
+  /** Number of INDEPENDENT hyperplane tables (OR-amplification) needed
+    * so a pair at cosine `atCosine` shares >= 1 bucket with probability
+    * >= `targetRecall`. Per Charikar STOC'02, one hyperplane agrees on
+    * such a pair with p = 1 - acos(c)/pi, a whole `bits`-bit signature
+    * with p^bits, and ANY of L signatures with 1 - (1 - p^bits)^L —
+    * so L = ceil(ln(1-R) / ln(1-p^bits)), exactly how
+    * [[minhashCandidates]] bands MinHash. Without this, single-table
+    * recall DECAYS as [[deriveBits]] grows with the corpus: at the
+    * 20-bit cap a cosine-0.9 pair shares the one bucket only ~4% of
+    * the time (~0.86^20); at the derived L = 50 tables it is found
+    * with >= 90% probability at ANY corpus size — candidate cost stays
+    * bounded because each table keeps ~`targetRows` expected occupancy.
+    * `maxTables` caps runaway asks (recall targets near 1 at low
+    * cosine); hitting the cap means the realized recall is below
+    * target — raise bits' targetRows instead. */
+  def deriveTables(bits: Int, targetRecall: Double = 0.9,
+      atCosine: Double = 0.9, maxTables: Int = 64): Int = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    require(atCosine > -1 && atCosine < 1,
+      s"atCosine must be in (-1,1), got $atCosine")
+    val p = 1.0 - math.acos(atCosine) / math.Pi
+    val hit = math.pow(p, bits)
+    if (hit >= 1.0 - 1e-12) 1
+    else math.min(maxTables, math.max(1,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - hit)).toInt))
+  }
+
+  /** L independent `bits`-wide signatures of a vector column as one
+    * array (element t = table t's bucket). */
+  private[ops] def lshSigs(v: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map(t => F.vecLshT(v, bits, t)): _*)
+
+  /** Resolve the (bits, tables) pair for a vector corpus: both pinned ->
+    * as given; bits pinned alone -> single table (the historical
+    * behavior every oracled query relies on); neither -> both derived
+    * from one corpus count (occupancy-bounded bits, recall-calibrated
+    * tables). */
+  private def lshParams(df: DataFrame, bits: Int, tables: Int): (Int, Int) =
+    if (bits > 0) (bits, math.max(1, tables))
+    else {
+      val b = deriveBits(df.count())
+      (b, if (tables > 0) tables else deriveTables(b))
+    }
+
   /** Exact dedup: one representative (min of `idCol`) per distinct value
     * of `keyExpr` (e.g. `md5(col("text"))`). */
   def exact(df: DataFrame, keyExpr: Column, idCol: String): DataFrame =
@@ -328,40 +373,81 @@ object Dedup {
   def incrementalEmbeddingDedup(newVecs: DataFrame, corpusIndex: DataFrame,
       vecCol: String, idCol: String, bits: Int = 0,
       threshold: Double = 0.35): DataFrame = {
-    // the batch MUST hash with the same signature width the index was
-    // built with, or buckets silently stop aligning: default reads the
-    // width the index carries; a legacy index without it means bits=4
-    // (the historical default)
-    val b =
-      if (bits > 0) bits
-      else if (corpusIndex.columns.contains("bits"))
-        // an EMPTY index (first batch against a fresh table) has no
-        // width row to read — any width yields the same empty join
-        corpusIndex.select(col("bits")).take(1)
-          .headOption.map(_.getInt(0)).getOrElse(4)
-      else 4
+    // the batch MUST hash with the same signature geometry the index
+    // was built with, or buckets silently stop aligning: the index's
+    // recorded (bits, tables) wins; `bits` only sizes a LEGACY index
+    // without metadata, and conflicts fail loudly (a mixed-width index
+    // would silently mis-bucket — see indexLshMeta)
+    val (b, l) = indexLshMeta(corpusIndex, bits)
     val n = newVecs.select(col(idCol).as("new_id"), col(vecCol).as("nv"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nnrm"),
-      F.vecLsh(col(vecCol), b).as("bucket"))
-    n.join(corpusIndex.select(col("id").as("corpus_id"), col("v"),
-        col("nrm"), col("bucket")), "bucket")
+      posexplode(lshSigs(col(vecCol), b, l)).as(Seq("t", "sig")))
+    val idx =
+      if (corpusIndex.columns.contains("sigs"))
+        corpusIndex.select(col("id").as("corpus_id"), col("v"),
+          col("nrm"), posexplode(col("sigs")).as(Seq("t", "sig")))
+      else // legacy single-bucket layout
+        corpusIndex.select(col("id").as("corpus_id"), col("v"),
+          col("nrm"), lit(0).as("t"), col("bucket").as("sig"))
+    val joined = n.join(idx, Seq("t", "sig"))
       .select(col("new_id"), col("corpus_id"),
         (F.dotF(col("nv"), col("v")) / (col("nnrm") * col("nrm")))
           .as("cos_sim"))
+    // a pair can collide in several tables — exactly once in the output
+    (if (l == 1) joined else joined.distinct())
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Read (bits, tables) off a standing embedding index, failing loudly
+    * on a MIXED-geometry index (e.g. a union of indexes built at
+    * different corpus sizes) — trusting an arbitrary row would silently
+    * mis-bucket every differing row and drop true near-dups. An empty
+    * index has no geometry to read: any width yields the same empty
+    * join, so the caller's `bits` (or the historical 4) is used. */
+  private def indexLshMeta(index: DataFrame, bits: Int): (Int, Int) = {
+    val hasTables = index.columns.contains("tables")
+    if (index.columns.contains("bits")) {
+      val metaCols =
+        if (hasTables) index.select(col("bits"), col("tables"))
+        else index.select(col("bits"), lit(1).as("tables"))
+      val distinctMeta = metaCols.distinct().take(2)
+      require(distinctMeta.length <= 1,
+        "mixed-geometry embedding index: " + distinctMeta.map(r =>
+          s"(bits=${r.getInt(0)}, tables=${r.getInt(1)})").mkString(", ") +
+          " — rebuild the union with one embeddingIndex call")
+      distinctMeta.headOption
+        .map { r =>
+          require(bits == 0 || bits == r.getInt(0),
+            s"bits=$bits conflicts with the index's recorded " +
+              s"bits=${r.getInt(0)} — the index geometry wins; drop the " +
+              "parameter or rebuild the index")
+          (r.getInt(0), r.getInt(1))
+        }
+        .getOrElse((if (bits > 0) bits else 4, 1))
+    } else {
+      require(bits == 0 || !index.columns.contains("sigs"),
+        "bits parameter conflicts with a sigs index lacking a bits column")
+      (if (bits > 0) bits else 4, 1)
+    }
+  }
+
   /** Build/refresh the embedding index a corpus carries across batches
-    * (persist this as a parquet table; ~40 bytes + vector per row).
+    * (persist this as a parquet table through [[IndexStore]]; one row
+    * per vector — ~40 bytes + vector + 8L signature bytes).
     * `bits <= 0` derives the signature width from the corpus size
-    * ([[deriveBits]]); the width used is recorded in the `bits` column
-    * so [[incrementalEmbeddingDedup]] hashes new batches identically. */
+    * ([[deriveBits]]) AND the table count from the recall target
+    * ([[deriveTables]] — OR-amplification; pinned bits stay
+    * single-table unless `tables` is passed). The geometry used is
+    * recorded in the `bits`/`tables` columns so
+    * [[incrementalEmbeddingDedup]] hashes new batches identically;
+    * `sigs(t)` is table t's bucket. */
   def embeddingIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      bits: Int = 0): DataFrame = {
-    val b = if (bits > 0) bits else deriveBits(corpus.count())
+      bits: Int = 0, tables: Int = 0): DataFrame = {
+    val (b, l) = lshParams(corpus, bits, tables)
     corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
-      F.vecLsh(col(vecCol), b).as("bucket"), lit(b).as("bits"))
+      lshSigs(col(vecCol), b, l).as("sigs"),
+      lit(b).as("bits"), lit(l).as("tables"))
   }
 
   /** Fold an accepted batch into the standing embedding index: truly
@@ -377,10 +463,19 @@ object Dedup {
       vecCol: String, idCol: String): DataFrame = {
     require(index.columns.contains("bits"),
       "index lacks a bits column — rebuild it with embeddingIndex first")
-    // an empty index records no width: derive a fresh one from the batch
-    val b = index.select(col("bits")).take(1)
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    index.unionByName(embeddingIndex(newVecs, vecCol, idCol, b))
+    // recorded geometry wins (mixed-geometry fails loudly); an empty
+    // index records none — derive fresh from the batch
+    val (b, l) = indexLshMeta(index, 0) match {
+      case (4, 1) if index.isEmpty => (0, 0) // fresh derive
+      case meta => meta
+    }
+    val upgraded =
+      if (index.columns.contains("sigs")) index
+      else index.select(col("id"), col("v"), col("nrm"),
+        array(col("bucket")).as("sigs"), col("bits"),
+        lit(1).as("tables"))
+    upgraded.unionByName(
+      embeddingIndex(newVecs, vecCol, idCol, b, l))
   }
 
   /** Consolidate near-dup PAIRS into clusters via iterative min-label
@@ -683,19 +778,49 @@ object Dedup {
     * cosine >= `threshold`. `bits <= 0` (the default) derives the
     * signature width from the corpus size ([[deriveBits]]; costs one
     * count job) — pass it explicitly to pin bucket boundaries across
-    * runs or match a standing index. */
+    * runs or match a standing index.
+    *
+    * OR-amplification: with derived bits, `tables` also derives
+    * ([[deriveTables]]) and candidates come from ANY of the L
+    * independent tables — single-table recall would otherwise decay as
+    * the corpus (hence bits) grows. Pinned `bits` with default `tables`
+    * stays single-table (the historical, oracle-pinned behavior).
+    * Multi-table plan shape: the self-join runs on SLIM (id, table,
+    * sig) rows, pairs are deduped BEFORE vectors are fetched, and the
+    * two vector join-backs are hash joins on id — so the L-fold row
+    * multiplication never shuffles a vector, only 20-byte sig rows. */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
-      bits: Int = 0, threshold: Double = 0.35): DataFrame = {
-    val b = if (bits > 0) bits else deriveBits(df.count())
+      bits: Int = 0, threshold: Double = 0.35, tables: Int = 0)
+      : DataFrame = {
+    val (b, l) = lshParams(df, bits, tables)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
-      F.vecLsh(col(vecCol), b).as("bucket"))
-    val v2 = v.toDF("id2", "v2", "nrm2", "bucket2")
-    v.join(v2, col("bucket") === col("bucket2") && col("id") < col("id2"))
-      .select(col("id").as("id_a"), col("id2").as("id_b"),
-        (F.dotF(col("v"), col("v2")) / (col("nrm") * col("nrm2")))
-          .as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"))
+    if (l == 1) {
+      // single-table: one shuffle join carrying vectors (cheapest form,
+      // and byte-compatible with every pinned-bits caller)
+      val vb = v.withColumn("bucket", F.vecLsh(col("v"), b))
+      val v2 = vb.toDF("id2", "v2", "nrm2", "bucket2")
+      vb.join(v2, col("bucket") === col("bucket2") && col("id") < col("id2"))
+        .select(col("id").as("id_a"), col("id2").as("id_b"),
+          (F.dotF(col("v"), col("v2")) / (col("nrm") * col("nrm2")))
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    } else {
+      val slim = df.select(col(idCol).as("id"),
+          posexplode(lshSigs(col(vecCol), b, l)).as(Seq("t", "sig")))
+      val cand = slim.join(slim.toDF("id2", "t2", "sig2"),
+          col("t") === col("t2") && col("sig") === col("sig2") &&
+            col("id") < col("id2"))
+        .select(col("id").as("id_a"), col("id2").as("id_b"))
+        .distinct()
+      cand
+        .join(v.toDF("id_a", "va", "nrm_a"), "id_a")
+        .join(v.toDF("id_b", "vb", "nrm_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (F.dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+            .as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    }
   }
 }
 
@@ -944,45 +1069,57 @@ object Similarity {
     * shape as `lshTopK` (bucket key bounds the join; probes broadcast),
     * with the similarity ceiling applied before the rank. */
   def hardNegatives(corpus: DataFrame, probes: DataFrame, vecCol: String,
-      idCol: String, k: Int, maxSim: Double, bits: Int = 0): DataFrame = {
-    val b = if (bits > 0) bits else Dedup.deriveBits(corpus.count())
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
-      F.vecLsh(col(vecCol), b).as("bucket"))
-    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
-      sqrt(F.dotF(col(vecCol), col(vecCol))).as("q_nrm"),
-      F.vecLsh(col(vecCol), b).as("q_bucket"))
-    broadcast(p).join(c,
-        col("q_bucket") === col("bucket") && col("q_id") =!= col("id"))
-      .select(col("q_id"), col("id"),
-        (F.dotF(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
-          .as("cos_sim"))
+      idCol: String, k: Int, maxSim: Double, bits: Int = 0,
+      tables: Int = 0): DataFrame =
+    lshCandidates(corpus, probes, vecCol, idCol, bits, tables)
       .filter(col("cos_sim") < maxSim)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("id"))))
       .filter(col("rank") <= k)
-  }
 
   /** Approximate top-k via shared hyperplane-LSH bucket. `bits <= 0`
-    * derives the signature width from the corpus size (one count job). */
+    * derives the signature width from the corpus size AND the table
+    * count from the recall target (OR-amplification — candidates come
+    * from ANY of the L independent tables; pinned bits stay
+    * single-table unless `tables` is passed). One count job when
+    * deriving. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, vecCol: String,
-      idCol: String, k: Int, bits: Int = 0): DataFrame = {
-    val b = if (bits > 0) bits else Dedup.deriveBits(corpus.count())
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
-      F.vecLsh(col(vecCol), b).as("bucket"))
-    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
-      sqrt(F.dotF(col(vecCol), col(vecCol))).as("q_nrm"),
-      F.vecLsh(col(vecCol), b).as("q_bucket"))
-    broadcast(p).join(c,
-        col("q_bucket") === col("bucket") && col("q_id") =!= col("id"))
-      .select(col("q_id"), col("id"),
-        (F.dotF(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
-          .as("cos_sim"))
+      idCol: String, k: Int, bits: Int = 0, tables: Int = 0): DataFrame =
+    lshCandidates(corpus, probes, vecCol, idCol, bits, tables)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("id"))))
       .filter(col("rank") <= k)
+
+  /** Shared candidate kernel of [[lshTopK]] / [[hardNegatives]]:
+    * (q_id, id, cos_sim) for every probe/corpus pair sharing >= 1 LSH
+    * bucket. Probes broadcast, so the table explosion multiplies only
+    * MAP-SIDE rows (no shuffle); with L > 1 a pair seen in several
+    * tables is reduced to one row by a slim (q_id, id) aggregate before
+    * any window. */
+  private def lshCandidates(corpus: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, bits: Int, tables: Int): DataFrame = {
+    val (b, l) =
+      if (bits > 0) (bits, math.max(1, tables))
+      else {
+        val bb = Dedup.deriveBits(corpus.count())
+        (bb, if (tables > 0) tables else Dedup.deriveTables(bb))
+      }
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("nrm"),
+      posexplode(Dedup.lshSigs(col(vecCol), b, l)).as(Seq("t", "sig")))
+    val p = probes.select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+      sqrt(F.dotF(col(vecCol), col(vecCol))).as("q_nrm"),
+      posexplode(Dedup.lshSigs(col(vecCol), b, l)).as(Seq("t", "sig")))
+    val joined = broadcast(p).join(c,
+        p("t") === c("t") && p("sig") === c("sig") &&
+          col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        (F.dotF(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+    if (l == 1) joined
+    else joined.groupBy(col("q_id"), col("id"))
+      .agg(max(col("cos_sim")).as("cos_sim"))
   }
 }

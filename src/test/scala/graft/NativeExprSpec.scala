@@ -72,6 +72,22 @@ class NativeExprSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("vec_lsh table t == HOF with plane offset t*bits, and tables " +
+      "are genuinely distinct plane families") {
+    for (t <- Seq(1, 7)) {
+      val both = embs.select(
+        F.vecLshT(col("embedding"), 4, t).as("native"),
+        VectorOps.lshSignature(col("embedding"), 4, t).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() === 0,
+        s"table $t")
+    }
+    // independence smoke: different tables bucket differently
+    val diff = embs.select(
+      F.vecLshT(col("embedding"), 4, 0).as("t0"),
+      F.vecLshT(col("embedding"), 4, 1).as("t1"))
+    assert(diff.filter(col("t0") =!= col("t1")).count() > 0)
+  }
+
   test("char_gram_hashes == HOF char-gram spec (as sets)") {
     val hof = "array_distinct(transform(" +
       "sequence(0, greatest(length(head) - 5, 0)), " +

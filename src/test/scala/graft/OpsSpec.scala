@@ -552,11 +552,32 @@ class DedupApiSpec extends SparkSpec {
     assert(Dedup.deriveCells(0L) === 16)
     assert(Dedup.deriveCells(1L << 20) === 1024)
     assert(Dedup.deriveCells(1L << 40) === 16384)   // broadcast cap
-    // the derived width actually bounds realized bucket cardinality
+    // the derived geometry is recorded and bounds realized cardinality
     val idx = Dedup.embeddingIndex(embs, "embedding", "vec_id")
     val bits = idx.select(col("bits")).head().getInt(0)
+    val tables = idx.select(col("tables")).head().getInt(0)
     assert(bits === Dedup.deriveBits(embs.count()))
-    assert(idx.select(col("bucket")).distinct().count() <= (1L << bits))
+    assert(tables === Dedup.deriveTables(bits))
+    assert(idx.filter(size(col("sigs")) =!= tables).count() === 0)
+    assert(idx.select(posexplode(col("sigs"))).distinct().count()
+      <= (tables.toLong << bits))
+  }
+
+  test("deriveTables calibrates OR-amplification to the recall target") {
+    // wider signatures need more tables (p^bits shrinks)
+    val l4 = Dedup.deriveTables(4)
+    val l12 = Dedup.deriveTables(12)
+    val l20 = Dedup.deriveTables(20)
+    assert(l4 < l12 && l12 < l20 && l20 <= 64)
+    // the derived L actually clears the target: 1-(1-p^b)^L >= R
+    for ((b, l) <- Seq((4, l4), (12, l12), (20, l20))) {
+      val p = 1.0 - math.acos(0.9) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(p, b), l)
+      assert(recall >= 0.9, s"bits=$b L=$l -> $recall")
+    }
+    // a single table only clears the target while bits is tiny
+    assert(Dedup.deriveTables(20, targetRecall = 0.9, atCosine = 0.9999)
+      === 1)
   }
 
   test("bruteForceTopK returns k ranked neighbors per probe") {
@@ -677,8 +698,9 @@ class DedupApiSpec extends SparkSpec {
   test("hardNegatives stay in-bucket, below the ceiling, ranked") {
     import graft.functions.F
     val probes = embs.filter(col("vec_id") < 5)
+    // bits pinned -> single table, so the one-bucket assertion below holds
     val out = Similarity.hardNegatives(embs, probes, "embedding", "vec_id",
-      k = 3, maxSim = 0.3)
+      k = 3, maxSim = 0.3, bits = 4)
     assert(out.filter(col("cos_sim") >= 0.3).count() === 0)
     assert(out.filter(col("rank") > 3).count() === 0)
     assert(out.filter(col("q_id") === col("id")).count() === 0)
@@ -1099,9 +1121,11 @@ class IncrementalDedupSpec extends SparkSpec {
     val batch = embs.filter(col("vec_id") >= 400)
     val idx = Dedup.embeddingIndex(corpus, "embedding", "vec_id")
     val bits = idx.select(col("bits")).head().getInt(0)
+    val tables = idx.select(col("tables")).head().getInt(0)
     val refreshed = Dedup.refreshEmbeddingIndex(idx, batch,
       "embedding", "vec_id")
-    val rebuilt = Dedup.embeddingIndex(embs, "embedding", "vec_id", bits)
+    val rebuilt = Dedup.embeddingIndex(embs, "embedding", "vec_id", bits,
+      tables)
     assert(refreshed.exceptAll(rebuilt).count() === 0)
     assert(rebuilt.exceptAll(refreshed).count() === 0)
     // a legacy index without the width column is refused, not misjoined
@@ -1163,5 +1187,128 @@ class PipelineStagesSpec extends SparkSpec {
     // representatives survive: min doc_id still present
     assert(out.agg(org.apache.spark.sql.functions.min("doc_id"))
       .head().getLong(0) === 0L)
+  }
+}
+
+/** Measured-recall gate for the OR-amplified hyperplane LSH: on a
+  * seeded corpus with KNOWN near-dup pairs, the derived (bits, tables)
+  * geometry must find >= 90% of the cosine >= 0.9 ground truth, while a
+  * single table at the same width demonstrably decays — the quality
+  * half of the cost/quality trade the corpus-derived parameters make. */
+class LshRecallSpec extends SparkSpec {
+  import graft.ops.{Dedup, Similarity}
+
+  private val dim = 64
+  private val bits = 12 // the wide-signature regime where decay bites
+
+  // 200 gaussian bases, each with a perturbed twin at cosine ~0.93-0.98
+  private lazy val vectors: Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(42)
+    def gauss() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 200).map(i => (i.toLong, gauss()))
+    val twins = bases.map { case (i, v) =>
+      val eps = 0.2 + 0.1 * (i % 3) // 0.2 / 0.3 / 0.4
+      val n = gauss()
+      (1000L + i, v.zip(n).map { case (x, y) => x + eps.toFloat * y })
+    }
+    bases ++ twins
+  }
+
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < dim) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  // ground truth: every unordered pair at cosine >= 0.9
+  private lazy val truth: Set[(Long, Long)] = (for {
+    i <- vectors.indices.iterator
+    j <- (i + 1) until vectors.size
+    if cosLocal(vectors(i)._2, vectors(j)._2) >= 0.9
+  } yield (math.min(vectors(i)._1, vectors(j)._1),
+    math.max(vectors(i)._1, vectors(j)._1))).toSet
+
+  private def found(tables: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    val df = vectors.toDF("vec_id", "embedding")
+    Dedup.embeddingNearDups(df, "embedding", "vec_id", bits = bits,
+        threshold = 0.9, tables = tables)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("derived tables clear the 0.9 recall target where one table " +
+      "decays (the deriveBits cost fix no longer trades away recall)") {
+    assert(truth.size >= 150, s"seed produced only ${truth.size} pairs")
+    val l = Dedup.deriveTables(bits)
+    val multi = found(l)
+    val single = found(1)
+    // precision stays exact on both paths (cosine-verified candidates)
+    assert(multi.forall(truth), "multi returned a non-truth pair")
+    val recallMulti = multi.size.toDouble / truth.size
+    val recallSingle = single.size.toDouble / truth.size
+    assert(recallMulti >= 0.9,
+      s"multi-table recall $recallMulti < 0.9 (L=$l, bits=$bits)")
+    assert(recallSingle < recallMulti,
+      s"single $recallSingle !< multi $recallMulti")
+  }
+
+  test("incremental dedup through a multi-table index matches the " +
+      "batch pair set on the same geometry") {
+    import spark.implicits._
+    val df = vectors.toDF("vec_id", "embedding")
+    val corpus = df.filter(col("vec_id") < 1000)
+    val batch = df.filter(col("vec_id") >= 1000)
+    val l = Dedup.deriveTables(bits)
+    val idx = Dedup.embeddingIndex(corpus, "embedding", "vec_id",
+      bits = bits, tables = l)
+    val inc = Dedup.incrementalEmbeddingDedup(batch, idx,
+        "embedding", "vec_id", threshold = 0.9)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    val full = found(l).filter { case (a, b) => a < 1000 && b >= 1000 }
+    assert(inc === full)
+    // and the recorded geometry round-trips through a refresh
+    val refreshed = Dedup.refreshEmbeddingIndex(idx, batch,
+      "embedding", "vec_id")
+    assert(refreshed.select("bits", "tables").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((bits, l)))
+  }
+
+  test("a mixed-geometry index is refused, not silently mis-bucketed") {
+    import spark.implicits._
+    val df = vectors.toDF("vec_id", "embedding")
+    val a = Dedup.embeddingIndex(df.filter(col("vec_id") < 100),
+      "embedding", "vec_id", bits = 4)
+    val b = Dedup.embeddingIndex(df.filter(col("vec_id") >= 1000),
+      "embedding", "vec_id", bits = 8)
+    val mixed = a.unionByName(b)
+    val batch = df.filter(col("vec_id") === 0L)
+    val ex = intercept[IllegalArgumentException](
+      Dedup.incrementalEmbeddingDedup(batch, mixed, "embedding", "vec_id")
+        .count())
+    assert(ex.getMessage.contains("mixed-geometry"))
+    val ex2 = intercept[IllegalArgumentException](
+      Dedup.refreshEmbeddingIndex(mixed, batch, "embedding", "vec_id")
+        .count())
+    assert(ex2.getMessage.contains("mixed-geometry"))
+  }
+
+  test("lshTopK with derived tables recovers neighbors a single table " +
+      "misses") {
+    import spark.implicits._
+    val df = vectors.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") < 40) // 40 bases; twin = +1000
+    val l = Dedup.deriveTables(bits)
+    def hits(tables: Int) =
+      Similarity.lshTopK(df, probes, "embedding", "vec_id", k = 1,
+          bits = bits, tables = tables)
+        .filter(col("id") === col("q_id") + 1000L).count()
+    val multi = hits(l)
+    assert(multi >= 36, s"multi-table found $multi/40 twins") // >= 90%
+    assert(hits(1) < multi)
   }
 }
