@@ -962,3 +962,108 @@ class GrafanaHttpSpec extends SparkSpec {
     } finally fe.stop()
   }
 }
+
+/** HA peer-sync loop end to end (the reference's dbms/ha.py:19-35 flow,
+  * assembled from the two halves that already exist: `get tsd diff`
+  * renders the pull/push DECISION from exchanged ledgers, and REST PUT
+  * is the file TRANSPORT): two engines ingest overlapping payload sets,
+  * exchange ledger exports, execute the plan against each other's
+  * HttpFrontend, and converge — identical file_hash sets, the diff
+  * empty in both directions, and the committed watermark advanced to
+  * the new consensus. No protocol code beyond what ships; the spec IS
+  * the sync driver, as the reference's is a scheduled task. */
+class TsdSyncE2ESpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine, HttpFrontend}
+  import graft.ingest.TsdLedger
+  import org.apache.spark.sql.functions._
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  private def put(port: Int, table: String, body: String): Int = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    client.send(
+      java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://localhost:$port/"))
+        .header("table", table)
+        .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString()).statusCode()
+  }
+
+  test("two nodes execute the tsd-diff plan over REST PUT and converge") {
+    val root = java.nio.file.Files.createTempDirectory("tsdsync")
+    def node(name: String) = {
+      val engine = new Engine(spark, new Catalog(spark))
+      engine.dataDir = Some(root.resolve(name).toString)
+      val fe = new HttpFrontend(engine)
+      (engine, fe, fe.start())
+    }
+    val (engA, feA, portA) = node("a")
+    val (engB, feB, portB) = node("b")
+    try {
+      // each node keeps the ingested source files, hash-addressed — the
+      // reference's archive dir, which ha.py copies between peers
+      val archive = scala.collection.mutable.Map[String, String]()
+      val p1 = """{"device": "d1", "value": 1.0}
+                 |{"device": "d2", "value": 2.0}""".stripMargin
+      val p2 = """{"device": "d3", "value": 3.0}"""
+      val p3 = """{"device": "d4", "value": 4.0}"""
+      val p4 = """{"device": "d5", "value": 5.0}"""
+      Seq(p1, p2, p3, p4).foreach(p => archive(md5(p.trim)) = p)
+      Seq(p1, p2, p3).foreach(p => assert(put(portA, "t", p) === 200))
+      Seq(p1, p4).foreach(p => assert(put(portB, "t", p) === 200))
+
+      // exchange ledgers (the fetched form `get tsd diff` consumes)
+      val exportA = s"$root/ledger_a.parquet"
+      engA.tsdLedger.df(spark).write.mode("overwrite").parquet(exportA)
+
+      // the command surface renders the same plan the loop executes
+      val rendered = engB.execute(s"get tsd diff where peer = $exportA")
+      assert(rendered.contains("pull") && rendered.contains("push"))
+
+      val plan = TsdLedger.diff(engB.tsdLedger.df(spark),
+        spark.read.parquet(exportA)).collect()
+      val pulls = plan.filter(_.getString(0) == "pull")
+      val pushes = plan.filter(_.getString(0) == "push")
+      assert(pulls.map(_.getString(3)).toSet ===
+        Set(md5(p2.trim), md5(p3.trim))) // B lacks p2, p3
+      assert(pushes.map(_.getString(3)).toSet === Set(md5(p4.trim)))
+
+      // execute the plan: pull rows PUT to THIS node, push rows PUT to
+      // the peer — the archived source bytes move verbatim, so the
+      // idempotent content hash converges
+      pulls.foreach(r =>
+        assert(put(portB, r.getString(1), archive(r.getString(3))) === 200))
+      pushes.foreach(r =>
+        assert(put(portA, r.getString(1), archive(r.getString(3))) === 200))
+
+      // convergence: same hash set, empty diff in both directions
+      val hashesA = engA.tsdLedger.list(None).map(_.fileHash).toSet
+      val hashesB = engB.tsdLedger.list(None).map(_.fileHash).toSet
+      assert(hashesA === hashesB && hashesA.size === 4)
+      assert(TsdLedger.diff(engB.tsdLedger.df(spark),
+        engA.tsdLedger.df(spark)).isEmpty)
+      // a re-delivered file is refused by the hash index (idempotent)
+      val before = engB.tsdLedger.list(None).size
+      assert(put(portB, "t", p2) === 200)
+      assert(engB.tsdLedger.list(None).size === before)
+
+      // both hold all 5 rows; the committed watermark advances to the
+      // new consensus (min over peers' max tsd_id — ha.py:225) and
+      // committed=true now sees every replicated row
+      val safe = math.min(engA.tsdLedger.maxId("t"), engB.tsdLedger.maxId("t"))
+      assert(safe === 4) // was min(3, 2) = 2 before the sync
+      for (e <- Seq(engA, engB)) {
+        e.setSafeTsdId("t", safe)
+        assert(e.query("""sql edge "select count(*) as n from t"""")
+          .head().getLong(0) === 5)
+        assert(e.query(
+          """sql edge committed=true "select count(*) as n from t"""")
+          .head().getLong(0) === 5)
+      }
+    } finally { feA.stop(); feB.stop() }
+  }
+}
