@@ -276,12 +276,23 @@ case class VecLshExpr(child: Expression, bits: Int, table: Int = 0)
       var i = 0
       val plane = table.toLong * bits + j
       while (i < v.length) {
+        // plane component: QUADRATIC congruential mix of x = i+plane*64.
+        // A plain multiplicative hash (x*c mod P mod 2001) has LCG
+        // lattice structure — measured: 162 of 19900 plane pairs with
+        // |sign corr| > 0.9, some planes near-identical directions,
+        // which silently caps OR-amplified recall (~0.81 where theory
+        // says >= 0.9 at bits=20, L=50). Squaring mod P breaks the
+        // affine lattice (0 correlated pairs measured; recall 0.977).
+        // Bounds: x < dim + 82k so x*c < 2^53; y < P so y*y < 2^62;
+        // (y*y%P + x)*c < 2^63 — safe in checked-BIGINT engines too.
         // NB: ((x * planeInt) / 1000.0) — the exact op order of the SQL
         // formulation (x * plane / 1000.0 parses left-assoc); a
         // mathematically-equal x * (planeInt/1000.0) can differ in ULPs
         // and flip a bucket sign
-        val planeInt = ((i + plane * 64L) * 2654435761L % TextExpressions.P
-          % 2001L - 1000L).toDouble
+        val x = i + plane * 64L
+        val y = x * 2654435761L % TextExpressions.P
+        val planeInt = ((y * y % TextExpressions.P + x) * 2654435761L
+          % TextExpressions.P % 2001L - 1000L).toDouble
         d = d + v(i).toDouble * planeInt / 1000.0
         i += 1
       }

@@ -130,20 +130,27 @@ object PipelineQueries {
     s"${dDot(a, b)} / (sqrt(${dDot(a, a)}) * sqrt(${dDot(b, b)}))"
 
   /** 4-bit random-hyperplane LSH signature: bit j = 1 iff
-    * dot(v, plane_j) > 0; plane_j[i] = ((i + j*64)*2654435761 mod P
-    * mod 2001 - 1000) / 1000.0 — deterministic integer plane. */
+    * dot(v, plane_j) > 0; plane component = quadratic congruential mix
+    * of x = i + j*64 (y = x*2654435761 mod P;
+    * (y^2 mod P + x)*2654435761 mod P mod 2001 - 1000, over 1000.0) —
+    * every intermediate < 2^63 so checked-BIGINT engines accept it; the
+    * squaring breaks the LCG plane-lattice (see VecLshExpr). */
+  private def planeInt(x: String) = {
+    val y = s"($x * 2654435761 % $P)"
+    s"(($y * $y % $P + $x) * 2654435761 % $P % 2001 - 1000)"
+  }
   private def sVecLsh(v: String) =
     s"aggregate(sequence(0, 3), cast(0 as bigint), (acc, j) -> acc + " +
       s"CASE WHEN aggregate(zip_with($v, sequence(cast(0 as bigint), " +
       s"cast(size($v) as bigint) - 1), (x, i) -> cast(x as double) * " +
-      s"cast((i + cast(j as bigint)*64) * 2654435761 % $P % 2001 - 1000 as double) " +
+      s"cast(${planeInt("(i + cast(j as bigint)*64)")} as double) " +
       s"/ 1000.0), cast(0 as double), (s, p) -> s + p) > 0 " +
       s"THEN shiftleft(cast(1 as bigint), j) ELSE 0 END)"
   private def dVecLsh(v: String) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), range(4)), (acc, j) -> acc + " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(len($v)), i -> CAST(($v)[i+1] AS DOUBLE) * " +
-      s"CAST((i + j*64) * 2654435761 % $P % 2001 - 1000 AS DOUBLE) / 1000.0)), " +
+      s"CAST(${planeInt("(i + j*64)")} AS DOUBLE) / 1000.0)), " +
       s"(s, p) -> s + p) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)"
 
   // =====================================================================

@@ -27,21 +27,27 @@ object VectorOps {
 
   /** b-bit random-hyperplane LSH signature of a float-array column:
     * bit j = 1 iff dot(v, plane_j) > 0, where plane_j's component at
-    * dimension i is the deterministic pseudo-random value
-    * ((i + J*64) * 2654435761 mod P mod 2001 - 1000) / 1000.0 with
-    * J = table*bits + j — pure integer arithmetic then one exact
-    * division, identical in both engines. `table` picks an independent
-    * plane family (OR-amplified LSH); table 0 is the historical
-    * signature. */
+    * dimension i is the QUADRATIC congruential mix of x = i + J*64
+    * (J = table*bits + j): with y = x*2654435761 mod P,
+    * ((y^2 mod P + x) * 2654435761 mod P mod 2001 - 1000) / 1000.0 —
+    * pure integer arithmetic (every intermediate < 2^63, safe in
+    * checked-BIGINT engines) then one exact division, identical in both
+    * engines. The squaring breaks the LCG lattice a plain
+    * multiplicative hash has (measured near-duplicate planes that
+    * capped OR-amplified recall — see VecLshExpr). `table` picks an
+    * independent plane family; table 0 is the default signature. */
   def lshSignature(v: Column, bits: Int, table: Int = 0): Column =
     aggregate(sequence(lit(0), lit(bits - 1)), lit(0L),
       (acc, j) => {
         val d = aggregate(
           zip_with(v, sequence(lit(0L), size(v).cast("long") - 1L),
-            (x, i) => x.cast("double") *
-              ((i + (j.cast("long") + lit(table.toLong * bits)) * 64L)
-                * 2654435761L % TextOps.P % 2001L
-                - 1000L).cast("double") / 1000.0),
+            (xv, i) => {
+              val x = i + (j.cast("long") + lit(table.toLong * bits)) * 64L
+              val y = x * 2654435761L % TextOps.P
+              xv.cast("double") *
+                ((y * y % TextOps.P + x) * 2654435761L % TextOps.P
+                  % 2001L - 1000L).cast("double") / 1000.0
+            }),
           lit(0.0), (a, p) => a + p)
         acc + when(d > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)
       })
