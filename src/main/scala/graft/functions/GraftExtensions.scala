@@ -94,6 +94,9 @@ object F {
     c(NgramRepeatStatsExpr(e(text), n))
   def tokenSpans(text: Column, n: Int): Column =
     c(TokenSpansExpr(e(text), n))
+  def spanHashes(text: Column, n: Int): Column =
+    c(SpanHashesExpr(e(text), n))
+  def charPolyHash(s: Column): Column = c(CharPolyHashExpr(e(s)))
   def featureHashCounts(text: Column, dims: Int): Column =
     c(FeatureHashCountsExpr(e(text), dims))
   def tokenTf(text: Column): Column = c(TokenTfExpr(e(text)))

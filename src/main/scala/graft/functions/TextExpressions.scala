@@ -353,6 +353,74 @@ case class TokenSpansExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** span_hashes(text, n): polynomial char hash of every rolling n-token
+  * span (exactly char_poly_hash of the single-space-joined span string,
+  * space included between tokens) WITHOUT building the strings — the
+  * one-pass kernel of the hash-first duplicate-span audit's position
+  * pass. The hash choice is free there (a true duplicate span always
+  * repeats whatever hash; collisions are corrected by the exact string
+  * regroup), so a cheap rolling polynomial beats per-position
+  * interpreted-lambda slicing + xxhash64. Invariant (property-tested):
+  * span_hashes(text, n)[i] == char_poly_hash(token_spans(text, n)[i]). */
+case class SpanHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"span_hashes span width must be >= 1, got $n")
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    if (t.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      // prefix hashes would need modular division to roll; with n <= a
+      // few dozen tokens a direct per-span fold is already linear in
+      // output size (the same work the string build was doing)
+      val out = new Array[Any](t.length - n + 1)
+      var i = 0
+      while (i <= t.length - n) {
+        var h = 0L
+        var j = 0
+        while (j < n) {
+          if (j > 0) h = (h * 31L + 32L) % TextExpressions.P // ' '
+          val w = t(i + j)
+          var k = 0
+          while (k < w.length) {
+            h = (h * 31L + w.charAt(k).toLong) % TextExpressions.P
+            k += 1
+          }
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** char_poly_hash(s): the fold (h*31 + char) mod P over a string's
+  * chars — the string-side twin of [[SpanHashesExpr]] (hashing the
+  * already-materialized span in the exact-verify pass). */
+case class CharPolyHashExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var k = 0
+    while (k < s.length) {
+      h = (h * 31L + s.charAt(k).toLong) % TextExpressions.P
+      k += 1
+    }
+    h
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 case class NgramRepeatStatsExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(

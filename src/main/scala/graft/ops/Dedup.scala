@@ -725,39 +725,36 @@ object Dedup {
   }
 
   /** The shuffle-optimal form of [[duplicateSpans]]: pass 1 shuffles
-    * (id, hash) per span position (one long, no string build); pass 2
+    * (id, hash) per span position (one long, no string build — the
+    * native span_hashes kernel, a rolling char-polynomial; the hash
+    * CHOICE is free because a true duplicate span repeats any hash and
+    * collisions are corrected by the exact regroup); pass 2
     * re-materializes span STRINGS only for positions whose hash occurs
     * in >= 2 docs — in an organic corpus a sliver of the input — and
-    * regroups them exactly, correcting any hash collision.
+    * regroups them exactly.
     *
-    * MEASURED CROSSOVER CAVEAT: at local scale this LOSES (15 s vs
-    * 6.6 s at sf0.1) — it pays two interpreted-lambda explodes and a
-    * per-position xxhash64, while the exact path's strings are small
-    * enough that their single shuffle is cheap (PERF lesson 3: the
-    * interpreted HOF constant dominates until shuffle bytes do). Choose
-    * it when span-string shuffle volume is the binding constraint
-    * (wide spans, long docs, network-bound clusters), not by default. */
+    * MEASURED: round 5's interpreted-lambda form lost 15 s to 2.6 s
+    * at sf0.1; the native kernels close the gap entirely (2.2 s vs
+    * 2.3 s — the hash pass is no longer paying the HOF constant, PERF
+    * lesson 3). Locally the two forms now tie, so [[SpanAuto]]'s
+    * threshold only matters where it should: span-string shuffle
+    * VOLUME (wide spans, long docs, network-bound clusters), where
+    * pass 1's 8-byte rows win by construction. */
   private def duplicateSpansHashFirst(df: DataFrame, textCol: String,
       idCol: String, spanTokens: Int): DataFrame = {
-    val toks = s"filter(split($textCol, ' '), t -> t != '')"
-    def spansOf(inner: String) =
-      s"CASE WHEN size($toks) < $spanTokens THEN array() ELSE " +
-        s"transform(sequence(0, size($toks) - $spanTokens), i -> $inner) END"
     // pass 1: slim (id, hh) position rows
     val sp1 = df.select(col(idCol).as("id"),
-      explode(expr(spansOf(
-        s"xxhash64(slice($toks, i + 1, $spanTokens))"))).as("hh"))
+      explode(F.spanHashes(col(textCol), spanTokens)).as("hh"))
     val spc1 = sp1.groupBy(col("id"), col("hh")).agg(count(lit(1)).as("c"))
     val dfs1 = spc1.groupBy("hh").agg(count(lit(1)).as("hash_df"))
     val nSpans = spc1.groupBy(col("id")).agg(sum(col("c")).as("n_spans"))
     // pass 2: exact string regroup of the hot-hash positions only
+    // (span_hashes[i] == char_poly_hash(token_spans[i]) by construction,
+    // property-tested in NativeExprSpec)
     val hot = dfs1.filter(col("hash_df") >= 2).select(col("hh"))
     val sp2 = df.select(col(idCol).as("id"),
-      explode(expr(spansOf(
-        s"named_struct('hh', xxhash64(slice($toks, i + 1, $spanTokens)), " +
-          s"'s', array_join(slice($toks, i + 1, $spanTokens), ' '))")))
-        .as("p"))
-      .select(col("id"), col("p.hh").as("hh"), col("p.s").as("s"))
+        explode(F.tokenSpans(col(textCol), spanTokens)).as("s"))
+      .select(col("id"), F.charPolyHash(col("s")).as("hh"), col("s"))
       // the hot set is tiny by construction (hashes seen in >= 2 docs);
       // broadcasting it keeps cold-span strings from ever shuffling
       .join(broadcast(hot), "hh")

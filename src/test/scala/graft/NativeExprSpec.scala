@@ -88,6 +88,20 @@ class NativeExprSpec extends SparkSpec {
     assert(diff.filter(col("t0") =!= col("t1")).count() > 0)
   }
 
+  test("span_hashes[i] == char_poly_hash(token_spans[i]) (the invariant " +
+      "the hash-first span audit's two passes stand on)") {
+    val both = docs.select(
+      F.spanHashes(col("text"), 8).as("native"),
+      transform(F.tokenSpans(col("text"), 8),
+        s => F.charPolyHash(s)).as("via_strings"))
+    assert(both.filter(col("native") =!= col("via_strings")).count() === 0)
+    // and char_poly_hash matches a pure fold on a known value
+    val h = spark.range(1).select(
+      F.charPolyHash(lit("ab c")).as("h")).head().getLong(0)
+    val ref = "ab c".foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+    assert(h === ref)
+  }
+
   test("char_gram_hashes == HOF char-gram spec (as sets)") {
     val hof = "array_distinct(transform(" +
       "sequence(0, greatest(length(head) - 5, 0)), " +
