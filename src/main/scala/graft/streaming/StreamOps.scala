@@ -209,4 +209,61 @@ object StreamOps {
     IndexStore.write(newIdx, indexDir)
     kept
   }
+
+  /** The VECTOR twin of [[nearDupIngestBatch]]: a `foreachBatch` body
+    * gating continuous ingest on EMBEDDING near-duplicates against the
+    * standing embedding index at `indexDir` (ops.Dedup
+    * .incrementalEmbeddingDedup — OR-amplified LSH candidates, exact
+    * cosine verify), then self-deduping the batch (lower id survives)
+    * and folding survivors in (refreshEmbeddingIndex: batch rows hash
+    * with the geometry the index RECORDS, so buckets keep aligning;
+    * first batch derives geometry from `bits`/`tables`, 0 = from batch
+    * size + recall target). Same crash story as the shingle gate: the
+    * index commits through [[graft.ops.IndexStore]] (immutable
+    * versions, atomic marker), self-matches are excluded and the
+    * fold-in drops the batch's own ids first, so replay after a crash
+    * returns the same kept rows and leaves the index byte-identical —
+    * exactly-once for content-stable ids. */
+  def embeddingIngestBatch(batch: DataFrame, indexDir: String,
+      vecCol: String, idCol: String, threshold: Double = 0.35,
+      bits: Int = 0, tables: Int = 0): DataFrame = {
+    import graft.ops.{Dedup, IndexStore}
+    val standing = IndexStore.read(batch.sparkSession, indexDir)
+    val survivors = standing match {
+      case None => batch
+      case Some(idx) =>
+        batch.join(
+          Dedup.incrementalEmbeddingDedup(batch, idx, vecCol, idCol,
+              threshold = threshold)
+            .filter(col("corpus_id") =!= col("new_id"))
+            .select(col("new_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+    }
+    // within-batch near-dups on the INDEX geometry (or the first-batch
+    // derivation), so gate and fold agree on bucket boundaries
+    val (b, l) = standing match {
+      case Some(idx) if idx.columns.contains("bits") =>
+        val m = (if (idx.columns.contains("tables"))
+            idx.select(col("bits"), col("tables"))
+          else idx.select(col("bits"), lit(1).as("tables"))).take(1)
+        m.headOption.map(r => (r.getInt(0), r.getInt(1)))
+          .getOrElse((bits, tables))
+      case _ => (bits, tables)
+    }
+    val kept = survivors.join(
+        Dedup.embeddingNearDups(survivors, vecCol, idCol, b, threshold, l)
+          .select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint() // consumed twice: fold + caller append
+    val newIdx = standing match {
+      case None => Dedup.embeddingIndex(kept, vecCol, idCol, bits, tables)
+      case Some(idx) =>
+        Dedup.refreshEmbeddingIndex(
+          idx.join(kept.select(col(idCol).as("id")), Seq("id"),
+            "left_anti"),
+          kept, vecCol, idCol)
+    }
+    IndexStore.write(newIdx, indexDir)
+    kept
+  }
 }

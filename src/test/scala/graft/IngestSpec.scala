@@ -284,6 +284,48 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(idxAfterReplay === idxAfterCrash) // no duplicate index rows
   }
+
+  test("embeddingIngestBatch: the vector gate dedups across batches, " +
+      "records its geometry, and replays idempotently") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("embgate")
+      .resolve("idx").toString
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def twin(v: Array[Float]) = v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val v0 = vec(); val v1 = vec(); val v7 = vec()
+    // batch 1: two distinct vectors + a within-batch twin of v0
+    val b1 = Seq((0L, v0), (1L, v1), (2L, twin(v0))).toDF("vec_id", "embedding")
+    val k1 = graft.streaming.StreamOps
+      .embeddingIngestBatch(b1, idxDir, "embedding", "vec_id",
+        threshold = 0.9, bits = 8, tables = 4)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(k1 === Seq(0L, 1L))
+    // batch 2: a cross-batch twin of v1 + one genuinely new vector
+    val b2 = Seq((10L, twin(v1)), (11L, v7)).toDF("vec_id", "embedding")
+    val k2 = graft.streaming.StreamOps
+      .embeddingIngestBatch(b2, idxDir, "embedding", "vec_id",
+        threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(k2 === Seq(11L))
+    // the index holds exactly the accepted ids with batch-1's geometry
+    val idx = graft.ops.IndexStore.read(spark, idxDir).get
+    assert(idx.select("id").as[Long].collect().sorted.toSeq
+      === Seq(0L, 1L, 11L))
+    assert(idx.select("bits", "tables").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((8, 4)))
+    // replay of batch 2 (crash between index commit and corpus append):
+    // same kept set, byte-identical index
+    val before = idx.collect().map(_.toString).sorted
+    val k2b = graft.streaming.StreamOps
+      .embeddingIngestBatch(b2, idxDir, "embedding", "vec_id",
+        threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(k2b === k2)
+    val after = graft.ops.IndexStore.read(spark, idxDir).get
+      .collect().map(_.toString).sorted
+    assert(after === before)
+  }
 }
 
 class IndexStoreSpec extends SparkSpec {
