@@ -146,11 +146,14 @@ object PipelineQueries {
       s"cast(${planeInt("(i + cast(j as bigint)*64)")} as double) " +
       s"/ 1000.0), cast(0 as double), (s, p) -> s + p) > 0 " +
       s"THEN shiftleft(cast(1 as bigint), j) ELSE 0 END)"
-  private def dVecLsh(v: String) =
+  private def dVecLsh(v: String) = dVecLshT(v, 0)
+  /** Table `t`'s 4-bit signature (plane index J = t*4 + j — the same
+    * independent-family offset vec_lsh uses for OR-amplification). */
+  private def dVecLshT(v: String, t: Int) =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), range(4)), (acc, j) -> acc + " +
       s"CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(len($v)), i -> CAST(($v)[i+1] AS DOUBLE) * " +
-      s"CAST(${planeInt("(i + j*64)")} AS DOUBLE) / 1000.0)), " +
+      s"CAST(${planeInt(s"(i + (j + ${t * 4})*64)")} AS DOUBLE) / 1000.0)), " +
       s"(s, p) -> s + p) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)"
 
   // =====================================================================
@@ -1816,6 +1819,35 @@ object PipelineQueries {
         "text", "doc_id", spanTokens = 8, variant = Dedup.SpanHashFirst)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
+
+  /** q99 — OR-AMPLIFIED embedding near-dup under the differential
+    * oracle: candidates from EITHER of 2 independent 4-bit hyperplane
+    * tables (pinned geometry so both engines agree on buckets), pairs
+    * deduped before the exact-cosine verify — the multi-table plan
+    * shape Dedup.embeddingNearDups uses whenever geometry is derived
+    * (slim (id, table, sig) self-join; vectors fetched once per
+    * surviving pair). The oracle builds both signature tables with the
+    * same plane-family offset and ORs the bucket matches. */
+  private val q99: QFn = (s, d) =>
+    Dedup.embeddingNearDups(wide(s, d, "embeddings", "vec_id"),
+        "embedding", "vec_id", bits = 4, threshold = 0.35, tables = 2)
+      .withColumnRenamed("id_a", "vec_a")
+      .withColumnRenamed("id_b", "vec_b")
+      .orderBy(col("vec_a"), col("vec_b"))
+  private val q99Sql = s"""
+    WITH v AS (SELECT vec_id, embedding,
+        sqrt(${dDot("embedding", "embedding")}) AS nrm,
+        ${dVecLshT("embedding", 0)} AS b0,
+        ${dVecLshT("embedding", 1)} AS b1
+      FROM embeddings),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+        AND (a.b0 = b.b0 OR a.b1 = b.b1))
+    SELECT p.vec_a, p.vec_b,
+      ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos_sim
+    FROM p JOIN v a ON a.vec_id = p.vec_a JOIN v b ON b.vec_id = p.vec_b
+    WHERE ${dDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35
+    ORDER BY vec_a, vec_b"""
   private val q97Sql = s"""
     WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
     sp AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 8
@@ -1833,6 +1865,7 @@ object PipelineQueries {
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q99_neardup_multitable" -> q99,
     "q98_duplicate_spans_hashfirst" -> q98,
     "q97_duplicate_spans" -> q97,
     "q96_index_refresh" -> q96,
@@ -1885,6 +1918,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q99_neardup_multitable" -> q99Sql,
     "q98_duplicate_spans_hashfirst" -> q97Sql,
     "q97_duplicate_spans" -> q97Sql,
     "q96_index_refresh" -> q96Sql,
