@@ -56,6 +56,13 @@ object CleanPipeline {
     * the ingest step (`StreamOps.nearDupIngestBatch`). */
   final case class IncrementalNeardup(indexPath: String, threshold: Double,
       shingleN: Int) extends Stage
+  /** The VECTOR twin of [[IncrementalNeardup]]: drop docs whose
+    * embedding near-dups a STANDING embedding index (parquet path of a
+    * `Dedup.embeddingIndex` table; the index's recorded (bits, tables)
+    * geometry governs bucketing). Read-only over the index; the ingest
+    * step is `StreamOps.embeddingIngestBatch`. */
+  final case class IncrementalEmbDedup(indexPath: String, vecCol: String,
+      threshold: Double) extends Stage
 
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
@@ -92,6 +99,10 @@ object CleanPipeline {
             (st \ "index").extract[String],
             (st \ "threshold").extractOpt[Double].getOrElse(0.5),
             (st \ "shingle_n").extractOpt[Int].getOrElse(3))
+          case "incremental_embdedup" => IncrementalEmbDedup(
+            (st \ "index").extract[String],
+            (st \ "vec").extractOpt[String].getOrElse("embedding"),
+            (st \ "threshold").extractOpt[Double].getOrElse(0.35))
           case "semdedup" => SemDedup(
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
             // 0 = derive cell count from corpus size (Dedup.semdedup)
@@ -180,6 +191,14 @@ object CleanPipeline {
               s"incremental_neardup: no index at $path"))
           val drop = Dedup.incrementalJaccard(cur, idx, txt, id, n,
               threshold)
+            .select(col("new_id").as(id)).distinct()
+          cur.join(drop, Seq(id), "left_anti")
+        case IncrementalEmbDedup(path, vecCol, threshold) =>
+          val idx = IndexStore.read(cur.sparkSession, path).getOrElse(
+            throw new IllegalArgumentException(
+              s"incremental_embdedup: no index at $path"))
+          val drop = Dedup.incrementalEmbeddingDedup(cur, idx, vecCol,
+              id, threshold = threshold)
             .select(col("new_id").as(id)).distinct()
           cur.join(drop, Seq(id), "left_anti")
         case SemDedup(vecCol, cells, threshold) =>

@@ -902,6 +902,28 @@ class CleanPipelineSpec extends SparkSpec {
     assert(expectedDropped > 0) // the gate actually dropped someone
   }
 
+  test("incremental_embdedup stage gates on a standing embedding index " +
+      "(IndexStore-committed, recorded geometry)") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val corpus = embs.filter(col("vec_id") < 400)
+    val batch = embs.filter(col("vec_id") >= 400)
+    val idxDir = java.nio.file.Files.createTempDirectory("incemb")
+      .resolve("idx").toString
+    graft.ops.IndexStore.write(
+      graft.ops.Dedup.embeddingIndex(corpus, "embedding", "vec_id",
+        bits = 4, tables = 2), idxDir)
+    val out = CleanPipeline.run(
+      s"""{"pipeline": {"id": "vec_id", "stages": [
+        {"op": "incremental_embdedup", "index": "$idxDir",
+         "threshold": 0.35}]}}""", batch)
+    val expectedDropped = graft.ops.Dedup.incrementalEmbeddingDedup(batch,
+        graft.ops.IndexStore.read(spark, idxDir).get, "embedding",
+        "vec_id", threshold = 0.35)
+      .select(col("new_id")).distinct().count()
+    assert(out.count() === batch.count() - expectedDropped)
+    assert(expectedDropped > 0) // the gate actually dropped someone
+  }
+
   test("semdedup stage keeps exactly Dedup.semdedup's keep=1 set") {
     val embs = Tables.load(spark, sfDir, "embeddings")
     val out = CleanPipeline.run("""
