@@ -228,4 +228,17 @@ class PipelinePlanSpec extends SparkSpec {
     // join consumes FILTERED prefix rows (rank cut present)
     assert(p.contains("row_number"))
   }
+
+  test("q99: multi-table LSH dedups pairs BEFORE vectors are fetched " +
+      "(slim sig join, aggregate, then id join-backs; no cartesian)") {
+    val p = SparkEntry.queries("q99_neardup_multitable")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the (id_a, id_b) dedup aggregate sits between the sig join and
+    // the vector fetches: a HashAggregate grouping exactly the pair ids
+    assert(p.contains("HashAggregate(keys=[id_a"))
+    // the candidate join runs on exploded (table, sig) rows
+    assert(p.toLowerCase.contains("generate posexplode"))
+  }
 }

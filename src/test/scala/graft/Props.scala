@@ -165,6 +165,32 @@ object GraftProps extends Properties("graft") {
         }
     }
 
+  // ---- native span-hash kernel vs the string route: the invariant the
+  // hash-first duplicate-span audit's two passes stand on —
+  // span_hashes(text, n)[i] == char_poly_hash(token_spans(text, n)[i])
+  // — on arbitrary token shapes (empties, repeats, unicode chars)
+  property("span_hashes == char_poly_hash of each token span") =
+    forAll(Gen.listOf(Gen.oneOf("a", "bb", "ccc", "", "é世")),
+        Gen.choose(1, 5)) { (ws, n) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.sql.types.StringType
+      val text = ws.mkString(" ")
+      val hs = graft.functions.SpanHashesExpr(
+          Literal.create(text, StringType), n)
+        .eval(null).asInstanceOf[ArrayData]
+      val sp = graft.functions.TokenSpansExpr(
+          Literal.create(text, StringType), n)
+        .eval(null).asInstanceOf[ArrayData]
+      hs.numElements() == sp.numElements() &&
+        (0 until hs.numElements()).forall { i =>
+          val viaString = graft.functions.CharPolyHashExpr(
+              Literal.create(sp.getUTF8String(i).toString, StringType))
+            .eval(null).asInstanceOf[Long]
+          hs.getLong(i) == viaString
+        }
+    }
+
   // ---- sequence-packing arithmetic (Packing.sequencePack in pure
   // logic): offsets stay inside the sequence, seq ids never decrease,
   // and an id gap can only follow a doc longer than the gap it skips.
