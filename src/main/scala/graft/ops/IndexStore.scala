@@ -86,20 +86,27 @@ object IndexStore {
   /** Commit `df` as the next version and return its number. The old
     * version stays live until the new one's marker lands; pruning after
     * the commit is best-effort (a crash mid-prune leaves extra
-    * directories, never a broken index). */
+    * directories, never a broken index) and RETAINS the immediately
+    * previous committed version — a concurrent reader that resolved the
+    * old version just before this commit can finish its scan (readers
+    * lag by at most one write; the grandparent is gone by then). */
   def write(df: DataFrame, dir: String): Long = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, dir)
     // number above every existing dir, dirty ones included, so a
     // half-written crash leftover is never re-entered
-    val next = versions(spark, dir).map(_._1).maxOption.getOrElse(0L) + 1L
+    val before = versions(spark, dir)
+    val next = before.map(_._1).maxOption.getOrElse(0L) + 1L
     val vDir = s"$dir/v=$next"
     df.write.mode("overwrite").parquet(vDir)
     // the commit point: one atomically-visible file create
     fs.create(new Path(vDir, Marker), false).close()
-    // prune: older versions (committed or dirty) and legacy root files
-    versions(spark, dir).foreach { case (n, _) =>
-      if (n < next) fs.delete(new Path(s"$dir/v=$n"), true)
+    // prune: everything older than the previous committed version,
+    // plus dirty leftovers below `next`, plus legacy root files
+    val prevCommitted = before.collect { case (n, true) => n }.maxOption
+    before.foreach { case (n, committed) =>
+      if (n < next && (!committed || !prevCommitted.contains(n)))
+        fs.delete(new Path(s"$dir/v=$n"), true)
     }
     fs.listStatus(p).foreach { st =>
       if (st.isFile) fs.delete(st.getPath, false)

@@ -226,7 +226,8 @@ object StreamOps {
     * exactly-once for content-stable ids. */
   def embeddingIngestBatch(batch: DataFrame, indexDir: String,
       vecCol: String, idCol: String, threshold: Double = 0.35,
-      bits: Int = 0, tables: Int = 0): DataFrame = {
+      bits: Int = 0, tables: Int = 0,
+      targetRows: Long = 1024L): DataFrame = {
     import graft.ops.{Dedup, IndexStore}
     val standing = IndexStore.read(batch.sparkSession, indexDir)
     val survivors = standing match {
@@ -263,7 +264,28 @@ object StreamOps {
             "left_anti"),
           kept, vecCol, idCol)
     }
-    IndexStore.write(newIdx, indexDir)
+    // AUTO-geometry mode only: an index born at a small corpus must not
+    // keep its tiny signature forever — per-bucket occupancy (hence the
+    // quadratic verify cost) would grow with the corpus while recall
+    // calibration assumed the derived width. When the re-derived width
+    // outgrows the recorded one by > 1 bit (occupancy > ~2x target),
+    // rebuild from the index's OWN rows (id + vector are right there —
+    // the corpus is never re-read), with recall-calibrated tables for
+    // the new width. Pinned geometry (bits/tables params) is never
+    // second-guessed.
+    val finalIdx =
+      if (bits != 0 || tables != 0) newIdx
+      else {
+        val total = newIdx.count()
+        val recorded = newIdx.select(col("bits")).take(1)
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        val derived = Dedup.deriveBits(total, targetRows)
+        if (recorded > 0 && derived > recorded + 1)
+          Dedup.embeddingIndex(newIdx.select(col("id"), col("v")),
+            "v", "id", derived, Dedup.deriveTables(derived))
+        else newIdx
+      }
+    IndexStore.write(finalIdx, indexDir)
     kept
   }
 }

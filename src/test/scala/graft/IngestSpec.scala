@@ -326,6 +326,31 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(after === before)
   }
+
+  test("embeddingIngestBatch auto-geometry: an index born small " +
+      "re-derives its width when the corpus outgrows it") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("embgrow")
+      .resolve("idx").toString
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def gate(rows: Seq[(Long, Array[Float])]) = graft.streaming.StreamOps
+      .embeddingIngestBatch(rows.toDF("vec_id", "embedding"), idxDir,
+        "embedding", "vec_id", threshold = 0.9, targetRows = 8L)
+    def geometry() = graft.ops.IndexStore.read(spark, idxDir).get
+      .select("bits", "tables").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+    gate((0L until 50L).map(i => (i, vec())))
+    assert(geometry() === Seq((4, graft.ops.Dedup.deriveTables(4))))
+    // +250 distinct vectors: occupancy at 4 bits blows past 2x the
+    // 8-row target -> the fold re-derives (6, deriveTables(6)) from the
+    // index's own rows, corpus never re-read
+    gate((100L until 350L).map(i => (i, vec())))
+    val b = graft.ops.Dedup.deriveBits(
+      graft.ops.IndexStore.read(spark, idxDir).get.count(), 8L)
+    assert(b > 5)
+    assert(geometry() === Seq((b, graft.ops.Dedup.deriveTables(b))))
+  }
 }
 
 class IndexStoreSpec extends SparkSpec {
@@ -334,7 +359,8 @@ class IndexStoreSpec extends SparkSpec {
   private def tmp() = java.nio.file.Files
     .createTempDirectory("idxstore").resolve("idx").toString
 
-  test("write/read roundtrip, versions increment, old versions pruned") {
+  test("write/read roundtrip, versions increment, one previous version " +
+      "retained for in-flight readers, older pruned") {
     import spark.implicits._
     val dir = tmp()
     assert(IndexStore.read(spark, dir).isEmpty && !IndexStore.exists(spark, dir))
@@ -343,8 +369,16 @@ class IndexStoreSpec extends SparkSpec {
     assert(IndexStore.currentVersion(spark, dir) === Some(2L))
     assert(IndexStore.read(spark, dir).get.collect().map(_.getLong(0))
       .toSeq === Seq(2L))
-    // v=1 pruned after v=2's commit
-    assert(!new java.io.File(s"${dir.stripPrefix("file:")}/v=1").exists())
+    // v=1 retained after v=2's commit (a reader resolved before the
+    // commit may still be scanning it) ...
+    val root = dir.stripPrefix("file:")
+    assert(new java.io.File(s"$root/v=1").exists())
+    // ... and pruned once v=3 lands (readers lag at most one write)
+    assert(IndexStore.write(Seq((3L, "c")).toDF("id", "x"), dir) === 3L)
+    assert(!new java.io.File(s"$root/v=1").exists())
+    assert(new java.io.File(s"$root/v=2").exists())
+    assert(IndexStore.read(spark, dir).get.collect().map(_.getLong(0))
+      .toSeq === Seq(3L))
   }
 
   test("a write that dies mid-flight leaves the previous version live " +
