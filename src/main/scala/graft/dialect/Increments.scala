@@ -37,6 +37,10 @@ object Increments {
 
   def parentUnit(unit: String): String = parents(unit)
 
+  /** Nominal unit length in seconds (the auto-sizing table). */
+  def unitSeconds(unit: String): Long = units.toMap.getOrElse(unit,
+    throw new IllegalArgumentException(s"unknown unit $unit"))
+
   /** extract(unit from ts) as a Column (day is 1-based like SQL EXTRACT). */
   def extractUnit(unit: String, ts: Column): Column = unit match {
     case "second" => second(ts)

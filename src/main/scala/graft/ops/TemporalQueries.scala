@@ -297,7 +297,44 @@ object TemporalQueries {
     FROM g WHERE gap_us IS NOT NULL
     GROUP BY event_type ORDER BY event_type"""
 
+  /** q100 — increments() served from an INCREMENTALLY MAINTAINED rollup:
+    * events fold into a minute-grain standing rollup in three disjoint
+    * deltas (event_id mod 3 — three "days" of ingest), then an
+    * increments(hour, 6) query with per-type count/sum/min/max/avg is
+    * answered from the rollup alone. The oracle is the DIRECT full-scan
+    * aggregate — equality proves both the incremental maintenance
+    * (merge after build-per-delta) and rollup serving are exact, which
+    * only holds because the maintained sum is DECIMAL (the q86/q94
+    * arithmetic-design lesson: floats would drift under regrouping).
+    * At 100 TB this is the difference between scanning history per
+    * dashboard refresh and scanning each delta once ([[Rollup]]). */
+  private val q100: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+    val dims = Seq("event_type")
+    val roll = (1 until 3).foldLeft(
+      Rollup.build(ev.filter(pmod(col("event_id"), lit(3)) === 0),
+        "ts", "minute", dims, "value")) { (r, i) =>
+      Rollup.refresh(r, ev.filter(pmod(col("event_id"), lit(3)) === i),
+        "ts", dims, "value")
+    }
+    Rollup.serve(roll, "hour", 6, dims)
+      .select(col("event_type"),
+        date_format(col("bucket_ts"), "yyyy-MM-dd").as("bucket_day"),
+        col("bucket_i"), col("n"), col("sum_value"), col("min_value"),
+        col("max_value"), col("avg_value"))
+      .orderBy(col("event_type"), col("bucket_day"), col("bucket_i"))
+  }
+  private val q100Sql = """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+      CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS bucket_i,
+      count(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      min(value) AS min_value, max(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   val queries: Map[String, QFn] = Map(
+    "q100_rollup_increments" -> q100,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
     "q76_funnel_conversion" -> q76,
@@ -307,6 +344,7 @@ object TemporalQueries {
     "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
+    "q100_rollup_increments" -> q100Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,
     "q76_funnel_conversion" -> q76Sql,

@@ -1334,3 +1334,96 @@ class LshRecallSpec extends SparkSpec {
     assert(hits(1) < multi)
   }
 }
+
+class RollupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.{IndexStore, Rollup}
+
+  private def events = graft.engine.Tables.load(spark, sfDir, "events")
+
+  test("served rollup equals the direct aggregate, any fold order") {
+    val dims = Seq("event_type")
+    val direct = events
+      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("bucket_day"),
+        floor(hour(col("ts")) / 6).as("bucket_i"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_value"))
+      .orderBy(col("bucket_day"), col("bucket_i"), col("event_type"))
+      .collect().map(_.toString)
+    // two different delta orders must serve the identical answer
+    for (order <- Seq(Seq(0, 1, 2), Seq(2, 0, 1))) {
+      val roll = order.tail.foldLeft(Rollup.build(
+          events.filter(pmod(col("event_id"), lit(3)) === order.head),
+          "ts", "minute", dims, "value")) { (r, i) =>
+        Rollup.refresh(r, events.filter(pmod(col("event_id"), lit(3)) === i),
+          "ts", dims, "value")
+      }
+      val served = Rollup.serve(roll, "hour", 6, dims)
+        .select(date_format(col("bucket_ts"), "yyyy-MM-dd").as("bucket_day"),
+          col("bucket_i"), col("event_type"), col("n"), col("sum_value"),
+          col("min_value"), col("max_value"), col("avg_value"))
+        .orderBy(col("bucket_day"), col("bucket_i"), col("event_type"))
+        .collect().map(_.toString)
+      assert(served === direct)
+    }
+  }
+
+  test("late data folds into its bucket — no watermark drop") {
+    import spark.implicits._
+    val day1 = Seq((1L, "2024-01-01 00:10:00", "a", 1.50),
+      (2L, "2024-01-02 00:00:00", "a", 2.00))
+      .toDF("event_id", "s", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val late = Seq((3L, "2024-01-01 00:10:30", "a", 3.25))
+      .toDF("event_id", "s", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val roll = Rollup.refresh(
+      Rollup.build(day1, "ts", "minute", Seq("event_type"), "value"),
+      late, "ts", Seq("event_type"), "value")
+    val b = roll.filter(col("grain_ts") === lit("2024-01-01 00:10:00")
+        .cast("timestamp")).collect()
+    assert(b.length === 1)
+    assert(b.head.getAs[Long]("n") === 2L)
+    assert(b.head.getAs[java.math.BigDecimal]("sum_dec")
+      .compareTo(new java.math.BigDecimal("4.75")) === 0)
+  }
+
+  test("geometry discipline: mixed grains and finer-than-grain serving fail loudly") {
+    import spark.implicits._
+    val df = Seq((1L, "2024-01-01 00:10:07", "a", 1.0))
+      .toDF("event_id", "s", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val mIdx = Rollup.build(df, "ts", "minute", Seq("event_type"), "value")
+    val hIdx = Rollup.build(df, "ts", "hour", Seq("event_type"), "value")
+    intercept[IllegalArgumentException] {
+      Rollup.merge(mIdx, hIdx, Seq("event_type"))
+    }
+    intercept[IllegalArgumentException] {
+      Rollup.grainOf(mIdx.unionByName(hIdx))
+    }
+    intercept[IllegalArgumentException] {
+      Rollup.serve(hIdx, "minute", 10) // hour rollup can't serve minutes
+    }
+  }
+
+  test("refreshStore maintains the standing rollup crash-atomically via IndexStore") {
+    val dir = java.nio.file.Files.createTempDirectory("rollup")
+      .resolve("roll").toString
+    val dims = Seq("event_type")
+    Rollup.refreshStore(spark, dir,
+      events.filter(pmod(col("event_id"), lit(2)) === 0),
+      "ts", "minute", dims, "value")
+    assert(IndexStore.currentVersion(spark, dir) === Some(1L))
+    Rollup.refreshStore(spark, dir,
+      events.filter(pmod(col("event_id"), lit(2)) === 1),
+      "ts", "minute", dims, "value")
+    assert(IndexStore.currentVersion(spark, dir) === Some(2L))
+    val served = Rollup.serve(IndexStore.read(spark, dir).get, "day", 1, dims)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(served === events.count())
+  }
+}
