@@ -61,7 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         info("feature_hash_counts",
           "token-count vector, dim = polyhash(token) mod dims"),
         (args: Seq[Expression]) =>
-          FeatureHashCountsExpr(args(0), lit(args(1)))))
+          FeatureHashCountsExpr(args(0), lit(args(1)))),
+      (FunctionIdentifier("bloom_agg"),
+        info("bloom_agg", "m-bit Bloom bitmap over a long hash column"),
+        (args: Seq[Expression]) =>
+          BloomBuildAgg(args(0), lit(args(1)), lit(args(2)))),
+      (FunctionIdentifier("bloom_maybe"),
+        info("bloom_maybe", "all-k-bits-set Bloom membership probe"),
+        (args: Seq[Expression]) =>
+          BloomMaybeExpr(args(0), args(1), lit(args(2)), lit(args(3)))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -100,4 +108,8 @@ object F {
   def featureHashCounts(text: Column, dims: Int): Column =
     c(FeatureHashCountsExpr(e(text), dims))
   def tokenTf(text: Column): Column = c(TokenTfExpr(e(text)))
+  def bloomAgg(h: Column, mBits: Int, k: Int): Column =
+    c(BloomBuildAgg(e(h), mBits, k).toAggregateExpression())
+  def bloomMaybe(words: Column, h: Column, mBits: Int, k: Int): Column =
+    c(BloomMaybeExpr(e(words), e(h), mBits, k))
 }

@@ -64,6 +64,14 @@ object CleanPipeline {
   final case class IncrementalEmbDedup(indexPath: String, vecCol: String,
       threshold: Double) extends Stage
 
+  /** Gate a crawl on a STANDING exact-dedup state (the
+    * `StreamOps.exactDedupIngestBatch` artifact pair: `<path>/hashes`
+    * content-hash index + `<path>/bloom` derived Bloom filter): docs
+    * whose text already exists in the corpus are dropped. The Bloom
+    * probe rules out almost the whole batch map-side; only maybe-dups
+    * reach the hash-index join. Read-only over the state. */
+  final case class IncrementalExactDedup(statePath: String) extends Stage
+
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
   def fromJson(json: String): Spec = {
@@ -103,6 +111,8 @@ object CleanPipeline {
             (st \ "index").extract[String],
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
             (st \ "threshold").extractOpt[Double].getOrElse(0.35))
+          case "incremental_exactdedup" => IncrementalExactDedup(
+            (st \ "state").extract[String])
           case "semdedup" => SemDedup(
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
             // 0 = derive cell count from corpus size (Dedup.semdedup)
@@ -200,6 +210,24 @@ object CleanPipeline {
           val drop = Dedup.incrementalEmbeddingDedup(cur, idx, vecCol,
               id, threshold = threshold)
             .select(col("new_id").as(id)).distinct()
+          cur.join(drop, Seq(id), "left_anti")
+        case IncrementalExactDedup(path) =>
+          val hashes = IndexStore.read(cur.sparkSession, s"$path/hashes")
+            .getOrElse(throw new IllegalArgumentException(
+              s"incremental_exactdedup: no hash index at $path/hashes"))
+            .select(col("h"), col("id").as("__corpus_id"))
+          val hb = cur.withColumn("__h",
+            graft.functions.F.charPolyHash(col(txt)))
+          // Bloom prefilter when the state carries one: misses are
+          // definitely new and skip the hash-index join
+          val maybes = IndexStore.read(cur.sparkSession, s"$path/bloom")
+            .map(bl => Dedup.bloomGate(hb, bl, "__h")
+              .filter(col("bloom_hit")).drop("bloom_hit"))
+            .getOrElse(hb)
+          val drop = maybes.join(hashes,
+              col("__h") === col("h") && col(id) =!= col("__corpus_id"),
+              "left_semi")
+            .select(col(id)).distinct()
           cur.join(drop, Seq(id), "left_anti")
         case SemDedup(vecCol, cells, threshold) =>
           val keep = Dedup.semdedup(cur, vecCol, id, cells, threshold)

@@ -819,6 +819,100 @@ object Dedup {
         .filter(col("cos_sim") >= threshold)
     }
   }
+
+  // -------------------------------------------------------------------
+  // Bloom-filter exact-dedup gate
+  // -------------------------------------------------------------------
+
+  /** Per-shard Bloom width for `n` corpus keys across `shards` shards at
+    * `bitsPerKey` bits each: the next power of two >= bitsPerKey*n/shards
+    * (floor 64, cap 2^30 = 128 MB/shard). Power-of-two `m` keeps the
+    * Kirsch–Mitzenmacher probe sequence full-period; deriving from N is
+    * the same discipline as [[deriveBits]] — a pinned width saturates as
+    * the corpus grows (false-positive rate -> 1) exactly like a pinned
+    * bucket count degenerates to quadratic verify. */
+  def deriveBloomBits(n: Long, bitsPerKey: Int = 16, shards: Int = 1): Int = {
+    require(bitsPerKey >= 1 && shards >= 1)
+    val want = math.min(1L << 30,
+      math.max(64L, bitsPerKey.toLong * n / shards))
+    if ((want & (want - 1)) == 0L) want.toInt
+    else (java.lang.Long.highestOneBit(want) << 1).toInt
+  }
+
+  /** Build a sharded Bloom index over a LONG hash column: one row per
+    * shard (`shard = hash mod shards`) with the m-bit bitmap as an
+    * `array<bigint>` words column, plus the recorded geometry
+    * (`m_bits`, `k_hashes`, `shards` — the [[embeddingIndex]]
+    * discipline: the artifact carries its own parameters and
+    * [[bloomGate]] refuses a mixed-geometry union).
+    *
+    * Scale: the build is ONE aggregate whose map-side partials are
+    * m/8-byte bitmaps ORed together ([[graft.functions.BloomBuildAgg]])
+    * — over 10^10 corpus hashes the exchange moves
+    * `#partitions * shards * m/8` bytes, never the hashes. A single
+    * 2^30-bit shard holds ~10^8 keys at 10 bits/key; shard to grow
+    * beyond that (and to spread the probe-side broadcast). */
+  def bloomIndex(corpus: DataFrame, hashCol: String, shards: Int = 1,
+      bitsPerKey: Int = 16, k: Int = 4, mBits: Int = 0): DataFrame = {
+    val s = math.max(1, shards)
+    val m = if (mBits > 0) mBits
+      else deriveBloomBits(corpus.count(), bitsPerKey, s)
+    corpus.groupBy(pmod(col(hashCol), lit(s.toLong)).as("shard"))
+      .agg(F.bloomAgg(col(hashCol), m, k).as("words"))
+      .withColumn("m_bits", lit(m))
+      .withColumn("k_hashes", lit(k))
+      .withColumn("shards", lit(s))
+  }
+
+  /** Recorded (m, k, shards) of a Bloom index; loud on mixed geometry. */
+  def bloomMeta(index: DataFrame): (Int, Int, Int) = {
+    val metas = index.select(col("m_bits"), col("k_hashes"), col("shards"))
+      .distinct().take(2)
+    require(metas.length == 1, "mixed-geometry bloom index: " +
+      metas.map(r => s"(m=${r.getInt(0)}, k=${r.getInt(1)}, " +
+        s"shards=${r.getInt(2)})").mkString(", "))
+    val r = metas.head
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Probe a batch against a Bloom index: adds `hitName` (boolean) —
+    * false means DEFINITELY not in the corpus (the gate's fast path:
+    * those rows skip the exact-verify join entirely), true means "maybe"
+    * at the index's false-positive rate. The index is broadcast (shards
+    * * m/8 bytes) so the probe is map-side — zero shuffle of the batch;
+    * pass `broadcastIndex = false` once the total bitmap outgrows the
+    * broadcast budget and the join shuffles ONLY the batch by shard. */
+  def bloomGate(batch: DataFrame, index: DataFrame, hashCol: String,
+      hitName: String = "bloom_hit",
+      broadcastIndex: Boolean = true): DataFrame = {
+    val (m, k, s) = bloomMeta(index)
+    val slim = index.select(col("shard"), col("words"))
+    val idx = if (broadcastIndex) broadcast(slim) else slim
+    batch
+      .join(idx, pmod(col(hashCol), lit(s.toLong)) === col("shard"), "left")
+      .withColumn(hitName,
+        coalesce(F.bloomMaybe(col("words"), col(hashCol), m, k), lit(false)))
+      .drop("shard", "words")
+  }
+
+  /** OR-merge two Bloom indexes of identical geometry (the incremental
+    * refresh path: standing ∨ batch — set-union semantics, exact). */
+  def mergeBloomIndexes(a: DataFrame, b: DataFrame): DataFrame = {
+    val (ma, ka, sa) = bloomMeta(a)
+    val (mb, kb, sb) = bloomMeta(b)
+    require((ma, ka, sa) == (mb, kb, sb),
+      s"bloom geometry mismatch: ($ma,$ka,$sa) vs ($mb,$kb,$sb)")
+    a.unionByName(b)
+      .groupBy(col("shard"))
+      .agg(reduce(collect_list(col("words")),
+          lit(null).cast("array<bigint>"),
+          (acc, w) => when(acc.isNull, w)
+            .otherwise(zip_with(acc, w, (x, y) => x.bitwiseOR(y))))
+        .as("words"))
+      .withColumn("m_bits", lit(ma))
+      .withColumn("k_hashes", lit(ka))
+      .withColumn("shards", lit(sa))
+  }
 }
 
 /** Public similarity-search API (brute-force and bucketed ANN). */
@@ -1119,4 +1213,5 @@ object Similarity {
     else joined.groupBy(col("q_id"), col("id"))
       .agg(max(col("cos_sim")).as("cos_sim"))
   }
+
 }

@@ -1862,9 +1862,69 @@ object PipelineQueries {
       max(span_df) AS max_span_df
     FROM sp JOIN dfs USING (s) GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q101 — Bloom-filter exact-dedup gate under the differential oracle:
+    * the bottom 80% of docs are the standing corpus, the top 40% are a
+    * RE-INGESTED batch (the overlap is the replayed-crawl scenario —
+    * 50% of the batch is already present). The sharded Bloom
+    * (Dedup.bloomIndex: 2 shards, derived power-of-two width at 8
+    * bits/key, Kirsch–Mitzenmacher probes — native BloomBuildAgg whose
+    * map-side partials OR into m/8-byte bitmaps) gates the batch; each
+    * batch doc reports its Bloom verdict, the exact verdict, and the
+    * false-positive flag. The oracle replays the identical probe
+    * positions in pure BIGINT arithmetic INCLUDING the derived width —
+    * a deliberately tight filter so false positives are nonzero at
+    * every SF (the fp path is exercised, not just asserted about).
+    * Structurally zero false NEGATIVES (Bloom never misses) — that's
+    * the property that lets the gate's miss side skip the verify join
+    * at scale. */
+  private val q101: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), F.charPolyHash(col("text")).as("h"))
+    val n = docs.count()
+    val (cCut, bCut) = (4 * n / 5, 3 * n / 5)
+    val corpus = docs.filter(col("doc_id") < cCut)
+    val batch = docs.filter(col("doc_id") >= bCut)
+    val idx = Dedup.bloomIndex(corpus, "h", shards = 2, bitsPerKey = 8,
+      k = 4)
+    Dedup.bloomGate(batch, idx, "h")
+      .join(corpus.select(col("h")).distinct().withColumn("__dup", lit(1)),
+        Seq("h"), "left")
+      .select(col("doc_id"),
+        col("bloom_hit").cast("int").as("bloom_hit"),
+        coalesce(col("__dup"), lit(0)).as("exact_dup"))
+      .withColumn("false_pos",
+        when(col("bloom_hit") === 1 && col("exact_dup") === 0, 1)
+          .otherwise(0))
+      .orderBy(col("doc_id"))
+  }
+  private val q101Sql = s"""
+    WITH dh AS (SELECT doc_id, ${dPoly("text")} AS h FROM documents),
+    cuts AS (SELECT 4*count(*)/5 AS cc, 3*count(*)/5 AS bc FROM dh),
+    mw AS (SELECT CAST(power(2, ceil(log2(8 * count(*) / 2))) AS BIGINT)
+        AS m FROM dh, cuts WHERE doc_id < cc),
+    pos AS (SELECT doc_id, h, h % 2 AS shard,
+        ((h*2654435761)%$P + t.i*(2*((h*2246822519)%1073741823)+1))
+          % (SELECT m FROM mw) AS p
+      FROM dh, range(4) t(i)),
+    cset AS (SELECT DISTINCT shard, p FROM pos, cuts WHERE doc_id < cc),
+    hit AS (SELECT doc_id,
+        CASE WHEN count(cset.p) = 4 THEN 1 ELSE 0 END AS bloom_hit
+      FROM pos LEFT JOIN cset USING (shard, p), cuts WHERE doc_id >= bc
+      GROUP BY doc_id),
+    ex AS (SELECT b.doc_id,
+        max(CASE WHEN cx.h IS NOT NULL THEN 1 ELSE 0 END) AS exact_dup
+      FROM dh b LEFT JOIN (SELECT DISTINCT h FROM dh, cuts
+          WHERE doc_id < cc) cx USING (h), cuts
+      WHERE b.doc_id >= bc GROUP BY b.doc_id)
+    SELECT doc_id, bloom_hit, exact_dup,
+      CASE WHEN bloom_hit = 1 AND exact_dup = 0 THEN 1 ELSE 0 END
+        AS false_pos
+    FROM hit JOIN ex USING (doc_id) ORDER BY doc_id"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q101_bloom_gate" -> q101,
     "q99_neardup_multitable" -> q99,
     "q98_duplicate_spans_hashfirst" -> q98,
     "q97_duplicate_spans" -> q97,
@@ -1918,6 +1978,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q101_bloom_gate" -> q101Sql,
     "q99_neardup_multitable" -> q99Sql,
     "q98_duplicate_spans_hashfirst" -> q97Sql,
     "q97_duplicate_spans" -> q97Sql,

@@ -288,4 +288,103 @@ object StreamOps {
     IndexStore.write(finalIdx, indexDir)
     kept
   }
+
+  /** EXACT-dedup ingest gate with a Bloom fast path — the third gate in
+    * the family ([[nearDupIngestBatch]] shingles / [[embeddingIngestBatch]]
+    * vectors / this one content identity). The standing state is two
+    * [[graft.ops.IndexStore]] artifacts under `stateDir`:
+    * `hashes/` (id, h) — the exact content-hash index — and `bloom/`
+    * (the [[graft.ops.Dedup.bloomIndex]] bitmap derived from it).
+    *
+    * Per batch: hash each doc (charPolyHash — the q27 content-identity
+    * family), probe the Bloom ([[graft.ops.Dedup.bloomGate]], map-side,
+    * zero shuffle); rows the Bloom rules out are DEFINITELY new and skip
+    * the verify join entirely — at steady state that's almost the whole
+    * batch, so the per-batch cost is a broadcast probe plus a join of
+    * only the few maybe-dups against the hash index. Maybe-dups are
+    * verified exactly (h equality, self-id excluded), the batch then
+    * self-dedupes (lowest id per h survives), survivors append to the
+    * hash index and OR into the Bloom ([[graft.ops.Dedup
+    * .mergeBloomIndexes]] — exact set-union, so the Bloom stays the
+    * PRECISE filter of the hash index it summarizes).
+    *
+    * Same crash story as the sibling gates: both artifacts commit
+    * through IndexStore (hashes FIRST — a crash between the two writes
+    * leaves the Bloom one batch stale, which only costs extra verify
+    * joins, never correctness, and the next refresh repairs it); replay
+    * drops the batch's own ids before folding, so a re-run returns the
+    * same kept rows and leaves both artifacts equivalent. AUTO-geometry
+    * Blooms rebuild from the hash index when the corpus outgrows the
+    * recorded width by >1 doubling (the saturation discipline of
+    * deriveBloomBits); pinned `mBits` is never second-guessed. */
+  def exactDedupIngestBatch(batch: DataFrame, stateDir: String,
+      textCol: String, idCol: String, shards: Int = 1,
+      bitsPerKey: Int = 16, k: Int = 4, mBits: Int = 0): DataFrame = {
+    import graft.functions.F
+    import graft.ops.{Dedup, IndexStore}
+    val spark = batch.sparkSession
+    val hashesDir = s"$stateDir/hashes"
+    val bloomDir = s"$stateDir/bloom"
+    val hb = batch.withColumn("__h", F.charPolyHash(col(textCol)))
+    // standing hash index, minus this batch's own ids (crash replay);
+    // no localCheckpoint — the new version's write streams from the old
+    // version's files (distinct dirs), so the index never has to fit in
+    // executor storage
+    val standing = IndexStore.read(spark, hashesDir).map(
+      _.join(hb.select(col(idCol).as("id")), Seq("id"), "left_anti"))
+    val survivors = standing match {
+      case None => hb
+      case Some(hashes) =>
+        // Bloom probe first: misses skip the verify join entirely
+        val bloom = IndexStore.read(spark, bloomDir)
+          .getOrElse(Dedup.bloomIndex(hashes, "h", shards, bitsPerKey,
+            k, mBits))
+        val gated = Dedup.bloomGate(hb, bloom, "__h")
+        val maybes = gated.filter(col("bloom_hit"))
+        val dupIds = maybes.join(hashes,
+            maybes("__h") === hashes("h") && col(idCol) =!= col("id"),
+            "left_semi")
+          .select(col(idCol)).distinct()
+        gated.drop("bloom_hit").join(dupIds, Seq(idCol), "left_anti")
+    }
+    // within-batch exact dups: lowest id per hash survives
+    val kept = survivors
+      .withColumn("__keep",
+        col(idCol) === min(col(idCol))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(
+            col("__h"))))
+      .filter(col("__keep")).drop("__keep")
+      .localCheckpoint() // consumed thrice: fold, bloom, caller append
+    val keptHashes = kept.select(col(idCol).as("id"), col("__h").as("h"))
+    val newHashes = standing match {
+      case None => keptHashes
+      case Some(hashes) => hashes.unionByName(keptHashes)
+    }
+    IndexStore.write(newHashes, hashesDir)
+    // Bloom refresh: OR the batch in at the standing geometry; rebuild
+    // from the hash index on first batch, pinned-geometry change, or
+    // auto-geometry outgrowth (> 1 doubling past the recorded width)
+    val standingBloom = IndexStore.read(spark, bloomDir)
+    val newBloom = standingBloom match {
+      case Some(bl) =>
+        val (m, kk, s) = Dedup.bloomMeta(bl)
+        lazy val derived =
+          Dedup.deriveBloomBits(IndexStore.read(spark, hashesDir).get
+            .count(), bitsPerKey, s)
+        if (mBits > 0 && (m != mBits || kk != k || s != shards))
+          Dedup.bloomIndex(IndexStore.read(spark, hashesDir).get, "h",
+            shards, bitsPerKey, k, mBits)
+        else if (mBits == 0 && derived > 2 * m)
+          Dedup.bloomIndex(IndexStore.read(spark, hashesDir).get, "h",
+            s, bitsPerKey, kk)
+        else
+          Dedup.mergeBloomIndexes(bl,
+            Dedup.bloomIndex(keptHashes, "h", s, bitsPerKey, kk, m))
+      case None =>
+        Dedup.bloomIndex(IndexStore.read(spark, hashesDir).get, "h",
+          shards, bitsPerKey, k, mBits)
+    }
+    IndexStore.write(newBloom, bloomDir)
+    kept.drop("__h")
+  }
 }

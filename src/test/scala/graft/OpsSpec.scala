@@ -924,6 +924,22 @@ class CleanPipelineSpec extends SparkSpec {
     assert(expectedDropped > 0) // the gate actually dropped someone
   }
 
+  test("incremental_exactdedup stage gates on the standing bloom+hash state") {
+    import spark.implicits._
+    val stateDir = java.nio.file.Files.createTempDirectory("incexact")
+      .resolve("state").toString
+    // seed the standing state through the ingest gate
+    graft.streaming.StreamOps.exactDedupIngestBatch(
+      Seq(1L -> "alpha beta", 2L -> "gamma delta").toDF("doc_id", "text"),
+      stateDir, "text", "doc_id")
+    val crawl = Seq(10L -> "alpha beta", 11L -> "epsilon zeta")
+      .toDF("doc_id", "text")
+    val out = CleanPipeline.run(
+      s"""{"pipeline": {"stages": [
+        {"op": "incremental_exactdedup", "state": "$stateDir"}]}}""", crawl)
+    assert(out.select("doc_id").as[Long].collect().sorted === Array(11L))
+  }
+
   test("semdedup stage keeps exactly Dedup.semdedup's keep=1 set") {
     val embs = Tables.load(spark, sfDir, "embeddings")
     val out = CleanPipeline.run("""
@@ -1425,5 +1441,120 @@ class RollupSpec extends SparkSpec {
     val served = Rollup.serve(IndexStore.read(spark, dir).get, "day", 1, dims)
       .agg(sum(col("n"))).collect().head.getLong(0)
     assert(served === events.count())
+  }
+}
+
+class BloomSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.functions.BloomHash
+  import graft.ops.Dedup
+
+  test("no false negatives, FP rate near theory, geometry recorded") {
+    import spark.implicits._
+    val corpus = (0L until 2000L).map(i => (i, i * 31 + 7)).toDF("id", "h")
+      .repartition(8) // partial buffers must OR across partitions
+    val idx = Dedup.bloomIndex(corpus, "h", shards = 2, bitsPerKey = 10)
+    assert(Dedup.bloomMeta(idx) === (16384, 4, 2)) // nextpow2(10*2000/2)
+    // every corpus key must hit (Bloom never misses)
+    val selfHits = Dedup.bloomGate(corpus, idx, "h")
+      .filter(!col("bloom_hit")).count()
+    assert(selfHits === 0L)
+    // disjoint probe keys: FP rate ~ (1-e^(-kn/m))^k ~ 1.6% at 10 b/key
+    val probes = (0L until 2000L).map(i => (i, i * 131071 + 3)).toDF("id", "h")
+    val fp = Dedup.bloomGate(probes, idx, "h")
+      .filter(col("bloom_hit")).count()
+    assert(fp < 100, s"false-positive count $fp way above theory (~32)")
+  }
+
+  test("probe positions: KM double hashing, k distinct, oracle-replicable") {
+    // h2 odd + power-of-two m => the k positions are pairwise distinct
+    for (h <- Seq(0L, 1L, 17L, 2147483646L, -5L)) {
+      val ps = (0 until 4).map(i => BloomHash.position(h, i, 1024))
+      assert(ps.distinct.size === 4, s"h=$h positions $ps")
+      assert(ps.forall(p => p >= 0 && p < 1024))
+    }
+    // negative hashes normalize like the SQL ((h%P)+P)%P
+    assert(BloomHash.position(-5L, 2, 4096) ===
+      BloomHash.position(-5L + BloomHash.P, 2, 4096))
+  }
+
+  test("mergeBloomIndexes is exact set-union; mixed geometry fails loudly") {
+    import spark.implicits._
+    val a = (0L until 500L).map(i => (i, i * 31 + 7)).toDF("id", "h")
+    val b = (500L until 1000L).map(i => (i, i * 31 + 7)).toDF("id", "h")
+    val m = 4096
+    val ia = Dedup.bloomIndex(a, "h", shards = 2, k = 4, mBits = m)
+    val ib = Dedup.bloomIndex(b, "h", shards = 2, k = 4, mBits = m)
+    val union = Dedup.bloomIndex(a.unionByName(b), "h", shards = 2,
+      k = 4, mBits = m)
+    val merged = Dedup.mergeBloomIndexes(ia, ib)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("shard"), col("words")).orderBy(col("shard"))
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Long](1).toList)).toList
+    assert(key(merged) === key(union))
+    intercept[IllegalArgumentException] {
+      Dedup.mergeBloomIndexes(ia,
+        Dedup.bloomIndex(b, "h", shards = 2, k = 4, mBits = 2 * m))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bloomMeta(ia.unionByName(
+        Dedup.bloomIndex(b, "h", shards = 2, k = 4, mBits = 2 * m)))
+    }
+  }
+
+  test("exactDedupIngestBatch: gates batches, replays idempotently, regrows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bloomgate")
+      .resolve("state").toString
+    def gate(rows: Seq[(Long, String)]) = graft.streaming.StreamOps
+      .exactDedupIngestBatch(rows.toDF("doc_id", "text"), dir,
+        "text", "doc_id", shards = 2, bitsPerKey = 8)
+    // batch 1: all new, one in-batch dup (lowest id survives)
+    val k1 = gate(Seq(1L -> "alpha beta", 2L -> "gamma", 7L -> "alpha beta"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(k1 === Array(1L, 2L))
+    // batch 2: one cross-batch dup, one new
+    val k2 = gate(Seq(10L -> "gamma", 11L -> "delta"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(k2 === Array(11L))
+    // replay batch 2 after a "crash": same kept set, index unchanged
+    val before = graft.ops.IndexStore.read(spark, s"$dir/hashes").get
+      .collect().map(_.toString).sorted
+    val k2r = gate(Seq(10L -> "gamma", 11L -> "delta"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(k2r === Array(11L))
+    val after = graft.ops.IndexStore.read(spark, s"$dir/hashes").get
+      .collect().map(_.toString).sorted
+    assert(after === before)
+    // auto-geometry regrow: flood with distinct docs; the bloom width
+    // must outgrow its first-batch derivation (which was the 64 floor)
+    val (m0, _, _) = Dedup.bloomMeta(
+      graft.ops.IndexStore.read(spark, s"$dir/bloom").get)
+    gate((100L until 300L).map(i => (i, s"doc nr $i")))
+    val (m1, _, s1) = Dedup.bloomMeta(
+      graft.ops.IndexStore.read(spark, s"$dir/bloom").get)
+    assert(m1 > m0)
+    assert(m1 === Dedup.deriveBloomBits(graft.ops.IndexStore
+      .read(spark, s"$dir/hashes").get.count(), 8, s1))
+  }
+
+  test("bloom_agg / bloom_maybe registered as SQL functions") {
+    val s = spark
+    new graft.functions.GraftExtensions().registrations.foreach {
+      case (id, info, builder) =>
+        if (!s.sessionState.functionRegistry.functionExists(id))
+          s.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    import s.implicits._
+    (0L until 100L).map(i => (i, i * 31 + 7)).toDF("id", "h")
+      .createOrReplaceTempView("bloom_in")
+    val words = s.sql(
+      "SELECT bloom_agg(h, 1024, 4) AS w FROM bloom_in")
+    words.createOrReplaceTempView("bloom_words")
+    val missing = s.sql("""
+      SELECT count(*) AS miss FROM bloom_in, bloom_words
+      WHERE NOT bloom_maybe(w, h, 1024, 4)""").collect().head.getLong(0)
+    assert(missing === 0L)
   }
 }
