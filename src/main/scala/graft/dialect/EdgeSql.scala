@@ -196,7 +196,7 @@ object EdgeSql {
     * unify_results.py:236-277). */
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  private val aggFns = Set("count", "sum", "min", "max", "avg", "range")
+  private[dialect] val aggFns = Set("count", "sum", "min", "max", "avg", "range")
 
   /** Compile one `sql ...` command to a DataFrame. `load` resolves a bare
     * table name (the catalog boundary — tests/driver inject the parquet
@@ -445,7 +445,7 @@ object EdgeSql {
     if (asIdx > 0) s.substring(asIdx + 4).replaceAll("[`]", "").trim else s
   }
 
-  private def bucketFormat(parent: String): String = parent match {
+  private[dialect] def bucketFormat(parent: String): String = parent match {
     case "year" => "yyyy"
     case "month" => "yyyy-MM"
     case "day" => "yyyy-MM-dd"
@@ -453,12 +453,12 @@ object EdgeSql {
   }
 
   /** Leading function name of a projection item, if any. */
-  private def functionName(raw: String): Option[String] = {
+  private[dialect] def functionName(raw: String): Option[String] = {
     val m = "^([A-Za-z_]+)\\s*\\(".r.findFirstMatchIn(raw.trim)
     m.map(_.group(1).toLowerCase)
   }
 
-  private def argsOf(raw: String): String = {
+  private[dialect] def argsOf(raw: String): String = {
     val t = raw.trim
     val open = t.indexOf('(')
     val close = t.lastIndexOf(')')

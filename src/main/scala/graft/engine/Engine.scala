@@ -111,12 +111,27 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   def setSafeTsdId(table: String, id: Int): Unit =
     safeTsdIds += table -> id
 
-  /** Run a `sql` command, returning the DataFrame (pre-rendering). */
+  /** Registered standing rollups by table name (`rollup create`). */
+  private var rollups = Map.empty[String, graft.dialect.RollupServe.Meta]
+
+  /** Run a `sql` command, returning the DataFrame (pre-rendering).
+    * A table with a registered rollup first offers the command to
+    * [[graft.dialect.RollupServe]] — a qualified increments() query is
+    * answered from the standing rollup (bucket rows, never event
+    * history); anything the matcher cannot prove serves exactly falls
+    * back to the base plan. */
   def query(command: String): DataFrame = {
     val cmd = EdgeSql.parseCommand(command)
-    val df = EdgeSql.query(spark, loadWithOptions(cmd), command,
-      vars = dict, nodeAddress = nodeAddress)
-    df
+    val served = try {
+      val t0 = EdgeSql.parseSelect(cmd.select).table
+      val table = if (t0.contains('.'))
+        t0.substring(t0.lastIndexOf('.') + 1) else t0
+      rollups.get(table).flatMap(m =>
+        graft.dialect.RollupServe.tryServe(spark, m, cmd))
+    } catch { case _: Exception => None }
+    served.getOrElse(
+      EdgeSql.query(spark, loadWithOptions(cmd), command,
+        vars = dict, nodeAddress = nodeAddress))
   }
 
   private def loadWithOptions(cmd: EdgeSql.Command)
@@ -424,6 +439,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("create view ")) createView(t)
     else if (low.startsWith("partition ")) partition(t)
     else if (low.startsWith("drop partition ")) dropPartition(t)
+    else if (low.startsWith("rollup create")) rollupCreate(t)
+    else if (low.startsWith("rollup refresh")) rollupRefresh(t)
+    else if (low == "get rollups") {
+      if (rollups.isEmpty) "no rollups registered"
+      else rollups.toSeq.sortBy(_._1).map { case (tbl, m) =>
+        s"$tbl: grain=${m.grain} time=${m.tsCol} value=${m.valueCol} " +
+          s"dims=${m.dims.mkString(",")} path=${m.path}"
+      }.mkString("\n")
+    }
     else if (low.startsWith("suggest create ")) suggestCreate(t)
     else if (low.startsWith("get columns ")) {
       val name = t.substring("get columns ".length).trim
@@ -847,6 +871,58 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         s"partitioned ${m.group(1)} into ${parts.length} buckets"
       case None => throw new IllegalArgumentException(s"bad partition: $t")
     }
+  }
+
+  /** `rollup create where table = <t> and path = <dir> and time = <ts>
+    * and value = <v> and grain = <unit> [and dims = (a,b)]` — build the
+    * standing rollup from the table's CURRENT rows (one scan, committed
+    * through IndexStore) and register it: qualified increments() queries
+    * on the table are answered from it from now on (see
+    * [[graft.dialect.RollupServe]]). */
+  private def rollupCreate(t: String): String = {
+    val body = t.substring("rollup create".length).trim
+      .stripPrefix("where").trim
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\([^)]*\\)|\\S+)".r.findFirstMatchIn(body)
+        .map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"rollup create requires $k ="))
+    val table = req("table")
+    val meta = graft.dialect.RollupServe.Meta(
+      path = req("path"), tsCol = req("time"),
+      grain = req("grain"),
+      dims = kv("dims").toSeq.flatMap(_.stripPrefix("(").stripSuffix(")")
+        .split(",").map(_.trim).filter(_.nonEmpty)),
+      valueCol = req("value"))
+    val rolled = graft.ops.Rollup.build(catalog.table(table), meta.tsCol,
+      meta.grain, meta.dims, meta.valueCol).localCheckpoint()
+    graft.ops.IndexStore.write(rolled, meta.path)
+    rollups += table -> meta
+    s"rollup for $table created at ${meta.path} " +
+      s"(${rolled.count()} ${meta.grain} buckets)"
+  }
+
+  /** `rollup refresh where table = <t> and source = <table|path>` — fold
+    * a DELTA (a registered table/view or a parquet path) into the
+    * standing rollup; event history is never rescanned. */
+  private def rollupRefresh(t: String): String = {
+    val body = t.substring("rollup refresh".length).trim
+      .stripPrefix("where").trim
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(body).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("rollup refresh requires table ="))
+    val meta = rollups.getOrElse(table,
+      throw new IllegalArgumentException(s"no rollup registered for $table"))
+    val src = kv("source").getOrElse(
+      throw new IllegalArgumentException("rollup refresh requires source ="))
+    val delta =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val next = graft.ops.Rollup.refreshStore(spark, meta.path, delta,
+      meta.tsCol, meta.grain, meta.dims, meta.valueCol)
+    s"rollup for $table refreshed (${next.count()} ${meta.grain} buckets)"
   }
 
   private def dropPartition(t: String): String = {

@@ -41,12 +41,15 @@ import graft.dialect.Increments
 object Rollup {
 
   /** Rollup schema: `grain_ts` (ts truncated to `grain`), `dims...`,
-    * `n` count, `sum_dec` exact sum, `min_v`, `max_v`, `grain`. */
+    * `n` row count, `n_val` non-null value count (count(v)/avg(v) serve
+    * exactly under NULLs), `sum_dec` exact sum, `min_v`, `max_v`,
+    * `grain`. */
   def build(df: DataFrame, tsCol: String, grain: String,
       dims: Seq[String], valueCol: String): DataFrame = {
     Increments.unitSeconds(grain) // validates the unit name
     df.groupBy(date_trunc(grain, col(tsCol)).as("grain_ts") +: dims.map(col): _*)
       .agg(count(lit(1)).as("n"),
+        count(col(valueCol)).as("n_val"),
         sum(col(valueCol).cast(DecimalType(18, 2)))
           .cast(DecimalType(28, 2)).as("sum_dec"),
         min(col(valueCol)).as("min_v"),
@@ -71,6 +74,7 @@ object Rollup {
     a.unionByName(b)
       .groupBy(col("grain_ts") +: dims.map(col): _*)
       .agg(sum(col("n")).as("n"),
+        sum(col("n_val")).as("n_val"),
         sum(col("sum_dec")).cast(DecimalType(28, 2)).as("sum_dec"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))

@@ -282,3 +282,115 @@ class AppendPartitionSpec extends SparkSpec {
       ev.filter(col("ts") < "2024-01-05").count())
   }
 }
+
+class RollupServeSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  private def freshEngine(): (Engine, String) = {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet",
+      nanoTs = Seq("ts"))
+    val dir = java.nio.file.Files.createTempDirectory("rollsrv")
+      .resolve("roll").toString
+    (new Engine(spark, cat), dir)
+  }
+
+  private def touchesEvents(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.sparkPlan.toString.contains("events.parquet")
+
+  /** Collect (schema names+types, sorted row strings) for comparison. */
+  private def sig(df: org.apache.spark.sql.DataFrame) =
+    (df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      df.collect().map(_.toString).sorted.toSeq)
+
+  // the SERVE battery: every dialect shape the matcher accepts
+  private val servedQueries = Seq(
+    """sql edge "select increments(hour, 6, ts), count(*) as n, """ +
+      """sum(value) as s, min(value) as mn, max(value) as mx, """ +
+      """avg(value) as av from events """ +
+      """where ts >= '2024-01-05 00:00:00' and ts < '2024-01-20 00:00:00'"""",
+    // dims + default aliases + range agg + no WHERE
+    """sql edge "select event_type, increments(day, 1, ts), count(*), """ +
+      """sum(value), range(value) from events group by event_type"""",
+    // auto-sized increments over an aligned bounded range
+    """sql edge "select increments(ts), count(*) as n, avg(value) as av """ +
+      """from events where ts >= '2024-01-05 00:00:00' """ +
+      """and ts < '2024-01-20 00:00:00'"""",
+    // count(value) (null-aware path) + order by + limit
+    """sql edge "select increments(day, 7, ts), count(value) as nv """ +
+      """from events order by day_parent, day_bucket limit 3"""",
+    // year unit from a minute-grain rollup
+    """sql edge "select increments(year, 1, ts), count(*) as n from events"""")
+
+  // shapes the matcher must REFUSE (fallback stays correct)
+  private val fallbackQueries = Seq(
+    // unaligned lower bound (cuts inside a minute bucket)
+    """sql edge "select increments(hour, 1, ts), count(*) as n """ +
+      """from events where ts >= '2024-01-05 00:00:30' """ +
+      """and ts < '2024-01-06 00:00:00'"""",
+    // <= upper bound includes a single boundary instant, not its bucket
+    """sql edge "select increments(hour, 1, ts), count(*) as n """ +
+      """from events where ts >= '2024-01-05 00:00:00' """ +
+      """and ts <= '2024-01-06 00:00:00'"""",
+    // non-servable aggregate
+    """sql edge "select increments(day, 1, ts), """ +
+      """count(distinct event_type) as d from events"""",
+    // aggregate over a non-rollup column
+    """sql edge "select increments(day, 1, ts), sum(user_id) as s """ +
+      """from events"""",
+    // non-dim predicate
+    """sql edge "select increments(day, 1, ts), count(*) as n """ +
+      """from events where event_type = 'click'"""")
+
+  test("served rollup plans equal the base dialect plans, never scan events") {
+    val (engine, dir) = freshEngine()
+    val expected = (servedQueries ++ fallbackQueries).map(q => sig(engine.query(q)))
+    val msg = engine.execute("rollup create where table = events and " +
+      s"path = $dir and time = ts and value = value and " +
+      "grain = minute and dims = (event_type)")
+    assert(msg.contains("rollup for events created"))
+    servedQueries.zip(expected).foreach { case (q, exp) =>
+      val df = engine.query(q)
+      assert(!touchesEvents(df), s"not served from rollup: $q")
+      assert(sig(df) === exp, s"served result differs: $q")
+    }
+    fallbackQueries.zip(expected.drop(servedQueries.length)).foreach {
+      case (q, exp) =>
+        val df = engine.query(q)
+        assert(touchesEvents(df), s"expected fallback to base plan: $q")
+        assert(sig(df) === exp, s"fallback result differs: $q")
+    }
+    assert(engine.execute("get rollups").contains("grain=minute"))
+  }
+
+  test("rollup refresh folds a delta; serving reflects it without rescans") {
+    val cat = new Catalog(spark)
+    val dir0 = java.nio.file.Files.createTempDirectory("rollref")
+    // stage a split corpus: first half now, second half as the delta
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+    val half = dir0.resolve("half.parquet").toString
+    val delta = dir0.resolve("delta.parquet").toString
+    ev.filter(col("event_id") % 2 === 0).write.parquet(half)
+    ev.filter(col("event_id") % 2 === 1).write.parquet(delta)
+    cat.registerTable("events", half)
+    val engine = new Engine(spark, cat)
+    val rollDir = dir0.resolve("roll").toString
+    engine.execute("rollup create where table = events and " +
+      s"path = $rollDir and time = ts and value = value and grain = hour")
+    engine.execute(
+      s"rollup refresh where table = events and source = $delta")
+    val q = """sql edge "select increments(day, 1, ts), count(*) as n, """ +
+      """sum(value) as s from events""""
+    val served = engine.query(q)
+    assert(!served.queryExecution.sparkPlan.toString.contains("half.parquet"))
+    // equals the full corpus aggregated directly
+    val direct = ev
+      .groupBy(date_format(date_trunc("month", col("ts")), "yyyy-MM")
+          .as("day_parent"),
+        floor(dayofmonth(col("ts")) / 1).as("day_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("s"))
+    assert(served.collect().map(_.toString).sorted ===
+      direct.collect().map(_.toString).sorted)
+  }
+}
