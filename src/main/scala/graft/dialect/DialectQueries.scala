@@ -190,7 +190,49 @@ object DialectQueries {
         CAST(FLOOR((secs - FLOOR(secs)) * 100000) AS BIGINT)) AS span_hms
     FROM g ORDER BY l_returnflag"""
 
+  /** q102 — the ROLLUP-SERVED dialect path under the driver gate: an
+    * engine registers events, `rollup create`s a minute-grain standing
+    * rollup (event_type dim), and the increments(hour, 6) command is
+    * answered by dialect.RollupServe from rollup buckets — the QFn
+    * REQUIRES the served plan never scans the events parquet (a silent
+    * fallback would still be value-correct, so the gate alone can't see
+    * it; the plan assertion pins the serving path). The oracle is the
+    * direct full-scan aggregate: serving from incrementally-foldable
+    * DECIMAL partials is exact — the q100 argument, now end-to-end
+    * through the command surface. */
+  private val q102: QFn = (s, d) => {
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("events", s"$d/events.parquet", nanoTs = Seq("ts"))
+    val engine = new graft.engine.Engine(s, cat)
+    val dir = java.nio.file.Files.createTempDirectory("q102roll")
+      .resolve("roll").toString
+    engine.execute(s"rollup create where table = events and path = $dir " +
+      "and time = ts and value = value and grain = minute " +
+      "and dims = (event_type)")
+    val df = engine.query(
+      """sql edge "select event_type, increments(hour, 6, ts), """ +
+        """count(*) as n, sum(value) as sum_value, """ +
+        """min(value) as min_value, max(value) as max_value, """ +
+        """avg(value) as avg_value from events """ +
+        """where ts >= '2024-01-03 00:00:00' and ts < '2024-01-28 00:00:00' """ +
+        """order by event_type, hour_parent, hour_bucket"""")
+    require(!df.queryExecution.sparkPlan.toString.contains("events.parquet"),
+      "q102 fell back to the base plan — rollup serving did not engage")
+    df
+  }
+  private val q102Sql = s"""
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+        AS hour_parent,
+      CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS hour_bucket,
+      count(*) AS n, ${oSum("value")} AS sum_value,
+      min(value) AS min_value, max(value) AS max_value,
+      ${oAvg("value")} AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-28'
+    GROUP BY 1, 2, 3 ORDER BY event_type, hour_parent, hour_bucket"""
+
   val queries: Map[String, QFn] = Map(
+    "q102_rollup_served_dialect" -> q102,
     "q62_dialect_format_casts" -> q62,
     "q51_dialect_increments_month" -> q51,
     "q52_dialect_increments_year" -> q52,
@@ -204,6 +246,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q102_rollup_served_dialect" -> q102Sql,
     "q62_dialect_format_casts" -> q62Sql,
     "q51_dialect_increments_month" -> q51Sql,
     "q52_dialect_increments_year" -> q52Sql,
