@@ -132,6 +132,27 @@ class GrafanaRouteSpec extends SparkSpec {
     assert(df.columns.contains("avg_value"))
   }
 
+  test("grain-aligned increments dashboard request is served from a " +
+      "registered rollup (same rows, no event scan)") {
+    // 50 points over 3 days -> auto unit ~ hour-ish (coarser than the
+    // minute grain); the Z-range literals sit on day boundaries, so the
+    // matcher accepts and the dashboard never touches event history
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet",
+      nanoTs = Seq("ts"))
+    val engine = new Engine(spark, cat)
+    val before = GrafanaRoute.run(engine, payload)
+      .collect().map(_.toString).sorted
+    val dir = java.nio.file.Files.createTempDirectory("grafroll")
+      .resolve("roll").toString
+    engine.execute("rollup create where table = events and " +
+      s"path = $dir and time = ts and value = value and grain = minute")
+    val served = GrafanaRoute.run(engine, payload)
+    assert(!served.queryExecution.sparkPlan.toString
+      .contains("events.parquet"))
+    assert(served.collect().map(_.toString).sorted === before)
+  }
+
   test("query request gets the time range spliced in") {
     val r = GrafanaRoute.parse(payload).copy(requestType = "query",
       sql = Some("select count(*) as n from events"))
