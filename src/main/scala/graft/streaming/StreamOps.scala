@@ -387,4 +387,25 @@ object StreamOps {
     IndexStore.write(newBloom, bloomDir)
     kept.drop("__h")
   }
+
+  /** `foreachBatch` body keeping a STANDING ROLLUP fresh as events
+    * ingest ([[graft.ops.Rollup.refreshStore]] per micro-batch): the
+    * batch is the only event data scanned, late rows fold into their
+    * buckets with no watermark, and a registered rollup keeps serving
+    * dashboards ([[graft.dialect.RollupServe]]) that now include the
+    * batch. NOT replay-idempotent by itself — counts/sums would
+    * double-fold a replayed batch (unlike the dedup gates, there are no
+    * ids to exclude) — so pair it with checkpointed foreachBatch and
+    * skip already-committed batch ids:
+    * {{{ df.writeStream.foreachBatch { (b, id) =>
+    *       if (id > lastFolded(dir)) {
+    *         StreamOps.rollupIngestBatch(b, dir, "ts", "minute",
+    *           Seq("event_type"), "value")
+    *         recordFolded(dir, id)   // e.g. a marker file next to it
+    *       } } }}} */
+  def rollupIngestBatch(batch: DataFrame, rollupDir: String,
+      tsCol: String, grain: String, dims: Seq[String],
+      valueCol: String): DataFrame =
+    graft.ops.Rollup.refreshStore(batch.sparkSession, rollupDir, batch,
+      tsCol, grain, dims, valueCol)
 }

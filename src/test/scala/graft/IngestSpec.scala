@@ -654,3 +654,31 @@ class MalformedDocSpec extends SparkSpec {
     assert(all.filter(col("device").isNull).count() === 2)
   }
 }
+
+class RollupIngestSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("rollupIngestBatch keeps the standing rollup serving-fresh " +
+      "across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rollingest")
+      .resolve("roll").toString
+    def batch(rows: Seq[(Long, String, String, Double)]) =
+      graft.streaming.StreamOps.rollupIngestBatch(
+        rows.toDF("event_id", "s", "event_type", "value")
+          .withColumn("ts", col("s").cast("timestamp")).drop("s"),
+        dir, "ts", "minute", Seq("event_type"), "value")
+    batch(Seq((1L, "2024-01-01 10:00:10", "a", 1.25),
+      (2L, "2024-01-01 10:00:40", "b", 2.00)))
+    batch(Seq((3L, "2024-01-01 10:00:50", "a", 0.75),   // same minute, late
+      (4L, "2024-01-02 09:30:00", "a", 4.00)))
+    val roll = graft.ops.IndexStore.read(spark, dir).get
+    assert(graft.ops.IndexStore.currentVersion(spark, dir) === Some(2L))
+    val served = graft.ops.Rollup.serve(roll, "day", 1, Seq("event_type"))
+      .orderBy(col("bucket_i"), col("event_type"))
+      .collect().map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+    assert(served.toSeq === Seq(("a", 2L, 2.0), ("b", 1L, 2.0),
+      ("a", 1L, 4.0)))
+  }
+}
