@@ -64,23 +64,17 @@ object RollupServe {
       case _ => t.minusNanos(1) // unknown grain: never "aligned"
     }
 
-  /** The WHERE is ONLY ts-range bounds: strip every `ts op 'lit'` match
-    * and the AND connectors; anything left disqualifies. */
-  private def tsRangeOnly(where: String, tsCol: String): Boolean = {
-    val rx = ("(?i)\\b" + java.util.regex.Pattern.quote(tsCol) +
-      "\\s*(>=|<=|<|>)\\s*'[^']+'").r
-    rx.replaceAllIn(where, " ")
-      .replaceAll("(?i)\\band\\b", " ").trim.isEmpty
-  }
-
-  /** Aligned `>=` lower / `<` upper bounds, when the WHERE qualifies.
-    * (`>`/`<=` bounds cut INSIDE a bucket — a `>` lower excludes the
-    * boundary instant but not the rest of its bucket — so only the
-    * closed-open aligned form serves.) */
-  private def alignedBounds(where: String, tsCol: String, grain: String)
-      : Option[(Boolean, Boolean)] = {
-    if (!tsRangeOnly(where, tsCol)) return None
-    val rx = ("(?i)\\b" + java.util.regex.Pattern.quote(tsCol) +
+  /** The WHERE serves iff it is a pure conjunction of (a) `ts >= 'lit'` /
+    * `ts < 'lit'` bounds whose literals sit ON grain boundaries (`>` or
+    * `<=` or an unaligned literal cuts INSIDE a bucket — a `>` lower
+    * excludes the boundary instant but not the rest of its bucket) and
+    * (b) `dim = / != / <> literal` predicates over the rollup's dims
+    * (dims are group keys, so key filters commute with the
+    * re-aggregation and apply verbatim to bucket rows). Anything left
+    * after stripping those conjuncts and the ANDs disqualifies. */
+  private def servableWhere(where: String, tsCol: String, grain: String,
+      dims: Seq[String]): Boolean = {
+    val tsRx = ("(?i)\\b" + java.util.regex.Pattern.quote(tsCol) +
       "\\s*(>=|<=|<|>)\\s*'([^']+)'").r
     def parse(s: String): Option[LocalDateTime] =
       try Some(
@@ -89,14 +83,22 @@ object RollupServe {
         else LocalDateTime.parse(s.replace(' ', 'T')))
       catch { case _: Exception => None }
     var ok = true
-    rx.findAllMatchIn(where).foreach { m =>
+    tsRx.findAllMatchIn(where).foreach { m =>
       val aligned = parse(m.group(2)).exists(t => truncated(t, grain) == t)
       m.group(1) match {
         case ">=" | "<" => ok &&= aligned
-        case _ => ok = false // > or <= cuts inside a bucket
+        case _ => ok = false
       }
     }
-    if (ok) Some((true, true)) else None
+    if (!ok) return false
+    var residual = tsRx.replaceAllIn(where, " ")
+    if (dims.nonEmpty) {
+      val dimRx = ("(?i)\\b(" +
+        dims.map(java.util.regex.Pattern.quote).mkString("|") +
+        ")\\s*(=|!=|<>)\\s*('[^']*'|-?\\d+(\\.\\d+)?)").r
+      residual = dimRx.replaceAllIn(residual, " ")
+    }
+    residual.replaceAll("(?i)\\band\\b", " ").trim.isEmpty
   }
 
   /** Attempt the rewrite. None = not qualified; the caller falls back. */
@@ -117,7 +119,7 @@ object RollupServe {
       tz.map(z => DateLiterals.localizeLiterals(folded, z)).getOrElse(folded)
     }
     whereNorm.foreach { w =>
-      if (alignedBounds(w, meta.tsCol, meta.grain).isEmpty) return None
+      if (!servableWhere(w, meta.tsCol, meta.grain, meta.dims)) return None
     }
 
     // ---- classify the projection exactly like compileSelect; keys

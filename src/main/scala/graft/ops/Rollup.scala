@@ -67,11 +67,14 @@ object Rollup {
   }
 
   /** Merge two rollups of the same grain and dims: counts and exact sums
-    * add, min/max fold — decomposability is the whole design. */
+    * add, min/max fold — decomposability is the whole design. The grain
+    * check runs ONCE on the union (a mixed-grain pair surfaces as two
+    * distinct values there and fails just as loudly as checking each
+    * side, at half the jobs). */
   def merge(a: DataFrame, b: DataFrame, dims: Seq[String]): DataFrame = {
-    val (ga, gb) = (grainOf(a), grainOf(b))
-    require(ga == gb, s"grain mismatch: $ga vs $gb")
-    a.unionByName(b)
+    val u = a.unionByName(b)
+    val ga = grainOf(u) // loud on a mixed-grain pair
+    u
       .groupBy(col("grain_ts") +: dims.map(col): _*)
       .agg(sum(col("n")).as("n"),
         sum(col("n_val")).as("n_val"),

@@ -320,7 +320,13 @@ class RollupServeSpec extends SparkSpec {
     """sql edge "select increments(day, 7, ts), count(value) as nv """ +
       """from events order by day_parent, day_bucket limit 3"""",
     // year unit from a minute-grain rollup
-    """sql edge "select increments(year, 1, ts), count(*) as n from events"""")
+    """sql edge "select increments(year, 1, ts), count(*) as n from events"""",
+    // dim-equality predicates commute with the re-aggregation
+    """sql edge "select increments(day, 1, ts), count(*) as n, """ +
+      """avg(value) as av from events where event_type = 'click' """ +
+      """and ts >= '2024-01-05 00:00:00' and ts < '2024-01-20 00:00:00'"""",
+    """sql edge "select event_type, increments(day, 1, ts), count(*) as n """ +
+      """from events where event_type != 'error' group by event_type"""")
 
   // shapes the matcher must REFUSE (fallback stays correct)
   private val fallbackQueries = Seq(
@@ -338,9 +344,9 @@ class RollupServeSpec extends SparkSpec {
     // aggregate over a non-rollup column
     """sql edge "select increments(day, 1, ts), sum(user_id) as s """ +
       """from events"""",
-    // non-dim predicate
+    // non-dim, non-ts predicate (value is a measure, not a key)
     """sql edge "select increments(day, 1, ts), count(*) as n """ +
-      """from events where event_type = 'click'"""")
+      """from events where value > 50"""")
 
   test("served rollup plans equal the base dialect plans, never scan events") {
     val (engine, dir) = freshEngine()
