@@ -35,9 +35,9 @@ import graft.ops.{IndexStore, Rollup}
   * The served frame reproduces the dialect path's schema EXACTLY (same
   * bucket-column names and formats, same aggregate aliases and types):
   * count(*) re-aggregates as sum(n) (LongType, like count), sum as
-  * sum(sum_dec) cast double (decimal partials are order-exact — the
+  * sum(sum_dec_m) cast double (decimal partials are order-exact — the
   * same arithmetic-design argument as q100's oracle), avg as exact-sum /
-  * sum(n_val), min/max/range fold. `RollupServeSpec` proves equality
+  * sum(nv_m), min/max/range fold. `RollupServeSpec` proves equality
   * name-for-name and value-for-value against the base dialect plan, and
   * that the served plan never touches the base table's files.
   */
@@ -45,9 +45,9 @@ object RollupServe {
 
   /** A registered rollup: the standing artifact at `path` (an
     * [[IndexStore]] dir maintained by [[Rollup.refreshStore]]) built
-    * over `tsCol`/`valueCol` with `dims`, at `grain`. */
+    * over `tsCol` with `dims` and `valueCols` measures, at `grain`. */
   final case class Meta(path: String, tsCol: String, grain: String,
-      dims: Seq[String], valueCol: String)
+      dims: Seq[String], valueCols: Seq[String])
 
   private def isIdent(s: String): Boolean =
     s.matches("[A-Za-z_][A-Za-z0-9_]*")
@@ -172,16 +172,17 @@ object RollupServe {
           val arg = EdgeSql.argsOf(raw).trim
           val alias = item.alias.getOrElse(
             s"$f(${arg.replaceAll("\\s+", "")})".replace("*", "star"))
-          val v = meta.valueCol
+          val isM = meta.valueCols.contains(arg)
           val served: Column = (f, arg) match {
             case ("count", "*") => sum(col("n"))
-            case ("count", `v`) => sum(col("n_val"))
-            case ("sum", `v`) => sum(col("sum_dec")).cast(DoubleType)
-            case ("min", `v`) => min(col("min_v"))
-            case ("max", `v`) => max(col("max_v"))
-            case ("avg", `v`) =>
-              sum(col("sum_dec")).cast(DoubleType) / sum(col("n_val"))
-            case ("range", `v`) => abs(max(col("max_v")) - min(col("min_v")))
+            case ("count", m) if isM => sum(col(s"nv_$m"))
+            case ("sum", m) if isM => sum(col(s"sum_dec_$m")).cast(DoubleType)
+            case ("min", m) if isM => min(col(s"min_$m"))
+            case ("max", m) if isM => max(col(s"max_$m"))
+            case ("avg", m) if isM =>
+              sum(col(s"sum_dec_$m")).cast(DoubleType) / sum(col(s"nv_$m"))
+            case ("range", m) if isM =>
+              abs(max(col(s"max_$m")) - min(col(s"min_$m")))
             case _ => return None
           }
           aggCols :+= served.as(alias)
@@ -200,7 +201,8 @@ object RollupServe {
 
     // ---- the served plan ----
     val stored = IndexStore.read(spark, meta.path).getOrElse(return None)
-    if (!stored.columns.contains("n_val")) return None // pre-n_val artifact
+    if (!meta.valueCols.forall(m =>
+        stored.columns.contains(s"nv_$m"))) return None // stale artifact
     if (Rollup.grainOf(stored) != meta.grain) return None
     var df = stored.withColumnRenamed("grain_ts", meta.tsCol)
     whereNorm.foreach(w => df = df.filter(expr(w)))

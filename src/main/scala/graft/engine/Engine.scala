@@ -444,7 +444,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low == "get rollups") {
       if (rollups.isEmpty) "no rollups registered"
       else rollups.toSeq.sortBy(_._1).map { case (tbl, m) =>
-        s"$tbl: grain=${m.grain} time=${m.tsCol} value=${m.valueCol} " +
+        s"$tbl: grain=${m.grain} time=${m.tsCol} " +
+          s"value=${m.valueCols.mkString(",")} " +
           s"dims=${m.dims.mkString(",")} path=${m.path}"
       }.mkString("\n")
     }
@@ -888,14 +889,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     def req(k: String): String = kv(k).getOrElse(
       throw new IllegalArgumentException(s"rollup create requires $k ="))
     val table = req("table")
+    def list(v: String): Seq[String] = v.stripPrefix("(").stripSuffix(")")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val meta = graft.dialect.RollupServe.Meta(
       path = req("path"), tsCol = req("time"),
       grain = req("grain"),
-      dims = kv("dims").toSeq.flatMap(_.stripPrefix("(").stripSuffix(")")
-        .split(",").map(_.trim).filter(_.nonEmpty)),
-      valueCol = req("value"))
+      dims = kv("dims").toSeq.flatMap(list),
+      valueCols = list(req("value")))
     val rolled = graft.ops.Rollup.build(catalog.table(table), meta.tsCol,
-      meta.grain, meta.dims, meta.valueCol).localCheckpoint()
+      meta.grain, meta.dims, meta.valueCols).localCheckpoint()
     graft.ops.IndexStore.write(rolled, meta.path)
     rollups += table -> meta
     s"rollup for $table created at ${meta.path} " +
@@ -921,7 +923,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           catalog.viewNames.contains(src)) catalog.table(src)
       else spark.read.parquet(src)
     val next = graft.ops.Rollup.refreshStore(spark, meta.path, delta,
-      meta.tsCol, meta.grain, meta.dims, meta.valueCol)
+      meta.tsCol, meta.grain, meta.dims, meta.valueCols)
     s"rollup for $table refreshed (${next.count()} ${meta.grain} buckets)"
   }
 

@@ -18,12 +18,18 @@ import graft.dialect.Increments
   * combination per year — five orders of magnitude less input for every
   * dashboard refresh, maintained by scanning ONLY each ingest delta.
   *
-  * Exactness discipline (the q86/q94 lessons): the measure sum is kept as
-  * DECIMAL(28,2) — exact under ANY partial-aggregation order and ANY
-  * regrouping, so serving from the rollup is bit-identical to a direct
-  * full scan in every engine (float sums would drift on the re-aggregate;
-  * see CoreQueries `dsum`). `avg` is derived as exact-sum / exact-count
-  * at serve time, never maintained directly (averages don't compose).
+  * Exactness discipline (the q86/q94 lessons): each measure's sum is
+  * kept as DECIMAL(28,2) — exact under ANY partial-aggregation order and
+  * ANY regrouping, so serving from the rollup is bit-identical to a
+  * direct full scan in every engine (float sums would drift on the
+  * re-aggregate; see CoreQueries `dsum`). `avg` is derived as exact-sum
+  * / exact-count at serve time, never maintained directly (averages
+  * don't compose).
+  *
+  * MULTI-MEASURE: a rollup carries any number of measure columns, each
+  * with `nv_<m>` (non-null count — count(m)/avg(m) stay exact under
+  * NULLs), `sum_dec_<m>`, `min_<m>`, `max_<m>`; `n` is the shared row
+  * count. The single-measure overloads keep the original API.
   *
   * Late data needs no watermark: a delta row at ANY timestamp merges into
   * its bucket (a streaming windowed agg would have dropped it). Each
@@ -40,22 +46,34 @@ import graft.dialect.Increments
   */
 object Rollup {
 
+  /** The measure columns a rollup frame carries (from its schema). */
+  def measuresOf(rollup: DataFrame): Seq[String] =
+    rollup.columns.toSeq.collect {
+      case c if c.startsWith("sum_dec_") => c.stripPrefix("sum_dec_")
+    }
+
   /** Rollup schema: `grain_ts` (ts truncated to `grain`), `dims...`,
-    * `n` row count, `n_val` non-null value count (count(v)/avg(v) serve
-    * exactly under NULLs), `sum_dec` exact sum, `min_v`, `max_v`,
-    * `grain`. */
+    * `n` row count, then per measure `nv_<m>`, `sum_dec_<m>`,
+    * `min_<m>`, `max_<m>`, and the recorded `grain`. */
   def build(df: DataFrame, tsCol: String, grain: String,
-      dims: Seq[String], valueCol: String): DataFrame = {
+      dims: Seq[String], measures: Seq[String]): DataFrame = {
     Increments.unitSeconds(grain) // validates the unit name
+    require(measures.nonEmpty, "rollup needs at least one measure")
+    val aggs = count(lit(1)).as("n") +: measures.flatMap { m =>
+      Seq(count(col(m)).as(s"nv_$m"),
+        sum(col(m).cast(DecimalType(18, 2)))
+          .cast(DecimalType(28, 2)).as(s"sum_dec_$m"),
+        min(col(m)).as(s"min_$m"),
+        max(col(m)).as(s"max_$m"))
+    }
     df.groupBy(date_trunc(grain, col(tsCol)).as("grain_ts") +: dims.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        count(col(valueCol)).as("n_val"),
-        sum(col(valueCol).cast(DecimalType(18, 2)))
-          .cast(DecimalType(28, 2)).as("sum_dec"),
-        min(col(valueCol)).as("min_v"),
-        max(col(valueCol)).as("max_v"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("grain", lit(grain))
   }
+
+  def build(df: DataFrame, tsCol: String, grain: String,
+      dims: Seq[String], valueCol: String): DataFrame =
+    build(df, tsCol, grain, dims, Seq(valueCol))
 
   /** The recorded grain of a rollup; fails loudly on a mixed-grain
     * union (a rollup carries exactly one grain by construction). */
@@ -66,38 +84,47 @@ object Rollup {
     gs.headOption.map(_.getString(0)).getOrElse("second")
   }
 
-  /** Merge two rollups of the same grain and dims: counts and exact sums
-    * add, min/max fold — decomposability is the whole design. The grain
-    * check runs ONCE on the union (a mixed-grain pair surfaces as two
-    * distinct values there and fails just as loudly as checking each
-    * side, at half the jobs). */
+  /** Merge two rollups of the same grain, dims, and measures: counts and
+    * exact sums add, min/max fold — decomposability is the whole design.
+    * The grain check runs ONCE on the union (a mixed-grain pair surfaces
+    * as two distinct values there and fails just as loudly as checking
+    * each side, at half the jobs); a measure-set mismatch fails in
+    * unionByName. */
   def merge(a: DataFrame, b: DataFrame, dims: Seq[String]): DataFrame = {
     val u = a.unionByName(b)
     val ga = grainOf(u) // loud on a mixed-grain pair
-    u
-      .groupBy(col("grain_ts") +: dims.map(col): _*)
-      .agg(sum(col("n")).as("n"),
-        sum(col("n_val")).as("n_val"),
-        sum(col("sum_dec")).cast(DecimalType(28, 2)).as("sum_dec"),
-        min(col("min_v")).as("min_v"),
-        max(col("max_v")).as("max_v"))
+    val aggs = sum(col("n")).as("n") +: measuresOf(a).flatMap { m =>
+      Seq(sum(col(s"nv_$m")).as(s"nv_$m"),
+        sum(col(s"sum_dec_$m")).cast(DecimalType(28, 2)).as(s"sum_dec_$m"),
+        min(col(s"min_$m")).as(s"min_$m"),
+        max(col(s"max_$m")).as(s"max_$m"))
+    }
+    u.groupBy(col("grain_ts") +: dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("grain", lit(ga))
   }
 
   /** Fold a raw delta into a standing rollup — the delta is the ONLY
     * event data scanned. */
   def refresh(rollup: DataFrame, delta: DataFrame, tsCol: String,
-      dims: Seq[String], valueCol: String): DataFrame = {
+      dims: Seq[String], measures: Seq[String]): DataFrame = {
     val g = grainOf(rollup)
-    merge(rollup, build(delta, tsCol, g, dims, valueCol), dims)
+    merge(rollup, build(delta, tsCol, g, dims, measures), dims)
   }
+
+  def refresh(rollup: DataFrame, delta: DataFrame, tsCol: String,
+      dims: Seq[String], valueCol: String): DataFrame =
+    refresh(rollup, delta, tsCol, dims, Seq(valueCol))
 
   /** Answer `increments(unit, n, grain_ts)` from the rollup. Output: the
     * increments key columns (`bucket_ts` parent-trunc timestamp and
-    * `bucket_i` — single `bucket_i` for year), `dims...`, then
-    * `n, sum_value, min_value, max_value, avg_value` with the exact
-    * CoreQueries `dsum`/`davg` arithmetic. Fails if the query unit is
-    * finer than the rollup grain (those buckets are gone by design). */
+    * `bucket_i` — single `bucket_i` for year), `dims...`, shared `n`,
+    * then per measure `sum_<m>`, `min_<m>`, `max_<m>`, `avg_<m>` with
+    * the exact CoreQueries `dsum` arithmetic (`avg_<m>` divides by the
+    * ROW count `n` — the COUNT(*) denominator q100's oracle uses; the
+    * dialect's per-non-null avg lives in RollupServe, which divides by
+    * `nv_<m>`). Fails if the query unit is finer than the rollup grain
+    * (those buckets are gone by design). */
   def serve(rollup: DataFrame, unit: String, n: Int,
       dims: Seq[String] = Seq.empty): DataFrame = {
     val g = grainOf(rollup)
@@ -107,14 +134,16 @@ object Rollup {
       case Seq(single) => Seq(single.as("bucket_i"))
       case Seq(parent, idx) => Seq(parent.as("bucket_ts"), idx.as("bucket_i"))
     }
+    val aggs = sum(col("n")).as("n") +: measuresOf(rollup).flatMap { m =>
+      Seq(sum(col(s"sum_dec_$m")).cast(DoubleType).as(s"sum_$m"),
+        min(col(s"min_$m")).as(s"min_$m"),
+        max(col(s"max_$m")).as(s"max_$m"),
+        (sum(col(s"sum_dec_$m")).cast(DoubleType) / sum(col("n")))
+          .as(s"avg_$m"))
+    }
     rollup
       .groupBy(keyCols ++ dims.map(col): _*)
-      .agg(sum(col("n")).as("n"),
-        sum(col("sum_dec")).cast(DoubleType).as("sum_value"),
-        min(col("min_v")).as("min_value"),
-        max(col("max_v")).as("max_value"),
-        (sum(col("sum_dec")).cast(DoubleType) / sum(col("n")))
-          .as("avg_value"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Crash-atomic standing-rollup refresh: read the live version from
@@ -123,13 +152,18 @@ object Rollup {
     * per batch; event history is never re-read. */
   def refreshStore(spark: SparkSession, dir: String, delta: DataFrame,
       tsCol: String, grain: String, dims: Seq[String],
-      valueCol: String): DataFrame = {
+      measures: Seq[String]): DataFrame = {
     val next = IndexStore.read(spark, dir) match {
-      case Some(cur) => refresh(cur, delta, tsCol, dims, valueCol)
-      case None => build(delta, tsCol, grain, dims, valueCol)
+      case Some(cur) => refresh(cur, delta, tsCol, dims, measures)
+      case None => build(delta, tsCol, grain, dims, measures)
     }
     val out = next.localCheckpoint()
     IndexStore.write(out, dir)
     out
   }
+
+  def refreshStore(spark: SparkSession, dir: String, delta: DataFrame,
+      tsCol: String, grain: String, dims: Seq[String],
+      valueCol: String): DataFrame =
+    refreshStore(spark, dir, delta, tsCol, grain, dims, Seq(valueCol))
 }

@@ -369,6 +369,21 @@ class RollupServeSpec extends SparkSpec {
     assert(engine.execute("get rollups").contains("grain=minute"))
   }
 
+  test("multi-measure rollup serves aggregates over every registered measure") {
+    val (engine, dir) = freshEngine()
+    val q = """sql edge "select increments(day, 1, ts), count(*) as n, """ +
+      """sum(value) as sv, avg(user_id) as au, max(user_id) as mu, """ +
+      """count(user_id) as nu from events""""
+    val exp = sig(engine.query(q))
+    engine.execute("rollup create where table = events and " +
+      s"path = $dir and time = ts and value = (value, user_id) and " +
+      "grain = hour")
+    val df = engine.query(q)
+    assert(!touchesEvents(df), "multi-measure query not served")
+    assert(sig(df) === exp)
+    assert(engine.execute("get rollups").contains("value=value,user_id"))
+  }
+
   test("rollup refresh folds a delta; serving reflects it without rescans") {
     val cat = new Catalog(spark)
     val dir0 = java.nio.file.Files.createTempDirectory("rollref")

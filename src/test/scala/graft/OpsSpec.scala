@@ -1404,7 +1404,7 @@ class RollupSpec extends SparkSpec {
         .cast("timestamp")).collect()
     assert(b.length === 1)
     assert(b.head.getAs[Long]("n") === 2L)
-    assert(b.head.getAs[java.math.BigDecimal]("sum_dec")
+    assert(b.head.getAs[java.math.BigDecimal]("sum_dec_value")
       .compareTo(new java.math.BigDecimal("4.75")) === 0)
   }
 
