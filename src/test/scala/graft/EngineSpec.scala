@@ -384,6 +384,42 @@ class RollupServeSpec extends SparkSpec {
     assert(engine.execute("get rollups").contains("value=value,user_id"))
   }
 
+  test("property: registering a rollup NEVER changes any query's answer " +
+      "(random units, bounds, aggregates, predicates)") {
+    val (plain, _) = freshEngine()
+    val (rolled, dir) = freshEngine()
+    rolled.execute("rollup create where table = events and " +
+      s"path = $dir and time = ts and value = (value, user_id) and " +
+      "grain = minute and dims = (event_type)")
+    val rnd = new scala.util.Random(7)
+    val units = Seq("second", "minute", "hour", "day", "month", "year")
+    val aggPool = Seq("count(*) as n", "sum(value) as s",
+      "min(value) as mn", "max(value) as mx", "avg(value) as av",
+      "range(value) as rv", "count(value) as nv", "sum(user_id) as su",
+      "avg(user_id) as au", "count(distinct event_type) as d")
+    val wheres = Seq(None,
+      Some("ts >= '2024-01-03 00:00:00' and ts < '2024-01-20 00:00:00'"),
+      Some("ts >= '2024-01-03 00:00:30' and ts < '2024-01-20 00:00:00'"),
+      Some("ts >= '2024-01-03 00:00:00' and ts <= '2024-01-20 00:00:00'"),
+      Some("event_type = 'click' and ts >= '2024-01-03 00:00:00' " +
+        "and ts < '2024-01-20 00:00:00'"),
+      Some("value > 50"))
+    for (_ <- 1 to 20) {
+      val unit = units(rnd.nextInt(units.length))
+      val n = Seq(1, 2, 5, 6, 10)(rnd.nextInt(5))
+      val aggs = rnd.shuffle(aggPool).take(1 + rnd.nextInt(3))
+      val dim = if (rnd.nextBoolean()) Seq("event_type") else Nil
+      val where = wheres(rnd.nextInt(wheres.length))
+        .map(w => s" where $w").getOrElse("")
+      val q = s"""sql edge "select ${(dim :+
+        s"increments($unit, $n, ts)").mkString(", ")}, ${
+        aggs.mkString(", ")} from events$where""""
+      val a = plain.query(q).collect().map(_.toString).sorted.toSeq
+      val b = rolled.query(q).collect().map(_.toString).sorted.toSeq
+      assert(a === b, s"rollup registration changed the answer for: $q")
+    }
+  }
+
   test("rollup refresh folds a delta; serving reflects it without rescans") {
     val cat = new Catalog(spark)
     val dir0 = java.nio.file.Files.createTempDirectory("rollref")
