@@ -1214,4 +1214,98 @@ object Similarity {
       .agg(max(col("cos_sim")).as("cos_sim"))
   }
 
+  // -------------------------------------------------------------------
+  // Standing IVF index — ANN serving from a persisted artifact
+  // -------------------------------------------------------------------
+
+  /** Build a STANDING IVF index: every corpus vector with its nearest
+    * centroid, plus the centroid table itself, in ONE frame (`role` =
+    * "row" | "cent") so the whole artifact commits through a single
+    * [[IndexStore]] dir. The centroids travel WITH the index (the
+    * geometry discipline): [[refreshIvfIndex]] assigns new vectors to
+    * the RECORDED centroids — classic IVF add, no re-clustering, cells
+    * stay aligned across batches — and [[ivfSearchIndex]] reads them
+    * for probe routing. `numCentroids = 0` derives
+    * [[Dedup.deriveCells]](corpus count): ~targetRows vectors per cell,
+    * so within-cell search cost stays constant as the corpus grows. */
+  def ivfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      numCentroids: Int = 0, kmeansIters: Int = 0): DataFrame = {
+    val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      F.dotF(col(vecCol), col(vecCol)).as("n2"))
+    val nc = if (numCentroids > 0) numCentroids
+      else Dedup.deriveCells(corpus.count())
+    val cents =
+      if (kmeansIters > 0)
+        kmeansCentroids(corpus, vecCol, idCol, nc, kmeansIters)
+      else e.orderBy(col("id")).limit(nc)
+        .select(col("id").as("cent_id"), col("v").as("cv"),
+          col("n2").as("cn2"))
+    assign(e, cents).drop("dist2")
+      .withColumn("role", lit("row"))
+      .unionByName(cents
+        .select(col("cent_id").as("id"), col("cv").as("v"),
+          col("cn2").as("n2"), col("cent_id"))
+        .withColumn("role", lit("cent")))
+  }
+
+  /** The centroid table recorded inside a standing IVF index. */
+  def ivfCentroids(index: DataFrame): DataFrame =
+    index.filter(col("role") === "cent")
+      .select(col("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+
+  /** Fold new vectors into the standing index: assign to the RECORDED
+    * centroids and append — the corpus is never re-read, and existing
+    * cell boundaries never move (rebuild with [[ivfIndex]] when mean
+    * cell occupancy outgrows the [[Dedup.deriveCells]] target).
+    * Replay-safe the ingest-gate way: rows carrying the batch's own ids
+    * are dropped before the fold. */
+  def refreshIvfIndex(index: DataFrame, newVecs: DataFrame,
+      vecCol: String, idCol: String): DataFrame = {
+    val e = newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      F.dotF(col(vecCol), col(vecCol)).as("n2"))
+    index
+      .join(e.select(col("id")).withColumnRenamed("id", "__bid"),
+        col("id") === col("__bid") && col("role") === "row", "left_anti")
+      .unionByName(assign(e, ivfCentroids(index)).drop("dist2")
+        .withColumn("role", lit("row")))
+  }
+
+  /** Serve top-k cosine neighbors for `queries` from the standing
+    * index. Probes route to their `nprobe` nearest centroids (nprobe >
+    * 1 recovers neighbors that fell across a cell boundary — the
+    * standard IVF recall lever) and search ONLY those cells: broadcast
+    * probes against cell-pruned corpus rows, one window for the top-k.
+    * Self-matches (same id) are excluded like bruteForceTopK. */
+  def ivfSearchIndex(index: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(k >= 1 && nprobe >= 1)
+    val cents = ivfCentroids(index)
+    val rows = index.filter(col("role") === "row")
+      .select(col("id"), col("v"), col("n2"), col("cent_id"))
+    val probes = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_v"),
+        F.dotF(col(vecCol), col(vecCol)).as("q_n2"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("q_v"), col("q_n2"), col("cent_id"),
+        (col("q_n2") - lit(2.0) * F.dotF(col("q_v"), col("cv"))
+          + col("cn2")).as("dist2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("dist2"), col("cent_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("q_v"), col("q_n2"), col("cent_id"))
+    broadcast(probes)
+      .join(rows, Seq("cent_id"))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"),
+        (F.dotF(col("q_v"), col("v"))
+          / (sqrt(col("q_n2")) * sqrt(col("n2")))).as("cos_sim"))
+      // nprobe > 1 can reach the same corpus row via two cells? No —
+      // every row lives in exactly ONE cell, so (q_id, id) pairs are
+      // unique and no dedup aggregate is needed before the rank.
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("id"))))
+      .filter(col("rank") <= k)
+  }
 }

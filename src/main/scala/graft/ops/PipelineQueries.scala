@@ -1921,9 +1921,58 @@ object PipelineQueries {
         AS false_pos
     FROM hit JOIN ex USING (doc_id) ORDER BY doc_id"""
 
+  /** q103 — STANDING IVF index: built over the corpus (vec_id < 400,
+    * 8 seed centroids), incrementally refreshed with the new batch
+    * (vec_id >= 400 assigns to the RECORDED centroids — cells never
+    * move), then served at nprobe=2 (each probe searches its two
+    * nearest cells — the IVF recall lever). The oracle recomputes the
+    * whole chain from scratch; equality holds because the fold's
+    * centroid set IS the from-scratch seed set (8 smallest corpus ids)
+    * and assignment arithmetic is the identical |v|^2 - 2v.c + |c|^2
+    * left-fold — the incremental path provably converges to the batch
+    * rebuild (Similarity.{ivfIndex, refreshIvfIndex, ivfSearchIndex}). */
+  private val q103: QFn = (s, d) => {
+    val vecs = wide(s, d, "embeddings", "vec_id")
+    val idx = Similarity.refreshIvfIndex(
+      Similarity.ivfIndex(vecs.filter(col("vec_id") < 400),
+        "embedding", "vec_id", numCentroids = 8),
+      vecs.filter(col("vec_id") >= 400), "embedding", "vec_id")
+    Similarity.ivfSearchIndex(idx, vecs.filter(col("vec_id") < 20),
+        "embedding", "vec_id", k = 3, nprobe = 2)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val q103Sql = s"""
+    WITH e AS (SELECT vec_id, embedding,
+        ${dDot("embedding", "embedding")} AS n2 FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, embedding AS cemb, n2 AS cn2
+      FROM (SELECT * FROM e WHERE vec_id < 400 ORDER BY vec_id LIMIT 8)),
+    scored AS (SELECT e.vec_id, e.embedding, e.n2, c.cent_id,
+        e.n2 - 2.0 * ${dDot("e.embedding", "c.cemb")} + c.cn2 AS dist2
+      FROM e, c),
+    assigned AS (SELECT vec_id, embedding, n2, cent_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist2, cent_id) AS rn FROM scored) WHERE rn = 1),
+    pcells AS (SELECT vec_id AS q_id, embedding AS q_emb, n2 AS q_n2,
+        cent_id AS q_cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist2, cent_id) AS rn FROM scored WHERE vec_id < 20)
+      WHERE rn <= 2),
+    srch AS (SELECT p.q_id, v.vec_id,
+        ${dDot("p.q_emb", "v.embedding")} / (sqrt(p.q_n2) * sqrt(v.n2))
+          AS cos_sim
+      FROM pcells p JOIN assigned v ON v.cent_id = p.q_cell
+        AND p.q_id != v.vec_id)
+    SELECT q_id, rank, vec_id, cos_sim FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, vec_id) AS INT) AS rank FROM srch)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
   // =====================================================================
 
   val queries: Map[String, QFn] = Map(
+    "q103_ivf_standing_index" -> q103,
     "q101_bloom_gate" -> q101,
     "q99_neardup_multitable" -> q99,
     "q98_duplicate_spans_hashfirst" -> q98,
@@ -1978,6 +2027,7 @@ object PipelineQueries {
     "q38_binary_columns" -> q38)
 
   val oracles: Map[String, String] = Map(
+    "q103_ivf_standing_index" -> q103Sql,
     "q101_bloom_gate" -> q101Sql,
     "q99_neardup_multitable" -> q99Sql,
     "q98_duplicate_spans_hashfirst" -> q97Sql,

@@ -1558,3 +1558,77 @@ class BloomSpec extends SparkSpec {
     assert(missing === 0L)
   }
 }
+
+class IvfIndexSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.{IndexStore, Similarity}
+
+  private def embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+
+  test("standing index at nprobe=1 reproduces ivfTopK exactly") {
+    val idx = Similarity.ivfIndex(embs, "embedding", "vec_id",
+      numCentroids = 8)
+    val viaIndex = Similarity.ivfSearchIndex(idx,
+        embs.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 3, nprobe = 1)
+      .select("q_id", "id", "rank").collect().map(_.toString).sorted
+    val direct = Similarity.ivfTopK(embs, col("id") < 5, "embedding",
+        "vec_id", k = 3, numCentroids = 8)
+      .select("q_id", "id", "rank").collect().map(_.toString).sorted
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex === direct)
+  }
+
+  test("incremental fold equals the from-scratch index; replay-safe") {
+    val first = embs.filter(col("vec_id") < 30)
+    val batch = embs.filter(col("vec_id") >= 30 && col("vec_id") < 60)
+    val folded = Similarity.refreshIvfIndex(
+      Similarity.ivfIndex(first, "embedding", "vec_id", numCentroids = 4),
+      batch, "embedding", "vec_id")
+    // seed centroids = 4 smallest ids, all inside `first`, so the
+    // from-scratch index over the union has the SAME cells
+    val scratch = Similarity.ivfIndex(
+      embs.filter(col("vec_id") < 60), "embedding", "vec_id",
+      numCentroids = 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("role", "id", "cent_id").collect()
+      .map(_.toString).sorted
+    assert(key(folded) === key(scratch))
+    // replaying the same batch leaves the index unchanged
+    assert(key(Similarity.refreshIvfIndex(folded, batch,
+      "embedding", "vec_id")) === key(folded))
+  }
+
+  test("nprobe widens recall monotonically toward brute force") {
+    val idx = Similarity.ivfIndex(embs, "embedding", "vec_id",
+      numCentroids = 16)
+    val probes = embs.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(embs, probes, "embedding",
+        "vec_id", k = 5)
+      .select(col("q_id"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(np: Int): Int = Similarity.ivfSearchIndex(idx, probes,
+        "embedding", "vec_id", k = 5, nprobe = np)
+      .select(col("q_id"), col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(truth).size
+    val h1 = hits(1); val h4 = hits(4); val h16 = hits(16)
+    assert(h1 <= h4 && h4 <= h16)
+    assert(h16 === truth.size) // nprobe = all cells == exhaustive
+  }
+
+  test("roundtrips through IndexStore") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx")
+      .resolve("idx").toString
+    val idx = Similarity.ivfIndex(embs.filter(col("vec_id") < 100),
+      "embedding", "vec_id", numCentroids = 4)
+    IndexStore.write(idx, dir)
+    val back = IndexStore.read(spark, dir).get
+    assert(Similarity.ivfCentroids(back).count() === 4)
+    val served = Similarity.ivfSearchIndex(back,
+      embs.filter(col("vec_id") >= 100 && col("vec_id") < 105),
+      "embedding", "vec_id", k = 2)
+    assert(served.groupBy(col("q_id")).count()
+      .filter(col("count") =!= 2).count() === 0)
+  }
+}
