@@ -441,6 +441,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("drop partition ")) dropPartition(t)
     else if (low.startsWith("rollup create")) rollupCreate(t)
     else if (low.startsWith("rollup refresh")) rollupRefresh(t)
+    else if (low.startsWith("rollup drop")) {
+      val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "rollup drop requires table ="))
+      require(rollups.contains(table), s"no rollup registered for $table")
+      rollups -= table // unregister only; the artifact stays on disk
+      s"rollup for $table dropped"
+    }
     else if (low == "get rollups") {
       if (rollups.isEmpty) "no rollups registered"
       else rollups.toSeq.sortBy(_._1).map { case (tbl, m) =>

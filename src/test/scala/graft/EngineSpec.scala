@@ -367,6 +367,11 @@ class RollupServeSpec extends SparkSpec {
         assert(sig(df) === exp, s"fallback result differs: $q")
     }
     assert(engine.execute("get rollups").contains("grain=minute"))
+    // drop unregisters: the same query falls back to the base plan
+    assert(engine.execute("rollup drop where table = events")
+      .contains("dropped"))
+    assert(touchesEvents(engine.query(servedQueries.head)))
+    assert(engine.execute("get rollups") === "no rollups registered")
   }
 
   test("multi-measure rollup serves aggregates over every registered measure") {
