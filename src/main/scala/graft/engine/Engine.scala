@@ -441,6 +441,25 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("drop partition ")) dropPartition(t)
     else if (low.startsWith("rollup create")) rollupCreate(t)
     else if (low.startsWith("rollup refresh")) rollupRefresh(t)
+    else if (low.startsWith("rollup attach")) {
+      // re-register an existing artifact after an engine restart — the
+      // rollup records its own metadata (grain, ts_col, measures, dims),
+      // so the files alone are enough
+      def kv(k: String): Option[String] =
+        s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+      val table = kv("table").getOrElse(throw new IllegalArgumentException(
+        "rollup attach requires table ="))
+      val path = kv("path").getOrElse(throw new IllegalArgumentException(
+        "rollup attach requires path ="))
+      val stored = graft.ops.IndexStore.read(spark, path).getOrElse(
+        throw new IllegalArgumentException(s"no rollup artifact at $path"))
+      val (tsCol, grain, dims, measures) = graft.ops.Rollup.metaOf(stored)
+      rollups += table -> graft.dialect.RollupServe.Meta(
+        path, tsCol, grain, dims, measures)
+      s"rollup for $table attached from $path " +
+        s"(grain=$grain dims=${dims.mkString(",")} " +
+        s"measures=${measures.mkString(",")})"
+    }
     else if (low.startsWith("rollup drop")) {
       val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
         .map(_.group(1)).getOrElse(throw new IllegalArgumentException(

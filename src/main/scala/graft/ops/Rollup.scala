@@ -52,6 +52,22 @@ object Rollup {
       case c if c.startsWith("sum_dec_") => c.stripPrefix("sum_dec_")
     }
 
+  /** Recover the full registration metadata from a stored rollup —
+    * the artifact records everything (`grain`, `ts_col`, measures from
+    * the `sum_dec_<m>` columns, dims = whatever is left), so a restarted
+    * engine can re-register it from the files alone (`rollup attach`). */
+  def metaOf(rollup: DataFrame): (String, String, Seq[String], Seq[String]) = {
+    require(rollup.columns.contains("ts_col"),
+      "rollup artifact predates ts_col recording — rebuild it")
+    val grain = grainOf(rollup)
+    val tsCol = rollup.select(col("ts_col")).take(1).head.getString(0)
+    val measures = measuresOf(rollup)
+    val known = Set("grain_ts", "n", "grain", "ts_col") ++
+      measures.flatMap(m => Seq(s"nv_$m", s"sum_dec_$m", s"min_$m", s"max_$m"))
+    val dims = rollup.columns.toSeq.filterNot(known)
+    (tsCol, grain, dims, measures)
+  }
+
   /** Rollup schema: `grain_ts` (ts truncated to `grain`), `dims...`,
     * `n` row count, then per measure `nv_<m>`, `sum_dec_<m>`,
     * `min_<m>`, `max_<m>`, and the recorded `grain`. */
@@ -69,6 +85,7 @@ object Rollup {
     df.groupBy(date_trunc(grain, col(tsCol)).as("grain_ts") +: dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("grain", lit(grain))
+      .withColumn("ts_col", lit(tsCol))
   }
 
   def build(df: DataFrame, tsCol: String, grain: String,
@@ -99,9 +116,13 @@ object Rollup {
         min(col(s"min_$m")).as(s"min_$m"),
         max(col(s"max_$m")).as(s"max_$m"))
     }
+    val tc = u.select(col("ts_col")).distinct().take(2)
+    require(tc.length == 1, "mixed ts_col rollup: " +
+      tc.map(_.getString(0)).sorted.mkString(", "))
     u.groupBy(col("grain_ts") +: dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("grain", lit(ga))
+      .withColumn("ts_col", lit(tc.head.getString(0)))
   }
 
   /** Fold a raw delta into a standing rollup — the delta is the ONLY

@@ -374,6 +374,25 @@ class RollupServeSpec extends SparkSpec {
     assert(engine.execute("get rollups") === "no rollups registered")
   }
 
+  test("rollup attach re-registers from the artifact alone after a restart") {
+    val (engine1, dir) = freshEngine()
+    engine1.execute("rollup create where table = events and " +
+      s"path = $dir and time = ts and value = (value, user_id) and " +
+      "grain = minute and dims = (event_type)")
+    val q = servedQueries.head
+    val expected = sig(engine1.query(q))
+    // a RESTARTED engine: fresh instance, no in-memory registration
+    val (engine2, _) = freshEngine()
+    assert(touchesEvents(engine2.query(q))) // not registered yet
+    val msg = engine2.execute(
+      s"rollup attach where table = events and path = $dir")
+    assert(msg.contains("grain=minute") && msg.contains("event_type")
+      && msg.contains("value,user_id"), msg)
+    val df = engine2.query(q)
+    assert(!touchesEvents(df), "attached rollup did not serve")
+    assert(sig(df) === expected)
+  }
+
   test("multi-measure rollup serves aggregates over every registered measure") {
     val (engine, dir) = freshEngine()
     val q = """sql edge "select increments(day, 1, ts), count(*) as n, """ +
