@@ -109,20 +109,22 @@ object Rollup {
     * unionByName. */
   def merge(a: DataFrame, b: DataFrame, dims: Seq[String]): DataFrame = {
     val u = a.unionByName(b)
-    val ga = grainOf(u) // loud on a mixed-grain pair
+    // ONE validation job for both identity columns (each distinct probe
+    // recomputes the whole union lineage on in-memory fold chains)
+    val meta = u.select(col("grain"), col("ts_col")).distinct().take(2)
+    require(meta.length == 1, "mixed-identity rollup union: " +
+      meta.map(r => s"(grain=${r.getString(0)}, ts_col=${r.getString(1)})")
+        .sorted.mkString(", "))
     val aggs = sum(col("n")).as("n") +: measuresOf(a).flatMap { m =>
       Seq(sum(col(s"nv_$m")).as(s"nv_$m"),
         sum(col(s"sum_dec_$m")).cast(DecimalType(28, 2)).as(s"sum_dec_$m"),
         min(col(s"min_$m")).as(s"min_$m"),
         max(col(s"max_$m")).as(s"max_$m"))
     }
-    val tc = u.select(col("ts_col")).distinct().take(2)
-    require(tc.length == 1, "mixed ts_col rollup: " +
-      tc.map(_.getString(0)).sorted.mkString(", "))
     u.groupBy(col("grain_ts") +: dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("grain", lit(ga))
-      .withColumn("ts_col", lit(tc.head.getString(0)))
+      .withColumn("grain", lit(meta.head.getString(0)))
+      .withColumn("ts_col", lit(meta.head.getString(1)))
   }
 
   /** Fold a raw delta into a standing rollup — the delta is the ONLY
