@@ -90,7 +90,16 @@ object IndexStore {
     * previous committed version — a concurrent reader that resolved the
     * old version just before this commit can finish its scan (readers
     * lag by at most one write; the grandparent is gone by then). */
-  def write(df: DataFrame, dir: String): Long = {
+  def write(df: DataFrame, dir: String): Long = write(df, dir, None)
+
+  /** As [[write]], optionally stamping a `tag` INSIDE the new version
+    * directory BEFORE the commit marker — the tag becomes visible
+    * atomically WITH the version (there is no state where the data
+    * committed but the tag didn't), which is what an exactly-once
+    * foreachBatch fold needs ([[hasTag]] + retained-previous-version
+    * pruning give a two-version lookback — enough for checkpointed
+    * strictly-increasing batch ids that retry at most the last batch). */
+  def write(df: DataFrame, dir: String, tag: Option[String]): Long = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, dir)
     // number above every existing dir, dirty ones included, so a
@@ -99,6 +108,9 @@ object IndexStore {
     val next = before.map(_._1).maxOption.getOrElse(0L) + 1L
     val vDir = s"$dir/v=$next"
     df.write.mode("overwrite").parquet(vDir)
+    tag.foreach { t =>
+      fs.create(new Path(vDir, s"_GRAFT_TAG_$t"), false).close()
+    }
     // the commit point: one atomically-visible file create
     fs.create(new Path(vDir, Marker), false).close()
     // prune: everything older than the previous committed version,
@@ -112,5 +124,14 @@ object IndexStore {
       if (st.isFile) fs.delete(st.getPath, false)
     }
     next
+  }
+
+  /** True iff any LIVE committed version (current or the retained
+    * previous) carries `tag`. Pruned versions take their tags with
+    * them — callers must only rely on a two-write lookback. */
+  def hasTag(spark: SparkSession, dir: String, tag: String): Boolean = {
+    val (fs, _) = fsOf(spark, dir)
+    versions(spark, dir).collect { case (n, true) => n }.exists(n =>
+      fs.exists(new Path(s"$dir/v=$n", s"_GRAFT_TAG_$tag")))
   }
 }

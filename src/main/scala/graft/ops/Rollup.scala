@@ -175,13 +175,13 @@ object Rollup {
     * per batch; event history is never re-read. */
   def refreshStore(spark: SparkSession, dir: String, delta: DataFrame,
       tsCol: String, grain: String, dims: Seq[String],
-      measures: Seq[String]): DataFrame = {
+      measures: Seq[String], tag: Option[String] = None): DataFrame = {
     val next = IndexStore.read(spark, dir) match {
       case Some(cur) => refresh(cur, delta, tsCol, dims, measures)
       case None => build(delta, tsCol, grain, dims, measures)
     }
     val out = next.localCheckpoint()
-    IndexStore.write(out, dir)
+    IndexStore.write(out, dir, tag)
     out
   }
 

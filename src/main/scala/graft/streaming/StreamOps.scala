@@ -408,4 +408,31 @@ object StreamOps {
       valueCol: String): DataFrame =
     graft.ops.Rollup.refreshStore(batch.sparkSession, rollupDir, batch,
       tsCol, grain, dims, valueCol)
+
+  /** EXACTLY-ONCE variant of [[rollupIngestBatch]] keyed by the
+    * foreachBatch `batchId`: the batch tag commits ATOMICALLY with the
+    * fold (a `_GRAFT_TAG_batch_<id>` file inside the new version dir,
+    * created before the version's commit marker — there is no state
+    * where the fold committed but the tag didn't, so the
+    * marker-after-commit double-fold window does not exist). A batch
+    * whose tag is visible on a LIVE version is skipped, turning
+    * at-least-once replay into a no-op. IndexStore retains the
+    * previous committed version, so the lookback covers the current
+    * and prior fold — exactly what checkpointed Structured Streaming
+    * needs (batch ids strictly increase; only the last batch
+    * retries). Returns true when the batch folded, false when its tag
+    * showed it already had. */
+  def rollupIngestBatchOnce(batch: DataFrame, batchId: Long,
+      rollupDir: String, tsCol: String, grain: String,
+      dims: Seq[String], valueCol: String): Boolean = {
+    import graft.ops.{IndexStore, Rollup}
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    if (IndexStore.hasTag(spark, rollupDir, tag)) false
+    else {
+      Rollup.refreshStore(spark, rollupDir, batch, tsCol, grain, dims,
+        Seq(valueCol), Some(tag))
+      true
+    }
+  }
 }

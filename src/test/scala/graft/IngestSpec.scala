@@ -681,4 +681,26 @@ class RollupIngestSpec extends SparkSpec {
     assert(served.toSeq === Seq(("a", 2L, 2.0), ("b", 1L, 2.0),
       ("a", 1L, 4.0)))
   }
+
+  test("rollupIngestBatchOnce skips a replayed batch id — counts never " +
+      "double-fold, markers survive later commits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rollonce")
+      .resolve("roll").toString
+    def once(id: Long, rows: Seq[(Long, String, String, Double)]) =
+      graft.streaming.StreamOps.rollupIngestBatchOnce(
+        rows.toDF("event_id", "s", "event_type", "value")
+          .withColumn("ts", col("s").cast("timestamp")).drop("s"),
+        id, dir, "ts", "minute", Seq.empty, "value")
+    val b1 = Seq((1L, "2024-01-01 10:00:10", "a", 1.0))
+    val b2 = Seq((2L, "2024-01-01 10:01:00", "a", 2.0))
+    assert(once(0L, b1) === true)
+    assert(once(0L, b1) === false) // at-least-once replay: skipped
+    assert(once(1L, b2) === true)  // later commit didn't wipe marker 0
+    assert(once(0L, b1) === false)
+    val n = graft.ops.Rollup.serve(
+        graft.ops.IndexStore.read(spark, dir).get, "day", 1)
+      .agg(sum(col("n"))).collect().head.getLong(0)
+    assert(n === 2L) // each batch folded exactly once
+  }
 }
