@@ -704,3 +704,71 @@ class RollupIngestSpec extends SparkSpec {
     assert(n === 2L) // each batch folded exactly once
   }
 }
+
+class IngestChainE2ESpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("the full ingest story on one checkpointed stream: exact gate -> " +
+      "near-dup gate -> corpus append + rollup fold, replay-safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("chain")
+    val exactDir = root.resolve("exact").toString
+    val ndDir = root.resolve("shingles").toString
+    val corpusDir = root.resolve("corpus").toString
+    val rollDir = root.resolve("roll").toString
+
+    val mem = MemoryStream[(Long, String, String)]
+    val src = mem.toDF().toDF("doc_id", "ts0", "text")
+      .select(col("doc_id"), col("ts0").cast("timestamp").as("ts"),
+        col("text"))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        // gate 1: content identity (standing bloom + hash index)
+        val uniq = graft.streaming.StreamOps.exactDedupIngestBatch(
+          b, exactDir, "text", "doc_id")
+        // gate 2: near-duplicates vs the standing shingle index
+        val kept = graft.streaming.StreamOps.nearDupIngestBatch(
+          uniq, ndDir, "text", "doc_id")
+        // corpus append + serving-fresh rollup of doc length, at most
+        // once per batch id
+        val enriched = kept.withColumn("n_chars",
+          length(col("text")).cast("double"))
+        enriched.write.mode("append").parquet(corpusDir)
+        graft.streaming.StreamOps.rollupIngestBatchOnce(enriched, id,
+          rollDir, "ts", "minute", Seq.empty, "n_chars")
+        ()
+      }.start()
+    try {
+      mem.addData(
+        (1L, "2024-01-01 10:00:05", "alpha beta gamma delta"),
+        (2L, "2024-01-01 10:00:20", "alpha beta gamma delta"), // exact dup
+        (3L, "2024-01-01 10:00:40", "epsilon zeta eta theta"))
+      q.processAllAvailable()
+      mem.addData(
+        (10L, "2024-01-01 10:01:10", "alpha beta gamma delta"), // exact vs standing
+        (11L, "2024-01-01 10:01:30",
+          "epsilon zeta eta theta iota"), // near-dup vs standing
+        (12L, "2024-01-01 10:01:50", "completely different words here"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").as[Long].collect().sorted ===
+      Array(1L, 3L, 12L))
+    // the rollup served the same accepted docs, exactly once each
+    val served = graft.ops.Rollup.serve(
+        graft.ops.IndexStore.read(spark, rollDir).get, "hour", 1)
+      .agg(sum(col("n")).as("n")).collect().head.getLong(0)
+    assert(served === 3L)
+    // standing artifacts are live and versioned; the exact gate's index
+    // holds every CONTENT-unique doc it admitted (1, 3, 11, 12) — doc 11
+    // fell to the LATER near-dup gate, which rightly doesn't rewind the
+    // exact gate's state (a future doc 11 twin is still an exact dup)
+    assert(graft.ops.IndexStore.read(spark, s"$exactDir/hashes").get
+      .count() === 4L)
+    assert(graft.ops.IndexStore.currentVersion(spark, rollDir)
+      .isDefined)
+  }
+}
