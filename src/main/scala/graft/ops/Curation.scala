@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines:
+  *
+  *  - DSIR-style hashed n-gram importance resampling (Xie et al. 2023,
+  *    "Data Selection for Language Models via Importance Resampling"):
+  *    score every raw-pool document by how target-like its hashed
+  *    unigram+bigram feature distribution is, select the top scorers.
+  *  - BPE merge-rule training (Sennrich et al. 2016) over the corpus
+  *    word-frequency dictionary.
+  *  - DoReMi-flavoured domain mixture reweighting (sqrt-tempered target
+  *    share) with a deterministic content-hash stratified sampler.
+  *
+  * Cross-engine determinism (the repo-wide rule): all hashing is
+  * polynomial arithmetic mod 2^31-1, all counts are integer aggregates
+  * (order-free), and every float reduction is an explicit left-fold in
+  * array order so the DuckDB oracle replays bit-identical arithmetic.
+  * DSIR log-ratios are quantized to integer 2^-14-nat units
+  * (`floor(16384*ln r)` as BIGINT) so per-document weights are exact
+  * integer sums — same theme as [[Similarity.quantizedKmeans]]: the one
+  * non-correctly-rounded primitive (ln) is fenced behind a single
+  * per-bucket quantization instead of appearing in every per-doc sum.
+  *
+  * Scale notes:
+  *  - DSIR: two corpus passes (bucket histograms = one integer
+  *    hash-aggregate each), then a per-row fold against a broadcast
+  *    2^b-entry log-ratio array — no shuffle on the scoring pass, and
+  *    the selection is a top-k (partial per partition, final k on one
+  *    node), never a full sort.
+  *  - BPE: the corpus collapses to its word dictionary in ONE
+  *    hash-aggregate (the only corpus-sized shuffle); every merge
+  *    iteration then runs on the dictionary (|vocab| rows, ~millions at
+  *    100 TB — trivially small next to the corpus), checkpointed per
+  *    step so lineage stays flat.
+  *  - domainMixture: per-source integer token totals (one aggregate);
+  *    the float normalization folds a sorted per-source array on one
+  *    row — 20 sources or 20k, never corpus-sized.
+  */
+object Curation {
+  import TextOps.P
+
+  /** Hashed n-gram feature buckets of a document: unigrams then bigrams,
+    * in text order (the fold order every weight sum uses), polynomial
+    * hash mod `numBuckets`. */
+  def featureBuckets(text: Column, numBuckets: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val bigrams = when(size(toks) < 2, typedLit(Array.empty[String]))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    transform(concat(toks, bigrams), g => TextOps.polyHash(g) % numBuckets)
+  }
+
+  /** Per-bucket quantized log importance ratios
+    * `floor(16384 * ln( p_target(b) / p_raw(b) ))` with add-one
+    * smoothing, one row per bucket 0..numBuckets-1 (`b`, `w`). */
+  def dsirLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
+      numBuckets: Int): DataFrame = {
+    val spark = target.sparkSession
+    def counts(df: DataFrame) = df
+      .select(explode(featureBuckets(col(textCol), numBuckets)).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val tc = counts(target)
+    val rc = counts(raw)
+    val tTot = tc.agg(sum(col("c")).as("tn"))
+    val rTot = rc.agg(sum(col("c")).as("rn"))
+    spark.range(numBuckets).select(col("id").as("b"))
+      .join(tc.withColumnRenamed("c", "tc"), Seq("b"), "left")
+      .join(rc.withColumnRenamed("c", "rc"), Seq("b"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"), expr(
+        s"""cast(floor(16384.0 * ln(
+           |  (cast(coalesce(tc, 0) + 1 as double) / (tn + $numBuckets)) /
+           |  (cast(coalesce(rc, 0) + 1 as double) / (rn + $numBuckets))
+           |)) as bigint)""".stripMargin).as("w"))
+  }
+
+  /** DSIR selection: score every `raw` document by the integer sum of
+    * its features' quantized log-ratios (target vs raw hashed n-gram
+    * distributions) and keep the `topK` most target-like. Output
+    * `(rank, <idCol>, weight_q)` — weight_q in 2^-14-nat units.
+    *
+    * The log-ratio array rides to executors as one broadcast row; the
+    * scoring pass is shuffle-free. */
+  def dsirSelect(target: DataFrame, raw: DataFrame, textCol: String,
+      idCol: String, numBuckets: Int = 512, topK: Int = 100): DataFrame = {
+    val lrArr = dsirLogRatios(target, raw, textCol, numBuckets)
+      .agg(transform(array_sort(collect_list(struct(col("b"), col("w")))),
+        p => p("w")).as("ws"))
+    val scored = raw.crossJoin(broadcast(lrArr))
+      .withColumn("fs", featureBuckets(col(textCol), numBuckets))
+      .withColumn("weight_q", expr(
+        "aggregate(fs, cast(0 as bigint), (a, f) -> a + element_at(ws, cast(f + 1 as int)))"))
+    scored
+      .orderBy(col("weight_q").desc, col(idCol))
+      .limit(topK)
+      .select(row_number().over(
+          Window.orderBy(col("weight_q").desc, col(idCol))).as("rank"),
+        col(idCol), col("weight_q"))
+  }
+
+  /** Train `k` BPE merge rules over the corpus word-frequency dict.
+    * Symbols are sentinel-prefixed (`|`) inside a joined string so a
+    * pair pattern can only match at symbol boundaries; merge application
+    * is left-to-right non-overlapping `replace` — standard greedy BPE.
+    * Pair counts are exact integer sums weighted by word frequency
+    * (overlapping occurrences all counted, as in reference BPE
+    * implementations); ties break lexicographically.
+    *
+    * Output: one row per merge step — `(step, pair, merged, pair_count)`
+    * with `pair` displayed as `left~right`. */
+  def bpeMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"bpeMerges needs k >= 1 merges, got $k")
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var cur = words
+      .select(concat(lit("|"), array_join(split(col("word"), ""), "|"))
+        .as("seq"), col("cnt"))
+      .localCheckpoint()
+    val steps = (1 to k).map { step =>
+      val best = pairCounts(cur)
+        .orderBy(col("pc").desc, col("pair"))
+        .limit(1)
+        .localCheckpoint()
+      cur = cur.crossJoin(broadcast(best))
+        .select(expr(
+            "replace(seq, pair, concat('|', replace(substring(pair, 2), '|', '')))")
+          .as("seq"), col("cnt"))
+        .localCheckpoint()
+      best.select(lit(step).as("step"),
+        expr("replace(substring(pair, 2), '|', '~')").as("pair"),
+        expr("replace(pair, '|', '')").as("merged"),
+        col("pc").as("pair_count"))
+    }
+    steps.reduce(_ unionAll _)
+  }
+
+  /** Adjacent-symbol pair counts over the sentinel-joined dict,
+    * frequency-weighted. Pairs carry their sentinels (`|a|b`) so they
+    * are directly usable as replace patterns. */
+  private def pairCounts(dict: DataFrame): DataFrame =
+    dict
+      .withColumn("toks", expr("split(substring(seq, 2), '\\\\|')"))
+      .withColumn("pairs", when(size(col("toks")) < 2,
+          typedLit(Array.empty[String]))
+        .otherwise(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> concat('|', element_at(toks, i), '|', element_at(toks, i + 1)))"""
+            .stripMargin)))
+      .select(explode(col("pairs")).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum(col("cnt")).as("pc"))
+
+  /** DoReMi-flavoured domain mixture: per-source token totals, a
+    * sqrt-tempered target share, and the per-source sampling rate (basis
+    * points, capped at 10000) that realizes it under a global budget;
+    * plus the deterministic content-hash sample actually drawn at that
+    * rate. Output per source:
+    * `(source, n_docs, tokens, rate_bp, n_sampled)`.
+    *
+    * The only float reduction (share normalization) folds a
+    * source-sorted array on one row — exact-order deterministic. */
+  def domainMixture(docs: DataFrame, textCol: String, idCol: String,
+      srcCol: String, budgetBp: Int = 6000): DataFrame = {
+    val tok = docs.select(col(srcCol).as("source"), col(idCol).as("id"),
+      col(textCol).as("text"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+    val src = tok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val tot = src.agg(sum(col("tokens")).as("tt"))
+    val tempered = src.crossJoin(broadcast(tot))
+      .withColumn("r", expr("sqrt(cast(tokens as double) / tt)"))
+    val norm = tempered
+      .agg(expr("""aggregate(
+        |  transform(array_sort(collect_list(struct(source, r))), p -> p.r),
+        |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin).as("rs"))
+    val wts = tempered.crossJoin(broadcast(norm))
+      .withColumn("rate_bp", expr(
+        s"cast(floor($budgetBp.0 * (r / rs) / (cast(tokens as double) / tt)) as bigint)"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("rate_bp"))
+    val sel = tok.join(wts, Seq("source"))
+      .filter(TextOps.polyHash(
+          concat(col("text"), lit("|"), col("id").cast("string"))) % 10000
+        < least(col("rate_bp"), lit(10000L)))
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    wts.join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens"), col("rate_bp"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Corpus-curation queries (q104-q106) over [[Curation]]: DSIR hashed
+  * n-gram importance selection, BPE merge-rule training, and DoReMi-style
+  * domain mixture reweighting. Same cross-engine determinism contract as
+  * PipelineQueries: polynomial hashing mod 2^31-1, integer aggregates,
+  * explicit left-folds for the few float reductions, and `ln` fenced
+  * behind a single per-bucket integer quantization (weight sums are then
+  * exact BIGINT arithmetic in both engines).
+  */
+object CurationQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val P = "2147483647"
+
+  /** DuckDB twins of TextOps.tokens / TextOps.polyHash (same fragments as
+    * PipelineQueries; kept private there by design — the duplication is
+    * the two-dialect contract, not shared code). */
+  private def dToks(x: String) =
+    s"list_filter(string_split($x, ' '), t -> t != '')"
+  private def dPoly(x: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($x, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, c) -> (a*31 + c) % $P)"
+
+  /** Curation.featureBuckets twin: unigram then bigram buckets, text
+    * order, polyHash mod b. */
+  private def dFeat(toks: String, b: Int) =
+    s"list_transform(list_concat($toks, CASE WHEN len($toks) < 2 THEN [] " +
+      s"ELSE list_transform(range(len($toks) - 1), " +
+      s"i -> ($toks)[i+1] || ' ' || ($toks)[i+2]) END), g -> ${dPoly("g")} % $b)"
+
+  // =====================================================================
+  // q104 — DSIR importance selection (Xie et al. 2023): target = English
+  // docs, raw = whole pool; keep the 40 most target-like raw docs by
+  // integer-quantized hashed-bigram log-ratio weight.
+  // =====================================================================
+
+  private val q104: QFn = (s, d) => {
+    val docs = t(s, d, "documents")
+    Curation.dsirSelect(docs.filter(col("lang") === "en"), docs,
+      "text", "doc_id", numBuckets = 512, topK = 40)
+  }
+
+  private val q104Sql = s"""
+WITH fb AS (
+  SELECT doc_id, lang, ${dFeat(dToks("text"), 512)} AS fs
+  FROM documents),
+tcounts AS (SELECT b, count(*) AS tc
+  FROM (SELECT unnest(fs) AS b FROM fb WHERE lang = 'en') GROUP BY 1),
+rcounts AS (SELECT b, count(*) AS rc
+  FROM (SELECT unnest(fs) AS b FROM fb) GROUP BY 1),
+tots AS (SELECT CAST((SELECT sum(tc) FROM tcounts) AS BIGINT) AS tn,
+                CAST((SELECT sum(rc) FROM rcounts) AS BIGINT) AS rn),
+lr AS (SELECT r.b, CAST(floor(16384.0 * ln(
+    (CAST(coalesce(t.tc, 0) + 1 AS DOUBLE) / (tots.tn + 512)) /
+    (CAST(coalesce(r2.rc, 0) + 1 AS DOUBLE) / (tots.rn + 512))
+  )) AS BIGINT) AS w
+  FROM range(512) r(b)
+  LEFT JOIN tcounts t ON r.b = t.b
+  LEFT JOIN rcounts r2 ON r.b = r2.b, tots),
+ws AS (SELECT list(w ORDER BY b) AS ws FROM lr),
+scored AS (SELECT doc_id,
+  list_reduce(list_prepend(CAST(0 AS BIGINT),
+    list_transform(fs, f -> ws.ws[f+1])), (a, x) -> a + x) AS weight_q
+  FROM fb, ws)
+SELECT CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id) AS INT) AS rank,
+  doc_id, weight_q
+FROM scored ORDER BY weight_q DESC, doc_id LIMIT 40"""
+
+  // =====================================================================
+  // q105 — BPE merge training (Sennrich et al. 2016): first 6 merge rules
+  // over the corpus word dictionary. The oracle unrolls the 6 iterations
+  // as chained CTEs (pair counts -> argmax -> sentinel-preserving
+  // replace), replaying Curation.bpeMerges step for step.
+  // =====================================================================
+
+  private val bpeK = 6
+
+  private val q105: QFn = (s, d) =>
+    Curation.bpeMerges(t(s, d, "documents"), "text", bpeK)
+
+  private def dPairs(dict: String) =
+    s"SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc FROM " +
+      s"(SELECT unnest(CASE WHEN len(toks) < 2 THEN [] " +
+      s"ELSE list_transform(range(len(toks) - 1), " +
+      s"i -> '|' || toks[i+1] || '|' || toks[i+2]) END) AS pair, cnt " +
+      s"FROM (SELECT string_split(seq[2:], '|') AS toks, cnt FROM $dict)) " +
+      s"GROUP BY 1"
+
+  private val q105Sql: String = {
+    val base = s"d1 AS (SELECT '|' || array_to_string(string_split(word, ''), '|') AS seq, cnt" +
+      s" FROM (SELECT word, count(*) AS cnt FROM" +
+      s" (SELECT unnest(${dToks("text")}) AS word FROM documents) GROUP BY 1))"
+    val ctes = (1 to bpeK).flatMap { i =>
+      val step = Seq(
+        s"p$i AS (${dPairs(s"d$i")})",
+        s"b$i AS (SELECT pair, pc FROM p$i ORDER BY pc DESC, pair LIMIT 1)")
+      if (i < bpeK) step :+ (s"d${i + 1} AS (SELECT replace(seq, b$i.pair, " +
+        s"'|' || replace(b$i.pair[2:], '|', '')) AS seq, cnt FROM d$i, b$i)")
+      else step
+    }
+    val sels = (1 to bpeK).map { i =>
+      s"SELECT $i AS step, replace(pair[2:], '|', '~') AS pair, " +
+        s"replace(pair, '|', '') AS merged, pc AS pair_count FROM b$i"
+    }
+    "WITH " + (base +: ctes).mkString(",\n") + "\n" +
+      sels.mkString(" UNION ALL ") + " ORDER BY step"
+  }
+
+  // =====================================================================
+  // q106 — DoReMi-flavoured domain mixture: per-source token totals,
+  // sqrt-tempered shares, basis-point sampling rates under a 0.6 global
+  // budget, and the deterministic content-hash sample drawn at each rate.
+  // =====================================================================
+
+  private val q106: QFn = (s, d) =>
+    Curation.domainMixture(t(s, d, "documents"),
+      "text", "doc_id", "source", budgetBp = 6000)
+
+  private val q106Sql = s"""
+WITH tok AS (SELECT source, doc_id AS id, text,
+    CAST(len(${dToks("text")}) AS BIGINT) AS n_tok FROM documents),
+src AS (SELECT source, count(*) AS n_docs,
+    CAST(sum(n_tok) AS BIGINT) AS tokens FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM src),
+tempered AS (SELECT src.*, tot.tt,
+    sqrt(CAST(tokens AS DOUBLE) / tt) AS r FROM src, tot),
+norm AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(r ORDER BY source)), (a, x) -> a + x) AS rs FROM tempered),
+wts AS (SELECT source, n_docs, tokens,
+    CAST(floor(6000.0 * (r / rs) / (CAST(tokens AS DOUBLE) / tt)) AS BIGINT)
+      AS rate_bp
+  FROM tempered, norm),
+sel AS (SELECT t.source, count(*) AS n_sampled
+  FROM tok t JOIN wts w ON t.source = w.source
+  WHERE ${dPoly("t.text || '|' || CAST(t.id AS VARCHAR)")} % 10000
+    < least(w.rate_bp, 10000)
+  GROUP BY 1)
+SELECT w.source, w.n_docs, w.tokens, w.rate_bp,
+  CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM wts w LEFT JOIN sel s ON w.source = s.source"""
+
+  val queries: Map[String, QFn] = Map(
+    "q104_dsir_select" -> q104,
+    "q105_bpe_merges" -> q105,
+    "q106_domain_mixture" -> q106)
+
+  val oracles: Map[String, String] = Map(
+    "q104_dsir_select" -> q104Sql,
+    "q105_bpe_merges" -> q105Sql,
+    "q106_domain_mixture" -> q106Sql)
+}

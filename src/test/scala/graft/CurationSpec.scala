@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ===================================================================
+  // featureBuckets
+  // ===================================================================
+
+  test("featureBuckets emits unigrams then bigrams in text order, mod B") {
+    val fs = Seq("a b c").toDF("t")
+      .select(Curation.featureBuckets(col("t"), 512)).head().getSeq[Long](0)
+    assert(fs.length === 5) // 3 unigrams + 2 bigrams
+    assert(fs.forall(b => b >= 0 && b < 512))
+    val single = Seq("solo").toDF("t")
+      .select(Curation.featureBuckets(col("t"), 512)).head().getSeq[Long](0)
+    assert(single.length === 1) // no bigrams below 2 tokens
+  }
+
+  // ===================================================================
+  // DSIR selection
+  // ===================================================================
+
+  private def dsirCorpus = {
+    val a = (1 to 8).map(i => (i.toLong, s"spark scala shuffle partition plan $i"))
+    val b = (9 to 16).map(i => (i.toLong, s"cat dog bird fish mouse $i"))
+    (a ++ b).toDF("doc_id", "text")
+  }
+
+  test("dsirSelect ranks target-like docs first, weights descending") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("doc_id") <= 4) // family-A sample
+    val out = Curation.dsirSelect(target, raw, "text", "doc_id",
+      numBuckets = 256, topK = 8).collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 8))
+    val ws = out.map(_.getLong(2))
+    assert(ws.zip(ws.tail).forall { case (x, y) => x >= y })
+    // all 8 family-A docs outrank every family-B doc
+    assert(out.map(_.getLong(1)).toSet === (1L to 8L).toSet)
+  }
+
+  test("dsirSelect is partitioning-invariant (integer weight sums)") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("doc_id") <= 4)
+    val once = Curation.dsirSelect(target, raw, "text", "doc_id", 256, 8)
+      .collect().toSeq
+    val again = Curation.dsirSelect(target.repartition(7), raw.repartition(5),
+      "text", "doc_id", 256, 8).collect().toSeq
+    assert(once === again)
+  }
+
+  // ===================================================================
+  // BPE merge training
+  // ===================================================================
+
+  test("bpeMerges learns merges and merged symbols stay atomic") {
+    // words: aab x3, cb x2. Step 1 ties (|a|a vs |a|b, both pc=3) break
+    // lexicographically -> merge aa. Step 2 MUST see pair (aa, b) — the
+    // regression here is a sentinel-dropping replace that leaves the
+    // merged symbol fused to its left neighbour ("aa|b" vs "|aa|b"),
+    // which would re-learn (a, b) instead.
+    val docs = Seq("aab aab", "aab cb", "cb").toDF("text")
+    val out = Curation.bpeMerges(docs, "text", 2)
+      .orderBy("step").collect()
+    assert(out(0).getString(1) === "a~a")
+    assert(out(0).getString(2) === "aa")
+    assert(out(0).getLong(3) === 3L)
+    assert(out(1).getString(1) === "aa~b")
+    assert(out(1).getString(2) === "aab")
+    assert(out(1).getLong(3) === 3L)
+  }
+
+  test("bpeMerges counts overlapping pairs, weighted by word frequency") {
+    // 'aaa' x2: pair (a,a) occurs at 2 positions per word -> pc = 4
+    val docs = Seq("aaa aaa").toDF("text")
+    val out = Curation.bpeMerges(docs, "text", 1).head()
+    assert(out.getString(1) === "a~a")
+    assert(out.getLong(3) === 4L)
+  }
+
+  test("bpeMerges rejects k < 1") {
+    val docs = Seq("ab").toDF("text")
+    intercept[IllegalArgumentException] {
+      Curation.bpeMerges(docs, "text", 0)
+    }
+  }
+
+  // ===================================================================
+  // Domain mixture
+  // ===================================================================
+
+  private def mixCorpus = Seq(
+    // big source: long docs; small source: short docs
+    (1L, "big", "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "big", "alpha beta gamma delta epsilon zeta eta theta"),
+    (3L, "big", "alpha beta gamma delta epsilon zeta eta theta"),
+    (4L, "big", "alpha beta gamma delta epsilon zeta eta theta"),
+    (5L, "small", "alpha beta"),
+    (6L, "small", "gamma delta")
+  ).toDF("doc_id", "source", "text")
+
+  test("domainMixture sqrt-tempering upweights the small domain") {
+    val out = Curation.domainMixture(mixCorpus, "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (_, bigTok, bigRate, _) = out("big")
+    val (_, smallTok, smallRate, smallSampled) = out("small")
+    assert(bigTok === 32L && smallTok === 4L)
+    // sqrt tempering: small source's rate exceeds the big source's
+    assert(smallRate > bigRate)
+    assert(smallSampled <= 2L)
+    // realized budget: sum(rate*tokens) stays at/under budget on tokens
+    // (floor per source), within one floor step per source
+    val spent = out.values.map { case (_, tok, rate, _) =>
+      math.min(rate, 10000L) * tok }.sum
+    assert(spent <= 6000L * (bigTok + smallTok))
+  }
+
+  test("domainMixture sample is deterministic across runs and partitionings") {
+    val a = Curation.domainMixture(mixCorpus, "text", "doc_id", "source")
+      .orderBy("source").collect().toSeq
+    val b = Curation.domainMixture(mixCorpus.repartition(5), "text",
+      "doc_id", "source").orderBy("source").collect().toSeq
+    assert(a === b)
+  }
+}
