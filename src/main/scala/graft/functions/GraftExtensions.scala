@@ -105,6 +105,8 @@ object F {
   def spanHashes(text: Column, n: Int): Column =
     c(SpanHashesExpr(e(text), n))
   def charPolyHash(s: Column): Column = c(CharPolyHashExpr(e(s)))
+  def featureBuckets(text: Column, b: Int): Column =
+    c(FeatureBucketsExpr(e(text), b))
   def featureHashCounts(text: Column, dims: Int): Column =
     c(FeatureHashCountsExpr(e(text), dims))
   def tokenTf(text: Column): Column = c(TokenTfExpr(e(text)))

@@ -520,3 +520,49 @@ case class TokenTfExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression) =
     copy(child = newChild)
 }
+
+/** feature_buckets(text, b): DSIR hashed n-gram feature buckets —
+  * unigram then bigram polynomial hashes mod `b`, in text order (the
+  * fold order every DSIR weight sum uses; Curation.featureBuckets is the
+  * HOF reference formulation). The bigram hash reuses the token hashes
+  * by rolling arithmetic — polyHash(a+" "+b) =
+  * ((h_a*31+32)*31^cp(b) + h_b) mod P — so the pass allocates no gram
+  * strings: one codepoint scan per token, then O(1) per bigram. */
+case class FeatureBucketsExpr(child: Expression, b: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(b >= 1, s"feature_buckets needs b >= 1 buckets, got $b")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    import TextExpressions.P
+    val t = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    val n = t.length
+    val hs = new Array[Long](n) // polyHash(token)
+    val pw = new Array[Long](n) // 31^codepointCount(token) mod P
+    var i = 0
+    while (i < n) {
+      val s = t(i)
+      var h = 0L; var p = 1L; var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        h = (h * 31 + cp) % P
+        p = (p * 31) % P
+        j += Character.charCount(cp)
+      }
+      hs(i) = h; pw(i) = p; i += 1
+    }
+    val out = new Array[Long](if (n < 2) n else 2 * n - 1)
+    i = 0
+    while (i < n) { out(i) = hs(i) % b; i += 1 }
+    i = 0
+    while (i < n - 1) {
+      val withSpace = (hs(i) * 31 + 32) % P // then shift past token i+1
+      out(n + i) = ((withSpace * pw(i + 1)) % P + hs(i + 1)) % P % b
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}

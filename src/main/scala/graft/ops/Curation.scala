@@ -45,8 +45,16 @@ object Curation {
 
   /** Hashed n-gram feature buckets of a document: unigrams then bigrams,
     * in text order (the fold order every weight sum uses), polynomial
-    * hash mod `numBuckets`. */
-  def featureBuckets(text: Column, numBuckets: Int): Column = {
+    * hash mod `numBuckets`. Native one-pass kernel
+    * ([[graft.functions.FeatureBucketsExpr]]); [[featureBucketsHof]] is
+    * the HOF reference formulation it is cross-validated against. */
+  def featureBuckets(text: Column, numBuckets: Int): Column =
+    graft.functions.F.featureBuckets(text, numBuckets)
+
+  /** HOF reference formulation of [[featureBuckets]] — same values, kept
+    * for NativeExprSpec cross-validation (the DuckDB oracle replays this
+    * form). */
+  def featureBucketsHof(text: Column, numBuckets: Int): Column = {
     val toks = TextOps.tokens(text)
     val bigrams = when(size(toks) < 2, typedLit(Array.empty[String]))
       .otherwise(transform(sequence(lit(1), size(toks) - 1),

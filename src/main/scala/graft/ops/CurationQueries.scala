@@ -19,6 +19,16 @@ object CurationQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** Widen a single-split scan to the cluster's parallelism (same
+    * rationale as PipelineQueries.wide: the testdata tables are one
+    * small parquet file -> one input split, which would serialize the
+    * CPU-bound per-doc hashing; on a real layout this is the identity). */
+  private def wide(s: SparkSession, dir: String, n: String, key: String): DataFrame = {
+    val df = t(s, dir, n)
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(col(key)) else df
+  }
+
   private val P = "2147483647"
 
   /** DuckDB twins of TextOps.tokens / TextOps.polyHash (same fragments as
@@ -45,7 +55,7 @@ object CurationQueries {
   // =====================================================================
 
   private val q104: QFn = (s, d) => {
-    val docs = t(s, d, "documents")
+    val docs = wide(s, d, "documents", "doc_id")
     Curation.dsirSelect(docs.filter(col("lang") === "en"), docs,
       "text", "doc_id", numBuckets = 512, topK = 40)
   }

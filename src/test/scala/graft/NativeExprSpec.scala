@@ -224,4 +224,17 @@ class NativeExprSpec extends SparkSpec {
       F.ngramRepeatStats(col("text"), 2).as("s")).head()
     assert(short.getStruct(0).getLong(0) === 1L)
   }
+
+  test("feature_buckets == HOF featureBuckets (ordered, incl. surrogates)") {
+    val both = docs.select(
+      F.featureBuckets(col("text"), 512).as("native"),
+      graft.ops.Curation.featureBucketsHof(col("text"), 512).as("hofc"))
+    assert(both.filter(col("native") =!= col("hofc")).count() === 0)
+    // surrogate pairs + empties: one codepoint per emoji, single token
+    import spark.implicits._
+    val tricky = Seq("\ud83d\ude00 x", " lone", "").toDF("text").select(
+      F.featureBuckets(col("text"), 512).as("native"),
+      graft.ops.Curation.featureBucketsHof(col("text"), 512).as("hofc"))
+    assert(tricky.filter(col("native") =!= col("hofc")).count() === 0)
+  }
 }
