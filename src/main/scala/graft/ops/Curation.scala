@@ -62,53 +62,107 @@ object Curation {
     transform(concat(toks, bigrams), g => TextOps.polyHash(g) % numBuckets)
   }
 
-  /** Per-bucket quantized log importance ratios
-    * `floor(16384 * ln( p_target(b) / p_raw(b) ))` with add-one
-    * smoothing, one row per bucket 0..numBuckets-1 (`b`, `w`). */
-  def dsirLogRatios(target: DataFrame, raw: DataFrame, textCol: String,
-      numBuckets: Int): DataFrame = {
+  /** STANDING DSIR index: dense per-bucket target/raw feature counts
+    * `(b, tc, rc)` for b in 0..numBuckets-1. Pure integer histograms,
+    * so the fold ([[refreshDsirIndex]]) is exact addition — index built
+    * batch-by-batch equals index built at once, under the differential
+    * oracle (q107). This is the artifact a fleet persists between
+    * crawl batches; corpus text is never re-read to score new docs. */
+  def dsirIndex(target: DataFrame, raw: DataFrame, textCol: String,
+      numBuckets: Int = 512): DataFrame = {
     val spark = target.sparkSession
-    def counts(df: DataFrame) = df
+    def counts(df: DataFrame, as: String) = df
       .select(explode(featureBuckets(col(textCol), numBuckets)).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("c"))
-    val tc = counts(target)
-    val rc = counts(raw)
-    val tTot = tc.agg(sum(col("c")).as("tn"))
-    val rTot = rc.agg(sum(col("c")).as("rn"))
+      .groupBy("b").agg(count(lit(1)).as(as))
     spark.range(numBuckets).select(col("id").as("b"))
-      .join(tc.withColumnRenamed("c", "tc"), Seq("b"), "left")
-      .join(rc.withColumnRenamed("c", "rc"), Seq("b"), "left")
-      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
-      .select(col("b"), expr(
-        s"""cast(floor(16384.0 * ln(
-           |  (cast(coalesce(tc, 0) + 1 as double) / (tn + $numBuckets)) /
-           |  (cast(coalesce(rc, 0) + 1 as double) / (rn + $numBuckets))
-           |)) as bigint)""".stripMargin).as("w"))
+      .join(counts(target, "tc"), Seq("b"), "left")
+      .join(counts(raw, "rc"), Seq("b"), "left")
+      .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
   }
 
-  /** DSIR selection: score every `raw` document by the integer sum of
-    * its features' quantized log-ratios (target vs raw hashed n-gram
-    * distributions) and keep the `topK` most target-like. Output
-    * `(rank, <idCol>, weight_q)` — weight_q in 2^-14-nat units.
-    *
-    * The log-ratio array rides to executors as one broadcast row; the
-    * scoring pass is shuffle-free. */
-  def dsirSelect(target: DataFrame, raw: DataFrame, textCol: String,
-      idCol: String, numBuckets: Int = 512, topK: Int = 100): DataFrame = {
-    val lrArr = dsirLogRatios(target, raw, textCol, numBuckets)
-      .agg(transform(array_sort(collect_list(struct(col("b"), col("w")))),
-        p => p("w")).as("ws"))
-    val scored = raw.crossJoin(broadcast(lrArr))
-      .withColumn("fs", featureBuckets(col(textCol), numBuckets))
-      .withColumn("weight_q", expr(
-        "aggregate(fs, cast(0 as bigint), (a, f) -> a + element_at(ws, cast(f + 1 as int)))"))
-    scored
+  /** Bucket width recorded in a standing DSIR index (dense by
+    * construction — one small probe job over numBuckets rows). */
+  def numBucketsOf(index: DataFrame): Int =
+    index.agg(max(col("b"))).head().getLong(0).toInt + 1
+
+  /** Fold new target/raw batches into a standing DSIR index: compute
+    * the batches' histograms at the index's own width and ADD. Integer
+    * sums — any fold order yields the identical artifact. */
+  def refreshDsirIndex(index: DataFrame, targetBatch: DataFrame,
+      rawBatch: DataFrame, textCol: String): DataFrame = {
+    val delta = dsirIndex(targetBatch, rawBatch, textCol, numBucketsOf(index))
+    index.unionByName(delta).groupBy("b")
+      .agg(sum(col("tc")).as("tc"), sum(col("rc")).as("rc"))
+  }
+
+  /** Per-bucket quantized log importance ratios from a standing index:
+    * `floor(16384 * ln( p_target(b) / p_raw(b) ))` with add-one
+    * smoothing, one row per bucket (`b`, `w`). Totals are derived
+    * in-plan from the index itself (dense zeros add nothing). */
+  def dsirLogRatios(index: DataFrame): DataFrame = {
+    val tots = index.agg(sum(col("tc")).as("tn"), sum(col("rc")).as("rn"),
+      (max(col("b")) + 1).as("nb"))
+    index.crossJoin(broadcast(tots))
+      .select(col("b"), expr(
+        """cast(floor(16384.0 * ln(
+          |  (cast(tc + 1 as double) / (tn + nb)) /
+          |  (cast(rc + 1 as double) / (rn + nb))
+          |)) as bigint)""".stripMargin).as("w"))
+  }
+
+  /** Score `docs` against a standing DSIR index and keep the `topK`
+    * most target-like: integer sum of each doc's features' quantized
+    * log-ratios. Output `(rank, <idCol>, weight_q)` — weight_q in
+    * 2^-14-nat units. The log-ratio array rides to executors as ONE
+    * broadcast row; the scoring pass is shuffle-free and the selection
+    * is a top-k (partial per partition), never a full sort. */
+  def dsirScoreFromIndex(index: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, topK: Int = 100): DataFrame =
+    scoreWith(index, numBucketsOf(index), docs, textCol, idCol, topK)
+
+  /** Every `docs` row with its quantized DSIR weight appended
+    * (`weight_q`, 2^-14-nat units) — the threshold form an ingest gate
+    * filters on, as opposed to the top-k selection. Shuffle-free: one
+    * broadcast log-ratio row, one map pass. */
+  def dsirScores(index: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    scoredPool(index, numBucketsOf(index), docs, textCol)
+      .drop("fs")
+
+  /** Scoring body with the width already known — [[dsirSelect]] passes
+    * the width it just built with instead of probing the in-memory fold
+    * chain (a numBucketsOf probe would recompute BOTH corpus
+    * histograms; see the q100 lesson in PERF.md). */
+  private def scoreWith(index: DataFrame, nb: Int, docs: DataFrame,
+      textCol: String, idCol: String, topK: Int): DataFrame =
+    scoredPool(index, nb, docs, textCol)
       .orderBy(col("weight_q").desc, col(idCol))
       .limit(topK)
       .select(row_number().over(
           Window.orderBy(col("weight_q").desc, col(idCol))).as("rank"),
         col(idCol), col("weight_q"))
+
+  /** Pool with `weight_q` (and the transient `fs` feature column)
+    * appended — shared body of the top-k and threshold scoring forms. */
+  private def scoredPool(index: DataFrame, nb: Int, docs: DataFrame,
+      textCol: String): DataFrame = {
+    val lrArr = dsirLogRatios(index)
+      .agg(transform(array_sort(collect_list(struct(col("b"), col("w")))),
+        p => p("w")).as("ws"))
+    docs.crossJoin(broadcast(lrArr))
+      .withColumn("fs", featureBuckets(col(textCol), nb))
+      .withColumn("weight_q", expr(
+        "aggregate(fs, cast(0 as bigint), (a, f) -> a + element_at(ws, cast(f + 1 as int)))"))
+      .drop("ws")
   }
+
+  /** One-shot DSIR selection (Xie et al. 2023): build the target/raw
+    * histogram index and score the whole `raw` pool against it. */
+  def dsirSelect(target: DataFrame, raw: DataFrame, textCol: String,
+      idCol: String, numBuckets: Int = 512, topK: Int = 100): DataFrame =
+    scoreWith(dsirIndex(target, raw, textCol, numBuckets), numBuckets,
+      raw, textCol, idCol, topK)
 
   /** Train `k` BPE merge rules over the corpus word-frequency dict.
     * Symbols are sentinel-prefixed (`|`) inside a joined string so a

@@ -60,14 +60,20 @@ object CurationQueries {
       "text", "doc_id", numBuckets = 512, topK = 40)
   }
 
-  private val q104Sql = s"""
+  /** DSIR oracle builder: target/raw histogram predicates, scoring-pool
+    * predicate, top-k. The oracle always builds the histograms over the
+    * FULL target/raw ranges in one shot — against the Spark side's
+    * batch-folded index (q107) this differentially proves
+    * fold == rebuild, the property integer histograms guarantee. */
+  private def dsirSql(targetPred: String, rawPred: String,
+      scorePred: String, k: Int) = s"""
 WITH fb AS (
   SELECT doc_id, lang, ${dFeat(dToks("text"), 512)} AS fs
   FROM documents),
 tcounts AS (SELECT b, count(*) AS tc
-  FROM (SELECT unnest(fs) AS b FROM fb WHERE lang = 'en') GROUP BY 1),
+  FROM (SELECT unnest(fs) AS b FROM fb WHERE $targetPred) GROUP BY 1),
 rcounts AS (SELECT b, count(*) AS rc
-  FROM (SELECT unnest(fs) AS b FROM fb) GROUP BY 1),
+  FROM (SELECT unnest(fs) AS b FROM fb WHERE $rawPred) GROUP BY 1),
 tots AS (SELECT CAST((SELECT sum(tc) FROM tcounts) AS BIGINT) AS tn,
                 CAST((SELECT sum(rc) FROM rcounts) AS BIGINT) AS rn),
 lr AS (SELECT r.b, CAST(floor(16384.0 * ln(
@@ -81,10 +87,36 @@ ws AS (SELECT list(w ORDER BY b) AS ws FROM lr),
 scored AS (SELECT doc_id,
   list_reduce(list_prepend(CAST(0 AS BIGINT),
     list_transform(fs, f -> ws.ws[f+1])), (a, x) -> a + x) AS weight_q
-  FROM fb, ws)
+  FROM fb, ws WHERE $scorePred)
 SELECT CAST(row_number() OVER (ORDER BY weight_q DESC, doc_id) AS INT) AS rank,
   doc_id, weight_q
-FROM scored ORDER BY weight_q DESC, doc_id LIMIT 40"""
+FROM scored ORDER BY weight_q DESC, doc_id LIMIT $k"""
+
+  private val q104Sql = dsirSql("lang = 'en'", "TRUE", "TRUE", 40)
+
+  // =====================================================================
+  // q107 — STANDING DSIR index through the driver gate: the corpus
+  // index (doc_id < 200) folds in a second batch (200..399) via
+  // refreshDsirIndex — exact integer histogram addition — then scores
+  // an unseen pool (doc_id >= 400) from the artifact alone. The oracle
+  // builds the histograms over the full 0..399 range in one shot:
+  // fold == rebuild, cross-engine.
+  // =====================================================================
+
+  private val q107: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    def en(df: DataFrame) = df.filter(col("lang") === "en")
+    val c1 = docs.filter(col("doc_id") < 200)
+    val c2 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+    val idx = Curation.refreshDsirIndex(
+      Curation.dsirIndex(en(c1), c1, "text", numBuckets = 512),
+      en(c2), c2, "text")
+    Curation.dsirScoreFromIndex(idx, docs.filter(col("doc_id") >= 400),
+      "text", "doc_id", topK = 30)
+  }
+
+  private val q107Sql = dsirSql("lang = 'en' AND doc_id < 400",
+    "doc_id < 400", "doc_id >= 400", 30)
 
   // =====================================================================
   // q105 — BPE merge training (Sennrich et al. 2016): first 6 merge rules
@@ -162,10 +194,12 @@ FROM wts w LEFT JOIN sel s ON w.source = s.source"""
   val queries: Map[String, QFn] = Map(
     "q104_dsir_select" -> q104,
     "q105_bpe_merges" -> q105,
-    "q106_domain_mixture" -> q106)
+    "q106_domain_mixture" -> q106,
+    "q107_dsir_standing_index" -> q107)
 
   val oracles: Map[String, String] = Map(
     "q104_dsir_select" -> q104Sql,
     "q105_bpe_merges" -> q105Sql,
-    "q106_domain_mixture" -> q106Sql)
+    "q106_domain_mixture" -> q106Sql,
+    "q107_dsir_standing_index" -> q107Sql)
 }

@@ -134,4 +134,19 @@ object IndexStore {
     versions(spark, dir).collect { case (n, true) => n }.exists(n =>
       fs.exists(new Path(s"$dir/v=$n", s"_GRAFT_TAG_$tag")))
   }
+
+  /** The committed version immediately BEFORE the one carrying `tag` —
+    * i.e. the state the tagged fold started from. None when the tagged
+    * version was the first commit (pre-fold state was empty). Within
+    * the two-version retention this is exactly the replay case a
+    * checkpointed foreachBatch needs: the retried batch's tag sits on
+    * the CURRENT version, so its predecessor is the retained one. */
+  def readBefore(spark: SparkSession, dir: String, tag: String): Option[DataFrame] = {
+    val (fs, _) = fsOf(spark, dir)
+    val committed = versions(spark, dir).collect { case (n, true) => n }
+    committed.find(n =>
+        fs.exists(new Path(s"$dir/v=$n", s"_GRAFT_TAG_$tag")))
+      .flatMap(t => committed.filter(_ < t).maxOption)
+      .map(n => spark.read.parquet(s"$dir/v=$n"))
+  }
 }

@@ -435,4 +435,53 @@ object StreamOps {
       true
     }
   }
+
+  /** DSIR importance gate at ingest (`foreachBatch` body, keyed by the
+    * checkpointed `batchId`): score the batch against the STANDING
+    * target/raw histogram index (ops.Curation.dsirIndex) and return the
+    * rows whose quantized weight clears `minWeightQ` (>= 0 means "at
+    * least as target-like as the pool average"), with `weight_q`
+    * appended; then fold the WHOLE batch into the raw histogram — the
+    * pool distribution must see everything it was offered, or the
+    * ratios drift — and `isTarget` rows into the target histogram.
+    *
+    * Exactly-once: histogram addition is NOT content-idempotent (a
+    * replayed fold would double-count), so the fold commits with an
+    * atomic batch tag exactly like [[rollupIngestBatchOnce]]. Replay
+    * determinism: a retried batch whose tag already shows scores
+    * against the RETAINED PREVIOUS version (IndexStore.readBefore) —
+    * the same pre-fold state the crashed attempt saw — so the kept set
+    * is identical and no second fold happens. Cold start (no index)
+    * keeps everything: there is no distribution to judge against yet. */
+  def dsirIngestBatchOnce(batch: DataFrame, batchId: Long,
+      indexDir: String, textCol: String, idCol: String, isTarget: Column,
+      numBuckets: Int = 512, minWeightQ: Long = 0L): DataFrame = {
+    import graft.ops.{Curation, IndexStore}
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    val tagged = IndexStore.hasTag(spark, indexDir, tag)
+    val preFold =
+      if (tagged) IndexStore.readBefore(spark, indexDir, tag)
+      else IndexStore.read(spark, indexDir)
+    val kept = preFold match {
+      case None => batch
+      case Some(idx) =>
+        Curation.dsirScores(idx, batch, textCol, idCol)
+          .filter(col("weight_q") >= minWeightQ)
+    }
+    if (!tagged) {
+      val newIdx = preFold match {
+        case None =>
+          Curation.dsirIndex(batch.filter(isTarget), batch, textCol,
+            numBuckets)
+        case Some(idx) =>
+          Curation.refreshDsirIndex(idx, batch.filter(isTarget), batch,
+            textCol)
+      }
+      // the new version's write streams from the old version's files
+      // (distinct dirs) — numBuckets rows, no self-overwrite hazard
+      IndexStore.write(newIdx, indexDir, Some(tag))
+    }
+    kept
+  }
 }

@@ -53,6 +53,25 @@ class CurationSpec extends SparkSpec {
     assert(once === again)
   }
 
+  test("dsirIndex fold == rebuild (exact integer histograms)") {
+    val raw = dsirCorpus
+    val target = raw.filter(col("doc_id") <= 4)
+    val atOnce = Curation.dsirIndex(target, raw, "text", 256)
+    val folded = Curation.refreshDsirIndex(
+      Curation.dsirIndex(target.filter(col("doc_id") <= 2),
+        raw.filter(col("doc_id") <= 8), "text", 256),
+      target.filter(col("doc_id") > 2), raw.filter(col("doc_id") > 8),
+      "text")
+    assert(atOnce.exceptAll(folded).count() === 0)
+    assert(folded.exceptAll(atOnce).count() === 0)
+    // and scoring from either artifact is identical
+    val a = Curation.dsirScoreFromIndex(atOnce, raw, "text", "doc_id", 8)
+      .collect().toSeq
+    val b = Curation.dsirScoreFromIndex(folded, raw, "text", "doc_id", 8)
+      .collect().toSeq
+    assert(a === b)
+  }
+
   // ===================================================================
   // BPE merge training
   // ===================================================================

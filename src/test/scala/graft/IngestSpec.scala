@@ -705,6 +705,49 @@ class RollupIngestSpec extends SparkSpec {
   }
 }
 
+class DsirIngestSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("dsirIngestBatchOnce: scores against the pre-fold index, replay " +
+      "keeps identical rows AND weights, histograms never double-fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dsironce")
+      .resolve("dsir").toString
+    def df(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "lang", "text")
+    def once(id: Long, b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.dsirIngestBatchOnce(b, id, dir,
+        "text", "doc_id", col("lang") === "en", numBuckets = 512)
+    // cold start: no distribution to judge against -> everything kept
+    val b0 = df((1L, "en", "spark scala shuffle"),
+      (2L, "xx", "cat dog bird"), (3L, "en", "spark scala plan"))
+    assert(once(0L, b0).count() === 3)
+    // batch 1: the target-like doc clears weight >= 0, the pool-like
+    // doc (whose grams are raw-only in the index) scores negative
+    val b1 = df((4L, "xx", "spark scala shuffle plan"),
+      (5L, "xx", "cat dog bird fish"))
+    def keptPairs(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"), col("weight_q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kept1 = keptPairs(once(1L, b1))
+    assert(kept1.map(_._1) === Set(4L))
+    val vAfter = graft.ops.IndexStore.currentVersion(spark, dir).get
+    // replay of batch 1: tag already on the live version -> scores
+    // against the RETAINED PREVIOUS (pre-fold) state, so the weights
+    // are bit-identical, and no new version is committed
+    val replay = keptPairs(once(1L, b1))
+    assert(replay === kept1)
+    assert(graft.ops.IndexStore.currentVersion(spark, dir).get === vAfter)
+    // each batch folded exactly once: target grams = docs 1+3 (5 each),
+    // raw grams = all five docs (5+5+5+7+7)
+    val idx = graft.ops.IndexStore.read(spark, dir).get
+      .agg(sum(col("tc")), sum(col("rc"))).head()
+    assert(idx.getLong(0) === 10L)
+    assert(idx.getLong(1) === 29L)
+  }
+}
+
+
 class IngestChainE2ESpec extends SparkSpec {
   import org.apache.spark.sql.functions._
 
