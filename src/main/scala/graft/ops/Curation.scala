@@ -201,6 +201,38 @@ object Curation {
     steps.reduce(_ unionAll _)
   }
 
+  /** Encode documents with trained BPE merge rules ([[bpeMerges]]
+    * output): per doc, whitespace-token count and the BPE symbol count
+    * after applying every merge in training order. The ordered merge
+    * list rides to executors as ONE broadcast row (a model artifact is
+    * data, not driver state — no collect); each merge is its `|a|b`
+    * pattern, the replacement re-derived as `|ab`. Output
+    * `(<idCol>, n_tok, n_sym)`.
+    *
+    * Scale: per-row fold over k merges — embarrassingly parallel, zero
+    * shuffle; the broadcast is k short strings. */
+  def bpeEncode(docs: DataFrame, merges: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val marr = merges
+      .agg(transform(array_sort(collect_list(struct(col("step"),
+          concat(lit("|"), regexp_replace(col("pair"), "~", "\\|"))
+            .as("pat")))),
+        p => p("pat")).as("ms"))
+    val toks = TextOps.tokens(col(textCol))
+    docs.crossJoin(broadcast(marr))
+      .select(col(idCol), size(toks).cast("long").as("n_tok"),
+        expr(
+          s"""aggregate(
+            |  transform(filter(split($textCol, ' '), t -> t != ''),
+            |    w -> aggregate(ms,
+            |      concat('|', array_join(split(w, ''), '|')),
+            |      (acc, m) -> replace(acc, m,
+            |        concat('|', replace(substring(m, 2), '|', ''))))),
+            |  cast(0 as bigint),
+            |  (a, s) -> a + size(split(s, '\\\\|')) - 1)""".stripMargin)
+          .as("n_sym"))
+  }
+
   /** Adjacent-symbol pair counts over the sentinel-joined dict,
     * frequency-weighted. Pairs carry their sentinels (`|a|b`) so they
     * are directly usable as replace patterns. */

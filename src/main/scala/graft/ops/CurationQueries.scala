@@ -138,24 +138,60 @@ FROM scored ORDER BY weight_q DESC, doc_id LIMIT $k"""
       s"FROM (SELECT string_split(seq[2:], '|') AS toks, cnt FROM $dict)) " +
       s"GROUP BY 1"
 
-  private val q105Sql: String = {
+  /** The unrolled BPE training chain d1 -> (p_i, b_i, d_i+1) shared by
+    * the train (q105) and encode (q108) oracles. */
+  private def bpeCtes(k: Int): Seq[String] = {
     val base = s"d1 AS (SELECT '|' || array_to_string(string_split(word, ''), '|') AS seq, cnt" +
       s" FROM (SELECT word, count(*) AS cnt FROM" +
       s" (SELECT unnest(${dToks("text")}) AS word FROM documents) GROUP BY 1))"
-    val ctes = (1 to bpeK).flatMap { i =>
+    base +: (1 to k).flatMap { i =>
       val step = Seq(
         s"p$i AS (${dPairs(s"d$i")})",
         s"b$i AS (SELECT pair, pc FROM p$i ORDER BY pc DESC, pair LIMIT 1)")
-      if (i < bpeK) step :+ (s"d${i + 1} AS (SELECT replace(seq, b$i.pair, " +
+      if (i < k) step :+ (s"d${i + 1} AS (SELECT replace(seq, b$i.pair, " +
         s"'|' || replace(b$i.pair[2:], '|', '')) AS seq, cnt FROM d$i, b$i)")
       else step
     }
+  }
+
+  private val q105Sql: String = {
     val sels = (1 to bpeK).map { i =>
       s"SELECT $i AS step, replace(pair[2:], '|', '~') AS pair, " +
         s"replace(pair, '|', '') AS merged, pc AS pair_count FROM b$i"
     }
-    "WITH " + (base +: ctes).mkString(",\n") + "\n" +
+    "WITH " + bpeCtes(bpeK).mkString(",\n") + "\n" +
       sels.mkString(" UNION ALL ") + " ORDER BY step"
+  }
+
+  // =====================================================================
+  // q108 — BPE ENCODE with the trained merges: per doc (doc_id < 60),
+  // whitespace-token count and BPE symbol count after applying the six
+  // q105 merges in training order. The merge list rides as one
+  // broadcast row; the encode pass is map-only. The oracle re-trains
+  // the merges (shared CTE chain) and replays the same per-word fold.
+  // =====================================================================
+
+  private val q108: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    Curation.bpeEncode(docs, Curation.bpeMerges(docs, "text", bpeK),
+        "text", "doc_id")
+      .filter(col("doc_id") < 60)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q108Sql: String = {
+    val marr = "marr AS (SELECT [" +
+      (1 to bpeK).map(i => s"(SELECT pair FROM b$i)").mkString(", ") +
+      "] AS ms)"
+    val enc = s"""enc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, w ->
+    len(string_split(list_reduce(
+      list_prepend('|' || array_to_string(string_split(w, ''), '|'), ms),
+      (acc, m) -> replace(acc, m, '|' || replace(m[2:], '|', ''))), '|')) - 1)),
+    (a, x) -> a + x) AS BIGINT) AS n_sym
+  FROM (SELECT doc_id, ${dToks("text")} AS toks FROM documents), marr)"""
+    "WITH " + (bpeCtes(bpeK) ++ Seq(marr, enc)).mkString(",\n") +
+      "\nSELECT doc_id, n_tok, n_sym FROM enc WHERE doc_id < 60 ORDER BY doc_id"
   }
 
   // =====================================================================
@@ -195,11 +231,13 @@ FROM wts w LEFT JOIN sel s ON w.source = s.source"""
     "q104_dsir_select" -> q104,
     "q105_bpe_merges" -> q105,
     "q106_domain_mixture" -> q106,
-    "q107_dsir_standing_index" -> q107)
+    "q107_dsir_standing_index" -> q107,
+    "q108_bpe_encode" -> q108)
 
   val oracles: Map[String, String] = Map(
     "q104_dsir_select" -> q104Sql,
     "q105_bpe_merges" -> q105Sql,
     "q106_domain_mixture" -> q106Sql,
-    "q107_dsir_standing_index" -> q107Sql)
+    "q107_dsir_standing_index" -> q107Sql,
+    "q108_bpe_encode" -> q108Sql)
 }

@@ -101,6 +101,20 @@ class CurationSpec extends SparkSpec {
     assert(out.getLong(3) === 4L)
   }
 
+  test("bpeEncode applies merges in order, incl. unseen words") {
+    // training learns (a,a) then (aa,b) — see the merge test above
+    val docs = Seq("aab aab", "aab cb", "cb").toDF("text")
+    val merges = Curation.bpeMerges(docs, "text", 2)
+    val enc = Seq((1L, "aab aab"), (2L, "aab cb"), (3L, "aabcb"))
+      .toDF("doc_id", "text")
+    val out = Curation.bpeEncode(enc, merges, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // aab -> one symbol after both merges; cb stays c|b (2);
+    // unseen aabcb -> |aab|c|b (3)
+    assert(out.toSeq === Seq((1L, 2L, 2L), (2L, 2L, 3L), (3L, 1L, 3L)))
+  }
+
   test("bpeMerges rejects k < 1") {
     val docs = Seq("ab").toDF("text")
     intercept[IllegalArgumentException] {
