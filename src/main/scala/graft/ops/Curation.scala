@@ -248,6 +248,54 @@ object Curation {
       .select(explode(col("pairs")).as("pair"), col("cnt"))
       .groupBy("pair").agg(sum(col("cnt")).as("pc"))
 
+  /** Bigram-LM quality scoring (the CCNet-style perplexity filter):
+    * train add-one-smoothed bigram conditionals on the corpus itself,
+    * score every doc by its mean quantized SURPRISAL
+    * `-floor(16384 * ln((c(w1,w2)+1)/(c(w1)+V)))` (positive — ratio is
+    * strictly < 1 under add-one smoothing), and surface the `topK`
+    * least predictable docs (quality outliers). Output
+    * `(rank, <idCol>, n_big, score_q)` — score_q = integer-div mean in
+    * 2^-14-nat units (exact under any partial-agg order; kept positive
+    * so Spark's truncating `div` and DuckDB's flooring `//` agree).
+    *
+    * Scale: bigram counts are corpus-wide hash-aggregates; scoring is
+    * an equi-join of doc bigrams against them (shuffle on the bigram
+    * key — NOT broadcast; the bigram table grows with the corpus) and
+    * one per-doc regroup. All integer sums after the fenced per-bigram
+    * quantization. */
+  def lmQuality(docs: DataFrame, textCol: String, idCol: String,
+      topK: Int = 25): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val docBig = docs
+      .select(col(idCol), toks.as("ts"))
+      .select(col(idCol), explode(when(size(col("ts")) < 2,
+          typedLit(Array.empty[Array[String]]))
+        .otherwise(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => array(element_at(col("ts"), i),
+            element_at(col("ts"), i + 1))))).as("bg"))
+      .select(col(idCol), col("bg")(0).as("w1"), col("bg")(1).as("w2"))
+    val uni = docs.select(explode(toks).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val big = docBig.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val scored = docBig
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), expr(
+        "-cast(floor(16384.0 * ln(cast(c2 + 1 as double) / (c1 + v))) as bigint)")
+        .as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_big"),
+        expr("sum(lp) div count(1)").as("score_q"))
+    scored
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(topK)
+      .select(row_number().over(
+          Window.orderBy(col("score_q").desc, col(idCol))).as("rank"),
+        col(idCol), col("n_big"), col("score_q"))
+  }
+
   /** DoReMi-flavoured domain mixture: per-source token totals, a
     * sqrt-tempered target share, and the per-source sampling rate (basis
     * points, capped at 10000) that realizes it under a global budget;

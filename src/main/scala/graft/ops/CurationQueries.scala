@@ -227,17 +227,49 @@ SELECT w.source, w.n_docs, w.tokens, w.rate_bp,
   CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
 FROM wts w LEFT JOIN sel s ON w.source = s.source"""
 
+  // =====================================================================
+  // q109 — bigram-LM quality outliers (CCNet-style perplexity filter):
+  // add-one-smoothed bigram conditionals trained on the corpus itself,
+  // docs ranked by mean quantized surprisal, 25 least predictable.
+  // =====================================================================
+
+  private val q109: QFn = (s, d) =>
+    Curation.lmQuality(wide(s, d, "documents", "doc_id"),
+      "text", "doc_id", topK = 25)
+
+  private val q109Sql = s"""
+WITH dt AS (SELECT doc_id, ${dToks("text")} AS ts FROM documents),
+db AS (SELECT doc_id, bg[1] AS w1, bg[2] AS w2 FROM
+  (SELECT doc_id, unnest(CASE WHEN len(ts) < 2 THEN []
+    ELSE list_transform(range(len(ts) - 1), i -> [ts[i+1], ts[i+2]]) END) AS bg
+   FROM dt)),
+uni AS (SELECT w1, count(*) AS c1 FROM (SELECT unnest(ts) AS w1 FROM dt)
+  GROUP BY 1),
+big AS (SELECT w1, w2, count(*) AS c2 FROM db GROUP BY 1, 2),
+vocab AS (SELECT count(*) AS v FROM uni),
+lp AS (SELECT doc_id,
+    -CAST(floor(16384.0 * ln(CAST(c2 + 1 AS DOUBLE) / (c1 + v))) AS BIGINT)
+      AS lp
+  FROM db JOIN big USING (w1, w2) JOIN uni USING (w1), vocab),
+sc AS (SELECT doc_id, count(*) AS n_big,
+    CAST(sum(lp) // count(*) AS BIGINT) AS score_q FROM lp GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank,
+  doc_id, n_big, score_q
+FROM sc ORDER BY score_q DESC, doc_id LIMIT 25"""
+
   val queries: Map[String, QFn] = Map(
     "q104_dsir_select" -> q104,
     "q105_bpe_merges" -> q105,
     "q106_domain_mixture" -> q106,
     "q107_dsir_standing_index" -> q107,
-    "q108_bpe_encode" -> q108)
+    "q108_bpe_encode" -> q108,
+    "q109_lm_quality" -> q109)
 
   val oracles: Map[String, String] = Map(
     "q104_dsir_select" -> q104Sql,
     "q105_bpe_merges" -> q105Sql,
     "q106_domain_mixture" -> q106Sql,
     "q107_dsir_standing_index" -> q107Sql,
-    "q108_bpe_encode" -> q108Sql)
+    "q108_bpe_encode" -> q108Sql,
+    "q109_lm_quality" -> q109Sql)
 }

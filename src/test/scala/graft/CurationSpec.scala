@@ -123,6 +123,28 @@ class CurationSpec extends SparkSpec {
   }
 
   // ===================================================================
+  // Bigram-LM quality
+  // ===================================================================
+
+  test("lmQuality ranks the unpredictable doc first; partition-invariant") {
+    // docs 1-4 repeat the same bigrams; doc 5 is one-off word pairs
+    val docs = Seq(
+      (1L, "the quick fox jumps high"),
+      (2L, "the quick fox jumps high"),
+      (3L, "the quick fox jumps high"),
+      (4L, "the quick fox jumps high"),
+      (5L, "zebra quantum pickle warp")).toDF("doc_id", "text")
+    val out = Curation.lmQuality(docs, "text", "doc_id", topK = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(out.head._2 === 5L) // the outlier is rank 1
+    assert(out.head._3 > out(1)._3) // strictly more surprising
+    assert(out.forall(_._3 > 0L)) // surprisal stays positive
+    val again = Curation.lmQuality(docs.repartition(7), "text", "doc_id", 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(out.toSeq === again.toSeq)
+  }
+
+  // ===================================================================
   // Domain mixture
   // ===================================================================
 
