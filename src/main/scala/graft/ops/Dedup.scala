@@ -1308,4 +1308,140 @@ object Similarity {
           .orderBy(col("cos_sim").desc, col("id"))))
       .filter(col("rank") <= k)
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (Jegou, Douze & Schmid, "Product quantization
+  // for nearest neighbor search", TPAMI 2011) — the vector-COMPRESSION
+  // leg of a billion-vector ANN stack: a 64-dim float vector (256 bytes)
+  // becomes numSub small codes (numSub bytes at ksub <= 256), and probes
+  // search the codes through a per-probe lookup table without ever
+  // touching the original floats. At 100 TB of embeddings this is the
+  // difference between "the index fits in cluster memory" and "it
+  // doesn't".
+  //
+  // Reproducibility discipline (same family as quantizedKmeans, one step
+  // further): vectors quantize to floor(x*scale) longs, and every
+  // centroid is RE-FLOORED onto the same integer lattice after each
+  // Lloyd recenter (floor(sum/count) per coordinate). quantizedKmeans
+  // keeps exact (sum,count) fractions and compares fractions through one
+  // IEEE division; here the lattice round-off (<= 1/scale per
+  // coordinate, noise relative to the scale-1000 input quantization)
+  // buys PURE-integer distances everywhere — train, encode and ADC are
+  // all exact int64 sums of squared integer differences, order-
+  // independent under any partial aggregation, so the whole family sits
+  // under the differential oracle (q110/q111).
+  // ------------------------------------------------------------------
+
+  /** Exact int64 squared L2 distance between two long-array columns. */
+  private def sqDistQ(a: String, b: String) =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      s"cast(0 as bigint), (acc, v) -> acc + v)"
+
+  /** (sub, id, sv) subvector rows of a lattice-quantized vector corpus:
+    * one row per (vector, subspace), subspace width = dims/numSub.
+    * Signature-per-row — embarrassingly parallel, no shuffle. */
+  private def pqSubRows(corpus: DataFrame, vecCol: String, idCol: String,
+      numSub: Int, scale: Int): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
+          .as("vq"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${numSub - 1}), " +
+          s"j -> slice(vq, j * (size(vq) div $numSub) + 1, " +
+          s"size(vq) div $numSub))")).as(Seq("sub", "sv")))
+
+  /** Nearest-codeword assignment per (vector, subspace): broadcast the
+    * codebooks (numSub*ksub rows, tiny), argmin exact int64 distance,
+    * ties to the lowest code. ALL subspaces assign in one plan — the
+    * window partitions by (sub, id), not a driver loop per subspace. */
+  private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame =
+    subs.join(broadcast(books), "sub")
+      .withColumn("d2", expr(sqDistQ("sv", "cq")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sub"), col("id"))
+          .orderBy(col("d2"), col("code"))))
+      .filter(col("rn") === 1)
+      .select(col("sub"), col("id"), col("code"))
+
+  /** Train the per-subspace codebooks: seeds are the `ksub` smallest
+    * ids' subvectors relabeled to dense codes 0..ksub-1 (codes must be
+    * dense smallints — they ARE the compressed representation), then
+    * `iters` Lloyd rounds of assign + integer recenter. A codeword that
+    * loses all members keeps its previous coordinates. Returns
+    * (sub, code, cq) — numSub*ksub rows, broadcast by every consumer. */
+  def pqCodebooks(corpus: DataFrame, vecCol: String, idCol: String,
+      numSub: Int, ksub: Int, iters: Int = 1, scale: Int = 1000): DataFrame = {
+    require(numSub > 0 && ksub > 0 && iters >= 0 && scale > 0,
+      "numSub, ksub, scale must be positive; iters non-negative")
+    val subs = pqSubRows(corpus, vecCol, idCol, numSub, scale)
+    // the rank window runs on <= ksub rows; partitionBy(lit) keeps the
+    // planner from warning about a global window on the tiny seed set
+    val seedIds = corpus.select(col(idCol).as("id"))
+      .orderBy(col("id")).limit(ksub)
+      .withColumn("code", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(col("id"))) - 1)
+    var books = subs.join(broadcast(seedIds), "id")
+      .select(col("sub"), col("code"), col("sv").as("cq"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val re = pqAssign(subs, books).join(subs, Seq("sub", "id"))
+        .select(col("sub"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cm"))
+        // re-floor the centroid onto the integer lattice: long/long
+        // division is exact in double (|sx| << 2^53), floor matches the
+        // oracle's CAST(floor(CAST(s AS DOUBLE)/m) AS BIGINT)
+        .withColumn("cx", floor(col("sx") / col("cm")))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cx))), " +
+          "p -> p.cx)").as("cq"))
+      books = books.select(col("sub"), col("code"), col("cq").as("oq"))
+        .join(re.toDF("sub", "code", "nq"), Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("nq"), col("oq")).as("cq"))
+        .localCheckpoint()
+    }
+    books
+  }
+
+  /** PQ-encode a corpus: (id, sub, code) rows — the compressed form a
+    * serving fleet stores instead of raw floats. Map + broadcast join +
+    * one (sub,id) window; no corpus shuffle. */
+  def pqEncode(corpus: DataFrame, books: DataFrame, vecCol: String,
+      idCol: String, scale: Int = 1000): DataFrame = {
+    val numSub = books.agg(max(col("sub"))).head().getInt(0) + 1
+    pqAssign(pqSubRows(corpus, vecCol, idCol, numSub, scale), books)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each probe keeps its
+    * EXACT quantized subvectors and builds a (sub, code) -> partial-d2
+    * lookup table against the codebooks (numSub*ksub longs per probe,
+    * broadcast); a coded vector's distance is the sum of its numSub
+    * table entries — exact int64, order-independent. The scan is the
+    * broadcast-LUT join + one partial-aggregated sum per (probe, id),
+    * then a per-probe top-k window: the same plan shape as
+    * [[bruteForceTopK]] but over codes, never the original floats.
+    * Returns (q_id, rank, id, adc_d2); ties rank by id. */
+  def pqAdcTopK(codes: DataFrame, books: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, k: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1)
+    val numSub = books.agg(max(col("sub"))).head().getInt(0) + 1
+    val lut = pqSubRows(probes, vecCol, idCol, numSub, scale)
+      .withColumnRenamed("id", "q_id")
+      .join(broadcast(books), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        expr(sqDistQ("sv", "cq")).as("pd2"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_d2"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("adc_d2"))
+  }
 }

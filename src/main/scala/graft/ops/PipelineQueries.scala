@@ -40,7 +40,7 @@ object PipelineQueries {
     * the CPU-bound signature computation onto one core). On a real
     * 100 TB layout the files themselves provide >= parallelism splits and
     * this is the identity — no extra exchange in the plan. */
-  private def wide(s: SparkSession, dir: String, n: String, key: String): DataFrame = {
+  private[ops] def wide(s: SparkSession, dir: String, n: String, key: String): DataFrame = {
     val df = t(s, dir, n)
     val cores = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(col(key)) else df

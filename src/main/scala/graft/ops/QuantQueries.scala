@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-compression queries (q110-q111) over [[Similarity]]'s product-
+  * quantization family: per-subspace codebook training + encode under
+  * the differential oracle, and asymmetric-distance (ADC) top-k search
+  * over the codes. Both use the pure-integer lattice discipline
+  * (floor(x*scale) vectors, re-floored centroids) so every distance is
+  * an exact int64 and DuckDB replays the identical arithmetic.
+  *
+  * Pinned parameters (must match the oracle SQL): 64-dim embeddings,
+  * numSub=4 subspaces of width 16, ksub=8 codewords seeded from the 8
+  * smallest vec_ids, one Lloyd iteration, scale=1000.
+  */
+object QuantQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  // ===================================================================
+  // q110 — PQ codebook train + encode: every vector's (sub, code) cell
+  // assignments after one integer Lloyd round. The whole train->encode
+  // path is under the oracle: seeds, assignment argmin (ties to lowest
+  // code), integer recenter with lattice re-flooring, re-assignment.
+  // ===================================================================
+
+  private val q110: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val books = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1, scale = 1000)
+    Similarity.pqEncode(vecs, books, "embedding", "vec_id", scale = 1000)
+      .select(col("id").as("vec_id"), col("sub"), col("code"))
+      .orderBy(col("vec_id"), col("sub"))
+  }
+
+  /** Exact int64 squared L2 between two BIGINT lists (DuckDB). */
+  private def dSqDistQ(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(len($a)), " +
+      s"i -> (($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1]))), " +
+      s"(acc, v) -> acc + v)"
+
+  /** Argmin codeword per (vec, sub) against codebook CTE `$books`. */
+  private def dPqAssign(books: String) = s"""
+    SELECT sub, vec_id, code FROM (
+      SELECT s.sub, s.vec_id, c.code,
+        row_number() OVER (PARTITION BY s.sub, s.vec_id
+          ORDER BY ${dSqDistQ("s.sv", "c.cq")}, c.code) AS rn
+      FROM sub s JOIN $books c USING (sub)) WHERE rn = 1"""
+
+  /** Shared train+encode CTE prefix: quantize -> slice -> seed -> assign
+    * -> integer recenter (lattice re-floor) -> final assign (a2). */
+  private val dPqTrain = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    sub AS (SELECT vec_id, j AS sub,
+        list_slice(vq, j*16 + 1, j*16 + 16) AS sv
+      FROM e, range(4) t(j)),
+    seeds AS (SELECT sub,
+        CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+          AS INT) AS code, sv AS cq
+      FROM sub WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+    a1 AS (${dPqAssign("seeds")}),
+    re AS (SELECT sub, code, list(cx ORDER BY pos) AS cq FROM (
+        SELECT a1.sub, a1.code, t.i AS pos,
+          CAST(floor(CAST(sum(s.sv[t.i + 1]) AS DOUBLE) / count(*))
+            AS BIGINT) AS cx
+        FROM a1 JOIN sub s ON s.sub = a1.sub AND s.vec_id = a1.vec_id,
+          range(16) t(i)
+        GROUP BY 1, 2, 3) GROUP BY 1, 2),
+    c1 AS (SELECT seeds.sub, seeds.code, coalesce(re.cq, seeds.cq) AS cq
+      FROM seeds LEFT JOIN re ON re.sub = seeds.sub AND re.code = seeds.code),
+    a2 AS (${dPqAssign("c1")})"""
+
+  private val q110Sql = s"""$dPqTrain
+    SELECT vec_id, sub, code FROM a2 ORDER BY vec_id, sub"""
+
+  // ===================================================================
+  // q111 — ADC top-k: probes (vec_id < 20) keep exact quantized
+  // subvectors, build the (sub, code) -> partial-d2 LUT against the
+  // trained codebooks, and rank the CODED corpus purely by summed
+  // table entries (exact int64). k=3, ties by vec_id.
+  // ===================================================================
+
+  private val q111: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val books = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1, scale = 1000)
+    val codes = Similarity.pqEncode(vecs, books, "embedding", "vec_id",
+      scale = 1000)
+    Similarity.pqAdcTopK(codes, books,
+        vecs.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, scale = 1000)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q111Sql = s"""$dPqTrain,
+    lut AS (SELECT p.vec_id AS q_id, p.sub, c.code,
+        ${dSqDistQ("p.sv", "c.cq")} AS pd2
+      FROM sub p JOIN c1 c USING (sub) WHERE p.vec_id < 20),
+    sc AS (SELECT l.q_id, a2.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+      FROM a2 JOIN lut l ON l.sub = a2.sub AND l.code = a2.code
+        AND a2.vec_id != l.q_id
+      GROUP BY 1, 2)
+    SELECT q_id, rank, vec_id, adc_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY adc_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  // ===================================================================
+
+  val queries: Map[String, QFn] = Map(
+    "q110_pq_encode" -> q110,
+    "q111_pq_adc_topk" -> q111)
+
+  val oracles: Map[String, String] = Map(
+    "q110_pq_encode" -> q110Sql,
+    "q111_pq_adc_topk" -> q111Sql)
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Product-quantization family: exactness on a duplicated corpus,
+  * reproducibility under repartitioning (the property the integer
+  * lattice buys), and recall against exact quantized-L2 truth. */
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 8 well-separated deterministic 64-dim base vectors; ids 8..63 are
+    * exact copies of base id%8 — so with ksub=8 the trained codewords
+    * coincide with the bases and PQ becomes EXACT. */
+  private lazy val dupCorpus = {
+    def base(b: Int): Array[Float] =
+      Array.tabulate(64)(j => (((b * 64 + j) * 2654435761L % 97) / 97.0f
+        + (if (j % 8 == b) 3f else 0f)))
+    spark.createDataFrame(
+      (0 until 64).map(i => (i.toLong, base(i % 8).toSeq)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+  }
+
+  test("PQ is exact when codewords coincide with the corpus vectors") {
+    val books = Similarity.pqCodebooks(dupCorpus, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1)
+    // recenter over exact copies keeps every codeword on its base
+    val codes = Similarity.pqEncode(dupCorpus, books, "embedding", "vec_id")
+    val byId = codes.collect()
+      .groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("sub"))
+        .map(_.getAs[Int]("code")).toSeq).toMap
+    assert(byId.size === 64)
+    for (i <- 8 until 64)
+      assert(byId(i.toLong) === byId((i % 8).toLong),
+        s"copy $i must encode like base ${i % 8}")
+    // ADC distance to an exact duplicate is 0, and it ranks first
+    val probes = dupCorpus.filter($"vec_id" >= 8 && $"vec_id" < 16)
+    val top1 = Similarity.pqAdcTopK(codes, books, probes,
+        "embedding", "vec_id", k = 1)
+      .filter($"rank" === 1).collect()
+    assert(top1.length === 8)
+    top1.foreach(r => assert(r.getAs[Long]("adc_d2") === 0L))
+  }
+
+  test("codebooks, codes and ADC ranks are invariant under repartitioning") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val books = Similarity.pqCodebooks(df, "embedding", "vec_id",
+        numSub = 4, ksub = 8, iters = 1)
+      val codes = Similarity.pqEncode(df, books, "embedding", "vec_id")
+      val top = Similarity.pqAdcTopK(codes, books,
+        df.filter($"vec_id" < 5), "embedding", "vec_id", k = 3)
+      (books.collect().map(_.toString).sorted.toSeq,
+        codes.collect().map(_.toString).sorted.toSeq,
+        top.collect().map(_.toString).sorted.toSeq)
+    }
+    val a = run(embs)
+    val b = run(embs.repartition(7, $"vec_id"))
+    assert(a._1 === b._1)
+    assert(a._2 === b._2)
+    assert(a._3 === b._3)
+  }
+
+  test("every vector gets one dense code per subspace") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    val books = Similarity.pqCodebooks(embs, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1)
+    val codes = Similarity.pqEncode(embs, books, "embedding", "vec_id")
+    val n = embs.count()
+    assert(codes.count() === n * 4)
+    assert(codes.groupBy("id").count()
+      .filter($"count" =!= 4).count() === 0)
+    assert(codes.filter($"code" < 0 || $"code" >= 8).count() === 0)
+  }
+
+  test("ADC recall against exact quantized-L2 truth is substantial") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    val probes = embs.filter($"vec_id" < 20)
+    val books = Similarity.pqCodebooks(embs, "embedding", "vec_id",
+      numSub = 8, ksub = 32, iters = 2)
+    val codes = Similarity.pqEncode(embs, books, "embedding", "vec_id")
+    val adc = Similarity.pqAdcTopK(codes, books, probes,
+        "embedding", "vec_id", k = 5)
+      .select($"q_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact truth on the SAME integer lattice (floor(x*1000) longs)
+    val q = embs.select($"vec_id".as("id"),
+      expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+        .as("vq"))
+    val d2 = "aggregate(zip_with(a.vq, b.vq, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)"
+    val truth = q.as("a").filter($"a.id" < 20)
+      .crossJoin(q.as("b")).filter($"a.id" =!= $"b.id")
+      .select($"a.id".as("q_id"), $"b.id".as("id"), expr(d2).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"d2", $"id")))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = adc.intersect(truth).size.toDouble / truth.size
+    // deterministic corpus -> deterministic recall; bound set with
+    // headroom below the measured value. NOTE the testdata embeddings
+    // are near-uniform random — PQ's worst case (no cluster structure
+    // for codewords to exploit), so absolute recall here is far below
+    // what real embedding corpora give; the assertion is that ADC
+    // ranking carries strong signal, several times the random baseline
+    // (k/(N-1) ~ 0.01 at N=500).
+    assert(recall >= 0.3, s"ADC recall@5 = $recall")
+  }
+}
