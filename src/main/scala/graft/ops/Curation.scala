@@ -173,12 +173,25 @@ object Curation {
     * implementations); ties break lexicographically.
     *
     * Output: one row per merge step — `(step, pair, merged, pair_count)`
-    * with `pair` displayed as `left~right`. */
-  def bpeMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    * with `pair` displayed as `left~right`.
+    *
+    * Scale boundary: the corpus→word-dict collapse is the ONE
+    * Spark-sized shuffle; after it the dict is a bounded model artifact
+    * (the vocabulary — like the merge list [[bpeEncode]] broadcasts).
+    * The merge loop itself is inherently sequential (each rule changes
+    * the pair counts the next rule is chosen from), so for k above
+    * `sparkLoopMaxK` it runs over the COLLECTED dict on the driver —
+    * a real 32k-merge vocab as k in-memory rounds, not k driver-
+    * coordinated Spark jobs. Both paths compute identical rules (exact
+    * weighted pair counts, UTF-8-binary lexicographic tie-break, same
+    * left-to-right non-overlapping replace). */
+  def bpeMerges(docs: DataFrame, textCol: String, k: Int,
+      sparkLoopMaxK: Int = 16): DataFrame = {
     require(k >= 1, s"bpeMerges needs k >= 1 merges, got $k")
     val words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+    if (k > sparkLoopMaxK) return bpeMergesOnDict(words, k)
     var cur = words
       .select(concat(lit("|"), array_join(split(col("word"), ""), "|"))
         .as("seq"), col("cnt"))
@@ -199,6 +212,60 @@ object Curation {
         col("pc").as("pair_count"))
     }
     steps.reduce(_ unionAll _)
+  }
+
+  /** Large-k BPE training over the collected word dict (see
+    * [[bpeMerges]] scale boundary). The dict is the trainer's entire
+    * working set — k rounds of pair-count + argmax + replace touch
+    * nothing corpus-sized, so they run where a bounded artifact
+    * belongs: in one JVM, not as 10^5 sequential Spark jobs. */
+  private def bpeMergesOnDict(words: DataFrame, k: Int): DataFrame = {
+    val spark = words.sparkSession
+    // unsigned UTF-8 byte comparison — matches Spark's string ordering
+    // (UTF8String binary compare), NOT Java's UTF-16 compareTo
+    def utf8Less(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var dict = words.collect().map { r =>
+      ("|" + r.getString(0).split("").filter(_.nonEmpty).mkString("|"),
+        r.getLong(1))
+    }
+    val steps = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[String, Long]
+      dict.foreach { case (seq, cnt) =>
+        val toks = seq.substring(1).split("\\|", -1)
+        var i = 1
+        while (i < toks.length) {
+          val p = "|" + toks(i - 1) + "|" + toks(i)
+          pc.update(p, pc.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true // mirrors the empty limit(1)
+      else {
+        val (pair, n) = pc.foldLeft(("", -1L)) { case (b @ (bp, bn), c @ (cp, cn)) =>
+          if (cn > bn || (cn == bn && utf8Less(cp, bp))) c else b
+        }
+        val merged = "|" + pair.substring(1).replace("|", "")
+        dict = dict.map { case (s, c) => (s.replace(pair, merged), c) }
+        steps += ((step, pair.substring(1).replace("|", "~"),
+          pair.replace("|", ""), n))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    steps.result().toDF("step", "pair", "merged", "pair_count")
   }
 
   /** Encode documents with trained BPE merge rules ([[bpeMerges]]

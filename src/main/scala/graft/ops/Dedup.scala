@@ -1339,30 +1339,53 @@ object Similarity {
 
   /** (sub, id, sv) subvector rows of a lattice-quantized vector corpus:
     * one row per (vector, subspace), subspace width = dims/numSub.
-    * Signature-per-row — embarrassingly parallel, no shuffle. */
+    * Signature-per-row — embarrassingly parallel, no shuffle. Vectors
+    * whose dimension count does not divide evenly by numSub fail loudly
+    * (a silent `div` would drop the trailing dims — data loss). */
   private def pqSubRows(corpus: DataFrame, vecCol: String, idCol: String,
       numSub: Int, scale: Int): DataFrame =
     corpus.select(col(idCol).as("id"),
         expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
           .as("vq"))
+      .filter(assert_true(size(col("vq")) % numSub === 0 &&
+          size(col("vq")) >= numSub,
+        lit(s"PQ: vector dims must be a positive multiple of numSub=" +
+          s"$numSub")).isNull)
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, ${numSub - 1}), " +
           s"j -> slice(vq, j * (size(vq) div $numSub) + 1, " +
           s"size(vq) div $numSub))")).as(Seq("sub", "sv")))
 
+  /** Codes are dense smallints, so (d2, code) packs into ONE bigint with
+    * a 16-bit shift and the lexicographic argmin becomes `min(packed)`. */
+  private val PqCodeBits = 16
+  private val PqPackBound = (Long.MaxValue - ((1L << PqCodeBits) - 1)) >>
+    PqCodeBits
+
   /** Nearest-codeword assignment per (vector, subspace): broadcast the
     * codebooks (numSub*ksub rows, tiny), argmin exact int64 distance,
-    * ties to the lowest code. ALL subspaces assign in one plan — the
-    * window partitions by (sub, id), not a driver loop per subspace. */
+    * ties to the lowest code. ALL subspaces assign in one plan, and the
+    * argmin is a map-side partial HashAggregate over
+    * `min(d2 << 16 | code)` — the ×ksub broadcast-join expansion
+    * collapses BEFORE the exchange, so the shuffle carries one row per
+    * (sub, id) instead of ksub (a row_number window here would sort-
+    * shuffle all expanded rows). Packing preserves the exact (d2, code)
+    * ordering because codes are dense ints < 2^16 by construction; d2 is
+    * guarded against the 2^47 packing bound (lattice distances at sane
+    * scales sit many orders of magnitude below it — 64-dim floats in
+    * [-4, 4] at scale=1000 give d2 <= ~4*10^9). */
   private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame =
     subs.join(broadcast(books), "sub")
-      .withColumn("d2", expr(sqDistQ("sv", "cq")))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("sub"), col("id"))
-          .orderBy(col("d2"), col("code"))))
-      .filter(col("rn") === 1)
-      .select(col("sub"), col("id"), col("code"))
+      .select(col("sub"), col("id"),
+        expr(sqDistQ("sv", "cq")).as("d2"), col("code"))
+      .filter(assert_true(col("d2") <= PqPackBound,
+        lit(s"PQ: squared distance exceeds the $PqPackBound packing " +
+          "bound — lower `scale`")).isNull)
+      .groupBy(col("sub"), col("id"))
+      .agg(min(shiftleft(col("d2"), PqCodeBits) + col("code"))
+        .as("packed"))
+      .select(col("sub"), col("id"),
+        (col("packed") % (1L << PqCodeBits)).cast("int").as("code"))
 
   /** Train the per-subspace codebooks: seeds are the `ksub` smallest
     * ids' subvectors relabeled to dense codes 0..ksub-1 (codes must be
@@ -1409,10 +1432,14 @@ object Similarity {
 
   /** PQ-encode a corpus: (id, sub, code) rows — the compressed form a
     * serving fleet stores instead of raw floats. Map + broadcast join +
-    * one (sub,id) window; no corpus shuffle. */
+    * one partial-aggregated argmin; the only corpus shuffle carries one
+    * row per (vector, subspace). `numSub` is explicit (the caller
+    * trained the books and always knows it) so plan construction stays
+    * lazy — inferring it from `books` would launch an eager Spark job
+    * mid-build and die unhelpfully on an empty codebook. */
   def pqEncode(corpus: DataFrame, books: DataFrame, vecCol: String,
-      idCol: String, scale: Int = 1000): DataFrame = {
-    val numSub = books.agg(max(col("sub"))).head().getInt(0) + 1
+      idCol: String, numSub: Int, scale: Int = 1000): DataFrame = {
+    require(numSub > 0, "numSub must be positive")
     pqAssign(pqSubRows(corpus, vecCol, idCol, numSub, scale), books)
   }
 
@@ -1424,11 +1451,23 @@ object Similarity {
     * broadcast-LUT join + one partial-aggregated sum per (probe, id),
     * then a per-probe top-k window: the same plan shape as
     * [[bruteForceTopK]] but over codes, never the original floats.
-    * Returns (q_id, rank, id, adc_d2); ties rank by id. */
+    * Returns (q_id, rank, id, adc_d2); ties rank by id.
+    *
+    * Scale bounds a caller must respect: (1) the broadcast LUT is
+    * numProbes × numSub × ksub rows and grows LINEARLY with the probe
+    * batch — at numSub=8/ksub=256 each probe adds 2048 rows (~32 KB), so
+    * keep a batch under ~10^4 probes (≈320 MB) or split it; past the
+    * broadcast threshold Spark silently falls back to a shuffle join and
+    * the "never shuffle the codes" property is lost. (2) The family
+    * inherits [[quantizedKmeans]]'s int64 discipline: per-coordinate
+    * quantized values must satisfy dims·(2·scale·|x|max)² < 2^47 (the
+    * argmin packing bound, checked at runtime) — scale=1000 on
+    * unit-normalized embeddings is orders of magnitude inside it. */
   def pqAdcTopK(codes: DataFrame, books: DataFrame, probes: DataFrame,
-      vecCol: String, idCol: String, k: Int, scale: Int = 1000): DataFrame = {
-    require(k >= 1)
-    val numSub = books.agg(max(col("sub"))).head().getInt(0) + 1
+      vecCol: String, idCol: String, k: Int, numSub: Int,
+      scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(numSub > 0, "numSub must be positive")
     val lut = pqSubRows(probes, vecCol, idCol, numSub, scale)
       .withColumnRenamed("id", "q_id")
       .join(broadcast(books), "sub")

@@ -28,7 +28,8 @@ object QuantQueries {
     val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
     val books = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
       numSub = 4, ksub = 8, iters = 1, scale = 1000)
-    Similarity.pqEncode(vecs, books, "embedding", "vec_id", scale = 1000)
+    Similarity.pqEncode(vecs, books, "embedding", "vec_id",
+      numSub = 4, scale = 1000)
       .select(col("id").as("vec_id"), col("sub"), col("code"))
       .orderBy(col("vec_id"), col("sub"))
   }
@@ -88,10 +89,10 @@ object QuantQueries {
     val books = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
       numSub = 4, ksub = 8, iters = 1, scale = 1000)
     val codes = Similarity.pqEncode(vecs, books, "embedding", "vec_id",
-      scale = 1000)
+      numSub = 4, scale = 1000)
     Similarity.pqAdcTopK(codes, books,
         vecs.filter(col("vec_id") < 20), "embedding", "vec_id",
-        k = 3, scale = 1000)
+        k = 3, numSub = 4, scale = 1000)
       .withColumnRenamed("id", "vec_id")
       .select(col("q_id"), col("rank"), col("vec_id"), col("adc_d2"))
       .orderBy(col("q_id"), col("rank"))

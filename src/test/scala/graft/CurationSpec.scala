@@ -122,6 +122,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("bpeMerges large-k driver path computes the same rules as the " +
+      "Spark loop (and survives pair exhaustion)") {
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      .limit(40).select($"text")
+    // same k through both paths: sparkLoopMaxK=0 forces the collected-
+    // dict trainer, the default keeps the per-step Spark loop
+    val viaSpark = Curation.bpeMerges(docs, "text", 8)
+      .collect().map(_.toString).toSeq
+    val viaDict = Curation.bpeMerges(docs, "text", 8, sparkLoopMaxK = 0)
+      .collect().map(_.toString).toSeq
+    assert(viaSpark === viaDict)
+    assert(viaDict.size === 8)
+    // a corpus with 2 single-pair words exhausts after 2 merges: both
+    // paths stop emitting rows rather than fail
+    val tiny = Seq("ab cd").toDF("text")
+    assert(Curation.bpeMerges(tiny, "text", 20, sparkLoopMaxK = 20).count()
+      === 2L)
+    assert(Curation.bpeMerges(tiny, "text", 20, sparkLoopMaxK = 0).count()
+      === 2L)
+  }
+
   // ===================================================================
   // Bigram-LM quality
   // ===================================================================

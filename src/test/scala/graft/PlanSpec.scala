@@ -241,4 +241,21 @@ class PipelinePlanSpec extends SparkSpec {
     // the candidate join runs on exploded (table, sig) rows
     assert(p.toLowerCase.contains("generate posexplode"))
   }
+
+  test("q110: PQ codeword argmin is a map-side partial HashAggregate, " +
+      "never a row_number sort over the ×ksub codebook expansion") {
+    val p = SparkEntry.queries("q110_pq_encode")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the assign path collapses the broadcast-join expansion BEFORE the
+    // exchange: min(packed) partial-aggregates per (sub, id) map-side
+    assert(p.contains("partial_min"))
+    assert(p.contains("BroadcastHashJoin"))
+    // seeds rank with a tiny ksub-row window; the corpus-sized assign
+    // must not — no Window over the expanded rows means exactly the
+    // seed window appears (codebook train) and none in encode
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 1, s"expected at most the ksub-row seed window, " +
+      s"got $windows Window nodes:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

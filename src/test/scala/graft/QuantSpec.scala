@@ -27,7 +27,8 @@ class ProductQuantSpec extends SparkSpec {
     val books = Similarity.pqCodebooks(dupCorpus, "embedding", "vec_id",
       numSub = 4, ksub = 8, iters = 1)
     // recenter over exact copies keeps every codeword on its base
-    val codes = Similarity.pqEncode(dupCorpus, books, "embedding", "vec_id")
+    val codes = Similarity.pqEncode(dupCorpus, books, "embedding", "vec_id",
+      numSub = 4)
     val byId = codes.collect()
       .groupBy(_.getAs[Long]("id"))
       .view.mapValues(_.sortBy(_.getAs[Int]("sub"))
@@ -39,7 +40,7 @@ class ProductQuantSpec extends SparkSpec {
     // ADC distance to an exact duplicate is 0, and it ranks first
     val probes = dupCorpus.filter($"vec_id" >= 8 && $"vec_id" < 16)
     val top1 = Similarity.pqAdcTopK(codes, books, probes,
-        "embedding", "vec_id", k = 1)
+        "embedding", "vec_id", k = 1, numSub = 4)
       .filter($"rank" === 1).collect()
     assert(top1.length === 8)
     top1.foreach(r => assert(r.getAs[Long]("adc_d2") === 0L))
@@ -50,9 +51,9 @@ class ProductQuantSpec extends SparkSpec {
     def run(df: org.apache.spark.sql.DataFrame) = {
       val books = Similarity.pqCodebooks(df, "embedding", "vec_id",
         numSub = 4, ksub = 8, iters = 1)
-      val codes = Similarity.pqEncode(df, books, "embedding", "vec_id")
+      val codes = Similarity.pqEncode(df, books, "embedding", "vec_id", numSub = 4)
       val top = Similarity.pqAdcTopK(codes, books,
-        df.filter($"vec_id" < 5), "embedding", "vec_id", k = 3)
+        df.filter($"vec_id" < 5), "embedding", "vec_id", k = 3, numSub = 4)
       (books.collect().map(_.toString).sorted.toSeq,
         codes.collect().map(_.toString).sorted.toSeq,
         top.collect().map(_.toString).sorted.toSeq)
@@ -68,7 +69,8 @@ class ProductQuantSpec extends SparkSpec {
     val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
     val books = Similarity.pqCodebooks(embs, "embedding", "vec_id",
       numSub = 4, ksub = 8, iters = 1)
-    val codes = Similarity.pqEncode(embs, books, "embedding", "vec_id")
+    val codes = Similarity.pqEncode(embs, books, "embedding", "vec_id",
+      numSub = 4)
     val n = embs.count()
     assert(codes.count() === n * 4)
     assert(codes.groupBy("id").count()
@@ -81,9 +83,10 @@ class ProductQuantSpec extends SparkSpec {
     val probes = embs.filter($"vec_id" < 20)
     val books = Similarity.pqCodebooks(embs, "embedding", "vec_id",
       numSub = 8, ksub = 32, iters = 2)
-    val codes = Similarity.pqEncode(embs, books, "embedding", "vec_id")
+    val codes = Similarity.pqEncode(embs, books, "embedding", "vec_id",
+      numSub = 8)
     val adc = Similarity.pqAdcTopK(codes, books, probes,
-        "embedding", "vec_id", k = 5)
+        "embedding", "vec_id", k = 5, numSub = 8)
       .select($"q_id", $"id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // exact truth on the SAME integer lattice (floor(x*1000) longs)
