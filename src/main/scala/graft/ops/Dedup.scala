@@ -1483,4 +1483,62 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id"), col("adc_d2"))
   }
+
+  /** IVFADC serving (Jégou, Douze & Schmid, TPAMI 2011 §V — the
+    * standard billion-vector stack): probes route to their `nprobe`
+    * nearest COARSE cells, and ADC ranks over PQ codes ONLY inside
+    * those cells — the corpus is never scanned, cell pruning happens
+    * BEFORE any code row meets a lookup table.
+    *
+    * The coarse quantizer is this family's own machinery at numSub=1:
+    * `cells` = [[pqEncode]](corpus, coarseBooks, numSub=1) — one code
+    * per vector, the cell id — and `coarseBooks` =
+    * [[pqCodebooks]](corpus, numSub=1, ksub=ncells). Keeping the coarse
+    * leg on the same integer lattice puts the WHOLE route→prune→rank
+    * path under the differential oracle (q112); this is IVF-PQ on raw
+    * vectors (no residual re-encode — residuals would leave the
+    * shared-lattice discipline, documented trade-off).
+    *
+    * Plan shape at scale: routing is a probeCount×ncells broadcast join
+    * (window bounded by the probe batch); candidate ids come from the
+    * tiny routed table broadcast AGAINST the cell assignments (a
+    * filtered standing artifact); the ADC join then touches only
+    * candidate code rows. Shuffle volume is candidates, not corpus. */
+  def ivfAdcTopK(cells: DataFrame, codes: DataFrame,
+      coarseBooks: DataFrame, books: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int, numSub: Int,
+      scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(numSub > 0, "numSub must be positive")
+    val routed = pqSubRows(probes, vecCol, idCol, 1, scale)
+      .withColumnRenamed("id", "q_id")
+      .join(broadcast(coarseBooks), "sub")
+      .select(col("q_id"), col("code").as("cell"),
+        expr(sqDistQ("sv", "cq")).as("cd2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cd2"), col("cell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    val lut = pqSubRows(probes, vecCol, idCol, numSub, scale)
+      .withColumnRenamed("id", "q_id")
+      .join(broadcast(books), "sub")
+      .select(col("q_id"), col("sub"), col("code"),
+        expr(sqDistQ("sv", "cq")).as("pd2"))
+    // cell pruning FIRST: candidate (q_id, id) pairs from routed cells
+    val cand = cells.select(col("id"), col("code").as("cell"))
+      .join(broadcast(routed), "cell")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"))
+    cand.join(codes, "id")
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_d2"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("adc_d2"))
+  }
 }

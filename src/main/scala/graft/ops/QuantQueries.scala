@@ -112,12 +112,101 @@ object QuantQueries {
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
   // ===================================================================
+  // q112 — IVFADC serving (Jégou et al. §V): probes route to nprobe=4
+  // of 16 coarse cells (integer-lattice coarse quantizer = the PQ
+  // machinery at numSub=1), then ADC ranks PQ codes ONLY inside those
+  // cells. The full route -> prune -> rank path replays in DuckDB.
+  // ===================================================================
+
+  /** Parameterized replica of the [[dPqTrain]] CTE chain with
+    * `p`-prefixed names, so one WITH can train two codebook families
+    * (coarse + fine) over the shared quantized corpus `e`. Emits
+    * ${p}sub, ${p}seeds, ${p}a1, ${p}re, ${p}c1, ${p}a2. */
+  private def dTrainP(p: String, numSub: Int, width: Int,
+      ksub: Int): String = {
+    def assign(books: String) = s"""
+      SELECT sub, vec_id, code FROM (
+        SELECT s.sub, s.vec_id, c.code,
+          row_number() OVER (PARTITION BY s.sub, s.vec_id
+            ORDER BY ${dSqDistQ("s.sv", "c.cq")}, c.code) AS rn
+        FROM ${p}sub s JOIN $books c USING (sub)) WHERE rn = 1"""
+    s"""
+    ${p}sub AS (SELECT vec_id, j AS sub,
+        list_slice(vq, j*$width + 1, j*$width + $width) AS sv
+      FROM e, range($numSub) t(j)),
+    ${p}seeds AS (SELECT sub,
+        CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+          AS INT) AS code, sv AS cq
+      FROM ${p}sub
+      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub)),
+    ${p}a1 AS (${assign(p + "seeds")}),
+    ${p}re AS (SELECT sub, code, list(cx ORDER BY pos) AS cq FROM (
+        SELECT a.sub, a.code, t.i AS pos,
+          CAST(floor(CAST(sum(s.sv[t.i + 1]) AS DOUBLE) / count(*))
+            AS BIGINT) AS cx
+        FROM ${p}a1 a JOIN ${p}sub s ON s.sub = a.sub
+          AND s.vec_id = a.vec_id, range($width) t(i)
+        GROUP BY 1, 2, 3) GROUP BY 1, 2),
+    ${p}c1 AS (SELECT sd.sub, sd.code, coalesce(re.cq, sd.cq) AS cq
+      FROM ${p}seeds sd LEFT JOIN ${p}re re
+        ON re.sub = sd.sub AND re.code = sd.code),
+    ${p}a2 AS (${assign(p + "c1")})"""
+  }
+
+  private val q112: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val coarse = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      numSub = 1, ksub = 16, iters = 1, scale = 1000)
+    val cells = Similarity.pqEncode(vecs, coarse, "embedding", "vec_id",
+      numSub = 1, scale = 1000)
+    val books = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1, scale = 1000)
+    val codes = Similarity.pqEncode(vecs, books, "embedding", "vec_id",
+      numSub = 4, scale = 1000)
+    Similarity.ivfAdcTopK(cells, codes, coarse, books,
+        vecs.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nprobe = 4, numSub = 4, scale = 1000)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q112Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    ${dTrainP("cq_", 1, 64, 16)},
+    ${dTrainP("fq_", 4, 16, 8)},
+    routed AS (SELECT q_id, cell FROM (
+        SELECT p.vec_id AS q_id, c.code AS cell,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY ${dSqDistQ("p.sv", "c.cq")}, c.code) AS rn
+        FROM cq_sub p JOIN cq_c1 c USING (sub) WHERE p.vec_id < 20)
+      WHERE rn <= 4),
+    lut AS (SELECT p.vec_id AS q_id, p.sub, c.code,
+        ${dSqDistQ("p.sv", "c.cq")} AS pd2
+      FROM fq_sub p JOIN fq_c1 c USING (sub) WHERE p.vec_id < 20),
+    cand AS (SELECT r.q_id, a.vec_id FROM cq_a2 a JOIN routed r
+      ON a.code = r.cell AND a.vec_id != r.q_id),
+    sc AS (SELECT cd.q_id, cd.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+      FROM cand cd JOIN fq_a2 f ON f.vec_id = cd.vec_id
+        JOIN lut l ON l.q_id = cd.q_id AND l.sub = f.sub
+          AND l.code = f.code
+      GROUP BY 1, 2)
+    SELECT q_id, rank, vec_id, adc_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY adc_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  // ===================================================================
 
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
-    "q111_pq_adc_topk" -> q111)
+    "q111_pq_adc_topk" -> q111,
+    "q112_ivfadc_topk" -> q112)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
-    "q111_pq_adc_topk" -> q111Sql)
+    "q111_pq_adc_topk" -> q111Sql,
+    "q112_ivfadc_topk" -> q112Sql)
 }

@@ -258,4 +258,23 @@ class PipelinePlanSpec extends SparkSpec {
       s"got $windows Window nodes:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q112: IVFADC prunes cells before the LUT join — broadcast " +
+      "routing/LUT, partial-agg ADC sums, windows only probe-bounded") {
+    val p = SparkEntry.queries("q112_ivfadc_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // routed cells and the LUT both broadcast into equi-joins
+    assert(p.contains("BroadcastHashJoin"))
+    // codeword assignment partial-aggregates (the q110 discipline) and
+    // the ADC distance sums partial-aggregate over candidate code rows
+    assert(p.contains("partial_min"))
+    assert(p.contains("partial_sum"))
+    // only probe-bounded windows: cell routing (probes × ncells rows)
+    // and the final per-probe rank — never a corpus-sized one
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 2, s"expected routing + rank windows only, got " +
+      s"$windows:\n$p")
+  }
 }

@@ -114,4 +114,38 @@ class ProductQuantSpec extends SparkSpec {
     // (k/(N-1) ~ 0.01 at N=500).
     assert(recall >= 0.3, s"ADC recall@5 = $recall")
   }
+
+  test("IVFADC with nprobe=ncells equals full ADC; nprobe=1 stays in " +
+      "the probe's own cell") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    val probes = embs.filter($"vec_id" < 10)
+    val coarse = Similarity.pqCodebooks(embs, "embedding", "vec_id",
+      numSub = 1, ksub = 8, iters = 1)
+    val cells = Similarity.pqEncode(embs, coarse, "embedding", "vec_id",
+      numSub = 1)
+    val books = Similarity.pqCodebooks(embs, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1)
+    val codes = Similarity.pqEncode(embs, books, "embedding", "vec_id",
+      numSub = 4)
+    // routing to EVERY cell removes the pruning: must equal full ADC
+    val full = Similarity.pqAdcTopK(codes, books, probes,
+        "embedding", "vec_id", k = 3, numSub = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val all = Similarity.ivfAdcTopK(cells, codes, coarse, books, probes,
+        "embedding", "vec_id", k = 3, nprobe = 8, numSub = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(all === full)
+    // nprobe=1: a probe drawn from the corpus routes to its own cell,
+    // so every neighbor it returns must share that cell
+    val cellOf = cells.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("code")).toMap
+    val one = Similarity.ivfAdcTopK(cells, codes, coarse, books, probes,
+        "embedding", "vec_id", k = 3, nprobe = 1, numSub = 4)
+      .collect()
+    assert(one.nonEmpty)
+    one.foreach { r =>
+      assert(cellOf(r.getAs[Long]("id")) === cellOf(r.getAs[Long]("q_id")),
+        s"nprobe=1 neighbor left the probe's cell: $r")
+    }
+  }
 }
