@@ -20,6 +20,9 @@ import graft.functions.F
   *      {"op": "quality_min_tokens", "min": 20},
   *      {"op": "lang_keep", "langs": ["en", "de"], "column": "lang"},
   *      {"op": "redact_numbers"},
+  *      {"op": "dsir_gate", "index": "/idx/dsir", "min_weight_q": 0},
+  *      {"op": "domain_mixture", "source": "source", "budget_bp": 6000},
+  *      {"op": "lm_quality_max", "max_score_q": 200000},
   *      {"op": "split", "train": 80, "valid": 10}
   *    ]}}
   */
@@ -72,6 +75,26 @@ object CleanPipeline {
     * reach the hash-index join. Read-only over the state. */
   final case class IncrementalExactDedup(statePath: String) extends Stage
 
+  /** Gate a crawl on a STANDING DSIR index (parquet path of a
+    * `Curation.dsirIndex` artifact, IndexStore-committed): keep only
+    * docs whose quantized DSIR weight (2^-14-nat units, see
+    * `Curation.dsirScores`) is >= `minWeightQ` — the threshold twin of
+    * the q104 top-k selection. Read-only over the index; scoring is one
+    * broadcast log-ratio row + a map pass, shuffle-free. */
+  final case class DsirGate(indexPath: String, minWeightQ: Long)
+      extends Stage
+  /** Draw the DoReMi-flavoured domain mixture (q106): per-source
+    * sqrt-tempered sampling rates under `budgetBp`, docs kept by the
+    * deterministic content-hash sampler — the corpus-rebalancing stage.
+    * The rate table is one broadcast row per source. */
+  final case class DomainMixtureStage(sourceCol: String, budgetBp: Int)
+      extends Stage
+  /** Drop docs whose mean quantized bigram surprisal
+    * (`Curation.lmScores`, the CCNet-style signal q109 ranks by)
+    * exceeds `maxScoreQ` — the "too unpredictable to be language"
+    * filter. Docs with no bigram evidence (< 2 tokens) pass. */
+  final case class LmQualityMax(maxScoreQ: Long) extends Stage
+
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
   def fromJson(json: String): Spec = {
@@ -113,6 +136,14 @@ object CleanPipeline {
             (st \ "threshold").extractOpt[Double].getOrElse(0.35))
           case "incremental_exactdedup" => IncrementalExactDedup(
             (st \ "state").extract[String])
+          case "dsir_gate" => DsirGate(
+            (st \ "index").extract[String],
+            (st \ "min_weight_q").extractOpt[Long].getOrElse(0L))
+          case "domain_mixture" => DomainMixtureStage(
+            (st \ "source").extractOpt[String].getOrElse("source"),
+            (st \ "budget_bp").extractOpt[Int].getOrElse(6000))
+          case "lm_quality_max" => LmQualityMax(
+            (st \ "max_score_q").extract[Long])
           case "semdedup" => SemDedup(
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
             // 0 = derive cell count from corpus size (Dedup.semdedup)
@@ -229,6 +260,28 @@ object CleanPipeline {
               "left_semi")
             .select(col(id)).distinct()
           cur.join(drop, Seq(id), "left_anti")
+        case DsirGate(path, minWeightQ) =>
+          val idx = IndexStore.read(cur.sparkSession, path).getOrElse(
+            throw new IllegalArgumentException(
+              s"dsir_gate: no index at $path"))
+          Curation.dsirScores(idx, cur, txt, id)
+            .filter(col("weight_q") >= minWeightQ)
+            .drop("weight_q")
+        case DomainMixtureStage(sourceCol, budgetBp) =>
+          val rates = Curation.domainRates(cur, txt, sourceCol, budgetBp)
+            .select(col("source").as("__src"), col("rate_bp"))
+          // same deterministic content-hash sampler as q106: a doc is
+          // in the mixture iff hash(text|id) mod 10000 < rate_bp
+          cur.join(broadcast(rates), cur(sourceCol) === col("__src"))
+            .filter(TextOps.polyHash(
+                concat(col(txt), lit("|"), col(id).cast("string")))
+              % 10000 < least(col("rate_bp"), lit(10000L)))
+            .drop("__src", "rate_bp")
+        case LmQualityMax(maxScoreQ) =>
+          val bad = Curation.lmScores(cur, txt, id)
+            .filter(col("score_q") > maxScoreQ)
+            .select(col(id))
+          cur.join(bad, Seq(id), "left_anti")
         case SemDedup(vecCol, cells, threshold) =>
           val keep = Dedup.semdedup(cur, vecCol, id, cells, threshold)
             .filter(col("keep") === 1)

@@ -331,7 +331,20 @@ object Curation {
     * one per-doc regroup. All integer sums after the fenced per-bigram
     * quantization. */
   def lmQuality(docs: DataFrame, textCol: String, idCol: String,
-      topK: Int = 25): DataFrame = {
+      topK: Int = 25): DataFrame =
+    lmScores(docs, textCol, idCol)
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(topK)
+      .select(row_number().over(
+          Window.orderBy(col("score_q").desc, col(idCol))).as("rank"),
+        col(idCol), col("n_big"), col("score_q"))
+
+  /** Per-doc bigram-LM surprisal scores `(<idCol>, n_big, score_q)` for
+    * every doc with >= 1 bigram — the threshold form a cleaning stage
+    * filters on ([[lmQuality]] adds the top-k ranking). Same integer
+    * discipline and plan shape as the ranked form. */
+  def lmScores(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
     val docBig = docs
       .select(col(idCol), toks.as("ts"))
@@ -345,7 +358,7 @@ object Curation {
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val big = docBig.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    val scored = docBig
+    docBig
       .join(big, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .crossJoin(broadcast(vocab))
@@ -355,12 +368,6 @@ object Curation {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_big"),
         expr("sum(lp) div count(1)").as("score_q"))
-    scored
-      .orderBy(col("score_q").desc, col(idCol))
-      .limit(topK)
-      .select(row_number().over(
-          Window.orderBy(col("score_q").desc, col(idCol))).as("rank"),
-        col(idCol), col("n_big"), col("score_q"))
   }
 
   /** DoReMi-flavoured domain mixture: per-source token totals, a
@@ -377,19 +384,7 @@ object Curation {
     val tok = docs.select(col(srcCol).as("source"), col(idCol).as("id"),
       col(textCol).as("text"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
-    val src = tok.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
-    val tot = src.agg(sum(col("tokens")).as("tt"))
-    val tempered = src.crossJoin(broadcast(tot))
-      .withColumn("r", expr("sqrt(cast(tokens as double) / tt)"))
-    val norm = tempered
-      .agg(expr("""aggregate(
-        |  transform(array_sort(collect_list(struct(source, r))), p -> p.r),
-        |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin).as("rs"))
-    val wts = tempered.crossJoin(broadcast(norm))
-      .withColumn("rate_bp", expr(
-        s"cast(floor($budgetBp.0 * (r / rs) / (cast(tokens as double) / tt)) as bigint)"))
-      .select(col("source"), col("n_docs"), col("tokens"), col("rate_bp"))
+    val wts = domainRates(docs, textCol, srcCol, budgetBp)
     val sel = tok.join(wts, Seq("source"))
       .filter(TextOps.polyHash(
           concat(col("text"), lit("|"), col("id").cast("string"))) % 10000
@@ -398,5 +393,31 @@ object Curation {
     wts.join(sel, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("tokens"), col("rate_bp"),
         coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
+
+  /** The per-source rate table `(source, n_docs, tokens, rate_bp)` of
+    * [[domainMixture]] — the sampling-policy artifact a cleaning stage
+    * joins (broadcast: one row per source) to draw the mixture with the
+    * deterministic content-hash sampler. The only float reduction
+    * (share normalization) folds a source-sorted array on one row —
+    * exact-order deterministic. */
+  def domainRates(docs: DataFrame, textCol: String, srcCol: String,
+      budgetBp: Int = 6000): DataFrame = {
+    val src = docs
+      .select(col(srcCol).as("source"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+    val tot = src.agg(sum(col("tokens")).as("tt"))
+    val tempered = src.crossJoin(broadcast(tot))
+      .withColumn("r", expr("sqrt(cast(tokens as double) / tt)"))
+    val norm = tempered
+      .agg(expr("""aggregate(
+        |  transform(array_sort(collect_list(struct(source, r))), p -> p.r),
+        |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin).as("rs"))
+    tempered.crossJoin(broadcast(norm))
+      .withColumn("rate_bp", expr(
+        s"cast(floor($budgetBp.0 * (r / rs) / (cast(tokens as double) / tt)) as bigint)"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("rate_bp"))
   }
 }

@@ -235,6 +235,30 @@ class PipelineCleanCommandSpec extends SparkSpec {
     assert(out.startsWith("table bystander created: "))
   }
 
+  test("curation stages (dsir_gate / domain_mixture / lm_quality_max) " +
+      "compose from the pipeline clean command surface") {
+    val dir = java.nio.file.Files.createTempDirectory("pclean6")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("documents", dir.resolve("documents.parquet").toString)
+    val engine = new Engine(spark, cat)
+    val docs = cat.table("documents")
+    val ipath = dir.resolve("dsir_idx").toString
+    graft.ops.IndexStore.write(graft.ops.Curation.dsirIndex(
+      docs.filter(col("lang") === "en"), docs, "text", 256), ipath)
+    val out = engine.execute("pipeline clean where table = documents " +
+      s"""and dest = curated and spec = {"pipeline": {"stages": [
+        {"op": "dsir_gate", "index": "$ipath", "min_weight_q": -100000000},
+        {"op": "domain_mixture", "budget_bp": 8000},
+        {"op": "lm_quality_max", "max_score_q": 100000000}
+      ]}}""")
+    assert(out.startsWith("table curated created: "))
+    val n = cat.table("curated").count()
+    assert(n > 0 && n < docs.count())
+  }
+
   test("a source name containing the letters 'spec' parses cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("pclean2")
     java.nio.file.Files.copy(

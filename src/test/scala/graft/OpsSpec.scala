@@ -1228,6 +1228,75 @@ class PipelineStagesSpec extends SparkSpec {
   }
 }
 
+/** The curation family (DSIR / domain mixture / bigram-LM quality) as
+  * CleanPipeline stages — each must reproduce its library operator's
+  * decision exactly from the JSON spec. */
+class CurationStagesSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.engine.Tables
+  import graft.ops.{CleanPipeline, Curation, IndexStore}
+
+  test("dsir_gate e2e: a crawl gated on a STANDING IndexStore-committed " +
+      "DSIR index keeps exactly the docs scoring >= the threshold") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val idx = Curation.dsirIndex(docs.filter($"lang" === "en"), docs,
+      "text", numBuckets = 256)
+    val dir = java.nio.file.Files.createTempDirectory("dsirgate").toString
+    IndexStore.write(idx, dir)
+    // threshold at the median weight so the gate genuinely splits
+    val scores = Curation.dsirScores(IndexStore.read(spark, dir).get,
+        docs, "text", "doc_id")
+      .select($"doc_id", $"weight_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minW = scores.map(_._2).sorted.apply(scores.length / 2)
+    val expect = scores.filter(_._2 >= minW).map(_._1).toSet
+    val out = CleanPipeline.run(s"""
+      {"pipeline": {"stages": [
+        {"op": "dsir_gate", "index": "$dir", "min_weight_q": $minW}
+      ]}}""", docs)
+    assert(out.columns.toSet === docs.columns.toSet)
+    val kept = out.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < scores.length)
+  }
+
+  test("domain_mixture stage draws exactly q106's per-source counts") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"stages": [
+        {"op": "domain_mixture", "source": "source", "budget_bp": 6000}
+      ]}}""", docs)
+    val got = out.groupBy($"source").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Curation.domainMixture(docs, "text", "doc_id", "source")
+      .select($"source", $"n_sampled").collect()
+      .map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0).toMap
+    assert(got === want)
+    assert(got.values.sum > 0)
+  }
+
+  test("lm_quality_max drops high-surprisal docs and keeps docs with " +
+      "no bigram evidence") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "zq xv qqq zzz pqr wk"),
+      (4L, "hello")).toDF("doc_id", "text")
+    val scores = Curation.lmScores(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // the junk doc's bigrams are all singletons -> strictly higher
+    // mean surprisal than the two near-duplicate sentences
+    assert(scores(3L) > scores(1L) && scores(3L) > scores(2L))
+    val out = CleanPipeline.run(s"""
+      {"pipeline": {"id": "doc_id", "stages": [
+        {"op": "lm_quality_max", "max_score_q": ${scores(2L)}}
+      ]}}""", docs)
+    val kept = out.select($"doc_id").collect().map(_.getLong(0)).toSet
+    // 3 dropped by the threshold; 4 has no bigrams and passes
+    assert(kept === Set(1L, 2L, 4L))
+  }
+}
+
 /** Measured-recall gate for the OR-amplified hyperplane LSH: on a
   * seeded corpus with KNOWN near-dup pairs, the derived (bits, tables)
   * geometry must find >= 90% of the cosine >= 0.9 ground truth, while a
