@@ -75,7 +75,25 @@ object Plans {
           "row; top-k, never a full sort of the pool"),
       "q106_domain_mixture" ->
         ("domain mixture: per-source integer totals (one aggregate); " +
-          "rates broadcast back — the sampling filter is map-side"))
+          "rates broadcast back — the sampling filter is map-side"),
+      "q107_dsir_standing_index" ->
+        ("standing DSIR index: recorded bucket log-ratios broadcast " +
+          "against the batch — scoring is map-side, index never " +
+          "rebuilt per batch"),
+      "q109_lm_quality" ->
+        ("bigram-LM quality: corpus bigram hash-aggregates, scoring " +
+          "equi-join on the bigram key (NOT broadcast — table grows " +
+          "with the corpus), integer-quantized surprisal mean"),
+      "q110_pq_encode" ->
+        ("PQ encode: broadcast codebooks, map-side packed-min argmin " +
+          "— the xksub join expansion collapses BEFORE the exchange"),
+      "q111_pq_adc_topk" ->
+        ("ADC top-k: broadcast (probe, sub, code) LUT join over codes " +
+          "+ partial-aggregated distance sum — floats never rejoin"),
+      "q112_ivfadc_topk" ->
+        ("IVFADC serving: coarse-cell routing prunes candidates " +
+          "BEFORE any code row meets the LUT; shuffle volume is " +
+          "candidates, not corpus"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -1504,6 +1504,97 @@ object Similarity {
     * tiny routed table broadcast AGAINST the cell assignments (a
     * filtered standing artifact); the ADC join then touches only
     * candidate code rows. Shuffle volume is candidates, not corpus. */
+  /** Build a STANDING PQ index: the coded corpus plus the trained
+    * codebooks in ONE frame (`role` = "code" | "book"), so the whole
+    * artifact commits through a single [[IndexStore]] dir — the same
+    * geometry discipline as [[ivfIndex]]: the books travel WITH the
+    * codes, [[refreshPqIndex]] encodes new vectors against the RECORDED
+    * books (classic PQ add — codewords never move, codes stay
+    * comparable across batches), and [[pqSearchIndex]] reads them for
+    * the ADC lookup tables. Rebuild with a fresh [[pqIndex]] when the
+    * corpus distribution drifts far from the trained codewords
+    * (reconstruction error is the drift gauge — tools/pq_recall_probe
+    * measures it). */
+  def pqIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      numSub: Int, ksub: Int, iters: Int = 1, scale: Int = 1000): DataFrame = {
+    val books = pqCodebooks(corpus, vecCol, idCol, numSub, ksub, iters,
+      scale)
+    pqEncode(corpus, books, vecCol, idCol, numSub, scale)
+      .select(lit("code").as("role"), col("id"), col("sub"), col("code"),
+        lit(null).cast("array<bigint>").as("cq"))
+      .unionByName(books.select(lit("book").as("role"),
+        lit(null).cast("bigint").as("id"), col("sub"), col("code"),
+        col("cq")))
+  }
+
+  /** The codebooks recorded inside a standing PQ index. */
+  def pqIndexBooks(index: DataFrame): DataFrame =
+    index.filter(col("role") === "book")
+      .select(col("sub"), col("code"), col("cq"))
+
+  /** Fold new vectors into the standing PQ index: encode against the
+    * RECORDED codebooks and append — the corpus is never re-read and
+    * no codeword moves, so the fold provably equals encoding the whole
+    * corpus with the original books (codes are pure per-row functions
+    * of (vector, books) — order-free by construction). Replay-safe the
+    * ingest-gate way: code rows carrying the batch's own ids are
+    * dropped before the fold. */
+  def refreshPqIndex(index: DataFrame, newVecs: DataFrame,
+      vecCol: String, idCol: String, numSub: Int,
+      scale: Int = 1000): DataFrame = {
+    val fresh = pqEncode(newVecs, pqIndexBooks(index), vecCol, idCol,
+      numSub, scale)
+    index
+      .join(fresh.select(col("id")).withColumnRenamed("id", "__bid"),
+        col("id") === col("__bid") && col("role") === "code", "left_anti")
+      .unionByName(fresh.select(lit("code").as("role"), col("id"),
+        col("sub"), col("code"), lit(null).cast("array<bigint>").as("cq")))
+  }
+
+  /** Serve ADC top-k from the standing PQ index: [[pqAdcTopK]] over
+    * the recorded codes and books — probes never touch corpus floats,
+    * and the scan cost is the coded rows (numSub small ints per
+    * vector), not the raw vectors. */
+  def pqSearchIndex(index: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, k: Int, numSub: Int, scale: Int = 1000): DataFrame =
+    pqAdcTopK(index.filter(col("role") === "code")
+        .select(col("id"), col("sub"), col("code")),
+      pqIndexBooks(index), probes, vecCol, idCol, k, numSub, scale)
+
+  /** ADC shortlist + EXACT re-rank (the "+R" of IVFADC+R, Jégou et al.
+    * §VII): rank the whole coded corpus by asymmetric distance, keep a
+    * `shortlist`-sized candidate set per probe, then re-rank ONLY those
+    * candidates by exact lattice L2 against the raw vectors and return
+    * the top `k`. The expensive exact distance touches shortlist-many
+    * vectors per probe instead of the corpus; the shortlist pairs are
+    * probes×shortlist rows — broadcast against the corpus, so the raw-
+    * vector fetch is a broadcast join, never a corpus shuffle. Exact
+    * int64 end to end (same lattice as the codes), so the full
+    * shortlist→re-rank path sits under the differential oracle.
+    * Returns (q_id, rank, id, d2); ties rank by id. */
+  def pqAdcRerank(codes: DataFrame, books: DataFrame, corpus: DataFrame,
+      probes: DataFrame, vecCol: String, idCol: String, k: Int,
+      shortlist: Int, numSub: Int, scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(shortlist >= k, "shortlist must be >= k")
+    def quant(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+        expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
+          .as(out + "_vq"))
+    val short = pqAdcTopK(codes, books, probes, vecCol, idCol,
+      shortlist, numSub, scale).select(col("q_id"), col("id"))
+    broadcast(short)
+      .join(quant(corpus, "id"), "id")
+      .join(broadcast(quant(probes, "q_id")), "q_id")
+      .select(col("q_id"), col("id"),
+        expr(sqDistQ("id_vq", "q_id_vq")).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("d2"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("d2"))
+  }
+
   def ivfAdcTopK(cells: DataFrame, codes: DataFrame,
       coarseBooks: DataFrame, books: DataFrame, probes: DataFrame,
       vecCol: String, idCol: String, k: Int, nprobe: Int, numSub: Int,

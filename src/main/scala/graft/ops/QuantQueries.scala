@@ -3,10 +3,11 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Vector-compression queries (q110-q111) over [[Similarity]]'s product-
+/** Vector-compression queries (q110-q114) over [[Similarity]]'s product-
   * quantization family: per-subspace codebook training + encode under
-  * the differential oracle, and asymmetric-distance (ADC) top-k search
-  * over the codes. Both use the pure-integer lattice discipline
+  * the differential oracle, asymmetric-distance (ADC) top-k search
+  * over the codes, IVFADC serving, the standing PQ index, and ADC
+  * shortlist + exact re-rank. Both use the pure-integer lattice discipline
   * (floor(x*scale) vectors, re-floored centroids) so every distance is
   * an exact int64 and DuckDB replays the identical arithmetic.
   *
@@ -41,13 +42,17 @@ object QuantQueries {
       s"i -> (($a)[i+1] - ($b)[i+1]) * (($a)[i+1] - ($b)[i+1]))), " +
       s"(acc, v) -> acc + v)"
 
-  /** Argmin codeword per (vec, sub) against codebook CTE `$books`. */
-  private def dPqAssign(books: String) = s"""
+  /** Argmin codeword per (vec, sub) of subvector CTE `$rows` against
+    * codebook CTE `$books`. */
+  private def dPqAssignFrom(rows: String, books: String) = s"""
     SELECT sub, vec_id, code FROM (
       SELECT s.sub, s.vec_id, c.code,
         row_number() OVER (PARTITION BY s.sub, s.vec_id
           ORDER BY ${dSqDistQ("s.sv", "c.cq")}, c.code) AS rn
-      FROM sub s JOIN $books c USING (sub)) WHERE rn = 1"""
+      FROM $rows s JOIN $books c USING (sub)) WHERE rn = 1"""
+
+  /** Argmin codeword per (vec, sub) against codebook CTE `$books`. */
+  private def dPqAssign(books: String) = dPqAssignFrom("sub", books)
 
   /** Shared train+encode CTE prefix: quantize -> slice -> seed -> assign
     * -> integer recenter (lattice re-floor) -> final assign (a2). */
@@ -199,14 +204,118 @@ object QuantQueries {
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
   // ===================================================================
+  // q113 — STANDING PQ index: codebooks trained on the initial corpus
+  // (vec_id < 400), the rest of the corpus folded in by refreshPqIndex
+  // against the RECORDED books (no codeword moves), then ADC top-k
+  // served from the standing artifact. The oracle replays the split:
+  // train on the initial slice, assign the FULL corpus against those
+  // books — which is exactly what the fold produces.
+  // ===================================================================
+
+  private val q113: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val idx = Similarity.refreshPqIndex(
+      Similarity.pqIndex(vecs.filter(col("vec_id") < 400),
+        "embedding", "vec_id", numSub = 4, ksub = 8, iters = 1),
+      vecs.filter(col("vec_id") >= 400), "embedding", "vec_id",
+      numSub = 4)
+    Similarity.pqSearchIndex(idx, vecs.filter(col("vec_id") < 20),
+        "embedding", "vec_id", k = 3, numSub = 4)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q113Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    sub AS (SELECT vec_id, j AS sub,
+        list_slice(vq, j*16 + 1, j*16 + 16) AS sv
+      FROM e, range(4) t(j)),
+    sub0 AS (SELECT * FROM sub WHERE vec_id < 400),
+    seeds AS (SELECT sub,
+        CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+          AS INT) AS code, sv AS cq
+      FROM sub0 WHERE vec_id IN (SELECT vec_id FROM e
+        WHERE vec_id < 400 ORDER BY vec_id LIMIT 8)),
+    a1 AS (${dPqAssignFrom("sub0", "seeds")}),
+    re AS (SELECT sub, code, list(cx ORDER BY pos) AS cq FROM (
+        SELECT a1.sub, a1.code, t.i AS pos,
+          CAST(floor(CAST(sum(s.sv[t.i + 1]) AS DOUBLE) / count(*))
+            AS BIGINT) AS cx
+        FROM a1 JOIN sub0 s ON s.sub = a1.sub AND s.vec_id = a1.vec_id,
+          range(16) t(i)
+        GROUP BY 1, 2, 3) GROUP BY 1, 2),
+    c1 AS (SELECT seeds.sub, seeds.code, coalesce(re.cq, seeds.cq) AS cq
+      FROM seeds LEFT JOIN re ON re.sub = seeds.sub AND re.code = seeds.code),
+    a2 AS (${dPqAssignFrom("sub", "c1")}),
+    lut AS (SELECT p.vec_id AS q_id, p.sub, c.code,
+        ${dSqDistQ("p.sv", "c.cq")} AS pd2
+      FROM sub p JOIN c1 c USING (sub) WHERE p.vec_id < 20),
+    sc AS (SELECT l.q_id, a2.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+      FROM a2 JOIN lut l ON l.sub = a2.sub AND l.code = a2.code
+        AND a2.vec_id != l.q_id
+      GROUP BY 1, 2)
+    SELECT q_id, rank, vec_id, adc_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY adc_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  // ===================================================================
+  // q114 — ADC shortlist + EXACT re-rank (IVFADC+R, Jégou et al.
+  // §VII): ADC ranks the coded corpus, the top-10 shortlist per probe
+  // is re-ranked by exact lattice L2 against the raw vectors, top-3
+  // returned. Shortlist→re-rank is all int64, fully under the oracle.
+  // ===================================================================
+
+  private val q114: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val books = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1, scale = 1000)
+    val codes = Similarity.pqEncode(vecs, books, "embedding", "vec_id",
+      numSub = 4, scale = 1000)
+    Similarity.pqAdcRerank(codes, books, vecs,
+        vecs.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, shortlist = 10, numSub = 4, scale = 1000)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q114Sql = s"""$dPqTrain,
+    lut AS (SELECT p.vec_id AS q_id, p.sub, c.code,
+        ${dSqDistQ("p.sv", "c.cq")} AS pd2
+      FROM sub p JOIN c1 c USING (sub) WHERE p.vec_id < 20),
+    sc AS (SELECT l.q_id, a2.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+      FROM a2 JOIN lut l ON l.sub = a2.sub AND l.code = a2.code
+        AND a2.vec_id != l.q_id
+      GROUP BY 1, 2),
+    short AS (SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY adc_d2, vec_id) AS rn FROM sc) WHERE rn <= 10),
+    rr AS (SELECT s.q_id, s.vec_id,
+        ${dSqDistQ("ec.vq", "ep.vq")} AS d2
+      FROM short s JOIN e ec ON ec.vec_id = s.vec_id
+        JOIN e ep ON ep.vec_id = s.q_id)
+    SELECT q_id, rank, vec_id, d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY d2, vec_id) AS INT) AS rank FROM rr)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  // ===================================================================
 
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
     "q111_pq_adc_topk" -> q111,
-    "q112_ivfadc_topk" -> q112)
+    "q112_ivfadc_topk" -> q112,
+    "q113_pq_standing_index" -> q113,
+    "q114_pq_adc_rerank" -> q114)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
     "q111_pq_adc_topk" -> q111Sql,
-    "q112_ivfadc_topk" -> q112Sql)
+    "q112_ivfadc_topk" -> q112Sql,
+    "q113_pq_standing_index" -> q113Sql,
+    "q114_pq_adc_rerank" -> q114Sql)
 }

@@ -484,4 +484,44 @@ object StreamOps {
     }
     kept
   }
+
+  /** Standing-PQ-index maintenance at ingest (`foreachBatch` body,
+    * keyed by the checkpointed `batchId`): the FIRST batch trains the
+    * codebooks ([[graft.ops.Similarity.pqIndex]] — so it must carry at
+    * least `ksub` vectors; the recorded books are the index geometry
+    * forever after), later batches encode against the RECORDED books
+    * and fold ([[graft.ops.Similarity.refreshPqIndex]] — no codeword
+    * ever moves, codes stay comparable across batches). Returns the
+    * batch's coded rows (id, sub, code) — what a serving fleet ships.
+    *
+    * Replay is doubly safe: codes are pure per-row functions of
+    * (vector, books) so a refold would produce identical rows, the
+    * refresh anti-joins the batch's own ids so they would not even
+    * duplicate — and the atomic batch tag (same discipline as
+    * [[rollupIngestBatchOnce]]) makes the replayed fold a no-op read
+    * against the RETAINED PREVIOUS version, so the returned codes are
+    * byte-identical to the crashed attempt's. */
+  def pqIngestBatchOnce(batch: DataFrame, batchId: Long,
+      indexDir: String, vecCol: String, idCol: String, numSub: Int,
+      ksub: Int, iters: Int = 1, scale: Int = 1000): DataFrame = {
+    import graft.ops.{IndexStore, Similarity}
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    val tagged = IndexStore.hasTag(spark, indexDir, tag)
+    val preFold =
+      if (tagged) IndexStore.readBefore(spark, indexDir, tag)
+      else IndexStore.read(spark, indexDir)
+    val newIdx = preFold match {
+      case None =>
+        Similarity.pqIndex(batch, vecCol, idCol, numSub, ksub, iters,
+          scale)
+      case Some(idx) =>
+        Similarity.refreshPqIndex(idx, batch, vecCol, idCol, numSub,
+          scale)
+    }
+    if (!tagged) IndexStore.write(newIdx, indexDir, Some(tag))
+    newIdx.filter(col("role") === "code")
+      .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("sub"), col("code"))
+  }
 }

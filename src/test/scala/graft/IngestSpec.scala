@@ -745,6 +745,41 @@ class DsirIngestSpec extends SparkSpec {
     assert(idx.getLong(0) === 10L)
     assert(idx.getLong(1) === 29L)
   }
+
+  test("pqIngestBatchOnce: first batch trains, later batches encode " +
+      "against the RECORDED books, replay returns identical codes " +
+      "without committing a new version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pqonce")
+      .resolve("pq").toString
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+      .limit(64).localCheckpoint()
+    def once(id: Long, b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.pqIngestBatchOnce(b, id, dir,
+        "embedding", "vec_id", numSub = 4, ksub = 8)
+    def codeSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val b0 = embs.filter($"vec_id" < 40)
+    val b1 = embs.filter($"vec_id" >= 40)
+    assert(once(0L, b0).count() === 40 * 4)
+    val kept1 = codeSet(once(1L, b1))
+    assert(kept1.size === 24 * 4)
+    val vAfter = graft.ops.IndexStore.currentVersion(spark, dir).get
+    // replay: tagged -> folds nothing, codes byte-identical
+    assert(codeSet(once(1L, b1)) === kept1)
+    assert(graft.ops.IndexStore.currentVersion(spark, dir).get === vAfter)
+    // the committed artifact == encoding the whole corpus against the
+    // books trained on batch 0 (no codeword ever moved)
+    val idx = graft.ops.IndexStore.read(spark, dir).get
+    val books = graft.ops.Similarity.pqCodebooks(b0, "embedding",
+      "vec_id", numSub = 4, ksub = 8, iters = 1)
+    assert(idx.filter(col("role") === "code")
+        .select(col("id"), col("sub"), col("code"))
+        .collect().map(_.toString).sorted.toSeq
+      === graft.ops.Similarity.pqEncode(embs, books, "embedding",
+        "vec_id", numSub = 4).select(col("id"), col("sub"), col("code"))
+        .collect().map(_.toString).sorted.toSeq)
+  }
 }
 
 

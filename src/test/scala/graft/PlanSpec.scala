@@ -277,4 +277,35 @@ class PipelinePlanSpec extends SparkSpec {
     assert(windows <= 2, s"expected routing + rank windows only, got " +
       s"$windows:\n$p")
   }
+
+  test("q113: standing-PQ serve keeps the q110/q111 discipline — " +
+      "broadcast LUT, partial-aggregated assign and ADC sums") {
+    val p = SparkEntry.queries("q113_pq_standing_index")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_min"))
+    assert(p.contains("partial_sum"))
+    // seed window (train, ksub rows) + final per-probe rank only
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 2, s"expected seed + rank windows only, got " +
+      s"$windows:\n$p")
+  }
+
+  test("q114: re-rank fetches raw vectors through BROADCAST joins of " +
+      "the probe-bounded shortlist — the corpus is never shuffled for it") {
+    val p = SparkEntry.queries("q114_pq_adc_rerank")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"shortlist/vector fetch must broadcast, not sort-merge:\n$p")
+    assert(p.contains("partial_min"))
+    assert(p.contains("partial_sum"))
+    // seed window + ADC shortlist rank + exact re-rank — all probe-
+    // bounded; never a corpus-sized window
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 3, s"expected seed + shortlist + re-rank windows, " +
+      s"got $windows:\n$p")
+  }
 }

@@ -148,4 +148,100 @@ class ProductQuantSpec extends SparkSpec {
         s"nprobe=1 neighbor left the probe's cell: $r")
     }
   }
+
+  test("standing PQ index: fold equals full encode against the recorded " +
+      "books, replay is a no-op, serve equals ADC over the same artifact") {
+    val init = dupCorpus.filter($"vec_id" < 32)
+    val rest = dupCorpus.filter($"vec_id" >= 32)
+    val idx = Similarity.refreshPqIndex(
+      Similarity.pqIndex(init, "embedding", "vec_id",
+        numSub = 4, ksub = 8, iters = 1),
+      rest, "embedding", "vec_id", numSub = 4)
+    val books = Similarity.pqCodebooks(init, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1)
+    // the recorded books ARE the initial training's books
+    assert(Similarity.pqIndexBooks(idx).collect()
+        .map(_.toString).sorted.toSeq
+      === books.collect().map(_.toString).sorted.toSeq)
+    // fold == encoding the whole corpus with the initial books
+    val full = Similarity.pqEncode(dupCorpus, books, "embedding",
+      "vec_id", numSub = 4)
+    assert(idx.filter($"role" === "code").select($"id", $"sub", $"code")
+        .collect().map(_.toString).sorted.toSeq
+      === full.select($"id", $"sub", $"code")
+        .collect().map(_.toString).sorted.toSeq)
+    // replaying the same batch folds nothing (ids anti-joined first)
+    assert(Similarity.refreshPqIndex(idx, rest, "embedding", "vec_id",
+      numSub = 4).count() === idx.count())
+    // serving from the index == ADC over the recorded codes + books
+    val probes = dupCorpus.filter($"vec_id" < 4)
+    assert(Similarity.pqSearchIndex(idx, probes, "embedding", "vec_id",
+        k = 3, numSub = 4).collect().map(_.toString).sorted.toSeq
+      === Similarity.pqAdcTopK(full, books, probes, "embedding",
+        "vec_id", k = 3, numSub = 4).collect()
+        .map(_.toString).sorted.toSeq)
+  }
+
+  test("ADC re-rank: exact duplicates take rank 1 with d2 = 0, and d2 " +
+      "is the exact lattice distance of the returned pair") {
+    val books = Similarity.pqCodebooks(dupCorpus, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1)
+    val codes = Similarity.pqEncode(dupCorpus, books, "embedding",
+      "vec_id", numSub = 4)
+    val probes = dupCorpus.filter($"vec_id" >= 8 && $"vec_id" < 12)
+    val rr = Similarity.pqAdcRerank(codes, books, dupCorpus, probes,
+      "embedding", "vec_id", k = 2, shortlist = 6, numSub = 4)
+    val rows = rr.collect()
+    assert(rows.count(_.getAs[Int]("rank") == 1) === 4)
+    // every probe has 7+ exact copies in the corpus -> rank 1 is d2=0
+    rows.filter(_.getAs[Int]("rank") == 1)
+      .foreach(r => assert(r.getAs[Long]("d2") === 0L))
+    // returned d2 == independently computed exact lattice distance
+    val q = dupCorpus.select($"vec_id".as("xid"),
+      expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+        .as("vq"))
+    val checked = rr
+      .join(q.withColumnRenamed("xid", "q_id")
+        .withColumnRenamed("vq", "qv"), "q_id")
+      .join(q.withColumnRenamed("xid", "id"), "id")
+      .withColumn("d2x",
+        expr("aggregate(zip_with(qv, vq, (x, y) -> (x - y) * (x - y)), " +
+          "cast(0 as bigint), (acc, v) -> acc + v)"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach(r =>
+      assert(r.getAs[Long]("d2") === r.getAs[Long]("d2x")))
+  }
+
+  test("re-rank with shortlist = corpus recovers the exact top-k " +
+      "(ADC only shortlists; the exact distance decides)") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+      .limit(120).localCheckpoint()
+    val probes = embs.filter($"vec_id" < 5)
+    val books = Similarity.pqCodebooks(embs, "embedding", "vec_id",
+      numSub = 4, ksub = 8, iters = 1)
+    val codes = Similarity.pqEncode(embs, books, "embedding", "vec_id",
+      numSub = 4)
+    val n = embs.count().toInt
+    val rr = Similarity.pqAdcRerank(codes, books, embs, probes,
+        "embedding", "vec_id", k = 3, shortlist = n, numSub = 4)
+      .select($"q_id", $"rank", $"id", $"d2")
+      .collect().map(_.toString).sorted.toSeq
+    // exact truth on the same lattice
+    val q = embs.select($"vec_id".as("id"),
+      expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+        .as("vq"))
+    val d2 = "aggregate(zip_with(a.vq, b.vq, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)"
+    val truth = q.as("a").filter($"a.id" < 5)
+      .crossJoin(q.as("b")).filter($"a.id" =!= $"b.id")
+      .select($"a.id".as("q_id"), $"b.id".as("id"), expr(d2).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"d2", $"id")))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"id", $"d2")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rr === truth)
+  }
 }
