@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler main for plan-shape investigations (PERF.md
+  * evidence): prints the POST-AQE executed plan and wall-clock of one
+  * query, isolated from Bench's query mix. */
+object QProf {
+  def main(args: Array[String]): Unit = {
+    val q = args.headOption.getOrElse("q63_bigram_rarity")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // Bench-faithful: rebuild the DataFrame per iteration (fresh
+    // analysis + optimization + AQE + codegen each time), plus one
+    // same-DataFrame re-collect to split compile cost from execution
+    for (i <- 1 to 4) {
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val t1 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t2 = System.nanoTime()
+      println(f"iter $i: fresh-plan ${(t1 - t0) / 1e9}%.3f s, " +
+        f"same-df re-run ${(t2 - t1) / 1e9}%.3f s")
+    }
+    println(SparkEntry.queries(q)(spark, sfDir)
+      .queryExecution.executedPlan.toString.linesIterator.take(3)
+      .mkString("\n"))
+    spark.stop()
+  }
+}
