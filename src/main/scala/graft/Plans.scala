@@ -93,7 +93,18 @@ object Plans {
       "q112_ivfadc_topk" ->
         ("IVFADC serving: coarse-cell routing prunes candidates " +
           "BEFORE any code row meets the LUT; shuffle volume is " +
-          "candidates, not corpus"))
+          "candidates, not corpus"),
+      "q113_pq_standing_index" ->
+        ("standing PQ index: recorded codebooks broadcast against " +
+          "batch + probes — train cost absent from the serve plan, " +
+          "fold is map-side encode against frozen books"),
+      "q114_pq_adc_rerank" ->
+        ("ADC shortlist + exact re-rank: raw vectors rejoin ONLY for " +
+          "the k'-row shortlist (k'*probes rows), never the corpus"),
+      "q115_ivfadc_residual" ->
+        ("residual IVFADC (Jégou §V eq. 17): residual encode is one " +
+          "broadcast join vs the coarse codebook; per-(probe, cell) " +
+          "LUT broadcast; candidates from routed cells only"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

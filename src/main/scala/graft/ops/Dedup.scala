@@ -1344,9 +1344,15 @@ object Similarity {
     * (a silent `div` would drop the trailing dims — data loss). */
   private def pqSubRows(corpus: DataFrame, vecCol: String, idCol: String,
       numSub: Int, scale: Int): DataFrame =
-    corpus.select(col(idCol).as("id"),
-        expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
-          .as("vq"))
+    pqSliceRows(corpus.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
+        .as("vq")), numSub)
+
+  /** Subvector rows of an ALREADY-lattice-quantized (id, vq) frame —
+    * the residual-encoding entry point ([[pqResiduals]] output is on
+    * the same lattice, so no re-quantization happens). */
+  private def pqSliceRows(quant: DataFrame, numSub: Int): DataFrame =
+    quant
       .filter(assert_true(size(col("vq")) % numSub === 0 &&
           size(col("vq")) >= numSub,
         lit(s"PQ: vector dims must be a positive multiple of numSub=" +
@@ -1397,10 +1403,17 @@ object Similarity {
       numSub: Int, ksub: Int, iters: Int = 1, scale: Int = 1000): DataFrame = {
     require(numSub > 0 && ksub > 0 && iters >= 0 && scale > 0,
       "numSub, ksub, scale must be positive; iters non-negative")
-    val subs = pqSubRows(corpus, vecCol, idCol, numSub, scale)
+    pqTrainSubs(pqSubRows(corpus, vecCol, idCol, numSub, scale),
+      corpus.select(col(idCol).as("id")), ksub, iters)
+  }
+
+  /** The Lloyd loop of [[pqCodebooks]] over pre-built (sub, id, sv)
+    * rows; `ids` supplies the seed ordering (ksub smallest ids). */
+  private def pqTrainSubs(subs: DataFrame, ids: DataFrame, ksub: Int,
+      iters: Int): DataFrame = {
     // the rank window runs on <= ksub rows; partitionBy(lit) keeps the
     // planner from warning about a global window on the tiny seed set
-    val seedIds = corpus.select(col(idCol).as("id"))
+    val seedIds = ids
       .orderBy(col("id")).limit(ksub)
       .withColumn("code", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1484,26 +1497,6 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("id"), col("adc_d2"))
   }
 
-  /** IVFADC serving (Jégou, Douze & Schmid, TPAMI 2011 §V — the
-    * standard billion-vector stack): probes route to their `nprobe`
-    * nearest COARSE cells, and ADC ranks over PQ codes ONLY inside
-    * those cells — the corpus is never scanned, cell pruning happens
-    * BEFORE any code row meets a lookup table.
-    *
-    * The coarse quantizer is this family's own machinery at numSub=1:
-    * `cells` = [[pqEncode]](corpus, coarseBooks, numSub=1) — one code
-    * per vector, the cell id — and `coarseBooks` =
-    * [[pqCodebooks]](corpus, numSub=1, ksub=ncells). Keeping the coarse
-    * leg on the same integer lattice puts the WHOLE route→prune→rank
-    * path under the differential oracle (q112); this is IVF-PQ on raw
-    * vectors (no residual re-encode — residuals would leave the
-    * shared-lattice discipline, documented trade-off).
-    *
-    * Plan shape at scale: routing is a probeCount×ncells broadcast join
-    * (window bounded by the probe batch); candidate ids come from the
-    * tiny routed table broadcast AGAINST the cell assignments (a
-    * filtered standing artifact); the ADC join then touches only
-    * candidate code rows. Shuffle volume is candidates, not corpus. */
   /** Build a STANDING PQ index: the coded corpus plus the trained
     * codebooks in ONE frame (`role` = "code" | "book"), so the whole
     * artifact commits through a single [[IndexStore]] dir — the same
@@ -1595,6 +1588,28 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("id"), col("d2"))
   }
 
+  /** IVFADC serving (Jégou, Douze & Schmid, TPAMI 2011 §V — the
+    * standard billion-vector stack): probes route to their `nprobe`
+    * nearest COARSE cells, and ADC ranks over PQ codes ONLY inside
+    * those cells — the corpus is never scanned, cell pruning happens
+    * BEFORE any code row meets a lookup table.
+    *
+    * The coarse quantizer is this family's own machinery at numSub=1:
+    * `cells` = [[pqEncode]](corpus, coarseBooks, numSub=1) — one code
+    * per vector, the cell id — and `coarseBooks` =
+    * [[pqCodebooks]](corpus, numSub=1, ksub=ncells). Keeping the coarse
+    * leg on the same integer lattice puts the WHOLE route→prune→rank
+    * path under the differential oracle (q112). This variant PQ-encodes
+    * RAW vectors (one shared LUT per probe, smallest broadcast); the
+    * production form that encodes residuals is [[ivfAdcResidualTopK]]
+    * (q115) — same lattice, per-(probe, cell) LUTs, better recall per
+    * code bit.
+    *
+    * Plan shape at scale: routing is a probeCount×ncells broadcast join
+    * (window bounded by the probe batch); candidate ids come from the
+    * tiny routed table broadcast AGAINST the cell assignments (a
+    * filtered standing artifact); the ADC join then touches only
+    * candidate code rows. Shuffle volume is candidates, not corpus. */
   def ivfAdcTopK(cells: DataFrame, codes: DataFrame,
       coarseBooks: DataFrame, books: DataFrame, probes: DataFrame,
       vecCol: String, idCol: String, k: Int, nprobe: Int, numSub: Int,
@@ -1624,6 +1639,116 @@ object Similarity {
       .select(col("q_id"), col("id"))
     cand.join(codes, "id")
       .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pd2")).as("adc_d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("adc_d2"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("adc_d2"))
+  }
+
+  // ------------------------------------------------------------------
+  // Residual IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §V eq. 15-17):
+  // the PRODUCTION form of the billion-vector stack. The fine quantizer
+  // encodes the residual r(x) = x − µ_cell(x) instead of x itself —
+  // residuals are centered near zero, so the same code budget spends
+  // its codewords on a much smaller ball and quantization error drops
+  // (tools/pq_recall_probe.py measures the gap vs raw-vector IVF-PQ).
+  // Residuals stay EXACTLY on the integer lattice (vq and µ are both
+  // lattice longs; r = vq − µ is an exact int64 difference), so the
+  // whole train→encode→route→rank path remains under the differential
+  // oracle (q115) — the "documented trade-off" of [[ivfAdcTopK]]
+  // dissolves once the subtraction happens post-quantization.
+  // ------------------------------------------------------------------
+
+  /** Residual vectors of a coarse-quantized corpus: (id, cell, vq)
+    * with vq = lattice(x) − µ_cell, an exact int64 array. `cells` =
+    * [[pqEncode]](corpus, coarseBooks, numSub = 1) rows (id, sub,
+    * code); `coarseBooks` the matching (sub = 0, code, cq). Map-only:
+    * one broadcast join against the ncells-row codebook. */
+  def pqResiduals(corpus: DataFrame, cells: DataFrame,
+      coarseBooks: DataFrame, vecCol: String, idCol: String,
+      scale: Int = 1000): DataFrame =
+    corpus.select(col(idCol).as("id"),
+        expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
+          .as("xq"))
+      .join(cells.select(col("id"), col("code").as("cell")), "id")
+      .join(broadcast(coarseBooks.select(col("code").as("cell"),
+        col("cq"))), "cell")
+      .select(col("id"), col("cell"),
+        expr("zip_with(xq, cq, (x, y) -> x - y)").as("vq"))
+
+  /** Train fine codebooks ON RESIDUALS (the [[pqCodebooks]] Lloyd loop
+    * over [[pqResiduals]] output — already lattice longs, no
+    * re-quantization). Same contract: (sub, code, cq), codes dense. */
+  def pqResidualBooks(residuals: DataFrame, numSub: Int, ksub: Int,
+      iters: Int = 1): DataFrame = {
+    require(numSub > 0 && ksub > 0 && iters >= 0,
+      "numSub, ksub must be positive; iters non-negative")
+    pqTrainSubs(pqSliceRows(residuals.select(col("id"), col("vq")),
+      numSub), residuals.select(col("id")), ksub, iters)
+  }
+
+  /** PQ-encode residuals against trained residual books: (id, sub,
+    * code) — same map + broadcast + packed-min argmin as [[pqEncode]]. */
+  def pqResidualEncode(residuals: DataFrame, books: DataFrame,
+      numSub: Int): DataFrame = {
+    require(numSub > 0, "numSub must be positive")
+    pqAssign(pqSliceRows(residuals.select(col("id"), col("vq")), numSub),
+      books)
+  }
+
+  /** Residual-encoded IVFADC serving: probes route to `nprobe` coarse
+    * cells, then ADC ranks residual codes inside those cells using a
+    * PER-(probe, cell) lookup table — the probe's OWN residual against
+    * that cell, d(p, x) ≈ ‖(p − µ_c) − r̂(x)‖², Jégou §V eq. 17.
+    *
+    * Plan shape: routing is the probes×ncells broadcast join of
+    * [[ivfAdcTopK]]; the LUT is probes × nprobe × numSub × ksub rows
+    * (nprobe× larger than the raw-vector LUT — the price of residual
+    * accuracy; bound the probe batch accordingly, e.g. ≤10^3 probes at
+    * nprobe=8/numSub=8/ksub=256 ≈ 130 MB broadcast); candidates come
+    * from the routed cells only, so shuffle volume stays candidates,
+    * not corpus. Exact int64 end to end. Returns (q_id, rank, id,
+    * adc_d2); ties rank by id. */
+  def ivfAdcResidualTopK(cells: DataFrame, rcodes: DataFrame,
+      coarseBooks: DataFrame, books: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int, numSub: Int,
+      scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    require(numSub > 0, "numSub must be positive")
+    val pq = probes.select(col(idCol).as("q_id"),
+      expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
+        .as("pq_vq"))
+    val routed = pqSubRows(probes, vecCol, idCol, 1, scale)
+      .withColumnRenamed("id", "q_id")
+      .join(broadcast(coarseBooks), "sub")
+      .select(col("q_id"), col("code").as("cell"),
+        expr(sqDistQ("sv", "cq")).as("cd2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cd2"), col("cell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    // probe residual per routed cell -> subvectors -> LUT vs fine books
+    val lut = pqSliceRows(
+      routed.join(pq, "q_id")
+        .join(broadcast(coarseBooks.select(col("code").as("cell"),
+          col("cq").as("ccq"))), "cell")
+        .select(struct(col("q_id"), col("cell")).as("id"),
+          expr("zip_with(pq_vq, ccq, (x, y) -> x - y)").as("vq")),
+      numSub)
+      .join(broadcast(books), "sub")
+      .select(col("id.q_id").as("q_id"), col("id.cell").as("cell"),
+        col("sub"), col("code"), expr(sqDistQ("sv", "cq")).as("pd2"))
+    val cand = cells.select(col("id"), col("code").as("cell"))
+      .join(broadcast(routed), "cell")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("cell"), col("id"))
+    cand.join(rcodes, "id")
+      .join(broadcast(lut), Seq("q_id", "cell", "sub", "code"))
       .groupBy(col("q_id"), col("id"))
       .agg(sum(col("pd2")).as("adc_d2"))
       .withColumn("rank", row_number().over(

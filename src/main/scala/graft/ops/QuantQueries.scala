@@ -128,7 +128,7 @@ object QuantQueries {
     * (coarse + fine) over the shared quantized corpus `e`. Emits
     * ${p}sub, ${p}seeds, ${p}a1, ${p}re, ${p}c1, ${p}a2. */
   private def dTrainP(p: String, numSub: Int, width: Int,
-      ksub: Int): String = {
+      ksub: Int, src: String = "e"): String = {
     def assign(books: String) = s"""
       SELECT sub, vec_id, code FROM (
         SELECT s.sub, s.vec_id, c.code,
@@ -138,12 +138,12 @@ object QuantQueries {
     s"""
     ${p}sub AS (SELECT vec_id, j AS sub,
         list_slice(vq, j*$width + 1, j*$width + $width) AS sv
-      FROM e, range($numSub) t(j)),
+      FROM $src, range($numSub) t(j)),
     ${p}seeds AS (SELECT sub,
         CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
           AS INT) AS code, sv AS cq
       FROM ${p}sub
-      WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT $ksub)),
+      WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $ksub)),
     ${p}a1 AS (${assign(p + "seeds")}),
     ${p}re AS (SELECT sub, code, list(cx ORDER BY pos) AS cq FROM (
         SELECT a.sub, a.code, t.i AS pos,
@@ -304,18 +304,87 @@ object QuantQueries {
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
   // ===================================================================
+  // q115 — RESIDUAL IVFADC (Jégou et al. §V eq. 15-17, the production
+  // form): the fine quantizer encodes r(x) = x − µ_cell(x) instead of
+  // x, and each probe ranks candidates with a PER-(probe, cell) LUT of
+  // its own residual against that cell. Residuals are exact int64
+  // lattice differences, so train → residual-encode → route → rank all
+  // replay in DuckDB. Same pinned geometry as q112 (16 cells, nprobe=4,
+  // numSub=4, ksub=8, one Lloyd round per quantizer).
+  // ===================================================================
+
+  private val q115: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val coarse = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      numSub = 1, ksub = 16, iters = 1, scale = 1000)
+    val cells = Similarity.pqEncode(vecs, coarse, "embedding", "vec_id",
+      numSub = 1, scale = 1000)
+    val res = Similarity.pqResiduals(vecs, cells, coarse,
+      "embedding", "vec_id", scale = 1000)
+    val books = Similarity.pqResidualBooks(res, numSub = 4, ksub = 8,
+      iters = 1)
+    val rcodes = Similarity.pqResidualEncode(res, books, numSub = 4)
+    Similarity.ivfAdcResidualTopK(cells, rcodes, coarse, books,
+        vecs.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nprobe = 4, numSub = 4, scale = 1000)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q115Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    ${dTrainP("cq_", 1, 64, 16)},
+    res AS (SELECT a.vec_id, a.code AS cell,
+        list_transform(range(64), i -> e.vq[i+1] - c.cq[i+1]) AS vq
+      FROM cq_a2 a JOIN e ON e.vec_id = a.vec_id
+        JOIN cq_c1 c ON c.code = a.code AND c.sub = 0),
+    ${dTrainP("fq_", 4, 16, 8, src = "res")},
+    routed AS (SELECT q_id, cell FROM (
+        SELECT p.vec_id AS q_id, c.code AS cell,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY ${dSqDistQ("p.sv", "c.cq")}, c.code) AS rn
+        FROM cq_sub p JOIN cq_c1 c USING (sub) WHERE p.vec_id < 20)
+      WHERE rn <= 4),
+    pres AS (SELECT r.q_id, r.cell,
+        list_transform(range(64), i -> pe.vq[i+1] - cc.cq[i+1]) AS vq
+      FROM routed r JOIN e pe ON pe.vec_id = r.q_id
+        JOIN cq_c1 cc ON cc.code = r.cell AND cc.sub = 0),
+    psub AS (SELECT q_id, cell, j AS sub,
+        list_slice(vq, j*16 + 1, j*16 + 16) AS sv
+      FROM pres, range(4) t(j)),
+    lut AS (SELECT p.q_id, p.cell, p.sub, c.code,
+        ${dSqDistQ("p.sv", "c.cq")} AS pd2
+      FROM psub p JOIN fq_c1 c USING (sub)),
+    cand AS (SELECT r.q_id, r.cell, a.vec_id FROM cq_a2 a JOIN routed r
+      ON a.code = r.cell AND a.vec_id != r.q_id),
+    sc AS (SELECT cd.q_id, cd.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+      FROM cand cd JOIN fq_a2 f ON f.vec_id = cd.vec_id
+        JOIN lut l ON l.q_id = cd.q_id AND l.cell = cd.cell
+          AND l.sub = f.sub AND l.code = f.code
+      GROUP BY 1, 2)
+    SELECT q_id, rank, vec_id, adc_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY adc_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  // ===================================================================
 
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
     "q111_pq_adc_topk" -> q111,
     "q112_ivfadc_topk" -> q112,
     "q113_pq_standing_index" -> q113,
-    "q114_pq_adc_rerank" -> q114)
+    "q114_pq_adc_rerank" -> q114,
+    "q115_ivfadc_residual" -> q115)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
     "q111_pq_adc_topk" -> q111Sql,
     "q112_ivfadc_topk" -> q112Sql,
     "q113_pq_standing_index" -> q113Sql,
-    "q114_pq_adc_rerank" -> q114Sql)
+    "q114_pq_adc_rerank" -> q114Sql,
+    "q115_ivfadc_residual" -> q115Sql)
 }

@@ -244,4 +244,73 @@ class ProductQuantSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(rr === truth)
   }
+
+  test("residual IVFADC recovers EXACT distances when the fine books " +
+      "quantize residuals perfectly (µ_c cancels: ‖(p−µ)−(x−µ)‖ = ‖p−x‖)") {
+    // coarse ksub=4 packs 2 bases per cell -> residuals are NONZERO but
+    // take exactly 8 distinct values (one per base); fine ksub=8 seeded
+    // from ids 0..7 covers all of them, so residual quantization is
+    // exact and ADC == exact lattice L2 for EVERY candidate
+    val coarse = Similarity.pqCodebooks(dupCorpus, "embedding", "vec_id",
+      numSub = 1, ksub = 4, iters = 1)
+    val cells = Similarity.pqEncode(dupCorpus, coarse, "embedding",
+      "vec_id", numSub = 1)
+    val res = Similarity.pqResiduals(dupCorpus, cells, coarse,
+      "embedding", "vec_id")
+    val books = Similarity.pqResidualBooks(res, numSub = 4, ksub = 8,
+      iters = 1)
+    val rcodes = Similarity.pqResidualEncode(res, books, numSub = 4)
+    val probes = dupCorpus.filter($"vec_id" < 6)
+    val got = Similarity.ivfAdcResidualTopK(cells, rcodes, coarse, books,
+        probes, "embedding", "vec_id", k = 3, nprobe = 4, numSub = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val q = dupCorpus.select($"vec_id".as("id"),
+      expr("transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+        .as("vq"))
+    val d2 = "aggregate(zip_with(a.vq, b.vq, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)"
+    val truth = q.as("a").filter($"a.id" < 6)
+      .crossJoin(q.as("b")).filter($"a.id" =!= $"b.id")
+      .select($"a.id".as("q_id"), $"b.id".as("id"),
+        expr(d2).as("adc_d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"adc_d2", $"id")))
+      .filter($"rank" <= 3)
+      .select($"q_id", $"rank", $"id", $"adc_d2")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === truth)
+  }
+
+  test("residual IVFADC: repartition invariance, candidates confined " +
+      "to routed cells at nprobe=1") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val coarse = Similarity.pqCodebooks(df, "embedding", "vec_id",
+        numSub = 1, ksub = 8, iters = 1)
+      val cells = Similarity.pqEncode(df, coarse, "embedding", "vec_id",
+        numSub = 1)
+      val res = Similarity.pqResiduals(df, cells, coarse,
+        "embedding", "vec_id")
+      val books = Similarity.pqResidualBooks(res, numSub = 4, ksub = 8,
+        iters = 1)
+      val rcodes = Similarity.pqResidualEncode(res, books, numSub = 4)
+      (cells, Similarity.ivfAdcResidualTopK(cells, rcodes, coarse, books,
+        df.filter($"vec_id" < 10), "embedding", "vec_id",
+        k = 3, nprobe = 1, numSub = 4))
+    }
+    val (cells, one) = run(embs)
+    val (_, oneR) = run(embs.repartition(7, $"vec_id"))
+    val a = one.collect().map(_.toString).sorted.toSeq
+    assert(a === oneR.collect().map(_.toString).sorted.toSeq)
+    assert(a.nonEmpty)
+    // nprobe=1: a corpus-drawn probe routes to its own cell, so every
+    // returned neighbor must share it
+    val cellOf = cells.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("code")).toMap
+    one.collect().foreach { r =>
+      assert(cellOf(r.getAs[Long]("id")) === cellOf(r.getAs[Long]("q_id")),
+        s"nprobe=1 neighbor left the probe's cell: $r")
+    }
+  }
 }

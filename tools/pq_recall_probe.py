@@ -95,7 +95,8 @@ def probe(sf_dir, tiers, k=5, n_probes=50, nprobe_tiers=(1, 2, 4)):
     print(f"\n== {sf_dir}  N={n} dims={dims} probes={len(probes)} "
           f"recall@{k} ==")
     print("tier          | recall | distort p50/p90 | recon p50/p90 "
-          "| ivfadc recall @ nprobe " + "/".join(map(str, nprobe_tiers)))
+          "| ivfadc recall @ nprobe " + "/".join(map(str, nprobe_tiers))
+          + " | RESIDUAL ivfadc @ same")
     for (num_sub, ksub, iters) in tiers:
         w = dims // num_sub
         subs = Q.reshape(n, num_sub, w)
@@ -130,9 +131,31 @@ def probe(sf_dir, tiers, k=5, n_probes=50, nprobe_tiers=(1, 2, 4)):
                 sc[~ok] = np.inf
                 r.append(len(topk(ids, sc, k, p) & truth[i]) / k)
             ivf_cols.append(np.mean(r))
+        # RESIDUAL IVFADC (q115 / ivfAdcResidualTopK replica): fine
+        # books trained on r = Q − µ_cell, per-(probe, cell) LUTs of
+        # the probe's own residual, candidates from routed cells
+        R = Q - cbooks[0][cells]
+        rbooks = train_books(R, num_sub, ksub, iters)
+        rcodes = assign_codes(R.reshape(n, num_sub, w), rbooks)
+        rivf_cols = []
+        for npb in nprobe_tiers:
+            routed = route_order[:, :npb]
+            r = []
+            for i, p in enumerate(probes):
+                sc = np.full(n, np.inf)
+                for c in routed[i]:
+                    pr = (Q[p] - cbooks[0][c]).reshape(num_sub, w)
+                    lut = ((pr[:, None, :] - rbooks) ** 2).sum(2)
+                    members = cells == c
+                    sc[members] = lut[
+                        np.arange(num_sub)[:, None],
+                        rcodes[members].T].sum(0)
+                r.append(len(topk(ids, sc, k, p) & truth[i]) / k)
+            rivf_cols.append(np.mean(r))
         print(f"m={num_sub} k*={ksub} it={iters} | {rec:.3f}  | "
               f"{d50:.3f} / {d90:.3f}   | {r50:.3f} / {r90:.3f} | "
-              + " / ".join(f"{v:.3f}" for v in ivf_cols))
+              + " / ".join(f"{v:.3f}" for v in ivf_cols) + " | "
+              + " / ".join(f"{v:.3f}" for v in rivf_cols))
 
 
 if __name__ == "__main__":
