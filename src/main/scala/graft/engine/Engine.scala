@@ -114,6 +114,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   /** Registered standing rollups by table name (`rollup create`). */
   private var rollups = Map.empty[String, graft.dialect.RollupServe.Meta]
 
+  /** Registered standing vector indexes by table (`vindex create`):
+    * PQ (codes + recorded books) or IVF (assignment rows + recorded
+    * centroids), both IndexStore artifacts. `numSub` is PQ geometry
+    * (0 for IVF). */
+  private case class VIndexMeta(path: String, kind: String,
+      idCol: String, vecCol: String, numSub: Int)
+  private var vindexes = Map.empty[String, VIndexMeta]
+
   /** Run a `sql` command, returning the DataFrame (pre-rendering).
     * A table with a registered rollup first offers the command to
     * [[graft.dialect.RollupServe]] — a qualified increments() query is
@@ -474,6 +482,26 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         s"$tbl: grain=${m.grain} time=${m.tsCol} " +
           s"value=${m.valueCols.mkString(",")} " +
           s"dims=${m.dims.mkString(",")} path=${m.path}"
+      }.mkString("\n")
+    }
+    else if (low.startsWith("vindex create")) vindexCreate(t)
+    else if (low.startsWith("vindex refresh")) vindexRefresh(t)
+    else if (low.startsWith("vindex search")) vindexSearch(t)
+    else if (low.startsWith("vindex attach")) vindexAttach(t)
+    else if (low.startsWith("vindex drop")) {
+      val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "vindex drop requires table ="))
+      require(vindexes.contains(table), s"no vindex registered for $table")
+      vindexes -= table // unregister only; the artifact stays on disk
+      s"vindex for $table dropped"
+    }
+    else if (low == "get vindexes") {
+      if (vindexes.isEmpty) "no vindexes registered"
+      else vindexes.toSeq.sortBy(_._1).map { case (tbl, m) =>
+        s"$tbl: type=${m.kind} id=${m.idCol} vector=${m.vecCol}" +
+          (if (m.kind == "pq") s" numsub=${m.numSub}" else "") +
+          s" path=${m.path}"
       }.mkString("\n")
     }
     else if (low.startsWith("suggest create ")) suggestCreate(t)
@@ -952,6 +980,127 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val next = graft.ops.Rollup.refreshStore(spark, meta.path, delta,
       meta.tsCol, meta.grain, meta.dims, meta.valueCols)
     s"rollup for $table refreshed (${next.count()} ${meta.grain} buckets)"
+  }
+
+  /** `vindex create where table = <t> and path = <dir> and id = <col>
+    * and vector = <col> and type = pq|ivf [and numsub = m and ksub = k]
+    * [and cells = n] [and iters = i]` — build a STANDING vector index
+    * over the table's CURRENT rows (PQ codes+books via
+    * [[graft.ops.Similarity.pqIndex]], or IVF assignment rows via
+    * [[graft.ops.Similarity.ivfIndex]]), commit it through the
+    * crash-atomic IndexStore, and register it for `vindex search` /
+    * `vindex refresh`. The ANN-serving twin of `rollup create`. */
+  private def vindexCreate(t: String): String = {
+    val body = t.substring("vindex create".length).trim
+      .stripPrefix("where").trim
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(body).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"vindex create requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    val (idCol, vecCol) = (req("id"), req("vector"))
+    val kind = req("type").toLowerCase
+    val src = catalog.table(table)
+    val (built, numSub) = kind match {
+      case "pq" =>
+        val m = req("numsub").toInt
+        (graft.ops.Similarity.pqIndex(src, vecCol, idCol, numSub = m,
+          ksub = req("ksub").toInt,
+          iters = kv("iters").map(_.toInt).getOrElse(1)), m)
+      case "ivf" =>
+        (graft.ops.Similarity.ivfIndex(src, vecCol, idCol,
+          numCentroids = kv("cells").map(_.toInt).getOrElse(0),
+          kmeansIters = kv("iters").map(_.toInt).getOrElse(0)), 0)
+      case other => throw new IllegalArgumentException(
+        s"vindex type must be pq or ivf, got $other")
+    }
+    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
+    vindexes += table -> VIndexMeta(path, kind, idCol, vecCol, numSub)
+    s"vindex for $table created at $path (type=$kind, $rows index rows)"
+  }
+
+  /** `vindex refresh where table = <t> and source = <table|path>` —
+    * fold a batch of NEW vectors into the standing index (PQ: encode
+    * against the RECORDED books; IVF: assign to the recorded
+    * centroids). The corpus is never re-read and the artifact commits
+    * as a fresh IndexStore version. */
+  private def vindexRefresh(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("vindex refresh requires table ="))
+    val meta = vindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no vindex registered for $table"))
+    val src = kv("source").getOrElse(
+      throw new IllegalArgumentException("vindex refresh requires source ="))
+    val delta =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no vindex artifact at ${meta.path}"))
+    val folded = (if (meta.kind == "pq")
+        graft.ops.Similarity.refreshPqIndex(stored, delta, meta.vecCol,
+          meta.idCol, meta.numSub)
+      else graft.ops.Similarity.refreshIvfIndex(stored, delta, meta.vecCol,
+        meta.idCol)).localCheckpoint()
+    val rows = graft.ops.IndexStore.write(folded, meta.path)
+    s"vindex for $table refreshed ($rows index rows)"
+  }
+
+  /** `vindex search where table = <t> and probes = <table|path> and
+    * k = <n> [and nprobe = <n>] [and format = table]` — serve ANN
+    * top-k from the standing artifact: ADC over PQ codes, or
+    * nprobe-routed cell-local search over the IVF rows. Probes never
+    * touch the corpus floats (PQ) / never scan outside routed cells
+    * (IVF). */
+  private def vindexSearch(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"vindex search requires $k ="))
+    val table = req("table")
+    val meta = vindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no vindex registered for $table"))
+    val src = req("probes")
+    val probes =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no vindex artifact at ${meta.path}"))
+    val k = req("k").toInt
+    val result =
+      if (meta.kind == "pq")
+        graft.ops.Similarity.pqSearchIndex(stored, probes, meta.vecCol,
+          meta.idCol, k, meta.numSub)
+      else graft.ops.Similarity.ivfSearchIndex(stored, probes, meta.vecCol,
+        meta.idCol, k, kv("nprobe").map(_.toInt).getOrElse(1))
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
+  }
+
+  /** `vindex attach where table = <t> and path = <dir> and type = pq|ivf
+    * and id = <col> and vector = <col>` — re-register an existing
+    * artifact after an engine restart; PQ geometry (numsub) is read
+    * back from the recorded books. */
+  private def vindexAttach(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"vindex attach requires $k ="))
+    val (table, path, kind) = (req("table"), req("path"),
+      req("type").toLowerCase)
+    val stored = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no vindex artifact at $path"))
+    val numSub = if (kind == "pq")
+      graft.ops.Similarity.pqIndexBooks(stored)
+        .agg(org.apache.spark.sql.functions.max("sub")).head().getInt(0) + 1
+    else 0
+    vindexes += table -> VIndexMeta(path, kind, req("id"), req("vector"),
+      numSub)
+    s"vindex for $table attached from $path (type=$kind" +
+      (if (kind == "pq") s", numsub=$numSub" else "") + ")"
   }
 
   private def dropPartition(t: String): String = {

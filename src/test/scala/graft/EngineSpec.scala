@@ -499,3 +499,114 @@ class RollupServeSpec extends SparkSpec {
       direct.collect().map(_.toString).sorted)
   }
 }
+
+class VIndexCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+  import graft.ops.Similarity
+
+  private def staged(): (Catalog, Engine, java.nio.file.Path) = {
+    val dir = java.nio.file.Files.createTempDirectory("vindex")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("embeddings",
+      dir.resolve("embeddings.parquet").toString)
+    val engine = new Engine(spark, cat)
+    (cat, engine, dir)
+  }
+
+  test("vindex create/search (pq): command serve == library ADC serve; " +
+      "get vindexes lists it; drop unregisters") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("pqidx").toString
+    val out = engine.execute("vindex create where table = embeddings " +
+      s"and path = $p and id = vec_id and vector = embedding " +
+      "and type = pq and numsub = 4 and ksub = 8")
+    assert(out.contains("type=pq"))
+    assert(engine.execute("get vindexes").contains("embeddings: type=pq"))
+    // stage a 3-probe parquet and search through the command
+    val probes = dir.resolve("probes").toString
+    cat.table("embeddings").filter(col("vec_id") < 3)
+      .write.parquet(probes)
+    val reply = engine.execute("vindex search where table = embeddings " +
+      s"and probes = $probes and k = 2")
+    // equals serving straight from the library over the same artifact
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val expect = Similarity.pqSearchIndex(idx,
+      spark.read.parquet(probes), "embedding", "vec_id", k = 2, numSub = 4)
+    expect.collect().foreach { r =>
+      assert(reply.contains(s""""id":${r.getAs[Long]("id")}"""),
+        s"missing neighbor ${r.getAs[Long]("id")} in $reply")
+    }
+    assert(engine.execute("vindex drop where table = embeddings")
+      .contains("dropped"))
+    intercept[IllegalArgumentException](engine.execute(
+      s"vindex search where table = embeddings and probes = $probes and k = 2"))
+  }
+
+  test("vindex refresh folds new vectors against the RECORDED books; " +
+      "attach re-registers from the artifact alone") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("pqidx2").toString
+    // build on the first half only, then fold the rest via refresh
+    cat.registerTable("emb_head", dir.resolve("embeddings.parquet").toString)
+    val half = dir.resolve("head").toString
+    val full = cat.table("embeddings")
+    val n = full.count()
+    full.filter(col("vec_id") < n / 2).write.parquet(half)
+    val rest = dir.resolve("rest").toString
+    full.filter(col("vec_id") >= n / 2).write.parquet(rest)
+    cat.registerTable("emb_half", half)
+    engine.execute("vindex create where table = emb_half " +
+      s"and path = $p and id = vec_id and vector = embedding " +
+      "and type = pq and numsub = 4 and ksub = 8")
+    engine.execute(
+      s"vindex refresh where table = emb_half and source = $rest")
+    // the folded artifact covers the whole corpus, codes from the
+    // half-trained books (fold == encode-all with those books)
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val books = Similarity.pqIndexBooks(idx)
+    val expect = Similarity.pqEncode(full, books, "embedding", "vec_id",
+      numSub = 4)
+    assert(idx.filter(col("role") === "code")
+        .select("id", "sub", "code").collect().map(_.toString).sorted
+      === expect.select("id", "sub", "code")
+        .collect().map(_.toString).sorted)
+    // a fresh engine attaches from the artifact alone (numsub recovered)
+    val engine2 = new Engine(spark, cat)
+    val att = engine2.execute("vindex attach where table = emb_half " +
+      s"and path = $p and type = pq and id = vec_id and vector = embedding")
+    assert(att.contains("numsub=4"))
+    val probes = dir.resolve("probes2").toString
+    full.filter(col("vec_id") < 2).write.parquet(probes)
+    assert(engine2.execute("vindex search where table = emb_half " +
+        s"and probes = $probes and k = 2")
+      === { val e = new Engine(spark, cat)
+            e.execute("vindex attach where table = emb_half " +
+              s"and path = $p and type = pq and id = vec_id " +
+              "and vector = embedding")
+            e.execute("vindex search where table = emb_half " +
+              s"and probes = $probes and k = 2") })
+  }
+
+  test("vindex create/search (ivf): nprobe=cells equals library " +
+      "exhaustive search; format = table renders") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("ivfidx").toString
+    engine.execute("vindex create where table = embeddings " +
+      s"and path = $p and id = vec_id and vector = embedding " +
+      "and type = ivf and cells = 4")
+    val probes = dir.resolve("probes3").toString
+    cat.table("embeddings").filter(col("vec_id") < 3)
+      .write.parquet(probes)
+    val reply = engine.execute("vindex search where table = embeddings " +
+      s"and probes = $probes and k = 2 and nprobe = 4 and format = table")
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val expect = Similarity.ivfSearchIndex(idx,
+      spark.read.parquet(probes), "embedding", "vec_id", k = 2, nprobe = 4)
+    assert(expect.count() === 6)
+    expect.select("id").collect().foreach(r =>
+      assert(reply.contains(r.getAs[Long]("id").toString)))
+  }
+}
