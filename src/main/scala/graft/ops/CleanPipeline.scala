@@ -23,6 +23,7 @@ import graft.functions.F
   *      {"op": "dsir_gate", "index": "/idx/dsir", "min_weight_q": 0},
   *      {"op": "domain_mixture", "source": "source", "budget_bp": 6000},
   *      {"op": "lm_quality_max", "max_score_q": 200000},
+  *      {"op": "cluster_balance", "vec": "embedding", "quota": 1000},
   *      {"op": "split", "train": 80, "valid": 10}
   *    ]}}
   */
@@ -95,6 +96,13 @@ object CleanPipeline {
     * filter. Docs with no bigram evidence (< 2 tokens) pass. */
   final case class LmQualityMax(maxScoreQ: Long) extends Stage
 
+  /** Cap every semantic cluster's contribution at `quota` docs
+    * (`Curation.clusterBalance` over SemDeDup-style nearest-centroid
+    * cells on `vecCol`) — diversity balancing instead of near-dup
+    * dropping. cells <= 0 derives the cell count from corpus size. */
+  final case class ClusterBalanceStage(vecCol: String, cells: Int,
+      quota: Int) extends Stage
+
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
   def fromJson(json: String): Spec = {
@@ -144,6 +152,10 @@ object CleanPipeline {
             (st \ "budget_bp").extractOpt[Int].getOrElse(6000))
           case "lm_quality_max" => LmQualityMax(
             (st \ "max_score_q").extract[Long])
+          case "cluster_balance" => ClusterBalanceStage(
+            (st \ "vec").extractOpt[String].getOrElse("embedding"),
+            (st \ "cells").extractOpt[Int].getOrElse(0),
+            (st \ "quota").extractOpt[Int].getOrElse(1000))
           case "semdedup" => SemDedup(
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
             // 0 = derive cell count from corpus size (Dedup.semdedup)
@@ -282,6 +294,19 @@ object CleanPipeline {
             .filter(col("score_q") > maxScoreQ)
             .select(col(id))
           cur.join(bad, Seq(id), "left_anti")
+        case ClusterBalanceStage(vecCol, ncells, quota) =>
+          val cells = if (ncells > 0) ncells
+            else Dedup.deriveCells(cur.count())
+          val e = cur.select(col(id).as("id"), col(vecCol).as("v"),
+            F.dotF(col(vecCol), col(vecCol)).as("n2"))
+          val cents = e.orderBy(col("id")).limit(cells)
+            .select(col("id").as("cent_id"), col("v").as("cv"),
+              col("n2").as("cn2"))
+          val assigned = Similarity.assign(e, cents)
+            .select(col("id"), col("cent_id").as("cell"))
+          val keep = Curation.clusterBalance(assigned, quota)
+            .select(col("id").as(id))
+          cur.join(keep, Seq(id), "left_semi")
         case SemDedup(vecCol, cells, threshold) =>
           val keep = Dedup.semdedup(cur, vecCol, id, cells, threshold)
             .filter(col("keep") === 1)

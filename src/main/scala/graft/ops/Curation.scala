@@ -420,4 +420,30 @@ object Curation {
         s"cast(floor($budgetBp.0 * (r / rs) / (cast(tokens as double) / tt)) as bigint)"))
       .select(col("source"), col("n_docs"), col("tokens"), col("rate_bp"))
   }
+
+  /** Cluster-balanced corpus sampling (the diversity-balancing
+    * counterpart of SemDeDup — cap every semantic cluster's
+    * contribution instead of dropping near-dups): given per-vector
+    * cell assignments `(id, cell)` (e.g. the coarse quantizer of the
+    * PQ family, `Similarity.pqEncode(…, numSub = 1)`, or IVF cells),
+    * keep at most `quota` members per cell, chosen by a DETERMINISTIC
+    * integer hash rank (never rand() — replayable cross-engine and
+    * stable across runs/partitionings). Returns (cell, rank, id),
+    * rank 1..min(|cell|, quota).
+    *
+    * Scale shape: ONE shuffle on the cell key; the rank window's
+    * `rank <= quota` filter is a WindowGroupLimit, so each partition
+    * keeps only quota rows per cell before any downstream exchange —
+    * output is O(cells × quota) regardless of corpus size. */
+  def clusterBalance(cells: DataFrame, quota: Int): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    cells.select(col("id"), col("cell"),
+        ((col("id") * lit(1103515245L) + lit(12345L))
+          % lit(2147483647L)).as("h"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+          .orderBy(col("h"), col("id"))))
+      .filter(col("rank") <= quota)
+      .select(col("cell"), col("rank"), col("id"))
+  }
 }

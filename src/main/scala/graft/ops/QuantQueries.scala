@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Vector-compression queries (q110-q114) over [[Similarity]]'s product-
+/** Vector-compression queries (q110-q116) over [[Similarity]]'s product-
   * quantization family: per-subspace codebook training + encode under
   * the differential oracle, asymmetric-distance (ADC) top-k search
   * over the codes, IVFADC serving, the standing PQ index, and ADC
@@ -371,6 +371,39 @@ object QuantQueries {
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
   // ===================================================================
+  // q116 — cluster-balanced sampling: the coarse quantizer's cells cap
+  // each semantic cluster's contribution at quota=24, members chosen
+  // by deterministic integer-hash rank (Curation.clusterBalance). The
+  // cells come from the SAME oracled coarse CTE as q112, so the whole
+  // assign -> rank -> cap path replays in DuckDB.
+  // ===================================================================
+
+  private val q116: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val coarse = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      numSub = 1, ksub = 16, iters = 1, scale = 1000)
+    val cells = Similarity.pqEncode(vecs, coarse, "embedding", "vec_id",
+      numSub = 1, scale = 1000)
+      .select(col("id"), col("code").as("cell"))
+    Curation.clusterBalance(cells, quota = 24)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("cell"), col("rank"))
+  }
+
+  private val q116Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    ${dTrainP("cq_", 1, 64, 16)}
+    SELECT cell, rank, vec_id FROM (
+      SELECT code AS cell, vec_id,
+        CAST(row_number() OVER (PARTITION BY code
+          ORDER BY (vec_id * 1103515245 + 12345) % 2147483647, vec_id)
+        AS INT) AS rank
+      FROM cq_a2)
+    WHERE rank <= 24 ORDER BY cell, rank"""
+
+  // ===================================================================
 
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
@@ -378,7 +411,8 @@ object QuantQueries {
     "q112_ivfadc_topk" -> q112,
     "q113_pq_standing_index" -> q113,
     "q114_pq_adc_rerank" -> q114,
-    "q115_ivfadc_residual" -> q115)
+    "q115_ivfadc_residual" -> q115,
+    "q116_cluster_balance" -> q116)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
@@ -386,5 +420,6 @@ object QuantQueries {
     "q112_ivfadc_topk" -> q112Sql,
     "q113_pq_standing_index" -> q113Sql,
     "q114_pq_adc_rerank" -> q114Sql,
-    "q115_ivfadc_residual" -> q115Sql)
+    "q115_ivfadc_residual" -> q115Sql,
+    "q116_cluster_balance" -> q116Sql)
 }

@@ -203,4 +203,32 @@ class CurationSpec extends SparkSpec {
       "doc_id", "source").orderBy("source").collect().toSeq
     assert(a === b)
   }
+
+  test("clusterBalance caps each cell at quota, ranks are dense from 1, " +
+      "selection is the hash order and partition-invariant") {
+    import spark.implicits._
+    // 3 cells: sizes 12, 5, 1 — quota 4 keeps 4 + 4 + 1
+    val cells = ((1L to 12L).map(_ -> 0) ++ (20L to 24L).map(_ -> 1) ++
+      Seq(30L -> 2)).toDF("id", "cell")
+    val out = Curation.clusterBalance(cells, quota = 4)
+    val rows = out.collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id")))
+    assert(rows.length === 9)
+    for (c <- Seq(0, 1, 2)) {
+      val ranks = rows.filter(_._1 == c).map(_._2).sorted
+      assert(ranks === (1 to ranks.length).toArray, s"cell $c ranks")
+    }
+    assert(rows.count(_._1 == 0) === 4)
+    assert(rows.count(_._1 == 2) === 1)
+    // the kept set IS the 4 smallest (h, id) pairs of cell 0
+    val expect0 = (1L to 12L)
+      .sortBy(i => ((i * 1103515245L + 12345L) % 2147483647L, i)).take(4)
+    assert(rows.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq === expect0)
+    assert(Curation.clusterBalance(cells.repartition(7), quota = 4)
+      .collect().map(_.toString).sorted
+      === out.collect().map(_.toString).sorted)
+    intercept[IllegalArgumentException](
+      Curation.clusterBalance(cells, quota = 0))
+  }
 }

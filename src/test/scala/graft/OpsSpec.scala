@@ -953,6 +953,33 @@ class CleanPipelineSpec extends SparkSpec {
     assert(out.select(col("vec_id"))
       .exceptAll(ref.select(col("id"))).count() === 0)
   }
+
+  test("cluster_balance stage caps every cell at quota with the " +
+      "deterministic hash rank (== Curation.clusterBalance)") {
+    val embs = Tables.load(spark, sfDir, "embeddings")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"id": "vec_id", "stages": [
+        {"op": "cluster_balance", "vec": "embedding", "cells": 8,
+         "quota": 10}
+      ]}}""", embs)
+    // reproduce the stage's decision from the library pieces
+    val e = embs.select(col("vec_id").as("id"),
+      col("embedding").as("v"),
+      graft.functions.F.dotF(col("embedding"), col("embedding")).as("n2"))
+    val cents = e.orderBy(col("id")).limit(8)
+      .select(col("id").as("cent_id"), col("v").as("cv"),
+        col("n2").as("cn2"))
+    val assigned = graft.ops.Dedup
+      .semdedup(embs, "embedding", "vec_id", cents, threshold = 2.0)
+      .select(col("id"), col("cell_id").as("cell"))
+    val ref = graft.ops.Curation.clusterBalance(assigned, quota = 10)
+    assert(out.count() === ref.count())
+    assert(out.count() === 80) // 8 cells x quota 10, all cells full
+    assert(out.select(col("vec_id"))
+      .exceptAll(ref.select(col("id"))).count() === 0)
+    // stage keeps all original columns (left_semi, no projection)
+    assert(out.columns.toSet === embs.columns.toSet)
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
