@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core.CoreQueries.queries ++ ops.PipelineQueries.queries ++
       ops.TemporalQueries.queries ++ dialect.DialectQueries.queries ++
-      ops.CurationQueries.queries ++ ops.QuantQueries.queries
+      ops.CurationQueries.queries ++ ops.QuantQueries.queries ++
+      ops.RetrievalQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     core.CoreQueries.oracles ++ ops.PipelineQueries.oracles ++
       ops.TemporalQueries.oracles ++ dialect.DialectQueries.oracles ++
-      ops.CurationQueries.oracles ++ ops.QuantQueries.oracles
+      ops.CurationQueries.oracles ++ ops.QuantQueries.oracles ++
+      ops.RetrievalQueries.oracles
 }

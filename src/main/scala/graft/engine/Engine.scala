@@ -122,6 +122,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       idCol: String, vecCol: String, numSub: Int)
   private var vindexes = Map.empty[String, VIndexMeta]
 
+  /** Registered standing full-text postings indexes by table
+    * (`tindex create`): BM25 top-k + positional phrase serving over a
+    * [[graft.ops.Retrieval]] artifact — the text twin of `vindex`. */
+  private case class TIndexMeta(path: String, idCol: String,
+      textCol: String)
+  private var tindexes = Map.empty[String, TIndexMeta]
+
   /** Run a `sql` command, returning the DataFrame (pre-rendering).
     * A table with a registered rollup first offers the command to
     * [[graft.dialect.RollupServe]] — a qualified increments() query is
@@ -502,6 +509,25 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         s"$tbl: type=${m.kind} id=${m.idCol} vector=${m.vecCol}" +
           (if (m.kind == "pq") s" numsub=${m.numSub}" else "") +
           s" path=${m.path}"
+      }.mkString("\n")
+    }
+    else if (low.startsWith("tindex create")) tindexCreate(t)
+    else if (low.startsWith("tindex refresh")) tindexRefresh(t)
+    else if (low.startsWith("tindex search")) tindexSearch(t)
+    else if (low.startsWith("tindex phrase")) tindexPhrase(t)
+    else if (low.startsWith("tindex attach")) tindexAttach(t)
+    else if (low.startsWith("tindex drop")) {
+      val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "tindex drop requires table ="))
+      require(tindexes.contains(table), s"no tindex registered for $table")
+      tindexes -= table // unregister only; the artifact stays on disk
+      s"tindex for $table dropped"
+    }
+    else if (low == "get tindexes") {
+      if (tindexes.isEmpty) "no tindexes registered"
+      else tindexes.toSeq.sortBy(_._1).map { case (tbl, m) =>
+        s"$tbl: id=${m.idCol} text=${m.textCol} path=${m.path}"
       }.mkString("\n")
     }
     else if (low.startsWith("suggest create ")) suggestCreate(t)
@@ -1101,6 +1127,109 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       numSub)
     s"vindex for $table attached from $path (type=$kind" +
       (if (kind == "pq") s", numsub=$numSub" else "") + ")"
+  }
+
+  /** `tindex create where table = <t> and path = <dir> and id = <col>
+    * and text = <col>` — build the standing positional postings index
+    * ([[graft.ops.Retrieval.postingsIndex]], map-only) and commit it
+    * through [[graft.ops.IndexStore]]. */
+  private def tindexCreate(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"tindex create requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    val (idCol, textCol) = (req("id"), req("text"))
+    val built = graft.ops.Retrieval.postingsIndex(catalog.table(table),
+      textCol, idCol)
+    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
+    tindexes += table -> TIndexMeta(path, idCol, textCol)
+    s"tindex for $table created at $path ($rows index rows)"
+  }
+
+  /** `tindex refresh where table = <t> and source = <table|path>` —
+    * fold a batch of docs into the standing postings index (per-doc
+    * state only, so fold == rebuild; existing batch ids are replaced).
+    * Commits as a fresh IndexStore version. */
+  private def tindexRefresh(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("tindex refresh requires table ="))
+    val meta = tindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no tindex registered for $table"))
+    val src = kv("source").getOrElse(
+      throw new IllegalArgumentException("tindex refresh requires source ="))
+    val delta =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no tindex artifact at ${meta.path}"))
+    val folded = graft.ops.Retrieval.refreshPostingsIndex(stored, delta,
+      meta.textCol, meta.idCol).localCheckpoint()
+    val rows = graft.ops.IndexStore.write(folded, meta.path)
+    s"tindex for $table refreshed ($rows index rows)"
+  }
+
+  /** `tindex search where table = <t> and probes = <table|path> and
+    * k = <n> [and format = table]` — BM25 top-k from the standing
+    * artifact (k1=1.2, b=0.75). */
+  private def tindexSearch(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"tindex search requires $k ="))
+    val table = req("table")
+    val meta = tindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no tindex registered for $table"))
+    val src = req("probes")
+    val probes =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no tindex artifact at ${meta.path}"))
+    val result = graft.ops.Retrieval.bm25TopK(stored, probes,
+      meta.textCol, meta.idCol, req("k").toInt)
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
+  }
+
+  /** `tindex phrase where table = <t> and w1 = <term> and w2 = <term>
+    * [and format = table]` — exact-adjacency phrase match with per-doc
+    * phrase frequency, from position lists alone. */
+  private def tindexPhrase(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"tindex phrase requires $k ="))
+    val table = req("table")
+    val meta = tindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no tindex registered for $table"))
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no tindex artifact at ${meta.path}"))
+    import org.apache.spark.sql.functions.lit
+    val phrases = spark.range(1).select(lit(req("w1")).as("w1"),
+      lit(req("w2")).as("w2"))
+    val result = graft.ops.Retrieval.phraseMatch(stored, phrases)
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
+  }
+
+  /** `tindex attach where table = <t> and path = <dir> and id = <col>
+    * and text = <col>` — re-register an existing artifact after an
+    * engine restart. */
+  private def tindexAttach(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"tindex attach requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    require(graft.ops.IndexStore.read(spark, path).isDefined,
+      s"no tindex artifact at $path")
+    tindexes += table -> TIndexMeta(path, req("id"), req("text"))
+    s"tindex for $table attached from $path"
   }
 
   private def dropPartition(t: String): String = {

@@ -110,6 +110,7 @@ object F {
   def featureHashCounts(text: Column, dims: Int): Column =
     c(FeatureHashCountsExpr(e(text), dims))
   def tokenTf(text: Column): Column = c(TokenTfExpr(e(text)))
+  def tokenPositions(text: Column): Column = c(TokenPositionsExpr(e(text)))
   def bloomAgg(h: Column, mBits: Int, k: Int): Column =
     c(BloomBuildAgg(e(h), mBits, k).toAggregateExpression())
   def bloomMaybe(words: Column, h: Column, mBits: Int, k: Int): Column =

@@ -486,6 +486,52 @@ case class FeatureHashCountsExpr(child: Expression, dims: Int)
     copy(child = newChild)
 }
 
+/** token_positions(text): per-document positional postings as an array
+  * of (t, tf, pos) structs in first-occurrence order — `pos` is the
+  * ascending 0-based token positions of `t` within the whitespace token
+  * stream (empty strings dropped, matching [[TextExpressions.tokens]]).
+  * One hash-map pass per row turns the positional-index build into a
+  * MAP-ONLY stage: the postings list is a per-row value, no corpus-wide
+  * shuffle of token occurrences. The explode + posexplode + groupBy
+  * formulation (which the DuckDB oracle keeps) produces the same rows. */
+case class TokenPositionsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("t", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false),
+    StructField("pos", ArrayType(IntegerType, containsNull = false),
+      nullable = false))), containsNull = false)
+  // literal inputs fold to a literal at plan time (ConstantFolding)
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    val t = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    val posByTerm =
+      new java.util.LinkedHashMap[String, java.util.ArrayList[Int]]()
+    var i = 0
+    while (i < t.length) {
+      posByTerm.computeIfAbsent(t(i),
+        _ => new java.util.ArrayList[Int]()).add(i)
+      i += 1
+    }
+    val out = new Array[Any](posByTerm.size)
+    val it = posByTerm.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val ps = e.getValue
+      val pa = new Array[Int](ps.size())
+      var k = 0
+      while (k < pa.length) { pa(k) = ps.get(k); k += 1 }
+      out(j) = InternalRow(UTF8String.fromString(e.getKey),
+        ps.size().toLong, new GenericArrayData(pa))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** token_tf(text): per-document term frequencies as an array of
   * (t, tf) structs in first-occurrence order — the same pairs the
   * explode + groupBy(doc, token) formulation produces (which the DuckDB

@@ -21,6 +21,7 @@ import graft.functions.F
   *      {"op": "lang_keep", "langs": ["en", "de"], "column": "lang"},
   *      {"op": "redact_numbers"},
   *      {"op": "dsir_gate", "index": "/idx/dsir", "min_weight_q": 0},
+  *      {"op": "bm25_gate", "index": "/idx/seeds", "min_score_q": 8192},
   *      {"op": "domain_mixture", "source": "source", "budget_bp": 6000},
   *      {"op": "lm_quality_max", "max_score_q": 200000},
   *      {"op": "cluster_balance", "vec": "embedding", "quota": 1000},
@@ -75,6 +76,16 @@ object CleanPipeline {
     * probe rules out almost the whole batch map-side; only maybe-dups
     * reach the hash-index join. Read-only over the state. */
   final case class IncrementalExactDedup(statePath: String) extends Stage
+
+  /** Gate a crawl on a STANDING SEED postings index (parquet path of a
+    * [[Retrieval.postingsIndex]] artifact, IndexStore-committed): keep
+    * only docs whose quantized BM25 score (2^-14 units, see
+    * [[Retrieval.bm25ScoresVsSeedIndex]]) against at least one seed doc
+    * is >= `minScoreQ` — targeted curation by full-text relevance to a
+    * seed set. Read-only over the index; the seed postings broadcast,
+    * the crawl is never shuffled before its per-doc aggregate. */
+  final case class Bm25Gate(indexPath: String, minScoreQ: Long)
+      extends Stage
 
   /** Gate a crawl on a STANDING DSIR index (parquet path of a
     * `Curation.dsirIndex` artifact, IndexStore-committed): keep only
@@ -144,6 +155,9 @@ object CleanPipeline {
             (st \ "threshold").extractOpt[Double].getOrElse(0.35))
           case "incremental_exactdedup" => IncrementalExactDedup(
             (st \ "state").extract[String])
+          case "bm25_gate" => Bm25Gate(
+            (st \ "index").extract[String],
+            (st \ "min_score_q").extractOpt[Long].getOrElse(0L))
           case "dsir_gate" => DsirGate(
             (st \ "index").extract[String],
             (st \ "min_weight_q").extractOpt[Long].getOrElse(0L))
@@ -272,6 +286,14 @@ object CleanPipeline {
               "left_semi")
             .select(col(id)).distinct()
           cur.join(drop, Seq(id), "left_anti")
+        case Bm25Gate(path, minScoreQ) =>
+          val idx = IndexStore.read(cur.sparkSession, path).getOrElse(
+            throw new IllegalArgumentException(
+              s"bm25_gate: no index at $path"))
+          val keep = Retrieval.bm25ScoresVsSeedIndex(idx, cur, txt, id)
+            .filter(col("score_q") >= minScoreQ)
+            .select(col("q_id").as(id))
+          cur.join(keep, Seq(id), "left_semi")
         case DsirGate(path, minWeightQ) =>
           val idx = IndexStore.read(cur.sparkSession, path).getOrElse(
             throw new IllegalArgumentException(

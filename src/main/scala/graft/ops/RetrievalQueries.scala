@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval queries (q117-q119) over [[Retrieval]]'s standing
+  * positional postings index: BM25 top-k serving, the standing-index
+  * fold (refresh == rebuild, so the whole-corpus SQL is the oracle), and
+  * positional phrase search. BM25 contributions are quantized to the
+  * 2^-14 integer lattice through ONE expression text shared between the
+  * Spark plan and the DuckDB oracle ([[Retrieval.bm25Contrib]]), so the
+  * driver hash-matches exact int64 sums.
+  */
+object RetrievalQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  // ===================================================================
+  // Shared DuckDB CTE prefix: whitespace tokens -> positional token
+  // rows -> postings (term, doc_id, tf) + doc lengths. Mirrors the
+  // map-only TokenPositionsExpr index build.
+  // ===================================================================
+
+  private val dTokPrefix = s"""
+    WITH tk AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), t -> t != '') AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(list_transform(range(len(toks)),
+        p -> {'p': p, 'term': toks[CAST(p AS INT) + 1]})) AS u FROM tk),
+    pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS p, u.term AS term
+      FROM tok),
+    post AS (SELECT term, doc_id, count(*) AS tf FROM pos GROUP BY 1, 2),
+    lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tk)"""
+
+  /** BM25 candidate scoring + top-k SQL against probe predicate
+    * `$probeWhere` with `LIMIT`-free window top-`$k`. */
+  private def dBm25(probeWhere: String, k: Int): String = {
+    val contrib = Retrieval.bm25Contrib("p.tf", "df", "l.dl", "n_docs",
+      "avgdl", Retrieval.k1Lit(12), Retrieval.bLit(75))
+    s"""$dTokPrefix,
+    stats AS (SELECT count(*) AS n_docs,
+        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM lens),
+    qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+      FROM tk WHERE $probeWhere),
+    dfq AS (SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+    c AS (SELECT q.q_id, p.doc_id, $contrib AS c
+      FROM post p JOIN qt q USING (term) JOIN dfq USING (term)
+        JOIN lens l ON l.doc_id = p.doc_id, stats
+      WHERE p.doc_id != q.q_id),
+    sc AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+      FROM c GROUP BY 1, 2)
+    SELECT q_id, rank, doc_id, score_q FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY score_q DESC, doc_id) AS INT) AS rank FROM sc)
+    WHERE rank <= $k ORDER BY q_id, rank"""
+  }
+
+  // ===================================================================
+  // q117 — BM25 top-k: probe docs (doc_id < 5) rank the corpus by
+  // quantized Okapi BM25 (k1=1.2, b=0.75), k=5, ties by doc_id.
+  // Candidate generation = the broadcast query-term semi-join; df is
+  // derived from the pruned postings.
+  // ===================================================================
+
+  private val q117: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    Retrieval.bm25TopK(idx, docs.filter(col("doc_id") < 5),
+        "text", "doc_id", k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q117Sql = dBm25("doc_id < 5", 5)
+
+  // ===================================================================
+  // q118 — STANDING postings index: build on doc_id < 400, fold the
+  // doc_id >= 400 batch in with refreshPostingsIndex, serve BM25 from
+  // the folded artifact. Fold == rebuild exactly (everything in the
+  // index is per-doc; df/N/avgdl derive at query time), so the oracle
+  // is the whole-corpus SQL — the same differential discipline as the
+  // standing PQ index (q113).
+  // ===================================================================
+
+  private val q118: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val idx = Retrieval.refreshPostingsIndex(
+      Retrieval.postingsIndex(docs.filter(col("doc_id") < 400),
+        "text", "doc_id"),
+      docs.filter(col("doc_id") >= 400), "text", "doc_id")
+    Retrieval.bm25TopK(idx,
+        docs.filter(col("doc_id") >= 5 && col("doc_id") < 10),
+        "text", "doc_id", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q118Sql = dBm25("doc_id >= 5 AND doc_id < 10", 3)
+
+  // ===================================================================
+  // q119 — positional phrase search: the corpus's most frequent bigram
+  // (ties to the lexicographically smallest), then every doc containing
+  // it as an EXACT phrase with its phrase frequency, from position-list
+  // adjacency in the standing index — never re-reading text. Top 20 by
+  // (phrase_tf desc, doc_id).
+  // ===================================================================
+
+  private val q119: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    val pr = Retrieval.positionRows(idx)
+    val top1 = pr.as("a").join(pr.as("b"),
+        col("a.id") === col("b.id") && col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(1)
+    Retrieval.phraseMatch(idx, top1.select(col("w1"), col("w2")))
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("w1"), col("w2"), col("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q119Sql = s"""$dTokPrefix,
+    big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS cnt
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      GROUP BY 1, 2),
+    top1 AS (SELECT w1, w2 FROM big
+      ORDER BY cnt DESC, w1, w2 LIMIT 1),
+    m AS (SELECT a.doc_id, t.w1, t.w2, count(*) AS phrase_tf
+      FROM top1 t
+        JOIN pos a ON a.term = t.w1
+        JOIN pos b ON b.doc_id = a.doc_id AND b.term = t.w2
+          AND b.p = a.p + 1
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, w1, w2, phrase_tf FROM m
+    ORDER BY phrase_tf DESC, doc_id LIMIT 20"""
+
+  val queries: Map[String, QFn] = Map(
+    "q117_bm25_topk" -> q117,
+    "q118_postings_standing_index" -> q118,
+    "q119_phrase_search" -> q119)
+
+  val oracles: Map[String, String] = Map(
+    "q117_bm25_topk" -> q117Sql,
+    "q118_postings_standing_index" -> q118Sql,
+    "q119_phrase_search" -> q119Sql)
+}

@@ -524,4 +524,38 @@ object StreamOps {
       .join(batch.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .select(col("id"), col("sub"), col("code"))
   }
+
+  /** Standing POSTINGS-index maintenance at ingest (`foreachBatch`
+    * body, keyed by the checkpointed `batchId`): tokenize the batch
+    * map-side and fold its positional postings into the standing
+    * full-text index ([[graft.ops.Retrieval.refreshPostingsIndex]] —
+    * everything in the index is per-doc, so fold == rebuild exactly
+    * and no global statistic ever moves). Returns the batch's len rows
+    * (id, dl) — the ingest receipt.
+    *
+    * Replay safety is the [[pqIngestBatchOnce]] discipline: postings
+    * are pure per-row functions of the text, the refresh REPLACES any
+    * already-present batch ids (anti-join), and the atomic batch tag
+    * makes a replayed fold a no-op read against the retained previous
+    * version. */
+  def postingsIngestBatchOnce(batch: DataFrame, batchId: Long,
+      indexDir: String, textCol: String, idCol: String): DataFrame = {
+    import graft.ops.{IndexStore, Retrieval}
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    val tagged = IndexStore.hasTag(spark, indexDir, tag)
+    val preFold =
+      if (tagged) IndexStore.readBefore(spark, indexDir, tag)
+      else IndexStore.read(spark, indexDir)
+    val newIdx = preFold match {
+      case None => Retrieval.postingsIndex(batch, textCol, idCol)
+      case Some(idx) =>
+        Retrieval.refreshPostingsIndex(idx, batch, textCol, idCol)
+    }
+    if (!tagged) IndexStore.write(newIdx, indexDir, Some(tag))
+    newIdx.filter(col("role") === "len")
+      .join(batch.select(col(idCol).cast("long").as("id")), Seq("id"),
+        "left_semi")
+      .select(col("id"), col("dl"))
+  }
 }

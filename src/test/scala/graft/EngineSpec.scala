@@ -610,3 +610,86 @@ class VIndexCommandSpec extends SparkSpec {
       assert(reply.contains(r.getAs[Long]("id").toString)))
   }
 }
+
+class TIndexCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+  import graft.ops.Retrieval
+
+  private def staged(): (Catalog, Engine, java.nio.file.Path) = {
+    val dir = java.nio.file.Files.createTempDirectory("tindex")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("documents",
+      dir.resolve("documents.parquet").toString)
+    val engine = new Engine(spark, cat)
+    (cat, engine, dir)
+  }
+
+  test("tindex create/search: command BM25 serve == library serve; " +
+      "get tindexes lists it; drop unregisters") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("postidx").toString
+    val out = engine.execute("tindex create where table = documents " +
+      s"and path = $p and id = doc_id and text = text")
+    assert(out.contains("created"))
+    assert(engine.execute("get tindexes")
+      .contains("documents: id=doc_id text=text"))
+    val probes = dir.resolve("probes").toString
+    cat.table("documents").filter(col("doc_id") < 3).write.parquet(probes)
+    val reply = engine.execute("tindex search where table = documents " +
+      s"and probes = $probes and k = 3")
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val expect = Retrieval.bm25TopK(idx, spark.read.parquet(probes),
+      "text", "doc_id", k = 3)
+    expect.collect().foreach { r =>
+      assert(reply.contains(s""""id":${r.getAs[Long]("id")}"""),
+        s"missing hit ${r.getAs[Long]("id")} in $reply")
+    }
+    assert(engine.execute("tindex drop where table = documents")
+      .contains("dropped"))
+    intercept[IllegalArgumentException](engine.execute(
+      s"tindex search where table = documents and probes = $probes and k = 3"))
+  }
+
+  test("tindex refresh folds a batch (fold == rebuild), phrase serves " +
+      "from position lists, attach re-registers from the artifact") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("postidx2").toString
+    val full = cat.table("documents")
+    val head = dir.resolve("head").toString
+    val rest = dir.resolve("rest").toString
+    full.filter(col("doc_id") < 100).write.parquet(head)
+    full.filter(col("doc_id") >= 100).write.parquet(rest)
+    cat.registerTable("docs_head", head)
+    engine.execute("tindex create where table = docs_head " +
+      s"and path = $p and id = doc_id and text = text")
+    engine.execute("tindex refresh where table = docs_head " +
+      s"and source = $rest")
+    // folded artifact == whole-corpus rebuild
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val rebuilt = Retrieval.postingsIndex(full, "text", "doc_id")
+    assert(idx.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(idx).count() === 0)
+    // phrase command == library phraseMatch on the most frequent bigram
+    val pr = Retrieval.positionRows(idx)
+    val top = pr.as("a").join(pr.as("b"),
+        col("a.id") === col("b.id") && col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1).head()
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    val reply = engine.execute("tindex phrase where table = docs_head " +
+      s"and w1 = $w1 and w2 = $w2")
+    val expect = Retrieval.phraseMatch(idx,
+      spark.range(1).select(lit(w1).as("w1"), lit(w2).as("w2"))).count()
+    assert(expect > 0)
+    assert(s""""w1":"$w1"""".r.findAllIn(reply).size === expect)
+    // attach on a fresh engine re-serves without re-reading the corpus
+    val engine2 = new Engine(spark, cat)
+    engine2.execute("tindex attach where table = docs_head " +
+      s"and path = $p and id = doc_id and text = text")
+    assert(engine2.execute("get tindexes").contains(s"path=$p"))
+  }
+}

@@ -780,6 +780,35 @@ class DsirIngestSpec extends SparkSpec {
         "vec_id", numSub = 4).select(col("id"), col("sub"), col("code"))
         .collect().map(_.toString).sorted.toSeq)
   }
+
+  test("postingsIngestBatchOnce: batches fold exactly once, replay " +
+      "returns identical receipts without committing a new version, " +
+      "and the artifact == the whole-corpus rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("postonce")
+      .resolve("post").toString
+    val docs = Seq(
+      (1L, "spark shuffle spark"), (2L, "plan join"),
+      (3L, "cat dog"), (4L, "dog cat dog"))
+      .toDF("doc_id", "text").localCheckpoint()
+    def once(id: Long, b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.postingsIngestBatchOnce(b, id, dir,
+        "text", "doc_id")
+    val b0 = docs.filter($"doc_id" <= 2)
+    val b1 = docs.filter($"doc_id" > 2)
+    assert(once(0L, b0).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq === Seq((1L, 3L), (2L, 2L)))
+    val r1 = once(1L, b1).collect().map(_.toString).sorted.toSeq
+    val vAfter = graft.ops.IndexStore.currentVersion(spark, dir).get
+    // replay: tagged -> folds nothing, receipts byte-identical
+    assert(once(1L, b1).collect().map(_.toString).sorted.toSeq === r1)
+    assert(graft.ops.IndexStore.currentVersion(spark, dir).get === vAfter)
+    // committed artifact == rebuilding over the whole corpus
+    val idx = graft.ops.IndexStore.read(spark, dir).get
+    val full = graft.ops.Retrieval.postingsIndex(docs, "text", "doc_id")
+    assert(idx.exceptAll(full).count() === 0)
+    assert(full.exceptAll(idx).count() === 0)
+  }
 }
 
 

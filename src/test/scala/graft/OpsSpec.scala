@@ -1287,6 +1287,32 @@ class CurationStagesSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < scores.length)
   }
 
+  test("bm25_gate e2e: a crawl gated on a STANDING seed postings index " +
+      "keeps exactly the docs whose max BM25 score >= the threshold") {
+    import graft.ops.Retrieval
+    val docs = Tables.load(spark, sfDir, "documents")
+    // seeds = a handful of docs describing the target domain
+    val seeds = docs.filter($"doc_id" < 8)
+    val idx = Retrieval.postingsIndex(seeds, "text", "doc_id")
+    val dir = java.nio.file.Files.createTempDirectory("bm25gate").toString
+    IndexStore.write(idx, dir)
+    val crawl = docs.filter($"doc_id" >= 8)
+    val scores = Retrieval.bm25ScoresVsSeedIndex(
+        IndexStore.read(spark, dir).get, crawl, "text", "doc_id")
+      .groupBy($"q_id").agg(max($"score_q").as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val minS = scores.map(_._2).sorted.apply(scores.length / 2)
+    val expect = scores.filter(_._2 >= minS).map(_._1).toSet
+    val out = CleanPipeline.run(s"""
+      {"pipeline": {"stages": [
+        {"op": "bm25_gate", "index": "$dir", "min_score_q": $minS}
+      ]}}""", crawl)
+    assert(out.columns.toSet === crawl.columns.toSet)
+    val kept = out.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < scores.length)
+  }
+
   test("domain_mixture stage draws exactly q106's per-source counts") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = CleanPipeline.run("""

@@ -308,4 +308,41 @@ class PipelinePlanSpec extends SparkSpec {
     assert(windows <= 3, s"expected seed + shortlist + re-rank windows, " +
       s"got $windows:\n$p")
   }
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q117: BM25 serve broadcasts query terms/df/stats; the score " +
+      "aggregate partial-aggregates; only the per-query rank window") {
+    val p = planOf("q117_bm25_topk")
+    assert(!p.contains("CartesianProduct"))
+    // exactly one BroadcastNestedLoopJoin is allowed: the ONE-ROW
+    // (n_docs, avgdl) stats frame crossJoin-broadcast into the
+    // candidate rows (the Curation one-row-fold pattern)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the one-row stats cross join may BNLJ, " +
+      s"got $bnlj:\n$p")
+    // query-term prune, df, per-query terms, one-row stats: all
+    // broadcast equi-joins — the postings are never sort-merge-joined
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"BM25 serve must broadcast the query side, not sort-merge:\n$p")
+    // quantized contributions partial-aggregate per (q_id, id) map-side
+    assert(p.contains("partial_sum"))
+    // exactly the final per-query rank window — never a corpus-sized one
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 1, s"expected only the rank window, got " +
+      s"$windows:\n$p")
+  }
+
+  test("q119: phrase search broadcasts the phrase set into equi-joins; " +
+      "the position-adjacency join is an equi-join, never cartesian") {
+    val p = planOf("q119_phrase_search")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    // bigram mining + phrase counts partial-aggregate
+    assert(p.contains("partial_count"))
+  }
 }

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.ops.Retrieval
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark shuffle spark join"),
+    (2L, "spark plan"),
+    (3L, "cat dog cat dog cat"),
+    (4L, "shuffle join plan shuffle"),
+    (5L, "")).toDF("doc_id", "text")
+
+  // ===================================================================
+  // tokenPositions (native expression)
+  // ===================================================================
+
+  test("tokenPositions emits (term, tf, pos) in first-occurrence order") {
+    val rows = Seq("a b a  c b a").toDF("t")
+      .select(explode(F.tokenPositions(col("t"))).as("e"))
+      .select(col("e.t"), col("e.tf"), col("e.pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Int](2)))
+    assert(rows.toSeq === Seq(
+      ("a", 3L, Seq(0, 2, 5)), ("b", 2L, Seq(1, 4)), ("c", 1L, Seq(3))))
+  }
+
+  test("tokenPositions of an empty/whitespace doc is empty") {
+    val n = Seq("", "   ").toDF("t")
+      .select(size(F.tokenPositions(col("t")))).collect().map(_.getInt(0))
+    assert(n.toSeq === Seq(0, 0))
+  }
+
+  // ===================================================================
+  // postingsIndex layout
+  // ===================================================================
+
+  test("postingsIndex: post rows carry tf+pos+dl; len rows cover all docs") {
+    val idx = Retrieval.postingsIndex(corpus, "text", "doc_id")
+    val post = idx.filter(col("role") === "post")
+      .select("term", "id", "tf", "pos", "dl").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getSeq[Int](3), r.getLong(4)))).toMap
+    assert(post(("spark", 1L)) === ((2L, Seq(0, 2), 4L)))
+    assert(post(("join", 4L)) === ((1L, Seq(1), 4L)))
+    assert(post(("cat", 3L)) === ((3L, Seq(0, 2, 4), 5L)))
+    val lens = idx.filter(col("role") === "len")
+      .select("id", "dl").as[(Long, Long)].collect().toMap
+    assert(lens === Map(1L -> 4L, 2L -> 2L, 3L -> 5L, 4L -> 4L, 5L -> 0L))
+    // empty doc: a len row but no post rows
+    assert(idx.filter(col("role") === "post" && col("id") === 5L).count() === 0)
+  }
+
+  // ===================================================================
+  // BM25 semantics
+  // ===================================================================
+
+  test("bm25TopK ranks term-sharing docs only, self excluded") {
+    val idx = Retrieval.postingsIndex(corpus, "text", "doc_id")
+    val out = Retrieval.bm25TopK(idx, corpus.filter(col("doc_id") === 2),
+        "text", "doc_id", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // query "spark plan": candidates are docs 1 (spark) and 4 (plan);
+    // doc 3 shares nothing, doc 5 is empty, self (2) excluded
+    assert(out.map(_._3).toSet === Set(1L, 4L))
+    assert(out.map(_._2).toSeq.sorted === Seq(1, 2))
+  }
+
+  test("bm25 rewards rarer terms: rare-term doc outranks common-term doc") {
+    val docs = Seq(
+      (1L, "rare alpha"),
+      (2L, "common beta"),
+      (3L, "common gamma"),
+      (4L, "common delta"),
+      (10L, "rare common")).toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    val out = Retrieval.bm25TopK(idx, docs.filter(col("doc_id") === 10),
+        "text", "doc_id", k = 4).orderBy(col("rank"))
+      .collect().map(_.getLong(2))
+    // "rare" (df=2) must contribute more than "common" (df=4)
+    assert(out.head === 1L)
+  }
+
+  test("bm25Scores is partitioning-invariant (integer contribution sums)") {
+    val idx = Retrieval.postingsIndex(corpus, "text", "doc_id")
+    val probes = corpus.filter(col("doc_id") <= 2)
+    val once = Retrieval.bm25Scores(idx, probes, "text", "doc_id")
+      .orderBy("q_id", "id").collect().toSeq
+    val again = Retrieval.bm25Scores(
+      Retrieval.postingsIndex(corpus.repartition(7), "text", "doc_id"),
+      probes.repartition(3), "text", "doc_id")
+      .orderBy("q_id", "id").collect().toSeq
+    assert(once === again)
+  }
+
+  // ===================================================================
+  // Standing-index fold
+  // ===================================================================
+
+  test("refreshPostingsIndex fold == rebuild for any batch split") {
+    val full = Retrieval.postingsIndex(corpus, "text", "doc_id")
+    val folded = Retrieval.refreshPostingsIndex(
+      Retrieval.postingsIndex(corpus.filter(col("doc_id") <= 3),
+        "text", "doc_id"),
+      corpus.filter(col("doc_id") > 3), "text", "doc_id")
+    assert(folded.exceptAll(full).count() === 0)
+    assert(full.exceptAll(folded).count() === 0)
+    // and BM25 served from the folded index matches the rebuilt one
+    val probes = corpus.filter(col("doc_id") === 1)
+    val a = Retrieval.bm25TopK(full, probes, "text", "doc_id", 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    val b = Retrieval.bm25TopK(folded, probes, "text", "doc_id", 5)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(a === b)
+  }
+
+  // ===================================================================
+  // Phrase search
+  // ===================================================================
+
+  test("phraseMatch finds exact adjacency with per-doc phrase tf") {
+    val idx = Retrieval.postingsIndex(corpus, "text", "doc_id")
+    val out = Retrieval.phraseMatch(idx,
+        Seq(("cat", "dog")).toDF("w1", "w2"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq === Seq((3L, 2L))) // "cat dog cat dog cat"
+    // reversed order is a different phrase
+    val rev = Retrieval.phraseMatch(idx,
+        Seq(("dog", "cat")).toDF("w1", "w2"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(rev.toSeq === Seq((3L, 2L)))
+    // non-adjacent pair never matches
+    val non = Retrieval.phraseMatch(idx,
+      Seq(("spark", "cat")).toDF("w1", "w2"))
+    assert(non.count() === 0)
+  }
+
+  test("phraseMatch handles repeated-token phrases (w1 == w2)") {
+    val docs = Seq((1L, "b b b"), (2L, "b a b")).toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    val out = Retrieval.phraseMatch(idx, Seq(("b", "b")).toDF("w1", "w2"))
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 2L))) // positions (0,1) and (1,2)
+  }
+}
