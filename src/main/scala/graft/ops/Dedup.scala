@@ -1757,4 +1757,91 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id"), col("adc_d2"))
   }
+
+  // ------------------------------------------------------------------
+  // Scalar quantization (SQ8): per-dimension affine 8-bit codes — the
+  // memory-bandwidth compression tier between raw floats and PQ
+  // (FAISS's ScalarQuantizer family). Each dimension is min/max-scaled
+  // onto 0..255 over the integer lattice (floor(x*scale) first, so the
+  // whole train->encode->search path is exact int64 arithmetic under
+  // the differential oracle). A served corpus stores 1 byte/dim vs 4
+  // (float) — a 4x scan-bandwidth reduction with far better recall
+  // than PQ at the same k, and it composes with IVF cell routing the
+  // same way ivfAdcTopK does.
+  // ------------------------------------------------------------------
+
+  /** Per-dimension SQ8 stats over the corpus, as ONE broadcastable row
+    * `(mns, spans)`: `mns[j]` = lattice min of dimension j, `spans[j]`
+    * = max(latticeMax - latticeMin, 1). Two map-side aggregates over
+    * (dim, value) rows — dims*2 longs of state, no corpus shuffle
+    * beyond the partial-agg exchange. */
+  def sq8Stats(corpus: DataFrame, vecCol: String,
+      scale: Int = 1000): DataFrame =
+    corpus
+      .select(posexplode(expr(
+        s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))"))
+        .as(Seq("j", "x")))
+      .groupBy(col("j"))
+      .agg(min(col("x")).as("mn"),
+        greatest(max(col("x")) - min(col("x")), lit(1L)).as("span"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, mn))), " +
+          "p -> p.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(j, span))), " +
+          "p -> p.span)").as("spans"))
+
+  /** SQ8-encode: `(id, codes)` with `codes[j] = clamp(((xq_j - mn_j) *
+    * 255) div span_j, 0, 255)` — pure map over the broadcast stats row.
+    * Vectors inside the trained range hit 0..255 exactly; out-of-range
+    * NEW vectors (post-training drift) clamp to the boundary code, the
+    * standard SQ saturation behavior. */
+  def sq8Encode(corpus: DataFrame, stats: DataFrame, vecCol: String,
+      idCol: String, scale: Int = 1000): DataFrame =
+    corpus
+      .select(col(idCol).as("id"), expr(
+        s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
+        .as("vq"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), expr(
+        "transform(sequence(0, size(vq) - 1), j -> " +
+          "least(cast(255 as bigint), greatest(cast(0 as bigint), " +
+          "((element_at(vq, j + 1) - element_at(mns, j + 1)) * 255) " +
+          "div element_at(spans, j + 1))))").as("codes"))
+
+  /** Asymmetric SQ8 top-k: probes keep EXACT lattice coordinates, coded
+    * vectors reconstruct per-dim as `mn_j + code_j * span_j / 255`; the
+    * comparison happens in the x255 integer space (`p255_j = (pq_j -
+    * mn_j) * 255` vs `code_j * span_j`) so every distance is an exact
+    * int64 sum of squares. Same plan shape as [[bruteForceTopK]]:
+    * broadcast probes, one map pass over the coded corpus, per-probe
+    * top-k window. Ties rank by id; self-matches excluded.
+    *
+    * Overflow bound: |p255 - code*span| <= 255 * span <= 255 * 2 *
+    * scale * |x|max per dim; at 64 dims, scale=1000, |x| <= 4 that is
+    * 64 * (2.04e6)^2 ~ 2.7e14 << 2^63. */
+  def sq8TopK(codes: DataFrame, stats: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val p = probes
+      .select(col(idCol).as("q_id"), expr(
+        s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
+        .as("pq"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), expr(
+        "zip_with(pq, mns, (x, m) -> (x - m) * 255)").as("p255"),
+        col("spans"))
+    codes.join(broadcast(p), col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), expr(
+        "aggregate(transform(sequence(0, size(codes) - 1), j -> " +
+          "(element_at(p255, j + 1) - element_at(codes, j + 1) * " +
+          "element_at(spans, j + 1)) * " +
+          "(element_at(p255, j + 1) - element_at(codes, j + 1) * " +
+          "element_at(spans, j + 1))), cast(0 as bigint), " +
+          "(a, v) -> a + v)").as("sq_d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("sq_d2"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("sq_d2"))
+  }
 }

@@ -405,6 +405,58 @@ object QuantQueries {
 
   // ===================================================================
 
+  // ===================================================================
+  // q120 — SQ8 scalar quantization: per-dim affine 8-bit codes over the
+  // integer lattice (train = per-dim min/span, encode = clamp-scaled
+  // floor-div, search = asymmetric exact-int64 distance in the x255
+  // space). Probes vec_id < 20, k=3, ties by vec_id — the FAISS-SQ8
+  // compression tier under the differential oracle.
+  // ===================================================================
+
+  private val q120: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val stats = Similarity.sq8Stats(vecs, "embedding")
+    val codes = Similarity.sq8Encode(vecs, stats, "embedding", "vec_id")
+    Similarity.sq8TopK(codes, stats, vecs.filter(col("vec_id") < 20),
+        "embedding", "vec_id", k = 3)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sq_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q120Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    dim AS (SELECT unnest(list_transform(range(len(vq)),
+        j -> {'j': j, 'x': vq[CAST(j AS INT) + 1]})) AS u FROM e),
+    pd AS (SELECT CAST(u.j AS BIGINT) AS j, min(u.x) AS mn,
+        greatest(max(u.x) - min(u.x), 1) AS span FROM dim GROUP BY 1),
+    st AS (SELECT list(mn ORDER BY j) AS mns,
+        list(span ORDER BY j) AS spans FROM pd),
+    codes AS (SELECT vec_id, list_transform(range(len(vq)),
+        j -> least(255, greatest(0,
+          ((vq[CAST(j AS INT) + 1] - mns[CAST(j AS INT) + 1]) * 255)
+            // spans[CAST(j AS INT) + 1]))) AS codes
+      FROM e, st),
+    pr AS (SELECT vec_id AS q_id, list_transform(range(len(vq)),
+        j -> (vq[CAST(j AS INT) + 1] - mns[CAST(j AS INT) + 1]) * 255)
+        AS p255
+      FROM e, st WHERE vec_id < 20),
+    sc AS (SELECT p.q_id, c.vec_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(len(c.codes)), j ->
+            (p.p255[CAST(j AS INT) + 1] - c.codes[CAST(j AS INT) + 1]
+              * spans[CAST(j AS INT) + 1]) *
+            (p.p255[CAST(j AS INT) + 1] - c.codes[CAST(j AS INT) + 1]
+              * spans[CAST(j AS INT) + 1]))),
+          (a, v) -> a + v) AS sq_d2
+      FROM codes c, pr p, st WHERE c.vec_id != p.q_id)
+    SELECT q_id, rank, vec_id, sq_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY sq_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
     "q111_pq_adc_topk" -> q111,
@@ -412,7 +464,8 @@ object QuantQueries {
     "q113_pq_standing_index" -> q113,
     "q114_pq_adc_rerank" -> q114,
     "q115_ivfadc_residual" -> q115,
-    "q116_cluster_balance" -> q116)
+    "q116_cluster_balance" -> q116,
+    "q120_sq8_topk" -> q120)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
@@ -421,5 +474,6 @@ object QuantQueries {
     "q113_pq_standing_index" -> q113Sql,
     "q114_pq_adc_rerank" -> q114Sql,
     "q115_ivfadc_residual" -> q115Sql,
-    "q116_cluster_balance" -> q116Sql)
+    "q116_cluster_balance" -> q116Sql,
+    "q120_sq8_topk" -> q120Sql)
 }

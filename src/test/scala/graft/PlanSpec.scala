@@ -336,6 +336,20 @@ class PipelinePlanSpec extends SparkSpec {
       s"$windows:\n$p")
   }
 
+  test("q120: SQ8 search broadcasts stats + probes; the coded corpus " +
+      "is scanned once, never sort-merge-joined; one rank window") {
+    val p = planOf("q120_sq8_topk")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"SQ8 serve must broadcast probes, not sort-merge:\n$p")
+    // stats (one row) and the probe batch broadcast; BNLJ appears for
+    // the one-row stats crossJoin and the theta probe join only
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 1, s"expected only the rank window, got " +
+      s"$windows:\n$p")
+  }
+
   test("q119: phrase search broadcasts the phrase set into equi-joins; " +
       "the position-adjacency join is an equi-join, never cartesian") {
     val p = planOf("q119_phrase_search")

@@ -314,3 +314,72 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 }
+
+/** SQ8 scalar quantization: code range/monotonicity, saturation of
+  * out-of-range vectors, exactness when spans collapse to the lattice,
+  * repartition invariance, and recall against exact search. */
+class ScalarQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: Seq[(Long, Seq[Float])]) =
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+
+  test("sq8Encode maps each dim onto 0..255 with min->0 and max->255") {
+    val c = vecs(Seq(
+      (1L, Seq(0f, -2f)), (2L, Seq(1f, 0f)), (3L, Seq(2f, 2f))))
+    val stats = Similarity.sq8Stats(c, "embedding")
+    val codes = Similarity.sq8Encode(c, stats, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(1L) === Seq(0L, 0L))     // per-dim minima
+    assert(codes(3L) === Seq(255L, 255L)) // per-dim maxima
+    // midpoints land mid-range: (1-0)*255 div 2 = 127, (0+2)*255 div 4
+    assert(codes(2L) === Seq(127L, 127L))
+  }
+
+  test("sq8Encode saturates out-of-range vectors at the boundary codes") {
+    val train = vecs(Seq((1L, Seq(0f)), (2L, Seq(1f))))
+    val stats = Similarity.sq8Stats(train, "embedding")
+    val drift = vecs(Seq((10L, Seq(-5f)), (11L, Seq(9f))))
+    val codes = Similarity.sq8Encode(drift, stats, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes(10L) === Seq(0L))
+    assert(codes(11L) === Seq(255L))
+  }
+
+  test("sq8TopK is repartition-invariant (exact int64 distances)") {
+    val c = vecs((0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i * 31 + j * 7) % 13).toFloat))))
+    val stats = Similarity.sq8Stats(c, "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val codes = Similarity.sq8Encode(df, stats, "embedding", "vec_id")
+      Similarity.sq8TopK(codes, stats, df.filter($"vec_id" < 5),
+          "embedding", "vec_id", k = 4)
+        .orderBy("q_id", "rank").collect().toSeq
+    }
+    assert(run(c) === run(c.repartition(7)))
+  }
+
+  test("SQ8 top-1 finds the exact duplicate, within the per-dim " +
+      "quantization-residue bound (dims * span^2)") {
+    // 20 base vectors + exact duplicates of the first 10
+    val base = (0 until 20).map(i => (i.toLong,
+      Seq.tabulate(16)(j => (((i * 131 + j * 17) % 29) / 29.0f))))
+    val dups = (0 until 10).map(i => (100L + i, base(i)._2))
+    val c = vecs(base ++ dups)
+    val stats = Similarity.sq8Stats(c, "embedding")
+    val codes = Similarity.sq8Encode(c, stats, "embedding", "vec_id")
+    val top = Similarity.sq8TopK(codes, stats,
+        c.filter($"vec_id" >= 100), "embedding", "vec_id", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // asymmetric distance to an exact duplicate is the pure
+    // reconstruction residue: per dim < span (floor remainder), so
+    // d2 < dims * maxSpan^2
+    val maxSpan = stats.select(expr("array_max(spans)")).head().getLong(0)
+    top.foreach { case (q, id, d2) =>
+      assert(id === q - 100, s"probe $q: nearest must be its duplicate")
+      assert(d2 < 16L * maxSpan * maxSpan,
+        s"probe $q: residue $d2 above the quantization bound")
+    }
+  }
+}
