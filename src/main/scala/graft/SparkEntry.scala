@@ -22,7 +22,7 @@ object SparkEntry {
     core.CoreQueries.queries ++ ops.PipelineQueries.queries ++
       ops.TemporalQueries.queries ++ dialect.DialectQueries.queries ++
       ops.CurationQueries.queries ++ ops.QuantQueries.queries ++
-      ops.RetrievalQueries.queries
+      ops.RetrievalQueries.queries ++ ops.SketchQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +30,5 @@ object SparkEntry {
     core.CoreQueries.oracles ++ ops.PipelineQueries.oracles ++
       ops.TemporalQueries.oracles ++ dialect.DialectQueries.oracles ++
       ops.CurationQueries.oracles ++ ops.QuantQueries.oracles ++
-      ops.RetrievalQueries.oracles
+      ops.RetrievalQueries.oracles ++ ops.SketchQueries.oracles
 }

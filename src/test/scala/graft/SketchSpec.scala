@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sketches
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def occurrences(pairs: (String, Int)*) =
+    pairs.flatMap { case (t, n) => Seq.fill(n)(t) }.toDF("term")
+
+  test("cmsEstimate never underestimates, and is exact absent collisions") {
+    val items = occurrences("a" -> 100, "b" -> 40, "c" -> 7, "d" -> 1)
+    val counters = Sketches.cmsCounters(items, "term", 4, 512)
+    val truth = Map("a" -> 100L, "b" -> 40L, "c" -> 7L, "d" -> 1L)
+    val est = Sketches.cmsEstimate(counters,
+        truth.keys.toSeq.toDF("term"), "term", 4, 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t underestimated: ${est(t)} < $c")
+    }
+    // 4 distinct terms in 4x512 cells: min over 4 rows dodges any
+    // single-row collision — estimates are exact here
+    assert(est === truth)
+  }
+
+  test("cmsMerge == sketching the union (cell-wise addition)") {
+    val a = occurrences("x" -> 10, "y" -> 3)
+    val b = occurrences("x" -> 5, "z" -> 8)
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsCounters(a, "term", 4, 64),
+      Sketches.cmsCounters(b, "term", 4, 64))
+    val whole = Sketches.cmsCounters(a.unionByName(b), "term", 4, 64)
+    assert(merged.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(merged).count() === 0)
+    val est = Sketches.cmsEstimate(merged, Seq("x").toDF("term"),
+      "term", 4, 64).head().getLong(1)
+    assert(est >= 15L)
+  }
+
+  test("a term absent from the stream estimates 0 on empty cells") {
+    val counters = Sketches.cmsCounters(occurrences("only" -> 5),
+      "term", 4, 512)
+    // "only" occupies <= 4 of 2048 cells; a probe term missing every
+    // one of them reads empty cells -> 0 (the left-join coalesce path)
+    val est = Sketches.cmsEstimate(counters,
+        Seq("unseen_term_zq").toDF("term"), "term", 4, 512)
+      .head().getLong(1)
+    assert(est === 0L)
+  }
+
+  test("counter state is bounded by depth*width regardless of stream size") {
+    val items = occurrences((1 to 300).map(i => s"t$i" -> 3): _*)
+    val counters = Sketches.cmsCounters(items, "term", 4, 32)
+    assert(counters.count() <= 4L * 32)
+    // total mass per row == stream length (900 occurrences)
+    val rowMass = counters.groupBy("r").agg(sum("c").as("m"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(rowMass === Seq.fill(4)(900L))
+  }
+}
