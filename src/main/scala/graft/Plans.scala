@@ -104,7 +104,32 @@ object Plans {
       "q115_ivfadc_residual" ->
         ("residual IVFADC (Jégou §V eq. 17): residual encode is one " +
           "broadcast join vs the coarse codebook; per-(probe, cell) " +
-          "LUT broadcast; candidates from routed cells only"))
+          "LUT broadcast; candidates from routed cells only"),
+      "q117_bm25_topk" ->
+        ("BM25 serve: map-only postings (native one-pass positional " +
+          "expr), broadcast query-term prune FIRST — every join and " +
+          "the score partial-sum are candidate-sized; one rank window"),
+      "q118_postings_standing_index" ->
+        ("standing postings index: fold == rebuild (all state " +
+          "per-doc); the serve plan is q117's over the folded union — " +
+          "df/N/avgdl derived at query time, never stored stale"),
+      "q119_phrase_search" ->
+        ("phrase search: position-list adjacency — broadcast phrase " +
+          "set, the position join shuffles only matched terms' " +
+          "occurrence rows, never the corpus"),
+      "q120_sq8_topk" ->
+        ("SQ8 asymmetric search: one-row stats + probe batch " +
+          "broadcast; coded rows reconstruct ONCE then a single " +
+          "zip_with fold per pair — brute force at 1/4 the scan bytes"),
+      "q122_ivf_sq8_topk" ->
+        ("IVF x SQ8: coarse-cell routing prunes candidates, then the " +
+          "asymmetric 8-bit distance ranks routed cells only — the " +
+          "high-fidelity serving compose (recall ~0.98 within cells)"),
+      "q121_cms_heavy_hitters" ->
+        ("count-min heavy hitters: occurrence rows explode xdepth " +
+          "then collapse map-side to <= depth*width cells — shuffle " +
+          "volume independent of corpus size; estimates join the " +
+          "broadcast counter cells"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

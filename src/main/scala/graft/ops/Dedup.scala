@@ -1822,22 +1822,72 @@ object Similarity {
       vecCol: String, idCol: String, k: Int,
       scale: Int = 1000): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val p = probes
+    sq8Recon(codes, stats)
+      .join(broadcast(sq8Probes(probes, stats, vecCol, idCol, scale)),
+        col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"),
+        expr(sqDistQ("p255", "rec")).as("sq_d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("sq_d2"), col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("sq_d2"))
+  }
+
+  /** Probe rows in the x255 comparison space: (q_id, p255). */
+  private def sq8Probes(probes: DataFrame, stats: DataFrame,
+      vecCol: String, idCol: String, scale: Int): DataFrame =
+    probes
       .select(col(idCol).as("q_id"), expr(
         s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
         .as("pq"))
       .crossJoin(broadcast(stats))
       .select(col("q_id"), expr(
-        "zip_with(pq, mns, (x, m) -> (x - m) * 255)").as("p255"),
-        col("spans"))
-    codes.join(broadcast(p), col("id") =!= col("q_id"))
-      .select(col("q_id"), col("id"), expr(
-        "aggregate(transform(sequence(0, size(codes) - 1), j -> " +
-          "(element_at(p255, j + 1) - element_at(codes, j + 1) * " +
-          "element_at(spans, j + 1)) * " +
-          "(element_at(p255, j + 1) - element_at(codes, j + 1) * " +
-          "element_at(spans, j + 1))), cast(0 as bigint), " +
-          "(a, v) -> a + v)").as("sq_d2"))
+        "zip_with(pq, mns, (x, m) -> (x - m) * 255)").as("p255"))
+
+  /** Each coded row reconstructed ONCE (codes[j]*spans[j], the x255
+    * decode) so the per-pair distance is a single zip_with fold — not
+    * a recompute of the decode under every probe. */
+  private def sq8Recon(codes: DataFrame, stats: DataFrame): DataFrame =
+    codes
+      .crossJoin(broadcast(stats))
+      .select(col("id"), expr(
+        "zip_with(codes, spans, (c, s) -> c * s)").as("rec"))
+
+  /** IVF × SQ8 serving: probes route to their `nprobe` nearest COARSE
+    * cells (the [[ivfAdcTopK]] routing leg — same integer-lattice
+    * coarse quantizer at numSub=1), then the asymmetric SQ8 distance
+    * ranks ONLY the routed cells' coded rows. The high-fidelity twin
+    * of IVFADC: candidates shrink to nprobe/ncells of the corpus, the
+    * scan reads 1-byte-per-dim codes, and recall stays near-exact
+    * within the routed cells (tools/sq8_recall_probe.py). Whole path
+    * on the lattice — oracled (q122). */
+  def ivfSq8TopK(cells: DataFrame, codes: DataFrame,
+      coarseBooks: DataFrame, stats: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int,
+      scale: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val routed = pqSubRows(probes, vecCol, idCol, 1, scale)
+      .withColumnRenamed("id", "q_id")
+      .join(broadcast(coarseBooks), "sub")
+      .select(col("q_id"), col("code").as("cell"),
+        expr(sqDistQ("sv", "cq")).as("cd2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cd2"), col("cell"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cell"))
+    // cell pruning FIRST: candidate pairs from routed cells only
+    val cand = cells.select(col("id"), col("code").as("cell"))
+      .join(broadcast(routed), "cell")
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"))
+    cand.join(sq8Recon(codes, stats), "id")
+      .join(broadcast(sq8Probes(probes, stats, vecCol, idCol, scale)),
+        "q_id")
+      .select(col("q_id"), col("id"),
+        expr(sqDistQ("p255", "rec")).as("sq_d2"))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
           .orderBy(col("sq_d2"), col("id"))))

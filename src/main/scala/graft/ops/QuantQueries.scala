@@ -457,6 +457,67 @@ object QuantQueries {
         ORDER BY sq_d2, vec_id) AS INT) AS rank FROM sc)
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  // ===================================================================
+  // q122 — IVF x SQ8 serving: the high-fidelity serving compose —
+  // probes route to nprobe=4 of 16 coarse cells (q112's integer
+  // coarse quantizer), asymmetric SQ8 distances rank only the routed
+  // cells' 8-bit codes. Probes vec_id < 20, k=3, ties by vec_id.
+  // ===================================================================
+
+  private val q122: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val coarse = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
+      numSub = 1, ksub = 16, iters = 1, scale = 1000)
+    val cells = Similarity.pqEncode(vecs, coarse, "embedding", "vec_id",
+      numSub = 1, scale = 1000)
+    val stats = Similarity.sq8Stats(vecs, "embedding")
+    val codes = Similarity.sq8Encode(vecs, stats, "embedding", "vec_id")
+    Similarity.ivfSq8TopK(cells, codes, coarse, stats,
+        vecs.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nprobe = 4)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sq_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q122Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    ${dTrainP("cq_", 1, 64, 16)},
+    dim AS (SELECT unnest(list_transform(range(len(vq)),
+        j -> {'j': j, 'x': vq[CAST(j AS INT) + 1]})) AS u FROM e),
+    pd AS (SELECT CAST(u.j AS BIGINT) AS j, min(u.x) AS mn,
+        greatest(max(u.x) - min(u.x), 1) AS span FROM dim GROUP BY 1),
+    st AS (SELECT list(mn ORDER BY j) AS mns,
+        list(span ORDER BY j) AS spans FROM pd),
+    codes AS (SELECT vec_id, list_transform(range(len(vq)),
+        j -> least(255, greatest(0,
+          ((vq[CAST(j AS INT) + 1] - mns[CAST(j AS INT) + 1]) * 255)
+            // spans[CAST(j AS INT) + 1])) * spans[CAST(j AS INT) + 1])
+        AS rec
+      FROM e, st),
+    pr AS (SELECT vec_id AS q_id, list_transform(range(len(vq)),
+        j -> (vq[CAST(j AS INT) + 1] - mns[CAST(j AS INT) + 1]) * 255)
+        AS p255
+      FROM e, st WHERE vec_id < 20),
+    routed AS (SELECT q_id, cell FROM (
+        SELECT p.vec_id AS q_id, c.code AS cell,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY ${dSqDistQ("p.sv", "c.cq")}, c.code) AS rn
+        FROM cq_sub p JOIN cq_c1 c USING (sub) WHERE p.vec_id < 20)
+      WHERE rn <= 4),
+    cand AS (SELECT r.q_id, a.vec_id FROM cq_a2 a JOIN routed r
+      ON a.code = r.cell AND a.vec_id != r.q_id),
+    sc AS (SELECT cd.q_id, cd.vec_id,
+        ${dSqDistQ("p.p255", "c.rec")} AS sq_d2
+      FROM cand cd JOIN codes c ON c.vec_id = cd.vec_id
+        JOIN pr p ON p.q_id = cd.q_id)
+    SELECT q_id, rank, vec_id, sq_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY sq_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
     "q111_pq_adc_topk" -> q111,
@@ -465,7 +526,8 @@ object QuantQueries {
     "q114_pq_adc_rerank" -> q114,
     "q115_ivfadc_residual" -> q115,
     "q116_cluster_balance" -> q116,
-    "q120_sq8_topk" -> q120)
+    "q120_sq8_topk" -> q120,
+    "q122_ivf_sq8_topk" -> q122)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
@@ -475,5 +537,6 @@ object QuantQueries {
     "q114_pq_adc_rerank" -> q114Sql,
     "q115_ivfadc_residual" -> q115Sql,
     "q116_cluster_balance" -> q116Sql,
-    "q120_sq8_topk" -> q120Sql)
+    "q120_sq8_topk" -> q120Sql,
+    "q122_ivf_sq8_topk" -> q122Sql)
 }

@@ -350,6 +350,24 @@ class PipelinePlanSpec extends SparkSpec {
       s"$windows:\n$p")
   }
 
+  test("q122: IVF x SQ8 prunes cells before any distance work — " +
+      "broadcast routing/probes, windows only probe-bounded") {
+    val p = planOf("q122_ivf_sq8_topk")
+    assert(!p.contains("CartesianProduct"))
+    // routing, cell-prune and probe joins broadcast; the one
+    // sort-merge join is candidates x coded-corpus on id (both sides
+    // corpus-scaled — the q112 candidate-fetch shape)
+    val smj = "SortMergeJoin".r.findAllIn(p).size
+    assert(smj <= 1, s"only the candidate/code id-join may SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+    // coarse assignment partial-aggregates (the q110 discipline)
+    assert(p.contains("partial_min"))
+    // routing window (probes x ncells) + final rank only
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 2, s"expected routing + rank windows only, got " +
+      s"$windows:\n$p")
+  }
+
   test("q119: phrase search broadcasts the phrase set into equi-joins; " +
       "the position-adjacency join is an equi-join, never cartesian") {
     val p = planOf("q119_phrase_search")

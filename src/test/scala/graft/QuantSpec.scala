@@ -383,3 +383,51 @@ class ScalarQuantSpec extends SparkSpec {
     }
   }
 }
+
+/** IVF x SQ8 composition: with nprobe = ncells it degenerates to full
+  * SQ8 brute force; with nprobe = 1 candidates stay in the probe's own
+  * coarse cell. */
+class IvfSq8Spec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = {
+    val rows = (0 until 60).map(i => (i.toLong,
+      Seq.tabulate(16)(j => (((i * 131 + j * 17) % 29) / 29.0f))))
+    spark.createDataFrame(rows).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+  }
+
+  test("nprobe = ncells recovers exactly the full SQ8 top-k") {
+    val coarse = Similarity.pqCodebooks(corpus, "embedding", "vec_id",
+      numSub = 1, ksub = 4, iters = 1)
+    val cells = Similarity.pqEncode(corpus, coarse, "embedding",
+      "vec_id", numSub = 1)
+    val stats = Similarity.sq8Stats(corpus, "embedding")
+    val codes = Similarity.sq8Encode(corpus, stats, "embedding", "vec_id")
+    val probes = corpus.filter($"vec_id" < 5)
+    val full = Similarity.sq8TopK(codes, stats, probes, "embedding",
+      "vec_id", k = 3).orderBy("q_id", "rank").collect().toSeq
+    val routed = Similarity.ivfSq8TopK(cells, codes, coarse, stats,
+        probes, "embedding", "vec_id", k = 3, nprobe = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(routed === full)
+  }
+
+  test("nprobe = 1 candidates never leave the probe's own cell") {
+    val coarse = Similarity.pqCodebooks(corpus, "embedding", "vec_id",
+      numSub = 1, ksub = 4, iters = 1)
+    val cells = Similarity.pqEncode(corpus, coarse, "embedding",
+      "vec_id", numSub = 1)
+    val stats = Similarity.sq8Stats(corpus, "embedding")
+    val codes = Similarity.sq8Encode(corpus, stats, "embedding", "vec_id")
+    val cellOf = cells.select($"id", $"code").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val one = Similarity.ivfSq8TopK(cells, codes, coarse, stats,
+      corpus.filter($"vec_id" < 5), "embedding", "vec_id",
+      k = 3, nprobe = 1)
+    one.collect().foreach { r =>
+      assert(cellOf(r.getAs[Long]("id")) === cellOf(r.getAs[Long]("q_id")),
+        s"nprobe=1 neighbor left the probe's cell: $r")
+    }
+  }
+}
