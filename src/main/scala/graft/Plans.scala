@@ -129,7 +129,11 @@ object Plans {
         ("count-min heavy hitters: occurrence rows explode xdepth " +
           "then collapse map-side to <= depth*width cells — shuffle " +
           "volume independent of corpus size; estimates join the " +
-          "broadcast counter cells"))
+          "broadcast counter cells"),
+      "q123_hll_distinct" ->
+        ("HyperLogLog: one hash-aggregate to <= m register cells " +
+          "(map-side partials), estimator folds ONE row of exact " +
+          "dyadic sums — bounded state at any corpus size"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -59,7 +59,51 @@ object SketchQueries {
       GROUP BY 1, 2)
     SELECT term, true_c, est_c FROM est ORDER BY true_c DESC, term"""
 
-  val queries: Map[String, QFn] = Map("q121_cms_heavy_hitters" -> q121)
-  val oracles: Map[String, String] =
-    Map("q121_cms_heavy_hitters" -> q121Sql)
+  // ===================================================================
+  // q123 — HyperLogLog distinct terms: m=64 registers over every token
+  // occurrence; output = (exact_distinct, hll_est, nonzero_regs). The
+  // exact count exists ONLY to expose the estimation error under the
+  // oracle; the register build shuffles <= m cells at any corpus size.
+  // ===================================================================
+
+  private val q123: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val tok = docs.select(
+      explode(TextOps.tokens(col("text"))).as("term"))
+    val est = Sketches.hllEstimate(
+      Sketches.hllRegisters(tok, "term", m = 64), m = 64)
+    val exact = tok.agg(countDistinct(col("term")).as("exact_distinct"))
+    exact.crossJoin(est)
+      .select(col("exact_distinct"), col("hll_est"),
+        col("nonzero_regs"))
+  }
+
+  private val q123Sql = s"""
+    WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+        t -> t != '')) AS term FROM documents),
+    th AS (SELECT term, ${dPoly("term")} AS h0,
+        xor(h0, h0 >> 15) AS h1,
+        (h1 * 739982445) & 2147483647 AS h2,
+        xor(h2, h2 >> 12) AS h3,
+        (h3 * 695872825) & 2147483647 AS h4,
+        xor(h4, h4 >> 15) AS h
+      FROM tok),
+    reg AS (SELECT h % 64 AS b,
+        max(CASE WHEN h // 64 = 0 THEN 26
+          ELSE 25 - length(bin(h // 64)) + 1 END) AS mreg
+      FROM th GROUP BY 1),
+    agg AS (SELECT CAST(count(*) AS DOUBLE) AS present,
+        sum(pow(2.0, -mreg)) AS s_present FROM reg),
+    ex AS (SELECT count(DISTINCT term) AS exact_distinct FROM tok)
+    SELECT exact_distinct,
+      ${Sketches.hllEstimateSql(64, "s_present", "present")} AS hll_est,
+      CAST(present AS BIGINT) AS nonzero_regs
+    FROM ex, agg"""
+
+  val queries: Map[String, QFn] = Map(
+    "q121_cms_heavy_hitters" -> q121,
+    "q123_hll_distinct" -> q123)
+  val oracles: Map[String, String] = Map(
+    "q121_cms_heavy_hitters" -> q121Sql,
+    "q123_hll_distinct" -> q123Sql)
 }

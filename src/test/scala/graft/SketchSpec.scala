@@ -50,6 +50,44 @@ class SketchSpec extends SparkSpec {
     assert(est === 0L)
   }
 
+  test("hllEstimate lands within the theoretical error band on a " +
+      "large distinct stream, registers bounded by m") {
+    val items = (1 to 5000).map(i => s"value_$i").toDF("term")
+    val regs = Sketches.hllRegisters(items, "term", m = 64)
+    assert(regs.count() <= 64)
+    val est = Sketches.hllEstimate(regs, m = 64).head().getLong(0)
+    // 1.04/sqrt(64) = 13% standard error; allow 4 sigma
+    assert(est > 5000 * 0.48 && est < 5000 * 1.52,
+      s"HLL estimate $est implausible for 5000 distinct")
+  }
+
+  test("hllMerge == registers of the union; duplicates never move the " +
+      "estimate (set semantics)") {
+    val a = (1 to 800).map(i => s"v$i").toDF("term")
+    val b = (400 to 1200).map(i => s"v$i").toDF("term")
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(a, "term", 64),
+      Sketches.hllRegisters(b, "term", 64))
+    val whole = Sketches.hllRegisters(a.unionByName(b), "term", 64)
+    assert(merged.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(merged).count() === 0)
+    // feeding each element 5x leaves registers (max) unchanged
+    val dup5 = Sketches.hllRegisters(
+      a.unionByName(a).unionByName(a).unionByName(a).unionByName(a),
+      "term", 64)
+    val once = Sketches.hllRegisters(a, "term", 64)
+    assert(dup5.exceptAll(once).count() === 0)
+    assert(once.exceptAll(dup5).count() === 0)
+  }
+
+  test("hllEstimate is partitioning-invariant (exact dyadic sums)") {
+    val items = (1 to 3000).map(i => s"w$i").toDF("term")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hllEstimate(Sketches.hllRegisters(df, "term", 128), 128)
+        .collect().toSeq
+    assert(run(items) === run(items.repartition(11)))
+  }
+
   test("counter state is bounded by depth*width regardless of stream size") {
     val items = occurrences((1 to 300).map(i => s"t$i" -> 3): _*)
     val counters = Sketches.cmsCounters(items, "term", 4, 32)
