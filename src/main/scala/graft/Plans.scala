@@ -130,6 +130,9 @@ object Plans {
           "then collapse map-side to <= depth*width cells — shuffle " +
           "volume independent of corpus size; estimates join the " +
           "broadcast counter cells"),
+      "q124_phrase_snippets" ->
+        ("KWIC snippets: match + first-position from the index, raw " +
+          "text fetched ONLY for matched docs (match-sized join)"),
       "q123_hll_distinct" ->
         ("HyperLogLog: one hash-aggregate to <= m register cells " +
           "(map-side partials), estimator folds ONE row of exact " +

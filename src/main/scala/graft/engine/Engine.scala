@@ -126,7 +126,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * (`tindex create`): BM25 top-k + positional phrase serving over a
     * [[graft.ops.Retrieval]] artifact — the text twin of `vindex`. */
   private case class TIndexMeta(path: String, idCol: String,
-      textCol: String)
+      textCol: String, grams: Boolean)
   private var tindexes = Map.empty[String, TIndexMeta]
 
   /** Run a `sql` command, returning the DataFrame (pre-rendering).
@@ -515,6 +515,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("tindex refresh")) tindexRefresh(t)
     else if (low.startsWith("tindex search")) tindexSearch(t)
     else if (low.startsWith("tindex phrase")) tindexPhrase(t)
+    else if (low.startsWith("tindex near")) tindexNear(t)
+    else if (low.startsWith("tindex snippet")) tindexSnippet(t)
+    else if (low.startsWith("tindex like")) tindexLike(t)
     else if (low.startsWith("tindex attach")) tindexAttach(t)
     else if (low.startsWith("tindex drop")) {
       val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
@@ -527,7 +530,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low == "get tindexes") {
       if (tindexes.isEmpty) "no tindexes registered"
       else tindexes.toSeq.sortBy(_._1).map { case (tbl, m) =>
-        s"$tbl: id=${m.idCol} text=${m.textCol} path=${m.path}"
+        s"$tbl: id=${m.idCol} text=${m.textCol} path=${m.path}" +
+          (if (m.grams) " grams=true" else "")
       }.mkString("\n")
     }
     else if (low.startsWith("suggest create ")) suggestCreate(t)
@@ -1130,9 +1134,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   }
 
   /** `tindex create where table = <t> and path = <dir> and id = <col>
-    * and text = <col>` — build the standing positional postings index
-    * ([[graft.ops.Retrieval.postingsIndex]], map-only) and commit it
-    * through [[graft.ops.IndexStore]]. */
+    * and text = <col> [and grams = true]` — build the standing
+    * positional postings index ([[graft.ops.Retrieval.postingsIndex]],
+    * map-only) and commit it through [[graft.ops.IndexStore]]. With
+    * `grams = true` a char-trigram SIDECAR artifact (`<path>-grams`)
+    * is also built, enabling `tindex like` substring search. */
   private def tindexCreate(t: String): String = {
     def kv(k: String): Option[String] =
       s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
@@ -1140,11 +1146,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       throw new IllegalArgumentException(s"tindex create requires $k ="))
     val (table, path) = (req("table"), req("path"))
     val (idCol, textCol) = (req("id"), req("text"))
-    val built = graft.ops.Retrieval.postingsIndex(catalog.table(table),
-      textCol, idCol)
+    val grams = kv("grams").exists(_.equalsIgnoreCase("true"))
+    val src = catalog.table(table)
+    val built = graft.ops.Retrieval.postingsIndex(src, textCol, idCol)
     val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
-    tindexes += table -> TIndexMeta(path, idCol, textCol)
-    s"tindex for $table created at $path ($rows index rows)"
+    if (grams) graft.ops.IndexStore.write(
+      graft.ops.Retrieval.trigramIndex(src, textCol, idCol)
+        .localCheckpoint(), s"$path-grams")
+    tindexes += table -> TIndexMeta(path, idCol, textCol, grams)
+    s"tindex for $table created at $path ($rows index rows" +
+      (if (grams) ", +trigram sidecar" else "") + ")"
   }
 
   /** `tindex refresh where table = <t> and source = <table|path>` —
@@ -1169,7 +1180,95 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val folded = graft.ops.Retrieval.refreshPostingsIndex(stored, delta,
       meta.textCol, meta.idCol).localCheckpoint()
     val rows = graft.ops.IndexStore.write(folded, meta.path)
+    if (meta.grams) {
+      import org.apache.spark.sql.functions.col
+      val prev = graft.ops.IndexStore
+        .read(spark, s"${meta.path}-grams").getOrElse(
+          throw new IllegalStateException(
+            s"no trigram sidecar at ${meta.path}-grams"))
+      val fresh = graft.ops.Retrieval.trigramIndex(delta, meta.textCol,
+        meta.idCol)
+      // same replace-on-refold contract as the postings fold
+      val foldedG = prev
+        .join(fresh.select(col("id").as("__bid")).distinct(),
+          col("id") === col("__bid"), "left_anti")
+        .unionByName(fresh).localCheckpoint()
+      graft.ops.IndexStore.write(foldedG, s"${meta.path}-grams")
+    }
     s"tindex for $table refreshed ($rows index rows)"
+  }
+
+  /** `tindex near where table = <t> and w1 = <term> and w2 = <term>
+    * [and w = <n>] [and format = table]` — unordered proximity
+    * (NEAR/w) with per-doc pair count and closest distance. */
+  private def tindexNear(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"tindex near requires $k ="))
+    val meta = tindexes.getOrElse(req("table"),
+      throw new IllegalArgumentException(
+        s"no tindex registered for ${req("table")}"))
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no tindex artifact at ${meta.path}"))
+    import org.apache.spark.sql.functions.lit
+    val pairs = spark.range(1).select(lit(req("w1")).as("w1"),
+      lit(req("w2")).as("w2"))
+    val result = graft.ops.Retrieval.proximityMatch(stored, pairs,
+      kv("w").map(_.toInt).getOrElse(5))
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
+  }
+
+  /** `tindex snippet where table = <t> and w1 = <term> and w2 = <term>
+    * [and window = <n>] [and format = table]` — KWIC context windows
+    * around each matched doc's first phrase occurrence. */
+  private def tindexSnippet(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"tindex snippet requires $k ="))
+    val table = req("table")
+    val meta = tindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no tindex registered for $table"))
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no tindex artifact at ${meta.path}"))
+    import org.apache.spark.sql.functions.lit
+    val pairs = spark.range(1).select(lit(req("w1")).as("w1"),
+      lit(req("w2")).as("w2"))
+    val result = graft.ops.Retrieval.snippets(stored,
+      catalog.table(table), pairs, meta.textCol, meta.idCol,
+      kv("window").map(_.toInt).getOrElse(3))
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
+  }
+
+  /** `tindex like where table = <t> and pattern = "<substring>"
+    * [and format = table]` — trigram-accelerated substring search
+    * (requires the `grams = true` sidecar from `tindex create`). */
+  private def tindexLike(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("tindex like requires table ="))
+    val meta = tindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no tindex registered for $table"))
+    require(meta.grams, s"tindex for $table was created without " +
+      "grams = true; rebuild with the trigram sidecar to use LIKE")
+    val pattern = "(?i)\\bpattern\\s*=\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(t).map(_.group(1))
+      .orElse(kv("pattern"))
+      .getOrElse(throw new IllegalArgumentException(
+        "tindex like requires pattern = \"...\""))
+    val grams = graft.ops.IndexStore.read(spark, s"${meta.path}-grams")
+      .getOrElse(throw new IllegalStateException(
+        s"no trigram sidecar at ${meta.path}-grams"))
+    import org.apache.spark.sql.functions.lit
+    val result = graft.ops.Retrieval.likeSearch(grams,
+      catalog.table(table), spark.range(1).select(lit(pattern).as("pat")),
+      meta.textCol, meta.idCol)
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
   }
 
   /** `tindex search where table = <t> and probes = <table|path> and
@@ -1228,8 +1327,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (table, path) = (req("table"), req("path"))
     require(graft.ops.IndexStore.read(spark, path).isDefined,
       s"no tindex artifact at $path")
-    tindexes += table -> TIndexMeta(path, req("id"), req("text"))
-    s"tindex for $table attached from $path"
+    // the trigram sidecar's presence on disk IS the grams flag
+    val grams = graft.ops.IndexStore.read(spark, s"$path-grams").isDefined
+    tindexes += table -> TIndexMeta(path, req("id"), req("text"), grams)
+    s"tindex for $table attached from $path" +
+      (if (grams) " (+trigram sidecar)" else "")
   }
 
   private def dropPartition(t: String): String = {

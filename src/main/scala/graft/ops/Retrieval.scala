@@ -217,7 +217,11 @@ object Retrieval {
     * follows `w1`. `phrases` (w1, w2) is broadcast (a query set, always
     * small); the position join shuffles only the matched terms'
     * occurrence rows (df(w1)+df(w2) per phrase), never the corpus. */
-  def phraseMatch(index: DataFrame, phrases: DataFrame): DataFrame = {
+  /** All phrase-match start positions `(id, w1, w2, p)`: w1 at p, w2
+    * at p+1. The shared kernel of [[phraseMatch]], [[phraseFirstPos]]
+    * and [[snippets]]. */
+  private def phrasePositions(index: DataFrame,
+      phrases: DataFrame): DataFrame = {
     val post = index.filter(col("role") === "post")
     val p1 = post.join(broadcast(phrases), col("term") === col("w1"))
       .select(col("w1"), col("w2"), col("id"),
@@ -227,7 +231,100 @@ object Retrieval {
         col("id").as("idb"), explode(col("pos")).as("pb"))
     p1.join(p2, col("w1") === col("w1b") && col("w2") === col("w2b") &&
         col("id") === col("idb") && col("pb") === col("p") + 1)
+      .select(col("id"), col("w1"), col("w2"), col("p"))
+  }
+
+  def phraseMatch(index: DataFrame, phrases: DataFrame): DataFrame =
+    phrasePositions(index, phrases)
       .groupBy(col("id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("phrase_tf"))
+
+  /** First match position per (doc, phrase) — [[phraseMatch]] with
+    * min(p) instead of count: `(id, w1, w2, p0)`. */
+  def phraseFirstPos(index: DataFrame, phrases: DataFrame): DataFrame =
+    phrasePositions(index, phrases)
+      .groupBy(col("id"), col("w1"), col("w2"))
+      .agg(min(col("p")).as("p0"))
+
+  /** Unordered proximity match (the NEAR/w operator): docs where `w1`
+    * and `w2` occur within `w` tokens of each other, in either order —
+    * `(id, w1, w2, n_pairs, min_dist)` over all qualifying position
+    * pairs. Same broadcast/matched-terms-only shape as
+    * [[phraseMatch]]; `w = 1` ordered is the phrase case. */
+  def proximityMatch(index: DataFrame, pairs: DataFrame,
+      w: Int): DataFrame = {
+    require(w >= 1, "w must be >= 1")
+    val post = index.filter(col("role") === "post")
+    val p1 = post.join(broadcast(pairs), col("term") === col("w1"))
+      .select(col("w1"), col("w2"), col("id"),
+        explode(col("pos")).as("p"))
+    val p2 = post.join(broadcast(pairs), col("term") === col("w2"))
+      .select(col("w1").as("w1b"), col("w2").as("w2b"),
+        col("id").as("idb"), explode(col("pos")).as("pb"))
+    p1.join(p2, col("w1") === col("w1b") && col("w2") === col("w2b") &&
+        col("id") === col("idb") &&
+        abs(col("pb") - col("p")) <= w && col("pb") =!= col("p"))
+      .groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pb") - col("p"))).as("min_dist"))
+  }
+
+  /** Character-trigram index for substring (LIKE '%...%') search
+    * acceleration — the pg_trgm technique: `(h, id)` rows, one per
+    * DISTINCT char 3-gram per doc (native one-pass
+    * [[graft.functions.CharGramHashesExpr]]; map-only build, same
+    * standing-artifact contract as [[postingsIndex]]). */
+  def trigramIndex(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+      explode(F.charGramHashes(col(textCol), 3)).as("h"))
+
+  /** Index-accelerated substring search: docs whose text CONTAINS each
+    * pattern (`patterns` = one `pat` string per row, broadcast —
+    * patterns must be >= 3 chars so they have at least one trigram).
+    * A matching doc must contain EVERY distinct pattern trigram, so
+    * the gram join + count filter prunes the corpus to near-matches
+    * (hash collisions only ever ADD candidates — never drop one), and
+    * the exact `contains` verify touches only candidate docs' text: a
+    * match-sized join, never a corpus LIKE scan. Returns (id, pat). */
+  def likeSearch(index: DataFrame, docs: DataFrame, patterns: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val pg = patterns
+      .filter(assert_true(length(col("pat")) >= 3,
+        lit("likeSearch: pattern must be >= 3 chars")).isNull)
+      .select(col("pat"), size(F.charGramHashes(col("pat"), 3)).as("ng"),
+        explode(F.charGramHashes(col("pat"), 3)).as("h"))
+    // (h, id) rows are distinct per doc by construction, so the
+    // all-grams test is a plain count against the pattern's gram count
+    val cand = index.join(broadcast(pg), "h")
+      .groupBy(col("id"), col("pat"), col("ng"))
+      .agg(count(lit(1)).as("nh"))
+      .filter(col("nh") === col("ng"))
+      .select(col("id"), col("pat"))
+    cand.join(docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__text")), "id")
+      .filter(expr("contains(__text, pat)"))
+      .select(col("id"), col("pat"))
+  }
+
+  /** KWIC snippets: the `window`-token context around each matched
+    * doc's FIRST phrase occurrence, as one space-joined string —
+    * `(id, w1, w2, p0, snippet)`. The index finds matches and
+    * positions; only the MATCHED docs' raw text is fetched (a
+    * match-sized semi-join against `docs`, never a corpus scan for a
+    * selective phrase). Token windows, not char offsets: the snippet
+    * is `tokens[max(p0-window, 0) .. p0+1+window]` under the same
+    * whitespace tokenization the index was built with. */
+  def snippets(index: DataFrame, docs: DataFrame, phrases: DataFrame,
+      textCol: String, idCol: String, window: Int = 3): DataFrame = {
+    require(window >= 0, "window must be >= 0")
+    phraseFirstPos(index, phrases)
+      .join(docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("__text")), "id")
+      .select(col("id"), col("w1"), col("w2"), col("p0"),
+        expr(s"concat_ws(' ', slice(filter(split(__text, ' '), " +
+          s"t -> t != ''), greatest(p0 - $window, 0) + 1, " +
+          s"p0 + 1 + $window - greatest(p0 - $window, 0) + 1))")
+          .as("snippet"))
   }
 }

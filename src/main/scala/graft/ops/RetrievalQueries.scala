@@ -111,14 +111,7 @@ object RetrievalQueries {
   private val q119: QFn = (s, d) => {
     val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
     val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
-    val pr = Retrieval.positionRows(idx)
-    val top1 = pr.as("a").join(pr.as("b"),
-        col("a.id") === col("b.id") && col("b.p") === col("a.p") + 1)
-      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("w1"), col("w2"))
-      .limit(1)
-    Retrieval.phraseMatch(idx, top1.select(col("w1"), col("w2")))
+    Retrieval.phraseMatch(idx, topBigram(idx))
       .withColumnRenamed("id", "doc_id")
       .select(col("doc_id"), col("w1"), col("w2"), col("phrase_tf"))
       .orderBy(col("phrase_tf").desc, col("doc_id"))
@@ -140,13 +133,133 @@ object RetrievalQueries {
     SELECT doc_id, w1, w2, phrase_tf FROM m
     ORDER BY phrase_tf DESC, doc_id LIMIT 20"""
 
+  // ===================================================================
+  // q124 — KWIC snippets: the 3-token context window around the FIRST
+  // occurrence of the corpus's most frequent bigram, per matching doc.
+  // Matching and positions come from the index; only matched docs'
+  // text is fetched. Top 20 by doc_id.
+  // ===================================================================
+
+  private val q124: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    Retrieval.snippets(idx, docs, topBigram(idx),
+        "text", "doc_id", window = 3)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("w1"), col("w2"), col("p0"),
+        col("snippet"))
+      .orderBy(col("doc_id"))
+      .limit(20)
+  }
+
+  private val q124Sql = s"""$dTokPrefix,
+    big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS cnt
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      GROUP BY 1, 2),
+    top1 AS (SELECT w1, w2 FROM big
+      ORDER BY cnt DESC, w1, w2 LIMIT 1),
+    m AS (SELECT a.doc_id, t.w1, t.w2, min(a.p) AS p0
+      FROM top1 t
+        JOIN pos a ON a.term = t.w1
+        JOIN pos b ON b.doc_id = a.doc_id AND b.term = t.w2
+          AND b.p = a.p + 1
+      GROUP BY 1, 2, 3)
+    SELECT m.doc_id, m.w1, m.w2, m.p0,
+      array_to_string(list_slice(tk.toks,
+        CAST(greatest(m.p0 - 3, 0) + 1 AS BIGINT),
+        CAST(m.p0 + 5 AS BIGINT)), ' ') AS snippet
+    FROM m JOIN tk ON tk.doc_id = m.doc_id
+    ORDER BY m.doc_id LIMIT 20"""
+
+  /** Top-1 corpus bigram (cnt desc, then lexicographic) from the
+    * positional index — the shared deterministic "query" of the
+    * phrase/snippet/proximity/LIKE demonstrations. */
+  private def topBigram(idx: DataFrame): DataFrame = {
+    val pr = Retrieval.positionRows(idx)
+    pr.as("a").join(pr.as("b"),
+        col("a.id") === col("b.id") && col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(1)
+      .select(col("w1"), col("w2"))
+  }
+
+  // ===================================================================
+  // q125 — unordered proximity (NEAR/5): docs where the top bigram's
+  // two words co-occur within 5 tokens in EITHER order; per-doc pair
+  // count and closest distance. Top 30 by doc_id.
+  // ===================================================================
+
+  private val q125: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    Retrieval.proximityMatch(idx, topBigram(idx), w = 5)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("w1"), col("w2"), col("n_pairs"),
+        col("min_dist"))
+      .orderBy(col("doc_id"))
+      .limit(30)
+  }
+
+  private val q125Sql = s"""$dTokPrefix,
+    big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS cnt
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      GROUP BY 1, 2),
+    top1 AS (SELECT w1, w2 FROM big
+      ORDER BY cnt DESC, w1, w2 LIMIT 1),
+    m AS (SELECT a.doc_id, t.w1, t.w2, count(*) AS n_pairs,
+        min(abs(b.p - a.p)) AS min_dist
+      FROM top1 t
+        JOIN pos a ON a.term = t.w1
+        JOIN pos b ON b.doc_id = a.doc_id AND b.term = t.w2
+          AND abs(b.p - a.p) <= 5 AND b.p != a.p
+      GROUP BY 1, 2, 3)
+    SELECT doc_id, w1, w2, n_pairs, min_dist FROM m
+    ORDER BY doc_id LIMIT 30"""
+
+  // ===================================================================
+  // q126 — trigram-accelerated substring search: docs whose raw text
+  // contains the top bigram as a literal substring ("w1 w2"). The
+  // trigram index prunes to docs holding EVERY pattern trigram; the
+  // exact contains() verify touches candidates only. Oracle = the
+  // plain corpus contains() scan (same rows, different cost shape).
+  // ===================================================================
+
+  private val q126: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val pidx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    val gidx = Retrieval.trigramIndex(docs, "text", "doc_id")
+    val pat = topBigram(pidx)
+      .select(concat(col("w1"), lit(" "), col("w2")).as("pat"))
+    Retrieval.likeSearch(gidx, docs, pat, "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("pat"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q126Sql = s"""$dTokPrefix,
+    big AS (SELECT a.term AS w1, b.term AS w2, count(*) AS cnt
+      FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      GROUP BY 1, 2),
+    top1 AS (SELECT w1 || ' ' || w2 AS pat FROM big
+      ORDER BY cnt DESC, w1, w2 LIMIT 1)
+    SELECT d.doc_id, t.pat FROM documents d, top1 t
+    WHERE contains(d.text, t.pat) ORDER BY d.doc_id"""
+
   val queries: Map[String, QFn] = Map(
     "q117_bm25_topk" -> q117,
     "q118_postings_standing_index" -> q118,
-    "q119_phrase_search" -> q119)
+    "q119_phrase_search" -> q119,
+    "q124_phrase_snippets" -> q124,
+    "q125_proximity_near" -> q125,
+    "q126_trigram_like" -> q126)
 
   val oracles: Map[String, String] = Map(
     "q117_bm25_topk" -> q117Sql,
     "q118_postings_standing_index" -> q118Sql,
-    "q119_phrase_search" -> q119Sql)
+    "q119_phrase_search" -> q119Sql,
+    "q124_phrase_snippets" -> q124Sql,
+    "q125_proximity_near" -> q125Sql,
+    "q126_trigram_like" -> q126Sql)
 }

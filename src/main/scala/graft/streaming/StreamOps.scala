@@ -558,4 +558,60 @@ object StreamOps {
         "left_semi")
       .select(col("id"), col("dl"))
   }
+
+  /** Standing COUNT-MIN maintenance at ingest (`foreachBatch` body):
+    * sketch the batch's `valueCol` occurrences and fold into the
+    * standing counters by cell-wise addition
+    * ([[graft.ops.Sketches.cmsMerge]] — sketch of the union == merge
+    * of the parts, so fold order never matters). The artifact is the
+    * bounded depth*width counter table; corpus-scale term telemetry
+    * with O(1) state. Returns the folded counters. Replay safety is
+    * the batch-tag gate: a replayed fold is a no-op read against the
+    * retained previous version (addition is NOT idempotent, so unlike
+    * the postings fold the tag is the ONLY thing preventing
+    * double-counting — the reason this helper exists). */
+  def cmsIngestBatchOnce(batch: DataFrame, batchId: Long,
+      sketchDir: String, valueCol: String, depth: Int,
+      width: Int): DataFrame = {
+    import graft.ops.{IndexStore, Sketches}
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    val tagged = IndexStore.hasTag(spark, sketchDir, tag)
+    val preFold =
+      if (tagged) IndexStore.readBefore(spark, sketchDir, tag)
+      else IndexStore.read(spark, sketchDir)
+    val fresh = Sketches.cmsCounters(batch, valueCol, depth, width)
+    val newCounters = preFold match {
+      case None => fresh
+      case Some(prev) => Sketches.cmsMerge(prev, fresh)
+    }
+    if (!tagged) IndexStore.write(newCounters.localCheckpoint(),
+      sketchDir, Some(tag))
+    IndexStore.read(spark, sketchDir).get
+  }
+
+  /** Standing HYPERLOGLOG maintenance at ingest: register-wise max
+    * fold ([[graft.ops.Sketches.hllMerge]]). Max IS idempotent, so a
+    * replayed fold could never corrupt the registers — the batch tag
+    * still gates the version commit for a byte-identical replay
+    * receipt (same discipline as every standing artifact). Returns the
+    * folded registers. */
+  def hllIngestBatchOnce(batch: DataFrame, batchId: Long,
+      sketchDir: String, valueCol: String, m: Int): DataFrame = {
+    import graft.ops.{IndexStore, Sketches}
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    val tagged = IndexStore.hasTag(spark, sketchDir, tag)
+    val preFold =
+      if (tagged) IndexStore.readBefore(spark, sketchDir, tag)
+      else IndexStore.read(spark, sketchDir)
+    val fresh = Sketches.hllRegisters(batch, valueCol, m)
+    val newRegs = preFold match {
+      case None => fresh
+      case Some(prev) => Sketches.hllMerge(prev, fresh)
+    }
+    if (!tagged) IndexStore.write(newRegs.localCheckpoint(), sketchDir,
+      Some(tag))
+    IndexStore.read(spark, sketchDir).get
+  }
 }

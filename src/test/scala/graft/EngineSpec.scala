@@ -692,4 +692,47 @@ class TIndexCommandSpec extends SparkSpec {
       s"and path = $p and id = doc_id and text = text")
     assert(engine2.execute("get tindexes").contains(s"path=$p"))
   }
+
+  test("tindex near/snippet/like: proximity, KWIC windows and " +
+      "trigram-accelerated substring search from the command surface") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("postidx3").toString
+    engine.execute("tindex create where table = documents " +
+      s"and path = $p and id = doc_id and text = text and grams = true")
+    assert(engine.execute("get tindexes").contains("grams=true"))
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val pr = Retrieval.positionRows(idx)
+    val top = pr.as("a").join(pr.as("b"),
+        col("a.id") === col("b.id") && col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1).head()
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    // near == library proximityMatch
+    val near = engine.execute("tindex near where table = documents " +
+      s"and w1 = $w1 and w2 = $w2 and w = 5")
+    val expNear = Retrieval.proximityMatch(idx,
+      spark.range(1).select(lit(w1).as("w1"), lit(w2).as("w2")),
+      w = 5).count()
+    assert(expNear > 0)
+    assert(s""""id":""".r.findAllIn(near).size === expNear)
+    // snippet contains the phrase text itself
+    val snip = engine.execute("tindex snippet where table = documents " +
+      s"and w1 = $w1 and w2 = $w2 and window = 2")
+    assert(snip.contains(s"$w1 $w2"))
+    // like == the exact contains() scan
+    val like = engine.execute("tindex like where table = documents " +
+      s"""and pattern = "$w1 $w2"""")
+    val expLike = cat.table("documents")
+      .filter(col("text").contains(s"$w1 $w2")).count()
+    assert(expLike > 0)
+    assert(s""""id":""".r.findAllIn(like).size === expLike)
+    // like without the sidecar fails loudly
+    val p2 = dir.resolve("postidx4").toString
+    cat.registerTable("docs2", dir.resolve("documents.parquet").toString)
+    engine.execute("tindex create where table = docs2 " +
+      s"and path = $p2 and id = doc_id and text = text")
+    intercept[IllegalArgumentException](engine.execute(
+      s"""tindex like where table = docs2 and pattern = "$w1 $w2""""))
+  }
 }

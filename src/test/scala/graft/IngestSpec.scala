@@ -809,6 +809,57 @@ class DsirIngestSpec extends SparkSpec {
     assert(idx.exceptAll(full).count() === 0)
     assert(full.exceptAll(idx).count() === 0)
   }
+
+  test("cmsIngestBatchOnce: counts fold additively exactly once — a " +
+      "replayed batch never double-counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cmsonce")
+      .resolve("cms").toString
+    val b0 = Seq.fill(10)("x").toDF("term").localCheckpoint()
+    val b1 = (Seq.fill(5)("x") ++ Seq.fill(7)("y")).toDF("term")
+      .localCheckpoint()
+    def once(id: Long, b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.cmsIngestBatchOnce(b, id, dir, "term",
+        depth = 4, width = 64)
+    def estX(c: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sketches.cmsEstimate(c, Seq("x").toDF("term"), "term",
+        4, 64).head().getLong(1)
+    assert(estX(once(0L, b0)) === 10L)
+    assert(estX(once(1L, b1)) === 15L)
+    val vAfter = graft.ops.IndexStore.currentVersion(spark, dir).get
+    // replay of batch 1: still 15, never 20, no new version
+    assert(estX(once(1L, b1)) === 15L)
+    assert(graft.ops.IndexStore.currentVersion(spark, dir).get === vAfter)
+    // whole-stream sketch == the standing artifact (merge == union)
+    val whole = graft.ops.Sketches.cmsCounters(b0.unionByName(b1),
+      "term", 4, 64)
+    val stored = graft.ops.IndexStore.read(spark, dir).get
+    assert(stored.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(stored).count() === 0)
+  }
+
+  test("hllIngestBatchOnce: registers fold by max, replay is harmless " +
+      "and uncommitted") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hllonce")
+      .resolve("hll").toString
+    val b0 = (1 to 500).map(i => s"a$i").toDF("term").localCheckpoint()
+    val b1 = (300 to 900).map(i => s"a$i").toDF("term").localCheckpoint()
+    def once(id: Long, b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.hllIngestBatchOnce(b, id, dir, "term",
+        m = 64)
+    once(0L, b0)
+    val r1 = once(1L, b1).collect().map(_.toString).sorted.toSeq
+    val vAfter = graft.ops.IndexStore.currentVersion(spark, dir).get
+    assert(once(1L, b1).collect().map(_.toString).sorted.toSeq === r1)
+    assert(graft.ops.IndexStore.currentVersion(spark, dir).get === vAfter)
+    // standing registers == whole-stream registers (union semantics)
+    val whole = graft.ops.Sketches.hllRegisters(b0.unionByName(b1),
+      "term", 64)
+    val stored = graft.ops.IndexStore.read(spark, dir).get
+    assert(stored.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(stored).count() === 0)
+  }
 }
 
 

@@ -138,6 +138,57 @@ class RetrievalSpec extends SparkSpec {
     assert(non.count() === 0)
   }
 
+  test("snippets clamp the window at doc boundaries and use the FIRST " +
+      "occurrence") {
+    val docs = Seq(
+      (1L, "cat dog tail one two three four"),   // match at start
+      (2L, "a b c d cat dog"),                   // match at end
+      (3L, "x cat dog y cat dog z")).toDF("doc_id", "text") // two hits
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    val out = Retrieval.snippets(idx, docs,
+        Seq(("cat", "dog")).toDF("w1", "w2"), "text", "doc_id",
+        window = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getString(4)))
+      .sortBy(_._1)
+    assert(out(0) === ((1L, 0, "cat dog tail one")))
+    assert(out(1) === ((2L, 4, "c d cat dog")))
+    assert(out(2) === ((3L, 1, "x cat dog y cat")))
+  }
+
+  test("proximityMatch finds unordered co-occurrence within the window " +
+      "and reports the closest pair") {
+    val docs = Seq(
+      (1L, "alpha x y beta"),        // dist 3, one order
+      (2L, "beta alpha"),            // dist 1, reversed
+      (3L, "alpha x y z q w beta"),  // dist 6 > w
+      (4L, "alpha beta x alpha")).toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    val out = Retrieval.proximityMatch(idx,
+        Seq(("alpha", "beta")).toDF("w1", "w2"), w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getInt(4)))
+      .sortBy(_._1)
+    // doc 3 excluded (distance 6); doc 4 has pairs (0,1) d1 and (3,1)
+    // d2 -> n_pairs 2, min 1
+    assert(out.toSeq === Seq((1L, 1L, 3), (2L, 1L, 1), (4L, 2L, 1)))
+  }
+
+  test("likeSearch returns exactly the contains() docs — trigram " +
+      "pruning is candidate-only, collisions never drop a match") {
+    val docs = Seq(
+      (1L, "the spark shuffle plan"),
+      (2L, "spark shuf only"),
+      (3L, "a sparkly shuffle"),   // has 'spark' grams but not phrase
+      (4L, "spark shuffle twice spark shuffle")).toDF("doc_id", "text")
+    val idx = Retrieval.trigramIndex(docs, "text", "doc_id")
+    val out = Retrieval.likeSearch(idx, docs,
+        Seq("spark shuffle").toDF("pat"), "text", "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val truth = docs.filter(col("text").contains("spark shuffle"))
+      .collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === truth.toSeq)
+    assert(out.toSeq === Seq(1L, 4L))
+  }
+
   test("phraseMatch handles repeated-token phrases (w1 == w2)") {
     val docs = Seq((1L, "b b b"), (2L, "b a b")).toDF("doc_id", "text")
     val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
