@@ -130,6 +130,10 @@ object Plans {
           "then collapse map-side to <= depth*width cells — shuffle " +
           "volume independent of corpus size; estimates join the " +
           "broadcast counter cells"),
+      "q127_residual_standing_index" ->
+        ("standing residual-IVFADC: fold encodes against FROZEN books " +
+          "at both quantizer levels; serve routes cells then " +
+          "residual-ADC ranks candidates only"),
       "q124_phrase_snippets" ->
         ("KWIC snippets: match + first-position from the index, raw " +
           "text fetched ONLY for matched docs (match-sized join)"),

@@ -1041,8 +1041,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         (graft.ops.Similarity.ivfIndex(src, vecCol, idCol,
           numCentroids = kv("cells").map(_.toInt).getOrElse(0),
           kmeansIters = kv("iters").map(_.toInt).getOrElse(0)), 0)
+      case "rpq" =>
+        val m = req("numsub").toInt
+        (graft.ops.Similarity.residualIvfIndex(src, vecCol, idCol,
+          ncells = kv("cells").map(_.toInt).getOrElse(16), numSub = m,
+          ksub = req("ksub").toInt,
+          iters = kv("iters").map(_.toInt).getOrElse(1)), m)
       case other => throw new IllegalArgumentException(
-        s"vindex type must be pq or ivf, got $other")
+        s"vindex type must be pq, ivf or rpq, got $other")
     }
     val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
     vindexes += table -> VIndexMeta(path, kind, idCol, vecCol, numSub)
@@ -1069,11 +1075,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       else spark.read.parquet(src)
     val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
       throw new IllegalStateException(s"no vindex artifact at ${meta.path}"))
-    val folded = (if (meta.kind == "pq")
-        graft.ops.Similarity.refreshPqIndex(stored, delta, meta.vecCol,
-          meta.idCol, meta.numSub)
-      else graft.ops.Similarity.refreshIvfIndex(stored, delta, meta.vecCol,
-        meta.idCol)).localCheckpoint()
+    val folded = (meta.kind match {
+      case "pq" => graft.ops.Similarity.refreshPqIndex(stored, delta,
+        meta.vecCol, meta.idCol, meta.numSub)
+      case "rpq" => graft.ops.Similarity.refreshResidualIvfIndex(stored,
+        delta, meta.vecCol, meta.idCol, meta.numSub)
+      case _ => graft.ops.Similarity.refreshIvfIndex(stored, delta,
+        meta.vecCol, meta.idCol)
+    }).localCheckpoint()
     val rows = graft.ops.IndexStore.write(folded, meta.path)
     s"vindex for $table refreshed ($rows index rows)"
   }
@@ -1100,12 +1109,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
       throw new IllegalStateException(s"no vindex artifact at ${meta.path}"))
     val k = req("k").toInt
-    val result =
-      if (meta.kind == "pq")
-        graft.ops.Similarity.pqSearchIndex(stored, probes, meta.vecCol,
-          meta.idCol, k, meta.numSub)
-      else graft.ops.Similarity.ivfSearchIndex(stored, probes, meta.vecCol,
-        meta.idCol, k, kv("nprobe").map(_.toInt).getOrElse(1))
+    val result = meta.kind match {
+      case "pq" => graft.ops.Similarity.pqSearchIndex(stored, probes,
+        meta.vecCol, meta.idCol, k, meta.numSub)
+      case "rpq" => graft.ops.Similarity.searchResidualIndex(stored,
+        probes, meta.vecCol, meta.idCol, k,
+        kv("nprobe").map(_.toInt).getOrElse(1), meta.numSub)
+      case _ => graft.ops.Similarity.ivfSearchIndex(stored, probes,
+        meta.vecCol, meta.idCol, k,
+        kv("nprobe").map(_.toInt).getOrElse(1))
+    }
     if (kv("format").contains("table")) Render.table(result)
     else Render.json(result)
   }
@@ -1123,14 +1136,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       req("type").toLowerCase)
     val stored = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no vindex artifact at $path"))
-    val numSub = if (kind == "pq")
-      graft.ops.Similarity.pqIndexBooks(stored)
-        .agg(org.apache.spark.sql.functions.max("sub")).head().getInt(0) + 1
-    else 0
+    val numSub = kind match {
+      case "pq" => graft.ops.Similarity.pqIndexBooks(stored)
+        .agg(org.apache.spark.sql.functions.max("sub")).head()
+        .getInt(0) + 1
+      case "rpq" =>
+        import org.apache.spark.sql.functions.{col, max}
+        stored.filter(col("role") === "fbook").agg(max("sub")).head()
+          .getInt(0) + 1
+      case _ => 0
+    }
     vindexes += table -> VIndexMeta(path, kind, req("id"), req("vector"),
       numSub)
     s"vindex for $table attached from $path (type=$kind" +
-      (if (kind == "pq") s", numsub=$numSub" else "") + ")"
+      (if (kind != "ivf") s", numsub=$numSub" else "") + ")"
   }
 
   /** `tindex create where table = <t> and path = <dir> and id = <col>

@@ -1758,6 +1758,79 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("id"), col("adc_d2"))
   }
 
+  /** Build a STANDING residual-IVFADC index: coarse assignments,
+    * residual codes and BOTH codebook levels in ONE role-tagged frame
+    * ("cell" | "rcode" | "cbook" | "fbook"), so the whole production
+    * serving artifact (Jégou §V) commits through a single
+    * [[IndexStore]] dir — the [[pqIndex]] discipline, two quantizer
+    * levels deep. [[refreshResidualIvfIndex]] encodes new vectors
+    * against the FROZEN books (coarse assignment, residual, fine code —
+    * no codeword ever moves, so fold == rebuild exactly and codes stay
+    * comparable across batches); [[searchResidualIndex]] unpacks the
+    * roles for [[ivfAdcResidualTopK]]. */
+  def residualIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      ncells: Int, numSub: Int, ksub: Int, iters: Int = 1,
+      scale: Int = 1000): DataFrame = {
+    val coarse = pqCodebooks(corpus, vecCol, idCol, 1, ncells, iters,
+      scale)
+    val cells = pqEncode(corpus, coarse, vecCol, idCol, 1, scale)
+    val res = pqResiduals(corpus, cells, coarse, vecCol, idCol, scale)
+    val fine = pqResidualBooks(res, numSub, ksub, iters)
+    residualRows(cells, pqResidualEncode(res, fine, numSub))
+      .unionByName(residualBookRows(coarse, fine))
+  }
+
+  private def residualRows(cells: DataFrame,
+      rcodes: DataFrame): DataFrame =
+    cells.select(lit("cell").as("role"), col("id"), col("sub"),
+        col("code"), lit(null).cast("array<bigint>").as("cq"))
+      .unionByName(rcodes.select(lit("rcode").as("role"), col("id"),
+        col("sub"), col("code"), lit(null).cast("array<bigint>").as("cq")))
+
+  private def residualBookRows(coarse: DataFrame,
+      fine: DataFrame): DataFrame =
+    coarse.select(lit("cbook").as("role"),
+        lit(null).cast("bigint").as("id"), col("sub"), col("code"),
+        col("cq"))
+      .unionByName(fine.select(lit("fbook").as("role"),
+        lit(null).cast("bigint").as("id"), col("sub"), col("code"),
+        col("cq")))
+
+  /** Fold NEW vectors into the standing residual index against the
+    * RECORDED books; already-present ids are replaced (the
+    * [[refreshPqIndex]] contract). */
+  def refreshResidualIvfIndex(index: DataFrame, newVecs: DataFrame,
+      vecCol: String, idCol: String, numSub: Int,
+      scale: Int = 1000): DataFrame = {
+    val coarse = index.filter(col("role") === "cbook")
+      .select(col("sub"), col("code"), col("cq"))
+    val fine = index.filter(col("role") === "fbook")
+      .select(col("sub"), col("code"), col("cq"))
+    val cells = pqEncode(newVecs, coarse, vecCol, idCol, 1, scale)
+    val res = pqResiduals(newVecs, cells, coarse, vecCol, idCol, scale)
+    val fresh = residualRows(cells, pqResidualEncode(res, fine, numSub))
+    index
+      .join(fresh.select(col("id").as("__bid")).distinct(),
+        col("id") === col("__bid") &&
+          col("role").isin("cell", "rcode"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  /** Serve residual-ADC top-k from the standing artifact. */
+  def searchResidualIndex(index: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, k: Int, nprobe: Int, numSub: Int,
+      scale: Int = 1000): DataFrame =
+    ivfAdcResidualTopK(
+      index.filter(col("role") === "cell")
+        .select(col("id"), col("sub"), col("code")),
+      index.filter(col("role") === "rcode")
+        .select(col("id"), col("sub"), col("code")),
+      index.filter(col("role") === "cbook")
+        .select(col("sub"), col("code"), col("cq")),
+      index.filter(col("role") === "fbook")
+        .select(col("sub"), col("code"), col("cq")),
+      probes, vecCol, idCol, k, nprobe, numSub, scale)
+
   // ------------------------------------------------------------------
   // Scalar quantization (SQ8): per-dimension affine 8-bit codes — the
   // memory-bandwidth compression tier between raw floats and PQ

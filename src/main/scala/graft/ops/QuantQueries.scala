@@ -127,35 +127,46 @@ object QuantQueries {
     * `p`-prefixed names, so one WITH can train two codebook families
     * (coarse + fine) over the shared quantized corpus `e`. Emits
     * ${p}sub, ${p}seeds, ${p}a1, ${p}re, ${p}c1, ${p}a2. */
+  /** Train CTEs with prefix `$p`. `trainWhere` != "TRUE" trains the
+    * codebooks on the predicate's subset ONLY, then `a2` assigns the
+    * FULL `src` against the frozen books — the standing-index fold
+    * semantics (q113/q127); the default emits the original
+    * whole-corpus text unchanged. */
   private def dTrainP(p: String, numSub: Int, width: Int,
-      ksub: Int, src: String = "e"): String = {
-    def assign(books: String) = s"""
+      ksub: Int, src: String = "e", trainWhere: String = "TRUE"): String = {
+    def assign(rows: String, books: String) = s"""
       SELECT sub, vec_id, code FROM (
         SELECT s.sub, s.vec_id, c.code,
           row_number() OVER (PARTITION BY s.sub, s.vec_id
             ORDER BY ${dSqDistQ("s.sv", "c.cq")}, c.code) AS rn
-        FROM ${p}sub s JOIN $books c USING (sub)) WHERE rn = 1"""
+        FROM $rows s JOIN $books c USING (sub)) WHERE rn = 1"""
+    val split = trainWhere != "TRUE"
+    val t = if (split) s"${p}sub0" else s"${p}sub"
+    val sub0 = if (split)
+      s""",
+    ${p}sub0 AS (SELECT * FROM ${p}sub WHERE $trainWhere)""" else ""
+    val seedSrc = if (split) s"$src WHERE $trainWhere" else src
     s"""
     ${p}sub AS (SELECT vec_id, j AS sub,
         list_slice(vq, j*$width + 1, j*$width + $width) AS sv
-      FROM $src, range($numSub) t(j)),
+      FROM $src, range($numSub) t(j))$sub0,
     ${p}seeds AS (SELECT sub,
         CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
           AS INT) AS code, sv AS cq
-      FROM ${p}sub
-      WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $ksub)),
-    ${p}a1 AS (${assign(p + "seeds")}),
+      FROM $t
+      WHERE vec_id IN (SELECT vec_id FROM $seedSrc ORDER BY vec_id LIMIT $ksub)),
+    ${p}a1 AS (${assign(t, p + "seeds")}),
     ${p}re AS (SELECT sub, code, list(cx ORDER BY pos) AS cq FROM (
         SELECT a.sub, a.code, t.i AS pos,
           CAST(floor(CAST(sum(s.sv[t.i + 1]) AS DOUBLE) / count(*))
             AS BIGINT) AS cx
-        FROM ${p}a1 a JOIN ${p}sub s ON s.sub = a.sub
+        FROM ${p}a1 a JOIN $t s ON s.sub = a.sub
           AND s.vec_id = a.vec_id, range($width) t(i)
         GROUP BY 1, 2, 3) GROUP BY 1, 2),
     ${p}c1 AS (SELECT sd.sub, sd.code, coalesce(re.cq, sd.cq) AS cq
       FROM ${p}seeds sd LEFT JOIN ${p}re re
         ON re.sub = sd.sub AND re.code = sd.code),
-    ${p}a2 AS (${assign(p + "c1")})"""
+    ${p}a2 AS (${assign(s"${p}sub", p + "c1")})"""
   }
 
   private val q112: QFn = (s, d) => {
@@ -518,6 +529,70 @@ object QuantQueries {
         ORDER BY sq_d2, vec_id) AS INT) AS rank FROM sc)
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  // ===================================================================
+  // q127 — STANDING residual-IVFADC index: both quantizer levels
+  // trained on vec_id < 400, the rest of the corpus folded in against
+  // the FROZEN books (coarse assignment -> residual -> fine code, no
+  // codeword moves), then residual-ADC served from the artifact. The
+  // oracle replays the split: train on the slice, assign the FULL
+  // corpus — exactly what the fold produces. Probes vec_id < 20, k=3,
+  // nprobe=4.
+  // ===================================================================
+
+  private val q127: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val idx = Similarity.refreshResidualIvfIndex(
+      Similarity.residualIvfIndex(vecs.filter(col("vec_id") < 400),
+        "embedding", "vec_id", ncells = 16, numSub = 4, ksub = 8,
+        iters = 1),
+      vecs.filter(col("vec_id") >= 400), "embedding", "vec_id",
+      numSub = 4)
+    Similarity.searchResidualIndex(idx, vecs.filter(col("vec_id") < 20),
+        "embedding", "vec_id", k = 3, nprobe = 4, numSub = 4)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adc_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q127Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    ${dTrainP("cq_", 1, 64, 16, trainWhere = "vec_id < 400")},
+    res AS (SELECT a.vec_id, a.code AS cell,
+        list_transform(range(64), i -> e.vq[i+1] - c.cq[i+1]) AS vq
+      FROM cq_a2 a JOIN e ON e.vec_id = a.vec_id
+        JOIN cq_c1 c ON c.code = a.code AND c.sub = 0),
+    ${dTrainP("fq_", 4, 16, 8, src = "res",
+      trainWhere = "vec_id < 400")},
+    routed AS (SELECT q_id, cell FROM (
+        SELECT p.vec_id AS q_id, c.code AS cell,
+          row_number() OVER (PARTITION BY p.vec_id
+            ORDER BY ${dSqDistQ("p.sv", "c.cq")}, c.code) AS rn
+        FROM cq_sub p JOIN cq_c1 c USING (sub) WHERE p.vec_id < 20)
+      WHERE rn <= 4),
+    pres AS (SELECT r.q_id, r.cell,
+        list_transform(range(64), i -> pe.vq[i+1] - cc.cq[i+1]) AS vq
+      FROM routed r JOIN e pe ON pe.vec_id = r.q_id
+        JOIN cq_c1 cc ON cc.code = r.cell AND cc.sub = 0),
+    psub AS (SELECT q_id, cell, j AS sub,
+        list_slice(vq, j*16 + 1, j*16 + 16) AS sv
+      FROM pres, range(4) t(j)),
+    lut AS (SELECT p.q_id, p.cell, p.sub, c.code,
+        ${dSqDistQ("p.sv", "c.cq")} AS pd2
+      FROM psub p JOIN fq_c1 c USING (sub)),
+    cand AS (SELECT r.q_id, r.cell, a.vec_id FROM cq_a2 a JOIN routed r
+      ON a.code = r.cell AND a.vec_id != r.q_id),
+    sc AS (SELECT cd.q_id, cd.vec_id, CAST(sum(l.pd2) AS BIGINT) AS adc_d2
+      FROM cand cd JOIN fq_a2 f ON f.vec_id = cd.vec_id
+        JOIN lut l ON l.q_id = cd.q_id AND l.cell = cd.cell
+          AND l.sub = f.sub AND l.code = f.code
+      GROUP BY 1, 2)
+    SELECT q_id, rank, vec_id, adc_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY adc_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
     "q111_pq_adc_topk" -> q111,
@@ -527,7 +602,8 @@ object QuantQueries {
     "q115_ivfadc_residual" -> q115,
     "q116_cluster_balance" -> q116,
     "q120_sq8_topk" -> q120,
-    "q122_ivf_sq8_topk" -> q122)
+    "q122_ivf_sq8_topk" -> q122,
+    "q127_residual_standing_index" -> q127)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
@@ -538,5 +614,6 @@ object QuantQueries {
     "q115_ivfadc_residual" -> q115Sql,
     "q116_cluster_balance" -> q116Sql,
     "q120_sq8_topk" -> q120Sql,
-    "q122_ivf_sq8_topk" -> q122Sql)
+    "q122_ivf_sq8_topk" -> q122Sql,
+    "q127_residual_standing_index" -> q127Sql)
 }

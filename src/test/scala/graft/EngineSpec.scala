@@ -736,3 +736,58 @@ class TIndexCommandSpec extends SparkSpec {
       s"""tindex like where table = docs2 and pattern = "$w1 $w2""""))
   }
 }
+
+class RpqVIndexCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+  import graft.ops.Similarity
+
+  test("vindex type=rpq: create/refresh/search/attach — command serve " +
+      "== library residual-ADC serve over the folded artifact") {
+    val dir = java.nio.file.Files.createTempDirectory("rpqvindex")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/embeddings.parquet"),
+      dir.resolve("embeddings.parquet"))
+    val cat = new Catalog(spark)
+    val full = spark.read.parquet(dir.resolve("embeddings.parquet").toString)
+    val n = full.count()
+    val head = dir.resolve("head").toString
+    val rest = dir.resolve("rest").toString
+    full.filter(col("vec_id") < n / 2).write.parquet(head)
+    full.filter(col("vec_id") >= n / 2).write.parquet(rest)
+    cat.registerTable("emb_head", head)
+    val engine = new Engine(spark, cat)
+    val p = dir.resolve("rpqidx").toString
+    val out = engine.execute("vindex create where table = emb_head " +
+      s"and path = $p and id = vec_id and vector = embedding " +
+      "and type = rpq and numsub = 4 and ksub = 8 and cells = 8")
+    assert(out.contains("type=rpq"))
+    engine.execute("vindex refresh where table = emb_head " +
+      s"and source = $rest")
+    // folded artifact == library fold of the same split
+    val stored = graft.ops.IndexStore.read(spark, p).get
+    val expectIdx = Similarity.refreshResidualIvfIndex(
+      Similarity.residualIvfIndex(spark.read.parquet(head),
+        "embedding", "vec_id", ncells = 8, numSub = 4, ksub = 8),
+      spark.read.parquet(rest), "embedding", "vec_id", numSub = 4)
+    assert(stored.exceptAll(expectIdx).count() === 0)
+    assert(expectIdx.exceptAll(stored).count() === 0)
+    // search through the command == library serve
+    val probes = dir.resolve("probes").toString
+    full.filter(col("vec_id") < 3).write.parquet(probes)
+    val reply = engine.execute("vindex search where table = emb_head " +
+      s"and probes = $probes and k = 2 and nprobe = 2")
+    val expect = Similarity.searchResidualIndex(stored,
+      spark.read.parquet(probes), "embedding", "vec_id", k = 2,
+      nprobe = 2, numSub = 4)
+    expect.collect().foreach { r =>
+      assert(reply.contains(s""""id":${r.getAs[Long]("id")}"""),
+        s"missing neighbor ${r.getAs[Long]("id")} in $reply")
+    }
+    // attach recovers numsub from the fine books
+    val engine2 = new Engine(spark, cat)
+    val att = engine2.execute("vindex attach where table = emb_head " +
+      s"and path = $p and type = rpq and id = vec_id " +
+      "and vector = embedding")
+    assert(att.contains("numsub=4"))
+  }
+}

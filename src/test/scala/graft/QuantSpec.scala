@@ -431,3 +431,65 @@ class IvfSq8Spec extends SparkSpec {
     }
   }
 }
+
+/** Standing residual-IVFADC index: the fold encodes against frozen
+  * books at BOTH quantizer levels, so fold == whole-corpus encode. */
+class ResidualIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("refreshResidualIvfIndex fold == encoding the full corpus " +
+      "against the initially trained books; serve == direct serve") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+      .limit(64).localCheckpoint()
+    val init = embs.filter($"vec_id" < 40)
+    val rest = embs.filter($"vec_id" >= 40)
+    val folded = Similarity.refreshResidualIvfIndex(
+      Similarity.residualIvfIndex(init, "embedding", "vec_id",
+        ncells = 8, numSub = 4, ksub = 8, iters = 1),
+      rest, "embedding", "vec_id", numSub = 4)
+    // rebuild reference: books from init, encode everything
+    val coarse = Similarity.pqCodebooks(init, "embedding", "vec_id",
+      numSub = 1, ksub = 8, iters = 1)
+    val cells = Similarity.pqEncode(embs, coarse, "embedding", "vec_id",
+      numSub = 1)
+    val resInit = Similarity.pqResiduals(init,
+      Similarity.pqEncode(init, coarse, "embedding", "vec_id", 1),
+      coarse, "embedding", "vec_id")
+    val fine = Similarity.pqResidualBooks(resInit, numSub = 4, ksub = 8,
+      iters = 1)
+    val resAll = Similarity.pqResiduals(embs, cells, coarse,
+      "embedding", "vec_id")
+    val rcodes = Similarity.pqResidualEncode(resAll, fine, numSub = 4)
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(set(folded.filter($"role" === "cell")
+        .select($"id", $"code")) ===
+      set(cells.select($"id", $"code")))
+    assert(set(folded.filter($"role" === "rcode")
+        .select($"id", $"sub", $"code")) ===
+      set(rcodes.select($"id", $"sub", $"code")))
+    // serve from the folded artifact == direct residual-ADC serve
+    val probes = embs.filter($"vec_id" < 5)
+    val a = set(Similarity.searchResidualIndex(folded, probes,
+      "embedding", "vec_id", k = 3, nprobe = 2, numSub = 4))
+    val b = set(Similarity.ivfAdcResidualTopK(cells, rcodes, coarse,
+      fine, probes, "embedding", "vec_id", k = 3, nprobe = 2,
+      numSub = 4))
+    assert(a === b)
+  }
+
+  test("re-folding the same batch replaces rows instead of duplicating") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+      .limit(48).localCheckpoint()
+    val init = embs.filter($"vec_id" < 32)
+    val rest = embs.filter($"vec_id" >= 32)
+    val once = Similarity.refreshResidualIvfIndex(
+      Similarity.residualIvfIndex(init, "embedding", "vec_id",
+        ncells = 8, numSub = 4, ksub = 8, iters = 1),
+      rest, "embedding", "vec_id", numSub = 4).localCheckpoint()
+    val twice = Similarity.refreshResidualIvfIndex(once, rest,
+      "embedding", "vec_id", numSub = 4)
+    assert(twice.exceptAll(once).count() === 0)
+    assert(once.exceptAll(twice).count() === 0)
+  }
+}
