@@ -1047,8 +1047,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           ncells = kv("cells").map(_.toInt).getOrElse(16), numSub = m,
           ksub = req("ksub").toInt,
           iters = kv("iters").map(_.toInt).getOrElse(1)), m)
+      case "sq8" =>
+        (graft.ops.Similarity.sq8Index(src, vecCol, idCol), 0)
       case other => throw new IllegalArgumentException(
-        s"vindex type must be pq, ivf or rpq, got $other")
+        s"vindex type must be pq, ivf, rpq or sq8, got $other")
     }
     val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
     vindexes += table -> VIndexMeta(path, kind, idCol, vecCol, numSub)
@@ -1080,6 +1082,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         meta.vecCol, meta.idCol, meta.numSub)
       case "rpq" => graft.ops.Similarity.refreshResidualIvfIndex(stored,
         delta, meta.vecCol, meta.idCol, meta.numSub)
+      case "sq8" => graft.ops.Similarity.refreshSq8Index(stored, delta,
+        meta.vecCol, meta.idCol)
       case _ => graft.ops.Similarity.refreshIvfIndex(stored, delta,
         meta.vecCol, meta.idCol)
     }).localCheckpoint()
@@ -1115,6 +1119,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       case "rpq" => graft.ops.Similarity.searchResidualIndex(stored,
         probes, meta.vecCol, meta.idCol, k,
         kv("nprobe").map(_.toInt).getOrElse(1), meta.numSub)
+      case "sq8" => graft.ops.Similarity.sq8SearchIndex(stored, probes,
+        meta.vecCol, meta.idCol, k)
       case _ => graft.ops.Similarity.ivfSearchIndex(stored, probes,
         meta.vecCol, meta.idCol, k,
         kv("nprobe").map(_.toInt).getOrElse(1))
@@ -1144,12 +1150,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         import org.apache.spark.sql.functions.{col, max}
         stored.filter(col("role") === "fbook").agg(max("sub")).head()
           .getInt(0) + 1
-      case _ => 0
+      case _ => 0 // ivf and sq8 carry their geometry in the artifact
     }
     vindexes += table -> VIndexMeta(path, kind, req("id"), req("vector"),
       numSub)
     s"vindex for $table attached from $path (type=$kind" +
-      (if (kind != "ivf") s", numsub=$numSub" else "") + ")"
+      (if (kind == "pq" || kind == "rpq") s", numsub=$numSub" else "") +
+      ")"
   }
 
   /** `tindex create where table = <t> and path = <dir> and id = <col>

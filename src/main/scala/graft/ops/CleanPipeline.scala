@@ -22,6 +22,7 @@ import graft.functions.F
   *      {"op": "redact_numbers"},
   *      {"op": "dsir_gate", "index": "/idx/dsir", "min_weight_q": 0},
   *      {"op": "bm25_gate", "index": "/idx/seeds", "min_score_q": 8192},
+  *      {"op": "blocklist", "patterns": "/lists/banned.parquet"},
   *      {"op": "domain_mixture", "source": "source", "budget_bp": 6000},
   *      {"op": "lm_quality_max", "max_score_q": 200000},
   *      {"op": "cluster_balance", "vec": "embedding", "quota": 1000},
@@ -76,6 +77,14 @@ object CleanPipeline {
     * probe rules out almost the whole batch map-side; only maybe-dups
     * reach the hash-index join. Read-only over the state. */
   final case class IncrementalExactDedup(statePath: String) extends Stage
+
+  /** Drop docs whose text CONTAINS any blocklisted phrase (parquet
+    * path with a `pat` string column — contaminant markers, banned
+    * boilerplate, eval-set canaries). Trigram pruning
+    * ([[Retrieval.likeSearch]]) keeps the scan map-only: only docs
+    * holding every trigram of some pattern reach the exact contains()
+    * verify, so a selective blocklist never LIKE-scans the corpus. */
+  final case class Blocklist(patternsPath: String) extends Stage
 
   /** Gate a crawl on a STANDING SEED postings index (parquet path of a
     * [[Retrieval.postingsIndex]] artifact, IndexStore-committed): keep
@@ -155,6 +164,7 @@ object CleanPipeline {
             (st \ "threshold").extractOpt[Double].getOrElse(0.35))
           case "incremental_exactdedup" => IncrementalExactDedup(
             (st \ "state").extract[String])
+          case "blocklist" => Blocklist((st \ "patterns").extract[String])
           case "bm25_gate" => Bm25Gate(
             (st \ "index").extract[String],
             (st \ "min_score_q").extractOpt[Long].getOrElse(0L))
@@ -286,6 +296,12 @@ object CleanPipeline {
               "left_semi")
             .select(col(id)).distinct()
           cur.join(drop, Seq(id), "left_anti")
+        case Blocklist(path) =>
+          val pats = cur.sparkSession.read.parquet(path)
+          val hit = Retrieval.likeSearch(
+              Retrieval.trigramIndex(cur, txt, id), cur, pats, txt, id)
+            .select(col("id").as(id)).distinct()
+          cur.join(hit, Seq(id), "left_anti")
         case Bm25Gate(path, minScoreQ) =>
           val idx = IndexStore.read(cur.sparkSession, path).getOrElse(
             throw new IllegalArgumentException(

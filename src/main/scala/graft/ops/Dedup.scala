@@ -1927,6 +1927,56 @@ object Similarity {
       .select(col("id"), expr(
         "zip_with(codes, spans, (c, s) -> c * s)").as("rec"))
 
+  /** Build a STANDING SQ8 index: the coded corpus plus the per-dim
+    * stats row in ONE role-tagged frame ("code" | "stat"), committing
+    * through a single [[IndexStore]] dir. [[refreshSq8Index]] encodes
+    * new vectors against the RECORDED stats (classic SQ add — the
+    * min/span grid never moves, codes stay comparable across batches;
+    * out-of-range drift saturates at the boundary codes, and the
+    * reconstruction-error probe is the rebuild gauge);
+    * [[sq8SearchIndex]] serves asymmetric top-k from the artifact. */
+  def sq8Index(corpus: DataFrame, vecCol: String, idCol: String,
+      scale: Int = 1000): DataFrame = {
+    val stats = sq8Stats(corpus, vecCol, scale)
+    sq8IndexRows(sq8Encode(corpus, stats, vecCol, idCol, scale), stats)
+  }
+
+  private def sq8IndexRows(codes: DataFrame,
+      stats: DataFrame): DataFrame =
+    codes.select(lit("code").as("role"), col("id"), col("codes"),
+        lit(null).cast("array<bigint>").as("mns"),
+        lit(null).cast("array<bigint>").as("spans"))
+      .unionByName(stats.select(lit("stat").as("role"),
+        lit(null).cast("bigint").as("id"),
+        lit(null).cast("array<bigint>").as("codes"),
+        col("mns"), col("spans")))
+
+  private def sq8IndexStats(index: DataFrame): DataFrame =
+    index.filter(col("role") === "stat").select(col("mns"), col("spans"))
+
+  /** Fold NEW vectors against the RECORDED per-dim grid;
+    * already-present ids are replaced ([[refreshPqIndex]] contract). */
+  def refreshSq8Index(index: DataFrame, newVecs: DataFrame,
+      vecCol: String, idCol: String, scale: Int = 1000): DataFrame = {
+    val fresh = sq8Encode(newVecs, sq8IndexStats(index), vecCol, idCol,
+      scale)
+    index
+      .join(fresh.select(col("id").as("__bid")),
+        col("id") === col("__bid") && col("role") === "code",
+        "left_anti")
+      .unionByName(fresh.select(lit("code").as("role"), col("id"),
+        col("codes"), lit(null).cast("array<bigint>").as("mns"),
+        lit(null).cast("array<bigint>").as("spans")))
+  }
+
+  /** Serve asymmetric SQ8 top-k from the standing artifact. */
+  def sq8SearchIndex(index: DataFrame, probes: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      scale: Int = 1000): DataFrame =
+    sq8TopK(index.filter(col("role") === "code")
+        .select(col("id"), col("codes")),
+      sq8IndexStats(index), probes, vecCol, idCol, k, scale)
+
   /** IVF × SQ8 serving: probes route to their `nprobe` nearest COARSE
     * cells (the [[ivfAdcTopK]] routing leg — same integer-lattice
     * coarse quantizer at numSub=1), then the asymmetric SQ8 distance

@@ -126,8 +126,8 @@ object QuantQueries {
   /** Parameterized replica of the [[dPqTrain]] CTE chain with
     * `p`-prefixed names, so one WITH can train two codebook families
     * (coarse + fine) over the shared quantized corpus `e`. Emits
-    * ${p}sub, ${p}seeds, ${p}a1, ${p}re, ${p}c1, ${p}a2. */
-  /** Train CTEs with prefix `$p`. `trainWhere` != "TRUE" trains the
+    * ${p}sub, ${p}seeds, ${p}a1, ${p}re, ${p}c1, ${p}a2.
+    * `trainWhere` != "TRUE" trains the
     * codebooks on the predicate's subset ONLY, then `a2` assigns the
     * FULL `src` against the frozen books — the standing-index fold
     * semantics (q113/q127); the default emits the original
@@ -593,6 +593,56 @@ object QuantQueries {
         ORDER BY adc_d2, vec_id) AS INT) AS rank FROM sc)
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  // ===================================================================
+  // q128 — STANDING SQ8 index: the per-dim grid trained on vec_id <
+  // 400, the rest folded in against the RECORDED stats (saturating
+  // clamp for out-of-grid values — folded vectors CAN exceed the
+  // trained min/max, exercising the drift path), asymmetric serve
+  // from the artifact. Probes vec_id < 20, k=3.
+  // ===================================================================
+
+  private val q128: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val idx = Similarity.refreshSq8Index(
+      Similarity.sq8Index(vecs.filter(col("vec_id") < 400),
+        "embedding", "vec_id"),
+      vecs.filter(col("vec_id") >= 400), "embedding", "vec_id")
+    Similarity.sq8SearchIndex(idx, vecs.filter(col("vec_id") < 20),
+        "embedding", "vec_id", k = 3)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sq_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q128Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    dim AS (SELECT unnest(list_transform(range(len(vq)),
+        j -> {'j': j, 'x': vq[CAST(j AS INT) + 1]})) AS u FROM e
+      WHERE vec_id < 400),
+    pd AS (SELECT CAST(u.j AS BIGINT) AS j, min(u.x) AS mn,
+        greatest(max(u.x) - min(u.x), 1) AS span FROM dim GROUP BY 1),
+    st AS (SELECT list(mn ORDER BY j) AS mns,
+        list(span ORDER BY j) AS spans FROM pd),
+    codes AS (SELECT vec_id, list_transform(range(len(vq)),
+        j -> least(255, greatest(0,
+          ((vq[CAST(j AS INT) + 1] - mns[CAST(j AS INT) + 1]) * 255)
+            // spans[CAST(j AS INT) + 1])) * spans[CAST(j AS INT) + 1])
+        AS rec
+      FROM e, st),
+    pr AS (SELECT vec_id AS q_id, list_transform(range(len(vq)),
+        j -> (vq[CAST(j AS INT) + 1] - mns[CAST(j AS INT) + 1]) * 255)
+        AS p255
+      FROM e, st WHERE vec_id < 20),
+    sc AS (SELECT p.q_id, c.vec_id,
+        ${dSqDistQ("p.p255", "c.rec")} AS sq_d2
+      FROM codes c, pr p WHERE c.vec_id != p.q_id)
+    SELECT q_id, rank, vec_id, sq_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY sq_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
     "q111_pq_adc_topk" -> q111,
@@ -603,7 +653,8 @@ object QuantQueries {
     "q116_cluster_balance" -> q116,
     "q120_sq8_topk" -> q120,
     "q122_ivf_sq8_topk" -> q122,
-    "q127_residual_standing_index" -> q127)
+    "q127_residual_standing_index" -> q127,
+    "q128_sq8_standing_index" -> q128)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
@@ -615,5 +666,6 @@ object QuantQueries {
     "q116_cluster_balance" -> q116Sql,
     "q120_sq8_topk" -> q120Sql,
     "q122_ivf_sq8_topk" -> q122Sql,
-    "q127_residual_standing_index" -> q127Sql)
+    "q127_residual_standing_index" -> q127Sql,
+    "q128_sq8_standing_index" -> q128Sql)
 }

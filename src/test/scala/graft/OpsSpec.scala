@@ -1313,6 +1313,33 @@ class CurationStagesSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < scores.length)
   }
 
+  test("blocklist stage drops exactly the contains() docs via trigram " +
+      "pruning") {
+    import graft.ops.Retrieval
+    val docs = Tables.load(spark, sfDir, "documents")
+    // blocklist = the corpus's most frequent bigram as a literal phrase
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    val pr = Retrieval.positionRows(idx)
+    val top = pr.as("a").join(pr.as("b"),
+        col("a.id") === col("b.id") && col("b.p") === col("a.p") + 1)
+      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2")).limit(1).head()
+    val phrase = s"${top.getString(0)} ${top.getString(1)}"
+    val dir = java.nio.file.Files.createTempDirectory("blk")
+      .resolve("pats").toString
+    Seq(phrase).toDF("pat").write.parquet(dir)
+    val out = CleanPipeline.run(s"""
+      {"pipeline": {"stages": [
+        {"op": "blocklist", "patterns": "$dir"}
+      ]}}""", docs)
+    val kept = out.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val expect = docs.filter(!col("text").contains(phrase))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === expect)
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
+
   test("domain_mixture stage draws exactly q106's per-source counts") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = CleanPipeline.run("""

@@ -493,3 +493,35 @@ class ResidualIndexSpec extends SparkSpec {
     assert(once.exceptAll(twice).count() === 0)
   }
 }
+
+/** Standing SQ8 index: frozen-grid fold, saturating drift, serve ==
+  * direct SQ8 over the same parts. */
+class Sq8IndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("refreshSq8Index encodes against the RECORDED grid; fold == " +
+      "whole-corpus encode; serve == direct sq8TopK") {
+    val embs = graft.engine.Tables.load(spark, sfDir, "embeddings")
+      .limit(64).localCheckpoint()
+    val init = embs.filter($"vec_id" < 40)
+    val folded = Similarity.refreshSq8Index(
+      Similarity.sq8Index(init, "embedding", "vec_id"),
+      embs.filter($"vec_id" >= 40), "embedding", "vec_id")
+    val stats = Similarity.sq8Stats(init, "embedding")
+    val codes = Similarity.sq8Encode(embs, stats, "embedding", "vec_id")
+    def set(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(set(folded.filter($"role" === "code")
+        .select($"id", $"codes")) === set(codes))
+    val probes = embs.filter($"vec_id" < 5)
+    assert(set(Similarity.sq8SearchIndex(folded, probes, "embedding",
+        "vec_id", k = 3)) ===
+      set(Similarity.sq8TopK(codes, stats, probes, "embedding",
+        "vec_id", k = 3)))
+    // re-fold replaces, never duplicates
+    val twice = Similarity.refreshSq8Index(folded.localCheckpoint(),
+      embs.filter($"vec_id" >= 40), "embedding", "vec_id")
+    assert(twice.exceptAll(folded).count() === 0)
+    assert(folded.exceptAll(twice).count() === 0)
+  }
+}
