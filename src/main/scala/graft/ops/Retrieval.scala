@@ -269,6 +269,41 @@ object Retrieval {
         min(abs(col("pb") - col("p"))).as("min_dist"))
   }
 
+  /** The quantized reciprocal-rank-fusion contribution of one ranked
+    * list — ONE expression text shared with the DuckDB oracle
+    * (floor(2^14 / (kRrf + rank)), the [[bm25Contrib]] discipline). */
+  private[ops] def rrfContrib(rank: String, kRrf: Int): String =
+    s"cast(floor(16384.0 / (cast($kRrf as double) + " +
+      s"cast($rank as double))) as bigint)"
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * ranked lists `(q_id, rank, id)` — the standard hybrid-search
+    * combiner (BM25 leg + vector leg): score = Σ floor(2^14 /
+    * (kRrf + rank)) over the lists that ranked the doc, re-ranked
+    * top-k per query. Rank-based, so the legs' score scales never need
+    * calibrating; integer contributions keep the fusion exact and
+    * order-independent. Both inputs are top-k-bounded (probes × k
+    * rows) — the fusion is broadcast-sized by construction. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(k >= 1 && kRrf >= 1, "k and kRrf must be >= 1")
+    val fa = a.select(col("q_id"), col("id"),
+      expr(rrfContrib("rank", kRrf)).as("ca"))
+    val fb = b.select(col("q_id").as("__q2"), col("id").as("__i2"),
+      expr(rrfContrib("rank", kRrf)).as("cb"))
+    fa.join(fb, col("q_id") === col("__q2") &&
+        col("id") === col("__i2"), "full_outer")
+      .select(coalesce(col("q_id"), col("__q2")).as("q_id"),
+        coalesce(col("id"), col("__i2")).as("id"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L)))
+          .as("rrf_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_q").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("rrf_q"))
+  }
+
   /** Character-trigram index for substring (LIKE '%...%') search
     * acceleration — the pg_trgm technique: `(h, id)` rows, one per
     * DISTINCT char 3-gram per doc (native one-pass

@@ -247,7 +247,90 @@ object RetrievalQueries {
     SELECT d.doc_id, t.pat FROM documents d, top1 t
     WHERE contains(d.text, t.pat) ORDER BY d.doc_id"""
 
+  // ===================================================================
+  // q129 — HYBRID search (RRF): the BM25 text leg and the exact
+  // quantized-L2 vector leg (documents and embeddings share the id
+  // space by construction) each rank top-10 for probes id < 5; fusion
+  // = quantized reciprocal-rank sum, re-ranked top-5. The standard
+  // two-tower serving combiner, end-to-end under the oracle.
+  // ===================================================================
+
+  private val q129: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val bm = Retrieval.bm25TopK(
+      Retrieval.postingsIndex(docs, "text", "doc_id"),
+      docs.filter(col("doc_id") < 5), "text", "doc_id", k = 10)
+    val vq = vecs.select(col("vec_id").as("id"), expr(
+      "transform(embedding, x -> cast(floor(x * 1000) as bigint))")
+      .as("vq"))
+    val d2 = "aggregate(zip_with(a_vq, b_vq, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as bigint), (acc, v) -> acc + v)"
+    val vr = vq.filter(col("id") < 5)
+      .select(col("id").as("q_id"), col("vq").as("a_vq"))
+      .crossJoin(vq.select(col("id"), col("vq").as("b_vq")))
+      .filter(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"), expr(d2).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d2"), col("id"))))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("id"))
+    Retrieval.rrfFuse(bm.select(col("q_id"), col("rank"), col("id")),
+        vr, k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q129Sql = {
+    val contrib = Retrieval.bm25Contrib("p.tf", "df", "l.dl", "n_docs",
+      "avgdl", Retrieval.k1Lit(12), Retrieval.bLit(75))
+    val dD2 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(len(a.vq)), " +
+      "i -> (a.vq[i+1] - b.vq[i+1]) * (a.vq[i+1] - b.vq[i+1]))), " +
+      "(acc, v) -> acc + v)"
+    s"""$dTokPrefix,
+    stats AS (SELECT count(*) AS n_docs,
+        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM lens),
+    qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+      FROM tk WHERE doc_id < 5),
+    dfq AS (SELECT term, count(*) AS df FROM post
+      WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+    c AS (SELECT q.q_id, p.doc_id, $contrib AS c
+      FROM post p JOIN qt q USING (term) JOIN dfq USING (term)
+        JOIN lens l ON l.doc_id = p.doc_id, stats
+      WHERE p.doc_id != q.q_id),
+    sc AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+      FROM c GROUP BY 1, 2),
+    bm AS (SELECT q_id, doc_id, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY score_q DESC, doc_id) AS INT) AS rank FROM sc)
+      WHERE rank <= 10),
+    ve AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    vr AS (SELECT q_id, doc_id, rank FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+        CAST(row_number() OVER (PARTITION BY a.vec_id
+          ORDER BY $dD2, b.vec_id) AS INT) AS rank
+      FROM ve a JOIN ve b ON b.vec_id != a.vec_id
+      WHERE a.vec_id < 5) WHERE rank <= 10),
+    fused AS (SELECT coalesce(bm.q_id, vr.q_id) AS q_id,
+        coalesce(bm.doc_id, vr.doc_id) AS doc_id,
+        coalesce(${Retrieval.rrfContrib("bm.rank", 60)}, 0) +
+          coalesce(${Retrieval.rrfContrib("vr.rank", 60)}, 0) AS rrf_q
+      FROM bm FULL OUTER JOIN vr
+        ON vr.q_id = bm.q_id AND vr.doc_id = bm.doc_id)
+    SELECT q_id, rank, doc_id, rrf_q FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY rrf_q DESC, doc_id) AS INT) AS rank FROM fused)
+    WHERE rank <= 5 ORDER BY q_id, rank"""
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q129_hybrid_rrf" -> q129,
     "q117_bm25_topk" -> q117,
     "q118_postings_standing_index" -> q118,
     "q119_phrase_search" -> q119,
@@ -256,6 +339,7 @@ object RetrievalQueries {
     "q126_trigram_like" -> q126)
 
   val oracles: Map[String, String] = Map(
+    "q129_hybrid_rrf" -> q129Sql,
     "q117_bm25_topk" -> q117Sql,
     "q118_postings_standing_index" -> q118Sql,
     "q119_phrase_search" -> q119Sql,

@@ -930,3 +930,67 @@ class IngestChainE2ESpec extends SparkSpec {
       .isDefined)
   }
 }
+
+class SearchIngestChainE2ESpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("search-serving ingest on one checkpointed stream: postings + " +
+      "CMS + HLL fold per batch, exactly once, artifacts serve live") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("schain")
+    val postDir = root.resolve("post").toString
+    val cmsDir = root.resolve("cms").toString
+    val hllDir = root.resolve("hll").toString
+
+    val mem = MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val toks = b.select(explode(
+          graft.ops.TextOps.tokens(col("text"))).as("term"))
+          .localCheckpoint()
+        graft.streaming.StreamOps.postingsIngestBatchOnce(b, id,
+          postDir, "text", "doc_id")
+        graft.streaming.StreamOps.cmsIngestBatchOnce(toks, id, cmsDir,
+          "term", depth = 4, width = 64)
+        graft.streaming.StreamOps.hllIngestBatchOnce(toks, id, hllDir,
+          "term", m = 64)
+        ()
+      }.start()
+    val docs = Seq(
+      (1L, "spark shuffle plan"),
+      (2L, "spark join"),
+      (3L, "shuffle shuffle plan"),
+      (4L, "completely new words"))
+    try {
+      mem.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      mem.addData(docs(2), docs(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val all = docs.toDF("doc_id", "text")
+    // postings artifact == whole-corpus rebuild; BM25 serves from it
+    val post = graft.ops.IndexStore.read(spark, postDir).get
+    val rebuilt = graft.ops.Retrieval.postingsIndex(all, "text", "doc_id")
+    assert(post.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(post).count() === 0)
+    val hits = graft.ops.Retrieval.bm25TopK(post,
+      all.filter($"doc_id" === 1), "text", "doc_id", k = 3)
+    assert(hits.count() > 0)
+    // CMS == whole-stream counts ("shuffle" occurs 3x total)
+    val cms = graft.ops.IndexStore.read(spark, cmsDir).get
+    assert(graft.ops.Sketches.cmsEstimate(cms,
+        Seq("shuffle").toDF("term"), "term", 4, 64)
+      .head().getLong(1) === 3L)
+    // HLL == whole-stream registers (9 distinct terms)
+    val hll = graft.ops.IndexStore.read(spark, hllDir).get
+    val whole = graft.ops.Sketches.hllRegisters(
+      all.select(explode(graft.ops.TextOps.tokens($"text")).as("term")),
+      "term", 64)
+    assert(hll.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(hll).count() === 0)
+  }
+}

@@ -189,6 +189,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 4L))
   }
 
+  test("rrfFuse: both-legs doc outranks single-leg doc at equal rank; " +
+      "single-leg docs still fuse (full-outer)") {
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("q_id", "rank", "id")
+    val b = Seq((1L, 1, 10L), (1L, 2, 12L)).toDF("q_id", "rank", "id")
+    val out = Retrieval.rrfFuse(a, b, k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    // 10 in both legs at rank 1: 2*floor(16384/61) = 2*268 = 536
+    assert(out(0) === ((1, 10L, 536L)))
+    // 11 and 12 each rank-2 single-leg: floor(16384/62) = 264; tie
+    // breaks by id
+    assert(out(1) === ((2, 11L, 264L)))
+    assert(out(2) === ((3, 12L, 264L)))
+  }
+
   test("phraseMatch handles repeated-token phrases (w1 == w2)") {
     val docs = Seq((1L, "b b b"), (2L, "b a b")).toDF("doc_id", "text")
     val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
