@@ -519,6 +519,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("tindex snippet")) tindexSnippet(t)
     else if (low.startsWith("tindex like")) tindexLike(t)
     else if (low.startsWith("tindex attach")) tindexAttach(t)
+    else if (low.startsWith("hybrid search")) hybridSearch(t)
     else if (low.startsWith("tindex drop")) {
       val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
         .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
@@ -1358,6 +1359,57 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     tindexes += table -> TIndexMeta(path, req("id"), req("text"), grams)
     s"tindex for $table attached from $path" +
       (if (grams) " (+trigram sidecar)" else "")
+  }
+
+  /** `hybrid search where table = <t> and probes = <table|path> and
+    * k = <n> [and k_leg = <n>] [and nprobe = <n>] [and format =
+    * table]` — reciprocal-rank fusion of the table's REGISTERED text
+    * index (BM25 leg) and vector index (ANN leg): the q129 composition
+    * on the command surface. The probe source must carry both the
+    * text column and the vector column the two indexes were built on;
+    * each leg ranks its top `k_leg` (default 2k), the fusion re-ranks
+    * top k ([[graft.ops.Retrieval.rrfFuse]]). */
+  private def hybridSearch(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"hybrid search requires $k ="))
+    val table = req("table")
+    val tmeta = tindexes.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"hybrid search needs a tindex registered for $table"))
+    val vmeta = vindexes.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"hybrid search needs a vindex registered for $table"))
+    val src = req("probes")
+    val probes =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val k = req("k").toInt
+    val kLeg = kv("k_leg").map(_.toInt).getOrElse(2 * k)
+    val tstored = graft.ops.IndexStore.read(spark, tmeta.path).getOrElse(
+      throw new IllegalStateException(s"no tindex artifact at ${tmeta.path}"))
+    val vstored = graft.ops.IndexStore.read(spark, vmeta.path).getOrElse(
+      throw new IllegalStateException(s"no vindex artifact at ${vmeta.path}"))
+    import org.apache.spark.sql.functions.col
+    val textLeg = graft.ops.Retrieval.bm25TopK(tstored, probes,
+        tmeta.textCol, tmeta.idCol, kLeg)
+      .select(col("q_id"), col("rank"), col("id"))
+    val nprobe = kv("nprobe").map(_.toInt).getOrElse(1)
+    val vecLeg = (vmeta.kind match {
+      case "pq" => graft.ops.Similarity.pqSearchIndex(vstored, probes,
+        vmeta.vecCol, vmeta.idCol, kLeg, vmeta.numSub)
+      case "rpq" => graft.ops.Similarity.searchResidualIndex(vstored,
+        probes, vmeta.vecCol, vmeta.idCol, kLeg, nprobe, vmeta.numSub)
+      case "sq8" => graft.ops.Similarity.sq8SearchIndex(vstored, probes,
+        vmeta.vecCol, vmeta.idCol, kLeg)
+      case _ => graft.ops.Similarity.ivfSearchIndex(vstored, probes,
+        vmeta.vecCol, vmeta.idCol, kLeg, nprobe)
+    }).select(col("q_id"), col("rank"), col("id"))
+    val result = graft.ops.Retrieval.rrfFuse(textLeg, vecLeg, k)
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
   }
 
   private def dropPartition(t: String): String = {

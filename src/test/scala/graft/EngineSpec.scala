@@ -791,3 +791,56 @@ class RpqVIndexCommandSpec extends SparkSpec {
     assert(att.contains("numsub=4"))
   }
 }
+
+class HybridSearchCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+  import graft.ops.{Retrieval, Similarity}
+
+  test("hybrid search fuses the registered tindex (BM25) and vindex " +
+      "(SQ8) legs — command == library rrfFuse composition") {
+    val dir = java.nio.file.Files.createTempDirectory("hybrid")
+    // one table carrying text AND embedding (ids align by construction)
+    val joined = spark.read.parquet(s"$sfDir/documents.parquet")
+      .join(spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+    val tablePath = dir.resolve("corpus").toString
+    joined.write.parquet(tablePath)
+    val cat = new Catalog(spark)
+    cat.registerTable("corpus", tablePath)
+    val engine = new Engine(spark, cat)
+    val tp = dir.resolve("tidx").toString
+    val vp = dir.resolve("vidx").toString
+    engine.execute("tindex create where table = corpus " +
+      s"and path = $tp and id = doc_id and text = text")
+    engine.execute("vindex create where table = corpus " +
+      s"and path = $vp and id = doc_id and vector = embedding " +
+      "and type = sq8")
+    val probes = dir.resolve("probes").toString
+    joined.filter(col("doc_id") < 3).write.parquet(probes)
+    val reply = engine.execute("hybrid search where table = corpus " +
+      s"and probes = $probes and k = 3")
+    // library composition over the same artifacts
+    val tstored = graft.ops.IndexStore.read(spark, tp).get
+    val vstored = graft.ops.IndexStore.read(spark, vp).get
+    val pdf = spark.read.parquet(probes)
+    val expect = Retrieval.rrfFuse(
+      Retrieval.bm25TopK(tstored, pdf, "text", "doc_id", 6)
+        .select(col("q_id"), col("rank"), col("id")),
+      Similarity.sq8SearchIndex(vstored, pdf, "embedding", "doc_id", 6)
+        .select(col("q_id"), col("rank"), col("id")),
+      k = 3).collect()
+    assert(expect.nonEmpty)
+    expect.foreach { r =>
+      assert(reply.contains(
+        s""""rrf_q":${r.getAs[Long]("rrf_q")}"""),
+        s"missing fused score ${r.getAs[Long]("rrf_q")} in $reply")
+    }
+    // without a vindex the command refuses loudly
+    cat.registerTable("corpus2", tablePath)
+    engine.execute("tindex create where table = corpus2 " +
+      s"and path = ${dir.resolve("t2")} and id = doc_id and text = text")
+    intercept[IllegalArgumentException](engine.execute(
+      s"hybrid search where table = corpus2 and probes = $probes and k = 3"))
+  }
+}

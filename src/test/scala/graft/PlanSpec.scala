@@ -368,6 +368,27 @@ class PipelinePlanSpec extends SparkSpec {
       s"$windows:\n$p")
   }
 
+  test("q128: standing-SQ8 serve keeps the q120 discipline — broadcast " +
+      "stats/probes, no sort-merge join, one rank window") {
+    val p = planOf("q128_sq8_standing_index")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin"),
+      s"SQ8 standing serve must broadcast probes:\n$p")
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 1, s"expected only the rank window, got " +
+      s"$windows:\n$p")
+  }
+
+  test("q129: hybrid RRF legs stay top-k-bounded — the fusion join is " +
+      "on bounded rank lists, never corpus-sized") {
+    val p = planOf("q129_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"))
+    // each leg caps with WindowGroupLimit before the fusion join
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"both legs must cap top-k before fusing:\n$p")
+    assert(p.contains("partial_sum"))
+  }
+
   test("q119: phrase search broadcasts the phrase set into equi-joins; " +
       "the position-adjacency join is an equi-join, never cartesian") {
     val p = planOf("q119_phrase_search")

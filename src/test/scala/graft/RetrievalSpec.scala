@@ -189,6 +189,22 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 4L))
   }
 
+  test("bm25 top-1 of a duplicated doc is its exact twin (the " +
+      "retrieval-quality sanity the exact-copy probe scales up)") {
+    val base = (0 until 20).map(i =>
+      (i.toLong, s"w${i}a w${i}b w${i}c shared common tail"))
+    val twins = (0 until 20).map(i => (100L + i, base(i)._2))
+    val docs = (base ++ twins).toDF("doc_id", "text")
+    val idx = Retrieval.postingsIndex(docs, "text", "doc_id")
+    val top1 = Retrieval.bm25TopK(idx,
+        docs.filter(col("doc_id") >= 100), "text", "doc_id", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(top1.length === 20)
+    top1.foreach { case (q, id) =>
+      assert(id === q - 100, s"probe $q: top-1 must be its twin, got $id")
+    }
+  }
+
   test("rrfFuse: both-legs doc outranks single-leg doc at equal rank; " +
       "single-leg docs still fuse (full-outer)") {
     val a = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("q_id", "rank", "id")
