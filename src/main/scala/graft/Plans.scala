@@ -130,6 +130,14 @@ object Plans {
           "then collapse map-side to <= depth*width cells — shuffle " +
           "volume independent of corpus size; estimates join the " +
           "broadcast counter cells"),
+      "q128_sq8_standing_index" ->
+        ("standing SQ8: fold encodes against the RECORDED per-dim " +
+          "grid; serve is the broadcast-probe asymmetric scan over " +
+          "coded rows"),
+      "q129_hybrid_rrf" ->
+        ("hybrid RRF: BM25 leg + vector leg each WindowGroupLimit-" +
+          "capped top-k, fused on bounded rank lists — never " +
+          "corpus-sized"),
       "q127_residual_standing_index" ->
         ("standing residual-IVFADC: fold encodes against FROZEN books " +
           "at both quantizer levels; serve routes cells then " +

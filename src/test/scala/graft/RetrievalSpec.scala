@@ -117,6 +117,30 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("fold == rebuild over random corpora and random 3-way splits " +
+      "(seeded)") {
+    val rnd = new scala.util.Random(42)
+    val words = Array("a", "bb", "ccc", "dd", "e", "fff", "g")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 30).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(12))(
+          words(rnd.nextInt(words.length))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val (c1, c2) = (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      val (lo, hi) = (math.min(c1, c2), math.max(c1, c2))
+      val folded = Retrieval.refreshPostingsIndex(
+        Retrieval.refreshPostingsIndex(
+          Retrieval.postingsIndex(docs.filter(col("doc_id") < lo),
+            "text", "doc_id"),
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi),
+          "text", "doc_id"),
+        docs.filter(col("doc_id") >= hi), "text", "doc_id")
+      val full = Retrieval.postingsIndex(docs, "text", "doc_id")
+      assert(folded.exceptAll(full).count() === 0, s"trial $trial")
+      assert(full.exceptAll(folded).count() === 0, s"trial $trial")
+    }
+  }
+
   // ===================================================================
   // Phrase search
   // ===================================================================
