@@ -1773,8 +1773,15 @@ object Similarity {
       scale: Int = 1000): DataFrame = {
     val coarse = pqCodebooks(corpus, vecCol, idCol, 1, ncells, iters,
       scale)
+    // cells and residuals each feed TWO consumers (artifact rows +
+    // fine-book training / encode); materialize once — both are
+    // artifact-sized (numSub ints / dims longs per vector), and
+    // re-running the broadcast-argmin over the corpus per consumer
+    // would double the build's dominant stage
     val cells = pqEncode(corpus, coarse, vecCol, idCol, 1, scale)
+      .localCheckpoint()
     val res = pqResiduals(corpus, cells, coarse, vecCol, idCol, scale)
+      .localCheckpoint()
     val fine = pqResidualBooks(res, numSub, ksub, iters)
     residualRows(cells, pqResidualEncode(res, fine, numSub))
       .unionByName(residualBookRows(coarse, fine))

@@ -328,10 +328,12 @@ object QuantQueries {
     val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
     val coarse = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
       numSub = 1, ksub = 16, iters = 1, scale = 1000)
+    // cells and res each feed two consumers — materialize once (the
+    // residualIvfIndex build does the same; result is hash-identical)
     val cells = Similarity.pqEncode(vecs, coarse, "embedding", "vec_id",
-      numSub = 1, scale = 1000)
+      numSub = 1, scale = 1000).localCheckpoint()
     val res = Similarity.pqResiduals(vecs, cells, coarse,
-      "embedding", "vec_id", scale = 1000)
+      "embedding", "vec_id", scale = 1000).localCheckpoint()
     val books = Similarity.pqResidualBooks(res, numSub = 4, ksub = 8,
       iters = 1)
     val rcodes = Similarity.pqResidualEncode(res, books, numSub = 4)
