@@ -446,4 +446,201 @@ object Curation {
       .filter(col("rank") <= quota)
       .select(col("cell"), col("rank"), col("id"))
   }
+
+  // =====================================================================
+  // Multinomial Naive Bayes text classifier (the fastText-style
+  // supervised filter of production curation stacks — CCNet / GPT-3
+  // quality classifiers, Wenzek et al. 2020 §4.3): train per-class
+  // token counts on a labeled seed set, score unlabeled docs by
+  // argmax_c [ log P(c) + Σ_w log P(w|c) ] with add-one smoothing.
+  // =====================================================================
+
+  /** Quantized add-one-smoothed class-conditional token log-prob —
+    * ONE expression text shared verbatim with the DuckDB oracle (the
+    * [[Retrieval.bm25Contrib]] discipline): the single `ln` lands on
+    * the 2^-14 integer lattice, so per-doc class scores are exact
+    * int64 sums, order-independent under any partial aggregation. */
+  private[ops] def nbLp(c: String, tot: String, v: String): String =
+    s"cast(floor(16384.0 * ln(cast($c + 1 as double) / ($tot + $v))) as bigint)"
+
+  /** Quantized class log-prior, same lattice/sharing contract. */
+  private[ops] def nbPrior(dc: String, n: String): String =
+    s"cast(floor(16384.0 * ln(cast($dc as double) / $n)) as bigint)"
+
+  /** STANDING Naive-Bayes count artifact over a labeled training set —
+    * one role-tagged frame (the [[dsirIndex]] / postings-index
+    * discipline, so the whole artifact commits through a single
+    * IndexStore version):
+    *  - role="wc": (label, w, c) — per-(class, token) occurrence counts
+    *  - role="dc": (label, null, c) — per-class document counts
+    * Pure integer histograms: the fold ([[refreshNbCounts]]) is exact
+    * addition, so index built batch-by-batch equals index built at
+    * once. Smoothed log-probs are derived at CLASSIFY time from the
+    * counts — refreshing never has to rescale the model.
+    *
+    * Scale shape: ONE corpus-sized hash-aggregate on (label, token);
+    * the artifact is vocab-sized (Σ_c |vocab_c| rows), never
+    * corpus-sized. */
+  def nbCounts(train: DataFrame, textCol: String,
+      labelCol: String): DataFrame = {
+    val wc = train
+      .select(col(labelCol).as("label"),
+        explode(TextOps.tokens(col(textCol))).as("w"))
+      .groupBy("label", "w").agg(count(lit(1)).as("c"))
+      .select(lit("wc").as("role"), col("label"), col("w"), col("c"))
+    val dc = train
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("c"))
+      .select(lit("dc").as("role"), col("label"),
+        lit(null).cast("string").as("w"), col("c"))
+    wc.unionByName(dc)
+  }
+
+  /** Fold a labeled batch into a standing NB count artifact: compute
+    * the batch's counts and ADD (integer sums — any fold order yields
+    * the identical artifact; q131 proves fold == rebuild under the
+    * differential oracle). */
+  def refreshNbCounts(index: DataFrame, batch: DataFrame,
+      textCol: String, labelCol: String): DataFrame =
+    index.unionByName(nbCounts(batch, textCol, labelCol))
+      .groupBy("role", "label", "w").agg(sum(col("c")).as("c"))
+
+  /** Classify `docs` against a standing NB count artifact: per doc, the
+    * argmax-class of `prior(c) + Σ_{tokens w in training vocab} lp(w,c)`
+    * (quantized lattice units, exact int64 sums). Returns
+    * `(<idCol>, n_tok, pred_label, score_q)` — `n_tok` = in-vocab token
+    * instances; docs with zero in-vocab tokens yield no row (no
+    * evidence either way — both engines drop them identically).
+    *
+    * Model derivation (all artifact-sized): the DENSE (vocab × classes)
+    * smoothed log-prob table — unseen (w, c) pairs get the add-one
+    * default — so the scoring join on the token key alone yields every
+    * class's contribution per token with no per-class default
+    * bookkeeping. At 10M vocab × 10 classes that is 100M short rows:
+    * shuffle-joinable, deliberately NOT broadcast (AQE may still choose
+    * to). Scoring pass: ONE shuffle (tokens join model on `w`), one
+    * (id, label) partial-agg, then a per-id argmin aggregate
+    * `min(struct(-score, label))` — max score, ties to the smallest
+    * label, no window, fully map-side-combining. */
+  def nbClassify(counts: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val wc = counts.filter(col("role") === "wc")
+      .select(col("label"), col("w"), col("c"))
+    val dc = counts.filter(col("role") === "dc")
+      .select(col("label"), col("c").as("dc"))
+    val labels = wc.groupBy("label").agg(sum(col("c")).as("tot"))
+      .join(dc, Seq("label"))
+    val nv = dc.agg(sum(col("dc")).as("n"))
+      .crossJoin(wc.agg(countDistinct(col("w")).as("v")))
+    val model = wc.select(col("w")).distinct()
+      .crossJoin(broadcast(labels))
+      .join(wc, Seq("w", "label"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("w"), col("label"),
+        expr(nbLp("coalesce(c, 0)", "tot", "v")).as("lp"))
+    val pri = broadcast(dc.crossJoin(broadcast(nv))
+      .select(col("label"), expr(nbPrior("dc", "n")).as("pq")))
+    docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("w"))
+      .join(model, Seq("w"))
+      .groupBy(col(idCol), col("label"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("lp")).as("s"))
+      .join(pri, Seq("label"))
+      .select(col(idCol), col("n_tok"), col("label"),
+        (col("s") + col("pq")).as("score_q"))
+      .groupBy(idCol)
+      .agg(max(col("n_tok")).as("n_tok"),
+        min(struct((-col("score_q")).as("ns"), col("label").as("l")))
+          .as("m"))
+      .select(col(idCol), col("n_tok"), col("m.l").as("pred_label"),
+        (-col("m.ns")).as("score_q"))
+  }
+
+  // =====================================================================
+  // Stupid-backoff trigram LM (Brants et al. 2007, "Large Language
+  // Models in Machine Translation" §4 — the web-scale LM scoring rule:
+  // no discounting, a fixed 0.4 backoff weight per level, counts only).
+  // =====================================================================
+
+  /** Quantized stupid-backoff trigram score — ONE expression text
+    * shared verbatim with the DuckDB oracle. The backoff chain:
+    * c3/c2 if the trigram survived count pruning, else 0.4 * cb/cu2
+    * (bigram), else 0.4^2 * (cu3+1)/(N+V) (add-one unigram floor, so
+    * fully-unseen words still score). All case guards are integer
+    * comparisons; the constants are integer-derived doubles (the
+    * [[Retrieval.k1Lit]] discipline — no decimal-literal parsing
+    * differences); the single `ln` lands on the 2^-14 lattice. */
+  private[ops] def sbLp(c3: String, c2: String, cb: String, cu2: String,
+      cu3: String, n: String, v: String): String = {
+    val a = "(cast(2 as double) / 5.0)"
+    s"cast(-floor(16384.0 * ln(case when $c3 > 0 " +
+      s"then cast($c3 as double) / $c2 " +
+      s"when $cb > 0 then $a * cast($cb as double) / $cu2 " +
+      s"else ($a * $a) * cast($cu3 + 1 as double) / ($n + $v) end)) " +
+      s"as bigint)"
+  }
+
+  /** Per-doc mean trigram surprisal `(<idCol>, n_tri, score_q)` of
+    * `docs` under a stupid-backoff trigram LM trained on `train` —
+    * the held-out-perplexity quality filter at web scale (train on a
+    * trusted corpus, score the crawl; high score_q = unpredictable).
+    * Docs with < 3 tokens yield no row (no trigram evidence — both
+    * engines drop them identically).
+    *
+    * `minCount` prunes the trigram table to counts >= minCount (the
+    * production move: Zipf means singleton trigrams are most of the
+    * table but carry no reusable signal — pruning shrinks the big
+    * join side by ~5-10× and the scorer backs off exactly as it would
+    * for an unseen trigram). Bigram/unigram tables stay unpruned (they
+    * are the backoff floor).
+    *
+    * Scale shape: count tables are hash-aggregates of the training
+    * corpus (the pruned trigram table is the only near-corpus-sized
+    * artifact); scoring is 5 equi-joins of the doc-trigram frame
+    * against them (trigram join shuffles on the 3-gram key, the
+    * bigram/unigram joins are vocab-sized and broadcast-eligible under
+    * AQE), then one (id) partial-aggregate. No windows, no collects. */
+  def backoffScores(train: DataFrame, docs: DataFrame, textCol: String,
+      idCol: String, minCount: Int = 2): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val toks = TextOps.tokens(col(textCol))
+    def ngrams(df: DataFrame, n: Int, keep: Seq[String]): DataFrame = {
+      val ks = keep.map(col)
+      df.select(ks :+ toks.as("ts"): _*)
+        .select(ks :+ explode(when(size(col("ts")) < n,
+            typedLit(Array.empty[Array[String]]))
+          .otherwise(transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+            i => array((0 until n).map(j =>
+              element_at(col("ts"), i + j)): _*)))).as("g"): _*)
+    }
+    val uni = train.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val big = ngrams(train, 2, Nil)
+      .select(col("g")(0).as("w1"), col("g")(1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val tri = ngrams(train, 3, Nil)
+      .select(col("g")(0).as("w1"), col("g")(1).as("w2"),
+        col("g")(2).as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minCount)
+    val nv = uni.agg(sum(col("cu")).as("n"),
+      count(lit(1)).as("v"))
+    ngrams(docs, 3, Seq(idCol))
+      .select(col(idCol), col("g")(0).as("w1"), col("g")(1).as("w2"),
+        col("g")(2).as("w3"))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.withColumnRenamed("cb", "c2"), Seq("w1", "w2"), "left")
+      .join(big.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("cb")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("cu").as("cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col(idCol), expr(sbLp("coalesce(c3, 0)", "coalesce(c2, 0)",
+        "coalesce(cb, 0)", "coalesce(cu2, 0)", "coalesce(cu3, 0)",
+        "n", "v")).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tri"),
+        expr("sum(lp) div count(1)").as("score_q"))
+  }
 }

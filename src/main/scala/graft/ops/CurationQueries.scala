@@ -257,13 +257,146 @@ SELECT CAST(row_number() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank,
   doc_id, n_big, score_q
 FROM sc ORDER BY score_q DESC, doc_id LIMIT 25"""
 
+  // =====================================================================
+  // q130 — Naive Bayes language classifier (the fastText-style
+  // supervised filter of production curation stacks): train per-lang
+  // token counts on doc_id < 250, classify the held-out 250.. pool by
+  // quantized-lattice argmax. The oracle replays the identical smoothed
+  // log-prob expression (Curation.nbLp / nbPrior — one shared text).
+  // =====================================================================
+
+  private val q130: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    val counts = Curation.nbCounts(docs.filter(col("doc_id") < 250),
+      "text", "lang")
+    Curation.nbClassify(counts, docs.filter(col("doc_id") >= 250),
+        "text", "doc_id")
+      .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_label").as("pred_lang"),
+        col("n_tok"), col("score_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** NB oracle builder: one-shot train over `trainPred`, classify
+    * `scorePred` — against q131's batch-folded Spark artifact this
+    * differentially proves fold == rebuild (integer count histograms,
+    * the dsirSql discipline). */
+  private def nbSql(trainPred: String, scorePred: String) = s"""
+WITH dt AS (SELECT doc_id, lang, ${dToks("text")} AS ts FROM documents),
+tr AS (SELECT lang AS label, unnest(ts) AS w FROM dt WHERE $trainPred),
+wc AS (SELECT label, w, count(*) AS c FROM tr GROUP BY 1, 2),
+dc AS (SELECT lang AS label, count(*) AS dc FROM dt WHERE $trainPred
+  GROUP BY 1),
+tot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tot FROM wc GROUP BY 1),
+nv AS (SELECT (SELECT CAST(sum(dc) AS BIGINT) FROM dc) AS n,
+              (SELECT count(DISTINCT w) FROM wc) AS v),
+lbl AS (SELECT t.label, t.tot FROM tot t),
+vocab AS (SELECT DISTINCT w FROM wc),
+model AS (SELECT vocab.w, lbl.label,
+    ${Curation.nbLp("coalesce(wc.c, 0)", "lbl.tot", "nv.v")} AS lp
+  FROM vocab CROSS JOIN lbl CROSS JOIN nv
+  LEFT JOIN wc ON wc.w = vocab.w AND wc.label = lbl.label),
+pri AS (SELECT label, ${Curation.nbPrior("dc", "nv.n")} AS pq
+  FROM dc CROSS JOIN nv),
+doctok AS (SELECT doc_id, lang, unnest(ts) AS w FROM dt WHERE $scorePred),
+parts AS (SELECT d.doc_id, d.lang, m.label, count(*) AS n_tok,
+    CAST(sum(m.lp) AS BIGINT) AS s
+  FROM doctok d JOIN model m ON d.w = m.w GROUP BY 1, 2, 3),
+sc AS (SELECT p.doc_id, p.lang, p.label, p.n_tok, p.s + pri.pq AS score_q
+  FROM parts p JOIN pri ON p.label = pri.label),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY score_q DESC, label) AS rn FROM sc)
+SELECT doc_id, lang, label AS pred_lang, n_tok, score_q
+FROM r WHERE rn = 1 ORDER BY doc_id"""
+
+  private val q130Sql = nbSql("doc_id < 250", "doc_id >= 250")
+
+  // =====================================================================
+  // q131 — STANDING NB classifier index through the driver gate: counts
+  // on doc_id < 150 fold a second labeled batch (150..299) via
+  // refreshNbCounts — exact integer addition — then the held-out
+  // 300.. pool is classified from the artifact alone. The oracle trains
+  // 0..299 in one shot: fold == rebuild, cross-engine.
+  // =====================================================================
+
+  private val q131: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    val idx = Curation.refreshNbCounts(
+      Curation.nbCounts(docs.filter(col("doc_id") < 150), "text", "lang"),
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      "text", "lang")
+    Curation.nbClassify(idx, docs.filter(col("doc_id") >= 300),
+        "text", "doc_id")
+      .join(t(s, d, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_label").as("pred_lang"),
+        col("n_tok"), col("score_q"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q131Sql = nbSql("doc_id < 300", "doc_id >= 300")
+
+  // =====================================================================
+  // q132 — stupid-backoff trigram LM held-out scoring (Brants et al.
+  // 2007): trigram/bigram/unigram counts trained on doc_id < 300
+  // (trigrams pruned to count >= 2 — the production Zipf move), the
+  // 300.. pool scored by mean quantized surprisal with the 0.4-per-level
+  // backoff chain. One shared CASE/ln expression text (Curation.sbLp).
+  // =====================================================================
+
+  private val q132: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    Curation.backoffScores(docs.filter(col("doc_id") < 300),
+        docs.filter(col("doc_id") >= 300), "text", "doc_id", minCount = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q132Sql = s"""
+WITH dt AS (SELECT doc_id, ${dToks("text")} AS ts FROM documents),
+uni AS (SELECT w, count(*) AS cu FROM
+  (SELECT unnest(ts) AS w FROM dt WHERE doc_id < 300) GROUP BY 1),
+big AS (SELECT g[1] AS w1, g[2] AS w2, count(*) AS cb FROM
+  (SELECT unnest(CASE WHEN len(ts) < 2 THEN []
+     ELSE list_transform(range(len(ts) - 1), i -> [ts[i+1], ts[i+2]]) END)
+     AS g FROM dt WHERE doc_id < 300) GROUP BY 1, 2),
+tri AS (SELECT g[1] AS w1, g[2] AS w2, g[3] AS w3, count(*) AS c3 FROM
+  (SELECT unnest(CASE WHEN len(ts) < 3 THEN []
+     ELSE list_transform(range(len(ts) - 2),
+       i -> [ts[i+1], ts[i+2], ts[i+3]]) END)
+     AS g FROM dt WHERE doc_id < 300) GROUP BY 1, 2, 3
+  HAVING count(*) >= 2),
+nv AS (SELECT (SELECT CAST(sum(cu) AS BIGINT) FROM uni) AS n,
+              (SELECT count(*) FROM uni) AS v),
+doctri AS (SELECT doc_id, g[1] AS w1, g[2] AS w2, g[3] AS w3 FROM
+  (SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN []
+     ELSE list_transform(range(len(ts) - 2),
+       i -> [ts[i+1], ts[i+2], ts[i+3]]) END)
+     AS g FROM dt WHERE doc_id >= 300)),
+j AS (SELECT doc_id, ${Curation.sbLp("coalesce(t.c3, 0)",
+    "coalesce(b12.cb, 0)", "coalesce(b23.cb, 0)", "coalesce(u2.cu, 0)",
+    "coalesce(u3.cu, 0)", "nv.n", "nv.v")} AS lp
+  FROM doctri d
+  LEFT JOIN tri t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+  LEFT JOIN big b12 ON d.w1 = b12.w1 AND d.w2 = b12.w2
+  LEFT JOIN big b23 ON d.w2 = b23.w1 AND d.w3 = b23.w2
+  LEFT JOIN uni u2 ON d.w2 = u2.w
+  LEFT JOIN uni u3 ON d.w3 = u3.w
+  CROSS JOIN nv)
+SELECT doc_id, count(*) AS n_tri, CAST(sum(lp) // count(*) AS BIGINT)
+  AS score_q
+FROM j GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, QFn] = Map(
     "q104_dsir_select" -> q104,
     "q105_bpe_merges" -> q105,
     "q106_domain_mixture" -> q106,
     "q107_dsir_standing_index" -> q107,
     "q108_bpe_encode" -> q108,
-    "q109_lm_quality" -> q109)
+    "q109_lm_quality" -> q109,
+    "q130_nb_classifier" -> q130,
+    "q131_nb_standing_index" -> q131,
+    "q132_backoff_lm" -> q132)
 
   val oracles: Map[String, String] = Map(
     "q104_dsir_select" -> q104Sql,
@@ -271,5 +404,8 @@ FROM sc ORDER BY score_q DESC, doc_id LIMIT 25"""
     "q106_domain_mixture" -> q106Sql,
     "q107_dsir_standing_index" -> q107Sql,
     "q108_bpe_encode" -> q108Sql,
-    "q109_lm_quality" -> q109Sql)
+    "q109_lm_quality" -> q109Sql,
+    "q130_nb_classifier" -> q130Sql,
+    "q131_nb_standing_index" -> q131Sql,
+    "q132_backoff_lm" -> q132Sql)
 }

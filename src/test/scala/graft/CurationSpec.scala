@@ -231,4 +231,107 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.clusterBalance(cells, quota = 0))
   }
+
+  // ===================================================================
+  // Naive Bayes classifier
+  // ===================================================================
+
+  /** Two classes with disjoint vocabularies plus shared filler — the
+    * planted structure NB must recover on held-out docs. */
+  private def nbCorpus = {
+    import spark.implicits._
+    val a = (0 to 9).map(i =>
+      (i.toLong, s"spark shuffle partition the of plan $i", "tech"))
+    val b = (10 to 19).map(i =>
+      (i.toLong, s"cat dog bird the of fish $i", "pets"))
+    (a ++ b).toDF("id", "text", "label")
+  }
+
+  test("nbClassify recovers planted classes on held-out docs") {
+    import spark.implicits._
+    val counts = Curation.nbCounts(nbCorpus, "text", "label")
+    val held = Seq(
+      (100L, "spark partition plan shuffle"),
+      (101L, "dog cat fish bird"),
+      (102L, "the of")).toDF("id", "text") // filler-only: prior decides
+    val out = Curation.nbClassify(counts, held, "text", "id")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("pred_label")).toMap
+    assert(out(100L) === "tech")
+    assert(out(101L) === "pets")
+    // equal priors (10 docs each) + shared filler → tie on score,
+    // deterministic smallest-label tie-break
+    assert(out(102L) === "pets")
+  }
+
+  test("nbClassify drops docs with zero in-vocab tokens") {
+    import spark.implicits._
+    val counts = Curation.nbCounts(nbCorpus, "text", "label")
+    val held = Seq((200L, "zzz qqq unseen")).toDF("id", "text")
+    assert(Curation.nbClassify(counts, held, "text", "id").count() === 0)
+  }
+
+  test("nbCounts fold == rebuild and is partitioning-invariant") {
+    val c = nbCorpus
+    val atOnce = Curation.nbCounts(c, "text", "label")
+    val folded = Curation.refreshNbCounts(
+      Curation.nbCounts(c.filter(col("id") < 5), "text", "label"),
+      c.filter(col("id") >= 5).repartition(7), "text", "label")
+    assert(atOnce.collect().map(_.toString).sorted
+      === folded.collect().map(_.toString).sorted)
+  }
+
+  // ===================================================================
+  // Stupid-backoff trigram LM
+  // ===================================================================
+
+  test("backoffScores: seen trigram scores c3/c2; pruned trigram backs " +
+      "off to the bigram level; unseen word hits the unigram floor") {
+    import spark.implicits._
+    // "a b c" appears twice (c3=2 survives minCount=2); "a b d" once
+    // (pruned); bigram "b d" count 1 so its backoff is defined
+    val train = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("id", "text")
+    def score(txt: String): Long = Curation
+      .backoffScores(train, Seq((9L, txt)).toDF("id", "text"), "text", "id")
+      .head().getAs[Long]("score_q")
+    // N=9 tokens, V=4 vocab; c3(a,b,c)=2, c2(a,b)=3 -> S=2/3
+    val sSeen = -math.floor(16384.0 * math.log(2.0 / 3.0)).toLong
+    assert(score("a b c") === sSeen)
+    // trigram (a,b,d) pruned -> 0.4 * cb(b,d)/cu(b) = 0.4 * 1/3
+    val sBig = -math.floor(16384.0 * math.log(0.4 * 1.0 / 3.0)).toLong
+    assert(score("a b d") === sBig)
+    // w3 unseen entirely -> 0.4^2 * (0+1)/(9+4) — 0.4*0.4 (not the
+    // 0.16 literal, 1 ulp off) replays the engine's exact arithmetic
+    val sUni = -math.floor(16384.0 * math.log(0.4 * 0.4 * 1.0 / 13.0)).toLong
+    assert(score("a b zzz") === sUni)
+    // docs below 3 tokens yield no row
+    assert(Curation.backoffScores(train,
+      Seq((9L, "a b")).toDF("id", "text"), "text", "id").count() === 0)
+  }
+
+  test("backoffScores is partitioning-invariant (exact integer sums)") {
+    import spark.implicits._
+    val train = (1 to 20).map(i =>
+      (i.toLong, s"the quick brown fox $i jumps over the lazy dog"))
+      .toDF("id", "text")
+    val held = (50 to 60).map(i =>
+      (i.toLong, s"the quick red fox $i sleeps over the lazy cat"))
+      .toDF("id", "text")
+    val once = Curation.backoffScores(train, held, "text", "id")
+      .collect().map(_.toString).sorted
+    val again = Curation.backoffScores(train.repartition(7),
+      held.repartition(3), "text", "id").collect().map(_.toString).sorted
+    assert(once === again)
+  }
+
+  test("nbClassify scores are exact and partition-invariant") {
+    val counts = Curation.nbCounts(nbCorpus, "text", "label")
+    val held = nbCorpus.select(col("id"), col("text"))
+    val once = Curation.nbClassify(counts, held, "text", "id")
+      .collect().map(_.toString).sorted
+    val again = Curation.nbClassify(counts.repartition(5),
+      held.repartition(3), "text", "id").collect().map(_.toString).sorted
+    assert(once === again)
+  }
 }
