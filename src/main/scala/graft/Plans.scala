@@ -148,7 +148,22 @@ object Plans {
       "q123_hll_distinct" ->
         ("HyperLogLog: one hash-aggregate to <= m register cells " +
           "(map-side partials), estimator folds ONE row of exact " +
-          "dyadic sums — bounded state at any corpus size"))
+          "dyadic sums — bounded state at any corpus size"),
+      "q130_nb_classifier" ->
+        ("Naive Bayes classify: dense vocab x class model joined on " +
+          "the token key (ONE corpus shuffle), (id, label) partial " +
+          "agg, windowless min(struct) argmax — no per-doc window"),
+      "q131_nb_standing_index" ->
+        ("standing NB counts: fold == rebuild (integer histograms); " +
+          "the classify plan is q130's over the folded artifact"),
+      "q132_backoff_lm" ->
+        ("stupid-backoff trigram LM: count-pruned trigram join + " +
+          "vocab-sized bigram/unigram joins (broadcast-eligible), one " +
+          "(id) partial-agg — no windows, no collects"),
+      "q133_rp_ann" ->
+        ("random-projection ANN: map-only integer projection (hash IS " +
+          "the matrix), WindowGroupLimit-capped projected pre-rank, " +
+          "exact re-rank fetches only shortlist vectors"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -645,6 +645,54 @@ object QuantQueries {
         ORDER BY sq_d2, vec_id) AS INT) AS rank FROM sc)
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  // ===================================================================
+  // q133 — random-projection ANN (Johnson–Lindenstrauss / Achlioptas):
+  // 64-dim lattice vectors project to 16 signed int64 sums via the
+  // parity-of-quadratic-mix ±1 matrix (the hash IS the matrix — no
+  // stored state), probes (vec_id < 20) pre-rank by projected L2 to a
+  // 20-candidate shortlist, exact full-dimension re-rank to top 3.
+  // Every distance exact int64 — the oracle replays the projection
+  // integer-for-integer.
+  // ===================================================================
+
+  private val q133: QFn = (s, d) => {
+    val all = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    Similarity.rpTopK(all, all.filter(col("vec_id") < 20), "embedding",
+        "vec_id", k = 3, projDims = 16, shortlist = 20, scale = 1000)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The ±1 sign at (i, j): parity of (y² mod P + x) with
+    * x = i + j·100003, y = x·2654435761 mod P — integer-identical to
+    * Similarity.rpProjExpr. */
+  private def dRpSign(i: String, j: String) =
+    s"(CASE WHEN (((($i + $j * 100003) * 2654435761 % 2147483647) * " +
+      s"(($i + $j * 100003) * 2654435761 % 2147483647) % 2147483647) " +
+      s"+ ($i + $j * 100003)) % 2 = 0 THEN 1 ELSE -1 END)"
+
+  private val q133Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    pj AS (SELECT vec_id, vq, list_transform(range(16), j ->
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(len(vq)),
+            i -> vq[i+1] * ${dRpSign("i", "j")})),
+          (a, v) -> a + v)) AS pj
+      FROM e),
+    pre AS (SELECT q.vec_id AS q_id, c.vec_id AS id, q.vq AS q_vq, c.vq,
+        ${dSqDistQ("q.pj", "c.pj")} AS pd2
+      FROM pj q JOIN pj c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+    sl AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY pd2, id) AS pre_rank FROM pre),
+    ex AS (SELECT q_id, id, pd2, ${dSqDistQ("q_vq", "vq")} AS d2
+      FROM sl WHERE pre_rank <= 20),
+    r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY d2, id) AS INT) AS rank FROM ex)
+    SELECT q_id, rank, id AS vec_id, pd2, d2 FROM r
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
   val queries: Map[String, QFn] = Map(
     "q110_pq_encode" -> q110,
     "q111_pq_adc_topk" -> q111,
@@ -656,7 +704,8 @@ object QuantQueries {
     "q120_sq8_topk" -> q120,
     "q122_ivf_sq8_topk" -> q122,
     "q127_residual_standing_index" -> q127,
-    "q128_sq8_standing_index" -> q128)
+    "q128_sq8_standing_index" -> q128,
+    "q133_rp_ann" -> q133)
 
   val oracles: Map[String, String] = Map(
     "q110_pq_encode" -> q110Sql,
@@ -669,5 +718,6 @@ object QuantQueries {
     "q120_sq8_topk" -> q120Sql,
     "q122_ivf_sq8_topk" -> q122Sql,
     "q127_residual_standing_index" -> q127Sql,
-    "q128_sq8_standing_index" -> q128Sql)
+    "q128_sq8_standing_index" -> q128Sql,
+    "q133_rp_ann" -> q133Sql)
 }
