@@ -69,7 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("bloom_maybe"),
         info("bloom_maybe", "all-k-bits-set Bloom membership probe"),
         (args: Seq[Expression]) =>
-          BloomMaybeExpr(args(0), args(1), lit(args(2)), lit(args(3)))))
+          BloomMaybeExpr(args(0), args(1), lit(args(2)), lit(args(3)))),
+      (FunctionIdentifier("kmv_agg"),
+        info("kmv_agg", "k smallest distinct hash values (KMV sketch)"),
+        (args: Seq[Expression]) => KmvAgg(args(0), lit(args(1)))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -115,4 +118,6 @@ object F {
     c(BloomBuildAgg(e(h), mBits, k).toAggregateExpression())
   def bloomMaybe(words: Column, h: Column, mBits: Int, k: Int): Column =
     c(BloomMaybeExpr(e(words), e(h), mBits, k))
+  def kmvAgg(h: Column, k: Int): Column =
+    c(KmvAgg(e(h), k).toAggregateExpression())
 }

@@ -448,6 +448,57 @@ object Curation {
   }
 
   // =====================================================================
+  // Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+  // "Weighted random sampling with a reservoir"): item i with weight w_i
+  // gets key u_i^(1/w_i), u_i ~ U(0,1]; the k largest keys are an exact
+  // weighted sample without replacement. Equivalently (and monotonically)
+  // the k SMALLEST of e_i = -ln(u_i)/w_i — the exponential race, which is
+  // the form used here because it quantizes cleanly.
+  // =====================================================================
+
+  /** The exponential-race key numerator as ONE expression text shared
+    * verbatim with the DuckDB oracle (the [[nbLp]] ln discipline):
+    * u = (h+1)/2^31 from an avalanched 31-bit content hash `h`, and the
+    * single `ln` lands on the 2^-20 integer lattice. The full key is
+    * then `(elnq * 10^6) div w` — pure int64, so ranking and tie-break
+    * (key, id) replay bit-identically in both engines. */
+  private[ops] val esElnqSql: String =
+    "cast(floor(-ln((h + 1) / 2147483648.0) * 1048576) as bigint)"
+
+  /** Inverse-frequency source weights `(source, w = 10^9 div n_docs)`:
+    * equal total weight mass per source, so [[weightedSample]] draws a
+    * source-FLAT sample from an arbitrarily skewed pool (until a small
+    * source exhausts). One tiny aggregate — broadcast by the sampler. */
+  def flatteningWeights(docs: DataFrame, srcCol: String): DataFrame =
+    docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("source"), expr("1000000000 div c").as("w"))
+
+  /** Deterministic Efraimidis–Spirakis weighted sample without
+    * replacement: k docs drawn by the exponential race over CONTENT-hash
+    * uniforms (stable under re-sharding and id reassignment — the q106
+    * sampler's discipline) with per-source weights `weights` (source, w
+    * > 0; broadcast — one row per source). Returns (id, source, w,
+    * skey) for the k smallest keys, ascending.
+    *
+    * Scale shape: weights are a broadcast join, the key is a map-only
+    * expression, and the selection is a global top-k —
+    * TakeOrderedAndProject (per-partition heads, driver merge of k
+    * rows), never a full sort. Zero corpus-sized shuffles. */
+  def weightedSample(docs: DataFrame, textCol: String, idCol: String,
+      srcCol: String, weights: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    docs.select(col(idCol).as("id"), col(srcCol).as("source"),
+        Sketches.avalanche31(TextOps.polyHash(col(textCol))).as("h"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("elnq", expr(esElnqSql))
+      .withColumn("skey", expr("(elnq * 1000000) div w"))
+      .orderBy(col("skey"), col("id"))
+      .limit(k)
+      .select(col("id"), col("source"), col("w"), col("skey"))
+  }
+
+  // =====================================================================
   // Multinomial Naive Bayes text classifier (the fastText-style
   // supervised filter of production curation stacks — CCNet / GPT-3
   // quality classifiers, Wenzek et al. 2020 §4.3): train per-class

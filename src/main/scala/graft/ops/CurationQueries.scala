@@ -387,6 +387,35 @@ SELECT doc_id, count(*) AS n_tri, CAST(sum(lp) // count(*) AS BIGINT)
   AS score_q
 FROM j GROUP BY 1 ORDER BY 1"""
 
+  // =====================================================================
+  // q135 — Efraimidis–Spirakis weighted sampling without replacement:
+  // draw 100 docs with inverse-frequency source weights (equal weight
+  // mass per source => source-flat sample from a skewed pool). The
+  // selection is a global top-k by the integer exponential-race key —
+  // TakeOrderedAndProject, never a full sort; the single ln sits on the
+  // 2^-20 lattice with the expression text shared with the oracle.
+  // =====================================================================
+
+  private val q135: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    Curation.weightedSample(docs, "text", "doc_id", "source",
+        Curation.flatteningWeights(docs, "source"), k = 100)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  private val q135Sql = s"""
+WITH base AS (SELECT doc_id, source, h FROM (SELECT doc_id, source,
+    ${dPoly("text")} AS h0, ${Sketches.avalanche31ColsSql}
+  FROM documents)),
+wts AS (SELECT source, 1000000000 // count(*) AS w
+  FROM base GROUP BY source),
+keyed AS (SELECT doc_id, b.source, w,
+    ${Curation.esElnqSql} AS elnq,
+    (elnq * 1000000) // w AS skey
+  FROM base b JOIN wts USING (source))
+SELECT doc_id, source, w, skey FROM keyed
+ORDER BY skey, doc_id LIMIT 100"""
+
   val queries: Map[String, QFn] = Map(
     "q104_dsir_select" -> q104,
     "q105_bpe_merges" -> q105,
@@ -396,7 +425,8 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "q109_lm_quality" -> q109,
     "q130_nb_classifier" -> q130,
     "q131_nb_standing_index" -> q131,
-    "q132_backoff_lm" -> q132)
+    "q132_backoff_lm" -> q132,
+    "q135_weighted_sample" -> q135)
 
   val oracles: Map[String, String] = Map(
     "q104_dsir_select" -> q104Sql,
@@ -407,5 +437,6 @@ FROM j GROUP BY 1 ORDER BY 1"""
     "q109_lm_quality" -> q109Sql,
     "q130_nb_classifier" -> q130Sql,
     "q131_nb_standing_index" -> q131Sql,
-    "q132_backoff_lm" -> q132Sql)
+    "q132_backoff_lm" -> q132Sql,
+    "q135_weighted_sample" -> q135Sql)
 }

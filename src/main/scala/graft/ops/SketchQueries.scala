@@ -100,10 +100,107 @@ object SketchQueries {
       CAST(present AS BIGINT) AS nonzero_regs
     FROM ex, agg"""
 
+  // ===================================================================
+  // q134 — KMV cross-source overlap: a k=128 bottom-k sketch of each
+  // source's shingle set, then every source pair's union cardinality and
+  // Jaccard estimated FROM THE SKETCHES ALONE (Beyer et al. 2007 §4-5),
+  // next to the exact values. The exact columns exist only to expose the
+  // estimation error under the oracle — the production path shuffles
+  // #partitions * k longs per source (map-side combined bounded state),
+  // never the shingle sets; HLL (q123) cannot answer the intersection
+  // question at all.
+  // ===================================================================
+
+  private val KmvK = 128
+
+  private val q134: QFn = (s, d) => {
+    import graft.functions.F
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val sh0 = docs.select(col("source"),
+        explode(TextOps.shingleHashes(col("text"), 3)).as("h0"))
+      .select(col("source"), Sketches.avalanche31(col("h0")).as("h"))
+    // The sketch consumes the RAW occurrence stream — KmvAgg dedups
+    // inside its bounded state, so no distinct shuffle exists on the
+    // production path. The distinct frame below feeds ONLY the
+    // exact-truth columns.
+    val sk = sh0.groupBy("source").agg(F.kmvAgg(col("h"), KmvK).as("sk"))
+    val sh = sh0.distinct()
+    val ed = sh.groupBy("source").agg(count(lit(1)).as("ed"))
+    val xi = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+      .agg(count(lit(1)).as("ic"))
+    val skm = sk.join(ed, "source")
+    val pairs = skm.as("a").join(skm.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"),
+        (col("a.ed") + col("b.ed")).as("edsum"))
+      .join(xi, Seq("sa", "sb"), "left")
+      .withColumn("ic", coalesce(col("ic"), lit(0L)))
+    pairs.select(
+        col("sa").as("src_a"), col("sb").as("src_b"),
+        (col("edsum") - col("ic")).as("exact_union"),
+        Sketches.kmvDistinctEst(
+          Sketches.kmvUnionK(col("ska"), col("skb"), KmvK), KmvK)
+          .as("kmv_union_est"),
+        expr("(ic * 1000000) div (edsum - ic)").as("exact_jacc_ppm"),
+        Sketches.kmvJaccardPpm(col("ska"), col("skb"), KmvK)
+          .as("kmv_jacc_ppm"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q134Sql = s"""
+    WITH toks AS (SELECT source,
+        list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents),
+    sgl AS (SELECT source, unnest(CASE WHEN len(t) < 3
+        THEN [array_to_string(t, ' ')]
+        ELSE list_transform(range(len(t) - 2),
+          i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END) AS g
+      FROM toks),
+    sh AS (SELECT DISTINCT source, h FROM (SELECT source,
+        ${dPoly("g")} AS h0, ${Sketches.avalanche31ColsSql} FROM sgl)),
+    sk AS (SELECT source, h,
+        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+    skk AS (SELECT source, h FROM sk WHERE rn <= $KmvK),
+    ed AS (SELECT source, count(*) AS ed FROM sh GROUP BY 1),
+    srcs AS (SELECT DISTINCT source FROM sh),
+    pairs AS (SELECT a.source sa, b.source sb FROM srcs a
+      JOIN srcs b ON a.source < b.source),
+    uk AS (SELECT sa, sb, h,
+        row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM
+      (SELECT DISTINCT p.sa, p.sb, s.h FROM pairs p
+        JOIN skk s ON s.source = p.sa OR s.source = p.sb)),
+    ukk AS (SELECT sa, sb, h FROM uk WHERE rn <= $KmvK),
+    umeta AS (SELECT sa, sb, count(*) AS uc, max(h) AS ukth
+      FROM ukk GROUP BY 1, 2),
+    m AS (SELECT u.sa, u.sb, count(*) AS mc FROM ukk u
+      JOIN skk x ON x.source = u.sa AND x.h = u.h
+      JOIN skk y ON y.source = u.sb AND y.h = u.h GROUP BY 1, 2),
+    xi AS (SELECT a.source sa, b.source sb, count(*) ic FROM sh a
+      JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+    SELECT p.sa AS src_a, p.sb AS src_b,
+      ea.ed + eb.ed - coalesce(xi.ic, 0) AS exact_union,
+      CASE WHEN um.uc < $KmvK THEN um.uc
+        ELSE (${KmvK - 1} * 2147483648) // um.ukth END AS kmv_union_est,
+      (coalesce(xi.ic, 0) * 1000000)
+        // (ea.ed + eb.ed - coalesce(xi.ic, 0)) AS exact_jacc_ppm,
+      (coalesce(m.mc, 0) * 1000000) // um.uc AS kmv_jacc_ppm
+    FROM pairs p
+    JOIN ed ea ON ea.source = p.sa
+    JOIN ed eb ON eb.source = p.sb
+    JOIN umeta um ON um.sa = p.sa AND um.sb = p.sb
+    LEFT JOIN xi ON xi.sa = p.sa AND xi.sb = p.sb
+    LEFT JOIN m ON m.sa = p.sa AND m.sb = p.sb
+    ORDER BY 1, 2"""
+
   val queries: Map[String, QFn] = Map(
     "q121_cms_heavy_hitters" -> q121,
-    "q123_hll_distinct" -> q123)
+    "q123_hll_distinct" -> q123,
+    "q134_kmv_overlap" -> q134)
   val oracles: Map[String, String] = Map(
     "q121_cms_heavy_hitters" -> q121Sql,
-    "q123_hll_distinct" -> q123Sql)
+    "q123_hll_distinct" -> q123Sql,
+    "q134_kmv_overlap" -> q134Sql)
 }

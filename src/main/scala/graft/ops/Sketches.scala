@@ -75,6 +75,32 @@ object Sketches {
   // serving tier that recomputes from stored registers).
   // ------------------------------------------------------------------
 
+  /** 31-bit murmur-style avalanche finisher over a polyHash value: three
+    * xorshift-multiply rounds, every intermediate masked to 31 bits so
+    * both engines stay inside int64. polyHash concentrates its HIGH bits
+    * by string shape — harmless for modulo bucketing (CMS) but fatal for
+    * anything that reads hash MAGNITUDE as a uniform variate (HLL's rank
+    * statistic, KMV's order statistics); this chain restores uniformity.
+    * The DuckDB replica is [[avalanche31Sql]] — keep the two in sync. */
+  def avalanche31(h0: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = {
+    val h1 = h0.bitwiseXOR(shiftright(h0, 15))
+    val h2 = (h1 * lit(739982445L)).bitwiseAND(lit(2147483647L))
+    val h3 = h2.bitwiseXOR(shiftright(h2, 12))
+    val h4 = (h3 * lit(695872825L)).bitwiseAND(lit(2147483647L))
+    h4.bitwiseXOR(shiftright(h4, 15))
+  }
+
+  /** [[avalanche31]] as DuckDB lateral-alias column chain: emit inside a
+    * SELECT that already defines `h0`; the avalanched value lands in `h`
+    * (DuckDB resolves prior aliases within the same SELECT list). */
+  val avalanche31ColsSql: String =
+    "xor(h0, h0 >> 15) AS h1, " +
+      "(h1 * 739982445) & 2147483647 AS h2, " +
+      "xor(h2, h2 >> 12) AS h3, " +
+      "(h3 * 695872825) & 2147483647 AS h4, " +
+      "xor(h4, h4 >> 15) AS h"
+
   /** Supported register counts -> the standard bias constant alpha_m. */
   private[ops] def hllAlpha(m: Int): String = m match {
     case 16 => "0.673"
@@ -106,11 +132,7 @@ object Sketches {
     val bits = hllBits(m)
     items
       .select(TextOps.polyHash(col(valueCol)).as("h0"))
-      .withColumn("h1", expr("h0 ^ shiftright(h0, 15)"))
-      .withColumn("h2", expr("(h1 * 739982445) & 2147483647"))
-      .withColumn("h3", expr("h2 ^ shiftright(h2, 12)"))
-      .withColumn("h4", expr("(h3 * 695872825) & 2147483647"))
-      .withColumn("h", expr("h4 ^ shiftright(h4, 15)"))
+      .withColumn("h", avalanche31(col("h0")))
       .select((col("h") % m).as("b"),
         expr(s"case when (h div $m) = 0 then ${bits + 1} " +
           s"else $bits - length(bin(h div $m)) + 1 end").as("rho"))
@@ -165,4 +187,52 @@ object Sketches {
       .join(broadcast(counters), Seq("r", "b"), "left")
       .groupBy(col("term"))
       .agg(min(coalesce(col("c"), lit(0L))).as("est_c"))
+
+  // ------------------------------------------------------------------
+  // KMV (bottom-k) distinct-value sketches — [[graft.functions.KmvAgg]]
+  // builds them (k smallest distinct avalanched hashes, bounded state,
+  // map-side combine); the algebra below composes them. Estimator and
+  // union/intersection forms: Beyer et al. SIGMOD 2007 §4-5. All
+  // arithmetic is integer order statistics + one int64 division, so the
+  // DuckDB oracle replays it bit-for-bit.
+  // ------------------------------------------------------------------
+
+  import org.apache.spark.sql.Column
+
+  /** Hash-space size for 31-bit avalanched hashes: estimates read the
+    * k-th minimum as the fraction kth/2^31 of the unit interval. */
+  private val KmvSpace = 2147483648L
+
+  /** Exact int64 floor division for nonnegative operands, Column-level
+    * (the SQL `div` operator needs expr-text names): subtract the
+    * remainder first, so the double division's dividend is an exact
+    * multiple of the divisor and the integer quotient (<= 2^53 for every
+    * use here) is returned EXACTLY by IEEE round-to-nearest — bit-equal
+    * to DuckDB's `//`. */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Unbiased distinct-count estimate from a KMV sketch column: a
+    * partially-filled sketch saw the whole set (estimate = its size);
+    * a full one estimates (k-1) * 2^31 div kth_min. */
+  def kmvDistinctEst(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("long"))
+      .otherwise(idiv(lit((k - 1).toLong * KmvSpace),
+        element_at(sk, k)))
+
+  /** Bottom-k of a set union, from the parts' sketches alone: the k
+    * smallest of the merged value sets (both already ascending). */
+  def kmvUnionK(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Jaccard estimate between the sets behind sketches `a` and `b`, in
+    * parts-per-million: members of the union's bottom-k present in BOTH
+    * sketches, over the union sketch size (Beyer et al. §5 — the union
+    * bottom-k is a uniform sample of A ∪ B, membership in both sketches
+    * decides x ∈ A ∩ B exactly for sampled x). */
+  def kmvJaccardPpm(a: Column, b: Column, k: Int): Column = {
+    val u = kmvUnionK(a, b, k)
+    idiv(size(array_intersect(array_intersect(u, a), b)).cast("long")
+      * lit(1000000L), size(u).cast("long"))
+  }
 }

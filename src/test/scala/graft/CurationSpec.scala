@@ -334,4 +334,50 @@ class CurationSpec extends SparkSpec {
       held.repartition(3), "text", "id").collect().map(_.toString).sorted
     assert(once === again)
   }
+
+  // ------------------------------------------- weighted sampling (E-S)
+
+  private def skewedPool = {
+    import spark.implicits._
+    ((1 to 900).map(i => (i.toLong, "big", s"doc about topic $i words")) ++
+      (1001 to 1100).map(i => (i.toLong, "small", s"rare doc $i notes")))
+      .toDF("id", "source", "text")
+  }
+
+  test("weightedSample with flattening weights draws a source-flat " +
+      "sample from a 9:1 skewed pool") {
+    val pool = skewedPool
+    val sel = Curation.weightedSample(pool, "text", "id", "source",
+      Curation.flatteningWeights(pool, "source"), k = 120)
+    assert(sel.count() === 120)
+    val bySrc = sel.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // equal weight mass per source => ~60/60 despite the 9:1 pool; the
+    // small source holds 100 docs so it cannot exhaust at 60. 4-sigma-ish
+    // band for a weighted WOR draw of 120.
+    assert(bySrc("small") > 30 && bySrc("small") < 95, bySrc.toString)
+    // unweighted contrast: uniform draw of 120 would give small ~12
+    val unif = Curation.weightedSample(pool, "text", "id", "source",
+      spark.sql("SELECT 'big' AS source, 1000000 AS w UNION ALL " +
+        "SELECT 'small', 1000000"), k = 120)
+      .filter(col("source") === "small").count()
+    assert(unif < bySrc("small"), s"uniform drew $unif small docs")
+  }
+
+  test("weightedSample is deterministic and partitioning-invariant") {
+    val pool = skewedPool
+    val w = Curation.flatteningWeights(pool, "source")
+    val a = Curation.weightedSample(pool, "text", "id", "source", w, 50)
+      .collect().map(_.toString)
+    val b = Curation.weightedSample(pool.repartition(13), "text", "id",
+        "source", w, 50).collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("weightedSample with k >= pool size returns the whole pool") {
+    val pool = skewedPool.limit(40)
+    val sel = Curation.weightedSample(pool, "text", "id", "source",
+      Curation.flatteningWeights(pool, "source"), k = 1000)
+    assert(sel.count() === 40)
+  }
 }

@@ -398,4 +398,21 @@ class PipelinePlanSpec extends SparkSpec {
     // bigram mining + phrase counts partial-aggregate
     assert(p.contains("partial_count"))
   }
+
+  test("q134: the KMV sketch build partial-aggregates map-side (bounded " +
+      "k-value state before the exchange, never the shingle stream)") {
+    val p = planOf("q134_kmv_overlap")
+    assert(p.contains("partial_kmv_agg"),
+      s"sketch build must be a partial aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q135: weighted sampling selects via TakeOrdered (per-partition " +
+      "top-k + driver merge), never a full sort exchange") {
+    val p = planOf("q135_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be TakeOrdered:\n$p")
+    // weights join broadcasts the per-source dimension
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }

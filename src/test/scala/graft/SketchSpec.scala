@@ -97,4 +97,72 @@ class SketchSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(rowMass === Seq.fill(4)(900L))
   }
+
+  // ---------------------------------------------------------------- KMV
+
+  import graft.functions.F
+  import graft.ops.TextOps
+
+  private def hashed(terms: Seq[String]) =
+    terms.toDF("term").select(
+      Sketches.avalanche31(TextOps.polyHash(col("term"))).as("h"))
+
+  private def sketch(terms: Seq[String], k: Int): Seq[Long] =
+    hashed(terms).agg(F.kmvAgg(col("h"), k)).head()
+      .getSeq[Long](0)
+
+  test("KmvAgg keeps exactly the k smallest DISTINCT hashes, ascending, " +
+      "independent of partitioning and duplication") {
+    val terms = (1 to 500).map(i => s"item_$i")
+    val withDups = terms ++ terms.take(200) ++ terms.take(50)
+    val exact = hashed(terms).distinct().collect().map(_.getLong(0))
+      .sorted.take(16).toSeq
+    assert(sketch(withDups, 16) === exact)
+    val repart = hashed(withDups).repartition(13)
+      .agg(F.kmvAgg(col("h"), 16)).head().getSeq[Long](0)
+    assert(repart === exact)
+  }
+
+  test("a sketch smaller than k IS the distinct set; estimate exact") {
+    val terms = Seq("a", "b", "c", "a", "b")
+    val sk = sketch(terms, 64)
+    assert(sk.length === 3 && sk === sk.sorted)
+    val est = hashed(terms).agg(F.kmvAgg(col("h"), 64).as("sk"))
+      .select(Sketches.kmvDistinctEst(col("sk"), 64)).head().getLong(0)
+    assert(est === 3L)
+  }
+
+  test("kmvUnionK(sk(A), sk(B)) == bottom-k of A ∪ B (sketch algebra)") {
+    val a = (1 to 400).map(i => s"left_$i")
+    val b = (200 to 600).map(i => s"left_$i") // overlap 200..400
+    val k = 32
+    val skA = sketch(a, k)
+    val skB = sketch(b, k)
+    val direct = sketch((a ++ b).distinct, k)
+    val composed = Seq((skA, skB)).toDF("ska", "skb")
+      .select(Sketches.kmvUnionK(col("ska"), col("skb"), k))
+      .head().getSeq[Long](0)
+    assert(composed === direct)
+  }
+
+  test("kmvDistinctEst within the theoretical band on a large set") {
+    val n = 5000
+    val k = 256
+    val est = hashed((1 to n).map(i => s"val_$i"))
+      .agg(F.kmvAgg(col("h"), k).as("sk"))
+      .select(Sketches.kmvDistinctEst(col("sk"), k)).head().getLong(0)
+    // relative standard error ~ 1/sqrt(k-2) = 6.3%; allow 4 sigma
+    assert(est > n * 0.75 && est < n * 1.25, s"est $est vs exact $n")
+  }
+
+  test("kmvJaccardPpm approximates the true Jaccard of the term sets") {
+    val a = (1 to 3000).map(i => s"doc_$i")
+    val b = (2001 to 5000).map(i => s"doc_$i") // |A∩B|=1000, |A∪B|=5000
+    val k = 128
+    val row = Seq((sketch(a, k), sketch(b, k))).toDF("ska", "skb")
+      .select(Sketches.kmvJaccardPpm(col("ska"), col("skb"), k))
+      .head().getLong(0)
+    // true J = 0.2; sigma = sqrt(J(1-J)/k) = 3.5% absolute; 4 sigma
+    assert(row > 60000L && row < 340000L, s"jaccard ppm $row vs 200000")
+  }
 }
