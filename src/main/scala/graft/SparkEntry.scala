@@ -22,7 +22,8 @@ object SparkEntry {
     core.CoreQueries.queries ++ ops.PipelineQueries.queries ++
       ops.TemporalQueries.queries ++ dialect.DialectQueries.queries ++
       ops.CurationQueries.queries ++ ops.QuantQueries.queries ++
-      ops.RetrievalQueries.queries ++ ops.SketchQueries.queries
+      ops.RetrievalQueries.queries ++ ops.SketchQueries.queries ++
+      ops.GraphQueries.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +31,6 @@ object SparkEntry {
     core.CoreQueries.oracles ++ ops.PipelineQueries.oracles ++
       ops.TemporalQueries.oracles ++ dialect.DialectQueries.oracles ++
       ops.CurationQueries.oracles ++ ops.QuantQueries.oracles ++
-      ops.RetrievalQueries.oracles ++ ops.SketchQueries.oracles
+      ops.RetrievalQueries.oracles ++ ops.SketchQueries.oracles ++
+      ops.GraphQueries.oracles
 }

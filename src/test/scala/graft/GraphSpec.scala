@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scalar reference model of the same integer-lattice iteration. */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val od = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = edges.map(_._1).distinct.map(_ -> 1048576L).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).map { case (dstN, es) =>
+        dstN -> es.map { case (srcN, _) =>
+          (r(srcN) * 85L / 100L) / od(srcN)
+        }.sum
+      }
+      r = contrib.map { case (n, c) => n -> (157286L + c) }
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int, parts: Int = 1) = {
+    val df = edges.toDF("src", "dst")
+    Graph.pageRank(if (parts > 1) df.repartition(parts) else df, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("pageRank matches the scalar reference model exactly on a " +
+      "star + chain graph, any partitioning") {
+    // symmetric star 1-(2,3,4) plus chain 4-5-6
+    val one = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+    val edges = one ++ one.map { case (a, b) => (b, a) }
+    val expected = refRanks(edges, 3)
+    assert(run(edges, 3) === expected)
+    assert(run(edges, 3, parts = 7) === expected)
+  }
+
+  test("pageRank concentrates rank on high-degree nodes") {
+    // hub 0 linked to 1..10, plus a detached symmetric pair 100-101
+    val one = (1L to 10L).map(i => (0L, i)) ++ Seq((100L, 101L))
+    val edges = one ++ one.map { case (a, b) => (b, a) }
+    val r = run(edges, 5)
+    assert(r(0L) > r(1L) * 3, s"hub ${r(0L)} vs leaf ${r(1L)}")
+    assert(r(100L) === r(101L)) // symmetric pair stays symmetric
+  }
+
+  test("pageRank is exact-deterministic across reruns (integer lattice)") {
+    val one = (1L to 50L).map(i => (i, (i * 7) % 50 + 51))
+    val edges = one ++ one.map { case (a, b) => (b, a) }
+    assert(run(edges, 3) === run(edges, 3, parts = 11))
+  }
+
+  test("pageRank rejects out-of-range iteration counts") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException](Graph.pageRank(e, 0))
+    intercept[IllegalArgumentException](Graph.pageRank(e, 51))
+  }
+}

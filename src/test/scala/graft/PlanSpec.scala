@@ -415,4 +415,22 @@ class PipelinePlanSpec extends SparkSpec {
     // weights join broadcasts the per-source dimension
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("q136: PageRank contributions partial-aggregate on dst; the " +
+      "final top-20 is TakeOrdered, never a full sort") {
+    // the query plan itself is truncated by the per-iteration
+    // localCheckpoint, so gate the iteration STEP plan explicitly
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "od")
+    val ranks = Seq((1L, 1048576L), (2L, 1048576L)).toDF("node", "r")
+    val sp = graft.ops.Graph.step(e, ranks)
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("partial_sum"),
+      s"contribution sum must partial-aggregate:\n$sp")
+    assert(!sp.contains("CartesianProduct"))
+    val p = planOf("q136_pagerank")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
