@@ -333,7 +333,80 @@ object TemporalQueries {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  // =====================================================================
+  // q137 — Z-order layout audit: code every event's (user, time-ms) into
+  // a 10+10-bit Morton space, bucket into 64 files two ways — Z-order
+  // quads (top Morton bits) vs the default time-sorted log layout — and
+  // measure what a 2-D box predicate (users [320,447] x time [320,447],
+  // quantized) would scan under each layout's zone maps. All integer bit
+  // arithmetic: the oracle replays codes, buckets, and zone maps
+  // bit-for-bit. The point on 100 TB: the box touches O(box area) quads
+  // under Z-order but O(time-selectivity) files under the log layout.
+  // =====================================================================
+
+  private val q137: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+    val base = ev.select(col("user_id").as("u"),
+      expr("unix_micros(ts) div 1000").as("tm"))
+    val coded = Layout.zorderCode(base, "u", "tm", bits = 10,
+      numBuckets = 64)
+    val layouts = coded
+      .select(col("zq_x"), col("zq_y"), col("zbucket").as("bucket"),
+        lit("zorder").as("layout"))
+      .unionByName(coded.select(col("zq_x"), col("zq_y"),
+        expr("zq_y div 16").as("bucket"), lit("linear").as("layout")))
+    val zones = layouts.groupBy("layout", "bucket").agg(
+      min("zq_x").as("xm"), max("zq_x").as("xx"),
+      min("zq_y").as("ym"), max("zq_y").as("yx"),
+      count(lit(1)).as("cnt"))
+    val scan = zones.withColumn("hit",
+      col("xm") <= 447 && col("xx") >= 320 &&
+        col("ym") <= 447 && col("yx") >= 320)
+    val agg = scan.groupBy("layout").agg(
+      count(lit(1)).as("buckets_total"),
+      sum(when(col("hit"), 1L).otherwise(0L)).as("buckets_scanned"),
+      sum(when(col("hit"), col("cnt")).otherwise(0L)).as("rows_scanned"))
+    val matching = layouts
+      .filter(col("zq_x").between(320, 447) &&
+        col("zq_y").between(320, 447))
+      .groupBy("layout").agg(count(lit(1)).as("rows_matching"))
+    agg.join(matching, Seq("layout"), "left")
+      .withColumn("rows_matching", coalesce(col("rows_matching"), lit(0L)))
+      .orderBy("layout")
+  }
+
+  private val q137Sql = s"""
+    WITH base AS (SELECT user_id AS u, epoch_us(ts) // 1000 AS tm
+      FROM events),
+    st AS (SELECT min(u) AS xmin, max(u) AS xmax,
+        min(tm) AS ymin, max(tm) AS ymax FROM base),
+    q AS (SELECT ((u - xmin) * 1024) // (xmax - xmin + 1) AS zq_x,
+        ((tm - ymin) * 1024) // (ymax - ymin + 1) AS zq_y
+      FROM base, st),
+    zc AS (SELECT zq_x, zq_y,
+        ${Layout.mortonSql("zq_x", "zq_y", 10)} AS z FROM q),
+    lay AS (SELECT zq_x, zq_y, z // 16384 AS bucket, 'zorder' AS layout
+        FROM zc
+      UNION ALL SELECT zq_x, zq_y, zq_y // 16 AS bucket, 'linear' AS layout
+        FROM zc),
+    zones AS (SELECT layout, bucket, min(zq_x) AS xm, max(zq_x) AS xx,
+        min(zq_y) AS ym, max(zq_y) AS yx, count(*) AS cnt
+      FROM lay GROUP BY 1, 2),
+    sc AS (SELECT layout, count(*) AS buckets_total,
+        CAST(sum(CASE WHEN xm <= 447 AND xx >= 320 AND ym <= 447
+          AND yx >= 320 THEN 1 ELSE 0 END) AS BIGINT) AS buckets_scanned,
+        CAST(sum(CASE WHEN xm <= 447 AND xx >= 320 AND ym <= 447
+          AND yx >= 320 THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
+      FROM zones GROUP BY 1),
+    mt AS (SELECT layout, count(*) AS rows_matching FROM lay
+      WHERE zq_x BETWEEN 320 AND 447 AND zq_y BETWEEN 320 AND 447
+      GROUP BY 1)
+    SELECT sc.layout, buckets_total, buckets_scanned, rows_scanned,
+      coalesce(mt.rows_matching, 0) AS rows_matching
+    FROM sc LEFT JOIN mt USING (layout) ORDER BY layout"""
+
   val queries: Map[String, QFn] = Map(
+    "q137_zorder_layout" -> q137,
     "q100_rollup_increments" -> q100,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
@@ -344,6 +417,7 @@ object TemporalQueries {
     "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
+    "q137_zorder_layout" -> q137Sql,
     "q100_rollup_increments" -> q100Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,

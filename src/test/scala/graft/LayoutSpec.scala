@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("morton Column encode round-trips through the scalar decode") {
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val coded = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.morton(col("x"), col("y"), 5).as("z"))
+      .collect()
+    coded.foreach { r =>
+      assert(Layout.mortonDecode(r.getLong(2), 5) ===
+        (r.getLong(0), r.getLong(1)))
+    }
+    // bijection over the full 10-bit space
+    assert(coded.map(_.getLong(2)).distinct.length === 1024)
+  }
+
+  test("candidateBuckets covers exactly the quads overlapping the box") {
+    // 6-bit space, 16 buckets -> shift 8, quad side 16
+    val cands = Layout.candidateBuckets(10, 20, 30, 40, bits = 6,
+      numBuckets = 16)
+    // brute force: bucket of every point in the box
+    val brute = (for (x <- 10L to 20L; y <- 30L to 40L)
+      yield {
+        val z = (0 until 6).map(i =>
+          (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+          .sum
+        z >> 8
+      }).distinct.sorted
+    assert(cands.sorted === brute)
+  }
+
+  test("candidateBuckets rejects non-quad-aligned bucket counts") {
+    intercept[IllegalArgumentException](
+      Layout.candidateBuckets(0, 1, 0, 1, bits = 6, numBuckets = 8))
+    intercept[IllegalArgumentException](
+      Layout.candidateBuckets(0, 1, 0, 1, bits = 6, numBuckets = 20))
+  }
+
+  test("zorderWrite + candidate-bucket read: partition pruning reads a " +
+      "strict subset of directories and loses no rows") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id").as("u"),
+        expr("unix_micros(ts) div 1000").as("tm"))
+    Layout.zorderWrite(ev, "u", "tm", dir, bits = 10, numBuckets = 64)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === ev.count())
+
+    // box in QUANTIZED coordinates; zq_x/zq_y are persisted so the
+    // exact predicate and the pruning filter use the same space
+    val (x0, x1, y0, y1) = (256L, 511L, 256L, 511L)
+    val cands = Layout.candidateBuckets(x0, x1, y0, y1, 10, 64)
+    assert(cands.nonEmpty && cands.length < 64)
+
+    val full = back.filter(col("zq_x").between(x0, x1) &&
+      col("zq_y").between(y0, y1))
+    val pruned = back.filter(col("zbucket").isin(cands: _*))
+      .filter(col("zq_x").between(x0, x1) && col("zq_y").between(y0, y1))
+    assert(pruned.count() === full.count())
+
+    // the zbucket filter is a PARTITION filter (directory pruning —
+    // no file of a pruned quad is ever opened)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("zbucket"), s"expected partition pruning:\n$plan")
+
+    // zone-map sanity: every file's z-range stays inside its quad
+    val spanBad = back
+      .select(input_file_name().as("f"), col("zbucket"), col("z"))
+      .groupBy("f", "zbucket").agg(min("z").as("zl"), max("z").as("zh"))
+      .filter(expr("zl div 16384") =!= col("zbucket") ||
+        expr("zh div 16384") =!= col("zbucket"))
+      .count()
+    assert(spanBad === 0L)
+  }
+}

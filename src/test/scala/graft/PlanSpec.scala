@@ -433,4 +433,13 @@ class PipelinePlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q137: the Morton coding pass is map-only over a broadcast " +
+      "stats row; zone maps partial-aggregate per bucket") {
+    val p = planOf("q137_zorder_layout")
+    // crossJoin(broadcast(1-row stats)) is the accepted tiny-side shape
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_min"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
