@@ -195,12 +195,61 @@ object SketchQueries {
     LEFT JOIN m ON m.sa = p.sa AND m.sb = p.sb
     ORDER BY 1, 2"""
 
+  // ===================================================================
+  // q138 — STANDING per-source KMV index: sketches built on doc_id <
+  // 250 fold the 250.. batch via per-key bottom-k union (an idempotent
+  // lattice join), then the per-source cardinality summary is served
+  // from the folded artifact ALONE. The oracle sketches the whole
+  // corpus in one shot: fold == rebuild, cross-engine. (The ingest-gate
+  // replay discipline is StreamOps.kmvIngestBatchOnce — spec-covered.)
+  // ===================================================================
+
+  private val q138: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    def hashes(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("source"),
+        explode(TextOps.shingleHashes(col("text"), 3)).as("h0"))
+      .select(col("source"), Sketches.avalanche31(col("h0")).as("h"))
+    val idx = Sketches.kmvMergeKeyed(
+      Sketches.kmvKeyed(hashes(docs.filter(col("doc_id") < 250)),
+        "source", "h", KmvK),
+      Sketches.kmvKeyed(hashes(docs.filter(col("doc_id") >= 250)),
+        "source", "h", KmvK),
+      KmvK)
+    idx.select(col("key").as("source"),
+        size(col("sk")).cast("long").as("kmv_size"),
+        element_at(col("sk"), size(col("sk"))).as("kmv_kth"),
+        Sketches.kmvDistinctEst(col("sk"), KmvK).as("kmv_est"))
+      .orderBy(col("source"))
+  }
+
+  private val q138Sql = s"""
+    WITH toks AS (SELECT source,
+        list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents),
+    sgl AS (SELECT source, unnest(CASE WHEN len(t) < 3
+        THEN [array_to_string(t, ' ')]
+        ELSE list_transform(range(len(t) - 2),
+          i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END) AS g
+      FROM toks),
+    sh AS (SELECT DISTINCT source, h FROM (SELECT source,
+        ${dPoly("g")} AS h0, ${Sketches.avalanche31ColsSql} FROM sgl)),
+    sk AS (SELECT source, h,
+        row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+    skk AS (SELECT source, h FROM sk WHERE rn <= $KmvK)
+    SELECT source, count(*) AS kmv_size, max(h) AS kmv_kth,
+      CASE WHEN count(*) < $KmvK THEN count(*)
+        ELSE (${KmvK - 1} * 2147483648) // max(h) END AS kmv_est
+    FROM skk GROUP BY source ORDER BY source"""
+
   val queries: Map[String, QFn] = Map(
     "q121_cms_heavy_hitters" -> q121,
     "q123_hll_distinct" -> q123,
-    "q134_kmv_overlap" -> q134)
+    "q134_kmv_overlap" -> q134,
+    "q138_kmv_standing_index" -> q138)
   val oracles: Map[String, String] = Map(
     "q121_cms_heavy_hitters" -> q121Sql,
     "q123_hll_distinct" -> q123Sql,
-    "q134_kmv_overlap" -> q134Sql)
+    "q134_kmv_overlap" -> q134Sql,
+    "q138_kmv_standing_index" -> q138Sql)
 }

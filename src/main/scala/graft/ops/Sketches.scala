@@ -235,4 +235,23 @@ object Sketches {
     idiv(size(array_intersect(array_intersect(u, a), b)).cast("long")
       * lit(1000000L), size(u).cast("long"))
   }
+
+  /** Per-key KMV sketches `(key, sk)` over a hash-occurrence stream —
+    * one bounded-state hash-aggregate ([[graft.functions.KmvAgg]]
+    * dedups inside its buffer; no distinct shuffle). */
+  def kmvKeyed(items: DataFrame, keyCol: String, hashCol: String,
+      k: Int): DataFrame =
+    items.groupBy(col(keyCol).as("key"))
+      .agg(graft.functions.F.kmvAgg(col(hashCol), k).as("sk"))
+
+  /** Fold two per-key sketch frames: per key, bottom-k of the union of
+    * retained values. Bottom-k is an idempotent, commutative,
+    * associative lattice join, so fold == rebuild under ANY batch
+    * order — the standing-artifact property q138 proves differentially.
+    * Keys present on one side pass through (explode + re-aggregate). */
+  def kmvMergeKeyed(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.unionByName(b)
+      .select(col("key"), explode(col("sk")).as("h"))
+      .groupBy("key")
+      .agg(graft.functions.F.kmvAgg(col("h"), k).as("sk"))
 }

@@ -614,4 +614,31 @@ object StreamOps {
       Some(tag))
     IndexStore.read(spark, sketchDir).get
   }
+
+  /** Standing per-key KMV maintenance at ingest: sketch the batch's
+    * `(keyCol, hashCol)` occurrences and fold by per-key bottom-k union
+    * ([[graft.ops.Sketches.kmvMergeKeyed]]). Bottom-k is an idempotent
+    * lattice join — a replayed fold could never corrupt the sketches —
+    * and the batch tag still gates the version commit for a
+    * byte-identical replay receipt (the [[hllIngestBatchOnce]]
+    * discipline). Returns the folded `(key, sk)` artifact. */
+  def kmvIngestBatchOnce(batch: DataFrame, batchId: Long,
+      sketchDir: String, keyCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    import graft.ops.{IndexStore, Sketches}
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    val tagged = IndexStore.hasTag(spark, sketchDir, tag)
+    val preFold =
+      if (tagged) IndexStore.readBefore(spark, sketchDir, tag)
+      else IndexStore.read(spark, sketchDir)
+    val fresh = Sketches.kmvKeyed(batch, keyCol, hashCol, k)
+    val folded = preFold match {
+      case None => fresh
+      case Some(prev) => Sketches.kmvMergeKeyed(prev, fresh, k)
+    }
+    if (!tagged) IndexStore.write(folded.localCheckpoint(), sketchDir,
+      Some(tag))
+    IndexStore.read(spark, sketchDir).get
+  }
 }

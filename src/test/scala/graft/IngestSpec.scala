@@ -860,6 +860,37 @@ class DsirIngestSpec extends SparkSpec {
     assert(stored.exceptAll(whole).count() === 0)
     assert(whole.exceptAll(stored).count() === 0)
   }
+
+  test("kmvIngestBatchOnce: per-key bottom-k folds exactly once; the " +
+      "standing sketches == one-shot sketches of the whole stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kmvonce")
+      .resolve("kmv").toString
+    def hashed(rows: Seq[(String, String)]) = {
+      val df = rows.toDF("src", "term")
+      df.select(col("src"), graft.ops.Sketches.avalanche31(
+        graft.ops.TextOps.polyHash(col("term"))).as("h")).localCheckpoint()
+    }
+    val b0 = hashed((1 to 300).map(i => ("a", s"t$i")) ++
+      (1 to 50).map(i => ("b", s"u$i")))
+    val b1 = hashed((200 to 600).map(i => ("a", s"t$i")) ++
+      (30 to 90).map(i => ("b", s"u$i")))
+    def once(id: Long, b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.kmvIngestBatchOnce(b, id, dir, "src",
+        "h", k = 32)
+    once(0L, b0)
+    val r1 = once(1L, b1).collect().map(_.toString).sorted.toSeq
+    val vAfter = graft.ops.IndexStore.currentVersion(spark, dir).get
+    // replay: identical artifact, no new version (idempotent lattice)
+    assert(once(1L, b1).collect().map(_.toString).sorted.toSeq === r1)
+    assert(graft.ops.IndexStore.currentVersion(spark, dir).get === vAfter)
+    // fold == rebuild
+    val whole = graft.ops.Sketches.kmvKeyed(b0.unionByName(b1), "src",
+      "h", 32)
+    val stored = graft.ops.IndexStore.read(spark, dir).get
+    assert(stored.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(stored).count() === 0)
+  }
 }
 
 
