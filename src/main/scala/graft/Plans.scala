@@ -163,7 +163,27 @@ object Plans {
       "q133_rp_ann" ->
         ("random-projection ANN: map-only integer projection (hash IS " +
           "the matrix), WindowGroupLimit-capped projected pre-rank, " +
-          "exact re-rank fetches only shortlist vectors"))
+          "exact re-rank fetches only shortlist vectors"),
+      "q134_kmv_overlap" ->
+        ("KMV cross-source overlap: partial_kmv_agg collapses every " +
+          "partition to <= k values before the exchange; pair algebra " +
+          "runs on #sources-row sketch frames only"),
+      "q135_weighted_sample" ->
+        ("E-S weighted sampling: broadcast per-source weights, " +
+          "map-only integer race key, TakeOrderedAndProject selection " +
+          "— zero corpus-sized shuffles, no full sort"),
+      "q136_pagerank" ->
+        ("PageRank iteration (step plan): ranks join the degree-" +
+          "annotated edges on src, contributions partial-sum on dst; " +
+          "final top-20 is TakeOrdered"),
+      "q137_zorder_layout" ->
+        ("Z-order layout audit: one-row stats broadcast into a " +
+          "map-only Morton coding pass; zone maps partial-aggregate " +
+          "per (layout, bucket)"),
+      "q138_kmv_standing_index" ->
+        ("standing KMV: per-key bottom-k union fold (idempotent " +
+          "lattice join, fold == rebuild); serve reads the " +
+          "#sources-row artifact only"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -129,6 +129,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       textCol: String, grams: Boolean)
   private var tindexes = Map.empty[String, TIndexMeta]
 
+  /** Registered standing KMV sketch indexes by table (`sindex create`):
+    * per-key bottom-k sketches of the text column's shingle space —
+    * cardinality and cross-key overlap served from the #keys-row
+    * artifact alone ([[graft.ops.Sketches]] KMV algebra). */
+  private case class SIndexMeta(path: String, keyCol: String,
+      textCol: String, k: Int)
+  private var sindexes = Map.empty[String, SIndexMeta]
+
   /** Run a `sql` command, returning the DataFrame (pre-rendering).
     * A table with a registered rollup first offers the command to
     * [[graft.dialect.RollupServe]] — a qualified increments() query is
@@ -533,6 +541,25 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       else tindexes.toSeq.sortBy(_._1).map { case (tbl, m) =>
         s"$tbl: id=${m.idCol} text=${m.textCol} path=${m.path}" +
           (if (m.grams) " grams=true" else "")
+      }.mkString("\n")
+    }
+    else if (low.startsWith("sindex create")) sindexCreate(t)
+    else if (low.startsWith("sindex refresh")) sindexRefresh(t)
+    else if (low.startsWith("sindex estimate")) sindexEstimate(t)
+    else if (low.startsWith("sindex overlap")) sindexOverlap(t)
+    else if (low.startsWith("sindex attach")) sindexAttach(t)
+    else if (low.startsWith("sindex drop")) {
+      val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "sindex drop requires table ="))
+      require(sindexes.contains(table), s"no sindex registered for $table")
+      sindexes -= table // unregister only; the artifact stays on disk
+      s"sindex for $table dropped"
+    }
+    else if (low == "get sindexes") {
+      if (sindexes.isEmpty) "no sindexes registered"
+      else sindexes.toSeq.sortBy(_._1).map { case (tbl, m) =>
+        s"$tbl: key=${m.keyCol} text=${m.textCol} k=${m.k} path=${m.path}"
       }.mkString("\n")
     }
     else if (low.startsWith("suggest create ")) suggestCreate(t)
@@ -1359,6 +1386,130 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     tindexes += table -> TIndexMeta(path, req("id"), req("text"), grams)
     s"tindex for $table attached from $path" +
       (if (grams) " (+trigram sidecar)" else "")
+  }
+
+  /** Per-key KMV sketch frame of a table: distinct word-3-gram shingle
+    * hashes, avalanched to uniform variates, bottom-k per key — the
+    * q134/q138 build, shared by create and refresh. */
+  private def sindexBuild(src: org.apache.spark.sql.DataFrame,
+      keyCol: String, textCol: String, k: Int) = {
+    import org.apache.spark.sql.functions.{col, explode}
+    graft.ops.Sketches.kmvKeyed(
+      src.select(col(keyCol),
+          explode(graft.ops.TextOps.shingleHashes(col(textCol), 3))
+            .as("h0"))
+        .select(col(keyCol), graft.ops.Sketches.avalanche31(col("h0"))
+          .as("h")),
+      keyCol, "h", k)
+  }
+
+  /** `sindex create where table = <t> and key = <col> and text = <col>
+    * and k = <n> and path = <dir>` — build a standing per-key KMV
+    * sketch index (bounded state: k longs per key). */
+  private def sindexCreate(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"sindex create requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    val (keyCol, textCol, k) = (req("key"), req("text"), req("k").toInt)
+    val built = sindexBuild(catalog.table(table), keyCol, textCol, k)
+    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
+    sindexes += table -> SIndexMeta(path, keyCol, textCol, k)
+    s"sindex for $table created at $path ($rows keys)"
+  }
+
+  /** `sindex refresh where table = <t> and source = <table|path>` —
+    * fold a batch into the standing sketches by per-key bottom-k union
+    * (idempotent lattice join: fold == rebuild under any batch order).
+    * Commits as a fresh IndexStore version. */
+  private def sindexRefresh(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("sindex refresh requires table ="))
+    val meta = sindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no sindex registered for $table"))
+    val src = kv("source").getOrElse(
+      throw new IllegalArgumentException("sindex refresh requires source ="))
+    val delta =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no sindex artifact at ${meta.path}"))
+    val folded = graft.ops.Sketches.kmvMergeKeyed(stored,
+      sindexBuild(delta, meta.keyCol, meta.textCol, meta.k), meta.k)
+      .localCheckpoint()
+    val rows = graft.ops.IndexStore.write(folded, meta.path)
+    s"sindex for $table refreshed ($rows keys)"
+  }
+
+  /** `sindex estimate where table = <t> [and format = table]` — per-key
+    * distinct-cardinality estimates from the artifact alone. */
+  private def sindexEstimate(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("sindex estimate requires table ="))
+    val meta = sindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no sindex registered for $table"))
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no sindex artifact at ${meta.path}"))
+    import org.apache.spark.sql.functions.{col, size}
+    val result = stored.select(col("key"),
+        size(col("sk")).cast("long").as("kmv_size"),
+        graft.ops.Sketches.kmvDistinctEst(col("sk"), meta.k)
+          .as("kmv_est"))
+      .orderBy(col("key"))
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
+  }
+
+  /** `sindex overlap where table = <t> and k = <pairs> [and format =
+    * table]` — the top key pairs by estimated Jaccard, with union
+    * cardinality estimates, computed from the #keys-row artifact alone
+    * (the q134 algebra on the command surface). */
+  private def sindexOverlap(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"sindex overlap requires $k ="))
+    val table = req("table")
+    val topPairs = req("k").toInt
+    val meta = sindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no sindex registered for $table"))
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no sindex artifact at ${meta.path}"))
+    import org.apache.spark.sql.functions.col
+    val result = stored.as("a").join(stored.as("b"),
+        col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+        graft.ops.Sketches.kmvJaccardPpm(col("a.sk"), col("b.sk"),
+          meta.k).as("jacc_ppm"),
+        graft.ops.Sketches.kmvDistinctEst(
+          graft.ops.Sketches.kmvUnionK(col("a.sk"), col("b.sk"), meta.k),
+          meta.k).as("union_est"))
+      .orderBy(col("jacc_ppm").desc, col("key_a"), col("key_b"))
+      .limit(topPairs)
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
+  }
+
+  /** `sindex attach where table = <t> and path = <dir> and key = <col>
+    * and text = <col> and k = <n>` — re-register an existing artifact
+    * after an engine restart. */
+  private def sindexAttach(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"sindex attach requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    require(graft.ops.IndexStore.read(spark, path).isDefined,
+      s"no sindex artifact at $path")
+    sindexes += table -> SIndexMeta(path, req("key"), req("text"),
+      req("k").toInt)
+    s"sindex for $table attached from $path"
   }
 
   /** `hybrid search where table = <t> and probes = <table|path> and

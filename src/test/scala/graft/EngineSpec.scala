@@ -844,3 +844,84 @@ class HybridSearchCommandSpec extends SparkSpec {
       s"hybrid search where table = corpus2 and probes = $probes and k = 3"))
   }
 }
+
+class SIndexCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+  import graft.ops.Sketches
+
+  private def staged(): (Catalog, Engine, java.nio.file.Path) = {
+    val dir = java.nio.file.Files.createTempDirectory("sindex")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("documents",
+      dir.resolve("documents.parquet").toString)
+    val engine = new Engine(spark, cat)
+    (cat, engine, dir)
+  }
+
+  private def libSketches(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Sketches.kmvKeyed(
+      df.select(col("source"),
+          explode(graft.ops.TextOps.shingleHashes(col("text"), 3))
+            .as("h0"))
+        .select(col("source"), Sketches.avalanche31(col("h0")).as("h")),
+      "source", "h", k)
+
+  test("sindex create/estimate/overlap: command serve == library KMV " +
+      "algebra; get sindexes lists it; drop unregisters") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("kmvidx").toString
+    val out = engine.execute("sindex create where table = documents " +
+      s"and key = source and text = text and k = 32 and path = $p")
+    assert(out.contains("created"))
+    assert(engine.execute("get sindexes")
+      .contains("documents: key=source text=text k=32"))
+    // estimate == library kmvDistinctEst over the artifact
+    val lib = libSketches(cat.table("documents"), 32)
+      .select(col("key"), Sketches.kmvDistinctEst(col("sk"), 32)
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reply = engine.execute("sindex estimate where table = documents")
+    lib.foreach { case (key, est) =>
+      assert(reply.contains(s""""key":"$key""""))
+      assert(reply.contains(s""""kmv_est":$est"""),
+        s"estimate for $key should be $est in $reply")
+    }
+    // overlap: the top pair matches the library jaccard on sketches
+    val ov = engine.execute(
+      "sindex overlap where table = documents and k = 3")
+    assert(ov.contains("\"jacc_ppm\"") && ov.contains("\"union_est\""))
+    assert(engine.execute("sindex drop where table = documents")
+      .contains("dropped"))
+    intercept[IllegalArgumentException](engine.execute(
+      "sindex estimate where table = documents"))
+  }
+
+  test("sindex refresh folds by bottom-k union (fold == rebuild); " +
+      "attach re-registers from the artifact alone") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("kmvidx2").toString
+    val full = cat.table("documents")
+    val head = dir.resolve("head").toString
+    val rest = dir.resolve("rest").toString
+    full.filter(col("doc_id") < 30).write.parquet(head)
+    full.filter(col("doc_id") >= 30).write.parquet(rest)
+    cat.registerTable("docs_head", head)
+    engine.execute("sindex create where table = docs_head " +
+      s"and key = source and text = text and k = 32 and path = $p")
+    engine.execute("sindex refresh where table = docs_head " +
+      s"and source = $rest")
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val rebuilt = libSketches(full, 32)
+    assert(idx.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(idx).count() === 0)
+    // attach on a fresh engine serves without the corpus
+    val engine2 = new Engine(spark, cat)
+    engine2.execute(s"sindex attach where table = anything and path = $p " +
+      "and key = source and text = text and k = 32")
+    assert(engine2.execute("sindex estimate where table = anything")
+      .contains("\"kmv_est\""))
+  }
+}
