@@ -55,4 +55,49 @@ object Graph {
       .groupBy(col("dst"))
       .agg((lit(157286L) + sum(col("c"))).as("r"))
       .select(col("dst").as("node"), col("r"))
+
+  /** Exact triangle enumeration by degree-ordered orientation (Schank &
+    * Wagner 2005; MapReduce analysis: Suri & Vassilvitskii WWW 2011):
+    * orient every undirected edge from its (degree, id)-smaller
+    * endpoint, generate wedges by self-joining oriented edges on their
+    * source, close each wedge against the oriented edge set. Input:
+    * undirected edges `(a, b)` with a < b, distinct. Returns one row
+    * per triangle `(x, y, z)`, x < y < z.
+    *
+    * Why orientation is THE scale move: every wedge is generated at
+    * its lowest-degree vertex, so wedge count is Σ_v d⁺(v)² with
+    * d⁺ ≤ O(√m) — a hub with 10^6 neighbors generates no wedges at
+    * all unless both endpoints out-rank it, instead of 10^12 pairs.
+    * Two equi-joins, no window, no cartesian; everything exact int64. */
+  def triangles(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n")).unionByName(
+        und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orientation AND wedge-endpoint ordering both use the same total
+    // (degree, id) rank, so every wedge's closing edge is oriented
+    // w1 -> w2 — the closure check is ONE conjunctive equi-join (an OR
+    // of directions would defeat the hash join).
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("v"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dv"), col("e1.v")) <
+            struct(col("e2.dv"), col("e2.v")))
+      .select(col("e1.u").as("w0"), col("e1.v").as("w1"),
+        col("e2.v").as("w2"))
+    wedges.join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+        Seq("w1", "w2"))
+      .select(least(col("w0"), col("w1"), col("w2")).as("x"),
+        expr("w0 + w1 + w2").as("s"),
+        greatest(col("w0"), col("w1"), col("w2")).as("z"))
+      .select(col("x"), (col("s") - col("x") - col("z")).as("y"), col("z"))
+  }
 }

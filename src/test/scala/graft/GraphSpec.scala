@@ -58,4 +58,50 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, 0))
     intercept[IllegalArgumentException](Graph.pageRank(e, 51))
   }
+
+  // ------------------------------------------------------------ triangles
+
+  private def triSet(edges: Seq[(Long, Long)], parts: Int = 1) = {
+    val df = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("a", "b")
+    Graph.triangles(if (parts > 1) df.repartition(parts) else df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+  }
+
+  test("triangles enumerates K4 (4 triangles) and none in a square") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(triSet(k4) === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(triSet(square) === Set.empty)
+  }
+
+  test("triangles matches a brute-force reference on a pseudo-random " +
+      "graph, any partitioning") {
+    // ring + 2-chords (every (i, i+1, i+2) closes) + pseudo-random
+    // long chords for degree variety
+    val n = 40L
+    val edges = (0L until n).flatMap { i =>
+      Seq((i, (i + 1) % n), (i, (i + 2) % n),
+        (i, (i * 13 + 7) % n))
+    }.filter { case (a, b) => a != b }
+    val adj = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val nodes = adj.keys.toSeq.sorted
+    val brute = (for {
+      x <- nodes; y <- nodes if y > x && adj(x)(y)
+      z <- nodes if z > y && adj(x)(z) && adj(y)(z)
+    } yield (x, y, z)).toSet
+    assert(brute.nonEmpty)
+    assert(triSet(edges) === brute)
+    assert(triSet(edges, parts = 9) === brute)
+  }
+
+  test("triangles counts each triangle exactly once (no orientation " +
+      "double-count on equal-degree nodes)") {
+    // K3 with all degrees equal — ties broken by id
+    assert(triSet(Seq((7L, 8L), (8L, 9L), (7L, 9L)))
+      === Set((7L, 8L, 9L)))
+  }
 }

@@ -434,6 +434,15 @@ class PipelinePlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q139: triangle closure is conjunctive equi-joins only — the " +
+      "degree-ordered orientation never degrades to a nested loop") {
+    val p = planOf("q139_triangle_census")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"closure must stay an equi-join:\n$p")
+    assert(p.contains("partial_count"))
+  }
+
   test("q137: the Morton coding pass is map-only over a broadcast " +
       "stats row; zone maps partial-aggregate per bucket") {
     val p = planOf("q137_zorder_layout")
