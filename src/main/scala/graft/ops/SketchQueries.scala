@@ -242,14 +242,67 @@ object SketchQueries {
         ELSE (${KmvK - 1} * 2147483648) // max(h) END AS kmv_est
     FROM skk GROUP BY source ORDER BY source"""
 
+  // ===================================================================
+  // q140 — log-lattice quantile histogram: per-source p50/p90/p99 of
+  // doc token counts from a BOUNDED mergeable bucket histogram (HDR
+  // bucketing: exact < 8, 8 sub-buckets/octave, bucket width <= 12.5%
+  // of its lower bound), next to the exact nearest-rank values. The
+  // histogram shuffles <= #buckets cells per source at any corpus
+  // size; the exact columns exist to expose quantization error under
+  // the oracle.
+  // ===================================================================
+
+  private val q140: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val toks = docs.select(col("source"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    val est = Sketches.quantileEst(
+      Sketches.quantileHistogram(toks, "source", "n"), Seq(50, 90, 99))
+    val vhist = toks.groupBy(col("source").as("key"), col("n").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val exact = Sketches.quantileEst(vhist, Seq(50, 90, 99), b => b)
+    est.withColumnRenamed("est", "q_est")
+      .join(exact.withColumnRenamed("est", "q_exact"), Seq("key", "pct"))
+      .select(col("key").as("source"), col("pct"), col("q_est"),
+        col("q_exact"))
+      .orderBy(col("source"), col("pct"))
+  }
+
+  private val q140Sql = s"""
+    WITH tk AS (SELECT source, CAST(len(list_filter(
+        string_split(text, ' '), t -> t != '')) AS BIGINT) AS n
+      FROM documents),
+    hist AS (SELECT source, ${Sketches.logBucketDuck("n")} AS b,
+        count(*) AS c FROM tk GROUP BY 1, 2),
+    cum AS (SELECT source, b, sum(c) OVER (PARTITION BY source ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist
+      GROUP BY 1),
+    pcts AS (SELECT unnest([50, 90, 99]) AS pct),
+    est AS (SELECT cum.source, pct,
+        min(${Sketches.bucketLbDuck("b")}) AS q_est
+      FROM cum JOIN tot USING (source)
+      JOIN pcts ON cum.cum * 100 >= pct * tot.n GROUP BY 1, 2),
+    vcum AS (SELECT source, v, sum(c) OVER (PARTITION BY source ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM (SELECT source, n AS v, count(*) AS c FROM tk GROUP BY 1, 2)),
+    ex AS (SELECT vcum.source, pct, min(v) AS q_exact
+      FROM vcum JOIN tot USING (source)
+      JOIN pcts ON vcum.cum * 100 >= pct * tot.n GROUP BY 1, 2)
+    SELECT source, pct, q_est, q_exact FROM est
+    JOIN ex USING (source, pct) ORDER BY source, pct"""
+
   val queries: Map[String, QFn] = Map(
     "q121_cms_heavy_hitters" -> q121,
     "q123_hll_distinct" -> q123,
     "q134_kmv_overlap" -> q134,
-    "q138_kmv_standing_index" -> q138)
+    "q138_kmv_standing_index" -> q138,
+    "q140_quantile_histogram" -> q140)
   val oracles: Map[String, String] = Map(
     "q121_cms_heavy_hitters" -> q121Sql,
     "q123_hll_distinct" -> q123Sql,
     "q134_kmv_overlap" -> q134Sql,
-    "q138_kmv_standing_index" -> q138Sql)
+    "q138_kmv_standing_index" -> q138Sql,
+    "q140_quantile_histogram" -> q140Sql)
 }

@@ -236,6 +236,69 @@ object Sketches {
       * lit(1000000L), size(u).cast("long"))
   }
 
+  // ------------------------------------------------------------------
+  // Log-lattice quantile histogram (the HDR-histogram bucketing: exact
+  // below 8, 8 sub-buckets per octave above — every bucket's width is
+  // <= 12.5% of its lower bound). A BOUNDED, MERGEABLE quantile
+  // summary: ~8*63 buckets cover all of int64, histograms merge by
+  // addition, and the q-quantile estimate is the lower bound of the
+  // first bucket whose cumulative count reaches ceil(q*N) — pure
+  // integer bit arithmetic, bit-identical in DuckDB. The sketch-family
+  // completion next to CMS (frequency), HLL/KMV (cardinality).
+  // ------------------------------------------------------------------
+
+  /** Bucket index of nonnegative int64 expression `x` (Spark SQL text;
+    * the DuckDB twin is [[logBucketDuck]]). */
+  def logBucketSpark(x: String): String =
+    s"case when $x < 8 then $x else (length(bin($x)) - 1) * 8 + " +
+      s"(shiftright($x, length(bin($x)) - 4) & 7) end"
+
+  /** [[logBucketSpark]] in DuckDB syntax. */
+  def logBucketDuck(x: String): String =
+    s"CASE WHEN $x < 8 THEN $x ELSE (length(bin($x)) - 1) * 8 + " +
+      s"(($x >> (length(bin($x)) - 4)) & 7) END"
+
+  /** Lower bound of bucket `b` (Spark SQL text). */
+  def bucketLbSpark(b: String): String =
+    s"case when $b < 8 then $b else " +
+      s"shiftleft(($b % 8) + 8, ($b div 8) - 3) end"
+
+  /** [[bucketLbSpark]] in DuckDB syntax. */
+  def bucketLbDuck(b: String): String =
+    s"CASE WHEN $b < 8 THEN $b ELSE " +
+      s"((($b % 8) + 8) << (($b // 8) - 3)) END"
+
+  /** Per-key bucket histogram `(key, b, c)` over `valueCol`
+    * (nonnegative int64) — one hash-aggregate, map-side combined to at
+    * most #buckets cells per key. Merge = [[cmsMerge]]-style addition
+    * (unionByName + re-sum). */
+  def quantileHistogram(items: DataFrame, keyCol: String,
+      valueCol: String): DataFrame =
+    items.select(col(keyCol).as("key"),
+        expr(logBucketSpark(valueCol)).as("b"))
+      .groupBy("key", "b").agg(count(lit(1)).as("c"))
+
+  /** Nearest-rank quantile estimates from a histogram: for each key
+    * and each q in `pctsX100` (percent), the LOWER BOUND of the first
+    * bucket whose cumulative count reaches ceil(q*N/100). The running
+    * sum's window is per key over at most #buckets rows — bounded
+    * state, never corpus-sized. Returns (key, pct, est). */
+  def quantileEst(hist: DataFrame, pctsX100: Seq[Int],
+      lb: String => String = bucketLbSpark): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val tot = hist.groupBy("key").agg(sum(col("c")).as("n"))
+    val pcts = hist.sparkSession.range(1)
+      .select(explode(array(pctsX100.map(p => lit(p)): _*)).as("pct"))
+    cum.join(broadcast(tot), "key")
+      .join(broadcast(pcts),
+        col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy("key", "pct")
+      .agg(min(expr(lb("b"))).as("est"))
+  }
+
   /** Per-key KMV sketches `(key, sk)` over a hash-occurrence stream —
     * one bounded-state hash-aggregate ([[graft.functions.KmvAgg]]
     * dedups inside its buffer; no distinct shuffle). */

@@ -155,6 +155,59 @@ class SketchSpec extends SparkSpec {
     assert(est > n * 0.75 && est < n * 1.25, s"est $est vs exact $n")
   }
 
+  // ------------------------------------------- log-lattice quantiles
+
+  test("logBucket is monotone and its lower bound brackets every value " +
+      "within 12.5% (HDR property), 0..200000") {
+    val rows = spark.range(0, 200000).toDF("n")
+      .select(col("n"), expr(Sketches.logBucketSpark("n")).as("b"))
+      .select(col("n"), col("b"), expr(Sketches.bucketLbSpark("b"))
+        .as("lb"))
+    // lb <= n everywhere, and n - lb < max(1, lb/8)
+    assert(rows.filter(col("lb") > col("n")).count() === 0)
+    assert(rows.filter(col("n") - col("lb") >=
+      greatest(lit(1L), expr("lb div 8") + 1)).count() === 0)
+    // monotone: bucket of n never decreases as n grows
+    import org.apache.spark.sql.expressions.Window
+    val lagged = rows.withColumn("pb",
+      lag(col("b"), 1).over(Window.orderBy(col("n"))))
+    assert(lagged.filter(col("pb") > col("b")).count() === 0)
+  }
+
+  test("quantileHistogram merges by addition (sketch of union == " +
+      "merged parts) with bounded cells") {
+    import spark.implicits._
+    val a = (1 to 400).map(i => ("s", (i % 977).toLong)).toDF("k", "n")
+    val b = (1 to 300).map(i => ("s", (i % 131).toLong)).toDF("k", "n")
+    val whole = Sketches.quantileHistogram(a.unionByName(b), "k", "n")
+    val merged = Sketches.quantileHistogram(a, "k", "n")
+      .unionByName(Sketches.quantileHistogram(b, "k", "n"))
+      .groupBy("key", "b").agg(sum("c").as("c"))
+    assert(merged.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(merged).count() === 0)
+    assert(whole.count() <= 8L * 64)
+  }
+
+  test("quantileEst lower-bounds the exact nearest-rank value within " +
+      "one bucket width") {
+    import spark.implicits._
+    val vals = (1 to 5000).map(i => ("s", (i.toLong * i) % 9973))
+      .toDF("k", "n")
+    val est = Sketches.quantileEst(
+        Sketches.quantileHistogram(vals, "k", "n"), Seq(50, 90, 99))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val exact = Sketches.quantileEst(
+        vals.groupBy(col("k").as("key"), col("n").as("b"))
+          .agg(count(lit(1)).as("c")),
+        Seq(50, 90, 99), bExpr => bExpr)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    Seq(50, 90, 99).foreach { p =>
+      assert(est(p) <= exact(p), s"p$p: est ${est(p)} > exact ${exact(p)}")
+      assert(exact(p) - est(p) <= math.max(1L, est(p) / 8 + 1),
+        s"p$p: est ${est(p)} too far below exact ${exact(p)}")
+    }
+  }
+
   test("kmvJaccardPpm approximates the true Jaccard of the term sets") {
     val a = (1 to 3000).map(i => s"doc_$i")
     val b = (2001 to 5000).map(i => s"doc_$i") // |A∩B|=1000, |A∪B|=5000
