@@ -137,6 +137,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       textCol: String, k: Int)
   private var sindexes = Map.empty[String, SIndexMeta]
 
+  /** Registered Z-order layouts by table (`layout zorder`): a
+    * Morton-clustered directory-partitioned copy whose quads a 2-D box
+    * predicate prunes with PARTITION filters ([[graft.ops.Layout]]). */
+  private case class LayoutMeta(path: String, xCol: String, yCol: String,
+      bits: Int, buckets: Int)
+  private var layouts = Map.empty[String, LayoutMeta]
+
   /** Run a `sql` command, returning the DataFrame (pre-rendering).
     * A table with a registered rollup first offers the command to
     * [[graft.dialect.RollupServe]] — a qualified increments() query is
@@ -560,6 +567,23 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       if (sindexes.isEmpty) "no sindexes registered"
       else sindexes.toSeq.sortBy(_._1).map { case (tbl, m) =>
         s"$tbl: key=${m.keyCol} text=${m.textCol} k=${m.k} path=${m.path}"
+      }.mkString("\n")
+    }
+    else if (low.startsWith("layout zorder")) layoutZorder(t)
+    else if (low.startsWith("layout scan")) layoutScan(t)
+    else if (low.startsWith("layout drop")) {
+      val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "layout drop requires table ="))
+      require(layouts.contains(table), s"no layout registered for $table")
+      layouts -= table // unregister only; the files stay on disk
+      s"layout for $table dropped"
+    }
+    else if (low == "get layouts") {
+      if (layouts.isEmpty) "no layouts registered"
+      else layouts.toSeq.sortBy(_._1).map { case (tbl, m) =>
+        s"$tbl: x=${m.xCol} y=${m.yCol} bits=${m.bits} " +
+          s"buckets=${m.buckets} path=${m.path}"
       }.mkString("\n")
     }
     else if (low.startsWith("suggest create ")) suggestCreate(t)
@@ -1510,6 +1534,61 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     sindexes += table -> SIndexMeta(path, req("key"), req("text"),
       req("k").toInt)
     s"sindex for $table attached from $path"
+  }
+
+  /** `layout zorder where table = <t> and x = <col> and y = <col> and
+    * path = <dir> [and bits = 10] [and buckets = 64]` — write a
+    * Morton-clustered, directory-partitioned copy of the table (both
+    * columns must be int64-castable; timestamps cast to epoch micros
+    * first via a view). */
+  private def layoutZorder(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"layout zorder requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    val (xc, yc) = (req("x"), req("y"))
+    val bits = kv("bits").map(_.toInt).getOrElse(10)
+    val buckets = kv("buckets").map(_.toInt).getOrElse(64)
+    graft.ops.Layout.zorderWrite(catalog.table(table), xc, yc, path,
+      bits, buckets)
+    layouts += table -> LayoutMeta(path, xc, yc, bits, buckets)
+    s"layout for $table written at $path " +
+      s"($buckets quad buckets, $bits-bit dims)"
+  }
+
+  /** `layout scan where table = <t> and x0 = <n> and x1 = <n> and
+    * y0 = <n> and y1 = <n> [and format = table]` — serve a 2-D box
+    * query (QUANTIZED coordinates) from the registered layout:
+    * candidate quads computed on the driver ([[graft.ops.Layout
+    * .candidateBuckets]] — no data access), then a partition-pruned
+    * read. Returns the pruning receipt + matching row count. */
+  private def layoutScan(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(-?\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"layout scan requires $k ="))
+    val table = req("table")
+    val meta = layouts.getOrElse(table,
+      throw new IllegalArgumentException(s"no layout registered for $table"))
+    val (x0, x1) = (req("x0").toLong, req("x1").toLong)
+    val (y0, y1) = (req("y0").toLong, req("y1").toLong)
+    val cands = graft.ops.Layout.candidateBuckets(x0, x1, y0, y1,
+      meta.bits, meta.buckets)
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows =
+      if (cands.isEmpty) 0L
+      else spark.read.parquet(meta.path)
+        .filter(col("zbucket").isin(cands: _*))
+        .filter(col("zq_x").between(x0, x1) &&
+          col("zq_y").between(y0, y1))
+        .count()
+    val result = spark.range(1).select(
+      lit(meta.buckets).as("buckets_total"),
+      lit(cands.length).as("buckets_scanned"),
+      lit(rows).as("rows_matching"))
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
   }
 
   /** `hybrid search where table = <t> and probes = <table|path> and

@@ -641,4 +641,32 @@ object StreamOps {
       Some(tag))
     IndexStore.read(spark, sketchDir).get
   }
+
+  /** Standing QUANTILE-HISTOGRAM maintenance at ingest: bucket the
+    * batch's `valueCol` on the log lattice and fold by cell-wise
+    * addition ([[graft.ops.Sketches.quantileHistogram]] — histogram of
+    * the union == sum of the parts). Addition is NOT idempotent, so
+    * the batch tag is the thing preventing double-counting (the
+    * [[cmsIngestBatchOnce]] discipline). Returns the folded
+    * `(key, b, c)` histogram; serve quantiles with
+    * [[graft.ops.Sketches.quantileEst]]. */
+  def quantileIngestBatchOnce(batch: DataFrame, batchId: Long,
+      sketchDir: String, keyCol: String, valueCol: String): DataFrame = {
+    import graft.ops.{IndexStore, Sketches}
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    val tagged = IndexStore.hasTag(spark, sketchDir, tag)
+    val preFold =
+      if (tagged) IndexStore.readBefore(spark, sketchDir, tag)
+      else IndexStore.read(spark, sketchDir)
+    val fresh = Sketches.quantileHistogram(batch, keyCol, valueCol)
+    val folded = preFold match {
+      case None => fresh
+      case Some(prev) => prev.unionByName(fresh).groupBy("key", "b")
+        .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+    }
+    if (!tagged) IndexStore.write(folded.localCheckpoint(), sketchDir,
+      Some(tag))
+    IndexStore.read(spark, sketchDir).get
+  }
 }

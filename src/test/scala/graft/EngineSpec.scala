@@ -925,3 +925,42 @@ class SIndexCommandSpec extends SparkSpec {
       .contains("\"kmv_est\""))
   }
 }
+
+class LayoutCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  test("layout zorder/scan: command pruning receipt == library " +
+      "candidateBuckets; get layouts lists it; drop unregisters") {
+    val dir = java.nio.file.Files.createTempDirectory("laycmd")
+    // int64 view of events (ts cast to epoch ms)
+    graft.engine.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id").as("u"),
+        expr("unix_micros(ts) div 1000").as("tm"))
+      .write.parquet(dir.resolve("ev").toString)
+    val cat = new Catalog(spark)
+    cat.registerTable("ev", dir.resolve("ev").toString)
+    val engine = new Engine(spark, cat)
+    val p = dir.resolve("zorder").toString
+    val out = engine.execute("layout zorder where table = ev and x = u " +
+      s"and y = tm and path = $p and bits = 10 and buckets = 64")
+    assert(out.contains("written"))
+    assert(engine.execute("get layouts").contains("ev: x=u y=tm bits=10"))
+    val reply = engine.execute("layout scan where table = ev and " +
+      "x0 = 256 and x1 = 511 and y0 = 256 and y1 = 511")
+    val cands = graft.ops.Layout.candidateBuckets(256, 511, 256, 511,
+      10, 64)
+    assert(reply.contains(s""""buckets_scanned":${cands.length}"""),
+      s"expected ${cands.length} candidate quads in $reply")
+    assert(reply.contains(""""buckets_total":64"""))
+    // matching rows == unpruned exact filter over the written copy
+    val full = spark.read.parquet(p)
+      .filter(col("zq_x").between(256, 511) &&
+        col("zq_y").between(256, 511)).count()
+    assert(reply.contains(s""""rows_matching":$full"""), reply)
+    assert(engine.execute("layout drop where table = ev")
+      .contains("dropped"))
+    intercept[IllegalArgumentException](engine.execute(
+      "layout scan where table = ev and x0 = 0 and x1 = 1 and y0 = 0 " +
+        "and y1 = 1"))
+  }
+}

@@ -1025,3 +1025,37 @@ class SearchIngestChainE2ESpec extends SparkSpec {
     assert(whole.exceptAll(hll).count() === 0)
   }
 }
+
+class QuantileIngestSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("quantileIngestBatchOnce: histogram folds additively exactly " +
+      "once; standing cells == one-shot histogram of the whole stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qhonce")
+      .resolve("qh").toString
+    val b0 = (1 to 400).map(i => ("s", (i % 977).toLong)).toDF("k", "n")
+      .localCheckpoint()
+    val b1 = (1 to 300).map(i => ("s", (i % 131).toLong)).toDF("k", "n")
+      .localCheckpoint()
+    def once(id: Long, b: org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamOps.quantileIngestBatchOnce(b, id, dir,
+        "k", "n")
+    once(0L, b0)
+    val total = once(1L, b1).agg(sum("c")).head().getLong(0)
+    assert(total === 700L)
+    val vAfter = graft.ops.IndexStore.currentVersion(spark, dir).get
+    // replay: still 700, never 1000, no new version
+    assert(once(1L, b1).agg(sum("c")).head().getLong(0) === 700L)
+    assert(graft.ops.IndexStore.currentVersion(spark, dir).get === vAfter)
+    // fold == rebuild, and quantiles serve from the standing cells
+    val whole = graft.ops.Sketches.quantileHistogram(
+      b0.unionByName(b1), "k", "n")
+    val stored = graft.ops.IndexStore.read(spark, dir).get
+    assert(stored.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(stored).count() === 0)
+    val p50 = graft.ops.Sketches.quantileEst(stored, Seq(50))
+      .head().getLong(2)
+    assert(p50 > 0L)
+  }
+}
