@@ -69,6 +69,75 @@ object Graph {
     * d⁺ ≤ O(√m) — a hub with 10^6 neighbors generates no wedges at
     * all unless both endpoints out-rank it, instead of 10^12 pairs.
     * Two equi-joins, no window, no cartesian; everything exact int64. */
+  /** Personalized PageRank (random walk with restart — Haveliwala WWW
+    * 2002): identical integer-lattice iteration to [[pageRank]], except
+    * the restart mass returns ONLY to the seed set — initial rank 2^20
+    * at seeds / 0 elsewhere, per-round restart term 157286 at seeds /
+    * 0 elsewhere. Final ranks measure association with the seed set
+    * through the link structure — the "more data like this" curation
+    * primitive (seed = a trusted slice, rank = crawl affinity). Same
+    * per-iteration scale shape and checkpoint discipline as
+    * [[pageRank]]; exact int64 throughout. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val e = edges.join(deg, "src").localCheckpoint(true)
+    val s = seeds.select(col("node").as("dst"), lit(1L).as("is_seed"))
+      .distinct().localCheckpoint(true)
+    var ranks = e.select(col("src").as("dst")).distinct()
+      .join(s, Seq("dst"), "left")
+      .select(col("dst").as("node"),
+        (coalesce(col("is_seed"), lit(0L)) * 1048576L).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("((r * 85) div 100) div od").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .join(s, Seq("dst"), "left")
+        .select(col("dst").as("node"),
+          (coalesce(col("is_seed"), lit(0L)) * 157286L + col("cs"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank_q"))
+  }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, in the
+    * deterministic weighted-majority form): seeds keep their labels
+    * forever; each round, every unseeded node adopts the label with
+    * the highest incident edge-weight sum among its CURRENTLY-labeled
+    * neighbors (ties → smallest label — the q130 windowless
+    * `min(struct)` argmax, never a rand() tie-break). Nodes with no
+    * labeled neighbor stay unlabeled that round. Input: undirected
+    * weighted edges `(a, b, w)` and `seeds (node, label)`; returns
+    * `(node, label)` for every node labeled after `rounds` rounds.
+    *
+    * Scale shape per round: symmetrize (map-only union), ONE join of
+    * current labels into the edge frame on the source id, one
+    * (node, label) partial-summed vote aggregate, one per-node argmax
+    * aggregate — no windows; lineage checkpointed per round. */
+  def labelPropagate(und: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, "rounds must be in [1, 20]")
+    val sym = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"),
+        col("w")))
+      .localCheckpoint(true)
+    var labels = seeds.select(col("node"), col("label"))
+    for (_ <- 1 to rounds) {
+      val votes = sym.join(labels, labels("node") === sym("src"))
+        .groupBy(col("dst"), col("label")).agg(sum(col("w")).as("ws"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("ws")).as("nw"), col("label").as("l")))
+          .as("top"))
+        .select(col("dst").as("node"), col("top.l").as("label"))
+        .join(seeds.select(col("node")), Seq("node"), "left_anti")
+      labels = seeds.select(col("node"), col("label"))
+        .unionByName(votes).localCheckpoint(true)
+    }
+    labels
+  }
+
   def triangles(und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("n")).unionByName(
         und.select(col("b").as("n")))

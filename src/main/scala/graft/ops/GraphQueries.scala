@@ -111,10 +111,142 @@ object GraphQueries {
     SELECT node, count(*) AS tri_cnt FROM nn GROUP BY 1
     ORDER BY tri_cnt DESC, node LIMIT 20"""
 
+  // =====================================================================
+  // q141 — semi-supervised label propagation: docs with doc_id < 250
+  // seed their lang label; 2 rounds of deterministic weighted-majority
+  // spreading over the rare-shingle overlap graph (shingle df in
+  // [2, 20] — the q82 df-cut scale valve: hot boilerplate shingles
+  // would mint quadratic pairs) label the rest. Output: predicted vs
+  // true lang for every labeled unseeded doc. The oracle unrolls the
+  // same 2 rounds.
+  // =====================================================================
+
+  private val lpRounds = 2
+
+  private val q141: QFn = (sp, d) => {
+    import graft.ops.{PipelineQueries, TextOps}
+    val docs = PipelineQueries.wide(sp, d, "documents", "doc_id")
+    val sh = docs.select(col("doc_id"),
+      explode(TextOps.shingleHashes(col("text"), 3)).as("h"))
+    val dfc = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfc.filter(col("df").between(2, 20)), "h")
+    val pairs = rare.as("x").join(rare.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("w"))
+    val seeds = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id").as("node"), col("lang").as("label"))
+    Graph.labelPropagate(pairs, seeds, lpRounds)
+      .filter(col("node") >= 250)
+      .join(docs.select(col("doc_id").as("node"), col("lang")), "node")
+      .select(col("node").as("doc_id"), col("label").as("pred_lang"),
+        col("lang").as("true_lang"),
+        (col("label") === col("lang")).as("agree"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q141Sql: String = {
+    val P = "2147483647"
+    val dPoly = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(g, ''), c -> CAST(unicode(c) AS " +
+      s"BIGINT))), (a, c) -> (a*31 + c) % $P)"
+    val roundCtes = (1 to lpRounds).map { i =>
+      s"""v$i AS (SELECT dst, label, sum(w) AS ws FROM sym
+        JOIN l${i - 1} ON l${i - 1}.node = sym.src GROUP BY 1, 2),
+      t$i AS (SELECT dst AS node, label, row_number() OVER
+        (PARTITION BY dst ORDER BY ws DESC, label) AS rn FROM v$i),
+      l$i AS (SELECT node, label FROM l0
+        UNION ALL SELECT node, label FROM t$i WHERE rn = 1
+          AND node NOT IN (SELECT node FROM l0))"""
+    }.mkString(",\n    ")
+    s"""
+    WITH toks AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents),
+    sgl AS (SELECT doc_id, unnest(CASE WHEN len(t) < 3
+        THEN [array_to_string(t, ' ')]
+        ELSE list_transform(range(len(t) - 2),
+          i -> array_to_string(list_slice(t, i + 1, i + 3), ' ')) END)
+        AS g FROM toks),
+    sh AS (SELECT DISTINCT doc_id, $dPoly AS h FROM sgl),
+    dfc AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+    rare AS (SELECT sh.doc_id, sh.h FROM sh JOIN dfc USING (h)
+      WHERE df BETWEEN 2 AND 20),
+    e AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS w
+      FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sym AS (SELECT a AS src, b AS dst, w FROM e
+      UNION ALL SELECT b AS src, a AS dst, w FROM e),
+    l0 AS (SELECT doc_id AS node, lang AS label FROM documents
+      WHERE doc_id < 250),
+    $roundCtes
+    SELECT lf.node AS doc_id, lf.label AS pred_lang,
+      d.lang AS true_lang, lf.label = d.lang AS agree
+    FROM l$lpRounds lf JOIN documents d ON d.doc_id = lf.node
+    WHERE lf.node >= 250 ORDER BY 1"""
+  }
+
+  // =====================================================================
+  // q142 — personalized PageRank from the nation-0 customer seed set
+  // over the symmetric trade graph: ranks measure association with the
+  // seeds through shared suppliers ("more like this slice" affinity).
+  // 3 integer-lattice iterations; output = the 20 most seed-associated
+  // NON-seed nodes. The oracle unrolls the same iterations.
+  // =====================================================================
+
+  private val q142: QFn = (sp, d) => {
+    val e0 = t(sp, d, "orders").join(t(sp, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(sp, d, "customer").filter(col("c_nationkey") === 0)
+      .select((col("c_custkey") * 2).as("node"))
+    Graph.personalizedPageRank(edges, seeds, prIters)
+      .join(seeds, Seq("node"), "left_anti")
+      .orderBy(col("rank_q").desc, col("node"))
+      .limit(20)
+  }
+
+  private val q142Sql: String = {
+    val iterCtes = (1 to prIters).map { i =>
+      s"""r$i AS (SELECT x.node,
+        CASE WHEN s.node IS NULL THEN 0 ELSE 157286 END + x.cs AS r
+      FROM (SELECT e.dst AS node, sum(((r.r * 85) // 100) // d.od) AS cs
+        FROM e JOIN r${i - 1} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY 1) x
+      LEFT JOIN s ON s.node = x.node)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+        l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e AS (SELECT src, dst FROM e0
+      UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+    s AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+      WHERE c_nationkey = 0),
+    r0 AS (SELECT n.node,
+        CASE WHEN s.node IS NULL THEN 0 ELSE 1048576 END AS r
+      FROM (SELECT DISTINCT src AS node FROM e) n
+      LEFT JOIN s ON s.node = n.node),
+    $iterCtes
+    SELECT r$prIters.node, CAST(r AS BIGINT) AS rank_q FROM r$prIters
+    LEFT JOIN s ON s.node = r$prIters.node
+    WHERE s.node IS NULL
+    ORDER BY r DESC, r$prIters.node LIMIT 20"""
+  }
+
   val queries: Map[String, QFn] = Map(
     "q136_pagerank" -> q136,
-    "q139_triangle_census" -> q139)
+    "q139_triangle_census" -> q139,
+    "q141_label_propagation" -> q141,
+    "q142_personalized_pagerank" -> q142)
   val oracles: Map[String, String] = Map(
     "q136_pagerank" -> q136Sql,
-    "q139_triangle_census" -> q139Sql)
+    "q139_triangle_census" -> q139Sql,
+    "q141_label_propagation" -> q141Sql,
+    "q142_personalized_pagerank" -> q142Sql)
 }

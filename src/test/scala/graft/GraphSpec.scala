@@ -59,6 +59,77 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, 51))
   }
 
+  // --------------------------------------------------- personalized PR
+
+  test("personalizedPageRank concentrates mass near the seed; far " +
+      "nodes decay; deterministic under repartitioning") {
+    // chain 1-2-3-4-5-6 symmetric, seed {1}
+    val one = (1L to 5L).map(i => (i, i + 1))
+    val edges = (one ++ one.map { case (a, b) => (b, a) })
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    def run(parts: Int) = Graph.personalizedPageRank(
+        if (parts > 1) edges.repartition(parts) else edges, seeds, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = run(1)
+    // the seed dominates; the far tail has little mass (note: a path
+    // graph oscillates by walk parity, so per-hop monotonicity does
+    // NOT hold — only the radius and seed-dominance properties do)
+    assert(r(1L) === r.values.max, r.toString)
+    assert(r(4L) < r(1L) / 10 && r(5L) < r(1L) / 5, r.toString)
+    // a 4-step walk cannot reach distance 5: exactly zero mass
+    assert(r(6L) === 0L)
+    assert(run(9) === r)
+  }
+
+  test("personalizedPageRank with ALL nodes seeded degenerates to " +
+      "pageRank (same restart everywhere)") {
+    val one = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val edges = (one ++ one.map { case (a, b) => (b, a) })
+      .toDF("src", "dst")
+    val all = Seq(1L, 2L, 3L).toDF("node")
+    val ppr = Graph.personalizedPageRank(edges, all, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRank(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr === pr)
+  }
+
+  // ------------------------------------------------------- label spread
+
+  private def lp(edges: Seq[(Long, Long, Long)],
+      seeds: Seq[(Long, String)], rounds: Int, parts: Int = 1) = {
+    val e = edges.toDF("a", "b", "w")
+    Graph.labelPropagate(if (parts > 1) e.repartition(parts) else e,
+        seeds.toDF("node", "label"), rounds)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+  }
+
+  test("labelPropagate: weighted majority wins, ties break to the " +
+      "smallest label, seeds never flip") {
+    // 3 --(w2)-- 1[en]   3 --(w1)-- 2[fr]  => 3 takes en
+    // 4 --(w1)-- 1[en]   4 --(w1)-- 2[fr]  => tie -> 'en' < 'fr'
+    val edges = Seq((1L, 3L, 2L), (2L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 4L, 1L), (3L, 2L, 0L))
+    val seeds = Seq(1L -> "en", 2L -> "fr")
+    val out = lp(edges, seeds, 1)
+    assert(out(3L) === "en" && out(4L) === "en")
+    assert(out(1L) === "en" && out(2L) === "fr") // seeds fixed
+  }
+
+  test("labelPropagate: labels spread transitively across rounds; " +
+      "unreachable nodes stay unlabeled; partition-invariant") {
+    // chain 1[en] - 2 - 3, island 9-10
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (9L, 10L, 1L))
+    val seeds = Seq(1L -> "en")
+    val r1 = lp(edges, seeds, 1)
+    assert(r1.get(2L) === Some("en") && r1.get(3L) === None)
+    val r2 = lp(edges, seeds, 2)
+    assert(r2.get(3L) === Some("en"))
+    assert(r2.get(9L) === None && r2.get(10L) === None)
+    assert(lp(edges, seeds, 2, parts = 7) === r2)
+  }
+
   // ------------------------------------------------------------ triangles
 
   private def triSet(edges: Seq[(Long, Long)], parts: Int = 1) = {
