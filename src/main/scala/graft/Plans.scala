@@ -183,7 +183,22 @@ object Plans {
       "q138_kmv_standing_index" ->
         ("standing KMV: per-key bottom-k union fold (idempotent " +
           "lattice join, fold == rebuild); serve reads the " +
-          "#sources-row artifact only"))
+          "#sources-row artifact only"),
+      "q139_triangle_census" ->
+        ("triangle census: degree-ordered orientation, wedge + " +
+          "closure as conjunctive equi-joins only — Σd⁺² bound, " +
+          "never a nested loop"),
+      "q140_quantile_histogram" ->
+        ("log-lattice quantiles: bounded bucket histogram (map-side " +
+          "partials to <= #buckets cells/key), per-key running sum " +
+          "over bucket rows only"),
+      "q141_label_propagation" ->
+        ("label propagation round: labels join the df-capped edge " +
+          "frame, (node, label) partial-summed votes, windowless " +
+          "min(struct) argmax"),
+      "q142_personalized_pagerank" ->
+        ("personalized PageRank iteration: q136's join/partial-sum " +
+          "shape with restart mass only at the broadcast seed set"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")
