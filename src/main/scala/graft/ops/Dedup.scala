@@ -534,6 +534,25 @@ object Dedup {
     labels
   }
 
+  /** Fold NEW pairs into a standing component labeling WITHOUT
+    * re-running over the full pair history: previous labels become star
+    * edges (node → its label — every old component is a star, so all
+    * prior connectivity survives compression), and components run over
+    * star ∪ newPairs only. Exact: the compressed graph's components
+    * equal the full history's (same node set — every labeled node
+    * appears in its star edge — and min-label is over the same
+    * members), the classic union-find fold. Cost per batch is
+    * O(|labels| + |newPairs|), never O(|pair history|) — the standing
+    * counterpart of [[incrementalJaccard]]: the batch's cross/internal
+    * pairs fold into the labeling the keep-list serves from. */
+  def refreshComponents(prevLabels: DataFrame, newPairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b",
+      maxIter: Int = 10): DataFrame =
+    connectedComponents(
+      prevLabels.select(col("id").as(aCol), col("label").as(bCol))
+        .unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIter)
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
     * clustering — every vector is assigned to its nearest centroid
     * (broadcast, map-side), pairwise cosine runs ONLY within a cell, and

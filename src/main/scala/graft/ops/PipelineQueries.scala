@@ -1065,6 +1065,30 @@ object PipelineQueries {
       "text", "doc_id", shingleN = 3, threshold = 0.5)
     Dedup.connectedComponents(pairs).orderBy(col("id"))
   }
+  /** q143 — STANDING components through a batch fold: components of
+    * batch 1's pairs become star edges; batch 2 contributes its
+    * internal pairs ([[Dedup.jaccardPairs]]) plus its cross pairs
+    * against batch 1's standing shingle index
+    * ([[Dedup.incrementalJaccard]] — the q64 serving path), and
+    * [[Dedup.refreshComponents]] folds them. The oracle computes the
+    * one-shot full-corpus closure (q72's): fold == rebuild,
+    * differentially — the union-find compression loses nothing. */
+  private val q143: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    val b1 = docs.filter(col("doc_id") < 250)
+    val b2 = docs.filter(col("doc_id") >= 250)
+    val prev = Dedup.connectedComponents(
+      Dedup.jaccardPairs(b1, "text", "doc_id", 3, 0.5))
+    val idx = Dedup.shingleIndex(b1, "text", "doc_id").localCheckpoint()
+    val cross = Dedup.incrementalJaccard(b2, idx, "text", "doc_id",
+        shingleN = 3, threshold = 0.5)
+      .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+    val internal = Dedup.jaccardPairs(b2, "text", "doc_id", 3, 0.5)
+      .select(col("id_a"), col("id_b"))
+    Dedup.refreshComponents(prev, cross.unionByName(internal))
+      .orderBy(col("id"))
+  }
+
   private val q72Sql = s"""
     WITH RECURSIVE
     sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
@@ -1998,6 +2022,7 @@ object PipelineQueries {
     "q74_ann_binary_quantized" -> q74,
     "q73_dedup_keep_longest" -> q73,
     "q72_neardup_components" -> q72,
+    "q143_components_standing_fold" -> q143,
     "q68_decontaminate" -> q68,
     "q69_repetition_signals" -> q69,
     "q70_tfidf_topk" -> q70,
@@ -2053,6 +2078,7 @@ object PipelineQueries {
     "q74_ann_binary_quantized" -> q74Sql,
     "q73_dedup_keep_longest" -> q73Sql,
     "q72_neardup_components" -> q72Sql,
+    "q143_components_standing_fold" -> q72Sql,
     "q68_decontaminate" -> q68Sql,
     "q69_repetition_signals" -> q69Sql,
     "q70_tfidf_topk" -> q70Sql,

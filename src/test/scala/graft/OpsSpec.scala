@@ -1016,6 +1016,30 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(labels.filter(col("label") > col("id")).count() === 0)
   }
 
+  test("refreshComponents: folding pair batches in ANY order equals the " +
+      "one-shot components (union-find star compression is exact)") {
+    // pseudo-random graph: rings + chords, sliced into 3 batches
+    val n = 60L
+    val all = (0L until n).flatMap { i =>
+      Seq((i, (i + 1) % n), (i, (i * 7 + 3) % n))
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val oneShot = Dedup.connectedComponents(all.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (seed <- Seq(1, 5)) {
+      val batches = all.groupBy(p => (p._1 * seed + p._2) % 3)
+        .toSeq.sortBy(_._1).map(_._2)
+      var labels = Dedup.connectedComponents(batches.head
+        .toDF("id_a", "id_b"))
+      batches.tail.foreach { b =>
+        labels = Dedup.refreshComponents(labels, b.toDF("id_a", "id_b"))
+      }
+      val folded = labels.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(folded === oneShot, s"fold != rebuild for slicing $seed")
+    }
+  }
+
   test("iteration lineage is truncated — final plan is O(1), not O(rounds)") {
     // a 6-long chain needs several min-label rounds; with per-round
     // localCheckpoint the returned plan must start from the materialized
