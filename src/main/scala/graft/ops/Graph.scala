@@ -69,6 +69,44 @@ object Graph {
     * d⁺ ≤ O(√m) — a hub with 10^6 neighbors generates no wedges at
     * all unless both endpoints out-rank it, instead of 10^12 pairs.
     * Two equi-joins, no window, no cartesian; everything exact int64. */
+  /** k-core decomposition (Seidman 1983; distributed peeling:
+    * Montresor et al. 2013): iteratively delete nodes of degree < k
+    * until the remaining subgraph is stable — the unique maximal
+    * subgraph where every node keeps >= k neighbors (a density filter:
+    * the graph-topology analog of a quality cut — crawl-graph cores
+    * mark densely-cited hubs). Input: symmetric directed edge rows
+    * `(src, dst)` (both directions present). Returns `(node,
+    * core_deg)` — surviving nodes with their within-core degree.
+    *
+    * The FIXPOINT is unique regardless of deletion order, so an oracle
+    * may unroll any round count >= the actual convergence (extra
+    * rounds are no-ops). Each round: one degree aggregate (partial,
+    * map-side) + two semi-joins of the edge frame against the
+    * surviving-node set; lineage checkpointed per round; a
+    * non-converged exit THROWS ([[Dedup.connectedComponents]]'
+    * discipline), never returns a partial peel. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxRounds) {
+      val keep = e.groupBy(col("src").as("n"))
+        .agg(count(lit(1)).as("d")).filter(col("d") >= k)
+        .select(col("n"))
+      val pruned = e.join(keep.withColumnRenamed("n", "src"), Seq("src"),
+          "left_semi")
+        .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      converged = pruned.count() == e.count()
+      e = pruned
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"kcore did not converge in $maxRounds rounds — raise maxRounds")
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Personalized PageRank (random walk with restart — Haveliwala WWW
     * 2002): identical integer-lattice iteration to [[pageRank]], except
     * the restart mass returns ONLY to the seed set — initial rank 2^20

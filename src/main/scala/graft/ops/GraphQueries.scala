@@ -239,14 +239,61 @@ object GraphQueries {
     ORDER BY r DESC, r$prIters.node LIMIT 20"""
   }
 
+  // =====================================================================
+  // q144 — 30-core of the trade graph: iterative peeling to the unique
+  // maximal subgraph where every node keeps >= 30 trading partners (the
+  // density cut marking the market's dense core). The oracle unrolls 8
+  // peel rounds — more than the measured convergence (2 at sf0.01), and
+  // extra rounds are no-ops at the fixpoint, so any sufficient unroll
+  // matches; the Spark side iterates with a convergence check and
+  // THROWS if 10 rounds ever stop sufficing.
+  // =====================================================================
+
+  private val kcoreK = 30
+
+  private val q144: QFn = (sp, d) => {
+    val e0 = t(sp, d, "orders").join(t(sp, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.kcore(edges, kcoreK).orderBy(col("node"))
+  }
+
+  private val q144Sql: String = {
+    val rounds = 8
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one three times — an 8-round chain
+    // would otherwise expand to 3^8 scans of the base tables
+    val peelCtes = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src AS n FROM e${i - 1} GROUP BY 1
+        HAVING count(*) >= $kcoreK),
+      e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN k$i x ON x.n = e.src JOIN k$i y ON y.n = e.dst)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH ee AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src,
+        l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    e0 AS MATERIALIZED (SELECT src, dst FROM ee
+      UNION ALL SELECT dst AS src, src AS dst FROM ee),
+    $peelCtes
+    SELECT src AS node, count(*) AS core_deg FROM e$rounds
+    GROUP BY 1 ORDER BY 1"""
+  }
+
   val queries: Map[String, QFn] = Map(
     "q136_pagerank" -> q136,
     "q139_triangle_census" -> q139,
     "q141_label_propagation" -> q141,
-    "q142_personalized_pagerank" -> q142)
+    "q142_personalized_pagerank" -> q142,
+    "q144_kcore" -> q144)
   val oracles: Map[String, String] = Map(
     "q136_pagerank" -> q136Sql,
     "q139_triangle_census" -> q139Sql,
     "q141_label_propagation" -> q141Sql,
-    "q142_personalized_pagerank" -> q142Sql)
+    "q142_personalized_pagerank" -> q142Sql,
+    "q144_kcore" -> q144Sql)
 }

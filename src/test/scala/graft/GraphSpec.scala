@@ -59,6 +59,38 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(e, 51))
   }
 
+  // --------------------------------------------------------- k-core
+
+  private def core(edges: Seq[(Long, Long)], k: Int,
+      maxRounds: Int = 10) = {
+    val sym = (edges ++ edges.map { case (a, b) => (b, a) }).distinct
+    Graph.kcore(sym.toDF("src", "dst"), k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kcore: K5 survives k=4; an attached chain peels away in a " +
+      "cascade; within-core degrees are reported") {
+    val k5 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val chain = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val r = core(k5 ++ chain, 4)
+    assert(r.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(r.values.forall(_ === 4L)) // chain edges peeled off node 5
+  }
+
+  test("kcore: k=1 keeps all non-isolated nodes; k above the max " +
+      "degree empties the graph") {
+    val edges = Seq((1L, 2L), (2L, 3L))
+    assert(core(edges, 1).keySet === Set(1L, 2L, 3L))
+    assert(core(edges, 5) === Map.empty)
+  }
+
+  test("kcore: a long peel cascade throws past maxRounds instead of " +
+      "returning a partial core") {
+    val path = (1L to 11L).map(i => (i, i + 1))
+    intercept[IllegalStateException](core(path, 2, maxRounds = 3))
+    assert(core(path, 2, maxRounds = 10) === Map.empty) // path has no 2-core
+  }
+
   // --------------------------------------------------- personalized PR
 
   test("personalizedPageRank concentrates mass near the seed; far " +
