@@ -569,6 +569,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         s"$tbl: key=${m.keyCol} text=${m.textCol} k=${m.k} path=${m.path}"
       }.mkString("\n")
     }
+    else if (low.startsWith("graph ")) graphCmd(t)
     else if (low.startsWith("layout zorder")) layoutZorder(t)
     else if (low.startsWith("layout scan")) layoutScan(t)
     else if (low.startsWith("layout drop")) {
@@ -1534,6 +1535,65 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     sindexes += table -> SIndexMeta(path, req("key"), req("text"),
       req("k").toInt)
     s"sindex for $table attached from $path"
+  }
+
+  /** `graph <op> where edges = <table|path> and src = <col> and dst =
+    * <col> [and iters = 3] [and k = 30] [and seeds = <table|path> and
+    * seedcol = <col>] [and top = 50] [and format = table]` — the
+    * [[graft.ops.Graph]] family on the command surface. Ops:
+    * `pagerank`, `ppr` (needs seeds), `components`, `triangles`,
+    * `kcore` (needs k). Edge rows are (src, dst); `components` and
+    * `triangles` treat them as undirected (normalized + symmetrized
+    * internally), `pagerank`/`ppr`/`kcore` expect both directions
+    * present — pass `symmetrize = true` to add them. */
+  private def graphCmd(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"graph command requires $k ="))
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    def frame(src: String) =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val op = t.trim.split("\\s+")(1).toLowerCase
+    val e0 = frame(req("edges"))
+      .select(col(req("src")).as("src"), col(req("dst")).as("dst"))
+    val edges =
+      if (kv("symmetrize").exists(_.equalsIgnoreCase("true")))
+        e0.unionByName(e0.select(col("dst").as("src"),
+          col("src").as("dst")))
+      else e0
+    val top = kv("top").map(_.toInt).getOrElse(50)
+    val iters = kv("iters").map(_.toInt).getOrElse(3)
+    val result = op match {
+      case "pagerank" =>
+        graft.ops.Graph.pageRank(edges, iters)
+          .orderBy(col("rank_q").desc, col("node")).limit(top)
+      case "ppr" =>
+        val seeds = frame(req("seeds"))
+          .select(col(req("seedcol")).as("node"))
+        graft.ops.Graph.personalizedPageRank(edges, seeds, iters)
+          .orderBy(col("rank_q").desc, col("node")).limit(top)
+      case "components" =>
+        graft.ops.Dedup.connectedComponents(
+            edges.select(col("src").as("id_a"), col("dst").as("id_b")))
+          .orderBy(col("id")).limit(top)
+      case "triangles" =>
+        graft.ops.Graph.triangles(
+            edges.select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+              .filter(col("a") =!= col("b")).distinct())
+          .orderBy(col("x"), col("y"), col("z")).limit(top)
+      case "kcore" =>
+        graft.ops.Graph.kcore(edges, req("k").toInt)
+          .orderBy(col("node")).limit(top)
+      case other => throw new IllegalArgumentException(
+        s"unknown graph op '$other' (pagerank|ppr|components|" +
+          "triangles|kcore)")
+    }
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
   }
 
   /** `layout zorder where table = <t> and x = <col> and y = <col> and

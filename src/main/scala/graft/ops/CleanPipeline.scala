@@ -26,6 +26,7 @@ import graft.functions.F
   *      {"op": "domain_mixture", "source": "source", "budget_bp": 6000},
   *      {"op": "lm_quality_max", "max_score_q": 200000},
   *      {"op": "cluster_balance", "vec": "embedding", "quota": 1000},
+  *      {"op": "weighted_sample", "source": "source", "k": 1000},
   *      {"op": "split", "train": 80, "valid": 10}
   *    ]}}
   */
@@ -123,6 +124,14 @@ object CleanPipeline {
   final case class ClusterBalanceStage(vecCol: String, cells: Int,
       quota: Int) extends Stage
 
+  /** Keep the `k` docs drawn by deterministic Efraimidis–Spirakis
+    * weighted sampling without replacement with inverse-frequency
+    * source weights ([[Curation.weightedSample]] +
+    * [[Curation.flatteningWeights]]) — a source-FLAT subcorpus from a
+    * skewed pool, selected by TakeOrdered (never a full sort). */
+  final case class WeightedSampleStage(sourceCol: String, k: Int)
+      extends Stage
+
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
   def fromJson(json: String): Spec = {
@@ -176,6 +185,8 @@ object CleanPipeline {
             (st \ "budget_bp").extractOpt[Int].getOrElse(6000))
           case "lm_quality_max" => LmQualityMax(
             (st \ "max_score_q").extract[Long])
+          case "weighted_sample" => WeightedSampleStage(
+            (st \ "source").extract[String], (st \ "k").extract[Int])
           case "cluster_balance" => ClusterBalanceStage(
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
             (st \ "cells").extractOpt[Int].getOrElse(0),
@@ -343,6 +354,11 @@ object CleanPipeline {
           val assigned = Similarity.assign(e, cents)
             .select(col("id"), col("cent_id").as("cell"))
           val keep = Curation.clusterBalance(assigned, quota)
+            .select(col("id").as(id))
+          cur.join(keep, Seq(id), "left_semi")
+        case WeightedSampleStage(sourceCol, k) =>
+          val keep = Curation.weightedSample(cur, txt, id, sourceCol,
+              Curation.flatteningWeights(cur, sourceCol), k)
             .select(col("id").as(id))
           cur.join(keep, Seq(id), "left_semi")
         case SemDedup(vecCol, cells, threshold) =>

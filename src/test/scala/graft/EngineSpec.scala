@@ -964,3 +964,49 @@ class LayoutCommandSpec extends SparkSpec {
         "and y1 = 1"))
   }
 }
+
+class GraphCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  private def staged(): (Catalog, Engine, java.nio.file.Path) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graphcmd")
+    // symmetric ring 1..6 + chord triangle 1-2-4 (via 1-4, 2-4)
+    val one = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L), (1L, 4L), (2L, 4L))
+    val sym = one ++ one.map { case (a, b) => (b, a) }
+    sym.toDF("u", "v").write.parquet(dir.resolve("edges").toString)
+    val cat = new Catalog(spark)
+    cat.registerTable("edges", dir.resolve("edges").toString)
+    Seq(1L).toDF("n").write.parquet(dir.resolve("seeds").toString)
+    cat.registerTable("seeds", dir.resolve("seeds").toString)
+    (cat, new Engine(spark, cat), dir)
+  }
+
+  test("graph pagerank/ppr/components/triangles/kcore serve the " +
+      "library results over a registered edge table") {
+    val (cat, engine, _) = staged()
+    val pr = engine.execute("graph pagerank where edges = edges and " +
+      "src = u and dst = v and iters = 3")
+    assert(pr.contains("\"rank_q\""))
+    val lib = graft.ops.Graph.pageRank(cat.table("edges")
+        .select(col("u").as("src"), col("v").as("dst")), 3)
+      .orderBy(col("rank_q").desc, col("node")).limit(1).head()
+    assert(pr.contains(s""""node":${lib.getLong(0)},"rank_q":${lib.getLong(1)}""") ||
+      pr.contains(s""""rank_q":${lib.getLong(1)}"""), pr)
+    val ppr = engine.execute("graph ppr where edges = edges and src = u " +
+      "and dst = v and seeds = seeds and seedcol = n and iters = 3")
+    assert(ppr.contains("\"rank_q\""))
+    val cc = engine.execute("graph components where edges = edges and " +
+      "src = u and dst = v")
+    assert(cc.contains(""""label":1"""))
+    val tri = engine.execute("graph triangles where edges = edges and " +
+      "src = u and dst = v")
+    assert(tri.contains(""""x":1,"y":2,"z":4"""), tri)
+    val core = engine.execute("graph kcore where edges = edges and " +
+      "src = u and dst = v and k = 2")
+    assert(core.contains("\"core_deg\""))
+    intercept[IllegalArgumentException](engine.execute(
+      "graph louvain where edges = edges and src = u and dst = v"))
+  }
+}

@@ -980,6 +980,21 @@ class CleanPipelineSpec extends SparkSpec {
     // stage keeps all original columns (left_semi, no projection)
     assert(out.columns.toSet === embs.columns.toSet)
   }
+
+  test("weighted_sample stage == Curation.weightedSample with " +
+      "flattening weights, original columns kept") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "weighted_sample", "source": "source", "k": 25}
+      ]}}""", docs)
+    val ref = graft.ops.Curation.weightedSample(docs, "text", "doc_id",
+      "source", graft.ops.Curation.flatteningWeights(docs, "source"), 25)
+    assert(out.count() === 25)
+    assert(out.select(col("doc_id"))
+      .exceptAll(ref.select(col("id"))).count() === 0)
+    assert(out.columns.toSet === docs.columns.toSet)
+  }
 }
 
 class ConnectedComponentsSpec extends SparkSpec {
