@@ -1089,6 +1089,59 @@ object PipelineQueries {
       .orderBy(col("id"))
   }
 
+  /** q145 — sorted-neighborhood blocking (Hernández & Stolfo 1995):
+    * candidate pairs within w=5 positions of the corpus sorted by a
+    * text-prefix key, verified by exact shingle Jaccard >= 0.3 — the
+    * ER-style complement of LSH blocking with an exactly-n*w pair
+    * budget (no hot-bucket blowup). The global position comes from
+    * [[Blocking.globalRank]] (range exchange + per-partition ranks +
+    * a #partitions-row offset join — never a single-partition window);
+    * the oracle ranks with one window (oracle-side only). */
+  private val q145: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+      .withColumn("__k", expr("substring(lower(text), 1, 24)"))
+    val cand = Blocking.sortedNeighborhoodPairs(docs, "__k", "doc_id",
+      w = 5)
+    val sets = docs.select(col("doc_id"),
+      sort_array(F.shingleHashes(col("text"), 3)).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hs").as("ha"),
+        col("n").as("na")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hs").as("hb"),
+        col("n").as("nb")), "id_b")
+      .withColumn("inter", F.sortedIntersectSize(col("ha"), col("hb")))
+      .withColumn("jacc_ppm",
+        expr("(inter * 1000000) div (na + nb - inter)"))
+      .filter(col("jacc_ppm") >= 300000)
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("gap"), col("jacc_ppm"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q145Sql = s"""
+    WITH dd AS (SELECT doc_id, substr(lower(text), 1, 24) AS k
+      FROM documents),
+    r AS (SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) - 1
+        AS pos FROM dd),
+    cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib, b.pos - a.pos AS gap
+      FROM r a JOIN r b ON b.pos > a.pos AND b.pos - a.pos <= 5),
+    sh AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id,
+      unnest($dShingleHashes) AS h FROM documents)),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    xi AS (SELECT c.ia, c.ib, c.gap, count(s2.h) AS inter
+      FROM cand c
+      LEFT JOIN sh s1 ON s1.doc_id = c.ia
+      LEFT JOIN sh s2 ON s2.doc_id = c.ib AND s2.h = s1.h
+      GROUP BY 1, 2, 3)
+    SELECT least(x.ia, x.ib) AS doc_a, greatest(x.ia, x.ib) AS doc_b,
+      x.gap, (x.inter * 1000000) // (na.n + nb.n - x.inter) AS jacc_ppm
+    FROM xi x JOIN sz na ON na.doc_id = x.ia
+    JOIN sz nb ON nb.doc_id = x.ib
+    WHERE (x.inter * 1000000) // (na.n + nb.n - x.inter) >= 300000
+    ORDER BY 1, 2"""
+
   private val q72Sql = s"""
     WITH RECURSIVE
     sh AS (SELECT doc_id, unnest($dShingleHashes) AS h FROM documents),
@@ -2023,6 +2076,7 @@ object PipelineQueries {
     "q73_dedup_keep_longest" -> q73,
     "q72_neardup_components" -> q72,
     "q143_components_standing_fold" -> q143,
+    "q145_sorted_neighborhood" -> q145,
     "q68_decontaminate" -> q68,
     "q69_repetition_signals" -> q69,
     "q70_tfidf_topk" -> q70,
@@ -2079,6 +2133,7 @@ object PipelineQueries {
     "q73_dedup_keep_longest" -> q73Sql,
     "q72_neardup_components" -> q72Sql,
     "q143_components_standing_fold" -> q72Sql,
+    "q145_sorted_neighborhood" -> q145Sql,
     "q68_decontaminate" -> q68Sql,
     "q69_repetition_signals" -> q69Sql,
     "q70_tfidf_topk" -> q70Sql,
