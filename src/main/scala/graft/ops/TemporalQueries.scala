@@ -405,8 +405,59 @@ object TemporalQueries {
       coalesce(mt.rows_matching, 0) AS rows_matching
     FROM sc LEFT JOIN mt USING (layout) ORDER BY layout"""
 
+  // =====================================================================
+  // q146 — CUSUM drift detection (Page 1954) per event type: the
+  // one-sided cumulative-sum statistic over per-minute counts, in the
+  // PREFIX-MIN form that makes the sequential recursion
+  // C_t = max(0, C_{t-1} + x_t - k) window-parallel:
+  // C_t = S_t - min(0, min_{i<=t} S_i) with S_t = Σ(x_i - k). All
+  // integer on a x100 lattice (k = floor(100*mean)/100 per type), so
+  // the oracle replays the windows bit-for-bit. Output: the 20
+  // strongest drift points — the data-monitor alarm the reference's
+  // IoT story wants, without order-sensitive float recursions.
+  // =====================================================================
+
+  private val q146: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val m = t(s, d, "events")
+      .select(col("event_type").as("etype"),
+        expr("unix_micros(ts) div 60000000").as("m"))
+      .groupBy("etype", "m").agg(count(lit(1)).as("x"))
+    val k = m.groupBy("etype")
+      .agg(expr("(sum(x) * 100) div count(1)").as("k100"))
+    val w = Window.partitionBy("etype").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.join(broadcast(k), "etype")
+      .withColumn("s", sum(col("x") * 100 - col("k100")).over(w))
+      .withColumn("cusum",
+        col("s") - least(min(col("s")).over(w), lit(0L)))
+      .select(col("etype"), col("m"), col("x"), col("cusum"))
+      .orderBy(col("cusum").desc, col("etype"), col("m"))
+      .limit(20)
+  }
+
+  private val q146Sql = """
+    WITH m AS (SELECT event_type AS etype, epoch_us(ts) // 60000000 AS m,
+        count(*) AS x
+      FROM events GROUP BY 1, 2),
+    k AS (SELECT etype, (sum(x) * 100) // count(*) AS k100
+      FROM m GROUP BY 1),
+    sc AS (SELECT m.etype, m.m, m.x,
+        CAST(sum(m.x * 100 - k.k100) OVER (PARTITION BY m.etype
+          ORDER BY m.m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS BIGINT) AS s
+      FROM m JOIN k USING (etype)),
+    cu AS (SELECT etype, m, x,
+        s - least(CAST(min(s) OVER (PARTITION BY etype ORDER BY m
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+          0) AS cusum
+      FROM sc)
+    SELECT etype, m, x, cusum FROM cu
+    ORDER BY cusum DESC, etype, m LIMIT 20"""
+
   val queries: Map[String, QFn] = Map(
     "q137_zorder_layout" -> q137,
+    "q146_cusum_drift" -> q146,
     "q100_rollup_increments" -> q100,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
@@ -418,6 +469,7 @@ object TemporalQueries {
 
   val oracles: Map[String, String] = Map(
     "q137_zorder_layout" -> q137Sql,
+    "q146_cusum_drift" -> q146Sql,
     "q100_rollup_increments" -> q100Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,
