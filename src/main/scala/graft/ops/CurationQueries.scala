@@ -416,6 +416,76 @@ keyed AS (SELECT doc_id, b.source, w,
 SELECT doc_id, source, w, skey FROM keyed
 ORDER BY skey, doc_id LIMIT 100"""
 
+  // =====================================================================
+  // q147 — PMI co-occurrence mining (Church & Hanks 1990): pointwise
+  // mutual information of token pairs within a ±2 window, the classic
+  // association table behind embedding prep / collocation analysis.
+  // Counts are pure hash-aggregates (pairs materialize map-only from
+  // per-doc arrays — no self-join); the single ln lands on the 2^-14
+  // lattice with its expression text shared with the oracle, and every
+  // division sequence runs in DOUBLE (ratio form, no int64 N² overflow
+  // at any corpus size). Output: top 30 pairs with count >= 5.
+  // =====================================================================
+
+  /** The quantized-PMI expression, ONE text shared with DuckDB:
+    * pmi_q = floor(2^14 * ln(((cp/P) / (na/N)) / (nb/N))). */
+  private def pmiQ(cp: String, p: String, na: String, nb: String,
+      n: String) =
+    s"cast(floor(16384.0 * ln(((cast($cp as double) / $p) / " +
+      s"(cast($na as double) / $n)) / (cast($nb as double) / $n))) " +
+      "as bigint)"
+
+  private val q147: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    val tk = docs.select(TextOps.tokens(col("text")).as("ts"))
+    val pairs = tk.select(explode(expr(
+        """concat(
+          |  case when size(ts) < 2 then array()
+          |    else transform(sequence(0, size(ts) - 2),
+          |      i -> array(ts[i], ts[i + 1])) end,
+          |  case when size(ts) < 3 then array()
+          |    else transform(sequence(0, size(ts) - 3),
+          |      i -> array(ts[i], ts[i + 2])) end)""".stripMargin))
+        .as("pr"))
+      .select(least(col("pr")(0), col("pr")(1)).as("w1"),
+        greatest(col("pr")(0), col("pr")(1)).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cp"))
+    val uni = tk.select(explode(col("ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tots = pairs.agg(sum(col("cp")).as("bp"))
+      .crossJoin(broadcast(uni.agg(sum(col("c")).as("bn"))))
+    pairs.filter(col("cp") >= 5)
+      .join(uni.select(col("w").as("w1"), col("c").as("na")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("nb")), "w2")
+      .crossJoin(broadcast(tots))
+      .select(col("w1"), col("w2"), col("cp"),
+        expr(pmiQ("cp", "bp", "na", "nb", "bn")).as("pmi_q"))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(30)
+  }
+
+  private val q147Sql = s"""
+WITH tk AS (SELECT ${dToks("text")} AS ts FROM documents),
+pairs AS (SELECT least(pr[1], pr[2]) AS w1, greatest(pr[1], pr[2]) AS w2,
+    count(*) AS cp
+  FROM (SELECT unnest(list_concat(
+      CASE WHEN len(ts) < 2 THEN []
+        ELSE list_transform(range(len(ts) - 1),
+          i -> [ts[i + 1], ts[i + 2]]) END,
+      CASE WHEN len(ts) < 3 THEN []
+        ELSE list_transform(range(len(ts) - 2),
+          i -> [ts[i + 1], ts[i + 3]]) END)) AS pr FROM tk)
+  GROUP BY 1, 2),
+uni AS (SELECT w, count(*) AS c FROM
+  (SELECT unnest(ts) AS w FROM tk) GROUP BY 1),
+tots AS (SELECT (SELECT CAST(sum(cp) AS BIGINT) FROM pairs) AS bp,
+  (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS bn)
+SELECT p.w1, p.w2, p.cp,
+  ${pmiQ("p.cp", "bp", "a.c", "b.c", "bn")} AS pmi_q
+FROM pairs p JOIN uni a ON a.w = p.w1 JOIN uni b ON b.w = p.w2, tots
+WHERE p.cp >= 5
+ORDER BY pmi_q DESC, p.w1, p.w2 LIMIT 30"""
+
   val queries: Map[String, QFn] = Map(
     "q104_dsir_select" -> q104,
     "q105_bpe_merges" -> q105,
@@ -426,7 +496,8 @@ ORDER BY skey, doc_id LIMIT 100"""
     "q130_nb_classifier" -> q130,
     "q131_nb_standing_index" -> q131,
     "q132_backoff_lm" -> q132,
-    "q135_weighted_sample" -> q135)
+    "q135_weighted_sample" -> q135,
+    "q147_pmi_pairs" -> q147)
 
   val oracles: Map[String, String] = Map(
     "q104_dsir_select" -> q104Sql,
@@ -438,5 +509,6 @@ ORDER BY skey, doc_id LIMIT 100"""
     "q130_nb_classifier" -> q130Sql,
     "q131_nb_standing_index" -> q131Sql,
     "q132_backoff_lm" -> q132Sql,
-    "q135_weighted_sample" -> q135Sql)
+    "q135_weighted_sample" -> q135Sql,
+    "q147_pmi_pairs" -> q147Sql)
 }

@@ -642,6 +642,97 @@ object StreamOps {
     IndexStore.read(spark, sketchDir).get
   }
 
+  /** Standing CUSUM monitor state (the q146 statistic as a STREAMING
+    * fold): per key, the tail of the drift recursion — `(etype, k100,
+    * last_m, s, runmin)` with S = Σ(100·x − k100) over all minutes seen
+    * and runmin = min prefix of S. The recursion composes EXACTLY
+    * across batches (S_total = S_prev + S_batch; runmin_total =
+    * min(runmin_prev, S_prev + runmin_batch)), so folding ordered
+    * batches reproduces the whole-series tail bit-for-bit —
+    * [[cusumRebuild]] is the differential reference. The reference
+    * rate k100 is FROZEN at init (the recorded-codebook discipline:
+    * a drift monitor that re-estimates its baseline from drifted data
+    * stops alarming). Current alarm level = S − min(0, runmin). */
+  def cusumInit(minutes: DataFrame): DataFrame = {
+    val k = minutes.groupBy("etype")
+      .agg(expr("(sum(x) * 100) div count(1)").as("k100"))
+    cusumRebuild(minutes, k)
+  }
+
+  /** Whole-series tail state for FROZEN `k (etype, k100)` — the
+    * rebuild the fold must equal. */
+  def cusumRebuild(minutes: DataFrame, k: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("etype").orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    minutes.join(k, "etype")
+      .withColumn("s", sum(col("x") * 100 - col("k100")).over(w))
+      .withColumn("rm", min(col("s")).over(w))
+      .groupBy(col("etype"), col("k100"))
+      .agg(max(struct(col("m"), col("s"), col("rm"))).as("t"))
+      .select(col("etype"), col("k100"), col("t.m").as("last_m"),
+        col("t.s").as("s"), col("t.rm").as("runmin"))
+  }
+
+  /** Fold a batch of STRICTLY-LATER minutes into the state: batch rows
+    * at or before a key's `last_m` are rejected (a monitor fed
+    * out-of-order history would silently corrupt the recursion — throw
+    * instead). Keys absent from the batch pass through; keys new in
+    * the batch initialize with their own batch-estimated k100. */
+  def cusumFold(state: DataFrame, batch: DataFrame): DataFrame = {
+    val late = batch.join(state.select(col("etype"),
+        col("last_m").as("__lm")), Seq("etype"))
+      .filter(col("m") <= col("__lm")).count()
+    require(late == 0L,
+      s"cusumFold: $late batch rows at or before a key's last_m — " +
+        "the CUSUM recursion needs strictly-ordered batches")
+    val known = batch.join(state.select(col("etype"), col("k100")),
+      Seq("etype"), "left_semi")
+    val fresh = batch.join(state.select(col("etype")), Seq("etype"),
+      "left_anti")
+    val foldedKnown = cusumRebuild(known,
+        state.select(col("etype"), col("k100")))
+      .select(col("etype"), col("last_m").as("bm"), col("s").as("bs"),
+        col("runmin").as("brm"))
+      .join(state, Seq("etype"), "right")
+      .select(col("etype"), col("k100"),
+        coalesce(col("bm"), col("last_m")).as("last_m"),
+        (col("s") + coalesce(col("bs"), lit(0L))).as("s"),
+        least(col("runmin"),
+          col("s") + coalesce(col("brm"), lit(0L))).as("runmin"))
+    if (fresh.isEmpty) foldedKnown
+    else foldedKnown.unionByName(cusumInit(fresh))
+  }
+
+  /** Current alarm level per key: `(etype, k100, last_m, level)` with
+    * level = S − min(0, runmin) in the x100 lattice. */
+  def cusumLevel(state: DataFrame): DataFrame =
+    state.select(col("etype"), col("k100"), col("last_m"),
+      (col("s") - least(col("runmin"), lit(0L))).as("level"))
+
+  /** Exactly-once CUSUM maintenance at ingest ([[cmsIngestBatchOnce]]
+    * tag discipline — the fold is NOT idempotent, the batch tag is
+    * what prevents double-folding a replayed batch). `batch` carries
+    * `(etype, m, x)` per-minute counts strictly later than the stored
+    * state. Returns the folded state. */
+  def cusumIngestBatchOnce(batch: DataFrame, batchId: Long,
+      stateDir: String): DataFrame = {
+    import graft.ops.IndexStore
+    val spark = batch.sparkSession
+    val tag = s"batch_$batchId"
+    val tagged = IndexStore.hasTag(spark, stateDir, tag)
+    val preFold =
+      if (tagged) IndexStore.readBefore(spark, stateDir, tag)
+      else IndexStore.read(spark, stateDir)
+    val folded = preFold match {
+      case None => cusumInit(batch)
+      case Some(prev) => cusumFold(prev, batch)
+    }
+    if (!tagged) IndexStore.write(folded.localCheckpoint(), stateDir,
+      Some(tag))
+    IndexStore.read(spark, stateDir).get
+  }
+
   /** Standing QUANTILE-HISTOGRAM maintenance at ingest: bucket the
     * batch's `valueCol` on the log lattice and fold by cell-wise
     * addition ([[graft.ops.Sketches.quantileHistogram]] — histogram of

@@ -1059,3 +1059,65 @@ class QuantileIngestSpec extends SparkSpec {
     assert(p50 > 0L)
   }
 }
+
+class CusumIngestSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.streaming.StreamOps
+
+  private def minutes(rows: Seq[(String, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("etype", "m", "x").localCheckpoint()
+  }
+
+  test("cusumFold of ordered batches == cusumRebuild of the whole " +
+      "series under the frozen k (exact recursion composition)") {
+    val whole = (1L to 120L).map(m =>
+      ("a", m, 3L + (if (m > 80) 4L else 0L) + (m % 3))) ++
+      (1L to 120L).map(m => ("b", m, 5L + (m % 2)))
+    val b1 = whole.filter(_._2 <= 50)
+    val b2 = whole.filter(r => r._2 > 50 && r._2 <= 90)
+    val b3 = whole.filter(_._2 > 90)
+    val init = StreamOps.cusumInit(minutes(b1))
+    val folded = StreamOps.cusumFold(
+      StreamOps.cusumFold(init, minutes(b2)), minutes(b3))
+    val k = init.select(col("etype"), col("k100"))
+    val rebuilt = StreamOps.cusumRebuild(minutes(whole), k)
+    assert(folded.collect().map(_.toString).sorted.toSeq ===
+      rebuilt.collect().map(_.toString).sorted.toSeq)
+    // the injected level shift on 'a' raises the alarm level
+    val lvl = StreamOps.cusumLevel(folded).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(lvl("a") > lvl("b") * 3, lvl.toString)
+  }
+
+  test("cusumFold rejects out-of-order batches; new keys initialize " +
+      "with their own baseline") {
+    val init = StreamOps.cusumInit(minutes(
+      (1L to 20L).map(m => ("a", m, 4L))))
+    intercept[IllegalArgumentException](StreamOps.cusumFold(init,
+      minutes(Seq(("a", 20L, 4L)))))
+    val withNew = StreamOps.cusumFold(init,
+      minutes((21L to 30L).map(m => ("a", m, 4L)) ++
+        (25L to 30L).map(m => ("c", m, 7L))))
+    val types = withNew.collect().map(_.getString(0)).sorted
+    assert(types === Array("a", "c"))
+  }
+
+  test("cusumIngestBatchOnce: replayed batch never double-folds") {
+    val dir = java.nio.file.Files.createTempDirectory("cusum")
+      .resolve("st").toString
+    val b0 = minutes((1L to 40L).map(m => ("a", m, 4L)))
+    val b1 = minutes((41L to 60L).map(m => ("a", m, 9L))) // drift
+    StreamOps.cusumIngestBatchOnce(b0, 0L, dir)
+    val r1 = StreamOps.cusumIngestBatchOnce(b1, 1L, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val vAfter = graft.ops.IndexStore.currentVersion(spark, dir).get
+    assert(StreamOps.cusumIngestBatchOnce(b1, 1L, dir)
+      .collect().map(_.toString).sorted.toSeq === r1)
+    assert(graft.ops.IndexStore.currentVersion(spark, dir).get === vAfter)
+    // the drift shows in the served level
+    val lvl = StreamOps.cusumLevel(
+      graft.ops.IndexStore.read(spark, dir).get).head().getLong(3)
+    assert(lvl >= 20L * 500, s"drift level $lvl")
+  }
+}
