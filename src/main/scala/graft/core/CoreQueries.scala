@@ -627,8 +627,31 @@ object CoreQueries {
 
   // ---------------------------------------------------------------------
 
+  /** q148 — CUBE + GROUPING(): the full 2^k grouping-set lattice with
+    * the standard grouping-id disambiguation (beyond-parity relational
+    * surface next to q23's ROLLUP). Catalyst expands the cube into one
+    * Expand + partial/final aggregate — a single pass over lineitem. */
+  private val q148: QFn = (s, d) =>
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+  private val q148Sql = """
+    SELECT CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      coalesce(l_returnflag, 'ALL') AS returnflag,
+      coalesce(l_linestatus, 'ALL') AS linestatus,
+      count(*) AS n, sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus"""
+
   val queries: Map[String, QFn] = Map(
     "q56_pivot_conditional" -> q56,
+    "q148_cube_grouping" -> q148,
     "q53_semi_join" -> q53,
     "q54_union_distinct" -> q54,
     "q55_scalar_subquery" -> q55,
@@ -661,6 +684,7 @@ object CoreQueries {
 
   val oracles: Map[String, String] = Map(
     "q56_pivot_conditional" -> q56Sql,
+    "q148_cube_grouping" -> q148Sql,
     "q53_semi_join" -> q53Sql,
     "q54_union_distinct" -> q54Sql,
     "q55_scalar_subquery" -> q55Sql,

@@ -81,6 +81,68 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL (non-stub) container-header dimension extraction — the
+    * dependency-free slice of image decoding that a 100 TB lake wants
+    * BEFORE any pixel work: filter/route by dimensions without
+    * decompressing a single pixel. Pure byte arithmetic over the
+    * payload prefix:
+    *   - PNG: signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR chunk
+    *     fixed at offset 16: width/height as big-endian u32
+    *     (ISO/IEC 15948 §11.2.2).
+    *   - JPEG: `FF D8`, then scan marker segments for SOF0-SOF15
+    *     (C0-CF except C4/C8/CC): height/width big-endian u16 at
+    *     payload offsets +5/+7 from the marker (ITU T.81 §B.2.2).
+    * Returns (codec, width, height), nulls when not parseable. Runs in
+    * the same mapPartitions batch pass as [[decodeFeatures]] — no
+    * shuffle, payload pruned downstream. */
+  def headerDims(payload: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int) = payload(i) & 0xFF
+    def beU32(i: Int) =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def beU16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (payload.length >= 24 &&
+        pngSig.indices.forall(i => u8(i) == pngSig(i))) {
+      ("png", beU32(16), beU32(20))
+    } else if (payload.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 9 < payload.length) {
+        if (u8(i) != 0xFF) return ("jpeg", -1, -1) // corrupt stream
+        val marker = u8(i + 1)
+        if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          return ("jpeg", beU16(i + 7), beU16(i + 5))
+        }
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
+          i += 2 // standalone marker, no length field
+        } else {
+          i += 2 + beU16(i + 2)
+        }
+      }
+      ("jpeg", -1, -1)
+    } else ("unknown", -1, -1)
+  }
+
+  /** Dimension columns from payload headers: adds (codec_detected,
+    * px_width, px_height) — -1/-1 when the container is recognized but
+    * the size marker is absent, nulls-as--1 for unknown payloads. */
+  def withHeaderDims(df: DataFrame): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("codec_detected", StringType, nullable = false),
+      StructField("px_width", IntegerType, nullable = false),
+      StructField("px_height", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = Option(r.getAs[Array[Byte]](payloadIdx))
+          .getOrElse(Array.emptyByteArray)
+        val (codec, w, h) = headerDims(payload)
+        Row.fromSeq(r.toSeq ++ Seq(codec, w, h))
+      }
+    }(enc)
+  }
+
   /** "Resize": recompute features at a target resolution — metadata-only
     * in the stub (real impl rescales pixels). Kept as a Column transform
     * so it stays inside codegen. */

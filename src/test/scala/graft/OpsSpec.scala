@@ -113,6 +113,41 @@ class MultimodalSpec extends SparkSpec {
       spark.sparkContext.parallelize(rows), Multimodal.schema)
   }
 
+  test("headerDims parses real PNG/JPEG container headers (no decoder " +
+      "library): dimensions without touching a pixel") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: signature + IHDR, width 640 x height 360 (ISO 15948 §11.2.2)
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 'I', 'H', 'D', 'R',
+      0x00, 0x00, 0x02, 0x80, // width 640
+      0x00, 0x00, 0x01, 0x68, // height 360
+      0x08, 0x06, 0x00, 0x00, 0x00)
+    assert(Multimodal.headerDims(png) === ("png", 640, 360))
+    // JPEG: SOI, APP0 (16-byte segment), SOF0 with 240x320 (T.81 B.2.2)
+    val jpeg = b(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10) ++ new Array[Byte](14) ++ b(
+      0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x00, 0xF0, // height 240
+      0x01, 0x40, // width 320
+      0x03) ++ new Array[Byte](20)
+    assert(Multimodal.headerDims(jpeg) === ("jpeg", 320, 240))
+    // truncated/unknown payloads degrade, never throw
+    assert(Multimodal.headerDims("not an image".getBytes)._1 ===
+      "unknown")
+    assert(Multimodal.headerDims(b(0xFF, 0xD8, 0x00, 0x00)) ===
+      ("jpeg", -1, -1))
+    // and the column form runs in the partition batch pass
+    val rows = Seq(Row(10L, "image", png,
+      null.asInstanceOf[Row]), Row(11L, "image", jpeg,
+      null.asInstanceOf[Row]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.schema)
+    val out = Multimodal.withHeaderDims(df).orderBy("id").collect()
+    assert(out(0).getAs[String]("codec_detected") === "png")
+    assert(out(0).getAs[Int]("px_width") === 640)
+    assert(out(1).getAs[Int]("px_height") === 240)
+  }
+
   test("decodeFeatures: schema, checksum and deterministic fake features") {
     val out = Multimodal.decodeFeatures(mkDf).orderBy("id").collect()
     assert(out.length === 3)
