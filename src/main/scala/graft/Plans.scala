@@ -198,7 +198,24 @@ object Plans {
           "min(struct) argmax"),
       "q142_personalized_pagerank" ->
         ("personalized PageRank iteration: q136's join/partial-sum " +
-          "shape with restart mass only at the broadcast seed set"))
+          "shape with restart mass only at the broadcast seed set"),
+      "q143_components_standing_fold" ->
+        ("standing-components fold: star-compressed history + batch " +
+          "pairs only — the pair history never re-enters the plan"),
+      "q145_sorted_neighborhood" ->
+        ("sorted-neighborhood blocking: range exchange + per-" +
+          "partition ranks + broadcast offsets (no global window); " +
+          "window pairing is a block equi-join"),
+      "q146_cusum_drift" ->
+        ("CUSUM in prefix-min form: two per-type window functions " +
+          "instead of a sequential recursion; TakeOrdered top-20"),
+      "q147_pmi_pairs" ->
+        ("PMI mining: pair/unigram hash-aggregates from per-doc " +
+          "arrays (map-only pair materialization, no self-join); " +
+          "one-row totals broadcast"),
+      "q148_cube_grouping" ->
+        ("CUBE: one Expand + partial/final aggregate — the 2^k " +
+          "grouping lattice in a single pass"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

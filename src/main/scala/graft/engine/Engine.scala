@@ -144,6 +144,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       bits: Int, buckets: Int)
   private var layouts = Map.empty[String, LayoutMeta]
 
+  /** Registered CUSUM drift monitors (`monitor create`): standing
+    * per-key tail state through IndexStore, folded by `monitor
+    * refresh`, served by `monitor level`
+    * ([[graft.streaming.StreamOps]] cusum family). */
+  private case class MonitorMeta(path: String, keyCol: String,
+      tsCol: String)
+  private var monitors = Map.empty[String, MonitorMeta]
+
   /** Run a `sql` command, returning the DataFrame (pre-rendering).
     * A table with a registered rollup first offers the command to
     * [[graft.dialect.RollupServe]] — a qualified increments() query is
@@ -570,6 +578,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }.mkString("\n")
     }
     else if (low.startsWith("graph ")) graphCmd(t)
+    else if (low.startsWith("monitor create")) monitorCreate(t)
+    else if (low.startsWith("monitor refresh")) monitorRefresh(t)
+    else if (low.startsWith("monitor level")) monitorLevel(t)
+    else if (low.startsWith("monitor drop")) {
+      val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "monitor drop requires table ="))
+      require(monitors.contains(table),
+        s"no monitor registered for $table")
+      monitors -= table
+      s"monitor for $table dropped"
+    }
+    else if (low == "get monitors") {
+      if (monitors.isEmpty) "no monitors registered"
+      else monitors.toSeq.sortBy(_._1).map { case (tbl, m) =>
+        s"$tbl: key=${m.keyCol} ts=${m.tsCol} path=${m.path}"
+      }.mkString("\n")
+    }
     else if (low.startsWith("layout zorder")) layoutZorder(t)
     else if (low.startsWith("layout scan")) layoutScan(t)
     else if (low.startsWith("layout drop")) {
@@ -1535,6 +1561,76 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     sindexes += table -> SIndexMeta(path, req("key"), req("text"),
       req("k").toInt)
     s"sindex for $table attached from $path"
+  }
+
+  /** Per-key per-minute counts `(etype, m, x)` from a raw event frame —
+    * the CUSUM monitors' shared input shape. */
+  private def monitorMinutes(src: org.apache.spark.sql.DataFrame,
+      keyCol: String, tsCol: String) = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    src.select(col(keyCol).as("etype"),
+        expr(s"unix_micros($tsCol) div 60000000").as("m"))
+      .groupBy("etype", "m").agg(count(lit(1)).as("x"))
+  }
+
+  /** `monitor create where table = <t> and key = <col> and ts = <col>
+    * and path = <dir>` — initialize a standing CUSUM drift monitor:
+    * per-key per-minute counts, baseline k frozen from this history
+    * ([[graft.streaming.StreamOps.cusumInit]]). */
+  private def monitorCreate(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"monitor create requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    val (keyCol, tsCol) = (req("key"), req("ts"))
+    val state = graft.streaming.StreamOps.cusumInit(
+      monitorMinutes(catalog.table(table), keyCol, tsCol))
+    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
+    monitors += table -> MonitorMeta(path, keyCol, tsCol)
+    s"monitor for $table created at $path ($rows keys)"
+  }
+
+  /** `monitor refresh where table = <t> and source = <table|path>` —
+    * fold strictly-later events into the standing state (exact
+    * recursion composition; out-of-order batches throw). */
+  private def monitorRefresh(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("monitor refresh requires table ="))
+    val meta = monitors.getOrElse(table,
+      throw new IllegalArgumentException(s"no monitor registered for $table"))
+    val src = kv("source").getOrElse(
+      throw new IllegalArgumentException("monitor refresh requires source ="))
+    val delta =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no monitor state at ${meta.path}"))
+    val folded = graft.streaming.StreamOps.cusumFold(stored,
+      monitorMinutes(delta, meta.keyCol, meta.tsCol)).localCheckpoint()
+    val rows = graft.ops.IndexStore.write(folded, meta.path)
+    s"monitor for $table refreshed ($rows keys)"
+  }
+
+  /** `monitor level where table = <t> [and format = table]` — current
+    * per-key alarm level from the artifact alone. */
+  private def monitorLevel(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("monitor level requires table ="))
+    val meta = monitors.getOrElse(table,
+      throw new IllegalArgumentException(s"no monitor registered for $table"))
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no monitor state at ${meta.path}"))
+    import org.apache.spark.sql.functions.col
+    val result = graft.streaming.StreamOps.cusumLevel(stored)
+      .orderBy(col("etype"))
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
   }
 
   /** `graph <op> where edges = <table|path> and src = <col> and dst =

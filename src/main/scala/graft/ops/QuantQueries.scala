@@ -693,7 +693,60 @@ object QuantQueries {
     SELECT q_id, rank, id AS vec_id, pd2, d2 FROM r
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  // ===================================================================
+  // q149 — embedding centroid drift: per label, the squared L2 between
+  // the quantized centroids of the first and second half of the corpus
+  // (vec_id < 1000 vs >= 1000 at sf0.01 scale — the halves stand in for
+  // "last week's batch vs this week's"). The semantic-drift monitor of
+  // an embedding pipeline: exact integer throughout — per-dim int64
+  // sums, floor-divided centroids on the lattice, integer squared
+  // distance — so the oracle hash-matches. Scale shape: ONE partial
+  // hash-aggregate per (label, half, dim); the drift join is
+  // #labels x dims rows.
+  // ===================================================================
+
+  private val q149: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val m = vecs.agg(max(col("vec_id")).as("maxid"))
+    val sums = vecs.crossJoin(broadcast(m))
+      .select(col("label"),
+        (col("vec_id") * 2 > col("maxid")).cast("int").as("half"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(floor(x * 1000) as bigint))"))
+          .as(Seq("dim", "vq")))
+      .groupBy("label", "half", "dim")
+      .agg(sum(col("vq")).as("sv"), count(lit(1)).as("c"))
+      .withColumn("cq", expr("sv div c"))
+    sums.filter(col("half") === 0)
+      .select(col("label"), col("dim"), col("cq").as("c0"))
+      .join(sums.filter(col("half") === 1)
+        .select(col("label"), col("dim"), col("cq").as("c1")),
+        Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sum((col("c0") - col("c1")) * (col("c0") - col("c1")))
+        .as("drift_q2"))
+      .orderBy(col("label"))
+  }
+
+  private val q149Sql = """
+    WITH mx AS (SELECT max(vec_id) AS maxid FROM embeddings),
+    q AS (SELECT label,
+        CASE WHEN vec_id * 2 > maxid THEN 1 ELSE 0 END AS half,
+        unnest(list_transform(embedding,
+          x -> CAST(floor(x * 1000) AS BIGINT))) AS vq,
+        unnest(range(len(embedding))) AS dim
+      FROM embeddings, mx),
+    sums AS (SELECT label, half, dim, CAST(sum(vq) AS BIGINT) AS sv,
+        count(*) AS c FROM q GROUP BY 1, 2, 3),
+    cent AS (SELECT label, half, dim, sv // c AS cq FROM sums)
+    SELECT a.label, CAST(sum((a.cq - b.cq) * (a.cq - b.cq)) AS BIGINT)
+      AS drift_q2
+    FROM cent a JOIN cent b ON a.label = b.label AND a.dim = b.dim
+      AND a.half = 0 AND b.half = 1
+    GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, QFn] = Map(
+    "q149_centroid_drift" -> q149,
     "q110_pq_encode" -> q110,
     "q111_pq_adc_topk" -> q111,
     "q112_ivfadc_topk" -> q112,
@@ -708,6 +761,7 @@ object QuantQueries {
     "q133_rp_ann" -> q133)
 
   val oracles: Map[String, String] = Map(
+    "q149_centroid_drift" -> q149Sql,
     "q110_pq_encode" -> q110Sql,
     "q111_pq_adc_topk" -> q111Sql,
     "q112_ivfadc_topk" -> q112Sql,

@@ -1010,3 +1010,49 @@ class GraphCommandSpec extends SparkSpec {
       "graph louvain where edges = edges and src = u and dst = v"))
   }
 }
+
+class MonitorCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+
+  test("monitor create/refresh/level: standing CUSUM state through the " +
+      "command surface, fold == rebuild, out-of-order refresh throws") {
+    val dir = java.nio.file.Files.createTempDirectory("moncmd")
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+    val cut = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .head().getLong(0)
+    val head = dir.resolve("head").toString
+    val tail = dir.resolve("tail").toString
+    ev.filter(expr(s"unix_micros(ts) <= $cut")).write.parquet(head)
+    ev.filter(expr(s"unix_micros(ts) > $cut")).write.parquet(tail)
+    val cat = new Catalog(spark)
+    cat.registerTable("ev_head", head)
+    val engine = new Engine(spark, cat)
+    val p = dir.resolve("mon").toString
+    val out = engine.execute("monitor create where table = ev_head " +
+      s"and key = event_type and ts = ts and path = $p")
+    assert(out.contains("created"))
+    assert(engine.execute("get monitors").contains("ev_head: " +
+      "key=event_type ts=ts"))
+    engine.execute(s"monitor refresh where table = ev_head and " +
+      s"source = $tail")
+    // folded state == rebuild over the whole history with frozen k
+    val k = graft.ops.IndexStore.read(spark, p).get
+      .select(col("etype"), col("k100"))
+    val whole = ev.select(col("event_type").as("etype"),
+        expr("unix_micros(ts) div 60000000").as("m"))
+      .groupBy("etype", "m").agg(count(lit(1)).as("x"))
+    val rebuilt = graft.streaming.StreamOps.cusumRebuild(whole, k)
+      .collect().map(_.toString).sorted.toSeq
+    val stored = graft.ops.IndexStore.read(spark, p).get
+      .collect().map(_.toString).sorted.toSeq
+    assert(stored === rebuilt)
+    // serving
+    val lvl = engine.execute("monitor level where table = ev_head")
+    assert(lvl.contains("\"level\""))
+    // replaying the SAME batch is out-of-order -> throws
+    intercept[IllegalArgumentException](engine.execute(
+      s"monitor refresh where table = ev_head and source = $tail"))
+    assert(engine.execute("monitor drop where table = ev_head")
+      .contains("dropped"))
+  }
+}
