@@ -69,6 +69,38 @@ object Graph {
     * d⁺ ≤ O(√m) — a hub with 10^6 neighbors generates no wedges at
     * all unless both endpoints out-rank it, instead of 10^12 pairs.
     * Two equi-joins, no window, no cartesian; everything exact int64. */
+  /** Triangles GAINED by adding `newEdges` to `oldEdges` (both
+    * undirected `(a, b)` with a < b, distinct, disjoint sets): for each
+    * new edge, the common neighbors of its endpoints in the UNION
+    * graph close a triangle; a triangle with 2 or 3 new edges is found
+    * once per new edge, deduped by its sorted vertex triple. Exactly
+    * the set difference triangles(old ∪ new) \ triangles(old) — adding
+    * edges never removes a triangle, so the standing census folds by
+    * pure addition (q150 proves it against the one-shot oracle).
+    *
+    * Cost is BATCH-shaped: |newEdges| × degree through two equi-joins
+    * against the union adjacency — never a recount of the old graph's
+    * Σd⁺² wedges (the q139 full-census cost). */
+  def triangleDelta(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
+    val all = oldEdges.unionByName(newEdges)
+    val adj = all.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(all.select(col("b").as("u"), col("a").as("w")))
+    newEdges
+      .join(adj.select(col("u").as("a"), col("w").as("w1")), Seq("a"))
+      // (b, w1) is the equi key — joining on b alone and filtering
+      // w1 = w2 after the fact would materialize deg(a) x deg(b)
+      // pairs per new edge instead of the common-neighbor set
+      .join(adj.select(col("u").as("b"), col("w").as("w1")),
+        Seq("b", "w1"))
+      .filter(col("w1") =!= col("a") && col("w1") =!= col("b"))
+      .select(least(col("a"), col("b"), col("w1")).as("x"),
+        (col("a") + col("b") + col("w1")).as("s"),
+        greatest(col("a"), col("b"), col("w1")).as("z"))
+      .select(col("x"), (col("s") - col("x") - col("z")).as("y"),
+        col("z"))
+      .distinct()
+  }
+
   /** k-core decomposition (Seidman 1983; distributed peeling:
     * Montresor et al. 2013): iteratively delete nodes of degree < k
     * until the remaining subgraph is stable — the unique maximal

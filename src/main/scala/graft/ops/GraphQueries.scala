@@ -284,16 +284,55 @@ object GraphQueries {
     GROUP BY 1 ORDER BY 1"""
   }
 
+  // =====================================================================
+  // q150 — STANDING triangle census through a batch fold: the census on
+  // the early-order trade graph (o_orderkey % 4 != 0) plus
+  // Graph.triangleDelta for the edges the remaining orders add — a
+  // batch-shaped update (|new edges| x degree), never a recount of the
+  // old graph's wedges. Adding edges never removes triangles, so
+  // per-node counts fold by addition; the oracle is q139's one-shot
+  // full-graph census: fold == rebuild, differentially.
+  // =====================================================================
+
+  private val q150: QFn = (sp, d) => {
+    def pairs(of: DataFrame) = of
+      .select((col("o_custkey") * 3).as("c"),
+        (col("l_suppkey") * 3 + 1).as("sn"),
+        (col("l_partkey") * 3 + 2).as("p"))
+    def und(base: DataFrame) = base
+      .select(col("c").as("x"), col("sn").as("y"))
+      .unionByName(base.select(col("sn").as("x"), col("p").as("y")))
+      .unionByName(base.select(col("p").as("x"), col("c").as("y")))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val joined = t(sp, d, "orders").join(t(sp, d, "lineitem"),
+      col("o_orderkey") === col("l_orderkey"))
+    val e1 = und(pairs(joined.filter(col("o_orderkey") % 4 =!= 0)))
+      .localCheckpoint()
+    val eNew = und(pairs(joined)).join(e1, Seq("a", "b"), "left_anti")
+      .localCheckpoint()
+    def counts(tri: DataFrame) = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+    counts(Graph.triangles(e1))
+      .unionByName(counts(Graph.triangleDelta(e1, eNew)))
+      .groupBy("node").agg(sum(col("tri_cnt")).as("tri_cnt"))
+      .orderBy(col("tri_cnt").desc, col("node")).limit(20)
+  }
+
   val queries: Map[String, QFn] = Map(
     "q136_pagerank" -> q136,
     "q139_triangle_census" -> q139,
     "q141_label_propagation" -> q141,
     "q142_personalized_pagerank" -> q142,
-    "q144_kcore" -> q144)
+    "q144_kcore" -> q144,
+    "q150_triangle_standing_fold" -> q150)
   val oracles: Map[String, String] = Map(
     "q136_pagerank" -> q136Sql,
     "q139_triangle_census" -> q139Sql,
     "q141_label_propagation" -> q141Sql,
     "q142_personalized_pagerank" -> q142Sql,
-    "q144_kcore" -> q144Sql)
+    "q144_kcore" -> q144Sql,
+    "q150_triangle_standing_fold" -> q139Sql)
 }

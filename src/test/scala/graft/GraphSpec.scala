@@ -207,4 +207,22 @@ class GraphSpec extends SparkSpec {
     assert(triSet(Seq((7L, 8L), (8L, 9L), (7L, 9L)))
       === Set((7L, 8L, 9L)))
   }
+
+  test("triangleDelta == triangles(union) minus triangles(old), " +
+      "including triangles with 2 and 3 new edges (deduped)") {
+    val old = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    // new edges close: (1,2,3) via one new edge (1,3);
+    // (4,5,6) via TWO new edges (4,6),(5,6);
+    // (7,8,9) entirely new (THREE new edges)
+    val nw = Seq((1L, 3L), (4L, 6L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L))
+    val delta = Graph.triangleDelta(old.toDF("a", "b"),
+        nw.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(delta === Set((1L, 2L, 3L), (4L, 5L, 6L), (7L, 8L, 9L)))
+    val unionTris = triSet(old ++ nw)
+    val oldTris = triSet(old)
+    assert(delta === unionTris -- oldTris)
+  }
 }
