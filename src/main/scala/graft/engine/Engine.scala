@@ -578,6 +578,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }.mkString("\n")
     }
     else if (low.startsWith("graph ")) graphCmd(t)
+    else if (low.startsWith("compact where")) compactCmd(t)
+    else if (low.startsWith("merge into")) mergeCmd(t)
     else if (low.startsWith("monitor create")) monitorCreate(t)
     else if (low.startsWith("monitor refresh")) monitorRefresh(t)
     else if (low.startsWith("monitor level")) monitorLevel(t)
@@ -1561,6 +1563,77 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     sindexes += table -> SIndexMeta(path, req("key"), req("text"),
       req("k").toInt)
     s"sindex for $table attached from $path"
+  }
+
+  /** `compact where table = <t> and target_mb = <n>` — rewrite a
+    * registered table's parquet directory into ~target_mb files: the
+    * small-file repair every streaming-append layout eventually needs
+    * (a 100 TB table of 100 KB files is a metadata DoS — scan planning
+    * and footer reads dominate). Row-identical rewrite (count-checked),
+    * atomic swap via rename, old files dropped. */
+  private def compactCmd(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"compact requires $k ="))
+    val table = req("table")
+    val targetMb = req("target_mb").toLong
+    require(targetMb >= 1, "target_mb must be >= 1")
+    val path = catalog.tablePath(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $table"))
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hadoopPath).filter(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val bytes = files.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (bytes + targetMb * 1048576 - 1) / (targetMb * 1048576)).toInt
+    val df = spark.read.parquet(path)
+    val before = df.count()
+    val tmp = path.stripSuffix("/") + "__compact_tmp"
+    df.repartition(nOut).write.mode("overwrite").parquet(tmp)
+    val after = spark.read.parquet(tmp).count()
+    require(after == before,
+      s"compaction row mismatch: $before -> $after; aborted, original intact")
+    fs.delete(hadoopPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath)
+    s"compacted $table: ${files.length} files -> $nOut " +
+      s"(${bytes / 1048576} MB, $before rows)"
+  }
+
+  /** `merge into <target> using <source|path> on <keyCol>` — SCD1
+    * upsert: source rows win on key collision, target rows without a
+    * source match survive (the lakehouse MERGE the append-only
+    * reference lacks; ours composes from one left-anti + union).
+    * Row-count receipt; rewrite is atomic via the compact swap. */
+  private def mergeCmd(t: String): String = {
+    val m = "(?i)merge\\s+into\\s+(\\S+)\\s+using\\s+(\\S+)\\s+on\\s+(\\S+)"
+      .r.findFirstMatchIn(t).getOrElse(throw new IllegalArgumentException(
+        "merge into <target> using <source> on <key>"))
+    val (target, src, key) = (m.group(1), m.group(2), m.group(3))
+    val tgt = catalog.table(target)
+    val batch =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    import org.apache.spark.sql.functions.col
+    val merged = batch.unionByName(
+      tgt.join(batch.select(col(key)), Seq(key), "left_anti"))
+    val path = catalog.tablePath(target).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $target"))
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = path.stripSuffix("/") + "__merge_tmp"
+    val updated = batch.join(tgt.select(col(key)), Seq(key), "left_semi")
+      .count()
+    val inserted = batch.count() - updated
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(hadoopPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath)
+    s"merged into $target: $updated updated, $inserted inserted"
   }
 
   /** Per-key per-minute counts `(etype, m, x)` from a raw event frame —

@@ -1056,3 +1056,45 @@ class MonitorCommandSpec extends SparkSpec {
       .contains("dropped"))
   }
 }
+
+class CompactMergeCommandSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+  import spark.implicits._
+
+  test("compact: many small files rewrite into few, row-identical, " +
+      "table stays queryable") {
+    val dir = java.nio.file.Files.createTempDirectory("compact")
+    val p = dir.resolve("t").toString
+    (1 to 500).map(i => (i.toLong, s"row_$i")).toDF("id", "v")
+      .repartition(64).write.parquet(p) // 64 tiny files
+    val cat = new Catalog(spark)
+    cat.registerTable("t", p)
+    val engine = new Engine(spark, cat)
+    val before = spark.read.parquet(p)
+      .collect().map(_.toString).sorted.toSeq
+    val out = engine.execute("compact where table = t and target_mb = 64")
+    assert(out.contains("64 files -> 1"), out)
+    val after = spark.read.parquet(p)
+    assert(after.collect().map(_.toString).sorted.toSeq === before)
+    assert(after.inputFiles.length === 1)
+  }
+
+  test("merge into: SCD1 upsert — source wins on key, unmatched " +
+      "target survives, receipt counts updates vs inserts") {
+    val dir = java.nio.file.Files.createTempDirectory("merge")
+    val p = dir.resolve("tgt").toString
+    Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("id", "v")
+      .write.parquet(p)
+    val srcP = dir.resolve("src").toString
+    Seq((2L, "NEW2"), (4L, "NEW4")).toDF("id", "v").write.parquet(srcP)
+    val cat = new Catalog(spark)
+    cat.registerTable("tgt", p)
+    val engine = new Engine(spark, cat)
+    val out = engine.execute(s"merge into tgt using $srcP on id")
+    assert(out.contains("1 updated") && out.contains("1 inserted"), out)
+    val rows = spark.read.parquet(p).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "old1", 2L -> "NEW2", 3L -> "old3",
+      4L -> "NEW4"))
+  }
+}
