@@ -215,7 +215,21 @@ object Plans {
           "one-row totals broadcast"),
       "q148_cube_grouping" ->
         ("CUBE: one Expand + partial/final aggregate — the 2^k " +
-          "grouping lattice in a single pass"))
+          "grouping lattice in a single pass"),
+      "q149_centroid_drift" ->
+        ("centroid drift: one partial (label, half, dim) aggregate, " +
+          "lattice floor-div centroids, #labels x dims drift join"),
+      "q150_triangle_standing_fold" ->
+        ("triangle fold: delta candidates walk each new edge's " +
+          "SMALL side (min-degree orientation), closure equi-joins " +
+          "the normalized edge set; counts fold by addition"),
+      "q151_quantile_standing_index" ->
+        ("standing quantile histogram: cell-addition fold, per-key " +
+          "running sum over <= #buckets rows, broadcast totals"),
+      "q152_markov_accuracy" ->
+        ("Markov audit: ONE lead window, train counts partial-" +
+          "aggregate, windowless min(struct) argmax, broadcast model " +
+          "join"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -82,20 +82,34 @@ object Graph {
     * against the union adjacency — never a recount of the old graph's
     * Σd⁺² wedges (the q139 full-census cost). */
   def triangleDelta(oldEdges: DataFrame, newEdges: DataFrame): DataFrame = {
-    val all = oldEdges.unionByName(newEdges)
+    val all = oldEdges.unionByName(newEdges).localCheckpoint(true)
     val adj = all.select(col("a").as("u"), col("b").as("w"))
       .unionByName(all.select(col("b").as("u"), col("a").as("w")))
-    newEdges
-      .join(adj.select(col("u").as("a"), col("w").as("w1")), Seq("a"))
-      // (b, w1) is the equi key — joining on b alone and filtering
-      // w1 = w2 after the fact would materialize deg(a) x deg(b)
-      // pairs per new edge instead of the common-neighbor set
-      .join(adj.select(col("u").as("b"), col("w").as("w1")),
-        Seq("b", "w1"))
-      .filter(col("w1") =!= col("a") && col("w1") =!= col("b"))
-      .select(least(col("a"), col("b"), col("w1")).as("x"),
-        (col("a") + col("b") + col("w1")).as("s"),
-        greatest(col("a"), col("b"), col("w1")).as("z"))
+    val deg = adj.groupBy("u").agg(count(lit(1)).as("d"))
+    // enumerate candidates from each new edge's LOWER-degree endpoint
+    // (the q139 orientation move, applied to the delta): the expansion
+    // is Σ min(deg(a), deg(b)) instead of Σ deg(a) — a hub-incident
+    // new edge walks its small side's neighbors, never the hub's
+    val oriented = newEdges
+      .join(deg.select(col("u").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("u").as("b"), col("d").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("lo"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("b")).otherwise(col("a")).as("hi"))
+    oriented
+      .join(adj.select(col("u").as("lo"), col("w")), Seq("lo"))
+      .filter(col("w") =!= col("hi"))
+      // close w–hi against the undirected edge SET (normalized key)
+      .select(col("lo"), col("hi"), col("w"),
+        least(col("w"), col("hi")).as("ca"),
+        greatest(col("w"), col("hi")).as("cb"))
+      .join(all.select(col("a").as("ca"), col("b").as("cb")),
+        Seq("ca", "cb"))
+      .select(least(col("lo"), col("hi"), col("w")).as("x"),
+        (col("lo") + col("hi") + col("w")).as("s"),
+        greatest(col("lo"), col("hi"), col("w")).as("z"))
       .select(col("x"), (col("s") - col("x") - col("z")).as("y"),
         col("z"))
       .distinct()

@@ -293,16 +293,62 @@ object SketchQueries {
     SELECT source, pct, q_est, q_exact FROM est
     JOIN ex USING (source, pct) ORDER BY source, pct"""
 
+  // ===================================================================
+  // q151 — STANDING quantile-histogram index: per-source histograms on
+  // doc_id < 250 fold the 250.. batch by cell-wise addition, then the
+  // p50/p90/p99 summary serves from the folded artifact ALONE. The
+  // oracle builds the histogram over the whole corpus in one shot:
+  // fold == rebuild (integer cell addition), cross-engine — the q138
+  // discipline for the quantile sketch. (Replay safety is
+  // StreamOps.quantileIngestBatchOnce — spec-covered.)
+  // ===================================================================
+
+  private val q151: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("source"), size(TextOps.tokens(col("text"))).cast("long")
+        .as("n"))
+    val folded = Sketches
+      .quantileHistogram(toks(docs.filter(col("doc_id") < 250)),
+        "source", "n")
+      .unionByName(Sketches.quantileHistogram(
+        toks(docs.filter(col("doc_id") >= 250)), "source", "n"))
+      .groupBy("key", "b").agg(sum(col("c")).as("c"))
+    Sketches.quantileEst(folded, Seq(50, 90, 99))
+      .select(col("key").as("source"), col("pct"),
+        col("est").as("q_est"))
+      .orderBy(col("source"), col("pct"))
+  }
+
+  private val q151Sql = s"""
+    WITH tk AS (SELECT source, CAST(len(list_filter(
+        string_split(text, ' '), t -> t != '')) AS BIGINT) AS n
+      FROM documents),
+    hist AS (SELECT source, ${Sketches.logBucketDuck("n")} AS b,
+        count(*) AS c FROM tk GROUP BY 1, 2),
+    cum AS (SELECT source, b, sum(c) OVER (PARTITION BY source ORDER BY b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist),
+    tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM hist
+      GROUP BY 1),
+    pcts AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT cum.source, pct, min(${Sketches.bucketLbDuck("b")}) AS q_est
+    FROM cum JOIN tot USING (source)
+    JOIN pcts ON cum.cum * 100 >= pct * tot.n
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   val queries: Map[String, QFn] = Map(
     "q121_cms_heavy_hitters" -> q121,
     "q123_hll_distinct" -> q123,
     "q134_kmv_overlap" -> q134,
     "q138_kmv_standing_index" -> q138,
-    "q140_quantile_histogram" -> q140)
+    "q140_quantile_histogram" -> q140,
+    "q151_quantile_standing_index" -> q151)
   val oracles: Map[String, String] = Map(
     "q121_cms_heavy_hitters" -> q121Sql,
     "q123_hll_distinct" -> q123Sql,
     "q134_kmv_overlap" -> q134Sql,
     "q138_kmv_standing_index" -> q138Sql,
-    "q140_quantile_histogram" -> q140Sql)
+    "q140_quantile_histogram" -> q140Sql,
+    "q151_quantile_standing_index" -> q151Sql)
 }

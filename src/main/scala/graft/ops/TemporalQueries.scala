@@ -455,9 +455,64 @@ object TemporalQueries {
     SELECT etype, m, x, cusum FROM cu
     ORDER BY cusum DESC, etype, m LIMIT 20"""
 
+  // =====================================================================
+  // q152 — first-order Markov next-event model: per-user transition
+  // pairs via ONE lead window, split train/test by the deterministic
+  // event_id parity, model = argmax next-type per type (windowless
+  // min(struct) — the q130 argmax), accuracy on held-out transitions in
+  // ppm. The sequence-model audit of the event stream — all integer,
+  // both engines replay the identical windows.
+  // =====================================================================
+
+  private val q152: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("etype"))
+      .withColumn("next", lead(col("etype"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .withColumn("is_train", pmod(col("event_id"), lit(2)) === 0)
+    val model = tr.filter(col("is_train"))
+      .groupBy("etype", "next").agg(count(lit(1)).as("c"))
+      .groupBy("etype")
+      .agg(min(struct((-col("c")).as("nc"), col("next").as("p")))
+        .as("top"))
+      .select(col("etype"), col("top.p").as("pred"))
+    tr.filter(!col("is_train"))
+      .join(broadcast(model), Seq("etype"))
+      .groupBy("etype")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("next") === col("pred"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_ppm", expr("(n_correct * 1000000) div n_test"))
+      .orderBy(col("etype"))
+  }
+
+  private val q152Sql = """
+    WITH tr AS (SELECT event_type AS etype,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next,
+        event_id % 2 = 0 AS is_train
+      FROM events),
+    tt AS (SELECT * FROM tr WHERE next IS NOT NULL),
+    cnt AS (SELECT etype, next, count(*) AS c FROM tt
+      WHERE is_train GROUP BY 1, 2),
+    model AS (SELECT etype, next AS pred FROM (SELECT etype, next,
+        row_number() OVER (PARTITION BY etype ORDER BY c DESC, next)
+          AS rn FROM cnt) WHERE rn = 1)
+    SELECT t.etype, count(*) AS n_test,
+      CAST(sum(CASE WHEN t.next = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_correct,
+      (CAST(sum(CASE WHEN t.next = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+        * 1000000) // count(*) AS acc_ppm
+    FROM tt t JOIN model m USING (etype)
+    WHERE NOT t.is_train
+    GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, QFn] = Map(
     "q137_zorder_layout" -> q137,
     "q146_cusum_drift" -> q146,
+    "q152_markov_accuracy" -> q152,
     "q100_rollup_increments" -> q100,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
@@ -470,6 +525,7 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     "q137_zorder_layout" -> q137Sql,
     "q146_cusum_drift" -> q146Sql,
+    "q152_markov_accuracy" -> q152Sql,
     "q100_rollup_increments" -> q100Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,
