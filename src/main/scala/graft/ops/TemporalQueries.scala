@@ -509,10 +509,65 @@ object TemporalQueries {
     WHERE NOT t.is_train
     GROUP BY 1 ORDER BY 1"""
 
+  // =====================================================================
+  // q153 — exact 2-D eps-neighborhood join ([[Clustering.epsPairs]] —
+  // the spatial self-join primitive under DBSCAN): events on the
+  // quantized (value, time) lattice, eps = 4; output = the neighbor-
+  // count histogram (how many events sit in dense pockets vs isolation).
+  // The join is a grid-cell equi-join (cell side = eps, 3x3 candidate
+  // explosion, each qualifying pair produced exactly once) — candidates
+  // are local-density-bounded, never N². All integer; the oracle
+  // replays cells, pairs, and counts.
+  // =====================================================================
+
+  private val q153: QFn = (s, d) => {
+    val base = t(s, d, "events").select(col("event_id").as("id"),
+      expr("cast(floor(value * 1000) as bigint)").as("v"),
+      expr("unix_micros(ts) div 1000").as("tm"))
+    val st = base.agg(min("v").as("xmin"), max("v").as("xmax"),
+      min("tm").as("ymin"), max("tm").as("ymax"))
+    val pts = base.crossJoin(broadcast(st)).select(col("id"),
+      expr("((v - xmin) * 1024) div (xmax - xmin + 1)").as("x"),
+      expr("((tm - ymin) * 1024) div (ymax - ymin + 1)").as("y"))
+    val pairs = Clustering.epsPairs(pts, eps = 4)
+    val deg = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_neighbors"))
+    pts.join(deg, Seq("id"), "left")
+      .withColumn("n_neighbors", coalesce(col("n_neighbors"), lit(0L)))
+      .groupBy("n_neighbors").agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_neighbors"))
+  }
+
+  private val q153Sql = """
+    WITH base AS (SELECT event_id AS id,
+        CAST(floor(value * 1000) AS BIGINT) AS v,
+        epoch_us(ts) // 1000 AS tm FROM events),
+    st AS (SELECT min(v) AS xmin, max(v) AS xmax,
+        min(tm) AS ymin, max(tm) AS ymax FROM base),
+    pt AS MATERIALIZED (SELECT id,
+        ((v - xmin) * 1024) // (xmax - xmin + 1) AS x,
+        ((tm - ymin) * 1024) // (ymax - ymin + 1) AS y FROM base, st),
+    cells AS MATERIALIZED (SELECT id, x, y, x // 4 AS cx, y // 4 AS cy
+      FROM pt),
+    pairs AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib FROM
+      (SELECT c.id, c.x, c.y, c.cx + k.k // 3 - 1 AS cx,
+         c.cy + k.k % 3 - 1 AS cy FROM cells c, range(9) k(k)) a
+      JOIN cells b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 16),
+    deg AS (SELECT id, count(*) AS n_neighbors FROM
+      (SELECT ia AS id FROM pairs UNION ALL SELECT ib AS id FROM pairs)
+      GROUP BY 1)
+    SELECT coalesce(d.n_neighbors, 0) AS n_neighbors,
+      count(*) AS n_events
+    FROM pt p LEFT JOIN deg d USING (id)
+    GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, QFn] = Map(
     "q137_zorder_layout" -> q137,
     "q146_cusum_drift" -> q146,
     "q152_markov_accuracy" -> q152,
+    "q153_eps_neighborhood" -> q153,
     "q100_rollup_increments" -> q100,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
@@ -526,6 +581,7 @@ object TemporalQueries {
     "q137_zorder_layout" -> q137Sql,
     "q146_cusum_drift" -> q146Sql,
     "q152_markov_accuracy" -> q152Sql,
+    "q153_eps_neighborhood" -> q153Sql,
     "q100_rollup_increments" -> q100Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,
