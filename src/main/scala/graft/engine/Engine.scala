@@ -599,6 +599,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }.mkString("\n")
     }
     else if (low.startsWith("layout zorder")) layoutZorder(t)
+    else if (low.startsWith("layout refresh")) layoutRefresh(t)
     else if (low.startsWith("layout scan")) layoutScan(t)
     else if (low.startsWith("layout drop")) {
       val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
@@ -1784,6 +1785,29 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     layouts += table -> LayoutMeta(path, xc, yc, bits, buckets)
     s"layout for $table written at $path " +
       s"($buckets quad buckets, $bits-bit dims)"
+  }
+
+  /** `layout refresh where table = <t> and source = <table|path>` —
+    * append a batch into the standing Z-order layout, coded against
+    * the RECORDED quantization grid (out-of-range values clamp to the
+    * edge quads; the grid is never re-derived from drifted data). */
+  private def layoutRefresh(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("layout refresh requires table ="))
+    val meta = layouts.getOrElse(table,
+      throw new IllegalArgumentException(s"no layout registered for $table"))
+    val src = kv("source").getOrElse(
+      throw new IllegalArgumentException("layout refresh requires source ="))
+    val delta =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val n = delta.count()
+    graft.ops.Layout.zorderAppend(delta, meta.xCol, meta.yCol, meta.path,
+      meta.bits, meta.buckets)
+    s"layout for $table refreshed (+$n rows)"
   }
 
   /** `layout scan where table = <t> and x0 = <n> and x1 = <n> and

@@ -27,6 +27,8 @@ import graft.functions.F
   *      {"op": "lm_quality_max", "max_score_q": 200000},
   *      {"op": "cluster_balance", "vec": "embedding", "quota": 1000},
   *      {"op": "weighted_sample", "source": "source", "k": 1000},
+  *      {"op": "length_pct_gate", "index": "/idx/qh", "pct": 10,
+  *       "source": "source"},
   *      {"op": "split", "train": 80, "valid": 10}
   *    ]}}
   */
@@ -124,6 +126,15 @@ object CleanPipeline {
   final case class ClusterBalanceStage(vecCol: String, cells: Int,
       quota: Int) extends Stage
 
+  /** Drop docs whose token count falls below their source's p`pct`
+    * length, served from a STANDING quantile-histogram artifact
+    * (IndexStore path of a [[Sketches.quantileHistogram]] table, the
+    * q151 family): the "too short for its source" cut without ever
+    * scanning history — thresholds are one broadcast row per source.
+    * Sources absent from the artifact pass (no evidence, no cut). */
+  final case class LengthPctGate(indexPath: String, pct: Int,
+      sourceCol: String) extends Stage
+
   /** Keep the `k` docs drawn by deterministic Efraimidis–Spirakis
     * weighted sampling without replacement with inverse-frequency
     * source weights ([[Curation.weightedSample]] +
@@ -185,6 +196,9 @@ object CleanPipeline {
             (st \ "budget_bp").extractOpt[Int].getOrElse(6000))
           case "lm_quality_max" => LmQualityMax(
             (st \ "max_score_q").extract[Long])
+          case "length_pct_gate" => LengthPctGate(
+            (st \ "index").extract[String], (st \ "pct").extract[Int],
+            (st \ "source").extract[String])
           case "weighted_sample" => WeightedSampleStage(
             (st \ "source").extract[String], (st \ "k").extract[Int])
           case "cluster_balance" => ClusterBalanceStage(
@@ -356,6 +370,17 @@ object CleanPipeline {
           val keep = Curation.clusterBalance(assigned, quota)
             .select(col("id").as(id))
           cur.join(keep, Seq(id), "left_semi")
+        case LengthPctGate(indexPath, pct, sourceCol) =>
+          val hist = IndexStore.read(cur.sparkSession, indexPath)
+            .getOrElse(throw new IllegalStateException(
+              s"no quantile-histogram artifact at $indexPath"))
+          val thr = Sketches.quantileEst(hist, Seq(pct))
+            .select(col("key").as("__src"), col("est").as("__thr"))
+          cur.join(broadcast(thr), cur(sourceCol) === col("__src"),
+              "left")
+            .filter(col("__thr").isNull ||
+              size(TextOps.tokens(col(txt))).cast("long") >= col("__thr"))
+            .drop("__src", "__thr")
         case WeightedSampleStage(sourceCol, k) =>
           val keep = Curation.weightedSample(cur, txt, id, sourceCol,
               Curation.flatteningWeights(cur, sourceCol), k)

@@ -98,11 +98,46 @@ object Layout {
 
   /** Write `df` Z-order-clustered: directory-partitioned by `zbucket`,
     * rows sorted by `z` within each file — so directory pruning skips
-    * quads and parquet row-group stats prune within a file. */
+    * quads and parquet row-group stats prune within a file. The
+    * quantization stats are persisted alongside (`_zstats` sidecar) so
+    * appends code against the SAME grid. */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
-      bits: Int = 10, numBuckets: Int = 64): Unit =
-    zorderCode(df, xCol, yCol, bits, numBuckets)
-      .repartition(col("zbucket"))
+      bits: Int = 10, numBuckets: Int = 64): Unit = {
+    val coded = zorderCode(df, xCol, yCol, bits, numBuckets)
+    coded.repartition(col("zbucket"))
       .sortWithinPartitions(col("zbucket"), col("z"))
       .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    df.agg(min(col(xCol)).as("zx_min"), max(col(xCol)).as("zx_max"),
+        min(col(yCol)).as("zy_min"), max(col(yCol)).as("zy_max"))
+      .write.mode("overwrite").parquet(statsPath(path))
+  }
+
+  private def statsPath(path: String): String =
+    path.stripSuffix("/") + "_zstats"
+
+  /** Append a batch to a standing Z-order layout, coding against the
+    * RECORDED quantization grid (the frozen-baseline discipline every
+    * standing artifact follows — re-deriving min/max from drifted data
+    * would silently re-grid old quads). Out-of-range values CLAMP to
+    * the edge quads, so late-arriving outliers land in the boundary
+    * buckets instead of corrupting the lattice. New files join the
+    * existing quad directories — pruning semantics unchanged. */
+  def zorderAppend(df: DataFrame, xCol: String, yCol: String,
+      path: String, bits: Int = 10, numBuckets: Int = 64): Unit = {
+    val n = 1L << bits
+    val shift = 2 * bits - Integer.numberOfTrailingZeros(numBuckets)
+    val stats = df.sparkSession.read.parquet(statsPath(path))
+    def q(v: String, lo: String, hi: String) =
+      s"greatest(0, least(${n - 1}, " +
+        s"(($v - $lo) * $n) div ($hi - $lo + 1)))"
+    df.crossJoin(broadcast(stats))
+      .withColumn("zq_x", expr(q(xCol, "zx_min", "zx_max")))
+      .withColumn("zq_y", expr(q(yCol, "zy_min", "zy_max")))
+      .withColumn("z", morton(col("zq_x"), col("zq_y"), bits))
+      .withColumn("zbucket", expr(s"z div ${1L << shift}"))
+      .drop("zx_min", "zx_max", "zy_min", "zy_max")
+      .repartition(col("zbucket"))
+      .sortWithinPartitions(col("zbucket"), col("z"))
+      .write.mode("append").partitionBy("zbucket").parquet(path)
+  }
 }

@@ -81,3 +81,50 @@ class LayoutSpec extends SparkSpec {
     assert(spanBad === 0L)
   }
 }
+
+class LayoutAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderAppend codes against the RECORDED grid (clamping " +
+      "out-of-range), and layout refresh serves it on the command " +
+      "surface with pruning intact") {
+    val dir = java.nio.file.Files.createTempDirectory("zappend")
+    val p = dir.resolve("lay").toString
+    val head = (1L to 4000L).map(i =>
+      (i, (i * 13) % 1000, (i * 29) % 100000)).toDF("id", "u", "tm")
+    graft.ops.Layout.zorderWrite(head, "u", "tm", p, 10, 64)
+    // batch with in-range rows plus out-of-range outliers
+    val batch = ((5001L to 6000L).map(i =>
+      (i, (i * 7) % 1000, (i * 31) % 100000)) ++
+      Seq((9001L, 99999L, 999999999L), (9002L, -50L, -99L)))
+      .toDF("id", "u", "tm")
+    graft.ops.Layout.zorderAppend(batch, "u", "tm", p, 10, 64)
+    val back = spark.read.parquet(p)
+    assert(back.count() === 4000L + 1000L + 2L)
+    // outliers clamp to edge quads, never corrupt the lattice
+    val out = back.filter(col("id") >= 9000L)
+      .select(col("zq_x"), col("zq_y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1023L, 1023L), (0L, 0L)))
+    // appended rows live inside their quads like original rows
+    val bad = back.filter(expr("z div 16384") =!= col("zbucket")).count()
+    assert(bad === 0L)
+    // command surface: register via zorder then refresh a second batch
+    val cat = new graft.engine.Catalog(spark)
+    val more = dir.resolve("more").toString
+    (7001L to 7200L).map(i => (i, (i * 3) % 1000, (i * 17) % 100000))
+      .toDF("id", "u", "tm").write.parquet(more)
+    val evP = dir.resolve("ev").toString
+    head.write.parquet(evP)
+    cat.registerTable("ev", evP)
+    val engine = new graft.engine.Engine(spark, cat)
+    engine.execute(s"layout zorder where table = ev and x = u and " +
+      s"y = tm and path = ${dir.resolve("lay2")} and bits = 10 " +
+      "and buckets = 64")
+    val reply = engine.execute("layout refresh where table = ev and " +
+      s"source = $more")
+    assert(reply.contains("+200 rows"), reply)
+    assert(spark.read.parquet(dir.resolve("lay2").toString).count()
+      === 4200L)
+  }
+}

@@ -1855,3 +1855,32 @@ class IvfIndexSpec extends SparkSpec {
       .filter(col("count") =!= 2).count() === 0)
   }
 }
+
+class LengthPctGateSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.{CleanPipeline, IndexStore, Sketches}
+
+  test("length_pct_gate drops docs below their source's standing p-pct " +
+      "length; unseen sources pass") {
+    val dir = java.nio.file.Files.createTempDirectory("qgate")
+      .resolve("qh").toString
+    // history: source a has lengths 10..100; source b 1..10
+    val hist = ((1 to 91).map(i => ("a", (i + 9).toLong)) ++
+      (1 to 10).map(i => ("b", i.toLong))).toDF("k", "n")
+    IndexStore.write(
+      Sketches.quantileHistogram(hist, "k", "n").localCheckpoint(), dir)
+    def doc(words: Int) = (1 to words).map(i => s"w$i").mkString(" ")
+    val batch = Seq(
+      (1L, "a", doc(80)),  // well above a's p50 -> keep
+      (2L, "a", doc(5)),   // below a's p50 -> drop
+      (3L, "b", doc(5)),   // at/above b's p50 -> keep
+      (4L, "zz", doc(1)))  // unseen source -> pass
+      .toDF("doc_id", "source", "text")
+    val out = CleanPipeline.run(s"""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "length_pct_gate", "index": "$dir", "pct": 50,
+         "source": "source"}
+      ]}}""", batch).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq === Seq(1L, 3L, 4L))
+  }
+}
