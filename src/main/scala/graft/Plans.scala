@@ -229,7 +229,11 @@ object Plans {
       "q152_markov_accuracy" ->
         ("Markov audit: ONE lead window, train counts partial-" +
           "aggregate, windowless min(struct) argmax, broadcast model " +
-          "join"))
+          "join"),
+      "q153_eps_neighborhood" ->
+        ("2-D eps-join: grid-cell equi-join (cell = eps, 3x3 " +
+          "candidate explosion, each pair once) — local-density-" +
+          "bounded candidates, never N^2"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")
