@@ -649,7 +649,35 @@ object CoreQueries {
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     ORDER BY gid, returnflag, linestatus"""
 
+  /** q154 — correlated aggregate subquery parity: orders priced above
+    * their own customer's average (the classic correlated form,
+    * written as the SQL text both engines plan natively — Catalyst
+    * de-correlates it into an aggregate + join; DECIMAL(18,2) on both
+    * sides keeps the money comparison bit-exact cross-engine). */
+  private val q154: QFn = (s, d) => {
+    t(s, d, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT o_orderkey, o_custkey,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders_v o
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+        SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(18,2)))
+          AS DECIMAL(18,2))
+        FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""")
+  }
+  private val q154Sql = """
+    SELECT o_orderkey, o_custkey,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
+      SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        AS DECIMAL(18,2))
+      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    ORDER BY o_orderkey"""
+
   val queries: Map[String, QFn] = Map(
+    "q154_correlated_subquery" -> q154,
     "q56_pivot_conditional" -> q56,
     "q148_cube_grouping" -> q148,
     "q53_semi_join" -> q53,
@@ -683,6 +711,7 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q154_correlated_subquery" -> q154Sql,
     "q56_pivot_conditional" -> q56Sql,
     "q148_cube_grouping" -> q148Sql,
     "q53_semi_join" -> q53Sql,

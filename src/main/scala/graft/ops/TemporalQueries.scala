@@ -563,11 +563,51 @@ object TemporalQueries {
     FROM pt p LEFT JOIN deg d USING (id)
     GROUP BY 1 ORDER BY 1"""
 
+  // =====================================================================
+  // q155 — time-weighted average for IRREGULAR samples (the IoT
+  // aggregate a plain avg() gets wrong when sensors report on change,
+  // not on schedule): each reading holds until the next one, so
+  // TWA = Σ v_i·(t_{i+1}−t_i) / (t_n − t_1) per type — ONE lead window,
+  // all integer (values on the ×1000 lattice, µs hold durations, floor
+  // division), next to the naive mean it corrects.
+  // =====================================================================
+
+  private val q155: QFn = (s, d) => {
+    val w = Window.partitionBy("etype").orderBy("tu", "event_id")
+    t(s, d, "events")
+      .select(col("event_type").as("etype"), col("event_id"),
+        unix_micros(col("ts")).as("tu"),
+        expr("cast(floor(value * 1000) as bigint)").as("vq"))
+      .withColumn("hold", lead(col("tu"), 1).over(w) - col("tu"))
+      .groupBy("etype")
+      .agg(count(lit(1)).as("n"),
+        sum(col("vq") * col("hold")).as("wsum"),
+        (max(col("tu")) - min(col("tu"))).as("span"),
+        sum(col("vq")).as("vsum"))
+      .select(col("etype"), col("n"),
+        expr("wsum div span").as("twa_q"),
+        expr("vsum div n").as("avg_q"))
+      .orderBy(col("etype"))
+  }
+
+  private val q155Sql = """
+    WITH e AS (SELECT event_type AS etype, event_id,
+        epoch_us(ts) AS tu, CAST(floor(value * 1000) AS BIGINT) AS vq
+      FROM events),
+    h AS (SELECT etype, tu, vq,
+        lead(tu) OVER (PARTITION BY etype ORDER BY tu, event_id) - tu
+          AS hold FROM e)
+    SELECT etype, count(*) AS n,
+      CAST(sum(vq * hold) AS BIGINT) // (max(tu) - min(tu)) AS twa_q,
+      CAST(sum(vq) AS BIGINT) // count(*) AS avg_q
+    FROM h GROUP BY etype ORDER BY etype"""
+
   val queries: Map[String, QFn] = Map(
     "q137_zorder_layout" -> q137,
     "q146_cusum_drift" -> q146,
     "q152_markov_accuracy" -> q152,
     "q153_eps_neighborhood" -> q153,
+    "q155_time_weighted_avg" -> q155,
     "q100_rollup_increments" -> q100,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
@@ -582,6 +622,7 @@ object TemporalQueries {
     "q146_cusum_drift" -> q146Sql,
     "q152_markov_accuracy" -> q152Sql,
     "q153_eps_neighborhood" -> q153Sql,
+    "q155_time_weighted_avg" -> q155Sql,
     "q100_rollup_increments" -> q100Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,
