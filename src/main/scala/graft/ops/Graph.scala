@@ -69,6 +69,31 @@ object Graph {
     * d⁺ ≤ O(√m) — a hub with 10^6 neighbors generates no wedges at
     * all unless both endpoints out-rank it, instead of 10^12 pairs.
     * Two equi-joins, no window, no cartesian; everything exact int64. */
+  /** WEIGHTED PageRank: [[pageRank]]'s integer-lattice iteration with
+    * edge weights — each node's damped mass splits proportionally to
+    * integer edge weight (`(r*85 div 100) * w div sw`, sw = the node's
+    * out-weight sum; the nested floor divisions are exact int64 in both
+    * engines). Input: directed `(src, dst, w)` with w >= 1, both
+    * directions present. Same per-iteration scale shape and checkpoint
+    * discipline as [[pageRank]]. */
+  def weightedPageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters must be in [1, 50]")
+    val sw = edges.groupBy("src").agg(sum(col("w")).as("sw"))
+    val e = edges.join(sw, "src").localCheckpoint(true)
+    var ranks = e.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1048576L))
+    for (_ <- 1 to iters) {
+      ranks = e.join(ranks, e("src") === ranks("node"))
+        .select(col("dst"),
+          expr("(((r * 85) div 100) * w) div sw").as("c"))
+        .groupBy(col("dst"))
+        .agg((lit(157286L) + sum(col("c"))).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("r").as("rank_q"))
+  }
+
   /** Triangles GAINED by adding `newEdges` to `oldEdges` (both
     * undirected `(a, b)` with a < b, distinct, disjoint sets): for each
     * new edge, the common neighbors of its endpoints in the UNION

@@ -321,7 +321,51 @@ object GraphQueries {
       .orderBy(col("tri_cnt").desc, col("node")).limit(20)
   }
 
+  // =====================================================================
+  // q156 — WEIGHTED PageRank on the trade graph: edge weight = lineitem
+  // count between customer and supplier, so mass flows along trade
+  // VOLUME, not mere existence (the centrality a relationship audit
+  // actually wants). 3 integer-lattice iterations with proportional
+  // splitting — nested floor divisions, exact in both engines; the
+  // oracle unrolls them.
+  // =====================================================================
+
+  private val q156: QFn = (sp, d) => {
+    val e0 = t(sp, d, "orders").join(t(sp, d, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val edges = e0.unionByName(e0.select(col("dst").as("src"),
+      col("src").as("dst"), col("w")))
+    Graph.weightedPageRank(edges, prIters)
+      .orderBy(col("rank_q").desc, col("node"))
+      .limit(20)
+  }
+
+  private val q156Sql: String = {
+    val iterCtes = (1 to prIters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+        157286 + sum((((r.r * 85) // 100) * e.w) // d.sw) AS r
+      FROM e JOIN r${i - 1} r ON r.node = e.src
+      JOIN sw d ON d.src = e.src
+      GROUP BY 1)"""
+    }.mkString(",\n    ")
+    s"""
+    WITH e0 AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        count(*) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+    e AS (SELECT src, dst, w FROM e0
+      UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+    sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw FROM e GROUP BY 1),
+    r0 AS (SELECT DISTINCT src AS node, 1048576 AS r FROM e),
+    $iterCtes
+    SELECT node, CAST(r AS BIGINT) AS rank_q FROM r$prIters
+    ORDER BY r DESC, node LIMIT 20"""
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q156_weighted_pagerank" -> q156,
     "q136_pagerank" -> q136,
     "q139_triangle_census" -> q139,
     "q141_label_propagation" -> q141,
@@ -329,6 +373,7 @@ object GraphQueries {
     "q144_kcore" -> q144,
     "q150_triangle_standing_fold" -> q150)
   val oracles: Map[String, String] = Map(
+    "q156_weighted_pagerank" -> q156Sql,
     "q136_pagerank" -> q136Sql,
     "q139_triangle_census" -> q139Sql,
     "q141_label_propagation" -> q141Sql,

@@ -602,12 +602,52 @@ object TemporalQueries {
       CAST(sum(vq) AS BIGINT) // count(*) AS avg_q
     FROM h GROUP BY etype ORDER BY etype"""
 
+  // =====================================================================
+  // q157 — recency-weighted activity: exponential decay with a 7-day
+  // half-life as PURE BIT ARITHMETIC — weight = 2^20 >> (age_days div
+  // 7) — so the decayed sums are exact int64 in both engines (the
+  // usual exp() decay is order-sensitive float). Per event type: the
+  // recency score next to the raw count it re-ranks; per-user top
+  // contributor under the same weights via the windowless argmax.
+  // =====================================================================
+
+  private val q157: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+      .select(col("event_type").as("etype"), col("user_id"),
+        unix_micros(col("ts")).as("tu"))
+    val mx = ev.agg(max(col("tu")).as("mxt"))
+    ev.crossJoin(broadcast(mx))
+      .withColumn("w", expr(
+        "shiftright(1048576, cast((mxt - tu) div 604800000000 as int))"))
+      .groupBy("etype")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("recency_q"),
+        max(struct(col("w").as("ww"), col("user_id").as("u")))
+          .getField("u").as("hottest_user"))
+      .orderBy(col("etype"))
+  }
+
+  private val q157Sql = """
+    WITH ev AS (SELECT event_type AS etype, user_id,
+        epoch_us(ts) AS tu FROM events),
+    mx AS (SELECT max(tu) AS mxt FROM ev),
+    wts AS (SELECT etype, user_id,
+        1048576 >> CAST((mxt - tu) // 604800000000 AS INT) AS w
+      FROM ev, mx),
+    agg AS (SELECT etype, count(*) AS n,
+        CAST(sum(w) AS BIGINT) AS recency_q FROM wts GROUP BY 1),
+    hot AS (SELECT etype, user_id AS hottest_user FROM (
+      SELECT etype, user_id, row_number() OVER (PARTITION BY etype
+        ORDER BY w DESC, user_id DESC) AS rn FROM wts) WHERE rn = 1)
+    SELECT agg.etype, n, recency_q, hottest_user
+    FROM agg JOIN hot USING (etype) ORDER BY agg.etype"""
+
   val queries: Map[String, QFn] = Map(
     "q137_zorder_layout" -> q137,
     "q146_cusum_drift" -> q146,
     "q152_markov_accuracy" -> q152,
     "q153_eps_neighborhood" -> q153,
     "q155_time_weighted_avg" -> q155,
+    "q157_recency_decay" -> q157,
     "q100_rollup_increments" -> q100,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
@@ -623,6 +663,7 @@ object TemporalQueries {
     "q152_markov_accuracy" -> q152Sql,
     "q153_eps_neighborhood" -> q153Sql,
     "q155_time_weighted_avg" -> q155Sql,
+    "q157_recency_decay" -> q157Sql,
     "q100_rollup_increments" -> q100Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,

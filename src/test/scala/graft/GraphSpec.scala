@@ -53,6 +53,24 @@ class GraphSpec extends SparkSpec {
     assert(run(edges, 3) === run(edges, 3, parts = 11))
   }
 
+  test("weightedPageRank with uniform weights == pageRank; skewed " +
+      "weight pulls rank toward the heavy edge's target") {
+    val one = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val sym = one ++ one.map { case (a, b) => (b, a) }
+    val unif = sym.map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "w")
+    val wpr = Graph.weightedPageRank(unif, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRank(sym.toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wpr === pr)
+    // star: hub 0 out-weights 10:1 toward node 1
+    val star = Seq((0L, 1L, 10L), (0L, 2L, 1L), (1L, 0L, 1L),
+      (2L, 0L, 1L)).toDF("src", "dst", "w")
+    val r = Graph.weightedPageRank(star, 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) > r(2L) * 3, r.toString)
+  }
+
   test("pageRank rejects out-of-range iteration counts") {
     val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     intercept[IllegalArgumentException](Graph.pageRank(e, 0))
