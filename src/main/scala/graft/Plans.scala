@@ -233,7 +233,19 @@ object Plans {
       "q153_eps_neighborhood" ->
         ("2-D eps-join: grid-cell equi-join (cell = eps, 3x3 " +
           "candidate explosion, each pair once) — local-density-" +
-          "bounded candidates, never N^2"))
+          "bounded candidates, never N^2"),
+      "q154_correlated_subquery" ->
+        ("correlated aggregate subquery: Catalyst de-correlates to " +
+          "an aggregate + join — no per-row re-execution"),
+      "q155_time_weighted_avg" ->
+        ("time-weighted average: ONE lead window for hold " +
+          "durations, integer weighted partial-sum per type"),
+      "q156_weighted_pagerank" ->
+        ("weighted PageRank iteration: q136's shape with " +
+          "proportional integer splitting (w div sum-weight)"),
+      "q157_recency_decay" ->
+        ("recency decay: broadcast max-ts row, map-only bit-shift " +
+          "weights, partial-summed per type + struct-max argmax"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")
