@@ -641,6 +641,60 @@ object TemporalQueries {
     SELECT agg.etype, n, recency_q, hottest_user
     FROM agg JOIN hot USING (etype) ORDER BY agg.etype"""
 
+  // =====================================================================
+  // q158 — STANDING Markov transition model: per-user transition counts
+  // on the first half of the stream (by event_id parity within the
+  // train split) fold the second half by integer addition, then the
+  // argmax next-type model serves from the folded artifact alone. The
+  // oracle trains over the whole split in one shot: fold == rebuild
+  // (transition counts are integer histograms — the q131 NB property,
+  // transposed to sequences). NOTE the transitions themselves are
+  // computed ONCE over the full ordered stream (a per-batch lead would
+  // miss batch-boundary pairs — that composition caveat is the honest
+  // difference from the count fold, stated here and in the scaladoc).
+  // =====================================================================
+
+  private val q158: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = t(s, d, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("etype"))
+      .withColumn("next", lead(col("etype"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .filter(pmod(col("event_id"), lit(2)) === 0) // the train split
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("etype", "next").agg(count(lit(1)).as("c"))
+    // fold two batches of the train transitions by integer addition
+    val folded = counts(tr.filter(pmod(col("event_id"), lit(4)) === 0))
+      .unionByName(counts(tr.filter(pmod(col("event_id"), lit(4)) =!= 0)))
+      .groupBy("etype", "next").agg(sum(col("c")).as("c"))
+    folded
+      .groupBy("etype")
+      .agg(sum(col("c")).as("n_trans"),
+        min(struct((-col("c")).as("nc"), col("next").as("p")))
+          .as("top"))
+      .select(col("etype"), col("n_trans"), col("top.p").as("pred"),
+        (-col("top.nc")).as("pred_c"))
+      .orderBy(col("etype"))
+  }
+
+  private val q158Sql = """
+    WITH tr AS (SELECT event_type AS etype,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS next,
+        event_id
+      FROM events),
+    tt AS (SELECT etype, next FROM tr
+      WHERE next IS NOT NULL AND event_id % 2 = 0),
+    cnt AS (SELECT etype, next, count(*) AS c FROM tt GROUP BY 1, 2),
+    top AS (SELECT etype, next AS pred, c AS pred_c FROM (
+      SELECT etype, next, c, row_number() OVER (PARTITION BY etype
+        ORDER BY c DESC, next) AS rn FROM cnt) WHERE rn = 1),
+    agg AS (SELECT etype, CAST(sum(c) AS BIGINT) AS n_trans FROM cnt
+      GROUP BY 1)
+    SELECT agg.etype, n_trans, pred, pred_c
+    FROM agg JOIN top USING (etype) ORDER BY agg.etype"""
+
   val queries: Map[String, QFn] = Map(
     "q137_zorder_layout" -> q137,
     "q146_cusum_drift" -> q146,
@@ -648,6 +702,7 @@ object TemporalQueries {
     "q153_eps_neighborhood" -> q153,
     "q155_time_weighted_avg" -> q155,
     "q157_recency_decay" -> q157,
+    "q158_markov_standing_fold" -> q158,
     "q100_rollup_increments" -> q100,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
@@ -664,6 +719,7 @@ object TemporalQueries {
     "q153_eps_neighborhood" -> q153Sql,
     "q155_time_weighted_avg" -> q155Sql,
     "q157_recency_decay" -> q157Sql,
+    "q158_markov_standing_fold" -> q158Sql,
     "q100_rollup_increments" -> q100Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,
