@@ -202,6 +202,10 @@ object Plans {
       "q143_components_standing_fold" ->
         ("standing-components fold: star-compressed history + batch " +
           "pairs only — the pair history never re-enters the plan"),
+      "q144_kcore" ->
+        ("k-core peeling round: one map-side degree partial-" +
+          "aggregate + two semi-joins per round, checkpoint each " +
+          "round, fixpoint-or-throw — no window, no nested loop"),
       "q145_sorted_neighborhood" ->
         ("sorted-neighborhood blocking: range exchange + per-" +
           "partition ranks + broadcast offsets (no global window); " +
@@ -236,7 +240,9 @@ object Plans {
           "bounded candidates, never N^2"),
       "q154_correlated_subquery" ->
         ("correlated aggregate subquery: Catalyst de-correlates to " +
-          "an aggregate + join — no per-row re-execution"),
+          "an aggregate + join — no per-row re-execution; the " +
+          "above-average test is cross-multiplied integer cents " +
+          "(cents * cnt > sum_cents), no division or double"),
       "q155_time_weighted_avg" ->
         ("time-weighted average: ONE lead window for hold " +
           "durations, integer weighted partial-sum per type"),
@@ -245,7 +251,11 @@ object Plans {
           "proportional integer splitting (w div sum-weight)"),
       "q157_recency_decay" ->
         ("recency decay: broadcast max-ts row, map-only bit-shift " +
-          "weights, partial-summed per type + struct-max argmax"))
+          "weights, partial-summed per type + struct-max argmax"),
+      "q158_markov_standing_fold" ->
+        ("standing Markov fold: ONE lead window over the full " +
+          "ordered stream, per-(etype, next) integer count partials " +
+          "fold by addition, windowless min(struct) argmax serve"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -652,28 +652,41 @@ object CoreQueries {
   /** q154 — correlated aggregate subquery parity: orders priced above
     * their own customer's average (the classic correlated form,
     * written as the SQL text both engines plan natively — Catalyst
-    * de-correlates it into an aggregate + join; DECIMAL(18,2) on both
-    * sides keeps the money comparison bit-exact cross-engine). */
+    * de-correlates each scalar subquery into an aggregate + join).
+    * Determinism: the "above average" test is cross-multiplied onto
+    * the integer-cent lattice — `cents * cnt > sum_cents` — so NO
+    * division, NO double threshold, NO rounding exists anywhere.
+    * The round-8 formulation funneled the threshold through
+    * `CAST(avg(DECIMAL) AS DECIMAL(18,2))`, which DuckDB computes
+    * via DOUBLE (avg(DECIMAL) -> DOUBLE) — boundary rows flipped
+    * with the oracle engine's version. Cents themselves come from
+    * `floor(o_totalprice * 100.0)` (shared IEEE expression text;
+    * a bare CAST(double AS BIGINT) truncates in Spark but rounds
+    * in DuckDB). */
   private val q154: QFn = (s, d) => {
     t(s, d, "orders").createOrReplaceTempView("orders_v")
     s.sql("""
       SELECT o_orderkey, o_custkey,
-        CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents
       FROM orders_v o
-      WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
-        SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(18,2)))
-          AS DECIMAL(18,2))
-        FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+      WHERE CAST(floor(o_totalprice * 100.0) AS BIGINT) *
+          (SELECT count(*) FROM orders_v i
+           WHERE i.o_custkey = o.o_custkey)
+        > (SELECT CAST(sum(CAST(floor(i.o_totalprice * 100.0)
+             AS BIGINT)) AS BIGINT)
+           FROM orders_v i WHERE i.o_custkey = o.o_custkey)
       ORDER BY o_orderkey""")
   }
   private val q154Sql = """
     SELECT o_orderkey, o_custkey,
-      CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      CAST(floor(o_totalprice * 100.0) AS BIGINT) AS price_cents
     FROM orders o
-    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > (
-      SELECT CAST(avg(CAST(i.o_totalprice AS DECIMAL(18,2)))
-        AS DECIMAL(18,2))
-      FROM orders i WHERE i.o_custkey = o.o_custkey)
+    WHERE CAST(floor(o_totalprice * 100.0) AS BIGINT) *
+        (SELECT count(*) FROM orders i
+         WHERE i.o_custkey = o.o_custkey)
+      > (SELECT CAST(sum(CAST(floor(i.o_totalprice * 100.0)
+           AS BIGINT)) AS BIGINT)
+         FROM orders i WHERE i.o_custkey = o.o_custkey)
     ORDER BY o_orderkey"""
 
   val queries: Map[String, QFn] = Map(

@@ -577,6 +577,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         s"$tbl: key=${m.keyCol} text=${m.textCol} k=${m.k} path=${m.path}"
       }.mkString("\n")
     }
+    else if (low.startsWith("graph tricount create")) triCreate(t)
+    else if (low.startsWith("graph tricount refresh")) triRefresh(t)
+    else if (low.startsWith("graph tricount get")) triGet(t)
     else if (low.startsWith("graph ")) graphCmd(t)
     else if (low.startsWith("compact where")) compactCmd(t)
     else if (low.startsWith("merge into")) mergeCmd(t)
@@ -1598,10 +1601,29 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val after = spark.read.parquet(tmp).count()
     require(after == before,
       s"compaction row mismatch: $before -> $after; aborted, original intact")
-    fs.delete(hadoopPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath)
+    swapDirs(fs, hadoopPath, new org.apache.hadoop.fs.Path(tmp))
     s"compacted $table: ${files.length} files -> $nOut " +
       s"(${bytes / 1048576} MB, $before rows)"
+  }
+
+  /** Crash-safe directory swap: the target is renamed ASIDE first
+    * (rename is the only atomic primitive a filesystem gives us), so a
+    * crash at any point leaves the data reachable — either at the
+    * target, or intact at `target__old` with the replacement in tmp.
+    * The old delete-then-rename order had a window where the
+    * registered path simply did not exist. */
+  private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    val old = new org.apache.hadoop.fs.Path(target.toString + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(target, old))
+      throw new IllegalStateException(s"swap: cannot move $target aside")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll back; original untouched
+      throw new IllegalStateException(s"swap: cannot promote $tmp")
+    }
+    fs.delete(old, true)
   }
 
   /** `merge into <target> using <source|path> on <keyCol>` — SCD1
@@ -1631,9 +1653,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val updated = batch.join(tgt.select(col(key)), Seq(key), "left_semi")
       .count()
     val inserted = batch.count() - updated
+    val survivors =
+      tgt.join(batch.select(col(key)), Seq(key), "left_anti").count()
     merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(hadoopPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hadoopPath)
+    // row-count receipt BEFORE the swap destroys anything (mirrors
+    // compactCmd): merged = whole batch + unmatched target rows
+    val after = spark.read.parquet(tmp).count()
+    require(after == updated + inserted + survivors,
+      s"merge row mismatch: expected ${updated + inserted + survivors}, " +
+        s"wrote $after; aborted, original intact")
+    swapDirs(fs, hadoopPath, new org.apache.hadoop.fs.Path(tmp))
     s"merged into $target: $updated updated, $inserted inserted"
   }
 
@@ -1764,6 +1793,88 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     if (kv("format").contains("table")) Render.table(result)
     else Render.json(result)
+  }
+
+  private def triKv(t: String, k: String): Option[String] =
+    s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+  private def triReq(t: String, k: String): String =
+    triKv(t, k).getOrElse(throw new IllegalArgumentException(
+      s"graph tricount requires $k ="))
+  private def triFrame(src: String) =
+    if (catalog.tableNames.contains(src) ||
+        catalog.viewNames.contains(src)) catalog.table(src)
+    else spark.read.parquet(src)
+  private def triNormalize(df: org.apache.spark.sql.DataFrame,
+      srcCol: String, dstCol: String) = {
+    import org.apache.spark.sql.functions.{col, greatest, least}
+    df.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+  }
+
+  /** `graph tricount create where edges = <table|path> and src = <col>
+    * and dst = <col> and path = <dir>` — STANDING triangle census:
+    * normalizes the undirected edge set, runs the one-time full census
+    * ([[graft.ops.Graph.triangles]] — the only place it ever runs),
+    * and persists edges + count through the crash-atomic IndexStore
+    * (edge state at `path`, the count row at `path-count`). */
+  private def triCreate(t: String): String = {
+    val path = triReq(t, "path")
+    val e = triNormalize(triFrame(triReq(t, "edges")),
+      triReq(t, "src"), triReq(t, "dst")).localCheckpoint(true)
+    val nTri = graft.ops.Graph.triangles(e).count()
+    val nEdges = e.count()
+    graft.ops.IndexStore.write(e, path)
+    import org.apache.spark.sql.functions.lit
+    graft.ops.IndexStore.write(
+      spark.range(1).select(lit(nTri).as("n_triangles"),
+        lit(nEdges).as("n_edges")), path.stripSuffix("/") + "-count")
+    s"tricount created at $path: $nTri triangles over $nEdges edges"
+  }
+
+  /** `graph tricount refresh where path = <dir> and source =
+    * <table|path> and src = <col> and dst = <col>` — fold a batch of
+    * new edges into the standing census via
+    * [[graft.ops.Graph.triangleDelta]] ONLY: the old graph's wedges
+    * are never re-enumerated (batch-shaped cost — the q150 oracle
+    * proves fold == rebuild; this serve path never pays the proof's
+    * census half, gated by TriCountServeSpec on Graph.censusRuns). */
+  private def triRefresh(t: String): String = {
+    val path = triReq(t, "path")
+    val old = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no tricount at $path"))
+      .localCheckpoint(true)
+    val cntPath = path.stripSuffix("/") + "-count"
+    val prev = graft.ops.IndexStore.read(spark, cntPath).getOrElse(
+      throw new IllegalArgumentException(s"no tricount count at $cntPath"))
+      .head()
+    val prevTri = prev.getAs[Long]("n_triangles")
+    val fresh = triNormalize(triFrame(triReq(t, "source")),
+        triReq(t, "src"), triReq(t, "dst"))
+      .join(old, Seq("a", "b"), "left_anti").localCheckpoint(true)
+    val nNew = fresh.count()
+    val delta =
+      if (nNew == 0) 0L
+      else graft.ops.Graph.triangleDelta(old, fresh).count()
+    val merged = old.unionByName(fresh).localCheckpoint(true)
+    val nEdges = merged.count()
+    graft.ops.IndexStore.write(merged, path)
+    import org.apache.spark.sql.functions.lit
+    graft.ops.IndexStore.write(
+      spark.range(1).select(lit(prevTri + delta).as("n_triangles"),
+        lit(nEdges).as("n_edges")), cntPath)
+    s"tricount refreshed at $path: +$nNew edges, +$delta triangles, " +
+      s"total ${prevTri + delta}"
+  }
+
+  /** `graph tricount get where path = <dir>` — serve the standing
+    * count: reads the ONE-row artifact, no graph access at all. */
+  private def triGet(t: String): String = {
+    val path = triReq(t, "path").stripSuffix("/") + "-count"
+    val df = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no tricount count at $path"))
+    if (triKv(t, "format").contains("table")) Render.table(df)
+    else Render.json(df)
   }
 
   /** `layout zorder where table = <t> and x = <col> and y = <col> and

@@ -486,7 +486,78 @@ FROM pairs p JOIN uni a ON a.w = p.w1 JOIN uni b ON b.w = p.w2, tots
 WHERE p.cp >= 5
 ORDER BY pmi_q DESC, p.w1, p.w2 LIMIT 30"""
 
+  // =====================================================================
+  // q159 — token-budget greedy selection WITHOUT a global sort: keep the
+  // highest-quality docs until a 30%-of-corpus token budget is spent
+  // (the "select best data under budget" pass every pretraining mix
+  // does — C4/quality-filter lineage, Raffel et al. JMLR 2020). The
+  // 100 TB shape is the point: a naive implementation global-sorts the
+  // corpus by quality; here quality lives on a 1001-level integer
+  // lattice (distinct-token ratio, (n_dist*1000) div n_tok), so the
+  // selection threshold comes from a LEVEL HISTOGRAM — bounded state,
+  // one window over <= 1001 rows — and only the single boundary level
+  // pays an ordered running sum (partitioned BY that level). Whole
+  // levels above the threshold are admitted by a hash join, never
+  // sorted. Deterministic: all-integer lattice; boundary fill in
+  // doc_id order.
+  // =====================================================================
+
+  private val q159: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs0 = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_dist"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("(n_dist * 1000) div n_tok").as("q"))
+    val tot = docs0.agg(sum(col("n_tok")).as("tot"))
+      .select(expr("(tot * 3) div 10").as("budget"))
+    val lvl = docs0.groupBy("q").agg(sum(col("n_tok")).as("lvl_tok"))
+    val wq = Window.orderBy(col("q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = lvl
+      .withColumn("cum_tok", sum(col("lvl_tok")).over(wq))
+      .withColumn("prev_cum", col("cum_tok") - col("lvl_tok"))
+      .select(col("q"), col("cum_tok"), col("prev_cum"))
+    val wd = Window.partitionBy(col("q")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs0.join(broadcast(cum), "q").crossJoin(broadcast(tot))
+      .withColumn("run_tok", sum(col("n_tok")).over(wd))
+      .filter(col("cum_tok") <= col("budget") ||
+        (col("prev_cum") < col("budget") &&
+          col("run_tok") <= col("budget") - col("prev_cum")))
+      .select(col("doc_id"), col("q"), col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+  private val q159Sql = s"""
+    WITH dd AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+    d3 AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        (CAST(len(list_distinct(tk)) AS BIGINT) * 1000)
+          // CAST(len(tk) AS BIGINT) AS q
+      FROM dd WHERE len(tk) > 0),
+    tot AS (SELECT (CAST(sum(n_tok) AS BIGINT) * 3) // 10 AS budget
+      FROM d3),
+    lvl AS (SELECT q, CAST(sum(n_tok) AS BIGINT) AS lvl_tok FROM d3
+      GROUP BY q),
+    cum AS (SELECT q,
+        CAST(sum(lvl_tok) OVER (ORDER BY q DESC ROWS BETWEEN UNBOUNDED
+          PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok,
+        lvl_tok FROM lvl),
+    c2 AS (SELECT q, cum_tok, cum_tok - lvl_tok AS prev_cum FROM cum),
+    run AS (SELECT d3.doc_id, d3.q, d3.n_tok, c2.cum_tok, c2.prev_cum,
+        CAST(sum(d3.n_tok) OVER (PARTITION BY d3.q ORDER BY d3.doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS run_tok
+      FROM d3 JOIN c2 USING (q))
+    SELECT doc_id, q, n_tok FROM run, tot
+    WHERE cum_tok <= budget
+      OR (prev_cum < budget AND run_tok <= budget - prev_cum)
+    ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "q159_budget_select" -> q159,
     "q104_dsir_select" -> q104,
     "q105_bpe_merges" -> q105,
     "q106_domain_mixture" -> q106,
@@ -500,6 +571,7 @@ ORDER BY pmi_q DESC, p.w1, p.w2 LIMIT 30"""
     "q147_pmi_pairs" -> q147)
 
   val oracles: Map[String, String] = Map(
+    "q159_budget_select" -> q159Sql,
     "q104_dsir_select" -> q104Sql,
     "q105_bpe_merges" -> q105Sql,
     "q106_domain_mixture" -> q106Sql,

@@ -156,7 +156,13 @@ object Graph {
     * surviving-node set; lineage checkpointed per round; a
     * non-converged exit THROWS ([[Dedup.connectedComponents]]'
     * discipline), never returns a partial peel. */
-  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 10): DataFrame = {
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int = 10): DataFrame =
+    kcoreWithRounds(edges, k, maxRounds)._1
+
+  /** [[kcore]] plus the number of peel rounds taken to the fixpoint —
+    * the observable the SCALING rounds-vs-k ladder reads. */
+  def kcoreWithRounds(edges: DataFrame, k: Int,
+      maxRounds: Int = 10): (DataFrame, Int) = {
     require(k >= 1, "k must be >= 1")
     var e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var converged = false
@@ -175,7 +181,7 @@ object Graph {
     }
     if (!converged) throw new IllegalStateException(
       s"kcore did not converge in $maxRounds rounds — raise maxRounds")
-    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    (e.groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg")), i)
   }
 
   /** Personalized PageRank (random walk with restart — Haveliwala WWW
@@ -247,7 +253,13 @@ object Graph {
     labels
   }
 
+  /** Census invocation counter — observable by the serve-path gate
+    * (PlanSpec): a standing-artifact REFRESH must fold through
+    * [[triangleDelta]] only, never re-run the full census. */
+  @volatile var censusRuns: Long = 0L
+
   def triangles(und: DataFrame): DataFrame = {
+    censusRuns += 1
     val deg = und.select(col("a").as("n")).unionByName(
         und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))

@@ -79,21 +79,49 @@ object Layout {
     * `numBuckets` total). `xCol`/`yCol` must be int64 columns (cast
     * timestamps to epoch units first). Stats are one global aggregate,
     * broadcast into a map-only coding pass. */
+  /** Quantization is `((v - min) * 2^bits) div (range + 1)` in int64:
+    * the product silently overflows (and corrupts codes AND bucket
+    * assignment) once `range * 2^bits > 2^63` — e.g. an epoch-MICROS
+    * column spanning years with bits > 10. Fail loud at build/append
+    * time instead: the caller must coarsen the column's unit (micros
+    * -> seconds/minutes) or lower `bits`. */
+  private def requireLatticeFits(lo: Long, hi: Long, bits: Int,
+      colName: String): Unit = {
+    val range = BigInt(hi) - BigInt(lo)
+    require(range * BigInt(2).pow(bits) <= BigInt(Long.MaxValue),
+      s"zorder: $colName range $range * 2^$bits overflows int64 — " +
+        "coarsen the column's unit or lower bits")
+  }
+
+  /** One-row min/max stats, collected on the driver (a tiny global
+    * aggregate — Blocking.globalRank precedent) so the coding pass is
+    * map-only with LITERAL bounds, and the lattice-fit guard runs
+    * before any data is written. */
+  private def bounds(df: DataFrame, xCol: String, yCol: String,
+      bits: Int): (Long, Long, Long, Long) = {
+    val r = df.agg(
+      min(col(xCol)), max(col(xCol)), min(col(yCol)), max(col(yCol)))
+      .head()
+    require(!r.isNullAt(0), "zorder: empty input, no stats")
+    val (xmin, xmax, ymin, ymax) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    requireLatticeFits(xmin, xmax, bits, xCol)
+    requireLatticeFits(ymin, ymax, bits, yCol)
+    (xmin, xmax, ymin, ymax)
+  }
+
   def zorderCode(df: DataFrame, xCol: String, yCol: String, bits: Int,
       numBuckets: Int): DataFrame = {
     val n = 1L << bits
     val shift = 2 * bits - Integer.numberOfTrailingZeros(numBuckets)
-    val stats = df.agg(
-      min(col(xCol)).as("zx_min"), max(col(xCol)).as("zx_max"),
-      min(col(yCol)).as("zy_min"), max(col(yCol)).as("zy_max"))
-    df.crossJoin(broadcast(stats))
+    val (xmin, xmax, ymin, ymax) = bounds(df, xCol, yCol, bits)
+    df
       .withColumn("zq_x",
-        expr(s"(($xCol - zx_min) * $n) div (zx_max - zx_min + 1)"))
+        expr(s"(($xCol - ${xmin}L) * $n) div ${xmax - xmin + 1}L"))
       .withColumn("zq_y",
-        expr(s"(($yCol - zy_min) * $n) div (zy_max - zy_min + 1)"))
+        expr(s"(($yCol - ${ymin}L) * $n) div ${ymax - ymin + 1}L"))
       .withColumn("z", morton(col("zq_x"), col("zq_y"), bits))
       .withColumn("zbucket", expr(s"z div ${1L << shift}"))
-      .drop("zx_min", "zx_max", "zy_min", "zy_max")
   }
 
   /** Write `df` Z-order-clustered: directory-partitioned by `zbucket`,
@@ -126,16 +154,23 @@ object Layout {
       path: String, bits: Int = 10, numBuckets: Int = 64): Unit = {
     val n = 1L << bits
     val shift = 2 * bits - Integer.numberOfTrailingZeros(numBuckets)
-    val stats = df.sparkSession.read.parquet(statsPath(path))
-    def q(v: String, lo: String, hi: String) =
+    val st = df.sparkSession.read.parquet(statsPath(path)).head()
+    val (xmin, xmax, ymin, ymax) =
+      (st.getAs[Long]("zx_min"), st.getAs[Long]("zx_max"),
+        st.getAs[Long]("zy_min"), st.getAs[Long]("zy_max"))
+    requireLatticeFits(xmin, xmax, bits, xCol)
+    requireLatticeFits(ymin, ymax, bits, yCol)
+    // clamp BEFORE the product too: an outlier (v - lo) could itself
+    // overflow the multiply even when the recorded grid fits
+    def q(v: String, lo: Long, hi: Long) =
       s"greatest(0, least(${n - 1}, " +
-        s"(($v - $lo) * $n) div ($hi - $lo + 1)))"
-    df.crossJoin(broadcast(stats))
-      .withColumn("zq_x", expr(q(xCol, "zx_min", "zx_max")))
-      .withColumn("zq_y", expr(q(yCol, "zy_min", "zy_max")))
+        s"((greatest(${lo}L, least(${hi}L, $v)) - ${lo}L) * $n) " +
+        s"div ${hi - lo + 1}L))"
+    df
+      .withColumn("zq_x", expr(q(xCol, xmin, xmax)))
+      .withColumn("zq_y", expr(q(yCol, ymin, ymax)))
       .withColumn("z", morton(col("zq_x"), col("zq_y"), bits))
       .withColumn("zbucket", expr(s"z div ${1L << shift}"))
-      .drop("zx_min", "zx_max", "zy_min", "zy_max")
       .repartition(col("zbucket"))
       .sortWithinPartitions(col("zbucket"), col("z"))
       .write.mode("append").partitionBy("zbucket").parquet(path)

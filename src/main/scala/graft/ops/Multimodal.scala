@@ -91,7 +91,11 @@ object Multimodal {
     *     (ISO/IEC 15948 §11.2.2).
     *   - JPEG: `FF D8`, then scan marker segments for SOF0-SOF15
     *     (C0-CF except C4/C8/CC): height/width big-endian u16 at
-    *     payload offsets +5/+7 from the marker (ITU T.81 §B.2.2).
+    *     payload offsets +5/+7 from the marker (ITU T.81 §B.2.2);
+    *     inter-segment 0xFF fill bytes skipped (§B.1.1.2), scan stops
+    *     at SOS/EOI.
+    *   - GIF: `GIF87a`/`GIF89a`, logical screen size LE u16 at 6/8.
+    *   - BMP: `BM`, BITMAPINFOHEADER s32 LE dims at 18/22.
     * Returns (codec, width, height), nulls when not parseable. Runs in
     * the same mapPartitions batch pass as [[decodeFeatures]] — no
     * shuffle, payload pruned downstream. */
@@ -100,6 +104,9 @@ object Multimodal {
     def beU32(i: Int) =
       (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
     def beU16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def leU16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def leS32(i: Int) =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
     if (payload.length >= 24 &&
         pngSig.indices.forall(i => u8(i) == pngSig(i))) {
@@ -108,19 +115,72 @@ object Multimodal {
       var i = 2
       while (i + 9 < payload.length) {
         if (u8(i) != 0xFF) return ("jpeg", -1, -1) // corrupt stream
-        val marker = u8(i + 1)
-        if (marker >= 0xC0 && marker <= 0xCF &&
-            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
-          return ("jpeg", beU16(i + 7), beU16(i + 5))
-        }
-        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) {
-          i += 2 // standalone marker, no length field
-        } else {
-          i += 2 + beU16(i + 2)
+        // 0xFF fill bytes are legal between segments (T.81 §B.1.1.2):
+        // skip the padding run, NOT two bytes at a time — treating a
+        // fill byte as a marker would read arbitrary bytes as a
+        // segment length and mis-skip the rest of the stream
+        if (u8(i + 1) == 0xFF) { i += 1 }
+        else {
+          val marker = u8(i + 1)
+          if (marker >= 0xC0 && marker <= 0xCF &&
+              marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+            return ("jpeg", beU16(i + 7), beU16(i + 5))
+          }
+          // SOS starts entropy-coded data and EOI ends the stream: a
+          // truncated pre-SOF JPEG must stop here, not walk entropy
+          // bytes as if they were segments
+          if (marker == 0xDA || marker == 0xD9) return ("jpeg", -1, -1)
+          if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) ||
+              marker == 0x01) {
+            i += 2 // standalone marker, no length field
+          } else {
+            i += 2 + beU16(i + 2)
+          }
         }
       }
       ("jpeg", -1, -1)
+    } else if (payload.length >= 10 && u8(0) == 'G' && u8(1) == 'I' &&
+        u8(2) == 'F' && u8(3) == '8' &&
+        (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+      // GIF87a/89a: logical screen width/height little-endian u16 at
+      // offsets 6/8 (GIF89a spec §18)
+      ("gif", leU16(6), leU16(8))
+    } else if (payload.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      // BMP: BITMAPINFOHEADER width s32 LE at 18, height s32 LE at 22
+      // (negative height = top-down rows; dimension is the magnitude)
+      ("bmp", leS32(18), math.abs(leS32(22)))
     } else ("unknown", -1, -1)
+  }
+
+  /** Audio-container header parse, same no-decoder discipline as
+    * [[headerDims]]: WAV/RIFF chunk walk (RIFF 1991 spec) — returns
+    * (codec, sample_rate_hz, duration_ms) from the `fmt ` chunk's
+    * byte rate and the `data` chunk's size, touching zero samples.
+    * (-1, -1) when the container is recognized but chunks are absent
+    * or truncated; ("unknown", -1, -1) otherwise. */
+  def audioHeader(payload: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int) = payload(i) & 0xFF
+    def leU32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (payload.length < 12 || u8(0) != 'R' || u8(1) != 'I' ||
+        u8(2) != 'F' || u8(3) != 'F' || u8(8) != 'W' || u8(9) != 'A' ||
+        u8(10) != 'V' || u8(11) != 'E') return ("unknown", -1, -1)
+    var rate = -1L; var byteRate = -1L; var dataLen = -1L
+    var i = 12
+    while (i + 8 <= payload.length && (rate < 0 || dataLen < 0)) {
+      val id = new String(payload.slice(i, i + 4), "ISO-8859-1")
+      val len = leU32(i + 4)
+      if (id == "fmt " && i + 24 <= payload.length) {
+        rate = leU32(i + 12); byteRate = leU32(i + 16)
+      } else if (id == "data") dataLen = len
+      // chunks are word-aligned: odd sizes carry a pad byte; a corrupt
+      // length that would wrap the int cursor ends the walk instead
+      if (len > Int.MaxValue - 9L - i) i = payload.length
+      else i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (rate < 0 || byteRate <= 0 || dataLen < 0) ("wav", -1, -1)
+    else ("wav", rate.toInt, (dataLen * 1000L / byteRate).toInt)
   }
 
   /** Dimension columns from payload headers: adds (codec_detected,

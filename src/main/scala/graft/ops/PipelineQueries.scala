@@ -320,6 +320,99 @@ object PipelineQueries {
     SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
     ORDER BY q_id, rank"""
 
+  /** q160 — contrastive hard-negative mining: for each probe vector,
+    * the top-3 most-similar vectors with a DIFFERENT label — the
+    * "hardest negatives" a contrastive trainer wants next to each
+    * anchor (Robinson et al. ICLR 2021 motivates the selection; the
+    * operator is the selection itself, embedding-agnostic). q32's
+    * exact broadcast-probe shape with a label guard in the join; the
+    * 100 TB path swaps the full scan for IVF candidates (q47/q112)
+    * exactly as for plain ANN — mining composes with every index
+    * family in this repo because it is just a candidate filter. */
+  private val q160: QFn = (s, d) => {
+    val all = wide(s, d, "embeddings", "vec_id")
+      .withColumn("nrm", sqrt(F.dotF(col("embedding"), col("embedding"))))
+    val probes = all.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    broadcast(probes)
+      .join(all, col("q_label") =!= col("label"))
+      .select(col("q_id"), col("vec_id"), col("label").as("neg_label"),
+        (F.dotF(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("neg_label"),
+        col("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+  private val q160Sql = s"""
+    WITH e AS (SELECT vec_id, label, embedding,
+        sqrt(${dDot("embedding", "embedding")}) AS nrm FROM embeddings),
+    scored AS (SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+        v.label AS neg_label,
+        ${dDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos_sim
+      FROM e q JOIN e v ON q.vec_id < 10 AND q.label != v.label),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, vec_id) AS rank FROM scored)
+    SELECT q_id, rank, vec_id, neg_label, cos_sim FROM ranked
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** q161 — kNN label-disagreement audit (mislabel detection): for
+    * each audited vector, the majority label among its 5 nearest
+    * neighbors (self excluded); rows whose own label loses the vote
+    * are the mislabel suspects every labeled-corpus curation pass
+    * hunts (confident-learning flavor — Northcutt et al. JAIR 2021 —
+    * with kNN votes instead of model probabilities, so it runs
+    * before ANY model exists). Vote counts are integers; the argmax
+    * is the windowless min(struct) house pattern with smaller-label
+    * tie break; cos ranking reuses q32's pinned left-fold dot. */
+  private val q161: QFn = (s, d) => {
+    val all = wide(s, d, "embeddings", "vec_id")
+      .withColumn("nrm", sqrt(F.dotF(col("embedding"), col("embedding"))))
+    val probes = all.filter(col("vec_id") < 60)
+      .select(col("vec_id").as("q_id"), col("label").as("own_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val top5 = broadcast(probes)
+      .join(all, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("own_label"), col("label"),
+        (F.dotF(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm")))
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("label"))))
+      .filter(col("rank") <= 5)
+    top5.groupBy("q_id", "own_label", "label")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy("q_id", "own_label")
+      .agg(min(struct((-col("votes")).as("nv"), col("label").as("l")))
+        .as("top"))
+      .select(col("q_id"), col("own_label"),
+        col("top.l").as("pred_label"), (-col("top.nv")).as("votes"),
+        (col("top.l") =!= col("own_label")).as("disagree"))
+      .orderBy(col("q_id"))
+  }
+  private val q161Sql = s"""
+    WITH e AS (SELECT vec_id, label, embedding,
+        sqrt(${dDot("embedding", "embedding")}) AS nrm FROM embeddings),
+    scored AS (SELECT q.vec_id AS q_id, q.label AS own_label,
+        v.label AS label,
+        ${dDot("q.embedding", "v.embedding")} / (q.nrm * v.nrm) AS cos_sim
+      FROM e q JOIN e v ON q.vec_id < 60 AND q.vec_id != v.vec_id),
+    ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos_sim DESC, label) AS rank FROM scored),
+    votes AS (SELECT q_id, own_label, label,
+        CAST(count(*) AS BIGINT) AS votes
+      FROM ranked WHERE rank <= 5 GROUP BY 1, 2, 3),
+    top AS (SELECT q_id, own_label, label AS pred_label, votes,
+        row_number() OVER (PARTITION BY q_id
+          ORDER BY votes DESC, label) AS rn FROM votes)
+    SELECT q_id, own_label, pred_label, votes,
+      pred_label != own_label AS disagree
+    FROM top WHERE rn = 1 ORDER BY q_id"""
+
   /** q33 — LSH-bucketed ANN top-k (k=3): probes only search their own
     * hyperplane bucket — the approximate scale path (documented recall
     * tradeoff vs q32's exact scan). */
@@ -2089,6 +2182,8 @@ object PipelineQueries {
     "q30_dedup_simhash" -> q30,
     "q31_neardup_embedding_lsh" -> q31,
     "q32_ann_bruteforce_topk" -> q32,
+    "q160_hard_negatives" -> q160,
+    "q161_knn_disagreement" -> q161,
     "q33_ann_lsh_topk" -> q33,
     "q34_lang_id" -> q34,
     "q47_ann_ivf_topk" -> q47,
@@ -2146,6 +2241,8 @@ object PipelineQueries {
     "q30_dedup_simhash" -> q30Sql,
     "q31_neardup_embedding_lsh" -> q31Sql,
     "q32_ann_bruteforce_topk" -> q32Sql,
+    "q160_hard_negatives" -> q160Sql,
+    "q161_knn_disagreement" -> q161Sql,
     "q33_ann_lsh_topk" -> q33Sql,
     "q34_lang_id" -> q34Sql,
     "q47_ann_ivf_topk" -> q47Sql,

@@ -311,10 +311,15 @@ object Sketches {
     * retained values. Bottom-k is an idempotent, commutative,
     * associative lattice join, so fold == rebuild under ANY batch
     * order — the standing-artifact property q138 proves differentially.
-    * Keys present on one side pass through (explode + re-aggregate). */
+    * Keys present on one side pass through (explode_outer +
+    * re-aggregate: a key whose stored sketch is EMPTY — all-NULL hash
+    * column in its build batch — must survive the fold too; a plain
+    * explode would drop its row and the key would vanish from the
+    * standing artifact on the next refresh. KmvAgg ignores NULL
+    * inputs, so the outer row folds back to an empty sketch). */
   def kmvMergeKeyed(a: DataFrame, b: DataFrame, k: Int): DataFrame =
     a.unionByName(b)
-      .select(col("key"), explode(col("sk")).as("h"))
+      .select(col("key"), explode_outer(col("sk")).as("h"))
       .groupBy("key")
       .agg(graft.functions.F.kmvAgg(col("h"), k).as("sk"))
 }

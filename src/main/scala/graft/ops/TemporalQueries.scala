@@ -616,9 +616,15 @@ object TemporalQueries {
       .select(col("event_type").as("etype"), col("user_id"),
         unix_micros(col("ts")).as("tu"))
     val mx = ev.agg(max(col("tu")).as("mxt"))
+    // Clamp the shift at 21: JVM int shifts use `n & 31`, so an
+    // unclamped shift of 32+ weeks would WRAP back to full weight
+    // (DuckDB's >> saturates to 0 — a silent cross-engine fork on
+    // any corpus spanning >= 32 weeks). 2^20 >> 21 is already 0, so
+    // clamping at age > 20 weeks is exact, not an approximation.
     ev.crossJoin(broadcast(mx))
+      .withColumn("aw", expr("cast((mxt - tu) div 604800000000 as int)"))
       .withColumn("w", expr(
-        "shiftright(1048576, cast((mxt - tu) div 604800000000 as int))"))
+        "case when aw > 20 then 0 else shiftright(1048576, aw) end"))
       .groupBy("etype")
       .agg(count(lit(1)).as("n"), sum(col("w")).as("recency_q"),
         max(struct(col("w").as("ww"), col("user_id").as("u")))
@@ -631,7 +637,9 @@ object TemporalQueries {
         epoch_us(ts) AS tu FROM events),
     mx AS (SELECT max(tu) AS mxt FROM ev),
     wts AS (SELECT etype, user_id,
-        1048576 >> CAST((mxt - tu) // 604800000000 AS INT) AS w
+        CASE WHEN CAST((mxt - tu) // 604800000000 AS INT) > 20 THEN 0
+          ELSE 1048576 >> CAST((mxt - tu) // 604800000000 AS INT)
+        END AS w
       FROM ev, mx),
     agg AS (SELECT etype, count(*) AS n,
         CAST(sum(w) AS BIGINT) AS recency_q FROM wts GROUP BY 1),

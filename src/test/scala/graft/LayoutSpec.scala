@@ -101,11 +101,16 @@ class LayoutAppendSpec extends SparkSpec {
     graft.ops.Layout.zorderAppend(batch, "u", "tm", p, 10, 64)
     val back = spark.read.parquet(p)
     assert(back.count() === 4000L + 1000L + 2L)
-    // outliers clamp to edge quads, never corrupt the lattice
+    // outliers clamp to edge quads, never corrupt the lattice. Round 9:
+    // the clamp is applied to the VALUE before quantization (overflow-
+    // safe — an unbounded (v - lo) * 2^bits product wraps int64), so an
+    // out-of-range high lands in the RECORDED max's cell: u's range is
+    // 1000 < 1024 lattice cells, so max-cell = (999*1024) div 1000 =
+    // 1022 (the top cell 1023 holds no real data on this grid)
     val out = back.filter(col("id") >= 9000L)
       .select(col("zq_x"), col("zq_y")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(out === Set((1023L, 1023L), (0L, 0L)))
+    assert(out === Set((1022L, 1023L), (0L, 0L)))
     // appended rows live inside their quads like original rows
     val bad = back.filter(expr("z div 16384") =!= col("zbucket")).count()
     assert(bad === 0L)

@@ -1884,3 +1884,82 @@ class LengthPctGateSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 3L, 4L))
   }
 }
+
+class RecencyClampSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q157 weight clamps to 0 past 32 weeks (no JVM shift wrap)") {
+    // JVM int shifts use `n & 31`: an unclamped 2^20 >> 32 wraps back
+    // to 2^20 (full weight) while DuckDB's >> saturates to 0. Events
+    // 40 weeks old must contribute weight 0, not 2^20.
+    val dir = java.nio.file.Files.createTempDirectory("recency").toString
+    val wk = 604800000000L // one week in micros
+    val base = 1700000000000000L
+    Seq(
+      (1L, "a", 10L, new java.sql.Timestamp(base / 1000)),         // now: w=2^20
+      (2L, "a", 11L, new java.sql.Timestamp((base - 40 * wk) / 1000)), // 40wk: w=0
+      (3L, "b", 12L, new java.sql.Timestamp((base - 33 * wk) / 1000)), // 33wk: w=0
+      (4L, "b", 13L, new java.sql.Timestamp((base - 7 * wk) / 1000)))  // 7wk: w=2^13
+      .toDF("event_id", "event_type", "user_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.ops.TemporalQueries.queries("q157_recency_decay")(
+      spark, dir)
+      .select("etype", "recency_q", "hottest_user")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out("a") === ((1048576L, 10L)))       // old event adds 0
+    assert(out("b") === ((8192L, 13L)))          // 33wk adds 0; 7 half-lives = 2^20 >> 7
+  }
+}
+
+class HeaderParseSpec extends SparkSpec {
+  import graft.ops.Multimodal
+  private def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("JPEG scan skips 0xFF fill bytes and stops at SOS/EOI") {
+    // APP0, two fill bytes, then SOF0 — the fill bytes must not be
+    // read as a marker with a length field (T.81 B.1.1.2)
+    val padded = b(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00,
+      0xFF, 0xFF, // inter-segment padding
+      0xFF, 0xC0, 0x00, 0x11, 0x08,
+      0x00, 0xF0, 0x01, 0x40, 0x03) ++ new Array[Byte](20)
+    assert(Multimodal.headerDims(padded) === ("jpeg", 320, 240))
+    // SOS before any SOF: a truncated pre-SOF stream must stop, not
+    // walk entropy-coded bytes as if they were segments
+    val sosFirst = b(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x08) ++
+      new Array[Byte](30)
+    assert(Multimodal.headerDims(sosFirst) === ("jpeg", -1, -1))
+  }
+
+  test("GIF and BMP header dims parse without a decoder") {
+    val gif = "GIF89a".getBytes("ISO-8859-1") ++
+      b(0x40, 0x01, 0xF0, 0x00) ++ new Array[Byte](10) // 320 x 240 LE
+    assert(Multimodal.headerDims(gif) === ("gif", 320, 240))
+    val bmp = b('B', 'M') ++ new Array[Byte](16) ++
+      b(0x80, 0x02, 0x00, 0x00) ++ // width 640
+      b(0x98, 0xFE, 0xFF, 0xFF) ++ // height -360 (top-down)
+      new Array[Byte](10)
+    assert(Multimodal.headerDims(bmp) === ("bmp", 640, 360))
+  }
+
+  test("WAV header yields sample rate and duration from fmt/data " +
+      "chunk arithmetic alone") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val fmt = "fmt ".getBytes ++ le32(16) ++
+      b(0x01, 0x00, 0x01, 0x00) ++ // PCM, mono
+      le32(16000) ++ le32(32000) ++ // rate, byteRate
+      b(0x02, 0x00, 0x10, 0x00)
+    val data = "data".getBytes ++ le32(64000) // 2 s at 32000 B/s
+    val wav = "RIFF".getBytes ++ le32(4 + fmt.length + data.length) ++
+      "WAVE".getBytes ++ fmt ++ data
+    assert(Multimodal.audioHeader(wav) === ("wav", 16000, 2000))
+    assert(Multimodal.audioHeader("RIFFxxxxWAVE".getBytes) ===
+      ("wav", -1, -1))
+    assert(Multimodal.audioHeader("nope".getBytes) ===
+      ("unknown", -1, -1))
+  }
+}

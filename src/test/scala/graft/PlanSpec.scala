@@ -443,12 +443,49 @@ class PipelinePlanSpec extends SparkSpec {
     assert(p.contains("partial_count"))
   }
 
-  test("q137: the Morton coding pass is map-only over a broadcast " +
-      "stats row; zone maps partial-aggregate per bucket") {
+  test("q137: the Morton coding pass is map-only with literal grid " +
+      "bounds (stats collected once, lattice-fit guarded); zone maps " +
+      "partial-aggregate per bucket") {
     val p = planOf("q137_zorder_layout")
-    // crossJoin(broadcast(1-row stats)) is the accepted tiny-side shape
-    assert(p.contains("BroadcastNestedLoopJoin"))
+    // round 9: the 1-row stats frame is collected on the driver and
+    // injected as literals (guarding the quantization product against
+    // int64 overflow BEFORE any write), so no join of any kind remains
+    // in the coding pass
+    assert(!p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("partial_min"))
     assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tricount refresh serves the fold WITHOUT re-running the " +
+      "census: Graph.censusRuns must not move on refresh") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tric").toString
+    Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("s", "t")
+      .write.parquet(s"$dir/wave1")
+    Seq((3L, 1L), (3L, 4L)).toDF("s", "t")
+      .write.parquet(s"$dir/wave2")
+    val engine = new graft.engine.Engine(spark,
+      new graft.engine.Catalog(spark))
+    val out1 = engine.execute(s"graph tricount create where " +
+      s"edges = $dir/wave1 and src = s and dst = t and path = $dir/idx")
+    assert(out1.contains("0 triangles over 3 edges"), out1)
+    val runsAfterCreate = graft.ops.Graph.censusRuns
+    val out2 = engine.execute(s"graph tricount refresh where " +
+      s"path = $dir/idx and source = $dir/wave2 and src = s and dst = t")
+    // wave2 closes {1,2,3} and {1,3,4}: delta-folded, never recounted
+    assert(out2.contains("+2 triangles"), out2)
+    assert(out2.contains("total 2"), out2)
+    assert(graft.ops.Graph.censusRuns === runsAfterCreate,
+      "refresh must fold via triangleDelta only — the full census ran")
+    // fold == rebuild: a fresh census over the union agrees
+    val union = spark.read.parquet(s"$dir/wave1")
+      .unionByName(spark.read.parquet(s"$dir/wave2"))
+      .select(
+        org.apache.spark.sql.functions.least($"s", $"t").as("a"),
+        org.apache.spark.sql.functions.greatest($"s", $"t").as("b"))
+      .distinct()
+    assert(graft.ops.Graph.triangles(union).count() === 2L)
+    val got = engine.execute(s"graph tricount get where path = $dir/idx")
+    assert(got.contains("\"n_triangles\":2"), got)
   }
 }
