@@ -255,7 +255,26 @@ object Plans {
       "q158_markov_standing_fold" ->
         ("standing Markov fold: ONE lead window over the full " +
           "ordered stream, per-(etype, next) integer count partials " +
-          "fold by addition, windowless min(struct) argmax serve"))
+          "fold by addition, windowless min(struct) argmax serve"),
+      "q159_budget_select" ->
+        ("token-budget selection WITHOUT a global sort: quality on " +
+          "a 1001-level integer lattice, threshold from a bounded " +
+          "level histogram (one <=1001-row window), whole levels " +
+          "admitted by hash join, only the boundary level pays an " +
+          "ordered running sum"),
+      "q160_hard_negatives" ->
+        ("hard-negative mining: q32's broadcast-probe exact scan " +
+          "with a label guard in the join predicate; per-probe " +
+          "window rank; composes with IVF candidates at scale"),
+      "q161_knn_disagreement" ->
+        ("kNN mislabel audit: broadcast probes, per-probe top-5 " +
+          "window, integer vote counts, windowless min(struct) " +
+          "majority argmax"),
+      "q162_session_standing_fold" ->
+        ("standing session fold: checkpointed closed-session state, " +
+          "open tails as pseudo-events, re-sessionize ONLY tails + " +
+          "batch (one per-user window over batch-sized rows) — the " +
+          "mapGroupsWithState analog with an EXACT fold"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -517,6 +517,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("vindex create")) vindexCreate(t)
     else if (low.startsWith("vindex refresh")) vindexRefresh(t)
     else if (low.startsWith("vindex search")) vindexSearch(t)
+    else if (low.startsWith("vindex negatives")) vindexNegatives(t)
     else if (low.startsWith("vindex attach")) vindexAttach(t)
     else if (low.startsWith("vindex drop")) {
       val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
@@ -1210,6 +1211,71 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         meta.vecCol, meta.idCol, k,
         kv("nprobe").map(_.toInt).getOrElse(1))
     }
+    if (kv("format").contains("table")) Render.table(result)
+    else Render.json(result)
+  }
+
+  /** `vindex negatives where table = <t> and probes = <table|path> and
+    * k = <n> and label = <col> [and oversample = 4] [and nprobe = <n>]
+    * [and format = table]` — filtered ANN: hard-NEGATIVE mining served
+    * from the standing vector index (q160's operator on the command
+    * surface). Serves top-k most-similar candidates whose `label`
+    * differs from the probe's, by the standard post-filter-with-
+    * oversampling scheme: the index is searched for k*oversample
+    * candidates, labels are joined from the REGISTERED table (the
+    * index artifact stays label-free), same-label rows drop, the
+    * survivors re-rank. HONEST CAVEAT: a probe whose neighborhood is
+    * dominated by its own label can return fewer than k rows — raise
+    * oversample (the filtered-ANN recall/oversampling tradeoff is
+    * intrinsic, not a bug). Probe rows must carry id, vector AND the
+    * label column. */
+  private def vindexNegatives(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"vindex negatives requires $k ="))
+    val table = req("table")
+    val meta = vindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no vindex registered for $table"))
+    val src = req("probes")
+    val probes =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no vindex artifact at ${meta.path}"))
+    val k = req("k").toInt
+    val labelCol = req("label")
+    val oversample = kv("oversample").map(_.toInt).getOrElse(4)
+    require(k >= 1 && oversample >= 1)
+    val kBig = k * oversample
+    import org.apache.spark.sql.functions.{broadcast, col, row_number}
+    val raw = meta.kind match {
+      case "pq" => graft.ops.Similarity.pqSearchIndex(stored, probes,
+        meta.vecCol, meta.idCol, kBig, meta.numSub)
+      case "rpq" => graft.ops.Similarity.searchResidualIndex(stored,
+        probes, meta.vecCol, meta.idCol, kBig,
+        kv("nprobe").map(_.toInt).getOrElse(1), meta.numSub)
+      case "sq8" => graft.ops.Similarity.sq8SearchIndex(stored, probes,
+        meta.vecCol, meta.idCol, kBig)
+      case _ => graft.ops.Similarity.ivfSearchIndex(stored, probes,
+        meta.vecCol, meta.idCol, kBig,
+        kv("nprobe").map(_.toInt).getOrElse(1))
+    }
+    val candLabels = catalog.table(table)
+      .select(col(meta.idCol).as("id"), col(labelCol).as("neg_label"))
+    val probeLabels = probes
+      .select(col(meta.idCol).as("q_id"), col(labelCol).as("q_label"))
+    val result = raw
+      .join(candLabels, "id")
+      .join(broadcast(probeLabels), "q_id")
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("neg_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("rank"))))
+      .filter(col("neg_rank") <= k)
+      .drop("rank", "q_label")
+      .orderBy(col("q_id"), col("neg_rank"))
     if (kv("format").contains("table")) Render.table(result)
     else Render.json(result)
   }

@@ -125,6 +125,74 @@ object TemporalQueries {
       max(span_us) AS max_session_span_us
     FROM ps GROUP BY user_id ORDER BY user_id"""
 
+  // =====================================================================
+  // q162 — STANDING sessionization fold: q71's 30-minute-gap sessions
+  // maintained as a standing artifact that composes EXACTLY across
+  // strictly-later batches — the batch twin of Structured Streaming's
+  // mapGroupsWithState session state. The state is (closed sessions +
+  // one OPEN TAIL per user); folding a later batch re-sessionizes ONLY
+  // (tails ∪ batch): the gap rule is local to consecutive events, so a
+  // batch can merge into or extend the tail but can never touch a
+  // closed session. Unlike q158's honest per-batch-lead caveat, this
+  // fold is exact BY CONSTRUCTION — the oracle is q71's ONE-SHOT
+  // sessionization verbatim, so the hash gate itself proves
+  // fold == rebuild. The tail travels as one pseudo-event at its end
+  // time carrying (start, n): the merge test only needs the last
+  // event time, and min(carry_start)/sum(carry_n) restore the rest.
+  // =====================================================================
+
+  private val q162: QFn = (s, d) => {
+    val gapUs = 1800L * 1000000L
+    // batch boundary: 2024-01-22T00:00:00Z (3 weeks into the 30-day
+    // corpus) — batch 2 is strictly later than every batch-1 event
+    val splitUs = 1705881600000000L
+    val ev = t(s, d, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("tu"), col("event_id").as("eid"))
+    def sessionize(rows: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id").orderBy("tu", "eid")
+      rows
+        .withColumn("brk", when(
+          lag(col("tu"), 1).over(w).isNull ||
+            col("tu") - lag(col("tu"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(sum(col("carry_n")).as("n"),
+          min(col("carry_start")).as("s_start"),
+          max(col("tu")).as("s_end"))
+        .drop("sid")
+    }
+    def asEvents(df: DataFrame) = df.select(col("user_id"), col("tu"),
+      col("eid"), lit(1L).as("carry_n"), col("tu").as("carry_start"))
+    // standing state after batch 1 (checkpointed: the artifact)
+    val st1 = sessionize(asEvents(ev.filter(col("tu") < splitUs)))
+      .localCheckpoint(true)
+    // open tail = each user's latest session (windowless argmax)
+    val tails = st1.groupBy("user_id")
+      .agg(max(struct(col("s_end"), col("s_start"), col("n"))).as("t"))
+      .select(col("user_id"), col("t.s_end").as("tu"),
+        lit(-1L).as("eid"), col("t.n").as("carry_n"),
+        col("t.s_start").as("carry_start"))
+    val closed = st1.join(
+      tails.select(col("user_id"), col("tu").as("s_end")),
+      Seq("user_id", "s_end"), "left_anti")
+    // fold: re-sessionize ONLY tails ∪ the later batch
+    val boundary = sessionize(tails.unionByName(
+      asEvents(ev.filter(col("tu") >= splitUs))))
+    closed.select("user_id", "n", "s_start", "s_end")
+      .unionByName(boundary.select("user_id", "n", "s_start", "s_end"))
+      .groupBy("user_id")
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_sessions"),
+        max(col("n")).as("max_session_events"),
+        max(col("s_end") - col("s_start")).as("max_session_span_us"))
+      .orderBy(col("user_id"))
+  }
+  // the oracle is q71's ONE-SHOT sessionization — hash equality IS the
+  // fold == rebuild proof
+  private val q162Sql = q71Sql
+
   /** q75 — rate-anomaly flags: per (event_type, minute) counts compared
     * against the trailing hour, flagged when the minute runs at more
     * than 2x the trailing per-minute rate. The alert rule of the data
@@ -718,6 +786,7 @@ object TemporalQueries {
     "q66_asof_join" -> q66,
     "q67_range_join_count" -> q67,
     "q71_sessionize_batch" -> q71,
+    "q162_session_standing_fold" -> q162,
     "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
@@ -735,5 +804,6 @@ object TemporalQueries {
     "q66_asof_join" -> q66Sql,
     "q67_range_join_count" -> q67Sql,
     "q71_sessionize_batch" -> q71Sql,
+    "q162_session_standing_fold" -> q162Sql,
     "q75_rate_anomaly" -> q75Sql)
 }

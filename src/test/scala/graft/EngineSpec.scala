@@ -609,6 +609,44 @@ class VIndexCommandSpec extends SparkSpec {
     expect.select("id").collect().foreach(r =>
       assert(reply.contains(r.getAs[Long]("id").toString)))
   }
+
+  test("vindex negatives: filtered ANN serves hard negatives (label-" +
+      "filtered, oversample-then-rerank) == library compose at " +
+      "exhaustive nprobe") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("negidx").toString
+    engine.execute("vindex create where table = embeddings " +
+      s"and path = $p and id = vec_id and vector = embedding " +
+      "and type = ivf and cells = 4")
+    val probes = dir.resolve("probesNeg").toString
+    cat.table("embeddings").filter(col("vec_id") < 3)
+      .write.parquet(probes)
+    val reply = engine.execute("vindex negatives where table = " +
+      s"embeddings and probes = $probes and k = 2 and label = label " +
+      "and oversample = 8 and nprobe = 4")
+    // library compose: exhaustive search at k*oversample, label join,
+    // same-label drop, re-rank, top-k
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val pf = spark.read.parquet(probes)
+    val labels = cat.table("embeddings")
+      .select(col("vec_id").as("id"), col("label").as("neg_label"))
+    val plabels = pf.select(col("vec_id").as("q_id"),
+      col("label").as("q_label"))
+    val expect = Similarity.ivfSearchIndex(idx, pf, "embedding",
+        "vec_id", k = 16, nprobe = 4)
+      .join(labels, "id").join(plabels, "q_id")
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("neg_rank", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("rank"))))
+      .filter(col("neg_rank") <= 2)
+    assert(expect.count() === 6) // 3 probes x 2 negatives
+    expect.select("q_id", "id", "neg_label", "q_label").collect()
+      .foreach { r =>
+        assert(r.getAs[Int]("neg_label") !== r.getAs[Int]("q_label"))
+        assert(reply.contains(s""""id":${r.getAs[Long]("id")}"""))
+      }
+  }
 }
 
 class TIndexCommandSpec extends SparkSpec {
