@@ -274,7 +274,12 @@ object Plans {
         ("standing session fold: checkpointed closed-session state, " +
           "open tails as pseudo-events, re-sessionize ONLY tails + " +
           "batch (one per-user window over batch-sized rows) — the " +
-          "mapGroupsWithState analog with an EXACT fold"))
+          "mapGroupsWithState analog with an EXACT fold"),
+      "q163_quality_constraints" ->
+        ("constraint suite: every row-local check is a conditional " +
+          "count in ONE aggregate pass (one scan for any suite " +
+          "size); unique pays one distinct, ref one anti-join — " +
+          "receipt is 6 integer rows"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

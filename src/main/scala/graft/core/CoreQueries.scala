@@ -689,7 +689,87 @@ object CoreQueries {
          FROM orders i WHERE i.o_custkey = o.o_custkey)
     ORDER BY o_orderkey"""
 
+  /** q163 — declarative data-quality constraint suite with an integer
+    * receipt ([[graft.ops.Quality]], Deequ lineage — Schelter et al.
+    * VLDB 2018): six constraints over lineitem/orders verified in ONE
+    * row-local aggregate pass plus the two documented extra passes
+    * (one distinct for `unique`, one anti-join for `ref`). Receipt =
+    * (check_name, metric_num, metric_den, pass); pass is integer
+    * cross-multiplied (num*100 >= min_pct*den) — no float threshold
+    * anywhere, so the oracle replays it exactly. */
+  private val q163: QFn = (s, d) => {
+    import graft.ops.Quality
+    import graft.ops.Quality._
+    val li = t(s, d, "lineitem")
+    val orders = t(s, d, "orders")
+    Quality.verify(li, Seq(
+      Complete("c1_shipdate_complete", "l_shipdate"),
+      InRange("c2_discount_range", "l_discount", 0.0, 0.1),
+      InSet("c3_returnflag_domain", "l_returnflag", Seq("A", "N", "R")),
+      Satisfies("c4_price_positive", "l_extendedprice > 0", 100),
+      Unique("c5_line_identity_unique",
+        "concat(cast(l_orderkey as string), ':', " +
+          "cast(l_linenumber as string))"),
+      Ref("c6_orderkey_ref", "l_orderkey", orders, "o_orderkey")))
+  }
+  private val q163Sql = """
+    WITH den AS (SELECT count(*) AS n FROM lineitem)
+    SELECT * FROM (
+      SELECT 'c1_shipdate_complete' AS check_name,
+        CAST(count(l_shipdate) AS BIGINT) AS metric_num,
+        CAST((SELECT n FROM den) AS BIGINT) AS metric_den,
+        count(l_shipdate) * 100 >= 100 * (SELECT n FROM den) AS pass
+      FROM lineitem
+      UNION ALL
+      SELECT 'c2_discount_range',
+        CAST(sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0
+          AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST((SELECT n FROM den) AS BIGINT),
+        sum(CASE WHEN l_discount IS NOT NULL AND l_discount >= 0.0
+          AND l_discount <= 0.1 THEN 1 ELSE 0 END) * 100
+          >= 100 * (SELECT n FROM den)
+      FROM lineitem
+      UNION ALL
+      SELECT 'c3_returnflag_domain',
+        CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+          THEN 1 ELSE 0 END) AS BIGINT),
+        CAST((SELECT n FROM den) AS BIGINT),
+        sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+          THEN 1 ELSE 0 END) * 100 >= 100 * (SELECT n FROM den)
+      FROM lineitem
+      UNION ALL
+      SELECT 'c4_price_positive',
+        CAST(sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END)
+          AS BIGINT),
+        CAST((SELECT n FROM den) AS BIGINT),
+        sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) * 100
+          >= 100 * (SELECT n FROM den)
+      FROM lineitem
+      UNION ALL
+      SELECT 'c5_line_identity_unique',
+        CAST(count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+          AS BIGINT),
+        CAST((SELECT n FROM den) AS BIGINT),
+        count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) * 100
+          >= 100 * (SELECT n FROM den)
+      FROM lineitem
+      UNION ALL
+      SELECT 'c6_orderkey_ref',
+        CAST((SELECT count(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL AND EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          AS BIGINT),
+        CAST((SELECT count(*) FROM lineitem
+          WHERE l_orderkey IS NOT NULL) AS BIGINT),
+        (SELECT count(*) FROM lineitem l
+          WHERE l.l_orderkey IS NOT NULL AND EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+          * 100 >= 100 * (SELECT count(*) FROM lineitem
+            WHERE l_orderkey IS NOT NULL)
+    ) ORDER BY check_name"""
+
   val queries: Map[String, QFn] = Map(
+    "q163_quality_constraints" -> q163,
     "q154_correlated_subquery" -> q154,
     "q56_pivot_conditional" -> q56,
     "q148_cube_grouping" -> q148,
@@ -724,6 +804,7 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q163_quality_constraints" -> q163Sql,
     "q154_correlated_subquery" -> q154Sql,
     "q56_pivot_conditional" -> q56Sql,
     "q148_cube_grouping" -> q148Sql,

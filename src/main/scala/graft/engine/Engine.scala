@@ -703,11 +703,37 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         .orderBy(col("action"), col("file_hash")))
     }
     else if (low.startsWith("pipeline clean")) pipelineClean(t)
+    else if (low.startsWith("quality check")) qualityCheck(t)
     else if (low == "get dictionary")
       dict.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }.mkString("\n")
     else if (low == "get tables") catalog.tableNames.mkString("\n")
     else if (low == "get views") catalog.viewNames.mkString("\n")
     else throw new IllegalArgumentException(s"unknown command: $command")
+  }
+
+  /** `quality check where table = <t> and spec = <json> [and format =
+    * table]` — run a declarative constraint suite
+    * ([[graft.ops.Quality]]) over a registered table and render the
+    * integer receipt (check_name, metric_num, metric_den, pass). The
+    * spec must be the LAST clause (same contract as `pipeline clean`);
+    * `ref` checks resolve their `ref_table` through this catalog. */
+  private def qualityCheck(t: String): String = {
+    val body = t.substring("quality check".length).trim
+      .stripPrefix("where").trim
+    val specM = "(?i)\\bspec\\s*=".r.findFirstMatchIn(body).getOrElse(
+      throw new IllegalArgumentException(
+        "quality check requires spec = <json>"))
+    val specJson = body.substring(specM.end).trim
+    val head = body.substring(0, specM.start)
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(head)
+        .map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("quality check requires table ="))
+    val checks = graft.ops.Quality.fromJson(specJson, catalog.table)
+    val receipt = graft.ops.Quality.verify(catalog.table(table), checks)
+    if (kv("format").contains("table")) Render.table(receipt)
+    else Render.json(receipt)
   }
 
   /** `pipeline clean where table = <src> and dest = <new> and spec = <json>`

@@ -1963,3 +1963,55 @@ class HeaderParseSpec extends SparkSpec {
       ("unknown", -1, -1))
   }
 }
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Quality
+  import graft.ops.Quality._
+
+  test("constraint suite: pass/fail semantics, tolerance, unique, ref") {
+    val df = Seq(
+      (1L, Some(10.0), "A"), (2L, Some(0.5), "N"),
+      (3L, None, "R"), (4L, Some(2.0), "X"), (4L, Some(3.0), "A"))
+      .toDF("id", "v", "flag")
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val out = Quality.verify(df, Seq(
+      Complete("c_v_complete", "v"),            // 4/5 -> fail at 100
+      Complete("c_v_complete80", "v", 80),      // 4/5 -> pass at 80
+      InRange("c_v_range", "v", 0.0, 10.0),     // null fails -> 4/5
+      InSet("c_flag", "flag", Seq("A", "N", "R"), 80), // 4/5 pass
+      Satisfies("c_id_pos", "id > 0"),          // 5/5 pass
+      Unique("c_id_unique", "id"),              // dup id=4 -> 4/5 fail
+      Ref("c_id_ref", "id", dim, "id", 60)))    // 3/5 (id=4 x2 orphan)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("c_v_complete") === ((4L, 5L, false)))
+    assert(out("c_v_complete80") === ((4L, 5L, true)))
+    assert(out("c_v_range") === ((4L, 5L, false)))
+    assert(out("c_flag") === ((4L, 5L, true)))
+    assert(out("c_id_pos") === ((5L, 5L, true)))
+    assert(out("c_id_unique") === ((4L, 5L, false)))
+    assert(out("c_id_ref") === ((3L, 5L, true)))
+  }
+
+  test("quality check command: JSON spec over a registered table, " +
+      "ref resolves through the catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("qual")
+    Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "s").write.parquet(dir.resolve("t.parquet").toString)
+    Seq(1L, 2L).toDF("k")
+      .write.parquet(dir.resolve("d.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("t", dir.resolve("t.parquet").toString)
+    cat.registerTable("d", dir.resolve("d.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val reply = engine.execute("""quality check where table = t and spec = {"checks": [
+      {"kind": "complete", "name": "s_complete", "col": "s", "min_pct": 60},
+      {"kind": "unique", "name": "k_unique", "col": "k"},
+      {"kind": "ref", "name": "k_ref", "col": "k", "ref_table": "d",
+       "ref_col": "k", "min_pct": 50}]}""")
+    assert(reply.contains(""""check_name":"s_complete""""), reply)
+    assert(reply.contains(""""metric_num":2"""), reply)
+    assert(reply.contains(""""pass":true"""), reply)
+  }
+}
