@@ -279,7 +279,12 @@ object Plans {
         ("constraint suite: every row-local check is a conditional " +
           "count in ONE aggregate pass (one scan for any suite " +
           "size); unique pays one distinct, ref one anti-join — " +
-          "receipt is 6 integer rows"))
+          "receipt is 6 integer rows"),
+      "q164_psi_drift" ->
+        ("PSI drift: two bounded log-lattice histograms (map-side " +
+          "combined to <= #buckets cells/key), full-outer bucket " +
+          "join, 2^-14-lattice terms integer-summed — arithmetic " +
+          "on bucket rows only"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

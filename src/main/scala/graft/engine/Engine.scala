@@ -584,6 +584,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("graph ")) graphCmd(t)
     else if (low.startsWith("compact where")) compactCmd(t)
     else if (low.startsWith("merge into")) mergeCmd(t)
+    else if (low.startsWith("monitor psi create")) monitorPsiCreate(t)
+    else if (low.startsWith("monitor psi check")) monitorPsiCheck(t)
     else if (low.startsWith("monitor create")) monitorCreate(t)
     else if (low.startsWith("monitor refresh")) monitorRefresh(t)
     else if (low.startsWith("monitor level")) monitorLevel(t)
@@ -1766,6 +1768,63 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     src.select(col(keyCol).as("etype"),
         expr(s"unix_micros($tsCol) div 60000000").as("m"))
       .groupBy("etype", "m").agg(count(lit(1)).as("x"))
+  }
+
+  /** Per-key log-lattice bucket histogram of an int64-castable value
+    * expression (nonnegative rows only) — the PSI monitors' shared
+    * input shape ([[graft.ops.Sketches.quantileHistogram]] buckets). */
+  private def psiHist(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      valueExpr: String) = {
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    df.select(col(keyCol).as("key"),
+        expr(s"cast($valueExpr as bigint)").as("vq"))
+      .filter(col("vq") >= 0)
+      .select(col("key"),
+        expr(graft.ops.Sketches.logBucketSpark("vq")).as("b"))
+      .groupBy("key", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** `monitor psi create where table = <t> and key = <col> and value =
+    * <int64-expr> and path = <dir>` — freeze a per-key baseline value
+    * histogram (bounded log-lattice buckets) as a standing artifact.
+    * The baseline is the frozen-denominator discipline every drift
+    * score needs — re-deriving it from drifted data would hide the
+    * drift being measured. */
+  private def monitorPsiCreate(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"monitor psi create requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    val h = psiHist(catalog.table(table), req("key"), req("value"))
+    val rows = graft.ops.IndexStore.write(h.localCheckpoint(), path)
+    s"psi baseline for $table created at $path (version $rows)"
+  }
+
+  /** `monitor psi check where path = <dir> and source = <table|path>
+    * and key = <col> and value = <int64-expr> [and format = table]` —
+    * PSI of a batch against the frozen baseline, per key
+    * ([[graft.ops.Sketches.psi]]: integer-lattice terms, drift flags
+    * PSI > 0.2). Arithmetic over <= #buckets rows per key; the batch
+    * is scanned once, map-side combined. */
+  private def monitorPsiCheck(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"monitor psi check requires $k ="))
+    val baseline = graft.ops.IndexStore.read(spark, req("path")).getOrElse(
+      throw new IllegalArgumentException(s"no psi baseline at ${kv("path").get}"))
+    val src = req("source")
+    val batch =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    import org.apache.spark.sql.functions.col
+    val out = graft.ops.Sketches.psi(baseline,
+        psiHist(batch, req("key"), req("value")))
+      .orderBy(col("key"))
+    if (kv("format").contains("table")) Render.table(out)
+    else Render.json(out)
   }
 
   /** `monitor create where table = <t> and key = <col> and ts = <col>

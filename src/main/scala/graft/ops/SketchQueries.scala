@@ -337,7 +337,72 @@ object SketchQueries {
     JOIN pcts ON cum.cum * 100 >= pct * tot.n
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  // ===================================================================
+  // q164 — PSI distribution drift between two time batches (population
+  // stability index — the standard model-monitoring drift score, e.g.
+  // Siddiqi, "Credit Risk Scorecards", 2006): per event type, PSI of
+  // the value distribution between the first three weeks and the rest,
+  // over the SAME bounded log-lattice buckets the quantile-histogram
+  // family uses (HDR octave buckets — so the two inputs are exactly
+  // the mergeable histograms a q151-style standing index already
+  // maintains; drift detection composes with the standing artifact for
+  // free). Determinism: Laplace +1 smoothing kills ln(0); each
+  // bucket's term is floored onto the 2^-14 lattice FIRST (shared
+  // expression text, the pmiQ/nbLp precedent), then integer-summed —
+  // no float reduction order anywhere. Scale: two <= #buckets-cell
+  // histograms + arithmetic on bucket rows only; the corpus is
+  // touched exactly twice, map-side combined.
+  // ===================================================================
+
+  private val q164: QFn = (s, d) => {
+    val splitUs = 1705881600000000L // 2024-01-22T00:00:00Z, q162's split
+    val base = graft.engine.Tables.load(s, d, "events")
+      .select(col("event_type").as("key"),
+        unix_micros(col("ts")).as("tu"),
+        expr("cast(floor(value * 1000) as bigint)").as("vq"))
+    val lb = Sketches.logBucketSpark("vq")
+    def hist(df: DataFrame, cn: String) =
+      df.select(col("key"), expr(lb).as("b"))
+        .groupBy("key", "b").agg(count(lit(1)).as(cn))
+    Sketches.psi(
+        hist(base.filter(col("tu") < splitUs), "c")
+          .select(col("key"), col("b"), col("c")),
+        hist(base.filter(col("tu") >= splitUs), "c")
+          .select(col("key"), col("b"), col("c")))
+      .withColumnRenamed("key", "etype")
+      .orderBy(col("etype"))
+  }
+
+  private val q164Sql = s"""
+    WITH ev AS (SELECT event_type AS key, epoch_us(ts) AS tu,
+        CAST(floor(value * 1000) AS BIGINT) AS vq FROM events),
+    h1 AS (SELECT key, ${Sketches.logBucketDuck("vq")} AS b,
+        count(*) AS c1 FROM ev WHERE tu < 1705881600000000
+      GROUP BY 1, 2),
+    h2 AS (SELECT key, ${Sketches.logBucketDuck("vq")} AS b,
+        count(*) AS c2 FROM ev WHERE tu >= 1705881600000000
+      GROUP BY 1, 2),
+    j AS (SELECT coalesce(h1.key, h2.key) AS key,
+        coalesce(h1.b, h2.b) AS b,
+        CAST(coalesce(c1, 0) AS BIGINT) AS c1,
+        CAST(coalesce(c2, 0) AS BIGINT) AS c2
+      FROM h1 FULL JOIN h2 ON h1.key = h2.key AND h1.b = h2.b),
+    tot AS (SELECT key, CAST(sum(c1) AS BIGINT) AS n1,
+        CAST(sum(c2) AS BIGINT) AS n2, count(*) AS nb FROM j
+      GROUP BY 1),
+    term AS (SELECT j.key, n1, n2, nb,
+        CAST(floor(16384.0 * (((CAST(c1 + 1 AS DOUBLE) / (n1 + nb)) -
+          (CAST(c2 + 1 AS DOUBLE) / (n2 + nb))) *
+          ln((CAST(c1 + 1 AS DOUBLE) / (n1 + nb)) /
+            (CAST(c2 + 1 AS DOUBLE) / (n2 + nb))))) AS BIGINT) AS tq
+      FROM j JOIN tot ON j.key = tot.key)
+    SELECT key AS etype, n1, n2, CAST(nb AS BIGINT) AS n_buckets,
+      CAST(sum(tq) AS BIGINT) AS psi_q,
+      CAST(sum(tq) AS BIGINT) > 3276 AS drift
+    FROM term GROUP BY key, n1, n2, nb ORDER BY etype"""
+
   val queries: Map[String, QFn] = Map(
+    "q164_psi_drift" -> q164,
     "q121_cms_heavy_hitters" -> q121,
     "q123_hll_distinct" -> q123,
     "q134_kmv_overlap" -> q134,
@@ -345,6 +410,7 @@ object SketchQueries {
     "q140_quantile_histogram" -> q140,
     "q151_quantile_standing_index" -> q151)
   val oracles: Map[String, String] = Map(
+    "q164_psi_drift" -> q164Sql,
     "q121_cms_heavy_hitters" -> q121Sql,
     "q123_hll_distinct" -> q123Sql,
     "q134_kmv_overlap" -> q134Sql,

@@ -322,4 +322,36 @@ object Sketches {
       .select(col("key"), explode_outer(col("sk")).as("h"))
       .groupBy("key")
       .agg(graft.functions.F.kmvAgg(col("h"), k).as("sk"))
+
+  /** Population stability index between two per-key bucket histograms
+    * `(key, b, c)` (PSI — the standard model-monitoring drift score).
+    * Laplace +1 smoothing kills ln(0); each bucket's term is floored
+    * onto the 2^-14 lattice FIRST (shared expression text — the
+    * pmiQ/nbLp precedent) then integer-summed, so there is no float
+    * reduction order anywhere and a DuckDB oracle replays it exactly.
+    * Returns (key, n1, n2, n_buckets, psi_q, drift); drift flags
+    * psi_q > floor(0.2 * 2^14) = 3276 (the conventional PSI 0.2
+    * action threshold). Cost: arithmetic over <= #buckets rows per
+    * key — composes with the standing quantile-histogram index
+    * (the baseline histogram IS the artifact). */
+  def psi(h1: DataFrame, h2: DataFrame): DataFrame = {
+    val j = h1.select(col("key"), col("b"), col("c").as("c1"))
+      .join(h2.select(col("key"), col("b"), col("c").as("c2")),
+        Seq("key", "b"), "full_outer")
+      .select(col("key"), col("b"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = j.groupBy("key").agg(sum(col("c1")).as("n1"),
+      sum(col("c2")).as("n2"), count(lit(1)).as("nb"))
+    val p = "(cast(c1 + 1 as double) / (n1 + nb))"
+    val q = "(cast(c2 + 1 as double) / (n2 + nb))"
+    j.join(tot, "key")
+      .withColumn("tq", expr(
+        s"cast(floor(16384.0 * (($p - $q) * ln($p / $q))) as bigint)"))
+      .groupBy("key", "n1", "n2", "nb")
+      .agg(sum(col("tq")).as("psi_q"))
+      .select(col("key"), col("n1"), col("n2"),
+        col("nb").cast("long").as("n_buckets"), col("psi_q"),
+        (col("psi_q") > 3276).as("drift"))
+  }
 }

@@ -219,3 +219,60 @@ class SketchSpec extends SparkSpec {
     assert(row > 60000L && row < 340000L, s"jaccard ppm $row vs 200000")
   }
 }
+
+class PsiSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Sketches
+
+  test("psi: identical histograms score ~0, shifted distributions " +
+      "flag drift, and keys missing a side still score") {
+    val h = Seq(("a", 3L, 100L), ("a", 10L, 50L), ("a", 20L, 25L))
+      .toDF("key", "b", "c")
+    val same = Sketches.psi(h, h).collect().head
+    assert(same.getAs[Long]("psi_q") <= 1L) // smoothing-only residue
+    assert(!same.getAs[Boolean]("drift"))
+    // mass moves wholesale from bucket 3 to bucket 40 -> strong drift
+    val moved = Seq(("a", 40L, 100L), ("a", 10L, 50L), ("a", 20L, 25L))
+      .toDF("key", "b", "c")
+    val far = Sketches.psi(h, moved).collect().head
+    assert(far.getAs[Boolean]("drift"))
+    assert(far.getAs[Long]("n_buckets") === 4L) // union of buckets
+    // a key absent from the baseline: its smoothed baseline is uniform
+    // over the union buckets, so a skewed batch shape drifts (a
+    // SINGLE-bucket new key scores 0 by design — one bucket has no
+    // shape to drift)
+    val h2 = Seq(("zz", 5L, 10L), ("zz", 30L, 90L)).toDF("key", "b", "c")
+    val onBoth = Sketches.psi(h, h.unionByName(h2))
+      .collect().map(r => r.getString(0) -> r.getAs[Boolean]("drift"))
+      .toMap
+    assert(onBoth("zz"))
+  }
+
+  test("monitor psi command: frozen baseline, batch check flags the " +
+      "drifted key only") {
+    val dir = java.nio.file.Files.createTempDirectory("psim")
+    val base = ((1 to 200).map(i => ("steady", (i % 50) + 10)) ++
+      (1 to 200).map(i => ("drifter", (i % 50) + 10)))
+      .toDF("k", "v")
+    base.write.parquet(dir.resolve("base.parquet").toString)
+    // batch: steady unchanged, drifter's values jump 100x
+    val batch = ((1 to 200).map(i => ("steady", (i % 50) + 10)) ++
+      (1 to 200).map(i => ("drifter", ((i % 50) + 10) * 100)))
+      .toDF("k", "v")
+    batch.write.parquet(dir.resolve("batch.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("base", dir.resolve("base.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val p = dir.resolve("psibase").toString
+    engine.execute(s"monitor psi create where table = base and " +
+      s"key = k and value = v and path = $p")
+    val reply = engine.execute(s"monitor psi check where path = $p " +
+      s"and source = ${dir.resolve("batch.parquet")} and key = k " +
+      "and value = v")
+    assert(reply.contains(""""key":"drifter""""), reply)
+    val drifter = reply.split("\\{").find(_.contains("drifter")).get
+    val steady = reply.split("\\{").find(_.contains("steady")).get
+    assert(drifter.contains(""""drift":true"""), drifter)
+    assert(steady.contains(""""drift":false"""), steady)
+  }
+}
