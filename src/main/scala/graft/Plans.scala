@@ -284,7 +284,11 @@ object Plans {
         ("PSI drift: two bounded log-lattice histograms (map-side " +
           "combined to <= #buckets cells/key), full-outer bucket " +
           "join, 2^-14-lattice terms integer-summed — arithmetic " +
-          "on bucket rows only"))
+          "on bucket rows only"),
+      "q165_simhash_hamming" ->
+        ("pigeonhole Hamming radius: 4 rows/doc band explode, ONE " +
+          "equi-join on (band, bits), exact popcount verify — " +
+          "never an all-pairs XOR scan"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

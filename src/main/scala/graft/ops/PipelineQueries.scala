@@ -255,6 +255,50 @@ object PipelineQueries {
       max(doc_id) AS max_id
     FROM sd GROUP BY sig HAVING count(*) > 1 ORDER BY sig"""
 
+  /** q165 — EXACT Hamming-radius SimHash near-dup via pigeonhole bands
+    * (multi-index Hamming search — Norouzi, Punjani & Fleet CVPR 2012;
+    * the band trick itself is the classic pigeonhole argument): every
+    * pair of 32-bit signatures within Hamming distance 3 must agree on
+    * at least one of 4 disjoint 8-bit bands, so candidates come from
+    * FOUR band-equality equi-joins (4 rows/doc, one shuffle on the
+    * (band, bits) key), each candidate verified by an exact popcount —
+    * never an all-pairs XOR scan, and EXACT by construction (q30's
+    * identity clusters find distance 0 only; this finds every pair to
+    * radius 3). Geometry honesty: 8-bit bands over sig32 are pinned
+    * for oracle comparability; at corpus scale the production shape is
+    * simhash64 with 16-bit bands so band-value collisions stay
+    * occupancy-bounded (the q31/q99 pinned-geometry precedent). */
+  private val q165: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), F.simhash32(col("text")).as("sig"))
+    val banded = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          expr(s"(sig >> ${8 * k}) & 255").as("bits"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val b2 = banded.toDF("doc_b", "sig_b", "band", "bits")
+    banded.join(b2, Seq("band", "bits"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        expr("bit_count(sig ^ sig_b)").as("hamming"))
+      .distinct() // a close pair can agree on several bands
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+  private val q165Sql = s"""
+    WITH sd AS (SELECT doc_id,
+        ${dSimhash(s"list_transform(${dToks("text")}, t -> ${dPoly("t")})")} AS sig
+      FROM documents),
+    banded AS (SELECT doc_id, sig, k AS band, (sig >> (8 * k)) & 255 AS bits
+      FROM sd, (SELECT unnest([0, 1, 2, 3]) AS k)),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        bit_count(xor(a.sig, b.sig)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+    ORDER BY doc_a, doc_b"""
+
   // =====================================================================
   // Embedding similarity
   // =====================================================================
@@ -2180,6 +2224,7 @@ object PipelineQueries {
     "q28_dedup_jaccard_pairs" -> q28,
     "q29_dedup_minhash_lsh" -> q29,
     "q30_dedup_simhash" -> q30,
+    "q165_simhash_hamming" -> q165,
     "q31_neardup_embedding_lsh" -> q31,
     "q32_ann_bruteforce_topk" -> q32,
     "q160_hard_negatives" -> q160,
@@ -2239,6 +2284,7 @@ object PipelineQueries {
     "q28_dedup_jaccard_pairs" -> q28Sql,
     "q29_dedup_minhash_lsh" -> q29Sql,
     "q30_dedup_simhash" -> q30Sql,
+    "q165_simhash_hamming" -> q165Sql,
     "q31_neardup_embedding_lsh" -> q31Sql,
     "q32_ann_bruteforce_topk" -> q32Sql,
     "q160_hard_negatives" -> q160Sql,
