@@ -288,7 +288,11 @@ object Plans {
       "q165_simhash_hamming" ->
         ("pigeonhole Hamming radius: 4 rows/doc band explode, ONE " +
           "equi-join on (band, bits), exact popcount verify — " +
-          "never an all-pairs XOR scan"))
+          "never an all-pairs XOR scan"),
+      "q166_matview_fold" ->
+        ("standing matview: grouped partials (one pass per input), " +
+          "fold re-groups #groups-row state by key — count/sum add, " +
+          "min/max lattice-join; serve touches state only"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

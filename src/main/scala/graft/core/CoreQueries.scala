@@ -768,7 +768,54 @@ object CoreQueries {
             WHERE l_orderkey IS NOT NULL)
     ) ORDER BY check_name"""
 
+  /** q166 — general standing MATERIALIZED VIEW fold
+    * ([[graft.ops.MatView]]): distributive GROUP BY aggregates
+    * (count/sum/min/max over integer-cent money, plus an exact
+    * floor-div average derived at serve time) built from HALF the
+    * table, folded with the other half's partials, served from the
+    * #groups-row state. The oracle is the ONE-SHOT GROUP BY over the
+    * whole table — hash equality is the fold == rebuild proof, which
+    * for this algebra is exactly distributivity (Gray et al. 1997).
+    * The `matview create/refresh/get` command family serves the same
+    * machinery from a crash-atomic IndexStore artifact with the spec
+    * recorded beside the state. */
+  private val q166: QFn = (s, d) => {
+    import graft.ops.MatView
+    import graft.ops.MatView.AggSpec
+    val li = t(s, d, "lineitem").withColumn("cents",
+      expr("cast(floor(l_extendedprice * 100.0) as bigint)"))
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val aggs = Seq(AggSpec("count", "1", "n"),
+      AggSpec("sum", "l_quantity", "sum_qty"),
+      AggSpec("sum", "cents", "sum_cents"),
+      AggSpec("min", "cents", "min_cents"),
+      AggSpec("max", "cents", "max_cents"))
+    val state = MatView.partials(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === 0), keys, aggs)
+      .localCheckpoint(true)
+    MatView.fold(state,
+        MatView.partials(
+          li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0), keys, aggs),
+        keys, aggs)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("sum_qty"), col("sum_cents"), col("min_cents"),
+        col("max_cents"), expr("sum_cents div n").as("avg_cents_floor"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  private val q166Sql = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+      sum(l_quantity) AS sum_qty,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        AS BIGINT) AS sum_cents,
+      min(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS min_cents,
+      max(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS max_cents,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        AS BIGINT) // count(*) AS avg_cents_floor
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
   val queries: Map[String, QFn] = Map(
+    "q166_matview_fold" -> q166,
     "q163_quality_constraints" -> q163,
     "q154_correlated_subquery" -> q154,
     "q56_pivot_conditional" -> q56,
@@ -804,6 +851,7 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q166_matview_fold" -> q166Sql,
     "q163_quality_constraints" -> q163Sql,
     "q154_correlated_subquery" -> q154Sql,
     "q56_pivot_conditional" -> q56Sql,

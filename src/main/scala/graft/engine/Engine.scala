@@ -706,11 +706,92 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     else if (low.startsWith("pipeline clean")) pipelineClean(t)
     else if (low.startsWith("quality check")) qualityCheck(t)
+    else if (low.startsWith("matview create")) matviewCreate(t)
+    else if (low.startsWith("matview refresh")) matviewRefresh(t)
+    else if (low.startsWith("matview get")) matviewGet(t)
     else if (low == "get dictionary")
       dict.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }.mkString("\n")
     else if (low == "get tables") catalog.tableNames.mkString("\n")
     else if (low == "get views") catalog.viewNames.mkString("\n")
     else throw new IllegalArgumentException(s"unknown command: $command")
+  }
+
+  private def mvSpecDir(path: String) = path.stripSuffix("/") + "-spec"
+  private def mvFrame(src: String) =
+    if (catalog.tableNames.contains(src) ||
+        catalog.viewNames.contains(src)) catalog.table(src)
+    else spark.read.parquet(src)
+  private def mvRecordedSpec(path: String) = {
+    val row = graft.ops.IndexStore.read(spark, mvSpecDir(path)).getOrElse(
+      throw new IllegalArgumentException(s"no matview at $path")).head()
+    graft.ops.MatView.specFromJson(row.getAs[String]("spec"))
+  }
+
+  /** `matview create where table = <t> and path = <dir> and spec =
+    * <json>` — standing materialized view over distributive GROUP BY
+    * aggregates ([[graft.ops.MatView]]): one grouped pass, #groups-row
+    * artifact, spec RECORDED beside it so refresh can verify. Spec:
+    * {"keys": [...], "aggs": [{"fn": "sum|count|min|max",
+    * "expr": "...", "alias": "..."}]}. */
+  private def matviewCreate(t: String): String = {
+    val body = t.substring("matview create".length).trim
+      .stripPrefix("where").trim
+    val specM = "(?i)\\bspec\\s*=".r.findFirstMatchIn(body).getOrElse(
+      throw new IllegalArgumentException("matview create requires spec ="))
+    val specJson = body.substring(specM.end).trim
+    val head = body.substring(0, specM.start)
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(head).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("matview create requires table ="))
+    val path = kv("path").getOrElse(
+      throw new IllegalArgumentException("matview create requires path ="))
+    val (keys, aggs) = graft.ops.MatView.specFromJson(specJson)
+    val state = graft.ops.MatView.partials(catalog.table(table), keys, aggs)
+    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
+    import org.apache.spark.sql.functions.lit
+    graft.ops.IndexStore.write(spark.range(1).select(
+      lit(graft.ops.MatView.specToJson(keys, aggs)).as("spec")),
+      mvSpecDir(path))
+    val n = graft.ops.IndexStore.read(spark, path).get.count()
+    s"matview created at $path: $n groups (version $rows)"
+  }
+
+  /** `matview refresh where path = <dir> and source = <table|path>` —
+    * fold a batch into the standing view (count/sum add, min/max
+    * lattice-join) under the RECORDED spec. Batch-sized work; base
+    * history never rescanned. */
+  private def matviewRefresh(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"matview refresh requires $k ="))
+    val path = req("path")
+    val (keys, aggs) = mvRecordedSpec(path)
+    val state = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no matview at $path"))
+    val batch = graft.ops.MatView.partials(mvFrame(req("source")),
+      keys, aggs)
+    val folded = graft.ops.MatView.fold(state, batch, keys, aggs)
+      .localCheckpoint()
+    graft.ops.IndexStore.write(folded, path)
+    s"matview refreshed at $path: ${folded.count()} groups"
+  }
+
+  /** `matview get where path = <dir> [and format = table]` — serve the
+    * #groups-row artifact. */
+  private def matviewGet(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val path = kv("path").getOrElse(
+      throw new IllegalArgumentException("matview get requires path ="))
+    val (keys, _) = mvRecordedSpec(path)
+    val df = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no matview at $path"))
+    import org.apache.spark.sql.functions.col
+    val out = df.orderBy(keys.map(col): _*)
+    if (kv("format").contains("table")) Render.table(out)
+    else Render.json(out)
   }
 
   /** `quality check where table = <t> and spec = <json> [and format =

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** General standing MATERIALIZED VIEW for distributive GROUP BY
+  * aggregates — the [[Rollup]] family (which serves `increments()`
+  * time buckets specifically) generalized to arbitrary grouping keys
+  * and agg lists. Classic incremental view maintenance, restricted to
+  * the self-maintainable distributive algebra (count/sum/min/max —
+  * Gray et al., "Data Cube", DMKD 1997 classifies these; avg is
+  * served exactly as sum/count at read time, never stored):
+  *
+  *   - create: one grouped partial pass over the base table; the
+  *     artifact holds one row per group (state size = |groups|, never
+  *     |rows|), committed through the crash-atomic [[IndexStore]].
+  *   - refresh: partials of the BATCH fold into the state by key —
+  *     count/sum add, min/max lattice-join. Batch-sized work; the
+  *     base table's history is never rescanned. (Deletions are out of
+  *     scope by construction: min/max are not self-maintainable under
+  *     deletes — the standard IVM boundary, stated honestly.)
+  *   - serve: read the #groups-row artifact; derived averages are
+  *     exact sum/count divisions computed at read.
+  *
+  * The agg spec is RECORDED with the artifact (a `-spec` sidecar
+  * IndexStore dir) and refresh verifies the recorded spec — folding a
+  * batch with a different spec is a fail-loud error, not silent
+  * corruption. fold == rebuild is exactly distributivity; q166 proves
+  * it against a one-shot GROUP BY oracle. */
+object MatView {
+  /** One aggregate column: `fn` in count|sum|min|max over SQL `expr`
+    * (count ignores expr), output column `alias`. */
+  final case class AggSpec(fn: String, expr: String, alias: String) {
+    require(Seq("count", "sum", "min", "max").contains(fn),
+      s"unsupported agg fn $fn (distributive algebra only)")
+  }
+
+  private def partialCol(a: AggSpec): Column = a.fn match {
+    case "count" => count(lit(1)).as(a.alias)
+    case "sum" => sum(expr(a.expr)).as(a.alias)
+    case "min" => min(expr(a.expr)).as(a.alias)
+    case "max" => max(expr(a.expr)).as(a.alias)
+  }
+
+  private def foldCol(a: AggSpec): Column = a.fn match {
+    case "count" | "sum" => sum(col(a.alias)).as(a.alias)
+    case "min" => min(col(a.alias)).as(a.alias)
+    case "max" => max(col(a.alias)).as(a.alias)
+  }
+
+  /** Grouped partials of `df` — the create pass AND the per-batch
+    * refresh pass (same shape; distributivity is the whole point). */
+  def partials(df: DataFrame, keys: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame = {
+    require(keys.nonEmpty && aggs.nonEmpty, "keys and aggs required")
+    require(aggs.map(_.alias).distinct.size == aggs.size,
+      "duplicate agg aliases")
+    // plain column names only: the fold re-groups the STATE by these
+    // names, so an expression key would not round-trip
+    keys.foreach(k => require(k.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"matview keys must be plain columns (got '$k'); project the " +
+        "expression into a column first"))
+    val cols = aggs.map(partialCol)
+    df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Fold batch partials into the standing state by key. */
+  def fold(state: DataFrame, batch: DataFrame, keys: Seq[String],
+      aggs: Seq[AggSpec]): DataFrame = {
+    val cols = aggs.map(foldCol)
+    state.unionByName(batch)
+      .groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Spec JSON: {"keys": ["a", "b"], "aggs": [{"fn": "sum",
+    * "expr": "x", "alias": "sx"}, ...]} */
+  def specFromJson(json: String): (Seq[String], Seq[AggSpec]) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val p = JsonMethods.parse(json)
+    val keys = (p \ "keys").extract[List[String]]
+    val aggs = (p \ "aggs").extract[List[JValue]].map { j =>
+      AggSpec((j \ "fn").extract[String],
+        (j \ "expr").extractOpt[String].getOrElse("1"),
+        (j \ "alias").extract[String])
+    }
+    (keys, aggs)
+  }
+
+  def specToJson(keys: Seq[String], aggs: Seq[AggSpec]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    s"""{"keys": [${keys.map(q).mkString(", ")}], "aggs": [""" +
+      aggs.map(a => s"""{"fn": ${q(a.fn)}, "expr": ${q(a.expr)}, """ +
+        s""""alias": ${q(a.alias)}}""").mkString(", ") + "]}"
+  }
+}

@@ -2015,3 +2015,53 @@ class QualitySpec extends SparkSpec {
     assert(reply.contains(""""pass":true"""), reply)
   }
 }
+
+class MatViewSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.MatView
+  import graft.ops.MatView.AggSpec
+
+  private val aggs = Seq(AggSpec("count", "1", "n"),
+    AggSpec("sum", "v", "sv"), AggSpec("min", "v", "mn"),
+    AggSpec("max", "v", "mx"))
+
+  test("fold == rebuild for any batch split (distributivity)") {
+    val rows = (1 to 200).map(i => (s"k${i % 7}", (i * 37 % 101).toLong))
+    val all = rows.toDF("k", "v")
+    val oneShot = MatView.partials(all, Seq("k"), aggs)
+      .orderBy("k").collect().toSeq
+    for (cut <- Seq(1, 50, 199)) {
+      val (a, b) = rows.splitAt(cut)
+      val folded = MatView.fold(
+        MatView.partials(a.toDF("k", "v"), Seq("k"), aggs),
+        MatView.partials(b.toDF("k", "v"), Seq("k"), aggs),
+        Seq("k"), aggs).orderBy("k").collect().toSeq
+      assert(folded === oneShot, s"cut=$cut")
+    }
+  }
+
+  test("matview commands: create/refresh/get round-trip; refresh " +
+      "uses the RECORDED spec; keys stay through a one-sided batch") {
+    val dir = java.nio.file.Files.createTempDirectory("mv")
+    Seq(("a", 1L), ("a", 5L), ("b", 2L)).toDF("k", "v")
+      .write.parquet(dir.resolve("base.parquet").toString)
+    Seq(("b", 10L), ("c", 7L)).toDF("k", "v")
+      .write.parquet(dir.resolve("batch.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("base", dir.resolve("base.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val p = dir.resolve("mv1").toString
+    val created = engine.execute(s"matview create where table = base " +
+      s"""and path = $p and spec = {"keys": ["k"], "aggs": [
+        {"fn": "count", "alias": "n"}, {"fn": "sum", "expr": "v",
+         "alias": "sv"}, {"fn": "max", "expr": "v", "alias": "mx"}]}""")
+    assert(created.contains("2 groups"), created)
+    engine.execute(s"matview refresh where path = $p and " +
+      s"source = ${dir.resolve("batch.parquet")}")
+    val got = engine.execute(s"matview get where path = $p")
+    // a: untouched; b: folded; c: new key from the batch
+    assert(got.contains(""""k":"a","n":2,"sv":6,"mx":5"""), got)
+    assert(got.contains(""""k":"b","n":2,"sv":12,"mx":10"""), got)
+    assert(got.contains(""""k":"c","n":1,"sv":7,"mx":7"""), got)
+  }
+}
