@@ -583,6 +583,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("graph tricount get")) triGet(t)
     else if (low.startsWith("graph ")) graphCmd(t)
     else if (low.startsWith("compact where")) compactCmd(t)
+    else if (low.startsWith("merge scd2 into")) mergeScd2(t)
     else if (low.startsWith("merge into")) mergeCmd(t)
     else if (low.startsWith("monitor psi create")) monitorPsiCreate(t)
     else if (low.startsWith("monitor psi check")) monitorPsiCheck(t)
@@ -1806,6 +1807,83 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * source match survive (the lakehouse MERGE the append-only
     * reference lacks; ours composes from one left-anti + union).
     * Row-count receipt; rewrite is atomic via the compact swap. */
+  /** `merge scd2 into <target> using <source|path> on <keyCol> at
+    * <tsCol>` — slowly-changing-dimension TYPE 2 upsert (Kimball's
+    * SCD2): instead of overwriting (the SCD1 `merge into`), every
+    * change CLOSES the key's current row (`valid_to` = the change
+    * time, `is_current` = false) and INSERTS a new versioned row, so
+    * the table keeps full history and any past state is one
+    * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)` filter
+    * away. First SCD2 merge stamps the three system columns onto the
+    * target (existing rows: `valid_from` NULL = since-forever,
+    * current). Multiple batch rows per key CHAIN: each row's
+    * `valid_to` is the key's next change time (one per-key window
+    * over the BATCH only — never over target history). Same
+    * crash-safe swap + row-count receipt as compact/merge. */
+  private def mergeScd2(t: String): String = {
+    val m = ("(?i)merge\\s+scd2\\s+into\\s+(\\S+)\\s+using\\s+(\\S+)" +
+      "\\s+on\\s+(\\S+)\\s+at\\s+(\\S+)").r.findFirstMatchIn(t)
+      .getOrElse(throw new IllegalArgumentException(
+        "merge scd2 into <target> using <source> on <key> at <ts>"))
+    val (target, src, key, ts) =
+      (m.group(1), m.group(2), m.group(3), m.group(4))
+    import org.apache.spark.sql.functions.{col, lead, lit, min => fmin}
+    val tgt0 = catalog.table(target)
+    val tgt =
+      if (tgt0.columns.contains("is_current")) tgt0
+      else tgt0 // first merge: existing rows are current since-forever
+        .withColumn("valid_from",
+          lit(null).cast(org.apache.spark.sql.types.TimestampType))
+        .withColumn("valid_to",
+          lit(null).cast(org.apache.spark.sql.types.TimestampType))
+        .withColumn("is_current", lit(true))
+    val batch =
+      if (catalog.tableNames.contains(src) ||
+          catalog.viewNames.contains(src)) catalog.table(src)
+      else spark.read.parquet(src)
+    require(batch.columns.contains(ts), s"source lacks ts column $ts")
+    // chain versions WITHIN the batch: one per-key window over the
+    // batch only (batch-sized, never history-sized)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(ts)
+    // ts stays as a data column when the target carries it; the
+    // final select projects onto the target's schema either way
+    val newRows = batch
+      .withColumn("valid_from", col(ts).cast("timestamp"))
+      .withColumn("valid_to", lead(col(ts), 1).over(w).cast("timestamp"))
+      .withColumn("is_current", col("valid_to").isNull)
+    val firstTs = batch.groupBy(col(key))
+      .agg(fmin(col(ts)).cast("timestamp").as("__first_ts"))
+    val updated = tgt.filter(col("is_current"))
+      .join(firstTs.select(col(key)), Seq(key), "left_semi").count()
+    val closed = tgt.join(firstTs, Seq(key), "left")
+      .withColumn("valid_to",
+        org.apache.spark.sql.functions.when(
+          col("is_current") && col("__first_ts").isNotNull,
+          col("__first_ts")).otherwise(col("valid_to")))
+      .withColumn("is_current",
+        col("is_current") && col("__first_ts").isNull)
+      .drop("__first_ts")
+    val merged = closed.unionByName(
+      newRows.select(closed.columns.map(col): _*))
+    val path = catalog.tablePath(target).getOrElse(
+      throw new IllegalArgumentException(s"unknown table $target"))
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = path.stripSuffix("/") + "__scd2_tmp"
+    val tgtCount = tgt.count()
+    val batchCount = batch.count()
+    merged.write.mode("overwrite").parquet(tmp)
+    val after = spark.read.parquet(tmp).count()
+    require(after == tgtCount + batchCount,
+      s"scd2 row mismatch: expected ${tgtCount + batchCount}, wrote " +
+        s"$after; aborted, original intact")
+    swapDirs(fs, hadoopPath, new org.apache.hadoop.fs.Path(tmp))
+    s"scd2 merged into $target: $updated keys versioned, " +
+      s"$batchCount rows appended (history preserved)"
+  }
+
   private def mergeCmd(t: String): String = {
     val m = "(?i)merge\\s+into\\s+(\\S+)\\s+using\\s+(\\S+)\\s+on\\s+(\\S+)"
       .r.findFirstMatchIn(t).getOrElse(throw new IllegalArgumentException(

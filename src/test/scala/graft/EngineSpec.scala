@@ -1136,3 +1136,61 @@ class CompactMergeCommandSpec extends SparkSpec {
       4L -> "NEW4"))
   }
 }
+
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  test("merge scd2: closes current rows, chains in-batch versions, " +
+      "preserves full history, point-in-time query works") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2")
+    Seq((1L, "alice", "NY"), (2L, "bob", "LA"))
+      .toDF("id", "name", "city")
+      .write.parquet(dir.resolve("dim.parquet").toString)
+    // batch: alice moves twice (chained), carol appears
+    Seq(
+      (1L, "alice", "SF", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (1L, "alice", "TX", java.sql.Timestamp.valueOf("2024-03-01 00:00:00")),
+      (3L, "carol", "OR", java.sql.Timestamp.valueOf("2024-02-15 00:00:00")))
+      .toDF("id", "name", "city", "ts")
+      .write.parquet(dir.resolve("batch.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("dim", dir.resolve("dim.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val out = engine.execute(s"merge scd2 into dim using " +
+      s"${dir.resolve("batch.parquet")} on id at ts")
+    assert(out.contains("1 keys versioned"), out)    // only alice existed
+    assert(out.contains("3 rows appended"), out)
+    val dim = cat.table("dim")
+    assert(dim.count() === 5L) // 2 original + 3 batch versions
+    // alice: NY (closed at 02-01) -> SF (closed at 03-01) -> TX current
+    val alice = dim.filter(col("id") === 1L)
+      .orderBy(col("valid_from").asc_nulls_first)
+      .collect().map(r => (r.getAs[String]("city"),
+        r.getAs[Boolean]("is_current")))
+    assert(alice.toSeq === Seq(("NY", false), ("SF", false),
+      ("TX", true)))
+    // bob untouched and current; carol current
+    assert(dim.filter(col("id") === 2L && col("is_current")).count() === 1)
+    assert(dim.filter(col("id") === 3L && col("is_current")).count() === 1)
+    // point-in-time: who lived where on 2024-02-20?
+    val at = dim.filter(
+      (col("valid_from").isNull ||
+        col("valid_from") <= "2024-02-20") &&
+      (col("valid_to").isNull || col("valid_to") > "2024-02-20"))
+      .select("id", "city").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at === Map(1L -> "SF", 2L -> "LA", 3L -> "OR"))
+    // a second merge on an ALREADY-scd2 table composes
+    Seq((2L, "bob", "WA", java.sql.Timestamp.valueOf("2024-04-01 00:00:00")))
+      .toDF("id", "name", "city", "ts")
+      .write.parquet(dir.resolve("b2.parquet").toString)
+    val out2 = engine.execute(s"merge scd2 into dim using " +
+      s"${dir.resolve("b2.parquet")} on id at ts")
+    assert(out2.contains("1 keys versioned"), out2)
+    assert(cat.table("dim").count() === 6L)
+    assert(cat.table("dim")
+      .filter(col("id") === 2L && col("is_current"))
+      .select("city").head().getString(0) === "WA")
+  }
+}
