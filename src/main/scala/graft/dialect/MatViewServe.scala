@@ -1,0 +1,123 @@
+package graft.dialect
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.ops.{IndexStore, MatView}
+
+/** Serve a plain GROUP BY dialect query from a REGISTERED standing
+  * materialized view ([[graft.ops.MatView]]) — aggregate-rewrite
+  * generalizing [[RollupServe]] (which serves `increments()` time
+  * buckets) to arbitrary grouping keys. At 100 TB a dashboard's
+  * `GROUP BY region` rescans the fact table per refresh; the matview
+  * plan re-aggregates a #groups-row artifact.
+  *
+  * QUALIFICATION IS STRICTLY CONSERVATIVE — `tryServe` returns None
+  * (the Engine falls back to the always-correct base plan) unless it
+  * can PROVE the state serves exactly:
+  *  - GROUP BY: a non-empty subset of the view's recorded keys
+  *    (distributivity lets the state re-aggregate to any coarser
+  *    grouping); projected keys must be grouped.
+  *  - Aggregates: `count(*)` needs a recorded count; `min(x)`/`max(x)`
+  *    need a recorded min/max over exactly `x`; `sum(x)` needs the
+  *    recorded partial `cast(x as decimal(18,2))` — the dialect's
+  *    money-sum discipline — so the served decimal fold is bit-equal
+  *    to the base plan's; `range(x)` needs both min and max. `avg`,
+  *    DISTINCT, `::` casts, `count(col)` (null-sensitive vs the
+  *    recorded count(*)) are NOT served.
+  *  - WHERE: absent, or a predicate whose every identifier is a
+  *    recorded KEY column (then it filters state rows — group
+  *    semantics make that exact); any value-column reference rejects.
+  *  - No include= / extend= / committed=true / approx=true /
+  *    limit-per / distinct.
+  * Output column names and order reproduce the base dialect plan's
+  * (alias, or the dialect's default `fn(arg)` name), so serve ==
+  * fallback schema-for-schema — proven by `MatViewServeSpec`. */
+object MatViewServe {
+  final case class Meta(path: String, keys: Seq[String],
+      aggs: Seq[MatView.AggSpec])
+
+  private val identRe = "[A-Za-z_][A-Za-z0-9_]*"
+  private val aggRe = "(?i)^(count|sum|min|max|range)\\s*\\((.+)\\)$".r
+
+  private val whereKeywords = Set("and", "or", "not", "in", "is",
+    "null", "between", "like", "true", "false")
+
+  /** Every identifier in `w` (outside string literals) is a recorded
+    * key or a boolean-algebra keyword. */
+  private def whereOverKeys(w: String, keys: Set[String]): Boolean = {
+    val noStrings = w.replaceAll("'[^']*'", " ")
+    identRe.r.findAllIn(noStrings).forall(id =>
+      keys.contains(id) || whereKeywords.contains(id.toLowerCase))
+  }
+
+  def tryServe(spark: SparkSession, meta: Meta,
+      cmd: EdgeSql.Command): Option[DataFrame] = {
+    val sel = EdgeSql.parseSelect(cmd.select)
+    if (sel.distinct || sel.limitPer.nonEmpty) return None
+    if (cmd.options.contains("include") || cmd.options.contains("extend") ||
+        cmd.options.get("committed").contains("true") ||
+        cmd.options.get("approx").contains("true")) return None
+    val gb = sel.groupBy.map(_.trim)
+    if (gb.isEmpty || !gb.forall(meta.keys.contains)) return None
+    if (sel.where.exists(w => !whereOverKeys(w, meta.keys.toSet)))
+      return None
+
+    def recorded(fn: String, exprTxt: String): Option[MatView.AggSpec] =
+      meta.aggs.find(a => a.fn == fn &&
+        a.expr.replaceAll("\\s+", "") == exprTxt.replaceAll("\\s+", ""))
+
+    // build (outputName, Column) per projection item; None -> not servable
+    val planned = sel.projection.map { item =>
+      val raw = item.raw.trim
+      if (raw.matches(identRe)) {
+        if (!gb.contains(raw)) return None // ungrouped key -> base plan
+        Some(Left(item.alias.getOrElse(raw) -> raw))
+      } else raw match {
+        case aggRe(fn0, arg0) =>
+          val (fn, arg) = (fn0.toLowerCase, arg0.trim)
+          if (raw.contains("::")) return None
+          val name = item.alias.getOrElse(
+            s"$fn(${arg.replaceAll("\\s+", "")})".replace("*", "star"))
+          val c: Option[Column] = fn match {
+            case "count" if arg == "*" =>
+              recorded("count", "1").map(a => sum(col(a.alias)))
+            case "sum" =>
+              recorded("sum", s"cast($arg as decimal(18,2))")
+                .map(a => sum(col(a.alias)).cast(DoubleType))
+            case "min" => recorded("min", arg).map(a => min(col(a.alias)))
+            case "max" => recorded("max", arg).map(a => max(col(a.alias)))
+            case "range" =>
+              for (mx <- recorded("max", arg); mn <- recorded("min", arg))
+                yield abs(max(col(mx.alias)) - min(col(mn.alias)))
+            case _ => None
+          }
+          c match {
+            case Some(column) => Some(Right(name -> column))
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    val items = planned.map(_.getOrElse(return None))
+    val aggItems = items.collect { case Right((n, c)) => c.as(n) }
+    if (aggItems.isEmpty) return None // plain distinct-keys query -> base
+
+    var st = IndexStore.read(spark, meta.path).getOrElse(return None)
+    sel.where.foreach(w => st = st.filter(expr(w)))
+    val grouped = st.groupBy(gb.map(col): _*)
+      .agg(aggItems.head, aggItems.tail: _*)
+    // project in the query's column order under the base plan's names
+    var out = grouped.select(items.map {
+      case Left((name, key)) => col(key).as(name)
+      case Right((name, _)) => col(name)
+    }: _*)
+    if (sel.orderBy.nonEmpty)
+      out = out.orderBy(sel.orderBy.map { case (e, desc) =>
+        if (desc) col(e).desc else col(e).asc
+      }: _*)
+    sel.limit.foreach(n => out = out.limit(n))
+    Some(out)
+  }
+}

@@ -113,6 +113,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
 
   /** Registered standing rollups by table name (`rollup create`). */
   private var rollups = Map.empty[String, graft.dialect.RollupServe.Meta]
+  private var matviews = Map.empty[String, graft.dialect.MatViewServe.Meta]
 
   /** Registered standing vector indexes by table (`vindex create`):
     * PQ (codes + recorded books) or IVF (assignment rows + recorded
@@ -165,7 +166,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       val table = if (t0.contains('.'))
         t0.substring(t0.lastIndexOf('.') + 1) else t0
       rollups.get(table).flatMap(m =>
-        graft.dialect.RollupServe.tryServe(spark, m, cmd))
+          graft.dialect.RollupServe.tryServe(spark, m, cmd))
+        .orElse(matviews.get(table).flatMap(m =>
+          graft.dialect.MatViewServe.tryServe(spark, m, cmd)))
     } catch { case _: Exception => None }
     served.getOrElse(
       EdgeSql.query(spark, loadWithOptions(cmd), command,
@@ -710,6 +713,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("matview create")) matviewCreate(t)
     else if (low.startsWith("matview refresh")) matviewRefresh(t)
     else if (low.startsWith("matview get")) matviewGet(t)
+    else if (low.startsWith("matview attach")) matviewAttach(t)
+    else if (low == "get matviews") {
+      if (matviews.isEmpty) "no matviews registered"
+      else matviews.toSeq.sortBy(_._1).map { case (tbl, m) =>
+        s"$tbl: keys=${m.keys.mkString(",")} " +
+          s"aggs=${m.aggs.map(a => s"${a.fn}:${a.alias}").mkString(",")} " +
+          s"path=${m.path}"
+      }.mkString("\n")
+    }
     else if (low == "get dictionary")
       dict.toSeq.sortBy(_._1).map { case (k, v) => s"$k = $v" }.mkString("\n")
     else if (low == "get tables") catalog.tableNames.mkString("\n")
@@ -754,8 +766,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     graft.ops.IndexStore.write(spark.range(1).select(
       lit(graft.ops.MatView.specToJson(keys, aggs)).as("spec")),
       mvSpecDir(path))
+    matviews += table -> graft.dialect.MatViewServe.Meta(path, keys, aggs)
     val n = graft.ops.IndexStore.read(spark, path).get.count()
     s"matview created at $path: $n groups (version $rows)"
+  }
+
+  /** `matview attach where table = <t> and path = <dir>` — re-register
+    * an existing matview for SQL serving after a restart (the spec is
+    * recovered from the recorded sidecar — attach needs no knowledge
+    * of the original create). */
+  private def matviewAttach(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"matview attach requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    val (keys, aggs) = mvRecordedSpec(path)
+    matviews += table -> graft.dialect.MatViewServe.Meta(path, keys, aggs)
+    s"matview attached for $table at $path (keys ${keys.mkString(",")})"
   }
 
   /** `matview refresh where path = <dir> and source = <table|path>` —

@@ -1194,3 +1194,69 @@ class Scd2Spec extends SparkSpec {
       .select("city").head().getString(0) === "WA")
   }
 }
+
+class MatViewServeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.col
+
+  private def staged(): (graft.engine.Catalog, graft.engine.Engine,
+      java.nio.file.Path) = {
+    val dir = java.nio.file.Files.createTempDirectory("mvserve")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"),
+      dir.resolve("lineitem.parquet"))
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("lineitem", dir.resolve("lineitem.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    (cat, engine, dir)
+  }
+
+  test("qualified GROUP BY serves from the matview state (schema- and " +
+      "value-identical to the base plan, base files untouched); " +
+      "unqualified queries fall back") {
+    val (_, engine, dir) = staged()
+    val p = dir.resolve("mv").toString
+    engine.execute(s"matview create where table = lineitem and " +
+      s"""path = $p and spec = {"keys":
+        ["l_returnflag", "l_linestatus"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "sum", "expr": "cast(l_quantity as decimal(18,2))",
+         "alias": "sq"},
+        {"fn": "min", "expr": "l_quantity", "alias": "mn"},
+        {"fn": "max", "expr": "l_quantity", "alias": "mx"}]}""")
+    val q = """sql edge "select l_returnflag, count(*),
+      sum(l_quantity) as sq, max(l_quantity) as mx from lineitem
+      where l_returnflag = 'R' or l_returnflag = 'A'
+      group by l_returnflag order by l_returnflag""""
+        .replaceAll("\n\\s*", " ")
+    val served = engine.query(q)
+    // base plan from an engine with NO matview registered
+    val (_, plain, _) = staged()
+    val base = plain.query(q)
+    assert(served.columns.toSeq === base.columns.toSeq)
+    assert(served.collect().toSeq === base.collect().toSeq)
+    // the served plan reads the artifact, never the base parquet
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet"), plan)
+    assert(plan.contains("mv"), plan)
+    // subset grouping (coarser than recorded keys) also serves
+    val q2 = """sql edge "select l_linestatus, count(*) from lineitem
+      group by l_linestatus order by l_linestatus""""
+        .replaceAll("\n\\s*", " ")
+    val served2 = engine.query(q2)
+    assert(!served2.queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"))
+    assert(served2.collect().toSeq === plain.query(q2).collect().toSeq)
+    // avg is NOT served (null-sensitivity) -> base plan, still correct
+    val q3 = """sql edge "select l_returnflag, avg(l_quantity) as a
+      from lineitem group by l_returnflag order by l_returnflag""""
+        .replaceAll("\n\\s*", " ")
+    assert(engine.query(q3).queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"))
+    // WHERE over a VALUE column is not servable -> base plan
+    val q4 = """sql edge "select l_returnflag, count(*) from lineitem
+      where l_quantity > 10 group by l_returnflag""""
+        .replaceAll("\n\\s*", " ")
+    assert(engine.query(q4).queryExecution.executedPlan.toString
+      .contains("lineitem.parquet"))
+  }
+}
