@@ -292,7 +292,11 @@ object Plans {
       "q166_matview_fold" ->
         ("standing matview: grouped partials (one pass per input), " +
           "fold re-groups #groups-row state by key — count/sum add, " +
-          "min/max lattice-join; serve touches state only"))
+          "min/max lattice-join; serve touches state only"),
+      "q167_matview_served" ->
+        ("matview-SERVED sql: the whole plan reads the #groups-row " +
+          "artifact (lineitem parquet absent — plan-pinned); " +
+          "key-only WHERE filters state rows"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -231,7 +231,52 @@ object DialectQueries {
     WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-28'
     GROUP BY 1, 2, 3 ORDER BY event_type, hour_parent, hour_bucket"""
 
+  /** q167 — the MATVIEW-SERVED sql path under the driver gate (q102's
+    * discipline applied to [[MatViewServe]]): an engine registers
+    * lineitem, `matview create`s a (returnflag, linestatus) view with
+    * the decimal sum partial, and a coarser GROUP BY with a key-only
+    * WHERE is answered from the #groups-row state — the QFn REQUIRES
+    * the served plan never scans the lineitem parquet. The oracle is
+    * the one-shot full-scan GROUP BY: the decimal fold is exact, so
+    * hash equality pins serving correctness end-to-end through the
+    * command surface. */
+  private val q167: QFn = (s, d) => {
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("lineitem", s"$d/lineitem.parquet")
+    val engine = new graft.engine.Engine(s, cat)
+    val dir = java.nio.file.Files.createTempDirectory("q167mv")
+      .resolve("mv").toString
+    engine.execute(s"matview create where table = lineitem and " +
+      s"""path = $dir and spec = {"keys":
+        ["l_returnflag", "l_linestatus"], "aggs": [
+        {"fn": "count", "alias": "cnt"},
+        {"fn": "sum", "expr": "cast(l_extendedprice as decimal(18,2))",
+         "alias": "sp"},
+        {"fn": "min", "expr": "l_quantity", "alias": "mnq"},
+        {"fn": "max", "expr": "l_quantity", "alias": "mxq"}]}""")
+    val df = engine.query(
+      """sql edge "select l_returnflag, count(*) as n, """ +
+        """sum(l_extendedprice) as sum_price, """ +
+        """min(l_quantity) as min_qty, max(l_quantity) as max_qty, """ +
+        """range(l_quantity) as range_qty from lineitem """ +
+        """where l_returnflag = 'R' or l_returnflag = 'N' """ +
+        """group by l_returnflag order by l_returnflag"""")
+    require(!df.queryExecution.sparkPlan.toString
+        .contains("lineitem.parquet"),
+      "q167 fell back to the base plan — matview serving did not engage")
+    df
+  }
+  private val q167Sql = s"""
+    SELECT l_returnflag, count(*) AS n,
+      ${oSum("l_extendedprice")} AS sum_price,
+      min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+      abs(max(l_quantity) - min(l_quantity)) AS range_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R' OR l_returnflag = 'N'
+    GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, QFn] = Map(
+    "q167_matview_served" -> q167,
     "q102_rollup_served_dialect" -> q102,
     "q62_dialect_format_casts" -> q62,
     "q51_dialect_increments_month" -> q51,
@@ -246,6 +291,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q167_matview_served" -> q167Sql,
     "q102_rollup_served_dialect" -> q102Sql,
     "q62_dialect_format_casts" -> q62Sql,
     "q51_dialect_increments_month" -> q51Sql,
