@@ -296,7 +296,11 @@ object Plans {
       "q167_matview_served" ->
         ("matview-SERVED sql: the whole plan reads the #groups-row " +
           "artifact (lineitem parquet absent — plan-pinned); " +
-          "key-only WHERE filters state rows"))
+          "key-only WHERE filters state rows"),
+      "q168_column_profile" ->
+        ("column profile: every column's null/distinct/len metrics " +
+          "ride ONE agg (single scan); exact distincts Expand x6 " +
+          "here — the approx HLL mode is the 100 TB path"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -814,7 +814,50 @@ object CoreQueries {
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** q168 — column profiling ([[graft.ops.Profile]]): the
+    * what-is-in-this-table receipt, every column's row/null/distinct
+    * counts and string length stats from ONE aggregate pass (all
+    * metrics ride one `agg`; `profile table` serves the same frame on
+    * the command surface, with approx HLL distincts as the 100 TB
+    * mode). The oracled projection keeps only engine-stable columns —
+    * min/max rendered AS STRINGS stay on the command receipt because
+    * double/timestamp formatting is engine-private (the q154 lesson
+    * applied preemptively: never hash what an engine formats). */
+  private val q168: QFn = (s, d) =>
+    graft.ops.Profile.profile(t(s, d, "orders"))
+      .select(col("col_name"), col("col_type"), col("n_rows"),
+        col("n_nulls"), col("n_distinct"), col("len_min"),
+        col("len_max"), col("len_avg"))
+      .orderBy(col("col_name"))
+  private val q168Sql = {
+    val cols = Seq(
+      ("o_orderkey", "bigint", false), ("o_custkey", "bigint", false),
+      ("o_orderstatus", "string", true),
+      ("o_totalprice", "double", false),
+      ("o_orderdate", "timestamp", false),
+      ("o_orderpriority", "string", true))
+    cols.map { case (c, ty, isStr) =>
+      val lens =
+        if (isStr)
+          s"CAST(min(length($c)) AS BIGINT) AS len_min, " +
+            s"CAST(max(length($c)) AS BIGINT) AS len_max, " +
+            s"CAST(sum(length($c)) AS BIGINT) // count($c) AS len_avg"
+        else "CAST(NULL AS BIGINT) AS len_min, " +
+          "CAST(NULL AS BIGINT) AS len_max, " +
+          "CAST(NULL AS BIGINT) AS len_avg"
+      s"""SELECT '$c' AS col_name, '$ty' AS col_type,
+        count(*) AS n_rows,
+        CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+        $lens
+      FROM orders"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY col_name")
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q168_column_profile" -> q168,
     "q166_matview_fold" -> q166,
     "q163_quality_constraints" -> q163,
     "q154_correlated_subquery" -> q154,
@@ -851,6 +894,7 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q168_column_profile" -> q168Sql,
     "q166_matview_fold" -> q166Sql,
     "q163_quality_constraints" -> q163Sql,
     "q154_correlated_subquery" -> q154Sql,

@@ -710,6 +710,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     else if (low.startsWith("pipeline clean")) pipelineClean(t)
     else if (low.startsWith("quality check")) qualityCheck(t)
+    else if (low.startsWith("profile table")) profileTable(t)
     else if (low.startsWith("matview create")) matviewCreate(t)
     else if (low.startsWith("matview refresh")) matviewRefresh(t)
     else if (low.startsWith("matview get")) matviewGet(t)
@@ -727,6 +728,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low == "get tables") catalog.tableNames.mkString("\n")
     else if (low == "get views") catalog.viewNames.mkString("\n")
     else throw new IllegalArgumentException(s"unknown command: $command")
+  }
+
+  /** `profile table where table = <t> [and exact = false] [and format
+    * = table]` — per-column row/null/distinct counts, min/max, string
+    * length stats in one aggregate pass ([[graft.ops.Profile]]).
+    * `exact = false` swaps distinct counts for HLL sketches — the
+    * 100 TB mode (nothing shuffles by value). */
+  private def profileTable(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("profile table requires table ="))
+    val exact = !kv("exact").exists(_.equalsIgnoreCase("false"))
+    import org.apache.spark.sql.functions.col
+    val out = graft.ops.Profile.profile(catalog.table(table), exact)
+      .orderBy(col("col_name"))
+    if (kv("format").contains("table")) Render.table(out)
+    else Render.json(out)
   }
 
   private def mvSpecDir(path: String) = path.stripSuffix("/") + "-spec"

@@ -2065,3 +2065,42 @@ class MatViewSpec extends SparkSpec {
     assert(got.contains(""""k":"c","n":1,"sv":7,"mx":7"""), got)
   }
 }
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.ops.Profile
+
+  test("profile: one-pass per-column stats, nulls and lengths exact; " +
+      "approx mode stays within HLL error; command renders") {
+    val df = Seq(
+      (1L, Some("aa"), Some(1.5)), (2L, Some("bbbb"), None),
+      (3L, None, Some(2.5)), (4L, Some("aa"), Some(1.5)))
+      .toDF("id", "s", "v")
+    val p = Profile.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("id").getAs[Long]("n_rows") === 4L)
+    assert(p("id").getAs[Long]("n_nulls") === 0L)
+    assert(p("id").getAs[Long]("n_distinct") === 4L)
+    assert(p("s").getAs[Long]("n_nulls") === 1L)
+    assert(p("s").getAs[Long]("n_distinct") === 2L)
+    assert(p("s").getAs[Long]("len_min") === 2L)
+    assert(p("s").getAs[Long]("len_max") === 4L)
+    assert(p("s").getAs[Long]("len_avg") === 2L) // (2+4+2)/3 floor
+    assert(p("v").getAs[Long]("n_distinct") === 2L)
+    assert(p("v").getAs[String]("min_s") === "1.5")
+    assert(p("id").isNullAt(p("id").fieldIndex("len_min")))
+    // approx mode: HLL estimate close on a small distinct set
+    val ap = Profile.profile(df, exact = false).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    assert(math.abs(ap("id") - 4L) <= 1L)
+    // command surface
+    val dir = java.nio.file.Files.createTempDirectory("prof")
+    df.write.parquet(dir.resolve("t.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("t", dir.resolve("t.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val reply = engine.execute("profile table where table = t")
+    assert(reply.contains(""""col_name":"s""""), reply)
+    assert(reply.contains(""""n_distinct":2"""), reply)
+  }
+}
