@@ -300,7 +300,11 @@ object Plans {
       "q168_column_profile" ->
         ("column profile: every column's null/distinct/len metrics " +
           "ride ONE agg (single scan); exact distincts Expand x6 " +
-          "here — the approx HLL mode is the 100 TB path"))
+          "here — the approx HLL mode is the 100 TB path"),
+      "q169_funnel_stages" ->
+        ("k-step funnel: k-1 per-user min-ts joins, every join and " +
+          "aggregate keyed on user_id — one shuffle key reused, " +
+          "never a per-user window over the full stream"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -193,6 +193,69 @@ object TemporalQueries {
   // fold == rebuild proof
   private val q162Sql = q71Sql
 
+  // =====================================================================
+  // q169 — k-STEP chained funnel (sequential pattern match, the
+  // match_recognize workload class): users who did signup -> view ->
+  // purchase IN ORDER, each step within 7 days of the previous, with
+  // per-stage user counts and integer-ppm conversion rates. q76 is the
+  // 2-step special case; the general k-step chain is k-1 per-user
+  // min-timestamp joins — every join and aggregate keyed on user_id,
+  // so at 100 TB the whole funnel is ONE shuffle key reused k times
+  // (AQE coalesces the repeated exchanges), never a per-user window
+  // over the full event stream. Earliest-qualifying-event semantics
+  // (min ts after the previous stage) make the result deterministic.
+  // =====================================================================
+
+  private val q169: QFn = (s, d) => {
+    val weekUs = 7L * 86400L * 1000000L
+    val ev = t(s, d, "events").select(col("user_id"),
+      col("event_type").as("etype"), unix_micros(col("ts")).as("tu"))
+    val s1 = ev.filter(col("etype") === "signup")
+      .groupBy("user_id").agg(min(col("tu")).as("t1"))
+    val s2 = ev.filter(col("etype") === "view").join(s1, "user_id")
+      .filter(col("tu") > col("t1") && col("tu") <= col("t1") + weekUs)
+      .groupBy("user_id").agg(min(col("tu")).as("t2"))
+    val s3 = ev.filter(col("etype") === "purchase").join(s2, "user_id")
+      .filter(col("tu") > col("t2") && col("tu") <= col("t2") + weekUs)
+      .groupBy("user_id").agg(min(col("tu")).as("t3"))
+    val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
+    val rows = Seq(
+      (1L, "signup", n1, 1000000L),
+      (2L, "view_within_7d", n2,
+        if (n1 > 0) n2 * 1000000L / n1 else 0L),
+      (3L, "purchase_within_7d", n3,
+        if (n2 > 0) n3 * 1000000L / n2 else 0L))
+    import s.implicits._
+    rows.toDF("stage", "step", "n_users", "conv_ppm")
+      .orderBy(col("stage"))
+  }
+  private val q169Sql = """
+    WITH ev AS (SELECT user_id, event_type AS etype, epoch_us(ts) AS tu
+      FROM events),
+    s1 AS (SELECT user_id, min(tu) AS t1 FROM ev
+      WHERE etype = 'signup' GROUP BY 1),
+    s2 AS (SELECT ev.user_id, min(tu) AS t2 FROM ev JOIN s1 USING (user_id)
+      WHERE etype = 'view' AND tu > t1 AND tu <= t1 + 604800000000
+      GROUP BY 1),
+    s3 AS (SELECT ev.user_id, min(tu) AS t3 FROM ev JOIN s2 USING (user_id)
+      WHERE etype = 'purchase' AND tu > t2 AND tu <= t2 + 604800000000
+      GROUP BY 1),
+    n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+      (SELECT count(*) FROM s2) AS n2, (SELECT count(*) FROM s3) AS n3)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step,
+        CAST(n1 AS BIGINT) AS n_users,
+        CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'view_within_7d', CAST(n2 AS BIGINT),
+        CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END
+          AS BIGINT) FROM n
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase_within_7d', CAST(n3 AS BIGINT),
+        CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END
+          AS BIGINT) FROM n
+    ) ORDER BY stage"""
+
   /** q75 — rate-anomaly flags: per (event_type, minute) counts compared
     * against the trailing hour, flagged when the minute runs at more
     * than 2x the trailing per-minute rate. The alert rule of the data
@@ -787,6 +850,7 @@ object TemporalQueries {
     "q67_range_join_count" -> q67,
     "q71_sessionize_batch" -> q71,
     "q162_session_standing_fold" -> q162,
+    "q169_funnel_stages" -> q169,
     "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
@@ -805,5 +869,6 @@ object TemporalQueries {
     "q67_range_join_count" -> q67Sql,
     "q71_sessionize_batch" -> q71Sql,
     "q162_session_standing_fold" -> q162Sql,
+    "q169_funnel_stages" -> q169Sql,
     "q75_rate_anomaly" -> q75Sql)
 }
