@@ -304,7 +304,12 @@ object Plans {
       "q169_funnel_stages" ->
         ("k-step funnel: k-1 per-user min-ts joins, every join and " +
           "aggregate keyed on user_id — one shuffle key reused, " +
-          "never a per-user window over the full stream"))
+          "never a per-user window over the full stream"),
+      "q170_session_overlap" ->
+        ("interval overlap via hour-bin bucketing: sessions explode " +
+          "into spanned bins, candidates equi-join on bin, exact " +
+          "overlap verify — never the BroadcastNestedLoopJoin a " +
+          "naive inequality join plans"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

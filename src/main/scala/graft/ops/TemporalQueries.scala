@@ -256,6 +256,73 @@ object TemporalQueries {
           AS BIGINT) FROM n
     ) ORDER BY stage"""
 
+  // =====================================================================
+  // q170 — INTERVAL OVERLAP JOIN via time-bin bucketing: which user
+  // pairs were "online together" (their 30-min-gap sessions overlap in
+  // wall time), top-20 pairs by overlapping-session-pair count. The
+  // operator class Spark lacks natively: a naive `a.start <= b.end AND
+  // b.start <= a.end` join plans a BroadcastNestedLoopJoin; here every
+  // session EXPLODES into the hour bins it spans, candidates share a
+  // bin (equi-join), a session pair straddling several bins dedups by
+  // its identity, and the exact inclusive-overlap predicate verifies —
+  // candidate volume is Σ per-bin-population², bounded by concurrency,
+  // never N². Same binning idea as q67's banded range join, lifted
+  // from point-in-band to interval×interval.
+  // =====================================================================
+
+  private val q170: QFn = (s, d) => {
+    val gapUs = 1800L * 1000000L
+    val binUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("tu", "eid")
+    val sess = t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"),
+        col("event_id").as("eid"))
+      .withColumn("brk", when(
+        lag(col("tu"), 1).over(w).isNull ||
+          col("tu") - lag(col("tu"), 1).over(w) > gapUs, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("tu")).as("s0"), max(col("tu")).as("s1"))
+    val binned = sess.select(col("user_id"), col("s0"), col("s1"),
+      explode(sequence(expr(s"s0 div $binUs"),
+        expr(s"s1 div $binUs"))).as("bin"))
+    val b2 = binned.toDF("user_b", "b0", "b1", "bin")
+    binned.join(b2, Seq("bin"))
+      .filter(col("user_id") < col("user_b"))
+      .select(col("user_id").as("user_a"), col("s0"), col("s1"),
+        col("user_b"), col("b0"), col("b1"))
+      .distinct() // a pair straddling k shared bins appears k times
+      .filter(col("s0") <= col("b1") && col("b0") <= col("s1"))
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"))
+      .orderBy(col("n_overlaps").desc, col("user_a"), col("user_b"))
+      .limit(20)
+  }
+  private val q170Sql = """
+    WITH o AS (SELECT user_id, epoch_us(ts) AS tu, event_id AS eid,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events),
+    b AS (SELECT user_id, tu, eid, CASE WHEN prev IS NULL
+        OR tu - prev > 1800000000 THEN 1 ELSE 0 END AS brk FROM o),
+    sd AS (SELECT user_id, tu, sum(brk) OVER (PARTITION BY user_id
+        ORDER BY tu, eid ROWS BETWEEN UNBOUNDED PRECEDING AND
+        CURRENT ROW) AS sid FROM b),
+    sess AS (SELECT user_id, sid, min(tu) AS s0, max(tu) AS s1
+      FROM sd GROUP BY 1, 2),
+    binned AS (SELECT user_id, s0, s1, unnest(range(s0 // 3600000000,
+        s1 // 3600000000 + 1)) AS bin FROM sess),
+    cand AS (SELECT DISTINCT a.user_id AS user_a, a.s0, a.s1,
+        b.user_id AS user_b, b.s0 AS b0, b.s1 AS b1
+      FROM binned a JOIN binned b
+        ON a.bin = b.bin AND a.user_id < b.user_id)
+    SELECT user_a, user_b, count(*) AS n_overlaps
+    FROM cand WHERE s0 <= b1 AND b0 <= s1
+    GROUP BY 1, 2
+    ORDER BY n_overlaps DESC, user_a, user_b LIMIT 20"""
+
   /** q75 — rate-anomaly flags: per (event_type, minute) counts compared
     * against the trailing hour, flagged when the minute runs at more
     * than 2x the trailing per-minute rate. The alert rule of the data
@@ -851,6 +918,7 @@ object TemporalQueries {
     "q71_sessionize_batch" -> q71,
     "q162_session_standing_fold" -> q162,
     "q169_funnel_stages" -> q169,
+    "q170_session_overlap" -> q170,
     "q75_rate_anomaly" -> q75)
 
   val oracles: Map[String, String] = Map(
@@ -870,5 +938,6 @@ object TemporalQueries {
     "q71_sessionize_batch" -> q71Sql,
     "q162_session_standing_fold" -> q162Sql,
     "q169_funnel_stages" -> q169Sql,
+    "q170_session_overlap" -> q170Sql,
     "q75_rate_anomaly" -> q75Sql)
 }
