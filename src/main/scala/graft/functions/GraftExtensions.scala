@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("simhash32"),
         info("simhash32", "32-bit SimHash of the token multiset"),
         (args: Seq[Expression]) => SimHash32Expr(args(0))),
+      (FunctionIdentifier("simhash64"),
+        info("simhash64", "64-bit SimHash of the token multiset"),
+        (args: Seq[Expression]) => SimHash64Expr(args(0))),
       (FunctionIdentifier("winnow_fp"),
         info("winnow_fp", "winnowing fingerprint hash set"),
         (args: Seq[Expression]) =>
@@ -89,6 +92,7 @@ object F {
   def minhashSig(hashes: Column, k: Int): Column =
     c(MinHashSigExpr(e(hashes), k))
   def simhash32(text: Column): Column = c(SimHash32Expr(e(text)))
+  def simhash64(text: Column): Column = c(SimHash64Expr(e(text)))
   def winnowFp(text: Column, k: Int, w: Int): Column =
     c(WinnowFpExpr(e(text), k, w))
   def charGramHashes(text: Column, k: Int): Column =

@@ -140,6 +140,51 @@ case class SimHash32Expr(child: Expression)
     copy(child = newChild)
 }
 
+/** simhash64(text): 64-bit SimHash over the token multiset — the
+  * PRODUCTION geometry for Hamming-radius dedup (q165's scaladoc
+  * valve: 16-bit bands over 64 bits keep band occupancy ~1 per value
+  * at corpus scale, where sig32/8-bit bands saturate). polyHash gives
+  * 31 uniform bits; the upper 32 bits vote on the avalanche31-mixed
+  * hash (the Sketches uniformity chain), so the two halves are
+  * decorrelated. Bits 31 and 63 are structurally 0 (both source
+  * hashes are 31-bit) — 62 informative bits, stated honestly. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def foldable: Boolean = child.foldable
+  private def avalanche31(h0: Long): Long = {
+    var h = h0
+    h ^= h >> 15
+    h = (h * 739982445L) & 2147483647L
+    h ^= h >> 12
+    h = (h * 695872825L) & 2147483647L
+    h ^ (h >> 15)
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = TextExpressions.tokens(input.asInstanceOf[UTF8String].toString)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = TextExpressions.polyHash(toks(i))
+      val g = avalanche31(h)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        if (((g >> j) & 1L) == 1L) votes(32 + j) += 1
+        else votes(32 + j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** winnow_fp(text, k, w): distinct minima of w-windows over char k-gram
   * rolling hashes (MOSS winnowing fingerprint). */
 case class WinnowFpExpr(child: Expression, k: Int, w: Int)

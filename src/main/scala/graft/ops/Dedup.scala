@@ -122,6 +122,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** EXACT Hamming-radius pairs over 64-bit SimHash signatures via
+    * pigeonhole bands (multi-index Hamming — Norouzi et al. CVPR
+    * 2012): any pair within distance `radius` agrees on at least one
+    * of the `64 / bandBits` disjoint bands (requires radius <
+    * #bands), so candidates come from ONE equi-join on the (band,
+    * bits) key and an exact popcount verifies. This is the PRODUCTION
+    * geometry q165's pinned sig32/8-bit oracle demo points at:
+    * bandBits = 16 gives 65536 values per band, so band occupancy —
+    * and with it the quadratic within-band candidate term — stays
+    * ~corpus/65536 per value. Returns (id_a, id_b, hamming),
+    * id_a < id_b, each true pair exactly once. */
+  def hammingPairs(df: DataFrame, textCol: String, idCol: String,
+      radius: Int = 3, bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(radius >= 0 && radius < nBands,
+      s"pigeonhole needs radius < $nBands bands (got $radius)")
+    val mask = (1L << bandBits) - 1
+    val sigs = df.select(col(idCol).as("id"),
+      F.simhash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(array((0 until nBands).map(k =>
+        struct(lit(k).as("band"),
+          expr(s"(sig >> ${bandBits * k}) & $mask").as("bits"))): _*))
+        .as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"),
+        col("bb.bits").as("bits"))
+    val b2 = banded.toDF("id_b", "sig_b", "band", "bits")
+    banded.join(b2, Seq("band", "bits"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        expr("bit_count(sig ^ sig_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
   /** Exact n-gram Jaccard pairs >= `threshold` via PREFIX FILTERING
     * (AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     * WWW'08) instead of a raw inverted-index self-join.

@@ -2104,3 +2104,37 @@ class ProfileSpec extends SparkSpec {
     assert(reply.contains(""""n_distinct":2"""), reply)
   }
 }
+
+class HammingPairsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.F
+
+  test("hammingPairs == brute-force radius search (exactness), each " +
+      "pair once; simhash64's upper half is decorrelated") {
+    val docs = graft.engine.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val brute = docs.select(col("doc_id").as("id"),
+        F.simhash64(col("text")).as("sig"))
+    val b2 = brute.toDF("id_b", "sig_b")
+    val expect = brute.crossJoin(b2)
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        expr("bit_count(sig ^ sig_b)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.ops.Dedup.hammingPairs(docs, "text", "doc_id",
+        radius = 3, bandBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet === expect)
+    assert(got.length === got.toSet.size) // exactly once per pair
+    // decorrelation sanity: the upper 32 bits are not a copy of the
+    // lower (they vote on the avalanched hash)
+    val s = brute.limit(50).collect().map(_.getLong(1))
+    assert(s.exists(v => (v >>> 32) != (v & 0xFFFFFFFFL)))
+    // pigeonhole precondition enforced
+    intercept[IllegalArgumentException](
+      graft.ops.Dedup.hammingPairs(docs, "text", "doc_id",
+        radius = 4, bandBits = 16))
+  }
+}
