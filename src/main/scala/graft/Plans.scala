@@ -309,7 +309,12 @@ object Plans {
         ("interval overlap via hour-bin bucketing: sessions explode " +
           "into spanned bins, candidates equi-join on bin, exact " +
           "overlap verify — never the BroadcastNestedLoopJoin a " +
-          "naive inequality join plans"))
+          "naive inequality join plans"),
+      "q171_simhash64_hamming" ->
+        ("production Hamming geometry: sig64/16-bit bands, band " +
+          "occupancy ~corpus/65536 — same shape as q165 with the " +
+          "within-band quadratic term gone (117.6 s -> 11.0 s on " +
+          "the 10x probe)"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

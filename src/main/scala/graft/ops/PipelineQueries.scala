@@ -299,6 +299,49 @@ object PipelineQueries {
     SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
     ORDER BY doc_a, doc_b"""
 
+  /** q171 — the PRODUCTION Hamming geometry under the gate: q165's
+    * radius search re-run over 64-bit signatures with 16-bit bands
+    * ([[Dedup.hammingPairs]] — band occupancy ~corpus/65536 per value,
+    * so the within-band quadratic term vanishes at scale). The oracle
+    * rebuilds simhash64 compositionally: the lower 32 bits are
+    * [[dSimhash]] over the token polyHashes, the upper 32 the same
+    * vote fold over the avalanche31-mixed hashes (five chained
+    * list_transform steps — integer ops, bit-exact cross-engine). At
+    * this radius over decorrelated 64-bit signatures only genuinely
+    * near-identical token multisets pair — the output is the TRUE
+    * near-dup set, orders of magnitude sparser than q165's dense
+    * sig32 demo. */
+  private val q171: QFn = (s, d) => {
+    Dedup.hammingPairs(wide(s, d, "documents", "doc_id"), "text",
+        "doc_id", radius = 3, bandBits = 16)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+  private val q171Sql = {
+    val av = Seq(
+      "x -> xor(x, x >> 15)",
+      "x -> (x * 739982445) & 2147483647",
+      "x -> xor(x, x >> 12)",
+      "x -> (x * 695872825) & 2147483647",
+      "x -> xor(x, x >> 15)")
+      .foldLeft("hl")((acc, f) => s"list_transform($acc, $f)")
+    s"""
+    WITH sd0 AS (SELECT doc_id,
+        list_transform(${dToks("text")}, t -> ${dPoly("t")}) AS hl
+      FROM documents),
+    sd AS (SELECT doc_id,
+        ${dSimhash("hl")} | (${dSimhash(av)} << 32) AS sig
+      FROM sd0),
+    banded AS (SELECT doc_id, sig, k AS band,
+        (sig >> (16 * k)) & 65535 AS bits
+      FROM sd, (SELECT unnest([0, 1, 2, 3]) AS k)),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.sig, b.sig)) AS hamming
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+    ORDER BY id_a, id_b"""
+  }
+
   // =====================================================================
   // Embedding similarity
   // =====================================================================
@@ -2225,6 +2268,7 @@ object PipelineQueries {
     "q29_dedup_minhash_lsh" -> q29,
     "q30_dedup_simhash" -> q30,
     "q165_simhash_hamming" -> q165,
+    "q171_simhash64_hamming" -> q171,
     "q31_neardup_embedding_lsh" -> q31,
     "q32_ann_bruteforce_topk" -> q32,
     "q160_hard_negatives" -> q160,
@@ -2285,6 +2329,7 @@ object PipelineQueries {
     "q29_dedup_minhash_lsh" -> q29Sql,
     "q30_dedup_simhash" -> q30Sql,
     "q165_simhash_hamming" -> q165Sql,
+    "q171_simhash64_hamming" -> q171Sql,
     "q31_neardup_embedding_lsh" -> q31Sql,
     "q32_ann_bruteforce_topk" -> q32Sql,
     "q160_hard_negatives" -> q160Sql,
