@@ -314,7 +314,20 @@ object Plans {
         ("production Hamming geometry: sig64/16-bit bands, band " +
           "occupancy ~corpus/65536 — same shape as q165 with the " +
           "within-band quadratic term gone (117.6 s -> 11.0 s on " +
-          "the 10x probe)"))
+          "the 10x probe)"),
+      "q172_edit_distance_join" ->
+        ("deletion-neighborhood edit join (FastSS): candidates " +
+          "equi-join on <=d-deletion variants, so a bucket is an " +
+          "ed-2d near-clique and candidate volume tracks TRUE-pair " +
+          "volume even on ID-dense corpora where every gram " +
+          "saturates — bounded levenshtein verify, never the " +
+          "all-pairs scan the oracle runs"),
+      "q173_editjoin_prefix" ->
+        ("Ed-Join rare-gram prefix geometry: candidates equi-join " +
+          "ONLY on each string's q*d+1 rarest gram occurrences " +
+          "(shared-prefix grams never reach the join); short " +
+          "strings route through the length-banded pool; bounded " +
+          "levenshtein verify"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -342,6 +342,56 @@ object PipelineQueries {
     ORDER BY id_a, id_b"""
   }
 
+  /** q172 — EXACT edit-distance similarity join over the customer
+    * names, threshold d=1, via the deletion-neighborhood geometry
+    * ([[StringSim.deletionJoin]] — FastSS, Bocek et al. 2007). The
+    * corpus is adversarial for every gram-frequency scheme: all names
+    * share "Customer#0000…", and the digit-gram space (10^3 trigrams)
+    * SATURATES as the corpus grows, so even rarity-ordered Ed-Join
+    * prefix buckets grow with N (measured: the q173 geometry times out
+    * on the 10x name probe where this one holds — SCALING.md). Deletion
+    * variants key on all-but-one character, so a bucket is an ed-2
+    * near-clique and candidates track the true-pair volume. The oracle
+    * is the definitionally-exact all-pairs levenshtein scan (length-
+    * banded) — the hash gate proves the variant join admits no false
+    * negatives; `StringSimSpec` property-tests the equivalence on
+    * random perturbed strings. Levenshtein is the classic unit-cost
+    * DP — engine-independent integers. */
+  private val q172: QFn = (s, d) => {
+    StringSim.deletionJoin(wide(s, d, "customer", "c_custkey"), "c_name",
+        d = 1)
+      .select(col("s_a").as("nm_a"), col("s_b").as("nm_b"), col("lev"))
+      .orderBy(col("nm_a"), col("nm_b"))
+  }
+  private val q172Sql = """
+    WITH n AS (SELECT DISTINCT c_name AS nm FROM customer)
+    SELECT a.nm AS nm_a, b.nm AS nm_b, levenshtein(a.nm, b.nm) AS lev
+    FROM n a JOIN n b ON a.nm < b.nm
+      AND abs(length(a.nm) - length(b.nm)) <= 1
+      AND levenshtein(a.nm, b.nm) <= 1
+    ORDER BY nm_a, nm_b"""
+
+  /** q173 — the rare-gram prefix geometry ([[StringSim.editJoin]] —
+    * Ed-Join, Xiao et al. VLDB 2008) under the same oracle, on the
+    * part names at d=2: a natural-text key where gram RARITY (not
+    * whole-string identity) is the right candidate key, and where the
+    * radius-2 deletion fan-out (C(L,2) variants/string) would be the
+    * wasteful shape. Short names below the count-filter floor
+    * q*(d+1)=9 route through the length-banded short pool — both
+    * filter paths sit under the hash gate. */
+  private val q173: QFn = (s, d) => {
+    StringSim.editJoin(wide(s, d, "part", "p_partkey"), "p_name", d = 2)
+      .select(col("s_a").as("nm_a"), col("s_b").as("nm_b"), col("lev"))
+      .orderBy(col("nm_a"), col("nm_b"))
+  }
+  private val q173Sql = """
+    WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
+    SELECT a.nm AS nm_a, b.nm AS nm_b, levenshtein(a.nm, b.nm) AS lev
+    FROM n a JOIN n b ON a.nm < b.nm
+      AND abs(length(a.nm) - length(b.nm)) <= 2
+      AND levenshtein(a.nm, b.nm) <= 2
+    ORDER BY nm_a, nm_b"""
+
   // =====================================================================
   // Embedding similarity
   // =====================================================================
@@ -2269,6 +2319,8 @@ object PipelineQueries {
     "q30_dedup_simhash" -> q30,
     "q165_simhash_hamming" -> q165,
     "q171_simhash64_hamming" -> q171,
+    "q172_edit_distance_join" -> q172,
+    "q173_editjoin_prefix" -> q173,
     "q31_neardup_embedding_lsh" -> q31,
     "q32_ann_bruteforce_topk" -> q32,
     "q160_hard_negatives" -> q160,
@@ -2330,6 +2382,8 @@ object PipelineQueries {
     "q30_dedup_simhash" -> q30Sql,
     "q165_simhash_hamming" -> q165Sql,
     "q171_simhash64_hamming" -> q171Sql,
+    "q172_edit_distance_join" -> q172Sql,
+    "q173_editjoin_prefix" -> q173Sql,
     "q31_neardup_embedding_lsh" -> q31Sql,
     "q32_ann_bruteforce_topk" -> q32Sql,
     "q160_hard_negatives" -> q160Sql,
