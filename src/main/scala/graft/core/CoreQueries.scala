@@ -748,9 +748,12 @@ object CoreQueries {
       UNION ALL
       SELECT 'c5_line_identity_unique',
         CAST(count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
-          AS BIGINT),
+          + sum(CASE WHEN CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+            IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         CAST((SELECT n FROM den) AS BIGINT),
-        count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) * 100
+        (count(DISTINCT CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR))
+          + sum(CASE WHEN CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+            IS NULL THEN 1 ELSE 0 END)) * 100
           >= 100 * (SELECT n FROM den)
       FROM lineitem
       UNION ALL

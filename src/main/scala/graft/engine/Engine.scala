@@ -1860,13 +1860,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * change CLOSES the key's current row (`valid_to` = the change
     * time, `is_current` = false) and INSERTS a new versioned row, so
     * the table keeps full history and any past state is one
-    * `valid_from <= t AND (valid_to IS NULL OR t < valid_to)` filter
-    * away. First SCD2 merge stamps the three system columns onto the
-    * target (existing rows: `valid_from` NULL = since-forever,
-    * current). Multiple batch rows per key CHAIN: each row's
-    * `valid_to` is the key's next change time (one per-key window
-    * over the BATCH only — never over target history). Same
-    * crash-safe swap + row-count receipt as compact/merge. */
+    * `(valid_from IS NULL OR valid_from <= t) AND (valid_to IS NULL
+    * OR t < valid_to)` filter away (the NULL `valid_from` arm keeps
+    * the since-forever rows the first merge stamps — dropping it
+    * silently loses pre-history state). First SCD2 merge stamps the
+    * three system columns onto the target (existing rows:
+    * `valid_from` NULL = since-forever, current). Multiple batch rows
+    * per key CHAIN: each row's `valid_to` is the key's next change
+    * time (one per-key window over the BATCH only — never over target
+    * history). Duplicate (key, ts) batch rows are REJECTED loudly:
+    * two changes at the same instant have no defined order, so any
+    * chaining of them would be nondeterministic (which row ends up
+    * `is_current` would vary run to run) — de-duplicate or timestamp
+    * the source first. Same crash-safe swap + row-count receipt as
+    * compact/merge. */
   private def mergeScd2(t: String): String = {
     val m = ("(?i)merge\\s+scd2\\s+into\\s+(\\S+)\\s+using\\s+(\\S+)" +
       "\\s+on\\s+(\\S+)\\s+at\\s+(\\S+)").r.findFirstMatchIn(t)
@@ -1889,8 +1896,18 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           catalog.viewNames.contains(src)) catalog.table(src)
       else spark.read.parquet(src)
     require(batch.columns.contains(ts), s"source lacks ts column $ts")
+    // determinism gate: a duplicate (key, ts) pair has no defined
+    // chain order — the lead() below would pick a nondeterministic
+    // winner for is_current. Fail loudly instead of silently varying.
+    val nDupTs = batch.groupBy(col(key), col(ts))
+      .count().filter(col("count") > 1).count()
+    require(nDupTs == 0L,
+      s"scd2 batch has $nDupTs duplicate ($key, $ts) pairs — two " +
+        "changes at the same instant have no defined version order; " +
+        "de-duplicate the source or refine the timestamps")
     // chain versions WITHIN the batch: one per-key window over the
-    // batch only (batch-sized, never history-sized)
+    // batch only (batch-sized, never history-sized); (key, ts) is
+    // unique (gate above), so this order is total and deterministic
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(key).orderBy(ts)
     // ts stays as a data column when the target carries it; the
@@ -2175,17 +2192,38 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * ([[graft.ops.Graph.triangles]] — the only place it ever runs),
     * and persists edges + count through the crash-atomic IndexStore
     * (edge state at `path`, the count row at `path-count`). */
+  /** The census total rides as an [[graft.ops.IndexStore]] TAG inside
+    * the SAME committed version as the edge state (tag files land
+    * before the commit marker), so edges and count are atomic — no
+    * window where new edges committed with a stale count (a crash
+    * between two separate artifact writes would otherwise let the next
+    * refresh's anti-join drop those edges from the delta, silently
+    * undercounting forever). Legacy two-artifact stores (`-count`
+    * sidecar) remain readable. */
+  private val TriTagRx = "TRICOUNT_(\\d+)_(\\d+)".r
+
+  /** (n_triangles, n_edges) committed WITH the current edge version,
+    * falling back to the legacy `-count` sidecar artifact. */
+  private def triStats(path: String): (Long, Long) =
+    graft.ops.IndexStore.currentTags(spark, path)
+      .collectFirst { case TriTagRx(tri, e) => (tri.toLong, e.toLong) }
+      .getOrElse {
+        val cntPath = path.stripSuffix("/") + "-count"
+        val prev = graft.ops.IndexStore.read(spark, cntPath).getOrElse(
+          throw new IllegalArgumentException(
+            s"no tricount census at $path (neither version tag nor " +
+              s"legacy $cntPath)")).head()
+        (prev.getAs[Long]("n_triangles"), prev.getAs[Long]("n_edges"))
+      }
+
   private def triCreate(t: String): String = {
     val path = triReq(t, "path")
     val e = triNormalize(triFrame(triReq(t, "edges")),
       triReq(t, "src"), triReq(t, "dst")).localCheckpoint(true)
     val nTri = graft.ops.Graph.triangles(e).count()
     val nEdges = e.count()
-    graft.ops.IndexStore.write(e, path)
-    import org.apache.spark.sql.functions.lit
-    graft.ops.IndexStore.write(
-      spark.range(1).select(lit(nTri).as("n_triangles"),
-        lit(nEdges).as("n_edges")), path.stripSuffix("/") + "-count")
+    graft.ops.IndexStore.write(e, path,
+      Some(s"TRICOUNT_${nTri}_$nEdges"))
     s"tricount created at $path: $nTri triangles over $nEdges edges"
   }
 
@@ -2201,11 +2239,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val old = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no tricount at $path"))
       .localCheckpoint(true)
-    val cntPath = path.stripSuffix("/") + "-count"
-    val prev = graft.ops.IndexStore.read(spark, cntPath).getOrElse(
-      throw new IllegalArgumentException(s"no tricount count at $cntPath"))
-      .head()
-    val prevTri = prev.getAs[Long]("n_triangles")
+    val (prevTri, _) = triStats(path)
     val fresh = triNormalize(triFrame(triReq(t, "source")),
         triReq(t, "src"), triReq(t, "dst"))
       .join(old, Seq("a", "b"), "left_anti").localCheckpoint(true)
@@ -2215,11 +2249,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       else graft.ops.Graph.triangleDelta(old, fresh).count()
     val merged = old.unionByName(fresh).localCheckpoint(true)
     val nEdges = merged.count()
-    graft.ops.IndexStore.write(merged, path)
-    import org.apache.spark.sql.functions.lit
-    graft.ops.IndexStore.write(
-      spark.range(1).select(lit(prevTri + delta).as("n_triangles"),
-        lit(nEdges).as("n_edges")), cntPath)
+    // ONE commit carries both the merged edges and the new census
+    // total (tag in the same version dir) — crash-atomic as a pair
+    graft.ops.IndexStore.write(merged, path,
+      Some(s"TRICOUNT_${prevTri + delta}_$nEdges"))
     s"tricount refreshed at $path: +$nNew edges, +$delta triangles, " +
       s"total ${prevTri + delta}"
   }
@@ -2227,9 +2260,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   /** `graph tricount get where path = <dir>` — serve the standing
     * count: reads the ONE-row artifact, no graph access at all. */
   private def triGet(t: String): String = {
-    val path = triReq(t, "path").stripSuffix("/") + "-count"
-    val df = graft.ops.IndexStore.read(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no tricount count at $path"))
+    val path = triReq(t, "path")
+    val (nTri, nEdges) = triStats(path)
+    import org.apache.spark.sql.functions.lit
+    val df = spark.range(1).select(lit(nTri).as("n_triangles"),
+      lit(nEdges).as("n_edges"))
     if (triKv(t, "format").contains("table")) Render.table(df)
     else Render.json(df)
   }

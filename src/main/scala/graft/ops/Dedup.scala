@@ -154,8 +154,11 @@ object Dedup {
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"),
         expr("bit_count(sig ^ sig_b)").as("hamming"))
-      .distinct()
+      // verify BEFORE dedup (StringSim.verifyDedup discipline): the
+      // popcount filter is row-local and free; the distinct shuffle
+      // then moves true pairs only, not the band-candidate volume
       .filter(col("hamming") <= radius)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard pairs >= `threshold` via PREFIX FILTERING

@@ -126,6 +126,24 @@ object IndexStore {
     next
   }
 
+  /** All tags stamped on the CURRENT committed version. Because a tag
+    * file lands inside the version directory BEFORE the commit marker,
+    * a tag read here is guaranteed to describe exactly the data
+    * [[read]] returns — the atomic-metadata channel a standing
+    * artifact uses to commit a derived scalar (e.g. the triangle
+    * census total) in the SAME commit as its data, with no window
+    * where one landed and the other didn't. */
+  def currentTags(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, _) = fsOf(spark, dir)
+    currentVersion(spark, dir).toSeq.flatMap { n =>
+      fs.listStatus(new Path(s"$dir/v=$n")).toSeq.collect {
+        case st if st.isFile &&
+            st.getPath.getName.startsWith("_GRAFT_TAG_") =>
+          st.getPath.getName.stripPrefix("_GRAFT_TAG_")
+      }
+    }
+  }
+
   /** True iff any LIVE committed version (current or the retained
     * previous) carries `tag`. Pruned versions take their tags with
     * them — callers must only rely on a two-write lookback. */

@@ -282,8 +282,11 @@ object PipelineQueries {
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         expr("bit_count(sig ^ sig_b)").as("hamming"))
-      .distinct() // a close pair can agree on several bands
+      // verify-then-dedup: the free popcount filter runs first so the
+      // distinct shuffle carries true pairs, not band candidates (a
+      // close pair can still agree on several bands — hence distinct)
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
   private val q165Sql = s"""

@@ -39,9 +39,14 @@ object Quality {
   /** Fraction of rows satisfying an arbitrary boolean SQL predicate. */
   final case class Satisfies(name: String, predicate: String,
       minPct: Int = 100) extends Check
-  /** `col` has no duplicate values (null-safe: nulls count as one
-    * group each — exact distinct vs total). Extra cost: one distinct
-    * aggregate on the column. */
+  /** `col` has no duplicate NON-NULL values. Pinned null semantic
+    * (the SQL UNIQUE-constraint rule — NULLs never collide): metric =
+    * count(distinct non-null values) + count(null rows), vs total
+    * rows, so every null row counts as its own group and only
+    * duplicated non-null values fail the check. Both engines compute
+    * the identical expression (`count(DISTINCT col)` excludes NULLs
+    * in Spark AND DuckDB; the null term is explicit). Extra cost: one
+    * distinct aggregate on the column. */
   final case class Unique(name: String, col: String) extends Check
   /** Every non-null `col` value exists in `refDf`'s `refCol` (broadcast
     * the dimension side when small). Extra cost: one anti-join. */
@@ -86,8 +91,13 @@ object Quality {
     val den = base.getAs[Long]("__den")
     val perCheck: Seq[(String, Long, Long)] = checks.map {
       case u: Unique =>
-        val d = df.select(expr(u.col).as("__u")).distinct().count()
-        (u.name, d, den)
+        // count(DISTINCT x) excludes NULLs in both engines; each null
+        // row is its own group (SQL UNIQUE semantics — see the case
+        // class doc), so the metric is distinct-non-null + null rows
+        val r = df.agg(
+          countDistinct(expr(u.col)).as("__d"),
+          count(when(expr(u.col).isNull, lit(1))).as("__nulls")).head()
+        (u.name, r.getAs[Long]("__d") + r.getAs[Long]("__nulls"), den)
       case r: Ref =>
         val nn = df.filter(expr(r.col).isNotNull)
         val nnCount = nn.count()

@@ -59,7 +59,12 @@ object StringSim {
     // Positional q-grams -> multiset elements (g, occ): occ numbers the
     // occurrences of each gram VALUE within the string, so duplicate
     // grams are distinct elements and set-overlap == multiset-overlap.
-    val grams = strs
+    // Strings with len < q have NO q-gram: they must not enter the
+    // pipeline at all — sequence(1, 0) materializes the DESCENDING
+    // array [1, 0], which would fabricate two whole-string "grams"
+    // that pollute the rarity table. All such strings sit below the
+    // shortLen floor, so the short-string pool already pairs them.
+    val grams = strs.filter(col("len") >= q)
       .select(col("s"),
         explode(expr(s"transform(sequence(1, greatest(len - ${q - 1}, 0)), " +
           s"i -> struct(i AS gpos, substring(s, i, $q) AS g))")).as("e"))

@@ -1193,6 +1193,28 @@ class Scd2Spec extends SparkSpec {
       .filter(col("id") === 2L && col("is_current"))
       .select("city").head().getString(0) === "WA")
   }
+
+  test("merge scd2 rejects duplicate (key, ts) batch rows loudly — " +
+      "same-instant changes have no deterministic chain order") {
+    val dir = java.nio.file.Files.createTempDirectory("scd2dup")
+    Seq((1L, "alice", "NY")).toDF("id", "name", "city")
+      .write.parquet(dir.resolve("dim.parquet").toString)
+    Seq(
+      (1L, "alice", "SF", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")),
+      (1L, "alice", "TX", java.sql.Timestamp.valueOf("2024-02-01 00:00:00")))
+      .toDF("id", "name", "city", "ts")
+      .write.parquet(dir.resolve("batch.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("dim", dir.resolve("dim.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val err = intercept[IllegalArgumentException] {
+      engine.execute(s"merge scd2 into dim using " +
+        s"${dir.resolve("batch.parquet")} on id at ts")
+    }
+    assert(err.getMessage.contains("duplicate"), err.getMessage)
+    // target untouched by the rejected merge
+    assert(cat.table("dim").count() === 1L)
+  }
 }
 
 class MatViewServeSpec extends SparkSpec {

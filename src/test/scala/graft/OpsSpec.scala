@@ -2014,6 +2014,21 @@ class QualitySpec extends SparkSpec {
     assert(reply.contains(""""metric_num":2"""), reply)
     assert(reply.contains(""""pass":true"""), reply)
   }
+
+  test("unique: pinned NULL semantics — every null row is its own " +
+      "group (SQL UNIQUE), only duplicated non-null values fail") {
+    // three NULLs + two distinct values: metric 5/5, pass
+    val ok = Seq(Some("a"), Some("b"), None, None, None).toDF("s")
+    val r1 = Quality.verify(ok, Seq(Unique("u", "s"))).head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getBoolean(3)) ===
+      ((5L, 5L, true)))
+    // duplicated non-null value fails even with nulls present:
+    // distinct-non-null 1 + nulls 1 = 2 of 3
+    val dup = Seq(Some("a"), Some("a"), None).toDF("s")
+    val r2 = Quality.verify(dup, Seq(Unique("u", "s"))).head()
+    assert((r2.getLong(1), r2.getLong(2), r2.getBoolean(3)) ===
+      ((2L, 3L, false)))
+  }
 }
 
 class MatViewSpec extends SparkSpec {

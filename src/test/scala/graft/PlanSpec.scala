@@ -487,5 +487,15 @@ class PipelinePlanSpec extends SparkSpec {
     assert(graft.ops.Graph.triangles(union).count() === 2L)
     val got = engine.execute(s"graph tricount get where path = $dir/idx")
     assert(got.contains("\"n_triangles\":2"), got)
+    // the census total commits ATOMICALLY with the edge state: the
+    // count rides as a tag inside the live version dir (one commit
+    // marker covers both), never as a second artifact whose write
+    // could crash apart from the edges
+    assert(graft.ops.IndexStore.currentTags(spark, s"$dir/idx")
+      .contains("TRICOUNT_2_5"))
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/idx-count")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/idx-count")),
+      "no separate count artifact may exist (two-write crash window)")
   }
 }
