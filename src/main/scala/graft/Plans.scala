@@ -327,7 +327,26 @@ object Plans {
           "ONLY on each string's q*d+1 rarest gram occurrences " +
           "(shared-prefix grams never reach the join); short " +
           "strings route through the length-banded pool; bounded " +
-          "levenshtein verify"))
+          "levenshtein verify"),
+      "q174_shingle_index_delete" ->
+        ("shingle-index tombstones: delete ids anti-join the (id, h) " +
+          "rows, then ONE df aggregate + ONE per-doc window re-derive " +
+          "rarity/rank/size over survivors — index-rows-only work, " +
+          "corpus text never re-read"),
+      "q175_sq8_index_delete" ->
+        ("SQ8 tombstones: coded rows anti-join away on id, the " +
+          "frozen grid row survives (role guard), serve scans only " +
+          "surviving codes — delete cost is the anti-join, not a " +
+          "rebuild"),
+      "q176_postings_index_delete" ->
+        ("postings tombstones: per-doc rows anti-join away; df/N/" +
+          "avgdl derive from survivors at query time so BM25 stats " +
+          "shift without any stored-global maintenance"),
+      "q177_matview_delete" ->
+        ("matview tombstone fold: delete batch's grouped partials " +
+          "NEGATE into the #groups-row state (count/sum subtract, " +
+          "zero-count groups retire) — batch-sized work, min/max " +
+          "specs refuse loudly (IVM boundary)"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

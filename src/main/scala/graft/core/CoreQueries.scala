@@ -817,6 +817,47 @@ object CoreQueries {
     FROM lineitem GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** q177 — standing matview DELETE (the tombstone half of IVM,
+    * [[graft.ops.MatView.foldDelete]]): the q166-shaped count/sum
+    * state built over the whole table folds OUT a delete batch —
+    * every 'R'-flag row (retiring whole groups) plus every
+    * l_orderkey ≡ 1 (mod 3) row (partial subtraction) — and serves
+    * the surviving #groups rows with the exact floor-div average
+    * derived at read. The oracle is the one-shot GROUP BY over the
+    * base minus the deletes: hash equality is fold-with-deletes ==
+    * rebuild. min/max specs refuse this path loudly (the IVM
+    * boundary — MatViewSpec proves the error, this query proves the
+    * legal algebra). */
+  private val q177: QFn = (s, d) => {
+    import graft.ops.MatView
+    import graft.ops.MatView.AggSpec
+    val li = t(s, d, "lineitem").withColumn("cents",
+      expr("cast(floor(l_extendedprice * 100.0) as bigint)"))
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val aggs = Seq(AggSpec("count", "1", "n"),
+      AggSpec("sum", "l_quantity", "sum_qty"),
+      AggSpec("sum", "cents", "sum_cents"))
+    val state = MatView.partials(li, keys, aggs).localCheckpoint(true)
+    val dels = li.filter(col("l_returnflag") === "R" ||
+      pmod(col("l_orderkey"), lit(3)) === 1)
+    MatView.foldDelete(state, dels, keys, aggs)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        col("sum_qty"), col("sum_cents"),
+        expr("sum_cents div n").as("avg_cents_floor"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  private val q177Sql = """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+      sum(l_quantity) AS sum_qty,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        AS BIGINT) AS sum_cents,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        AS BIGINT) // count(*) AS avg_cents_floor
+    FROM lineitem
+    WHERE NOT (l_returnflag = 'R' OR l_orderkey % 3 = 1)
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
   /** q168 — column profiling ([[graft.ops.Profile]]): the
     * what-is-in-this-table receipt, every column's row/null/distinct
     * counts and string length stats from ONE aggregate pass (all
@@ -862,6 +903,7 @@ object CoreQueries {
   val queries: Map[String, QFn] = Map(
     "q168_column_profile" -> q168,
     "q166_matview_fold" -> q166,
+    "q177_matview_delete" -> q177,
     "q163_quality_constraints" -> q163,
     "q154_correlated_subquery" -> q154,
     "q56_pivot_conditional" -> q56,
@@ -899,6 +941,7 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q168_column_profile" -> q168Sql,
     "q166_matview_fold" -> q166Sql,
+    "q177_matview_delete" -> q177Sql,
     "q163_quality_constraints" -> q163Sql,
     "q154_correlated_subquery" -> q154Sql,
     "q56_pivot_conditional" -> q56Sql,

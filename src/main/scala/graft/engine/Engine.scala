@@ -519,6 +519,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     else if (low.startsWith("vindex create")) vindexCreate(t)
     else if (low.startsWith("vindex refresh")) vindexRefresh(t)
+    else if (low.startsWith("vindex delete")) vindexDelete(t)
     else if (low.startsWith("vindex search")) vindexSearch(t)
     else if (low.startsWith("vindex negatives")) vindexNegatives(t)
     else if (low.startsWith("vindex attach")) vindexAttach(t)
@@ -540,6 +541,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     else if (low.startsWith("tindex create")) tindexCreate(t)
     else if (low.startsWith("tindex refresh")) tindexRefresh(t)
+    else if (low.startsWith("tindex delete")) tindexDelete(t)
     else if (low.startsWith("tindex search")) tindexSearch(t)
     else if (low.startsWith("tindex phrase")) tindexPhrase(t)
     else if (low.startsWith("tindex near")) tindexNear(t)
@@ -713,8 +715,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("profile table")) profileTable(t)
     else if (low.startsWith("matview create")) matviewCreate(t)
     else if (low.startsWith("matview refresh")) matviewRefresh(t)
+    else if (low.startsWith("matview delete")) matviewDelete(t)
     else if (low.startsWith("matview get")) matviewGet(t)
     else if (low.startsWith("matview attach")) matviewAttach(t)
+    else if (low.startsWith("dedup index delete")) dedupIndexDelete(t)
     else if (low == "get matviews") {
       if (matviews.isEmpty) "no matviews registered"
       else matviews.toSeq.sortBy(_._1).map { case (tbl, m) =>
@@ -824,6 +828,69 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       .localCheckpoint()
     graft.ops.IndexStore.write(folded, path)
     s"matview refreshed at $path: ${folded.count()} groups"
+  }
+
+  /** Parse the delete set of a `… delete` command: either an inline
+    * `ids = (v1, v2, …)` literal list (longs, else strings) or
+    * `source = <table|path>` with an optional `id = <col>` naming the
+    * id column (defaults to `defaultIdCol`, else the frame's first
+    * column). */
+  private def deleteIdsFrame(t: String,
+      defaultIdCol: Option[String] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    "(?i)\\bids\\s*=\\s*\\(([^)]*)\\)".r.findFirstMatchIn(t) match {
+      case Some(m) =>
+        val raw = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        require(raw.nonEmpty, "empty ids = (…) list")
+        import spark.implicits._
+        if (raw.forall(_.matches("-?\\d+")))
+          raw.map(_.toLong).toSeq.toDF("id")
+        else raw.map(_.stripPrefix("'").stripSuffix("'")).toSeq
+          .toDF("id")
+      case None =>
+        val src = "(?i)\\bsource\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+          .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+            "delete requires ids = (…) or source = <table|path>"))
+        val f = mvFrame(src)
+        val idc = "(?i)\\bid\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+          .map(_.group(1))
+          .orElse(defaultIdCol.filter(f.columns.contains))
+          .getOrElse(f.columns.head)
+        f.select(col(idc))
+    }
+  }
+
+  /** `matview delete where path = <dir> and source = <table|path>`
+    * (or `ids = (…)` is NOT accepted here — deletes are whole rows,
+    * so the spec's key/agg expressions must evaluate over them) —
+    * fold a tombstone batch OUT of the standing view under the
+    * RECORDED spec ([[graft.ops.MatView.foldDelete]]): count/sum
+    * subtract, zero-count groups retire. A spec recording min/max
+    * fails LOUDLY (not self-maintainable under deletes — the IVM
+    * boundary); a delete batch that is not a subset of folded rows is
+    * detected (negative count) and aborted with the original state
+    * intact. */
+  private def matviewDelete(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"matview delete requires $k ="))
+    val path = req("path")
+    val (keys, aggs) = mvRecordedSpec(path)
+    val state = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no matview at $path"))
+    val folded = graft.ops.MatView.foldDelete(state,
+      mvFrame(req("source")), keys, aggs).localCheckpoint()
+    import org.apache.spark.sql.functions.col
+    val cntAlias = aggs.find(_.fn == "count").get.alias
+    val negGroups = folded.filter(col(cntAlias) < 0).count()
+    require(negGroups == 0L,
+      s"matview delete: $negGroups group(s) went count-negative — the " +
+        "delete batch is not a subset of previously folded rows; " +
+        "aborted, original state intact")
+    graft.ops.IndexStore.write(folded, path)
+    s"matview deleted at $path: ${folded.count()} groups remain"
   }
 
   /** `matview get where path = <dir> [and format = table]` — serve the
@@ -1334,6 +1401,31 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     s"vindex for $table refreshed ($rows index rows)"
   }
 
+  /** `vindex delete where table = <t> and (ids = (1, 2, 3) | source =
+    * <table|path> [and id = <col>])` — tombstone a set of vector ids
+    * out of the standing index ([[graft.ops.Similarity
+    * .deleteFromIndex]]): coded corpus rows anti-join away, the
+    * recorded geometry (books / grid / centroids) survives frozen, and
+    * the artifact commits as a fresh crash-atomic IndexStore version.
+    * Serve-after-delete == serve-over-survivors exactly (q175). */
+  private def vindexDelete(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("vindex delete requires table ="))
+    val meta = vindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no vindex registered for $table"))
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no vindex artifact at ${meta.path}"))
+    val before = stored.count()
+    val folded = graft.ops.Similarity.deleteFromIndex(stored,
+      deleteIdsFrame(t, Some(meta.idCol))).localCheckpoint()
+    val removed = before - folded.count()
+    graft.ops.IndexStore.write(folded, meta.path)
+    s"vindex for $table: $removed coded row(s) deleted " +
+      s"(geometry retained)"
+  }
+
   /** `vindex search where table = <t> and probes = <table|path> and
     * k = <n> [and nprobe = <n>] [and format = table]` — serve ANN
     * top-k from the standing artifact: ADC over PQ codes, or
@@ -1530,6 +1622,69 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       graft.ops.IndexStore.write(foldedG, s"${meta.path}-grams")
     }
     s"tindex for $table refreshed ($rows index rows)"
+  }
+
+  /** `tindex delete where table = <t> and (ids = (1, 2, 3) | source =
+    * <table|path> [and id = <col>])` — tombstone a set of doc ids out
+    * of the standing postings index ([[graft.ops.Retrieval
+    * .deleteFromPostingsIndex]]; the trigram sidecar, when present,
+    * forgets the same ids). df / N / avgdl derive from surviving rows
+    * at query time, so delete == rebuild-over-survivors exactly
+    * (q176). Commits as fresh crash-atomic IndexStore versions. */
+  private def tindexDelete(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("tindex delete requires table ="))
+    val meta = tindexes.getOrElse(table,
+      throw new IllegalArgumentException(s"no tindex registered for $table"))
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no tindex artifact at ${meta.path}"))
+    val del = deleteIdsFrame(t, Some(meta.idCol)).localCheckpoint()
+    val before = stored.count()
+    val folded = graft.ops.Retrieval.deleteFromPostingsIndex(stored, del)
+      .localCheckpoint()
+    val removed = before - folded.count()
+    graft.ops.IndexStore.write(folded, meta.path)
+    if (meta.grams) {
+      val prev = graft.ops.IndexStore
+        .read(spark, s"${meta.path}-grams").getOrElse(
+          throw new IllegalStateException(
+            s"no trigram sidecar at ${meta.path}-grams"))
+      graft.ops.IndexStore.write(
+        graft.ops.Retrieval.deleteFromPostingsIndex(prev, del)
+          .localCheckpoint(), s"${meta.path}-grams")
+    }
+    s"tindex for $table: $removed index row(s) deleted" +
+      (if (meta.grams) " (+trigram sidecar)" else "")
+  }
+
+  /** `dedup index delete where path = <dir> and (ids = (1, 2, 3) |
+    * source = <table|path> [and id = <col>])` — tombstone a set of doc
+    * ids out of the standing SHINGLE index the near-dup ingest gate
+    * carries ([[graft.ops.Dedup.deleteFromShingleIndex]]): the ids'
+    * (id, h) rows drop and df / per-doc rank / size re-derive over the
+    * survivors, so the gate's prefix filter keeps its exactness
+    * invariants and delete == rebuild-over-survivors (q174). Commits
+    * as a fresh crash-atomic IndexStore version. */
+  private def dedupIndexDelete(t: String): String = {
+    def req(k: String): String =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"dedup index delete requires $k ="))
+    val path = req("path")
+    val stored = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no dedup index at $path"))
+    import org.apache.spark.sql.functions.countDistinct
+    val before = stored.select(countDistinct(
+      org.apache.spark.sql.functions.col("id"))).head().getLong(0)
+    val folded = graft.ops.Dedup.deleteFromShingleIndex(stored,
+      deleteIdsFrame(t)).localCheckpoint()
+    val after = folded.select(countDistinct(
+      org.apache.spark.sql.functions.col("id"))).head().getLong(0)
+    graft.ops.IndexStore.write(folded, path)
+    s"dedup index at $path: ${before - after} doc(s) deleted, " +
+      s"$after remain"
   }
 
   /** `tindex near where table = <t> and w1 = <term> and w2 = <term>

@@ -389,6 +389,23 @@ object Dedup {
       .union(newDocs.select(col(idCol).as("id"),
         explode(F.shingleHashes(col(textCol), shingleN)).as("h"))))
 
+  /** DELETE a set of doc ids from the standing shingle index
+    * (tombstones — retention windows, right-to-be-forgotten: `drop
+    * partition` forgets the base rows, this forgets their index
+    * residue). The ids' (id, h) rows anti-join away, then df /
+    * per-doc rank / doc size re-derive over the SURVIVORS — the same
+    * enrichment pass refresh runs, so delete == rebuild-over-survivors
+    * EXACTLY (q174's oracle is the from-scratch build over the
+    * surviving corpus). Cost: one df aggregate + one per-doc window
+    * over surviving index rows; corpus text is never touched.
+    * `deleteIds`: any one-column frame of doc ids. */
+  def deleteFromShingleIndex(index: DataFrame,
+      deleteIds: DataFrame): DataFrame =
+    enrichShingleIndex(index.select(col("id"), col("h"))
+      .join(deleteIds.select(
+          col(deleteIds.columns.head).as("id")).distinct(),
+        Seq("id"), "left_anti"))
+
   /** (id, h) -> (id, h, df, pos, n): attach corpus df and the per-doc
     * rank under the global (df asc, h asc) order. */
   private def enrichShingleIndex(sh: DataFrame): DataFrame = {
@@ -2033,6 +2050,34 @@ object Similarity {
         col("codes"), lit(null).cast("array<bigint>").as("mns"),
         lit(null).cast("array<bigint>").as("spans")))
   }
+
+  /** Roles that record the index GEOMETRY rather than corpus rows:
+    * PQ codebooks, SQ8 grid stats, IVF centroids, residual-PQ coarse +
+    * fine books. A delete never touches them — geometry is frozen by
+    * the same discipline refresh relies on (codes stay comparable
+    * because codewords / grids / cells never move). */
+  private val GeometryRoles = Seq("book", "stat", "cent", "cbook",
+    "fbook")
+
+  /** DELETE a set of vector ids from ANY standing role-tagged vector
+    * index (pq / sq8 / ivf / rpq — tombstones: retention or
+    * right-to-be-forgotten on the corpus must also forget its coded
+    * rows, or a `vindex search` keeps surfacing deleted vectors).
+    * Corpus-row roles anti-join away on id; the recorded geometry
+    * rows survive (see [[GeometryRoles]] — IVF "cent" rows carry the
+    * seeding vector's id, so the role guard is what keeps a deleted
+    * vector's FROZEN centroid copy routable). Serve-after-delete ==
+    * serve-over-survivors with the recorded geometry EXACTLY (q175's
+    * oracle); a full rebuild additionally retrains the geometry —
+    * that remains the drift remedy, not the delete path.
+    * `deleteIds`: any one-column frame of ids. */
+  def deleteFromIndex(index: DataFrame, deleteIds: DataFrame): DataFrame =
+    index.join(
+      deleteIds.select(col(deleteIds.columns.head).as("__did"))
+        .distinct(),
+      col("id") === col("__did") &&
+        !col("role").isin(GeometryRoles: _*),
+      "left_anti")
 
   /** Serve asymmetric SQ8 top-k from the standing artifact. */
   def sq8SearchIndex(index: DataFrame, probes: DataFrame,

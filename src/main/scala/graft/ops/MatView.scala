@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   *     |rows|), committed through the crash-atomic [[IndexStore]].
   *   - refresh: partials of the BATCH fold into the state by key —
   *     count/sum add, min/max lattice-join. Batch-sized work; the
-  *     base table's history is never rescanned. (Deletions are out of
-  *     scope by construction: min/max are not self-maintainable under
-  *     deletes — the standard IVM boundary, stated honestly.)
+  *     base table's history is never rescanned.
+  *   - delete ([[foldDelete]]): count/sum SUBTRACT a tombstone
+  *     batch's partials and zero-count groups retire, so fold-with-
+  *     deletes == rebuild (q177); min/max are not self-maintainable
+  *     under deletes — the standard IVM boundary — and fail loudly.
   *   - serve: read the #groups-row artifact; derived averages are
   *     exact sum/count divisions computed at read.
   *
@@ -70,6 +72,45 @@ object MatView {
     val cols = aggs.map(foldCol)
     state.unionByName(batch)
       .groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Fold a DELETE batch out of the standing state — the tombstone
+    * half of IVM. count/sum are groups under deletion (subtract the
+    * batch's partials); min/max are NOT self-maintainable under
+    * deletes (removing the extremum needs a base rescan to find the
+    * runner-up — the standard IVM boundary, Gray et al. 1997 /
+    * Gupta & Mumick's taxonomy), so a spec recording min or max FAILS
+    * LOUDLY here rather than silently serving a stale extremum:
+    * rebuild with `matview create`, or keep min/max out of specs that
+    * must absorb deletes. A `count` agg is REQUIRED in the spec — it
+    * is what lets a fully-deleted group retire from the state (rows
+    * whose count reaches 0 drop, so delete == rebuild even when whole
+    * groups vanish). The caller must feed deletes that are a subset
+    * of previously-folded rows (the classic IVM contract); the Engine
+    * command verifies no group goes negative before committing. */
+  def foldDelete(state: DataFrame, deletes: DataFrame,
+      keys: Seq[String], aggs: Seq[AggSpec]): DataFrame = {
+    val extrema = aggs.filter(a => a.fn == "min" || a.fn == "max")
+    if (extrema.nonEmpty) throw new IllegalStateException(
+      s"matview delete: recorded agg(s) ${extrema.map(a =>
+        s"${a.fn}(${a.expr}) AS ${a.alias}").mkString(", ")} are not " +
+        "self-maintainable under deletes (a deleted extremum needs a " +
+        "base-table rescan to find the runner-up — the standard IVM " +
+        "boundary). Rebuild the view with `matview create`, or record " +
+        "only count/sum aggregates in views that must absorb deletes.")
+    val cnt = aggs.find(_.fn == "count").getOrElse(
+      throw new IllegalStateException(
+        "matview delete requires a count aggregate in the recorded " +
+          "spec: without a per-group row count a fully-deleted group " +
+          "can never retire from the state"))
+    val batch = partials(deletes, keys, aggs)
+    val negated = batch.select(
+      (keys.map(col) ++ aggs.map(a => (-col(a.alias)).as(a.alias))): _*)
+    // zero-count groups retire; a NEGATIVE count (delete batch not a
+    // subset of folded rows) is kept visible so the caller can detect
+    // it and abort before committing — the Engine command does exactly
+    // that and leaves the original state intact
+    fold(state, negated, keys, aggs).filter(col(cnt.alias) =!= 0)
   }
 
   /** Spec JSON: {"keys": ["a", "b"], "aggs": [{"fn": "sum",

@@ -395,6 +395,31 @@ object PipelineQueries {
       AND levenshtein(a.nm, b.nm) <= 2
     ORDER BY nm_a, nm_b"""
 
+  /** q174 — standing shingle-index DELETE (tombstones): the index
+    * built over the whole documents corpus forgets every doc_id
+    * divisible by 5 via [[Dedup.deleteFromShingleIndex]] — (id, h)
+    * rows drop, then df / per-doc rank / size re-derive over the
+    * survivors. The oracle builds the index FROM SCRATCH over the
+    * surviving corpus, so hash equality IS the delete == rebuild
+    * proof for every column the near-dup gate's prefix filter stands
+    * on. Corpus text is never re-read on the Spark side — the delete
+    * is index-rows-only work. */
+  private val q174: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    Dedup.deleteFromShingleIndex(
+        Dedup.shingleIndex(docs, "text", "doc_id"),
+        docs.filter(col("doc_id") % 5 === 0).select(col("doc_id")))
+      .orderBy(col("id"), col("pos"))
+  }
+  private val q174Sql = s"""
+    WITH sh AS (SELECT doc_id AS id, unnest($dShingleHashes) AS h
+      FROM documents WHERE doc_id % 5 != 0),
+    dfq AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+    SELECT id, h, df,
+      row_number() OVER (PARTITION BY id ORDER BY df, h) - 1 AS pos,
+      count(*) OVER (PARTITION BY id) AS n
+    FROM sh JOIN dfq USING (h) ORDER BY id, pos"""
+
   // =====================================================================
   // Embedding similarity
   // =====================================================================
@@ -2324,6 +2349,7 @@ object PipelineQueries {
     "q171_simhash64_hamming" -> q171,
     "q172_edit_distance_join" -> q172,
     "q173_editjoin_prefix" -> q173,
+    "q174_shingle_index_delete" -> q174,
     "q31_neardup_embedding_lsh" -> q31,
     "q32_ann_bruteforce_topk" -> q32,
     "q160_hard_negatives" -> q160,
@@ -2387,6 +2413,7 @@ object PipelineQueries {
     "q171_simhash64_hamming" -> q171Sql,
     "q172_edit_distance_join" -> q172Sql,
     "q173_editjoin_prefix" -> q173Sql,
+    "q174_shingle_index_delete" -> q174Sql,
     "q31_neardup_embedding_lsh" -> q31Sql,
     "q32_ann_bruteforce_topk" -> q32Sql,
     "q160_hard_negatives" -> q160Sql,

@@ -646,6 +646,64 @@ object QuantQueries {
     WHERE rank <= 3 ORDER BY q_id, rank"""
 
   // ===================================================================
+  // q175 — standing SQ8 index DELETE (tombstones): q128's artifact
+  // (grid trained on vec_id < 400, the rest folded against the
+  // RECORDED stats) forgets every vec_id ≡ 3 (mod 7) via
+  // Similarity.deleteFromIndex — coded rows anti-join away, the
+  // frozen grid survives — then serves the same probes. The oracle
+  // codes the WHOLE corpus on the training-set grid and searches only
+  // the survivors: hash equality proves serve-after-delete ==
+  // serve-over-survivors with the recorded geometry (a full rebuild
+  // would additionally retrain the grid — that is the drift remedy,
+  // not the delete path, same frozen-geometry discipline as refresh).
+  // ===================================================================
+
+  private val q175: QFn = (s, d) => {
+    val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    val idx = Similarity.refreshSq8Index(
+      Similarity.sq8Index(vecs.filter(col("vec_id") < 400),
+        "embedding", "vec_id"),
+      vecs.filter(col("vec_id") >= 400), "embedding", "vec_id")
+    val afterDelete = Similarity.deleteFromIndex(idx,
+      vecs.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    Similarity.sq8SearchIndex(afterDelete,
+        vecs.filter(col("vec_id") < 20), "embedding", "vec_id", k = 3)
+      .withColumnRenamed("id", "vec_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("sq_d2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q175Sql = s"""
+    WITH e AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(x*1000) AS BIGINT)) AS vq
+      FROM embeddings),
+    dim AS (SELECT unnest(list_transform(range(len(vq)),
+        j -> {'j': j, 'x': vq[CAST(j AS INT) + 1]})) AS u FROM e
+      WHERE vec_id < 400),
+    pd AS (SELECT CAST(u.j AS BIGINT) AS j, min(u.x) AS mn,
+        greatest(max(u.x) - min(u.x), 1) AS span FROM dim GROUP BY 1),
+    st AS (SELECT list(mn ORDER BY j) AS mns,
+        list(span ORDER BY j) AS spans FROM pd),
+    codes AS (SELECT vec_id, list_transform(range(len(vq)),
+        j -> least(255, greatest(0,
+          ((vq[CAST(j AS INT) + 1] - mns[CAST(j AS INT) + 1]) * 255)
+            // spans[CAST(j AS INT) + 1])) * spans[CAST(j AS INT) + 1])
+        AS rec
+      FROM e, st),
+    pr AS (SELECT vec_id AS q_id, list_transform(range(len(vq)),
+        j -> (vq[CAST(j AS INT) + 1] - mns[CAST(j AS INT) + 1]) * 255)
+        AS p255
+      FROM e, st WHERE vec_id < 20),
+    sc AS (SELECT p.q_id, c.vec_id,
+        ${dSqDistQ("p.p255", "c.rec")} AS sq_d2
+      FROM codes c, pr p
+      WHERE c.vec_id != p.q_id AND c.vec_id % 7 != 3)
+    SELECT q_id, rank, vec_id, sq_d2 FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY sq_d2, vec_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  // ===================================================================
   // q133 — random-projection ANN (Johnson–Lindenstrauss / Achlioptas):
   // 64-dim lattice vectors project to 16 signed int64 sums via the
   // parity-of-quadratic-mix ±1 matrix (the hash IS the matrix — no
@@ -758,6 +816,7 @@ object QuantQueries {
     "q122_ivf_sq8_topk" -> q122,
     "q127_residual_standing_index" -> q127,
     "q128_sq8_standing_index" -> q128,
+    "q175_sq8_index_delete" -> q175,
     "q133_rp_ann" -> q133)
 
   val oracles: Map[String, String] = Map(
@@ -773,5 +832,6 @@ object QuantQueries {
     "q122_ivf_sq8_topk" -> q122Sql,
     "q127_residual_standing_index" -> q127Sql,
     "q128_sq8_standing_index" -> q128Sql,
+    "q175_sq8_index_delete" -> q175Sql,
     "q133_rp_ann" -> q133Sql)
 }

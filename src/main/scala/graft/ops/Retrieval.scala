@@ -87,6 +87,22 @@ object Retrieval {
       .unionByName(fresh)
   }
 
+  /** DELETE a set of doc ids from the standing postings index
+    * (tombstones — a retention drop or right-to-be-forgotten on the
+    * corpus must also forget the docs' postings, or BM25 / phrase /
+    * NEAR keep surfacing deleted documents). Every index row (both
+    * the "post" and "len" roles) is per-doc and df / N / avgdl derive
+    * from the surviving rows at query time, so delete == rebuild over
+    * the surviving corpus EXACTLY — the q176 oracle. Works unchanged
+    * on the trigram sidecar (also keyed by per-doc `id` rows).
+    * `deleteIds`: any one-column frame of doc ids. */
+  def deleteFromPostingsIndex(index: DataFrame,
+      deleteIds: DataFrame): DataFrame =
+    index.join(
+      deleteIds.select(col(deleteIds.columns.head).cast("long")
+        .as("__did")).distinct(),
+      col("id") === col("__did"), "left_anti")
+
   /** The quantized BM25 per-(query,term,doc) contribution — ONE
     * expression text used verbatim by BOTH the Spark plan and the
     * DuckDB oracle, so the double arithmetic (cast order, association,

@@ -101,6 +101,61 @@ object RetrievalQueries {
   private val q118Sql = dBm25("doc_id >= 5 AND doc_id < 10", 3)
 
   // ===================================================================
+  // q176 — standing postings-index DELETE (tombstones): q118's folded
+  // artifact forgets every doc_id ≡ 1 (mod 4) via
+  // Retrieval.deleteFromPostingsIndex, then serves the same BM25
+  // probes. Everything in the index is per-doc and df / N / avgdl
+  // derive from SURVIVING rows at query time, so the oracle is simply
+  // BM25 over the corpus minus the tombstones — hash equality IS the
+  // delete == rebuild proof (note n_docs/avgdl/df all shift with the
+  // deletion: the stats legs are re-proved, not just the row drop).
+  // Probes stay drawn from the full table — a deleted doc may still
+  // QUERY the index; it just can no longer be retrieved (doc_id 5 and
+  // 9 are themselves tombstoned, exercising exactly that).
+  // ===================================================================
+
+  private val q176: QFn = (s, d) => {
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+    val idx = Retrieval.refreshPostingsIndex(
+      Retrieval.postingsIndex(docs.filter(col("doc_id") < 400),
+        "text", "doc_id"),
+      docs.filter(col("doc_id") >= 400), "text", "doc_id")
+    val afterDelete = Retrieval.deleteFromPostingsIndex(idx,
+      docs.filter(col("doc_id") % 4 === 1).select(col("doc_id")))
+    Retrieval.bm25TopK(afterDelete,
+        docs.filter(col("doc_id") >= 5 && col("doc_id") < 10),
+        "text", "doc_id", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q176Sql = {
+    val contrib = Retrieval.bm25Contrib("p.tf", "df", "l.dl", "n_docs",
+      "avgdl", Retrieval.k1Lit(12), Retrieval.bLit(75))
+    s"""$dTokPrefix,
+    postd AS (SELECT * FROM post WHERE doc_id % 4 != 1),
+    lensd AS (SELECT * FROM lens WHERE doc_id % 4 != 1),
+    stats AS (SELECT count(*) AS n_docs,
+        CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM lensd),
+    qt AS (SELECT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+      FROM tk WHERE doc_id >= 5 AND doc_id < 10),
+    dfq AS (SELECT term, count(*) AS df FROM postd
+      WHERE term IN (SELECT term FROM qt) GROUP BY 1),
+    c AS (SELECT q.q_id, p.doc_id, $contrib AS c
+      FROM postd p JOIN qt q USING (term) JOIN dfq USING (term)
+        JOIN lensd l ON l.doc_id = p.doc_id, stats
+      WHERE p.doc_id != q.q_id),
+    sc AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS score_q
+      FROM c GROUP BY 1, 2)
+    SELECT q_id, rank, doc_id, score_q FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY score_q DESC, doc_id) AS INT) AS rank FROM sc)
+    WHERE rank <= 3 ORDER BY q_id, rank"""
+  }
+
+  // ===================================================================
   // q119 — positional phrase search: the corpus's most frequent bigram
   // (ties to the lexicographically smallest), then every doc containing
   // it as an EXACT phrase with its phrase frequency, from position-list
@@ -333,6 +388,7 @@ object RetrievalQueries {
     "q129_hybrid_rrf" -> q129,
     "q117_bm25_topk" -> q117,
     "q118_postings_standing_index" -> q118,
+    "q176_postings_index_delete" -> q176,
     "q119_phrase_search" -> q119,
     "q124_phrase_snippets" -> q124,
     "q125_proximity_near" -> q125,
@@ -342,6 +398,7 @@ object RetrievalQueries {
     "q129_hybrid_rrf" -> q129Sql,
     "q117_bm25_topk" -> q117Sql,
     "q118_postings_standing_index" -> q118Sql,
+    "q176_postings_index_delete" -> q176Sql,
     "q119_phrase_search" -> q119Sql,
     "q124_phrase_snippets" -> q124Sql,
     "q125_proximity_near" -> q125Sql,

@@ -545,6 +545,48 @@ class VIndexCommandSpec extends SparkSpec {
       s"vindex search where table = embeddings and probes = $probes and k = 2"))
   }
 
+  test("vindex delete tombstones coded rows: search never surfaces " +
+      "deleted ids, the recorded geometry survives untouched") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("pqdel").toString
+    engine.execute("vindex create where table = embeddings " +
+      s"and path = $p and id = vec_id and vector = embedding " +
+      "and type = pq and numsub = 4 and ksub = 8")
+    val booksBefore = Similarity.pqIndexBooks(
+      graft.ops.IndexStore.read(spark, p).get).collect().toSet
+    val out = engine.execute(
+      "vindex delete where table = embeddings and ids = (3, 4, 5)")
+    // numSub = 4 code rows per vector: 3 ids x 4 subs
+    assert(out.contains("12 coded row(s) deleted"), out)
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    assert(idx.filter(col("role") === "code" &&
+      col("id").isin(3L, 4L, 5L)).count() === 0)
+    // frozen geometry: books byte-identical across the delete
+    assert(Similarity.pqIndexBooks(idx).collect().toSet === booksBefore)
+    // serve-after-delete == library serve over the surviving artifact,
+    // and no deleted id can rank
+    val probes = dir.resolve("probes").toString
+    cat.table("embeddings").filter(col("vec_id") < 3)
+      .write.parquet(probes)
+    val reply = engine.execute("vindex search where table = embeddings " +
+      s"and probes = $probes and k = 5")
+    val expect = Similarity.pqSearchIndex(idx,
+      spark.read.parquet(probes), "embedding", "vec_id", k = 5,
+      numSub = 4).collect()
+    assert(expect.forall(r => !Set(3L, 4L, 5L)
+      .contains(r.getAs[Long]("id"))))
+    expect.foreach { r =>
+      assert(reply.contains(s""""id":${r.getAs[Long]("id")}"""),
+        s"missing neighbor ${r.getAs[Long]("id")} in $reply")
+    }
+    // delete via source-frame form composes (no-op on already-gone id)
+    val dels = dir.resolve("dels").toString
+    cat.table("embeddings").filter(col("vec_id") === 6L)
+      .select(col("vec_id")).write.parquet(dels)
+    assert(engine.execute("vindex delete where table = embeddings " +
+      s"and source = $dels").contains("4 coded row(s) deleted"))
+  }
+
   test("vindex refresh folds new vectors against the RECORDED books; " +
       "attach re-registers from the artifact alone") {
     val (cat, engine, dir) = staged()
@@ -689,6 +731,42 @@ class TIndexCommandSpec extends SparkSpec {
       .contains("dropped"))
     intercept[IllegalArgumentException](engine.execute(
       s"tindex search where table = documents and probes = $probes and k = 3"))
+  }
+
+  test("tindex delete tombstones doc ids: artifact == rebuild over " +
+      "survivors, BM25 stats shift, trigram sidecar forgets too") {
+    val (cat, engine, dir) = staged()
+    val p = dir.resolve("postdel").toString
+    engine.execute("tindex create where table = documents " +
+      s"and path = $p and id = doc_id and text = text and grams = true")
+    val out = engine.execute("tindex delete where table = documents " +
+      "and ids = (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)")
+    assert(out.contains("deleted"), out)
+    assert(out.contains("trigram sidecar"), out)
+    val full = cat.table("documents")
+    val survivors = full.filter(!col("doc_id").isin((1L to 10L): _*))
+    // postings artifact == from-scratch build over the survivors
+    val idx = graft.ops.IndexStore.read(spark, p).get
+    val rebuilt = Retrieval.postingsIndex(survivors, "text", "doc_id")
+    assert(idx.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(idx).count() === 0)
+    // trigram sidecar forgot the same ids (doc 0 legitimately stays)
+    val grams = graft.ops.IndexStore.read(spark, s"$p-grams").get
+    assert(grams.filter(col("id").between(1L, 10L)).count() === 0)
+    assert(grams.filter(col("id") === 0L).count() > 0)
+    // a deleted doc can still QUERY but never be retrieved
+    val probes = dir.resolve("probes").toString
+    full.filter(col("doc_id").isin(2L, 3L)).write.parquet(probes)
+    val reply = engine.execute("tindex search where table = documents " +
+      s"and probes = $probes and k = 3")
+    val hits = Retrieval.bm25TopK(idx, spark.read.parquet(probes),
+      "text", "doc_id", k = 3).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(r => r.getAs[Long]("id") > 10L))
+    hits.foreach { r =>
+      assert(reply.contains(s""""id":${r.getAs[Long]("id")}"""),
+        s"missing hit ${r.getAs[Long]("id")} in $reply")
+    }
   }
 
   test("tindex refresh folds a batch (fold == rebuild), phrase serves " +

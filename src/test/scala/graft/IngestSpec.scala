@@ -256,6 +256,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(expected.exceptAll(onDisk).count() === 0)
   }
 
+  test("dedup index delete command: tombstoned docs leave the standing " +
+      "shingle index == rebuild over survivors; the gate re-admits a " +
+      "twin of a forgotten doc") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val idxDir = java.nio.file.Files.createTempDirectory("nddel")
+      .resolve("idx").toString
+    def body(i: Long) = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+    val b1 = Seq((0L, body(0)), (1L, body(1)), (2L, body(2)))
+      .toDF("doc_id", "text")
+    graft.streaming.StreamOps
+      .nearDupIngestBatch(b1, idxDir, "text", "doc_id")
+    val engine = new graft.engine.Engine(spark,
+      new graft.engine.Catalog(spark))
+    val out = engine.execute(
+      s"dedup index delete where path = $idxDir and ids = (1)")
+    assert(out.contains("1 doc(s) deleted"), out)
+    assert(out.contains("2 remain"), out)
+    // delete == rebuild over the survivors (df/pos/n re-derived)
+    val expected = Dedup.shingleIndex(
+      Seq((0L, body(0)), (2L, body(2))).toDF("doc_id", "text"),
+      "text", "doc_id")
+    val onDisk = graft.ops.IndexStore.read(spark, idxDir).get
+      .select("id", "h", "df", "pos", "n")
+    assert(onDisk.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(onDisk).count() === 0)
+    // right-to-be-forgotten semantics: a twin of the FORGOTTEN doc is
+    // new again (the gate no longer remembers doc 1's shingles)
+    val twin = Seq((30L, body(1))).toDF("doc_id", "text")
+    val k = graft.streaming.StreamOps
+      .nearDupIngestBatch(twin, idxDir, "text", "doc_id")
+    assert(k.select("doc_id").as[Long].collect().toSeq === Seq(30L))
+  }
+
   test("nearDupIngestBatch replay is idempotent: a crashed batch re-runs " +
       "to the same kept set and a byte-identical index") {
     import spark.implicits._

@@ -2079,6 +2079,81 @@ class MatViewSpec extends SparkSpec {
     assert(got.contains(""""k":"b","n":2,"sv":12,"mx":10"""), got)
     assert(got.contains(""""k":"c","n":1,"sv":7,"mx":7"""), got)
   }
+
+  test("foldDelete: count/sum subtract, emptied groups retire " +
+      "(fold-with-deletes == rebuild); min/max and missing count " +
+      "hit the IVM boundary loudly") {
+    val csAggs = Seq(AggSpec("count", "1", "n"),
+      AggSpec("sum", "v", "sv"))
+    val all = Seq(("a", 1L), ("a", 5L), ("b", 2L), ("b", 3L), ("c", 9L))
+      .toDF("k", "v")
+    val dels = Seq(("a", 5L), ("c", 9L)).toDF("k", "v")
+    val after = MatView.foldDelete(
+      MatView.partials(all, Seq("k"), csAggs), dels, Seq("k"), csAggs)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // c retired entirely; a subtracted; b untouched == one-shot rebuild
+    assert(after === Seq(("a", 1L, 1L), ("b", 2L, 5L)))
+    // min/max in the spec → the standard IVM boundary, loudly
+    val err = intercept[IllegalStateException] {
+      MatView.foldDelete(MatView.partials(all, Seq("k"), aggs), dels,
+        Seq("k"), aggs)
+    }
+    assert(err.getMessage.contains("not self-maintainable"), err.getMessage)
+    // no count agg → a fully-deleted group could never retire: loud
+    val sumOnly = Seq(AggSpec("sum", "v", "sv"))
+    val err2 = intercept[IllegalStateException] {
+      MatView.foldDelete(MatView.partials(all, Seq("k"), sumOnly), dels,
+        Seq("k"), sumOnly)
+    }
+    assert(err2.getMessage.contains("count"), err2.getMessage)
+  }
+
+  test("matview delete command: folds tombstones under the recorded " +
+      "spec, aborts on a non-subset batch, refuses min/max specs") {
+    val dir = java.nio.file.Files.createTempDirectory("mvdel")
+    Seq(("a", 1L), ("a", 5L), ("b", 2L)).toDF("k", "v")
+      .write.parquet(dir.resolve("base.parquet").toString)
+    Seq(("a", 5L)).toDF("k", "v")
+      .write.parquet(dir.resolve("dels.parquet").toString)
+    // 10 rows of k=z that were never folded in: non-subset delete
+    Seq.fill(10)(("z", 1L)).toDF("k", "v")
+      .write.parquet(dir.resolve("bad.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("base", dir.resolve("base.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val p = dir.resolve("mv2").toString
+    engine.execute(s"matview create where table = base " +
+      s"""and path = $p and spec = {"keys": ["k"], "aggs": [
+        {"fn": "count", "alias": "n"}, {"fn": "sum", "expr": "v",
+         "alias": "sv"}]}""")
+    val out = engine.execute(s"matview delete where path = $p and " +
+      s"source = ${dir.resolve("dels.parquet")}")
+    assert(out.contains("2 groups remain"), out)
+    val got = engine.execute(s"matview get where path = $p")
+    assert(got.contains(""""k":"a","n":1,"sv":1"""), got)
+    assert(got.contains(""""k":"b","n":1,"sv":2"""), got)
+    // non-subset delete: detected via negative count, state intact
+    val err = intercept[IllegalArgumentException] {
+      engine.execute(s"matview delete where path = $p and " +
+        s"source = ${dir.resolve("bad.parquet")}")
+    }
+    assert(err.getMessage.contains("not a subset"), err.getMessage)
+    assert(engine.execute(s"matview get where path = $p")
+      .contains(""""k":"a","n":1,"sv":1"""))
+    // a min/max view refuses the delete path loudly
+    val p2 = dir.resolve("mv3").toString
+    engine.execute(s"matview create where table = base " +
+      s"""and path = $p2 and spec = {"keys": ["k"], "aggs": [
+        {"fn": "count", "alias": "n"}, {"fn": "max", "expr": "v",
+         "alias": "mx"}]}""")
+    val err2 = intercept[IllegalStateException] {
+      engine.execute(s"matview delete where path = $p2 and " +
+        s"source = ${dir.resolve("dels.parquet")}")
+    }
+    assert(err2.getMessage.contains("not self-maintainable"),
+      err2.getMessage)
+  }
 }
 
 class ProfileSpec extends SparkSpec {
