@@ -346,7 +346,12 @@ object Plans {
         ("matview tombstone fold: delete batch's grouped partials " +
           "NEGATE into the #groups-row state (count/sum subtract, " +
           "zero-count groups retire) — batch-sized work, min/max " +
-          "specs refuse loudly (IVM boundary)"))
+          "specs refuse loudly (IVM boundary)"),
+      "q178_matview_served_avg" ->
+        ("matview-served avg + HAVING: exact decimal sum / non-null " +
+          "count re-fold from #groups rows (bit-equal to the base " +
+          "decomposition), HAVING filters group rows post-aggregate " +
+          "— the base parquet is never scanned (plan-asserted)"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

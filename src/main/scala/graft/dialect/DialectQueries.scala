@@ -275,8 +275,55 @@ object DialectQueries {
     WHERE l_returnflag = 'R' OR l_returnflag = 'N'
     GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q178 — matview-served `avg` + HAVING under the driver gate:
+    * the view records the (decimal sum, NULL-SENSITIVE count) pair,
+    * the dialect query asks for `avg(l_quantity)` with a HAVING over
+    * its alias, and the serve path answers BOTH from the #groups-row
+    * state — the QFn requires the plan never scans lineitem parquet
+    * (q167's discipline). Served avg must be BIT-EQUAL to the base
+    * decomposition: exact decimal sum (re-folded, still exact) cast
+    * to double over the non-null count — the oracle replays that
+    * arithmetic verbatim, so hash equality pins it. HAVING filters
+    * group rows post-aggregate in the same plan position as the base
+    * path; the one filtered-out group ('A'-flag avg below the
+    * threshold at every SF... proven by the oracle, not assumed)
+    * exercises the filter for real. */
+  private val q178: QFn = (s, d) => {
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("lineitem", s"$d/lineitem.parquet")
+    val engine = new graft.engine.Engine(s, cat)
+    val dir = java.nio.file.Files.createTempDirectory("q178mv")
+      .resolve("mv").toString
+    engine.execute(s"matview create where table = lineitem and " +
+      s"""path = $dir and spec = {"keys":
+        ["l_returnflag", "l_linestatus"], "aggs": [
+        {"fn": "count", "alias": "cnt"},
+        {"fn": "count", "expr": "l_quantity", "alias": "nq"},
+        {"fn": "sum", "expr": "cast(l_quantity as decimal(18,2))",
+         "alias": "sq"}]}""")
+    val df = engine.query(
+      """sql edge "select l_returnflag, count(*) as n, """ +
+        """count(l_quantity) as n_qty, """ +
+        """avg(l_quantity) as avg_qty from lineitem """ +
+        """group by l_returnflag having avg_qty > 25.4 """ +
+        """order by l_returnflag"""")
+    require(!df.queryExecution.sparkPlan.toString
+        .contains("lineitem.parquet"),
+      "q178 fell back to the base plan — matview avg serving did not " +
+        "engage")
+    df
+  }
+  private val q178Sql = s"""
+    SELECT l_returnflag, count(*) AS n, count(l_quantity) AS n_qty,
+      ${oAvg("l_quantity")} AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    HAVING ${oAvg("l_quantity")} > 25.4
+    ORDER BY l_returnflag"""
+
   val queries: Map[String, QFn] = Map(
     "q167_matview_served" -> q167,
+    "q178_matview_served_avg" -> q178,
     "q102_rollup_served_dialect" -> q102,
     "q62_dialect_format_casts" -> q62,
     "q51_dialect_increments_month" -> q51,
@@ -292,6 +339,7 @@ object DialectQueries {
 
   val oracles: Map[String, String] = Map(
     "q167_matview_served" -> q167Sql,
+    "q178_matview_served_avg" -> q178Sql,
     "q102_rollup_served_dialect" -> q102Sql,
     "q62_dialect_format_casts" -> q62Sql,
     "q51_dialect_increments_month" -> q51Sql,

@@ -88,6 +88,10 @@ object EdgeSql {
       table: String,
       where: Option[String],
       groupBy: Seq[String],
+      // post-aggregation predicate over OUTPUT column names (aliases
+      // or default agg names) — the dialect's HAVING. Group-row
+      // filtering only; never sees pre-aggregation rows.
+      having: Option[String],
       orderBy: Seq[(String, Boolean)], // (expr, descending)
       limit: Option[Int],
       limitPer: Option[String])
@@ -121,10 +125,11 @@ object EdgeSql {
     require(kwFrom > 0, s"no FROM in: $sql")
     val kwWhere = findKeyword("where", kwFrom)
     val kwGroup = findKeyword("group by", kwFrom)
+    val kwHaving = findKeyword("having", kwFrom)
     val kwOrder = findKeyword("order by", kwFrom)
     val kwLimit = findKeyword("limit", math.max(kwOrder, kwFrom))
-    val ends = Seq(kwWhere, kwGroup, kwOrder, kwLimit, low.length)
-      .filter(_ >= 0)
+    val ends = Seq(kwWhere, kwGroup, kwHaving, kwOrder, kwLimit,
+      low.length).filter(_ >= 0)
 
     def section(start: Int, headerLen: Int): String = {
       val end = ends.filter(_ > start).min
@@ -139,6 +144,10 @@ object EdgeSql {
     val where = if (kwWhere < 0) None else Some(section(kwWhere, " where ".length))
     val groupBy = if (kwGroup < 0) Nil
       else splitTopLevel(section(kwGroup, " group by ".length), ',').map(_.trim)
+    val having = if (kwHaving < 0) None
+      else Some(section(kwHaving, " having ".length))
+    require(having.isEmpty || kwGroup >= 0,
+      "HAVING requires a GROUP BY")
     val orderBy = if (kwOrder < 0) Nil
       else splitTopLevel(section(kwOrder, " order by ".length), ',').map { o =>
         val t = o.trim
@@ -164,7 +173,8 @@ object EdgeSql {
         ProjItem(t.substring(0, asIdx).trim, Some(t.substring(asIdx + 4).trim))
       else ProjItem(t, None)
     }
-    Select(distinct, items, table, where, groupBy, orderBy, limit, limitPer)
+    Select(distinct, items, table, where, groupBy, having, orderBy,
+      limit, limitPer)
   }
 
   private def parenDepthAt(s: String, pos: Int): Int =
@@ -412,6 +422,13 @@ object EdgeSql {
     }
     if (dups.nonEmpty) throw new IllegalArgumentException(
       s"duplicate projected column name(s): ${dups.mkString(", ")}")
+
+    // ---- having: group-row filter over OUTPUT names, after the
+    // aggregate and before distinct / limit-per / order ----
+    sel.having.foreach { h =>
+      require(hasGrouping, "HAVING requires an aggregated query")
+      out = out.filter(expr(h))
+    }
 
     if (sel.distinct || forceDistinct) out = out.distinct()
 

@@ -19,13 +19,25 @@ import graft.ops.{IndexStore, MatView}
   *  - GROUP BY: a non-empty subset of the view's recorded keys
   *    (distributivity lets the state re-aggregate to any coarser
   *    grouping); projected keys must be grouped.
-  *  - Aggregates: `count(*)` needs a recorded count; `min(x)`/`max(x)`
-  *    need a recorded min/max over exactly `x`; `sum(x)` needs the
-  *    recorded partial `cast(x as decimal(18,2))` — the dialect's
-  *    money-sum discipline — so the served decimal fold is bit-equal
-  *    to the base plan's; `range(x)` needs both min and max. `avg`,
-  *    DISTINCT, `::` casts, `count(col)` (null-sensitive vs the
-  *    recorded count(*)) are NOT served.
+  *  - Aggregates: `count(*)` needs a recorded count; `count(x)`
+  *    (null-sensitive) needs a recorded `count` over exactly `x`;
+  *    `min(x)`/`max(x)` need a recorded min/max over exactly `x`;
+  *    `sum(x)` needs the recorded partial `cast(x as decimal(18,2))`
+  *    — the dialect's money-sum discipline — so the served decimal
+  *    fold is bit-equal to the base plan's; `range(x)` needs both min
+  *    and max; `avg(x)` needs BOTH the recorded decimal sum and the
+  *    recorded null-sensitive `count(x)` — the serve divides the
+  *    re-folded exact decimal sum (cast to double) by the re-folded
+  *    non-null count, the IDENTICAL arithmetic the base plan's
+  *    sum/count decomposition runs, so served avg is bit-equal
+  *    (PERF lesson 16: store (sum, count), divide at serve time; a
+  *    recorded count(*) does NOT qualify — it diverges on NULLs).
+  *    DISTINCT and `::` casts are NOT served.
+  *  - HAVING: served when every identifier in the predicate is an
+  *    OUTPUT column of the served projection (group key or agg
+  *    alias) — the filter then runs over group rows that are
+  *    value-identical to the base plan's, in the same plan position
+  *    (post-aggregate, pre-order). Anything else falls back.
   *  - WHERE: absent, or a predicate whose every identifier is a
   *    recorded KEY column (then it filters state rows — group
   *    semantics make that exact); any value-column reference rejects.
@@ -39,7 +51,7 @@ object MatViewServe {
       aggs: Seq[MatView.AggSpec])
 
   private val identRe = "[A-Za-z_][A-Za-z0-9_]*"
-  private val aggRe = "(?i)^(count|sum|min|max|range)\\s*\\((.+)\\)$".r
+  private val aggRe = "(?i)^(count|sum|min|max|range|avg)\\s*\\((.+)\\)$".r
 
   private val whereKeywords = Set("and", "or", "not", "in", "is",
     "null", "between", "like", "true", "false")
@@ -83,6 +95,11 @@ object MatViewServe {
           val c: Option[Column] = fn match {
             case "count" if arg == "*" =>
               recorded("count", "1").map(a => sum(col(a.alias)))
+            case "count" => // null-sensitive count(x): needs the
+              // recorded count over exactly x (count(*) diverges on
+              // NULLs and never qualifies — expr "1" can't match an
+              // identifier arg)
+              recorded("count", arg).map(a => sum(col(a.alias)))
             case "sum" =>
               recorded("sum", s"cast($arg as decimal(18,2))")
                 .map(a => sum(col(a.alias)).cast(DoubleType))
@@ -91,6 +108,15 @@ object MatViewServe {
             case "range" =>
               for (mx <- recorded("max", arg); mn <- recorded("min", arg))
                 yield abs(max(col(mx.alias)) - min(col(mn.alias)))
+            case "avg" =>
+              // EXACTLY the base plan's decomposition: exact decimal
+              // sum (re-folded, still exact) cast to double, divided
+              // by the re-folded NON-NULL count — bit-equal by IEEE
+              // (both operands are value-identical to the base's)
+              for (s <- recorded("sum", s"cast($arg as decimal(18,2))");
+                   c <- recorded("count", arg))
+                yield sum(col(s.alias)).cast(DoubleType) /
+                  sum(col(c.alias))
             case _ => None
           }
           c match {
@@ -104,6 +130,17 @@ object MatViewServe {
     val aggItems = items.collect { case Right((n, c)) => c.as(n) }
     if (aggItems.isEmpty) return None // plain distinct-keys query -> base
 
+    // HAVING serves only when every identifier is an OUTPUT column of
+    // this projection (group key or agg name): the served group rows
+    // are value-identical to the base plan's, so the same filter in
+    // the same position (post-aggregate, pre-order) is exact
+    val outNames = items.map {
+      case Left((n, _)) => n
+      case Right((n, _)) => n
+    }.toSet
+    if (sel.having.exists(h => !whereOverKeys(h, outNames)))
+      return None
+
     var st = IndexStore.read(spark, meta.path).getOrElse(return None)
     sel.where.foreach(w => st = st.filter(expr(w)))
     val grouped = st.groupBy(gb.map(col): _*)
@@ -113,6 +150,7 @@ object MatViewServe {
       case Left((name, key)) => col(key).as(name)
       case Right((name, _)) => col(name)
     }: _*)
+    sel.having.foreach(h => out = out.filter(expr(h)))
     if (sel.orderBy.nonEmpty)
       out = out.orderBy(sel.orderBy.map { case (e, desc) =>
         if (desc) col(e).desc else col(e).asc

@@ -30,15 +30,19 @@ import org.apache.spark.sql.functions._
   * corruption. fold == rebuild is exactly distributivity; q166 proves
   * it against a one-shot GROUP BY oracle. */
 object MatView {
-  /** One aggregate column: `fn` in count|sum|min|max over SQL `expr`
-    * (count ignores expr), output column `alias`. */
+  /** One aggregate column: `fn` in count|sum|min|max over SQL `expr`,
+    * output column `alias`. `count` with expr `"1"` (the default) is
+    * the row count; any other expr is the NULL-SENSITIVE `count(expr)`
+    * — recording it is what lets the serving layer answer `count(col)`
+    * and the exact `avg(col)` = sum/count-non-null decomposition. */
   final case class AggSpec(fn: String, expr: String, alias: String) {
     require(Seq("count", "sum", "min", "max").contains(fn),
       s"unsupported agg fn $fn (distributive algebra only)")
   }
 
   private def partialCol(a: AggSpec): Column = a.fn match {
-    case "count" => count(lit(1)).as(a.alias)
+    case "count" if a.expr.trim == "1" => count(lit(1)).as(a.alias)
+    case "count" => count(expr(a.expr)).as(a.alias)
     case "sum" => sum(expr(a.expr)).as(a.alias)
     case "min" => min(expr(a.expr)).as(a.alias)
     case "max" => max(expr(a.expr)).as(a.alias)

@@ -121,6 +121,31 @@ class EdgeSqlSpec extends SparkSpec {
     assert(s.limitPer === Some("a"))
   }
 
+  test("having: parses between group by and order by, filters group " +
+      "rows over output aliases, requires a grouped query") {
+    val s = EdgeSql.parseSelect(
+      "select a, count(*) as n from t group by a having n > 3 " +
+        "order by a limit 5")
+    assert(s.groupBy === Seq("a"))
+    assert(s.having === Some("n > 3"))
+    assert(s.orderBy === Seq(("a", false)))
+    assert(s.limit === Some(5))
+    // end-to-end: equals the hand-written post-agg filter
+    val viaDialect = EdgeSql.query(spark, load,
+      """sql edge "select event_type, count(*) as n from events """ +
+        """group by event_type having n > 100 order by event_type"""")
+    val direct = load("events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 100).orderBy(col("event_type"))
+    assert(viaDialect.collect().toSeq === direct.collect().toSeq)
+    assert(viaDialect.count() > 0)
+    // HAVING without GROUP BY is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      EdgeSql.parseSelect("select a from t having a > 3")
+    }
+    assert(e.getMessage.contains("GROUP BY"), e.getMessage)
+  }
+
   test("compiled dialect query equals the hand-written plan") {
     val viaDialect = EdgeSql.query(spark, load,
       """sql edge "select event_type, count(*) as n from events """ +

@@ -1346,7 +1346,9 @@ class MatViewServeSpec extends SparkSpec {
     assert(!served2.queryExecution.executedPlan.toString
       .contains("lineitem.parquet"))
     assert(served2.collect().toSeq === plain.query(q2).collect().toSeq)
-    // avg is NOT served (null-sensitivity) -> base plan, still correct
+    // avg is NOT served from THIS view — it lacks the null-sensitive
+    // count(l_quantity) the exact decomposition needs (count(*) would
+    // diverge on NULLs) -> base plan, still correct
     val q3 = """sql edge "select l_returnflag, avg(l_quantity) as a
       from lineitem group by l_returnflag order by l_returnflag""""
         .replaceAll("\n\\s*", " ")
@@ -1358,5 +1360,46 @@ class MatViewServeSpec extends SparkSpec {
         .replaceAll("\n\\s*", " ")
     assert(engine.query(q4).queryExecution.executedPlan.toString
       .contains("lineitem.parquet"))
+  }
+
+  test("avg / count(col) / HAVING serve from a view recording the " +
+      "(decimal sum, non-null count) pair — bit-equal to the base " +
+      "plan; HAVING over non-output identifiers falls back") {
+    val (_, engine, dir) = staged()
+    val p = dir.resolve("mvavg").toString
+    engine.execute(s"matview create where table = lineitem and " +
+      s"""path = $p and spec = {"keys":
+        ["l_returnflag", "l_linestatus"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "count", "expr": "l_quantity", "alias": "nq"},
+        {"fn": "sum", "expr": "cast(l_quantity as decimal(18,2))",
+         "alias": "sq"}]}""")
+    val q = """sql edge "select l_returnflag, avg(l_quantity) as aq,
+      count(l_quantity) as nq, count(*) as n from lineitem
+      group by l_returnflag having aq > 25.4 order by l_returnflag""""
+        .replaceAll("\n\\s*", " ")
+    val served = engine.query(q)
+    val (_, plain, _) = staged()
+    val base = plain.query(q)
+    assert(served.columns.toSeq === base.columns.toSeq)
+    // === on doubles: bit-equality of the served decomposition
+    assert(served.collect().toSeq === base.collect().toSeq)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("lineitem.parquet"), plan)
+    // HAVING actually filtered: fewer groups than the unfiltered set
+    val qAll = """sql edge "select l_returnflag, avg(l_quantity) as aq
+      from lineitem group by l_returnflag""""
+        .replaceAll("\n\\s*", " ")
+    assert(served.count() < engine.query(qAll).count())
+    // HAVING containing an identifier that is NOT an output column
+    // (here the function name abs) -> conservative serve declines,
+    // base plan answers it correctly
+    val qBad = """sql edge "select l_returnflag, count(*) as n
+      from lineitem group by l_returnflag having abs(n) > 10""""
+        .replaceAll("\n\\s*", " ")
+    val bad = engine.query(qBad)
+    assert(bad.queryExecution.sparkPlan.toString
+      .contains("lineitem.parquet"))
+    assert(bad.collect().toSeq === plain.query(qBad).collect().toSeq)
   }
 }
