@@ -719,6 +719,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("matview get")) matviewGet(t)
     else if (low.startsWith("matview attach")) matviewAttach(t)
     else if (low.startsWith("dedup index delete")) dedupIndexDelete(t)
+    else if (low.startsWith("run msg client")) runMsgClient(t)
+    else if (low.startsWith("exit msg client")) exitMsgClient()
     else if (low == "get matviews") {
       if (matviews.isEmpty) "no matviews registered"
       else matviews.toSeq.sortBy(_._1).map { case (tbl, m) =>
@@ -891,6 +893,54 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         "aborted, original state intact")
     graft.ops.IndexStore.write(folded, path)
     s"matview deleted at $path: ${folded.count()} groups remain"
+  }
+
+  private val msgClients =
+    scala.collection.mutable.ArrayBuffer.empty[graft.streaming.MqttClient]
+
+  /** `run msg client where broker = <host> and port = <n> and
+    * topic = <t>[,<t2>…] and dir = <watch-dir> [and qos = 1]` — the
+    * reference's client mode (`run msg client`,
+    * tcpip/mqtt_client.py:495-513): SUBSCRIBE to an EXTERNAL broker
+    * and land every delivered message as one NDJSON file in the watch
+    * dir — from there the ordinary watch-dir → mapping-policy → table
+    * streaming chain takes over (the same downstream as broker mode,
+    * so client vs broker is purely a which-side-initiates choice).
+    * QoS 1 by default: the client PUBACKs AFTER the file lands, and
+    * duplicate redeliveries are absorbed by the ingest gates. */
+  private def runMsgClient(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"run msg client requires $k ="))
+    val (host, port) = (req("broker"), req("port").toInt)
+    val topics = req("topic").split(",").map(_.trim).filter(_.nonEmpty)
+    val dir = java.nio.file.Paths.get(req("dir"))
+    java.nio.file.Files.createDirectories(dir)
+    val qos = kv("qos").map(_.toInt).getOrElse(1)
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val client = new graft.streaming.MqttClient(host, port,
+      s"graft-${System.nanoTime().toHexString}",
+      (topic, payload) => {
+        val f = dir.resolve(
+          s"m${n.incrementAndGet()}_${topic.replaceAll("[^A-Za-z0-9]", "_")}.json")
+        java.nio.file.Files.writeString(f, payload)
+      })
+    client.start(topics.toSeq.map(tp => (tp, qos)))
+    msgClients.synchronized { msgClients += client }
+    s"msg client subscribed to ${topics.mkString(", ")} at $host:$port " +
+      s"(qos $qos, landing in $dir)"
+  }
+
+  /** `exit msg client` — disconnect every running msg client. */
+  private def exitMsgClient(): String = {
+    val n = msgClients.synchronized {
+      val k = msgClients.size
+      msgClients.foreach(_.stop())
+      msgClients.clear()
+      k
+    }
+    s"$n msg client(s) disconnected"
   }
 
   /** `matview get where path = <dir> [and format = table]` — serve the

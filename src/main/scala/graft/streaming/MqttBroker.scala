@@ -25,6 +25,78 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
   private val server = new ServerSocket(port)
   @volatile private var running = true
 
+  /** Live subscriptions: (connection out-stream, topic filter,
+    * granted qos). A PUBLISH forwards to every matching filter — this
+    * is the broker half that makes `run msg client`
+    * ([[MqttClient]]) testable against the node's own broker, and it
+    * is real MQTT 3.1.1 fan-out: wildcard filters (`+` one level,
+    * `#` tail), per-subscription granted QoS, dead connections pruned
+    * on write failure. */
+  private val subs = scala.collection.mutable.ArrayBuffer
+    .empty[(OutputStream, String, Int)]
+  private val nextForwardId = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  /** MQTT 3.1.1 §4.7 topic filter match: `+` spans exactly one level,
+    * `#` (final level only) spans the rest. */
+  private[streaming] def topicMatches(filter: String, topic: String): Boolean = {
+    val f = filter.split("/", -1)
+    val t = topic.split("/", -1)
+    var i = 0
+    while (i < f.length) {
+      if (f(i) == "#") return true
+      if (i >= t.length) return false
+      if (f(i) != "+" && f(i) != t(i)) return false
+      i += 1
+    }
+    f.length == t.length
+  }
+
+  /** Encode the fixed-header remaining length as the MQTT varint. */
+  private def remLen(n: Int): Array[Byte] = {
+    var v = n
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var cont = true
+    while (cont) {
+      var d = v % 128
+      v /= 128
+      if (v > 0) d |= 0x80
+      out += d.toByte
+      cont = v > 0
+    }
+    out.toArray
+  }
+
+  /** Forward a PUBLISH to every matching subscriber at
+    * min(publish qos, granted qos) (spec §3.8.4); subscribers whose
+    * socket is gone are pruned. At-least-once to the subscriber is the
+    * PUBACK-carrying frame itself; retransmit-on-reconnect state is
+    * out of scope for this embedded broker (documented). */
+  private def forward(topic: String, payload: Array[Byte], pubQos: Int): Unit = {
+    val targets = subs.synchronized {
+      subs.filter(s => topicMatches(s._2, topic)).toList
+    }
+    targets.foreach { case (o, _, grantedQos) =>
+      val qos = math.min(pubQos, grantedQos)
+      val t = topic.getBytes(StandardCharsets.UTF_8)
+      val pid =
+        if (qos > 0) {
+          // packet ids are non-zero 16-bit (spec §2.3.1)
+          val id = (nextForwardId.getAndIncrement() & 0x7fff) | 1
+          Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
+        } else Array.emptyByteArray
+      val body = Array[Byte]((t.length >> 8).toByte,
+        (t.length & 0xff).toByte) ++ t ++ pid ++ payload
+      try o.synchronized {
+        o.write(Array[Byte]((0x30 | (qos << 1)).toByte) ++
+          remLen(body.length) ++ body)
+        o.flush()
+      } catch {
+        case _: java.io.IOException =>
+          subs.synchronized { subs.filterInPlace(_._1 ne o) }
+      }
+    }
+  }
+
   /** QoS 2 exactly-once receiver state, keyed by CLIENT ID at the broker
     * level (MQTT 3.1.1 §4.3.3): packet ids that got PUBREC but not yet
     * PUBREL. Broker-level (not per-connection) so a sender that
@@ -113,17 +185,25 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
               // first PUBLISH receipt, answer PUBREC, and suppress
               // delivery for a retransmission of the same packet id
               // until PUBREL completes the exchange
-              if (!(qos == 2 && inflight.synchronized(inflight.contains(packetId))))
+              if (!(qos == 2 && inflight.synchronized(inflight.contains(packetId)))) {
                 sink(topic, payload)
-              if (qos == 1) { // PUBACK
+                // broker fan-out: subscribers get the message too
+                forward(topic,
+                  java.util.Arrays.copyOfRange(body, pos, body.length),
+                  qos)
+              }
+              if (qos == 1) out.synchronized { // PUBACK
                 out.write(Array[Byte](0x40, 0x02,
                   ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
                 out.flush()
               } else if (qos == 2) { // PUBREC (re-sent on DUP too)
                 inflight.synchronized(inflight += packetId)
-                out.write(Array[Byte](0x50, 0x02,
-                  ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
-                out.flush()
+                out.synchronized {
+                  out.write(Array[Byte](0x50, 0x02,
+                    ((packetId >> 8) & 0xff).toByte,
+                    (packetId & 0xff).toByte))
+                  out.flush()
+                }
               }
             case 6 => // PUBREL -> PUBCOMP (completes the QoS 2 exchange)
               val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
@@ -131,6 +211,47 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
               out.write(Array[Byte](0x70, 0x02,
                 ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
               out.flush()
+            case 4 => // PUBACK from a subscriber: at-least-once done
+            case 8 => // SUBSCRIBE -> register filters, SUBACK
+              val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+              var pos = 2
+              val granted = scala.collection.mutable.ArrayBuffer.empty[Byte]
+              while (pos + 2 <= body.length) {
+                val fLen = ((body(pos) & 0xff) << 8) | (body(pos + 1) & 0xff)
+                val filter = new String(body, pos + 2, fLen,
+                  StandardCharsets.UTF_8)
+                val reqQos = body(pos + 2 + fLen) & 0x03
+                val g = math.min(reqQos, 1) // QoS 0/1 granted; 2 capped
+                subs.synchronized { subs += ((out, filter, g)) }
+                granted += g.toByte
+                pos += 3 + fLen
+              }
+              out.synchronized {
+                out.write(Array[Byte](0x90.toByte) ++
+                  remLen(2 + granted.length) ++
+                  Array[Byte](((packetId >> 8) & 0xff).toByte,
+                    (packetId & 0xff).toByte) ++ granted.toArray)
+                out.flush()
+              }
+            case 10 => // UNSUBSCRIBE -> drop this connection's filters,
+              // UNSUBACK
+              val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+              var pos = 2
+              while (pos + 2 <= body.length) {
+                val fLen = ((body(pos) & 0xff) << 8) | (body(pos + 1) & 0xff)
+                val filter = new String(body, pos + 2, fLen,
+                  StandardCharsets.UTF_8)
+                subs.synchronized {
+                  subs.filterInPlace(s => !((s._1 eq out) && s._2 == filter))
+                }
+                pos += 2 + fLen
+              }
+              out.synchronized {
+                out.write(Array[Byte](0xb0.toByte, 0x02,
+                  ((packetId >> 8) & 0xff).toByte,
+                  (packetId & 0xff).toByte))
+                out.flush()
+              }
             case 12 => // PINGREQ -> PINGRESP
               out.write(Array[Byte](0xd0.toByte, 0x00)); out.flush()
             case 14 => // DISCONNECT
@@ -145,7 +266,10 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
       // uncaught exception mid-protocol
       case scala.util.control.NonFatal(_) => ()
     }
-    finally sock.close()
+    finally {
+      subs.synchronized { subs.filterInPlace(_._1 ne out) }
+      sock.close()
+    }
   }
 
   def start(): Int = {

