@@ -347,6 +347,11 @@ object Plans {
           "NEGATE into the #groups-row state (count/sum subtract, " +
           "zero-count groups retire) — batch-sized work, min/max " +
           "specs refuse loudly (IVM boundary)"),
+      "q179_simhash_index_fold" ->
+        ("standing simhash64 index fold: per-doc (id, sig) rows, no " +
+          "derived global state, no recorded geometry — fold is " +
+          "anti-join + map-only sig computation of the batch alone; " +
+          "16 bytes/doc, the cheapest standing index"),
       "q178_matview_served_avg" ->
         ("matview-served avg + HAVING: exact decimal sum / non-null " +
           "count re-fold from #groups rows (bit-equal to the base " +

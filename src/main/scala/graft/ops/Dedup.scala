@@ -161,6 +161,73 @@ object Dedup {
       .distinct()
   }
 
+  /** Build the STANDING SimHash index a Hamming-radius dedup gate
+    * carries across batches: one (id, sig) row per doc, sig =
+    * [[graft.functions.F.simhash64]] of the text. Unlike the shingle
+    * index there is NO derived global state (no df, no ranks) and no
+    * recorded geometry — the 64-bit signature is geometry-free; band
+    * width is a QUERY-TIME choice ([[hammingPairs]],
+    * [[incrementalHamming]]) — so fold == rebuild is trivial
+    * per-row equality (q179 pins it under the oracle) and the
+    * artifact is the cheapest standing index in the system: 16 bytes
+    * a doc. */
+  def simhashIndex(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), F.simhash64(col(textCol)).as("sig"))
+
+  /** Fold a batch into the standing SimHash index: rows carrying the
+    * batch's own ids are replaced (replay-idempotent, the
+    * [[Similarity.refreshPqIndex]] contract), new sigs append. */
+  def refreshSimhashIndex(index: DataFrame, newDocs: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val fresh = simhashIndex(newDocs, textCol, idCol)
+    index.join(fresh.select(col("id").as("__bid")),
+        col("id") === col("__bid"), "left_anti")
+      .unionByName(fresh)
+  }
+
+  /** DELETE doc ids from the standing SimHash index — a pure anti-join
+    * (every row is per-doc; nothing derived to re-enrich). */
+  def deleteFromSimhashIndex(index: DataFrame,
+      deleteIds: DataFrame): DataFrame =
+    index.join(deleteIds.select(col(deleteIds.columns.head).as("__did"))
+        .distinct(),
+      col("id") === col("__did"), "left_anti")
+
+  /** Incremental Hamming-radius dedup: test a NEW batch against the
+    * STANDING SimHash index without re-pairing the corpus with itself
+    * — the [[hammingPairs]] pigeonhole band join run batch × index
+    * instead of self × self (the [[incrementalJaccard]] shape). Both
+    * sides band-explode on the same query-time geometry; candidates
+    * share a (band, bits) key; the exact popcount verifies BEFORE the
+    * output-sized distinct. Returns (new_id, corpus_id, hamming) for
+    * every batch doc within `radius` of a corpus doc. */
+  def incrementalHamming(newDocs: DataFrame, corpusIndex: DataFrame,
+      textCol: String, idCol: String, radius: Int = 3,
+      bandBits: Int = 16): DataFrame = {
+    require(64 % bandBits == 0, "bandBits must divide 64")
+    val nBands = 64 / bandBits
+    require(radius >= 0 && radius < nBands,
+      s"pigeonhole needs radius < $nBands bands (got $radius)")
+    val mask = (1L << bandBits) - 1
+    def banded(sigs: DataFrame, idOut: String, sigOut: String) =
+      sigs.select(col("id").as(idOut), col("sig").as(sigOut),
+        explode(array((0 until nBands).map(k =>
+          struct(lit(k).as("band"),
+            expr(s"(sig >> ${bandBits * k}) & $mask").as("bits"))): _*))
+          .as("bb"))
+        .select(col(idOut), col(sigOut), col("bb.band").as("band"),
+          col("bb.bits").as("bits"))
+    val b = banded(simhashIndex(newDocs, textCol, idCol), "new_id", "sig_n")
+    val c = banded(corpusIndex.select(col("id"), col("sig")),
+      "corpus_id", "sig_c")
+    b.join(c, Seq("band", "bits"))
+      .select(col("new_id"), col("corpus_id"),
+        expr("bit_count(sig_n ^ sig_c)").as("hamming"))
+      .filter(col("hamming") <= radius)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard pairs >= `threshold` via PREFIX FILTERING
     * (AllPairs / PPJoin family — Bayardo et al. WWW'07, Xiao et al.
     * WWW'08) instead of a raw inverted-index self-join.

@@ -395,6 +395,40 @@ object PipelineQueries {
       AND levenshtein(a.nm, b.nm) <= 2
     ORDER BY nm_a, nm_b"""
 
+  /** q179 — standing SIMHASH index fold under the oracle: the (id,
+    * sig64) artifact the production Hamming gate carries
+    * ([[Dedup.simhashIndex]], `StreamOps.hammingIngestBatch`,
+    * CleanPipeline `incremental_hamming`) built on doc_id < 400, the
+    * rest folded via [[Dedup.refreshSimhashIndex]]. Every row is a
+    * pure per-doc function of text (no df, no ranks, no geometry), so
+    * fold == rebuild is per-row equality — the oracle recomputes
+    * simhash64 compositionally for the WHOLE corpus (the q171
+    * five-step avalanche fold), pinning the signature arithmetic the
+    * gate and q171's pair search both stand on. */
+  private val q179: QFn = (s, d) => {
+    val docs = wide(s, d, "documents", "doc_id")
+    Dedup.refreshSimhashIndex(
+        Dedup.simhashIndex(docs.filter(col("doc_id") < 400),
+          "text", "doc_id"),
+        docs.filter(col("doc_id") >= 400), "text", "doc_id")
+      .orderBy(col("id"))
+  }
+  private val q179Sql = {
+    val av = Seq(
+      "x -> xor(x, x >> 15)",
+      "x -> (x * 739982445) & 2147483647",
+      "x -> xor(x, x >> 12)",
+      "x -> (x * 695872825) & 2147483647",
+      "x -> xor(x, x >> 15)")
+      .foldLeft("hl")((acc, f) => s"list_transform($acc, $f)")
+    s"""
+    WITH sd0 AS (SELECT doc_id AS id,
+        list_transform(${dToks("text")}, t -> ${dPoly("t")}) AS hl
+      FROM documents)
+    SELECT id, ${dSimhash("hl")} | (${dSimhash(av)} << 32) AS sig
+    FROM sd0 ORDER BY id"""
+  }
+
   /** q174 — standing shingle-index DELETE (tombstones): the index
     * built over the whole documents corpus forgets every doc_id
     * divisible by 5 via [[Dedup.deleteFromShingleIndex]] — (id, h)
@@ -2350,6 +2384,7 @@ object PipelineQueries {
     "q172_edit_distance_join" -> q172,
     "q173_editjoin_prefix" -> q173,
     "q174_shingle_index_delete" -> q174,
+    "q179_simhash_index_fold" -> q179,
     "q31_neardup_embedding_lsh" -> q31,
     "q32_ann_bruteforce_topk" -> q32,
     "q160_hard_negatives" -> q160,
@@ -2414,6 +2449,7 @@ object PipelineQueries {
     "q172_edit_distance_join" -> q172Sql,
     "q173_editjoin_prefix" -> q173Sql,
     "q174_shingle_index_delete" -> q174Sql,
+    "q179_simhash_index_fold" -> q179Sql,
     "q31_neardup_embedding_lsh" -> q31Sql,
     "q32_ann_bruteforce_topk" -> q32Sql,
     "q160_hard_negatives" -> q160Sql,

@@ -210,6 +210,50 @@ object StreamOps {
     kept
   }
 
+  /** The PRODUCTION-GEOMETRY Hamming twin of [[nearDupIngestBatch]]:
+    * a `foreachBatch` body gating continuous ingest on SimHash
+    * Hamming-radius near-duplicates against the standing (id, sig)
+    * index at `indexDir` ([[graft.ops.Dedup.incrementalHamming]] —
+    * pigeonhole 16-bit bands over simhash64, the q171-measured
+    * geometry). Orders of magnitude cheaper per doc than the shingle
+    * gate (16 bytes of state per doc, one band join, no df
+    * maintenance) at the price of catching only near-IDENTICAL token
+    * multisets — run it as the cheap first gate in front of the
+    * Jaccard gate, or alone when the corpus's duplication is
+    * boilerplate-shaped. Same crash story as the shingle gate: the
+    * index commits through [[graft.ops.IndexStore]], self-matches are
+    * excluded, fold-in drops the batch's own ids first — replay is
+    * byte-identical, exactly-once for content-stable ids. */
+  def hammingIngestBatch(batch: DataFrame, indexDir: String,
+      textCol: String, idCol: String, radius: Int = 3,
+      bandBits: Int = 16): DataFrame = {
+    import graft.ops.{Dedup, IndexStore}
+    val standing = IndexStore.read(batch.sparkSession, indexDir)
+    val survivors = standing match {
+      case None => batch
+      case Some(idx) =>
+        batch.join(
+          Dedup.incrementalHamming(batch, idx, textCol, idCol, radius,
+              bandBits)
+            .filter(col("corpus_id") =!= col("new_id"))
+            .select(col("new_id").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+    }
+    // within-batch: lower id survives
+    val kept = survivors.join(
+        Dedup.hammingPairs(survivors, textCol, idCol, radius, bandBits)
+          .select(col("id_b").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .localCheckpoint() // consumed twice: fold + caller append
+    val newIdx = standing match {
+      case None => Dedup.simhashIndex(kept, textCol, idCol)
+      case Some(idx) => Dedup.refreshSimhashIndex(idx, kept, textCol,
+        idCol) // refresh itself drops the batch's own ids (replay)
+    }
+    IndexStore.write(newIdx, indexDir)
+    kept
+  }
+
   /** The VECTOR twin of [[nearDupIngestBatch]]: a `foreachBatch` body
     * gating continuous ingest on EMBEDDING near-duplicates against the
     * standing embedding index at `indexDir` (ops.Dedup

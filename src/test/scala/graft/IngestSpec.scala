@@ -290,6 +290,52 @@ class StreamOpsSpec extends SparkSpec {
     assert(k.select("doc_id").as[Long].collect().toSeq === Seq(30L))
   }
 
+  test("hammingIngestBatch: the production-geometry gate dedups across " +
+      "batches on simhash64, folds (id, sig) state, replays " +
+      "idempotently, fold == rebuild") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val idxDir = java.nio.file.Files.createTempDirectory("hamgate")
+      .resolve("idx").toString
+    def body(i: Long) = (0 until 12).map(j => s"w${i}_$j").mkString(" ")
+    // batch 1: two distinct docs + a verbatim within-batch twin
+    val b1 = Seq((0L, body(0)), (1L, body(1)), (2L, body(0)))
+      .toDF("doc_id", "text")
+    val k1 = graft.streaming.StreamOps
+      .hammingIngestBatch(b1, idxDir, "text", "doc_id")
+    assert(k1.select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(0L, 1L))
+    // batch 2: a cross-batch twin of doc 1 + a genuinely new doc
+    val b2 = Seq((10L, body(1)), (11L, body(7))).toDF("doc_id", "text")
+    val k2 = graft.streaming.StreamOps
+      .hammingIngestBatch(b2, idxDir, "text", "doc_id")
+    assert(k2.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+    // replay of batch 2 (crash before corpus append): same kept set,
+    // byte-identical index
+    val before = graft.ops.IndexStore.read(spark, idxDir).get
+      .collect().toSet
+    val k2r = graft.streaming.StreamOps
+      .hammingIngestBatch(b2, idxDir, "text", "doc_id")
+    assert(k2r.select("doc_id").as[Long].collect().toSeq === Seq(11L))
+    assert(graft.ops.IndexStore.read(spark, idxDir).get
+      .collect().toSet === before)
+    // on-disk state == simhashIndex of every accepted doc
+    val allKept = Seq((0L, body(0)), (1L, body(1)), (11L, body(7)))
+      .toDF("doc_id", "text")
+    assert(before === Dedup.simhashIndex(allKept, "text", "doc_id")
+      .collect().toSet)
+    // tombstones: forget doc 1, a twin of it is new again
+    assert(graft.ops.IndexStore.read(spark, idxDir).isDefined)
+    graft.ops.IndexStore.write(
+      Dedup.deleteFromSimhashIndex(
+        graft.ops.IndexStore.read(spark, idxDir).get,
+        Seq(1L).toDF("doc_id")), idxDir)
+    val twin = Seq((30L, body(1))).toDF("doc_id", "text")
+    assert(graft.streaming.StreamOps
+      .hammingIngestBatch(twin, idxDir, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq === Seq(30L))
+  }
+
   test("nearDupIngestBatch replay is idempotent: a crashed batch re-runs " +
       "to the same kept set and a byte-identical index") {
     import spark.implicits._

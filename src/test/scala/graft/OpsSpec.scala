@@ -919,6 +919,40 @@ class CleanPipelineSpec extends SparkSpec {
     assert(out.count() < joined.count())
   }
 
+  test("hamming_dedup stage drops radius-3 pairs on the production " +
+      "geometry; incremental_hamming gates against a standing simhash " +
+      "index") {
+    import spark.implicits._
+    val docs = Tables.load(spark, sfDir, "documents")
+    // within-batch: equals the library pair set (higher id drops)
+    val out = CleanPipeline.run("""
+      {"pipeline": {"stages": [
+        {"op": "hamming_dedup", "radius": 3, "band_bits": 16}]}}""", docs)
+    val drops = graft.ops.Dedup.hammingPairs(docs, "text", "doc_id",
+        radius = 3, bandBits = 16)
+      .select(col("id_b")).distinct().count()
+    assert(out.count() === docs.count() - drops)
+    // standing gate: index on < 400, batch >= 400; a synthetic twin of
+    // a corpus doc must drop, the rest must match the library result
+    val corpus = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+      .unionByName(corpus.filter(col("doc_id") === 7L)
+        .withColumn("doc_id", col("doc_id") + 9000L))
+    val idxDir = java.nio.file.Files.createTempDirectory("simidx")
+      .resolve("idx").toString
+    graft.ops.IndexStore.write(
+      graft.ops.Dedup.simhashIndex(corpus, "text", "doc_id"), idxDir)
+    val gated = CleanPipeline.run(
+      s"""{"pipeline": {"stages": [
+        {"op": "incremental_hamming", "index": "$idxDir"}]}}""", batch)
+    // the verbatim twin (hamming 0) is gone
+    assert(gated.filter(col("doc_id") === 9007L).count() === 0)
+    val expectedDropped = graft.ops.Dedup.incrementalHamming(batch,
+        graft.ops.IndexStore.read(spark, idxDir).get, "text", "doc_id")
+      .select(col("new_id")).distinct().count()
+    assert(gated.count() === batch.count() - expectedDropped)
+  }
+
   test("incremental_neardup stage gates against a standing index path") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") < 400)
