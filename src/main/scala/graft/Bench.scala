@@ -54,8 +54,21 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
-      f"""{"metric":"total_query_time","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total_query_time","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's log tail truncates long per-query maps — ALSO write
+    // the full line to a file so every round's complete bench is a
+    // committed artifact (round-9 verdict item 7). Unfiltered runs
+    // only: a SPARK_GRAFT_ONLY local iteration must not clobber it.
+    if (only.isEmpty) {
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+        "BENCH_full_latest.json")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), line + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outFile: $e") }
+    }
     spark.stop()
   }
 }

@@ -347,6 +347,12 @@ object Plans {
           "NEGATE into the #groups-row state (count/sum subtract, " +
           "zero-count groups retire) — batch-sized work, min/max " +
           "specs refuse loudly (IVM boundary)"),
+      "q180_rollup_delete" ->
+        ("rollup row-delete via targeted re-aggregation: touched " +
+          "buckets semi-join out of the post-delete base (partition-" +
+          "prunable time predicate), recompute, splice — untouched " +
+          "buckets never move; min/max repaired exactly, which " +
+          "subtraction could never do"),
       "q179_simhash_index_fold" ->
         ("standing simhash64 index fold: per-doc (id, sig) rows, no " +
           "derived global state, no recorded geometry — fold is " +

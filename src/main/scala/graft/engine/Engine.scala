@@ -482,6 +482,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("drop partition ")) dropPartition(t)
     else if (low.startsWith("rollup create")) rollupCreate(t)
     else if (low.startsWith("rollup refresh")) rollupRefresh(t)
+    else if (low.startsWith("rollup delete")) rollupDelete(t)
     else if (low.startsWith("rollup attach")) {
       // re-register an existing artifact after an engine restart — the
       // rollup records its own metadata (grain, ts_col, measures, dims),
@@ -1370,6 +1371,49 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val next = graft.ops.Rollup.refreshStore(spark, meta.path, delta,
       meta.tsCol, meta.grain, meta.dims, meta.valueCols)
     s"rollup for $table refreshed (${next.count()} ${meta.grain} buckets)"
+  }
+
+  /** `rollup delete where table = <t> and (before = <ts> | source =
+    * <deleted-rows table|path> and base = <table>)` — the rollup's
+    * tombstone half. `before =` is the RETENTION form: buckets older
+    * than the cutoff retire whole (bucket-aligned, exact, no base
+    * access — the twin of `drop partition`). `source =` is the
+    * ROW-level form: the named frame holds the rows ALREADY removed
+    * from `base`, and every touched bucket is recomputed from the
+    * current base via [[graft.ops.Rollup.deleteRows]] — the standard
+    * targeted re-aggregation repair for min/max, reading only the
+    * touched (partition-prunable) buckets. */
+  private def rollupDelete(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("rollup delete requires table ="))
+    val meta = rollups.getOrElse(table,
+      throw new IllegalArgumentException(s"no rollup registered for $table"))
+    val cur = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(s"no rollup artifact at ${meta.path}"))
+    val next = (kv("before"), kv("source")) match {
+      case (Some(cutoff), None) =>
+        // the \S+ capture stops at whitespace; accept quoted full
+        // timestamps too
+        val c = "(?i)\\bbefore\\s*=\\s*'([^']+)'".r.findFirstMatchIn(t)
+          .map(_.group(1)).getOrElse(cutoff)
+        graft.ops.Rollup.deleteBefore(cur, c)
+      case (None, Some(src)) =>
+        val baseName = kv("base").getOrElse(
+          throw new IllegalArgumentException(
+            "rollup delete with source = needs base = <table> (the " +
+              "table AFTER the rows were removed) to recompute " +
+              "touched buckets"))
+        graft.ops.Rollup.deleteRows(cur, mvFrame(src),
+          catalog.table(baseName), meta.dims, meta.valueCols)
+      case _ => throw new IllegalArgumentException(
+        "rollup delete takes EITHER before = <ts> OR source = <rows> " +
+          "and base = <table>")
+    }
+    val out = next.localCheckpoint()
+    graft.ops.IndexStore.write(out, meta.path)
+    s"rollup for $table: ${out.count()} ${meta.grain} buckets remain"
   }
 
   /** `vindex create where table = <t> and path = <dir> and id = <col>

@@ -601,6 +601,19 @@ object Dedup {
       embeddingIndex(newVecs, vecCol, idCol, b, l))
   }
 
+  /** DELETE vector ids from the standing LSH embedding index
+    * (tombstones): every row is per-vector — (id, v, nrm, sigs) with
+    * the geometry (bits, tables) recorded as columns ON each row — so
+    * deletion is a pure anti-join; the surviving rows still carry the
+    * geometry and [[incrementalEmbeddingDedup]] /
+    * [[refreshEmbeddingIndex]] keep reading it unchanged. A deleted
+    * vector's twin gates as NEW again (right-to-be-forgotten). */
+  def deleteFromEmbeddingIndex(index: DataFrame,
+      deleteIds: DataFrame): DataFrame =
+    index.join(deleteIds.select(col(deleteIds.columns.head).as("__did"))
+        .distinct(),
+      col("id") === col("__did"), "left_anti")
+
   /** Consolidate near-dup PAIRS into clusters via iterative min-label
     * propagation (connected components): every doc gets the smallest id
     * reachable through the pair graph — the step that turns pairwise

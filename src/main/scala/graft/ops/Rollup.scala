@@ -189,4 +189,48 @@ object Rollup {
       tsCol: String, grain: String, dims: Seq[String],
       valueCol: String): DataFrame =
     refreshStore(spark, dir, delta, tsCol, grain, dims, Seq(valueCol))
+
+  /** RETENTION delete — drop every bucket strictly OLDER than `cutoff`
+    * (the rollup twin of `drop partition` / age-based partition drop;
+    * the base rows vanish by partition, the rollup must forget their
+    * buckets too). EXACT with no base access and no inversion: the
+    * deletion boundary is bucket-aligned, so whole groups retire and
+    * the min/max IVM boundary (not self-maintainable under ROW
+    * deletes) is never crossed. State-sized work. */
+  def deleteBefore(rollup: DataFrame, cutoff: String): DataFrame =
+    rollup.filter(col("grain_ts") >= to_timestamp(lit(cutoff)))
+
+  /** ROW-level delete via TARGETED RE-AGGREGATION — the standard IVM
+    * repair for the non-self-maintainable half (a deleted extremum
+    * needs the runner-up, so SOME base access is unavoidable; the
+    * design point is touching as little of it as possible): every
+    * bucket holding a deleted row is recomputed from `base` — the
+    * base table AFTER the rows were removed — and spliced into the
+    * state; untouched buckets never move and base rows outside the
+    * touched buckets are never read (the `grain_ts` semi-join
+    * predicate is partition-prunable on a time-partitioned base, so
+    * at 100 TB the rescan is a few partitions, not history).
+    * fold-with-deletes == rebuild EXACTLY (q180's oracle): recompute
+    * IS rebuild, restricted to where it's needed. `deletedRows` needs
+    * only the ts column (bucket membership); count/sum/min/max all
+    * repair together. Contract: a touched bucket is recomputed from
+    * whatever `base` holds — so keep base and rollup retention
+    * aligned ([[deleteBefore]] pairs with `drop partition`): deleting
+    * rows from a time range the rollup already retired would
+    * re-materialize those buckets from base. */
+  def deleteRows(rollup: DataFrame, deletedRows: DataFrame,
+      base: DataFrame, dims: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    val (tsCol, grain, _, _) = metaOf(rollup)
+    val touched = deletedRows
+      .select(date_trunc(grain, col(tsCol)).as("grain_ts")).distinct()
+      .localCheckpoint() // consumed by both the splice and the rescan
+    val untouched = rollup.join(touched, Seq("grain_ts"), "left_anti")
+    val recomputed = build(
+      base.join(
+        touched.select(col("grain_ts").as("__tb")),
+        date_trunc(grain, col(tsCol)) === col("__tb"), "left_semi"),
+      tsCol, grain, dims, measures)
+    untouched.unionByName(recomputed)
+  }
 }

@@ -531,6 +531,45 @@ object TemporalQueries {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
     FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
 
+  /** q180 — standing rollup DELETE via targeted re-aggregation: the
+    * q100-shaped minute rollup forgets every user_id ≡ 2 (mod 5) row
+    * ([[Rollup.deleteRows]] — rollups always carry min/max, so row
+    * deletes CROSS the IVM self-maintainability boundary; the repair
+    * is the textbook one: recompute ONLY the touched buckets from the
+    * post-delete base, splice, leave every untouched bucket alone —
+    * base reads stay partition-prunable to the touched time range).
+    * Then the same increments(hour, 6) serve as q100. The oracle is
+    * the full-scan aggregate over the surviving rows: hash equality
+    * proves delete == rebuild for count/sum/min/max/avg TOGETHER —
+    * the min/max legs are exactly what subtraction could never give.
+    * (`rollup delete where … before =` is the cheaper bucket-aligned
+    * retention form; RollupIngestSpec covers it.) */
+  private val q180: QFn = (s, d) => {
+    val ev = t(s, d, "events")
+    val dims = Seq("event_type")
+    val roll = Rollup.build(ev, "ts", "minute", dims, "value")
+      .localCheckpoint(true)
+    val deleted = ev.filter(pmod(col("user_id"), lit(5)) === 2)
+    val base = ev.filter(pmod(col("user_id"), lit(5)) =!= 2)
+    val after = Rollup.deleteRows(roll, deleted, base, dims,
+      Seq("value"))
+    Rollup.serve(after, "hour", 6, dims)
+      .select(col("event_type"),
+        date_format(col("bucket_ts"), "yyyy-MM-dd").as("bucket_day"),
+        col("bucket_i"), col("n"), col("sum_value"), col("min_value"),
+        col("max_value"), col("avg_value"))
+      .orderBy(col("event_type"), col("bucket_day"), col("bucket_i"))
+  }
+  private val q180Sql = """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+      CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS bucket_i,
+      count(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      min(value) AS min_value, max(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events WHERE user_id % 5 != 2
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   // =====================================================================
   // q137 — Z-order layout audit: code every event's (user, time-ms) into
   // a 10+10-bit Morton space, bucket into 64 files two ways — Z-order
@@ -910,6 +949,7 @@ object TemporalQueries {
     "q157_recency_decay" -> q157,
     "q158_markov_standing_fold" -> q158,
     "q100_rollup_increments" -> q100,
+    "q180_rollup_delete" -> q180,
     "q79_interevent_gaps" -> q79,
     "q77_cohort_retention" -> q77,
     "q76_funnel_conversion" -> q76,
@@ -930,6 +970,7 @@ object TemporalQueries {
     "q157_recency_decay" -> q157Sql,
     "q158_markov_standing_fold" -> q158Sql,
     "q100_rollup_increments" -> q100Sql,
+    "q180_rollup_delete" -> q180Sql,
     "q79_interevent_gaps" -> q79Sql,
     "q77_cohort_retention" -> q77Sql,
     "q76_funnel_conversion" -> q76Sql,

@@ -372,6 +372,58 @@ class RollupServeSpec extends SparkSpec {
     """sql edge "select increments(day, 1, ts), count(*) as n """ +
       """from events where value > 50"""")
 
+  test("rollup delete: before= retires whole buckets exactly " +
+      "(retention form); source=+base= recomputes touched buckets " +
+      "from the post-delete base (row form)") {
+    import graft.ops.{IndexStore, Rollup}
+    val ev = graft.engine.Tables.load(spark, sfDir, "events")
+    // --- retention form
+    val (engine, dir) = freshEngine()
+    engine.execute("rollup create where table = events and " +
+      s"path = $dir and time = ts and value = value and " +
+      "grain = minute and dims = (event_type)")
+    val cut = "2024-01-10 00:00:00"
+    val out = engine.execute(
+      s"rollup delete where table = events and before = '$cut'")
+    assert(out.contains("buckets remain"), out)
+    val st = IndexStore.read(spark, dir).get
+    assert(st.filter(col("grain_ts") < cut).count() === 0)
+    assert(st.count() > 0)
+    // bucket-aligned == rebuild over the surviving time range
+    val rebuilt = Rollup.build(ev.filter(col("ts") >= cut), "ts",
+      "minute", Seq("event_type"), "value")
+    assert(st.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(st).count() === 0)
+    // --- row form on a fresh rollup
+    val (engine2, dir2) = freshEngine()
+    engine2.execute("rollup create where table = events and " +
+      s"path = $dir2 and time = ts and value = value and " +
+      "grain = minute and dims = (event_type)")
+    val tmp = java.nio.file.Files.createTempDirectory("rolldel")
+    val dels = ev.filter(col("user_id") % 7 === 3)
+    val after = ev.filter(col("user_id") % 7 =!= 3)
+    dels.write.parquet(tmp.resolve("dels").toString)
+    after.write.parquet(tmp.resolve("after").toString)
+    // register the post-delete base under a name
+    val cat2 = new Catalog(spark)
+    cat2.registerTable("events", s"$sfDir/events.parquet",
+      nanoTs = Seq("ts"))
+    cat2.registerTable("ev_after", tmp.resolve("after").toString)
+    val engine3 = new Engine(spark, cat2)
+    engine3.execute("rollup attach where table = events and " +
+      s"path = $dir2 and time = ts and value = value and " +
+      "grain = minute and dims = (event_type)")
+    val out2 = engine3.execute("rollup delete where table = events " +
+      s"and source = ${tmp.resolve("dels")} and base = ev_after")
+    assert(out2.contains("buckets remain"), out2)
+    val st2 = IndexStore.read(spark, dir2).get
+    // min/max repaired exactly: state == rebuild over post-delete base
+    val rebuilt2 = Rollup.build(after, "ts", "minute",
+      Seq("event_type"), "value")
+    assert(st2.exceptAll(rebuilt2).count() === 0)
+    assert(rebuilt2.exceptAll(st2).count() === 0)
+  }
+
   test("served rollup plans equal the base dialect plans, never scan events") {
     val (engine, dir) = freshEngine()
     val expected = (servedQueries ++ fallbackQueries).map(q => sig(engine.query(q)))

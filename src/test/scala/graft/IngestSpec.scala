@@ -405,6 +405,21 @@ class StreamOpsSpec extends SparkSpec {
     val after = graft.ops.IndexStore.read(spark, idxDir).get
       .collect().map(_.toString).sorted
     assert(after === before)
+    // tombstones: forget v1, its twin gates as NEW again and the
+    // surviving rows keep the recorded geometry
+    graft.ops.IndexStore.write(
+      graft.ops.Dedup.deleteFromEmbeddingIndex(
+        graft.ops.IndexStore.read(spark, idxDir).get,
+        Seq(1L).toDF("vec_id")), idxDir)
+    val k3 = graft.streaming.StreamOps
+      .embeddingIngestBatch(
+        Seq((30L, twin(v1))).toDF("vec_id", "embedding"),
+        idxDir, "embedding", "vec_id", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(k3 === Seq(30L))
+    assert(graft.ops.IndexStore.read(spark, idxDir).get
+      .select("bits", "tables").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq === Seq((8, 4)))
   }
 
   test("embeddingIngestBatch auto-geometry: an index born small " +
