@@ -209,6 +209,20 @@ object RollupServe {
     val keys = keyCols ++ extraGroup.distinct.map(col)
     var out = df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
     val servedNames = out.columns.toSet
+    // HAVING: servable only over the served OUTPUT columns (the
+    // MatViewServe rule) — the group rows are value-identical to the
+    // base plan's, so the same filter in the same position is exact.
+    // Anything else (or a non-identifier function name) declines:
+    // serving while IGNORING a HAVING clause would be silently wrong.
+    sel.having.foreach { h =>
+      val ident = "[A-Za-z_][A-Za-z0-9_]*".r
+      val kw = Set("and", "or", "not", "in", "is", "null", "between",
+        "like", "true", "false")
+      if (!ident.findAllIn(h.replaceAll("'[^']*'", " ")).forall(id =>
+          servedNames.contains(id) || kw.contains(id.toLowerCase)))
+        return None
+      out = out.filter(expr(h))
+    }
     if (sel.orderBy.nonEmpty) {
       if (!sel.orderBy.forall { case (e, _) => servedNames.contains(e.trim) })
         return None

@@ -372,6 +372,33 @@ class RollupServeSpec extends SparkSpec {
     """sql edge "select increments(day, 1, ts), count(*) as n """ +
       """from events where value > 50"""")
 
+  test("HAVING on a rollup-servable query: served == base plan; a " +
+      "HAVING the matcher can't prove declines (never silently " +
+      "dropped)") {
+    val (engine, dir) = freshEngine()
+    val q = """sql edge "select increments(day, 1, ts), event_type, """ +
+      """count(*) as n, avg(value) as av from events """ +
+      """group by event_type having av > 49.5 order by n desc""""
+    val base = sig(engine.query(q))
+    engine.execute("rollup create where table = events and " +
+      s"path = $dir and time = ts and value = value and " +
+      "grain = minute and dims = (event_type)")
+    val served = engine.query(q)
+    assert(!touchesEvents(served), "should serve from the rollup")
+    assert(sig(served) === base)
+    // the filter actually bites: unfiltered row count is larger
+    val qAll = """sql edge "select increments(day, 1, ts), """ +
+      """event_type, count(*) as n from events group by event_type""""
+    assert(served.count() < engine.query(qAll).count())
+    // HAVING over a function identifier -> decline to base, correct
+    val qFn = """sql edge "select increments(day, 1, ts), event_type, """ +
+      """count(*) as n from events group by event_type """ +
+      """having abs(n) > 10""""
+    val fb = engine.query(qFn)
+    assert(touchesEvents(fb), "unprovable HAVING must fall back")
+    assert(fb.count() > 0)
+  }
+
   test("rollup delete: before= retires whole buckets exactly " +
       "(retention form); source=+base= recomputes touched buckets " +
       "from the post-delete base (row form)") {
