@@ -358,6 +358,20 @@ object Plans {
           "derived global state, no recorded geometry — fold is " +
           "anti-join + map-only sig computation of the batch alone; " +
           "16 bytes/doc, the cheapest standing index"),
+      "q181_join_matview" ->
+        ("standing JOIN matview (Gupta-Mumick delta rules): create " +
+          "is one join+group pass; every later fold joins ONLY the " +
+          "batch-sized delta (broadcast — no shuffle of the big " +
+          "side) against the other side's current snapshot, " +
+          "ΔA⋈B_old ∪ (A_old∪ΔA)⋈ΔB for a both-sides commit, then " +
+          "folds #groups-row partials — the base join is never " +
+          "recomputed"),
+      "q182_join_matview_delete" ->
+        ("JOIN matview tombstones: (A−D)⋈B partitions A⋈B " +
+          "disjointly, so count/sum subtract the partials of " +
+          "D ⋈ B_current (broadcast delete batch), zero-count " +
+          "groups retire; min/max refuse loudly (IVM boundary), " +
+          "non-subset batches abort on the negative-count guard"),
       "q178_matview_served_avg" ->
         ("matview-served avg + HAVING: exact decimal sum / non-null " +
           "count re-fold from #groups rows (bit-equal to the base " +

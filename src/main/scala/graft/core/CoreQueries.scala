@@ -858,6 +858,101 @@ object CoreQueries {
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus"""
 
+  /** q181 — standing JOIN matview fold ([[graft.ops.JoinMatView]]):
+    * orders ⋈ lineitem grouped by (o_orderpriority, l_returnflag)
+    * with distributive aggs, maintained by the Gupta–Mumick delta
+    * rules. Both sides split deterministically into old + delta;
+    * the state builds from (A_old ⋈ B_old) and then folds BOTH
+    * deltas in one [[graft.ops.JoinMatView.refreshBoth]] commit —
+    * ΔA⋈B_old ∪ (A_old∪ΔA)⋈ΔB, each delta-join broadcasting the
+    * batch side so the big side never shuffles. The oracle is the
+    * ONE-SHOT join+GROUP BY over the full tables: hash equality is
+    * fold == rebuild under the hardest (both-sides) rule. min/max
+    * ride along — legal for insert-only maintenance (the delete
+    * path refuses them; q182 stays count/sum). */
+  private val q181: QFn = (s, d) => {
+    import graft.ops.JoinMatView
+    import graft.ops.MatView.AggSpec
+    val cents = "cast(floor(l_extendedprice * 100.0) as bigint)"
+    val spec = JoinMatView.Spec(
+      on = Seq(("o_orderkey", "l_orderkey")),
+      keys = Seq("o_orderpriority", "l_returnflag"),
+      aggs = Seq(AggSpec("count", "1", "n"),
+        AggSpec("sum", "l_quantity", "sum_qty"),
+        AggSpec("sum", cents, "sum_cents"),
+        AggSpec("min", cents, "min_cents"),
+        AggSpec("max", cents, "max_cents")))
+    val ord = t(s, d, "orders")
+    val li = t(s, d, "lineitem")
+    val ordOld = ord.filter(pmod(col("o_orderkey"), lit(3)) =!= 1)
+    val ordNew = ord.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+    val liOld = li.filter(pmod(col("l_partkey"), lit(2)) === 0)
+    val liNew = li.filter(pmod(col("l_partkey"), lit(2)) =!= 0)
+    val state = JoinMatView.create(ordOld, liOld, spec)
+      .localCheckpoint(true)
+    JoinMatView.refreshBoth(state, ordNew, liNew, ordOld, liOld, spec)
+      .select(col("o_orderpriority"), col("l_returnflag"), col("n"),
+        col("sum_qty"), col("sum_cents"), col("min_cents"),
+        col("max_cents"), expr("sum_cents div n").as("avg_cents_floor"))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+  }
+  private val q181Sql = """
+    SELECT o_orderpriority, l_returnflag, count(*) AS n,
+      sum(l_quantity) AS sum_qty,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        AS BIGINT) AS sum_cents,
+      min(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS min_cents,
+      max(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS max_cents,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        AS BIGINT) // count(*) AS avg_cents_floor
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    ORDER BY o_orderpriority, l_returnflag"""
+
+  /** q182 — JOIN matview DELETE ([[graft.ops.JoinMatView.delete]]):
+    * the q181-shaped count/sum state built over the FULL join folds
+    * OUT a left-side delete batch — every 'F'-status order (retiring
+    * order keys wholesale) plus every o_orderkey ≡ 2 (mod 5) —
+    * by subtracting the partials of `deletes ⋈ lineitem_current`
+    * (the disjoint-partition identity (A−D)⋈B = A⋈B − D⋈B).
+    * Zero-count groups retire; the oracle is the one-shot join+GROUP
+    * BY over (orders − deletes) ⋈ lineitem: hash equality is
+    * fold-with-deletes == rebuild. min/max specs refuse this path
+    * loudly (JoinMatViewSpec proves the error; this query proves the
+    * legal algebra). */
+  private val q182: QFn = (s, d) => {
+    import graft.ops.JoinMatView
+    import graft.ops.MatView.AggSpec
+    val cents = "cast(floor(l_extendedprice * 100.0) as bigint)"
+    val spec = JoinMatView.Spec(
+      on = Seq(("o_orderkey", "l_orderkey")),
+      keys = Seq("o_orderpriority", "l_returnflag"),
+      aggs = Seq(AggSpec("count", "1", "n"),
+        AggSpec("sum", "l_quantity", "sum_qty"),
+        AggSpec("sum", cents, "sum_cents")))
+    val ord = t(s, d, "orders")
+    val li = t(s, d, "lineitem")
+    val state = JoinMatView.create(ord, li, spec).localCheckpoint(true)
+    val dels = ord.filter(col("o_orderstatus") === "F" ||
+      pmod(col("o_orderkey"), lit(5)) === 2)
+    JoinMatView.delete(state, dels, li, spec, "left")
+      .select(col("o_orderpriority"), col("l_returnflag"), col("n"),
+        col("sum_qty"), col("sum_cents"),
+        expr("sum_cents div n").as("avg_cents_floor"))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+  }
+  private val q182Sql = """
+    SELECT o_orderpriority, l_returnflag, count(*) AS n,
+      sum(l_quantity) AS sum_qty,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        AS BIGINT) AS sum_cents,
+      CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT))
+        AS BIGINT) // count(*) AS avg_cents_floor
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE NOT (o_orderstatus = 'F' OR o_orderkey % 5 = 2)
+    GROUP BY o_orderpriority, l_returnflag
+    ORDER BY o_orderpriority, l_returnflag"""
+
   /** q168 — column profiling ([[graft.ops.Profile]]): the
     * what-is-in-this-table receipt, every column's row/null/distinct
     * counts and string length stats from ONE aggregate pass (all
@@ -901,6 +996,8 @@ object CoreQueries {
   }
 
   val queries: Map[String, QFn] = Map(
+    "q181_join_matview" -> q181,
+    "q182_join_matview_delete" -> q182,
     "q168_column_profile" -> q168,
     "q166_matview_fold" -> q166,
     "q177_matview_delete" -> q177,
@@ -939,6 +1036,8 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q181_join_matview" -> q181Sql,
+    "q182_join_matview_delete" -> q182Sql,
     "q168_column_profile" -> q168Sql,
     "q166_matview_fold" -> q166Sql,
     "q177_matview_delete" -> q177Sql,

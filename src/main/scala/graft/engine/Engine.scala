@@ -714,6 +714,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("pipeline clean")) pipelineClean(t)
     else if (low.startsWith("quality check")) qualityCheck(t)
     else if (low.startsWith("profile table")) profileTable(t)
+    else if (low.startsWith("join matview create")) joinMatviewCreate(t)
+    else if (low.startsWith("join matview refresh")) joinMatviewRefresh(t)
+    else if (low.startsWith("join matview delete")) joinMatviewDelete(t)
+    else if (low.startsWith("join matview get")) joinMatviewGet(t)
     else if (low.startsWith("matview create")) matviewCreate(t)
     else if (low.startsWith("matview refresh")) matviewRefresh(t)
     else if (low.startsWith("matview delete")) matviewDelete(t)
@@ -894,6 +898,124 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         "aborted, original state intact")
     graft.ops.IndexStore.write(folded, path)
     s"matview deleted at $path: ${folded.count()} groups remain"
+  }
+
+  private def jmvRecordedSpec(path: String): graft.ops.JoinMatView.Spec = {
+    val row = graft.ops.IndexStore.read(spark, mvSpecDir(path)).getOrElse(
+      throw new IllegalArgumentException(s"no join matview at $path")).head()
+    graft.ops.JoinMatView.specFromJson(row.getAs[String]("spec"))
+  }
+
+  /** Resolve (delta frame, other side's CURRENT snapshot) for a
+    * `join matview refresh/delete` command: the side comes from
+    * `side = left|right`, the delta from `source = <table|path>`,
+    * and the OTHER side is the catalog table the spec recorded —
+    * maintenance always joins a batch-sized delta against the other
+    * side as of now, never re-joins the base. */
+  private def jmvDeltaArgs(t: String, cmd: String)
+      : (graft.ops.JoinMatView.Spec, String, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame, String) = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"join matview $cmd requires $k ="))
+    val path = req("path")
+    val spec = jmvRecordedSpec(path)
+    val side = req("side").toLowerCase
+    require(side == "left" || side == "right",
+      s"side must be left|right (got $side)")
+    val otherName = if (side == "left") spec.right else spec.left
+    require(otherName.nonEmpty,
+      "recorded spec lacks the other side's table name")
+    (spec, path, mvFrame(req("source")), catalog.table(otherName), side)
+  }
+
+  /** `join matview create where path = <dir> and spec = {"left":
+    * <table>, "right": <table>, "on": [[lcol, rcol]...], "keys":
+    * [...], "aggs": [...]}` — standing materialized view over an
+    * inner equi-join ([[graft.ops.JoinMatView]]): one join+group
+    * pass at create, #groups-row artifact, spec recorded beside it;
+    * every later fold joins only the DELTA against the other side. */
+  private def joinMatviewCreate(t: String): String = {
+    val body = t.substring("join matview create".length).trim
+      .stripPrefix("where").trim
+    val specM = "(?i)\\bspec\\s*=".r.findFirstMatchIn(body).getOrElse(
+      throw new IllegalArgumentException(
+        "join matview create requires spec ="))
+    val specJson = body.substring(specM.end).trim
+    val head = body.substring(0, specM.start)
+    val path = "(?i)\\bpath\\s*=\\s*(\\S+)".r.findFirstMatchIn(head)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        "join matview create requires path ="))
+    val spec = graft.ops.JoinMatView.specFromJson(specJson)
+    require(spec.left.nonEmpty && spec.right.nonEmpty,
+      "join matview spec requires left and right table names")
+    val state = graft.ops.JoinMatView.create(
+      catalog.table(spec.left), catalog.table(spec.right), spec)
+    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
+    import org.apache.spark.sql.functions.lit
+    graft.ops.IndexStore.write(spark.range(1).select(
+      lit(graft.ops.JoinMatView.specToJson(spec)).as("spec")),
+      mvSpecDir(path))
+    val n = graft.ops.IndexStore.read(spark, path).get.count()
+    s"join matview created at $path: $n groups (version $rows)"
+  }
+
+  /** `join matview refresh where path = <dir> and side = left|right
+    * and source = <table|path>` — fold an INSERT delta on one side:
+    * the delta (broadcast) joins the OTHER side's current catalog
+    * table, grouped partials fold into the state. Both-side batches
+    * are two refreshes in sequence (left first, then right — the
+    * left fold makes the left table current for the right delta). */
+  private def joinMatviewRefresh(t: String): String = {
+    val (spec, path, delta, other, side) = jmvDeltaArgs(t, "refresh")
+    val state = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no join matview at $path"))
+    val folded = graft.ops.JoinMatView.refresh(state, delta, other,
+      spec, side).localCheckpoint()
+    graft.ops.IndexStore.write(folded, path)
+    s"join matview refreshed at $path: ${folded.count()} groups"
+  }
+
+  /** `join matview delete where path = <dir> and side = left|right
+    * and source = <table|path>` — fold a DELETE batch on one side
+    * out of the view: count/sum subtract the partials of
+    * `deletes ⋈ other_current`, zero-count groups retire; min/max
+    * specs refuse loudly (IVM boundary), and a non-subset batch is
+    * detected (negative count) and aborted with the state intact.
+    * NOTE the ordering contract: the delete batch must join the
+    * other side AS OF the delete — fold deletes before folding the
+    * other side's own later inserts. */
+  private def joinMatviewDelete(t: String): String = {
+    val (spec, path, dels, other, side) = jmvDeltaArgs(t, "delete")
+    val state = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no join matview at $path"))
+    val folded = graft.ops.JoinMatView.delete(state, dels, other,
+      spec, side).localCheckpoint()
+    import org.apache.spark.sql.functions.col
+    val cntAlias = spec.aggs.find(_.fn == "count").get.alias
+    val negGroups = folded.filter(col(cntAlias) < 0).count()
+    require(negGroups == 0L,
+      s"join matview delete: $negGroups group(s) went count-negative — " +
+        "the delete batch is not a subset of previously folded rows; " +
+        "aborted, original state intact")
+    graft.ops.IndexStore.write(folded, path)
+    s"join matview deleted at $path: ${folded.count()} groups remain"
+  }
+
+  /** `join matview get where path = <dir> [and format = table]`. */
+  private def joinMatviewGet(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val path = kv("path").getOrElse(
+      throw new IllegalArgumentException("join matview get requires path ="))
+    val spec = jmvRecordedSpec(path)
+    val df = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no join matview at $path"))
+    import org.apache.spark.sql.functions.col
+    val out = df.orderBy(spec.keys.map(col): _*)
+    if (kv("format").contains("table")) Render.table(out)
+    else Render.json(out)
   }
 
   private val msgClients =

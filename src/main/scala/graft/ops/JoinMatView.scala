@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Standing MATERIALIZED VIEW over an inner EQUI-JOIN — the
+  * [[MatView]] single-table algebra extended with the classic
+  * delta-join maintenance rules (Gupta & Mumick, "Maintenance of
+  * Materialized Views: Problems, Techniques, and Applications",
+  * IEEE Data Eng. Bull. 1995; Gray et al. 1997 for the distributive
+  * agg classification). View shape:
+  *
+  *   SELECT keys, distributive-aggs FROM A JOIN B ON A.k = B.k
+  *   GROUP BY keys
+  *
+  * Maintenance never re-joins A⋈B. The algebra, with ΔA an INSERT
+  * batch on the left (symmetrically right):
+  *
+  *   - one-side insert:  Δ(A⋈B) = ΔA ⋈ B_current — the delta joins
+  *     the OTHER side's current snapshot only; grouped partials of
+  *     that delta-join fold into the #groups-row state exactly as a
+  *     [[MatView.fold]] batch.
+  *   - both sides, one commit: (A∪ΔA)⋈(B∪ΔB) adds
+  *     ΔA⋈B_old ∪ (A_old∪ΔA)⋈ΔB — two delta-joins, disjoint by
+  *     construction, applied as two sequential folds.
+  *   - delete on one side: (A−D)⋈B partitions A⋈B disjointly, so
+  *     count/sum SUBTRACT the partials of D ⋈ B_current
+  *     ([[MatView.foldDelete]]) and zero-count groups retire;
+  *     min/max hit the same IVM boundary as the single-table view
+  *     and refuse loudly. Correctness needs D joined against B as
+  *     of NOW — the view is over current A⋈B, so pairs D
+  *     contributed are exactly D⋈B_current.
+  *
+  * Scale: a refresh/delete costs one join of a BATCH-sized delta
+  * against the other side — the delta is broadcast (no shuffle of
+  * the big side; one pruned scan) and the fold is #groups-row work.
+  * The base join is recomputed only by `create`. At 100 TB the other
+  * side's scan prunes on the pushed join-key filter the broadcast
+  * join provides at runtime; a backfill-sized delta can opt out of
+  * the broadcast hint (`broadcastDelta = false`) and let AQE pick
+  * the shuffle strategy.
+  *
+  * Reference tie-in: the reference serves dashboard joins by
+  * re-running them against the operator fleet every time
+  * (`dbms/unify_results.py` issues the full rewritten SQL per query;
+  * no view maintenance layer exists) — this module is the standing-
+  * artifact answer to that workload, matching the additions-only
+  * matview/rollup families (COVERAGE "standing artifacts").
+  *
+  * Requirements: the two sides' column names must be disjoint (TPC-H
+  * style prefixes; the join condition is built from bare column
+  * names, which also side-steps Spark's same-lineage ambiguity), and
+  * group keys are plain post-join columns ([[MatView.partials]]
+  * enforces). The spec is recorded beside the artifact by the
+  * `join matview` Engine commands and verified at every fold.
+  */
+object JoinMatView {
+  import MatView.AggSpec
+
+  /** View spec: `on` equi-join column pairs (left, right), `keys`
+    * group-by columns of the joined frame, `aggs` the distributive
+    * agg list, plus the left/right table names the Engine records so
+    * refresh can resolve the other side's CURRENT snapshot. */
+  final case class Spec(on: Seq[(String, String)], keys: Seq[String],
+      aggs: Seq[AggSpec], left: String = "", right: String = "") {
+    require(on.nonEmpty, "join matview requires at least one on-pair")
+  }
+
+  /** Inner equi-join with a by-NAME condition — requires disjoint
+    * column names across the sides (checked), which makes the
+    * condition unambiguous even when both frames share lineage. */
+  def joined(left: DataFrame, right: DataFrame,
+      on: Seq[(String, String)]): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"join matview sides share column name(s) ${overlap.mkString(", ")}" +
+        " — project/alias one side first (the join condition binds by name)")
+    on.foreach { case (l, r) =>
+      require(left.columns.contains(l), s"left side missing join column $l")
+      require(right.columns.contains(r), s"right side missing join column $r")
+    }
+    val cond = on.map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+    left.join(right, cond, "inner")
+  }
+
+  /** One grouped pass over the full join — the create path (and the
+    * rebuild the fold proofs compare against). */
+  def create(left: DataFrame, right: DataFrame, spec: Spec): DataFrame =
+    MatView.partials(joined(left, right, spec.on), spec.keys, spec.aggs)
+
+  private def deltaJoin(delta: DataFrame, otherCurrent: DataFrame,
+      spec: Spec, deltaSide: String, broadcastDelta: Boolean): DataFrame = {
+    require(deltaSide == "left" || deltaSide == "right",
+      s"deltaSide must be left|right (got $deltaSide)")
+    val d = if (broadcastDelta) broadcast(delta) else delta
+    if (deltaSide == "left") joined(d, otherCurrent, spec.on)
+    else joined(otherCurrent, d, spec.on)
+  }
+
+  /** Fold an INSERT delta on one side: partials of
+    * `delta ⋈ otherCurrent` fold into the state. `otherCurrent` must
+    * be the other side AS OF this refresh (including any of its own
+    * already-folded deltas). */
+  def refresh(state: DataFrame, delta: DataFrame,
+      otherCurrent: DataFrame, spec: Spec, deltaSide: String,
+      broadcastDelta: Boolean = true): DataFrame =
+    MatView.fold(state,
+      MatView.partials(
+        deltaJoin(delta, otherCurrent, spec, deltaSide, broadcastDelta),
+        spec.keys, spec.aggs),
+      spec.keys, spec.aggs)
+
+  /** Fold insert deltas on BOTH sides in one commit:
+    * ΔA⋈B_old then ΔB⋈(A_old∪ΔA) — the disjoint decomposition of
+    * (A∪ΔA)⋈(B∪ΔB) minus A_old⋈B_old. */
+  def refreshBoth(state: DataFrame, deltaLeft: DataFrame,
+      deltaRight: DataFrame, leftOld: DataFrame, rightOld: DataFrame,
+      spec: Spec, broadcastDelta: Boolean = true): DataFrame = {
+    val s1 = refresh(state, deltaLeft, rightOld, spec, "left",
+      broadcastDelta)
+    refresh(s1, deltaRight, leftOld.unionByName(deltaLeft), spec,
+      "right", broadcastDelta)
+  }
+
+  /** Fold a DELETE batch on one side out of the state: count/sum
+    * subtract the partials of `deletes ⋈ otherCurrent`
+    * ([[MatView.foldDelete]] — zero-count groups retire, min/max
+    * specs refuse loudly, a count agg is required). The caller (the
+    * Engine command) must verify no group goes count-negative before
+    * committing — a non-subset delete batch. */
+  def delete(state: DataFrame, deletes: DataFrame,
+      otherCurrent: DataFrame, spec: Spec, deleteSide: String,
+      broadcastDelta: Boolean = true): DataFrame =
+    MatView.foldDelete(state,
+      deltaJoin(deletes, otherCurrent, spec, deleteSide, broadcastDelta),
+      spec.keys, spec.aggs)
+
+  /** Spec JSON: {"left": "orders", "right": "lineitem",
+    * "on": [["o_orderkey", "l_orderkey"]], "keys": [...],
+    * "aggs": [{"fn": ..., "expr": ..., "alias": ...}]} */
+  def specFromJson(json: String): Spec = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val p = JsonMethods.parse(json)
+    val on = (p \ "on").extract[List[List[String]]].map {
+      case List(l, r) => (l, r)
+      case other => throw new IllegalArgumentException(
+        s"on pair must be [left, right] (got $other)")
+    }
+    val keys = (p \ "keys").extract[List[String]]
+    val aggs = (p \ "aggs").extract[List[JValue]].map { j =>
+      AggSpec((j \ "fn").extract[String],
+        (j \ "expr").extractOpt[String].getOrElse("1"),
+        (j \ "alias").extract[String])
+    }
+    Spec(on, keys, aggs,
+      (p \ "left").extractOpt[String].getOrElse(""),
+      (p \ "right").extractOpt[String].getOrElse(""))
+  }
+
+  def specToJson(spec: Spec): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    val on = spec.on.map { case (l, r) => s"[${q(l)}, ${q(r)}]" }
+      .mkString(", ")
+    s"""{"left": ${q(spec.left)}, "right": ${q(spec.right)}, """ +
+      s""""on": [$on], "keys": [${spec.keys.map(q).mkString(", ")}], """ +
+      s""""aggs": [""" +
+      spec.aggs.map(a => s"""{"fn": ${q(a.fn)}, "expr": ${q(a.expr)}, """ +
+        s""""alias": ${q(a.alias)}}""").mkString(", ") + "]}"
+  }
+}
