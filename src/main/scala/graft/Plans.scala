@@ -358,6 +358,14 @@ object Plans {
           "derived global state, no recorded geometry — fold is " +
           "anti-join + map-only sig computation of the batch alone; " +
           "16 bytes/doc, the cheapest standing index"),
+      "q183_matview_autofold" ->
+        ("ingest auto-fold + transparent serve: the REST-PUT batch " +
+          "folds into the matview in the same call (watermark rides " +
+          "the SAME IndexStore commit as the fold — PERF lesson 28), " +
+          "and the served GROUP BY re-aggregates #groups rows; the " +
+          "base parquet is never scanned (plan-asserted), with " +
+          "`matview sync` replaying exactly the rows above the " +
+          "watermark after a crash or an auto-refresh-off window"),
       "q181_join_matview" ->
         ("standing JOIN matview (Gupta-Mumick delta rules): create " +
           "is one join+group pass; every later fold joins ONLY the " +

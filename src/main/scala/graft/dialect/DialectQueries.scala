@@ -1,6 +1,7 @@
 package graft.dialect
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, pmod}
 
 import graft.engine.Tables
 
@@ -321,7 +322,55 @@ object DialectQueries {
     HAVING ${oAvg("l_quantity")} > 25.4
     ORDER BY l_returnflag"""
 
+  /** q183 — ingest AUTO-FOLD closing the serving loop under the
+    * driver gate: a matview is created over a registered table, a
+    * late batch arrives over the REST-PUT ingest path (NDJSON body,
+    * schema-aligned), and WITHOUT any refresh command the
+    * transparently-served `sql` GROUP BY answers from the #groups-row
+    * state INCLUDING the batch — the QFn requires the served plan
+    * never scans the base parquet (q167's discipline), and the oracle
+    * is the one-shot GROUP BY over the FULL table: hash equality
+    * proves the auto-fold left the view exactly equal to a rebuild.
+    * This is the staleness gap transparent serving otherwise has: a
+    * view that serves queries transparently must refresh
+    * transparently, or every PUT silently corrupts dashboards. */
+  private val q183: QFn = (s, d) => {
+    val cat = new graft.engine.Catalog(s)
+    val tmp = java.nio.file.Files.createTempDirectory("q183")
+    val ord = s.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    ord.filter(pmod(col("o_orderkey"), lit(10)) =!= 3)
+      .write.parquet(tmp.resolve("base.parquet").toString)
+    cat.registerTable("ords", tmp.resolve("base.parquet").toString)
+    val engine = new graft.engine.Engine(s, cat)
+    val mv = tmp.resolve("mv").toString
+    engine.execute(s"matview create where table = ords and " +
+      s"""path = $mv and spec = {"keys": ["o_orderpriority"], "aggs": [
+        {"fn": "count", "alias": "cnt"},
+        {"fn": "sum", "expr": "cast(o_orderkey as decimal(18,2))",
+         "alias": "sk"}]}""")
+    val batch = ord.filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .collect().map(r =>
+        s"""{"o_orderkey": ${r.getLong(0)}, """ +
+          s""""o_orderpriority": "${r.getString(1)}"}""").mkString("\n")
+    engine.ingest("ords", batch) // append + auto-fold, no refresh cmd
+    val df = engine.query(
+      """sql edge "select o_orderpriority, count(*) as n, """ +
+        """sum(o_orderkey) as sum_key from ords """ +
+        """group by o_orderpriority order by o_orderpriority"""")
+    require(!df.queryExecution.sparkPlan.toString
+        .contains("base.parquet"),
+      "q183 fell back to the base plan — matview serving did not engage")
+    df
+  }
+  private val q183Sql = s"""
+    SELECT o_orderpriority, count(*) AS n,
+      ${oSum("o_orderkey")} AS sum_key
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, QFn] = Map(
+    "q183_matview_autofold" -> q183,
     "q167_matview_served" -> q167,
     "q178_matview_served_avg" -> q178,
     "q102_rollup_served_dialect" -> q102,
@@ -338,6 +387,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q183_matview_autofold" -> q183Sql,
     "q167_matview_served" -> q167Sql,
     "q178_matview_served_avg" -> q178Sql,
     "q102_rollup_served_dialect" -> q102Sql,

@@ -142,6 +142,7 @@ object MatViewServe {
       return None
 
     var st = IndexStore.read(spark, meta.path).getOrElse(return None)
+      .drop(MatView.WatermarkCol) // engine lineage rider, never served
     sel.where.foreach(w => st = st.filter(expr(w)))
     val grouped = st.groupBy(gb.map(col): _*)
       .agg(aggItems.head, aggItems.tail: _*)

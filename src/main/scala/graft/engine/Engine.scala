@@ -115,6 +115,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   private var rollups = Map.empty[String, graft.dialect.RollupServe.Meta]
   private var matviews = Map.empty[String, graft.dialect.MatViewServe.Meta]
 
+  /** Registered standing JOIN matviews by artifact path (`join matview
+    * create` / `join matview attach`) — looked up by side-table name
+    * when an ingest batch lands, for the auto-fold. */
+  private var joinMatviews = Map.empty[String, graft.ops.JoinMatView.Spec]
+
+  /** When true (default), an ingest batch landing in a table
+    * auto-folds into every registered standing aggregate artifact over
+    * that table — matviews, rollups, and join matviews — in the same
+    * call, so transparently-SERVED state never silently goes stale
+    * behind the table it claims to summarize. `set view auto refresh =
+    * off` restores manual-refresh operation; a fold failure (or a
+    * crash between the table append and the fold) is recorded in
+    * [[autoFoldErrors]] and reconciled exactly by `matview sync`
+    * (watermark-driven) or a manual refresh of the missed batch. */
+  private var autoRefreshViews = true
+  private val autoFoldErrors =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+
   /** Registered standing vector indexes by table (`vindex create`):
     * PQ (codes + recorded books) or IVF (assignment rows + recorded
     * centroids), both IndexStore artifacts. `numSub` is PQ geometry
@@ -347,6 +365,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         // raw body would freeze pre-policy column names)
         if (autoCreate)
           catalog.registerTable(table, path, Some(stamped.schema))
+        // the batch is durable; fold it into every standing aggregate
+        // artifact over this table so transparently-served state never
+        // silently lags the table (errors recorded, never thrown — see
+        // autoFoldViews; `matview sync` reconciles exactly)
+        if (autoRefreshViews) autoFoldViews(table, stamped, tsdId)
         n
     }
   }
@@ -648,6 +671,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         .getOrElse(throw new IllegalArgumentException("unknown policy"))
     else if (low.startsWith("blockchain insert") ||
         low.startsWith("blockchain get ")) blockchainCmd(t)
+    else if (low.startsWith("set view auto refresh")) {
+      val v = t.substring(t.indexOf('=') + 1).trim.toLowerCase
+      require(v == "on" || v == "off",
+        "set view auto refresh = on|off")
+      autoRefreshViews = v == "on"
+      s"view auto refresh $v"
+    }
     else if (low.startsWith("set ") && t.contains("=")) {
       // dictionary assignment (the reference's params dict; scripts use
       // `name = value`, surfaced here as `set name = value`)
@@ -718,6 +748,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("join matview refresh")) joinMatviewRefresh(t)
     else if (low.startsWith("join matview delete")) joinMatviewDelete(t)
     else if (low.startsWith("join matview get")) joinMatviewGet(t)
+    else if (low.startsWith("join matview attach")) joinMatviewAttach(t)
+    else if (low.startsWith("matview sync")) matviewSync(t)
+    else if (low == "get view auto refresh") {
+      val st = if (autoRefreshViews) "on" else "off"
+      if (autoFoldErrors.isEmpty) s"view auto refresh $st; no fold errors"
+      else s"view auto refresh $st; ${autoFoldErrors.size} fold " +
+        s"error(s):\n${autoFoldErrors.mkString("\n")}"
+    }
     else if (low.startsWith("matview create")) matviewCreate(t)
     else if (low.startsWith("matview refresh")) matviewRefresh(t)
     else if (low.startsWith("matview delete")) matviewDelete(t)
@@ -770,6 +808,33 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     graft.ops.MatView.specFromJson(row.getAs[String]("spec"))
   }
 
+  /** The lineage watermark a stored matview state carries (see
+    * [[graft.ops.MatView.WatermarkCol]]): -1 when absent (no-lineage
+    * view, pre-watermark artifact, or a state whose groups were all
+    * deleted — sync refuses those and says to rebuild). */
+  private def mvWmOf(state: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    if (!state.columns.contains(graft.ops.MatView.WatermarkCol)) -1L
+    else {
+      val r = state.agg(max(col(graft.ops.MatView.WatermarkCol))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+  }
+
+  /** Highest tsd_id currently in a table (0 when stamped but empty),
+    * or -1 when the table carries no tsd lineage column. */
+  private def mvTableWm(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    if (!df.columns.contains("tsd_id")) -1L
+    else {
+      val r = df.agg(max(col("tsd_id").cast("long"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+  }
+
+  private def stripWm(df: org.apache.spark.sql.DataFrame) =
+    df.drop(graft.ops.MatView.WatermarkCol)
+
   /** `matview create where table = <t> and path = <dir> and spec =
     * <json>` — standing materialized view over distributive GROUP BY
     * aggregates ([[graft.ops.MatView]]): one grouped pass, #groups-row
@@ -790,9 +855,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val path = kv("path").getOrElse(
       throw new IllegalArgumentException("matview create requires path ="))
     val (keys, aggs) = graft.ops.MatView.specFromJson(specJson)
-    val state = graft.ops.MatView.partials(catalog.table(table), keys, aggs)
-    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
+    val base = catalog.table(table)
+    // lineage watermark: the highest tsd_id snapshot the create saw —
+    // rides ON the state rows so it commits WITH every fold (see
+    // MatView.WatermarkCol). -1 when the table carries no tsd lineage.
+    val wm0 = mvTableWm(base)
     import org.apache.spark.sql.functions.lit
+    val state = graft.ops.MatView.partials(base, keys, aggs)
+      .withColumn(graft.ops.MatView.WatermarkCol, lit(wm0))
+    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
     graft.ops.IndexStore.write(spark.range(1).select(
       lit(graft.ops.MatView.specToJson(keys, aggs)).as("spec")),
       mvSpecDir(path))
@@ -829,9 +900,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (keys, aggs) = mvRecordedSpec(path)
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no matview at $path"))
-    val batch = graft.ops.MatView.partials(mvFrame(req("source")),
-      keys, aggs)
-    val folded = graft.ops.MatView.fold(state, batch, keys, aggs)
+    val wm = mvWmOf(state)
+    val src = mvFrame(req("source"))
+    val batch = graft.ops.MatView.partials(src, keys, aggs)
+    // a lineage-stamped batch advances the watermark (so a manual
+    // refresh of a crash-missed batch keeps sync exact); an unstamped
+    // batch leaves it alone
+    val newWm = if (wm >= 0) math.max(wm, mvTableWm(src)) else wm
+    import org.apache.spark.sql.functions.lit
+    val folded = graft.ops.MatView.fold(stripWm(state), batch, keys, aggs)
+      .withColumn(graft.ops.MatView.WatermarkCol, lit(newWm))
       .localCheckpoint()
     graft.ops.IndexStore.write(folded, path)
     s"matview refreshed at $path: ${folded.count()} groups"
@@ -887,8 +965,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (keys, aggs) = mvRecordedSpec(path)
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no matview at $path"))
-    val folded = graft.ops.MatView.foldDelete(state,
-      mvFrame(req("source")), keys, aggs).localCheckpoint()
+    val wm = mvWmOf(state) // deletes don't advance ingest lineage
+    import org.apache.spark.sql.functions.lit
+    val folded = graft.ops.MatView.foldDelete(stripWm(state),
+      mvFrame(req("source")), keys, aggs)
+      .withColumn(graft.ops.MatView.WatermarkCol, lit(wm))
+      .localCheckpoint()
     import org.apache.spark.sql.functions.col
     val cntAlias = aggs.find(_.fn == "count").get.alias
     val negGroups = folded.filter(col(cntAlias) < 0).count()
@@ -927,7 +1009,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val otherName = if (side == "left") spec.right else spec.left
     require(otherName.nonEmpty,
       "recorded spec lacks the other side's table name")
-    (spec, path, mvFrame(req("source")), catalog.table(otherName), side)
+    (spec, path, noSysCols(mvFrame(req("source"))),
+      noSysCols(catalog.table(otherName)), side)
   }
 
   /** `join matview create where path = <dir> and spec = {"left":
@@ -951,15 +1034,36 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     require(spec.left.nonEmpty && spec.right.nonEmpty,
       "join matview spec requires left and right table names")
     val state = graft.ops.JoinMatView.create(
-      catalog.table(spec.left), catalog.table(spec.right), spec)
+      noSysCols(catalog.table(spec.left)),
+      noSysCols(catalog.table(spec.right)), spec)
     val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
     import org.apache.spark.sql.functions.lit
     graft.ops.IndexStore.write(spark.range(1).select(
       lit(graft.ops.JoinMatView.specToJson(spec)).as("spec")),
       mvSpecDir(path))
+    joinMatviews += path -> spec
     val n = graft.ops.IndexStore.read(spark, path).get.count()
     s"join matview created at $path: $n groups (version $rows)"
   }
+
+  /** `join matview attach where path = <dir>` — re-register an
+    * existing join matview (spec recovered from the sidecar) so the
+    * ingest auto-fold sees it after a restart. */
+  private def joinMatviewAttach(t: String): String = {
+    val path = "(?i)\\bpath\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        "join matview attach requires path ="))
+    val spec = jmvRecordedSpec(path)
+    joinMatviews += path -> spec
+    s"join matview attached at $path (${spec.left} ⋈ ${spec.right})"
+  }
+
+  /** The tsd system columns the ingest path stamps — stripped from
+    * both sides of every join-matview fold so two stamped tables
+    * don't trip the disjoint-column-names requirement (the view is
+    * over the logical columns; specs must not reference these). */
+  private def noSysCols(df: org.apache.spark.sql.DataFrame) =
+    df.drop("row_id", "insert_timestamp", "tsd_name", "tsd_id")
 
   /** `join matview refresh where path = <dir> and side = left|right
     * and source = <table|path>` — fold an INSERT delta on one side:
@@ -1001,6 +1105,109 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         "aborted, original state intact")
     graft.ops.IndexStore.write(folded, path)
     s"join matview deleted at $path: ${folded.count()} groups remain"
+  }
+
+  /** Fold an ingest batch into every registered standing aggregate
+    * artifact over `table` — matviews (watermark advanced in the SAME
+    * IndexStore commit), rollups, and join matviews (the batch is the
+    * delta side; the other side joins as of now). Called from
+    * [[ingest]] after the table append commits, when auto refresh is
+    * on. A failed fold NEVER fails the ingest (the rows are already
+    * durable; failing here would make a retrying client re-PUT a
+    * payload the hash-gate then drops as a duplicate — the fold would
+    * be lost for good): it lands in [[autoFoldErrors]] (surfaced by
+    * `get view auto refresh`) and `matview sync` / a manual refresh
+    * of the missed batch reconciles exactly. */
+  private def autoFoldViews(table: String,
+      batch: org.apache.spark.sql.DataFrame, tsdId: Int): Unit = {
+    import org.apache.spark.sql.functions.lit
+    matviews.get(table).foreach { m =>
+      try {
+        val state = graft.ops.IndexStore.read(spark, m.path).getOrElse(
+          throw new IllegalStateException(s"no matview state at ${m.path}"))
+        val wm = mvWmOf(state)
+        val batchWm =
+          if (batch.columns.contains("tsd_id")) tsdId.toLong else -1L
+        val newWm = if (wm >= 0) math.max(wm, batchWm) else wm
+        val folded = graft.ops.MatView.fold(stripWm(state),
+          graft.ops.MatView.partials(batch, m.keys, m.aggs),
+          m.keys, m.aggs)
+          .withColumn(graft.ops.MatView.WatermarkCol, lit(newWm))
+          .localCheckpoint()
+        graft.ops.IndexStore.write(folded, m.path)
+      } catch { case e: Exception =>
+        autoFoldErrors += s"matview $table (${m.path}): ${e.getMessage}"
+      }
+    }
+    rollups.get(table).foreach { meta =>
+      try graft.ops.Rollup.refreshStore(spark, meta.path, batch,
+        meta.tsCol, meta.grain, meta.dims, meta.valueCols)
+      catch { case e: Exception =>
+        autoFoldErrors += s"rollup $table (${meta.path}): ${e.getMessage}"
+      }
+    }
+    joinMatviews.foreach { case (path, spec) =>
+      val side = if (spec.left == table) Some("left")
+        else if (spec.right == table) Some("right") else None
+      side.foreach { sd =>
+        try {
+          val state = graft.ops.IndexStore.read(spark, path).getOrElse(
+            throw new IllegalStateException(s"no join matview at $path"))
+          val otherName = if (sd == "left") spec.right else spec.left
+          val folded = graft.ops.JoinMatView.refresh(state,
+            noSysCols(batch), noSysCols(catalog.table(otherName)),
+            spec, sd).localCheckpoint()
+          graft.ops.IndexStore.write(folded, path)
+        } catch { case e: Exception =>
+          autoFoldErrors += s"join matview $table ($path): ${e.getMessage}"
+        }
+      }
+    }
+  }
+
+  /** `matview sync where table = <t>` — the crash-exact reconcile:
+    * fold exactly the table rows whose `tsd_id` lies above the view's
+    * recorded watermark (batches appended while auto refresh was off,
+    * or lost to a crash between a table append and its auto-fold),
+    * advancing the watermark in the same commit. Idempotent: a second
+    * sync is a no-op. Refuses loudly when the view carries no lineage
+    * watermark (base table without system columns, pre-watermark
+    * artifact, or a state emptied by deletes) — rebuild with `matview
+    * create` instead; and refuses a table without a `tsd_id` column. */
+  private def matviewSync(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val table = kv("table").getOrElse(
+      throw new IllegalArgumentException("matview sync requires table ="))
+    val m = matviews.getOrElse(table, throw new IllegalArgumentException(
+      s"no matview registered for $table — matview create/attach first"))
+    val state = graft.ops.IndexStore.read(spark, m.path).getOrElse(
+      throw new IllegalArgumentException(s"no matview state at ${m.path}"))
+    val wm = mvWmOf(state)
+    require(wm >= 0,
+      s"matview for $table has no lineage watermark (created over a " +
+        "table without tsd_id system columns, a pre-watermark artifact, " +
+        "or a state emptied by deletes) — sync cannot prove which rows " +
+        "are folded; rebuild with `matview create`")
+    val base = catalog.table(table)
+    require(base.columns.contains("tsd_id"),
+      s"table $table carries no tsd_id column — sync cannot identify " +
+        "missed batches")
+    import org.apache.spark.sql.functions.{col, lit}
+    val missed = base.filter(col("tsd_id").cast("long") > wm)
+    val nMissed = missed.count()
+    if (nMissed == 0L) s"matview for $table in sync (watermark $wm)"
+    else {
+      val newWm = mvTableWm(base)
+      val folded = graft.ops.MatView.fold(stripWm(state),
+        graft.ops.MatView.partials(missed, m.keys, m.aggs),
+        m.keys, m.aggs)
+        .withColumn(graft.ops.MatView.WatermarkCol, lit(newWm))
+        .localCheckpoint()
+      graft.ops.IndexStore.write(folded, m.path)
+      s"matview for $table synced: $nMissed missed row(s) folded, " +
+        s"watermark $wm -> $newWm"
+    }
   }
 
   /** `join matview get where path = <dir> [and format = table]`. */
@@ -1074,8 +1281,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val path = kv("path").getOrElse(
       throw new IllegalArgumentException("matview get requires path ="))
     val (keys, _) = mvRecordedSpec(path)
-    val df = graft.ops.IndexStore.read(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no matview at $path"))
+    val df = stripWm(graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no matview at $path")))
     import org.apache.spark.sql.functions.col
     val out = df.orderBy(keys.map(col): _*)
     if (kv("format").contains("table")) Render.table(out)

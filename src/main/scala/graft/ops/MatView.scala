@@ -30,6 +30,20 @@ import org.apache.spark.sql.functions._
   * corruption. fold == rebuild is exactly distributivity; q166 proves
   * it against a one-shot GROUP BY oracle. */
 object MatView {
+  /** Ingest-lineage watermark column the ENGINE rides on stored matview
+    * state rows (every row carries the same value): the highest
+    * `tsd_id` ingest batch folded into the view. It lives ON the state
+    * rows so it commits in the SAME IndexStore write as the fold it
+    * describes (PERF lesson 28 — a scalar derived from a versioned
+    * artifact never gets its own commit point); `matview sync` replays
+    * exactly the rows with `tsd_id > watermark` after a crash between
+    * a table append and its auto-fold. -1 / absent = the view has no
+    * lineage (base table without system columns, or a pre-watermark
+    * artifact): folds work, sync refuses loudly. The ops in this
+    * object never see the column — the Engine strips it before every
+    * fold and re-attaches it after. */
+  val WatermarkCol = "_graft_mv_wm"
+
   /** One aggregate column: `fn` in count|sum|min|max over SQL `expr`,
     * output column `alias`. `count` with expr `"1"` (the default) is
     * the row count; any other expr is the NULL-SENSITIVE `count(expr)`

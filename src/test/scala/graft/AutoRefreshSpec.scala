@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Ingest auto-fold of standing aggregate artifacts + the
+  * watermark-driven `matview sync` reconcile: served state must never
+  * silently lag the table it summarizes, and a crash-missed batch must
+  * be re-foldable EXACTLY once. */
+class AutoRefreshSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEngine(dataDir: java.nio.file.Path) = {
+    val cat = new graft.engine.Catalog(spark)
+    val engine = new graft.engine.Engine(spark, cat)
+    engine.dataDir = Some(dataDir.resolve("data").toString)
+    (cat, engine)
+  }
+
+  private def ndjson(rows: Seq[(Long, String)]): String =
+    rows.map { case (k, g) => s"""{"k": $k, "g": "$g"}""" }
+      .mkString("\n")
+
+  test("PUT ingest auto-folds a registered matview; the served state " +
+      "matches a one-shot rebuild; watermark advances") {
+    val dir = java.nio.file.Files.createTempDirectory("ar1")
+    val (_, engine) = mkEngine(dir)
+    // first PUT auto-creates the table WITH tsd system columns
+    engine.ingest("t1", ndjson(Seq((1, "a"), (2, "a"), (3, "b"))))
+    val p = dir.resolve("mv").toString
+    engine.execute(s"matview create where table = t1 and path = $p " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "sum", "expr": "k", "alias": "sk"}]}""")
+    // second PUT: must fold WITHOUT any refresh command
+    engine.ingest("t1", ndjson(Seq((10, "b"), (20, "c"))))
+    val got = engine.execute(s"matview get where path = $p")
+    assert(got.contains(""""g":"a","n":2,"sk":3"""), got)
+    assert(got.contains(""""g":"b","n":2,"sk":13"""), got)
+    assert(got.contains(""""g":"c","n":1,"sk":20"""), got)
+    // and the transparently-served sql path sees the new rows too
+    val served = engine.query(
+      """sql edge "select g, count(*) as n from t1 group by g order by g"""")
+    assert(served.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+  }
+
+  test("auto refresh off -> view goes stale; matview sync folds " +
+      "EXACTLY the missed rows; second sync is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ar2")
+    val (_, engine) = mkEngine(dir)
+    engine.ingest("t2", ndjson(Seq((1, "a"), (2, "b"))))
+    val p = dir.resolve("mv").toString
+    engine.execute(s"matview create where table = t2 and path = $p " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "sum", "expr": "k", "alias": "sk"}]}""")
+    engine.execute("set view auto refresh = off")
+    engine.ingest("t2", ndjson(Seq((5, "a"))))   // missed batch 1
+    engine.ingest("t2", ndjson(Seq((7, "c"))))   // missed batch 2
+    val stale = engine.execute(s"matview get where path = $p")
+    assert(stale.contains(""""g":"a","n":1,"sk":1"""), stale)
+    assert(!stale.contains(""""g":"c""""), stale)
+    val synced = engine.execute("matview sync where table = t2")
+    assert(synced.contains("2 missed row(s) folded"), synced)
+    val fresh = engine.execute(s"matview get where path = $p")
+    assert(fresh.contains(""""g":"a","n":2,"sk":6"""), fresh)
+    assert(fresh.contains(""""g":"c","n":1,"sk":7"""), fresh)
+    // idempotence: nothing above the watermark now
+    assert(engine.execute("matview sync where table = t2")
+      .contains("in sync"), "second sync must be a no-op")
+    assert(engine.execute(s"matview get where path = $p") === fresh)
+  }
+
+  test("sync refuses a view with no lineage watermark (table without " +
+      "tsd_id)") {
+    val dir = java.nio.file.Files.createTempDirectory("ar3")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "g")
+      .write.parquet(dir.resolve("plain.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("plain", dir.resolve("plain.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val p = dir.resolve("mv").toString
+    engine.execute(s"matview create where table = plain and path = $p " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"}]}""")
+    val err = intercept[IllegalArgumentException] {
+      engine.execute("matview sync where table = plain")
+    }
+    assert(err.getMessage.contains("no lineage watermark"),
+      err.getMessage)
+  }
+
+  test("ingest auto-folds a registered JOIN matview (batch side joins " +
+      "the other side's current snapshot)") {
+    val dir = java.nio.file.Files.createTempDirectory("ar4")
+    val (cat, engine) = mkEngine(dir)
+    // right side: a plain registered dimension table
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("rk", "v")
+      .write.parquet(dir.resolve("r.parquet").toString)
+    cat.registerTable("rt", dir.resolve("r.parquet").toString)
+    // left side lands via PUT (auto-created, stamped)
+    engine.ingest("lt",
+      Seq((1L, "x"), (2L, "y")).map { case (k, g) =>
+        s"""{"lk": $k, "g": "$g"}""" }.mkString("\n"))
+    val p = dir.resolve("jmv").toString
+    engine.execute(s"join matview create where path = $p " +
+      s"""and spec = {"left": "lt", "right": "rt",
+        "on": [["lk", "rk"]], "keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "sum", "expr": "v", "alias": "sv"}]}""")
+    // a new left batch must auto-fold: (3, "x") joins rk=3 -> v=30
+    engine.ingest("lt", """{"lk": 3, "g": "x"}""")
+    val got = engine.execute(s"join matview get where path = $p")
+    assert(got.contains(""""g":"x","n":2,"sv":40"""), got)
+    assert(got.contains(""""g":"y","n":1,"sv":20"""), got)
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+  }
+
+  test("manual refresh of a crash-missed stamped batch advances the " +
+      "watermark, so a later sync does NOT re-fold the same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("ar5")
+    val (cat, engine) = mkEngine(dir)
+    engine.ingest("t5", ndjson(Seq((1, "a"))))
+    val p = dir.resolve("mv").toString
+    engine.execute(s"matview create where table = t5 and path = $p " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"}]}""")
+    engine.execute("set view auto refresh = off")
+    engine.ingest("t5", ndjson(Seq((2, "b"))))
+    // the operator reconciles by hand: the missed slice (stamped rows,
+    // tsd lineage intact) refreshed from a parquet path
+    val missed = dir.resolve("missed.parquet").toString
+    cat.table("t5").filter(col("g") === "b").write.parquet(missed)
+    engine.execute(s"matview refresh where path = $p and source = $missed")
+    val got = engine.execute(s"matview get where path = $p")
+    assert(got.contains(""""g":"a","n":1"""), got)
+    assert(got.contains(""""g":"b","n":1"""), got)
+    // the refresh advanced the watermark — sync must see nothing left
+    assert(engine.execute("matview sync where table = t5")
+      .contains("in sync"), "manual refresh failed to advance watermark")
+    assert(engine.execute(s"matview get where path = $p") === got)
+  }
+}
