@@ -358,6 +358,12 @@ object Plans {
           "derived global state, no recorded geometry — fold is " +
           "anti-join + map-only sig computation of the batch alone; " +
           "16 bytes/doc, the cheapest standing index"),
+      "q184_matview_asof" ->
+        ("AS-OF version reads: each retained v=N dir is an immutable " +
+          "committed snapshot, so time travel is a plain parquet scan " +
+          "of that dir — no log replay, no reconstruction; retention " +
+          "deepens history (newest-N prune at write), pruned versions " +
+          "refuse loudly instead of silently serving the wrong era"),
       "q183_matview_autofold" ->
         ("ingest auto-fold + transparent serve: the REST-PUT batch " +
           "folds into the matview in the same call (watermark rides " +

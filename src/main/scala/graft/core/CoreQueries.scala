@@ -953,6 +953,61 @@ object CoreQueries {
     GROUP BY o_orderpriority, l_returnflag
     ORDER BY o_orderpriority, l_returnflag"""
 
+  /** q184 — AS-OF (time-travel) reads over a standing artifact's
+    * version history ([[graft.ops.IndexStore.readVersion]] +
+    * [[graft.ops.IndexStore.setRetention]]): a matview folds three
+    * cumulative batches into versions v1..v3 with retention deepened
+    * to 4 (the default 2 would have pruned v1 — this query reads
+    * PAST the default window), then reads every version back and
+    * labels it. The oracle recomputes each snapshot from scratch
+    * (GROUP BY over the cumulative slice): hash equality proves each
+    * retained version IS the exact state its commit produced — the
+    * audit guarantee behind "what did this dashboard serve before
+    * batch N folded / after the delete landed" (`index versions` /
+    * `index get version =` on the command surface). */
+  private val q184: QFn = (s, d) => {
+    import graft.ops.{IndexStore, MatView}
+    import graft.ops.MatView.AggSpec
+    val li = t(s, d, "lineitem")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val aggs = Seq(AggSpec("count", "1", "n"),
+      AggSpec("sum", "l_quantity", "sum_qty"))
+    val dir = java.nio.file.Files.createTempDirectory("q184")
+      .resolve("mv").toString
+    IndexStore.setRetention(s, dir, 4)
+    def slice(m: Int) = li.filter(pmod(col("l_orderkey"), lit(3)) === m)
+    val v1 = IndexStore.write(
+      MatView.partials(slice(0), keys, aggs).localCheckpoint(true), dir)
+    val v2 = IndexStore.write(MatView.fold(
+      IndexStore.read(s, dir).get,
+      MatView.partials(slice(1), keys, aggs), keys, aggs)
+      .localCheckpoint(true), dir)
+    val v3 = IndexStore.write(MatView.fold(
+      IndexStore.read(s, dir).get,
+      MatView.partials(slice(2), keys, aggs), keys, aggs)
+      .localCheckpoint(true), dir)
+    Seq(v1, v2, v3).zipWithIndex.map { case (v, i) =>
+      IndexStore.readVersion(s, dir, v).withColumn("ver", lit(i + 1))
+    }.reduce(_ unionByName _)
+      .select(col("ver"), col("l_returnflag"), col("l_linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("ver"), col("l_returnflag"), col("l_linestatus"))
+  }
+  private val q184Sql = """
+    SELECT * FROM (
+      SELECT 1 AS ver, l_returnflag, l_linestatus, count(*) AS n,
+        sum(l_quantity) AS sum_qty
+      FROM lineitem WHERE l_orderkey % 3 = 0 GROUP BY 2, 3
+      UNION ALL
+      SELECT 2 AS ver, l_returnflag, l_linestatus, count(*) AS n,
+        sum(l_quantity) AS sum_qty
+      FROM lineitem WHERE l_orderkey % 3 IN (0, 1) GROUP BY 2, 3
+      UNION ALL
+      SELECT 3 AS ver, l_returnflag, l_linestatus, count(*) AS n,
+        sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 2, 3
+    ) ORDER BY ver, l_returnflag, l_linestatus"""
+
   /** q168 — column profiling ([[graft.ops.Profile]]): the
     * what-is-in-this-table receipt, every column's row/null/distinct
     * counts and string length stats from ONE aggregate pass (all
@@ -996,6 +1051,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, QFn] = Map(
+    "q184_matview_asof" -> q184,
     "q181_join_matview" -> q181,
     "q182_join_matview_delete" -> q182,
     "q168_column_profile" -> q168,
@@ -1036,6 +1092,7 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q184_matview_asof" -> q184Sql,
     "q181_join_matview" -> q181Sql,
     "q182_join_matview_delete" -> q182Sql,
     "q168_column_profile" -> q168Sql,

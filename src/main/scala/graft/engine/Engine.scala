@@ -750,6 +750,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("join matview get")) joinMatviewGet(t)
     else if (low.startsWith("join matview attach")) joinMatviewAttach(t)
     else if (low.startsWith("matview sync")) matviewSync(t)
+    else if (low.startsWith("index versions") ||
+        low.startsWith("index retain") ||
+        low.startsWith("index get")) indexCmd(t)
     else if (low == "get view auto refresh") {
       val st = if (autoRefreshViews) "on" else "off"
       if (autoFoldErrors.isEmpty) s"view auto refresh $st; no fold errors"
@@ -1208,6 +1211,63 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       s"matview for $table synced: $nMissed missed row(s) folded, " +
         s"watermark $wm -> $newWm"
     }
+  }
+
+  /** Generic standing-artifact VERSION surface — works on ANY
+    * IndexStore-backed artifact (matview, join matview, rollup,
+    * vindex, tindex, sindex, shingle/simhash index, graph folds):
+    *
+    *  - `index versions where path = <dir>` — committed versions,
+    *    current marker, per-version tags (the audit listing).
+    *  - `index retain where path = <dir> and keep = <n>` — deepen the
+    *    AS-OF history; later writes keep the newest n committed
+    *    versions. Floor 2 (the concurrent-reader / exactly-once-tag
+    *    lookback). Set BEFORE the writes you need to audit.
+    *  - `index get where path = <dir> [and version = <n>] [and format
+    *    = table]` — read the live state, or the EXACT state any
+    *    retained version committed (right-to-be-forgotten audits:
+    *    "what did this artifact serve before batch N folded / after
+    *    the delete landed"). A pruned version refuses loudly. */
+  private def indexCmd(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    val path = kv("path").getOrElse(
+      throw new IllegalArgumentException("index command requires path ="))
+    val low = t.trim.toLowerCase
+    if (low.startsWith("index versions")) {
+      val vs = graft.ops.IndexStore.committedVersions(spark, path)
+      if (vs.isEmpty) s"no committed versions at $path"
+      else {
+        val cur = vs.max
+        vs.map { v =>
+          val tags = graft.ops.IndexStore.tagsOf(spark, path, v)
+          val tagStr = if (tags.isEmpty) "" else
+            s" tags=${tags.sorted.mkString(",")}"
+          s"v=$v${if (v == cur) " (current)" else ""}$tagStr"
+        }.mkString("\n") +
+          s"\nretention ${graft.ops.IndexStore.retention(spark, path)}"
+      }
+    } else if (low.startsWith("index retain")) {
+      val keep = kv("keep").getOrElse(throw new IllegalArgumentException(
+        "index retain requires keep =")).toInt
+      graft.ops.IndexStore.setRetention(spark, path, keep)
+      s"retention at $path set to $keep committed versions"
+    } else if (low.startsWith("index get")) {
+      val df = kv("version") match {
+        case Some(v) =>
+          graft.ops.IndexStore.readVersion(spark, path, v.toLong)
+        case None => graft.ops.IndexStore.read(spark, path).getOrElse(
+          throw new IllegalArgumentException(s"no artifact at $path"))
+      }
+      // no spec knowledge here (any artifact kind): deterministic
+      // render order by every column left-to-right
+      import org.apache.spark.sql.functions.col
+      val out = stripWm(df)
+      val ordered = out.orderBy(out.columns.map(col).toSeq: _*)
+      if (kv("format").contains("table")) Render.table(ordered)
+      else Render.json(ordered)
+    } else throw new IllegalArgumentException(
+      s"unknown index command: ${t.take(40)}")
   }
 
   /** `join matview get where path = <dir> [and format = table]`. */

@@ -36,6 +36,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexStore {
   private val Marker = "_GRAFT_COMMIT"
+  private val RetainFile = "_GRAFT_RETAIN"
   private val VersionRx = "^v=(\\d+)$".r
 
   private def fsOf(spark: SparkSession, dir: String) = {
@@ -61,6 +62,73 @@ object IndexStore {
   /** Highest committed version, if any. */
   def currentVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).collect { case (n, true) => n }.maxOption
+
+  /** All committed versions, ascending — the store's AS-OF axis. */
+  def committedVersions(spark: SparkSession, dir: String): Seq[Long] =
+    versions(spark, dir).collect { case (n, true) => n }.sorted
+
+  /** How many committed versions [[write]] retains at this dir:
+    * the recorded `_GRAFT_RETAIN` setting, else the default 2
+    * (current + immediately previous — the concurrent-reader
+    * lookback every store needs). */
+  def retention(spark: SparkSession, dir: String): Int = {
+    val (fs, p) = fsOf(spark, dir)
+    val f = new Path(p, RetainFile)
+    if (!fs.exists(f)) 2
+    else {
+      val in = fs.open(f)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Record a retention depth for this store: later [[write]]s keep
+    * the newest `keep` committed versions as the AS-OF/audit history
+    * (each one an immutable `v=N` snapshot readable by
+    * [[readVersion]]). Floor 2 — anything lower would break the
+    * concurrent-reader lookback and the exactly-once tag protocol's
+    * two-version window. Raising retention never deletes anything;
+    * lowering it takes effect at the next write's prune. */
+  def setRetention(spark: SparkSession, dir: String, keep: Int): Unit = {
+    require(keep >= 2,
+      s"retention $keep < 2 would break the concurrent-reader / " +
+        "exactly-once-tag two-version lookback")
+    val (fs, p) = fsOf(spark, dir)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, RetainFile), true)
+    try out.write(keep.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** AS-OF read: the exact state committed as version `v`. Loud error
+    * (listing what IS available) when `v` was pruned or never
+    * committed — a silently-wrong audit read is worse than a refusal.
+    * Raise [[setRetention]] BEFORE the writes whose history an audit
+    * needs; pruned versions are gone, not recoverable. */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val committed = committedVersions(spark, dir)
+    require(committed.contains(v),
+      s"version $v is not a committed version at $dir — available: " +
+        (if (committed.isEmpty) "(none)" else committed.mkString(", ")) +
+        " (pruned history is unrecoverable; set retention before the " +
+        "writes you need to audit)")
+    spark.read.parquet(s"$dir/v=$v")
+  }
+
+  /** Tags stamped on a specific committed version (the per-version
+    * twin of [[currentTags]] — what batch/scalar rode THAT commit). */
+  def tagsOf(spark: SparkSession, dir: String, v: Long): Seq[String] = {
+    val (fs, _) = fsOf(spark, dir)
+    val d = new Path(s"$dir/v=$v")
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.collect {
+      case st if st.isFile &&
+          st.getPath.getName.startsWith("_GRAFT_TAG_") =>
+        st.getPath.getName.stripPrefix("_GRAFT_TAG_")
+    }
+  }
 
   /** True when a committed version OR legacy root-level data exists. */
   def exists(spark: SparkSession, dir: String): Boolean =
@@ -89,7 +157,9 @@ object IndexStore {
     * directories, never a broken index) and RETAINS the immediately
     * previous committed version — a concurrent reader that resolved the
     * old version just before this commit can finish its scan (readers
-    * lag by at most one write; the grandparent is gone by then). */
+    * lag by at most one write; the grandparent is gone by then). A
+    * recorded [[setRetention]] depth keeps more committed versions as
+    * an AS-OF audit history ([[readVersion]]). */
   def write(df: DataFrame, dir: String): Long = write(df, dir, None)
 
   /** As [[write]], optionally stamping a `tag` INSIDE the new version
@@ -113,15 +183,20 @@ object IndexStore {
     }
     // the commit point: one atomically-visible file create
     fs.create(new Path(vDir, Marker), false).close()
-    // prune: everything older than the previous committed version,
-    // plus dirty leftovers below `next`, plus legacy root files
-    val prevCommitted = before.collect { case (n, true) => n }.maxOption
+    // prune: keep the newest `retention` committed versions (default
+    // 2 = this one + the immediately previous, the concurrent-reader
+    // lookback; a recorded _GRAFT_RETAIN deepens the AS-OF history),
+    // drop dirty leftovers below `next`, and clear legacy root files
+    val keep = retention(spark, dir)
+    val keptCommitted = (before.collect { case (n, true) => n } :+ next)
+      .sorted.takeRight(keep).toSet
     before.foreach { case (n, committed) =>
-      if (n < next && (!committed || !prevCommitted.contains(n)))
+      if (n < next && (!committed || !keptCommitted.contains(n)))
         fs.delete(new Path(s"$dir/v=$n"), true)
     }
     fs.listStatus(p).foreach { st =>
-      if (st.isFile) fs.delete(st.getPath, false)
+      if (st.isFile && st.getPath.getName != RetainFile)
+        fs.delete(st.getPath, false)
     }
     next
   }
