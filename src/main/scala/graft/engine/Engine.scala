@@ -1078,8 +1078,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (spec, path, delta, other, side) = jmvDeltaArgs(t, "refresh")
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no join matview at $path"))
+    // `broadcast = false`: a backfill-sized delta must not broadcast
+    // (driver/executor memory) — AQE picks the shuffle strategy instead
+    val bc = "(?i)\\bbroadcast\\s*=\\s*false".r.findFirstIn(t).isEmpty
     val folded = graft.ops.JoinMatView.refresh(state, delta, other,
-      spec, side).localCheckpoint()
+      spec, side, broadcastDelta = bc).localCheckpoint()
     graft.ops.IndexStore.write(folded, path)
     s"join matview refreshed at $path: ${folded.count()} groups"
   }
@@ -1097,8 +1100,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (spec, path, dels, other, side) = jmvDeltaArgs(t, "delete")
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no join matview at $path"))
+    val bc = "(?i)\\bbroadcast\\s*=\\s*false".r.findFirstIn(t).isEmpty
     val folded = graft.ops.JoinMatView.delete(state, dels, other,
-      spec, side).localCheckpoint()
+      spec, side, broadcastDelta = bc).localCheckpoint()
     import org.apache.spark.sql.functions.col
     val cntAlias = spec.aggs.find(_.fn == "count").get.alias
     val negGroups = folded.filter(col(cntAlias) < 0).count()
@@ -1122,29 +1126,53 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * `get view auto refresh`) and `matview sync` / a manual refresh
     * of the missed batch reconciles exactly. */
   private def autoFoldViews(table: String,
-      batch: org.apache.spark.sql.DataFrame, tsdId: Int): Unit = {
+      batch: org.apache.spark.sql.DataFrame, tsdId: Int): Unit =
+    foldStandingViews(table, batch, tsdId, None)
+
+  /** Fold a batch into every registered standing aggregate artifact
+    * over `table` — the PUT auto-fold's body, public so a STREAMING
+    * ingest chain can keep views fresh too. With `batchTag` set
+    * (e.g. `stream_<table>_<foreachBatch id>`) every fold is
+    * EXACTLY-ONCE under at-least-once replay: the tag commits inside
+    * the artifact's new version BEFORE its commit marker (the
+    * [[graft.ops.IndexStore]] tag protocol — no state where the fold
+    * landed but the tag didn't), and a batch whose tag is visible on
+    * a live version is skipped. The two-version lookback covers
+    * checkpointed Structured Streaming's retry-the-last-batch
+    * discipline; see [[graft.streaming.StreamIngest.startViewFoldSink]]
+    * for the sink wrapper. Fold errors are recorded, never thrown
+    * (see [[autoFoldViews]] rationale). `tsdId` < 0 leaves matview
+    * lineage watermarks untouched (a stream batch carries no tsd
+    * lineage; `matview sync` stays scoped to the PUT path). */
+  def foldStandingViews(table: String,
+      batch: org.apache.spark.sql.DataFrame, tsdId: Int = -1,
+      batchTag: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.lit
+    def tagged(path: String): Boolean = batchTag.exists(t =>
+      graft.ops.IndexStore.hasTag(spark, path, t))
     matviews.get(table).foreach { m =>
-      try {
+      try if (!tagged(m.path)) {
         val state = graft.ops.IndexStore.read(spark, m.path).getOrElse(
           throw new IllegalStateException(s"no matview state at ${m.path}"))
         val wm = mvWmOf(state)
         val batchWm =
-          if (batch.columns.contains("tsd_id")) tsdId.toLong else -1L
+          if (tsdId >= 0 && batch.columns.contains("tsd_id")) tsdId.toLong
+          else -1L
         val newWm = if (wm >= 0) math.max(wm, batchWm) else wm
         val folded = graft.ops.MatView.fold(stripWm(state),
           graft.ops.MatView.partials(batch, m.keys, m.aggs),
           m.keys, m.aggs)
           .withColumn(graft.ops.MatView.WatermarkCol, lit(newWm))
           .localCheckpoint()
-        graft.ops.IndexStore.write(folded, m.path)
+        graft.ops.IndexStore.write(folded, m.path, batchTag)
       } catch { case e: Exception =>
         autoFoldErrors += s"matview $table (${m.path}): ${e.getMessage}"
       }
     }
     rollups.get(table).foreach { meta =>
-      try graft.ops.Rollup.refreshStore(spark, meta.path, batch,
-        meta.tsCol, meta.grain, meta.dims, meta.valueCols)
+      try if (!tagged(meta.path))
+        graft.ops.Rollup.refreshStore(spark, meta.path, batch,
+          meta.tsCol, meta.grain, meta.dims, meta.valueCols, batchTag)
       catch { case e: Exception =>
         autoFoldErrors += s"rollup $table (${meta.path}): ${e.getMessage}"
       }
@@ -1153,14 +1181,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       val side = if (spec.left == table) Some("left")
         else if (spec.right == table) Some("right") else None
       side.foreach { sd =>
-        try {
+        try if (!tagged(path)) {
           val state = graft.ops.IndexStore.read(spark, path).getOrElse(
             throw new IllegalStateException(s"no join matview at $path"))
           val otherName = if (sd == "left") spec.right else spec.left
           val folded = graft.ops.JoinMatView.refresh(state,
             noSysCols(batch), noSysCols(catalog.table(otherName)),
             spec, sd).localCheckpoint()
-          graft.ops.IndexStore.write(folded, path)
+          graft.ops.IndexStore.write(folded, path, batchTag)
         } catch { case e: Exception =>
           autoFoldErrors += s"join matview $table ($path): ${e.getMessage}"
         }
