@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Paths, Path}
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
@@ -10,11 +10,21 @@ import org.apache.spark.sql.types.StructType
   * /root/reference/edge_lake/blockchain/metadata.py:161 `load`): table
   * registrations (name -> storage path + frozen schema), views
   * (rename/subset mappings, cmd/member_cmd.py:21065 `create view`,
-  * consumed at dbms/unify_results.py:1049-1061), and mapping policies.
+  * consumed at dbms/unify_results.py:1049-1061), mapping policies, and
+  * standing-artifact attach records (what re-registers the serving
+  * fleet after a restart — the reference loads ALL its policies from
+  * the shared ledger at startup; this catalog does the same from its
+  * metadata root).
   *
   * Persistence is a JSON file per policy under one directory — at fleet
   * scale this becomes a Delta table or an external store; the interface
-  * is what matters (resolve table -> DataFrame).
+  * is what matters (resolve table -> DataFrame). A catalog constructed
+  * WITH a root RELOADS it: tables re-register (schema re-inferred from
+  * storage), views and policies restore verbatim, artifact records wait
+  * for the Engine's `attach all`. Reload is per-entry tolerant — a
+  * registration whose storage path vanished is skipped and reported by
+  * [[reloadErrors]], never a constructor crash (one lost table must not
+  * take the whole node down).
   */
 object Catalog {
   final case class TableReg(name: String, path: String, schemaJson: String,
@@ -33,6 +43,12 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   private var tables = Map.empty[String, TableReg]
   private var views = Map.empty[String, ViewDef]
   private var policies = Map.empty[String, String] // id -> policy JSON
+  /** key -> the exact `<kind> attach ...` command that re-registers
+    * the artifact (recorded by each Engine create command). */
+  private var artifacts = Map.empty[String, String]
+  private var reloadErrs = Seq.empty[String]
+
+  reload() // a root-backed catalog starts as the fleet it recorded
 
   def registerTable(name: String, path: String,
       schema: Option[StructType] = None,
@@ -40,7 +56,8 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     val sch = schema.getOrElse(Tables.loadPath(spark, path, nanoTs).schema)
     tables += name -> TableReg(name, path, sch.json, nanoTs)
     persist(s"table_$name.json",
-      s"""{"table": {"name": "${name}", "path": "${path}"}}""")
+      s"""{"table": {"name": ${q(name)}, "path": ${q(path)}, """ +
+        s""""nano_ts": [${nanoTs.map(q).mkString(", ")}]}}""")
   }
 
   /** Register a TimePartitions-written table: scans get directory-level
@@ -57,6 +74,10 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   def createView(name: String, table: String,
       columns: Seq[(String, String)]): Unit = {
     views += name -> ViewDef(name, table, columns)
+    persist(s"view_$name.json",
+      s"""{"view": {"name": ${q(name)}, "table": ${q(table)}, """ +
+        s""""columns": [${columns.map { case (s, d) =>
+          s"[${q(s)}, ${q(d)}]" }.mkString(", ")}]}}""")
   }
 
   def addPolicy(id: String, json: String): Unit = {
@@ -65,6 +86,71 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   }
   def policy(id: String): Option[String] = policies.get(id)
   def policyList: Seq[(String, String)] = policies.toSeq.sortBy(_._1)
+
+  /** Record the attach command that re-registers a standing artifact
+    * after a restart (each Engine `... create` calls this; `attach
+    * all` replays them). Keyed so re-creating at the same path
+    * overwrites rather than duplicates. */
+  def recordArtifact(key: String, attachCmd: String): Unit = {
+    artifacts += key -> attachCmd
+    persist(s"artifact_${sanitize(key)}.json",
+      s"""{"artifact": {"key": ${q(key)}, "attach": ${q(attachCmd)}}}""")
+  }
+  def artifactList: Seq[(String, String)] = artifacts.toSeq.sortBy(_._1)
+
+  /** Entries the last [[reload]] could not restore (path vanished,
+    * unparseable file) — surfaced, never thrown. */
+  def reloadErrors: Seq[String] = reloadErrs
+
+  /** Rehydrate every registration persisted at the metadata root (the
+    * reference's startup `blockchain load`). Called by the
+    * constructor; callable again after external changes. */
+  def reload(): Unit = root.foreach { r =>
+    if (Files.exists(r)) {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmts: Formats = DefaultFormats
+      val errs = Seq.newBuilder[String]
+      val files = {
+        val s = Files.list(r)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toVector.sortBy(_.getFileName.toString)
+        } finally s.close()
+      }
+      files.foreach { f =>
+        val fn = f.getFileName.toString
+        def body = Files.readString(f)
+        try {
+          if (fn.startsWith("table_") && fn.endsWith(".json")) {
+            val t = JsonMethods.parse(body) \ "table"
+            registerTable((t \ "name").extract[String],
+              (t \ "path").extract[String], None,
+              (t \ "nano_ts").extractOpt[List[String]].getOrElse(Nil))
+          } else if (fn.startsWith("view_") && fn.endsWith(".json")) {
+            val v = JsonMethods.parse(body) \ "view"
+            createView((v \ "name").extract[String],
+              (v \ "table").extract[String],
+              (v \ "columns").extract[List[List[String]]].map {
+                case List(s, d) => (s, d)
+                case other => throw new IllegalArgumentException(
+                  s"bad view column pair $other")
+              })
+          } else if (fn.startsWith("policy_") && fn.endsWith(".json")) {
+            policies += fn.stripPrefix("policy_")
+              .stripSuffix(".json") -> body
+          } else if (fn.startsWith("artifact_") && fn.endsWith(".json")) {
+            val a = JsonMethods.parse(body) \ "artifact"
+            artifacts += (a \ "key").extract[String] ->
+              (a \ "attach").extract[String]
+          }
+        } catch { case e: Exception =>
+          errs += s"$fn: ${e.getMessage}"
+        }
+      }
+      reloadErrs = errs.result()
+    }
+  }
 
   /** Resolve a (table or view) name to a DataFrame: views compile to a
     * select-with-alias over their base table — Catalyst folds this into
@@ -94,6 +180,12 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
 
   def tableNames: Seq[String] = tables.keys.toSeq.sorted
   def viewNames: Seq[String] = views.keys.toSeq.sorted
+
+  private def q(s: String) = "\"" + s.replace("\\", "\\\\")
+    .replace("\"", "\\\"") + "\""
+
+  private def sanitize(s: String) =
+    s.replaceAll("[^A-Za-z0-9._-]", "_")
 
   private def persist(file: String, content: String): Unit =
     root.foreach { r =>

@@ -750,6 +750,19 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("join matview get")) joinMatviewGet(t)
     else if (low.startsWith("join matview attach")) joinMatviewAttach(t)
     else if (low.startsWith("matview sync")) matviewSync(t)
+    else if (low == "attach all") {
+      // restart recovery: replay every attach command the catalog's
+      // metadata root recorded at create time (the reference loads its
+      // policy fleet from the blockchain at startup — blockchain/
+      // metadata.py:161 `load`). Per-artifact tolerant: one vanished
+      // artifact reports, the rest of the fleet still serves.
+      val recs = catalog.artifactList
+      if (recs.isEmpty) "no artifacts recorded"
+      else recs.map { case (key, cmd) =>
+        try s"attached $key: ${execute(cmd)}"
+        catch { case e: Exception => s"FAILED $key: ${e.getMessage}" }
+      }.mkString("\n")
+    }
     else if (low.startsWith("index versions") ||
         low.startsWith("index retain") ||
         low.startsWith("index get")) indexCmd(t)
@@ -871,6 +884,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       lit(graft.ops.MatView.specToJson(keys, aggs)).as("spec")),
       mvSpecDir(path))
     matviews += table -> graft.dialect.MatViewServe.Meta(path, keys, aggs)
+    catalog.recordArtifact(s"matview:$path",
+      s"matview attach where table = $table and path = $path")
     val n = graft.ops.IndexStore.read(spark, path).get.count()
     s"matview created at $path: $n groups (version $rows)"
   }
@@ -1045,6 +1060,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       lit(graft.ops.JoinMatView.specToJson(spec)).as("spec")),
       mvSpecDir(path))
     joinMatviews += path -> spec
+    catalog.recordArtifact(s"join matview:$path",
+      s"join matview attach where path = $path")
     val n = graft.ops.IndexStore.read(spark, path).get.count()
     s"join matview created at $path: $n groups (version $rows)"
   }
@@ -1763,6 +1780,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       meta.grain, meta.dims, meta.valueCols).localCheckpoint()
     graft.ops.IndexStore.write(rolled, meta.path)
     rollups += table -> meta
+    catalog.recordArtifact(s"rollup:${meta.path}",
+      s"rollup attach where table = $table and path = ${meta.path}")
     s"rollup for $table created at ${meta.path} " +
       s"(${rolled.count()} ${meta.grain} buckets)"
   }
@@ -1875,6 +1894,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
     vindexes += table -> VIndexMeta(path, kind, idCol, vecCol, numSub)
+    catalog.recordArtifact(s"vindex:$path",
+      s"vindex attach where table = $table and path = $path and " +
+        s"type = $kind and id = $idCol and vector = $vecCol")
     s"vindex for $table created at $path (type=$kind, $rows index rows)"
   }
 
@@ -2091,6 +2113,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       graft.ops.Retrieval.trigramIndex(src, textCol, idCol)
         .localCheckpoint(), s"$path-grams")
     tindexes += table -> TIndexMeta(path, idCol, textCol, grams)
+    catalog.recordArtifact(s"tindex:$path",
+      s"tindex attach where table = $table and path = $path and " +
+        s"id = $idCol and text = $textCol")
     s"tindex for $table created at $path ($rows index rows" +
       (if (grams) ", +trigram sidecar" else "") + ")"
   }
@@ -2362,6 +2387,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val built = sindexBuild(catalog.table(table), keyCol, textCol, k)
     val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
     sindexes += table -> SIndexMeta(path, keyCol, textCol, k)
+    catalog.recordArtifact(s"sindex:$path",
+      s"sindex attach where table = $table and path = $path and " +
+        s"key = $keyCol and text = $textCol and k = $k")
     s"sindex for $table created at $path ($rows keys)"
   }
 
