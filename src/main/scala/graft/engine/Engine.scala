@@ -616,6 +616,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("merge into")) mergeCmd(t)
     else if (low.startsWith("monitor psi create")) monitorPsiCreate(t)
     else if (low.startsWith("monitor psi check")) monitorPsiCheck(t)
+    else if (low.startsWith("monitor attach")) monitorAttach(t)
     else if (low.startsWith("monitor create")) monitorCreate(t)
     else if (low.startsWith("monitor refresh")) monitorRefresh(t)
     else if (low.startsWith("monitor level")) monitorLevel(t)
@@ -634,6 +635,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         s"$tbl: key=${m.keyCol} ts=${m.tsCol} path=${m.path}"
       }.mkString("\n")
     }
+    else if (low.startsWith("layout attach")) layoutAttach(t)
     else if (low.startsWith("layout zorder")) layoutZorder(t)
     else if (low.startsWith("layout refresh")) layoutRefresh(t)
     else if (low.startsWith("layout scan")) layoutScan(t)
@@ -2759,7 +2761,25 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       monitorMinutes(catalog.table(table), keyCol, tsCol))
     val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
     monitors += table -> MonitorMeta(path, keyCol, tsCol)
+    catalog.recordArtifact(s"monitor:$path",
+      s"monitor attach where table = $table and path = $path and " +
+        s"key = $keyCol and ts = $tsCol")
     s"monitor for $table created at $path ($rows keys)"
+  }
+
+  /** `monitor attach where table = <t> and path = <dir> and key =
+    * <col> and ts = <col>` — re-register an existing CUSUM monitor
+    * after an engine restart. */
+  private def monitorAttach(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"monitor attach requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    require(graft.ops.IndexStore.read(spark, path).isDefined,
+      s"no monitor state at $path")
+    monitors += table -> MonitorMeta(path, req("key"), req("ts"))
+    s"monitor for $table attached from $path"
   }
 
   /** `monitor refresh where table = <t> and source = <table|path>` —
@@ -2980,8 +3000,25 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     graft.ops.Layout.zorderWrite(catalog.table(table), xc, yc, path,
       bits, buckets)
     layouts += table -> LayoutMeta(path, xc, yc, bits, buckets)
+    catalog.recordArtifact(s"layout:$path",
+      s"layout attach where table = $table and path = $path and " +
+        s"x = $xc and y = $yc and bits = $bits and buckets = $buckets")
     s"layout for $table written at $path " +
       s"($buckets quad buckets, $bits-bit dims)"
+  }
+
+  /** `layout attach where table = <t> and path = <dir> and x = <col>
+    * and y = <col> and bits = <n> and buckets = <n>` — re-register an
+    * existing Z-order layout after an engine restart. */
+  private def layoutAttach(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"layout attach requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    layouts += table -> LayoutMeta(path, req("x"), req("y"),
+      req("bits").toInt, req("buckets").toInt)
+    s"layout for $table attached from $path"
   }
 
   /** `layout refresh where table = <t> and source = <table|path>` —

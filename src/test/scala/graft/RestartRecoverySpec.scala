@@ -62,6 +62,33 @@ class RestartRecoverySpec extends SparkSpec {
     assert(got2.contains(""""g":"b","n":2,"sk":12"""), got2)
   }
 
+  test("monitor and layout artifacts re-attach through attach all") {
+    val root = java.nio.file.Files.createTempDirectory("rr4")
+    val data = root.resolve("ev.parquet").toString
+    (0 until 120).map(i =>
+      (s"k${i % 2}", java.sql.Timestamp.valueOf(
+        f"2024-01-01 00:${i % 60}%02d:00"), i.toLong, i.toLong * 2))
+      .toDF("k", "ts", "x", "y").write.parquet(data)
+    val cat1 = new graft.engine.Catalog(spark, Some(root))
+    cat1.registerTable("ev", data)
+    val e1 = new graft.engine.Engine(spark, cat1)
+    e1.execute(s"monitor create where table = ev and " +
+      s"path = ${root.resolve("mon")} and key = k and ts = ts")
+    e1.execute(s"layout zorder where table = ev and " +
+      s"path = ${root.resolve("lay")} and x = x and y = y and " +
+      "bits = 8 and buckets = 16")
+
+    val cat2 = new graft.engine.Catalog(spark, Some(root))
+    val e2 = new graft.engine.Engine(spark, cat2)
+    val out = e2.execute("attach all")
+    assert(out.contains("attached monitor:"), out)
+    assert(out.contains("attached layout:"), out)
+    assert(!out.contains("FAILED"), out)
+    // the re-attached monitor serves levels without re-create
+    val lvl = e2.execute("monitor level where table = ev")
+    assert(lvl.contains("k0"), lvl)
+  }
+
   test("reload is per-entry tolerant: a vanished storage path reports " +
       "in reloadErrors, the rest of the catalog restores") {
     val root = java.nio.file.Files.createTempDirectory("rr3")
