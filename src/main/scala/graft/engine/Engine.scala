@@ -193,6 +193,36 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         vars = dict, nodeAddress = nodeAddress))
   }
 
+  /** `explain sql <dbms> <options> "select ..."` — observability for
+    * the transparent serving layer: reports WHICH plan would answer
+    * this exact command (standing rollup / matview / base scan, with
+    * the artifact path) and prints the formatted Catalyst plan. The
+    * decision replays [[query]]'s own tryServe calls — this command
+    * asks, it never executes the query. Beyond-parity: the reference
+    * has no serving layer to observe; its nearest surface is the sql
+    * command's test/render mode (member_cmd.py:124-127). */
+  private def explainSql(t: String): String = {
+    val command = t.substring("explain".length).trim
+    val cmd = EdgeSql.parseCommand(command)
+    val servedSrc: Option[(String, DataFrame)] = try {
+      val t0 = EdgeSql.parseSelect(cmd.select).table
+      val table = if (t0.contains('.'))
+        t0.substring(t0.lastIndexOf('.') + 1) else t0
+      rollups.get(table).flatMap(m =>
+          graft.dialect.RollupServe.tryServe(spark, m, cmd)
+            .map(df => (s"standing rollup at ${m.path}", df)))
+        .orElse(matviews.get(table).flatMap(m =>
+          graft.dialect.MatViewServe.tryServe(spark, m, cmd)
+            .map(df => (s"matview at ${m.path}", df))))
+    } catch { case _: Exception => None }
+    val (src, df) = servedSrc.getOrElse(
+      ("base table scan (no standing artifact qualifies)",
+        EdgeSql.query(spark, loadWithOptions(cmd), command,
+          vars = dict, nodeAddress = nodeAddress)))
+    s"serving: $src\n" + df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
   private def loadWithOptions(cmd: EdgeSql.Command)
       : String => DataFrame = { name =>
     var base = catalog.table(name)
@@ -491,12 +521,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             s" batch=${pr.batchId} lastBatchRows=${pr.numInputRows}")
       }.mkString("\n")
     }
-    else if (low.startsWith("explain sql ")) {
-      // plan introspection (no reference analog — Spark-native value-add)
-      val df = query(t.substring("explain ".length))
-      df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    }
+    else if (low.startsWith("explain sql ")) explainSql(t)
     else if (low == "get status")
       s"engine: graft; tables: ${catalog.tableNames.size}; " +
         s"views: ${catalog.viewNames.size}; spark: ${spark.version}" 
@@ -752,6 +777,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("join matview get")) joinMatviewGet(t)
     else if (low.startsWith("join matview attach")) joinMatviewAttach(t)
     else if (low.startsWith("matview sync")) matviewSync(t)
+    else if (low == "get artifacts") {
+      val recs = catalog.artifactList
+      if (recs.isEmpty) "no artifacts recorded"
+      else recs.map { case (k, cmd) => s"$k -> $cmd" }.mkString("\n")
+    }
     else if (low == "attach all") {
       // restart recovery: replay every attach command the catalog's
       // metadata root recorded at create time (the reference loads its

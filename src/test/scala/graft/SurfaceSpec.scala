@@ -462,6 +462,32 @@ class EngineIntrospectionSpec extends SparkSpec {
         """group by event_type"""")
     assert(out.contains("HashAggregate"))
     assert(out.contains("Scan parquet"))
+    // no standing artifact registered -> the base plan answers
+    assert(out.startsWith("serving: base table scan"), out.linesIterator.next())
+  }
+
+  test("explain sql reports the serving source when a standing " +
+      "artifact qualifies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("explain")
+    Seq(("a", 1L), ("b", 2L)).toDF("g", "k")
+      .write.parquet(dir.resolve("t.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("t", dir.resolve("t.parquet").toString)
+    val e = new graft.engine.Engine(spark, cat)
+    val p = dir.resolve("mv").toString
+    e.execute(s"matview create where table = t and path = $p " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"}]}""")
+    val served = e.execute(
+      """explain sql edge "select g, count(*) as n from t group by g"""")
+    assert(served.startsWith(s"serving: matview at $p"),
+      served.linesIterator.next())
+    // a query the matcher cannot prove falls back — and says so
+    val base = e.execute(
+      """explain sql edge "select g, k from t"""")
+    assert(base.startsWith("serving: base table scan"),
+      base.linesIterator.next())
   }
 
   test("get status reports catalog size") {
