@@ -2546,13 +2546,27 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val df = spark.read.parquet(path)
     val before = df.count()
     val tmp = path.stripSuffix("/") + "__compact_tmp"
-    df.repartition(nOut).write.mode("overwrite").parquet(tmp)
+    // `sort = <col[,col2]>`: range-cluster the rewrite so every output
+    // file (and every parquet row group inside it) covers a NARROW
+    // slice of the sort key — the reader's min/max zone maps then skip
+    // everything a selective predicate misses. The 1-D sibling of
+    // `layout zorder` (which buys the same skipping on TWO correlated
+    // dims); measured in PERF.md ("sorted compaction").
+    val sortCols = kv("sort").toSeq.flatMap(_.stripPrefix("(")
+      .stripSuffix(")").split(",").map(_.trim).filter(_.nonEmpty))
+    val writer =
+      if (sortCols.isEmpty) df.repartition(nOut)
+      else df.repartitionByRange(nOut, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    writer.write.mode("overwrite").parquet(tmp)
     val after = spark.read.parquet(tmp).count()
     require(after == before,
       s"compaction row mismatch: $before -> $after; aborted, original intact")
     swapDirs(fs, hadoopPath, new org.apache.hadoop.fs.Path(tmp))
     s"compacted $table: ${files.length} files -> $nOut " +
-      s"(${bytes / 1048576} MB, $before rows)"
+      s"(${bytes / 1048576} MB, $before rows" +
+      (if (sortCols.isEmpty) ")"
+       else s", range-clustered on ${sortCols.mkString(",")})")
   }
 
   /** Crash-safe directory swap: the target is renamed ASIDE first

@@ -1274,6 +1274,40 @@ class CompactMergeCommandSpec extends SparkSpec {
     assert(after.inputFiles.length === 1)
   }
 
+  test("compact sort = <col>: range-clustered rewrite is " +
+      "row-identical and every output file covers a disjoint narrow " +
+      "slice of the sort key (zone-map skipping)") {
+    val dir = java.nio.file.Files.createTempDirectory("compactsort")
+    val p = dir.resolve("t").toString
+    // shuffled ids so the unsorted layout interleaves ranges everywhere;
+    // enough bytes that target_mb = 1 yields several output files
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((1 to 200000).toVector)
+      .map(i => (i.toLong, s"row_${i}_${"x" * 40}"))
+      .toDF("id", "v").repartition(16).write.parquet(p)
+    val cat = new Catalog(spark)
+    cat.registerTable("t", p)
+    val engine = new Engine(spark, cat)
+    val before = spark.read.parquet(p)
+      .collect().map(_.toString).sorted.toSeq
+    val out = engine.execute(
+      "compact where table = t and target_mb = 1 and sort = id")
+    assert(out.contains("range-clustered on id"), out)
+    val after = spark.read.parquet(p)
+    assert(after.collect().map(_.toString).sorted.toSeq === before)
+    // per-file min/max ranges must be disjoint (that IS the skipping
+    // property: a selective predicate matches at most one file's range)
+    import org.apache.spark.sql.functions.{min => fmin, max => fmax,
+      input_file_name}
+    val ranges = after.groupBy(input_file_name().as("f"))
+      .agg(fmin("id").as("lo"), fmax("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected multiple output files")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"overlapping file ranges: $hi1 >= $lo2")
+    case _ => }
+  }
+
   test("merge into: SCD1 upsert — source wins on key, unmatched " +
       "target survives, receipt counts updates vs inserts") {
     val dir = java.nio.file.Files.createTempDirectory("merge")
