@@ -358,6 +358,12 @@ object Plans {
           "derived global state, no recorded geometry — fold is " +
           "anti-join + map-only sig computation of the batch alone; " +
           "16 bytes/doc, the cheapest standing index"),
+      "q185_chunk_windows" ->
+        ("fixed-token chunk windows with stride (RAG prep): ONE " +
+          "map-only whole-stage-codegen pass — split/sequence/slice/" +
+          "array_join, no UDF, no shuffle; per-chunk token offsets " +
+          "map hits back to source spans; tail = remainder, zero-" +
+          "token docs emit nothing"),
       "q184_matview_asof" ->
         ("AS-OF version reads: each retained v=N dir is an immutable " +
           "committed snapshot, so time travel is a plain parquet scan " +

@@ -2340,6 +2340,37 @@ object PipelineQueries {
 
   // =====================================================================
 
+  /** q185 — fixed-token CHUNK WINDOWS with stride
+    * ([[TextOps.chunkWindows]]): the RAG/embedding prep step — every
+    * document splits into 64-token windows starting every 48 tokens
+    * (16-token overlap carries context across boundaries), with a
+    * doc-local chunk index and exact token offsets so a retrieval hit
+    * maps back into its source span. ONE map-only codegen pass
+    * (split/sequence/slice/array_join — no UDF, no shuffle); the tail
+    * window is the remainder, never padded, never dropped; zero-token
+    * docs produce no chunks. The oracle replays the identical slicing
+    * in DuckDB list algebra — chunk TEXT equality (not just counts)
+    * pins tokenization, stride arithmetic and joins across engines.
+    * Downstream embed/index is the existing vindex family; this is
+    * the missing front half of that pipeline. */
+  private val q185: QFn = (s, d) => {
+    TextOps.chunkWindows(t(s, d, "documents"), "doc_id", "text", 64, 48)
+      .orderBy(col("doc_id"), col("c_idx"))
+  }
+  private val q185Sql = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '),
+        x -> x <> '') AS tk
+      FROM documents
+    ), nn AS (SELECT doc_id, tk, len(tk) AS n FROM toks WHERE len(tk) > 0)
+    SELECT doc_id, CAST(t.s // 48 AS BIGINT) AS c_idx,
+      CAST(t.s AS BIGINT) AS start_tok,
+      CAST(least(64, n - t.s) AS BIGINT) AS n_tok,
+      array_to_string(list_slice(tk, t.s + 1,
+        t.s + least(64, n - t.s)), ' ') AS chunk_text
+    FROM nn, UNNEST(range(0, n, 48)) AS t(s)
+    ORDER BY doc_id, c_idx"""
+
   val queries: Map[String, QFn] = Map(
     "q103_ivf_standing_index" -> q103,
     "q101_bloom_gate" -> q101,
@@ -2385,6 +2416,7 @@ object PipelineQueries {
     "q173_editjoin_prefix" -> q173,
     "q174_shingle_index_delete" -> q174,
     "q179_simhash_index_fold" -> q179,
+    "q185_chunk_windows" -> q185,
     "q31_neardup_embedding_lsh" -> q31,
     "q32_ann_bruteforce_topk" -> q32,
     "q160_hard_negatives" -> q160,
@@ -2450,6 +2482,7 @@ object PipelineQueries {
     "q173_editjoin_prefix" -> q173Sql,
     "q174_shingle_index_delete" -> q174Sql,
     "q179_simhash_index_fold" -> q179Sql,
+    "q185_chunk_windows" -> q185Sql,
     "q31_neardup_embedding_lsh" -> q31Sql,
     "q32_ann_bruteforce_topk" -> q32Sql,
     "q160_hard_negatives" -> q160Sql,

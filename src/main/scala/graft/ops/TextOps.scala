@@ -28,6 +28,41 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
+  /** Fixed-token CHUNK WINDOWS with stride — the RAG/embedding prep
+    * every retrieval pipeline runs before indexing: each document
+    * splits into windows of `windowTokens` whitespace tokens starting
+    * every `strideTokens` (overlap = window − stride carries context
+    * across boundaries), with a doc-local chunk index and exact token
+    * offsets so a hit maps back into the source. Pure column algebra —
+    * split/filter/sequence/slice/array_join, all inside whole-stage
+    * codegen, ONE map-only pass, no shuffle and no UDF: at 100 TB the
+    * chunker is embarrassingly parallel and reads each document once.
+    * Output rows: (id, c_idx, start_tok, n_tok, chunk_text); documents
+    * with zero tokens produce no chunks; the tail window is the
+    * remainder (n_tok < windowTokens), never padded, never dropped.
+    * The downstream embed/index steps are the existing vindex family;
+    * boundary-snapping beyond whitespace (sentences) composes by
+    * pre-replacing the delimiter. */
+  def chunkWindows(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, windowTokens: Int, strideTokens: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(windowTokens >= 1 && strideTokens >= 1 &&
+      strideTokens <= windowTokens,
+      s"need 1 <= stride ($strideTokens) <= window ($windowTokens)")
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("tk"), col("n"),
+        explode(expr(s"sequence(0, n - 1, $strideTokens)")).as("start"))
+      .select(col(idCol),
+        expr(s"cast(start div $strideTokens as bigint)").as("c_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(windowTokens), col("n") - col("start"))
+          .cast("long").as("n_tok"),
+        expr(s"array_join(slice(tk, start + 1, " +
+          s"least($windowTokens, n - start)), ' ')").as("chunk_text"))
+  }
+
   /** Polynomial rolling hash of a string: fold(h*31 + codepoint) mod P.
     * Matches java.lang.String.hashCode for short ASCII strings (same
     * recurrence) but stays positive and overflow-free. */

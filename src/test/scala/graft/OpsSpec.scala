@@ -11,6 +11,38 @@ class TextOpsSpec extends SparkSpec {
   private def one[T](c: org.apache.spark.sql.Column): T =
     Seq("x").toDF("dummy").select(c).head().getAs[T](0)
 
+  test("chunkWindows: stride overlap, exact offsets, remainder tail, " +
+      "zero-token docs skipped, params validated") {
+    import graft.ops.TextOps
+    // doc 1: 10 tokens, window 4 stride 3 -> starts 0,3,6,9
+    val toks = (1 to 10).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, "   "), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkWindows(df, "doc_id", "text", 4, 3)
+      .orderBy("doc_id", "c_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(d1.toSeq === Seq(
+      (0L, 0L, 4L, "t1 t2 t3 t4"),
+      (1L, 3L, 4L, "t4 t5 t6 t7"),
+      (2L, 6L, 4L, "t7 t8 t9 t10"),
+      (3L, 9L, 1L, "t10")))           // remainder tail, never padded
+    // overlap property: consecutive windows share window - stride tokens
+    assert(d1(0)._4.split(' ').takeRight(1).toSeq ===
+      d1(1)._4.split(' ').take(1).toSeq)
+    // whitespace-only doc -> no chunks; single-token doc -> one chunk
+    assert(!out.exists(_.getLong(0) == 2L))
+    assert(out.filter(_.getLong(0) == 3L).map(_.getString(4)).toSeq ===
+      Seq("solo"))
+    // every doc token reconstructs exactly once from the stride-aligned
+    // head (first `stride` tokens) of each chunk
+    val heads = d1.flatMap(_._4.split(' ').take(3)).toSeq
+    assert(heads === toks)
+    intercept[IllegalArgumentException] {
+      TextOps.chunkWindows(df, "doc_id", "text", 4, 5) // stride > window
+    }
+  }
+
   test("polyHash matches the mod-P polynomial recurrence") {
     // fold('abc') = (0*31+97)*31+98)*31+99 = 96354 (== String.hashCode
     // for short ASCII strings, before any mod wrap)
