@@ -31,7 +31,8 @@ import graft.functions.F
   *      {"op": "weighted_sample", "source": "source", "k": 1000},
   *      {"op": "length_pct_gate", "index": "/idx/qh", "pct": 10,
   *       "source": "source"},
-  *      {"op": "split", "train": 80, "valid": 10}
+  *      {"op": "split", "train": 80, "valid": 10},
+  *      {"op": "chunk", "window": 64, "stride": 48}
   *    ]}}
   */
 object CleanPipeline {
@@ -159,6 +160,18 @@ object CleanPipeline {
   final case class WeightedSampleStage(sourceCol: String, k: Int)
       extends Stage
 
+  /** TRANSFORM stage (changes row granularity): split each surviving
+    * document into `window`-token chunks every `stride` tokens
+    * ([[TextOps.chunkWindows]] semantics, inlined so every carried
+    * column — source, embedding, quality — rides along onto its
+    * chunks). The text column is REPLACED by the chunk text and
+    * `c_idx`/`start_tok`/`n_tok` columns are appended; the id column
+    * keeps the DOCUMENT id, so place `chunk` AFTER the per-doc
+    * filter/dedup stages (the normal clean → chunk → embed order) —
+    * a later doc-id-keyed dedup would treat all of a doc's chunks as
+    * one unit. */
+  final case class Chunk(window: Int, stride: Int) extends Stage
+
   final case class Spec(idCol: String, textCol: String, stages: Seq[Stage])
 
   def fromJson(json: String): Spec = {
@@ -170,6 +183,9 @@ object CleanPipeline {
       case JArray(xs) => xs.map { st =>
         (st \ "op").extract[String] match {
           case "dedup_exact" => DedupExact()
+          case "chunk" => Chunk(
+            (st \ "window").extractOpt[Int].getOrElse(64),
+            (st \ "stride").extractOpt[Int].getOrElse(48))
           case "neardup_jaccard" => NeardupJaccard(
             (st \ "threshold").extractOpt[Double].getOrElse(0.5),
             (st \ "shingle_n").extractOpt[Int].getOrElse(3))
@@ -262,6 +278,22 @@ object CleanPipeline {
           cur.join(keep, md5(cur(txt)) === keep("__h") &&
             cur(id) === keep("__keep"))
             .drop("__h", "__keep")
+        case Chunk(w, stride) =>
+          require(stride >= 1 && stride <= w,
+            s"chunk: need 1 <= stride ($stride) <= window ($w)")
+          cur.withColumn("__tk", TextOps.tokens(col(txt)))
+            .withColumn("__n", size(col("__tk")))
+            .filter(col("__n") > 0)
+            .withColumn("__start",
+              explode(expr(s"sequence(0, __n - 1, $stride)")))
+            .withColumn("c_idx",
+              expr(s"cast(__start div $stride as bigint)"))
+            .withColumn("start_tok", col("__start").cast("long"))
+            .withColumn("n_tok",
+              least(lit(w), col("__n") - col("__start")).cast("long"))
+            .withColumn(txt, expr(s"array_join(slice(__tk, " +
+              s"__start + 1, least($w, __n - __start)), ' ')"))
+            .drop("__tk", "__n", "__start")
         case NeardupJaccard(threshold, n) =>
           val drop = Dedup.jaccardPairs(cur, txt, id, n, threshold)
             .select(col("id_b").as(id)).distinct()

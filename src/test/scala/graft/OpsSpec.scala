@@ -890,6 +890,28 @@ class CleanPipelineSpec extends SparkSpec {
     assert(q57.exceptAll(out).count() === 0)
   }
 
+  test("chunk stage: quality-filter then chunk — carried columns ride " +
+      "onto chunks, text becomes the chunk window, equals the q185 " +
+      "operator on the survivors") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "quality_min_tokens", "min": 20},
+        {"op": "chunk", "window": 64, "stride": 48}
+      ]}}""", docs)
+    // carried columns (lang, source) ride onto every chunk row
+    assert(Seq("lang", "source", "c_idx", "start_tok", "n_tok")
+      .forall(out.columns.contains), out.columns.mkString(","))
+    val survivors = docs.filter(
+      size(expr("filter(split(text, ' '), t -> t != '')")) >= 20)
+    val expect = graft.ops.TextOps.chunkWindows(
+      survivors, "doc_id", "text", 64, 48)
+    val got = out.select(col("doc_id"), col("c_idx"), col("start_tok"),
+      col("n_tok"), col("text").as("chunk_text"))
+    assert(got.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(got).count() === 0)
+  }
+
   test("lang filter and redaction stages") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = CleanPipeline.run("""
