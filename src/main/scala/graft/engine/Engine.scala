@@ -1207,9 +1207,28 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         val batchWm =
           if (tsdId >= 0 && batch.columns.contains("tsd_id")) tsdId.toLong
           else -1L
-        val newWm = if (wm >= 0) math.max(wm, batchWm) else wm
+        // LINEAGE GAP CHECK: a ledger entry for this table strictly
+        // between the view's watermark and this batch means a batch
+        // was appended but never folded (auto refresh was off, or its
+        // fold failed/crashed). Folding THIS batch alone and advancing
+        // the watermark would orphan those rows FOREVER — `matview
+        // sync` filters tsd_id > wm, finds nothing, and reports "in
+        // sync" while the view silently diverges. On a gap, fold the
+        // sync slice (every table row above the watermark — the
+        // current batch is already appended and is included) instead
+        // of the batch alone; the common contiguous path stays
+        // batch-sized.
+        val gapped = wm >= 0 && batchWm > wm &&
+          tsdLedger.list(Some(table))
+            .exists(e => e.fileId > wm && e.fileId < batchWm)
+        val (deltaRows, newWm) =
+          if (gapped) {
+            val base = catalog.table(table)
+            (base.filter(col("tsd_id").cast("long") > wm),
+              mvTableWm(base))
+          } else (batch, if (wm >= 0) math.max(wm, batchWm) else wm)
         val folded = graft.ops.MatView.fold(stripWm(state),
-          graft.ops.MatView.partials(batch, m.keys, m.aggs),
+          graft.ops.MatView.partials(deltaRows, m.keys, m.aggs),
           m.keys, m.aggs)
           .withColumn(graft.ops.MatView.WatermarkCol, lit(newWm))
           .localCheckpoint()
@@ -1385,12 +1404,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val dir = java.nio.file.Paths.get(req("dir"))
     java.nio.file.Files.createDirectories(dir)
     val qos = kv("qos").map(_.toInt).getOrElse(1)
+    require(qos >= 0 && qos <= 1,
+      s"run msg client: qos $qos unsupported — this client implements " +
+        "QoS 0/1 only (QoS 2 receiver flow is not implemented)")
+    // file names must be unique ACROSS client restarts and across two
+    // clients sharing a dir/topic: a bare per-client counter restarts
+    // at 1 and Files.writeString TRUNCATES, overwriting an unprocessed
+    // landing (and Spark's file source tracks seen paths — a re-used
+    // name is silently skipped). A per-client nano-epoch prefix + the
+    // counter makes every landing a fresh path.
     val n = new java.util.concurrent.atomic.AtomicInteger
+    val clientEpoch = java.lang.Long.toHexString(System.nanoTime())
     val client = new graft.streaming.MqttClient(host, port,
-      s"graft-${System.nanoTime().toHexString}",
+      s"graft-$clientEpoch",
       (topic, payload) => {
-        val f = dir.resolve(
-          s"m${n.incrementAndGet()}_${topic.replaceAll("[^A-Za-z0-9]", "_")}.json")
+        val f = dir.resolve(s"m${clientEpoch}_${n.incrementAndGet()}_" +
+          s"${topic.replaceAll("[^A-Za-z0-9]", "_")}.json")
         java.nio.file.Files.writeString(f, payload)
       })
     client.start(topics.toSeq.map(tp => (tp, qos)))

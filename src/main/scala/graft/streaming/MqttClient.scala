@@ -87,6 +87,16 @@ final class MqttClient(host: String, port: Int, clientId: String,
     * `timeoutMs` passes — then fails loudly). */
   def start(topics: Seq[(String, Int)], timeoutMs: Long = 5000): Unit = {
     require(topics.nonEmpty, "msg client needs at least one topic")
+    // QoS 2 needs the PUBREC/PUBREL/PUBCOMP receiver flow this client
+    // does not implement — acking a QoS-2 PUBLISH with PUBACK never
+    // completes the exchange, so a granting broker would retransmit
+    // the message forever (unbounded duplicate sink invocations).
+    // Fail LOUDLY at subscribe time instead of looping at runtime.
+    topics.foreach { case (t, q) =>
+      require(q >= 0 && q <= 1,
+        s"topic $t requests QoS $q — only QoS 0/1 receiver flows are " +
+          "implemented (QoS 2 would redeliver forever under PUBACK)")
+    }
     sock = new Socket(host, port)
     sock.setSoTimeout(timeoutMs.toInt)
     out = sock.getOutputStream
@@ -107,9 +117,12 @@ final class MqttClient(host: String, port: Int, clientId: String,
     }
     send(0x82, subBody) // SUBSCRIBE fixed header flags = 0b0010 (spec)
     val suback = expect(in, 9)
+    // granted QoS must be <= the requested (so <= 1 after the clamp
+    // above) — a broker granting 2 would enter the unimplemented
+    // PUBREC flow, so treat it as a rejection too
     require(suback._2.length >= 2 + topics.length &&
-      suback._2.drop(2).forall(b => (b & 0xff) <= 2),
-      "broker rejected subscription")
+      suback._2.drop(2).forall(b => (b & 0xff) <= 1),
+      "broker rejected subscription (or granted QoS 2)")
     // delivery loop
     running = true
     sock.setSoTimeout(0)

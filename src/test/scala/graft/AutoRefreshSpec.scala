@@ -73,6 +73,34 @@ class AutoRefreshSpec extends SparkSpec {
     assert(engine.execute(s"matview get where path = $p") === fresh)
   }
 
+  test("off -> missed batch -> on -> new batch: the auto-fold detects " +
+      "the lineage gap and folds the sync slice, not the batch alone " +
+      "(the missed batch is never orphaned)") {
+    val dir = java.nio.file.Files.createTempDirectory("ar8")
+    val (_, engine) = mkEngine(dir)
+    engine.ingest("t8", ndjson(Seq((1, "a"), (2, "b"))))
+    val p = dir.resolve("mv").toString
+    engine.execute(s"matview create where table = t8 and path = $p " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "sum", "expr": "k", "alias": "sk"}]}""")
+    engine.execute("set view auto refresh = off")
+    engine.ingest("t8", ndjson(Seq((5, "a"))))   // missed while off
+    engine.execute("set view auto refresh = on")
+    engine.ingest("t8", ndjson(Seq((7, "c"))))   // auto-folds
+    // WITHOUT the gap check this fold would advance the watermark past
+    // the missed batch: (5, "a") lost forever, sync reporting in-sync
+    val got = engine.execute(s"matview get where path = $p")
+    assert(got.contains(""""g":"a","n":2,"sk":6"""),
+      s"missed batch was orphaned by the auto-fold: $got")
+    assert(got.contains(""""g":"c","n":1,"sk":7"""), got)
+    // and the watermark is exact: sync finds nothing left
+    assert(engine.execute("matview sync where table = t8")
+      .contains("in sync"))
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+  }
+
   test("sync refuses a view with no lineage watermark (table without " +
       "tsd_id)") {
     val dir = java.nio.file.Files.createTempDirectory("ar3")
