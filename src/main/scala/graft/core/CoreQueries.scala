@@ -1008,6 +1008,66 @@ object CoreQueries {
       FROM lineitem GROUP BY 2, 3
     ) ORDER BY ver, l_returnflag, l_linestatus"""
 
+  /** q189 — `join matview sync` (per-side lineage watermarks): a
+    * standing join matview is created over two lineage-stamped
+    * registered tables, deltas land on BOTH sides while auto refresh
+    * is unavailable (plain parquet appends — the crash/off window),
+    * and one sync reconciles: it folds, per side, exactly the rows
+    * above that side's recorded watermark using the disjoint
+    * decomposition ΔL⋈R_old ∪ ΔR⋈(L_old∪ΔL), so the cross delta
+    * ΔL⋈ΔR folds exactly once. The oracle is the one-shot join+GROUP
+    * BY over the FULL tables: hash equality is sync == rebuild under
+    * the hardest (both-sides-pending) schedule — the crash-reconcile
+    * contract q183 proves for single-table matviews, extended to the
+    * Gupta–Mumick delta family. */
+  private val q189: QFn = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("q189")
+    val ordDir = tmp.resolve("ord.parquet").toString
+    val liDir = tmp.resolve("li.parquet").toString
+    val ord = t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"),
+        col("l_quantity"))
+    // epoch state: tsd_id 1 on both sides; deltas land as tsd_id 2
+    ord.filter(pmod(col("o_orderkey"), lit(3)) =!= 1)
+      .withColumn("tsd_id", lit(1)).write.parquet(ordDir)
+    li.filter(pmod(col("l_suppkey"), lit(2)) === 0)
+      .withColumn("tsd_id", lit(1)).write.parquet(liDir)
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("ords189", ordDir)
+    cat.registerTable("lis189", liDir)
+    val engine = new graft.engine.Engine(s, cat)
+    val p = tmp.resolve("jmv").toString
+    engine.execute(s"join matview create where path = $p " +
+      s"""and spec = {"left": "ords189", "right": "lis189",
+        "on": [["o_orderkey", "l_orderkey"]],
+        "keys": ["o_orderpriority", "l_returnflag"], "aggs": [
+        {"fn": "count", "expr": "1", "alias": "n"},
+        {"fn": "sum", "expr": "l_quantity", "alias": "sum_qty"}]}""")
+    // both-side deltas append UNDERNEATH the engine (no fold runs)
+    ord.filter(pmod(col("o_orderkey"), lit(3)) === 1)
+      .withColumn("tsd_id", lit(2)).write.mode("append").parquet(ordDir)
+    li.filter(pmod(col("l_suppkey"), lit(2)) =!= 0)
+      .withColumn("tsd_id", lit(2)).write.mode("append").parquet(liDir)
+    val msg = engine.execute(s"join matview sync where path = $p")
+    require(msg.contains("synced"), s"q189 sync did not fold: $msg")
+    require(engine.execute(s"join matview sync where path = $p")
+      .contains("in sync"), "q189 second sync must be a no-op")
+    graft.ops.IndexStore.read(s, p).get
+      .drop(graft.ops.JoinMatView.WmLeftCol,
+        graft.ops.JoinMatView.WmRightCol)
+      .select(col("o_orderpriority"), col("l_returnflag"), col("n"),
+        col("sum_qty"))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+  }
+  private val q189Sql = """
+    SELECT o_orderpriority, l_returnflag, count(*) AS n,
+      sum(l_quantity) AS sum_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    ORDER BY o_orderpriority, l_returnflag"""
+
   /** q168 — column profiling ([[graft.ops.Profile]]): the
     * what-is-in-this-table receipt, every column's row/null/distinct
     * counts and string length stats from ONE aggregate pass (all
@@ -1051,6 +1111,7 @@ object CoreQueries {
   }
 
   val queries: Map[String, QFn] = Map(
+    "q189_join_matview_sync" -> q189,
     "q184_matview_asof" -> q184,
     "q181_join_matview" -> q181,
     "q182_join_matview_delete" -> q182,
@@ -1092,6 +1153,7 @@ object CoreQueries {
     "q26_data_monitor_batch" -> q26)
 
   val oracles: Map[String, String] = Map(
+    "q189_join_matview_sync" -> q189Sql,
     "q184_matview_asof" -> q184Sql,
     "q181_join_matview" -> q181Sql,
     "q182_join_matview_delete" -> q182Sql,

@@ -774,6 +774,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("join matview create")) joinMatviewCreate(t)
     else if (low.startsWith("join matview refresh")) joinMatviewRefresh(t)
     else if (low.startsWith("join matview delete")) joinMatviewDelete(t)
+    else if (low.startsWith("join matview sync")) joinMatviewSync(t)
     else if (low.startsWith("join matview get")) joinMatviewGet(t)
     else if (low.startsWith("join matview attach")) joinMatviewAttach(t)
     else if (low.startsWith("matview sync")) matviewSync(t)
@@ -860,11 +861,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * [[graft.ops.MatView.WatermarkCol]]): -1 when absent (no-lineage
     * view, pre-watermark artifact, or a state whose groups were all
     * deleted — sync refuses those and says to rebuild). */
-  private def mvWmOf(state: org.apache.spark.sql.DataFrame): Long = {
+  private def mvWmOf(state: org.apache.spark.sql.DataFrame): Long =
+    wmColOf(state, graft.ops.MatView.WatermarkCol)
+
+  /** Read a lineage-watermark rider column (-1 when absent or the
+    * state has no rows — sync refuses those and says to rebuild). */
+  private def wmColOf(state: org.apache.spark.sql.DataFrame,
+      c: String): Long = {
     import org.apache.spark.sql.functions.{col, max}
-    if (!state.columns.contains(graft.ops.MatView.WatermarkCol)) -1L
+    if (!state.columns.contains(c)) -1L
     else {
-      val r = state.agg(max(col(graft.ops.MatView.WatermarkCol))).head()
+      val r = state.agg(max(col(c).cast("long"))).head()
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
   }
@@ -880,8 +887,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
   }
 
+  /** Drop every engine-lineage rider column (single-table watermark +
+    * the join matview's per-side pair) — none is ever served. */
   private def stripWm(df: org.apache.spark.sql.DataFrame) =
-    df.drop(graft.ops.MatView.WatermarkCol)
+    df.drop(graft.ops.MatView.WatermarkCol,
+      graft.ops.JoinMatView.WmLeftCol, graft.ops.JoinMatView.WmRightCol)
 
   /** `matview create where table = <t> and path = <dir> and spec =
     * <json>` — standing materialized view over distributive GROUP BY
@@ -1059,8 +1069,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val otherName = if (side == "left") spec.right else spec.left
     require(otherName.nonEmpty,
       "recorded spec lacks the other side's table name")
-    (spec, path, noSysCols(mvFrame(req("source"))),
-      noSysCols(catalog.table(otherName)), side)
+    // delta returned RAW (system columns intact) — the caller reads
+    // the tsd lineage for the watermark advance, then strips
+    (spec, path, mvFrame(req("source")),
+      catalog.table(otherName), side)
   }
 
   /** `join matview create where path = <dir> and spec = {"left":
@@ -1083,9 +1095,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val spec = graft.ops.JoinMatView.specFromJson(specJson)
     require(spec.left.nonEmpty && spec.right.nonEmpty,
       "join matview spec requires left and right table names")
+    // per-side lineage watermarks: the highest tsd_id snapshot each
+    // side contributed at create — committed WITH every fold so
+    // `join matview sync` can replay exactly the missed rows per side
+    val (wmL0, wmR0) = (mvTableWm(catalog.table(spec.left)),
+      mvTableWm(catalog.table(spec.right)))
+    import org.apache.spark.sql.functions.lit
     val state = graft.ops.JoinMatView.create(
       noSysCols(catalog.table(spec.left)),
       noSysCols(catalog.table(spec.right)), spec)
+      .withColumn(graft.ops.JoinMatView.WmLeftCol, lit(wmL0))
+      .withColumn(graft.ops.JoinMatView.WmRightCol, lit(wmR0))
     val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
     import org.apache.spark.sql.functions.lit
     graft.ops.IndexStore.write(spark.range(1).select(
@@ -1127,13 +1147,112 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (spec, path, delta, other, side) = jmvDeltaArgs(t, "refresh")
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no join matview at $path"))
+    import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
+    val (wmL, wmR) = (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+    val wmOther = if (side == "left") wmR else wmL
+    // ORDERING GUARD (enforced, not a comment): this fold joins the
+    // delta against the other side's CURRENT snapshot. If the other
+    // side holds rows ABOVE its recorded watermark (its own batch
+    // appended but not yet folded), the cross delta ΔA⋈ΔB would fold
+    // here AND again when the other side's delta folds — silent
+    // double-count. Refuse and direct to the decomposition that folds
+    // it exactly once.
+    if (wmOther >= 0 && mvTableWm(other) > wmOther)
+      throw new IllegalStateException(
+        s"join matview refresh at $path: the ${if (side == "left") "right"
+          else "left"} side has unfolded rows above its watermark " +
+          s"($wmOther) — folding this $side delta against its current " +
+          "snapshot would double-count the cross delta; run `join " +
+          s"matview sync where path = $path` (it folds both sides' " +
+          "missed rows exactly once)")
+    // a lineage-stamped delta advances this side's watermark (mirrors
+    // matview refresh: a manual refresh of a crash-missed batch keeps
+    // sync exact); an unstamped delta leaves it alone
+    val wmSide = if (side == "left") wmL else wmR
+    val newWmSide =
+      if (wmSide >= 0) math.max(wmSide, mvTableWm(delta)) else wmSide
+    val (newL, newR) =
+      if (side == "left") (newWmSide, wmR) else (wmL, newWmSide)
     // `broadcast = false`: a backfill-sized delta must not broadcast
     // (driver/executor memory) — AQE picks the shuffle strategy instead
     val bc = "(?i)\\bbroadcast\\s*=\\s*false".r.findFirstIn(t).isEmpty
-    val folded = graft.ops.JoinMatView.refresh(state, delta, other,
-      spec, side, broadcastDelta = bc).localCheckpoint()
+    import org.apache.spark.sql.functions.lit
+    val folded = graft.ops.JoinMatView.refresh(stripWm(state),
+        noSysCols(delta), noSysCols(other), spec, side,
+        broadcastDelta = bc)
+      .withColumn(WmLeftCol, lit(newL))
+      .withColumn(WmRightCol, lit(newR))
+      .localCheckpoint()
     graft.ops.IndexStore.write(folded, path)
     s"join matview refreshed at $path: ${folded.count()} groups"
+  }
+
+  /** `join matview sync where path = <dir>` — the jmv twin of
+    * `matview sync`: fold, for each lineage-carrying side, EXACTLY the
+    * base rows above that side's recorded watermark (batches appended
+    * while auto refresh was off, or lost to a crash between append and
+    * fold), advancing both watermarks in the same IndexStore commit.
+    * Uses the disjoint Gupta–Mumick decomposition
+    * ΔL ⋈ R_old  ∪  ΔR ⋈ (L_old ∪ ΔL) — R_old reconstructed from the
+    * CURRENT right table by its watermark (tsd_id <= wmR) — so a
+    * pending delta on BOTH sides folds the cross term ΔL⋈ΔR exactly
+    * once. Idempotent: a second sync finds nothing above either
+    * watermark. */
+  private def joinMatviewSync(t: String): String = {
+    val path = "(?i)\\bpath\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        "join matview sync requires path ="))
+    val spec = joinMatviews.getOrElse(path, jmvRecordedSpec(path))
+    jmvSyncFold(path, spec, None)
+  }
+
+  /** The watermark-driven jmv reconcile body (see [[joinMatviewSync]]);
+    * also the auto-fold's fallback when it detects a lineage anomaly.
+    * With `batchTag` set the commit is exactly-once under replay. */
+  private def jmvSyncFold(path: String,
+      spec: graft.ops.JoinMatView.Spec,
+      batchTag: Option[String]): String = {
+    import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
+    import org.apache.spark.sql.functions.{col, lit}
+    val state = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no join matview at $path"))
+    val (wmL, wmR) = (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+    require(wmL >= 0 || wmR >= 0,
+      s"join matview at $path carries no lineage watermark on either " +
+        "side (created over tables without tsd_id system columns, a " +
+        "pre-watermark artifact, or an emptied state) — sync cannot " +
+        "prove which rows are folded; rebuild with `join matview create`")
+    val leftT = catalog.table(spec.left)
+    val rightT = catalog.table(spec.right)
+    def deltaOf(tbl: org.apache.spark.sql.DataFrame, wm: Long) =
+      if (wm >= 0 && tbl.columns.contains("tsd_id"))
+        tbl.filter(col("tsd_id").cast("long") > wm).localCheckpoint()
+      else tbl.limit(0)
+    val (dL, dR) = (deltaOf(leftT, wmL), deltaOf(rightT, wmR))
+    val (nL, nR) = (dL.count(), dR.count())
+    if (nL == 0L && nR == 0L)
+      s"join matview at $path in sync (watermarks $wmL/$wmR)"
+    else {
+      // R_old: the right side AS OF its watermark — the snapshot the
+      // left delta must join so ΔL⋈ΔR isn't also counted by the
+      // right-delta fold below (which joins the FULL current left)
+      val rightOld =
+        if (wmR >= 0 && rightT.columns.contains("tsd_id"))
+          rightT.filter(col("tsd_id").cast("long") <= wmR)
+        else rightT
+      var st = stripWm(state)
+      if (nL > 0) st = graft.ops.JoinMatView.refresh(st, noSysCols(dL),
+        noSysCols(rightOld), spec, "left")
+      if (nR > 0) st = graft.ops.JoinMatView.refresh(st, noSysCols(dR),
+        noSysCols(leftT), spec, "right")
+      val newL = if (wmL >= 0) mvTableWm(leftT) else wmL
+      val newR = if (wmR >= 0) mvTableWm(rightT) else wmR
+      val folded = st.withColumn(WmLeftCol, lit(newL))
+        .withColumn(WmRightCol, lit(newR)).localCheckpoint()
+      graft.ops.IndexStore.write(folded, path, batchTag)
+      s"join matview at $path synced: $nL left + $nR right missed " +
+        s"row(s) folded, watermarks $wmL/$wmR -> $newL/$newR"
+    }
   }
 
   /** `join matview delete where path = <dir> and side = left|right
@@ -1149,9 +1268,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (spec, path, dels, other, side) = jmvDeltaArgs(t, "delete")
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no join matview at $path"))
+    import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
+    // deletes don't advance ingest lineage — watermarks ride through
+    val (wmL, wmR) = (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
     val bc = "(?i)\\bbroadcast\\s*=\\s*false".r.findFirstIn(t).isEmpty
-    val folded = graft.ops.JoinMatView.delete(state, dels, other,
-      spec, side, broadcastDelta = bc).localCheckpoint()
+    import org.apache.spark.sql.functions.lit
+    val folded = graft.ops.JoinMatView.delete(stripWm(state),
+        noSysCols(dels), noSysCols(other), spec, side,
+        broadcastDelta = bc)
+      .withColumn(WmLeftCol, lit(wmL))
+      .withColumn(WmRightCol, lit(wmR))
+      .localCheckpoint()
     import org.apache.spark.sql.functions.col
     val cntAlias = spec.aggs.find(_.fn == "count").get.alias
     val negGroups = folded.filter(col(cntAlias) < 0).count()
@@ -1250,13 +1377,41 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         else if (spec.right == table) Some("right") else None
       side.foreach { sd =>
         try if (!tagged(path)) {
+          import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
           val state = graft.ops.IndexStore.read(spark, path).getOrElse(
             throw new IllegalStateException(s"no join matview at $path"))
+          val (wmL, wmR) =
+            (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+          val (wmSide, wmOther) = if (sd == "left") (wmL, wmR) else (wmR, wmL)
           val otherName = if (sd == "left") spec.right else spec.left
-          val folded = graft.ops.JoinMatView.refresh(state,
-            noSysCols(batch), noSysCols(catalog.table(otherName)),
-            spec, sd).localCheckpoint()
-          graft.ops.IndexStore.write(folded, path, batchTag)
+          val otherT = catalog.table(otherName)
+          val batchWm =
+            if (tsdId >= 0 && batch.columns.contains("tsd_id")) tsdId.toLong
+            else -1L
+          // two lineage anomalies route to the sync decomposition
+          // instead of the batch-vs-other-current fold: (a) a gap on
+          // THIS side (same orphaned-batch hazard as the matview
+          // branch); (b) unfolded rows on the OTHER side — batch ⋈
+          // other_current would count Δthis⋈Δother now AND again when
+          // the other side folds (the double-count the refresh guard
+          // refuses on the command surface)
+          val sideGap = wmSide >= 0 && batchWm > wmSide &&
+            tsdLedger.list(Some(table))
+              .exists(e => e.fileId > wmSide && e.fileId < batchWm)
+          val otherPending = wmOther >= 0 && mvTableWm(otherT) > wmOther
+          if (sideGap || otherPending) jmvSyncFold(path, spec, batchTag)
+          else {
+            val newWmSide =
+              if (wmSide >= 0) math.max(wmSide, batchWm) else wmSide
+            val (newL, newR) =
+              if (sd == "left") (newWmSide, wmR) else (wmL, newWmSide)
+            val folded = graft.ops.JoinMatView.refresh(stripWm(state),
+                noSysCols(batch), noSysCols(otherT), spec, sd)
+              .withColumn(WmLeftCol, lit(newL))
+              .withColumn(WmRightCol, lit(newR))
+              .localCheckpoint()
+            graft.ops.IndexStore.write(folded, path, batchTag)
+          }
         } catch { case e: Exception =>
           autoFoldErrors += s"join matview $table ($path): ${e.getMessage}"
         }
@@ -1373,8 +1528,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val path = kv("path").getOrElse(
       throw new IllegalArgumentException("join matview get requires path ="))
     val spec = jmvRecordedSpec(path)
-    val df = graft.ops.IndexStore.read(spark, path).getOrElse(
-      throw new IllegalArgumentException(s"no join matview at $path"))
+    val df = stripWm(graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no join matview at $path")))
     import org.apache.spark.sql.functions.col
     val out = df.orderBy(spec.keys.map(col): _*)
     if (kv("format").contains("table")) Render.table(out)

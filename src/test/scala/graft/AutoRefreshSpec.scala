@@ -147,6 +147,100 @@ class AutoRefreshSpec extends SparkSpec {
       .contains("no fold errors"))
   }
 
+  /** Two PUT-created lineage-stamped sides + a registered jmv over
+    * lk = rk, grouped by g: the fixture for the sync family. */
+  private def mkJmv(dir: java.nio.file.Path)
+      : (graft.engine.Engine, String) = {
+    val (_, engine) = mkEngine(dir)
+    engine.ingest("jl",
+      Seq((1L, "x"), (2L, "y")).map { case (k, g) =>
+        s"""{"lk": $k, "g": "$g"}""" }.mkString("\n"))
+    engine.ingest("jr",
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).map { case (k, v) =>
+        s"""{"rk": $k, "v": $v}""" }.mkString("\n"))
+    val p = dir.resolve("jmv").toString
+    engine.execute(s"join matview create where path = $p " +
+      s"""and spec = {"left": "jl", "right": "jr",
+        "on": [["lk", "rk"]], "keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "sum", "expr": "v", "alias": "sv"}]}""")
+    (engine, p)
+  }
+
+  test("join matview sync: batches pending on BOTH sides (auto refresh " +
+      "off) fold exactly once — incl. the cross delta; second sync is " +
+      "a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("ar9")
+    val (engine, p) = mkJmv(dir)
+    engine.execute("set view auto refresh = off")
+    // left delta (3,"x") and right delta (3,->31 replaced? no — rk=3
+    // exists with v=30 already; add rk=5 AND a second row for rk=3):
+    // ΔL joins old right rows AND ΔR rows; ΔR joins old left AND ΔL
+    engine.ingest("jl", """{"lk": 3, "g": "x"}""" + "\n" +
+      """{"lk": 5, "g": "z"}""")
+    engine.ingest("jr", """{"rk": 5, "v": 50}""" + "\n" +
+      """{"rk": 1, "v": 100}""")
+    val synced = engine.execute(s"join matview sync where path = $p")
+    assert(synced.contains("2 left + 2 right missed row(s) folded"),
+      synced)
+    // rebuild truth: x: (1,10),(1,100),(3,30) n=3 sv=140; y: (2,20)
+    // n=1 sv=20; z: (5,50) n=1 sv=50
+    val got = engine.execute(s"join matview get where path = $p")
+    assert(got.contains(""""g":"x","n":3,"sv":140"""), got)
+    assert(got.contains(""""g":"y","n":1,"sv":20"""), got)
+    assert(got.contains(""""g":"z","n":1,"sv":50"""), got)
+    assert(engine.execute(s"join matview sync where path = $p")
+      .contains("in sync"), "second sync must be a no-op")
+  }
+
+  test("join matview refresh REFUSES when the other side has unfolded " +
+      "rows (the double-count guard) and directs to sync") {
+    val dir = java.nio.file.Files.createTempDirectory("ar10")
+    val (engine, p) = mkJmv(dir)
+    engine.execute("set view auto refresh = off")
+    engine.ingest("jl", """{"lk": 3, "g": "x"}""")
+    engine.ingest("jr", """{"rk": 5, "v": 50}""")
+    // folding the left delta against right-current would count
+    // lk=3 ⋈ rk=3 (fine) but a right refresh later joins rk=5 against
+    // left-current incl. lk=3 — if lk=5 existed both folds would count
+    // the cross pair; the guard refuses regardless
+    val err = intercept[IllegalStateException] {
+      val missed = dir.resolve("lmiss.parquet").toString
+      engine.query("""sql edge "select * from jl where lk = 3"""")
+        .write.parquet(missed)
+      engine.execute(s"join matview refresh where path = $p and " +
+        s"side = left and source = $missed")
+    }
+    assert(err.getMessage.contains("join matview sync"), err.getMessage)
+    // sync reconciles both
+    assert(engine.execute(s"join matview sync where path = $p")
+      .contains("folded"))
+    val got = engine.execute(s"join matview get where path = $p")
+    assert(got.contains(""""g":"x","n":2,"sv":40"""), got)
+  }
+
+  test("jmv auto-fold detects the other side's pending rows and routes " +
+      "to the sync decomposition — the cross delta folds exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("ar11")
+    val (engine, p) = mkJmv(dir)
+    engine.execute("set view auto refresh = off")
+    // left batch lands while folds are off: lk=5 (matches nothing yet)
+    engine.ingest("jl", """{"lk": 5, "g": "z"}""")
+    engine.execute("set view auto refresh = on")
+    // right batch rk=5 auto-folds: a naive batch ⋈ left-current fold
+    // would count (5,z)⋈(rk=5) now and AGAIN if the left batch ever
+    // folded against right-current — the sync route folds both sides
+    // exactly once and advances both watermarks
+    engine.ingest("jr", """{"rk": 5, "v": 50}""")
+    val got = engine.execute(s"join matview get where path = $p")
+    assert(got.contains(""""g":"z","n":1,"sv":50"""), got)
+    assert(got.contains(""""g":"x","n":1,"sv":10"""), got)
+    assert(engine.execute(s"join matview sync where path = $p")
+      .contains("in sync"))
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+  }
+
   test("startViewFoldSink keeps a matview fresh as a stream lands " +
       "(the streaming twin of the PUT auto-fold)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
