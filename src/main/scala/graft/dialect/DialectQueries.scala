@@ -369,7 +369,83 @@ object DialectQueries {
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** q187 — the dialect JOIN grammar, LIVE plan: `FROM a JOIN b ON
+    * a.k = b.k` parses ([[EdgeSql.JoinSpec]]) and compiles to one
+    * Catalyst inner equi-join + GROUP BY — WHERE (date-literal
+    * normalization included), HAVING-free aggregates, ORDER BY all
+    * composing over the joined frame exactly as over a single table.
+    * BEYOND-PARITY: the reference's engines report joins unsupported
+    * (`is_suport_join()` = False, dbms/sqlite_dbms.py:113,
+    * psql_dbms.py:206) and SURVEY §2.3 declares exceeding that
+    * desirable. The oracle is the identical SQL in DuckDB. */
+  private val q187 = run(
+    """sql edge "select o_orderpriority, l_returnflag, count(*) as n, """ +
+      """sum(l_quantity) as sum_qty, max(l_quantity) as max_qty """ +
+      """from orders join lineitem """ +
+      """on orders.o_orderkey = lineitem.l_orderkey """ +
+      """where o_orderdate >= '1996-01-01' """ +
+      """group by o_orderpriority, l_returnflag """ +
+      """order by o_orderpriority, l_returnflag"""")
+  private val q187Sql = s"""
+    SELECT o_orderpriority, l_returnflag, count(*) AS n,
+      ${oSum("l_quantity")} AS sum_qty, max(l_quantity) AS max_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY o_orderpriority, l_returnflag
+    ORDER BY o_orderpriority, l_returnflag"""
+
+  /** q188 — TRANSPARENT join-matview serving: the q181 IVM machinery
+    * reached from the `sql` front door. A join matview is registered
+    * whose spec records the join (on-pairs), keys, and the dialect's
+    * exact partials (count(*), null-sensitive count, decimal sum);
+    * the SAME JOIN query q187 runs live is then answered from the
+    * #groups-row artifact — [[JoinMatViewServe]] matches the FROM
+    * shape, [[MatViewServe.servePlan]] proves the aggregates, and the
+    * QFn REQUIRES the served plan scans NEITHER base table (the q183
+    * discipline). avg serves as re-folded decimal sum / re-folded
+    * count — bit-equal to the live decomposition. Oracle: the
+    * one-shot join+GROUP BY. */
+  private val q188: QFn = (s, d) => {
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("orders", s"$d/orders.parquet")
+    cat.registerTable("lineitem", s"$d/lineitem.parquet")
+    val engine = new graft.engine.Engine(s, cat)
+    val p = java.nio.file.Files.createTempDirectory("q188")
+      .resolve("jmv").toString
+    engine.execute(s"join matview create where path = $p " +
+      s"""and spec = {"left": "orders", "right": "lineitem",
+        "on": [["o_orderkey", "l_orderkey"]],
+        "keys": ["o_orderpriority", "l_returnflag"], "aggs": [
+        {"fn": "count", "expr": "1", "alias": "cnt"},
+        {"fn": "count", "expr": "l_quantity", "alias": "nq"},
+        {"fn": "sum", "expr": "cast(l_quantity as decimal(18,2))",
+         "alias": "sq"}]}""")
+    val df = engine.query(
+      """sql edge "select o_orderpriority, l_returnflag, """ +
+        """count(*) as n, sum(l_quantity) as sum_qty, """ +
+        """avg(l_quantity) as avg_qty """ +
+        """from orders join lineitem """ +
+        """on orders.o_orderkey = lineitem.l_orderkey """ +
+        """group by o_orderpriority, l_returnflag """ +
+        """order by o_orderpriority, l_returnflag"""")
+    val plan = df.queryExecution.sparkPlan.toString
+    require(!plan.contains("orders.parquet") &&
+        !plan.contains("lineitem.parquet"),
+      "q188 fell back to the live join — join matview serving did " +
+        "not engage")
+    df
+  }
+  private val q188Sql = s"""
+    SELECT o_orderpriority, l_returnflag, count(*) AS n,
+      ${oSum("l_quantity")} AS sum_qty,
+      ${oAvg("l_quantity")} AS avg_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+    ORDER BY o_orderpriority, l_returnflag"""
+
   val queries: Map[String, QFn] = Map(
+    "q187_sql_join" -> q187,
+    "q188_join_matview_served" -> q188,
     "q183_matview_autofold" -> q183,
     "q167_matview_served" -> q167,
     "q178_matview_served_avg" -> q178,
@@ -387,6 +463,8 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q187_sql_join" -> q187Sql,
+    "q188_join_matview_served" -> q188Sql,
     "q183_matview_autofold" -> q183Sql,
     "q167_matview_served" -> q167Sql,
     "q178_matview_served_avg" -> q178Sql,

@@ -82,10 +82,20 @@ object EdgeSql {
 
   final case class ProjItem(raw: String, alias: Option[String])
 
+  /** Two-table INNER equi-join in FROM (`a join b on a.x = b.y [and
+    * ...]`). `on` pairs are (left column, right column), qualifiers
+    * stripped. BEYOND-PARITY: the reference's SQLite/Postgres engines
+    * report `is_suport_join()` = False (dbms/sqlite_dbms.py:113,
+    * psql_dbms.py:206) — the dialect grammar here fronts the Spark
+    * join plan (and the standing join-matview serving layer,
+    * [[JoinMatViewServe]]). */
+  final case class JoinSpec(table: String, on: Seq[(String, String)])
+
   final case class Select(
       distinct: Boolean,
       projection: Seq[ProjItem],
       table: String,
+      join: Option[JoinSpec],
       where: Option[String],
       groupBy: Seq[String],
       // post-aggregation predicate over OUTPUT column names (aliases
@@ -140,7 +150,7 @@ object EdgeSql {
     val distinct = proj.toLowerCase.startsWith("distinct ")
     if (distinct) proj = proj.substring("distinct ".length)
 
-    val table = section(kwFrom, " from ".length)
+    val (table, join) = parseFrom(section(kwFrom, " from ".length))
     val where = if (kwWhere < 0) None else Some(section(kwWhere, " where ".length))
     val groupBy = if (kwGroup < 0) Nil
       else splitTopLevel(section(kwGroup, " group by ".length), ',').map(_.trim)
@@ -173,8 +183,74 @@ object EdgeSql {
         ProjItem(t.substring(0, asIdx).trim, Some(t.substring(asIdx + 4).trim))
       else ProjItem(t, None)
     }
-    Select(distinct, items, table, where, groupBy, having, orderBy,
+    Select(distinct, items, table, join, where, groupBy, having, orderBy,
       limit, limitPer)
+  }
+
+  /** FROM section: `t` or `a [inner] join b on a.x = b.y [and ...]`.
+    * ON conjuncts must be equalities; qualifiers (when present) must
+    * name one of the two tables and fix each column's side — bare
+    * columns default to (left, right) in written order. */
+  private def parseFrom(fromTxt: String): (String, Option[JoinSpec]) = {
+    val m = "(?i)^(\\S+)\\s+(?:inner\\s+)?join\\s+(\\S+)\\s+on\\s+(.+)$".r
+      .findFirstMatchIn(fromTxt.trim)
+    m match {
+      case None => (fromTxt.trim, None)
+      case Some(jm) =>
+        val (lt, rt) = (jm.group(1), jm.group(2))
+        def bare(n: String) =
+          if (n.contains('.')) n.substring(n.lastIndexOf('.') + 1) else n
+        val pairs = jm.group(3).split("(?i)\\s+and\\s+").toSeq.map { c =>
+          val sides = c.split("=").map(_.trim)
+          require(sides.length == 2,
+            s"join ON conjunct must be an equality: $c")
+          def sideOf(ref: String): Option[String] = {
+            val dot = ref.indexOf('.')
+            if (dot < 0) None
+            else {
+              val q = ref.substring(0, dot)
+              if (q == lt || q == bare(lt)) Some("left")
+              else if (q == rt || q == bare(rt)) Some("right")
+              else throw new IllegalArgumentException(
+                s"join ON qualifier '$q' names neither $lt nor $rt")
+            }
+          }
+          def colOf(ref: String): String = {
+            val dot = ref.indexOf('.')
+            val c0 = if (dot < 0) ref else ref.substring(dot + 1)
+            require(c0.matches("[A-Za-z_][A-Za-z0-9_]*"),
+              s"join ON side must be a column reference: $ref")
+            c0
+          }
+          (sideOf(sides(0)), sideOf(sides(1))) match {
+            case (Some("right"), _) | (_, Some("left")) =>
+              (colOf(sides(1)), colOf(sides(0)))
+            case _ => (colOf(sides(0)), colOf(sides(1)))
+          }
+        }
+        (lt, Some(JoinSpec(rt, pairs)))
+    }
+  }
+
+  /** The dialect's inner equi-join plan: disjoint column names across
+    * the sides (TPC-H-style prefixes) make the by-name condition
+    * unambiguous; violations fail loudly at compile, never resolve to
+    * a trivially-true self-comparison. */
+  private[dialect] def joinedBase(left: DataFrame, right: DataFrame,
+      on: Seq[(String, String)]): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"joined tables share column name(s) ${overlap.mkString(", ")} — " +
+        "the dialect join binds columns by bare name; create a view " +
+        "renaming one side first")
+    on.foreach { case (l, r) =>
+      require(left.columns.contains(l),
+        s"left join column $l not found")
+      require(right.columns.contains(r),
+        s"right join column $r not found")
+    }
+    left.join(right,
+      on.map { case (l, r) => col(l) === col(r) }.reduce(_ && _), "inner")
   }
 
   private def parenDepthAt(s: String, pos: Int): Int =
@@ -270,18 +346,40 @@ object EdgeSql {
     // provenance stamped per table (member_cmd.py:110-113).
     // Names may be dbms-qualified (db.table) — the catalog resolves the
     // bare table (the dbms is the command's first token in the reference)
-    val tables = (sel.table +: cmd.options.get("include").toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
-      .map(n => if (n.contains('.')) n.substring(n.lastIndexOf('.') + 1) else n)
+    sel.join match {
+      case Some(j) =>
+        // the join grammar composes with the plain SELECT machinery
+        // (WHERE/GROUP BY/HAVING/ORDER/LIMIT over the joined frame);
+        // per-table provenance options don't — reject, don't ignore
+        require(cmd.options.get("include").forall(_.trim.isEmpty) &&
+            cmd.options.get("extend").forall(_.trim.isEmpty),
+          "include=/extend= are per-table provenance options — not " +
+            "valid on a JOIN query")
+        def bare(n: String) =
+          if (n.contains('.')) n.substring(n.lastIndexOf('.') + 1) else n
+        // ingest system columns are stamped on BOTH sides of engine
+        // tables and would trip the disjoint-names requirement; they
+        // are never user columns, so the join plan drops them
+        def noSys(df: DataFrame) =
+          df.drop("row_id", "insert_timestamp", "tsd_name", "tsd_id")
+        val base = joinedBase(noSys(load(bare(sel.table))),
+          noSys(load(bare(j.table))), j.on)
+        compileSelect(spark, base, sel, cmd.options)
+      case None =>
+        val tables = (sel.table +: cmd.options.get("include").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+          .map(n =>
+            if (n.contains('.')) n.substring(n.lastIndexOf('.') + 1) else n)
 
-    val base = tables.map { tn =>
-      val df0 = load(tn)
-      extendCols.foldLeft(df0) { case (df, (name, v)) =>
-        df.withColumn(name, if (v == null) lit(tn) else v)
-      }
-    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        val base = tables.map { tn =>
+          val df0 = load(tn)
+          extendCols.foldLeft(df0) { case (df, (name, v)) =>
+            df.withColumn(name, if (v == null) lit(tn) else v)
+          }
+        }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
 
-    compileSelect(spark, base, sel, cmd.options)
+        compileSelect(spark, base, sel, cmd.options)
+    }
   }
 
   private def compileSelect(spark: SparkSession, base: DataFrame, sel: Select,

@@ -67,6 +67,20 @@ object MatViewServe {
   def tryServe(spark: SparkSession, meta: Meta,
       cmd: EdgeSql.Command): Option[DataFrame] = {
     val sel = EdgeSql.parseSelect(cmd.select)
+    if (sel.join.nonEmpty) return None // single-table artifact
+    servePlan(spark, meta.path, meta.keys, meta.aggs, sel, cmd)
+  }
+
+  /** The artifact-agnostic serve planner: qualify `sel` against a
+    * recorded (keys, aggs) state at `path` and build the re-aggregation
+    * plan, or None. Shared by the single-table matcher above and the
+    * join-matview matcher ([[JoinMatViewServe]]) — the state algebra
+    * (distributive re-aggregation over a #groups-row artifact) is
+    * identical once the FROM shape has been matched by the caller. */
+  private[dialect] def servePlan(spark: SparkSession, path: String,
+      keys: Seq[String], aggs: Seq[MatView.AggSpec],
+      sel: EdgeSql.Select, cmd: EdgeSql.Command): Option[DataFrame] = {
+    val meta = Meta(path, keys, aggs)
     if (sel.distinct || sel.limitPer.nonEmpty) return None
     if (cmd.options.contains("include") || cmd.options.contains("extend") ||
         cmd.options.get("committed").contains("true") ||
@@ -142,7 +156,9 @@ object MatViewServe {
       return None
 
     var st = IndexStore.read(spark, meta.path).getOrElse(return None)
-      .drop(MatView.WatermarkCol) // engine lineage rider, never served
+      // engine lineage riders (single-table + per-side), never served
+      .drop(MatView.WatermarkCol, graft.ops.JoinMatView.WmLeftCol,
+        graft.ops.JoinMatView.WmRightCol)
     sel.where.foreach(w => st = st.filter(expr(w)))
     val grouped = st.groupBy(gb.map(col): _*)
       .agg(aggItems.head, aggItems.tail: _*)

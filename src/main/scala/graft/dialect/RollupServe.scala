@@ -111,6 +111,7 @@ object RollupServe {
       try EdgeSql.parseSelect(cmd.select)
       catch { case _: Exception => return None }
     if (sel.distinct || sel.limitPer.nonEmpty) return None
+    if (sel.join.nonEmpty) return None // single-table artifact
     if (sel.where.exists(_.toLowerCase.contains("period"))) return None
 
     val tz = cmd.options.get("timezone")

@@ -180,13 +180,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   def query(command: String): DataFrame = {
     val cmd = EdgeSql.parseCommand(command)
     val served = try {
-      val t0 = EdgeSql.parseSelect(cmd.select).table
-      val table = if (t0.contains('.'))
-        t0.substring(t0.lastIndexOf('.') + 1) else t0
-      rollups.get(table).flatMap(m =>
-          graft.dialect.RollupServe.tryServe(spark, m, cmd))
-        .orElse(matviews.get(table).flatMap(m =>
-          graft.dialect.MatViewServe.tryServe(spark, m, cmd)))
+      val sel = EdgeSql.parseSelect(cmd.select)
+      if (sel.join.nonEmpty)
+        // a JOIN select can only be served by a registered join
+        // matview whose recorded (tables, on-pairs) match the FROM
+        joinMatviews.to(Seq).sortBy(_._1)
+          .collectFirst(Function.unlift { case (path, spec) =>
+            graft.dialect.JoinMatViewServe.tryServe(spark, path, spec,
+              cmd)
+          })
+      else {
+        val t0 = sel.table
+        val table = if (t0.contains('.'))
+          t0.substring(t0.lastIndexOf('.') + 1) else t0
+        rollups.get(table).flatMap(m =>
+            graft.dialect.RollupServe.tryServe(spark, m, cmd))
+          .orElse(matviews.get(table).flatMap(m =>
+            graft.dialect.MatViewServe.tryServe(spark, m, cmd)))
+      }
     } catch { case _: Exception => None }
     served.getOrElse(
       EdgeSql.query(spark, loadWithOptions(cmd), command,
@@ -205,15 +216,25 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val command = t.substring("explain".length).trim
     val cmd = EdgeSql.parseCommand(command)
     val servedSrc: Option[(String, DataFrame)] = try {
-      val t0 = EdgeSql.parseSelect(cmd.select).table
-      val table = if (t0.contains('.'))
-        t0.substring(t0.lastIndexOf('.') + 1) else t0
-      rollups.get(table).flatMap(m =>
-          graft.dialect.RollupServe.tryServe(spark, m, cmd)
-            .map(df => (s"standing rollup at ${m.path}", df)))
-        .orElse(matviews.get(table).flatMap(m =>
-          graft.dialect.MatViewServe.tryServe(spark, m, cmd)
-            .map(df => (s"matview at ${m.path}", df))))
+      val sel = EdgeSql.parseSelect(cmd.select)
+      if (sel.join.nonEmpty)
+        joinMatviews.to(Seq).sortBy(_._1)
+          .collectFirst(Function.unlift { case (path, spec) =>
+            graft.dialect.JoinMatViewServe.tryServe(spark, path, spec,
+                cmd)
+              .map(df => (s"join matview at $path", df))
+          })
+      else {
+        val t0 = sel.table
+        val table = if (t0.contains('.'))
+          t0.substring(t0.lastIndexOf('.') + 1) else t0
+        rollups.get(table).flatMap(m =>
+            graft.dialect.RollupServe.tryServe(spark, m, cmd)
+              .map(df => (s"standing rollup at ${m.path}", df)))
+          .orElse(matviews.get(table).flatMap(m =>
+            graft.dialect.MatViewServe.tryServe(spark, m, cmd)
+              .map(df => (s"matview at ${m.path}", df))))
+      }
     } catch { case _: Exception => None }
     val (src, df) = servedSrc.getOrElse(
       ("base table scan (no standing artifact qualifies)",

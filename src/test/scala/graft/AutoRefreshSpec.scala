@@ -241,6 +241,34 @@ class AutoRefreshSpec extends SparkSpec {
       .contains("no fold errors"))
   }
 
+  test("a JOIN sql query serves transparently from the registered " +
+      "join matview (neither base scanned) and stays fresh under the " +
+      "PUT auto-fold") {
+    val dir = java.nio.file.Files.createTempDirectory("ar12")
+    val (engine, _) = mkJmv(dir)
+    def served() = {
+      val df = engine.query(
+        """sql edge "select g, count(*) as n from jl join jr """ +
+          """on jl.lk = jr.rk group by g order by g"""")
+      val plan = df.queryExecution.sparkPlan.toString
+      assert(!plan.contains("/data/jl") && !plan.contains("/data/jr"),
+        s"JOIN query fell back to the live join:\n$plan")
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(served() === Seq(("x", 1L), ("y", 1L)))
+    engine.ingest("jl", """{"lk": 3, "g": "x"}""") // rk=3 exists
+    assert(served() === Seq(("x", 2L), ("y", 1L)),
+      "served JOIN result went stale after a PUT auto-fold")
+    // an unservable aggregate falls back to the live join (sum(v) has
+    // no recorded decimal partial in this spec)
+    val live = engine.query(
+      """sql edge "select g, sum(v) as sv from jl join jr """ +
+        """on jl.lk = jr.rk group by g order by g"""")
+    assert(live.queryExecution.sparkPlan.toString.contains("/data/jl"))
+    assert(live.collect().map(r => (r.getString(0),
+      r.getDouble(1))).toSeq === Seq(("x", 40.0), ("y", 20.0)))
+  }
+
   test("startViewFoldSink keeps a matview fresh as a stream lands " +
       "(the streaming twin of the PUT auto-fold)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

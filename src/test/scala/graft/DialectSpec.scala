@@ -146,6 +146,56 @@ class EdgeSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("GROUP BY"), e.getMessage)
   }
 
+  test("JOIN grammar: parses both qualifier orientations, bare " +
+      "columns default to written order, non-equality and foreign " +
+      "qualifiers are rejected") {
+    val s = EdgeSql.parseSelect(
+      "select a, count(*) as n from t1 join t2 on t1.x = t2.y group by a")
+    assert(s.table === "t1")
+    assert(s.join === Some(EdgeSql.JoinSpec("t2", Seq(("x", "y")))))
+    // swapped qualifiers normalize to (left, right)
+    val s2 = EdgeSql.parseSelect(
+      "select a from t1 inner join t2 on t2.y = t1.x and t1.p = t2.q")
+    assert(s2.join === Some(EdgeSql.JoinSpec("t2",
+      Seq(("x", "y"), ("p", "q")))))
+    // bare columns: first is left, second right
+    val s3 = EdgeSql.parseSelect("select a from t1 join t2 on x = y")
+    assert(s3.join === Some(EdgeSql.JoinSpec("t2", Seq(("x", "y")))))
+    intercept[IllegalArgumentException] {
+      EdgeSql.parseSelect("select a from t1 join t2 on t1.x > t2.y")
+    }
+    intercept[IllegalArgumentException] {
+      EdgeSql.parseSelect("select a from t1 join t2 on t3.x = t2.y")
+    }
+  }
+
+  test("JOIN compiles to the hand-written inner equi-join plan; " +
+      "include=/extend= and overlapping column names are rejected") {
+    val viaDialect = EdgeSql.query(spark, load,
+      """sql edge "select o_orderpriority, count(*) as n """ +
+        """from orders join lineitem """ +
+        """on orders.o_orderkey = lineitem.l_orderkey """ +
+        """group by o_orderpriority order by o_orderpriority"""")
+    val direct = load("orders").join(load("lineitem"),
+        col("o_orderkey") === col("l_orderkey"), "inner")
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+    assert(viaDialect.collect().toSeq === direct.collect().toSeq)
+    intercept[IllegalArgumentException] {
+      EdgeSql.query(spark, load,
+        """sql edge include=(part) "select o_orderpriority from """ +
+          """orders join lineitem """ +
+          """on orders.o_orderkey = lineitem.l_orderkey"""")
+    }
+    // same table on both sides -> every column name overlaps
+    val e = intercept[IllegalArgumentException] {
+      EdgeSql.query(spark, load,
+        """sql edge "select o_orderpriority from orders join orders """ +
+          """on orders.o_orderkey = orders.o_orderkey"""").collect()
+    }
+    assert(e.getMessage.contains("share column name"), e.getMessage)
+  }
+
   test("compiled dialect query equals the hand-written plan") {
     val viaDialect = EdgeSql.query(spark, load,
       """sql edge "select event_type, count(*) as n from events """ +
