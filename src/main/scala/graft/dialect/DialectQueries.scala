@@ -369,6 +369,51 @@ object DialectQueries {
     FROM orders
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** q186 — RETENTION SYMMETRY under the oracle: a day-partitioned
+    * copy of `events` carries a registered matview; `drop partition
+    * ... before <horizon>` folds the dropped partitions' rows OUT of
+    * the standing state (exactly-once drop-tag) before deleting the
+    * directories, and the transparently-SERVED GROUP BY — the QFn
+    * requires the plan never scans the base — answers over survivors
+    * only. The oracle recomputes from the raw events table filtered to
+    * the horizon: hash equality is drop-then-serve == rebuild-over-
+    * survivors, closing the round-10 gap where retention left standing
+    * artifacts serving forgotten rows (reference retention primitive:
+    * cmd/member_cmd.py:21115). */
+  private val q186: QFn = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("q186")
+    val ev = Tables.load(s, d, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val p = tmp.resolve("evp").toString
+    graft.engine.TimePartitions.write(ev, "ts", "day", 1, p)
+    val cat = new graft.engine.Catalog(s)
+    cat.registerPartitionedTable("evp", p, "ts", "day", 1)
+    val engine = new graft.engine.Engine(s, cat)
+    val mv = tmp.resolve("mv").toString
+    engine.execute(s"matview create where table = evp and path = $mv " +
+      s"""and spec = {"keys": ["event_type"], "aggs": [
+        {"fn": "count", "alias": "cnt"},
+        {"fn": "count", "expr": "value", "alias": "nv"},
+        {"fn": "sum", "expr": "cast(value as decimal(18,2))",
+         "alias": "sv"}]}""")
+    val msg = engine.execute("drop partition evp before 2024-01-08")
+    require(msg.contains("tombstones folded"),
+      s"q186 drop did not fold the matview: $msg")
+    val df = engine.query(
+      """sql edge "select event_type, count(*) as n, """ +
+        """sum(value) as sum_value, avg(value) as avg_value """ +
+        """from evp group by event_type order by event_type"""")
+    require(!df.queryExecution.sparkPlan.toString.contains("/evp"),
+      "q186 fell back to the base scan — serving did not engage")
+    df
+  }
+  private val q186Sql = s"""
+    SELECT event_type, count(*) AS n, ${oSum("value")} AS sum_value,
+      ${oAvg("value")} AS avg_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08'
+    GROUP BY event_type ORDER BY event_type"""
+
   /** q187 — the dialect JOIN grammar, LIVE plan: `FROM a JOIN b ON
     * a.k = b.k` parses ([[EdgeSql.JoinSpec]]) and compiles to one
     * Catalyst inner equi-join + GROUP BY — WHERE (date-literal
@@ -444,6 +489,7 @@ object DialectQueries {
     ORDER BY o_orderpriority, l_returnflag"""
 
   val queries: Map[String, QFn] = Map(
+    "q186_drop_partition_retention" -> q186,
     "q187_sql_join" -> q187,
     "q188_join_matview_served" -> q188,
     "q183_matview_autofold" -> q183,
@@ -463,6 +509,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q186_drop_partition_retention" -> q186Sql,
     "q187_sql_join" -> q187Sql,
     "q188_join_matview_served" -> q188Sql,
     "q183_matview_autofold" -> q183Sql,

@@ -3378,26 +3378,226 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else Render.json(result)
   }
 
+  /** `drop partition <table|path> before <bucket>` /
+    * `drop partition <table|path> older than <n> <unit>
+    * [and force = true]` — the retention primitive
+    * (cmd/member_cmd.py:21115), now with RETENTION SYMMETRY: when the
+    * target resolves to a REGISTERED table, the dropped rows first
+    * fold OUT of every registered standing artifact over that table
+    * (matview / rollup / join matview / vindex / tindex), so nightly
+    * retention never leaves an index serving forgotten rows. The
+    * boundary map is enforced BEFORE anything is deleted: an artifact
+    * that cannot fold deletes (min/max matview or jmv spec, one-way
+    * KMV sindex, monitor tail state) REFUSES the whole drop — pass
+    * `force = true` to drop anyway (the stale artifact is recorded in
+    * the auto-fold error log). Folds run BEFORE the directory deletes
+    * and are exactly-once under re-run (IndexStore drop-tags for the
+    * subtractive folds; the id-tombstone folds are idempotent), so a
+    * crash between a fold and the final delete re-runs cleanly. */
   private def dropPartition(t: String): String = {
     val beforeRx = "(?i)drop partition\\s+(\\S+)\\s+before\\s+(\\S+)".r
     val ageRx =
       "(?i)drop partition\\s+(\\S+)\\s+older than\\s+(\\d+)\\s+(\\w+)".r
-    (beforeRx.findFirstMatchIn(t), ageRx.findFirstMatchIn(t)) match {
-      case (_, Some(m)) =>
-        // age relative to now (the reference drops the oldest partitions
-        // by age, member_cmd.py:21115)
-        val horizon = graft.dialect.DateLiterals.applyModifier(
-          graft.dialect.DateLiterals.utcNow(),
-          s"-${m.group(2)} ${m.group(3)}")
-        val keepFrom = horizon.toLocalDate.toString
-        val dropped = TimePartitions.dropOlderThan(spark, m.group(1), keepFrom)
-        s"dropped ${dropped.length} partitions: ${dropped.mkString(", ")}"
-      case (Some(m), _) =>
-        val dropped = TimePartitions.dropOlderThan(spark, m.group(1),
-          m.group(2))
-        s"dropped ${dropped.length} partitions: ${dropped.mkString(", ")}"
-      case _ => throw new IllegalArgumentException(s"bad drop: $t")
+    val force = "(?i)\\bforce\\s*=\\s*true".r.findFirstIn(t).isDefined
+    val (target, keepFrom) =
+      (beforeRx.findFirstMatchIn(t), ageRx.findFirstMatchIn(t)) match {
+        case (_, Some(m)) =>
+          // age relative to now (the reference drops the oldest
+          // partitions by age, member_cmd.py:21115)
+          val horizon = graft.dialect.DateLiterals.applyModifier(
+            graft.dialect.DateLiterals.utcNow(),
+            s"-${m.group(2)} ${m.group(3)}")
+          (m.group(1), horizon.toLocalDate.toString)
+        case (Some(m), _) => (m.group(1), m.group(2))
+        case _ => throw new IllegalArgumentException(s"bad drop: $t")
+      }
+    // a registered table name, or the path one was registered at —
+    // either way the standing-artifact fleet over that table folds
+    val tableOpt =
+      if (catalog.tableNames.contains(target)) Some(target)
+      else catalog.tableNames.find(n => catalog.tablePath(n).contains(target))
+    val path = tableOpt.flatMap(catalog.tablePath).getOrElse(target)
+    val receipts = tableOpt.toSeq.flatMap(tbl =>
+      foldDropIntoArtifacts(tbl, keepFrom, force))
+    val dropped = TimePartitions.dropOlderThan(spark, path, keepFrom)
+    (s"dropped ${dropped.length} partitions: ${dropped.mkString(", ")}" +:
+      receipts).mkString("\n")
+  }
+
+  /** The retention-symmetry body of [[dropPartition]]: fold the rows
+    * of every partition bucket below `keepFrom` OUT of each registered
+    * standing artifact over `table`, refusing per the deletion
+    * boundary map (COVERAGE). Returns per-artifact receipts. Runs
+    * ENTIRELY before any base directory is deleted — the tombstone
+    * batch is checkpointed from the still-present buckets, and the
+    * rollup's targeted re-aggregation reads the SURVIVOR frame
+    * (base filtered to `__par >= keepFrom`), so no step ever needs a
+    * row the drop already removed. */
+  private def foldDropIntoArtifacts(table: String, keepFrom: String,
+      force: Boolean): Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    val base = catalog.table(table)
+    if (!base.columns.contains("__par")) return Seq.empty
+    val tag = s"drop_${table}_$keepFrom"
+    def hasMinMax(aggs: Seq[graft.ops.MatView.AggSpec]) =
+      aggs.exists(a => a.fn == "min" || a.fn == "max")
+    def noCount(aggs: Seq[graft.ops.MatView.AggSpec]) =
+      !aggs.exists(_.fn == "count")
+    // ---- boundary map, checked before ANY side effect ----
+    val refusals = Seq.newBuilder[String]
+    matviews.get(table).foreach { m =>
+      if (hasMinMax(m.aggs)) refusals +=
+        s"matview at ${m.path} records min/max (not self-maintainable " +
+          "under deletes — rebuild it after the drop)"
+      else if (noCount(m.aggs)) refusals +=
+        s"matview at ${m.path} records no count (group retirement " +
+          "undecidable)"
     }
+    joinMatviews.foreach { case (p, spec) =>
+      if (spec.left == table || spec.right == table) {
+        if (hasMinMax(spec.aggs)) refusals +=
+          s"join matview at $p records min/max (not self-maintainable " +
+            "under deletes)"
+        else if (noCount(spec.aggs)) refusals +=
+          s"join matview at $p records no count"
+      }
+    }
+    sindexes.get(table).foreach(m => refusals +=
+      s"sindex at ${m.path} is a one-way KMV sketch (deletes refused " +
+        "by construction — rebuild with sindex create)")
+    monitors.get(table).foreach(m => refusals +=
+      s"monitor at ${m.path} carries one-way tail state")
+    val refused = refusals.result()
+    if (refused.nonEmpty && !force) throw new IllegalStateException(
+      s"drop partition $table refused — standing artifact(s) would " +
+        "keep serving the dropped rows:\n  " +
+        refused.mkString("\n  ") +
+        "\nrebuild or drop those artifacts first, or add `and force = " +
+        "true` to drop anyway (they will be recorded stale in the " +
+        "auto-fold error log)")
+    refused.foreach(r =>
+      autoFoldErrors += s"drop partition $table: STALE $r")
+    // ---- the tombstone batch (checkpointed BEFORE any delete) ----
+    val droppedRows = base.filter(col("__par") < lit(keepFrom))
+      .localCheckpoint()
+    val nDrop = droppedRows.count()
+    if (nDrop == 0L) return refused.map(r => s"STALE (forced): $r")
+    val survivors = base.filter(col("__par") >= lit(keepFrom))
+    val receipts = Seq.newBuilder[String]
+    refused.foreach(r => receipts += s"STALE (forced): $r")
+    def tagged(p: String) = graft.ops.IndexStore.hasTag(spark, p, tag)
+    def noPar(df: org.apache.spark.sql.DataFrame) = df.drop("__par")
+
+    matviews.get(table)
+      .filterNot(m => hasMinMax(m.aggs) || noCount(m.aggs))
+      .foreach { m =>
+        if (tagged(m.path))
+          receipts += s"matview at ${m.path}: already folded (drop tag)"
+        else {
+          val state = graft.ops.IndexStore.read(spark, m.path).getOrElse(
+            throw new IllegalStateException(
+              s"no matview state at ${m.path}"))
+          val wm = mvWmOf(state) // retention doesn't advance lineage
+          val folded = graft.ops.MatView.foldDelete(stripWm(state),
+            droppedRows, m.keys, m.aggs)
+            .withColumn(graft.ops.MatView.WatermarkCol, lit(wm))
+            .localCheckpoint()
+          val cntAlias = m.aggs.find(_.fn == "count").get.alias
+          val neg = folded.filter(col(cntAlias) < 0).count()
+          require(neg == 0L,
+            s"drop partition $table: matview at ${m.path} went " +
+              s"count-negative on $neg group(s) — the view has not " +
+              "folded all dropped rows (run `matview sync` first); " +
+              "aborted with all state intact")
+          graft.ops.IndexStore.write(folded, m.path, Some(tag))
+          receipts += s"matview at ${m.path}: $nDrop tombstones folded"
+        }
+      }
+    rollups.get(table).foreach { meta =>
+      if (tagged(meta.path))
+        receipts += s"rollup at ${meta.path}: already folded (drop tag)"
+      else {
+        val cur = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+          throw new IllegalStateException(
+            s"no rollup artifact at ${meta.path}"))
+        // targeted re-aggregation over the SURVIVOR frame: dropped
+        // buckets recompute to empty and retire; a partition boundary
+        // that splits a rollup bucket recomputes it exactly
+        val folded = graft.ops.Rollup.deleteRows(cur, droppedRows,
+          noPar(survivors), meta.dims, meta.valueCols).localCheckpoint()
+        graft.ops.IndexStore.write(folded, meta.path, Some(tag))
+        receipts += s"rollup at ${meta.path}: recomputed over survivors"
+      }
+    }
+    joinMatviews.foreach { case (p, spec) =>
+      val side = if (spec.left == table) Some("left")
+        else if (spec.right == table) Some("right") else None
+      side.filterNot(_ => hasMinMax(spec.aggs) || noCount(spec.aggs))
+        .foreach { sd =>
+          if (tagged(p))
+            receipts += s"join matview at $p: already folded (drop tag)"
+          else {
+            import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
+            val state = graft.ops.IndexStore.read(spark, p).getOrElse(
+              throw new IllegalStateException(s"no join matview at $p"))
+            val (wmL, wmR) =
+              (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+            val otherName = if (sd == "left") spec.right else spec.left
+            val folded = graft.ops.JoinMatView.delete(stripWm(state),
+              noPar(noSysCols(droppedRows)),
+              noPar(noSysCols(catalog.table(otherName))), spec, sd)
+              .withColumn(WmLeftCol, lit(wmL))
+              .withColumn(WmRightCol, lit(wmR))
+              .localCheckpoint()
+            val cntAlias = spec.aggs.find(_.fn == "count").get.alias
+            val neg = folded.filter(col(cntAlias) < 0).count()
+            require(neg == 0L,
+              s"drop partition $table: join matview at $p went " +
+                s"count-negative on $neg group(s) — run `join matview " +
+                "sync` first; aborted with all state intact")
+            graft.ops.IndexStore.write(folded, p, Some(tag))
+            receipts += s"join matview at $p: $nDrop tombstones folded"
+          }
+        }
+    }
+    vindexes.get(table).foreach { meta =>
+      if (tagged(meta.path))
+        receipts += s"vindex at ${meta.path}: already folded (drop tag)"
+      else {
+        val stored = graft.ops.IndexStore.read(spark, meta.path)
+          .getOrElse(throw new IllegalStateException(
+            s"no vindex artifact at ${meta.path}"))
+        val folded = graft.ops.Similarity.deleteFromIndex(stored,
+          droppedRows.select(col(meta.idCol))).localCheckpoint()
+        graft.ops.IndexStore.write(folded, meta.path, Some(tag))
+        receipts += s"vindex at ${meta.path}: dropped ids tombstoned"
+      }
+    }
+    tindexes.get(table).foreach { meta =>
+      if (tagged(meta.path))
+        receipts += s"tindex at ${meta.path}: already folded (drop tag)"
+      else {
+        val stored = graft.ops.IndexStore.read(spark, meta.path)
+          .getOrElse(throw new IllegalStateException(
+            s"no tindex artifact at ${meta.path}"))
+        val del = droppedRows.select(col(meta.idCol)).localCheckpoint()
+        graft.ops.IndexStore.write(
+          graft.ops.Retrieval.deleteFromPostingsIndex(stored, del)
+            .localCheckpoint(), meta.path, Some(tag))
+        if (meta.grams) {
+          val prev = graft.ops.IndexStore
+            .read(spark, s"${meta.path}-grams").getOrElse(
+              throw new IllegalStateException(
+                s"no trigram sidecar at ${meta.path}-grams"))
+          graft.ops.IndexStore.write(
+            graft.ops.Retrieval.deleteFromPostingsIndex(prev, del)
+              .localCheckpoint(), s"${meta.path}-grams", Some(tag))
+        }
+        receipts += s"tindex at ${meta.path}: dropped ids tombstoned" +
+          (if (meta.grams) " (+trigram sidecar)" else "")
+      }
+    }
+    receipts.result()
   }
 
   /** suggest create <table> from <json-array-of-docs> — the reference's
