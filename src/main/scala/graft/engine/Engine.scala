@@ -822,9 +822,23 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         low.startsWith("index get")) indexCmd(t)
     else if (low == "get view auto refresh") {
       val st = if (autoRefreshViews) "on" else "off"
-      if (autoFoldErrors.isEmpty) s"view auto refresh $st; no fold errors"
+      // the auto-fold target inventory: every registered artifact a
+      // PUT into its table will fold
+      val targets =
+        matviews.toSeq.map { case (tb, m) => s"$tb: matview ${m.path}" } ++
+        rollups.toSeq.map { case (tb, m) => s"$tb: rollup ${m.path}" } ++
+        joinMatviews.toSeq.flatMap { case (p, sp) =>
+          Seq(s"${sp.left}: join matview $p",
+            s"${sp.right}: join matview $p") } ++
+        vindexes.toSeq.map { case (tb, m) => s"$tb: vindex ${m.path}" } ++
+        tindexes.toSeq.map { case (tb, m) => s"$tb: tindex ${m.path}" } ++
+        sindexes.toSeq.map { case (tb, m) => s"$tb: sindex ${m.path}" }
+      val inv = if (targets.isEmpty) "no auto-fold targets"
+        else s"auto-fold targets:\n${targets.sorted.mkString("\n")}"
+      if (autoFoldErrors.isEmpty)
+        s"view auto refresh $st; no fold errors\n$inv"
       else s"view auto refresh $st; ${autoFoldErrors.size} fold " +
-        s"error(s):\n${autoFoldErrors.mkString("\n")}"
+        s"error(s):\n${autoFoldErrors.mkString("\n")}\n$inv"
     }
     else if (low.startsWith("matview create")) matviewCreate(t)
     else if (low.startsWith("matview refresh")) matviewRefresh(t)
@@ -1436,6 +1450,31 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         } catch { case e: Exception =>
           autoFoldErrors += s"join matview $table ($path): ${e.getMessage}"
         }
+      }
+    }
+    // ---- standing INDEX families: a PUT into a vindex/tindex/sindex-
+    // backed table must keep the index serving the new rows too —
+    // round-10 left these on manual refresh, so a PUT silently staled
+    // BM25/ANN serving. Same error discipline (record, never throw),
+    // same exactly-once tag protocol; the tindex/sindex folds are
+    // additionally idempotent by construction (per-doc replace /
+    // bottom-k lattice union).
+    vindexes.get(table).foreach { meta =>
+      try if (!tagged(meta.path)) foldVindex(meta, batch, batchTag)
+      catch { case e: Exception =>
+        autoFoldErrors += s"vindex $table (${meta.path}): ${e.getMessage}"
+      }
+    }
+    tindexes.get(table).foreach { meta =>
+      try if (!tagged(meta.path)) foldTindex(meta, batch, batchTag)
+      catch { case e: Exception =>
+        autoFoldErrors += s"tindex $table (${meta.path}): ${e.getMessage}"
+      }
+    }
+    sindexes.get(table).foreach { meta =>
+      try if (!tagged(meta.path)) foldSindex(meta, batch, batchTag)
+      catch { case e: Exception =>
+        autoFoldErrors += s"sindex $table (${meta.path}): ${e.getMessage}"
       }
     }
   }
@@ -2155,6 +2194,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       if (catalog.tableNames.contains(src) ||
           catalog.viewNames.contains(src)) catalog.table(src)
       else spark.read.parquet(src)
+    val rows = foldVindex(meta, delta, None)
+    s"vindex for $table refreshed ($rows index rows)"
+  }
+
+  /** The vindex fold body (encode/assign a batch against the RECORDED
+    * geometry, commit a fresh version) — shared by `vindex refresh`
+    * and the ingest auto-fold (which passes the exactly-once batch
+    * tag). */
+  private def foldVindex(meta: VIndexMeta,
+      delta: org.apache.spark.sql.DataFrame,
+      tag: Option[String]): Long = {
     val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
       throw new IllegalStateException(s"no vindex artifact at ${meta.path}"))
     val folded = (meta.kind match {
@@ -2167,8 +2217,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       case _ => graft.ops.Similarity.refreshIvfIndex(stored, delta,
         meta.vecCol, meta.idCol)
     }).localCheckpoint()
-    val rows = graft.ops.IndexStore.write(folded, meta.path)
-    s"vindex for $table refreshed ($rows index rows)"
+    graft.ops.IndexStore.write(folded, meta.path, tag)
   }
 
   /** `vindex delete where table = <t> and (ids = (1, 2, 3) | source =
@@ -2374,11 +2423,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       if (catalog.tableNames.contains(src) ||
           catalog.viewNames.contains(src)) catalog.table(src)
       else spark.read.parquet(src)
+    val rows = foldTindex(meta, delta, None)
+    s"tindex for $table refreshed ($rows index rows)"
+  }
+
+  /** The tindex fold body (per-doc replace-on-refold postings + the
+    * trigram sidecar when present) — shared by `tindex refresh` and
+    * the ingest auto-fold. Per-doc state makes the fold idempotent;
+    * the tag additionally skips replayed batches outright. */
+  private def foldTindex(meta: TIndexMeta,
+      delta: org.apache.spark.sql.DataFrame,
+      tag: Option[String]): Long = {
     val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
       throw new IllegalStateException(s"no tindex artifact at ${meta.path}"))
     val folded = graft.ops.Retrieval.refreshPostingsIndex(stored, delta,
       meta.textCol, meta.idCol).localCheckpoint()
-    val rows = graft.ops.IndexStore.write(folded, meta.path)
+    val rows = graft.ops.IndexStore.write(folded, meta.path, tag)
     if (meta.grams) {
       import org.apache.spark.sql.functions.col
       val prev = graft.ops.IndexStore
@@ -2392,9 +2452,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         .join(fresh.select(col("id").as("__bid")).distinct(),
           col("id") === col("__bid"), "left_anti")
         .unionByName(fresh).localCheckpoint()
-      graft.ops.IndexStore.write(foldedG, s"${meta.path}-grams")
+      graft.ops.IndexStore.write(foldedG, s"${meta.path}-grams", tag)
     }
-    s"tindex for $table refreshed ($rows index rows)"
+    rows
   }
 
   /** `tindex delete where table = <t> and (ids = (1, 2, 3) | source =
@@ -2647,13 +2707,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       if (catalog.tableNames.contains(src) ||
           catalog.viewNames.contains(src)) catalog.table(src)
       else spark.read.parquet(src)
+    val rows = foldSindex(meta, delta, None)
+    s"sindex for $table refreshed ($rows keys)"
+  }
+
+  /** The sindex fold body (per-key bottom-k KMV union — an idempotent
+    * lattice join, fold == rebuild under any batch order) — shared by
+    * `sindex refresh` and the ingest auto-fold. */
+  private def foldSindex(meta: SIndexMeta,
+      delta: org.apache.spark.sql.DataFrame,
+      tag: Option[String]): Long = {
     val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
       throw new IllegalStateException(s"no sindex artifact at ${meta.path}"))
     val folded = graft.ops.Sketches.kmvMergeKeyed(stored,
       sindexBuild(delta, meta.keyCol, meta.textCol, meta.k), meta.k)
       .localCheckpoint()
-    val rows = graft.ops.IndexStore.write(folded, meta.path)
-    s"sindex for $table refreshed ($rows keys)"
+    graft.ops.IndexStore.write(folded, meta.path, tag)
   }
 
   /** `sindex estimate where table = <t> [and format = table]` — per-key

@@ -156,6 +156,55 @@ object RetrievalQueries {
   }
 
   // ===================================================================
+  // q190 — tindex AUTO-FOLD on ingest: the q118 fold contract driven
+  // through the ENGINE's PUT path. The table is created by its first
+  // REST-PUT batch (doc_id < 400), `tindex create` registers the
+  // standing postings index, and the second PUT (doc_id >= 400)
+  // auto-folds it with NO refresh command — round 10 left the index
+  // families on manual refresh, so a PUT silently staled BM25 serving.
+  // BM25 probes then serve from the artifact AS COMMITTED BY THE
+  // AUTO-FOLD; the oracle is whole-corpus BM25 (fold == rebuild since
+  // everything in the index is per-doc and df/N/avgdl derive at query
+  // time) — hash equality proves the auto-fold left the index exactly
+  // equal to a rebuild over the full table.
+  // ===================================================================
+
+  private val q190: QFn = (s, d) => {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), col("text"))
+    def nd(df: org.apache.spark.sql.DataFrame): String =
+      df.collect().map { r =>
+        JsonMethods.compact(JsonMethods.render(
+          ("doc_id" -> r.getLong(0)) ~ ("text" -> r.getString(1))))
+      }.mkString("\n")
+    val tmp = java.nio.file.Files.createTempDirectory("q190")
+    val cat = new graft.engine.Catalog(s)
+    val engine = new graft.engine.Engine(s, cat)
+    engine.dataDir = Some(tmp.resolve("data").toString)
+    engine.ingest("docs190", nd(docs.filter(col("doc_id") < 400)))
+    val tx = tmp.resolve("tx").toString
+    engine.execute(s"tindex create where table = docs190 and " +
+      s"path = $tx and id = doc_id and text = text")
+    // the late batch arrives over PUT — the auto-fold must keep the
+    // standing index serving it, with no refresh command
+    engine.ingest("docs190", nd(docs.filter(col("doc_id") >= 400)))
+    require(engine.execute("get view auto refresh")
+      .contains("no fold errors"), "q190 auto-fold recorded an error")
+    val stored = IndexStore.read(s, tx).getOrElse(
+      throw new IllegalStateException("q190: no tindex artifact"))
+    Retrieval.bm25TopK(stored,
+        docs.filter(col("doc_id") >= 5 && col("doc_id") < 10),
+        "text", "doc_id", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q190Sql = dBm25("doc_id >= 5 AND doc_id < 10", 3)
+
+  // ===================================================================
   // q119 — positional phrase search: the corpus's most frequent bigram
   // (ties to the lexicographically smallest), then every doc containing
   // it as an EXACT phrase with its phrase frequency, from position-list
@@ -385,6 +434,7 @@ object RetrievalQueries {
   }
 
   val queries: Map[String, QFn] = Map(
+    "q190_tindex_autofold" -> q190,
     "q129_hybrid_rrf" -> q129,
     "q117_bm25_topk" -> q117,
     "q118_postings_standing_index" -> q118,
@@ -395,6 +445,7 @@ object RetrievalQueries {
     "q126_trigram_like" -> q126)
 
   val oracles: Map[String, String] = Map(
+    "q190_tindex_autofold" -> q190Sql,
     "q129_hybrid_rrf" -> q129Sql,
     "q117_bm25_topk" -> q117Sql,
     "q118_postings_standing_index" -> q118Sql,

@@ -303,6 +303,52 @@ class AutoRefreshSpec extends SparkSpec {
       .contains("no fold errors"))
   }
 
+  test("PUT ingest auto-folds registered INDEX families (vindex sq8 + " +
+      "sindex): searches serve the new rows with no refresh command, " +
+      "and the targets are listed") {
+    val dir = java.nio.file.Files.createTempDirectory("ar13")
+    // a TYPED registered table (array<float> vector) — PUT bodies align
+    // to the registered schema by cast (JSON arrays infer as
+    // array<double>; plain schema inference would freeze them as
+    // strings on an auto-created table)
+    Seq((1L, "alpha beta gamma delta", Array(1.0f, 0.0f)),
+        (2L, "beta gamma delta epsilon", Array(0.0f, 1.0f)))
+      .toDF("id", "text", "vec")
+      .write.parquet(dir.resolve("it1.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("it1", dir.resolve("it1.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    def nd(rows: Seq[(Long, String, Seq[Double])]): String =
+      rows.map { case (id, txt, v) =>
+        s"""{"id": $id, "text": "$txt", "vec": [${v.mkString(", ")}]}"""
+      }.mkString("\n")
+    val vx = dir.resolve("vx").toString
+    val sx = dir.resolve("sx").toString
+    engine.execute(s"vindex create where table = it1 and path = $vx " +
+      "and id = id and vector = vec and type = sq8")
+    engine.execute(s"sindex create where table = it1 and key = text " +
+      "and text = text and k = 8 and path = $sx".replace("$sx", sx))
+    val inv = engine.execute("get view auto refresh")
+    assert(inv.contains(s"it1: vindex $vx"), inv)
+    assert(inv.contains(s"it1: sindex $sx"), inv)
+    // the late batch must fold into BOTH indexes with no refresh cmd
+    engine.ingest("it1", nd(Seq(
+      (3L, "gamma delta epsilon zeta", Seq(1.0, 1.0)))))
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+    // vindex: a probe at id 3's exact vector (fresh probe id — the
+    // search excludes self-matches) must retrieve the auto-folded row
+    val probes = dir.resolve("probes.parquet").toString
+    Seq((99L, Array(1.0f, 1.0f))).toDF("id", "vec").write.parquet(probes)
+    val hit = engine.execute(s"vindex search where table = it1 and " +
+      s"probes = $probes and k = 1")
+    assert(hit.contains(""""id":3"""), s"auto-folded vector not served: $hit")
+    // sindex: the new key exists in the sketch artifact
+    val sk = graft.ops.IndexStore.read(spark, sx).get
+    assert(sk.filter(col("key") === "gamma delta epsilon zeta")
+      .count() === 1L, "auto-folded sindex key missing")
+  }
+
   test("foldStandingViews with a batch tag is exactly-once: a " +
       "replayed batch whose tag is live skips, no double-fold") {
     val dir = java.nio.file.Files.createTempDirectory("ar7")
