@@ -95,4 +95,78 @@ object StreamIngest {
       .trigger(Trigger.ProcessingTime(flushSeconds, TimeUnit.SECONDS))
     name.map(w0.queryName).getOrElse(w0).start()
   }
+
+  /** Idempotent per-batch parquet append — the table leg of
+    * [[startTransactionalSink]]: materialize the micro-batch under a
+    * hidden scratch dir (`_txn_b<id>`, invisible to parquet readers),
+    * then move its part files into `outDir` under DETERMINISTIC names
+    * (`b<id>_<i>.parquet`), deleting any same-batch leftovers first.
+    * A replay of the same batch id rewrites the same file names with
+    * the same rows — no duplicate rows and no reliance on Spark's
+    * file-sink commit log, which is exactly what lets the table append
+    * share ONE foreachBatch with the view folds. Renames are per-file
+    * metadata ops; the data is written once. */
+  def appendBatchIdempotent(b: DataFrame, outDir: String,
+      id: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(outDir)
+      .getFileSystem(b.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new Path(outDir)
+    fs.mkdirs(out)
+    val scratch = new Path(out, s"_txn_b$id")
+    fs.delete(scratch, true)
+    b.write.mode("overwrite").parquet(scratch.toString)
+    val parts = fs.listStatus(scratch).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    // clear a crashed previous attempt of the SAME batch (partial
+    // rename set) — its names are about to be rewritten anyway
+    fs.listStatus(out).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(s"b${id}_"))
+        fs.delete(st.getPath, false)
+    }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      fs.rename(p, new Path(out, s"b${id}_$i.parquet"))
+    }
+    fs.delete(scratch, true)
+  }
+
+  /** The SINGLE transactional sink: one foreachBatch owns BOTH the
+    * table append and the standing-view folds, keyed to the same
+    * checkpointed batch id — retiring the documented one-micro-batch
+    * lead/lag window of the [[startParquetSink]] + [[startViewFoldSink]]
+    * pairing (two sinks on separate checkpoints could each be one
+    * batch ahead of the other after a crash).
+    *
+    * Exactly-once under at-least-once foreachBatch replay, leg by leg:
+    *  - table append: [[appendBatchIdempotent]] — deterministic
+    *    per-batch file names, a replay rewrites the same files;
+    *  - view folds: the IndexStore batch-tag protocol
+    *    ([[graft.engine.Engine.foldStandingViews]] with
+    *    `txn_<table>_<id>` — a batch whose tag is live skips).
+    * A crash ANYWHERE inside the batch replays both legs idempotently:
+    * there is no state where the table holds a batch the views can
+    * never learn about, or vice versa. Fold errors record in the
+    * engine's auto-fold log, never kill the stream.
+    *
+    * `outDir` should be the engine table's registered storage path, so
+    * folds and queries see the appended rows immediately. Time-
+    * partitioned layouts keep the two-sink pairing (partitionBy and
+    * deterministic flat names don't compose); this sink is the flat-
+    * table path. */
+  def startTransactionalSink(engine: graft.engine.Engine, table: String,
+      rows: DataFrame, outDir: String, checkpoint: String,
+      flushSeconds: Long = 60, name: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w0 = rows.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val batch = b.localCheckpoint() // consumed by both legs
+        appendBatchIdempotent(batch, outDir, id)
+        engine.foldStandingViews(table, batch,
+          batchTag = Some(s"txn_${table}_$id"))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(flushSeconds, TimeUnit.SECONDS))
+    name.map(w0.queryName).getOrElse(w0).start()
+  }
 }

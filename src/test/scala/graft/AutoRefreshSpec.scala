@@ -373,6 +373,52 @@ class AutoRefreshSpec extends SparkSpec {
       s"replay double-folded: $got")
   }
 
+  test("startTransactionalSink: ONE foreachBatch owns the table append " +
+      "AND the view folds; replaying a batch (crash simulation) " +
+      "duplicates neither — the lead/lag window is gone") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ar14")
+    val tbl = dir.resolve("t.parquet").toString
+    Seq(("a", 1L)).toDF("g", "k").write.parquet(tbl)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("st3", tbl)
+    val engine = new graft.engine.Engine(spark, cat)
+    val p = dir.resolve("mv").toString
+    engine.execute(s"matview create where table = st3 and path = $p " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "sum", "expr": "k", "alias": "sk"}]}""")
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamIngest.startTransactionalSink(engine,
+      "st3", mem.toDF().toDF("g", "k"), tbl,
+      dir.resolve("ckpt").toString, flushSeconds = 1)
+    try {
+      mem.addData(("a", 10L), ("b", 2L))
+      q.processAllAvailable()
+      assert(cat.table("st3").count() === 3L)
+      val got = engine.execute(s"matview get where path = $p")
+      assert(got.contains(""""g":"a","n":2,"sk":11"""), got)
+      assert(got.contains(""""g":"b","n":1,"sk":2"""), got)
+    } finally q.stop()
+    // crash replay: the SAME batch id re-runs BOTH legs — the append
+    // rewrites the same deterministic file names, the fold tag skips
+    val batch = Seq(("c", 9L)).toDF("g", "k")
+    def runBatch(): Unit = {
+      graft.streaming.StreamIngest.appendBatchIdempotent(batch, tbl, 99L)
+      engine.foldStandingViews("st3", batch,
+        batchTag = Some("txn_st3_99"))
+    }
+    runBatch(); runBatch()
+    assert(cat.table("st3").count() === 4L,
+      "replayed batch duplicated table rows")
+    val got2 = engine.execute(s"matview get where path = $p")
+    assert(got2.contains(""""g":"c","n":1,"sk":9"""),
+      s"replayed batch double-folded the view: $got2")
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+  }
+
   test("manual refresh of a crash-missed stamped batch advances the " +
       "watermark, so a later sync does NOT re-fold the same rows") {
     val dir = java.nio.file.Files.createTempDirectory("ar5")
