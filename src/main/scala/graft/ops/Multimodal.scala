@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing: opaque binary payloads
   * with typed metadata, processed per-partition in batch.
   *
-  * The real decoders (JPEG/PNG, PCM, container demux) are NOT available
-  * in this environment, so `decodeStub` is a clearly-marked deterministic
-  * fake — but everything Spark-side is real and tested: the schema shape,
-  * the per-partition batch iteration (the Scala analog of a vectorized
-  * python `mapInPandas` decode), the derived-feature columns, and the
-  * partitioning behavior. Swapping the fake for a JNI/library decoder
-  * changes ONE function body, not the pipeline.
+  * Image payloads in the codecs the JRE ships (PNG, JPEG, BMP, GIF,
+  * WBMP) get a REAL pixel decode — `javax.imageio` raster ->
+  * [[pixelFeatures]] — gated by the magic-byte [[headerDims]] parse so
+  * non-image payloads never pay decoder probing. Codecs the JRE lacks
+  * (PCM audio, video demux) keep a clearly-marked deterministic
+  * byte-fold fallback ([[byteFeatures]]) — the documented boundary;
+  * everything Spark-side (schema shape, the per-partition batch
+  * iteration — the Scala analog of a vectorized python `mapInPandas`
+  * decode — derived-feature columns, partitioning) is real and tested
+  * either way.
   *
   * Scale notes: decode runs inside `mapPartitions` — embarrassingly
   * parallel, no shuffle, and the binary payload is column-pruned away
@@ -46,12 +49,72 @@ object Multimodal {
     StructField("checksum", LongType, nullable = false),
     StructField("features", ArrayType(FloatType), nullable = false)))
 
-  /** STUB decoder (deterministic fake): real deployments replace this
-    * body with an image/audio library call. The fake derives a stable
-    * 8-dim "feature vector" from the payload bytes so tests are exact. */
-  private def decodeStub(payload: Array[Byte]): Array[Float] = {
-    // ??? <- real decoder goes here (e.g. JPEG -> pixels -> embedding);
-    // deterministic byte-fold fake keeps the pipeline testable:
+  /** Payload -> 8-dim feature vector. For image containers the JRE
+    * ships decoders for (PNG, JPEG, BMP, GIF, WBMP — javax.imageio),
+    * this is a REAL pixel decode: [[pixelFeatures]] over the decoded
+    * raster. Anything else (text blobs, audio/video containers, codecs
+    * the JRE lacks) takes the deterministic byte-fold fallback — the
+    * documented boundary: byte features keep the pipeline total where
+    * no decoder exists, and swapping in a JNI decoder for more codecs
+    * changes only the [[headerDims]] gate + decode call. The
+    * [[headerDims]] magic-byte gate keeps non-image payloads off the
+    * ImageIO reader-lookup path entirely (a 100 TB text corpus never
+    * pays image-decoder probing). */
+  private def decodeFeats(payload: Array[Byte]): Array[Float] = {
+    val codec = headerDims(payload)._1
+    if (codec == "png" || codec == "jpeg" || codec == "gif" ||
+        codec == "bmp") {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+      // a recognized header with an undecodable body (truncated file,
+      // exotic sub-format) degrades to byte features, never throws
+      if (img != null) return pixelFeatures(img)
+    }
+    byteFeatures(payload)
+  }
+
+  /** REAL pixel features, deterministic integer sums over the decoded
+    * raster: [meanR, meanG, meanB, meanLuma, quadrant lumas TL/TR/BL/
+    * BR], all normalized to [0,1]. Luma is the integer ITU BT.601 fold
+    * (299r+587g+114b)/1000. Enough signal for the embedding / near-dup
+    * paths downstream (q31/q80-style) while staying exact for tests. */
+  private[ops] def pixelFeatures(
+      img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb, sl) = (0L, 0L, 0L, 0L)
+    val ql = new Array[Long](4)
+    val qn = new Array[Long](4)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        val luma = (299 * r + 587 * g + 114 * b) / 1000
+        sr += r; sg += g; sb += b; sl += luma
+        val q = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+        ql(q) += luma; qn(q) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    Array(
+      sr.toFloat / (n * 255f), sg.toFloat / (n * 255f),
+      sb.toFloat / (n * 255f), sl.toFloat / (n * 255f),
+      if (qn(0) == 0) 0f else ql(0).toFloat / (qn(0) * 255f),
+      if (qn(1) == 0) 0f else ql(1).toFloat / (qn(1) * 255f),
+      if (qn(2) == 0) 0f else ql(2).toFloat / (qn(2) * 255f),
+      if (qn(3) == 0) 0f else ql(3).toFloat / (qn(3) * 255f))
+  }
+
+  /** The no-decoder fallback: a stable 8-dim byte-fold (kept exactly as
+    * the historical stub so text-payload pipelines and their oracles
+    * are unchanged). */
+  private def byteFeatures(payload: Array[Byte]): Array[Float] = {
     val feats = new Array[Float](8)
     var i = 0
     while (i < payload.length) {
@@ -76,7 +139,7 @@ object Multimodal {
         val payload = Option(r.getAs[Array[Byte]]("payload"))
           .getOrElse(Array.emptyByteArray)
         Row(r.getLong(0), r.getString(1), payload.length,
-          checksum(payload), decodeStub(payload))
+          checksum(payload), decodeFeats(payload))
       }
     }(enc)
   }

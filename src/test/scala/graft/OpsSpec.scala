@@ -195,6 +195,40 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getAs[Long]("checksum") === 0L)
   }
 
+  test("decodeFeatures runs a REAL pixel decode for JRE-shipped image " +
+      "codecs: a 2x2 PNG round-trips to exact channel/quadrant stats; " +
+      "non-image payloads keep the byte-fold fallback") {
+    // a real PNG, written by the JRE encoder: red green / blue white
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.headerDims(png) === ("png", 2, 2))
+    val rows = Seq(Row(1L, "image", png, null.asInstanceOf[Row]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.schema)
+    val fRow = Multimodal.decodeFeatures(df).head()
+    val feats = fRow.getSeq[Float](fRow.fieldIndex("features"))
+    // integer BT.601 lumas: red 76, green 149, blue 29, white 255
+    val expected = Seq(0.5f, 0.5f, 0.5f, 509f / 1020f,
+      76f / 255f, 149f / 255f, 29f / 255f, 1.0f)
+    feats.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6f, s"$feats vs $expected")
+    }
+    // a truncated PNG body (valid header, broken stream) degrades to
+    // byte features — never throws
+    val broken = png.take(30)
+    val bRows = Seq(Row(2L, "image", broken, null.asInstanceOf[Row]))
+    val bdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(bRows), Multimodal.schema)
+    val bRow = Multimodal.decodeFeatures(bdf).head()
+    val bFeats = bRow.getSeq[Float](bRow.fieldIndex("features"))
+    assert(bFeats.length === 8)
+  }
+
   test("sampleFrames emits one row per everyMs of duration") {
     val frames = Multimodal.sampleFrames(mkDf, everyMs = 1000)
       .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
