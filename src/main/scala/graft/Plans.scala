@@ -396,7 +396,46 @@ object Plans {
         ("matview-served avg + HAVING: exact decimal sum / non-null " +
           "count re-fold from #groups rows (bit-equal to the base " +
           "decomposition), HAVING filters group rows post-aggregate " +
-          "— the base parquet is never scanned (plan-asserted)"))
+          "— the base parquet is never scanned (plan-asserted)"),
+      "q186_drop_partition_retention" ->
+        ("retention symmetry: drop partition folds the dropped " +
+          "buckets' rows OUT of the registered matview (foldDelete " +
+          "under an exactly-once drop tag) BEFORE deleting the " +
+          "directories; the served GROUP BY afterwards reads only " +
+          "#groups rows — base never scanned (plan-asserted), and " +
+          "nothing ever serves the forgotten rows"),
+      "q187_sql_join" ->
+        ("dialect JOIN grammar, live plan: FROM a JOIN b ON a.k=b.k " +
+          "compiles to ONE Catalyst inner equi-join (AQE/broadcast " +
+          "pick the physical join), WHERE with date-literal folding " +
+          "pushes to both scans, GROUP BY runs partial/final over " +
+          "the joined frame — the reference cannot parse a JOIN at " +
+          "all (is_suport_join() = False)"),
+      "q188_join_matview_served" ->
+        ("TRANSPARENT join-matview serving: the SAME JOIN command " +
+          "answers from the #groups-row artifact — FROM matched " +
+          "against the recorded (tables, on-pairs), aggregates " +
+          "re-fold the recorded partials (avg = exact decimal sum / " +
+          "non-null count, bit-equal to live), and the plan scans " +
+          "NEITHER base table (plan-asserted)"),
+      "q189_join_matview_sync" ->
+        ("join matview sync: per-side lineage watermarks pick each " +
+          "side's missed rows (tsd_id > wm — parquet stats prune the " +
+          "scan), then the disjoint decomposition ΔL⋈R_old ∪ " +
+          "ΔR⋈(L_old∪ΔL) folds the cross delta exactly once; both " +
+          "watermarks advance in the SAME IndexStore commit"),
+      "q190_tindex_autofold" ->
+        ("tindex auto-fold on ingest: the PUT batch folds into the " +
+          "standing postings index in the same call (per-doc replace " +
+          "— map-only over the batch, no corpus re-read), BM25 " +
+          "serves from the artifact with df/N/avgdl derived at query " +
+          "time, so fold == rebuild with zero stats drift"),
+      "q191_tindex_sync" ->
+        ("tindex sync: the wm_<tsd_id> version tag commits atomically " +
+          "WITH each fold (no second commit point), so sync is one " +
+          "pruned scan of rows above the watermark folded map-only " +
+          "into the postings — replaying exactly the auto-refresh-off " +
+          "window, idempotent by construction"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -588,6 +588,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }.mkString("\n")
     }
     else if (low.startsWith("vindex create")) vindexCreate(t)
+    else if (low.startsWith("vindex sync")) indexFamilySync(t, "vindex")
     else if (low.startsWith("vindex refresh")) vindexRefresh(t)
     else if (low.startsWith("vindex delete")) vindexDelete(t)
     else if (low.startsWith("vindex search")) vindexSearch(t)
@@ -610,6 +611,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }.mkString("\n")
     }
     else if (low.startsWith("tindex create")) tindexCreate(t)
+    else if (low.startsWith("tindex sync")) indexFamilySync(t, "tindex")
     else if (low.startsWith("tindex refresh")) tindexRefresh(t)
     else if (low.startsWith("tindex delete")) tindexDelete(t)
     else if (low.startsWith("tindex search")) tindexSearch(t)
@@ -635,6 +637,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }.mkString("\n")
     }
     else if (low.startsWith("sindex create")) sindexCreate(t)
+    else if (low.startsWith("sindex sync")) indexFamilySync(t, "sindex")
     else if (low.startsWith("sindex refresh")) sindexRefresh(t)
     else if (low.startsWith("sindex estimate")) sindexEstimate(t)
     else if (low.startsWith("sindex overlap")) sindexOverlap(t)
@@ -910,6 +913,21 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       if (r.isNullAt(0)) -1L else r.getLong(0)
     }
   }
+
+  /** Lineage watermark of a standing INDEX artifact (vindex/tindex/
+    * sindex), carried as a `wm_<n>` tag on the CURRENT committed
+    * version — tags commit atomically WITH the fold's data (the
+    * IndexStore tag protocol), so there is no state where the fold
+    * landed but its watermark didn't. -1 = no lineage (artifact
+    * created over an unstamped table, or a pre-watermark artifact). */
+  private def indexWmOf(path: String): Long =
+    graft.ops.IndexStore.currentTags(spark, path)
+      .filter(_.startsWith("wm_"))
+      .flatMap(t => scala.util.Try(t.stripPrefix("wm_").toLong).toOption)
+      .maxOption.getOrElse(-1L)
+
+  private def wmTag(n: Long): Seq[String] =
+    if (n >= 0) Seq(s"wm_$n") else Nil
 
   /** Highest tsd_id currently in a table (0 when stamped but empty),
     * or -1 when the table carries no tsd lineage column. */
@@ -1459,20 +1477,40 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // same exactly-once tag protocol; the tindex/sindex folds are
     // additionally idempotent by construction (per-doc replace /
     // bottom-k lattice union).
+    // on a lineage gap (a batch appended but never folded — the same
+    // ledger check as the matview branch) the fold takes the sync
+    // slice instead of the batch alone, so the artifact's wm_ tag
+    // never advances past an unfolded batch
+    def indexDelta(artifactPath: String)
+        : org.apache.spark.sql.DataFrame = {
+      val wm = indexWmOf(artifactPath)
+      val batchWm =
+        if (tsdId >= 0 && batch.columns.contains("tsd_id")) tsdId.toLong
+        else -1L
+      val gapped = wm >= 0 && batchWm > wm &&
+        tsdLedger.list(Some(table))
+          .exists(e => e.fileId > wm && e.fileId < batchWm)
+      if (gapped)
+        catalog.table(table).filter(col("tsd_id").cast("long") > wm)
+      else batch
+    }
     vindexes.get(table).foreach { meta =>
-      try if (!tagged(meta.path)) foldVindex(meta, batch, batchTag)
+      try if (!tagged(meta.path))
+        foldVindex(meta, indexDelta(meta.path), batchTag)
       catch { case e: Exception =>
         autoFoldErrors += s"vindex $table (${meta.path}): ${e.getMessage}"
       }
     }
     tindexes.get(table).foreach { meta =>
-      try if (!tagged(meta.path)) foldTindex(meta, batch, batchTag)
+      try if (!tagged(meta.path))
+        foldTindex(meta, indexDelta(meta.path), batchTag)
       catch { case e: Exception =>
         autoFoldErrors += s"tindex $table (${meta.path}): ${e.getMessage}"
       }
     }
     sindexes.get(table).foreach { meta =>
-      try if (!tagged(meta.path)) foldSindex(meta, batch, batchTag)
+      try if (!tagged(meta.path))
+        foldSindex(meta, indexDelta(meta.path), batchTag)
       catch { case e: Exception =>
         autoFoldErrors += s"sindex $table (${meta.path}): ${e.getMessage}"
       }
@@ -1521,6 +1559,56 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       graft.ops.IndexStore.write(folded, m.path)
       s"matview for $table synced: $nMissed missed row(s) folded, " +
         s"watermark $wm -> $newWm"
+    }
+  }
+
+  /** `vindex|tindex|sindex sync where table = <t>` — the index-family
+    * twin of `matview sync`: fold exactly the table rows whose tsd_id
+    * lies above the artifact's `wm_` lineage tag (batches appended
+    * while auto refresh was off, or lost between append and fold),
+    * advancing the tag in the same IndexStore commit. Idempotent;
+    * refuses loudly without lineage. */
+  private def indexFamilySync(t: String, kind: String): String = {
+    val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        s"$kind sync requires table ="))
+    val (path, fold): (String,
+        (org.apache.spark.sql.DataFrame, Option[String]) => Long) =
+      kind match {
+        case "vindex" =>
+          val m = vindexes.getOrElse(table,
+            throw new IllegalArgumentException(
+              s"no vindex registered for $table"))
+          (m.path, (d, tg) => foldVindex(m, d, tg))
+        case "tindex" =>
+          val m = tindexes.getOrElse(table,
+            throw new IllegalArgumentException(
+              s"no tindex registered for $table"))
+          (m.path, (d, tg) => foldTindex(m, d, tg))
+        case _ =>
+          val m = sindexes.getOrElse(table,
+            throw new IllegalArgumentException(
+              s"no sindex registered for $table"))
+          (m.path, (d, tg) => foldSindex(m, d, tg))
+      }
+    val wm = indexWmOf(path)
+    require(wm >= 0,
+      s"$kind for $table carries no lineage watermark (created over a " +
+        "table without tsd_id system columns, or a pre-watermark " +
+        s"artifact) — sync cannot prove which rows are folded; rebuild " +
+        s"with `$kind create`")
+    val base = catalog.table(table)
+    require(base.columns.contains("tsd_id"),
+      s"table $table carries no tsd_id column — sync cannot identify " +
+        "missed batches")
+    import org.apache.spark.sql.functions.col
+    val missed = base.filter(col("tsd_id").cast("long") > wm)
+    val n = missed.count()
+    if (n == 0L) s"$kind for $table in sync (watermark $wm)"
+    else {
+      fold(missed.localCheckpoint(), None)
+      s"$kind for $table synced: $n missed row(s) folded, " +
+        s"watermark $wm -> ${indexWmOf(path)}"
     }
   }
 
@@ -2168,7 +2256,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       case other => throw new IllegalArgumentException(
         s"vindex type must be pq, ivf, rpq or sq8, got $other")
     }
-    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
+    // seed the lineage watermark (a wm_ tag on the same commit) so
+    // `vindex sync` can replay crash-missed batches exactly
+    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path,
+      wmTag(mvTableWm(src)))
     vindexes += table -> VIndexMeta(path, kind, idCol, vecCol, numSub)
     catalog.recordArtifact(s"vindex:$path",
       s"vindex attach where table = $table and path = $path and " +
@@ -2207,6 +2298,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       tag: Option[String]): Long = {
     val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
       throw new IllegalStateException(s"no vindex artifact at ${meta.path}"))
+    // a lineage-stamped delta advances the artifact's wm_ tag in the
+    // SAME commit as the fold (mirrors the matview watermark rider)
+    val wm = indexWmOf(meta.path)
+    val newWm = if (wm >= 0) math.max(wm, mvTableWm(delta)) else wm
     val folded = (meta.kind match {
       case "pq" => graft.ops.Similarity.refreshPqIndex(stored, delta,
         meta.vecCol, meta.idCol, meta.numSub)
@@ -2217,7 +2312,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       case _ => graft.ops.Similarity.refreshIvfIndex(stored, delta,
         meta.vecCol, meta.idCol)
     }).localCheckpoint()
-    graft.ops.IndexStore.write(folded, meta.path, tag)
+    graft.ops.IndexStore.write(folded, meta.path, tag.toSeq ++ wmTag(newWm))
   }
 
   /** `vindex delete where table = <t> and (ids = (1, 2, 3) | source =
@@ -2240,7 +2335,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val folded = graft.ops.Similarity.deleteFromIndex(stored,
       deleteIdsFrame(t, Some(meta.idCol))).localCheckpoint()
     val removed = before - folded.count()
-    graft.ops.IndexStore.write(folded, meta.path)
+    // deletes don't advance lineage, but the wm_ tag must ride onto
+    // the new version or the artifact would LOSE its watermark
+    graft.ops.IndexStore.write(folded, meta.path,
+      wmTag(indexWmOf(meta.path)))
     s"vindex for $table: $removed coded row(s) deleted " +
       s"(geometry retained)"
   }
@@ -2394,7 +2492,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val grams = kv("grams").exists(_.equalsIgnoreCase("true"))
     val src = catalog.table(table)
     val built = graft.ops.Retrieval.postingsIndex(src, textCol, idCol)
-    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
+    // lineage watermark seeded on the same commit (`tindex sync` reads
+    // it; the grams sidecar follows the main artifact)
+    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path,
+      wmTag(mvTableWm(src)))
     if (grams) graft.ops.IndexStore.write(
       graft.ops.Retrieval.trigramIndex(src, textCol, idCol)
         .localCheckpoint(), s"$path-grams")
@@ -2436,9 +2537,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       tag: Option[String]): Long = {
     val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
       throw new IllegalStateException(s"no tindex artifact at ${meta.path}"))
+    val wm = indexWmOf(meta.path)
+    val newWm = if (wm >= 0) math.max(wm, mvTableWm(delta)) else wm
     val folded = graft.ops.Retrieval.refreshPostingsIndex(stored, delta,
       meta.textCol, meta.idCol).localCheckpoint()
-    val rows = graft.ops.IndexStore.write(folded, meta.path, tag)
+    val rows = graft.ops.IndexStore.write(folded, meta.path,
+      tag.toSeq ++ wmTag(newWm))
     if (meta.grams) {
       import org.apache.spark.sql.functions.col
       val prev = graft.ops.IndexStore
@@ -2478,7 +2582,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val folded = graft.ops.Retrieval.deleteFromPostingsIndex(stored, del)
       .localCheckpoint()
     val removed = before - folded.count()
-    graft.ops.IndexStore.write(folded, meta.path)
+    // the wm_ tag rides onto the new version (deletes don't advance it)
+    graft.ops.IndexStore.write(folded, meta.path,
+      wmTag(indexWmOf(meta.path)))
     if (meta.grams) {
       val prev = graft.ops.IndexStore
         .read(spark, s"${meta.path}-grams").getOrElse(
@@ -2682,7 +2788,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (table, path) = (req("table"), req("path"))
     val (keyCol, textCol, k) = (req("key"), req("text"), req("k").toInt)
     val built = sindexBuild(catalog.table(table), keyCol, textCol, k)
-    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path)
+    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path,
+      wmTag(mvTableWm(catalog.table(table))))
     sindexes += table -> SIndexMeta(path, keyCol, textCol, k)
     catalog.recordArtifact(s"sindex:$path",
       s"sindex attach where table = $table and path = $path and " +
@@ -2719,10 +2826,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       tag: Option[String]): Long = {
     val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
       throw new IllegalStateException(s"no sindex artifact at ${meta.path}"))
+    val wm = indexWmOf(meta.path)
+    val newWm = if (wm >= 0) math.max(wm, mvTableWm(delta)) else wm
     val folded = graft.ops.Sketches.kmvMergeKeyed(stored,
       sindexBuild(delta, meta.keyCol, meta.textCol, meta.k), meta.k)
       .localCheckpoint()
-    graft.ops.IndexStore.write(folded, meta.path, tag)
+    graft.ops.IndexStore.write(folded, meta.path,
+      tag.toSeq ++ wmTag(newWm))
   }
 
   /** `sindex estimate where table = <t> [and format = table]` — per-key
@@ -3638,7 +3748,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             s"no vindex artifact at ${meta.path}"))
         val folded = graft.ops.Similarity.deleteFromIndex(stored,
           droppedRows.select(col(meta.idCol))).localCheckpoint()
-        graft.ops.IndexStore.write(folded, meta.path, Some(tag))
+        graft.ops.IndexStore.write(folded, meta.path,
+          Seq(tag) ++ wmTag(indexWmOf(meta.path)))
         receipts += s"vindex at ${meta.path}: dropped ids tombstoned"
       }
     }
@@ -3652,7 +3763,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         val del = droppedRows.select(col(meta.idCol)).localCheckpoint()
         graft.ops.IndexStore.write(
           graft.ops.Retrieval.deleteFromPostingsIndex(stored, del)
-            .localCheckpoint(), meta.path, Some(tag))
+            .localCheckpoint(), meta.path,
+          Seq(tag) ++ wmTag(indexWmOf(meta.path)))
         if (meta.grams) {
           val prev = graft.ops.IndexStore
             .read(spark, s"${meta.path}-grams").getOrElse(

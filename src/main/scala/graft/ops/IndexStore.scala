@@ -169,7 +169,12 @@ object IndexStore {
     * foreachBatch fold needs ([[hasTag]] + retained-previous-version
     * pruning give a two-version lookback — enough for checkpointed
     * strictly-increasing batch ids that retry at most the last batch). */
-  def write(df: DataFrame, dir: String, tag: Option[String]): Long = {
+  def write(df: DataFrame, dir: String, tag: Option[String]): Long =
+    write(df, dir, tag.toSeq)
+
+  /** As [[write]] with any number of tags — e.g. an exactly-once batch
+    * tag AND a lineage watermark riding the same commit. */
+  def write(df: DataFrame, dir: String, tags: Seq[String]): Long = {
     val spark = df.sparkSession
     val (fs, p) = fsOf(spark, dir)
     // number above every existing dir, dirty ones included, so a
@@ -178,7 +183,7 @@ object IndexStore {
     val next = before.map(_._1).maxOption.getOrElse(0L) + 1L
     val vDir = s"$dir/v=$next"
     df.write.mode("overwrite").parquet(vDir)
-    tag.foreach { t =>
+    tags.foreach { t =>
       fs.create(new Path(vDir, s"_GRAFT_TAG_$t"), false).close()
     }
     // the commit point: one atomically-visible file create

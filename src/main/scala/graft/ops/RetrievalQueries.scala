@@ -205,6 +205,53 @@ object RetrievalQueries {
   private val q190Sql = dBm25("doc_id >= 5 AND doc_id < 10", 3)
 
   // ===================================================================
+  // q191 — `tindex sync` (index-family lineage watermarks): the q190
+  // fixture, but the late batch lands while auto refresh is OFF (the
+  // crash/off window), leaving the standing index stale — ONE sync
+  // replays exactly the rows above the artifact's wm_ lineage tag
+  // (committed atomically with every fold as an IndexStore version
+  // tag) and a second sync is a no-op. Oracle: whole-corpus BM25 —
+  // hash equality is sync == rebuild, the matview-sync crash contract
+  // extended to the index families.
+  // ===================================================================
+
+  private val q191: QFn = (s, d) => {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val docs = PipelineQueries.wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), col("text"))
+    def nd(df: org.apache.spark.sql.DataFrame): String =
+      df.collect().map { r =>
+        JsonMethods.compact(JsonMethods.render(
+          ("doc_id" -> r.getLong(0)) ~ ("text" -> r.getString(1))))
+      }.mkString("\n")
+    val tmp = java.nio.file.Files.createTempDirectory("q191")
+    val cat = new graft.engine.Catalog(s)
+    val engine = new graft.engine.Engine(s, cat)
+    engine.dataDir = Some(tmp.resolve("data").toString)
+    engine.ingest("docs191", nd(docs.filter(col("doc_id") < 400)))
+    val tx = tmp.resolve("tx").toString
+    engine.execute(s"tindex create where table = docs191 and " +
+      s"path = $tx and id = doc_id and text = text")
+    engine.execute("set view auto refresh = off")
+    engine.ingest("docs191", nd(docs.filter(col("doc_id") >= 400)))
+    val msg = engine.execute("tindex sync where table = docs191")
+    require(msg.contains("synced"), s"q191 sync folded nothing: $msg")
+    require(engine.execute("tindex sync where table = docs191")
+      .contains("in sync"), "q191 second sync must be a no-op")
+    val stored = IndexStore.read(s, tx).getOrElse(
+      throw new IllegalStateException("q191: no tindex artifact"))
+    Retrieval.bm25TopK(stored,
+        docs.filter(col("doc_id") >= 5 && col("doc_id") < 10),
+        "text", "doc_id", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q191Sql = dBm25("doc_id >= 5 AND doc_id < 10", 3)
+
+  // ===================================================================
   // q119 — positional phrase search: the corpus's most frequent bigram
   // (ties to the lexicographically smallest), then every doc containing
   // it as an EXACT phrase with its phrase frequency, from position-list
@@ -435,6 +482,7 @@ object RetrievalQueries {
 
   val queries: Map[String, QFn] = Map(
     "q190_tindex_autofold" -> q190,
+    "q191_tindex_sync" -> q191,
     "q129_hybrid_rrf" -> q129,
     "q117_bm25_topk" -> q117,
     "q118_postings_standing_index" -> q118,
@@ -446,6 +494,7 @@ object RetrievalQueries {
 
   val oracles: Map[String, String] = Map(
     "q190_tindex_autofold" -> q190Sql,
+    "q191_tindex_sync" -> q191Sql,
     "q129_hybrid_rrf" -> q129Sql,
     "q117_bm25_topk" -> q117Sql,
     "q118_postings_standing_index" -> q118Sql,

@@ -373,6 +373,38 @@ class AutoRefreshSpec extends SparkSpec {
       s"replay double-folded: $got")
   }
 
+  test("index-family lineage watermarks: a gap (off -> missed batch -> " +
+      "on -> new batch) routes the tindex auto-fold to the sync slice; " +
+      "deletes carry the watermark; sync is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("ar15")
+    val (_, engine) = mkEngine(dir)
+    def nd(rows: (Long, String)*): String =
+      rows.map { case (id, txt) =>
+        s"""{"id": $id, "text": "$txt"}""" }.mkString("\n")
+    engine.ingest("dt1", nd(1L -> "alpha beta", 2L -> "beta gamma"))
+    val tx = dir.resolve("tx").toString
+    engine.execute(s"tindex create where table = dt1 and path = $tx " +
+      "and id = id and text = text")
+    engine.execute("set view auto refresh = off")
+    engine.ingest("dt1", nd(3L -> "gamma delta"))   // missed while off
+    engine.execute("set view auto refresh = on")
+    engine.ingest("dt1", nd(4L -> "delta epsilon")) // must fold 3 AND 4
+    val postings = graft.ops.IndexStore.read(spark, tx).get
+    assert(postings.filter(col("id") === 3L).count() > 0,
+      "gap batch was orphaned by the index auto-fold")
+    assert(postings.filter(col("id") === 4L).count() > 0)
+    assert(engine.execute("tindex sync where table = dt1")
+      .contains("in sync"))
+    // a delete rewrites the artifact — the wm_ tag must ride along or
+    // sync would refuse afterwards
+    engine.execute("tindex delete where table = dt1 and ids = (2)")
+    assert(engine.execute("tindex sync where table = dt1")
+      .contains("in sync"),
+      "tindex delete lost the lineage watermark")
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+  }
+
   test("startTransactionalSink: ONE foreachBatch owns the table append " +
       "AND the view folds; replaying a batch (crash simulation) " +
       "duplicates neither — the lead/lag window is gone") {
