@@ -57,6 +57,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * it. */
   val tsdLedger = new graft.ingest.TsdLedger
 
+  /** Tables whose stored tsd lineage has seeded the ledger this
+    * engine lifetime (see the restart seed in [[ingest]]). */
+  private val ledgerSeeded =
+    scala.collection.mutable.Set.empty[String]
+
   /** Query execution-time histogram (the reference's QueryMonitor,
     * job/job_instance.py:34-104: 10 one-second buckets + overflow,
     * reset()able, rendered by `get queries time`). */
@@ -346,6 +351,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // plain schema alignment (which would ingest NULLs with a 200)
     instructions.foreach(id => require(catalog.policy(id).isDefined,
       s"unknown mapping policy: $id"))
+    // RESTART SEED: a fresh engine's in-memory ledger restarts at 1,
+    // but a pre-existing table may carry higher tsd_ids from a
+    // previous life — re-issuing a used id would stamp new rows BELOW
+    // every standing artifact's watermark (sync filters > wm, so they
+    // would silently never fold). One column-stats max per table per
+    // engine lifetime.
+    if (existingPath.isDefined && !ledgerSeeded.contains(table)) {
+      try {
+        val existing = catalog.table(table)
+        if (existing.columns.contains("tsd_id"))
+          tsdLedger.ensureAbove(mvTableWm(existing))
+      } catch { case _: Exception => () } // empty/unreadable: no seed
+      ledgerSeeded += table
+    }
     val aligned = instructions.flatMap(catalog.policy) match {
       case Some(policyJson) =>
         graft.ingest.MappingPolicy.compile(
@@ -802,6 +821,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("join matview get")) joinMatviewGet(t)
     else if (low.startsWith("join matview attach")) joinMatviewAttach(t)
     else if (low.startsWith("matview sync")) matviewSync(t)
+    else if (low.startsWith("sync all")) syncAll(t)
     else if (low == "get artifacts") {
       val recs = catalog.artifactList
       if (recs.isEmpty) "no artifacts recorded"
@@ -1560,6 +1580,40 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       s"matview for $table synced: $nMissed missed row(s) folded, " +
         s"watermark $wm -> $newWm"
     }
+  }
+
+  /** `sync all where table = <t>` — one command reconciling EVERY
+    * registered standing artifact over a table after a crash or an
+    * auto-refresh-off window: matview sync, join matview sync (each
+    * jmv the table participates in), and the three index-family syncs.
+    * Per-artifact tolerant — one artifact without lineage reports its
+    * refusal while the rest still reconcile (the operational pairing
+    * of `attach all`: restart recovery re-registers the fleet, sync
+    * all catches it up). */
+  private def syncAll(t: String): String = {
+    val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        "sync all requires table ="))
+    val out = Seq.newBuilder[String]
+    def attempt(label: String)(body: => String): Unit =
+      out += (try body
+        catch { case e: Exception => s"FAILED $label: ${e.getMessage}" })
+    if (matviews.contains(table))
+      attempt(s"matview $table")(
+        matviewSync(s"matview sync where table = $table"))
+    joinMatviews.foreach { case (p, spec) =>
+      if (spec.left == table || spec.right == table)
+        attempt(s"join matview $p")(jmvSyncFold(p, spec, None))
+    }
+    if (vindexes.contains(table))
+      attempt(s"vindex $table")(indexFamilySync(t, "vindex"))
+    if (tindexes.contains(table))
+      attempt(s"tindex $table")(indexFamilySync(t, "tindex"))
+    if (sindexes.contains(table))
+      attempt(s"sindex $table")(indexFamilySync(t, "sindex"))
+    val lines = out.result()
+    if (lines.isEmpty) s"no standing artifacts registered for $table"
+    else lines.mkString("\n")
   }
 
   /** `vindex|tindex|sindex sync where table = <t>` — the index-family

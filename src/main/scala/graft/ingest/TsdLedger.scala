@@ -75,6 +75,18 @@ final class TsdLedger {
     entries = entries.filterNot(_.fileHash == fileHash)
   }
 
+  /** Raise the id counter so the next assigned id is strictly above
+    * `n` — the RESTART seed: a fresh in-memory ledger must never
+    * re-issue ids at or below lineage already stamped into storage
+    * (a re-used tsd_id would stamp NEW rows below every standing
+    * artifact's watermark — sync filters `> wm`, so those rows would
+    * silently never fold, and replay by id becomes ambiguous). A
+    * shared-store ledger makes this a no-op; the in-memory one reads
+    * the table's own max on first touch (Engine.ingest). */
+  def ensureAbove(n: Long): Unit = synchronized {
+    if (n >= nextId && n < Int.MaxValue) nextId = n.toInt + 1
+  }
+
   /** Highest ledger id recorded for a table (0 when none) — the local
     * input to the cluster's safe-id consensus (dbms/ha.py:225). */
   def maxId(table: String): Int = synchronized {

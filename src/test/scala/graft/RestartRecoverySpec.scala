@@ -62,6 +62,61 @@ class RestartRecoverySpec extends SparkSpec {
     assert(got2.contains(""""g":"b","n":2,"sk":12"""), got2)
   }
 
+  test("attach all + sync all: lineage watermarks survive a restart " +
+      "(matview rider column, tindex wm_ version tag) and one sync " +
+      "all catches the whole fleet up on rows appended while down") {
+    val root = java.nio.file.Files.createTempDirectory("rr5")
+    val cat1 = new graft.engine.Catalog(spark, Some(root))
+    val e1 = new graft.engine.Engine(spark, cat1)
+    e1.dataDir = Some(root.resolve("data").toString)
+    e1.ingest("rt5",
+      """{"id": 1, "g": "a", "text": "alpha beta"}""" + "\n" +
+        """{"id": 2, "g": "b", "text": "beta gamma"}""")
+    val mv = root.resolve("mv").toString
+    val tx = root.resolve("tx").toString
+    e1.execute(s"matview create where table = rt5 and path = $mv " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"}]}""")
+    e1.execute(s"tindex create where table = rt5 and path = $tx " +
+      "and id = id and text = text")
+    // rows land while the serving engine is DOWN (a second writer
+    // appends through its own engine over the same root/ledger state —
+    // simulated by auto refresh off)
+    e1.execute("set view auto refresh = off")
+    e1.ingest("rt5", """{"id": 3, "g": "a", "text": "gamma delta"}""")
+
+    // restart: fresh catalog + engine, re-attach, ONE sync all
+    val cat2 = new graft.engine.Catalog(spark, Some(root))
+    val e2 = new graft.engine.Engine(spark, cat2)
+    assert(!e2.execute("attach all").contains("FAILED"))
+    val synced = e2.execute("sync all where table = rt5")
+    assert(synced.contains("matview for rt5 synced"), synced)
+    assert(synced.contains("tindex for rt5 synced"), synced)
+    val got = e2.execute(s"matview get where path = $mv")
+    assert(got.contains(""""g":"a","n":2"""), got)
+    assert(graft.ops.IndexStore.read(spark, tx).get
+      .filter(col("id") === 3L).count() > 0,
+      "tindex sync after restart missed the offline batch")
+    // idempotent: everything reports in sync now
+    val again = e2.execute("sync all where table = rt5")
+    assert(again.contains("in sync"), again)
+    assert(!again.contains("synced:"), again)
+    // RESTART SEED: a post-restart PUT must get a tsd_id ABOVE the
+    // stored lineage (a fresh in-memory ledger would otherwise
+    // re-issue id 1, stamping the new rows below every watermark —
+    // auto-folded but unsyncable, and replay-by-id ambiguous)
+    e2.ingest("rt5", """{"id": 4, "g": "b", "text": "delta epsilon"}""")
+    import org.apache.spark.sql.functions.max
+    val ids = cat2.table("rt5").agg(max(col("tsd_id").cast("long")))
+      .head().getLong(0)
+    // pre-restart lineage topped out at 2 (two PUT batches) — the new
+    // batch must stamp 3+, not recycle 1
+    assert(ids >= 3L, s"restart re-issued a used tsd_id (max $ids)")
+    val got4 = e2.execute(s"matview get where path = $mv")
+    assert(got4.contains(""""g":"b","n":2"""), got4)
+    assert(e2.execute("sync all where table = rt5").contains("in sync"))
+  }
+
   test("monitor and layout artifacts re-attach through attach all") {
     val root = java.nio.file.Files.createTempDirectory("rr4")
     val data = root.resolve("ev.parquet").toString
