@@ -435,7 +435,15 @@ object Plans {
           "WITH each fold (no second commit point), so sync is one " +
           "pruned scan of rows above the watermark folded map-only " +
           "into the postings — replaying exactly the auto-refresh-off " +
-          "window, idempotent by construction"))
+          "window, idempotent by construction"),
+      "q192_dindex_lifecycle" ->
+        ("registered dedup (shingle) index lifecycle: the sync fold " +
+          "replaces batch ids then re-enriches df / per-doc rank / " +
+          "size over the union — one df aggregate + one per-doc " +
+          "window over index rows, corpus text read only for the " +
+          "batch; the prefix-filter geometry every near-dup gate " +
+          "probe depends on is therefore exact after ANY schedule " +
+          "of PUTs, syncs, deletes and partition drops"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

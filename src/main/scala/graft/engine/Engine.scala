@@ -161,6 +161,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       textCol: String, k: Int)
   private var sindexes = Map.empty[String, SIndexMeta]
 
+  /** Registered standing DEDUP indexes by table (`dedup index
+    * create/attach`): the near-dup ingest gate's artifact — shingle
+    * (enriched (id, h, df, pos, n) rows, the prefix-filter geometry)
+    * or simhash (per-doc 64-bit sigs) — promoted from pipeline-owned
+    * paths to REGISTERED artifacts so the ingest auto-fold, `dedup
+    * index sync`, and `drop partition` retention folds reach them. */
+  private case class DIndexMeta(path: String, kind: String,
+      idCol: String, textCol: String, shingleN: Int)
+  private var dindexes = Map.empty[String, DIndexMeta]
+
   /** Registered Z-order layouts by table (`layout zorder`): a
     * Morton-clustered directory-partitioned copy whose quads a 2-D box
     * predicate prunes with PARTITION filters ([[graft.ops.Layout]]). */
@@ -855,7 +865,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             s"${sp.right}: join matview $p") } ++
         vindexes.toSeq.map { case (tb, m) => s"$tb: vindex ${m.path}" } ++
         tindexes.toSeq.map { case (tb, m) => s"$tb: tindex ${m.path}" } ++
-        sindexes.toSeq.map { case (tb, m) => s"$tb: sindex ${m.path}" }
+        sindexes.toSeq.map { case (tb, m) => s"$tb: sindex ${m.path}" } ++
+        dindexes.toSeq.map { case (tb, m) =>
+          s"$tb: dedup index ${m.path}" }
       val inv = if (targets.isEmpty) "no auto-fold targets"
         else s"auto-fold targets:\n${targets.sorted.mkString("\n")}"
       if (autoFoldErrors.isEmpty)
@@ -868,6 +880,42 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("matview delete")) matviewDelete(t)
     else if (low.startsWith("matview get")) matviewGet(t)
     else if (low.startsWith("matview attach")) matviewAttach(t)
+    else if (low.startsWith("dedup index create")) dedupIndexCreate(t)
+    else if (low.startsWith("dedup index attach")) dedupIndexAttach(t)
+    else if (low.startsWith("dedup index sync"))
+      indexFamilySync(t, "dedup index")
+    else if (low.startsWith("dedup index refresh")) {
+      def kv(k: String): Option[String] =
+        s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+      val table = kv("table").getOrElse(
+        throw new IllegalArgumentException(
+          "dedup index refresh requires table ="))
+      val meta = dindexes.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"no dedup index registered for $table"))
+      val src = kv("source").getOrElse(
+        throw new IllegalArgumentException(
+          "dedup index refresh requires source ="))
+      val rows = foldDindex(meta, mvFrame(src), None)
+      s"dedup index for $table refreshed (version $rows)"
+    }
+    else if (low.startsWith("dedup index drop")) {
+      val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+        .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+          "dedup index drop requires table ="))
+      require(dindexes.contains(table),
+        s"no dedup index registered for $table")
+      dindexes -= table // unregister only; the artifact stays on disk
+      s"dedup index for $table dropped"
+    }
+    else if (low == "get dedup indexes") {
+      if (dindexes.isEmpty) "no dedup indexes registered"
+      else dindexes.toSeq.sortBy(_._1).map { case (tbl, m) =>
+        s"$tbl: type=${m.kind} id=${m.idCol} text=${m.textCol}" +
+          (if (m.kind == "shingle") s" n=${m.shingleN}" else "") +
+          s" path=${m.path}"
+      }.mkString("\n")
+    }
     else if (low.startsWith("dedup index delete")) dedupIndexDelete(t)
     else if (low.startsWith("run msg client")) runMsgClient(t)
     else if (low.startsWith("exit msg client")) exitMsgClient()
@@ -1535,6 +1583,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         autoFoldErrors += s"sindex $table (${meta.path}): ${e.getMessage}"
       }
     }
+    dindexes.get(table).foreach { meta =>
+      try if (!tagged(meta.path))
+        foldDindex(meta, indexDelta(meta.path), batchTag)
+      catch { case e: Exception =>
+        autoFoldErrors +=
+          s"dedup index $table (${meta.path}): ${e.getMessage}"
+      }
+    }
   }
 
   /** `matview sync where table = <t>` — the crash-exact reconcile:
@@ -1611,6 +1667,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       attempt(s"tindex $table")(indexFamilySync(t, "tindex"))
     if (sindexes.contains(table))
       attempt(s"sindex $table")(indexFamilySync(t, "sindex"))
+    if (dindexes.contains(table))
+      attempt(s"dedup index $table")(indexFamilySync(t, "dedup index"))
     val lines = out.result()
     if (lines.isEmpty) s"no standing artifacts registered for $table"
     else lines.mkString("\n")
@@ -1639,6 +1697,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             throw new IllegalArgumentException(
               s"no tindex registered for $table"))
           (m.path, (d, tg) => foldTindex(m, d, tg))
+        case "dedup index" =>
+          val m = dindexes.getOrElse(table,
+            throw new IllegalArgumentException(
+              s"no dedup index registered for $table"))
+          (m.path, (d, tg) => foldDindex(m, d, tg))
         case _ =>
           val m = sindexes.getOrElse(table,
             throw new IllegalArgumentException(
@@ -2652,6 +2715,80 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       (if (meta.grams) " (+trigram sidecar)" else "")
   }
 
+  /** `dedup index create where table = <t> and path = <dir> and
+    * type = shingle|simhash and id = <col> and text = <col>
+    * [and n = 3]` — build the standing dedup-gate artifact from the
+    * table's CURRENT rows, seed its lineage watermark, and REGISTER it
+    * (auto-fold / sync / drop-partition retention all reach it from
+    * now on). The library half ([[graft.ops.Dedup.shingleIndex]] /
+    * [[graft.ops.Dedup.simhashIndex]]) is unchanged — this is the
+    * registration front door the pipeline-owned paths lacked. */
+  private def dedupIndexCreate(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"dedup index create requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    val kind = req("type").toLowerCase
+    require(kind == "shingle" || kind == "simhash",
+      s"dedup index type must be shingle|simhash (got $kind)")
+    val (idCol, textCol) = (req("id"), req("text"))
+    val n = kv("n").map(_.toInt).getOrElse(3)
+    val src = catalog.table(table)
+    val built =
+      if (kind == "shingle")
+        graft.ops.Dedup.shingleIndex(src, textCol, idCol, n)
+      else graft.ops.Dedup.simhashIndex(src, textCol, idCol)
+    val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path,
+      wmTag(mvTableWm(src)))
+    dindexes += table -> DIndexMeta(path, kind, idCol, textCol, n)
+    catalog.recordArtifact(s"dedup index:$path",
+      s"dedup index attach where table = $table and path = $path and " +
+        s"type = $kind and id = $idCol and text = $textCol and n = $n")
+    s"dedup index for $table created at $path (type=$kind, " +
+      s"version $rows)"
+  }
+
+  /** `dedup index attach where table/path/type/id/text [n]` — restart
+    * re-registration. */
+  private def dedupIndexAttach(t: String): String = {
+    def kv(k: String): Option[String] =
+      s"(?i)\\b$k\\s*=\\s*(\\S+)".r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"dedup index attach requires $k ="))
+    val (table, path) = (req("table"), req("path"))
+    require(graft.ops.IndexStore.read(spark, path).isDefined,
+      s"no dedup index artifact at $path")
+    dindexes += table -> DIndexMeta(path, req("type").toLowerCase,
+      req("id"), req("text"), kv("n").map(_.toInt).getOrElse(3))
+    s"dedup index for $table attached from $path"
+  }
+
+  /** The dedup-index fold body: replace-on-refold by batch id (the
+    * simhash/tindex contract — replay-idempotent), shingle enrichment
+    * (df / rank / size) re-derived over the union so fold == rebuild;
+    * the wm_ lineage tag advances in the same commit. */
+  private def foldDindex(meta: DIndexMeta,
+      delta: org.apache.spark.sql.DataFrame,
+      tag: Option[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val stored = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
+      throw new IllegalStateException(
+        s"no dedup index artifact at ${meta.path}"))
+    val wm = indexWmOf(meta.path)
+    val newWm = if (wm >= 0) math.max(wm, mvTableWm(delta)) else wm
+    val batchIds = delta.select(col(meta.idCol).as("__bid")).distinct()
+    val survivors = stored.join(batchIds,
+      col("id") === col("__bid"), "left_anti")
+    val folded = (if (meta.kind == "shingle")
+        graft.ops.Dedup.refreshShingleIndex(survivors, delta,
+          meta.textCol, meta.idCol, meta.shingleN)
+      else graft.ops.Dedup.refreshSimhashIndex(survivors, delta,
+        meta.textCol, meta.idCol)).localCheckpoint()
+    graft.ops.IndexStore.write(folded, meta.path,
+      tag.toSeq ++ wmTag(newWm))
+  }
+
   /** `dedup index delete where path = <dir> and (ids = (1, 2, 3) |
     * source = <table|path> [and id = <col>])` — tombstone a set of doc
     * ids out of the standing SHINGLE index the near-dup ingest gate
@@ -2671,11 +2808,19 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     import org.apache.spark.sql.functions.countDistinct
     val before = stored.select(countDistinct(
       org.apache.spark.sql.functions.col("id"))).head().getLong(0)
-    val folded = graft.ops.Dedup.deleteFromShingleIndex(stored,
-      deleteIdsFrame(t)).localCheckpoint()
+    // a REGISTERED simhash artifact at this path deletes by pure
+    // anti-join; shingle (the default — historical behavior for
+    // unregistered paths) re-enriches df/rank/size over survivors
+    val simhash = dindexes.values.exists(m =>
+      m.path == path && m.kind == "simhash")
+    val folded = (if (simhash)
+        graft.ops.Dedup.deleteFromSimhashIndex(stored, deleteIdsFrame(t))
+      else graft.ops.Dedup.deleteFromShingleIndex(stored,
+        deleteIdsFrame(t))).localCheckpoint()
     val after = folded.select(countDistinct(
       org.apache.spark.sql.functions.col("id"))).head().getLong(0)
-    graft.ops.IndexStore.write(folded, path)
+    // the wm_ lineage tag (when present) rides onto the new version
+    graft.ops.IndexStore.write(folded, path, wmTag(indexWmOf(path)))
     s"dedup index at $path: ${before - after} doc(s) deleted, " +
       s"$after remain"
   }
@@ -3805,6 +3950,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         graft.ops.IndexStore.write(folded, meta.path,
           Seq(tag) ++ wmTag(indexWmOf(meta.path)))
         receipts += s"vindex at ${meta.path}: dropped ids tombstoned"
+      }
+    }
+    dindexes.get(table).foreach { meta =>
+      if (tagged(meta.path))
+        receipts +=
+          s"dedup index at ${meta.path}: already folded (drop tag)"
+      else {
+        val stored = graft.ops.IndexStore.read(spark, meta.path)
+          .getOrElse(throw new IllegalStateException(
+            s"no dedup index artifact at ${meta.path}"))
+        val del = droppedRows.select(col(meta.idCol)).localCheckpoint()
+        val folded = (if (meta.kind == "simhash")
+            graft.ops.Dedup.deleteFromSimhashIndex(stored, del)
+          else graft.ops.Dedup.deleteFromShingleIndex(stored, del))
+          .localCheckpoint()
+        graft.ops.IndexStore.write(folded, meta.path,
+          Seq(tag) ++ wmTag(indexWmOf(meta.path)))
+        receipts += s"dedup index at ${meta.path}: dropped ids tombstoned"
       }
     }
     tindexes.get(table).foreach { meta =>

@@ -2164,6 +2164,47 @@ object PipelineQueries {
       count(*) OVER (PARTITION BY id) AS n
     FROM sh JOIN dfq USING (h) ORDER BY id, pos"""
 
+  /** q192 — the standing DEDUP index through the ENGINE lifecycle:
+    * `dedup index create` registers the shingle artifact, the late
+    * batch arrives over REST PUT while auto refresh is OFF (the
+    * crash/off window), and `dedup index sync` replays exactly the
+    * rows above the artifact's wm_ lineage tag — then the served
+    * artifact rows ARE the output. Oracle: q96's whole-corpus
+    * enrichment SQL — hash equality proves create + PUT + sync left
+    * the index exactly equal to a rebuild (df / per-doc rank / size
+    * all re-derived), closing the near-dup ingest gate's lifecycle
+    * the way q190/q191 closed the tindex's. */
+  private val q192: QFn = (s, d) => {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val docs = wide(s, d, "documents", "doc_id")
+      .select(col("doc_id"), col("text"))
+    def nd(df: DataFrame): String =
+      df.collect().map { r =>
+        JsonMethods.compact(JsonMethods.render(
+          ("doc_id" -> r.getLong(0)) ~ ("text" -> r.getString(1))))
+      }.mkString("\n")
+    val tmp = java.nio.file.Files.createTempDirectory("q192")
+    val cat = new graft.engine.Catalog(s)
+    val engine = new graft.engine.Engine(s, cat)
+    engine.dataDir = Some(tmp.resolve("data").toString)
+    engine.ingest("docs192", nd(docs.filter(col("doc_id") < 400)))
+    val dx = tmp.resolve("dx").toString
+    engine.execute(s"dedup index create where table = docs192 and " +
+      s"path = $dx and type = shingle and id = doc_id and text = text")
+    engine.execute("set view auto refresh = off")
+    engine.ingest("docs192", nd(docs.filter(col("doc_id") >= 400)))
+    val msg = engine.execute("dedup index sync where table = docs192")
+    require(msg.contains("synced"), s"q192 sync folded nothing: $msg")
+    require(engine.execute("dedup index sync where table = docs192")
+      .contains("in sync"), "q192 second sync must be a no-op")
+    graft.ops.IndexStore.read(s, dx).getOrElse(
+        throw new IllegalStateException("q192: no dedup index artifact"))
+      .select(col("id"), col("h"), col("df"), col("pos"), col("n"))
+      .orderBy(col("id"), col("pos"))
+  }
+  private val q192Sql = q96Sql
+
   /** q97 — exact duplicate-span audit (Lee et al. 2021's substring
     * signal at 8-token spans): per doc, total rolling spans, spans that
     * appear VERBATIM in another doc, and the widest span spread.
@@ -2378,6 +2419,7 @@ object PipelineQueries {
     "q98_duplicate_spans_hashfirst" -> q98,
     "q97_duplicate_spans" -> q97,
     "q96_index_refresh" -> q96,
+    "q192_dindex_lifecycle" -> q192,
     "q95_incremental_embedding" -> q95,
     "q94_kmeans_refine" -> q94,
     "q93_split_leakage" -> q93,
@@ -2444,6 +2486,7 @@ object PipelineQueries {
     "q98_duplicate_spans_hashfirst" -> q97Sql,
     "q97_duplicate_spans" -> q97Sql,
     "q96_index_refresh" -> q96Sql,
+    "q192_dindex_lifecycle" -> q192Sql,
     "q95_incremental_embedding" -> q95Sql,
     "q94_kmeans_refine" -> q94Sql,
     "q93_split_leakage" -> q93Sql,

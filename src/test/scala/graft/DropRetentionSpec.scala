@@ -53,6 +53,9 @@ class DropRetentionSpec extends SparkSpec {
     val tx = dir.resolve("tx").toString
     engine.execute(s"tindex create where table = pt and path = $tx " +
       "and id = id and text = text")
+    val dx = dir.resolve("dx").toString
+    engine.execute(s"dedup index create where table = pt and path = $dx " +
+      "and type = shingle and id = id and text = text and n = 2")
     val out = engine.execute("drop partition pt before 2024-01-02")
     assert(out.contains("dropped 1 partitions: 2024-01-01"), out)
     assert(out.contains(s"matview at $mv: 2 tombstones folded"), out)
@@ -76,6 +79,12 @@ class DropRetentionSpec extends SparkSpec {
     val postings = graft.ops.IndexStore.read(spark, tx).get
     assert(postings.filter(col("id").isin(1L, 2L)).count() === 0L)
     assert(postings.filter(col("id") === 3L).count() > 0L)
+    // dedup (shingle) index forgot them too — and the survivors'
+    // df/rank re-derived (delete == rebuild-over-survivors)
+    assert(out.contains("dedup index at"), out)
+    val shingles = graft.ops.IndexStore.read(spark, dx).get
+    assert(shingles.filter(col("id").isin(1L, 2L)).count() === 0L)
+    assert(shingles.filter(col("id") === 3L).count() > 0L)
     // the partition directories are gone
     assert(graft.engine.TimePartitions.partitions(spark,
       dir.resolve("pt").toString) === Seq("2024-01-02", "2024-01-03"))
