@@ -164,11 +164,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   /** Registered standing DEDUP indexes by table (`dedup index
     * create/attach`): the near-dup ingest gate's artifact — shingle
     * (enriched (id, h, df, pos, n) rows, the prefix-filter geometry)
-    * or simhash (per-doc 64-bit sigs) — promoted from pipeline-owned
-    * paths to REGISTERED artifacts so the ingest auto-fold, `dedup
-    * index sync`, and `drop partition` retention folds reach them. */
+    * simhash (per-doc 64-bit sigs), or embedding (LSH-bucketed
+    * vectors, geometry recorded on the rows) — promoted from
+    * pipeline-owned paths to REGISTERED artifacts so the ingest
+    * auto-fold, `dedup index sync`, and `drop partition` retention
+    * folds reach them. `contentCol` is the text column (shingle /
+    * simhash) or the vector column (embedding). */
   private case class DIndexMeta(path: String, kind: String,
-      idCol: String, textCol: String, shingleN: Int)
+      idCol: String, contentCol: String, shingleN: Int)
   private var dindexes = Map.empty[String, DIndexMeta]
 
   /** Registered Z-order layouts by table (`layout zorder`): a
@@ -911,7 +914,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low == "get dedup indexes") {
       if (dindexes.isEmpty) "no dedup indexes registered"
       else dindexes.toSeq.sortBy(_._1).map { case (tbl, m) =>
-        s"$tbl: type=${m.kind} id=${m.idCol} text=${m.textCol}" +
+        val colKey = if (m.kind == "embedding") "vector" else "text"
+        s"$tbl: type=${m.kind} id=${m.idCol} $colKey=${m.contentCol}" +
           (if (m.kind == "shingle") s" n=${m.shingleN}" else "") +
           s" path=${m.path}"
       }.mkString("\n")
@@ -2730,21 +2734,31 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       throw new IllegalArgumentException(s"dedup index create requires $k ="))
     val (table, path) = (req("table"), req("path"))
     val kind = req("type").toLowerCase
-    require(kind == "shingle" || kind == "simhash",
-      s"dedup index type must be shingle|simhash (got $kind)")
-    val (idCol, textCol) = (req("id"), req("text"))
+    require(kind == "shingle" || kind == "simhash" || kind == "embedding",
+      s"dedup index type must be shingle|simhash|embedding (got $kind)")
+    val idCol = req("id")
+    val contentCol = if (kind == "embedding") req("vector") else req("text")
     val n = kv("n").map(_.toInt).getOrElse(3)
     val src = catalog.table(table)
-    val built =
-      if (kind == "shingle")
-        graft.ops.Dedup.shingleIndex(src, textCol, idCol, n)
-      else graft.ops.Dedup.simhashIndex(src, textCol, idCol)
+    val built = kind match {
+      case "shingle" =>
+        graft.ops.Dedup.shingleIndex(src, contentCol, idCol, n)
+      case "simhash" =>
+        graft.ops.Dedup.simhashIndex(src, contentCol, idCol)
+      case _ =>
+        // embedding: pinned or corpus-derived LSH geometry, RECORDED
+        // on the rows (refresh reads it back — no meta to remember)
+        graft.ops.Dedup.embeddingIndex(src, contentCol, idCol,
+          bits = kv("bits").map(_.toInt).getOrElse(0),
+          tables = kv("tables").map(_.toInt).getOrElse(0))
+    }
     val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path,
       wmTag(mvTableWm(src)))
-    dindexes += table -> DIndexMeta(path, kind, idCol, textCol, n)
+    dindexes += table -> DIndexMeta(path, kind, idCol, contentCol, n)
+    val colKey = if (kind == "embedding") "vector" else "text"
     catalog.recordArtifact(s"dedup index:$path",
       s"dedup index attach where table = $table and path = $path and " +
-        s"type = $kind and id = $idCol and text = $textCol and n = $n")
+        s"type = $kind and id = $idCol and $colKey = $contentCol and n = $n")
     s"dedup index for $table created at $path (type=$kind, " +
       s"version $rows)"
   }
@@ -2759,8 +2773,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (table, path) = (req("table"), req("path"))
     require(graft.ops.IndexStore.read(spark, path).isDefined,
       s"no dedup index artifact at $path")
-    dindexes += table -> DIndexMeta(path, req("type").toLowerCase,
-      req("id"), req("text"), kv("n").map(_.toInt).getOrElse(3))
+    val kind = req("type").toLowerCase
+    dindexes += table -> DIndexMeta(path, kind, req("id"),
+      if (kind == "embedding") req("vector") else req("text"),
+      kv("n").map(_.toInt).getOrElse(3))
     s"dedup index for $table attached from $path"
   }
 
@@ -2780,11 +2796,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val batchIds = delta.select(col(meta.idCol).as("__bid")).distinct()
     val survivors = stored.join(batchIds,
       col("id") === col("__bid"), "left_anti")
-    val folded = (if (meta.kind == "shingle")
+    val folded = (meta.kind match {
+      case "shingle" =>
         graft.ops.Dedup.refreshShingleIndex(survivors, delta,
-          meta.textCol, meta.idCol, meta.shingleN)
-      else graft.ops.Dedup.refreshSimhashIndex(survivors, delta,
-        meta.textCol, meta.idCol)).localCheckpoint()
+          meta.contentCol, meta.idCol, meta.shingleN)
+      case "simhash" =>
+        graft.ops.Dedup.refreshSimhashIndex(survivors, delta,
+          meta.contentCol, meta.idCol)
+      case _ =>
+        graft.ops.Dedup.refreshEmbeddingIndex(survivors, delta,
+          meta.contentCol, meta.idCol)
+    }).localCheckpoint()
     graft.ops.IndexStore.write(folded, meta.path,
       tag.toSeq ++ wmTag(newWm))
   }
@@ -2808,15 +2830,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     import org.apache.spark.sql.functions.countDistinct
     val before = stored.select(countDistinct(
       org.apache.spark.sql.functions.col("id"))).head().getLong(0)
-    // a REGISTERED simhash artifact at this path deletes by pure
-    // anti-join; shingle (the default — historical behavior for
+    // a REGISTERED simhash/embedding artifact at this path deletes by
+    // pure anti-join; shingle (the default — historical behavior for
     // unregistered paths) re-enriches df/rank/size over survivors
-    val simhash = dindexes.values.exists(m =>
-      m.path == path && m.kind == "simhash")
-    val folded = (if (simhash)
+    val kind = dindexes.values.find(_.path == path).map(_.kind)
+      .getOrElse("shingle")
+    val folded = (kind match {
+      case "simhash" =>
         graft.ops.Dedup.deleteFromSimhashIndex(stored, deleteIdsFrame(t))
-      else graft.ops.Dedup.deleteFromShingleIndex(stored,
-        deleteIdsFrame(t))).localCheckpoint()
+      case "embedding" =>
+        graft.ops.Dedup.deleteFromEmbeddingIndex(stored,
+          deleteIdsFrame(t))
+      case _ =>
+        graft.ops.Dedup.deleteFromShingleIndex(stored, deleteIdsFrame(t))
+    }).localCheckpoint()
     val after = folded.select(countDistinct(
       org.apache.spark.sql.functions.col("id"))).head().getLong(0)
     // the wm_ lineage tag (when present) rides onto the new version
@@ -3961,10 +3988,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           .getOrElse(throw new IllegalStateException(
             s"no dedup index artifact at ${meta.path}"))
         val del = droppedRows.select(col(meta.idCol)).localCheckpoint()
-        val folded = (if (meta.kind == "simhash")
+        val folded = (meta.kind match {
+          case "simhash" =>
             graft.ops.Dedup.deleteFromSimhashIndex(stored, del)
-          else graft.ops.Dedup.deleteFromShingleIndex(stored, del))
-          .localCheckpoint()
+          case "embedding" =>
+            graft.ops.Dedup.deleteFromEmbeddingIndex(stored, del)
+          case _ =>
+            graft.ops.Dedup.deleteFromShingleIndex(stored, del)
+        }).localCheckpoint()
         graft.ops.IndexStore.write(folded, meta.path,
           Seq(tag) ++ wmTag(indexWmOf(meta.path)))
         receipts += s"dedup index at ${meta.path}: dropped ids tombstoned"

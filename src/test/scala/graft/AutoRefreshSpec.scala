@@ -405,6 +405,39 @@ class AutoRefreshSpec extends SparkSpec {
       .contains("no fold errors"))
   }
 
+  test("registered EMBEDDING dedup index: PUT auto-fold appends with " +
+      "the RECORDED LSH geometry; sync and delete keep the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("ar16")
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec").withColumn("tsd_id", lit(1))
+      .write.parquet(dir.resolve("et.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("et1", dir.resolve("et.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val dx = dir.resolve("dx").toString
+    engine.execute(s"dedup index create where table = et1 and " +
+      s"path = $dx and type = embedding and id = id and vector = vec " +
+      "and bits = 4 and tables = 2")
+    // the PUT aligns to the registered schema (array<double> casts to
+    // array<float>) and must fold with the recorded 4-bit geometry
+    engine.ingest("et1", """{"id": 3, "vec": [0.5, 0.5]}""")
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+    val idx = graft.ops.IndexStore.read(spark, dx).get
+    val r3 = idx.filter(col("id") === 3L).collect()
+    assert(r3.length === 1, "auto-folded vector missing from the index")
+    assert(r3.head.getAs[Int]("bits") === 4 &&
+      r3.head.getAs[Int]("tables") === 2,
+      "fold ignored the recorded geometry")
+    // delete keeps geometry rows aligned and the watermark intact
+    engine.execute(s"dedup index delete where path = $dx and ids = (1)")
+    assert(graft.ops.IndexStore.read(spark, dx).get
+      .filter(col("id") === 1L).count() === 0L)
+    assert(engine.execute("dedup index sync where table = et1")
+      .contains("in sync"),
+      "dedup index delete lost the lineage watermark")
+  }
+
   test("startTransactionalSink: ONE foreachBatch owns the table append " +
       "AND the view folds; replaying a batch (crash simulation) " +
       "duplicates neither — the lead/lag window is gone") {
