@@ -116,17 +116,60 @@ object StreamIngest {
     val scratch = new Path(out, s"_txn_b$id")
     fs.delete(scratch, true)
     b.write.mode("overwrite").parquet(scratch.toString)
+    moveBatchFiles(fs, scratch, out, id)
+    fs.delete(scratch, true)
+  }
+
+  /** Move a scratch write's part files into `dst` under deterministic
+    * `b<id>_<i>.parquet` names, clearing a crashed previous attempt of
+    * the SAME batch first (its names are about to be rewritten). */
+  private def moveBatchFiles(fs: org.apache.hadoop.fs.FileSystem,
+      scratch: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path, id: Long): Unit = {
+    import org.apache.hadoop.fs.Path
     val parts = fs.listStatus(scratch).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
-    // clear a crashed previous attempt of the SAME batch (partial
-    // rename set) — its names are about to be rewritten anyway
-    fs.listStatus(out).foreach { st =>
+    fs.mkdirs(dst)
+    fs.listStatus(dst).foreach { st =>
       if (st.isFile && st.getPath.getName.startsWith(s"b${id}_"))
         fs.delete(st.getPath, false)
     }
     parts.zipWithIndex.foreach { case (p, i) =>
-      fs.rename(p, new Path(out, s"b${id}_$i.parquet"))
+      fs.rename(p, new Path(dst, s"b${id}_$i.parquet"))
+    }
+  }
+
+  /** The TIME-PARTITIONED twin of [[appendBatchIdempotent]]: the batch
+    * buckets by [[graft.engine.TimePartitions.bucketExpr]] and each
+    * bucket's files move into `outDir/__par=<bucket>/` under the same
+    * deterministic per-batch names — retention (`drop partition`) and
+    * the Engine's partition pruning see exactly the layout
+    * TimePartitions.write produces. Replay determinism: the batch is
+    * repartitioned BY the bucket column before the scratch write, so
+    * each bucket lands as one task's file(s) and a replayed batch
+    * reproduces the same bucket set; same-batch leftovers per bucket
+    * clear before the renames, covering even a task-count change. */
+  def appendBatchIdempotentPartitioned(b: DataFrame, outDir: String,
+      id: Long, tsCol: String, unit: String, n: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(outDir)
+      .getFileSystem(b.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new Path(outDir)
+    fs.mkdirs(out)
+    val scratch = new Path(out, s"_txn_b$id")
+    fs.delete(scratch, true)
+    b.withColumn("__par",
+        graft.engine.TimePartitions.bucketExpr(tsCol, unit, n))
+      .repartition(col("__par"))
+      .sortWithinPartitions(col("__par"), col(tsCol))
+      .write.mode("overwrite").partitionBy("__par")
+      .parquet(scratch.toString)
+    fs.listStatus(scratch).foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("__par="))
+        moveBatchFiles(fs, st.getPath,
+          new Path(out, st.getPath.getName), id)
     }
     fs.delete(scratch, true)
   }
@@ -150,18 +193,24 @@ object StreamIngest {
     * engine's auto-fold log, never kill the stream.
     *
     * `outDir` should be the engine table's registered storage path, so
-    * folds and queries see the appended rows immediately. Time-
-    * partitioned layouts keep the two-sink pairing (partitionBy and
-    * deterministic flat names don't compose); this sink is the flat-
-    * table path. */
+    * folds and queries see the appended rows immediately. With
+    * `partition` set ((tsCol, unit, n) — the TimePartitions layout),
+    * the append buckets per [[appendBatchIdempotentPartitioned]] so
+    * retention and pruning work over the sink's output too. */
   def startTransactionalSink(engine: graft.engine.Engine, table: String,
       rows: DataFrame, outDir: String, checkpoint: String,
-      flushSeconds: Long = 60, name: Option[String] = None)
+      flushSeconds: Long = 60, name: Option[String] = None,
+      partition: Option[(String, String, Int)] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val w0 = rows.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         val batch = b.localCheckpoint() // consumed by both legs
-        appendBatchIdempotent(batch, outDir, id)
+        partition match {
+          case Some((tsCol, unit, n)) =>
+            appendBatchIdempotentPartitioned(batch, outDir, id,
+              tsCol, unit, n)
+          case None => appendBatchIdempotent(batch, outDir, id)
+        }
         engine.foldStandingViews(table, batch,
           batchTag = Some(s"txn_${table}_$id"))
       }

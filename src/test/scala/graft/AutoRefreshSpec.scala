@@ -484,6 +484,34 @@ class AutoRefreshSpec extends SparkSpec {
       .contains("no fold errors"))
   }
 
+  test("partitioned transactional sink: batches land as TimePartitions " +
+      "bucket dirs with deterministic names — replay-safe, prunable, " +
+      "retention-compatible") {
+    val dir = java.nio.file.Files.createTempDirectory("ar17")
+    val tbl = dir.resolve("pt.parquet").toString
+    def rows(xs: (String, Long)*) = xs.toSeq.toDF("ts_s", "k")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    rows(("2024-01-01 10:00:00", 1L))
+    graft.engine.TimePartitions.write(
+      rows(("2024-01-01 10:00:00", 1L)), "ts", "day", 1, tbl)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerPartitionedTable("pts", tbl, "ts", "day", 1)
+    val engine = new graft.engine.Engine(spark, cat)
+    val batch = rows(("2024-01-02 09:00:00", 2L),
+      ("2024-01-03 09:00:00", 3L))
+    def runBatch(): Unit =
+      graft.streaming.StreamIngest.appendBatchIdempotentPartitioned(
+        batch, tbl, 7L, "ts", "day", 1)
+    runBatch(); runBatch() // crash replay: same names, no duplicates
+    assert(cat.table("pts").count() === 3L,
+      "partitioned replay duplicated rows")
+    assert(graft.engine.TimePartitions.partitions(spark, tbl) ===
+      Seq("2024-01-01", "2024-01-02", "2024-01-03"))
+    // retention still works over sink-written buckets
+    engine.execute("drop partition pts before 2024-01-02")
+    assert(cat.table("pts").count() === 2L)
+  }
+
   test("manual refresh of a crash-missed stamped batch advances the " +
       "watermark, so a later sync does NOT re-fold the same rows") {
     val dir = java.nio.file.Files.createTempDirectory("ar5")
