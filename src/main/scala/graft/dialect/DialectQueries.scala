@@ -488,7 +488,28 @@ object DialectQueries {
     GROUP BY o_orderpriority, l_returnflag
     ORDER BY o_orderpriority, l_returnflag"""
 
+  /** q193 — LEFT JOIN through the dialect: customers keep their group
+    * row even with zero orders; `count(*)` counts null-extended rows,
+    * `count(o_orderkey)` only matches — the null-sensitivity split the
+    * serve layer's count discipline is built on, here proven on the
+    * live plan (LEFT joins never serve from the inner-join matview;
+    * the matcher declines them). Oracle: identical SQL in DuckDB. */
+  private val q193 = run(
+    """sql edge "select c_mktsegment, count(*) as n, """ +
+      """count(o_orderkey) as n_orders, """ +
+      """sum(o_totalprice) as sum_price """ +
+      """from customer left join orders """ +
+      """on customer.c_custkey = orders.o_custkey """ +
+      """group by c_mktsegment order by c_mktsegment"""")
+  private val q193Sql = s"""
+    SELECT c_mktsegment, count(*) AS n,
+      count(o_orderkey) AS n_orders,
+      ${oSum("o_totalprice")} AS sum_price
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, QFn] = Map(
+    "q193_sql_left_join" -> q193,
     "q186_drop_partition_retention" -> q186,
     "q187_sql_join" -> q187,
     "q188_join_matview_served" -> q188,
@@ -509,6 +530,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q193_sql_left_join" -> q193Sql,
     "q186_drop_partition_retention" -> q186Sql,
     "q187_sql_join" -> q187Sql,
     "q188_join_matview_served" -> q188Sql,

@@ -82,14 +82,16 @@ object EdgeSql {
 
   final case class ProjItem(raw: String, alias: Option[String])
 
-  /** Two-table INNER equi-join in FROM (`a join b on a.x = b.y [and
-    * ...]`). `on` pairs are (left column, right column), qualifiers
-    * stripped. BEYOND-PARITY: the reference's SQLite/Postgres engines
-    * report `is_suport_join()` = False (dbms/sqlite_dbms.py:113,
+  /** Two-table equi-join in FROM (`a [inner|left] join b on a.x = b.y
+    * [and ...]`). `on` pairs are (left column, right column),
+    * qualifiers stripped; `joinType` is inner (default) or left.
+    * BEYOND-PARITY: the reference's SQLite/Postgres engines report
+    * `is_suport_join()` = False (dbms/sqlite_dbms.py:113,
     * psql_dbms.py:206) — the dialect grammar here fronts the Spark
-    * join plan (and the standing join-matview serving layer,
-    * [[JoinMatViewServe]]). */
-  final case class JoinSpec(table: String, on: Seq[(String, String)])
+    * join plan (and, for inner joins, the standing join-matview
+    * serving layer, [[JoinMatViewServe]]). */
+  final case class JoinSpec(table: String, on: Seq[(String, String)],
+      joinType: String = "inner")
 
   final case class Select(
       distinct: Boolean,
@@ -192,15 +194,18 @@ object EdgeSql {
     * name one of the two tables and fix each column's side — bare
     * columns default to (left, right) in written order. */
   private def parseFrom(fromTxt: String): (String, Option[JoinSpec]) = {
-    val m = "(?i)^(\\S+)\\s+(?:inner\\s+)?join\\s+(\\S+)\\s+on\\s+(.+)$".r
-      .findFirstMatchIn(fromTxt.trim)
+    val m =
+      "(?i)^(\\S+)\\s+(?:(inner|left)\\s+)?join\\s+(\\S+)\\s+on\\s+(.+)$".r
+        .findFirstMatchIn(fromTxt.trim)
     m match {
       case None => (fromTxt.trim, None)
       case Some(jm) =>
-        val (lt, rt) = (jm.group(1), jm.group(2))
+        val jt = Option(jm.group(2)).map(_.toLowerCase)
+          .getOrElse("inner")
+        val (lt, rt) = (jm.group(1), jm.group(3))
         def bare(n: String) =
           if (n.contains('.')) n.substring(n.lastIndexOf('.') + 1) else n
-        val pairs = jm.group(3).split("(?i)\\s+and\\s+").toSeq.map { c =>
+        val pairs = jm.group(4).split("(?i)\\s+and\\s+").toSeq.map { c =>
           val sides = c.split("=").map(_.trim)
           require(sides.length == 2,
             s"join ON conjunct must be an equality: $c")
@@ -228,7 +233,7 @@ object EdgeSql {
             case _ => (colOf(sides(0)), colOf(sides(1)))
           }
         }
-        (lt, Some(JoinSpec(rt, pairs)))
+        (lt, Some(JoinSpec(rt, pairs, jt)))
     }
   }
 
@@ -237,7 +242,7 @@ object EdgeSql {
     * unambiguous; violations fail loudly at compile, never resolve to
     * a trivially-true self-comparison. */
   private[dialect] def joinedBase(left: DataFrame, right: DataFrame,
-      on: Seq[(String, String)]): DataFrame = {
+      on: Seq[(String, String)], joinType: String = "inner"): DataFrame = {
     val overlap = left.columns.toSet intersect right.columns.toSet
     require(overlap.isEmpty,
       s"joined tables share column name(s) ${overlap.mkString(", ")} — " +
@@ -250,7 +255,8 @@ object EdgeSql {
         s"right join column $r not found")
     }
     left.join(right,
-      on.map { case (l, r) => col(l) === col(r) }.reduce(_ && _), "inner")
+      on.map { case (l, r) => col(l) === col(r) }.reduce(_ && _),
+      joinType)
   }
 
   private def parenDepthAt(s: String, pos: Int): Int =
@@ -363,7 +369,7 @@ object EdgeSql {
         def noSys(df: DataFrame) =
           df.drop("row_id", "insert_timestamp", "tsd_name", "tsd_id")
         val base = joinedBase(noSys(load(bare(sel.table))),
-          noSys(load(bare(j.table))), j.on)
+          noSys(load(bare(j.table))), j.on, j.joinType)
         compileSelect(spark, base, sel, cmd.options)
       case None =>
         val tables = (sel.table +: cmd.options.get("include").toSeq

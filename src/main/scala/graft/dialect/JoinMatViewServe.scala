@@ -41,6 +41,7 @@ object JoinMatViewServe {
     * either orientation. */
   private[dialect] def fromMatches(sel: EdgeSql.Select,
       spec: JoinMatView.Spec): Boolean = sel.join.exists { j =>
+    if (j.joinType != "inner") return false // the artifact is inner
     val (lt, rt) = (bare(sel.table), bare(j.table))
     val onSet = j.on.toSet
     (lt == spec.left && rt == spec.right && onSet == spec.on.toSet) ||

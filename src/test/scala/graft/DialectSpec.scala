@@ -161,6 +161,12 @@ class EdgeSqlSpec extends SparkSpec {
     // bare columns: first is left, second right
     val s3 = EdgeSql.parseSelect("select a from t1 join t2 on x = y")
     assert(s3.join === Some(EdgeSql.JoinSpec("t2", Seq(("x", "y")))))
+    // left join parses with its type; inner is the default
+    val s4 = EdgeSql.parseSelect(
+      "select a from t1 left join t2 on t1.x = t2.y")
+    assert(s4.join ===
+      Some(EdgeSql.JoinSpec("t2", Seq(("x", "y")), "left")))
+    assert(s.join.get.joinType === "inner")
     intercept[IllegalArgumentException] {
       EdgeSql.parseSelect("select a from t1 join t2 on t1.x > t2.y")
     }
