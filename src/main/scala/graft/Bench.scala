@@ -73,9 +73,19 @@ object Bench {
       // in-run delta report vs the previous round's COMMITTED full
       // bench: the round-close receipt itself shows per-query ratios,
       // so phantom load-noise regressions stop costing a judge a solo
-      // re-adjudication pass every round
+      // re-adjudication pass every round. Default baseline: the
+      // highest-numbered committed BENCH_full_r<N>.json that isn't
+      // this run's own output — self-advancing across rounds.
+      val prevDefault = {
+        val rx = "BENCH_full_r(\\d+)\\.json".r
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .toSeq.map(_.getName)
+          .collect { case n @ rx(k) if n != outFile => (k.toInt, n) }
+          .sortBy(-_._1).headOption.map(_._2)
+          .getOrElse("BENCH_full_r10.json")
+      }
       try writeDelta(results.toMap,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "BENCH_full_r10.json"))
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", prevDefault))
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write BENCH_delta.md: $e") }
     }
