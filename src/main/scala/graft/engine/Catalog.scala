@@ -192,4 +192,9 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
       Files.createDirectories(r)
       Files.writeString(r.resolve(file), content)
     }
+
+  /** The metadata root this catalog persists to (None = in-memory) —
+    * the Engine parks the ingest ledger's journal beside the catalog
+    * files so PUT idempotence survives a restart too. */
+  def metaRoot: Option[Path] = root
 }

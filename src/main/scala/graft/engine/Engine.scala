@@ -54,8 +54,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
 
   /** Ingest ledger (almgm.tsd_info) — every PUT batch is recorded here,
     * duplicate payload hashes are refused, and `get tsd list` renders
-    * it. */
-  val tsdLedger = new graft.ingest.TsdLedger
+    * it. With a root-backed catalog the ledger journals beside the
+    * catalog files, so PUT idempotence and id continuity SURVIVE a
+    * restart (the reference's tsd_info is a DBMS table for exactly
+    * this reason, dbms/db_info.py:1738); a rootless engine keeps the
+    * in-memory ledger plus the per-table restart seed in [[ingest]]. */
+  val tsdLedger = new graft.ingest.TsdLedger(
+    catalog.metaRoot.map(_.resolve("tsd_ledger.ndjson")))
 
   /** Tables whose stored tsd lineage has seeded the ledger this
     * engine lifetime (see the restart seed in [[ingest]]). */
@@ -1673,6 +1678,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       attempt(s"sindex $table")(indexFamilySync(t, "sindex"))
     if (dindexes.contains(table))
       attempt(s"dedup index $table")(indexFamilySync(t, "dedup index"))
+    // honest refusal, not a silent skip: CUSUM tail state is
+    // order-sensitive — replaying missed rows out of arrival order
+    // would change the monitor's level (the documented boundary)
+    monitors.get(table).foreach(m => out +=
+      s"monitor $table (${m.path}): sync REFUSED by construction " +
+        "(order-sensitive tail state — use monitor refresh in arrival " +
+        "order, or monitor create to rebuild)")
     val lines = out.result()
     if (lines.isEmpty) s"no standing artifacts registered for $table"
     else lines.mkString("\n")

@@ -47,11 +47,66 @@ object TsdLedger {
   }
 }
 
-final class TsdLedger {
+/** `journal`: an optional NDJSON file the ledger replays on construct
+  * and appends every record to — PUT idempotence (the UNIQUE file_hash
+  * refusal) and id continuity then survive an engine restart, exactly
+  * like the reference's tsd_info DBMS table. None = in-memory only
+  * (tests, ephemeral engines); the Engine passes the catalog's
+  * metadata root when one exists. Ledger volume is per-BATCH metadata
+  * (thousands of lines, not billions) — a driver-side journal file is
+  * the right scale shape; a fleet swaps in a shared store behind the
+  * same interface. */
+final class TsdLedger(journal: Option[java.nio.file.Path] = None) {
   import TsdLedger.Entry
 
   private var entries = Vector.empty[Entry]
   private var nextId = 1
+
+  journal.foreach { j =>
+    if (java.nio.file.Files.exists(j)) {
+      java.nio.file.Files.readAllLines(j).forEach { line =>
+        if (line.trim.nonEmpty) entries :+= entryFromJson(line)
+      }
+      nextId = entries.map(_.fileId).maxOption.getOrElse(0) + 1
+    }
+  }
+
+  private def entryToJson(e: Entry): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    s"""{"file_id": ${e.fileId}, "dbms": ${q(e.dbms)}, """ +
+      s""""table": ${q(e.table)}, "source": ${q(e.source)}, """ +
+      s""""file_hash": ${q(e.fileHash)}, """ +
+      s""""instructions": ${q(e.instructions)}, """ +
+      s""""file_time": ${e.fileTime.getTime}, "rows": ${e.rows}}"""
+  }
+
+  private def entryFromJson(line: String): Entry = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val p = JsonMethods.parse(line)
+    Entry((p \ "file_id").extract[Int], (p \ "dbms").extract[String],
+      (p \ "table").extract[String], (p \ "source").extract[String],
+      (p \ "file_hash").extract[String],
+      (p \ "instructions").extract[String],
+      new Timestamp((p \ "file_time").extract[Long]),
+      (p \ "rows").extract[Long], "", "")
+  }
+
+  private def appendJournal(e: Entry): Unit = journal.foreach { j =>
+    Option(j.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(j, entryToJson(e) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  private def rewriteJournal(): Unit = journal.foreach { j =>
+    Option(j.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(j,
+      entries.map(entryToJson).mkString("", "\n",
+        if (entries.isEmpty) "" else "\n"))
+  }
 
   /** Record an ingest batch; returns the assigned tsd_id, or None when
     * the file_hash was already ingested (the unique hash_index — the
@@ -62,8 +117,10 @@ final class TsdLedger {
     else {
       val id = nextId
       nextId += 1
-      entries :+= Entry(id, dbms, table, source, fileHash, instructions,
+      val e = Entry(id, dbms, table, source, fileHash, instructions,
         new Timestamp(System.currentTimeMillis()), rows, "", "")
+      entries :+= e
+      appendJournal(e)
       Some(id)
     }
   }
@@ -73,6 +130,7 @@ final class TsdLedger {
     * it (record() would keep refusing the retry). */
   def remove(fileHash: String): Unit = synchronized {
     entries = entries.filterNot(_.fileHash == fileHash)
+    rewriteJournal()
   }
 
   /** Raise the id counter so the next assigned id is strictly above
