@@ -530,6 +530,42 @@ class PartitionPruningSpec extends SparkSpec {
     assert(got.getDouble(1) === direct.getDouble(1))
   }
 
+  test("a JOIN query's time-range WHERE still prunes the partitioned " +
+      "side's directories (loadWithOptions injects per table)") {
+    val dir = java.nio.file.Files.createTempDirectory("parq2").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+    TimePartitions.write(ev, "ts", "day", 1, dir)
+    val cat = new Catalog(spark)
+    cat.registerPartitionedTable("pev", dir, "ts", "day", 1)
+    // a tiny dimension keyed by user_id
+    val dimDir = java.nio.file.Files.createTempDirectory("parq2d")
+      .resolve("dim.parquet").toString
+    ev.select(col("user_id").as("uid")).distinct()
+      .withColumn("grp", pmod(col("uid"), lit(3)))
+      .write.parquet(dimDir)
+    cat.registerTable("udim", dimDir)
+    val engine = new Engine(spark, cat)
+    val df = engine.query(
+      """sql edge "select grp, count(*) as n from pev join udim """ +
+        """on pev.user_id = udim.uid """ +
+        """where ts >= '2024-01-03' and ts < '2024-01-05' """ +
+        """group by grp order by grp"""")
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("PartitionFilters") && l.contains("__par"))
+    assert(scanLine.exists(!_.contains("PartitionFilters: []")),
+      s"join query lost partition pruning:\n$plan")
+    // correctness against the hand-written join
+    val direct = ev
+      .filter(col("ts") >= "2024-01-03" && col("ts") < "2024-01-05")
+      .withColumn("grp", pmod(col("user_id"), lit(3)))
+      .groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .orderBy(col("grp"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("bucketString mirrors bucketExpr for every unit") {
     val ev = Tables.load(spark, sfDir, "events").limit(200)
     for ((unit, n) <- Seq(("day", 1), ("day", 7), ("month", 1),
