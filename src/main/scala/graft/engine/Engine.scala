@@ -840,6 +840,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("join matview attach")) joinMatviewAttach(t)
     else if (low.startsWith("matview sync")) matviewSync(t)
     else if (low.startsWith("sync all")) syncAll(t)
+    else if (low.startsWith("artifact verify")) artifactVerify(t)
     else if (low == "get artifacts") {
       val recs = catalog.artifactList
       if (recs.isEmpty) "no artifacts recorded"
@@ -1645,6 +1646,107 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       s"matview for $table synced: $nMissed missed row(s) folded, " +
         s"watermark $wm -> $newWm"
     }
+  }
+
+  /** `artifact verify where table = <t>` — the TRUST-BUT-VERIFY audit
+    * closing the IVM loop: for every registered standing artifact over
+    * the table whose rebuild recipe is deterministic, rebuild from the
+    * CURRENT base and diff against the standing state (`exceptAll`
+    * both directions — row-exact, not count-exact). EXACT means the
+    * whole fold history (create, auto-folds, syncs, deletes, partition
+    * drops) reproduced the one-shot rebuild; DIVERGED names the row
+    * counts on each side and the reconcile command. Artifacts whose
+    * rebuild is NOT comparable refuse honestly: vindex geometry (PQ
+    * books / IVF centroids / SQ8 grid) is create-time-frozen — a
+    * rebuild would retrain it, so recall probes are that family's
+    * audit; monitor tail state is arrival-order-sensitive. Cost: one
+    * base pass per artifact — an operator-invoked audit, not a serving
+    * path. */
+  private def artifactVerify(t: String): String = {
+    val table = "(?i)\\btable\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        "artifact verify requires table ="))
+    import org.apache.spark.sql.functions.col
+    val out = Seq.newBuilder[String]
+    def diff(label: String, state: org.apache.spark.sql.DataFrame,
+        rebuilt: org.apache.spark.sql.DataFrame, fix: String): Unit = {
+      // align column ORDER (fold plans and rebuild plans may project
+      // the same columns differently)
+      val cols = rebuilt.columns.toSeq
+      val st = state.select(cols.map(col): _*)
+      val extra = st.exceptAll(rebuilt).count()
+      val missing = rebuilt.exceptAll(st).count()
+      if (extra == 0L && missing == 0L)
+        out += s"$label: VERIFIED exact (${rebuilt.count()} rows == rebuild)"
+      else out += s"$label: DIVERGED — $extra state-only row(s), " +
+        s"$missing rebuild-only row(s); $fix"
+    }
+    def stored(path: String) =
+      graft.ops.IndexStore.read(spark, path).getOrElse(
+        throw new IllegalStateException(s"no artifact at $path"))
+    def attempt(label: String)(body: => Unit): Unit =
+      try body
+      catch { case e: Exception =>
+        out += s"$label: verify FAILED — ${e.getMessage}" }
+    val base = catalog.table(table)
+    matviews.get(table).foreach(m => attempt(s"matview ${m.path}") {
+      diff(s"matview ${m.path}", stripWm(stored(m.path)),
+        graft.ops.MatView.partials(base, m.keys, m.aggs),
+        "run `matview sync` (missed adds) or rebuild with `matview create`")
+    })
+    rollups.get(table).foreach(m => attempt(s"rollup ${m.path}") {
+      diff(s"rollup ${m.path}", stored(m.path),
+        graft.ops.Rollup.build(base, m.tsCol, m.grain, m.dims,
+          m.valueCols),
+        "rebuild with `rollup create`")
+    })
+    joinMatviews.foreach { case (p, spec) =>
+      if (spec.left == table || spec.right == table)
+        attempt(s"join matview $p") {
+          diff(s"join matview $p", stripWm(stored(p)),
+            graft.ops.JoinMatView.create(
+              noSysCols(catalog.table(spec.left)),
+              noSysCols(catalog.table(spec.right)), spec),
+            "run `join matview sync` or rebuild with `join matview create`")
+        }
+    }
+    tindexes.get(table).foreach(m => attempt(s"tindex ${m.path}") {
+      diff(s"tindex ${m.path}", stored(m.path),
+        graft.ops.Retrieval.postingsIndex(base, m.textCol, m.idCol),
+        "run `tindex sync` or rebuild with `tindex create`")
+    })
+    sindexes.get(table).foreach(m => attempt(s"sindex ${m.path}") {
+      diff(s"sindex ${m.path}", stored(m.path),
+        sindexBuild(base, m.keyCol, m.textCol, m.k),
+        "run `sindex sync` or rebuild with `sindex create`")
+    })
+    dindexes.get(table).foreach(m => attempt(s"dedup index ${m.path}") {
+      val rebuilt = m.kind match {
+        case "shingle" => graft.ops.Dedup.shingleIndex(base,
+          m.contentCol, m.idCol, m.shingleN)
+        case "simhash" => graft.ops.Dedup.simhashIndex(base,
+          m.contentCol, m.idCol)
+        case _ =>
+          // rebuild with the artifact's own RECORDED geometry — sigs
+          // are deterministic given (bits, tables)
+          val st = stored(m.path)
+          val head = st.select(col("bits"), col("tables")).head()
+          graft.ops.Dedup.embeddingIndex(base, m.contentCol, m.idCol,
+            bits = head.getInt(0), tables = head.getInt(1))
+      }
+      diff(s"dedup index ${m.path}", stored(m.path), rebuilt,
+        "run `dedup index sync` or rebuild with `dedup index create`")
+    })
+    vindexes.get(table).foreach(m => out +=
+      s"vindex ${m.path}: verify REFUSED by construction (${m.kind} " +
+        "geometry is create-time-frozen; a rebuild would retrain it — " +
+        "recall probes are this family's audit)")
+    monitors.get(table).foreach(m => out +=
+      s"monitor ${m.path}: verify REFUSED by construction (tail state " +
+        "is arrival-order-sensitive)")
+    val lines = out.result()
+    if (lines.isEmpty) s"no standing artifacts registered for $table"
+    else lines.mkString("\n")
   }
 
   /** `sync all where table = <t>` — one command reconciling EVERY

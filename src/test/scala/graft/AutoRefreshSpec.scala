@@ -512,6 +512,49 @@ class AutoRefreshSpec extends SparkSpec {
     assert(cat.table("pts").count() === 2L)
   }
 
+  test("artifact verify: a fresh fleet verifies EXACT against a " +
+      "rebuild, a stale matview reports DIVERGED, and sync restores " +
+      "exactness; unverifiable families refuse honestly") {
+    val dir = java.nio.file.Files.createTempDirectory("ar18")
+    val (_, engine) = mkEngine(dir)
+    engine.ingest("vt1",
+      """{"id": 1, "g": "a", "text": "alpha beta gamma"}""" + "\n" +
+        """{"id": 2, "g": "b", "text": "beta gamma delta"}""")
+    val mv = dir.resolve("mv").toString
+    engine.execute(s"matview create where table = vt1 and path = $mv " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"}]}""")
+    engine.execute(s"tindex create where table = vt1 and " +
+      s"path = ${dir.resolve("tx")} and id = id and text = text")
+    engine.execute(s"dedup index create where table = vt1 and " +
+      s"path = ${dir.resolve("dx")} and type = simhash and id = id " +
+      "and text = text")
+    // fresh fleet + one auto-folded PUT: everything verifies exact
+    engine.ingest("vt1", """{"id": 3, "g": "a", "text": "gamma delta"}""")
+    val v1 = engine.execute("artifact verify where table = vt1")
+    assert(v1.linesIterator.count(_.contains("VERIFIED exact")) === 3, v1)
+    assert(!v1.contains("DIVERGED"), v1)
+    // a batch missed while auto refresh is off -> matview diverges
+    engine.execute("set view auto refresh = off")
+    engine.ingest("vt1", """{"id": 4, "g": "c", "text": "epsilon"}""")
+    val v2 = engine.execute("artifact verify where table = vt1")
+    assert(v2.contains(s"matview $mv: DIVERGED"), v2)
+    assert(v2.contains("rebuild-only row(s)"), v2)
+    // sync all reconciles; verify is exact again
+    engine.execute("sync all where table = vt1")
+    val v3 = engine.execute("artifact verify where table = vt1")
+    assert(v3.linesIterator.count(_.contains("VERIFIED exact")) === 3, v3)
+    // refusal honesty: a vindex over the table refuses with a reason
+    // instead of fake-verifying against a retrained geometry
+    graft.ops.IndexStore.write(
+      Seq((1L, "x")).toDF("id", "role"), dir.resolve("vx").toString)
+    engine.execute(s"vindex attach where table = vt1 and " +
+      s"path = ${dir.resolve("vx")} and type = sq8 and id = id " +
+      "and vector = vec")
+    val v4 = engine.execute("artifact verify where table = vt1")
+    assert(v4.contains("vindex") && v4.contains("REFUSED"), v4)
+  }
+
   test("manual refresh of a crash-missed stamped batch advances the " +
       "watermark, so a later sync does NOT re-fold the same rows") {
     val dir = java.nio.file.Files.createTempDirectory("ar5")
