@@ -88,6 +88,14 @@ class DropRetentionSpec extends SparkSpec {
     // the partition directories are gone
     assert(graft.engine.TimePartitions.partitions(spark,
       dir.resolve("pt").toString) === Seq("2024-01-02", "2024-01-03"))
+    // THE integration claim: after the drop, every artifact is
+    // row-exact against a rebuild over the survivors — matview,
+    // rollup, join matview, tindex AND the dedup index all VERIFY
+    // (the trust-but-verify audit composes with retention)
+    val audit = engine.execute("artifact verify where table = pt")
+    assert(audit.linesIterator.count(_.contains("VERIFIED exact")) === 5,
+      audit)
+    assert(!audit.contains("DIVERGED"), audit)
     // re-run: nothing below the horizon remains — a clean no-op
     val again = engine.execute("drop partition pt before 2024-01-02")
     assert(again.contains("dropped 0 partitions"), again)
