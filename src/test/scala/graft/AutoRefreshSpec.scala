@@ -555,6 +555,58 @@ class AutoRefreshSpec extends SparkSpec {
     assert(v4.contains("vindex") && v4.contains("REFUSED"), v4)
   }
 
+  test("RANDOMIZED schedules (seeded): arbitrary interleavings of " +
+      "left/right PUTs, auto-refresh toggles and syncs always leave " +
+      "matview + join matview + tindex verify-EXACT at quiescence") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files.createTempDirectory(s"arr$trial")
+      val (_, engine) = mkEngine(dir)
+      var nextId = 100L
+      def putLeft(): Unit = {
+        nextId += 1
+        engine.ingest("sl", s"""{"lk": $nextId, "g": "g${nextId % 4}", """ +
+          s""""text": "w${nextId % 7} w${nextId % 5} w${nextId % 3}"}""")
+      }
+      def putRight(): Unit = {
+        nextId += 1
+        engine.ingest("sr", s"""{"rk": ${nextId % 120}, "v": $nextId}""")
+      }
+      putLeft(); putRight() // both tables exist before creates
+      engine.execute(s"matview create where table = sl and " +
+        s"""path = ${dir.resolve("mv")} and spec = {"keys": ["g"],
+          "aggs": [{"fn": "count", "alias": "n"}]}""")
+      engine.execute(s"join matview create where " +
+        s"""path = ${dir.resolve("jm")} and spec = {"left": "sl",
+          "right": "sr", "on": [["lk", "rk"]], "keys": ["g"],
+          "aggs": [{"fn": "count", "alias": "n"},
+            {"fn": "sum", "expr": "v", "alias": "sv"}]}""")
+      engine.execute(s"tindex create where table = sl and " +
+        s"path = ${dir.resolve("tx")} and id = lk and text = text")
+      for (_ <- 1 to 12) rnd.nextInt(5) match {
+        case 0 | 1 => putLeft()
+        case 2 => putRight()
+        case 3 => engine.execute(
+          s"set view auto refresh = ${if (rnd.nextBoolean()) "on" else "off"}")
+        case _ =>
+          engine.execute("sync all where table = sl")
+          engine.execute("sync all where table = sr")
+      }
+      // quiescence: reconcile, then EVERYTHING must equal a rebuild
+      engine.execute("set view auto refresh = on")
+      engine.execute("sync all where table = sl")
+      engine.execute("sync all where table = sr")
+      val a1 = engine.execute("artifact verify where table = sl")
+      assert(a1.linesIterator.count(_.contains("VERIFIED exact")) === 3,
+        s"trial $trial:\n$a1")
+      val a2 = engine.execute("artifact verify where table = sr")
+      assert(a2.contains("VERIFIED exact") && !a2.contains("DIVERGED"),
+        s"trial $trial:\n$a2")
+      assert(engine.execute("get view auto refresh")
+        .contains("no fold errors"), s"trial $trial")
+    }
+  }
+
   test("manual refresh of a crash-missed stamped batch advances the " +
       "watermark, so a later sync does NOT re-fold the same rows") {
     val dir = java.nio.file.Files.createTempDirectory("ar5")
