@@ -364,10 +364,15 @@ object EdgeSql {
         def bare(n: String) =
           if (n.contains('.')) n.substring(n.lastIndexOf('.') + 1) else n
         // ingest system columns are stamped on BOTH sides of engine
-        // tables and would trip the disjoint-names requirement; they
-        // are never user columns, so the join plan drops them
+        // tables — and `__par` is the physical partition-layout
+        // column of time-partitioned tables — so two such tables
+        // would trip the disjoint-names requirement; none is a user
+        // column, so the join plan drops them (AFTER load, so the
+        // injected __par partition-prune filter is already in the
+        // plan and pruning is retained)
         def noSys(df: DataFrame) =
-          df.drop("row_id", "insert_timestamp", "tsd_name", "tsd_id")
+          df.drop("row_id", "insert_timestamp", "tsd_name", "tsd_id",
+            "__par")
         val base = joinedBase(noSys(load(bare(sel.table))),
           noSys(load(bare(j.table))), j.on, j.joinType)
         compileSelect(spark, base, sel, cmd.options)

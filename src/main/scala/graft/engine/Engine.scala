@@ -1261,12 +1261,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     s"join matview attached at $path (${spec.left} ⋈ ${spec.right})"
   }
 
-  /** The tsd system columns the ingest path stamps — stripped from
-    * both sides of every join-matview fold so two stamped tables
-    * don't trip the disjoint-column-names requirement (the view is
-    * over the logical columns; specs must not reference these). */
+  /** The tsd system columns the ingest path stamps — plus `__par`,
+    * the physical partition-layout column of time-partitioned
+    * tables — stripped from both sides of every join-matview fold so
+    * two stamped/partitioned tables don't trip the
+    * disjoint-column-names requirement (the view is over the logical
+    * columns; specs must not reference these). */
   private def noSysCols(df: org.apache.spark.sql.DataFrame) =
-    df.drop("row_id", "insert_timestamp", "tsd_name", "tsd_id")
+    df.drop("row_id", "insert_timestamp", "tsd_name", "tsd_id", "__par")
 
   /** `join matview refresh where path = <dir> and side = left|right
     * and source = <table|path>` — fold an INSERT delta on one side:

@@ -566,6 +566,35 @@ class PartitionPruningSpec extends SparkSpec {
       direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
   }
 
+  test("TWO partitioned tables join through the dialect: the physical " +
+      "__par layout column never collides (dropped as a system column, " +
+      "pruning retained)") {
+    val d1 = java.nio.file.Files.createTempDirectory("parq3a").toString
+    val d2 = java.nio.file.Files.createTempDirectory("parq3b").toString
+    val ev = Tables.load(spark, sfDir, "events")
+    TimePartitions.write(ev.select(col("ts"), col("user_id"),
+      col("value")), "ts", "day", 1, d1)
+    TimePartitions.write(ev.select(col("ts").as("ts2"),
+      col("user_id").as("uid2"), col("event_id")), "ts2", "day", 1, d2)
+    val cat = new Catalog(spark)
+    cat.registerPartitionedTable("pa", d1, "ts", "day", 1)
+    cat.registerPartitionedTable("pb", d2, "ts2", "day", 1)
+    val engine = new Engine(spark, cat)
+    val df = engine.query(
+      """sql edge "select count(*) as n from pa join pb """ +
+        """on pa.user_id = pb.uid2 """ +
+        """where ts >= '2024-01-03' and ts < '2024-01-04'"""")
+    // runs (no __par name collision) and prunes the filtered side
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("PartitionFilters") &&
+      l.contains("__par") && !l.contains("PartitionFilters: []")), plan)
+    val direct = ev.filter(col("ts") >= "2024-01-03" &&
+        col("ts") < "2024-01-04").select(col("user_id"))
+      .join(ev.select(col("user_id").as("uid2")),
+        col("user_id") === col("uid2")).count()
+    assert(df.head().getLong(0) === direct)
+  }
+
   test("bucketString mirrors bucketExpr for every unit") {
     val ev = Tables.load(spark, sfDir, "events").limit(200)
     for ((unit, n) <- Seq(("day", 1), ("day", 7), ("month", 1),
