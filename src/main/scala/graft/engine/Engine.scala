@@ -12,15 +12,36 @@ import graft.ingest.SchemaInference
   * a user of the reference drives everything through command strings;
   * this maps each one onto the Spark-native machinery.
   *
-  * Supported commands:
+  * Supported command families (full per-command contracts on the
+  * handlers below / COVERAGE.md):
   *   sql <dbms> [options] "SELECT ..."      -> dialect query; options:
   *     format=json|json:list|table, stat=true, timezone=<tz>,
-  *     extend=(...), include=(...), committed=true
+  *     extend=(...), include=(...), committed=true, approx=true,
+  *     max_time/max_volume; FROM supports `a [inner|left] join b on
+  *     a.x = b.y [and ...]`; transparent serving from registered
+  *     rollups / matviews / join matviews; `explain sql ...` reports
+  *     which plan would answer
   *   create view <name> on <table> (src as dst, ...)
   *   partition <table> using <tsCol> by <n> <unit> into <path>
-  *   drop partition <path> before <bucket>
+  *   drop partition <table|path> before <bucket> | older than <n> <u>
+  *     [and force = true]   (retention-symmetric: folds tombstones
+  *     into every registered standing artifact first)
   *   suggest create <table> from <json-array>  (schema inference -> DDL)
-  *   get tables / get views
+  *   standing artifacts — each with create/attach/refresh/sync/
+  *     delete (as the boundary map allows)/drop/get:
+  *     matview, join matview, rollup, vindex, tindex, sindex,
+  *     dedup index (shingle|simhash|embedding), monitor, layout,
+  *     graph tricount; plus `sync all where table =`,
+  *     `artifact verify where table =`, `attach all`,
+  *     `index versions|retain|get` (AS-OF audit),
+  *     `get view auto refresh` / `set view auto refresh = on|off`
+  *   pipeline clean / quality check / profile table / hybrid search /
+  *     compact / merge into / merge scd2 into / layout zorder|scan
+  *   ingest & ops: REST PUT (hash-idempotent, journaled ledger),
+  *     run msg client / exit msg client, policy add/get, blockchain
+  *     insert/get, get tsd list|diff, get partitions / rows count /
+  *     columns / streaming / queries time / event|error|query log,
+  *     set <var> = <value> / get dictionary, get tables / get views
   */
 final class Engine(val spark: SparkSession, val catalog: Catalog,
     /** Reply-volume cap applied when the sql command carries no
