@@ -443,7 +443,15 @@ object Plans {
           "window over index rows, corpus text read only for the " +
           "batch; the prefix-filter geometry every near-dup gate " +
           "probe depends on is therefore exact after ANY schedule " +
-          "of PUTs, syncs, deletes and partition drops"))
+          "of PUTs, syncs, deletes and partition drops"),
+      "q194_rollup_sync" ->
+        ("rollup sync + transparent serving: the wm_ version tag " +
+          "picks the missed rows (one pruned scan), the fold is " +
+          "bucket-row-sized, and the served increments() plan reads " +
+          "ONLY rollup bucket rows — event history absent " +
+          "(plan-asserted); rollups join the watermark family, so a " +
+          "batch missed in an off-window is reconcilable instead of " +
+          "stale-forever"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

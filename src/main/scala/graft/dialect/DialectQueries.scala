@@ -232,6 +232,58 @@ object DialectQueries {
     WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-28'
     GROUP BY 1, 2, 3 ORDER BY event_type, hour_parent, hour_bucket"""
 
+  /** q194 — `rollup sync` (the rollup joins the watermark family): a
+    * standing rollup is created over the lineage epoch (tsd_id 1) of
+    * an events copy, the rest of the corpus lands as a tsd_id-2
+    * parquet append UNDERNEATH the engine (the crash/off window —
+    * round 11 closed this for matviews/jmv/indexes; rollups were the
+    * one standing family a missed batch left stale-FOREVER, having no
+    * watermark), and ONE `rollup sync` replays exactly the rows above
+    * the artifact's wm_ version tag. The q102-style increments() query
+    * over the FULL range then serves from the rollup (plan-asserted)
+    * and hash-matches DuckDB over the whole corpus: sync == rebuild,
+    * through the transparent serving path. */
+  private val q194: QFn = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("q194")
+    val evDir = tmp.resolve("evr.parquet").toString
+    val ev = Tables.load(s, d, "events")
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+    ev.filter(pmod(col("user_id"), lit(4)) =!= 1)
+      .withColumn("tsd_id", lit(1)).write.parquet(evDir)
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("evr", evDir)
+    val engine = new graft.engine.Engine(s, cat)
+    val roll = tmp.resolve("roll").toString
+    engine.execute(s"rollup create where table = evr and path = $roll " +
+      "and time = ts and value = value and grain = minute " +
+      "and dims = (event_type)")
+    ev.filter(pmod(col("user_id"), lit(4)) === 1)
+      .withColumn("tsd_id", lit(2)).write.mode("append").parquet(evDir)
+    val msg = engine.execute("rollup sync where table = evr")
+    require(msg.contains("synced"), s"q194 sync folded nothing: $msg")
+    require(engine.execute("rollup sync where table = evr")
+      .contains("in sync"), "q194 second sync must be a no-op")
+    val df = engine.query(
+      """sql edge "select event_type, increments(hour, 6, ts), """ +
+        """count(*) as n, sum(value) as sum_value, """ +
+        """min(value) as min_value, max(value) as max_value """ +
+        """from evr """ +
+        """where ts >= '2024-01-03 00:00:00' and ts < '2024-01-28 00:00:00' """ +
+        """order by event_type, hour_parent, hour_bucket"""")
+    require(!df.queryExecution.sparkPlan.toString.contains("evr.parquet"),
+      "q194 fell back to the base plan — rollup serving did not engage")
+    df
+  }
+  private val q194Sql = s"""
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+        AS hour_parent,
+      CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS hour_bucket,
+      count(*) AS n, ${oSum("value")} AS sum_value,
+      min(value) AS min_value, max(value) AS max_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-28'
+    GROUP BY 1, 2, 3 ORDER BY event_type, hour_parent, hour_bucket"""
+
   /** q167 — the MATVIEW-SERVED sql path under the driver gate (q102's
     * discipline applied to [[MatViewServe]]): an engine registers
     * lineitem, `matview create`s a (returnflag, linestatus) view with
@@ -510,6 +562,7 @@ object DialectQueries {
 
   val queries: Map[String, QFn] = Map(
     "q193_sql_left_join" -> q193,
+    "q194_rollup_sync" -> q194,
     "q186_drop_partition_retention" -> q186,
     "q187_sql_join" -> q187,
     "q188_join_matview_served" -> q188,
@@ -531,6 +584,7 @@ object DialectQueries {
 
   val oracles: Map[String, String] = Map(
     "q193_sql_left_join" -> q193Sql,
+    "q194_rollup_sync" -> q194Sql,
     "q186_drop_partition_retention" -> q186Sql,
     "q187_sql_join" -> q187Sql,
     "q188_join_matview_served" -> q188Sql,

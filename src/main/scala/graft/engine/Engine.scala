@@ -608,6 +608,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("partition ")) partition(t)
     else if (low.startsWith("drop partition ")) dropPartition(t)
     else if (low.startsWith("rollup create")) rollupCreate(t)
+    else if (low.startsWith("rollup sync")) indexFamilySync(t, "rollup")
     else if (low.startsWith("rollup refresh")) rollupRefresh(t)
     else if (low.startsWith("rollup delete")) rollupDelete(t)
     else if (low.startsWith("rollup attach")) {
@@ -1518,14 +1519,6 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         autoFoldErrors += s"matview $table (${m.path}): ${e.getMessage}"
       }
     }
-    rollups.get(table).foreach { meta =>
-      try if (!tagged(meta.path))
-        graft.ops.Rollup.refreshStore(spark, meta.path, batch,
-          meta.tsCol, meta.grain, meta.dims, meta.valueCols, batchTag)
-      catch { case e: Exception =>
-        autoFoldErrors += s"rollup $table (${meta.path}): ${e.getMessage}"
-      }
-    }
     joinMatviews.foreach { case (path, spec) =>
       val side = if (spec.left == table) Some("left")
         else if (spec.right == table) Some("right") else None
@@ -1594,6 +1587,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       if (gapped)
         catalog.table(table).filter(col("tsd_id").cast("long") > wm)
       else batch
+    }
+    rollups.get(table).foreach { meta =>
+      try if (!tagged(meta.path))
+        foldRollup(meta, indexDelta(meta.path), batchTag)
+      catch { case e: Exception =>
+        autoFoldErrors += s"rollup $table (${meta.path}): ${e.getMessage}"
+      }
     }
     vindexes.get(table).foreach { meta =>
       try if (!tagged(meta.path))
@@ -1791,6 +1791,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     if (matviews.contains(table))
       attempt(s"matview $table")(
         matviewSync(s"matview sync where table = $table"))
+    if (rollups.contains(table))
+      attempt(s"rollup $table")(indexFamilySync(t, "rollup"))
     joinMatviews.foreach { case (p, spec) =>
       if (spec.left == table || spec.right == table)
         attempt(s"join matview $p")(jmvSyncFold(p, spec, None))
@@ -1843,6 +1845,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             throw new IllegalArgumentException(
               s"no dedup index registered for $table"))
           (m.path, (d, tg) => foldDindex(m, d, tg))
+        case "rollup" =>
+          val m = rollups.getOrElse(table,
+            throw new IllegalArgumentException(
+              s"no rollup registered for $table"))
+          (m.path, (d, tg) => foldRollup(m, d, tg))
         case _ =>
           val m = sindexes.getOrElse(table,
             throw new IllegalArgumentException(
@@ -2400,7 +2407,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       valueCols = list(req("value")))
     val rolled = graft.ops.Rollup.build(catalog.table(table), meta.tsCol,
       meta.grain, meta.dims, meta.valueCols).localCheckpoint()
-    graft.ops.IndexStore.write(rolled, meta.path)
+    // lineage watermark seeded in the same commit (`rollup sync`)
+    graft.ops.IndexStore.write(rolled, meta.path,
+      wmTag(mvTableWm(catalog.table(table))))
     rollups += table -> meta
     catalog.recordArtifact(s"rollup:${meta.path}",
       s"rollup attach where table = $table and path = ${meta.path}")
@@ -2426,9 +2435,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       if (catalog.tableNames.contains(src) ||
           catalog.viewNames.contains(src)) catalog.table(src)
       else spark.read.parquet(src)
-    val next = graft.ops.Rollup.refreshStore(spark, meta.path, delta,
-      meta.tsCol, meta.grain, meta.dims, meta.valueCols)
-    s"rollup for $table refreshed (${next.count()} ${meta.grain} buckets)"
+    val n = foldRollup(meta, delta, None)
+    s"rollup for $table refreshed ($n ${meta.grain} buckets)"
   }
 
   /** `rollup delete where table = <t> and (before = <ts> | source =
@@ -2470,7 +2478,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           "and base = <table>")
     }
     val out = next.localCheckpoint()
-    graft.ops.IndexStore.write(out, meta.path)
+    // retention/row deletes don't advance lineage — the wm_ tag rides
+    // onto the new version unchanged
+    graft.ops.IndexStore.write(out, meta.path,
+      wmTag(indexWmOf(meta.path)))
     s"rollup for $table: ${out.count()} ${meta.grain} buckets remain"
   }
 
@@ -2545,6 +2556,21 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       else spark.read.parquet(src)
     val rows = foldVindex(meta, delta, None)
     s"vindex for $table refreshed ($rows index rows)"
+  }
+
+  /** The rollup fold body — shared by `rollup refresh`, the ingest
+    * auto-fold, and `rollup sync`: fold the delta and advance the
+    * `wm_` lineage tag in the same commit (the rollup joins the
+    * watermark family — a batch missed during an auto-refresh-off
+    * window is now reconcilable instead of stale-forever). */
+  private def foldRollup(meta: graft.dialect.RollupServe.Meta,
+      delta: org.apache.spark.sql.DataFrame,
+      tag: Option[String]): Long = {
+    val wm = indexWmOf(meta.path)
+    val newWm = if (wm >= 0) math.max(wm, mvTableWm(delta)) else wm
+    graft.ops.Rollup.refreshStore(spark, meta.path, delta, meta.tsCol,
+      meta.grain, meta.dims, meta.valueCols,
+      tag.toSeq ++ wmTag(newWm)).count()
   }
 
   /** The vindex fold body (encode/assign a batch against the RECORDED
@@ -4067,7 +4093,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         // that splits a rollup bucket recomputes it exactly
         val folded = graft.ops.Rollup.deleteRows(cur, droppedRows,
           noPar(survivors), meta.dims, meta.valueCols).localCheckpoint()
-        graft.ops.IndexStore.write(folded, meta.path, Some(tag))
+        graft.ops.IndexStore.write(folded, meta.path,
+          Seq(tag) ++ wmTag(indexWmOf(meta.path)))
         receipts += s"rollup at ${meta.path}: recomputed over survivors"
       }
     }

@@ -175,13 +175,21 @@ object Rollup {
     * per batch; event history is never re-read. */
   def refreshStore(spark: SparkSession, dir: String, delta: DataFrame,
       tsCol: String, grain: String, dims: Seq[String],
-      measures: Seq[String], tag: Option[String] = None): DataFrame = {
+      measures: Seq[String], tag: Option[String] = None): DataFrame =
+    refreshStore(spark, dir, delta, tsCol, grain, dims, measures,
+      tag.toSeq)
+
+  /** As above with any number of version tags (exactly-once batch tag
+    * + the engine's lineage watermark riding one commit). */
+  def refreshStore(spark: SparkSession, dir: String, delta: DataFrame,
+      tsCol: String, grain: String, dims: Seq[String],
+      measures: Seq[String], tags: Seq[String]): DataFrame = {
     val next = IndexStore.read(spark, dir) match {
       case Some(cur) => refresh(cur, delta, tsCol, dims, measures)
       case None => build(delta, tsCol, grain, dims, measures)
     }
     val out = next.localCheckpoint()
-    IndexStore.write(out, dir, tag)
+    IndexStore.write(out, dir, tags)
     out
   }
 
