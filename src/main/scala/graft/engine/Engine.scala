@@ -4088,13 +4088,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         val cur = graft.ops.IndexStore.read(spark, meta.path).getOrElse(
           throw new IllegalStateException(
             s"no rollup artifact at ${meta.path}"))
-        // targeted re-aggregation over the SURVIVOR frame: dropped
-        // buckets recompute to empty and retire; a partition boundary
-        // that splits a rollup bucket recomputes it exactly
+        // targeted re-aggregation over the SURVIVOR frame AS OF the
+        // rollup's lineage watermark: dropped buckets recompute to
+        // empty and retire, and a rollup bucket COARSER than the
+        // partition unit (it then spans surviving days) recomputes
+        // from exactly the rows the rollup had folded — recomputing
+        // from the full current survivors would ABSORB pending
+        // unfolded rows, which a later `rollup sync` (tsd_id > wm)
+        // would then fold AGAIN (double count)
+        val rwm = indexWmOf(meta.path)
+        val recomputeBase =
+          if (rwm >= 0 && survivors.columns.contains("tsd_id"))
+            survivors.filter(col("tsd_id").cast("long") <= rwm)
+          else survivors
         val folded = graft.ops.Rollup.deleteRows(cur, droppedRows,
-          noPar(survivors), meta.dims, meta.valueCols).localCheckpoint()
+          noPar(recomputeBase), meta.dims, meta.valueCols)
+          .localCheckpoint()
         graft.ops.IndexStore.write(folded, meta.path,
-          Seq(tag) ++ wmTag(indexWmOf(meta.path)))
+          Seq(tag) ++ wmTag(rwm))
         receipts += s"rollup at ${meta.path}: recomputed over survivors"
       }
     }

@@ -103,6 +103,72 @@ class DropRetentionSpec extends SparkSpec {
     assert(engine.execute("get view auto refresh")
       .contains("no fold errors"))
   }
+  test("RANDOMIZED retention schedules (seeded): PUTs into a " +
+      "partitioned table interleaved with auto-refresh toggles, syncs " +
+      "and partition drops keep matview + rollup + tindex verify-EXACT; " +
+      "an unsynced drop aborts cleanly and sync-then-retry succeeds") {
+    val rnd = new scala.util.Random(7)
+    val dir = java.nio.file.Files.createTempDirectory("drr")
+    // partitioned lineage-stamped base the engine PUTs into
+    val p = dir.resolve("rt").toString
+    val seed = Seq((1L, "2024-01-01 10:00:00", "a", "alpha beta"))
+      .toDF("id", "ts_s", "g", "text")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("tsd_id", lit(0))
+    graft.engine.TimePartitions.write(seed, "ts", "day", 1, p)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerPartitionedTable("rt", p, "ts", "day", 1)
+    val engine = new graft.engine.Engine(spark, cat)
+    engine.execute(s"matview create where table = rt and " +
+      s"""path = ${dir.resolve("mv")} and spec = {"keys": ["g"],
+        "aggs": [{"fn": "count", "alias": "n"}]}""")
+    // grain COARSER than the partition unit on purpose: every drop
+    // leaves the month bucket spanning survivors, so the targeted
+    // re-aggregation must recompute from survivors AS OF the rollup's
+    // watermark or pending rows would double-fold on the next sync
+    engine.execute(s"rollup create where table = rt and " +
+      s"path = ${dir.resolve("ru")} and time = ts and value = id " +
+      "and grain = month")
+    engine.execute(s"tindex create where table = rt and " +
+      s"path = ${dir.resolve("tx")} and id = id and text = text")
+    var nextId = 10L
+    def put(): Unit = {
+      nextId += 1
+      val day = 1 + (nextId % 6)
+      engine.ingest("rt", s"""{"id": $nextId, """ +
+        s""""ts": "2024-01-0$day 0${nextId % 10}:00:00", """ +
+        s""""g": "g${nextId % 3}", "text": "w${nextId % 5} w${nextId % 7}"}""")
+    }
+    def dropOldest(): Unit = {
+      val parts = graft.engine.TimePartitions.partitions(spark, p)
+      if (parts.length > 1) {
+        val horizon = parts(1) // drop the oldest bucket only
+        try engine.execute(s"drop partition rt before $horizon")
+        catch { case _: IllegalArgumentException =>
+          // matview behind (auto refresh off) -> subset guard aborted
+          // the drop with state intact; the documented recovery is
+          // sync-then-retry, which must succeed
+          engine.execute("sync all where table = rt")
+          engine.execute(s"drop partition rt before $horizon")
+        }
+      }
+    }
+    put(); put()
+    for (_ <- 1 to 14) rnd.nextInt(6) match {
+      case 0 | 1 | 2 => put()
+      case 3 => engine.execute(
+        s"set view auto refresh = ${if (rnd.nextBoolean()) "on" else "off"}")
+      case 4 => engine.execute("sync all where table = rt")
+      case _ => dropOldest()
+    }
+    engine.execute("set view auto refresh = on")
+    engine.execute("sync all where table = rt")
+    val audit = engine.execute("artifact verify where table = rt")
+    assert(audit.linesIterator.count(_.contains("VERIFIED exact")) === 3,
+      audit)
+    assert(!audit.contains("DIVERGED"), audit)
+  }
+
   test("drop partition REFUSES when a one-way artifact (sindex) or a " +
       "min/max matview is registered; force = true drops anyway and " +
       "records the stale artifact") {
