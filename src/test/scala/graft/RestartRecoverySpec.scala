@@ -115,6 +115,12 @@ class RestartRecoverySpec extends SparkSpec {
     val got4 = e2.execute(s"matview get where path = $mv")
     assert(got4.contains(""""g":"b","n":2"""), got4)
     assert(e2.execute("sync all where table = rt5").contains("in sync"))
+    // the full trust loop across the restart: attach all -> sync all ->
+    // every artifact row-exact against a rebuild
+    val audit = e2.execute("artifact verify where table = rt5")
+    assert(audit.linesIterator.count(_.contains("VERIFIED exact")) === 2,
+      audit)
+    assert(!audit.contains("DIVERGED"), audit)
   }
 
   test("root-backed ledger journal: PUT idempotence and id continuity " +
