@@ -228,6 +228,15 @@ object EdgeSql {
             c0
           }
           (sideOf(sides(0)), sideOf(sides(1))) match {
+            // both qualifiers resolve to the SAME table: not an
+            // equi-join conjunct (e.g. `a.x = a.y`) — rejecting here
+            // beats silently compiling a wrong by-name join when a
+            // same-named column happens to exist on the other side
+            case (Some(a), Some(b)) if a == b =>
+              throw new IllegalArgumentException(
+                s"join ON conjunct '$c' compares two columns of the " +
+                  "same table — each side of the equality must come " +
+                  "from a different join side")
             case (Some("right"), _) | (_, Some("left")) =>
               (colOf(sides(1)), colOf(sides(0)))
             case _ => (colOf(sides(0)), colOf(sides(1)))

@@ -1029,6 +1029,32 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   private def wmTag(n: Long): Seq[String] =
     if (n >= 0) Seq(s"wm_$n") else Nil
 
+  /** The jmv per-side watermark pair as IndexStore version tags —
+    * committed atomically WITH every fold, like the index families'
+    * `wm_` tags. The pair ALSO rides on the state rows (the original
+    * r10 design), but rider columns vanish with the rows: a jmv whose
+    * state empties (zero matching groups at create, or every group
+    * retired by deletes) would lose its lineage and silently disable
+    * the gap / other-pending double-count guards (ADVICE r11). Tags
+    * survive an empty state. */
+  private def jmvWmTags(l: Long, r: Long): Seq[String] =
+    (if (l >= 0) Seq(s"wmL_$l") else Nil) ++
+      (if (r >= 0) Seq(s"wmR_$r") else Nil)
+
+  /** Read a jmv's per-side watermarks: version tags first (they keep
+    * lineage across an emptied state), rider columns as the
+    * pre-tag-artifact fallback. */
+  private def jmvWmsOf(path: String,
+      state: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val tags = graft.ops.IndexStore.currentTags(spark, path)
+    def of(pfx: String): Option[Long] = tags.filter(_.startsWith(pfx))
+      .flatMap(t => scala.util.Try(t.stripPrefix(pfx).toLong).toOption)
+      .maxOption
+    import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
+    (of("wmL_").getOrElse(wmColOf(state, WmLeftCol)),
+      of("wmR_").getOrElse(wmColOf(state, WmRightCol)))
+  }
+
   /** Highest tsd_id currently in a table (0 when stamped but empty),
     * or -1 when the table carries no tsd lineage column. */
   private def mvTableWm(df: org.apache.spark.sql.DataFrame): Long = {
@@ -1259,7 +1285,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       noSysCols(catalog.table(spec.right)), spec)
       .withColumn(graft.ops.JoinMatView.WmLeftCol, lit(wmL0))
       .withColumn(graft.ops.JoinMatView.WmRightCol, lit(wmR0))
-    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
+    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path,
+      jmvWmTags(wmL0, wmR0))
     import org.apache.spark.sql.functions.lit
     graft.ops.IndexStore.write(spark.range(1).select(
       lit(graft.ops.JoinMatView.specToJson(spec)).as("spec")),
@@ -1303,7 +1330,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no join matview at $path"))
     import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
-    val (wmL, wmR) = (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+    val (wmL, wmR) = jmvWmsOf(path, state)
     val wmOther = if (side == "left") wmR else wmL
     // ORDERING GUARD (enforced, not a comment): this fold joins the
     // delta against the other side's CURRENT snapshot. If the other
@@ -1338,7 +1365,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       .withColumn(WmLeftCol, lit(newL))
       .withColumn(WmRightCol, lit(newR))
       .localCheckpoint()
-    graft.ops.IndexStore.write(folded, path)
+    graft.ops.IndexStore.write(folded, path, jmvWmTags(newL, newR))
     s"join matview refreshed at $path: ${folded.count()} groups"
   }
 
@@ -1371,7 +1398,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     import org.apache.spark.sql.functions.{col, lit}
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no join matview at $path"))
-    val (wmL, wmR) = (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+    val (wmL, wmR) = jmvWmsOf(path, state)
     require(wmL >= 0 || wmR >= 0,
       s"join matview at $path carries no lineage watermark on either " +
         "side (created over tables without tsd_id system columns, a " +
@@ -1404,7 +1431,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       val newR = if (wmR >= 0) mvTableWm(rightT) else wmR
       val folded = st.withColumn(WmLeftCol, lit(newL))
         .withColumn(WmRightCol, lit(newR)).localCheckpoint()
-      graft.ops.IndexStore.write(folded, path, batchTag)
+      graft.ops.IndexStore.write(folded, path,
+        batchTag.toSeq ++ jmvWmTags(newL, newR))
       s"join matview at $path synced: $nL left + $nR right missed " +
         s"row(s) folded, watermarks $wmL/$wmR -> $newL/$newR"
     }
@@ -1425,7 +1453,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       throw new IllegalArgumentException(s"no join matview at $path"))
     import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
     // deletes don't advance ingest lineage — watermarks ride through
-    val (wmL, wmR) = (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+    val (wmL, wmR) = jmvWmsOf(path, state)
     val bc = "(?i)\\bbroadcast\\s*=\\s*false".r.findFirstIn(t).isEmpty
     import org.apache.spark.sql.functions.lit
     val folded = graft.ops.JoinMatView.delete(stripWm(state),
@@ -1441,7 +1469,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       s"join matview delete: $negGroups group(s) went count-negative — " +
         "the delete batch is not a subset of previously folded rows; " +
         "aborted, original state intact")
-    graft.ops.IndexStore.write(folded, path)
+    graft.ops.IndexStore.write(folded, path, jmvWmTags(wmL, wmR))
     s"join matview deleted at $path: ${folded.count()} groups remain"
   }
 
@@ -1527,8 +1555,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
           val state = graft.ops.IndexStore.read(spark, path).getOrElse(
             throw new IllegalStateException(s"no join matview at $path"))
-          val (wmL, wmR) =
-            (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+          val (wmL, wmR) = jmvWmsOf(path, state)
           val (wmSide, wmOther) = if (sd == "left") (wmL, wmR) else (wmR, wmL)
           val otherName = if (sd == "left") spec.right else spec.left
           val otherT = catalog.table(otherName)
@@ -1557,7 +1584,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               .withColumn(WmLeftCol, lit(newL))
               .withColumn(WmRightCol, lit(newR))
               .localCheckpoint()
-            graft.ops.IndexStore.write(folded, path, batchTag)
+            graft.ops.IndexStore.write(folded, path,
+              batchTag.toSeq ++ jmvWmTags(newL, newR))
           }
         } catch { case e: Exception =>
           autoFoldErrors += s"join matview $table ($path): ${e.getMessage}"
@@ -4066,8 +4094,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             throw new IllegalStateException(
               s"no matview state at ${m.path}"))
           val wm = mvWmOf(state) // retention doesn't advance lineage
+          // subtract ONLY rows the view has folded (tsd_id <= wm) —
+          // rows above the lineage watermark (appended while auto
+          // refresh was off, or after a fold crash) were never added,
+          // and subtracting their partials would silently under-count
+          // any group whose count stays non-negative (ADVICE r11);
+          // dropping them unfolded is exact: a later `matview sync`
+          // replays tsd_id > wm from the base, where they no longer
+          // exist
+          val foldable =
+            if (wm >= 0 && droppedRows.columns.contains("tsd_id"))
+              droppedRows.filter(col("tsd_id").cast("long") <= wm)
+            else droppedRows
           val folded = graft.ops.MatView.foldDelete(stripWm(state),
-            droppedRows, m.keys, m.aggs)
+            foldable, m.keys, m.aggs)
             .withColumn(graft.ops.MatView.WatermarkCol, lit(wm))
             .localCheckpoint()
           val cntAlias = m.aggs.find(_.fn == "count").get.alias
@@ -4120,12 +4160,32 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
             val state = graft.ops.IndexStore.read(spark, p).getOrElse(
               throw new IllegalStateException(s"no join matview at $p"))
-            val (wmL, wmR) =
-              (wmColOf(state, WmLeftCol), wmColOf(state, WmRightCol))
+            val (wmL, wmR) = jmvWmsOf(p, state)
+            val (wmSide, wmOther) =
+              if (sd == "left") (wmL, wmR) else (wmR, wmL)
             val otherName = if (sd == "left") spec.right else spec.left
+            // the state holds partials of L_asof(wmL) ⋈ R_asof(wmR),
+            // so the subtractive fold must mirror BOTH snapshots
+            // (ADVICE r11): (a) only dropped rows this side had
+            // folded (tsd_id <= wmSide) contributed pairs — rows
+            // above the watermark subtract nothing and are exact to
+            // drop unfolded (`join matview sync` replays > wmSide
+            // from the post-drop base); (b) those pairs joined the
+            // OTHER side AS OF ITS watermark — joining the current
+            // other table would subtract dropped ⋈ Δother partials
+            // the state never contained (silent under-count)
+            val foldable =
+              if (wmSide >= 0 && droppedRows.columns.contains("tsd_id"))
+                droppedRows.filter(col("tsd_id").cast("long") <= wmSide)
+              else droppedRows
+            val otherCur = catalog.table(otherName)
+            val otherAsOf =
+              if (wmOther >= 0 && otherCur.columns.contains("tsd_id"))
+                otherCur.filter(col("tsd_id").cast("long") <= wmOther)
+              else otherCur
             val folded = graft.ops.JoinMatView.delete(stripWm(state),
-              noPar(noSysCols(droppedRows)),
-              noPar(noSysCols(catalog.table(otherName))), spec, sd)
+              noPar(noSysCols(foldable)),
+              noPar(noSysCols(otherAsOf)), spec, sd)
               .withColumn(WmLeftCol, lit(wmL))
               .withColumn(WmRightCol, lit(wmR))
               .localCheckpoint()
@@ -4135,7 +4195,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               s"drop partition $table: join matview at $p went " +
                 s"count-negative on $neg group(s) — run `join matview " +
                 "sync` first; aborted with all state intact")
-            graft.ops.IndexStore.write(folded, p, Some(tag))
+            graft.ops.IndexStore.write(folded, p,
+              Seq(tag) ++ jmvWmTags(wmL, wmR))
             receipts += s"join matview at $p: $nDrop tombstones folded"
           }
         }
