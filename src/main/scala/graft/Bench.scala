@@ -42,7 +42,9 @@ object Bench {
     // timing robust to transient machine load (the box is shared; the
     // round-10 driver bench produced 16 phantom >1.5x regressions at
     // min-of-2 that judges had to re-adjudicate solo)
-    val results = selected.map { case (name, fn) =>
+    def timeOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -50,7 +52,42 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      if (times.exists(_ < 0)) -1.0 else times.min
+    }
+    val firstPass = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+
+    // AUTO-RE-TIME (round-12 verdict item 4): any query >=1.5x slower
+    // than the previous committed artifact gets re-timed min-of-3 AFTER
+    // the full pass (JVM fully warm, suite churn settled) and the
+    // committed value is the min of both passes — so transient box-load
+    // phantoms adjudicate themselves in-run instead of costing the
+    // judge a solo re-timing pass. BENCH_delta.md records
+    // reverted/confirmed per re-timed row.
+    val prevFile = {
+      val rx = "BENCH_full_r(\\d+)\\.json".r
+      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+        "BENCH_full_latest.json")
+      sys.env.get("SPARK_GRAFT_BENCH_PREV").getOrElse(
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .toSeq.map(_.getName)
+          .collect { case n @ rx(k) if n != outFile => (k.toInt, n) }
+          .sortBy(-_._1).headOption.map(_._2)
+          .getOrElse("BENCH_full_r10.json"))
+    }
+    val prev = if (only.isEmpty) readPrev(prevFile) else Map.empty[String, Double]
+    val byName = selected.toMap
+    val retimed = scala.collection.mutable.Map.empty[String, Double]
+    val results = firstPass.map { case (name, t) =>
+      val suspect = t >= 0 && prev.get(name).exists(p => p > 0 && t / p >= 1.5)
+      if (!suspect) name -> t
+      else {
+        val again = timeOne(name, byName(name))
+        val best = if (again >= 0) math.min(t, again) else t
+        retimed += name -> t // first-pass value, for the delta report
+        System.err.println(
+          f"[bench] re-timed $name: first $t%.3f s -> committed $best%.3f s")
+        name -> best
+      }
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -76,43 +113,52 @@ object Bench {
       // re-adjudication pass every round. Default baseline: the
       // highest-numbered committed BENCH_full_r<N>.json that isn't
       // this run's own output — self-advancing across rounds.
-      val prevDefault = {
-        val rx = "BENCH_full_r(\\d+)\\.json".r
-        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .toSeq.map(_.getName)
-          .collect { case n @ rx(k) if n != outFile => (k.toInt, n) }
-          .sortBy(-_._1).headOption.map(_._2)
-          .getOrElse("BENCH_full_r10.json")
-      }
-      try writeDelta(results.toMap,
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", prevDefault))
+      try writeDelta(results.toMap, prevFile, retimed.toMap)
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write BENCH_delta.md: $e") }
     }
     spark.stop()
   }
 
+  /** The per-query map of a previous committed bench artifact; empty
+    * when the file is absent or unparsable. */
+  private def readPrev(prevFile: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(prevFile)
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      (JsonMethods.parse(java.nio.file.Files.readString(p))
+        \ "queries") match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not parse $prevFile: $e")
+      Map.empty
+    }
+  }
+
   /** BENCH_delta.md: per-query ratio vs a previous committed full-bench
     * artifact — totals, the >=1.5x slower and <=0.67x faster tails, and
     * adds/removes. Comparing min-of-3 against a committed min keeps the
-    * report about the PLAN, not the box's load at round close. */
-  private def writeDelta(now: Map[String, Double], prevFile: String): Unit = {
+    * report about the PLAN, not the box's load at round close.
+    * `retimed` maps query -> FIRST-pass seconds for rows the auto-
+    * re-time loop re-measured; each surviving slow row is annotated
+    * confirmed (still >=1.5x after re-time) and each reverted row is
+    * listed so the adjudication is in the artifact, not judge labor. */
+  private def writeDelta(now: Map[String, Double], prevFile: String,
+      retimed: Map[String, Double]): Unit = {
     val p = java.nio.file.Paths.get(prevFile)
     if (!java.nio.file.Files.exists(p)) {
       System.err.println(s"[bench] no previous artifact $prevFile — " +
         "skipping BENCH_delta.md")
       return
     }
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val prev = (JsonMethods.parse(java.nio.file.Files.readString(p))
-      \ "queries") match {
-      case JObject(fields) => fields.collect {
-        case (k, JDouble(v)) => k -> v
-        case (k, JInt(v)) => k -> v.toDouble
-      }.toMap
-      case _ => Map.empty[String, Double]
-    }
+    val prev = readPrev(prevFile)
     val shared = now.keySet.intersect(prev.keySet).toSeq.sorted
       .filter(k => now(k) >= 0 && prev(k) > 0)
     val ratios = shared.map(k => (k, now(k), prev(k), now(k) / prev(k)))
@@ -120,28 +166,44 @@ object Bench {
     val faster = ratios.filter(_._4 <= 0.67).sortBy(_._4)
     val added = (now.keySet -- prev.keySet).toSeq.sorted
     val removed = (prev.keySet -- now.keySet).toSeq.sorted
-    def row(t: (String, Double, Double, Double)) =
-      f"| ${t._1} | ${t._3}%.3f | ${t._2}%.3f | ${t._4}%.2fx |"
+    def row(t: (String, Double, Double, Double)) = {
+      val note = retimed.get(t._1)
+        .map(f => f" re-timed (first $f%.3f s) -> confirmed |")
+        .getOrElse(" |")
+      f"| ${t._1} | ${t._3}%.3f | ${t._2}%.3f | ${t._4}%.2fx |$note"
+    }
+    val reverted = retimed.keySet.intersect(prev.keySet).toSeq.sorted
+      .filter(k => now(k) >= 0 && prev(k) > 0 && now(k) / prev(k) < 1.5)
     val md = new StringBuilder
     md ++= "# BENCH delta vs " + prevFile + "\n\n"
     md ++= f"Shared queries: ${shared.length}; total " +
       f"${shared.map(prev).sum}%.1f s -> ${shared.map(now).sum}%.1f s " +
       f"(x${shared.map(now).sum / math.max(1e-9, shared.map(prev).sum)}%.2f). " +
       "min-of-3 vs committed min; per-query ratios below are the plan " +
-      "signal, uniform drift is box load (PERF lesson 18).\n\n"
+      "signal, uniform drift is box load (PERF lesson 18). Any row " +
+      ">=1.5x on the first pass was auto-re-timed min-of-3 after the " +
+      "suite finished; the committed value is the min of both passes.\n\n"
     md ++= s"New queries (${added.length}): " +
       (if (added.isEmpty) "none" else added.mkString(", ")) + "\n\n"
     if (removed.nonEmpty)
       md ++= s"Removed queries (${removed.length}): " +
         removed.mkString(", ") + "\n\n"
+    if (reverted.nonEmpty)
+      md ++= s"Re-timed, REVERTED to <1.5x (${reverted.length}): " +
+        reverted.map(k =>
+          f"$k (first ${retimed(k)}%.3f s -> ${now(k)}%.3f s)")
+          .mkString(", ") + "\n\n"
     md ++= s"## >=1.5x slower (${slower.length})\n\n"
     if (slower.isEmpty) md ++= "none\n\n"
-    else md ++= ("| query | prev s | now s | ratio |\n|---|---|---|---|\n" +
+    else md ++= ("| query | prev s | now s | ratio | note |\n" +
+      "|---|---|---|---|---|\n" +
       slower.map(row).mkString("\n") + "\n\n")
+    def fastRow(t: (String, Double, Double, Double)) =
+      f"| ${t._1} | ${t._3}%.3f | ${t._2}%.3f | ${t._4}%.2fx |"
     md ++= s"## <=0.67x (faster, ${faster.length})\n\n"
     if (faster.isEmpty) md ++= "none\n"
     else md ++= ("| query | prev s | now s | ratio |\n|---|---|---|---|\n" +
-      faster.map(row).mkString("\n") + "\n")
+      faster.map(fastRow).mkString("\n") + "\n")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_delta.md"), md.toString)
   }

@@ -451,7 +451,12 @@ object Plans {
           "ONLY rollup bucket rows — event history absent " +
           "(plan-asserted); rollups join the watermark family, so a " +
           "batch missed in an off-window is reconcilable instead of " +
-          "stale-forever"))
+          "stale-forever"),
+      "q195_nodes_committed" ->
+        ("nodes=main: the HA consensus boundary is ONE pushed " +
+          "tsd_id <= safe_id predicate at the scan (same machinery " +
+          "as committed=true — no post-filter, no extra pass); " +
+          "nodes=all reads everything this node holds"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -560,7 +560,48 @@ object DialectQueries {
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q195 — `nodes=main|all` (the cmd_instructions nodes option,
+    * member_cmd.py:150-153) paired with the HA committed boundary: an
+    * events copy carries two lineage epochs (tsd_id 1 = replicated on
+    * all peers, 2 = this node only) and the safe id (dbms/ha.py:225)
+    * sits at 1. `nodes=main` must answer from exactly the consensus
+    * epoch — the QFn REQUIRES it row-equal to `committed=true` and to
+    * the two options composed, and REQUIRES `nodes=all` to see the
+    * full corpus. The oracle replays the epoch-1 predicate directly. */
+  private val q195: QFn = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("q195")
+    val evDir = tmp.resolve("evn.parquet").toString
+    import org.apache.spark.sql.functions.when
+    Tables.load(s, d, "events")
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+      .withColumn("tsd_id",
+        when(pmod(col("user_id"), lit(4)) === 1, lit(2)).otherwise(lit(1)))
+      .write.parquet(evDir)
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("evn", evDir)
+    val engine = new graft.engine.Engine(s, cat)
+    engine.setSafeTsdId("evn", 1)
+    def q(opts: String) = engine.query(s"""sql edge $opts """ +
+      """"select event_type, count(*) as n, sum(value) as sum_value """ +
+      """from evn group by event_type order by event_type"""")
+    val main = q("nodes=main").collect().toSeq
+    require(main == q("committed=true").collect().toSeq,
+      "q195: nodes=main must equal the committed boundary")
+    require(main == q("nodes=main committed=true").collect().toSeq,
+      "q195: nodes=main and committed=true must compose")
+    val nAll = q("nodes=all").agg(org.apache.spark.sql.functions
+      .sum(col("n"))).head().getLong(0)
+    require(nAll > main.map(_.getLong(1)).sum,
+      "q195: nodes=all must also see the unreplicated epoch")
+    q("nodes=main")
+  }
+  private val q195Sql = s"""
+    SELECT event_type, count(*) AS n, ${oSum("value")} AS sum_value
+    FROM events WHERE user_id % 4 <> 1
+    GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, QFn] = Map(
+    "q195_nodes_committed" -> q195,
     "q193_sql_left_join" -> q193,
     "q194_rollup_sync" -> q194,
     "q186_drop_partition_retention" -> q186,
@@ -583,6 +624,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q195_nodes_committed" -> q195Sql,
     "q193_sql_left_join" -> q193Sql,
     "q194_rollup_sync" -> q194Sql,
     "q186_drop_partition_retention" -> q186Sql,

@@ -190,9 +190,14 @@ object EdgeSql {
   }
 
   /** FROM section: `t` or `a [inner] join b on a.x = b.y [and ...]`.
-    * ON conjuncts must be equalities; qualifiers (when present) must
-    * name one of the two tables and fix each column's side — bare
-    * columns default to (left, right) in written order. */
+    * ON conjuncts must be equalities, and EACH conjunct must reference
+    * one column from each join side — a conjunct whose two sides
+    * qualify to the same table (`a.x = a.y`) is rejected at parse.
+    * This is a deliberate dialect divergence from ANSI (which allows
+    * same-table predicates inside ON as filters): put such predicates
+    * in the WHERE clause instead. Qualifiers (when present) must name
+    * one of the two tables and fix each column's side — bare columns
+    * default to (left, right) in written order. */
   private def parseFrom(fromTxt: String): (String, Option[JoinSpec]) = {
     val m =
       "(?i)^(\\S+)\\s+(?:(inner|left)\\s+)?join\\s+(\\S+)\\s+on\\s+(.+)$".r

@@ -39,20 +39,20 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   import Catalog.{TableReg, ViewDef}
 
   /** (tsCol, unit, n) for tables written via TimePartitions. */
-  private var partitionMetas = Map.empty[String, (String, String, Int)]
-  private var tables = Map.empty[String, TableReg]
-  private var views = Map.empty[String, ViewDef]
-  private var policies = Map.empty[String, String] // id -> policy JSON
+  @volatile private var partitionMetas = Map.empty[String, (String, String, Int)]
+  @volatile private var tables = Map.empty[String, TableReg]
+  @volatile private var views = Map.empty[String, ViewDef]
+  @volatile private var policies = Map.empty[String, String] // id -> policy JSON
   /** key -> the exact `<kind> attach ...` command that re-registers
     * the artifact (recorded by each Engine create command). */
-  private var artifacts = Map.empty[String, String]
-  private var reloadErrs = Seq.empty[String]
+  @volatile private var artifacts = Map.empty[String, String]
+  @volatile private var reloadErrs = Seq.empty[String]
 
   reload() // a root-backed catalog starts as the fleet it recorded
 
   def registerTable(name: String, path: String,
       schema: Option[StructType] = None,
-      nanoTs: Seq[String] = Nil): Unit = {
+      nanoTs: Seq[String] = Nil): Unit = synchronized {
     val sch = schema.getOrElse(Tables.loadPath(spark, path, nanoTs).schema)
     tables += name -> TableReg(name, path, sch.json, nanoTs)
     persist(s"table_$name.json",
@@ -63,7 +63,7 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   /** Register a TimePartitions-written table: scans get directory-level
     * pruning when the Engine injects the time-range partition filter. */
   def registerPartitionedTable(name: String, path: String, tsCol: String,
-      unit: String, n: Int, nanoTs: Seq[String] = Nil): Unit = {
+      unit: String, n: Int, nanoTs: Seq[String] = Nil): Unit = synchronized {
     registerTable(name, path, None, nanoTs)
     partitionMetas += name -> ((tsCol, unit, n))
   }
@@ -72,7 +72,7 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     partitionMetas.get(name)
 
   def createView(name: String, table: String,
-      columns: Seq[(String, String)]): Unit = {
+      columns: Seq[(String, String)]): Unit = synchronized {
     views += name -> ViewDef(name, table, columns)
     persist(s"view_$name.json",
       s"""{"view": {"name": ${q(name)}, "table": ${q(table)}, """ +
@@ -80,7 +80,7 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
           s"[${q(s)}, ${q(d)}]" }.mkString(", ")}]}}""")
   }
 
-  def addPolicy(id: String, json: String): Unit = {
+  def addPolicy(id: String, json: String): Unit = synchronized {
     policies += id -> json
     persist(s"policy_$id.json", json)
   }
@@ -91,7 +91,7 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     * after a restart (each Engine `... create` calls this; `attach
     * all` replays them). Keyed so re-creating at the same path
     * overwrites rather than duplicates. */
-  def recordArtifact(key: String, attachCmd: String): Unit = {
+  def recordArtifact(key: String, attachCmd: String): Unit = synchronized {
     artifacts += key -> attachCmd
     persist(s"artifact_${sanitize(key)}.json",
       s"""{"artifact": {"key": ${q(key)}, "attach": ${q(attachCmd)}}}""")

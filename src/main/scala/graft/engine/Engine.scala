@@ -16,7 +16,8 @@ import graft.ingest.SchemaInference
   * handlers below / COVERAGE.md):
   *   sql <dbms> [options] "SELECT ..."      -> dialect query; options:
   *     format=json|json:list|table, stat=true, timezone=<tz>,
-  *     extend=(...), include=(...), committed=true, approx=true,
+  *     extend=(...), include=(...), committed=true, nodes=main|all,
+  *     approx=true,
   *     max_time/max_volume; FROM supports `a [inner|left] join b on
   *     a.x = b.y [and ...]`; transparent serving from registered
   *     rollups / matviews / join matviews; `explain sql ...` reports
@@ -42,6 +43,33 @@ import graft.ingest.SchemaInference
   *     insert/get, get tsd list|diff, get partitions / rows count /
   *     columns / streaming / queries time / event|error|query log,
   *     set <var> = <value> / get dictionary, get tables / get views
+  *
+  * ==Thread-safety contract==
+  * The engine serves concurrent callers (the reference schedules up to
+  * 500 parallel jobs, job/job_scheduler.py:14):
+  *  - '''Queries never block''': `query()`, `sql`/`explain`/`get`/
+  *    search commands and `artifact verify` take no engine lock and
+  *    may run fully in parallel (Spark schedules their jobs FAIR
+  *    across threads).
+  *  - '''Writers serialize''': REST PUT's reserve-append-fold section,
+  *    every artifact-mutating command (create/attach/refresh/sync/
+  *    delete/drop, `drop partition`, `sync all`, `pipeline clean`,
+  *    `set ...`) and the streaming view-fold sink all hold one
+  *    engine-wide [[writeLock]] — the parquet append commit protocol
+  *    is not safe for two concurrent jobs on one directory, and a
+  *    standing artifact's read-fold-commit cycle must not interleave
+  *    (two folds reading version N would both commit N+1; one fold
+  *    silently lost). One writer at a time, readers unblocked.
+  *  - '''Read visibility''': a query racing an append may observe a
+  *    partially committed batch (parquet part-files become visible
+  *    per-file). `committed=true` / `nodes=main` bound reads to the
+  *    replicated safe id and are stable under concurrent ingest; the
+  *    tsd ledger and every registry map are volatile/synchronized, so
+  *    a completed PUT is visible to all subsequent queries. A query
+  *    racing `drop partition` may fail with a file-not-found error and
+  *    should be retried: retention is a physical delete with no
+  *    snapshot isolation, the same contract as the reference's
+  *    partition drop over physical tables.
   */
 final class Engine(val spark: SparkSession, val catalog: Catalog,
     /** Reply-volume cap applied when the sql command carries no
@@ -69,7 +97,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   /** Node dictionary (the reference's params dict — `!var` values that
     * extend=() can stamp into results) and the node's own address
     * (@ip/@port extends). */
-  private var dict = Map.empty[String, String]
+  @volatile private var dict = Map.empty[String, String]
   var nodeAddress: (String, Int) = ("127.0.0.1", 0)
   def setVar(name: String, value: String): Unit = dict += name -> value
 
@@ -138,18 +166,19 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
 
   /** Per-table high-watermark of fully-replicated rows (the reference's
     * HA "committed" boundary, dbms/ha.py:225 safe ids). */
-  private var safeTsdIds = Map.empty[String, Int]
-  def setSafeTsdId(table: String, id: Int): Unit =
+  @volatile private var safeTsdIds = Map.empty[String, Int]
+  def setSafeTsdId(table: String, id: Int): Unit = writeLock.synchronized {
     safeTsdIds += table -> id
+  }
 
   /** Registered standing rollups by table name (`rollup create`). */
-  private var rollups = Map.empty[String, graft.dialect.RollupServe.Meta]
-  private var matviews = Map.empty[String, graft.dialect.MatViewServe.Meta]
+  @volatile private var rollups = Map.empty[String, graft.dialect.RollupServe.Meta]
+  @volatile private var matviews = Map.empty[String, graft.dialect.MatViewServe.Meta]
 
   /** Registered standing JOIN matviews by artifact path (`join matview
     * create` / `join matview attach`) — looked up by side-table name
     * when an ingest batch lands, for the auto-fold. */
-  private var joinMatviews = Map.empty[String, graft.ops.JoinMatView.Spec]
+  @volatile private var joinMatviews = Map.empty[String, graft.ops.JoinMatView.Spec]
 
   /** When true (default), an ingest batch landing in a table
     * auto-folds into every registered standing aggregate artifact over
@@ -160,7 +189,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * crash between the table append and the fold) is recorded in
     * [[autoFoldErrors]] and reconciled exactly by `matview sync`
     * (watermark-driven) or a manual refresh of the missed batch. */
-  private var autoRefreshViews = true
+  @volatile private var autoRefreshViews = true
   private val autoFoldErrors =
     scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -170,14 +199,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * (0 for IVF). */
   private case class VIndexMeta(path: String, kind: String,
       idCol: String, vecCol: String, numSub: Int)
-  private var vindexes = Map.empty[String, VIndexMeta]
+  @volatile private var vindexes = Map.empty[String, VIndexMeta]
 
   /** Registered standing full-text postings indexes by table
     * (`tindex create`): BM25 top-k + positional phrase serving over a
     * [[graft.ops.Retrieval]] artifact — the text twin of `vindex`. */
   private case class TIndexMeta(path: String, idCol: String,
       textCol: String, grams: Boolean)
-  private var tindexes = Map.empty[String, TIndexMeta]
+  @volatile private var tindexes = Map.empty[String, TIndexMeta]
 
   /** Registered standing KMV sketch indexes by table (`sindex create`):
     * per-key bottom-k sketches of the text column's shingle space —
@@ -185,7 +214,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * artifact alone ([[graft.ops.Sketches]] KMV algebra). */
   private case class SIndexMeta(path: String, keyCol: String,
       textCol: String, k: Int)
-  private var sindexes = Map.empty[String, SIndexMeta]
+  @volatile private var sindexes = Map.empty[String, SIndexMeta]
 
   /** Registered standing DEDUP indexes by table (`dedup index
     * create/attach`): the near-dup ingest gate's artifact — shingle
@@ -198,14 +227,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * simhash) or the vector column (embedding). */
   private case class DIndexMeta(path: String, kind: String,
       idCol: String, contentCol: String, shingleN: Int)
-  private var dindexes = Map.empty[String, DIndexMeta]
+  @volatile private var dindexes = Map.empty[String, DIndexMeta]
 
   /** Registered Z-order layouts by table (`layout zorder`): a
     * Morton-clustered directory-partitioned copy whose quads a 2-D box
     * predicate prunes with PARTITION filters ([[graft.ops.Layout]]). */
   private case class LayoutMeta(path: String, xCol: String, yCol: String,
       bits: Int, buckets: Int)
-  private var layouts = Map.empty[String, LayoutMeta]
+  @volatile private var layouts = Map.empty[String, LayoutMeta]
 
   /** Registered CUSUM drift monitors (`monitor create`): standing
     * per-key tail state through IndexStore, folded by `monitor
@@ -213,7 +242,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * ([[graft.streaming.StreamOps]] cusum family). */
   private case class MonitorMeta(path: String, keyCol: String,
       tsCol: String)
-  private var monitors = Map.empty[String, MonitorMeta]
+  @volatile private var monitors = Map.empty[String, MonitorMeta]
 
   /** Run a `sql` command, returning the DataFrame (pre-rendering).
     * A table with a registered rollup first offers the command to
@@ -309,9 +338,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         base = base.filter(TimePartitions.pruneFilter(unit, n, lo, hi))
       }
     }
+    // nodes=main|all (the cmd_instructions option, member_cmd.py:
+    // 150-153): with HA, `main` answers from the operators designated
+    // main — the consensus state every peer has replicated, which on
+    // this engine is rows at or below the table's safe tsd id
+    // (dbms/ha.py:225), the SAME boundary committed=true asserts;
+    // `all` answers from any operator, i.e. everything this node
+    // holds. An un-clustered single node IS its own main with no
+    // replica lag, so the implicit default stays all-equivalent and
+    // only an EXPLICIT nodes=main asserts the HA boundary.
+    val nodes = cmd.options.get("nodes").map(_.toLowerCase)
+    nodes.foreach(v => require(v == "main" || v == "all",
+      s"nodes= must be main|all (got $v)"))
     // committed=true -> restrict to rows replicated on all peers
     // (where-cond injection, unify_results.py:1228-1234)
-    if (cmd.options.get("committed").contains("true") &&
+    if ((cmd.options.get("committed").contains("true") ||
+        nodes.contains("main")) &&
         base.columns.contains("tsd_id")) {
       // unknown replication state -> return NOTHING, matching the
       // reference's conservative consensus init (dbms/ha.py: safe id
@@ -430,6 +472,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         }
     }
     val n = aligned.count()
+    // reserve-append-fold under the engine write lock: concurrent PUTs
+    // (same table or not) serialize here — see the thread-safety
+    // contract in the class doc. Parsing/alignment above ran unlocked.
+    writeLock.synchronized {
     tsdLedger.record("edge", table, "rest_put", hash,
       instructions.getOrElse("0"), n) match {
       case None => 0L // duplicate payload — already ingested
@@ -481,6 +527,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         if (autoRefreshViews) autoFoldViews(table, stamped, tsdId)
         n
     }
+    }
   }
 
   /** Recently executed / recently failed commands (the reference's
@@ -506,10 +553,41 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
 
   /** Execute any command; returns rendered text output. Every command
     * lands in the event log; failures land in the error log too. */
+  /** Serializes every state-mutating operation — artifact create/
+    * refresh/sync/delete/drop, partition/retention, ingest's
+    * append+fold section, streaming view folds — engine-wide. One
+    * writer at a time is the documented contract (see the class doc):
+    * the parquet append commit protocol is not safe for two concurrent
+    * jobs on one directory, and a standing artifact's read-fold-commit
+    * cycle must not interleave with another fold of the same artifact
+    * (two folds both reading version N would commit N+1 twice — one
+    * fold lost). Reads never take this lock. */
+  private val writeLock = new Object
+
+  /** Commands that mutate engine or artifact state (everything the
+    * [[writeLock]] contract covers). `sql`, `explain`, `get`,
+    * search/serve commands and `artifact verify` (a read-only
+    * rebuild-diff) run lock-free. */
+  private def isMutating(low: String): Boolean = {
+    val familyVerb = ("^(rollup|vindex|tindex|sindex|matview|" +
+      "join matview|dedup index|monitor|index) " +
+      "(create|sync|refresh|delete|attach|drop|retention|fold)").r
+    low.startsWith("create view ") || low.startsWith("partition ") ||
+      low.startsWith("drop partition ") ||
+      low.startsWith("pipeline clean") || low.startsWith("sync all") ||
+      low.startsWith("layout ") || low.startsWith("set ") ||
+      low.startsWith("reset ") ||
+      familyVerb.findFirstIn(low).isDefined
+  }
+
   def execute(command: String): String = {
     val entry = (System.currentTimeMillis, command.trim)
     logRing(eventLog, entry)
-    try executeImpl(command, entry)
+    try {
+      if (isMutating(command.trim.toLowerCase))
+        writeLock.synchronized(executeImpl(command, entry))
+      else executeImpl(command, entry)
+    }
     catch { case e: Throwable =>
       logRing(errorLog,
         (System.currentTimeMillis, command.trim,
@@ -995,12 +1073,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     graft.ops.MatView.specFromJson(row.getAs[String]("spec"))
   }
 
-  /** The lineage watermark a stored matview state carries (see
-    * [[graft.ops.MatView.WatermarkCol]]): -1 when absent (no-lineage
-    * view, pre-watermark artifact, or a state whose groups were all
-    * deleted — sync refuses those and says to rebuild). */
-  private def mvWmOf(state: org.apache.spark.sql.DataFrame): Long =
-    wmColOf(state, graft.ops.MatView.WatermarkCol)
+  /** The lineage watermark of a stored matview: the artifact's `wm_`
+    * version tag when present, else the state rows' rider column (see
+    * [[graft.ops.MatView.WatermarkCol]]); -1 when neither exists
+    * (no-lineage view or a pre-tag artifact emptied by deletes —
+    * sync refuses those and says to rebuild). */
+  private def mvWmOf(path: String,
+      state: org.apache.spark.sql.DataFrame): Long = {
+    // version tags first (the jmv/index-family scheme — they keep
+    // lineage across a state whose groups were ALL retired by deletes
+    // or a partition drop; rider columns vanish with the rows, which
+    // silently disabled sync on an emptied matview — found by the
+    // concurrency soak); the rider column is the pre-tag-artifact
+    // fallback
+    val t = indexWmOf(path)
+    if (t >= 0) t else wmColOf(state, graft.ops.MatView.WatermarkCol)
+  }
 
   /** Read a lineage-watermark rider column (-1 when absent or the
     * state has no rows — sync refuses those and says to rebuild). */
@@ -1094,13 +1182,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (keys, aggs) = graft.ops.MatView.specFromJson(specJson)
     val base = catalog.table(table)
     // lineage watermark: the highest tsd_id snapshot the create saw —
-    // rides ON the state rows so it commits WITH every fold (see
-    // MatView.WatermarkCol). -1 when the table carries no tsd lineage.
+    // committed BOTH as a `wm_` version tag (survives an emptied
+    // state, like the jmv/index families) and as the rider column on
+    // the state rows (the pre-tag layout, kept for AS-OF readers).
+    // -1 when the table carries no tsd lineage.
     val wm0 = mvTableWm(base)
     import org.apache.spark.sql.functions.lit
     val state = graft.ops.MatView.partials(base, keys, aggs)
       .withColumn(graft.ops.MatView.WatermarkCol, lit(wm0))
-    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path)
+    val rows = graft.ops.IndexStore.write(state.localCheckpoint(), path,
+      wmTag(wm0))
     graft.ops.IndexStore.write(spark.range(1).select(
       lit(graft.ops.MatView.specToJson(keys, aggs)).as("spec")),
       mvSpecDir(path))
@@ -1139,7 +1230,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (keys, aggs) = mvRecordedSpec(path)
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no matview at $path"))
-    val wm = mvWmOf(state)
+    val wm = mvWmOf(path, state)
     val src = mvFrame(req("source"))
     val batch = graft.ops.MatView.partials(src, keys, aggs)
     // a lineage-stamped batch advances the watermark (so a manual
@@ -1150,7 +1241,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val folded = graft.ops.MatView.fold(stripWm(state), batch, keys, aggs)
       .withColumn(graft.ops.MatView.WatermarkCol, lit(newWm))
       .localCheckpoint()
-    graft.ops.IndexStore.write(folded, path)
+    graft.ops.IndexStore.write(folded, path, wmTag(newWm))
     s"matview refreshed at $path: ${folded.count()} groups"
   }
 
@@ -1204,20 +1295,28 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val (keys, aggs) = mvRecordedSpec(path)
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
       throw new IllegalArgumentException(s"no matview at $path"))
-    val wm = mvWmOf(state) // deletes don't advance ingest lineage
-    import org.apache.spark.sql.functions.lit
+    val wm = mvWmOf(path, state) // deletes don't advance ingest lineage
+    import org.apache.spark.sql.functions.{col, lit}
+    // only rows the view has FOLDED (tsd_id <= wm) ever contributed
+    // partials — subtracting an unfolded row would silently
+    // under-count (the drop-partition/jmv-delete as-of discipline);
+    // lineage-less frames fall through unfiltered
+    val dels0 = mvFrame(req("source"))
+    val dels =
+      if (wm >= 0 && dels0.columns.contains("tsd_id"))
+        dels0.filter(col("tsd_id").cast("long") <= wm)
+      else dels0
     val folded = graft.ops.MatView.foldDelete(stripWm(state),
-      mvFrame(req("source")), keys, aggs)
+      dels, keys, aggs)
       .withColumn(graft.ops.MatView.WatermarkCol, lit(wm))
       .localCheckpoint()
-    import org.apache.spark.sql.functions.col
     val cntAlias = aggs.find(_.fn == "count").get.alias
     val negGroups = folded.filter(col(cntAlias) < 0).count()
     require(negGroups == 0L,
       s"matview delete: $negGroups group(s) went count-negative — the " +
         "delete batch is not a subset of previously folded rows; " +
         "aborted, original state intact")
-    graft.ops.IndexStore.write(folded, path)
+    graft.ops.IndexStore.write(folded, path, wmTag(wm))
     s"matview deleted at $path: ${folded.count()} groups remain"
   }
 
@@ -1441,12 +1540,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   /** `join matview delete where path = <dir> and side = left|right
     * and source = <table|path>` — fold a DELETE batch on one side
     * out of the view: count/sum subtract the partials of
-    * `deletes ⋈ other_current`, zero-count groups retire; min/max
+    * `deletes_asof ⋈ other_asof`, zero-count groups retire; min/max
     * specs refuse loudly (IVM boundary), and a non-subset batch is
     * detected (negative count) and aborted with the state intact.
-    * NOTE the ordering contract: the delete batch must join the
-    * other side AS OF the delete — fold deletes before folding the
-    * other side's own later inserts. */
+    * The as-of discipline is ENFORCED, not an ordering convention:
+    * both the delete batch and the other side are filtered to their
+    * recorded lineage watermarks (`tsd_id <= wm`) so unfolded rows on
+    * either side never enter the subtraction. */
   private def joinMatviewDelete(t: String): String = {
     val (spec, path, dels, other, side) = jmvDeltaArgs(t, "delete")
     val state = graft.ops.IndexStore.read(spark, path).getOrElse(
@@ -1454,15 +1554,33 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     import graft.ops.JoinMatView.{WmLeftCol, WmRightCol}
     // deletes don't advance ingest lineage — watermarks ride through
     val (wmL, wmR) = jmvWmsOf(path, state)
+    val (wmSide, wmOther) =
+      if (side == "left") (wmL, wmR) else (wmR, wmL)
+    // the state holds partials of L_asof(wmL) ⋈ R_asof(wmR), so the
+    // subtractive fold mirrors BOTH snapshots (same as the
+    // drop-partition path, ADVICE r12): (a) only delete rows this
+    // side had folded (tsd_id <= wmSide) ever contributed pairs —
+    // unfolded rows subtract nothing; (b) those pairs joined the
+    // other side AS OF ITS watermark — joining the current other
+    // table would subtract deletes ⋈ Δother partials the state never
+    // contained, a silent under-count the count-negative check
+    // cannot see. Lineage-less frames fall through unfiltered.
+    import org.apache.spark.sql.functions.{col, lit}
+    val delsAsOf =
+      if (wmSide >= 0 && dels.columns.contains("tsd_id"))
+        dels.filter(col("tsd_id").cast("long") <= wmSide)
+      else dels
+    val otherAsOf =
+      if (wmOther >= 0 && other.columns.contains("tsd_id"))
+        other.filter(col("tsd_id").cast("long") <= wmOther)
+      else other
     val bc = "(?i)\\bbroadcast\\s*=\\s*false".r.findFirstIn(t).isEmpty
-    import org.apache.spark.sql.functions.lit
     val folded = graft.ops.JoinMatView.delete(stripWm(state),
-        noSysCols(dels), noSysCols(other), spec, side,
+        noSysCols(delsAsOf), noSysCols(otherAsOf), spec, side,
         broadcastDelta = bc)
       .withColumn(WmLeftCol, lit(wmL))
       .withColumn(WmRightCol, lit(wmR))
       .localCheckpoint()
-    import org.apache.spark.sql.functions.col
     val cntAlias = spec.aggs.find(_.fn == "count").get.alias
     val negGroups = folded.filter(col(cntAlias) < 0).count()
     require(negGroups == 0L,
@@ -1505,7 +1623,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * lineage; `matview sync` stays scoped to the PUT path). */
   def foldStandingViews(table: String,
       batch: org.apache.spark.sql.DataFrame, tsdId: Int = -1,
-      batchTag: Option[String] = None): Unit = {
+      batchTag: Option[String] = None): Unit = writeLock.synchronized {
+    // streaming sinks call this from Spark's micro-batch thread while
+    // users PUT/sync on others — the read-fold-commit cycles below
+    // must not interleave per artifact (reentrant from ingest's lock)
     import org.apache.spark.sql.functions.lit
     def tagged(path: String): Boolean = batchTag.exists(t =>
       graft.ops.IndexStore.hasTag(spark, path, t))
@@ -1513,7 +1634,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       try if (!tagged(m.path)) {
         val state = graft.ops.IndexStore.read(spark, m.path).getOrElse(
           throw new IllegalStateException(s"no matview state at ${m.path}"))
-        val wm = mvWmOf(state)
+        val wm = mvWmOf(m.path, state)
         val batchWm =
           if (tsdId >= 0 && batch.columns.contains("tsd_id")) tsdId.toLong
           else -1L
@@ -1542,7 +1663,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           m.keys, m.aggs)
           .withColumn(graft.ops.MatView.WatermarkCol, lit(newWm))
           .localCheckpoint()
-        graft.ops.IndexStore.write(folded, m.path, batchTag)
+        graft.ops.IndexStore.write(folded, m.path,
+          batchTag.toSeq ++ wmTag(newWm))
       } catch { case e: Exception =>
         autoFoldErrors += s"matview $table (${m.path}): ${e.getMessage}"
       }
@@ -1672,12 +1794,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       s"no matview registered for $table — matview create/attach first"))
     val state = graft.ops.IndexStore.read(spark, m.path).getOrElse(
       throw new IllegalArgumentException(s"no matview state at ${m.path}"))
-    val wm = mvWmOf(state)
+    val wm = mvWmOf(m.path, state)
     require(wm >= 0,
       s"matview for $table has no lineage watermark (created over a " +
-        "table without tsd_id system columns, a pre-watermark artifact, " +
-        "or a state emptied by deletes) — sync cannot prove which rows " +
-        "are folded; rebuild with `matview create`")
+        "table without tsd_id system columns, or a pre-tag artifact " +
+        "whose state was emptied by deletes) — sync cannot prove which " +
+        "rows are folded; rebuild with `matview create`")
     val base = catalog.table(table)
     require(base.columns.contains("tsd_id"),
       s"table $table carries no tsd_id column — sync cannot identify " +
@@ -1693,7 +1815,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         m.keys, m.aggs)
         .withColumn(graft.ops.MatView.WatermarkCol, lit(newWm))
         .localCheckpoint()
-      graft.ops.IndexStore.write(folded, m.path)
+      graft.ops.IndexStore.write(folded, m.path, wmTag(newWm))
       s"matview for $table synced: $nMissed missed row(s) folded, " +
         s"watermark $wm -> $newWm"
     }
@@ -4034,7 +4156,6 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     import org.apache.spark.sql.functions.lit
     val base = catalog.table(table)
     if (!base.columns.contains("__par")) return Seq.empty
-    val tag = s"drop_${table}_$keepFrom"
     def hasMinMax(aggs: Seq[graft.ops.MatView.AggSpec]) =
       aggs.exists(a => a.fn == "min" || a.fn == "max")
     def noCount(aggs: Seq[graft.ops.MatView.AggSpec]) =
@@ -4078,6 +4199,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       .localCheckpoint()
     val nDrop = droppedRows.count()
     if (nDrop == 0L) return refused.map(r => s"STALE (forced): $r")
+    // exactly-once tag keyed by the drop EVENT, not just the horizon:
+    // late-arriving rows can re-create a bucket below a horizon that
+    // was already dropped once, and a second `drop partition` at the
+    // same horizon must fold THOSE rows — a horizon-only tag would
+    // skip every fold ("already folded") while the dirs still delete,
+    // leaving each artifact silently stale (found by the concurrency
+    // soak). The dropped rows' own max tsd_id + count identify the
+    // event; a RETRY of the same drop (crash between artifact folds,
+    // dirs still present) recomputes the identical tag and skips the
+    // already-folded artifacts as before.
+    val tag = s"drop_${table}_${keepFrom}_${mvTableWm(droppedRows)}_$nDrop"
     val survivors = base.filter(col("__par") >= lit(keepFrom))
     val receipts = Seq.newBuilder[String]
     refused.foreach(r => receipts += s"STALE (forced): $r")
@@ -4093,7 +4225,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           val state = graft.ops.IndexStore.read(spark, m.path).getOrElse(
             throw new IllegalStateException(
               s"no matview state at ${m.path}"))
-          val wm = mvWmOf(state) // retention doesn't advance lineage
+          val wm = mvWmOf(m.path, state) // retention doesn't advance lineage
           // subtract ONLY rows the view has folded (tsd_id <= wm) —
           // rows above the lineage watermark (appended while auto
           // refresh was off, or after a fold crash) were never added,
@@ -4117,7 +4249,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               s"count-negative on $neg group(s) — the view has not " +
               "folded all dropped rows (run `matview sync` first); " +
               "aborted with all state intact")
-          graft.ops.IndexStore.write(folded, m.path, Some(tag))
+          graft.ops.IndexStore.write(folded, m.path,
+            Seq(tag) ++ wmTag(wm))
           receipts += s"matview at ${m.path}: $nDrop tombstones folded"
         }
       }

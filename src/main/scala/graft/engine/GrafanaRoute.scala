@@ -10,7 +10,13 @@ import org.apache.spark.sql.DataFrame
 object GrafanaRoute {
 
   /** Payload model (the SimpleJson-datasource shape the reference
-    * consumes): time range + one target. */
+    * consumes): time range + one target. `functions` is the panel's
+    * aggregate override (al_grafana.py:385-389) — when present it
+    * replaces the default min/max/avg/count set in increments/period
+    * statements with `<f>(value) as <f>_val` columns plus the
+    * `max(ts) as timestamp` axis (the reference's
+    * get_increments_timeseries_stmt / get_period_timeseries_stmt
+    * functions branch). */
   final case class Request(
       fromTs: String, toTs: String,
       dbms: String, table: String,
@@ -19,7 +25,11 @@ object GrafanaRoute {
       tsColumn: String = "ts",
       valueColumn: String = "value",
       dataPoints: Int = 1000,
-      timeRange: Boolean = true)
+      timeRange: Boolean = true,
+      functions: Option[Seq[String]] = None)
+
+  /** The validated aggregate set (al_grafana.py:50 aggregation_func_). */
+  private val AllowedFunctions = Set("count", "avg", "min", "max")
 
   def parse(json: String): Request = {
     import org.json4s._
@@ -46,8 +56,28 @@ object GrafanaRoute {
         .getOrElse("value"),
       dataPoints = (root \ "maxDataPoints").extractOpt[Int].getOrElse(1000),
       timeRange = (payload \ "time_range").extractOpt[Boolean]
-        .getOrElse(true))
+        .getOrElse(true),
+      functions = ((payload \ "functions") match {
+        case JArray(fs) => Some(fs.collect { case JString(f) =>
+          f.toLowerCase })
+        case _ => None
+      }).filter(_.nonEmpty).map { fs =>
+        // reject typos loudly (the reference's aggregations-path
+        // validation, al_grafana.py:437-442) instead of compiling a
+        // panel that fails later in the dialect
+        val bad = fs.filterNot(AllowedFunctions)
+        require(bad.isEmpty, s"functions override: ${bad.mkString(",")} " +
+          s"not in ${AllowedFunctions.toSeq.sorted.mkString("/")}")
+        fs
+      })
   }
+
+  /** The functions-override SELECT list: the time axis + one
+    * `<f>(value) as <f>_val` per requested aggregate. */
+  private def overrideCols(r: Request): String =
+    s"max(${r.tsColumn}) as timestamp, " +
+      r.functions.get.map(f =>
+        s"$f(${r.valueColumn}) as ${f}_val").mkString(", ")
 
   /** Build the dialect command for a request (the reference splices
     * increments()/period() into the SQL the same way). */
@@ -74,12 +104,19 @@ object GrafanaRoute {
             }
           }
         s"""sql ${r.dbms} "$withRange""""
+      case "increments" if r.functions.nonEmpty =>
+        s"""sql ${r.dbms} "select increments(${r.dataPoints}, ${r.tsColumn}), """ +
+          overrideCols(r) + s" from ${r.table} where $range\""
       case "increments" =>
         s"""sql ${r.dbms} "select increments(${r.dataPoints}, ${r.tsColumn}), """ +
           s"min(${r.valueColumn}) as min_value, " +
           s"max(${r.valueColumn}) as max_value, " +
           s"avg(${r.valueColumn}) as avg_value, count(*) as n " +
           s"from ${r.table} where $range\""
+      case "period" if r.functions.nonEmpty =>
+        s"""sql ${r.dbms} "select """ + overrideCols(r) +
+          s" from ${r.table} where " +
+          s"period(minute, 1, '${r.toTs}', ${r.tsColumn})\""
       case "period" =>
         s"""sql ${r.dbms} "select * from ${r.table} where """ +
           s"period(minute, 1, '${r.toTs}', ${r.tsColumn})\""

@@ -523,12 +523,19 @@ ORDER BY pmi_q DESC, p.w1, p.w2 LIMIT 30"""
       .select(col("q"), col("cum_tok"), col("prev_cum"))
     val wd = Window.partitionBy(col("q")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs0.join(broadcast(cum), "q").crossJoin(broadcast(tot))
+    val joined = docs0.join(broadcast(cum), "q").crossJoin(broadcast(tot))
+    // whole levels above the threshold: admitted by the join alone
+    val whole = joined.filter(col("cum_tok") <= col("budget"))
+    // ONLY the single boundary level (prev_cum < budget < cum_tok)
+    // reaches the window — the filter sits BELOW it, so no other
+    // level ever pays the ordered running sum
+    val boundary = joined
+      .filter(col("prev_cum") < col("budget") &&
+        col("cum_tok") > col("budget"))
       .withColumn("run_tok", sum(col("n_tok")).over(wd))
-      .filter(col("cum_tok") <= col("budget") ||
-        (col("prev_cum") < col("budget") &&
-          col("run_tok") <= col("budget") - col("prev_cum")))
-      .select(col("doc_id"), col("q"), col("n_tok"))
+      .filter(col("run_tok") <= col("budget") - col("prev_cum"))
+    whole.select(col("doc_id"), col("q"), col("n_tok"))
+      .unionByName(boundary.select(col("doc_id"), col("q"), col("n_tok")))
       .orderBy(col("doc_id"))
   }
   private val q159Sql = s"""

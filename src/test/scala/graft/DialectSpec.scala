@@ -199,7 +199,10 @@ class EdgeSqlSpec extends SparkSpec {
         """sql edge "select o_orderpriority from orders join orders """ +
           """on orders.o_orderkey = orders.o_orderkey"""").collect()
     }
-    assert(e.getMessage.contains("share column name"), e.getMessage)
+    // rejected at parse: either the same-table ON-conjunct guard
+    // (fires first) or the overlapping-column check — both are loud
+    assert(e.getMessage.contains("same table") ||
+      e.getMessage.contains("share column name"), e.getMessage)
   }
 
   test("compiled dialect query equals the hand-written plan") {

@@ -634,6 +634,25 @@ class CommittedFilterSpec extends SparkSpec {
       """sql edge committed=true "select count(*) as n from sensor"""")
     assert(all.head().getLong(0) === 3)
     assert(committed.head().getLong(0) === 2)
+
+    // nodes=main|all (member_cmd.py:150-153): main = the replicated
+    // consensus the main operators hold (same boundary as committed,
+    // dbms/ha.py:225 safe ids); all = everything this node holds —
+    // and the two options compose without conflict
+    val main = engine.query(
+      """sql edge nodes=main "select count(*) as n from sensor"""")
+    assert(main.head().getLong(0) === 2)
+    val nodesAll = engine.query(
+      """sql edge nodes=all "select count(*) as n from sensor"""")
+    assert(nodesAll.head().getLong(0) === 3)
+    val both = engine.query("""sql edge nodes=main committed=true """ +
+      """"select count(*) as n from sensor"""")
+    assert(both.head().getLong(0) === 2)
+    val err = intercept[IllegalArgumentException] {
+      engine.query(
+        """sql edge nodes=some "select count(*) as n from sensor"""")
+    }
+    assert(err.getMessage.contains("main|all"), err.getMessage)
   }
 
   test("stamp adds the four system columns with the tsd lineage") {

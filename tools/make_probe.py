@@ -6,6 +6,13 @@ passed through unchanged. NO oracle runs here — timing evidence only
 (see SCALING.md); correctness stays gated on the driver's sf dirs.
 
 Usage: python3 tools/make_probe.py <srcSfDir> <outDir> [K=10] [--perturb]
+       [--tpch]
+
+--tpch ALSO replicates orders+lineitem Kx as disjoint copies (all keys
+offset per copy) — the weak-scaling probe for the trade-graph queries
+(q136/q139/q150): edge and wedge volume grow Kx with the copy count,
+degree distribution unchanged. Offsets are 1e7-sized (fits sf<=1 keys
+with room; results stay in 64-bit after the graph's *3 node encoding).
 
 --perturb re-permutes each copy's tokens with a PER-COPY deterministic
 order (sort by md5(token || copy index)), so replicas share a vocabulary
@@ -20,9 +27,10 @@ import duckdb
 
 def main():
     src, out = sys.argv[1], sys.argv[2]
-    rest = [a for a in sys.argv[3:] if a != "--perturb"]
+    rest = [a for a in sys.argv[3:] if a not in ("--perturb", "--tpch")]
     k = int(rest[0]) if rest else 10
     perturb = "--perturb" in sys.argv
+    tpch = "--tpch" in sys.argv
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     # permute POSITIONS (not values): sorting the tokens themselves would
@@ -46,6 +54,14 @@ def main():
         "events": {"event_id": "event_id + i * 1000000000",
                    "user_id": "user_id + i * 1000000000"},
     }
+    if tpch:
+        reps["orders"] = {
+            "o_orderkey": "o_orderkey + i * 10000000",
+            "o_custkey": "o_custkey + i * 10000000"}
+        reps["lineitem"] = {
+            "l_orderkey": "l_orderkey + i * 10000000",
+            "l_suppkey": "l_suppkey + i * 10000000",
+            "l_partkey": "l_partkey + i * 10000000"}
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "documents", "embeddings", "events"]:
         s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
