@@ -62,6 +62,14 @@ def main():
             "l_orderkey": "l_orderkey + i * 10000000",
             "l_suppkey": "l_suppkey + i * 10000000",
             "l_partkey": "l_partkey + i * 10000000"}
+        # customer keys track o_custkey's offsets (referential
+        # integrity per copy); each copy's names get a '-<i>' suffix so
+        # the edit-distance families stay disjoint across copies — the
+        # near-pair volume grows Kx (organic growth), not K^2x
+        reps["customer"] = {
+            "c_custkey": "c_custkey + i * 10000000",
+            "c_name": ("CASE WHEN i = 0 THEN c_name ELSE "
+                       "c_name || '-' || CAST(i AS VARCHAR) END")}
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "documents", "embeddings", "events"]:
         s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
