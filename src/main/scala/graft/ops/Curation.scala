@@ -139,6 +139,9 @@ object Curation {
     scoredPool(index, nb, docs, textCol)
       .orderBy(col("weight_q").desc, col(idCol))
       .limit(topK)
+      // unpartitioned window is BOUNDED BY THE limit ABOVE (<= topK
+      // rows reach it) — the WindowExec single-partition warning it
+      // logs is about an input this plan can never make large
       .select(row_number().over(
           Window.orderBy(col("weight_q").desc, col(idCol))).as("rank"),
         col(idCol), col("weight_q"))
@@ -335,6 +338,7 @@ object Curation {
     lmScores(docs, textCol, idCol)
       .orderBy(col("score_q").desc, col(idCol))
       .limit(topK)
+      // unpartitioned window bounded by the limit above (<= topK rows)
       .select(row_number().over(
           Window.orderBy(col("score_q").desc, col(idCol))).as("rank"),
         col(idCol), col("n_big"), col("score_q"))

@@ -203,6 +203,15 @@ class EdgeSqlSpec extends SparkSpec {
     // (fires first) or the overlapping-column check — both are loud
     assert(e.getMessage.contains("same table") ||
       e.getMessage.contains("share column name"), e.getMessage)
+    // an ON conjunct whose two sides qualify to ONE table of a
+    // two-table join hits the same-table guard specifically — the
+    // documented dialect divergence (such predicates belong in WHERE)
+    val e2 = intercept[IllegalArgumentException] {
+      EdgeSql.query(spark, load,
+        """sql edge "select o_orderpriority from orders join lineitem """ +
+          """on orders.o_orderkey = orders.o_custkey"""")
+    }
+    assert(e2.getMessage.contains("same table"), e2.getMessage)
   }
 
   test("compiled dialect query equals the hand-written plan") {
