@@ -60,7 +60,9 @@ object Rollup {
     require(rollup.columns.contains("ts_col"),
       "rollup artifact predates ts_col recording — rebuild it")
     val grain = grainOf(rollup)
-    val tsCol = rollup.select(col("ts_col")).take(1).head.getString(0)
+    val tsCol = rollup.select(col("ts_col")).take(1).headOption.getOrElse(
+      throw new IllegalStateException("empty rollup state carries no " +
+        "ts_col rows — rebuild with rollup create")).getString(0)
     val measures = measuresOf(rollup)
     val known = Set("grain_ts", "n", "grain", "ts_col") ++
       measures.flatMap(m => Seq(s"nv_$m", s"sum_dec_$m", s"min_$m", s"max_$m"))
@@ -93,12 +95,22 @@ object Rollup {
     build(df, tsCol, grain, dims, Seq(valueCol))
 
   /** The recorded grain of a rollup; fails loudly on a mixed-grain
-    * union (a rollup carries exactly one grain by construction). */
+    * union (a rollup carries exactly one grain by construction) AND on
+    * an EMPTY state: the identity rides on rows, so a rollup whose
+    * buckets were all retired by a drop carries none — a silent
+    * default here once rebuilt a day-grain artifact at SECOND grain on
+    * the next fold (permanent corruption, found by the concurrency
+    * soak + RollupScheduleFuzzSpec seed 6). Callers that know the
+    * registered grain must use it for the empty case ([[refreshStore]]
+    * does). */
   def grainOf(rollup: DataFrame): String = {
     val gs = rollup.select(col("grain")).distinct().take(2)
     require(gs.length <= 1, "mixed-grain rollup: " +
       gs.map(_.getString(0)).sorted.mkString(", "))
-    gs.headOption.map(_.getString(0)).getOrElse("second")
+    gs.headOption.map(_.getString(0)).getOrElse(throw
+      new IllegalStateException("empty rollup state carries no grain " +
+        "rows — supply the registered grain (refreshStore does) or " +
+        "rebuild with rollup create"))
   }
 
   /** Merge two rollups of the same grain, dims, and measures: counts and
@@ -185,8 +197,12 @@ object Rollup {
       tsCol: String, grain: String, dims: Seq[String],
       measures: Seq[String], tags: Seq[String]): DataFrame = {
     val next = IndexStore.read(spark, dir) match {
-      case Some(cur) => refresh(cur, delta, tsCol, dims, measures)
-      case None => build(delta, tsCol, grain, dims, measures)
+      // an EMPTIED state (every bucket retired by deletes/drops) keeps
+      // its schema but not its identity rows — fold at the CALLER'S
+      // registered grain, never grainOf's guess (see grainOf)
+      case Some(cur) if cur.take(1).nonEmpty =>
+        refresh(cur, delta, tsCol, dims, measures)
+      case _ => build(delta, tsCol, grain, dims, measures)
     }
     val out = next.localCheckpoint()
     IndexStore.write(out, dir, tags)
@@ -229,6 +245,7 @@ object Rollup {
   def deleteRows(rollup: DataFrame, deletedRows: DataFrame,
       base: DataFrame, dims: Seq[String],
       measures: Seq[String]): DataFrame = {
+    if (rollup.take(1).isEmpty) return rollup // nothing folded, nothing to retire
     val (tsCol, grain, _, _) = metaOf(rollup)
     val touched = deletedRows
       .select(date_trunc(grain, col(tsCol)).as("grain_ts")).distinct()
