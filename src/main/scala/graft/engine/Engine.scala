@@ -65,11 +65,19 @@ import graft.ingest.SchemaInference
   *    per-file). `committed=true` / `nodes=main` bound reads to the
   *    replicated safe id and are stable under concurrent ingest; the
   *    tsd ledger and every registry map are volatile/synchronized, so
-  *    a completed PUT is visible to all subsequent queries. A query
-  *    racing `drop partition` may fail with a file-not-found error and
-  *    should be retried: retention is a physical delete with no
-  *    snapshot isolation, the same contract as the reference's
-  *    partition drop over physical tables.
+  *    a completed PUT is visible to all subsequent queries.
+  *  - '''Retention never breaks a command read''': the physical
+  *    file-removal moments (`drop partition`'s directory delete, the
+  *    compact/merge directory swap) drain in-flight non-mutating
+  *    `execute()` calls through a fair read-write gate
+  *    ([[retentionGate]]) before touching the filesystem, so a
+  *    command-surface query can never fail with file-not-found from
+  *    retention — an upgrade over the reference, whose partition drop
+  *    is a physical delete clients must retry around. The lazy
+  *    `query()` DataFrame surface executes OUTSIDE the engine and
+  *    keeps that retry contract: a plan resolved before a drop holds
+  *    the dropped file names, and a collect after it may fail with
+  *    file-not-found and should be retried.
   */
 final class Engine(val spark: SparkSession, val catalog: Catalog,
     /** Reply-volume cap applied when the sql command carries no
@@ -564,6 +572,34 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * fold lost). Reads never take this lock. */
   private val writeLock = new Object
 
+  /** Retention gate: the ONLY lock the read path ever touches. A
+    * non-mutating command execution holds the READ side for its whole
+    * run (reads still run fully parallel with each other and with
+    * every writer except a physical delete); the two physical
+    * file-removal moments — `drop partition`'s directory delete and
+    * the compact/merge [[swapDirs]] promotion — hold the WRITE side.
+    * So a command-surface query can never observe a file-not-found
+    * from retention: the delete drains in-flight command reads first,
+    * and reads planned after it list the surviving files. FAIR mode so
+    * a continuous reader stream cannot starve retention. Deadlock-
+    * free by construction: the write side is reachable only from
+    * mutating commands, which never hold the read side (no
+    * read→write upgrade exists). `query()` hands back a lazy
+    * DataFrame executed outside the engine, so it stays on the
+    * documented retry contract. */
+  private val retentionGate =
+    new java.util.concurrent.locks.ReentrantReadWriteLock(true)
+
+  private def readGated[A](body: => A): A = {
+    val l = retentionGate.readLock(); l.lock()
+    try body finally l.unlock()
+  }
+
+  private def deleteGated[A](body: => A): A = {
+    val l = retentionGate.writeLock(); l.lock()
+    try body finally l.unlock()
+  }
+
   /** Commands that mutate engine or artifact state (everything the
     * [[writeLock]] contract covers). `sql`, `explain`, `get`,
     * search/serve commands and `artifact verify` (a read-only
@@ -577,6 +613,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       low.startsWith("pipeline clean") || low.startsWith("sync all") ||
       low.startsWith("layout ") || low.startsWith("set ") ||
       low.startsWith("reset ") ||
+      // attach all re-registers the whole artifact fleet (and its
+      // inner attaches take the write lock); classifying it mutating
+      // also keeps the retention-gate lock order acyclic — a reader
+      // must never block on [[writeLock]] while holding the read gate
+      low.startsWith("attach all") ||
+      // directory-rewriting commands (swapDirs): were never safe to
+      // run concurrently with each other on one table, and they END
+      // in a physical delete — both facts require the write side
+      low.startsWith("compact ") || low.startsWith("merge into") ||
+      low.startsWith("merge scd2 into") ||
       familyVerb.findFirstIn(low).isDefined
   }
 
@@ -586,7 +632,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     try {
       if (isMutating(command.trim.toLowerCase))
         writeLock.synchronized(executeImpl(command, entry))
-      else executeImpl(command, entry)
+      else readGated(executeImpl(command, entry))
     }
     catch { case e: Throwable =>
       logRing(errorLog,
@@ -3500,7 +3546,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * registered path simply did not exist. */
   private def swapDirs(fs: org.apache.hadoop.fs.FileSystem,
       target: org.apache.hadoop.fs.Path,
-      tmp: org.apache.hadoop.fs.Path): Unit = {
+      tmp: org.apache.hadoop.fs.Path): Unit = deleteGated {
     val old = new org.apache.hadoop.fs.Path(target.toString + "__old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(target, old))
@@ -4137,7 +4183,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val path = tableOpt.flatMap(catalog.tablePath).getOrElse(target)
     val receipts = tableOpt.toSeq.flatMap(tbl =>
       foldDropIntoArtifacts(tbl, keepFrom, force))
-    val dropped = TimePartitions.dropOlderThan(spark, path, keepFrom)
+    val dropped =
+      deleteGated(TimePartitions.dropOlderThan(spark, path, keepFrom))
     (s"dropped ${dropped.length} partitions: ${dropped.mkString(", ")}" +:
       receipts).mkString("\n")
   }

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * and then demands the FULL trust loop: every standing artifact
   * verifies row-exact against a rebuild. Exercises the thread-safety
   * contract documented on [[graft.engine.Engine]]: writers serialize
-  * on the engine write lock, queries never block. */
+  * on the engine write lock, queries never block on writers, and
+  * command-surface reads are retention-safe (the physical delete
+  * drains them through the fair read gate — only the lazy `query()`
+  * surface keeps the retry-on-file-not-found contract). */
 class ConcurrencySoakSpec extends SparkSpec {
   import spark.implicits._
 
@@ -86,6 +89,20 @@ class ConcurrencySoakSpec extends SparkSpec {
         assert(n === 1L, s"writer R$w PUT $i acked $n rows")
       }
     })
+    // command-surface readers: execute() holds the retention read
+    // gate, so these must NEVER see a file-not-found from the chaos
+    // thread's drop partition — any throw here fails the soak (the
+    // isRetentionRace escape hatch is deliberately NOT applied)
+    val strictReaders = (0 until 2).map(r => thread(s"exec$r") {
+      for (_ <- 0 until 12) {
+        val out =
+          if (r == 0) engine.execute(
+            """sql edge "select g, count(*) as n from sl group by g"""")
+          else engine.execute(
+            """sql edge format=table "select count(*) as n from sr"""")
+        assert(out.nonEmpty)
+      }
+    })
     val readers = (0 until 3).map(r => thread(s"read$r") {
       for (i <- 0 until 12) {
         try {
@@ -129,7 +146,8 @@ class ConcurrencySoakSpec extends SparkSpec {
       }
     }
 
-    (writersL ++ writersR ++ readers :+ chaos).foreach(_.join(300000))
+    (writersL ++ writersR ++ strictReaders ++ readers :+ chaos)
+      .foreach(_.join(300000))
     assert(errors.isEmpty, "soak thread failures:\n" +
       errors.toArray.map {
         case e: Throwable =>
