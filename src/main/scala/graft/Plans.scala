@@ -456,7 +456,20 @@ object Plans {
         ("nodes=main: the HA consensus boundary is ONE pushed " +
           "tsd_id <= safe_id predicate at the scan (same machinery " +
           "as committed=true — no post-filter, no extra pass); " +
-          "nodes=all reads everything this node holds"))
+          "nodes=all reads everything this node holds"),
+      "q196_exact_substr_coverage" ->
+        ("ExactSubstr coverage: one span groupBy (two-phase agg), " +
+          "one join back on span text, then ONE window sorted by " +
+          "position WITHIN each doc — merged-interval math rides the " +
+          "fixed span width (covered = sum(min(k, next-start)), new " +
+          "interval iff gap > k), so per-partition state is one " +
+          "doc's duplicated starts, never corpus-sized"),
+      "q197_exact_substr_stage" ->
+        ("ExactSubstr removal: duplicated starts fan out x k into " +
+          "covered indices (bounded explode), LEFT ANTI equi-join on " +
+          "(id, position) keeps survivors, reassembly is a per-doc " +
+          "array_sort inside the aggregate — all equi-joins, no " +
+          "window over the full token stream, no driver loop"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -926,6 +926,109 @@ object Dedup {
           .as("max_span_df"))
   }
 
+  /** Merged-interval duplicate-span COVERAGE — the removal-decision
+    * metric behind Lee et al. 2021's ExactSubstr dedup (arXiv:2107.06499
+    * §4.1; the released suffix-array tool cuts every repeated span): per
+    * doc, how many TOKENS fall inside at least one duplicated span, with
+    * overlapping rolling spans merged so a 10-token repeat counts 10,
+    * not 3 spans x 8 tokens. A span is "duplicated" when its text occurs
+    * >= 2 times corpus-wide (any doc, including the same doc at another
+    * position — the suffix-array semantics, unlike [[duplicateSpans]]'s
+    * distinct-doc df).
+    *
+    * Returns (id, n_tokens, covered_tokens, n_intervals) — all BIGINT so
+    * the differential oracle hash-matches without float drift;
+    * `covered_tokens / n_tokens` is the paper's coverage ratio,
+    * computable downstream at whatever precision the caller wants.
+    *
+    * Scale shape: one groupBy on span text (two-phase agg), one join
+    * back on span text (AQE handles hot spans), then ONE window sorted
+    * by position WITHIN each doc — per-partition state is one doc's
+    * duplicated starts, so the sort is bounded by doc length, never by
+    * corpus size. Interval merging exploits the fixed span width: with
+    * starts sorted, covered = sum(min(k, next_start - start)) and a new
+    * merged interval begins exactly when start - prev_start > k. */
+  def spanCoverage(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val k = spanTokens
+    val sp = df.select(col(idCol).as("id"),
+      posexplode(F.tokenSpans(col(textCol), k)).as(Seq("pos", "s")))
+    val dup = sp.join(
+      sp.groupBy("s").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select("s"),
+      "s").select(col("id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    val cov = dup
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .withColumn("prv", lag(col("pos"), 1).over(w))
+      .groupBy("id")
+      .agg(
+        sum(least(lit(k.toLong),
+          coalesce(col("nxt") - col("pos"), lit(k.toLong)).cast("long")))
+          .as("covered_tokens"),
+        sum(when(col("prv").isNull || col("pos") - col("prv") > k, 1L)
+          .otherwise(0L)).as("n_intervals"))
+    df.select(col(idCol).as("id"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        coalesce(col("n_intervals"), lit(0L)).as("n_intervals"))
+  }
+
+  /** The ExactSubstr REMOVAL transform itself — the pipeline stage that
+    * consumes [[spanCoverage]]'s decision: every token covered by a
+    * duplicated span (same corpus-wide >= 2-occurrence rule) is dropped
+    * and the survivors re-join in original order. This matches the
+    * released Lee et al. tool's behavior of cutting EVERY occurrence of
+    * a repeated span (the paper discusses keeping one copy; the code
+    * cuts all — we implement the code's semantics because it is
+    * deterministic without a global occurrence ordering).
+    *
+    * Returns (id, n_tokens, kept_tokens, clean_text); a fully-duplicated
+    * doc survives with kept_tokens = 0 and clean_text = '' (the caller
+    * decides whether to drop empties — that's a filter, not this op's
+    * job).
+    *
+    * Scale shape: duplicated starts fan out x spanTokens into covered
+    * token indices (bounded small-constant explode), distinct once, then
+    * a LEFT ANTI join against (id, position, token) rows — all equi-joins
+    * on (id, j). Reassembly is a per-doc sort inside an aggregate
+    * (array_sort over structs), bounded by doc length. No driver-side
+    * anything. */
+  def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int = 8): DataFrame = {
+    val k = spanTokens
+    val sp = df.select(col(idCol).as("id"),
+      posexplode(F.tokenSpans(col(textCol), k)).as(Seq("pos", "s")))
+    val dup = sp.join(
+      sp.groupBy("s").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select("s"),
+      "s").select(col("id"), col("pos"))
+    val covered = dup
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("j"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(filter(split(col(textCol), " "), t => t =!= ""))
+        .as(Seq("j", "tok")))
+    val kept = toks.join(covered, Seq("id", "j"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"))
+    df.select(col(idCol).as("id"),
+        size(filter(split(col(textCol), " "), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Embedding near-dup pairs: LSH bucket candidates verified by exact
     * cosine >= `threshold`. `bits <= 0` (the default) derives the
     * signature width from the corpus size ([[deriveBits]]; costs one

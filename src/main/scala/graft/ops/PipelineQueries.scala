@@ -2272,6 +2272,74 @@ object PipelineQueries {
       max(span_df) AS max_span_df
     FROM sp JOIN dfs USING (s) GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q196 — ExactSubstr COVERAGE (the removal-decision metric of Lee et
+    * al. 2021 §4.1): per doc, tokens inside at least one duplicated
+    * 8-token span, with overlapping spans MERGED into intervals (a
+    * 10-token verbatim repeat covers 10 tokens, not 3 spans x 8). The
+    * duplicate rule is the suffix-array one — >= 2 occurrences
+    * corpus-wide, same-doc repeats included — deliberately different
+    * from q97's distinct-doc df. All-integer output so the differential
+    * gate hash-matches exactly. */
+  private val q196: QFn = (s, d) =>
+    Dedup.spanCoverage(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", spanTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  /** Shared positional-span CTEs: (doc_id, pos, s) rolling spans and the
+    * duplicated starts (span text occurring >= 2 times corpus-wide). */
+  private val dupSpanCtes = s"""
+    WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+    sp0 AS (SELECT doc_id, tk, unnest(CASE WHEN len(tk) < 8
+          THEN CAST([] AS BIGINT[]) ELSE range(len(tk)-7) END) AS pos
+      FROM toks),
+    sp AS (SELECT doc_id, pos,
+        array_to_string(tk[pos+1:pos+8], ' ') AS s FROM sp0),
+    occ AS (SELECT s FROM sp GROUP BY s HAVING count(*) >= 2),
+    dup AS (SELECT doc_id, pos FROM sp JOIN occ USING (s))"""
+  private val q196Sql = s"""$dupSpanCtes,
+    win AS (SELECT doc_id, pos,
+        lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prv FROM dup),
+    cov AS (SELECT doc_id,
+        CAST(sum(LEAST(8, COALESCE(nxt - pos, 8))) AS BIGINT)
+          AS covered_tokens,
+        CAST(sum(CASE WHEN prv IS NULL OR pos - prv > 8 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_intervals
+      FROM win GROUP BY doc_id)
+    SELECT t.doc_id, len(tk) AS n_tokens,
+      COALESCE(covered_tokens, 0) AS covered_tokens,
+      COALESCE(n_intervals, 0) AS n_intervals
+    FROM toks t LEFT JOIN cov USING (doc_id) ORDER BY doc_id"""
+
+  /** q197 — the ExactSubstr removal STAGE: drop every token covered by a
+    * duplicated span (the released Lee et al. tool cuts every occurrence
+    * of a repeated span; we implement the tool's semantics because they
+    * are deterministic without a global occurrence order) and re-join
+    * the survivors in original order. clean_text itself is under the
+    * hash — the oracle rebuilds the exact surviving string. */
+  private val q197: QFn = (s, d) =>
+    Dedup.exactSubstrDedup(wide(s, d, "documents", "doc_id"),
+        "text", "doc_id", spanTokens = 8)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+  private val q197Sql = s"""$dupSpanCtes,
+    covered AS (SELECT DISTINCT doc_id, pos + o AS j
+      FROM dup, range(8) r(o)),
+    tk0 AS (SELECT doc_id, tk, unnest(CASE WHEN len(tk) = 0
+          THEN CAST([] AS BIGINT[]) ELSE range(len(tk)) END) AS j
+      FROM toks),
+    tok AS (SELECT doc_id, j, tk[j+1] AS tok FROM tk0),
+    kept AS (SELECT t.doc_id, t.j, t.tok FROM tok t
+      LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.j = c.j
+      WHERE c.doc_id IS NULL),
+    agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+        string_agg(tok, ' ' ORDER BY j) AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT t.doc_id, len(tk) AS n_tokens,
+      COALESCE(kept_tokens, 0) AS kept_tokens,
+      COALESCE(clean_text, '') AS clean_text
+    FROM toks t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
+
   /** q101 — Bloom-filter exact-dedup gate under the differential oracle:
     * the bottom 80% of docs are the standing corpus, the top 40% are a
     * RE-INGESTED batch (the overlap is the replayed-crawl scenario —
@@ -2418,6 +2486,8 @@ object PipelineQueries {
     "q99_neardup_multitable" -> q99,
     "q98_duplicate_spans_hashfirst" -> q98,
     "q97_duplicate_spans" -> q97,
+    "q196_exact_substr_coverage" -> q196,
+    "q197_exact_substr_stage" -> q197,
     "q96_index_refresh" -> q96,
     "q192_dindex_lifecycle" -> q192,
     "q95_incremental_embedding" -> q95,
@@ -2485,6 +2555,8 @@ object PipelineQueries {
     "q99_neardup_multitable" -> q99Sql,
     "q98_duplicate_spans_hashfirst" -> q97Sql,
     "q97_duplicate_spans" -> q97Sql,
+    "q196_exact_substr_coverage" -> q196Sql,
+    "q197_exact_substr_stage" -> q197Sql,
     "q96_index_refresh" -> q96Sql,
     "q192_dindex_lifecycle" -> q192Sql,
     "q95_incremental_embedding" -> q95Sql,

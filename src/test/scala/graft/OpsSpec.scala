@@ -630,6 +630,67 @@ class DedupApiSpec extends SparkSpec {
       1L, 1) === Dedup.SpanExact)
   }
 
+  test("spanCoverage merges overlapping spans, splits on gaps, and " +
+      "counts same-doc repeats as duplicates") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"a$i").mkString(" ")
+    val run = (1 to 10).map(i => s"y$i").mkString(" ")
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val in = Seq(
+      (0L, ten),                                   // verbatim twin of 1
+      (1L, ten),
+      (2L, (1 to 8).map(i => s"u$i").mkString(" ")), // 1 span, unique
+      (3L, "too short"),                           // < 8 tokens: no spans
+      (4L, s"$x8 z $x8"),     // same-DOC repeat: two intervals, gap at "z"
+      (5L, s"$run p5a p5b"),  // 10-token run shared with 6: 3 spans MERGE
+      (6L, s"$run q6a q6b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(in, "text", "doc_id").orderBy("id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0L, 10L, 10L, 1L), (1L, 10L, 10L, 1L),
+      (2L, 8L, 0L, 0L), (3L, 2L, 0L, 0L),
+      (4L, 17L, 16L, 2L),
+      (5L, 12L, 10L, 1L), (6L, 12L, 10L, 1L)))
+  }
+
+  test("exactSubstrDedup drops exactly the covered tokens and rebuilds " +
+      "the survivors in order") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"a$i").mkString(" ")
+    val run = (1 to 10).map(i => s"y$i").mkString(" ")
+    val x8 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val in = Seq(
+      (0L, ten), (1L, ten),
+      (2L, (1 to 8).map(i => s"u$i").mkString(" ")),
+      (3L, "too short"),
+      (4L, s"$x8 z $x8"),
+      (5L, s"$run p5a p5b"), (6L, s"$run q6a q6b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrDedup(in, "text", "doc_id").orderBy("id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (0L, 10L, 0L, ""), (1L, 10L, 0L, ""),
+      (2L, 8L, 8L, (1 to 8).map(i => s"u$i").mkString(" ")),
+      (3L, 2L, 2L, "too short"),
+      (4L, 17L, 1L, "z"),
+      (5L, 12L, 2L, "p5a p5b"), (6L, 12L, 2L, "q6a q6b")))
+  }
+
+  test("coverage and removal agree on the corpus: covered + kept = total " +
+      "per doc") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cov = Dedup.spanCoverage(docs, "text", "doc_id")
+      .select(col("id"), col("n_tokens"), col("covered_tokens"))
+    val cut = Dedup.exactSubstrDedup(docs, "text", "doc_id")
+      .select(col("id"), col("kept_tokens"))
+    val bad = cov.join(cut, "id")
+      .filter(col("covered_tokens") + col("kept_tokens") =!= col("n_tokens"))
+    assert(bad.count() === 0)
+  }
+
   test("token_spans rejects a non-positive span width at plan time") {
     intercept[IllegalArgumentException] {
       graft.functions.F.tokenSpans(org.apache.spark.sql.functions
