@@ -469,7 +469,22 @@ object Plans {
           "covered indices (bounded explode), LEFT ANTI equi-join on " +
           "(id, position) keeps survivors, reassembly is a per-doc " +
           "array_sort inside the aggregate — all equi-joins, no " +
-          "window over the full token stream, no driver loop"))
+          "window over the full token stream, no driver loop"),
+      "q198_cross_node_ingest" ->
+        ("cross-node shared ledger: the SERVED query is one scan + " +
+          "two-phase group (nothing cross-node in the plan — fleet " +
+          "coordination lives in the metadata ledger's file lock + " +
+          "incremental journal replay, per-batch METADATA, never a " +
+          "data-plane exchange; the data files land once and every " +
+          "node reads the same parquet)"),
+      "q199_exact_index_retention" ->
+        ("registered exact dedup index: the gate is a broadcast " +
+          "Bloom probe (map-side, zero batch shuffle) + one " +
+          "left-semi hash join on the 16-byte (id, h) rows for the " +
+          "maybe-dups only; create/fold/delete are one projection + " +
+          "anti-join each; the sidecar REBUILD is one aggregate over " +
+          "corpus-count hash rows — every piece linear, nothing " +
+          "pairs"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -600,7 +600,50 @@ object DialectQueries {
     FROM events WHERE user_id % 4 <> 1
     GROUP BY event_type ORDER BY event_type"""
 
+  /** q198 — CROSS-NODE ingest through the shared tsd ledger: two LIVE
+    * engines over one catalog root (`sharedLedger = true` — the fleet
+    * semantics the reference gets from tsd_info being a single DBMS
+    * table with a UNIQUE hash index, dbms/db_info.py:1738/1750). The
+    * documents corpus splits into three NDJSON batches; node A PUTs
+    * batches 0 and 1, node B re-PUTs the IDENTICAL batch-1 payload —
+    * which the shared ledger must REFUSE live, with no restart — then
+    * PUTs batch 2. The oracle aggregates the whole corpus counted
+    * exactly once: a double-ingested batch 1 (the failure this guards
+    * against) doubles its source's counts and hash-mismatches. */
+  private val q198: QFn = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("q198")
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.length(col("text")).as("n"))
+      .collect()
+    def batch(k: Int): String = docs
+      .filter(r => r.getLong(0) % 3 == k)
+      .map(r => s"""{"doc_id": ${r.getLong(0)}, """ +
+        s""""source": "${r.getString(1)}", "n": ${r.getInt(2)}}""")
+      .mkString("\n")
+    def node(): graft.engine.Engine = {
+      val e = new graft.engine.Engine(s,
+        new graft.engine.Catalog(s, Some(root)), sharedLedger = true)
+      e.dataDir = Some(root.resolve("data").toString)
+      e
+    }
+    val (a, b) = (node(), node())
+    require(a.ingest("xdocs", batch(0)) > 0L)
+    require(a.ingest("xdocs", batch(1)) > 0L)
+    require(b.ingest("xdocs", batch(1)) == 0L,
+      "q198: cross-node duplicate PUT was re-ingested")
+    require(b.ingest("xdocs", batch(2)) > 0L)
+    b.query("""sql edge "select source, count(*) as n_docs, """ +
+      """sum(n) as sum_len from xdocs group by source """ +
+      """order by source"""")
+  }
+  private val q198Sql = s"""
+    SELECT source, count(*) AS n_docs,
+      ${oSum("len(text)")} AS sum_len
+    FROM documents GROUP BY source ORDER BY source"""
+
   val queries: Map[String, QFn] = Map(
+    "q198_cross_node_ingest" -> q198,
     "q195_nodes_committed" -> q195,
     "q193_sql_left_join" -> q193,
     "q194_rollup_sync" -> q194,
@@ -624,6 +667,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q198_cross_node_ingest" -> q198Sql,
     "q195_nodes_committed" -> q195Sql,
     "q193_sql_left_join" -> q193Sql,
     "q194_rollup_sync" -> q194Sql,

@@ -31,7 +31,7 @@ import graft.ingest.SchemaInference
   *   standing artifacts — each with create/attach/refresh/sync/
   *     delete (as the boundary map allows)/drop/get:
   *     matview, join matview, rollup, vindex, tindex, sindex,
-  *     dedup index (shingle|simhash|embedding), monitor, layout,
+  *     dedup index (shingle|simhash|embedding|exact), monitor, layout,
   *     graph tricount; plus `sync all where table =`,
   *     `artifact verify where table =`, `attach all`,
   *     `index versions|retain|get` (AS-OF audit),
@@ -60,6 +60,15 @@ import graft.ingest.SchemaInference
   *    standing artifact's read-fold-commit cycle must not interleave
   *    (two folds reading version N would both commit N+1; one fold
   *    silently lost). One writer at a time, readers unblocked.
+  *    The [[writeLock]] is PER-PROCESS: with several engine processes
+  *    over one root, `sharedLedger = true` extends only the LEDGER's
+  *    guarantees (duplicate-PUT refusal, tsd_id uniqueness) across
+  *    processes via an OS file lock; concurrent cross-process appends
+  *    into the SAME table directory additionally rely on distinct
+  *    part-file names (UUID-named by Spark) and are safe for append,
+  *    while artifact folds remain single-node-owned — run each
+  *    standing artifact's folds from one process (the reference's
+  *    operator/aggregator split has the same ownership shape).
   *  - '''Read visibility''': a query racing an append may observe a
   *    partially committed batch (parquet part-files become visible
   *    per-file). `committed=true` / `nodes=main` bound reads to the
@@ -83,7 +92,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     /** Reply-volume cap applied when the sql command carries no
       * `max_volume=` option — the reference's query_mode default
       * (cmd/member_cmd.py:97-100, 10 MB). */
-    val defaultMaxVolume: Long = 10L * 1024 * 1024) {
+    val defaultMaxVolume: Long = 10L * 1024 * 1024,
+    /** Cross-node ingest ledger: when several engine processes share
+      * one catalog root on a shared filesystem, `sharedLedger = true`
+      * runs every tsd-ledger operation under an OS file lock with
+      * incremental journal replay, so duplicate-PUT refusal and tsd_id
+      * uniqueness hold FLEET-wide (the reference gets this from
+      * tsd_info being one DBMS table, dbms/db_info.py:1738; see
+      * [[graft.ingest.TsdLedger]] for the locking contract and the
+      * object-store caveat). Requires a root-backed catalog; rootless
+      * engines ignore it. */
+    val sharedLedger: Boolean = false) {
 
   /** Transport for `dest=kafka@host:port` output
     * (api/al_kafka.py get_producer/send_data; dest registry
@@ -117,7 +136,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * this reason, dbms/db_info.py:1738); a rootless engine keeps the
     * in-memory ledger plus the per-table restart seed in [[ingest]]. */
   val tsdLedger = new graft.ingest.TsdLedger(
-    catalog.metaRoot.map(_.resolve("tsd_ledger.ndjson")))
+    catalog.metaRoot.map(_.resolve("tsd_ledger.ndjson")),
+    shared = sharedLedger && catalog.metaRoot.isDefined)
 
   /** Tables whose stored tsd lineage has seeded the ledger this
     * engine lifetime (see the restart seed in [[ingest]]). */
@@ -1945,6 +1965,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           m.contentCol, m.idCol, m.shingleN)
         case "simhash" => graft.ops.Dedup.simhashIndex(base,
           m.contentCol, m.idCol)
+        case "exact" => graft.ops.Dedup.exactHashIndex(base,
+          m.contentCol, m.idCol)
         case _ =>
           // rebuild with the artifact's own RECORDED geometry — sigs
           // are deterministic given (bits, tables)
@@ -3093,8 +3115,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       throw new IllegalArgumentException(s"dedup index create requires $k ="))
     val (table, path) = (req("table"), req("path"))
     val kind = req("type").toLowerCase
-    require(kind == "shingle" || kind == "simhash" || kind == "embedding",
-      s"dedup index type must be shingle|simhash|embedding (got $kind)")
+    require(kind == "shingle" || kind == "simhash" ||
+      kind == "embedding" || kind == "exact",
+      s"dedup index type must be shingle|simhash|embedding|exact " +
+        s"(got $kind)")
     val idCol = req("id")
     val contentCol = if (kind == "embedding") req("vector") else req("text")
     val n = kv("n").map(_.toInt).getOrElse(3)
@@ -3104,6 +3128,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         graft.ops.Dedup.shingleIndex(src, contentCol, idCol, n)
       case "simhash" =>
         graft.ops.Dedup.simhashIndex(src, contentCol, idCol)
+      case "exact" =>
+        graft.ops.Dedup.exactHashIndex(src, contentCol, idCol)
       case _ =>
         // embedding: pinned or corpus-derived LSH geometry, RECORDED
         // on the rows (refresh reads it back — no meta to remember)
@@ -3113,6 +3139,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     val rows = graft.ops.IndexStore.write(built.localCheckpoint(), path,
       wmTag(mvTableWm(src)))
+    if (kind == "exact") rebuildBloomSidecar(path, None)
     dindexes += table -> DIndexMeta(path, kind, idCol, contentCol, n)
     val colKey = if (kind == "embedding") "vector" else "text"
     catalog.recordArtifact(s"dedup index:$path",
@@ -3162,12 +3189,34 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       case "simhash" =>
         graft.ops.Dedup.refreshSimhashIndex(survivors, delta,
           meta.contentCol, meta.idCol)
+      case "exact" =>
+        survivors.unionByName(graft.ops.Dedup.exactHashIndex(delta,
+          meta.contentCol, meta.idCol))
       case _ =>
         graft.ops.Dedup.refreshEmbeddingIndex(survivors, delta,
           meta.contentCol, meta.idCol)
     }).localCheckpoint()
-    graft.ops.IndexStore.write(folded, meta.path,
+    val v = graft.ops.IndexStore.write(folded, meta.path,
       tag.toSeq ++ wmTag(newWm))
+    if (meta.kind == "exact") rebuildBloomSidecar(meta.path, tag)
+    v
+  }
+
+  /** Re-derive the exact-index Bloom PREFILTER sidecar
+    * (`<path>-bloom`) from the hashes artifact's CURRENT version.
+    * Rebuilt — never OR-folded — so deletes and partition drops shed
+    * their bits: correctness never depends on it (the gate's exact
+    * join follows every hit), but a one-way-only sidecar would creep
+    * toward all-hits as retention churns. One aggregate over
+    * corpus-count hash rows; geometry re-derives from the live count
+    * so the fp rate stays designed as the corpus grows or shrinks. */
+  private def rebuildBloomSidecar(path: String,
+      tag: Option[String]): Unit = {
+    val hashes = graft.ops.IndexStore.read(spark, path).getOrElse(
+      throw new IllegalStateException(s"no exact-hash artifact at $path"))
+    graft.ops.IndexStore.write(
+      graft.ops.Dedup.bloomIndex(hashes, "h", shards = 2, bitsPerKey = 8)
+        .localCheckpoint(), s"$path-bloom", tag.toSeq)
   }
 
   /** `dedup index delete where path = <dir> and (ids = (1, 2, 3) |
@@ -3200,6 +3249,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       case "embedding" =>
         graft.ops.Dedup.deleteFromEmbeddingIndex(stored,
           deleteIdsFrame(t))
+      case "exact" =>
+        graft.ops.Dedup.deleteFromExactIndex(stored, deleteIdsFrame(t))
       case _ =>
         graft.ops.Dedup.deleteFromShingleIndex(stored, deleteIdsFrame(t))
     }).localCheckpoint()
@@ -3207,6 +3258,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       org.apache.spark.sql.functions.col("id"))).head().getLong(0)
     // the wm_ lineage tag (when present) rides onto the new version
     graft.ops.IndexStore.write(folded, path, wmTag(indexWmOf(path)))
+    // deleted content becomes re-INGESTABLE: the prefilter sheds its
+    // bits with the rebuild (a one-way sidecar would keep "maybe"-ing
+    // hashes the exact join no longer holds)
+    if (kind == "exact") rebuildBloomSidecar(path, None)
     s"dedup index at $path: ${before - after} doc(s) deleted, " +
       s"$after remain"
   }
@@ -3638,7 +3693,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         col("is_current") && col("__first_ts").isNull)
       .drop("__first_ts")
     val merged = closed.unionByName(
-      newRows.select(closed.columns.map(col): _*))
+      newRows.select(closed.columns.toIndexedSeq.map(col): _*))
     val path = catalog.tablePath(target).getOrElse(
       throw new IllegalArgumentException(s"unknown table $target"))
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
@@ -4409,11 +4464,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             graft.ops.Dedup.deleteFromSimhashIndex(stored, del)
           case "embedding" =>
             graft.ops.Dedup.deleteFromEmbeddingIndex(stored, del)
+          case "exact" =>
+            graft.ops.Dedup.deleteFromExactIndex(stored, del)
           case _ =>
             graft.ops.Dedup.deleteFromShingleIndex(stored, del)
         }).localCheckpoint()
         graft.ops.IndexStore.write(folded, meta.path,
           Seq(tag) ++ wmTag(indexWmOf(meta.path)))
+        // RETENTION SYMMETRY for the ingest gate: dropped docs' text
+        // must become re-ingestable, so the Bloom sidecar rebuilds
+        // from the surviving hashes (it never OR-folds)
+        if (meta.kind == "exact") rebuildBloomSidecar(meta.path, Some(tag))
         receipts += s"dedup index at ${meta.path}: dropped ids tombstoned"
       }
     }

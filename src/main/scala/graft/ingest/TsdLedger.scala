@@ -45,6 +45,18 @@ object TsdLedger {
       .select(col("action"), col("table_name"), col("source"),
         col("file_hash"), col("rows"))
   }
+
+  /** One JVM-wide monitor per journal path: `FileChannel.lock` throws
+    * `OverlappingFileLockException` when the SAME JVM already holds the
+    * region (two shared ledgers in one process — the spec scenario and
+    * any co-located multi-engine deployment), so in-process contenders
+    * serialize on this monitor and only one of them ever holds the OS
+    * lock at a time. Cross-process contenders block in the OS. */
+  private val lockMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[ingest] def monitorFor(p: java.nio.file.Path): Object =
+    lockMonitors.computeIfAbsent(
+      p.toAbsolutePath.normalize.toString, _ => new Object)
 }
 
 /** `journal`: an optional NDJSON file the ledger replays on construct
@@ -54,21 +66,108 @@ object TsdLedger {
   * (tests, ephemeral engines); the Engine passes the catalog's
   * metadata root when one exists. Ledger volume is per-BATCH metadata
   * (thousands of lines, not billions) — a driver-side journal file is
-  * the right scale shape; a fleet swaps in a shared store behind the
-  * same interface. */
-final class TsdLedger(journal: Option[java.nio.file.Path] = None) {
+  * the right scale shape.
+  *
+  * `shared = true` makes the journal a CROSS-PROCESS ledger: several
+  * engine processes (nodes) point at one journal on a shared
+  * filesystem, and every operation runs under an OS file lock
+  * (`<journal>.lock`) after replaying lines appended by other nodes
+  * since this node last looked — so duplicate-hash refusal and id
+  * uniqueness hold across the whole fleet, not per process. The
+  * journal is APPEND-ONLY in this mode ([[remove]] appends a tombstone
+  * line instead of rewriting), which is what makes the incremental
+  * byte-offset replay sound: committed bytes never change. Replay cost
+  * per operation is only the bytes other nodes appended since our last
+  * read. Requires a filesystem with working advisory locks (local
+  * disk, most NFSv4); an object store or lock-less NFS needs the
+  * documented swap-in — a shared DBMS table behind this interface,
+  * which is exactly what the reference uses (tsd_info IS a DBMS
+  * table, dbms/db_info.py:1738). */
+final class TsdLedger(journal: Option[java.nio.file.Path] = None,
+    shared: Boolean = false) {
   import TsdLedger.Entry
 
   private var entries = Vector.empty[Entry]
   private var nextId = 1
+  /** Journal bytes already replayed (shared mode's incremental cursor). */
+  private var journalOffset = 0L
 
   journal.foreach { j =>
-    if (java.nio.file.Files.exists(j)) {
-      java.nio.file.Files.readAllLines(j).forEach { line =>
-        if (line.trim.nonEmpty) entries :+= entryFromJson(line)
+    if (java.nio.file.Files.exists(j)) replayNew(j)
+  }
+
+  /** Replay journal lines beyond [[journalOffset]] — entries append,
+    * tombstones drop their hash. Append-only discipline (shared mode)
+    * keeps committed bytes immutable, so the cursor is always at a line
+    * boundary; a SHRUNK file (a non-shared rewrite seen at construct)
+    * resets the cursor and replays from scratch. */
+  private def replayNew(j: java.nio.file.Path): Unit = {
+    val size = java.nio.file.Files.size(j)
+    if (size < journalOffset) { entries = Vector.empty; journalOffset = 0L }
+    if (size == journalOffset) return
+    val ch = java.nio.channels.FileChannel.open(j,
+      java.nio.file.StandardOpenOption.READ)
+    try {
+      ch.position(journalOffset)
+      val buf = java.nio.ByteBuffer.allocate((size - journalOffset).toInt)
+      while (buf.hasRemaining && ch.read(buf) >= 0) {}
+      buf.flip()
+      // stop at the last complete line: a construct-time read races
+      // other nodes' appends lock-free, so the tail may be torn —
+      // 0x0A never occurs inside a UTF-8 multibyte sequence, so the
+      // byte scan is safe and the partial tail replays next refresh
+      var end = buf.limit()
+      while (end > 0 && buf.get(end - 1) != '\n'.toByte) end -= 1
+      if (end > 0) {
+        new String(buf.array(), 0, end,
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").foreach { line =>
+            if (line.trim.nonEmpty) applyLine(line)
+          }
+        journalOffset += end
       }
-      nextId = entries.map(_.fileId).maxOption.getOrElse(0) + 1
+    } finally ch.close()
+  }
+
+  private def applyLine(line: String): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val p = JsonMethods.parse(line)
+    (p \ "tombstone").extractOpt[String] match {
+      case Some(h) => entries = entries.filterNot(_.fileHash == h)
+      case None =>
+        val e = entryFromParsed(p)
+        entries :+= e
+        if (e.fileId >= nextId) nextId = e.fileId + 1
     }
+  }
+
+  /** Run `f` with a consistent ledger view. Non-shared: the instance
+    * monitor (existing single-process behavior). Shared: the JVM-wide
+    * per-path monitor, then the OS file lock, then replay of other
+    * nodes' appends — every mutation anywhere on the fleet happens
+    * inside this exclusive section. */
+  private def withLedger[T](f: => T): T = journal match {
+    case Some(j) if shared =>
+      TsdLedger.monitorFor(j).synchronized {
+        synchronized {
+          Option(j.getParent)
+            .foreach(java.nio.file.Files.createDirectories(_))
+          val lockPath = j.resolveSibling(j.getFileName.toString + ".lock")
+          val ch = java.nio.channels.FileChannel.open(lockPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val lk = ch.lock()
+            try {
+              if (java.nio.file.Files.exists(j)) replayNew(j)
+              f
+            } finally lk.release()
+          } finally ch.close()
+        }
+      }
+    case _ => synchronized(f)
   }
 
   private def entryToJson(e: Entry): String = {
@@ -81,11 +180,9 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None) {
       s""""file_time": ${e.fileTime.getTime}, "rows": ${e.rows}}"""
   }
 
-  private def entryFromJson(line: String): Entry = {
+  private def entryFromParsed(p: org.json4s.JValue): Entry = {
     import org.json4s._
-    import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    val p = JsonMethods.parse(line)
     Entry((p \ "file_id").extract[Int], (p \ "dbms").extract[String],
       (p \ "table").extract[String], (p \ "source").extract[String],
       (p \ "file_hash").extract[String],
@@ -94,11 +191,13 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None) {
       (p \ "rows").extract[Long], "", "")
   }
 
-  private def appendJournal(e: Entry): Unit = journal.foreach { j =>
+  private def appendLine(json: String): Unit = journal.foreach { j =>
     Option(j.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(j, entryToJson(e) + "\n",
+    java.nio.file.Files.writeString(j, json + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+    // we hold the exclusive section, so the new size is exactly our write
+    journalOffset = java.nio.file.Files.size(j)
   }
 
   private def rewriteJournal(): Unit = journal.foreach { j =>
@@ -106,13 +205,16 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None) {
     java.nio.file.Files.writeString(j,
       entries.map(entryToJson).mkString("", "\n",
         if (entries.isEmpty) "" else "\n"))
+    journalOffset = java.nio.file.Files.size(j)
   }
 
   /** Record an ingest batch; returns the assigned tsd_id, or None when
     * the file_hash was already ingested (the unique hash_index — the
-    * caller must skip the duplicate payload). */
+    * caller must skip the duplicate payload). In shared mode the check
+    * and the append happen under the fleet-wide file lock, so two nodes
+    * PUTting the same payload race to exactly one Some. */
   def record(dbms: String, table: String, source: String, fileHash: String,
-      instructions: String, rows: Long): Option[Int] = synchronized {
+      instructions: String, rows: Long): Option[Int] = withLedger {
     if (entries.exists(_.fileHash == fileHash)) None
     else {
       val id = nextId
@@ -120,17 +222,24 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None) {
       val e = Entry(id, dbms, table, source, fileHash, instructions,
         new Timestamp(System.currentTimeMillis()), rows, "", "")
       entries :+= e
-      appendJournal(e)
+      appendLine(entryToJson(e))
       Some(id)
     }
   }
 
   /** Roll back a reservation whose write failed: the hash must become
     * ingestable again or a transient IO error would permanently poison
-    * it (record() would keep refusing the retry). */
-  def remove(fileHash: String): Unit = synchronized {
+    * it (record() would keep refusing the retry). Shared mode appends a
+    * TOMBSTONE line (committed journal bytes stay immutable — the
+    * invariant the cross-node incremental replay rests on); non-shared
+    * keeps the compact rewrite. */
+  def remove(fileHash: String): Unit = withLedger {
     entries = entries.filterNot(_.fileHash == fileHash)
-    rewriteJournal()
+    if (shared && journal.isDefined) {
+      val q = "\"" + fileHash.replace("\\", "\\\\")
+        .replace("\"", "\\\"") + "\""
+      appendLine(s"""{"tombstone": $q}""")
+    } else rewriteJournal()
   }
 
   /** Raise the id counter so the next assigned id is strictly above
@@ -141,24 +250,24 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None) {
     * silently never fold, and replay by id becomes ambiguous). A
     * shared-store ledger makes this a no-op; the in-memory one reads
     * the table's own max on first touch (Engine.ingest). */
-  def ensureAbove(n: Long): Unit = synchronized {
+  def ensureAbove(n: Long): Unit = withLedger {
     if (n >= nextId && n < Int.MaxValue) nextId = n.toInt + 1
   }
 
   /** Highest ledger id recorded for a table (0 when none) — the local
     * input to the cluster's safe-id consensus (dbms/ha.py:225). */
-  def maxId(table: String): Int = synchronized {
+  def maxId(table: String): Int = withLedger {
     entries.filter(_.table == table).map(_.fileId).maxOption.getOrElse(0)
   }
 
-  def list(table: Option[String]): Seq[Entry] = synchronized {
+  def list(table: Option[String]): Seq[Entry] = withLedger {
     table.fold(entries)(t => entries.filter(_.table == t))
   }
 
   /** The ledger as a queryable DataFrame (tsd_info SELECT surface). */
   def df(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    synchronized {
+    withLedger {
       entries.map(e => (e.fileId, e.dbms, e.table, e.source, e.fileHash,
         e.instructions, e.fileTime, e.rows))
     }.toDF("file_id", "dbms_name", "table_name", "source", "file_hash",

@@ -19,6 +19,7 @@ import graft.functions.F
   *      {"op": "hamming_dedup", "radius": 3, "band_bits": 16},
   *      {"op": "incremental_hamming", "index": "/idx/sims", "radius": 3},
   *      {"op": "neardup_jaccard", "threshold": 0.5, "shingle_n": 3},
+  *      {"op": "exact_substr", "span_tokens": 8, "drop_empty": true},
   *      {"op": "quality_min_tokens", "min": 20},
   *      {"op": "lang_keep", "langs": ["en", "de"], "column": "lang"},
   *      {"op": "redact_numbers"},
@@ -97,6 +98,16 @@ object CleanPipeline {
     * probe rules out almost the whole batch map-side; only maybe-dups
     * reach the hash-index join. Read-only over the state. */
   final case class IncrementalExactDedup(statePath: String) extends Stage
+  /** ExactSubstr REMOVAL over the current pipeline frame (the Lee et
+    * al. 2021 transform, [[Dedup.exactSubstrDedup]]): every token
+    * covered by a `spanTokens`-token span occurring >= 2 times in the
+    * frame is cut and the text column is REPLACED by the surviving
+    * tokens. `dropEmpty` (default) also drops docs the cut emptied.
+    * Unlike the doc-level dedup stages this REWRITES text, so place it
+    * BEFORE quality/length gates (they should judge the post-cut
+    * text) and before `chunk`. */
+  final case class ExactSubstrStage(spanTokens: Int, dropEmpty: Boolean)
+      extends Stage
 
   /** Drop docs whose text CONTAINS any blocklisted phrase (parquet
     * path with a `pat` string column — contaminant markers, banned
@@ -221,6 +232,9 @@ object CleanPipeline {
             (st \ "index").extract[String],
             (st \ "vec").extractOpt[String].getOrElse("embedding"),
             (st \ "threshold").extractOpt[Double].getOrElse(0.35))
+          case "exact_substr" => ExactSubstrStage(
+            (st \ "span_tokens").extractOpt[Int].getOrElse(8),
+            (st \ "drop_empty").extractOpt[Boolean].getOrElse(true))
           case "incremental_exactdedup" => IncrementalExactDedup(
             (st \ "state").extract[String])
           case "blocklist" => Blocklist((st \ "patterns").extract[String])
@@ -370,16 +384,32 @@ object CleanPipeline {
               id, threshold = threshold)
             .select(col("new_id").as(id)).distinct()
           cur.join(drop, Seq(id), "left_anti")
+        case ExactSubstrStage(k, dropEmpty) =>
+          val cleaned = Dedup.exactSubstrDedup(cur, txt, id, k)
+            .select(col("id").as("__esid"),
+              col("clean_text").as("__clean"),
+              col("kept_tokens").as("__kept"))
+          val out = cur.join(cleaned, cur(id) === col("__esid"))
+            .withColumn(txt, col("__clean"))
+          (if (dropEmpty) out.filter(col("__kept") > 0L) else out)
+            .drop("__esid", "__clean", "__kept")
         case IncrementalExactDedup(path) =>
+          // two state layouts resolve: the StreamOps pair
+          // (`<path>/hashes` + `<path>/bloom`) and the REGISTERED
+          // exact dedup-index layout (hashes at `<path>`, rebuilt
+          // Bloom sidecar at `<path>-bloom`)
           val hashes = IndexStore.read(cur.sparkSession, s"$path/hashes")
+            .orElse(IndexStore.read(cur.sparkSession, path))
             .getOrElse(throw new IllegalArgumentException(
-              s"incremental_exactdedup: no hash index at $path/hashes"))
+              s"incremental_exactdedup: no hash index at $path/hashes " +
+                s"or $path"))
             .select(col("h"), col("id").as("__corpus_id"))
           val hb = cur.withColumn("__h",
             graft.functions.F.charPolyHash(col(txt)))
           // Bloom prefilter when the state carries one: misses are
           // definitely new and skip the hash-index join
           val maybes = IndexStore.read(cur.sparkSession, s"$path/bloom")
+            .orElse(IndexStore.read(cur.sparkSession, s"$path-bloom"))
             .map(bl => Dedup.bloomGate(hb, bl, "__h")
               .filter(col("bloom_hit")).drop("bloom_hit"))
             .getOrElse(hb)

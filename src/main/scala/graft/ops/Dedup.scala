@@ -1122,6 +1122,50 @@ object Dedup {
       .withColumn("shards", lit(s))
   }
 
+  /** Content-hash rows of an EXACT-dedup standing index: one (id, h)
+    * row per doc, h = the char-polynomial hash of the text — the state
+    * the exact-dup ingest gate joins against. Registered through the
+    * engine (`dedup index create type=exact`) it joins the managed
+    * fleet: ingest auto-fold appends, delete/drop-partition tombstone
+    * (so RETENTION can forget content — a dropped doc's text becomes
+    * re-ingestable instead of being refused forever by a corpse hash),
+    * and the Bloom PREFILTER rides as a rebuilt sidecar (stale bits
+    * would only cost false-positive probes, never correctness, but the
+    * rebuild keeps the fp rate honest as the corpus shrinks/grows). */
+  def exactHashIndex(corpus: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      F.charPolyHash(col(textCol)).as("h"))
+
+  /** Tombstone doc ids out of an exact-hash index (pure anti-join). */
+  def deleteFromExactIndex(index: DataFrame, ids: DataFrame): DataFrame =
+    index.join(ids.toDF("__del"), col("id") === col("__del"), "left_anti")
+
+  /** Gate a batch against an exact-hash index: adds `is_dup` (1 when
+    * the batch text's hash exists in the index under a DIFFERENT id).
+    * `bloom`: optional prefilter sidecar ([[bloomIndex]] over the same
+    * hashes) — misses skip the index join entirely (the 100 TB fast
+    * path); hits fall through to the exact join, so a stale or absent
+    * sidecar never changes the answer. */
+  def exactGate(batch: DataFrame, index: DataFrame,
+      bloom: Option[DataFrame], textCol: String, idCol: String)
+      : DataFrame = {
+    val hb = batch.select(col(idCol).as("__bid"),
+      F.charPolyHash(col(textCol)).as("__h"))
+    val maybes = bloom match {
+      case Some(bl) => bloomGate(hb, bl, "__h")
+        .filter(col("bloom_hit")).drop("bloom_hit")
+      case None => hb
+    }
+    val dups = maybes.join(index,
+        col("__h") === col("h") && col("__bid") =!= col("id"), "left_semi")
+      .select(col("__bid"), lit(1).as("is_dup"))
+    batch.select(col(idCol).as("__bid"))
+      .join(dups, Seq("__bid"), "left")
+      .select(col("__bid").as(idCol),
+        coalesce(col("is_dup"), lit(0)).as("is_dup"))
+  }
+
   /** Recorded (m, k, shards) of a Bloom index; loud on mixed geometry. */
   def bloomMeta(index: DataFrame): (Int, Int, Int) = {
     val metas = index.select(col("m_bits"), col("k_hashes"), col("shards"))

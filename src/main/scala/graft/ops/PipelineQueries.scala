@@ -2340,6 +2340,59 @@ object PipelineQueries {
       COALESCE(clean_text, '') AS clean_text
     FROM toks t LEFT JOIN agg USING (doc_id) ORDER BY doc_id"""
 
+  /** q199 — registered EXACT dedup index with RETENTION SYMMETRY: the
+    * content-hash ingest-gate state joins the managed fleet (`dedup
+    * index create type=exact`), a retention pass tombstones every 7th
+    * corpus doc (`dedup index delete`), and a new batch gates against
+    * the SURVIVORS — deleted content must read is_dup=0 (re-ingestable
+    * again), surviving duplicates is_dup=1. Before this kind existed
+    * the exact-dedup state was pipeline-owned only: a partition drop
+    * left corpse hashes that refused re-ingest of dropped content
+    * forever. The Bloom prefilter sidecar REBUILDS on every fold/
+    * delete (never OR-folds), and the QFn requires gate-with-sidecar
+    * == gate-without — the sidecar buys probe skips, never answers.
+    * The oracle replays hash membership over the surviving corpus in
+    * pure BIGINT arithmetic. */
+  private val q199: QFn = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("q199")
+    val docs = t(s, d, "documents")
+    val n = docs.count()
+    val corpusDir = tmp.resolve("xd.parquet").toString
+    docs.filter(col("doc_id") < lit(4 * n / 5)).write.parquet(corpusDir)
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("xd", corpusDir)
+    val eng = new graft.engine.Engine(s, cat)
+    val idx = tmp.resolve("idx").toString
+    eng.execute(s"dedup index create where table = xd and path = $idx " +
+      "and type = exact and id = doc_id and text = text")
+    val delDir = tmp.resolve("del.parquet").toString
+    cat.table("xd").filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select(col("doc_id")).write.parquet(delDir)
+    eng.execute(s"dedup index delete where path = $idx and " +
+      s"source = $delDir and id = doc_id")
+    val batch = docs.filter(col("doc_id") >= lit(3 * n / 5))
+    val hashes = graft.ops.IndexStore.read(s, idx).getOrElse(
+      throw new IllegalStateException("q199: no exact-hash artifact"))
+    val bloom = graft.ops.IndexStore.read(s, s"$idx-bloom")
+    require(bloom.isDefined, "q199: bloom sidecar missing after delete")
+    val gated = Dedup.exactGate(batch, hashes, bloom, "text", "doc_id")
+    val plain = Dedup.exactGate(batch, hashes, None, "text", "doc_id")
+    require(gated.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(gated).count() == 0,
+      "q199: the bloom prefilter changed the gate's answer")
+    gated.orderBy(col("doc_id"))
+  }
+  private val q199Sql = s"""
+    WITH n AS (SELECT count(*) AS cnt FROM documents),
+    corpus AS (SELECT doc_id, ${dPoly("text")} AS h FROM documents, n
+      WHERE doc_id < 4*cnt/5 AND doc_id % 7 <> 0),
+    batch AS (SELECT doc_id, ${dPoly("text")} AS h FROM documents, n
+      WHERE doc_id >= 3*cnt/5)
+    SELECT b.doc_id, CASE WHEN EXISTS (SELECT 1 FROM corpus c
+        WHERE c.h = b.h AND c.doc_id <> b.doc_id) THEN 1 ELSE 0 END
+      AS is_dup
+    FROM batch b ORDER BY doc_id"""
+
   /** q101 — Bloom-filter exact-dedup gate under the differential oracle:
     * the bottom 80% of docs are the standing corpus, the top 40% are a
     * RE-INGESTED batch (the overlap is the replayed-crawl scenario —
@@ -2488,6 +2541,7 @@ object PipelineQueries {
     "q97_duplicate_spans" -> q97,
     "q196_exact_substr_coverage" -> q196,
     "q197_exact_substr_stage" -> q197,
+    "q199_exact_index_retention" -> q199,
     "q96_index_refresh" -> q96,
     "q192_dindex_lifecycle" -> q192,
     "q95_incremental_embedding" -> q95,
@@ -2557,6 +2611,7 @@ object PipelineQueries {
     "q97_duplicate_spans" -> q97Sql,
     "q196_exact_substr_coverage" -> q196Sql,
     "q197_exact_substr_stage" -> q197Sql,
+    "q199_exact_index_retention" -> q199Sql,
     "q96_index_refresh" -> q96Sql,
     "q192_dindex_lifecycle" -> q192Sql,
     "q95_incremental_embedding" -> q95Sql,

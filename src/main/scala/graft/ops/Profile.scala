@@ -27,7 +27,7 @@ object Profile {
     require(fields.nonEmpty, "empty schema")
     def nd(c: String): Column =
       if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-    val aggCols: Seq[Column] = count(lit(1)).as("__n") +: fields.flatMap {
+    val aggCols: Seq[Column] = count(lit(1)).as("__n") +: fields.toSeq.flatMap {
       f =>
         val c = f.name
         val base = Seq(

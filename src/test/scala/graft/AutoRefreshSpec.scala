@@ -438,6 +438,56 @@ class AutoRefreshSpec extends SparkSpec {
       "dedup index delete lost the lineage watermark")
   }
 
+  test("registered EXACT dedup index: create gates duplicates, PUT " +
+      "auto-folds new hashes, delete makes content re-ingestable " +
+      "(retention symmetry), the bloom sidecar rebuilds and never " +
+      "changes the answer") {
+    val dir = java.nio.file.Files.createTempDirectory("ar17")
+    Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("id", "text").withColumn("tsd_id", lit(1))
+      .write.parquet(dir.resolve("xt.parquet").toString)
+    val cat = new graft.engine.Catalog(spark)
+    cat.registerTable("xt1", dir.resolve("xt.parquet").toString)
+    val engine = new graft.engine.Engine(spark, cat)
+    val dx = dir.resolve("dx").toString
+    engine.execute(s"dedup index create where table = xt1 and " +
+      s"path = $dx and type = exact and id = id and text = text")
+    def gate(rows: Seq[(Long, String)]): Map[Long, Int] = {
+      val hashes = graft.ops.IndexStore.read(spark, dx).get
+      val bloom = graft.ops.IndexStore.read(spark, s"$dx-bloom")
+      assert(bloom.isDefined, "bloom sidecar missing")
+      val b = rows.toDF("id", "text")
+      val withBl = graft.ops.Dedup.exactGate(b, hashes, bloom,
+        "text", "id")
+      val without = graft.ops.Dedup.exactGate(b, hashes, None,
+        "text", "id")
+      assert(withBl.exceptAll(without).count() === 0 &&
+        without.exceptAll(withBl).count() === 0,
+        "bloom prefilter changed the gate's answer")
+      withBl.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(gate(Seq((10L, "alpha beta gamma"), (11L, "fresh text")))
+      === Map(10L -> 1, 11L -> 0))
+    // PUT auto-folds the new doc's hash into the standing gate state
+    engine.ingest("xt1", """{"id": 3, "text": "eta theta iota"}""")
+    assert(engine.execute("get view auto refresh")
+      .contains("no fold errors"))
+    assert(gate(Seq((12L, "eta theta iota"))) === Map(12L -> 1))
+    // the fleet audit rebuild-diffs the exact kind like any other
+    // (checked while state == table; a dindex delete is one-sided by
+    // design, so verify runs before it)
+    assert(engine.execute("artifact verify where table = xt1")
+      .contains("VERIFIED"))
+    // retention symmetry: tombstoned content becomes re-ingestable
+    engine.execute(s"dedup index delete where path = $dx and ids = (1)")
+    assert(gate(Seq((13L, "alpha beta gamma"))) === Map(13L -> 0),
+      "deleted content still refused — corpse hash (or corpse bloom " +
+        "bits deciding the answer)")
+    assert(engine.execute("dedup index sync where table = xt1")
+      .contains("in sync"),
+      "dedup index delete lost the lineage watermark")
+  }
+
   test("startTransactionalSink: ONE foreachBatch owns the table append " +
       "AND the view folds; replaying a batch (crash simulation) " +
       "duplicates neither — the lead/lag window is gone") {

@@ -1007,6 +1007,31 @@ class CleanPipelineSpec extends SparkSpec {
     assert(expect.exceptAll(got).count() === 0)
   }
 
+  test("exact_substr stage rewrites text in place, drops emptied docs " +
+      "by default, and carried columns survive") {
+    import spark.implicits._
+    val ten = (1 to 10).map(i => s"a$i").mkString(" ")
+    val uniq = "one two three four five six seven eight nine"
+    val in = Seq(
+      (0L, ten, "en"), (1L, ten, "en"),   // verbatim twins: fully covered
+      (2L, uniq, "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "exact_substr", "span_tokens": 8}
+      ]}}""", in)
+    assert(out.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    assert(out.head().getAs[String]("lang") === "de")
+    assert(out.head().getAs[String]("text") === uniq)
+    val keep = CleanPipeline.run("""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "exact_substr", "span_tokens": 8, "drop_empty": false}
+      ]}}""", in)
+    assert(keep.count() === 3L)
+    assert(keep.filter(col("doc_id") === 0L).head()
+      .getAs[String]("text") === "")
+  }
+
   test("lang filter and redaction stages") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = CleanPipeline.run("""
