@@ -103,6 +103,41 @@ class DropRetentionSpec extends SparkSpec {
     assert(engine.execute("get view auto refresh")
       .contains("no fold errors"))
   }
+  test("drop partition with a registered EXACT dedup index: dropped " +
+      "content becomes re-INGESTABLE (no corpse hash, no corpse bloom " +
+      "bits), survivors still gate, re-run is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("dr3")
+    val (_, engine) = mk(dir)
+    val dx = dir.resolve("dx").toString
+    engine.execute(s"dedup index create where table = pt and path = $dx " +
+      "and type = exact and id = id and text = text")
+    def gate(rows: Seq[(Long, String)]): Map[Long, Int] = {
+      val hashes = graft.ops.IndexStore.read(spark, dx).get
+      val bloom = graft.ops.IndexStore.read(spark, s"$dx-bloom")
+      assert(bloom.isDefined, "bloom sidecar missing")
+      graft.ops.Dedup.exactGate(rows.toDF("id", "text"), hashes, bloom,
+        "text", "id").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    // before the drop: both day-1 texts are refused, survivor text too
+    assert(gate(Seq((10L, "alpha beta gamma"), (11L, "beta gamma delta"),
+      (12L, "delta epsilon zeta"))) ===
+      Map(10L -> 1, 11L -> 1, 12L -> 1))
+    val out = engine.execute("drop partition pt before 2024-01-02")
+    assert(out.contains(s"dedup index at $dx: dropped ids tombstoned"),
+      out)
+    // dropped day's content re-ingestable; survivors still gate
+    assert(gate(Seq((10L, "alpha beta gamma"), (11L, "beta gamma delta"),
+      (12L, "delta epsilon zeta"))) ===
+      Map(10L -> 0, 11L -> 0, 12L -> 1))
+    // exactly-once: the drop tag makes a re-run skip the fold
+    val again = engine.execute("drop partition pt before 2024-01-02")
+    assert(again.contains("dropped 0 partitions"), again)
+    // the exact kind rebuild-diffs in the fleet audit over survivors
+    val audit = engine.execute("artifact verify where table = pt")
+    assert(audit.contains("VERIFIED exact") && !audit.contains("DIVERGED"),
+      audit)
+  }
+
   test("RANDOMIZED retention schedules (seeded): PUTs into a " +
       "partitioned table interleaved with auto-refresh toggles, syncs " +
       "and partition drops keep matview + rollup + tindex verify-EXACT; " +
