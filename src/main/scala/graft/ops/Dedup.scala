@@ -926,6 +926,45 @@ object Dedup {
           .as("max_span_df"))
   }
 
+  /** Duplicated rolling-span START positions (id, pos) — the shared
+    * candidate kernel of [[spanCoverage]] and [[exactSubstrDedup]].
+    * Duplicate rule: the span's TEXT occurs >= 2 times corpus-wide,
+    * same-doc repeats included (the suffix-array semantics). Exact path
+    * groups span strings directly; the hash-first 100 TB path shuffles
+    * (id, pos, hash) longs, keeps only positions whose hash repeats
+    * (broadcast hot set — cold-span strings never shuffle), and
+    * regroups those few exactly — identical output by construction: a
+    * true duplicate span always repeats its hash, and a hash collision
+    * is corrected by the exact regroup. [[SpanAuto]] picks by the same
+    * estimated span-string shuffle volume as [[duplicateSpans]]. */
+  private def duplicatedStarts(df: DataFrame, textCol: String,
+      idCol: String, k: Int, variant: SpanVariant): DataFrame = {
+    val v = variant match {
+      case SpanAuto =>
+        val r = df.agg(avg(length(col(textCol))).as("a"),
+          count(lit(1)).as("n")).head()
+        val avgLen = if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+        selectSpanVariant(avgLen, r.getLong(1), k)
+      case pinned => pinned
+    }
+    val sp = if (v == SpanHashFirst) {
+      val hot = df.select(
+          explode(F.spanHashes(col(textCol), k)).as("hh"))
+        .groupBy("hh").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select("hh")
+      df.select(col(idCol).as("id"),
+          posexplode(F.tokenSpans(col(textCol), k)).as(Seq("pos", "s")))
+        .withColumn("hh", F.charPolyHash(col("s")))
+        .join(broadcast(hot), "hh")
+        .select(col("id"), col("pos"), col("s"))
+    } else df.select(col(idCol).as("id"),
+      posexplode(F.tokenSpans(col(textCol), k)).as(Seq("pos", "s")))
+    sp.join(
+      sp.groupBy("s").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") >= 2).select("s"),
+      "s").select(col("id"), col("pos"))
+  }
+
   /** Merged-interval duplicate-span COVERAGE — the removal-decision
     * metric behind Lee et al. 2021's ExactSubstr dedup (arXiv:2107.06499
     * §4.1; the released suffix-array tool cuts every repeated span): per
@@ -941,22 +980,19 @@ object Dedup {
     * `covered_tokens / n_tokens` is the paper's coverage ratio,
     * computable downstream at whatever precision the caller wants.
     *
-    * Scale shape: one groupBy on span text (two-phase agg), one join
-    * back on span text (AQE handles hot spans), then ONE window sorted
-    * by position WITHIN each doc — per-partition state is one doc's
-    * duplicated starts, so the sort is bounded by doc length, never by
-    * corpus size. Interval merging exploits the fixed span width: with
-    * starts sorted, covered = sum(min(k, next_start - start)) and a new
-    * merged interval begins exactly when start - prev_start > k. */
+    * Scale shape: the duplicated-start kernel ([[duplicatedStarts]] —
+    * exact span-string groupBy, or the hash-first 100 TB form under
+    * the same [[SpanAuto]] volume rule as [[duplicateSpans]]), then
+    * ONE window sorted by position WITHIN each doc — per-partition
+    * state is one doc's duplicated starts, so the sort is bounded by
+    * doc length, never by corpus size. Interval merging exploits the
+    * fixed span width: with starts sorted, covered =
+    * sum(min(k, next_start - start)) and a new merged interval begins
+    * exactly when start - prev_start > k. */
   def spanCoverage(df: DataFrame, textCol: String, idCol: String,
-      spanTokens: Int = 8): DataFrame = {
+      spanTokens: Int = 8, variant: SpanVariant = SpanAuto): DataFrame = {
     val k = spanTokens
-    val sp = df.select(col(idCol).as("id"),
-      posexplode(F.tokenSpans(col(textCol), k)).as(Seq("pos", "s")))
-    val dup = sp.join(
-      sp.groupBy("s").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") >= 2).select("s"),
-      "s").select(col("id"), col("pos"))
+    val dup = duplicatedStarts(df, textCol, idCol, k, variant)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     val cov = dup
@@ -992,21 +1028,17 @@ object Dedup {
     * decides whether to drop empties — that's a filter, not this op's
     * job).
     *
-    * Scale shape: duplicated starts fan out x spanTokens into covered
-    * token indices (bounded small-constant explode), distinct once, then
-    * a LEFT ANTI join against (id, position, token) rows — all equi-joins
-    * on (id, j). Reassembly is a per-doc sort inside an aggregate
-    * (array_sort over structs), bounded by doc length. No driver-side
-    * anything. */
+    * Scale shape: duplicated starts ([[duplicatedStarts]], exact or
+    * hash-first under the [[SpanAuto]] volume rule) fan out x spanTokens
+    * into covered token indices (bounded small-constant explode),
+    * distinct once, then a LEFT ANTI join against (id, position, token)
+    * rows — all equi-joins on (id, j). Reassembly is a per-doc sort
+    * inside an aggregate (array_sort over structs), bounded by doc
+    * length. No driver-side anything. */
   def exactSubstrDedup(df: DataFrame, textCol: String, idCol: String,
-      spanTokens: Int = 8): DataFrame = {
+      spanTokens: Int = 8, variant: SpanVariant = SpanAuto): DataFrame = {
     val k = spanTokens
-    val sp = df.select(col(idCol).as("id"),
-      posexplode(F.tokenSpans(col(textCol), k)).as(Seq("pos", "s")))
-    val dup = sp.join(
-      sp.groupBy("s").agg(count(lit(1)).as("occ"))
-        .filter(col("occ") >= 2).select("s"),
-      "s").select(col("id"), col("pos"))
+    val dup = duplicatedStarts(df, textCol, idCol, k, variant)
     val covered = dup
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("j"))

@@ -679,6 +679,32 @@ class DedupApiSpec extends SparkSpec {
       (5L, 12L, 2L, "p5a p5b"), (6L, 12L, 2L, "q6a q6b")))
   }
 
+  test("spanCoverage and exactSubstrDedup: the hash-first 100 TB form " +
+      "equals the exact-string form on the corpus and on a " +
+      "duplicate-seeded adversary") {
+    import spark.implicits._
+    val hot = (1 to 12).map(i => s"w$i").mkString(" ")
+    val seeded = ((0 until 30).map { i =>
+      val miss = (1 to 12).map(j =>
+        if (j == 7) s"m${i}x" else s"w$j").mkString(" ")
+      (i.toLong, s"$hot $miss unique$i tail$i")
+    } :+ (99L, "short doc")).toDF("doc_id", "text")
+    for (docs <- Seq(Tables.load(spark, sfDir, "documents"), seeded)) {
+      val ce = Dedup.spanCoverage(docs, "text", "doc_id",
+        variant = Dedup.SpanExact)
+      val ch = Dedup.spanCoverage(docs, "text", "doc_id",
+        variant = Dedup.SpanHashFirst)
+      assert(ce.exceptAll(ch).count() === 0 &&
+        ch.exceptAll(ce).count() === 0, "coverage variants diverge")
+      val se = Dedup.exactSubstrDedup(docs, "text", "doc_id",
+        variant = Dedup.SpanExact)
+      val sh = Dedup.exactSubstrDedup(docs, "text", "doc_id",
+        variant = Dedup.SpanHashFirst)
+      assert(se.exceptAll(sh).count() === 0 &&
+        sh.exceptAll(se).count() === 0, "removal variants diverge")
+    }
+  }
+
   test("coverage and removal agree on the corpus: covered + kept = total " +
       "per doc") {
     val docs = Tables.load(spark, sfDir, "documents")
