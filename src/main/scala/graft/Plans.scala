@@ -484,7 +484,13 @@ object Plans {
           "maybe-dups only; create/fold/delete are one projection + " +
           "anti-join each; the sidecar REBUILD is one aggregate over " +
           "corpus-count hash rows — every piece linear, nothing " +
-          "pairs"))
+          "pairs"),
+      "q200_normalize_nfc" ->
+        ("Unicode NFC normalization: ONE map-only projection (native " +
+          "NormalizeTextExpr with an isNormalized fast path — " +
+          "already-NFC text copies nothing), no shuffle, no agg; the " +
+          "canonicalization pass that belongs before every " +
+          "content-hash dedup gate"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

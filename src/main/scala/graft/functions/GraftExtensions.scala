@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"expected integer literal, got $other")
   }
+  private def slit(e: Expression): String = e match {
+    case Literal(v, _) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"expected string literal, got $other")
+  }
 
   /** (name, info, builder) triples — used by apply() at session build and
     * registrable post-hoc on an existing session's FunctionRegistry. */
@@ -75,7 +80,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           BloomMaybeExpr(args(0), args(1), lit(args(2)), lit(args(3)))),
       (FunctionIdentifier("kmv_agg"),
         info("kmv_agg", "k smallest distinct hash values (KMV sketch)"),
-        (args: Seq[Expression]) => KmvAgg(args(0), lit(args(1)))))
+        (args: Seq[Expression]) => KmvAgg(args(0), lit(args(1)))),
+      (FunctionIdentifier("normalize_text"),
+        info("normalize_text", "Unicode normalization (NFC|NFD|NFKC|NFKD)"),
+        (args: Seq[Expression]) =>
+          NormalizeTextExpr(args(0), slit(args(1)))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -112,6 +121,8 @@ object F {
   def spanHashes(text: Column, n: Int): Column =
     c(SpanHashesExpr(e(text), n))
   def charPolyHash(s: Column): Column = c(CharPolyHashExpr(e(s)))
+  def normalizeText(s: Column, form: String = "NFC"): Column =
+    c(NormalizeTextExpr(e(s), form))
   def featureBuckets(text: Column, b: Int): Column =
     c(FeatureBucketsExpr(e(text), b))
   def featureHashCounts(text: Column, dims: Int): Column =

@@ -466,6 +466,38 @@ case class CharPolyHashExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** normalize_text(s, form): Unicode normalization (java.text.Normalizer)
+  * — the canonicalization pass a dedup pipeline needs BEFORE any
+  * exact/hash gate: a decomposed "e<combining acute>" and the composed
+  * "é" are different byte strings (different content hashes,
+  * different shingles) for the same text, so non-NFC twins silently
+  * defeat exact dedup. `form`: NFC (canonical compose — the DuckDB
+  * `nfc_normalize` twin, oracled), NFD, NFKC, NFKD (compatibility
+  * folds: ligatures, fullwidth forms). Idempotent by the Unicode
+  * stability guarantee — spec-asserted. Per-row scalar, map-only. */
+case class NormalizeTextExpr(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+  private val f = form.toUpperCase match {
+    case "NFC" => java.text.Normalizer.Form.NFC
+    case "NFD" => java.text.Normalizer.Form.NFD
+    case "NFKC" => java.text.Normalizer.Form.NFKC
+    case "NFKD" => java.text.Normalizer.Form.NFKD
+    case other => throw new IllegalArgumentException(
+      s"normalize_text form must be NFC|NFD|NFKC|NFKD (got $other)")
+  }
+  override def dataType: DataType = StringType
+  override def foldable: Boolean = child.foldable
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // fast path: already-normalized text (the overwhelming case in a
+    // clean corpus) copies nothing
+    if (java.text.Normalizer.isNormalized(s, f)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 case class NgramRepeatStatsExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(

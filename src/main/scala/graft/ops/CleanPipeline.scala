@@ -15,6 +15,7 @@ import graft.functions.F
   * {"pipeline": {
   *    "id": "doc_id", "text": "text",
   *    "stages": [
+  *      {"op": "normalize", "form": "NFC"},
   *      {"op": "dedup_exact"},
   *      {"op": "hamming_dedup", "radius": 3, "band_bits": 16},
   *      {"op": "incremental_hamming", "index": "/idx/sims", "radius": 3},
@@ -40,6 +41,13 @@ object CleanPipeline {
 
   sealed trait Stage
   final case class DedupExact() extends Stage
+  /** Unicode-normalize the text column in place
+    * ([[graft.functions.TextExpressions]] NormalizeTextExpr — NFC by
+    * default). The canonicalization that belongs BEFORE any exact/hash
+    * dedup stage: a decomposed combining sequence and its composed
+    * form are different byte strings for the same text, so non-NFC
+    * twins silently defeat content-hash gates. */
+  final case class NormalizeStage(form: String) extends Stage
   final case class NeardupJaccard(threshold: Double, shingleN: Int) extends Stage
   final case class SimhashDedup() extends Stage
   /** EXACT Hamming-radius near-dup on the PRODUCTION geometry
@@ -194,6 +202,8 @@ object CleanPipeline {
       case JArray(xs) => xs.map { st =>
         (st \ "op").extract[String] match {
           case "dedup_exact" => DedupExact()
+          case "normalize" => NormalizeStage(
+            (st \ "form").extractOpt[String].getOrElse("NFC"))
           case "chunk" => Chunk(
             (st \ "window").extractOpt[Int].getOrElse(64),
             (st \ "stride").extractOpt[Int].getOrElse(48))
@@ -327,6 +337,8 @@ object CleanPipeline {
           cur.filter(size(TextOps.tokens(col(txt))) >= min)
         case LangKeep(langs, column) =>
           cur.filter(col(column).isin(langs: _*))
+        case NormalizeStage(form) =>
+          cur.withColumn(txt, F.normalizeText(col(txt), form))
         case RedactNumbers() =>
           cur.withColumn(txt, regexp_replace(col(txt), "[0-9]+", "<NUM>"))
         case BoilerplateMax(maxPct, dfPct, sourceCol) =>

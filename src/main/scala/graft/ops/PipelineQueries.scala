@@ -2393,6 +2393,36 @@ object PipelineQueries {
       AS is_dup
     FROM batch b ORDER BY doc_id"""
 
+  /** q200 — Unicode NFC normalization under the differential oracle:
+    * every doc gains a deterministic NON-NFC tail (a decomposed
+    * e + combining acute and A + combining ring), the native
+    * NormalizeTextExpr composes it, and the oracle replays through
+    * DuckDB's `nfc_normalize` — the normalized STRING itself is under
+    * the hash, so this is a byte-parity proof between
+    * java.text.Normalizer and utf8proc NFC on this corpus. The
+    * canonicalization matters to dedup correctness: the decomposed and
+    * composed forms are different byte strings for the same text, so
+    * non-NFC twins defeat every content-hash gate (the `normalize`
+    * CleanPipeline stage exists for exactly that, spec-proven). */
+  private val q200: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" e\u0301 A\u030A")).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        F.normalizeText(col("raw"), "NFC").as("norm_text"))
+      .withColumn("n_nfc", length(col("norm_text")).cast("long"))
+      .select(col("doc_id"), col("n_raw"), col("n_nfc"), col("norm_text"))
+      .orderBy(col("doc_id"))
+  private val q200Sql = s"""
+    WITH r AS (SELECT doc_id,
+        text || ' e' || chr(769) || ' A' || chr(778) AS raw
+      FROM documents)
+    SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
+      CAST(len(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+      nfc_normalize(raw) AS norm_text
+    FROM r ORDER BY doc_id"""
+
   /** q101 — Bloom-filter exact-dedup gate under the differential oracle:
     * the bottom 80% of docs are the standing corpus, the top 40% are a
     * RE-INGESTED batch (the overlap is the replayed-crawl scenario —
@@ -2542,6 +2572,7 @@ object PipelineQueries {
     "q196_exact_substr_coverage" -> q196,
     "q197_exact_substr_stage" -> q197,
     "q199_exact_index_retention" -> q199,
+    "q200_normalize_nfc" -> q200,
     "q96_index_refresh" -> q96,
     "q192_dindex_lifecycle" -> q192,
     "q95_incremental_embedding" -> q95,
@@ -2612,6 +2643,7 @@ object PipelineQueries {
     "q196_exact_substr_coverage" -> q196Sql,
     "q197_exact_substr_stage" -> q197Sql,
     "q199_exact_index_retention" -> q199Sql,
+    "q200_normalize_nfc" -> q200Sql,
     "q96_index_refresh" -> q96Sql,
     "q192_dindex_lifecycle" -> q192Sql,
     "q95_incremental_embedding" -> q95Sql,

@@ -149,6 +149,39 @@ class NativeExprSpec extends SparkSpec {
     assert(df.head().getAs[Seq[Long]]("probe_sig").length === 16)
   }
 
+  test("normalize_text: NFC composes combining sequences, NFKC folds " +
+      "compatibility forms, idempotent, null-safe, bad form refuses at " +
+      "construction") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "cafe\u0301"),   // decomposed e + combining acute
+      (2L, "café"),             // composed é (already NFC)
+      (3L, "ﬁle Ａ"),       // fi-ligature + fullwidth A
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = in.select(col("id"),
+        F.normalizeText(col("t"), "NFC").as("nfc"),
+        F.normalizeText(col("t"), "NFKC").as("nfkc"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === "café")      // composed
+    assert(out(1).getString(1) === "café")      // identity
+    assert(out(0).getString(1) === out(1).getString(1),
+      "decomposed and composed twins must converge under NFC")
+    assert(out(2).getString(1) === "ﬁle Ａ",
+      "NFC must NOT fold compatibility forms")
+    assert(out(2).getString(2) === "file A",
+      "NFKC must fold the ligature and the fullwidth letter")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+    // idempotence (the Unicode stability guarantee)
+    val twice = in.filter(col("t").isNotNull).select(
+      (F.normalizeText(F.normalizeText(col("t"), "NFC"), "NFC")
+        === F.normalizeText(col("t"), "NFC")).as("eq"))
+    assert(twice.collect().forall(_.getBoolean(0)))
+    intercept[IllegalArgumentException] {
+      F.normalizeText(org.apache.spark.sql.functions.lit("x"), "NFX")
+    }
+  }
+
   test("functions register into a session FunctionRegistry for SQL use") {
     val reg = spark.sessionState.functionRegistry
     new graft.functions.GraftExtensions().registrations.foreach {

@@ -1033,6 +1033,31 @@ class CleanPipelineSpec extends SparkSpec {
     assert(expect.exceptAll(got).count() === 0)
   }
 
+  test("normalize stage: NFC unifies decomposed twins so dedup_exact " +
+      "catches them; without it the twin survives") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "café au lait"),       // composed
+      (2L, "cafe\u0301 au lait"),  // decomposed twin, same text
+      (3L, "something else entirely")
+    ).toDF("doc_id", "text")
+    // WITHOUT normalize: the twins are different byte strings
+    val bare = CleanPipeline.run("""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "dedup_exact"}
+      ]}}""", in)
+    assert(bare.count() === 3L,
+      "non-NFC twins should defeat a bare content-hash dedup")
+    // WITH normalize first: the decomposed twin dedups away
+    val out = CleanPipeline.run("""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "normalize", "form": "NFC"},
+        {"op": "dedup_exact"}
+      ]}}""", in)
+    assert(out.select("doc_id").as[Long].collect().sorted
+      === Array(1L, 3L))
+  }
+
   test("exact_substr stage rewrites text in place, drops emptied docs " +
       "by default, and carried columns survive") {
     import spark.implicits._
