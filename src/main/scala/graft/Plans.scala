@@ -490,7 +490,26 @@ object Plans {
           "NormalizeTextExpr with an isNormalized fast path — " +
           "already-NFC text copies nothing), no shuffle, no agg; the " +
           "canonicalization pass that belongs before every " +
-          "content-hash dedup gate"))
+          "content-hash dedup gate"),
+      "q202_html_extract" ->
+        ("HTML extraction: ONE map-only projection — the native " +
+          "single-pass HtmlExtractExpr state machine (script/style/" +
+          "comment blocks dropped with content, tags to spaces, core " +
+          "entities decoded, whitespace collapsed); no shuffle, no " +
+          "agg — the WET-style pull that runs FIRST over a crawl, so " +
+          "it must be scan-bound, and is"),
+      "q203_redact_pii" ->
+        ("PII redaction: three chained codegen'd regexp_replace " +
+          "projections (email → IP → phone), map-only, zero " +
+          "shuffles; regex texts shared verbatim with the oracle in " +
+          "the Java∩RE2 subset"),
+      "q201_scheduled_sync" ->
+        ("scheduler-driven rollup sync: the SERVED plan is the " +
+          "rollup's #buckets-row artifact scan + final fold (base " +
+          "parquet never read, q100's shape); the scheduler itself " +
+          "is control plane only — each wake issues one `rollup " +
+          "sync`, which folds exactly the rows above the watermark, " +
+          "so maintenance cost tracks delta size, not corpus size"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")

@@ -284,6 +284,71 @@ object DialectQueries {
     WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-28'
     GROUP BY 1, 2, 3 ORDER BY event_type, hour_parent, hour_bucket"""
 
+  /** q201 — the TASK SCHEDULER drives standing maintenance (the
+    * reference's operational loop: `schedule time = .. task ..` +
+    * `run scheduler`, member_cmd.py:21696/21712, task_scheduler.py —
+    * its own docs schedule repeatable queries and syncs exactly this
+    * way). A standing rollup is created over the lineage epoch
+    * (tsd_id 1); a `rollup sync` task is REGISTERED on the engine's
+    * scheduler under a VIRTUAL clock; then two parquet appends land
+    * underneath the engine (tsd_id 2, then 3) and a scheduler tick
+    * after each — never a direct sync call — replays exactly the rows
+    * above the artifact watermark. The q194-style increments() query
+    * must then serve from the rollup (plan-asserted) and hash-match
+    * DuckDB over the whole corpus: scheduled sync == rebuild. A tick
+    * BETWEEN appends also proves the repeat gate (no double fold). */
+  private val q201: QFn = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("q201")
+    val evDir = tmp.resolve("evs.parquet").toString
+    val ev = Tables.load(s, d, "events")
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+    ev.filter(pmod(col("user_id"), lit(4)) === 0)
+      .withColumn("tsd_id", lit(1)).write.parquet(evDir)
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("evs", evDir)
+    val engine = new graft.engine.Engine(s, cat)
+    var now = 1700000000000L
+    engine.schedulerClock = () => now
+    engine.taskScheduler.start(spawnThread = false) // tick() = the wake
+    val roll = tmp.resolve("roll").toString
+    engine.execute(s"rollup create where table = evs and path = $roll " +
+      "and time = ts and value = value and grain = minute " +
+      "and dims = (event_type)")
+    engine.execute("""schedule time = 10 seconds and name = "roll sync" """ +
+      "task rollup sync where table = evs")
+    ev.filter(pmod(col("user_id"), lit(4)) === 1)
+      .withColumn("tsd_id", lit(2)).write.mode("append").parquet(evDir)
+    require(engine.taskScheduler.tick() == 1, "q201: task did not fire")
+    // repeat gate: a second wake at the same instant runs nothing
+    require(engine.taskScheduler.tick() == 0, "q201: repeat gate broken")
+    ev.filter(pmod(col("user_id"), lit(4)) >= 2)
+      .withColumn("tsd_id", lit(3)).write.mode("append").parquet(evDir)
+    now += 10000
+    require(engine.taskScheduler.tick() == 1, "q201: second fire missed")
+    val st = engine.taskScheduler.tasksOf().head
+    require(st.counter == 2 && st.lastStatus == "Success",
+      s"q201: task state ${st.counter}/${st.lastStatus}")
+    val df = engine.query(
+      """sql edge "select event_type, increments(hour, 6, ts), """ +
+        """count(*) as n, sum(value) as sum_value, """ +
+        """min(value) as min_value, max(value) as max_value """ +
+        """from evs """ +
+        """where ts >= '2024-01-03 00:00:00' and ts < '2024-01-28 00:00:00' """ +
+        """order by event_type, hour_parent, hour_bucket"""")
+    require(!df.queryExecution.sparkPlan.toString.contains("evs.parquet"),
+      "q201 fell back to the base plan — rollup serving did not engage")
+    df
+  }
+  private val q201Sql = s"""
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+        AS hour_parent,
+      CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS hour_bucket,
+      count(*) AS n, ${oSum("value")} AS sum_value,
+      min(value) AS min_value, max(value) AS max_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-28'
+    GROUP BY 1, 2, 3 ORDER BY event_type, hour_parent, hour_bucket"""
+
   /** q167 — the MATVIEW-SERVED sql path under the driver gate (q102's
     * discipline applied to [[MatViewServe]]): an engine registers
     * lineitem, `matview create`s a (returnflag, linestatus) view with
@@ -643,6 +708,7 @@ object DialectQueries {
     FROM documents GROUP BY source ORDER BY source"""
 
   val queries: Map[String, QFn] = Map(
+    "q201_scheduled_sync" -> q201,
     "q198_cross_node_ingest" -> q198,
     "q195_nodes_committed" -> q195,
     "q193_sql_left_join" -> q193,
@@ -667,6 +733,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q201_scheduled_sync" -> q201Sql,
     "q198_cross_node_ingest" -> q198Sql,
     "q195_nodes_committed" -> q195Sql,
     "q193_sql_left_join" -> q193Sql,

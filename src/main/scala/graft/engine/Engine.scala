@@ -643,6 +643,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       // in a physical delete — both facts require the write side
       low.startsWith("compact ") || low.startsWith("merge into") ||
       low.startsWith("merge scd2 into") ||
+      // scheduler-family commands are classified mutating even though
+      // they only touch the (internally synchronized) task registry:
+      // `task run` re-enters execute() with the TASK's command, and a
+      // mutating task reached from the read-gated path would be a
+      // read→write upgrade on the retention gate — the one deadlock
+      // the lock order forbids. Entering on the write side keeps the
+      // nested acquisition order writeLock → gate, same as every
+      // other mutating command.
+      low.startsWith("schedule ") || low.startsWith("task ") ||
+      low.startsWith("run scheduler") || low.startsWith("exit scheduler") ||
       familyVerb.findFirstIn(low).isDefined
   }
 
@@ -1095,6 +1105,33 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("dedup index delete")) dedupIndexDelete(t)
     else if (low.startsWith("run msg client")) runMsgClient(t)
     else if (low.startsWith("exit msg client")) exitMsgClient()
+    else if (low.startsWith("run scheduler")) {
+      val id = "(?i)^run scheduler\\s+(\\d+)".r
+        .findFirstMatchIn(t).map(_.group(1).toInt).getOrElse(1)
+      taskScheduler.start(id)
+    }
+    else if (low.startsWith("exit scheduler")) {
+      val id = "(?i)^exit scheduler\\s+(\\d+)".r
+        .findFirstMatchIn(t).map(_.group(1).toInt).getOrElse(1)
+      taskScheduler.stop(id)
+    }
+    else if (low.startsWith("schedule ")) scheduleCmd(t)
+    else if (low.startsWith("task ")) taskModeCmd(t)
+    else if (low.startsWith("test table ")) testTable(t)
+    else if (low.startsWith("get processes")) {
+      val json = "(?i)where\\s+format\\s*=\\s*json".r
+        .findFirstIn(low).isDefined
+      processesReport(json)
+    }
+    else if (low.startsWith("get scheduler")) {
+      val id = "(?i)^get scheduler\\s+(\\d+)".r
+        .findFirstMatchIn(t).map(_.group(1).toInt)
+      id.map(taskScheduler.report) getOrElse {
+        val ids = taskScheduler.ids
+        if (ids.isEmpty) "No schedulers declared"
+        else ids.map(taskScheduler.report).mkString("\n\n")
+      }
+    }
     else if (low == "get matviews") {
       if (matviews.isEmpty) "no matviews registered"
       else matviews.toSeq.sortBy(_._1).map { case (tbl, m) =>
@@ -2166,6 +2203,282 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     if (kv("format").contains("table")) Render.table(out)
     else Render.json(out)
   }
+
+  /** Background-service board for `get processes`
+    * (member_cmd.py:8521 get_processes_stat: every service reports
+    * Running / Not declared plus a details line). Components
+    * self-register on start — [[HttpFrontend.start]] registers
+    * "REST Server", `run msg client` registers "Msg Client", `run
+    * scheduler` shows through [[taskScheduler]] — and the board also
+    * carries the honest NOT-declared rows (TCP block protocol,
+    * Kafka) with their scope/environment receipts as details. */
+  private val services = new java.util.concurrent.ConcurrentHashMap[
+    String, (() => Boolean, () => String)]()
+
+  def registerService(name: String, active: () => Boolean,
+      details: () => String): Unit = services.put(name, (active, details))
+
+  private def processesReport(json: Boolean): String = {
+    import scala.jdk.CollectionConverters._
+    val dynamic = services.asScala.toMap
+    // fixed board order, reference get_processes_stat
+    val board: Seq[(String, () => Boolean, () => String)] = Seq(
+      ("TCP Server", () => false,
+        () => "out of parity scope (SURVEY: the reference's native " +
+          "block protocol; Spark exchanges replace it)"),
+      ("REST Server", () => false, () => ""),
+      ("Operator", () => dataDir.isDefined,
+        () => dataDir.fold("")(d => s"ingest root $d")),
+      ("Message Broker", () => false, () => ""),
+      ("Msg Client", () => msgClients.synchronized(msgClients.nonEmpty),
+        () => msgClients.synchronized(
+          if (msgClients.isEmpty) "" else s"${msgClients.size} client(s)")),
+      ("Streamer", () => false, () => ""),
+      ("Scheduler", () => taskScheduler.ids.exists(taskScheduler.isRunning),
+        () => { val on = taskScheduler.ids.filter(taskScheduler.isRunning)
+          if (on.isEmpty) "" else s"scheduler id(s) ${on.mkString(", ")}" }),
+      ("Blockchain Sync", () => false,
+        () => "policy store is local and synchronous here (no " +
+          "background sync thread needed)"),
+      ("Kafka Consumer", () => false,
+        () => "environment-waived: no kafka client jar on this box " +
+          "(KAFKA_ENV_RECEIPT.md)"))
+    val rows = board.map { case (name, act, det) =>
+      val (a, d) = dynamic.get(name).map(v => (v._1(), v._2()))
+        .getOrElse((act(), det()))
+      (name, if (a) "Running" else "Not declared", d)
+    } ++ dynamic.keys.filterNot(board.map(_._1).contains).toSeq.sorted
+      .map { n => val (a, d) = dynamic(n)
+        (n, if (a()) "Running" else "Not declared", d()) }
+    if (json)
+      rows.map { case (n, st, d) =>
+        val detail = if (d.isEmpty) "" else s""", "Details": "$d""""
+        s""""$n": {"Status": "$st"$detail}"""
+      }.mkString("{", ", ", "}")
+    else {
+      val header = Seq("Process", "Status", "Details")
+      val widths = header.indices.map(i =>
+        (header(i) +: rows.map(r => Seq(r._1, r._2, r._3)(i)))
+          .map(_.length).max)
+      def line(cells: Seq[String]) =
+        cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+          .mkString("| ", " | ", " |")
+      (line(header) +: rows.map(r => line(Seq(r._1, r._2, r._3))))
+        .mkString("\n")
+    }
+  }
+
+  /** `test table <table> where dbms = <dbms>` — schema-consistency
+    * audit between the shared METADATA definition and the node's
+    * actual storage (member_cmd.py:14816 test_table +
+    * compare_schema_ledger_to_table: the reference checks every
+    * table AND each of its partitions against the blockchain
+    * schema). Here: the `table` policy in the policy store (the
+    * blockchain surface, `blockchain insert`) carries
+    * `columns: [{column_name, data_type}, ...]`; the command compares
+    * it column-by-column (name + normalized DDL type, system columns
+    * excluded on the storage side) against the registered table's
+    * Spark schema, then against EVERY time-partition bucket's parquet
+    * footer when the registration is a partitioned dir — a partition
+    * written under an older schema is exactly what this catches.
+    * Replies "Passed" or the reference-shaped failure line. */
+  private def testTable(t: String): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val m = "(?i)^test table\\s+(\\S+)\\s+where\\s+dbms\\s*=\\s*(\\S+)".r
+      .findFirstMatchIn(t.trim).getOrElse(
+        throw new IllegalArgumentException(
+          "test table <table> where dbms = <dbms>"))
+    val (tbl, dbms) = (m.group(1), m.group(2))
+    // blockchain schema: the `table` policy for (dbms, name)
+    val policyCols: Option[Seq[(String, String)]] =
+      catalog.policyList.map(p => JsonMethods.parse(p._2))
+        .collectFirst {
+          case j if (j \ "table" \ "name") == JString(tbl) &&
+              (j \ "table" \ "dbms") == JString(dbms) =>
+            (j \ "table" \ "columns") match {
+              case JArray(cols) => cols.map { c =>
+                val n = (c \ "column_name") match {
+                  case JString(s) => s
+                  case _ => throw new IllegalArgumentException(
+                    "table policy column needs column_name")
+                }
+                val tp = (c \ "data_type") match {
+                  case JString(s) => s
+                  case _ => throw new IllegalArgumentException(
+                    "table policy column needs data_type")
+                }
+                (n.toLowerCase, tp.toUpperCase)
+              }
+              case _ => throw new IllegalArgumentException(
+                "table policy needs columns: [{column_name, data_type}]")
+            }
+        }
+    policyCols match {
+      case None =>
+        s"Test table $dbms.$tbl schema failed: Blockchain schema " +
+          "not available"
+      case Some(expect) =>
+        // normalized DDL name per storage type (the suggest-create
+        // vocabulary, generic/utils_sql.py:48-58); CHAR(n)/VARCHAR
+        // and FLOAT/DOUBLE unify like the reference's comparator
+        def norm(ddl: String): String = {
+          val up = ddl.toUpperCase.trim
+          if (up.startsWith("CHAR") || up == "VARCHAR" || up == "STRING")
+            "VARCHAR"
+          else if (up == "DOUBLE" || up == "FLOAT") "FLOAT"
+          else if (up.startsWith("DECIMAL")) "DECIMAL"
+          else up
+        }
+        def sparkDdl(dt: org.apache.spark.sql.types.DataType): String = {
+          import org.apache.spark.sql.types._
+          dt match {
+            case BooleanType => "BOOLEAN"
+            case IntegerType | ShortType | ByteType => "INT"
+            case LongType => "BIGINT"
+            case FloatType | DoubleType => "FLOAT"
+            case _: DecimalType => "DECIMAL"
+            case TimestampType | TimestampNTZType => "TIMESTAMP"
+            case DateType => "DATE"
+            case StringType => "VARCHAR"
+            case other => other.sql
+          }
+        }
+        val sys = Set("row_id", "insert_timestamp", "tsd_name", "tsd_id",
+          "__par")
+        def check(name: String,
+            schema: org.apache.spark.sql.types.StructType): Option[String] = {
+          val actual = schema.fields.toSeq
+            .filterNot(f => sys(f.name.toLowerCase))
+            .map(f => (f.name.toLowerCase, sparkDdl(f.dataType)))
+          if (actual.size != expect.size)
+            Some(s"Test table $dbms.$name schema failed: ledger has " +
+              s"${expect.size} columns, storage has ${actual.size}")
+          else expect.zip(actual).collectFirst {
+            case ((en, et), (an, at)) if en != an =>
+              s"Test table $dbms.$name schema failed: column '$an' " +
+                s"where ledger expects '$en'"
+            case ((en, et), (_, at)) if norm(et) != norm(at) =>
+              s"Test table $dbms.$name schema failed: column '$en' is " +
+                s"$at where ledger expects $et"
+          }
+        }
+        // a partitioned registration's aggregate schema is DERIVED
+        // (Spark samples one footer), so for partitioned tables the
+        // audit walks every bucket's own footer — the reference
+        // likewise tests each partition as its own object
+        // (test_table: tested_tables = table + get_partitions_list)
+        val parts = catalog.tablePath(tbl).toSeq.flatMap { p =>
+          TimePartitions.partitions(spark, p).map(b => (b, s"$p/__par=$b"))
+        }
+        val fail =
+          if (parts.isEmpty) check(tbl, catalog.table(tbl).schema)
+          else parts.iterator.flatMap { part =>
+            check(s"$tbl partition ${part._1}",
+              spark.read.parquet(part._2).schema)
+          }.find(_ => true)
+        fail.getOrElse(
+          if (parts.isEmpty) "Passed"
+          else s"Passed (${parts.size} partitions)")
+    }
+  }
+
+  /** Wall clock for the task scheduler — injectable so specs and
+    * engine-simulation queries drive VIRTUAL time deterministically
+    * (the reference sleeps real seconds, task_scheduler.py:179). */
+  @volatile var schedulerClock: () => Long = () => System.currentTimeMillis
+
+  /** The repeatable-task scheduler behind `run scheduler` / `schedule`
+    * / `task` / `get scheduler` (see [[TaskScheduler]]). Task commands
+    * re-enter [[execute]], so a mutating task serializes on the write
+    * lock like any interactive caller. */
+  val taskScheduler =
+    new TaskScheduler(execute, () => schedulerClock())
+
+  /** `schedule time = 10 seconds [and name = "x"] [and scheduler = 1]
+    * [and start = <ts>|+ N <unit>] task <command>` — register a
+    * repeatable command (member_cmd.py:21696 `_schedule`). The word
+    * `task` splits options from the command, as in the reference. */
+  private def scheduleCmd(t: String): String = {
+    val low = t.toLowerCase
+    val split = "(?i)\\btask\\b".r.findFirstMatchIn(t).getOrElse(
+      throw new IllegalArgumentException(
+        "Missing 'task' in schedule statement"))
+    val opts = t.substring("schedule".length, split.start)
+    val command = t.substring(split.end).trim
+    require(command.nonEmpty, "schedule: empty task command")
+    val repeatMs = timeOptMs(opts).getOrElse(
+      throw new IllegalArgumentException("schedule requires time ="))
+    val name = strOpt(opts, "name").getOrElse(
+      // unnamed tasks get a stable autogenerated name, like the
+      // reference's task-id-only registration
+      s"task-${low.hashCode.toHexString}")
+    val schedId = intOpt(opts, "scheduler").getOrElse(1)
+    val startAt = startOpt(opts)
+    val task =
+      taskScheduler.add(name, command, repeatMs, startAt, schedId)
+    s"Task ${task.id} '$name' scheduled every ${repeatMs / 1000} " +
+      s"seconds on scheduler $schedId"
+  }
+
+  /** `task stop|resume|run|remove|init where name = "x"
+    * [and scheduler = n] [and start = ...]` (member_cmd.py:21650). */
+  private def taskModeCmd(t: String): String = {
+    val m = "(?i)^task\\s+(\\w+)\\s+where\\b(.*)$".r
+      .findFirstMatchIn(t.trim).getOrElse(
+        throw new IllegalArgumentException(
+          "task [stop|resume|run|remove|init] where name = ..."))
+    val (op, opts) = (m.group(1).toLowerCase, m.group(2))
+    val name = strOpt(opts, "name").getOrElse(
+      throw new IllegalArgumentException("task: name = required"))
+    val schedId = intOpt(opts, "scheduler").getOrElse(1)
+    taskScheduler.taskCmd(op, name, schedId, startOpt(opts))
+  }
+
+  /** `time = N second|minute|hour|day[s]` → millis. */
+  private def timeOptMs(opts: String): Option[Long] =
+    "(?i)\\btime\\s*=\\s*(\\d+)\\s*(second|minute|hour|day)s?\\b".r
+      .findFirstMatchIn(opts).map { m =>
+        val n = m.group(1).toLong
+        m.group(2).toLowerCase match {
+          case "second" => n * 1000L
+          case "minute" => n * 60000L
+          case "hour"   => n * 3600000L
+          case "day"    => n * 86400000L
+        }
+      }
+
+  private def strOpt(opts: String, key: String): Option[String] =
+    (s"(?i)\\b$key\\s*=\\s*" + "\"([^\"]+)\"").r
+      .findFirstMatchIn(opts).map(_.group(1))
+      .orElse((s"(?i)\\b$key\\s*=\\s*'([^']+)'").r
+        .findFirstMatchIn(opts).map(_.group(1)))
+      .orElse((s"(?i)\\b$key\\s*=\\s*(\\S+)").r
+        .findFirstMatchIn(opts).map(_.group(1)))
+
+  private def intOpt(opts: String, key: String): Option[Int] =
+    (s"(?i)\\b$key\\s*=\\s*(\\d+)").r
+      .findFirstMatchIn(opts).map(_.group(1).toInt)
+
+  /** `start = YYYY-MM-DD[ HH:MM:SS]` or `start = + N d|h|m|s`
+    * (the reference's `task init ... start = + 1d` form). */
+  private def startOpt(opts: String): Option[Long] =
+    "(?i)\\bstart\\s*=\\s*\\+\\s*(\\d+)\\s*([dhms])".r
+      .findFirstMatchIn(opts).map { m =>
+        val n = m.group(1).toLong
+        val unit = m.group(2).toLowerCase match {
+          case "d" => 86400000L; case "h" => 3600000L
+          case "m" => 60000L; case "s" => 1000L
+        }
+        schedulerClock() + n * unit
+      }.orElse(
+        "(?i)\\bstart\\s*=\\s*(\\d{4}-\\d{2}-\\d{2}( \\d{2}:\\d{2}:\\d{2})?)".r
+          .findFirstMatchIn(opts).map { m =>
+            val s = m.group(1)
+            val full = if (m.group(2) == null) s + " 00:00:00" else s
+            java.time.LocalDateTime.parse(full.replace(' ', 'T'))
+              .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+          })
 
   private val msgClients =
     scala.collection.mutable.ArrayBuffer.empty[graft.streaming.MqttClient]

@@ -96,14 +96,20 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
     }
   })
 
+  @volatile private var live = false
+
   def start(): Int = {
     server.start()
+    live = true
     val port = server.getAddress.getPort
     // @port extends report the live REST port (the reference stamps the
     // answering node's address, unify_results.py:1260)
     engine.nodeAddress = (engine.nodeAddress._1, port)
+    // surface on the `get processes` board (member_cmd.py:8521)
+    engine.registerService("REST Server", () => live,
+      () => s"listening on ${engine.nodeAddress._1}:$port")
     port
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { live = false; server.stop(0) }
 }

@@ -84,7 +84,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (FunctionIdentifier("normalize_text"),
         info("normalize_text", "Unicode normalization (NFC|NFD|NFKC|NFKD)"),
         (args: Seq[Expression]) =>
-          NormalizeTextExpr(args(0), slit(args(1)))))
+          NormalizeTextExpr(args(0), slit(args(1)))),
+      (FunctionIdentifier("html_extract"),
+        info("html_extract",
+          "HTML → text: drop script/style/comments, strip tags, " +
+            "decode core entities, collapse whitespace"),
+        (args: Seq[Expression]) => HtmlExtractExpr(args(0))))
   }
 
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -123,6 +128,7 @@ object F {
   def charPolyHash(s: Column): Column = c(CharPolyHashExpr(e(s)))
   def normalizeText(s: Column, form: String = "NFC"): Column =
     c(NormalizeTextExpr(e(s), form))
+  def htmlExtract(s: Column): Column = c(HtmlExtractExpr(e(s)))
   def featureBuckets(text: Column, b: Int): Column =
     c(FeatureBucketsExpr(e(text), b))
   def featureHashCounts(text: Column, dims: Int): Column =

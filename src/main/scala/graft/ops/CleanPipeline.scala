@@ -39,6 +39,14 @@ import graft.functions.F
   */
 object CleanPipeline {
 
+  /** The PII regex texts — ONE definition shared by the RedactPii
+    * stage, the q203 query, and (verbatim) the q203 DuckDB oracle, so
+    * both engines run the identical pattern. The subset used is valid
+    * in BOTH Java regex and RE2 (no lookaround, no backrefs). */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIp = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val piiPhone = "\\+\\d[\\d-]{6,}\\d"
+
   sealed trait Stage
   final case class DedupExact() extends Stage
   /** Unicode-normalize the text column in place
@@ -68,6 +76,19 @@ object CleanPipeline {
   final case class QualityMinTokens(min: Int) extends Stage
   final case class LangKeep(langs: Seq[String], column: String) extends Stage
   final case class RedactNumbers() extends Stage
+  /** HTML → text extraction ([[graft.functions.HtmlExtractExpr]]):
+    * drop script/style/comment blocks with their content, strip the
+    * remaining tags to spaces, decode the core entities, collapse
+    * whitespace. The WET-style content pull that belongs FIRST in a
+    * web-crawl pipeline — every downstream signal (quality, dedup,
+    * lang-ID) is markup-blind only after this stage. Map-only. */
+  final case class HtmlExtract() extends Stage
+  /** PII masking beyond digit runs: emails → `<EMAIL>`, dotted-quad
+    * IPs → `<IP>`, +-prefixed phone runs → `<PHONE>` (one shared
+    * regex text per class — the q203 DuckDB oracle replays the same
+    * chain). Email first: the later classes' patterns overlap its
+    * local-part. Map-only. */
+  final case class RedactPii() extends Stage
   final case class Split(train: Int, valid: Int) extends Stage
   /** Drop docs whose boilerplate-shingle share exceeds `maxPct` percent;
     * a shingle is boilerplate when present in >= `dfPct` percent of its
@@ -226,6 +247,8 @@ object CleanPipeline {
             (st \ "langs").extract[Seq[String]],
             (st \ "column").extractOpt[String].getOrElse("lang"))
           case "redact_numbers" => RedactNumbers()
+          case "html_extract" => HtmlExtract()
+          case "redact_pii" => RedactPii()
           case "boilerplate_max" => BoilerplateMax(
             (st \ "max_pct").extractOpt[Int].getOrElse(30),
             (st \ "df_pct").extractOpt[Int].getOrElse(5),
@@ -341,6 +364,14 @@ object CleanPipeline {
           cur.withColumn(txt, F.normalizeText(col(txt), form))
         case RedactNumbers() =>
           cur.withColumn(txt, regexp_replace(col(txt), "[0-9]+", "<NUM>"))
+        case HtmlExtract() =>
+          cur.withColumn(txt, F.htmlExtract(col(txt)))
+        case RedactPii() =>
+          cur.withColumn(txt,
+            regexp_replace(regexp_replace(regexp_replace(col(txt),
+              CleanPipeline.piiEmail, "<EMAIL>"),
+              CleanPipeline.piiIp, "<IP>"),
+              CleanPipeline.piiPhone, "<PHONE>"))
         case BoilerplateMax(maxPct, dfPct, sourceCol) =>
           // q81's shape: shingle doc-frequency per source group, flags
           // joined back on (source, shingle) — bounded keys, no N^2

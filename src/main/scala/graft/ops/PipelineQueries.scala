@@ -2423,6 +2423,111 @@ object PipelineQueries {
       nfc_normalize(raw) AS norm_text
     FROM r ORDER BY doc_id"""
 
+  /** q202 — HTML → text extraction under the differential oracle: every
+    * doc is wrapped in deterministic markup (title/style/comment/script
+    * blocks, attributes, the six core entities — all built with plain
+    * SQL string ops so DuckDB constructs the IDENTICAL raw bytes), the
+    * native single-pass [[graft.functions.HtmlExtractExpr]] state
+    * machine extracts the text, and the oracle replays with a
+    * regexp_replace + replace chain — two INDEPENDENT implementations,
+    * and the extracted STRING itself is under the hash. This is the
+    * WET-style content pull a crawl pipeline runs before any
+    * quality/dedup stage; the `html_extract` CleanPipeline stage
+    * applies the same expression in place. */
+  private val q202: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit(" &amp; co</title><style>p { color: red; }</style>" +
+            "</head><body><h1>"),
+          substring(col("text"), 1, 20),
+          lit("</h1><!-- id "), col("doc_id"), lit(" --><p>"),
+          expr("replace(text, ' data ', ' &quot;data&#39; ')"),
+          lit("</p><script type=\"text/js\">var x = "), col("doc_id"),
+          lit(";</script><p>tail &lt;end&gt; &nbsp;ok</p></body></html>"))
+          .as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        F.htmlExtract(col("raw")).as("clean"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("clean")).cast("long").as("n_clean"), col("clean"))
+      .orderBy(col("doc_id"))
+  private val q202Sql = """
+    WITH r AS (SELECT doc_id,
+        '<html><head><title>Doc ' || doc_id ||
+        ' &amp; co</title><style>p { color: red; }</style></head><body><h1>' ||
+        substr(text, 1, 20) || '</h1><!-- id ' || doc_id || ' --><p>' ||
+        replace(text, ' data ', ' &quot;data&#39; ') ||
+        '</p><script type="text/js">var x = ' || doc_id ||
+        ';</script><p>tail &lt;end&gt; &nbsp;ok</p></body></html>' AS raw
+      FROM documents),
+    x AS (SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(raw,
+                    '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                  '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?s)<!--.*?-->', ' ', 'g'),
+              '<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', CHR(39)), '&nbsp;', ' '), '&amp;', '&'),
+          '[ \t\n\r]+', ' ', 'g')) AS clean
+      FROM r)
+    SELECT doc_id, n_raw, CAST(len(clean) AS BIGINT) AS n_clean, clean
+    FROM x ORDER BY doc_id"""
+
+  /** q203 — PII redaction beyond digit runs (the `redact_pii` stage):
+    * every doc gains a deterministic synthetic email, phone, and
+    * dotted-quad IP (plain SQL string construction — DuckDB builds the
+    * identical raw bytes), and the email → IP → phone regexp_replace
+    * chain masks them with class tags. The regex TEXTS are single
+    * definitions in [[CleanPipeline]] shared verbatim by the stage,
+    * this query, and the oracle, in the Java∩RE2 regex subset; the
+    * redacted STRING is under the hash. Email runs first because the
+    * other classes' patterns overlap its local-part/domain bytes. */
+  private val q203: QFn = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@mail-example.org or "),
+          lit("+1-555-01"), pmod(col("doc_id"), lit(97)),
+          lit(" node 10."), pmod(col("doc_id"), lit(256)),
+          lit(".0."), pmod(col("doc_id"), lit(100)),
+          lit(" end")).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          CleanPipeline.piiEmail, "<EMAIL>"),
+          CleanPipeline.piiIp, "<IP>"),
+          CleanPipeline.piiPhone, "<PHONE>").as("red"))
+      .select(col("doc_id"), col("n_raw"),
+        length(col("red")).cast("long").as("n_red"), col("red"))
+      .orderBy(col("doc_id"))
+  private val q203Sql = {
+    val (em, ip, ph) = (CleanPipeline.piiEmail, CleanPipeline.piiIp,
+      CleanPipeline.piiPhone)
+    s"""
+    WITH r AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@mail-example.org or ' ||
+        '+1-555-01' || (doc_id % 97) ||
+        ' node 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ||
+        ' end' AS raw
+      FROM documents),
+    x AS (SELECT doc_id, CAST(len(raw) AS BIGINT) AS n_raw,
+        regexp_replace(regexp_replace(regexp_replace(raw,
+          '$em', '<EMAIL>', 'g'),
+          '$ip', '<IP>', 'g'),
+          '$ph', '<PHONE>', 'g') AS red
+      FROM r)
+    SELECT doc_id, n_raw, CAST(len(red) AS BIGINT) AS n_red, red
+    FROM x ORDER BY doc_id"""
+  }
+
   /** q101 — Bloom-filter exact-dedup gate under the differential oracle:
     * the bottom 80% of docs are the standing corpus, the top 40% are a
     * RE-INGESTED batch (the overlap is the replayed-crawl scenario —
@@ -2573,6 +2678,8 @@ object PipelineQueries {
     "q197_exact_substr_stage" -> q197,
     "q199_exact_index_retention" -> q199,
     "q200_normalize_nfc" -> q200,
+    "q202_html_extract" -> q202,
+    "q203_redact_pii" -> q203,
     "q96_index_refresh" -> q96,
     "q192_dindex_lifecycle" -> q192,
     "q95_incremental_embedding" -> q95,
@@ -2644,6 +2751,8 @@ object PipelineQueries {
     "q197_exact_substr_stage" -> q197Sql,
     "q199_exact_index_retention" -> q199Sql,
     "q200_normalize_nfc" -> q200Sql,
+    "q202_html_extract" -> q202Sql,
+    "q203_redact_pii" -> q203Sql,
     "q96_index_refresh" -> q96Sql,
     "q192_dindex_lifecycle" -> q192Sql,
     "q95_incremental_embedding" -> q95Sql,

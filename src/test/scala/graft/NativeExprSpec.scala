@@ -271,3 +271,64 @@ class NativeExprSpec extends SparkSpec {
     assert(tricky.filter(col("native") =!= col("hofc")).count() === 0)
   }
 }
+
+/** HtmlExtractExpr — the q202 native state machine's edge cases,
+  * including the ones the synthesized corpus never exercises (the
+  * oracle proves the happy path; these pin the fallbacks). */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String = {
+    val r = Seq(Tuple1(html)).toDF("h")
+      .select(F.htmlExtract(col("h"))).collect()(0)
+    if (r.isNullAt(0)) null else r.getString(0)
+  }
+
+  test("tags strip to word separators; whitespace collapses; trimmed") {
+    assert(extract("<p>a</p><p>b</p>") === "a b")
+    assert(extract("  <div> a \t b </div>  ") === "a b")
+    assert(extract("a<br/>b") === "a b")
+  }
+
+  test("script/style/comment blocks drop WITH content") {
+    assert(extract("x<script>var a = '<p>hi</p>';</script>y") === "x y")
+    assert(extract("x<style>p { color: red; }</style>y") === "x y")
+    assert(extract("x<!-- note <b>bold</b> -->y") === "x y")
+    assert(extract("<script src=\"a.js\"></script>done") === "done")
+  }
+
+  test("core entities decode; double-escaping survives one pass") {
+    assert(extract("a &amp; b &lt;c&gt; &quot;d&#39; e&nbsp;f") ===
+      "a & b <c> \"d' e f")
+    // &amp;lt; is an ESCAPED &lt; — must decode to literal "&lt;", not "<"
+    assert(extract("&amp;lt;tag&amp;gt;") === "&lt;tag&gt;")
+    assert(extract("&unknown; stays") === "&unknown; stays")
+  }
+
+  test("fallbacks: unclosed script keeps content; stray '<' is literal") {
+    assert(extract("a <script>var x = 1 rest") === "a var x = 1 rest")
+    // '<'...'>' spans are tags to this stripper AND to the oracle's
+    // <[^>]*> regex — identical greedy mis-parse on math text, by design
+    assert(extract("1 < 2 and 3 > 2") === "1 2")
+    // no '>' anywhere: the '<' stays literal in both implementations
+    assert(extract("1 < 2 and 3 greater") === "1 < 2 and 3 greater")
+    assert(extract("<style>unclosed body text") === "unclosed body text")
+  }
+
+  test("null-safe; empty and tag-only inputs yield empty") {
+    assert(extract(null) === null)
+    assert(extract("") === "")
+    assert(extract("<html><body></body></html>") === "")
+  }
+
+  test("sql registration html_extract() works") {
+    val reg = spark.sessionState.functionRegistry
+    new graft.functions.GraftExtensions().registrations.foreach {
+      case (ident, info, builder) =>
+        reg.registerFunction(ident, info, builder)
+    }
+    val out = spark.sql(
+      "SELECT html_extract('<b>a</b> &amp; <i>b</i>') AS t").collect()
+    assert(out(0).getString(0) === "a & b")
+  }
+}

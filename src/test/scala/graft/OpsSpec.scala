@@ -2487,3 +2487,43 @@ class HammingPairsSpec extends SparkSpec {
         radius = 4, bandBits = 16))
   }
 }
+
+class HtmlPiiStagesSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.ops.CleanPipeline
+
+  test("html_extract stage unwraps markup so downstream dedup sees " +
+      "the content; markup-only docs empty out") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, "<html><body><p>same content here</p></body></html>"),
+      (2L, "<div class=\"x\">same <b>content</b> here</div>" +
+        "<script>var t = 1;</script>"),
+      (3L, "<p>different words entirely</p>")
+    ).toDF("doc_id", "text")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "html_extract"},
+        {"op": "dedup_exact"}
+      ]}}""", in)
+    // docs 1 and 2 carry the SAME text under different markup — only
+    // the extraction makes the dedup gate see that
+    assert(out.select("doc_id").as[Long].collect().sorted
+      === Array(1L, 3L))
+    assert(out.filter(col("doc_id") === 1L).head().getAs[String]("text")
+      === "same content here")
+  }
+
+  test("redact_pii stage masks emails/IPs/phones, leaves prose intact") {
+    import spark.implicits._
+    val in = Seq((1L,
+      "reach bob.smith+a@corp-mail.example.co at +1-555-0199 " +
+        "or node 192.168.4.27 port eight")).toDF("doc_id", "text")
+    val out = CleanPipeline.run("""
+      {"pipeline": {"id": "doc_id", "text": "text", "stages": [
+        {"op": "redact_pii"}
+      ]}}""", in)
+    assert(out.head().getAs[String]("text") ===
+      "reach <EMAIL> at <PHONE> or node <IP> port eight")
+  }
+}

@@ -1,0 +1,332 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.engine.{Catalog, Engine, TaskScheduler}
+
+/** The reference's repeatable-task scheduler family
+  * (cmd/member_cmd.py:21696 `schedule`, :21712 `run scheduler`,
+  * :21650 `task`, :20339 `get scheduler`; job/task_scheduler.py).
+  * Virtual clock throughout — no sleeps. */
+class TaskSchedulerSpec extends SparkSpec {
+
+  private def fixture() = {
+    val ran = mutable.ArrayBuffer.empty[String]
+    var now = 1000000L
+    val ts = new TaskScheduler(cmd => { ran += cmd; "ok" }, () => now)
+    (ts, ran, () => now, (t: Long) => now = t)
+  }
+
+  test("fires on the first wake after registration, then gates on repeat") {
+    val (ts, ran, now, setNow) = fixture()
+    ts.add("t1", "cmd one", repeatMs = 10000L)
+    assert(ts.tick() === 1)
+    assert(ran.toList === List("cmd one"))
+    // same instant: repeat not elapsed
+    assert(ts.tick() === 0)
+    setNow(now() + 9999)
+    assert(ts.tick() === 0)
+    setNow(now() + 1)
+    assert(ts.tick() === 1)
+    assert(ran.size === 2)
+    assert(ts.tasksOf().head.counter === 2)
+    assert(ts.tasksOf().head.lastStatus === "Success")
+  }
+
+  test("start gate: a future start time defers the first run") {
+    val (ts, ran, now, setNow) = fixture()
+    ts.add("later", "cmd", 1000L, startAt = Some(now() + 60000))
+    assert(ts.tick() === 0 && ran.isEmpty)
+    setNow(now() + 60000)
+    assert(ts.tick() === 1)
+  }
+
+  test("stop/resume/remove modes; removed slot is reused; dup name refused") {
+    val (ts, ran, _, _) = fixture()
+    val t1 = ts.add("a", "cmd a", 1000L)
+    intercept[IllegalArgumentException](ts.add("a", "other", 1000L))
+    ts.taskCmd("stop", "a")
+    assert(ts.tick() === 0)
+    ts.taskCmd("resume", "a")
+    assert(ts.tick() === 1)
+    ts.taskCmd("remove", "a")
+    assert(ts.tick() === 0)
+    // removed frees the name AND the slot (task_scheduler.py:266)
+    val t2 = ts.add("a", "cmd a2", 1000L)
+    assert(t2.id === t1.id)
+    assert(ts.tasksOf().map(_.name) === Seq("a"))
+  }
+
+  test("task run forces one immediate execution; init re-arms start") {
+    val (ts, ran, now, setNow) = fixture()
+    ts.add("m", "cmd m", 60000L)
+    ts.taskCmd("run", "m")
+    assert(ran.size === 1)
+    // run counted as an execution: the repeat gate now applies
+    assert(ts.tick() === 0)
+    // init pushes the start into the future and clears the run gate
+    ts.taskCmd("init", "m", newStart = Some(now() + 5000))
+    assert(ts.tick() === 0)
+    setNow(now() + 5000)
+    assert(ts.tick() === 1)
+  }
+
+  test("TIME(PREVIOUS)/TIME(CURRENT) substitution chains across runs") {
+    val (ts, ran, now, setNow) = fixture()
+    ts.start(spawnThread = false) // sets wakeMs default 10 s
+    ts.add("w", "sql sel between TIME(PREVIOUS) and TIME(CURRENT)", 10000L)
+    ts.tick()
+    setNow(now() + 10000)
+    ts.tick()
+    val stamps = ran.map { c =>
+      val m = "'([^']+)' and '([^']+)'".r.findFirstMatchIn(c).get
+      (m.group(1), m.group(2))
+    }
+    // first run: PREVIOUS seeded with now - wake (task_scheduler.py:193)
+    assert(stamps(0)._1 < stamps(0)._2)
+    // second run: PREVIOUS == first run's CURRENT stamp (:198-200)
+    assert(stamps(1)._1 === stamps(0)._2)
+  }
+
+  test("a failing task records Failed status and keeps the scheduler alive") {
+    var now = 0L
+    val ts = new TaskScheduler(
+      _ => throw new RuntimeException("boom"), () => now)
+    ts.add("f", "cmd", 1000L)
+    assert(ts.tick() === 1)
+    assert(ts.tasksOf().head.lastStatus.startsWith("Failed: boom"))
+    now += 1000
+    assert(ts.tick() === 1) // still scheduled
+  }
+
+  test("engine command surface: schedule/task/get scheduler/run scheduler") {
+    val engine = new Engine(spark, new Catalog(spark))
+    var now = 5000000L
+    engine.schedulerClock = () => now
+    // run scheduler refuses a double start (Process_already_running)
+    // — started WITHOUT the wake thread so the test drives time
+    assert(engine.taskScheduler.start(spawnThread = false)
+      .startsWith("Scheduler 1 started"))
+    assert(engine.execute("run scheduler") ===
+      "Scheduler 1 already running")
+    val reply = engine.execute(
+      """schedule time = 10 seconds and name = "dict snap" task set snap = on""")
+    assert(reply.contains("'dict snap' scheduled every 10 seconds"))
+    intercept[IllegalArgumentException](engine.execute(
+      """schedule time = 5 seconds and name = "dict snap" task set x = 1"""))
+    intercept[IllegalArgumentException](engine.execute(
+      "schedule time = 10 seconds no marker here"))
+    assert(engine.taskScheduler.tick() === 1)
+    // the task executed a real engine command
+    assert(engine.execute("get dictionary").contains("snap"))
+    val rep = engine.execute("get scheduler 1")
+    assert(rep.contains("Scheduler Status: Running"))
+    assert(rep.contains("dict snap") && rep.contains("Success"))
+    assert(engine.execute("get scheduler").contains("Scheduler ID:     1"))
+    assert(engine.execute("""task stop where name = "dict snap""""
+      ).contains("stopped"))
+    now += 60000
+    assert(engine.taskScheduler.tick() === 0)
+    assert(engine.execute("""task remove where name = "dict snap""""
+      ).contains("removed"))
+    assert(!engine.execute("get scheduler 1").contains("dict snap"))
+    assert(engine.execute("exit scheduler") === "Scheduler 1 terminated")
+    assert(engine.execute("get scheduler 1")
+      .contains("Scheduler Status: Not Running"))
+  }
+
+  test("a scheduled MUTATING task serializes through the engine write lock") {
+    // schedule `task run` of a mutating command — the dispatch
+    // classifies the whole family mutating precisely so this nested
+    // execute never upgrades the retention read gate (Engine.isMutating)
+    val dir = java.nio.file.Files.createTempDirectory("schedmv")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    val cat = new Catalog(spark)
+    cat.registerTable("events", dir.resolve("events.parquet").toString)
+    val engine = new Engine(spark, cat)
+    var now = 9000000L
+    engine.schedulerClock = () => now
+    val out = dir.resolve("by_day").toString
+    engine.execute(s"""schedule time = 1 seconds and name = "zap" """ +
+      s"task partition events using ts by 1 day into $out")
+    assert(engine.execute("""task run where name = "zap""""
+      ).contains("executed"))
+    assert(engine.taskScheduler.tasksOf().head.lastStatus === "Success")
+    assert(graft.engine.TimePartitions.partitions(spark, out).nonEmpty)
+  }
+}
+
+/** `get processes` — the reference's background-service board
+  * (member_cmd.py:8521 get_processes_stat, 'get processes where
+  * format = json'). Honest rows: out-of-scope/waived services report
+  * Not declared WITH the scope/receipt pointer as details. */
+class ProcessesBoardSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine, HttpFrontend}
+
+  test("board shows Running services with details, Not declared others") {
+    val engine = new Engine(spark, new Catalog(spark))
+    val pre = engine.execute("get processes")
+    assert(pre.contains("| Process") && pre.contains("Status"))
+    assert(pre.contains("TCP Server") && pre.contains("Not declared"))
+    assert(pre.contains("KAFKA_ENV_RECEIPT.md"))
+    // start services: REST frontend self-registers, scheduler via command
+    val fe = new HttpFrontend(engine)
+    val port = fe.start()
+    engine.taskScheduler.start(spawnThread = false)
+    engine.dataDir = Some("/tmp/ingest-root")
+    val mid = engine.execute("get processes")
+    assert(mid.linesIterator.exists(l =>
+      l.contains("REST Server") && l.contains("Running") &&
+        l.contains(s":$port")))
+    assert(mid.linesIterator.exists(l =>
+      l.contains("Scheduler") && l.contains("Running") &&
+        l.contains("scheduler id(s) 1")))
+    assert(mid.linesIterator.exists(l =>
+      l.contains("Operator") && l.contains("Running")))
+    // json form parses and carries the same statuses
+    val js = engine.execute("get processes where format = json")
+    val parsed = org.json4s.jackson.JsonMethods.parse(js)
+    val rest = (parsed \ "REST Server" \ "Status")
+    assert(rest === org.json4s.JString("Running"))
+    // stop: the rows flip back
+    fe.stop()
+    engine.execute("exit scheduler")
+    val post = engine.execute("get processes")
+    assert(post.linesIterator.exists(l =>
+      l.contains("REST Server") && l.contains("Not declared")))
+    assert(post.linesIterator.exists(l =>
+      l.contains("Scheduler") && l.contains("Not declared")))
+  }
+}
+
+/** `test table` — schema-consistency audit between the policy-store
+  * (blockchain) table definition and the node's storage, including
+  * every time-partition bucket (member_cmd.py:14816 test_table,
+  * compare_schema_ledger_to_table). */
+class TestTableCmdSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.engine.{Catalog, Engine, Tables, TimePartitions}
+
+  private def policy(tbl: String, cols: (String, String)*): String =
+    s"""blockchain insert where policy = {"table": {"name": "$tbl",
+       "dbms": "edge", "columns": [${cols.map { case (n, t) =>
+      s"""{"column_name": "$n", "data_type": "$t"}""" }.mkString(", ")}]}}"""
+
+  private val eventCols = Seq(
+    "event_id" -> "BIGINT", "ts" -> "TIMESTAMP", "user_id" -> "BIGINT",
+    "event_type" -> "VARCHAR", "value" -> "DOUBLE", "props" -> "VARCHAR")
+
+  test("Passed on a matching schema; ledger-vs-storage diffs named") {
+    val cat = new Catalog(spark)
+    cat.registerTable("events", s"$sfDir/events.parquet")
+    val engine = new Engine(spark, cat)
+    // no policy yet: the reference's exact failure mode
+    assert(engine.execute("test table events where dbms = edge") ===
+      "Test table edge.events schema failed: Blockchain schema " +
+        "not available")
+    engine.execute(policy("events", eventCols: _*))
+    assert(engine.execute("test table events where dbms = edge") ===
+      "Passed")
+    // a second table with a WRONG declared type
+    cat.registerTable("ev2", s"$sfDir/events.parquet")
+    engine.execute(policy("ev2", eventCols.map {
+      case ("value", _) => ("value", "BIGINT"); case kv => kv }: _*))
+    val bad = engine.execute("test table ev2 where dbms = edge")
+    assert(bad.contains("schema failed") && bad.contains("'value'"))
+    // column-count drift
+    cat.registerTable("ev3", s"$sfDir/events.parquet")
+    engine.execute(policy("ev3", eventCols.take(5): _*))
+    assert(engine.execute("test table ev3 where dbms = edge")
+      .contains("ledger has 5 columns, storage has 6"))
+  }
+
+  test("partition audit: a bucket written under an older schema is named") {
+    val dir = java.nio.file.Files.createTempDirectory("ttpar").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") < lit("2024-01-04"))
+    TimePartitions.write(ev, "ts", "day", 1, dir)
+    val buckets = TimePartitions.partitions(spark, dir)
+    assert(buckets.size >= 2)
+    // rewrite ONE bucket without the props column (schema drift)
+    val victim = s"$dir/__par=${buckets.head}"
+    val drifted = spark.read.parquet(victim).drop("props")
+    val tmp = java.nio.file.Files.createTempDirectory("ttold").toString
+    drifted.write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(victim))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(victim))
+    val cat = new Catalog(spark)
+    cat.registerTable("evp", dir)
+    val engine = new Engine(spark, cat)
+    engine.execute(policy("evp", eventCols: _*))
+    val out = engine.execute("test table evp where dbms = edge")
+    assert(out.contains(s"partition ${buckets.head}") &&
+      out.contains("schema failed"), out)
+    // healthy partitions: repair the bucket and the audit passes
+    val healthy = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") < lit("2024-01-04"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(victim))
+    TimePartitions.write(healthy, "ts", "day", 1, dir)
+    assert(engine.execute("test table evp where dbms = edge")
+      .startsWith("Passed ("))
+  }
+}
+
+/** The OPERATIONAL loop assembled end-to-end: a standing matview kept
+  * converged by a SCHEDULED `sync all` task (the way the reference's
+  * docs wire maintenance — schedule + run scheduler), with
+  * out-of-band parquet appends as the drift source and `artifact
+  * verify` as the trust check. */
+class ScheduledOpsLoopSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.engine.{Catalog, Engine, Tables}
+
+  test("scheduled sync all reconverges a matview after appends; " +
+      "artifact verify stays exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("schedsync")
+    val evDir = tmp.resolve("evt.parquet").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("value"), col("user_id"))
+    ev.filter(pmod(col("user_id"), lit(3)) === 0)
+      .withColumn("tsd_id", lit(1)).write.parquet(evDir)
+    val cat = new Catalog(spark)
+    cat.registerTable("evt", evDir)
+    val engine = new Engine(spark, cat)
+    var now = 3000000000L
+    engine.schedulerClock = () => now
+    engine.taskScheduler.start(spawnThread = false)
+    val mv = tmp.resolve("mv").toString
+    // decimal sum partial: the fold algebra is EXACT, so the scheduled
+    // increments can be compared to a one-shot rebuild bit-for-bit
+    engine.execute(s"matview create where table = evt and path = $mv " +
+      s"""and spec = {"keys": ["event_type"], "aggs": [
+        {"fn": "count", "expr": "1", "alias": "n"},
+        {"fn": "sum", "expr": "CAST(value AS DECIMAL(18,2))",
+         "alias": "sv"}]}""")
+    engine.execute("""schedule time = 10 seconds and name = "fleet" """ +
+      "task sync all where table = evt")
+    // two drift/wake cycles
+    ev.filter(pmod(col("user_id"), lit(3)) === 1)
+      .withColumn("tsd_id", lit(2)).write.mode("append").parquet(evDir)
+    assert(engine.taskScheduler.tick() === 1)
+    ev.filter(pmod(col("user_id"), lit(3)) === 2)
+      .withColumn("tsd_id", lit(3)).write.mode("append").parquet(evDir)
+    now += 10000
+    assert(engine.taskScheduler.tick() === 1)
+    assert(engine.taskScheduler.tasksOf().head.lastStatus === "Success")
+    // served state == one-shot rebuild over the whole corpus
+    val got = graft.ops.IndexStore.read(spark, mv).get
+      .select(col("event_type"), col("n"),
+        col("sv").cast("decimal(18,2)").as("sv"))
+    val want = spark.read.parquet(evDir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("sv"))
+    assert(got.exceptAll(want).count() === 0 &&
+      want.exceptAll(got).count() === 0)
+    assert(engine.execute("artifact verify where table = evt")
+      .contains("VERIFIED"))
+  }
+}
