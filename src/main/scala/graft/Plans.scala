@@ -503,6 +503,13 @@ object Plans {
           "projections (email → IP → phone), map-only, zero " +
           "shuffles; regex texts shared verbatim with the oracle in " +
           "the Java∩RE2 subset"),
+      "q204_ha_sync" ->
+        ("HA sync round: the SERVED query is one scan + two-phase " +
+          "group (same as q198) — replication is pure control plane: " +
+          "the ledger exchange is #batches-row NDJSON metadata, the " +
+          "transport moves archived source bytes once per missing " +
+          "hash, and duplicate refusal is an O(1) ledger-hash probe; " +
+          "no data-plane exchange ever enters the query plan"),
       "q201_scheduled_sync" ->
         ("scheduler-driven rollup sync: the SERVED plan is the " +
           "rollup's #buckets-row artifact scan + final fold (base " +

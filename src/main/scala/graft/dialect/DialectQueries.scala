@@ -707,8 +707,60 @@ object DialectQueries {
       ${oSum("len(text)")} AS sum_len
     FROM documents GROUP BY source ORDER BY source"""
 
+  /** q204 — the HA peer-sync ROUND under the oracle (`run ha sync`,
+    * dbms/ha.py as one command; q198's shared-ledger scenario flipped
+    * to the TRANSPORT side): two INDEPENDENT engines (separate
+    * catalogs, separate ledgers, separate data roots) each ingest an
+    * overlapping subset of the corpus via PUT — node A holds batches
+    * {0,1}, node B {1,2} — then ONE `run ha sync` on B pulls batch 0
+    * from A's hash-addressed archive and pushes batch 2 to A over
+    * REST PUT. Both nodes then hold the corpus exactly once (the
+    * shared batch 1 is refused by content hash on both sides during
+    * the sync), and the SERVED aggregate on B hash-matches DuckDB
+    * over the whole corpus. A double-applied or dropped batch breaks
+    * the hash. The committed watermark advances to the consensus, so
+    * the query runs committed=true — the replication-safe read. */
+  private val q204: QFn = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("q204")
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.length(col("text")).as("n"))
+      .collect()
+    def batch(k: Int): String = docs
+      .filter(r => r.getLong(0) % 3 == k)
+      .map(r => s"""{"doc_id": ${r.getLong(0)}, """ +
+        s""""source": "${r.getString(1)}", "n": ${r.getInt(2)}}""")
+      .mkString("\n")
+    def node(name: String) = {
+      val e = new graft.engine.Engine(s, new graft.engine.Catalog(s))
+      e.dataDir = Some(root.resolve(name).toString)
+      val fe = new graft.engine.HttpFrontend(e)
+      (e, fe, fe.start())
+    }
+    val (a, feA, portA) = node("a")
+    val (b, feB, _) = node("b")
+    try {
+      require(a.ingest("hdocs", batch(0)) > 0L)
+      require(a.ingest("hdocs", batch(1)) > 0L)
+      require(b.ingest("hdocs", batch(1)) > 0L)
+      require(b.ingest("hdocs", batch(2)) > 0L)
+      val out = b.execute(
+        s"run ha sync where peer = localhost:$portA and table = hdocs")
+      require(out.contains("pulled 1") && out.contains("pushed 1"),
+        s"q204 sync moved the wrong batches: $out")
+      require(b.execute(
+        s"run ha sync where peer = localhost:$portA and table = hdocs")
+        .contains("pulled 0, pushed 0"), "q204 second round must be empty")
+      b.query("""sql edge committed=true "select source, """ +
+        """count(*) as n_docs, sum(n) as sum_len from hdocs """ +
+        """group by source order by source"""")
+    } finally { feA.stop(); feB.stop() }
+  }
+  private val q204Sql = q198Sql
+
   val queries: Map[String, QFn] = Map(
     "q201_scheduled_sync" -> q201,
+    "q204_ha_sync" -> q204,
     "q198_cross_node_ingest" -> q198,
     "q195_nodes_committed" -> q195,
     "q193_sql_left_join" -> q193,
@@ -734,6 +786,7 @@ object DialectQueries {
 
   val oracles: Map[String, String] = Map(
     "q201_scheduled_sync" -> q201Sql,
+    "q204_ha_sync" -> q204Sql,
     "q198_cross_node_ingest" -> q198Sql,
     "q195_nodes_committed" -> q195Sql,
     "q193_sql_left_join" -> q193Sql,

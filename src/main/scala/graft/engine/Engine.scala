@@ -543,6 +543,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           tsdLedger.remove(hash)
           throw e
         }
+        // ARCHIVE the raw payload, hash-addressed (the reference
+        // archives every ingested source file, and HA moves those
+        // bytes between peers — dbms/ha.py: re-serialized rows would
+        // hash differently and defeat the duplicate-PUT refusal that
+        // makes sync idempotent). Best-effort: data+ledger are the
+        // durable truth, a failed archive write only narrows what
+        // this node can SERVE to peers.
+        archiveRoot.foreach { ar =>
+          try {
+            java.nio.file.Files.createDirectories(ar)
+            java.nio.file.Files.writeString(ar.resolve(s"$hash.json"),
+              trimmed)
+          } catch { case e: Exception =>
+            logRing(errorLog, (System.currentTimeMillis,
+              s"archive $hash", Option(e.getMessage).getOrElse("") )) }
+        }
         // register AFTER the data exists, with the schema of what was
         // actually WRITTEN (policy-mapped + stamped — inferring from the
         // raw body would freeze pre-policy column names)
@@ -653,6 +669,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       // other mutating command.
       low.startsWith("schedule ") || low.startsWith("task ") ||
       low.startsWith("run scheduler") || low.startsWith("exit scheduler") ||
+      // ha sync ingests (nested writeLock) and delete archive removes
+      // files — both enter on the write side like the scheduler family
+      low.startsWith("run ha sync") || low.startsWith("delete archive") ||
       familyVerb.findFirstIn(low).isDefined
   }
 
@@ -1118,6 +1137,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("schedule ")) scheduleCmd(t)
     else if (low.startsWith("task ")) taskModeCmd(t)
     else if (low.startsWith("test table ")) testTable(t)
+    else if (low.startsWith("get tsd export")) tsdExport()
+    else if (low.startsWith("get archive file")) archiveFile(t)
+    else if (low.startsWith("delete archive")) deleteArchive(t)
+    else if (low.startsWith("run ha sync")) haSync(t)
     else if (low.startsWith("get processes")) {
       val json = "(?i)where\\s+format\\s*=\\s*json".r
         .findFirstIn(low).isDefined
@@ -2266,6 +2289,163 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       (line(header) +: rows.map(r => line(Seq(r._1, r._2, r._3))))
         .mkString("\n")
     }
+  }
+
+  /** Archive dir for raw ingested payloads (hash-addressed; the
+    * reference's archive of source files that HA copies between
+    * peers). Rootless engines (no dataDir) keep no archive. */
+  private def archiveRoot: Option[java.nio.file.Path] =
+    dataDir.map(d => java.nio.file.Paths.get(d).resolve("archive"))
+
+  /** `get tsd export` — the ledger as NDJSON, one object per batch:
+    * the machine-readable form a PEER fetches over the command channel
+    * to run the HA diff (the reference exchanges tsd_info rows the
+    * same way, dbms/ha.py:19-35). */
+  private def tsdExport(): String =
+    tsdLedger.list(None).map { e =>
+      s"""{"file_id": ${e.fileId}, "dbms": "${e.dbms}", """ +
+        s""""table_name": "${e.table}", "source": "${e.source}", """ +
+        s""""file_hash": "${e.fileHash}", """ +
+        s""""instructions": "${e.instructions}", """ +
+        s""""file_time": ${e.fileTime.getTime}, "rows": ${e.rows}}"""
+    }.mkString("\n")
+
+  /** `get archive file <hash>` — the archived raw payload, verbatim
+    * (the byte-identical form whose MD5 is the ledger key, so a peer
+    * PUTting it observes the duplicate-refusal idempotence). */
+  private def archiveFile(t: String): String = {
+    val hash = t.trim.split("\\s+").last
+    val p = archiveRoot.getOrElse(throw new IllegalStateException(
+      "no archive: engine has no data dir")).resolve(s"$hash.json")
+    require(java.nio.file.Files.exists(p), s"archive has no file $hash")
+    java.nio.file.Files.readString(p)
+  }
+
+  /** `delete archive where days = <n>` — age out archived source
+    * files (the reference's `delete archive` command,
+    * member_cmd.py `delete archive`): files older than n days by
+    * mtime are removed. Bounds the archive the same way `drop
+    * partition` bounds the tables; a hash dropped here simply can no
+    * longer be SERVED to peers (the ledger row remains — duplicate
+    * refusal is unaffected). */
+  private def deleteArchive(t: String): String = {
+    val days = "(?i)\\bdays\\s*=\\s*(\\d+)".r.findFirstMatchIn(t)
+      .map(_.group(1).toInt).getOrElse(throw new IllegalArgumentException(
+        "delete archive where days = <n>"))
+    val cutoff = System.currentTimeMillis - days * 86400000L
+    archiveRoot match {
+      case None => "no archive: engine has no data dir"
+      case Some(ar) =>
+        val files = Option(ar.toFile.listFiles()).getOrElse(Array.empty)
+        val victims = files.filter(_.lastModified < cutoff)
+        victims.foreach(_.delete())
+        s"deleted ${victims.length} archived file(s) older than $days day(s)"
+    }
+  }
+
+  /** `run ha sync where peer = <host:port> [and table = <t>]` — ONE
+    * round of the HA peer-sync loop as a single command, so the task
+    * scheduler can drive it exactly the way the reference deploys
+    * ha.py (a scheduled task): fetch the peer's ledger over the
+    * command channel, anti-join both ways on the content hash
+    * ([[graft.ingest.TsdLedger.diff]] semantics, computed here on the
+    * broadcast-sized metadata), PULL missing payloads from the peer's
+    * archive into this node, PUSH payloads the peer lacks over REST
+    * PUT, then advance this node's committed watermark to the new
+    * consensus (min over peers' max tsd_id per table — dbms/ha.py:225).
+    * Idempotent: every transported payload is the archived original,
+    * so its hash re-keys the duplicate-PUT refusal; a second round
+    * pulls and pushes nothing. */
+  private def haSync(t: String): String = {
+    def kv(k: String): Option[String] =
+      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(t).map(_.group(1))
+    val peer = kv("peer").getOrElse(throw new IllegalArgumentException(
+      "run ha sync requires peer = <host:port>"))
+    val tableFilter = kv("table")
+    // request timeouts make a simultaneous MUTUAL sync fail loudly
+    // instead of deadlocking: this node holds its write lock across
+    // the round, so if the peer is mid-sync against us (holding ITS
+    // lock, waiting on OUR handler, which needs our lock), both
+    // rounds time out, record Failed, and the scheduler retries on a
+    // later wake — the standard resolution for symmetric distributed
+    // loops without a coordinator
+    val timeout = java.time.Duration.ofSeconds(30)
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(timeout).build()
+    def get(cmd: String): String = {
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://$peer/")).timeout(timeout)
+          .header("command", cmd).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode == 200,
+        s"peer $peer refused '$cmd': ${resp.body.take(200)}")
+      resp.body
+    }
+    def putPeer(table: String, body: String,
+        instructions: Option[String]): Unit = {
+      val b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(s"http://$peer/")).timeout(timeout)
+        .header("table", table)
+      instructions.foreach(i => b.header("instructions", i))
+      val resp = client.send(
+        b.PUT(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      require(resp.statusCode == 200,
+        s"peer $peer refused PUT $table: ${resp.body.take(200)}")
+    }
+    final case class PeerRow(table: String, hash: String,
+        instructions: String, fileId: Int)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val peerRows = get("get tsd export").linesIterator
+      .filter(_.trim.nonEmpty).map { l =>
+        val j = JsonMethods.parse(l)
+        def s(k: String) = (j \ k) match {
+          case JString(v) => v; case other => other.values.toString }
+        PeerRow(s("table_name"), s("file_hash"), s("instructions"),
+          s("file_id").toInt)
+      }.toSeq
+      .filter(r => tableFilter.forall(_ == r.table))
+    val local = tsdLedger.list(None)
+      .filter(e => tableFilter.forall(_ == e.table))
+    val localHashes = local.map(_.fileHash).toSet
+    val peerHashes = peerRows.map(_.hash).toSet
+    val pulls = peerRows.filterNot(r => localHashes(r.hash))
+    val pushes = local.filterNot(e => peerHashes(e.fileHash))
+    pulls.foreach { r =>
+      val payload = get(s"get archive file ${r.hash}")
+      ingest(r.table, payload,
+        Option(r.instructions).filter(i => i.nonEmpty && i != "0"))
+    }
+    val servedPerTable = scala.collection.mutable.Map.empty[String, Int]
+    var served = 0
+    pushes.foreach { e =>
+      archiveRoot.map(_.resolve(s"${e.fileHash}.json")) match {
+        case Some(p) if java.nio.file.Files.exists(p) =>
+          putPeer(e.table, java.nio.file.Files.readString(p),
+            Option(e.instructions).filter(i => i.nonEmpty && i != "0"))
+          served += 1
+          servedPerTable(e.table) = servedPerTable.getOrElse(e.table, 0) + 1
+        case _ => () // archived bytes aged out: the peer pulls elsewhere
+      }
+    }
+    // committed watermark: per synced table, consensus = min(local max,
+    // peer max AFTER this round) — after the pulls the local ledger
+    // holds every replicated batch, and each SERVED push grew the
+    // peer's ledger by one (all pushes were hashes the peer lacked)
+    val tables = (pulls.map(_.table) ++ pushes.map(_.table) ++
+      tableFilter.toSeq).distinct
+    tables.foreach { tb =>
+      val peerMax = (peerRows.filter(_.table == tb).map(_.fileId) :+ 0).max +
+        servedPerTable.getOrElse(tb, 0)
+      val safe = math.min(tsdLedger.maxId(tb), peerMax)
+      if (safe > 0) setSafeTsdId(tb, safe)
+    }
+    s"ha sync with $peer: pulled ${pulls.size}, pushed $served" +
+      (if (pushes.size != served)
+        s" (${pushes.size - served} not in archive)" else "")
   }
 
   /** `test table <table> where dbms = <dbms>` — schema-consistency

@@ -330,3 +330,100 @@ class ScheduledOpsLoopSpec extends SparkSpec {
       .contains("VERIFIED"))
   }
 }
+
+/** `run ha sync` — the HA peer-sync round as ONE command (the
+  * TsdSyncE2ESpec flow, but engine-driven: ledger fetch over the
+  * command channel, hash anti-join, archive pull / REST push,
+  * consensus watermark), schedulable exactly the way the reference
+  * deploys ha.py. Plus the archive surface it rides on:
+  * hash-addressed raw payloads, `get tsd export`,
+  * `get archive file`, `delete archive`. */
+class HaSyncCmdSpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine, HttpFrontend}
+  import graft.ingest.TsdLedger
+
+  private def node(root: java.nio.file.Path, name: String) = {
+    val engine = new Engine(spark, new Catalog(spark))
+    engine.dataDir = Some(root.resolve(name).toString)
+    val fe = new HttpFrontend(engine)
+    (engine, fe, fe.start())
+  }
+
+  test("one command converges two overlapping nodes; idempotent; " +
+      "scheduler drives later rounds") {
+    val root = java.nio.file.Files.createTempDirectory("hasync")
+    val (engA, feA, portA) = node(root, "a")
+    val (engB, feB, portB) = node(root, "b")
+    try {
+      val p1 = """{"device": "d1", "value": 1.0}
+                 |{"device": "d2", "value": 2.0}""".stripMargin
+      val p2 = """{"device": "d3", "value": 3.0}"""
+      val p3 = """{"device": "d4", "value": 4.0}"""
+      val p4 = """{"device": "d5", "value": 5.0}"""
+      Seq(p1, p2, p3).foreach(p => assert(engA.ingest("t", p) > 0))
+      Seq(p1, p4).foreach(p => assert(engB.ingest("t", p) > 0))
+      // the archive holds the raw payloads, hash-addressed
+      val h2 = java.security.MessageDigest.getInstance("MD5")
+        .digest(p2.trim.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(engA.execute(s"get archive file $h2") === p2.trim)
+      // ONE round on B: pulls p2+p3 from A's archive, pushes p4 to A
+      val out = engB.execute(
+        s"run ha sync where peer = localhost:$portA and table = t")
+      assert(out.contains("pulled 2") && out.contains("pushed 1"), out)
+      val hashesA = engA.tsdLedger.list(None).map(_.fileHash).toSet
+      val hashesB = engB.tsdLedger.list(None).map(_.fileHash).toSet
+      assert(hashesA === hashesB && hashesA.size === 4)
+      assert(TsdLedger.diff(engB.tsdLedger.df(spark),
+        engA.tsdLedger.df(spark)).isEmpty)
+      // second round: nothing moves (content-hash idempotence)
+      assert(engB.execute(
+        s"run ha sync where peer = localhost:$portA and table = t")
+        .contains("pulled 0, pushed 0"))
+      // committed watermark advanced on B to the consensus: every
+      // replicated row is now visible under committed=true
+      assert(engB.query(
+        """sql edge committed=true "select count(*) as n from t"""")
+        .head().getLong(0) === 5)
+      // SCHEDULED rounds: a new batch lands on A, B's scheduled task
+      // replicates it on the next wake (virtual clock)
+      var now = 7000000000L
+      engB.schedulerClock = () => now
+      engB.taskScheduler.start(spawnThread = false)
+      engB.execute(s"""schedule time = 10 seconds and name = "ha" """ +
+        s"task run ha sync where peer = localhost:$portA and table = t")
+      val p5 = """{"device": "d6", "value": 6.0}"""
+      assert(engA.ingest("t", p5) > 0)
+      assert(engB.taskScheduler.tick() === 1)
+      assert(engB.taskScheduler.tasksOf().head.lastStatus === "Success")
+      assert(engB.tsdLedger.list(None).size === 5) // 5 batches, 6 rows
+      assert(engB.query("""sql edge "select count(*) as n from t"""")
+        .head().getLong(0) === 6)
+    } finally { feA.stop(); feB.stop() }
+  }
+
+  test("delete archive ages out payloads; sync reports unservable pushes") {
+    val root = java.nio.file.Files.createTempDirectory("haage")
+    val (engA, feA, portA) = node(root, "a")
+    val (engB, feB, portB) = node(root, "b")
+    try {
+      val pOld = """{"device": "old", "value": 1.0}"""
+      assert(engB.ingest("t", pOld) > 0)
+      // age the archived file out
+      assert(engB.execute("delete archive where days = 1")
+        .startsWith("deleted 0"))
+      val hash = java.security.MessageDigest.getInstance("MD5")
+        .digest(pOld.trim.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val f = java.nio.file.Paths.get(engB.dataDir.get, "archive",
+        s"$hash.json").toFile
+      assert(f.setLastModified(System.currentTimeMillis - 3L * 86400000))
+      assert(engB.execute("delete archive where days = 1")
+        .startsWith("deleted 1"))
+      intercept[Exception](engB.execute(s"get archive file $hash"))
+      // B still LISTS the batch (ledger intact) but cannot serve it
+      val out = engB.execute(
+        s"run ha sync where peer = localhost:$portA and table = t")
+      assert(out.contains("pushed 0") && out.contains("1 not in archive"),
+        out)
+    } finally { feA.stop(); feB.stop() }
+  }
+}
