@@ -672,6 +672,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       // ha sync ingests (nested writeLock) and delete archive removes
       // files — both enter on the write side like the scheduler family
       low.startsWith("run ha sync") || low.startsWith("delete archive") ||
+      low.startsWith("run streamer") || low.startsWith("exit streamer") ||
       familyVerb.findFirstIn(low).isDefined
   }
 
@@ -775,8 +776,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     else if (low.startsWith("explain sql ")) explainSql(t)
     else if (low == "get status")
-      s"engine: graft; tables: ${catalog.tableNames.size}; " +
-        s"views: ${catalog.viewNames.size}; spark: ${spark.version}" 
+      // member_cmd.py `get status` leads with "'<node>' is running" —
+      // the liveness shape monitors poll — then the local detail
+      s"'${dict.getOrElse("node_name", "graft")}@${nodeAddress._1}:" +
+        s"${nodeAddress._2}' is running; " +
+        s"tables: ${catalog.tableNames.size}; " +
+        s"views: ${catalog.viewNames.size}; spark: ${spark.version}"
     else if (low.startsWith("create view ")) createView(t)
     else if (low.startsWith("partition ")) partition(t)
     else if (low.startsWith("drop partition ")) dropPartition(t)
@@ -1141,6 +1146,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("get archive file")) archiveFile(t)
     else if (low.startsWith("delete archive")) deleteArchive(t)
     else if (low.startsWith("run ha sync")) haSync(t)
+    else if (low.startsWith("run streamer")) runStreamer(t)
+    else if (low.startsWith("exit streamer")) exitStreamer(t)
     else if (low.startsWith("get processes")) {
       val json = "(?i)where\\s+format\\s*=\\s*json".r
         .findFirstIn(low).isDefined
@@ -2289,6 +2296,89 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       (line(header) +: rows.map(r => line(Seq(r._1, r._2, r._3))))
         .mkString("\n")
     }
+  }
+
+  /** Live watch-dir streamers by table (`run streamer` /
+    * `exit streamer`). */
+  private val streamers = scala.collection.mutable.Map.empty[
+    String, org.apache.spark.sql.streaming.StreamingQuery]
+  def streamerQueries: Map[String,
+    org.apache.spark.sql.streaming.StreamingQuery] =
+    streamers.synchronized(streamers.toMap)
+
+  /** `run streamer where dir = <watch> and table = <t> [and policy =
+    * <id>] [and flush = <seconds>] [and archive = <dir>]` — the
+    * reference's streamer/watch-dir background process as a COMMAND
+    * (member_cmd.py:21339 `run streamer` writes buffered streaming
+    * data through the mapping layer; the watch-dir → mapping-policy →
+    * table chain is §2.1 row 10). One Structured Streaming query per
+    * table: file-watch source (optionally archiving processed files),
+    * policy mapping (or the registered schema when no policy), then
+    * the TRANSACTIONAL sink — one foreachBatch owning both the
+    * idempotent table append and the standing-view folds, so a
+    * checkpoint replay duplicates neither. Shows on `get processes`
+    * as Streamer and in `get streaming` as `streamer_<table>`. */
+  private def runStreamer(t: String): String = {
+    def kv(k: String): Option[String] =
+      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"run streamer requires $k ="))
+    val (dir, table) = (req("dir"), req("table"))
+    val flush = kv("flush").map(_.toLong).getOrElse(60L)
+    streamers.synchronized {
+      require(!streamers.get(table).exists(_.isActive),
+        s"streamer for $table already running")
+    }
+    val raw = graft.streaming.StreamIngest.watchDir(spark, dir,
+      archiveDir = kv("archive"))
+    val rows = kv("policy") match {
+      case Some(id) =>
+        val pj = catalog.policy(id).getOrElse(
+          throw new IllegalArgumentException(s"unknown mapping policy: $id"))
+        graft.streaming.StreamIngest.pipeline(raw,
+          graft.ingest.MappingPolicy.fromJson(pj))._1
+      case None =>
+        val schema = catalog.tableSchema(table).getOrElse(
+          throw new IllegalArgumentException("run streamer without " +
+            s"policy = requires table $table registered with a schema"))
+        val user = org.apache.spark.sql.types.StructType(
+          schema.fields.filterNot(f => Set("row_id", "insert_timestamp",
+            "tsd_name", "tsd_id", "__par")(f.name)))
+        raw.select(org.apache.spark.sql.functions.from_json(
+          col("value"), user).as("r")).select("r.*")
+    }
+    val path = catalog.tablePath(table)
+      .orElse(dataDir.map(r => s"$r/$table"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown table $table — register it (or set a data dir) first"))
+    if (catalog.tablePath(table).isEmpty)
+      catalog.registerTable(table, path, Some(rows.schema))
+    val q = graft.streaming.StreamIngest.startTransactionalSink(
+      this, table, rows, path, s"${path}_ckpt_streamer", flush,
+      name = Some(s"streamer_$table"))
+    streamers.synchronized { streamers(table) = q }
+    registerService("Streamer",
+      () => streamers.synchronized(streamers.values.exists(_.isActive)),
+      () => streamers.synchronized(streamers.filter(_._2.isActive)
+        .keys.toSeq.sorted.mkString(", ")))
+    s"streamer for $table watching $dir (flush ${flush} s)"
+  }
+
+  /** `exit streamer [table]` — stop one table's streamer or all. */
+  private def exitStreamer(t: String): String = {
+    val which = "(?i)^exit streamer\\s+(\\S+)".r
+      .findFirstMatchIn(t.trim).map(_.group(1))
+    val victims = streamers.synchronized {
+      which match {
+        case Some(tb) => streamers.get(tb).map(tb -> _).toSeq
+        case None => streamers.toSeq
+      }
+    }
+    require(which.isEmpty || victims.nonEmpty,
+      s"no streamer for ${which.get}")
+    victims.foreach { case (tb, q) =>
+      q.stop(); streamers.synchronized { streamers.remove(tb) } }
+    s"stopped ${victims.size} streamer(s)"
   }
 
   /** Archive dir for raw ingested payloads (hash-addressed; the

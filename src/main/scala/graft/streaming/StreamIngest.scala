@@ -26,13 +26,20 @@ import graft.ingest.MappingPolicy
   */
 object StreamIngest {
 
-  /** Build the file-watch source (one JSON document per line). */
+  /** Build the file-watch source (one JSON document per line).
+    * `archiveDir` moves processed files out of the watch dir via the
+    * file source's native `cleanSource` archiving — the reference's
+    * watch-dir → archive flow (§2.1 row 10). */
   def watchDir(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 100): DataFrame =
-    spark.readStream
+      maxFilesPerTrigger: Int = 100,
+      archiveDir: Option[String] = None): DataFrame = {
+    val r0 = spark.readStream
       .format("text")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+    archiveDir.map(a => r0.option("cleanSource", "archive")
+      .option("sourceArchiveDir", a)).getOrElse(r0)
       .load(dir)
+  }
 
   /** Compile the full ingest flow on any streaming (or batch) frame of
     * raw JSON documents. Returns (rows, alerts). */

@@ -427,3 +427,88 @@ class HaSyncCmdSpec extends SparkSpec {
     } finally { feA.stop(); feB.stop() }
   }
 }
+
+/** `run streamer` / `exit streamer` / `get status` — the watch-dir
+  * ingest chain as a background-process COMMAND (member_cmd.py:21339
+  * run streamer; §2.1 row 10 watch-dir + archive), through the
+  * transactional sink (one foreachBatch owns table append + view
+  * folds). */
+class StreamerCmdSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import graft.engine.{Catalog, Engine}
+
+  test("policy-mapped watch-dir streamer lands rows, folds views, " +
+      "archives processed files; exit stops it") {
+    val root = java.nio.file.Files.createTempDirectory("streamcmd")
+    val watch = root.resolve("watch"); val arch = root.resolve("arch")
+    java.nio.file.Files.createDirectories(watch)
+    val cat = new Catalog(spark)
+    val engine = new Engine(spark, cat)
+    engine.dataDir = Some(root.resolve("data").toString)
+    engine.execute("""policy add p1 {"mapping": {
+      "dbms": "iot", "table": "readings", "readings": "readings",
+      "schema": {
+        "device": {"type": "varchar", "bring": "[device]"},
+        "value": {"type": "float", "bring": "[value]"}
+      }}}""")
+    val out = engine.execute(s"run streamer where dir = $watch and " +
+      s"table = readings and policy = p1 and flush = 1 and archive = $arch")
+    assert(out.contains("streamer for readings"))
+    intercept[IllegalArgumentException](engine.execute(
+      s"run streamer where dir = $watch and table = readings and policy = p1"))
+    // the watch source is LINE-oriented: one JSON document per line
+    java.nio.file.Files.writeString(watch.resolve("b1.json"),
+      """{"readings": [{"device": "d1", "value": 1.5}, """ +
+        """{"device": "d2", "value": 9.0}]}""")
+    val q = engine.streamerQueries("readings")
+    q.processAllAvailable()
+    assert(cat.table("readings").count() === 2L)
+    // matview registered mid-stream folds later batches (the sink
+    // resolves standing views per batch)
+    val mv = root.resolve("mv").toString
+    engine.execute(s"matview create where table = readings and " +
+      s"""path = $mv and spec = {"keys": ["device"], "aggs": [
+        {"fn": "count", "alias": "n"}]}""")
+    java.nio.file.Files.writeString(watch.resolve("b2.json"),
+      """{"readings": [{"device": "d1", "value": 2.5}]}""")
+    q.processAllAvailable()
+    assert(cat.table("readings").count() === 3L)
+    val got = engine.execute(s"matview get where path = $mv")
+    assert(got.contains(""""device":"d1","n":2"""), got)
+    // processed files moved to the archive
+    assert(!java.nio.file.Files.exists(watch.resolve("b1.json")))
+    // the board shows it Running; get streaming names it
+    assert(engine.execute("get processes").linesIterator.exists(l =>
+      l.contains("Streamer") && l.contains("Running") &&
+        l.contains("readings")))
+    assert(engine.execute("get streaming").contains("streamer_readings"))
+    assert(engine.execute("get status").contains("is running"))
+    assert(engine.execute("exit streamer readings")
+      === "stopped 1 streamer(s)")
+    assert(!q.isActive)
+    intercept[IllegalArgumentException](
+      engine.execute("exit streamer nope"))
+  }
+
+  test("schema-path streamer (no policy) parses NDJSON into the " +
+      "registered schema") {
+    val root = java.nio.file.Files.createTempDirectory("streamcmd2")
+    val watch = root.resolve("watch")
+    java.nio.file.Files.createDirectories(watch)
+    val tbl = root.resolve("m.parquet").toString
+    import spark.implicits._
+    Seq(("a", 1L)).toDF("g", "k").write.parquet(tbl)
+    val cat = new Catalog(spark)
+    cat.registerTable("m", tbl)
+    val engine = new Engine(spark, cat)
+    engine.execute(s"run streamer where dir = $watch and table = m " +
+      "and flush = 1")
+    java.nio.file.Files.writeString(watch.resolve("x.json"),
+      "{\"g\": \"b\", \"k\": 7}\n{\"g\": \"c\", \"k\": 8}")
+    engine.streamerQueries("m").processAllAvailable()
+    assert(cat.table("m").orderBy("g").select("g", "k")
+      .as[(String, Long)].collect().toSeq ===
+      Seq(("a", 1L), ("b", 7L), ("c", 8L)))
+    engine.execute("exit streamer")
+  }
+}
