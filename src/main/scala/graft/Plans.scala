@@ -503,6 +503,13 @@ object Plans {
           "projections (email → IP → phone), map-only, zero " +
           "shuffles; regex texts shared verbatim with the oracle in " +
           "the Java∩RE2 subset"),
+      "q205_kafka_chain" ->
+        ("native Kafka ingest chain: the SERVED query is one scan + " +
+          "two-phase group; the transport is control plane (v0 wire " +
+          "fetch loop, one NDJSON landing per message) and the " +
+          "mapping/append leg is the streamer's transactional " +
+          "foreachBatch — per-batch work tracks message volume, the " +
+          "query plan never sees the bus"),
       "q204_ha_sync" ->
         ("HA sync round: the SERVED query is one scan + two-phase " +
           "group (same as q198) — replication is pure control plane: " +

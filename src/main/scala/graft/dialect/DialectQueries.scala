@@ -758,9 +758,77 @@ object DialectQueries {
   }
   private val q204Sql = q198Sql
 
+  /** q205 — the NATIVE Kafka ingest chain under the oracle (the §2.1
+    * Kafka row's driver-gate closure; wire stack
+    * streaming/KafkaNative.scala, consumer command
+    * member_cmd.py:21481, producer al_kafka.py:50-121): the documents
+    * corpus is PRODUCED to a v0 mini broker in three keyed batches,
+    * `run kafka consumer` polls it over the wire protocol (reset =
+    * earliest) landing one NDJSON file per message in a watch dir,
+    * `run streamer` maps them through a mapping POLICY into a table
+    * via the transactional sink, and the sql aggregate over that
+    * table hash-matches DuckDB over the whole corpus — a lost,
+    * duplicated, or mis-mapped message breaks the hash. The chain is
+    * the MQTT client chain with the transport leg swapped, which is
+    * the reference's architecture claim for its message buses. */
+  private val q205: QFn = (s, d) => {
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.length(col("text")).as("n"))
+      .collect()
+    val broker = new graft.streaming.KafkaMiniBroker()
+    val port = broker.start()
+    val producer = new graft.streaming.KafkaNativeClient("localhost", port)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("q205")
+      val land = root.resolve("land")
+      val cat = new graft.engine.Catalog(s)
+      val engine = new graft.engine.Engine(s, cat)
+      engine.dataDir = Some(root.resolve("data").toString)
+      engine.execute("""policy add kq {"mapping": {
+        "dbms": "edge", "table": "kdocs",
+        "schema": {
+          "doc_id": {"type": "bigint", "bring": "[doc_id]"},
+          "source": {"type": "varchar", "bring": "[source]"},
+          "n": {"type": "bigint", "bring": "[n]"}
+        }}}""")
+      (0 until 3).foreach { k =>
+        producer.produceStrings("kdocs",
+          docs.filter(_.getLong(0) % 3 == k).map { r =>
+            s"""{"doc_id": ${r.getLong(0)}, """ +
+              s""""source": "${r.getString(1)}", "n": ${r.getInt(2)}}"""
+          }.toSeq)
+      }
+      engine.execute(s"run kafka consumer where ip = localhost and " +
+        s"port = $port and topic = kdocs and dir = $land " +
+        "and reset = earliest and poll = 25")
+      engine.execute(s"run streamer where dir = $land and " +
+        "table = kdocs and policy = kq and flush = 1")
+      val want = docs.length.toLong
+      val q = engine.streamerQueries("kdocs")
+      val deadline = System.currentTimeMillis + 120000
+      def rows(): Long =
+        try cat.table("kdocs").count() catch { case _: Exception => 0L }
+      var have = rows()
+      while (have < want && System.currentTimeMillis < deadline) {
+        q.processAllAvailable()
+        have = rows()
+        if (have < want) Thread.sleep(50)
+      }
+      require(have == want, s"q205: $have of $want rows landed")
+      engine.execute("exit kafka consumer")
+      engine.execute("exit streamer")
+      engine.query("""sql edge "select source, count(*) as n_docs, """ +
+        """sum(n) as sum_len from kdocs group by source """ +
+        """order by source"""")
+    } finally { producer.close(); broker.stop() }
+  }
+  private val q205Sql = q198Sql
+
   val queries: Map[String, QFn] = Map(
     "q201_scheduled_sync" -> q201,
     "q204_ha_sync" -> q204,
+    "q205_kafka_chain" -> q205,
     "q198_cross_node_ingest" -> q198,
     "q195_nodes_committed" -> q195,
     "q193_sql_left_join" -> q193,
@@ -787,6 +855,7 @@ object DialectQueries {
   val oracles: Map[String, String] = Map(
     "q201_scheduled_sync" -> q201Sql,
     "q204_ha_sync" -> q204Sql,
+    "q205_kafka_chain" -> q205Sql,
     "q198_cross_node_ingest" -> q198Sql,
     "q195_nodes_committed" -> q195Sql,
     "q193_sql_left_join" -> q193Sql,

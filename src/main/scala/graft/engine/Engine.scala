@@ -107,12 +107,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   /** Transport for `dest=kafka@host:port` output
     * (api/al_kafka.py get_producer/send_data; dest registry
     * cmd/member_cmd.py:142-148): (bootstrapServers, topic, payload).
-    * This container ships no Kafka client jar, so the default fails with
-    * guidance; deployments (and specs) inject a producer. */
-  var kafkaTransport: (String, String, String) => Unit = { (servers, _, _) =>
-    throw new IllegalStateException(
-      s"no kafka client on the classpath to reach $servers — add " +
-        "kafka-clients and set Engine.kafkaTransport")
+    * Default: the NATIVE wire-protocol producer
+    * ([[graft.streaming.KafkaNativeClient]] — Produce v0, acks=1,
+    * one short-lived connection per reply, which is the dest
+    * cadence). Still injectable for deployments that want a full
+    * client library. */
+  var kafkaTransport: (String, String, String) => Unit = {
+    (servers, topic, payload) =>
+      val (h, p) = servers.split(",")(0).split(":") match {
+        case Array(host, port) => (host, port.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"kafka servers must be host:port, got $servers")
+      }
+      val c = new graft.streaming.KafkaNativeClient(h, p)
+      try c.produceStrings(topic, Seq(payload)) finally c.close()
   }
 
   /** Data root for tables auto-created by PUT ingest (the reference
@@ -673,6 +681,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       // files — both enter on the write side like the scheduler family
       low.startsWith("run ha sync") || low.startsWith("delete archive") ||
       low.startsWith("run streamer") || low.startsWith("exit streamer") ||
+      low.startsWith("run kafka consumer") ||
+      low.startsWith("exit kafka consumer") ||
       familyVerb.findFirstIn(low).isDefined
   }
 
@@ -1148,6 +1158,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("run ha sync")) haSync(t)
     else if (low.startsWith("run streamer")) runStreamer(t)
     else if (low.startsWith("exit streamer")) exitStreamer(t)
+    else if (low.startsWith("run kafka consumer")) runKafkaConsumer(t)
+    else if (low.startsWith("exit kafka consumer")) exitKafkaConsumer()
     else if (low.startsWith("get processes")) {
       val json = "(?i)where\\s+format\\s*=\\s*json".r
         .findFirstIn(low).isDefined
@@ -2271,8 +2283,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         () => "policy store is local and synchronous here (no " +
           "background sync thread needed)"),
       ("Kafka Consumer", () => false,
-        () => "environment-waived: no kafka client jar on this box " +
-          "(KAFKA_ENV_RECEIPT.md)"))
+        () => "start with `run kafka consumer where ip = .. and " +
+          "port = .. and topic = .. and dir = ..` (native wire-" +
+          "protocol client — no connector jar needed)"))
     val rows = board.map { case (name, act, det) =>
       val (a, d) = dynamic.get(name).map(v => (v._1(), v._2()))
         .getOrElse((act(), det()))
@@ -2296,6 +2309,105 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       (line(header) +: rows.map(r => line(Seq(r._1, r._2, r._3))))
         .mkString("\n")
     }
+  }
+
+  /** Live native Kafka consumers: (topics joined, poll thread,
+    * client, stop flag). */
+  private val kafkaConsumers = scala.collection.mutable.ArrayBuffer
+    .empty[(String, Thread, graft.streaming.KafkaNativeClient,
+      java.util.concurrent.atomic.AtomicBoolean)]
+
+  /** `run kafka consumer where ip = <host> and port = <n> and
+    * topic = <t>[,<t2>…] and dir = <landing> [and reset =
+    * earliest|latest] [and poll = <ms>]` — the reference's Kafka
+    * client mode (cmd/member_cmd.py:21481, api/al_kafka.py:124-226:
+    * subscribe and continuously poll, `reset` = auto_offset_reset),
+    * over the NATIVE v0 wire client — no connector jar. Every polled
+    * message value lands as one NDJSON file in the watch dir, so the
+    * ordinary watch-dir → mapping-policy → table chain takes over:
+    * the same downstream as `run msg client`, making Kafka vs MQTT
+    * purely a which-transport choice (the reference routes both
+    * through the same mapping machinery). */
+  private def runKafkaConsumer(t: String): String = {
+    def kv(k: String): Option[String] =
+      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"run kafka consumer requires $k ="))
+    val (host, port) = (req("ip"), req("port").toInt)
+    val topics = req("topic").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val dir = java.nio.file.Paths.get(req("dir"))
+    java.nio.file.Files.createDirectories(dir)
+    val earliest =
+      kv("reset").map(_.toLowerCase).getOrElse("latest") match {
+        case "earliest" => true
+        case "latest" => false
+        case other => throw new IllegalArgumentException(
+          s"reset must be earliest|latest, got $other")
+      }
+    val pollMs = kv("poll").map(_.toLong).getOrElse(500L)
+    val client = new graft.streaming.KafkaNativeClient(host, port)
+    // connectivity + auto-create probe, and the starting offsets
+    val offsets = scala.collection.mutable.Map(topics.map { tp =>
+      client.partitions(tp)
+      tp -> client.listOffset(tp, earliest)
+    }: _*)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val epoch = java.lang.Long.toHexString(System.nanoTime())
+    val th = new Thread(() => {
+      while (!stop.get()) {
+        var drained = true
+        topics.foreach { tp =>
+          try {
+            val (msgs, _) = client.fetch(tp, offsets(tp))
+            if (msgs.nonEmpty) {
+              // one NDJSON landing per FETCH batch (the reference's
+              // consumer also lands poll batches, not single records,
+              // api/al_kafka.py:158-226 buffering) — messages are
+              // one-line JSON docs, the line-oriented contract the
+              // whole watch-dir chain already has
+              val f = dir.resolve(s"k${epoch}_${n.incrementAndGet()}_" +
+                s"${tp.replaceAll("[^A-Za-z0-9]", "_")}.json")
+              val body = msgs.map(m => new String(m._3,
+                java.nio.charset.StandardCharsets.UTF_8)).mkString("\n")
+              java.nio.file.Files.writeString(f, body)
+              offsets(tp) = msgs.last._1 + 1
+              drained = false
+            }
+          } catch { case e: Exception =>
+            logRing(errorLog, (System.currentTimeMillis,
+              s"kafka consumer $tp",
+              Option(e.getMessage).getOrElse(""))) }
+        }
+        if (drained && !stop.get())
+          try Thread.sleep(pollMs)
+          catch { case _: InterruptedException => stop.set(true) }
+      }
+      client.close()
+    }, s"graft-kafka-consumer-$epoch")
+    th.setDaemon(true)
+    th.start()
+    kafkaConsumers.synchronized {
+      kafkaConsumers += ((topics.mkString(", "), th, client, stop))
+    }
+    registerService("Kafka Consumer",
+      () => kafkaConsumers.synchronized(
+        kafkaConsumers.exists(_._2.isAlive)),
+      () => kafkaConsumers.synchronized(
+        kafkaConsumers.filter(_._2.isAlive).map(_._1).mkString("; ")))
+    s"kafka consumer polling ${topics.mkString(", ")} at $host:$port " +
+      s"(reset ${if (earliest) "earliest" else "latest"}, landing in $dir)"
+  }
+
+  /** `exit kafka consumer` — stop every native consumer loop. */
+  private def exitKafkaConsumer(): String = {
+    val victims = kafkaConsumers.synchronized {
+      val v = kafkaConsumers.toList; kafkaConsumers.clear(); v
+    }
+    victims.foreach { case (_, th, _, stop) =>
+      stop.set(true); th.interrupt() }
+    victims.foreach(_._2.join(2000))
+    s"stopped ${victims.size} kafka consumer(s)"
   }
 
   /** Live watch-dir streamers by table (`run streamer` /

@@ -1,0 +1,404 @@
+package graft.streaming
+
+import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** Native Kafka wire-protocol stack — closes the one
+  * ENVIRONMENT-WAIVED §2.1 row (the reference's Kafka integration:
+  * consumer `api/al_kafka.py:124-226` / cmd/member_cmd.py:21481
+  * `run kafka consumer`, producer `al_kafka.py:50-121` behind the
+  * `kafka@host:port` dest) without any connector jar, the same way
+  * [[MqttBroker]]/[[MqttClient]] hand-roll MQTT 3.1.1: the Kafka
+  * protocol is a public, versioned TCP format, and API VERSION 0
+  * (Metadata=3, Produce=0, Fetch=1, ListOffsets=2 — the 0.8-era
+  * baseline every broker still speaks) is enough for a
+  * single-partition produce/consume loop.
+  *
+  * Wire format implemented here (all big-endian):
+  *   - framing: int32 size, then the request/response bytes;
+  *   - request header: api_key int16, api_version int16,
+  *     correlation_id int32, client_id string(int16-len);
+  *   - response header: correlation_id int32;
+  *   - MessageSet v0: repeated [offset int64, size int32, message],
+  *     message = crc int32 (CRC32 over everything AFTER the crc),
+  *     magic int8 = 0, attributes int8 = 0, key bytes(int32-len,
+  *     -1 null), value bytes.
+  *
+  * Deliberate scope (documented, not hidden): one broker node, one
+  * partition per topic, no compression, no consumer groups (the
+  * reference's consumer subscribes and polls; group coordination is
+  * a broker-cluster concern), acks<=1. The consumer tracks its own
+  * offsets — `reset = earliest|latest` maps to ListOffsets(-2|-1)
+  * exactly like auto_offset_reset in al_kafka.py:124.
+  */
+object KafkaWire {
+
+  final val ApiProduce = 0
+  final val ApiFetch = 1
+  final val ApiListOffsets = 2
+  final val ApiMetadata = 3
+
+  final class Writer {
+    private val bos = new ByteArrayOutputStream()
+    private val out = new DataOutputStream(bos)
+    def i8(v: Int): Writer = { out.writeByte(v); this }
+    def i16(v: Int): Writer = { out.writeShort(v); this }
+    def i32(v: Int): Writer = { out.writeInt(v); this }
+    def i64(v: Long): Writer = { out.writeLong(v); this }
+    def str(s: String): Writer = {
+      if (s == null) i16(-1)
+      else { val b = s.getBytes(StandardCharsets.UTF_8)
+        i16(b.length); out.write(b) }
+      this
+    }
+    def bytes(b: Array[Byte]): Writer = {
+      if (b == null) i32(-1) else { i32(b.length); out.write(b) }
+      this
+    }
+    def raw(b: Array[Byte]): Writer = { out.write(b); this }
+    def result(): Array[Byte] = { out.flush(); bos.toByteArray }
+  }
+
+  final class Reader(buf: ByteBuffer) {
+    def i8(): Int = buf.get().toInt
+    def i16(): Int = buf.getShort().toInt
+    def i32(): Int = buf.getInt()
+    def i64(): Long = buf.getLong()
+    def str(): String = {
+      val n = i16()
+      if (n < 0) null
+      else { val b = new Array[Byte](n); buf.get(b)
+        new String(b, StandardCharsets.UTF_8) }
+    }
+    def bytes(): Array[Byte] = {
+      val n = i32()
+      if (n < 0) null else { val b = new Array[Byte](n); buf.get(b); b }
+    }
+    def raw(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n); buf.get(b); b }
+    def remaining: Int = buf.remaining()
+  }
+
+  /** Encode one v0 message (crc over magic..value). */
+  def encodeMessage(key: Array[Byte], value: Array[Byte]): Array[Byte] = {
+    val body = new Writer().i8(0).i8(0).bytes(key).bytes(value).result()
+    val crc = new java.util.zip.CRC32()
+    crc.update(body)
+    new Writer().i32(crc.getValue.toInt).raw(body).result()
+  }
+
+  /** Encode a message set from (offset, message-bytes) pairs. */
+  def encodeMessageSet(msgs: Seq[(Long, Array[Byte])]): Array[Byte] = {
+    val w = new Writer()
+    msgs.foreach { case (off, m) => w.i64(off).i32(m.length).raw(m) }
+    w.result()
+  }
+
+  /** Decode a message set → (offset, key, value), CRC-verified.
+    * A trailing partial message (broker hit maxBytes mid-message —
+    * legal in v0) is dropped, as every Kafka client does. */
+  def decodeMessageSet(bytes: Array[Byte]): Seq[(Long, Array[Byte], Array[Byte])] = {
+    val buf = ByteBuffer.wrap(bytes)
+    val out = Seq.newBuilder[(Long, Array[Byte], Array[Byte])]
+    while (buf.remaining() >= 12) {
+      val off = buf.getLong()
+      val size = buf.getInt()
+      if (buf.remaining() < size) { buf.position(buf.limit()) }
+      else {
+        val m = new Array[Byte](size); buf.get(m)
+        val r = new Reader(ByteBuffer.wrap(m))
+        val crcStored = r.i32()
+        val crc = new java.util.zip.CRC32()
+        crc.update(m, 4, m.length - 4)
+        require(crc.getValue.toInt == crcStored,
+          s"kafka message at offset $off failed CRC")
+        r.i8(); r.i8() // magic, attributes
+        val key = r.bytes(); val value = r.bytes()
+        out += ((off, key, value))
+      }
+    }
+    out.result()
+  }
+
+  /** One framed request/response exchange over a socket. */
+  def roundTrip(sock: Socket, apiKey: Int, body: Array[Byte],
+      correlationId: Int, clientId: String = "graft"): Reader = {
+    val req = new Writer().i16(apiKey).i16(0).i32(correlationId)
+      .str(clientId).raw(body).result()
+    val out = new DataOutputStream(sock.getOutputStream)
+    out.writeInt(req.length); out.write(req); out.flush()
+    val in = new DataInputStream(sock.getInputStream)
+    val size = in.readInt()
+    val resp = new Array[Byte](size); in.readFully(resp)
+    val r = new Reader(ByteBuffer.wrap(resp))
+    val corr = r.i32()
+    require(corr == correlationId, s"correlation mismatch: $corr")
+    r
+  }
+}
+
+/** In-memory single-node Kafka-protocol broker: Metadata/Produce/
+  * Fetch/ListOffsets at API v0, one partition per topic, topics
+  * auto-created on first use (the reference's deployments rely on
+  * broker auto-create). Thread per connection, like [[MqttBroker]].
+  * Primarily the test harness for the consumer/producer — but it is
+  * a real protocol endpoint: any v0-speaking client can produce to
+  * it and fetch from it. */
+final class KafkaMiniBroker(port: Int = 0) {
+  import KafkaWire._
+
+  private val server = new ServerSocket(port)
+  @volatile private var running = true
+  /** topic -> append-only log of encoded v0 messages. */
+  private val logs = scala.collection.mutable.Map
+    .empty[String, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+
+  def topicSize(topic: String): Int =
+    logs.synchronized(logs.get(topic).map(_.length).getOrElse(0))
+
+  private def logOf(topic: String) = logs.synchronized {
+    logs.getOrElseUpdate(topic,
+      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+  }
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    try {
+      while (running) {
+        val size = in.readInt()
+        val req = new Array[Byte](size); in.readFully(req)
+        val r = new Reader(ByteBuffer.wrap(req))
+        val apiKey = r.i16(); val apiVersion = r.i16()
+        val corr = r.i32(); r.str() // client id
+        require(apiVersion == 0, s"only v0 supported, got $apiVersion")
+        val body: Array[Byte] = apiKey match {
+          case ApiMetadata => metadata(r)
+          case ApiProduce => produce(r)
+          case ApiFetch => fetch(r)
+          case ApiListOffsets => listOffsets(r)
+          case other => throw new IllegalArgumentException(
+            s"unsupported api $other")
+        }
+        val resp = new Writer().i32(corr).raw(body).result()
+        out.writeInt(resp.length); out.write(resp); out.flush()
+      }
+    } catch { case _: java.io.IOException => () }
+    finally sock.close()
+  }
+
+  private def metadata(r: Reader): Array[Byte] = {
+    val nTopics = r.i32()
+    val asked = (0 until nTopics).map(_ => r.str())
+    val names = if (asked.isEmpty) logs.synchronized(logs.keys.toSeq.sorted)
+      else { asked.foreach(logOf); asked } // auto-create
+    val w = new Writer()
+    w.i32(1).i32(0).str("localhost").i32(server.getLocalPort) // brokers
+    w.i32(names.length)
+    names.foreach { t =>
+      w.i16(0).str(t).i32(1) // one partition
+      w.i16(0).i32(0).i32(0) // partition 0, leader node 0
+      w.i32(1).i32(0) // replicas [0]
+      w.i32(1).i32(0) // isr [0]
+    }
+    w.result()
+  }
+
+  private def produce(r: Reader): Array[Byte] = {
+    r.i16(); r.i32() // acks, timeout
+    val nTopics = r.i32()
+    val acks = Seq.newBuilder[(String, Long)]
+    (0 until nTopics).foreach { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      (0 until nParts).foreach { _ =>
+        r.i32() // partition (single-partition broker: always 0)
+        val setSize = r.i32()
+        val set = r.raw(setSize)
+        val msgs = ByteBuffer.wrap(set)
+        val log = logOf(topic)
+        var base = -1L
+        log.synchronized {
+          while (msgs.remaining() >= 12) {
+            msgs.getLong() // producer-side offset, ignored
+            val mSize = msgs.getInt()
+            val m = new Array[Byte](mSize); msgs.get(m)
+            if (base < 0) base = log.length.toLong
+            log += m
+          }
+        }
+        acks += ((topic, base))
+      }
+    }
+    val w = new Writer()
+    val grouped = acks.result()
+    w.i32(grouped.length)
+    grouped.foreach { case (topic, base) =>
+      w.str(topic).i32(1).i32(0).i16(0).i64(base)
+    }
+    w.result()
+  }
+
+  private def fetch(r: Reader): Array[Byte] = {
+    r.i32(); r.i32(); r.i32() // replica_id, max_wait, min_bytes
+    val nTopics = r.i32()
+    val w = new Writer()
+    w.i32(nTopics)
+    (0 until nTopics).foreach { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      w.str(topic).i32(nParts)
+      (0 until nParts).foreach { _ =>
+        r.i32() // partition
+        val offset = r.i64()
+        val maxBytes = r.i32()
+        val log = logOf(topic)
+        val (hw, slice) = log.synchronized {
+          (log.length.toLong,
+            log.slice(offset.toInt.max(0), log.length).toSeq)
+        }
+        // error 1 = OFFSET_OUT_OF_RANGE, like a real broker
+        if (offset > hw || offset < 0) {
+          w.i32(0).i16(1).i64(hw).i32(0)
+        } else {
+          var budget = maxBytes
+          val msgs = Seq.newBuilder[(Long, Array[Byte])]
+          var off = offset
+          var full = false
+          slice.foreach { m =>
+            // contiguous prefix only — a budget-skipped message must
+            // stop the set (a gap would silently lose messages);
+            // always include at least the FIRST message (v0 rule:
+            // otherwise a message larger than maxBytes stalls the
+            // consumer forever)
+            if (!full && (budget - (12 + m.length) >= 0 || off == offset)) {
+              msgs += ((off, m)); budget -= (12 + m.length)
+            } else full = true
+            off += 1
+          }
+          val set = encodeMessageSet(msgs.result())
+          w.i32(0).i16(0).i64(hw).i32(set.length).raw(set)
+        }
+      }
+    }
+    w.result()
+  }
+
+  private def listOffsets(r: Reader): Array[Byte] = {
+    r.i32() // replica_id
+    val nTopics = r.i32()
+    val w = new Writer()
+    w.i32(nTopics)
+    (0 until nTopics).foreach { _ =>
+      val topic = r.str()
+      val nParts = r.i32()
+      w.str(topic).i32(nParts)
+      (0 until nParts).foreach { _ =>
+        r.i32() // partition
+        val time = r.i64()
+        r.i32() // max offsets
+        val hw = logOf(topic).synchronized(logOf(topic).length.toLong)
+        val off = if (time == -2L) 0L else hw // -2 earliest, -1 latest
+        w.i32(0).i16(0).i32(1).i64(off)
+      }
+    }
+    w.result()
+  }
+
+  def start(): Int = {
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val worker = new Thread(() => handle(sock))
+          worker.setDaemon(true)
+          worker.start()
+        } catch { case _: java.io.IOException => () }
+      }
+    }, "graft-kafka-broker")
+    t.setDaemon(true)
+    t.start()
+    server.getLocalPort
+  }
+
+  def stop(): Unit = { running = false; server.close() }
+}
+
+/** v0 producer + consumer over one blocking connection each
+  * (api/al_kafka.py get_producer/get_consumer). Thread-safe via a
+  * per-client lock; correlation ids are monotonically assigned. */
+final class KafkaNativeClient(host: String, port: Int) {
+  import KafkaWire._
+
+  private lazy val sock = new Socket(host, port)
+  private val corr = new java.util.concurrent.atomic.AtomicInteger(1)
+
+  /** Produce values (optionally keyed) to a topic, acks=1; returns
+    * the base offset the broker assigned. */
+  def produce(topic: String,
+      values: Seq[(Array[Byte], Array[Byte])]): Long = synchronized {
+    val set = encodeMessageSet(values.zipWithIndex.map { case ((k, v), i) =>
+      (i.toLong, encodeMessage(k, v)) })
+    val body = new Writer().i16(1).i32(5000)
+      .i32(1).str(topic).i32(1).i32(0).i32(set.length).raw(set).result()
+    val r = roundTrip(sock, ApiProduce, body, corr.getAndIncrement())
+    r.i32() // topic count
+    r.str(); r.i32(); r.i32() // topic, partition count, partition
+    val err = r.i16()
+    require(err == 0, s"produce error $err")
+    r.i64()
+  }
+
+  def produceStrings(topic: String, values: Seq[String]): Long =
+    produce(topic, values.map(v =>
+      (null: Array[Byte], v.getBytes(StandardCharsets.UTF_8))))
+
+  /** Fetch from `offset`; returns (offset, key, value) triples and
+    * the current high-water mark. Empty when caught up. */
+  def fetch(topic: String, offset: Long, maxBytes: Int = 1 << 20)
+      : (Seq[(Long, Array[Byte], Array[Byte])], Long) = synchronized {
+    val body = new Writer().i32(-1).i32(100).i32(1)
+      .i32(1).str(topic).i32(1).i32(0).i64(offset).i32(maxBytes).result()
+    val r = roundTrip(sock, ApiFetch, body, corr.getAndIncrement())
+    r.i32(); r.str(); r.i32(); r.i32() // topics, topic, parts, part
+    val err = r.i16()
+    val hw = r.i64()
+    val setSize = r.i32()
+    if (err == 1) return (Nil, hw) // offset out of range: caller resets
+    require(err == 0, s"fetch error $err")
+    (decodeMessageSet(r.raw(setSize)), hw)
+  }
+
+  /** ListOffsets: earliest (time = -2) or latest (-1) offset —
+    * auto_offset_reset in al_kafka.py:124. */
+  def listOffset(topic: String, earliest: Boolean): Long = synchronized {
+    val body = new Writer().i32(-1)
+      .i32(1).str(topic).i32(1).i32(0)
+      .i64(if (earliest) -2L else -1L).i32(1).result()
+    val r = roundTrip(sock, ApiListOffsets, body, corr.getAndIncrement())
+    r.i32(); r.str(); r.i32(); r.i32() // topics, topic, parts, part
+    val err = r.i16()
+    require(err == 0, s"listOffsets error $err")
+    val n = r.i32()
+    require(n >= 1, "no offsets returned")
+    r.i64()
+  }
+
+  /** Metadata probe — returns the topic's partition count (1 on the
+    * mini broker); used as the connectivity check. */
+  def partitions(topic: String): Int = synchronized {
+    val body = new Writer().i32(1).str(topic).result()
+    val r = roundTrip(sock, ApiMetadata, body, corr.getAndIncrement())
+    val nBrokers = r.i32()
+    (0 until nBrokers).foreach { _ => r.i32(); r.str(); r.i32() }
+    r.i32() // topic count
+    r.i16(); r.str() // error, name
+    r.i32()
+  }
+
+  def close(): Unit = synchronized {
+    try sock.close() catch { case _: Exception => () }
+  }
+}

@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import graft.streaming.{KafkaMiniBroker, KafkaNativeClient, KafkaWire}
+
+/** Native Kafka wire-protocol stack (v0 Metadata/Produce/Fetch/
+  * ListOffsets) — the §2.1 Kafka row without a connector jar, the
+  * MQTT-broker treatment applied to Kafka (reference consumer
+  * api/al_kafka.py:124-226, cmd `run kafka consumer`
+  * member_cmd.py:21481, producer dest kafka@host:port). */
+class KafkaNativeSpec extends SparkSpec {
+
+  private def s(b: Array[Byte]) = new String(b, StandardCharsets.UTF_8)
+
+  test("produce/fetch roundtrip: offsets are contiguous, CRC verified, " +
+      "fetch from an interior offset returns the suffix") {
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val c = new KafkaNativeClient("localhost", port)
+    try {
+      assert(c.partitions("t1") === 1) // metadata auto-creates
+      assert(c.produceStrings("t1", Seq("a", "b")) === 0L)
+      assert(c.produceStrings("t1", Seq("c")) === 2L)
+      val (msgs, hw) = c.fetch("t1", 0L)
+      assert(hw === 3L)
+      assert(msgs.map(_._1) === Seq(0L, 1L, 2L))
+      assert(msgs.map(m => s(m._3)) === Seq("a", "b", "c"))
+      val (tail, _) = c.fetch("t1", 2L)
+      assert(tail.map(m => s(m._3)) === Seq("c"))
+      val (empty, hw2) = c.fetch("t1", 3L) // caught up
+      assert(empty.isEmpty && hw2 === 3L)
+      // keyed messages round-trip key AND value
+      c.produce("t2", Seq(("k1".getBytes, "v1".getBytes)))
+      val (keyed, _) = c.fetch("t2", 0L)
+      assert(s(keyed.head._2) === "k1" && s(keyed.head._3) === "v1")
+    } finally { c.close(); broker.stop() }
+  }
+
+  test("listOffsets: earliest = 0, latest = high-water (the reset knob)") {
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val c = new KafkaNativeClient("localhost", port)
+    try {
+      c.produceStrings("t", Seq("x", "y"))
+      assert(c.listOffset("t", earliest = true) === 0L)
+      assert(c.listOffset("t", earliest = false) === 2L)
+    } finally { c.close(); broker.stop() }
+  }
+
+  test("maxBytes caps the fetch to a contiguous prefix; a later fetch " +
+      "resumes where it stopped (no gaps, no stall)") {
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val c = new KafkaNativeClient("localhost", port)
+    try {
+      c.produceStrings("big", Seq("m" * 100, "n" * 100, "o" * 100))
+      val (first, _) = c.fetch("big", 0L, maxBytes = 150)
+      assert(first.map(_._1) === Seq(0L)) // one message fits (barely)
+      val (rest, _) = c.fetch("big", 1L, maxBytes = 1 << 20)
+      assert(rest.map(_._1) === Seq(1L, 2L))
+    } finally { c.close(); broker.stop() }
+  }
+
+  test("message CRC corruption is detected, never silently decoded") {
+    val m = KafkaWire.encodeMessage(null, "hello".getBytes)
+    m(m.length - 1) = (m(m.length - 1) ^ 0x1).toByte
+    val set = KafkaWire.encodeMessageSet(Seq((0L, m)))
+    intercept[IllegalArgumentException](KafkaWire.decodeMessageSet(set))
+  }
+
+  test("engine chain: run kafka consumer lands polled messages in the " +
+      "watch dir; reset honored; board row flips; exit stops the loop") {
+    import graft.engine.{Catalog, Engine}
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val producer = new KafkaNativeClient("localhost", port)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("kafkaland")
+      val engine = new Engine(spark, new Catalog(spark))
+      // pre-existing message: reset = latest must NOT land it
+      producer.produceStrings("sensors", Seq("""{"old": 1}"""))
+      val out = engine.execute(s"run kafka consumer where ip = localhost " +
+        s"and port = $port and topic = sensors and dir = $dir " +
+        "and reset = latest and poll = 50")
+      assert(out.contains("kafka consumer polling sensors"))
+      producer.produceStrings("sensors",
+        Seq("""{"device": "d1", "value": 7}""",
+          """{"device": "d2", "value": 9}"""))
+      val deadline = System.currentTimeMillis + 10000
+      // a fetch batch lands as ONE NDJSON file (one message per line)
+      def lines() =
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(f => java.nio.file.Files.readString(f.toPath)
+            .linesIterator.toSeq)
+      while (lines().size < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(30)
+      val bodies = lines().sorted
+      assert(bodies.size === 2, s"landed $bodies")
+      assert(bodies.exists(_.contains("\"d1\"")) &&
+        bodies.exists(_.contains("\"d2\"")))
+      assert(!bodies.exists(_.contains("old")), "reset=latest replayed")
+      assert(engine.execute("get processes").linesIterator.exists(l =>
+        l.contains("Kafka Consumer") && l.contains("Running") &&
+          l.contains("sensors")))
+      assert(engine.execute("exit kafka consumer")
+        === "stopped 1 kafka consumer(s)")
+      val after = engine.execute("get processes")
+      assert(after.linesIterator.exists(l =>
+        l.contains("Kafka Consumer") && l.contains("Not declared")))
+    } finally { producer.close(); broker.stop() }
+  }
+
+  test("dest = kafka@ publishes over the native producer by default") {
+    import graft.engine.{Catalog, Engine, Tables}
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val check = new KafkaNativeClient("localhost", port)
+    try {
+      val cat = new Catalog(spark)
+      cat.registerTable("nation", s"$sfDir/nation.parquet")
+      val engine = new Engine(spark, cat)
+      engine.execute(s"sql edge dest=kafka@localhost:$port " +
+        "topic=results format=json " +
+        """"select n_name from nation order by n_name limit 2"""")
+      val (msgs, _) = check.fetch("results", 0L)
+      assert(msgs.size === 1)
+      val payload = new String(msgs.head._3, StandardCharsets.UTF_8)
+      assert(payload.contains("n_name"), payload)
+    } finally { check.close(); broker.stop() }
+  }
+}
+
+/** The COMPLETE Kafka ingest chain, mirroring MqttClientChainE2ESpec:
+  * native producer → mini broker → `run kafka consumer` (lands NDJSON
+  * in a watch dir) → `run streamer` (policy mapping + transactional
+  * sink) → queryable table. Kafka vs MQTT is purely the transport
+  * leg; everything downstream is shared. */
+class KafkaChainE2ESpec extends SparkSpec {
+  import graft.engine.{Catalog, Engine}
+  import graft.streaming.{KafkaMiniBroker, KafkaNativeClient}
+
+  test("kafka consumer + streamer: produced readings become sql rows") {
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val producer = new KafkaNativeClient("localhost", port)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("kchain")
+      val land = root.resolve("land")
+      val cat = new Catalog(spark)
+      val engine = new Engine(spark, cat)
+      engine.dataDir = Some(root.resolve("data").toString)
+      engine.execute("""policy add kp {"mapping": {
+        "dbms": "iot", "table": "kreadings",
+        "schema": {
+          "device": {"type": "varchar", "bring": "[device]"},
+          "value": {"type": "float", "bring": "[value]"}
+        }}}""")
+      engine.execute(s"run kafka consumer where ip = localhost and " +
+        s"port = $port and topic = telemetry and dir = $land " +
+        "and reset = earliest and poll = 50")
+      engine.execute(s"run streamer where dir = $land and " +
+        "table = kreadings and policy = kp and flush = 1")
+      producer.produceStrings("telemetry",
+        Seq("""{"device": "k1", "value": 1.0}""",
+          """{"device": "k2", "value": 2.0}""",
+          """{"device": "k1", "value": 3.0}"""))
+      val q = engine.streamerQueries("kreadings")
+      val deadline = System.currentTimeMillis + 15000
+      def rows() =
+        try cat.table("kreadings").count() catch { case _: Exception => 0L }
+      while (rows() < 3 && System.currentTimeMillis < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      assert(rows() === 3L)
+      val reply = engine.execute(
+        """sql edge format=json "select device, count(*) as n """ +
+          """from kreadings group by device order by device"""")
+      assert(reply.contains(""""device":"k1","n":2"""), reply)
+      engine.execute("exit kafka consumer")
+      engine.execute("exit streamer")
+    } finally { producer.close(); broker.stop() }
+  }
+}

@@ -937,13 +937,16 @@ class KafkaDestSpec extends SparkSpec {
     assert(engine.execute("get dictionary").contains("evcount"))
   }
 
-  test("kafka dest without a transport fails with guidance") {
+  test("kafka dest to an unreachable broker fails loudly (the default " +
+      "transport is now the NATIVE wire-protocol producer)") {
     val cat = new Catalog(spark)
     cat.registerTable("events", s"$sfDir/events.parquet", nanoTs = Seq("ts"))
     val engine = new Engine(spark, cat)
-    val e = intercept[IllegalStateException](engine.execute(
-      """sql edge dest=kafka@b:9092 "select count(*) as n from events""""))
-    assert(e.getMessage.contains("kafka"))
+    // unresolvable host: the native producer's connect raises — the
+    // reply is never a silent "sent"
+    intercept[java.io.IOException](engine.execute(
+      """sql edge dest=kafka@graft-no-such-host:9092 """ +
+        """"select count(*) as n from events""""))
   }
 }
 

@@ -170,7 +170,7 @@ class ProcessesBoardSpec extends SparkSpec {
     val pre = engine.execute("get processes")
     assert(pre.contains("| Process") && pre.contains("Status"))
     assert(pre.contains("TCP Server") && pre.contains("Not declared"))
-    assert(pre.contains("KAFKA_ENV_RECEIPT.md"))
+    assert(pre.contains("run kafka consumer where"))
     // start services: REST frontend self-registers, scheduler via command
     val fe = new HttpFrontend(engine)
     val port = fe.start()
