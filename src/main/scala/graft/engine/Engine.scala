@@ -680,9 +680,19 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       // ha sync ingests (nested writeLock) and delete archive removes
       // files — both enter on the write side like the scheduler family
       low.startsWith("run ha sync") || low.startsWith("delete archive") ||
-      low.startsWith("run streamer") || low.startsWith("exit streamer") ||
+      low.startsWith("run streamer") ||
       low.startsWith("run kafka consumer") ||
-      low.startsWith("exit kafka consumer") ||
+      // `exit streamer` / `exit kafka consumer` are deliberately NOT
+      // here: both only touch internally-synchronized registries, and
+      // `exit streamer` calls StreamingQuery.stop(), which JOINS the
+      // micro-batch thread. That thread's foreachBatch folds standing
+      // views under [[writeLock]] — stopping from inside the write
+      // lock while a batch is in flight deadlocks permanently (batch
+      // waits on the monitor, stop() waits on the batch). On the read
+      // side the batch only ever needs [[writeLock]] (never the
+      // retention gate — foldStandingViews is called directly, not
+      // through execute()), so the exit command holding the gate's
+      // read lock cannot cycle with it. Regression: StreamerExitSpec.
       familyVerb.findFirstIn(low).isDefined
   }
 

@@ -910,9 +910,16 @@ object Dedup {
     val sp2 = df.select(col(idCol).as("id"),
         explode(F.tokenSpans(col(textCol), spanTokens)).as("s"))
       .select(col("id"), F.charPolyHash(col("s")).as("hh"), col("s"))
-      // the hot set is tiny by construction (hashes seen in >= 2 docs);
-      // broadcasting it keeps cold-span strings from ever shuffling
-      .join(broadcast(hot), "hh")
+      // deliberately UNHINTED: on an organic corpus the hot set
+      // (hashes seen in >= 2 docs) is a sliver and AQE broadcasts it
+      // at runtime from the measured shuffle stats, so cold-span
+      // strings never shuffle; on a duplication-heavy web corpus the
+      // distinct duplicated spans run to billions, and a FORCED
+      // broadcast would materialize them on the driver and die at the
+      // broadcast ceiling — exactly the regime SpanAuto picks this
+      // kernel for. AQE keeps the shuffle join there; the plan flips
+      // with the data (asserted both ways in PlanSpec).
+      .join(hot, "hh")
     val spc2 = sp2.groupBy(col("id"), col("s")).agg(count(lit(1)).as("c"))
     val dfs2 = spc2.groupBy("s").agg(count(lit(1)).as("span_df"))
     val verified = spc2.join(dfs2, "s").groupBy(col("id"))
@@ -932,7 +939,8 @@ object Dedup {
     * same-doc repeats included (the suffix-array semantics). Exact path
     * groups span strings directly; the hash-first 100 TB path shuffles
     * (id, pos, hash) longs, keeps only positions whose hash repeats
-    * (broadcast hot set — cold-span strings never shuffle), and
+    * (hot-set join — UNHINTED so AQE broadcasts it only when its
+    * measured size is small; cold-span strings never shuffle), and
     * regroups those few exactly — identical output by construction: a
     * true duplicate span always repeats its hash, and a hash collision
     * is corrected by the exact regroup. [[SpanAuto]] picks by the same
@@ -955,7 +963,10 @@ object Dedup {
       df.select(col(idCol).as("id"),
           posexplode(F.tokenSpans(col(textCol), k)).as(Seq("pos", "s")))
         .withColumn("hh", F.charPolyHash(col("s")))
-        .join(broadcast(hot), "hh")
+        // unhinted on purpose — see duplicateSpansHashFirst: AQE
+        // broadcasts the hot set when small, keeps the shuffle join
+        // when a duplication-heavy corpus makes it billions of rows
+        .join(hot, "hh")
         .select(col("id"), col("pos"), col("s"))
     } else df.select(col(idCol).as("id"),
       posexplode(F.tokenSpans(col(textCol), k)).as(Seq("pos", "s")))

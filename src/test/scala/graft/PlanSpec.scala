@@ -115,6 +115,48 @@ class PlanSpec2 extends SparkSpec {
     assert(p.contains("__bin"))
   }
 
+  test("span hash-first hot-set join is size-gated, not a forced broadcast") {
+    // The 100 TB contract of the ExactSubstr/duplicateSpans hash-first
+    // kernels: the hot-hash set is UNHINTED, so AQE broadcasts it when
+    // its measured size is small and keeps the shuffle join when a
+    // duplication-heavy corpus makes it huge. A forced broadcast()
+    // hint ignores autoBroadcastJoinThreshold — so flipping the
+    // thresholds to -1 and observing the join strategy change is a
+    // direct test that no hint is present.
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      // every doc shares one long duplicated run; unique tail per doc
+      (i.toLong, s"a b c d e f g h i j tail$i x$i y$i z$i")
+    }.toDF("id", "text")
+    def planAfterRun(): String = {
+      val df = graft.ops.Dedup.spanCoverage(docs, "text", "id",
+        spanTokens = 3, variant = graft.ops.Dedup.SpanHashFirst)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // small hot set + default thresholds: AQE broadcasts at runtime
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+      assert(planAfterRun().contains("BroadcastHashJoin"),
+        "AQE should broadcast the small hot set")
+      // hot set 'over the ceiling' (simulated by threshold = -1): the
+      // plan must fall back to a shuffle join — a forced hint would
+      // still broadcast here and materialize the set on the driver
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = planAfterRun()
+      assert(!p.contains("BroadcastHashJoin"),
+        "hot-set join must not be a forced broadcast")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("q68: decontamination broadcasts the benchmark side") {
     val p = planOf("q68_decontaminate")
     assert(p.contains("BroadcastHashJoin"))
