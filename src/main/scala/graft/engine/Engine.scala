@@ -2321,11 +2321,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
   }
 
-  /** Live native Kafka consumers: (topics joined, poll thread,
-    * client, stop flag). */
+  /** One live native Kafka consumer: poll thread + stop flag +
+    * `health` ("" while polling cleanly; a consecutive-failure
+    * summary once fetches start erroring, surfaced in `get
+    * processes` details so a broker outage is visible on the board
+    * instead of hiding behind a Running status). */
+  private final class KafkaConsumerHandle(val topics: String,
+      val client: graft.streaming.KafkaNativeClient,
+      val stop: java.util.concurrent.atomic.AtomicBoolean) {
+    @volatile var thread: Thread = null
+    val health = new java.util.concurrent.atomic.AtomicReference[String]("")
+  }
+
   private val kafkaConsumers = scala.collection.mutable.ArrayBuffer
-    .empty[(String, Thread, graft.streaming.KafkaNativeClient,
-      java.util.concurrent.atomic.AtomicBoolean)]
+    .empty[KafkaConsumerHandle]
 
   /** `run kafka consumer where ip = <host> and port = <n> and
     * topic = <t>[,<t2>…] and dir = <landing> [and reset =
@@ -2356,20 +2365,28 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }
     val pollMs = kv("poll").map(_.toLong).getOrElse(500L)
     val client = new graft.streaming.KafkaNativeClient(host, port)
-    // connectivity + auto-create probe, and the starting offsets
-    val offsets = scala.collection.mutable.Map(topics.map { tp =>
-      client.partitions(tp)
-      tp -> client.listOffset(tp, earliest)
+    // connectivity + auto-create probe; enumerate EVERY partition the
+    // Metadata response reports (not just partition 0) and seed each
+    // partition's starting offset independently
+    val parts: Seq[(String, Int)] = topics.flatMap { tp =>
+      (0 until client.partitions(tp)).map(p => tp -> p) }
+    val offsets = scala.collection.mutable.Map(parts.map { case (tp, p) =>
+      (tp, p) -> client.listOffset(tp, earliest, p)
     }: _*)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val n = new java.util.concurrent.atomic.AtomicInteger
     val epoch = java.lang.Long.toHexString(System.nanoTime())
+    val handle = new KafkaConsumerHandle(topics.mkString(", "),
+      client, stop)
+    val errStreak = new java.util.concurrent.atomic.AtomicInteger
     val th = new Thread(() => {
       while (!stop.get()) {
         var drained = true
-        topics.foreach { tp =>
+        parts.foreach { case (tp, p) =>
           try {
-            val (msgs, _) = client.fetch(tp, offsets(tp))
+            val (msgs, _) = client.fetch(tp, offsets((tp, p)),
+              partition = p)
+            errStreak.set(0); handle.health.set("")
             if (msgs.nonEmpty) {
               // one NDJSON landing per FETCH batch (the reference's
               // consumer also lands poll batches, not single records,
@@ -2377,17 +2394,39 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               // one-line JSON docs, the line-oriented contract the
               // whole watch-dir chain already has
               val f = dir.resolve(s"k${epoch}_${n.incrementAndGet()}_" +
-                s"${tp.replaceAll("[^A-Za-z0-9]", "_")}.json")
+                s"${tp.replaceAll("[^A-Za-z0-9]", "_")}_$p.json")
               val body = msgs.map(m => new String(m._3,
                 java.nio.charset.StandardCharsets.UTF_8)).mkString("\n")
               java.nio.file.Files.writeString(f, body)
-              offsets(tp) = msgs.last._1 + 1
+              offsets((tp, p)) = msgs.last._1 + 1
               drained = false
             }
-          } catch { case e: Exception =>
-            logRing(errorLog, (System.currentTimeMillis,
-              s"kafka consumer $tp",
-              Option(e.getMessage).getOrElse(""))) }
+          } catch {
+            case graft.streaming.KafkaOffsetOutOfRange(_, _, _) =>
+              // broker retention truncated past our offset: re-seed
+              // from the surviving log start (al_kafka.py's
+              // auto_offset_reset recovery) instead of spinning on
+              // the dead offset forever
+              try {
+                val seeded = client.listOffset(tp, earliest = true, p)
+                logRing(eventLog, (System.currentTimeMillis,
+                  s"kafka consumer $tp/$p: offset out of range, " +
+                    s"re-seeded to $seeded"))
+                offsets((tp, p)) = seeded
+                drained = false // retry the fetch promptly
+              } catch { case e: Exception =>
+                logRing(errorLog, (System.currentTimeMillis,
+                  s"kafka consumer $tp/$p reseed",
+                  Option(e.getMessage).getOrElse(""))) }
+            case e: Exception =>
+              val k = errStreak.incrementAndGet()
+              handle.health.set(s"degraded: $k consecutive poll " +
+                s"failure(s), last: " +
+                Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+              logRing(errorLog, (System.currentTimeMillis,
+                s"kafka consumer $tp/$p",
+                Option(e.getMessage).getOrElse("")))
+          }
         }
         if (drained && !stop.get())
           try Thread.sleep(pollMs)
@@ -2396,15 +2435,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       client.close()
     }, s"graft-kafka-consumer-$epoch")
     th.setDaemon(true)
+    handle.thread = th
     th.start()
-    kafkaConsumers.synchronized {
-      kafkaConsumers += ((topics.mkString(", "), th, client, stop))
-    }
+    kafkaConsumers.synchronized { kafkaConsumers += handle }
     registerService("Kafka Consumer",
       () => kafkaConsumers.synchronized(
-        kafkaConsumers.exists(_._2.isAlive)),
+        kafkaConsumers.exists(_.thread.isAlive)),
       () => kafkaConsumers.synchronized(
-        kafkaConsumers.filter(_._2.isAlive).map(_._1).mkString("; ")))
+        kafkaConsumers.filter(_.thread.isAlive).map { h =>
+          val hlth = h.health.get()
+          if (hlth.isEmpty) h.topics else s"${h.topics} ($hlth)"
+        }.mkString("; ")))
     s"kafka consumer polling ${topics.mkString(", ")} at $host:$port " +
       s"(reset ${if (earliest) "earliest" else "latest"}, landing in $dir)"
   }
@@ -2414,9 +2455,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val victims = kafkaConsumers.synchronized {
       val v = kafkaConsumers.toList; kafkaConsumers.clear(); v
     }
-    victims.foreach { case (_, th, _, stop) =>
-      stop.set(true); th.interrupt() }
-    victims.foreach(_._2.join(2000))
+    victims.foreach { h => h.stop.set(true); h.thread.interrupt() }
+    victims.foreach(_.thread.join(2000))
     s"stopped ${victims.size} kafka consumer(s)"
   }
 

@@ -26,12 +26,18 @@ import java.nio.charset.StandardCharsets
   *     magic int8 = 0, attributes int8 = 0, key bytes(int32-len,
   *     -1 null), value bytes.
   *
-  * Deliberate scope (documented, not hidden): one broker node, one
-  * partition per topic, no compression, no consumer groups (the
-  * reference's consumer subscribes and polls; group coordination is
-  * a broker-cluster concern), acks<=1. The consumer tracks its own
-  * offsets — `reset = earliest|latest` maps to ListOffsets(-2|-1)
-  * exactly like auto_offset_reset in al_kafka.py:124.
+  * Deliberate scope (documented, not hidden): one broker node, no
+  * compression, no consumer groups (the reference's consumer
+  * subscribes and polls; group coordination is a broker-cluster
+  * concern), acks<=1. Topics auto-create with one partition but the
+  * broker serves any partition count ([[KafkaMiniBroker.createTopic]])
+  * and keeps a LOG-START offset per partition so retention/truncation
+  * behaves like a real broker (fetch below it → OFFSET_OUT_OF_RANGE,
+  * ListOffsets earliest returns it). The consumer tracks its own
+  * offsets per (topic, partition) — `reset = earliest|latest` maps to
+  * ListOffsets(-2|-1) exactly like auto_offset_reset in
+  * al_kafka.py:124 — and re-seeds from earliest when its offset falls
+  * below log start.
   */
 object KafkaWire {
 
@@ -140,28 +146,87 @@ object KafkaWire {
 }
 
 /** In-memory single-node Kafka-protocol broker: Metadata/Produce/
-  * Fetch/ListOffsets at API v0, one partition per topic, topics
-  * auto-created on first use (the reference's deployments rely on
-  * broker auto-create). Thread per connection, like [[MqttBroker]].
-  * Primarily the test harness for the consumer/producer — but it is
-  * a real protocol endpoint: any v0-speaking client can produce to
-  * it and fetch from it. */
+  * Fetch/ListOffsets at API v0. Topics auto-create with one partition
+  * on first use (the reference's deployments rely on broker
+  * auto-create); [[createTopic]] pre-creates with any partition
+  * count, and [[truncate]] ages out a log prefix the way broker
+  * retention does — the log keeps a LOG-START offset per partition,
+  * so a fetch below it answers OFFSET_OUT_OF_RANGE and ListOffsets
+  * earliest returns the surviving start, exactly the recovery path a
+  * consumer must handle against a real broker. Thread per connection,
+  * like [[MqttBroker]]. Primarily the test harness for the
+  * consumer/producer — but it is a real protocol endpoint: any
+  * v0-speaking client can produce to it and fetch from it. */
 final class KafkaMiniBroker(port: Int = 0) {
   import KafkaWire._
 
   private val server = new ServerSocket(port)
   @volatile private var running = true
-  /** topic -> append-only log of encoded v0 messages. */
-  private val logs = scala.collection.mutable.Map
-    .empty[String, scala.collection.mutable.ArrayBuffer[Array[Byte]]]
 
-  def topicSize(topic: String): Int =
-    logs.synchronized(logs.get(topic).map(_.length).getOrElse(0))
-
-  private def logOf(topic: String) = logs.synchronized {
-    logs.getOrElseUpdate(topic,
-      scala.collection.mutable.ArrayBuffer.empty[Array[Byte]])
+  /** One partition's log: `base` is the log-start offset (advanced by
+    * [[truncate]]); absolute offset o lives at buf(o - base). Offsets
+    * are Long end-to-end; the Int narrowing happens only at the
+    * buffer index, where a `require` keeps the boundary loud instead
+    * of silently wrapping. */
+  private final class PartLog {
+    var base: Long = 0L
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def hw: Long = base + buf.length
+    def idx(offset: Long): Int = {
+      val i = offset - base
+      require(i >= 0 && i <= Int.MaxValue,
+        s"offset $offset out of addressable window (base $base)")
+      i.toInt
+    }
   }
+
+  /** topic -> per-partition append-only logs. */
+  private val topics =
+    scala.collection.mutable.Map.empty[String, Array[PartLog]]
+
+  /** Pre-create a topic with an explicit partition count (a real
+    * deployment does this with admin tooling; auto-create stays at
+    * one partition). */
+  def createTopic(topic: String, partitions: Int): Unit =
+    topics.synchronized {
+      require(partitions >= 1, "partitions must be >= 1")
+      require(!topics.contains(topic), s"topic $topic already exists")
+      topics(topic) = Array.fill(partitions)(new PartLog)
+    }
+
+  /** Retention test hook: drop every message below `upTo` and advance
+    * the partition's log-start offset — what a real broker's segment
+    * deletion does. */
+  def truncate(topic: String, upTo: Long, partition: Int = 0): Unit = {
+    val l = logOf(topic, partition)
+    l.synchronized {
+      val drop = math.min(math.max(upTo - l.base, 0L), l.buf.length.toLong)
+      l.buf.remove(0, drop.toInt)
+      l.base += drop
+    }
+  }
+
+  def topicSize(topic: String, partition: Int = 0): Int = {
+    val l = logOf(topic, partition); l.synchronized(l.buf.length)
+  }
+
+  private def partsOf(topic: String): Array[PartLog] =
+    topics.synchronized {
+      topics.getOrElseUpdate(topic, Array.fill(1)(new PartLog))
+    }
+
+  private def logOf(topic: String, partition: Int): PartLog = {
+    val ps = partsOf(topic)
+    require(partition >= 0 && partition < ps.length,
+      s"topic $topic has no partition $partition")
+    ps(partition)
+  }
+
+  /** Open connection sockets, so [[stop]] can drop them — a stopped
+    * broker must go silent, not keep answering in-flight requests
+    * from half-dead handler threads. */
+  private val conns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
 
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
@@ -186,22 +251,26 @@ final class KafkaMiniBroker(port: Int = 0) {
         out.writeInt(resp.length); out.write(resp); out.flush()
       }
     } catch { case _: java.io.IOException => () }
-    finally sock.close()
+    finally { conns.remove(sock); sock.close() }
   }
 
   private def metadata(r: Reader): Array[Byte] = {
     val nTopics = r.i32()
     val asked = (0 until nTopics).map(_ => r.str())
-    val names = if (asked.isEmpty) logs.synchronized(logs.keys.toSeq.sorted)
-      else { asked.foreach(logOf); asked } // auto-create
+    val names =
+      if (asked.isEmpty) topics.synchronized(topics.keys.toSeq.sorted)
+      else { asked.foreach(partsOf); asked } // auto-create
     val w = new Writer()
     w.i32(1).i32(0).str("localhost").i32(server.getLocalPort) // brokers
     w.i32(names.length)
     names.foreach { t =>
-      w.i16(0).str(t).i32(1) // one partition
-      w.i16(0).i32(0).i32(0) // partition 0, leader node 0
-      w.i32(1).i32(0) // replicas [0]
-      w.i32(1).i32(0) // isr [0]
+      val nP = partsOf(t).length
+      w.i16(0).str(t).i32(nP)
+      (0 until nP).foreach { p =>
+        w.i16(0).i32(p).i32(0) // partition p, leader node 0
+        w.i32(1).i32(0) // replicas [0]
+        w.i32(1).i32(0) // isr [0]
+      }
     }
     w.result()
   }
@@ -209,34 +278,42 @@ final class KafkaMiniBroker(port: Int = 0) {
   private def produce(r: Reader): Array[Byte] = {
     r.i16(); r.i32() // acks, timeout
     val nTopics = r.i32()
-    val acks = Seq.newBuilder[(String, Long)]
+    // (topic, partition, error, base-offset) per produced partition
+    val acks = Seq.newBuilder[(String, Int, Int, Long)]
     (0 until nTopics).foreach { _ =>
       val topic = r.str()
       val nParts = r.i32()
       (0 until nParts).foreach { _ =>
-        r.i32() // partition (single-partition broker: always 0)
+        val partition = r.i32()
         val setSize = r.i32()
         val set = r.raw(setSize)
-        val msgs = ByteBuffer.wrap(set)
-        val log = logOf(topic)
-        var base = -1L
-        log.synchronized {
-          while (msgs.remaining() >= 12) {
-            msgs.getLong() // producer-side offset, ignored
-            val mSize = msgs.getInt()
-            val m = new Array[Byte](mSize); msgs.get(m)
-            if (base < 0) base = log.length.toLong
-            log += m
+        val nP = partsOf(topic).length
+        if (partition < 0 || partition >= nP)
+          acks += ((topic, partition, 3, -1L)) // UNKNOWN_TOPIC_OR_PARTITION
+        else {
+          val msgs = ByteBuffer.wrap(set)
+          val log = logOf(topic, partition)
+          var base = -1L
+          log.synchronized {
+            while (msgs.remaining() >= 12) {
+              msgs.getLong() // producer-side offset, ignored
+              val mSize = msgs.getInt()
+              val m = new Array[Byte](mSize); msgs.get(m)
+              if (base < 0) base = log.hw
+              log.buf += m
+            }
           }
+          acks += ((topic, partition, 0, base))
         }
-        acks += ((topic, base))
       }
     }
     val w = new Writer()
-    val grouped = acks.result()
-    w.i32(grouped.length)
-    grouped.foreach { case (topic, base) =>
-      w.str(topic).i32(1).i32(0).i16(0).i64(base)
+    val grouped = acks.result().groupBy(_._1)
+    w.i32(grouped.size)
+    grouped.toSeq.sortBy(_._1).foreach { case (topic, parts) =>
+      w.str(topic).i32(parts.length)
+      parts.foreach { case (_, p, err, base) =>
+        w.i32(p).i16(err).i64(base) }
     }
     w.result()
   }
@@ -251,35 +328,43 @@ final class KafkaMiniBroker(port: Int = 0) {
       val nParts = r.i32()
       w.str(topic).i32(nParts)
       (0 until nParts).foreach { _ =>
-        r.i32() // partition
+        val partition = r.i32()
         val offset = r.i64()
         val maxBytes = r.i32()
-        val log = logOf(topic)
-        val (hw, slice) = log.synchronized {
-          (log.length.toLong,
-            log.slice(offset.toInt.max(0), log.length).toSeq)
-        }
-        // error 1 = OFFSET_OUT_OF_RANGE, like a real broker
-        if (offset > hw || offset < 0) {
-          w.i32(0).i16(1).i64(hw).i32(0)
+        val nP = partsOf(topic).length
+        if (partition < 0 || partition >= nP) {
+          w.i32(partition).i16(3).i64(-1L).i32(0) // unknown partition
         } else {
-          var budget = maxBytes
-          val msgs = Seq.newBuilder[(Long, Array[Byte])]
-          var off = offset
-          var full = false
-          slice.foreach { m =>
-            // contiguous prefix only — a budget-skipped message must
-            // stop the set (a gap would silently lose messages);
-            // always include at least the FIRST message (v0 rule:
-            // otherwise a message larger than maxBytes stalls the
-            // consumer forever)
-            if (!full && (budget - (12 + m.length) >= 0 || off == offset)) {
-              msgs += ((off, m)); budget -= (12 + m.length)
-            } else full = true
-            off += 1
+          val log = logOf(topic, partition)
+          val (base, hw, slice) = log.synchronized {
+            (log.base, log.hw,
+              if (offset < log.base || offset > log.hw) Seq.empty
+              else log.buf.slice(log.idx(offset), log.buf.length).toSeq)
           }
-          val set = encodeMessageSet(msgs.result())
-          w.i32(0).i16(0).i64(hw).i32(set.length).raw(set)
+          // error 1 = OFFSET_OUT_OF_RANGE, like a real broker: below
+          // the log-start offset (retention truncated past it) or
+          // beyond the high-water mark
+          if (offset < base || offset > hw) {
+            w.i32(partition).i16(1).i64(hw).i32(0)
+          } else {
+            var budget = maxBytes
+            val msgs = Seq.newBuilder[(Long, Array[Byte])]
+            var off = offset
+            var full = false
+            slice.foreach { m =>
+              // contiguous prefix only — a budget-skipped message must
+              // stop the set (a gap would silently lose messages);
+              // always include at least the FIRST message (v0 rule:
+              // otherwise a message larger than maxBytes stalls the
+              // consumer forever)
+              if (!full && (budget - (12 + m.length) >= 0 || off == offset)) {
+                msgs += ((off, m)); budget -= (12 + m.length)
+              } else full = true
+              off += 1
+            }
+            val set = encodeMessageSet(msgs.result())
+            w.i32(partition).i16(0).i64(hw).i32(set.length).raw(set)
+          }
         }
       }
     }
@@ -296,12 +381,20 @@ final class KafkaMiniBroker(port: Int = 0) {
       val nParts = r.i32()
       w.str(topic).i32(nParts)
       (0 until nParts).foreach { _ =>
-        r.i32() // partition
+        val partition = r.i32()
         val time = r.i64()
         r.i32() // max offsets
-        val hw = logOf(topic).synchronized(logOf(topic).length.toLong)
-        val off = if (time == -2L) 0L else hw // -2 earliest, -1 latest
-        w.i32(0).i16(0).i32(1).i64(off)
+        val nP = partsOf(topic).length
+        if (partition < 0 || partition >= nP)
+          w.i32(partition).i16(3).i32(0) // unknown partition
+        else {
+          val log = logOf(topic, partition)
+          val (base, hw) = log.synchronized((log.base, log.hw))
+          // -2 earliest = log-start offset (NOT 0 once truncated), -1
+          // latest = high-water — the reset/recovery seam
+          val off = if (time == -2L) base else hw
+          w.i32(partition).i16(0).i32(1).i64(off)
+        }
       }
     }
     w.result()
@@ -312,6 +405,8 @@ final class KafkaMiniBroker(port: Int = 0) {
       while (running) {
         try {
           val sock = server.accept()
+          conns.add(sock)
+          if (!running) sock.close() // raced with stop()
           val worker = new Thread(() => handle(sock))
           worker.setDaemon(true)
           worker.start()
@@ -323,27 +418,72 @@ final class KafkaMiniBroker(port: Int = 0) {
     server.getLocalPort
   }
 
-  def stop(): Unit = { running = false; server.close() }
+  def stop(): Unit = {
+    running = false
+    server.close()
+    conns.forEach(s => try s.close() catch { case _: Exception => () })
+    conns.clear()
+  }
 }
+
+/** Thrown by [[KafkaNativeClient.fetch]] on broker error 1: the
+  * requested offset is below the partition's log-start offset
+  * (retention truncated past it) or beyond the high-water mark. A
+  * consumer recovers by re-seeding from ListOffsets earliest — typed
+  * so the poll loop can't confuse it with an empty fetch and spin on
+  * a dead offset forever. */
+final case class KafkaOffsetOutOfRange(topic: String, partition: Int,
+    highWater: Long) extends RuntimeException(
+  s"offset out of range on $topic/$partition (high-water $highWater)")
 
 /** v0 producer + consumer over one blocking connection each
   * (api/al_kafka.py get_producer/get_consumer). Thread-safe via a
-  * per-client lock; correlation ids are monotonically assigned. */
+  * per-client lock; correlation ids are monotonically assigned.
+  *
+  * Connection lifecycle: the socket dials lazily and RE-DIALS after
+  * any IOException — a broker restart or a partially-read (desynced)
+  * frame would otherwise leave the client permanently broken while
+  * its owner keeps calling it. One transparent retry per call; the
+  * retried request is a fresh frame on a fresh socket, so desync
+  * can't carry over. A produce retried across the failure is
+  * at-least-once — the acks<=1 contract this client already has
+  * (matching the reference producer, al_kafka.py:50-121). */
 final class KafkaNativeClient(host: String, port: Int) {
   import KafkaWire._
 
-  private lazy val sock = new Socket(host, port)
+  private var sockOpt: Option[Socket] = None
   private val corr = new java.util.concurrent.atomic.AtomicInteger(1)
 
-  /** Produce values (optionally keyed) to a topic, acks=1; returns
-    * the base offset the broker assigned. */
-  def produce(topic: String,
-      values: Seq[(Array[Byte], Array[Byte])]): Long = synchronized {
+  private def sock(): Socket = sockOpt match {
+    case Some(s) if !s.isClosed => s
+    case _ =>
+      val s = new Socket(host, port); sockOpt = Some(s); s
+  }
+
+  private def dropSocket(): Unit = {
+    sockOpt.foreach(s => try s.close() catch { case _: Exception => () })
+    sockOpt = None
+  }
+
+  /** One framed exchange with a single reconnect retry (see class
+    * doc). Callers already hold the client lock. */
+  private def exchange(apiKey: Int, body: Array[Byte]): Reader =
+    try roundTrip(sock(), apiKey, body, corr.getAndIncrement())
+    catch { case _: java.io.IOException =>
+      dropSocket()
+      roundTrip(sock(), apiKey, body, corr.getAndIncrement())
+    }
+
+  /** Produce values (optionally keyed) to a topic partition, acks=1;
+    * returns the base offset the broker assigned. */
+  def produce(topic: String, values: Seq[(Array[Byte], Array[Byte])],
+      partition: Int = 0): Long = synchronized {
     val set = encodeMessageSet(values.zipWithIndex.map { case ((k, v), i) =>
       (i.toLong, encodeMessage(k, v)) })
     val body = new Writer().i16(1).i32(5000)
-      .i32(1).str(topic).i32(1).i32(0).i32(set.length).raw(set).result()
-    val r = roundTrip(sock, ApiProduce, body, corr.getAndIncrement())
+      .i32(1).str(topic).i32(1).i32(partition)
+      .i32(set.length).raw(set).result()
+    val r = exchange(ApiProduce, body)
     r.i32() // topic count
     r.str(); r.i32(); r.i32() // topic, partition count, partition
     val err = r.i16()
@@ -356,28 +496,35 @@ final class KafkaNativeClient(host: String, port: Int) {
       (null: Array[Byte], v.getBytes(StandardCharsets.UTF_8))))
 
   /** Fetch from `offset`; returns (offset, key, value) triples and
-    * the current high-water mark. Empty when caught up. */
-  def fetch(topic: String, offset: Long, maxBytes: Int = 1 << 20)
+    * the current high-water mark. Empty when caught up. Throws
+    * [[KafkaOffsetOutOfRange]] when the offset fell outside the log
+    * (broker retention) — distinct from an empty fetch, so the
+    * caller's reset path is unmistakable. */
+  def fetch(topic: String, offset: Long, maxBytes: Int = 1 << 20,
+      partition: Int = 0)
       : (Seq[(Long, Array[Byte], Array[Byte])], Long) = synchronized {
     val body = new Writer().i32(-1).i32(100).i32(1)
-      .i32(1).str(topic).i32(1).i32(0).i64(offset).i32(maxBytes).result()
-    val r = roundTrip(sock, ApiFetch, body, corr.getAndIncrement())
+      .i32(1).str(topic).i32(1).i32(partition)
+      .i64(offset).i32(maxBytes).result()
+    val r = exchange(ApiFetch, body)
     r.i32(); r.str(); r.i32(); r.i32() // topics, topic, parts, part
     val err = r.i16()
     val hw = r.i64()
     val setSize = r.i32()
-    if (err == 1) return (Nil, hw) // offset out of range: caller resets
+    if (err == 1) throw KafkaOffsetOutOfRange(topic, partition, hw)
     require(err == 0, s"fetch error $err")
     (decodeMessageSet(r.raw(setSize)), hw)
   }
 
-  /** ListOffsets: earliest (time = -2) or latest (-1) offset —
+  /** ListOffsets: earliest (time = -2, the log-START offset — not 0
+    * once retention has truncated) or latest (-1) —
     * auto_offset_reset in al_kafka.py:124. */
-  def listOffset(topic: String, earliest: Boolean): Long = synchronized {
+  def listOffset(topic: String, earliest: Boolean,
+      partition: Int = 0): Long = synchronized {
     val body = new Writer().i32(-1)
-      .i32(1).str(topic).i32(1).i32(0)
+      .i32(1).str(topic).i32(1).i32(partition)
       .i64(if (earliest) -2L else -1L).i32(1).result()
-    val r = roundTrip(sock, ApiListOffsets, body, corr.getAndIncrement())
+    val r = exchange(ApiListOffsets, body)
     r.i32(); r.str(); r.i32(); r.i32() // topics, topic, parts, part
     val err = r.i16()
     require(err == 0, s"listOffsets error $err")
@@ -386,11 +533,11 @@ final class KafkaNativeClient(host: String, port: Int) {
     r.i64()
   }
 
-  /** Metadata probe — returns the topic's partition count (1 on the
-    * mini broker); used as the connectivity check. */
+  /** Metadata probe — returns the topic's partition count; used as
+    * the connectivity check and to enumerate partitions to poll. */
   def partitions(topic: String): Int = synchronized {
     val body = new Writer().i32(1).str(topic).result()
-    val r = roundTrip(sock, ApiMetadata, body, corr.getAndIncrement())
+    val r = exchange(ApiMetadata, body)
     val nBrokers = r.i32()
     (0 until nBrokers).foreach { _ => r.i32(); r.str(); r.i32() }
     r.i32() // topic count
@@ -398,7 +545,5 @@ final class KafkaNativeClient(host: String, port: Int) {
     r.i32()
   }
 
-  def close(): Unit = synchronized {
-    try sock.close() catch { case _: Exception => () }
-  }
+  def close(): Unit = synchronized { dropSocket() }
 }

@@ -62,6 +62,71 @@ class KafkaNativeSpec extends SparkSpec {
     } finally { c.close(); broker.stop() }
   }
 
+  test("retention truncation: fetch below log start throws typed " +
+      "OFFSET_OUT_OF_RANGE; ListOffsets earliest returns the " +
+      "surviving log-start offset, not 0") {
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val c = new KafkaNativeClient("localhost", port)
+    try {
+      c.produceStrings("r", Seq("a", "b", "c", "d", "e"))
+      broker.truncate("r", 3L) // retention ate offsets 0..2
+      val oor = intercept[graft.streaming.KafkaOffsetOutOfRange](
+        c.fetch("r", 0L))
+      assert(oor.highWater === 5L)
+      assert(c.listOffset("r", earliest = true) === 3L)
+      assert(c.listOffset("r", earliest = false) === 5L)
+      val (msgs, _) = c.fetch("r", 3L)
+      assert(msgs.map(m => s(m._3)) === Seq("d", "e"))
+      // appends after truncation keep absolute offsets
+      assert(c.produceStrings("r", Seq("f")) === 5L)
+    } finally { c.close(); broker.stop() }
+  }
+
+  test("multi-partition topic: metadata reports the count, produce " +
+      "routes by partition, fetch serves each partition to completion") {
+    val broker = new KafkaMiniBroker()
+    broker.createTopic("mp", 3)
+    val port = broker.start()
+    val c = new KafkaNativeClient("localhost", port)
+    try {
+      assert(c.partitions("mp") === 3)
+      c.produce("mp", Seq((null, "p0a".getBytes), (null, "p0b".getBytes)),
+        partition = 0)
+      c.produce("mp", Seq((null, "p1a".getBytes)), partition = 1)
+      c.produce("mp", Seq((null, "p2a".getBytes)), partition = 2)
+      val all = (0 until 3).flatMap { p =>
+        c.fetch("mp", 0L, partition = p)._1.map(m => s(m._3)) }
+      assert(all.sorted === Seq("p0a", "p0b", "p1a", "p2a"))
+      // per-partition offsets are independent
+      assert(c.listOffset("mp", earliest = false, partition = 0) === 2L)
+      assert(c.listOffset("mp", earliest = false, partition = 1) === 1L)
+      // unknown partition answers error, not a hang or crash
+      intercept[IllegalArgumentException](c.fetch("mp", 0L, partition = 9))
+    } finally { c.close(); broker.stop() }
+  }
+
+  test("client survives a broker restart: IOException re-dials the " +
+      "socket instead of leaving the connection permanently broken") {
+    val b1 = new KafkaMiniBroker()
+    val port = b1.start()
+    val c = new KafkaNativeClient("localhost", port)
+    try {
+      c.produceStrings("t", Seq("before"))
+      b1.stop()
+      Thread.sleep(100)
+      // same port, fresh broker (empty log — a restart, not HA)
+      val b2 = new KafkaMiniBroker(port)
+      b2.start()
+      try {
+        // first call hits the dead socket, retries on a fresh dial
+        assert(c.produceStrings("t", Seq("after")) === 0L)
+        val (msgs, _) = c.fetch("t", 0L)
+        assert(msgs.map(m => s(m._3)) === Seq("after"))
+      } finally b2.stop()
+    } finally c.close()
+  }
+
   test("message CRC corruption is detected, never silently decoded") {
     val m = KafkaWire.encodeMessage(null, "hello".getBytes)
     m(m.length - 1) = (m(m.length - 1) ^ 0x1).toByte
@@ -108,6 +173,79 @@ class KafkaNativeSpec extends SparkSpec {
       val after = engine.execute("get processes")
       assert(after.linesIterator.exists(l =>
         l.contains("Kafka Consumer") && l.contains("Not declared")))
+    } finally { producer.close(); broker.stop() }
+  }
+
+  test("run kafka consumer consumes EVERY partition of a " +
+      "multi-partition topic to completion") {
+    import graft.engine.{Catalog, Engine}
+    val broker = new KafkaMiniBroker()
+    broker.createTopic("mp2", 2)
+    val port = broker.start()
+    val producer = new KafkaNativeClient("localhost", port)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("kafkamp")
+      val engine = new Engine(spark, new Catalog(spark))
+      engine.execute(s"run kafka consumer where ip = localhost " +
+        s"and port = $port and topic = mp2 and dir = $dir " +
+        "and reset = earliest and poll = 50")
+      producer.produce("mp2", Seq((null, """{"p": 0}""".getBytes),
+        (null, """{"p": 100}""".getBytes)), partition = 0)
+      producer.produce("mp2", Seq((null, """{"p": 1}""".getBytes)),
+        partition = 1)
+      def lines() =
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(f => java.nio.file.Files.readString(f.toPath)
+            .linesIterator.toSeq)
+      val deadline = System.currentTimeMillis + 10000
+      while (lines().size < 3 && System.currentTimeMillis < deadline)
+        Thread.sleep(30)
+      assert(lines().toSet ===
+        Set("""{"p": 0}""", """{"p": 1}""", """{"p": 100}"""))
+      engine.execute("exit kafka consumer")
+    } finally { producer.close(); broker.stop() }
+  }
+
+  test("run kafka consumer recovers from broker retention: offset " +
+      "out of range re-seeds to the surviving log start instead of " +
+      "spinning forever") {
+    import graft.engine.{Catalog, Engine}
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val producer = new KafkaNativeClient("localhost", port)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("kafkatrunc")
+      val engine = new Engine(spark, new Catalog(spark))
+      // long poll: after draining, the consumer sleeps 2 s — a
+      // deterministic window to truncate out from under it
+      engine.execute(s"run kafka consumer where ip = localhost " +
+        s"and port = $port and topic = tr and dir = $dir " +
+        "and reset = latest and poll = 2000")
+      def lines() =
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(f => java.nio.file.Files.readString(f.toPath)
+            .linesIterator.toSeq)
+      producer.produceStrings("tr",
+        Seq("""{"m": "a"}""", """{"m": "b"}"""))
+      var deadline = System.currentTimeMillis + 10000
+      while (lines().size < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(30)
+      assert(lines().size === 2, s"setup batch: ${lines()}")
+      // consumer is drained at offset 2, sleeping: retention now eats
+      // the WHOLE log including 4 messages it never saw
+      producer.produceStrings("tr",
+        (0 until 4).map(i => s"""{"lost": $i}"""))
+      broker.truncate("tr", 6L)
+      producer.produceStrings("tr", Seq("""{"m": "recovered"}"""))
+      deadline = System.currentTimeMillis + 15000
+      while (!lines().exists(_.contains("recovered")) &&
+          System.currentTimeMillis < deadline) Thread.sleep(50)
+      val got = lines()
+      assert(got.exists(_.contains("recovered")),
+        s"consumer never recovered from truncation: $got")
+      assert(!got.exists(_.contains("lost")),
+        "truncated messages cannot reappear")
+      engine.execute("exit kafka consumer")
     } finally { producer.close(); broker.stop() }
   }
 
