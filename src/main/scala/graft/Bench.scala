@@ -22,6 +22,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // audited bounded-input windows only — see the note in Verify.scala
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // JVM + codegen warm-up (untimed): one representative of each major
     // plan family (scan+limit, aggregate, window, broadcast join), so

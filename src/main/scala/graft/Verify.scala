@@ -14,6 +14,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Every unpartitioned window in the repo is deliberately bounded —
+    // post-LIMIT top-K ranks (Curation.scoreWith/lmQuality, the PQ/SQ8
+    // codebook seeds) or the <=1001-row quality lattice (q159) — and
+    // Spark 4 constant-folds any literal partitionBy key back to an
+    // empty partition spec, so WindowExec's blanket warning cannot be
+    // silenced site-by-site. Each site carries its bounded-input audit
+    // comment; the logger is demoted HERE so the log stays readable.
+    // A NEW warning source must pass the same audit before this list
+    // grows.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated substring filter for local iteration
     // (mirrors Bench's SPARK_GRAFT_ONLY); the driver never sets it

@@ -1152,6 +1152,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("run scheduler")) {
       val id = "(?i)^run scheduler\\s+(\\d+)".r
         .findFirstMatchIn(t).map(_.group(1).toInt).getOrElse(1)
+      // optional per-wake task timeout (see TaskScheduler.tick) —
+      // `run scheduler [id] [where timeout = N seconds]`
+      "(?i)\\btimeout\\s*=\\s*(\\d+)\\s*(second|minute)s?\\b".r
+        .findFirstMatchIn(t).foreach { m =>
+          val unit = if (m.group(2).equalsIgnoreCase("minute")) 60000L
+            else 1000L
+          taskScheduler.setTaskTimeout(m.group(1).toLong * unit, id)
+        }
       taskScheduler.start(id)
     }
     else if (low.startsWith("exit scheduler")) {
@@ -2303,10 +2311,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     } ++ dynamic.keys.filterNot(board.map(_._1).contains).toSeq.sorted
       .map { n => val (a, d) = dynamic(n)
         (n, if (a()) "Running" else "Not declared", d()) }
+    // user-supplied strings (topic names, watch-dir paths) reach the
+    // details cell — escape them or a quote/backslash yields invalid
+    // JSON output
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     if (json)
       rows.map { case (n, st, d) =>
-        val detail = if (d.isEmpty) "" else s""", "Details": "$d""""
-        s""""$n": {"Status": "$st"$detail}"""
+        val detail = if (d.isEmpty) "" else s""", "Details": ${jstr(d)}"""
+        s"""${jstr(n)}: {"Status": ${jstr(st)}$detail}"""
       }.mkString("{", ", ", "}")
     else {
       val header = Seq("Process", "Status", "Details")
@@ -2833,8 +2853,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * `task` splits options from the command, as in the reference. */
   private def scheduleCmd(t: String): String = {
     val low = t.toLowerCase
-    val split = "(?i)\\btask\\b".r.findFirstMatchIn(t).getOrElse(
-      throw new IllegalArgumentException(
+    // split at the first UNQUOTED `task` keyword — a quoted option
+    // value containing the word (name = "sync task") must not
+    // truncate the options and register a garbage command
+    val quoted = "\"[^\"]*\"|'[^']*'".r.findAllMatchIn(t)
+      .map(m => (m.start, m.end)).toSeq
+    val split = "(?i)\\btask\\b".r.findAllMatchIn(t)
+      .find(m => !quoted.exists { case (a, b) =>
+        m.start >= a && m.start < b })
+      .getOrElse(throw new IllegalArgumentException(
         "Missing 'task' in schedule statement"))
     val opts = t.substring("schedule".length, split.start)
     val command = t.substring(split.end).trim

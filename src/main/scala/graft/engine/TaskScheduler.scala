@@ -50,6 +50,10 @@ final class TaskScheduler(exec: String => String,
     @volatile var prevStamp: Option[Long] = None // TIME(PREVIOUS) carry
     @volatile var counter: Long = 0
     @volatile var lastStatus: String = "No runs"
+    /** True while a run is executing on the pool — guards re-dispatch
+      * of a task that outlives its timeout (one hung command must not
+      * pile a new thread per wake). */
+    @volatile var inFlight: Boolean = false
   }
 
   /** scheduler id -> (running?, wakeMs, tasks). Id 1 is the default
@@ -59,7 +63,34 @@ final class TaskScheduler(exec: String => String,
   private final class Sched(val id: Int) {
     var running = false
     var wakeMs: Long = 10000L // reference default wake_time = 10 s
+    /** How long one wake waits for its dispatched tasks before
+      * declaring them timed out (they keep running; the SCHEDULE
+      * moves on). Generous default — the knob exists so a hung
+      * command can't serialize every later task behind it. */
+    var taskTimeoutMs: Long = 600000L
     val tasks = mutable.ArrayBuffer.empty[Task]
+  }
+
+  /** Shared dispatch pool for task runs — the reference executes
+    * scheduled jobs on its job pool rather than the scheduler thread
+    * for the same reason. Cached (not fixed): a permanently hung task
+    * parks one thread, and `inFlight` stops it from being re-submitted,
+    * so the thread count is bounded by the number of DISTINCT hung
+    * tasks — a fixed pool would instead let a few hung tasks starve
+    * every healthy one. */
+  private lazy val pool = java.util.concurrent.Executors
+    .newCachedThreadPool(new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-task-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    })
+
+  /** Set the per-wake task timeout (see [[Sched.taskTimeoutMs]]). */
+  def setTaskTimeout(ms: Long, id: Int = 1): Unit = synchronized {
+    require(ms > 0, "timeout must be positive")
+    sched(id).taskTimeoutMs = ms
   }
   private val schedulers = mutable.Map.empty[Int, Sched]
   private val threads = mutable.Map.empty[Int, Thread]
@@ -150,17 +181,47 @@ final class TaskScheduler(exec: String => String,
     }
   }
 
-  /** One scheduler wake: execute every due task. Snapshot under the
-    * lock, execute outside it (see class doc). Returns #executed. */
+  /** One scheduler wake: snapshot due tasks under the lock, dispatch
+    * them IN PARALLEL on the shared pool, and wait at most the
+    * scheduler's task timeout for the batch — so one slow or hung
+    * command can neither delay the other due tasks this wake (they
+    * run concurrently) nor serialize future wakes (the tick returns
+    * at the deadline and `get scheduler` shows the straggler as
+    * Failed-by-timeout while it keeps `inFlight`, which blocks
+    * re-dispatch until it actually finishes). A timed-out task that
+    * eventually completes overwrites the timeout status with its real
+    * outcome and resumes its schedule. Returns #dispatched. */
   def tick(schedId: Int = 1): Int = {
     val now = clock()
-    val due = synchronized {
-      sched(schedId).tasks.filter { t =>
-        t.mode == "Active" && now >= t.startAt &&
+    val (due, timeoutMs) = synchronized {
+      val s = sched(schedId)
+      (s.tasks.filter { t =>
+        t.mode == "Active" && !t.inFlight && now >= t.startAt &&
           (t.lastRun == Long.MinValue || now - t.lastRun >= t.repeatMs)
-      }.toList
+      }.toList, s.taskTimeoutMs)
     }
-    due.foreach(runTask(_, schedId))
+    val futs = due.map { t =>
+      t.inFlight = true
+      t -> pool.submit(new Runnable {
+        def run(): Unit =
+          try runTask(t, schedId) finally t.inFlight = false
+      })
+    }
+    // one shared wall-clock deadline: the whole wake waits at most
+    // taskTimeoutMs, not timeoutMs x #due
+    val deadline = System.nanoTime + timeoutMs * 1000000L
+    futs.foreach { case (t, f) =>
+      try f.get(math.max(deadline - System.nanoTime, 0L),
+        java.util.concurrent.TimeUnit.NANOSECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          t.lastStatus =
+            s"Failed: timeout after ${timeoutMs / 1000} s (still running)"
+        case _: java.util.concurrent.ExecutionException => ()
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt()
+      }
+    }
     due.size
   }
 

@@ -139,9 +139,11 @@ object Curation {
     scoredPool(index, nb, docs, textCol)
       .orderBy(col("weight_q").desc, col(idCol))
       .limit(topK)
-      // unpartitioned window is BOUNDED BY THE limit ABOVE (<= topK
-      // rows reach it) — the WindowExec single-partition warning it
-      // logs is about an input this plan can never make large
+      // single-partition window BOUNDED BY THE limit ABOVE (<= topK
+      // rows reach it). Spark 4 folds any constant partitionBy key
+      // back to an empty partition spec, so WindowExec's warning
+      // cannot be silenced at the site — Verify/Bench demote that
+      // logger instead, with this audit note
       .select(row_number().over(
           Window.orderBy(col("weight_q").desc, col(idCol))).as("rank"),
         col(idCol), col("weight_q"))
@@ -338,7 +340,9 @@ object Curation {
     lmScores(docs, textCol, idCol)
       .orderBy(col("score_q").desc, col(idCol))
       .limit(topK)
-      // unpartitioned window bounded by the limit above (<= topK rows)
+      // single-partition window bounded by the limit above (<= topK
+      // rows) — see the scoreWith audit note on why the WindowExec
+      // warning is demoted in the mains rather than silenced here
       .select(row_number().over(
           Window.orderBy(col("score_q").desc, col(idCol))).as("rank"),
         col(idCol), col("n_big"), col("score_q"))

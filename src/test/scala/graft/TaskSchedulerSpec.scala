@@ -156,6 +156,77 @@ class TaskSchedulerSpec extends SparkSpec {
     assert(engine.taskScheduler.tasksOf().head.lastStatus === "Success")
     assert(graft.engine.TimePartitions.partitions(spark, out).nonEmpty)
   }
+
+  test("a hung task neither delays the other due tasks nor blocks " +
+      "later wakes; get scheduler shows it Failed-by-timeout") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ran = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    var now = 1000000L
+    val ts = new TaskScheduler(cmd => {
+      if (cmd == "hang") { gate.await(); "ok" }
+      else { ran.add(cmd); "ok" }
+    }, () => now)
+    ts.setTaskTimeout(500) // real-time wait budget per wake
+    ts.add("hung", "hang", 10000L)
+    ts.add("fast", "quick", 10000L)
+    val t0 = System.currentTimeMillis
+    assert(ts.tick() === 2)
+    // the wake returned at the deadline — it did not wait forever,
+    // and the healthy task ran concurrently with the hung one
+    assert(System.currentTimeMillis - t0 < 5000)
+    assert(ran.toArray.toList === List("quick"))
+    val hung = ts.tasksOf().find(_.name == "hung").get
+    assert(hung.lastStatus.startsWith("Failed: timeout"),
+      hung.lastStatus)
+    assert(ts.report().contains("Failed: timeout"))
+    // next wake: fast fires on time, the still-running hung task is
+    // NOT re-dispatched (no thread pile-up)
+    now += 10000
+    assert(ts.tick() === 1)
+    assert(ran.size === 2)
+    // once it finally completes, its real outcome replaces the
+    // timeout status and its schedule resumes
+    gate.countDown()
+    val deadline = System.currentTimeMillis + 5000
+    while (hung.inFlight && System.currentTimeMillis < deadline)
+      Thread.sleep(10)
+    assert(!hung.inFlight, "hung task never finished after release")
+    assert(hung.lastStatus === "Success")
+    now += 10000
+    assert(ts.tick() === 2)
+  }
+
+  test("schedule: a quoted task name containing the word 'task' does " +
+      "not truncate the options or garble the command") {
+    val engine = new Engine(spark, new Catalog(spark))
+    val reply = engine.execute(
+      """schedule time = 10 seconds and name = "sync task" task get status""")
+    assert(reply.contains("'sync task' scheduled every 10 seconds"),
+      reply)
+    val t = engine.taskScheduler.tasksOf()
+      .find(_.name == "sync task").get
+    assert(t.command === "get status")
+    assert(t.repeatMs === 10000L)
+  }
+
+  test("run scheduler accepts a per-wake task timeout option") {
+    val engine = new Engine(spark, new Catalog(spark))
+    var now = 1000000L
+    engine.schedulerClock = () => now
+    // start on scheduler 3 without the wake thread, then re-issue the
+    // command form with the timeout knob (already running: knob still
+    // applied, start refused)
+    engine.taskScheduler.start(3, spawnThread = false)
+    assert(engine.execute("run scheduler 3 where timeout = 1 seconds")
+      === "Scheduler 3 already running")
+    // knob parsed and applied even on the already-running path; a
+    // normal task still runs under it
+    engine.taskScheduler.add("ok", "get status", 10000L, schedId = 3)
+    assert(engine.taskScheduler.tick(3) === 1)
+    assert(engine.taskScheduler.tasksOf(3).head.lastStatus === "Success")
+    intercept[IllegalArgumentException](
+      engine.execute("run scheduler 4 where timeout = 0 seconds"))
+  }
 }
 
 /** `get processes` — the reference's background-service board
@@ -198,6 +269,24 @@ class ProcessesBoardSpec extends SparkSpec {
       l.contains("REST Server") && l.contains("Not declared")))
     assert(post.linesIterator.exists(l =>
       l.contains("Scheduler") && l.contains("Not declared")))
+  }
+
+  test("format = json escapes user-supplied detail strings (a quote " +
+      "in a topic name must not break the JSON)") {
+    val broker = new graft.streaming.KafkaMiniBroker()
+    val port = broker.start()
+    try {
+      val engine = new Engine(spark, new Catalog(spark))
+      val dir = java.nio.file.Files.createTempDirectory("jsonesc")
+      engine.execute(s"run kafka consumer where ip = localhost and " +
+        s"""port = $port and topic = a"b and dir = $dir""")
+      val js = engine.execute("get processes where format = json")
+      // the raw quote would truncate the JSON string — it must parse
+      val parsed = org.json4s.jackson.JsonMethods.parse(js)
+      val det = (parsed \ "Kafka Consumer" \ "Details")
+      assert(det === org.json4s.JString("a\"b"), js)
+      engine.execute("exit kafka consumer")
+    } finally broker.stop()
   }
 }
 
