@@ -174,4 +174,162 @@ class ConcurrencySoakSpec extends SparkSpec {
     info(s"soak complete: ${retriedReads.get()} retention-race reads " +
       "retried (documented contract)")
   }
+
+  test("operational-loop soak: live scheduler wakes firing sync + ha " +
+      "sync, a kafka consumer + streamer landing batches, PUT writers " +
+      "and retention drops all run concurrently; every standing " +
+      "artifact ends VERIFIED exact and the peers converge") {
+    val dir = java.nio.file.Files.createTempDirectory("opsoak")
+    // ---- node A: partitioned fact table + artifact fleet -------------
+    val slPath = dir.resolve("sl").toString
+    val seed = Seq((1000L, "2024-01-01 01:00:00", "g0", 5L))
+      .toDF("id", "ts_s", "g", "v")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .withColumn("tsd_id", lit(0))
+    graft.engine.TimePartitions.write(seed, "ts", "day", 1, slPath)
+    val catA = new graft.engine.Catalog(spark)
+    catA.registerPartitionedTable("sl", slPath, "ts", "day", 1)
+    val engA = new graft.engine.Engine(spark, catA)
+    engA.dataDir = Some(dir.resolve("a").toString)
+    val mv = dir.resolve("mv").toString
+    engA.execute(s"matview create where table = sl and path = $mv " +
+      s"""and spec = {"keys": ["g"], "aggs": [
+        {"fn": "count", "alias": "n"},
+        {"fn": "sum", "expr": "v", "alias": "sv"}]}""")
+    val ru = dir.resolve("ru").toString
+    engA.execute(s"rollup create where table = sl and path = $ru " +
+      "and time = ts and value = v and grain = day")
+    // ---- node B: the HA peer --------------------------------------
+    val engB = new graft.engine.Engine(spark,
+      new graft.engine.Catalog(spark))
+    engB.dataDir = Some(dir.resolve("b").toString)
+    val feB = new graft.engine.HttpFrontend(engB)
+    val portB = feB.start()
+    // ---- kafka chain: broker -> consumer -> watch dir -> streamer --
+    val broker = new graft.streaming.KafkaMiniBroker()
+    val kport = broker.start()
+    val producer = new graft.streaming.KafkaNativeClient("localhost", kport)
+    val land = dir.resolve("land")
+    engA.execute("""policy add sp {"mapping": {
+      "dbms": "edge", "table": "kt",
+      "schema": {
+        "device": {"type": "varchar", "bring": "[device]"},
+        "value": {"type": "float", "bring": "[value]"}
+      }}}""")
+    engA.execute(s"run kafka consumer where ip = localhost and " +
+      s"port = $kport and topic = soak and dir = $land " +
+      "and reset = earliest and poll = 50")
+    engA.execute(s"run streamer where dir = $land and table = kt " +
+      "and policy = sp and flush = 1")
+    // ---- live scheduler (REAL wake thread): fold + ha sync tasks ---
+    engA.taskScheduler.start(wakeMs = 200L)
+    engA.execute("""schedule time = 1 seconds and name = "fleet" """ +
+      "task sync all where table = sl")
+    engA.execute("""schedule time = 1 seconds and name = "ha" """ +
+      s"task run ha sync where peer = localhost:$portB and table = ht")
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def thread(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() =>
+        try body catch { case e: Throwable => errors.add(e) }, name)
+      t.start(); t
+    }
+    val nextId = new java.util.concurrent.atomic.AtomicLong(1L)
+    // PUT writers on A's partitioned side
+    val writers = (0 until 2).map(w => thread(s"putA$w") {
+      for (i <- 0 until 5) {
+        val id = nextId.incrementAndGet()
+        val day = 1 + ((w * 5 + i) % 5)
+        assert(engA.ingest("sl",
+          s"""{"id": $id, "ts": "2024-01-0$day 0$i:0$w:00", """ +
+            s""""g": "g${id % 3}", "v": ${id % 7}}""") === 1L)
+        Thread.sleep(40)
+      }
+    })
+    // HA writers: distinct payloads land on EACH node; the scheduled
+    // ha sync task replicates them while everything else runs
+    val haWriters = Seq(
+      thread("putHtA") {
+        for (i <- 0 until 4) {
+          assert(engA.ingest("ht",
+            s"""{"device": "a$i", "value": $i}""") === 1L)
+          Thread.sleep(120)
+        }
+      },
+      thread("putHtB") {
+        for (i <- 0 until 4) {
+          assert(engB.ingest("ht",
+            s"""{"device": "b$i", "value": $i}""") === 1L)
+          Thread.sleep(120)
+        }
+      })
+    // kafka producer feeding the consumer->streamer chain
+    val kafkaFeeder = thread("producer") {
+      for (i <- 0 until 12) {
+        producer.produceStrings("soak",
+          Seq(s"""{"device": "k${i % 4}", "value": $i}"""))
+        Thread.sleep(60)
+      }
+    }
+    // retention chaos against the partitioned side
+    val chaos = thread("chaos") {
+      for (_ <- 0 until 3) {
+        Thread.sleep(300)
+        val parts = graft.engine.TimePartitions.partitions(spark, slPath)
+        if (parts.length > 3) {
+          val horizon = parts(1)
+          try engA.execute(s"drop partition sl before $horizon")
+          catch { case _: Exception =>
+            engA.execute("sync all where table = sl")
+            engA.execute(s"drop partition sl before $horizon")
+          }
+        }
+      }
+    }
+    (writers ++ haWriters :+ kafkaFeeder :+ chaos).foreach(_.join(300000))
+    assert(errors.isEmpty, "operational soak failures:\n" +
+      errors.toArray.map { case e: Throwable =>
+        s"${e.getClass.getName}: ${e.getMessage}" }.mkString("\n"))
+
+    // drain the kafka chain: all 12 produced messages become rows
+    val q = engA.streamerQueries("kt")
+    val deadline = System.currentTimeMillis + 30000
+    def ktRows() =
+      try catA.table("kt").count() catch { case _: Exception => 0L }
+    while (ktRows() < 12 && System.currentTimeMillis < deadline) {
+      q.processAllAvailable(); Thread.sleep(100)
+    }
+    assert(ktRows() === 12L, s"kafka chain drained ${ktRows()} of 12")
+    // stop the moving parts (exits run on the read path — they must
+    // not deadlock against in-flight folds; see StreamerExitSpec)
+    assert(engA.execute("exit kafka consumer").contains("stopped 1"))
+    assert(engA.execute("exit streamer kt").contains("stopped 1"))
+    engA.execute("exit scheduler")
+    // scheduler ran both tasks at least once, with no timeouts left
+    // behind (Success or a benign in-flight overlap is the only
+    // acceptable terminal state)
+    val sched = engA.execute("get scheduler 1")
+    assert(sched.contains("fleet") && sched.contains("ha"), sched)
+    // final reconcile + the trust loop on every standing artifact
+    val s1 = engA.execute("sync all where table = sl")
+    assert(!s1.contains("FAILED"), s1)
+    val audit = engA.execute("artifact verify where table = sl")
+    assert(audit.linesIterator.count(_.contains("VERIFIED exact")) === 2,
+      audit)
+    assert(!audit.contains("DIVERGED"), audit)
+    // HA convergence: one final round moves nothing new in either
+    // direction beyond what the scheduled task already replicated,
+    // and the ledgers agree exactly
+    engA.execute(s"run ha sync where peer = localhost:$portB " +
+      "and table = ht")
+    val hashesA = engA.tsdLedger.list(None)
+      .filter(_.table == "ht").map(_.fileHash).toSet
+    val hashesB = engB.tsdLedger.list(None)
+      .filter(_.table == "ht").map(_.fileHash).toSet
+    assert(hashesA === hashesB && hashesA.size === 8,
+      s"A=${hashesA.size} B=${hashesB.size}")
+    assert(engA.query("""sql edge "select count(*) as n from ht"""")
+      .head().getLong(0) === 8L)
+    feB.stop(); producer.close(); broker.stop()
+  }
 }
