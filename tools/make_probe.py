@@ -6,7 +6,16 @@ passed through unchanged. NO oracle runs here — timing evidence only
 (see SCALING.md); correctness stays gated on the driver's sf dirs.
 
 Usage: python3 tools/make_probe.py <srcSfDir> <outDir> [K=10] [--perturb]
-       [--tpch]
+       [--tpch] [--extend-window]
+
+--extend-window shifts each events copy by i * (corpus time span + 1
+day), so the probe's time RANGE grows Kx with the row count and
+per-time-bin density stays FLAT — the organic-growth geometry for the
+time-pair family (sessionization, interval overlap, inter-event gaps,
+per-bin rates). The default replication replays the SAME window Kx
+denser, which grows per-bin pair volume ~K^2x (lesson 31: a
+replication probe distorts density, not just volume); with this flag
+those queries read input-volume scaling instead of a density artifact.
 
 --tpch ALSO replicates orders+lineitem Kx as disjoint copies (all keys
 offset per copy) — the weak-scaling probe for the trade-graph queries
@@ -27,10 +36,12 @@ import duckdb
 
 def main():
     src, out = sys.argv[1], sys.argv[2]
-    rest = [a for a in sys.argv[3:] if a not in ("--perturb", "--tpch")]
+    flags = ("--perturb", "--tpch", "--extend-window")
+    rest = [a for a in sys.argv[3:] if a not in flags]
     k = int(rest[0]) if rest else 10
     perturb = "--perturb" in sys.argv
     tpch = "--tpch" in sys.argv
+    extend_window = "--extend-window" in sys.argv
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     # permute POSITIONS (not values): sorting the tokens themselves would
@@ -54,6 +65,14 @@ def main():
         "events": {"event_id": "event_id + i * 1000000000",
                    "user_id": "user_id + i * 1000000000"},
     }
+    if extend_window:
+        # whole-days shift per copy, one day past the corpus span, so
+        # copies occupy disjoint windows and day/hour bucket boundaries
+        # stay aligned with the original grain
+        span_days = con.sql(
+            f"SELECT CAST(date_diff('day', min(ts), max(ts)) AS INT) + 1 "
+            f"FROM read_parquet('{src}/events.parquet')").fetchone()[0]
+        reps["events"]["ts"] = f"ts + i * INTERVAL '{span_days}' DAY"
     if tpch:
         reps["orders"] = {
             "o_orderkey": "o_orderkey + i * 10000000",
