@@ -825,7 +825,50 @@ object DialectQueries {
   }
   private val q205Sql = q198Sql
 
+  /** q206 — a FOREIGN-engine table under the oracle (the §2.1
+    * PI/OLEDB connector row's honest modern seam, SURVEY: "JDBC
+    * source if ever"; `dbms/oledb_dbms.py:64-76` is a dialect tweak
+    * on a remote cursor): the nation table is loaded into a LIVE
+    * embedded Derby database over plain JDBC, `connect dbms`
+    * registers it through the Spark JDBC source, and the engine's
+    * sql dialect queries it like any table — filter pushdown and
+    * column pruning reach the remote engine (asserted in
+    * JdbcSourceSpec), and the aggregate hash-matches DuckDB over the
+    * parquet original: a row lost or retyped crossing the JDBC
+    * boundary breaks the hash. */
+  private val q206: QFn = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("q206")
+    // keep Derby's engine log out of the repo CWD (first use wins;
+    // harmless if another suite already set it)
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", root.toString)
+    val url = s"jdbc:derby:$root/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE nat (n_nationkey INT, " +
+        "n_name VARCHAR(64), n_regionkey INT)")
+      val ps = conn.prepareStatement("INSERT INTO nat VALUES (?, ?, ?)")
+      Tables.load(s, d, "nation").collect().foreach { r =>
+        ps.setInt(1, r.getInt(0)); ps.setString(2, r.getString(1))
+        ps.setInt(3, r.getInt(2)); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+    val engine = new graft.engine.Engine(s, new graft.engine.Catalog(s))
+    val reply = engine.execute(s"connect dbms nat_remote where " +
+      s"type = jdbc and url = $url and dbtable = nat")
+    require(reply.contains("connected"), reply)
+    engine.query("""sql edge "select n_regionkey, count(*) as n_nations """ +
+      """from nat_remote where n_nationkey >= 5 group by n_regionkey """ +
+      """order by n_regionkey"""")
+  }
+  private val q206Sql =
+    "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations " +
+      "FROM nation WHERE n_nationkey >= 5 GROUP BY 1 ORDER BY 1"
+
   val queries: Map[String, QFn] = Map(
+    "q206_jdbc_scan" -> q206,
     "q201_scheduled_sync" -> q201,
     "q204_ha_sync" -> q204,
     "q205_kafka_chain" -> q205,
@@ -853,6 +896,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q206_jdbc_scan" -> q206Sql,
     "q201_scheduled_sync" -> q201Sql,
     "q204_ha_sync" -> q204Sql,
     "q205_kafka_chain" -> q205Sql,

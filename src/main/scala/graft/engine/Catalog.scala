@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.StructType
 object Catalog {
   final case class TableReg(name: String, path: String, schemaJson: String,
       nanoTs: Seq[String])
+  /** A table served by a FOREIGN engine over JDBC — the honest modern
+    * seam for the reference's PI/OLEDB connector row (SURVEY §2.1:
+    * `dbms/oledb_dbms.py:64-76` is a dialect tweak on a remote
+    * cursor; the Spark-first equivalent is the built-in JDBC source,
+    * which pushes filters and column pruning to the remote and
+    * parallelizes the scan via partitionColumn/numPartitions). */
+  final case class JdbcReg(name: String, url: String, dbtable: String,
+      options: Map[String, String])
   /** View: target table + projected (sourceColumn -> viewColumn) pairs
     * (a rename/subset map, exactly the reference's view shape). */
   final case class ViewDef(name: String, table: String,
@@ -36,11 +44,12 @@ object Catalog {
 }
 
 final class Catalog(spark: SparkSession, root: Option[Path] = None) {
-  import Catalog.{TableReg, ViewDef}
+  import Catalog.{JdbcReg, TableReg, ViewDef}
 
   /** (tsCol, unit, n) for tables written via TimePartitions. */
   @volatile private var partitionMetas = Map.empty[String, (String, String, Int)]
   @volatile private var tables = Map.empty[String, TableReg]
+  @volatile private var jdbcTables = Map.empty[String, JdbcReg]
   @volatile private var views = Map.empty[String, ViewDef]
   @volatile private var policies = Map.empty[String, String] // id -> policy JSON
   /** key -> the exact `<kind> attach ...` command that re-registers
@@ -70,6 +79,23 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
 
   def partitionMeta(name: String): Option[(String, String, Int)] =
     partitionMetas.get(name)
+
+  /** Register a JDBC-served table (see [[Catalog.JdbcReg]]). `options`
+    * pass through to the Spark JDBC source verbatim — driver, user,
+    * password, fetchsize, and the parallel-scan triple
+    * partitionColumn/lowerBound/upperBound + numPartitions (without
+    * which a JDBC scan is ONE task; at scale always set them). */
+  def registerJdbcTable(name: String, url: String, dbtable: String,
+      options: Map[String, String] = Map.empty): Unit = synchronized {
+    jdbcTables += name -> JdbcReg(name, url, dbtable, options)
+    persist(s"jdbc_$name.json",
+      s"""{"jdbc": {"name": ${q(name)}, "url": ${q(url)}, """ +
+        s""""dbtable": ${q(dbtable)}, "options": {${options.toSeq.sorted
+          .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+          .mkString(", ")}}}}""")
+  }
+
+  def jdbcMeta(name: String): Option[JdbcReg] = jdbcTables.get(name)
 
   def createView(name: String, table: String,
       columns: Seq[(String, String)]): Unit = synchronized {
@@ -136,6 +162,12 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
                 case other => throw new IllegalArgumentException(
                   s"bad view column pair $other")
               })
+          } else if (fn.startsWith("jdbc_") && fn.endsWith(".json")) {
+            val j = JsonMethods.parse(body) \ "jdbc"
+            registerJdbcTable((j \ "name").extract[String],
+              (j \ "url").extract[String],
+              (j \ "dbtable").extract[String],
+              (j \ "options").extract[Map[String, String]])
           } else if (fn.startsWith("policy_") && fn.endsWith(".json")) {
             policies += fn.stripPrefix("policy_")
               .stripSuffix(".json") -> body
@@ -162,10 +194,17 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
         table(v.table).select(v.columns.map { case (src, dst) =>
           col(src).as(dst)
         }: _*)
-      case None =>
-        val reg = tables.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown table $name"))
-        Tables.loadPath(spark, reg.path, reg.nanoTs)
+      case None => jdbcTables.get(name) match {
+        case Some(j) =>
+          val r = spark.read.format("jdbc")
+            .option("url", j.url).option("dbtable", j.dbtable)
+          j.options.foreach { case (k, v) => r.option(k, v) }
+          r.load()
+        case None =>
+          val reg = tables.getOrElse(name,
+            throw new IllegalArgumentException(s"unknown table $name"))
+          Tables.loadPath(spark, reg.path, reg.nanoTs)
+      }
     }
 
   /** Storage path of a registered (non-view) table — the append target
@@ -178,7 +217,8 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
       org.apache.spark.sql.types.DataType.fromJson(r.schemaJson)
         .asInstanceOf[StructType])
 
-  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+  def tableNames: Seq[String] =
+    (tables.keys ++ jdbcTables.keys).toSeq.sorted
   def viewNames: Seq[String] = views.keys.toSeq.sorted
 
   private def q(s: String) = "\"" + s.replace("\\", "\\\\")

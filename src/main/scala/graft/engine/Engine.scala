@@ -652,7 +652,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val familyVerb = ("^(rollup|vindex|tindex|sindex|matview|" +
       "join matview|dedup index|monitor|index) " +
       "(create|sync|refresh|delete|attach|drop|retention|fold)").r
-    low.startsWith("create view ") || low.startsWith("partition ") ||
+    low.startsWith("create view ") || low.startsWith("connect dbms") ||
+      low.startsWith("partition ") ||
       low.startsWith("drop partition ") ||
       low.startsWith("pipeline clean") || low.startsWith("sync all") ||
       low.startsWith("layout ") || low.startsWith("set ") ||
@@ -1147,6 +1148,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }.mkString("\n")
     }
     else if (low.startsWith("dedup index delete")) dedupIndexDelete(t)
+    else if (low.startsWith("connect dbms")) connectDbms(t)
     else if (low.startsWith("run msg client")) runMsgClient(t)
     else if (low.startsWith("exit msg client")) exitMsgClient()
     else if (low.startsWith("run scheduler")) {
@@ -2478,6 +2480,56 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     victims.foreach { h => h.stop.set(true); h.thread.interrupt() }
     victims.foreach(_.thread.join(2000))
     s"stopped ${victims.size} kafka consumer(s)"
+  }
+
+  /** `connect dbms <name> where type = jdbc and url = <jdbc-url> and
+    * dbtable = <remote table> [and driver = <class>] [and user = ..]
+    * [and password = ..] [and fetchsize = n] [and partition_column =
+    * <col> and lower_bound = <n> and upper_bound = <n> and
+    * num_partitions = <n>]` — register a table served by a FOREIGN
+    * engine (the reference's `connect dbms` for its PI/OLEDB
+    * connectors, `dbms/oledb_dbms.py:64-76` — there a dialect tweak
+    * on a remote cursor; here the built-in Spark JDBC source, which
+    * pushes filters + column pruning to the remote and, with the
+    * partition quadruple, issues numPartitions parallel range-bounded
+    * cursors — the 100 TB form of a foreign scan). The registered
+    * name then behaves like any table: `sql edge "select ... from
+    * <name> ..."`, joins, matview sources. */
+  private def connectDbms(t: String): String = {
+    def kv(k: String): Option[String] =
+      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(t).map(_.group(1))
+    val name = "(?i)^connect dbms\\s+(\\S+)".r.findFirstMatchIn(t.trim)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        "connect dbms <name> where type = jdbc and url = ..."))
+    val tpe = kv("type").map(_.toLowerCase).getOrElse("jdbc")
+    require(tpe == "jdbc",
+      s"connect dbms: only type = jdbc is supported here (got $tpe); " +
+        "parquet-backed tables register through the data-dir/PUT path")
+    val url = kv("url").getOrElse(throw new IllegalArgumentException(
+      "connect dbms requires url ="))
+    val dbtable = kv("dbtable").getOrElse(
+      throw new IllegalArgumentException("connect dbms requires dbtable ="))
+    // option pass-through, command-style keys -> Spark JDBC keys
+    val optKeys = Seq(
+      "driver" -> "driver", "user" -> "user", "password" -> "password",
+      "fetchsize" -> "fetchsize",
+      "partition_column" -> "partitionColumn",
+      "lower_bound" -> "lowerBound", "upper_bound" -> "upperBound",
+      "num_partitions" -> "numPartitions")
+    val opts = optKeys.flatMap { case (cmdKey, sparkKey) =>
+      kv(cmdKey).map(sparkKey -> _) }.toMap
+    val partKeys = Seq("partitionColumn", "lowerBound", "upperBound",
+      "numPartitions").count(opts.contains)
+    require(partKeys == 0 || partKeys == 4,
+      "connect dbms: partition_column, lower_bound, upper_bound and " +
+        "num_partitions must be given together")
+    catalog.registerJdbcTable(name, url, dbtable, opts)
+    // connectivity + schema probe now, not at first query
+    val n = catalog.table(name).schema.fields.length
+    s"dbms $name connected: jdbc $dbtable ($n columns" +
+      (if (partKeys == 4) s", ${opts("numPartitions")} parallel cursors"
+       else ", single cursor — set partition_column/num_partitions " +
+         "for a parallel scan") + ")"
   }
 
   /** Live watch-dir streamers by table (`run streamer` /
