@@ -523,7 +523,17 @@ object Plans {
           "parquet never read, q100's shape); the scheduler itself " +
           "is control plane only — each wake issues one `rollup " +
           "sync`, which folds exactly the rows above the watermark, " +
-          "so maintenance cost tracks delta size, not corpus size"))
+          "so maintenance cost tracks delta size, not corpus size"),
+      "q206_jdbc_scan" ->
+        ("foreign-engine scan over the built-in JDBC source: the " +
+          "plan is JDBCRelation scan -> two-phase hash aggregate; " +
+          "the WHERE filter and the 2-column projection appear as " +
+          "PushedFilters/ReadSchema ON THE JDBC SCAN — they execute " +
+          "inside the remote engine, so only matching rows of the " +
+          "referenced columns ever cross the wire; at scale the " +
+          "partition_column/num_partitions quadruple turns the scan " +
+          "into N parallel range-bounded remote cursors " +
+          "(JdbcSourceSpec asserts 4)"))
     val sb = new StringBuilder
     sb.append("# PLANS — formatted Catalyst plans of headline queries\n\n")
     sb.append("Generated by `graft.Plans` at sf0.001 (plan shape is scale-\n")
