@@ -524,6 +524,14 @@ object Plans {
           "is control plane only — each wake issues one `rollup " +
           "sync`, which folds exactly the rows above the watermark, " +
           "so maintenance cost tracks delta size, not corpus size"),
+      "q207_repetition_signals" ->
+        ("Gopher repetition signals: per n-gram width, ONE explode of " +
+          "the native token-spans kernel then two hash aggregates " +
+          "keyed by doc (partial/final combine) — no window, no " +
+          "corpus-global state, joins never wider than one doc's " +
+          "grams; the left-join back to the doc list is on the doc " +
+          "key, so the whole pass is linear and embarrassingly " +
+          "parallel at any corpus size"),
       "q206_jdbc_scan" ->
         ("foreign-engine scan over the built-in JDBC source: the " +
           "plan is JDBCRelation scan -> two-phase hash aggregate; " +

@@ -2389,12 +2389,19 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val client = new graft.streaming.KafkaNativeClient(host, port)
     // connectivity + auto-create probe; enumerate EVERY partition the
     // Metadata response reports (not just partition 0) and seed each
-    // partition's starting offset independently
-    val parts: Seq[(String, Int)] = topics.flatMap { tp =>
-      (0 until client.partitions(tp)).map(p => tp -> p) }
-    val offsets = scala.collection.mutable.Map(parts.map { case (tp, p) =>
-      (tp, p) -> client.listOffset(tp, earliest, p)
+    // partition's starting offset independently. Partition counts are
+    // RE-PROBED periodically in the loop: a repartitioned topic's new
+    // partitions are picked up live (seeded from earliest — everything
+    // in a NEW partition is data this consumer has never seen,
+    // whatever the initial reset policy was).
+    val partCount = scala.collection.mutable.Map(
+      topics.map(tp => tp -> client.partitions(tp)): _*)
+    val offsets = scala.collection.mutable.Map(topics.flatMap { tp =>
+      (0 until partCount(tp)).map(p =>
+        (tp, p) -> client.listOffset(tp, earliest, p))
     }: _*)
+    // high-water marks from the last fetch, for the board's lag figure
+    val hws = scala.collection.mutable.Map.empty[(String, Int), Long]
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val n = new java.util.concurrent.atomic.AtomicInteger
     val epoch = java.lang.Long.toHexString(System.nanoTime())
@@ -2402,13 +2409,35 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       client, stop)
     val errStreak = new java.util.concurrent.atomic.AtomicInteger
     val th = new Thread(() => {
+      var rounds = 0L
       while (!stop.get()) {
         var drained = true
+        // partition re-probe every ~50 rounds (one Metadata exchange
+        // per topic — control-plane cheap at any poll interval)
+        if (rounds % 50 == 49) topics.foreach { tp =>
+          try {
+            val now = client.partitions(tp)
+            val known = partCount(tp)
+            if (now > known) {
+              (known until now).foreach { p =>
+                offsets((tp, p)) = client.listOffset(tp, earliest = true, p)
+              }
+              partCount(tp) = now
+              logRing(eventLog, (System.currentTimeMillis,
+                s"kafka consumer $tp: discovered partitions " +
+                  s"$known..${now - 1}"))
+            }
+          } catch { case _: Exception => () } // next probe retries
+        }
+        rounds += 1
+        val parts = topics.flatMap(tp =>
+          (0 until partCount(tp)).map(p => tp -> p))
         parts.foreach { case (tp, p) =>
           try {
-            val (msgs, _) = client.fetch(tp, offsets((tp, p)),
+            val (msgs, hw) = client.fetch(tp, offsets((tp, p)),
               partition = p)
-            errStreak.set(0); handle.health.set("")
+            hws((tp, p)) = hw
+            errStreak.set(0)
             if (msgs.nonEmpty) {
               // one NDJSON landing per FETCH batch (the reference's
               // consumer also lands poll batches, not single records,
@@ -2423,6 +2452,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               offsets((tp, p)) = msgs.last._1 + 1
               drained = false
             }
+            // health doubles as the board's lag figure: messages the
+            // broker holds that this consumer has not landed yet
+            val lag = offsets.iterator.map { case (k, o) =>
+              math.max(hws.getOrElse(k, o) - o, 0L) }.sum
+            handle.health.set(if (lag > 0) s"lag $lag" else "")
           } catch {
             case graft.streaming.KafkaOffsetOutOfRange(_, _, _) =>
               // broker retention truncated past our offset: re-seed

@@ -176,6 +176,15 @@ object CleanPipeline {
     * filter. Docs with no bigram evidence (< 2 tokens) pass. */
   final case class LmQualityMax(maxScoreQ: Long) extends Stage
 
+  /** Drop repetitious docs (the Gopher rules, Rae et al. 2021 A1.1,
+    * as a stage over [[Curation.repetitionSignals]]): duplicate-2-gram
+    * and/or top-3-gram occurrence fractions above the given ppm
+    * ceilings (pass Long.MaxValue / omit in JSON to leave one
+    * unconstrained). Docs too short to have n-grams read 0 ppm and
+    * pass. */
+  final case class RepetitionMax(maxDup2Ppm: Long, maxTop3Ppm: Long)
+      extends Stage
+
   /** Cap every semantic cluster's contribution at `quota` docs
     * (`Curation.clusterBalance` over SemDeDup-style nearest-centroid
     * cells on `vecCol`) — diversity balancing instead of near-dup
@@ -282,6 +291,11 @@ object CleanPipeline {
             (st \ "budget_bp").extractOpt[Int].getOrElse(6000))
           case "lm_quality_max" => LmQualityMax(
             (st \ "max_score_q").extract[Long])
+          case "repetition_max" => RepetitionMax(
+            (st \ "max_dup2_ppm").extractOpt[Long]
+              .getOrElse(Long.MaxValue),
+            (st \ "max_top3_ppm").extractOpt[Long]
+              .getOrElse(Long.MaxValue))
           case "length_pct_gate" => LengthPctGate(
             (st \ "index").extract[String], (st \ "pct").extract[Int],
             (st \ "source").extract[String])
@@ -495,6 +509,12 @@ object CleanPipeline {
         case LmQualityMax(maxScoreQ) =>
           val bad = Curation.lmScores(cur, txt, id)
             .filter(col("score_q") > maxScoreQ)
+            .select(col(id))
+          cur.join(bad, Seq(id), "left_anti")
+        case RepetitionMax(maxDup2, maxTop3) =>
+          val bad = Curation.repetitionSignals(cur, txt, id)
+            .filter(col("dup2_ppm") > maxDup2 ||
+              col("top3_ppm") > maxTop3)
             .select(col(id))
           cur.join(bad, Seq(id), "left_anti")
         case ClusterBalanceStage(vecCol, ncells, quota) =>

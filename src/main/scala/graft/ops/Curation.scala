@@ -702,4 +702,48 @@ object Curation {
       .agg(count(lit(1)).as("n_tri"),
         expr("sum(lp) div count(1)").as("score_q"))
   }
+
+  /** Gopher-style per-doc REPETITION signals (Rae et al. 2021,
+    * arXiv:2112.11446 Appendix A1.1 — the "repetitious text" family
+    * every pretraining pipeline filters on): for n-gram widths 2 and
+    * 3, the fraction of n-gram OCCURRENCES belonging to the single
+    * most frequent n-gram (top-n-gram fraction) and to any n-gram
+    * that repeats within the doc (duplicate-n-gram fraction).
+    *
+    * All-integer outputs — ppm on the occurrence lattice, BIGINT
+    * end-to-end — so the DuckDB differential oracle hash-matches
+    * without float drift (the q154 representation rule). Docs shorter
+    * than n tokens read 0 ppm (no occurrences to be repetitious in).
+    *
+    * Scale shape: per width, ONE explode of the native token-spans
+    * kernel and two hash aggregates keyed by doc — partial/final
+    * combine, no window, no join wider than (doc, distinct n-grams
+    * of that doc). State per doc is bounded by doc length; nothing
+    * is corpus-global, so the pass is embarrassingly parallel at any
+    * corpus size. */
+  def repetitionSignals(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    def forN(n: Int): DataFrame =
+      docs.select(col(idCol).as("id"),
+          explode(graft.functions.F.tokenSpans(col(textCol), n)).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id")).agg(
+          sum(col("c")).as("tot"),
+          max(col("c")).as("top"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+        .select(col("id"),
+          expr("top * CAST(1000000 AS BIGINT) div tot")
+            .as(s"top${n}_ppm"),
+          expr("dup * CAST(1000000 AS BIGINT) div tot")
+            .as(s"dup${n}_ppm"))
+    val base = docs.select(col(idCol).as("id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tok"))
+    base.join(forN(2), Seq("id"), "left")
+      .join(forN(3), Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tok"),
+        coalesce(col("top2_ppm"), lit(0L)).as("top2_ppm"),
+        coalesce(col("dup2_ppm"), lit(0L)).as("dup2_ppm"),
+        coalesce(col("top3_ppm"), lit(0L)).as("top3_ppm"),
+        coalesce(col("dup3_ppm"), lit(0L)).as("dup3_ppm"))
+  }
 }

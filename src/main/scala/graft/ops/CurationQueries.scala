@@ -563,7 +563,47 @@ ORDER BY pmi_q DESC, p.w1, p.w2 LIMIT 30"""
       OR (prev_cum < budget AND run_tok <= budget - prev_cum)
     ORDER BY doc_id"""
 
+  // q207 — Gopher repetition signals (Rae et al. 2021 A1.1): per-doc
+  // top/duplicate n-gram occurrence fractions for n = 2 and 3, on the
+  // integer ppm lattice. The filters every pretraining mix applies to
+  // shed machine-generated/boilerplate repetition, as a signals table
+  // a pipeline can threshold on (see the repetition_max stage).
+  // =====================================================================
+
+  private val q207: QFn = (s, d) =>
+    Curation.repetitionSignals(wide(s, d, "documents", "doc_id"),
+      "text", "doc_id").orderBy(col("doc_id"))
+
+  private val q207Sql = s"""
+WITH toks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+g2 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2
+      THEN CAST([] AS VARCHAR[])
+      ELSE list_transform(range(len(tk)-1),
+        i -> array_to_string(tk[i+1:i+2], ' ')) END) AS g
+  FROM toks),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (SELECT doc_id, sum(c) AS tot, max(c) AS top,
+    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+  FROM c2 GROUP BY 1),
+g3 AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 3
+      THEN CAST([] AS VARCHAR[])
+      ELSE list_transform(range(len(tk)-2),
+        i -> array_to_string(tk[i+1:i+3], ' ')) END) AS g
+  FROM toks),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+a3 AS (SELECT doc_id, sum(c) AS tot, max(c) AS top,
+    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+  FROM c3 GROUP BY 1)
+SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tok,
+  CAST(coalesce(a2.top * 1000000 // a2.tot, 0) AS BIGINT) AS top2_ppm,
+  CAST(coalesce(a2.dup * 1000000 // a2.tot, 0) AS BIGINT) AS dup2_ppm,
+  CAST(coalesce(a3.top * 1000000 // a3.tot, 0) AS BIGINT) AS top3_ppm,
+  CAST(coalesce(a3.dup * 1000000 // a3.tot, 0) AS BIGINT) AS dup3_ppm
+FROM toks t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+ORDER BY doc_id"""
+
   val queries: Map[String, QFn] = Map(
+    "q207_repetition_signals" -> q207,
     "q159_budget_select" -> q159,
     "q104_dsir_select" -> q104,
     "q105_bpe_merges" -> q105,
@@ -578,6 +618,7 @@ ORDER BY pmi_q DESC, p.w1, p.w2 LIMIT 30"""
     "q147_pmi_pairs" -> q147)
 
   val oracles: Map[String, String] = Map(
+    "q207_repetition_signals" -> q207Sql,
     "q159_budget_select" -> q159Sql,
     "q104_dsir_select" -> q104Sql,
     "q105_bpe_merges" -> q105Sql,

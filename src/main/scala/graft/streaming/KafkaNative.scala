@@ -194,6 +194,20 @@ final class KafkaMiniBroker(port: Int = 0) {
       topics(topic) = Array.fill(partitions)(new PartLog)
     }
 
+  /** Repartition hook: grow an existing topic's partition count (new
+    * partitions start empty at offset 0) — what kafka-topics --alter
+    * does broker-side; a live consumer must DISCOVER the new
+    * partitions from Metadata, which the engine's poll loop re-probes
+    * periodically. */
+  def addPartitions(topic: String, newCount: Int): Unit =
+    topics.synchronized {
+      val cur = topics.getOrElse(topic,
+        throw new IllegalArgumentException(s"unknown topic $topic"))
+      require(newCount > cur.length,
+        s"$topic already has ${cur.length} partition(s)")
+      topics(topic) = cur ++ Array.fill(newCount - cur.length)(new PartLog)
+    }
+
   /** Retention test hook: drop every message below `upTo` and advance
     * the partition's log-start offset — what a real broker's segment
     * deletion does. */

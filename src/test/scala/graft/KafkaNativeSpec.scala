@@ -206,6 +206,45 @@ class KafkaNativeSpec extends SparkSpec {
     } finally { producer.close(); broker.stop() }
   }
 
+  test("run kafka consumer discovers partitions ADDED while it runs " +
+      "(periodic metadata re-probe) and consumes them from earliest") {
+    import graft.engine.{Catalog, Engine}
+    val broker = new KafkaMiniBroker()
+    broker.createTopic("grow", 1)
+    val port = broker.start()
+    val producer = new KafkaNativeClient("localhost", port)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("kafkagrow")
+      val engine = new Engine(spark, new Catalog(spark))
+      engine.execute(s"run kafka consumer where ip = localhost " +
+        s"and port = $port and topic = grow and dir = $dir " +
+        "and reset = earliest and poll = 10")
+      producer.produceStrings("grow", Seq("""{"p": "zero"}"""))
+      def lines() =
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .flatMap(f => java.nio.file.Files.readString(f.toPath)
+            .linesIterator.toSeq)
+      var deadline = System.currentTimeMillis + 10000
+      while (lines().isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(lines().size === 1)
+      // the topic grows under the live consumer — kafka-topics --alter
+      broker.addPartitions("grow", 3)
+      producer.produce("grow", Seq((null, """{"p": "one"}""".getBytes)),
+        partition = 1)
+      producer.produce("grow", Seq((null, """{"p": "two"}""".getBytes)),
+        partition = 2)
+      // ~50 poll rounds at 10 ms until the next metadata re-probe
+      deadline = System.currentTimeMillis + 20000
+      while (lines().size < 3 && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(lines().toSet === Set("""{"p": "zero"}""",
+        """{"p": "one"}""", """{"p": "two"}"""),
+        s"discovered-partition messages missing: ${lines()}")
+      engine.execute("exit kafka consumer")
+    } finally { producer.close(); broker.stop() }
+  }
+
   test("run kafka consumer recovers from broker retention: offset " +
       "out of range re-seeds to the surviving log start instead of " +
       "spinning forever") {

@@ -1591,6 +1591,50 @@ class PipelineStagesSpec extends SparkSpec {
 /** The curation family (DSIR / domain mixture / bigram-LM quality) as
   * CleanPipeline stages — each must reproduce its library operator's
   * decision exactly from the JSON spec. */
+/** Gopher repetition signals (Rae et al. 2021 A1.1) + the
+  * repetition_max stage: hand-computed lattice values, short-doc
+  * passthrough, and the drop decision. */
+class RepetitionSignalsSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val docs = Seq(
+    (1L, "a b a b a b"), // 2-grams: "a b"x3, "b a"x2; 3-grams: 2+2
+    (2L, "x y z w"),     // all n-grams distinct
+    (3L, "q")            // too short for any n-gram
+  ).toDF("doc_id", "text")
+
+  test("per-doc ppm signals match hand computation; short docs read 0") {
+    val got = graft.ops.Curation
+      .repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      // doc 1: tot2=5 top2=3 dup2=5; tot3=4 top3=2 dup3=4
+      (1L, 6L, 600000L, 1000000L, 500000L, 1000000L),
+      // doc 2: tot2=3 top2=1 dup2=0; tot3=2 top3=1 dup3=0
+      (2L, 4L, 333333L, 0L, 500000L, 0L),
+      (3L, 1L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("repetition_max stage drops exactly the docs over the ceilings") {
+    def runJson(j: String) = graft.ops.CleanPipeline.run(j, docs)
+    val kept = runJson("""{"pipeline": {"id": "doc_id", "stages": [
+        {"op": "repetition_max", "max_dup2_ppm": 900000}]}}""")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+    // top3 ceiling alone: both gram-bearing docs sit at 500000 — a
+    // 600000 ceiling drops nothing
+    assert(runJson("""{"pipeline": {"id": "doc_id", "stages": [
+        {"op": "repetition_max", "max_top3_ppm": 600000}]}}""")
+      .count() === 3L)
+    // and a 400000 ceiling drops both gram-bearing docs
+    assert(runJson("""{"pipeline": {"id": "doc_id", "stages": [
+        {"op": "repetition_max", "max_top3_ppm": 400000}]}}""")
+      .select("doc_id").as[Long].collect().toSet === Set(3L))
+  }
+}
+
 class CurationStagesSpec extends SparkSpec {
   import spark.implicits._
   import graft.engine.Tables
