@@ -2530,8 +2530,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * name then behaves like any table: `sql edge "select ... from
     * <name> ..."`, joins, matview sources. */
   private def connectDbms(t: String): String = {
+    val url = "(?i)\\burl\\s*=\\s*(\\S+)".r.findFirstMatchIn(t)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        "connect dbms requires url ="))
+    // a JDBC URL's own query string can carry key=value pairs
+    // (?user=x&password=y) — mask it before parsing command options,
+    // or those pairs would be misread as command-level options
+    val masked = t.replace(url, "<url>")
     def kv(k: String): Option[String] =
-      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(t).map(_.group(1))
+      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(masked)
+        .map(_.group(1))
     val name = "(?i)^connect dbms\\s+(\\S+)".r.findFirstMatchIn(t.trim)
       .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
         "connect dbms <name> where type = jdbc and url = ..."))
@@ -2539,8 +2547,6 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     require(tpe == "jdbc",
       s"connect dbms: only type = jdbc is supported here (got $tpe); " +
         "parquet-backed tables register through the data-dir/PUT path")
-    val url = kv("url").getOrElse(throw new IllegalArgumentException(
-      "connect dbms requires url ="))
     val dbtable = kv("dbtable").getOrElse(
       throw new IllegalArgumentException("connect dbms requires dbtable ="))
     // option pass-through, command-style keys -> Spark JDBC keys

@@ -70,6 +70,23 @@ class JdbcSourceSpec extends SparkSpec {
         "dbtable = m and partition_column = k"))
   }
 
+  test("key=value pairs inside the JDBC url are not misread as " +
+      "command options") {
+    val (url0, _) = derby(5)
+    // credentials carried IN the url (the usual managed-DB shape):
+    // the command parser must mask the url before option parsing, or
+    // `user=app` below would leak into the pass-through options
+    val url = url0 + ";user=app;password=secret"
+    val engine = new Engine(spark, new Catalog(spark))
+    engine.execute(s"connect dbms remu where type = jdbc and " +
+      s"url = $url and dbtable = m")
+    val reg = engine.catalog.jdbcMeta("remu").get
+    assert(reg.url === url)
+    assert(!reg.options.contains("user") &&
+      !reg.options.contains("password"), reg.options.toString)
+    assert(engine.catalog.table("remu").count() === 5L)
+  }
+
   test("a jdbc registration survives an engine restart (catalog reload)") {
     val (url, _) = derby(10)
     val meta = java.nio.file.Files.createTempDirectory("jdbcmeta")
