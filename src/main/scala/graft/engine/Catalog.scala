@@ -62,6 +62,9 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   def registerTable(name: String, path: String,
       schema: Option[StructType] = None,
       nanoTs: Seq[String] = Nil): Unit = synchronized {
+    require(!jdbcTables.contains(name),
+      s"$name is already a registered JDBC table — the JDBC " +
+        "registration would shadow this parquet one")
     val sch = schema.getOrElse(Tables.loadPath(spark, path, nanoTs).schema)
     tables += name -> TableReg(name, path, sch.json, nanoTs)
     persist(s"table_$name.json",
@@ -84,13 +87,25 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     * pass through to the Spark JDBC source verbatim — driver, user,
     * password, fetchsize, and the parallel-scan triple
     * partitionColumn/lowerBound/upperBound + numPartitions (without
-    * which a JDBC scan is ONE task; at scale always set them). */
+    * which a JDBC scan is ONE task; at scale always set them).
+    *
+    * The name must not collide with a registered parquet table or
+    * view — a JDBC registration resolving ahead of same-named local
+    * data would silently shadow it. A `password` option is kept
+    * IN-MEMORY ONLY: the persisted jdbc_<name>.json never carries it
+    * (plaintext credentials must not land in the metadata root), so
+    * after a restart the connection re-authenticates from the url or
+    * an external secret, or `connect dbms` is re-issued. */
   def registerJdbcTable(name: String, url: String, dbtable: String,
       options: Map[String, String] = Map.empty): Unit = synchronized {
+    require(!tables.contains(name) && !views.contains(name),
+      s"$name is already a registered table/view — a JDBC " +
+        "registration would shadow it")
     jdbcTables += name -> JdbcReg(name, url, dbtable, options)
+    val persisted = options - "password"
     persist(s"jdbc_$name.json",
       s"""{"jdbc": {"name": ${q(name)}, "url": ${q(url)}, """ +
-        s""""dbtable": ${q(dbtable)}, "options": {${options.toSeq.sorted
+        s""""dbtable": ${q(dbtable)}, "options": {${persisted.toSeq.sorted
           .map { case (k, v) => s"${q(k)}: ${q(v)}" }
           .mkString(", ")}}}}""")
   }
@@ -218,11 +233,12 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
         .asInstanceOf[StructType])
 
   def tableNames: Seq[String] =
-    (tables.keys ++ jdbcTables.keys).toSeq.sorted
+    (tables.keys ++ jdbcTables.keys).toSeq.distinct.sorted
   def viewNames: Seq[String] = views.keys.toSeq.sorted
 
-  private def q(s: String) = "\"" + s.replace("\\", "\\\\")
-    .replace("\"", "\\\"") + "\""
+  // full JSON escaping (control chars included) — the shared helper,
+  // so a persisted name/path with a newline can't corrupt its record
+  private def q(s: String) = Render.jsonStr(s)
 
   private def sanitize(s: String) =
     s.replaceAll("[^A-Za-z0-9._-]", "_")

@@ -683,25 +683,34 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       low.startsWith("run ha sync") || low.startsWith("delete archive") ||
       low.startsWith("run streamer") ||
       low.startsWith("run kafka consumer") ||
-      // `exit streamer` / `exit kafka consumer` are deliberately NOT
-      // here: both only touch internally-synchronized registries, and
-      // `exit streamer` calls StreamingQuery.stop(), which JOINS the
-      // micro-batch thread. That thread's foreachBatch folds standing
-      // views under [[writeLock]] — stopping from inside the write
-      // lock while a batch is in flight deadlocks permanently (batch
-      // waits on the monitor, stop() waits on the batch). On the read
-      // side the batch only ever needs [[writeLock]] (never the
-      // retention gate — foldStandingViews is called directly, not
-      // through execute()), so the exit command holding the gate's
-      // read lock cannot cycle with it. Regression: StreamerExitSpec.
       familyVerb.findFirstIn(low).isDefined
   }
+
+  /** Commands that must hold NEITHER the write lock NOR the retention
+    * read gate: `exit streamer` / `exit kafka consumer` only touch
+    * internally-synchronized registries, and both JOIN worker threads.
+    * `exit streamer` (StreamingQuery.stop()) waits on a micro-batch
+    * whose fold needs [[writeLock]] — so it cannot run as mutating
+    * (2-party deadlock: stop() waits the batch, the batch waits the
+    * monitor we hold). It also cannot run READ-GATED: with FAIR mode,
+    * a retention writer (`drop partition` holds writeLock, then wants
+    * the gate's write side) bridges a 3-way cycle — exit holds gate
+    * read and waits the batch, the batch waits writeLock held by the
+    * retention command, the retention command waits the gate write
+    * side blocked behind exit's read hold. Unguarded execution
+    * touches no files and no foldable state, so neither lock is
+    * needed. Regressions: StreamerExitSpec (both shapes). */
+  private def isUnguarded(low: String): Boolean =
+    low.startsWith("exit streamer") ||
+      low.startsWith("exit kafka consumer")
 
   def execute(command: String): String = {
     val entry = (System.currentTimeMillis, command.trim)
     logRing(eventLog, entry)
     try {
-      if (isMutating(command.trim.toLowerCase))
+      val low = command.trim.toLowerCase
+      if (isUnguarded(low)) executeImpl(command, entry)
+      else if (isMutating(low))
         writeLock.synchronized(executeImpl(command, entry))
       else readGated(executeImpl(command, entry))
     }
@@ -2316,15 +2325,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // user-supplied strings (topic names, watch-dir paths) reach the
     // details cell — escape them or a quote/backslash yields invalid
     // JSON output
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = Render.jsonStr(s)
     if (json)
       rows.map { case (n, st, d) =>
         val detail = if (d.isEmpty) "" else s""", "Details": ${jstr(d)}"""
@@ -2407,7 +2408,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val epoch = java.lang.Long.toHexString(System.nanoTime())
     val handle = new KafkaConsumerHandle(topics.mkString(", "),
       client, stop)
-    val errStreak = new java.util.concurrent.atomic.AtomicInteger
+    // consecutive-failure streaks PER (topic, partition) — a healthy
+    // partition's success must not erase the degraded status of a
+    // persistently failing sibling (poll-thread-private)
+    val errStreaks =
+      scala.collection.mutable.Map.empty[(String, Int), Int]
     val th = new Thread(() => {
       var rounds = 0L
       while (!stop.get()) {
@@ -2437,7 +2442,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             val (msgs, hw) = client.fetch(tp, offsets((tp, p)),
               partition = p)
             hws((tp, p)) = hw
-            errStreak.set(0)
+            errStreaks.remove((tp, p))
             if (msgs.nonEmpty) {
               // one NDJSON landing per FETCH batch (the reference's
               // consumer also lands poll batches, not single records,
@@ -2452,11 +2457,6 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               offsets((tp, p)) = msgs.last._1 + 1
               drained = false
             }
-            // health doubles as the board's lag figure: messages the
-            // broker holds that this consumer has not landed yet
-            val lag = offsets.iterator.map { case (k, o) =>
-              math.max(hws.getOrElse(k, o) - o, 0L) }.sum
-            handle.health.set(if (lag > 0) s"lag $lag" else "")
           } catch {
             case graft.streaming.KafkaOffsetOutOfRange(_, _, _) =>
               // broker retention truncated past our offset: re-seed
@@ -2475,15 +2475,27 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
                   s"kafka consumer $tp/$p reseed",
                   Option(e.getMessage).getOrElse(""))) }
             case e: Exception =>
-              val k = errStreak.incrementAndGet()
-              handle.health.set(s"degraded: $k consecutive poll " +
-                s"failure(s), last: " +
-                Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+              errStreaks((tp, p)) = errStreaks.getOrElse((tp, p), 0) + 1
               logRing(errorLog, (System.currentTimeMillis,
                 s"kafka consumer $tp/$p",
                 Option(e.getMessage).getOrElse("")))
           }
         }
+        // board health, recomputed once per round from ALL partitions:
+        // degraded streaks first (one healthy partition cannot erase a
+        // failing sibling's status), then the consumer-lag figure
+        // (messages the broker holds that this consumer hasn't landed)
+        val lag = offsets.iterator.map { case (k, o) =>
+          math.max(hws.getOrElse(k, o) - o, 0L) }.sum
+        val degraded = errStreaks.toSeq.sortBy(_._1)
+        handle.health.set(
+          if (degraded.nonEmpty) {
+            val ((dt, dp), k) = degraded.head
+            s"degraded: $dt/$dp x$k" +
+              (if (degraded.size > 1) s" (+${degraded.size - 1} more)"
+               else "") +
+              (if (lag > 0) s"; lag $lag" else "")
+          } else if (lag > 0) s"lag $lag" else "")
         if (drained && !stop.get())
           try Thread.sleep(pollMs)
           catch { case _: InterruptedException => stop.set(true) }
@@ -2537,9 +2549,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // (?user=x&password=y) — mask it before parsing command options,
     // or those pairs would be misread as command-level options
     val masked = t.replace(url, "<url>")
+    // quoted values first (a password may contain spaces), bare last
     def kv(k: String): Option[String] =
-      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(masked)
-        .map(_.group(1))
+      (s"(?i)\\b$k\\s*=\\s*" + "\"([^\"]+)\"").r
+        .findFirstMatchIn(masked).map(_.group(1))
+        .orElse((s"(?i)\\b$k\\s*=\\s*'([^']+)'").r
+          .findFirstMatchIn(masked).map(_.group(1)))
+        .orElse((s"(?i)\\b$k\\s*=\\s*(\\S+)").r
+          .findFirstMatchIn(masked).map(_.group(1)))
     val name = "(?i)^connect dbms\\s+(\\S+)".r.findFirstMatchIn(t.trim)
       .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
         "connect dbms <name> where type = jdbc and url = ..."))
@@ -2667,10 +2684,13 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * same way, dbms/ha.py:19-35). */
   private def tsdExport(): String =
     tsdLedger.list(None).map { e =>
-      s"""{"file_id": ${e.fileId}, "dbms": "${e.dbms}", """ +
-        s""""table_name": "${e.table}", "source": "${e.source}", """ +
-        s""""file_hash": "${e.fileHash}", """ +
-        s""""instructions": "${e.instructions}", """ +
+      // dbms/table/source/instructions are caller-supplied strings —
+      // escaped, or one quote breaks the peer's NDJSON parse
+      s"""{"file_id": ${e.fileId}, "dbms": ${Render.jsonStr(e.dbms)}, """ +
+        s""""table_name": ${Render.jsonStr(e.table)}, """ +
+        s""""source": ${Render.jsonStr(e.source)}, """ +
+        s""""file_hash": ${Render.jsonStr(e.fileHash)}, """ +
+        s""""instructions": ${Render.jsonStr(e.instructions)}, """ +
         s""""file_time": ${e.fileTime.getTime}, "rows": ${e.rows}}"""
     }.mkString("\n")
 

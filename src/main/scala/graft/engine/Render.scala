@@ -13,6 +13,22 @@ import org.apache.spark.sql.DataFrame
   */
 object Render {
 
+  /** One JSON string literal, fully escaped (backslash, quote, and
+    * ALL control chars) — the single helper every hand-assembled JSON
+    * body in the engine goes through, so a quote or newline in a
+    * user-supplied name can never truncate or corrupt an output
+    * (three divergent partial escapers predated this; see the r14
+    * review). */
+  def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Error reply as actual JSON — the REST routes declare
     * application/json, so the body must parse as JSON. */
   def errorJson(msg: String): String = {

@@ -175,7 +175,10 @@ final class TaskScheduler(exec: String => String,
         t.startAt = newStart.getOrElse(clock())
         t.lastRun = Long.MinValue
         s"Task '$name' re-armed"
-      case "run" => runTask(t, schedId); s"Task '$name' executed"
+      case "run" =>
+        val st = runTask(t, schedId)
+        t.synchronized { t.lastStatus = st }
+        s"Task '$name' executed"
       case other =>
         throw new IllegalArgumentException(s"task: unknown operation '$other'")
     }
@@ -203,8 +206,16 @@ final class TaskScheduler(exec: String => String,
     val futs = due.map { t =>
       t.inFlight = true
       t -> pool.submit(new Runnable {
-        def run(): Unit =
-          try runTask(t, schedId) finally t.inFlight = false
+        def run(): Unit = {
+          // status write + inFlight clear are ONE atomic block under
+          // the task's monitor, and tick's timeout write is guarded
+          // on inFlight under the same monitor — so a real outcome
+          // landing just after the deadline is never buried by the
+          // timeout message (it either skips the timeout write or
+          // overwrites it, both correct)
+          val st = runTask(t, schedId)
+          t.synchronized { t.lastStatus = st; t.inFlight = false }
+        }
       })
     }
     // one shared wall-clock deadline: the whole wake waits at most
@@ -215,8 +226,11 @@ final class TaskScheduler(exec: String => String,
         java.util.concurrent.TimeUnit.NANOSECONDS)
       catch {
         case _: java.util.concurrent.TimeoutException =>
-          t.lastStatus =
-            s"Failed: timeout after ${timeoutMs / 1000} s (still running)"
+          t.synchronized {
+            if (t.inFlight) t.lastStatus =
+              s"Failed: timeout after ${timeoutMs / 1000} s " +
+                "(still running)"
+          }
         case _: java.util.concurrent.ExecutionException => ()
         case _: InterruptedException =>
           Thread.currentThread().interrupt()
@@ -225,7 +239,7 @@ final class TaskScheduler(exec: String => String,
     due.size
   }
 
-  private def runTask(t: Task, schedId: Int): Unit = {
+  private def runTask(t: Task, schedId: Int): String = {
     val now = clock()
     // TIME(PREVIOUS)/TIME(CURRENT) substitution
     // (task_scheduler.py:181-204): PREVIOUS = last run's CURRENT
@@ -241,13 +255,15 @@ final class TaskScheduler(exec: String => String,
     if (t.command.contains("TIME(CURRENT)")) t.prevStamp = Some(now)
     t.lastRun = now
     t.counter += 1
-    t.lastStatus =
-      try { exec(cmd); "Success" }
-      catch {
-        case e: Throwable =>
-          "Failed: " + Option(e.getMessage).getOrElse(
-            e.getClass.getSimpleName).linesIterator.next()
-      }
+    // RETURNS the outcome instead of writing it — the caller owns the
+    // lastStatus write so it can make it atomic with the inFlight
+    // clear (see tick's dispatch block)
+    try { exec(cmd); "Success" }
+    catch {
+      case e: Throwable =>
+        "Failed: " + Option(e.getMessage).getOrElse(
+          e.getClass.getSimpleName).linesIterator.next()
+    }
   }
 
   private def fmt(ms: Long): String =

@@ -184,14 +184,23 @@ final class KafkaMiniBroker(port: Int = 0) {
   private val topics =
     scala.collection.mutable.Map.empty[String, Array[PartLog]]
 
-  /** Pre-create a topic with an explicit partition count (a real
-    * deployment does this with admin tooling; auto-create stays at
-    * one partition). */
+  /** Ensure a topic exists with AT LEAST `partitions` partitions (a
+    * real deployment's admin tooling). Idempotent and growth-only: a
+    * topic already auto-created by a client's Metadata probe (one
+    * partition) grows to the requested count instead of throwing —
+    * the pre-create-after-first-contact ordering is common in tests
+    * and in real rollouts; shrinking is refused (Kafka cannot shrink
+    * partition counts either). */
   def createTopic(topic: String, partitions: Int): Unit =
     topics.synchronized {
       require(partitions >= 1, "partitions must be >= 1")
-      require(!topics.contains(topic), s"topic $topic already exists")
-      topics(topic) = Array.fill(partitions)(new PartLog)
+      topics.get(topic) match {
+        case None => topics(topic) = Array.fill(partitions)(new PartLog)
+        case Some(cur) if cur.length < partitions =>
+          topics(topic) =
+            cur ++ Array.fill(partitions - cur.length)(new PartLog)
+        case Some(_) => () // already at or above the requested count
+      }
     }
 
   /** Repartition hook: grow an existing topic's partition count (new

@@ -87,17 +87,49 @@ class JdbcSourceSpec extends SparkSpec {
     assert(engine.catalog.table("remu").count() === 5L)
   }
 
-  test("a jdbc registration survives an engine restart (catalog reload)") {
+  test("a jdbc registration survives an engine restart (catalog " +
+      "reload); a password option is never persisted to disk") {
     val (url, _) = derby(10)
     val meta = java.nio.file.Files.createTempDirectory("jdbcmeta")
     val engine = new Engine(spark, new Catalog(spark, Some(meta)))
     engine.execute(s"connect dbms remr where type = jdbc and " +
-      s"url = $url and dbtable = m")
+      s"url = $url and dbtable = m and user = app and password = hunter2")
+    // in-memory registration carries the credential for live use...
+    assert(engine.catalog.jdbcMeta("remr").get
+      .options.get("password").contains("hunter2"))
+    // ...but the metadata root must not (plaintext secret on disk)
+    val persisted = java.nio.file.Files.readString(
+      meta.resolve("jdbc_remr.json"))
+    assert(!persisted.contains("hunter2") &&
+      !persisted.contains("password"), persisted)
+    assert(persisted.contains("\"user\""))
     // fresh catalog from the same metadata root — the reference's
-    // startup reload
+    // startup reload (Derby here needs no auth, so the read works)
     val reborn = new Catalog(spark, Some(meta))
     assert(reborn.tableNames.contains("remr"))
     assert(reborn.table("remr").count() === 10L)
     assert(reborn.jdbcMeta("remr").get.dbtable === "m")
+    assert(!reborn.jdbcMeta("remr").get.options.contains("password"))
+  }
+
+  test("a jdbc name cannot shadow a registered table, and vice versa") {
+    val (url, _) = derby(5)
+    val root = java.nio.file.Files.createTempDirectory("jdbcshadow")
+    import spark.implicits._
+    val p = root.resolve("local.parquet").toString
+    Seq((1L, "x")).toDF("k", "v").write.parquet(p)
+    val cat = new Catalog(spark)
+    cat.registerTable("events_local", p)
+    val engine = new Engine(spark, cat)
+    intercept[IllegalArgumentException](engine.execute(
+      s"connect dbms events_local where type = jdbc and url = $url " +
+        "and dbtable = m"))
+    // and a parquet registration cannot bury an existing jdbc one
+    engine.execute(s"connect dbms remshadow where type = jdbc and " +
+      s"url = $url and dbtable = m")
+    intercept[IllegalArgumentException](
+      cat.registerTable("remshadow", p))
+    // no duplicate names in the listing
+    assert(cat.tableNames.count(_ == "remshadow") === 1)
   }
 }
