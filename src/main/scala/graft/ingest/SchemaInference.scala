@@ -47,7 +47,9 @@ object SchemaInference {
   private val timeRx = "^\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?$".r
   private val ipRx = "^(\\d{1,3}\\.){3}\\d{1,3}$".r
   private val floatRx = "^[+-]?\\d+\\.\\d+$".r
-  private val digitsRx = "^\\d+$".r
+  // negative integers type as INT/BIGINT like the reference
+  // (suggest_create_table.py:208: isdigit() OR '-' + digits)
+  private val digitsRx = "^-?\\d+$".r
 
   /** Infer the EdgeLake type of one value (column name matters only for
     * the '*time*' digit-string rule). */
@@ -75,6 +77,9 @@ object SchemaInference {
   }
 
   private def inferString(columnName: String, s: String): ELType = s match {
+    // the reference's first string rule (suggest_create_table.py:188):
+    // an empty value is VARCHAR — CHAR(0) would be invalid DDL
+    case "" => ELVarchar
     case _ if uuidRx.matches(s) => ELUuid
     case _ if tsRx.matches(s) => ELTimestamp
     case _ if dateRx.matches(s) => ELDate

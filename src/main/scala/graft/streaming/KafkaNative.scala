@@ -257,6 +257,10 @@ final class KafkaMiniBroker(port: Int = 0) {
     try {
       while (running) {
         val size = in.readInt()
+        // frame-size sanity before allocating: a malformed/hostile
+        // frame must drop THIS connection, not OOM the broker
+        require(size >= 0 && size <= (64 << 20),
+          s"unreasonable frame size $size")
         val req = new Array[Byte](size); in.readFully(req)
         val r = new Reader(ByteBuffer.wrap(req))
         val apiKey = r.i16(); val apiVersion = r.i16()
@@ -273,7 +277,15 @@ final class KafkaMiniBroker(port: Int = 0) {
         val resp = new Writer().i32(corr).raw(body).result()
         out.writeInt(resp.length); out.write(resp); out.flush()
       }
-    } catch { case _: java.io.IOException => () }
+    } catch {
+      // IOException = peer went away; any OTHER throw is a malformed
+      // frame (bad internal sizes -> BufferUnderflow/NegativeArraySize
+      // or the require above) — either way this connection dies
+      // cleanly instead of killing the worker with no response and
+      // leaving the peer blocked forever
+      case _: java.io.IOException => ()
+      case scala.util.control.NonFatal(_) => ()
+    }
     finally { conns.remove(sock); sock.close() }
   }
 
@@ -480,7 +492,13 @@ final class KafkaNativeClient(host: String, port: Int) {
   private def sock(): Socket = sockOpt match {
     case Some(s) if !s.isClosed => s
     case _ =>
-      val s = new Socket(host, port); sockOpt = Some(s); s
+      val s = new Socket(host, port)
+      // a broker that accepts but never answers (or dies mid-frame)
+      // must not park this client forever inside its own lock —
+      // SocketTimeoutException is an IOException, so the reconnect
+      // retry in exchange() handles it
+      s.setSoTimeout(30000)
+      sockOpt = Some(s); s
   }
 
   private def dropSocket(): Unit = {

@@ -36,6 +36,12 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
     .empty[(OutputStream, String, Int)]
   private val nextForwardId = new java.util.concurrent.atomic.AtomicInteger(1)
 
+  /** Open connection sockets, so [[stop]] can drop them — a stopped
+    * broker must go silent instead of letting parked handler threads
+    * keep serving publishes (same contract as KafkaMiniBroker). */
+  private val conns =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+
   /** MQTT 3.1.1 §4.7 topic filter match: `+` spans exactly one level,
     * `#` (final level only) spans the rest. */
   private[streaming] def topicMatches(filter: String, topic: String): Boolean = {
@@ -80,8 +86,11 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
       val t = topic.getBytes(StandardCharsets.UTF_8)
       val pid =
         if (qos > 0) {
-          // packet ids are non-zero 16-bit (spec §2.3.1)
-          val id = (nextForwardId.getAndIncrement() & 0x7fff) | 1
+          // packet ids are non-zero 16-bit (spec §2.3.1) and must be
+          // unique among in-flight forwards — `& 0x7fff | 1` gave
+          // consecutive forwards the SAME id (2|1 == 3|1), which a
+          // compliant subscriber discards as a DUP retransmission
+          val id = (nextForwardId.getAndIncrement() & 0x7fff) + 1
           Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
         } else Array.emptyByteArray
       val body = Array[Byte]((t.length >> 8).toByte,
@@ -145,8 +154,8 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
     // Until CONNECT names the client, key QoS 2 state by a socket-unique
     // fallback (a client violating the CONNECT-first rule still gets
     // within-connection exactly-once).
-    var inflight = inflightFor(
-      "anon:" + System.identityHashCode(sock).toHexString)
+    var inflightKey = "anon:" + System.identityHashCode(sock).toHexString
+    var inflight = inflightFor(inflightKey)
     try {
       var open = true
       while (open && running) {
@@ -165,6 +174,7 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
                 if (body.length >= 12 + idLen && idLen > 0) {
                   val clientId =
                     new String(body, 12, idLen, StandardCharsets.UTF_8)
+                  inflightKey = clientId
                   inflight = inflightFor(clientId)
                 }
               }
@@ -268,6 +278,18 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
     }
     finally {
       subs.synchronized { subs.filterInPlace(_._1 ne out) }
+      // QoS 2 session state survives a NAMED client's reconnect (the
+      // spec's session-state requirement) but must not leak forever:
+      // drop the socket-unique anon key always, and a named key whose
+      // set is EMPTY (no incomplete exchange — nothing to survive)
+      qos2Inflight.synchronized {
+        qos2Inflight.get(inflightKey).foreach { s =>
+          if (inflightKey.startsWith("anon:") ||
+              s.synchronized(s.isEmpty))
+            qos2Inflight.remove(inflightKey)
+        }
+      }
+      conns.remove(sock)
       sock.close()
     }
   }
@@ -277,6 +299,8 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
       while (running) {
         try {
           val sock = server.accept()
+          conns.add(sock)
+          if (!running) sock.close() // raced with stop()
           val worker = new Thread(() => handle(sock))
           worker.setDaemon(true)
           worker.start()
@@ -291,5 +315,7 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
   def stop(): Unit = {
     running = false
     server.close()
+    conns.forEach(s => try s.close() catch { case _: Exception => () })
+    conns.clear()
   }
 }

@@ -37,6 +37,7 @@ final class MqttClient(host: String, port: Int, clientId: String,
   private var sock: Socket = _
   private var out: OutputStream = _
   private var reader: Thread = _
+  private var pinger: Thread = _
 
   private def remLen(n: Int): Array[Byte] = {
     var v = n
@@ -129,6 +130,21 @@ final class MqttClient(host: String, port: Int, clientId: String,
     reader = new Thread(() => loop(in))
     reader.setDaemon(true)
     reader.start()
+    // keepalive: CONNECT advertises 60 s, so a spec-compliant broker
+    // drops a silent connection after 1.5x that (MQTT 3.1.1
+    // 3.1.2-24) — ping at half the interval or a quiet topic's
+    // subscription silently dies on a real broker
+    pinger = new Thread(() => {
+      while (running) {
+        try Thread.sleep(30000L)
+        catch { case _: InterruptedException => return }
+        if (running)
+          try send(0xc0, Array.emptyByteArray) // PINGREQ
+          catch { case scala.util.control.NonFatal(_) => return }
+      }
+    })
+    pinger.setDaemon(true)
+    pinger.start()
   }
 
   /** Read packets until one of `msgType` arrives (PUBLISH arriving
@@ -187,6 +203,7 @@ final class MqttClient(host: String, port: Int, clientId: String,
 
   def stop(): Unit = {
     running = false
+    if (pinger != null) pinger.interrupt()
     try send(0xe0, Array.emptyByteArray) catch {
       case scala.util.control.NonFatal(_) => ()
     }

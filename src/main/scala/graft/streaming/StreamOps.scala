@@ -385,9 +385,12 @@ object StreamOps {
             k, mBits))
         val gated = Dedup.bloomGate(hb, bloom, "__h")
         val maybes = gated.filter(col("bloom_hit"))
+        // no self-id clause needed: the batch's own ids were already
+        // anti-joined out of `hashes` above (an unqualified id
+        // inequality here also broke callers whose idCol is literally
+        // named "id" — ambiguous reference on the verify join)
         val dupIds = maybes.join(hashes,
-            maybes("__h") === hashes("h") && col(idCol) =!= col("id"),
-            "left_semi")
+            maybes("__h") === hashes("h"), "left_semi")
           .select(col(idCol)).distinct()
         gated.drop("bloom_hit").join(dupIds, Seq(idCol), "left_anti")
     }

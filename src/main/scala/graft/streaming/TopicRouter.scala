@@ -21,22 +21,37 @@ object TopicRouter {
 
   final case class Route(topicPattern: String, policy: MappingPolicy.Policy)
 
-  /** Split a (topic, payload) frame into per-(dbms, table) mapped frames.
-    * Works on batch and streaming frames alike. */
+  /** A route pattern matches the WHOLE topic (anchored). rlike alone
+    * does a regex FIND, so the plain topic name "sensor/1" would also
+    * match "sensor/10" and "xsensor/1y" — double-ingesting into
+    * sibling tables and mis-classifying dead letters. The reference's
+    * add_topic matches topics exactly (modulo MQTT wildcards). */
+  private def topicMatch(topicCol: String, pattern: String) =
+    col(topicCol).rlike(
+      (if (pattern.startsWith("^")) "" else "^") + pattern +
+        (if (pattern.endsWith("$")) "" else "$"))
+
+  /** Split a (topic, payload) frame into per-(dbms, table) mapped
+    * frames. Works on batch and streaming frames alike. Several routes
+    * may target the SAME (dbms, table) — the reference's normal
+    * multi-topic add_topic configuration — so same-target frames are
+    * UNIONED, never last-route-wins dropped. */
   def route(df: DataFrame, routes: Seq[Route],
       topicCol: String = "topic", payloadCol: String = "value")
       : Map[(String, String), DataFrame] =
     routes.map { r =>
-      val matched = df.filter(col(topicCol).rlike(r.topicPattern))
+      val matched = df.filter(topicMatch(topicCol, r.topicPattern))
       (r.policy.dbms, r.policy.table) ->
         MappingPolicy.compile(r.policy, matched, payloadCol)
-    }.toMap
+    }.groupBy(_._1).map { case (key, frames) =>
+      key -> frames.map(_._2).reduce(_ unionByName _)
+    }
 
   /** Rows whose topic matches no route (the reference logs and drops
     * them; surfacing them as a frame lets callers dead-letter instead). */
   def unrouted(df: DataFrame, routes: Seq[Route],
       topicCol: String = "topic"): DataFrame = {
-    val anyMatch = routes.map(r => col(topicCol).rlike(r.topicPattern))
+    val anyMatch = routes.map(r => topicMatch(topicCol, r.topicPattern))
       .reduceOption(_ || _).getOrElse(lit(false))
     df.filter(!anyMatch)
   }

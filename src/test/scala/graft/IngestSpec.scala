@@ -24,6 +24,16 @@ class SchemaInferenceSpec extends SparkSpec {
     assert(inferValue("x", Seq(1, 2)) === ELVarchar)  // lists -> VARCHAR
   }
 
+  test("negative integer strings type as INT/BIGINT; empty strings " +
+      "as VARCHAR (reference parity, suggest_create_table.py:188/:208)") {
+    assert(inferValue("x", "-5") === ELInt)
+    assert(inferValue("x", "-12345678") === ELInt) // len 9 incl. '-'
+    assert(inferValue("x", "-999999999") === ELBigInt) // len 10
+    assert(inferValue("x", "") === ELVarchar) // never CHAR(0) DDL
+    // a column mixing "5" and "-5" stays integer, not VARCHAR
+    assert(widen(inferValue("x", "5"), inferValue("x", "-5")) === ELInt)
+  }
+
   test("'*time*'-named digit strings become TIMESTAMP (>= year 2000)") {
     assert(inferValue("event_time", "1700000000") === ELTimestamp)
     assert(inferValue("event_time", "900000000") === ELBigInt)
@@ -696,6 +706,32 @@ class TopicRouterSpec extends SparkSpec {
     val dead = TopicRouter.unrouted(msgs, routes)
     assert(dead.select("topic").as[String].collect().toSet ===
       Set("office/temp", "junk/unknown"))
+  }
+
+  test("two routes targeting the SAME table union (never " +
+      "last-route-wins), and a plain-name route matches the whole " +
+      "topic, not substrings") {
+    // factory/temp and office/temp both feed ONE table
+    val routes = Seq(
+      Route("factory/temp", policy("iot", "all_temp")),
+      Route("office/temp", policy("iot", "all_temp")))
+    val out = TopicRouter.route(msgs, routes)
+    assert(out.keySet === Set(("iot", "all_temp")))
+    assert(out(("iot", "all_temp")).count() === 2,
+      "messages from both routes must land (the old Map.toMap kept " +
+        "only the last route)")
+    // a plain topic-name route must not match superstrings: the
+    // sibling-topic trap ("sensor/1" vs "sensor/10")
+    val sib = Seq(("sensor/1", """{"device": "a", "value": 1}"""),
+      ("sensor/10", """{"device": "b", "value": 2}"""))
+      .toDF("topic", "value")
+    val sibRoutes = Seq(
+      Route("sensor/1", policy("iot", "s1")),
+      Route("sensor/10", policy("iot", "s10")))
+    val routedSib = TopicRouter.route(sib, sibRoutes)
+    assert(routedSib(("iot", "s1")).count() === 1)
+    assert(routedSib(("iot", "s10")).count() === 1)
+    assert(TopicRouter.unrouted(sib, sibRoutes).count() === 0)
   }
 }
 
