@@ -79,6 +79,74 @@ object GrafanaRoute {
       r.functions.get.map(f =>
         s"$f(${r.valueColumn}) as ${f}_val").mkString(", ")
 
+  /** Positions of `needle` in `s` (both lowercased by the caller)
+    * that sit at paren depth 0 and OUTSIDE single-quoted literals —
+    * the only places a spliced range filter belongs. */
+  private def depth0Positions(s: String, needle: String): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && s.startsWith(needle, i)) out += i
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Splice the range predicate into the panel SQL at TOP level:
+    * plain index arithmetic (never a regex replacement — a `$` in a
+    * column name must not become a group reference), whitespace
+    * normalized so newline-delimited panel SQL still finds its
+    * clauses, and paren-depth-0 matching so a subquery's WHERE is
+    * never mistaken for the outer one. */
+  private def spliceRange(base0: String, range: String): String = {
+    // newlines/tabs -> spaces: clause detection is single-space based
+    val base = base0.map(c =>
+      if (c == '\n' || c == '\r' || c == '\t') ' ' else c)
+    val lower = base.toLowerCase
+    depth0Positions(lower, " where ").headOption match {
+      case Some(i) =>
+        val at = i + " where ".length
+        base.substring(0, at) + range + " and " + base.substring(at)
+      case None =>
+        val cut = Seq(" group by ", " order by ", " limit ")
+          .flatMap(k => depth0Positions(lower, k).headOption)
+          .minOption
+        cut match {
+          case Some(i) =>
+            base.substring(0, i) + s" where $range" + base.substring(i)
+          case None => base + s" where $range"
+        }
+    }
+  }
+
+  /** period() geometry from the panel's own range: the trailing
+    * window anchored at `to` must COVER [from, to] — the reference
+    * derives unit/count from the panel interval the same way
+    * (al_grafana.py:108-115); the old hardcoded period(minute, 1)
+    * silently showed one minute of data whatever range was picked. */
+  private def periodSpec(r: Request): String = {
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val sec = java.time.Duration.between(
+      java.time.LocalDateTime.parse(r.fromTs, fmt),
+      java.time.LocalDateTime.parse(r.toTs, fmt)).getSeconds.max(60L)
+    val (unit, n) =
+      if (sec >= 86400) ("day", (sec + 86399) / 86400)
+      else if (sec >= 3600) ("hour", (sec + 3599) / 3600)
+      else ("minute", (sec + 59) / 60)
+    s"period($unit, $n, '${r.toTs}', ${r.tsColumn})"
+  }
+
   /** Build the dialect command for a request (the reference splices
     * increments()/period() into the SQL the same way). */
   def toCommand(r: Request): String = {
@@ -89,20 +157,7 @@ object GrafanaRoute {
         val base = r.sql.getOrElse(
           s"select * from ${r.table}")
         val withRange =
-          if (!r.timeRange) base
-          else if (base.toLowerCase.contains(" where "))
-            base.replaceFirst("(?i) where ", s" where $range and ")
-          else {
-            // insert before group/order/limit if present
-            val lower = base.toLowerCase
-            val cut = Seq(" group by ", " order by ", " limit ")
-              .map(lower.indexOf).filter(_ >= 0).sorted.headOption
-            cut match {
-              case Some(i) =>
-                base.substring(0, i) + s" where $range" + base.substring(i)
-              case None => base + s" where $range"
-            }
-          }
+          if (!r.timeRange) base else spliceRange(base, range)
         s"""sql ${r.dbms} "$withRange""""
       case "increments" if r.functions.nonEmpty =>
         s"""sql ${r.dbms} "select increments(${r.dataPoints}, ${r.tsColumn}), """ +
@@ -115,11 +170,10 @@ object GrafanaRoute {
           s"from ${r.table} where $range\""
       case "period" if r.functions.nonEmpty =>
         s"""sql ${r.dbms} "select """ + overrideCols(r) +
-          s" from ${r.table} where " +
-          s"period(minute, 1, '${r.toTs}', ${r.tsColumn})\""
+          s" from ${r.table} where ${periodSpec(r)}\""
       case "period" =>
         s"""sql ${r.dbms} "select * from ${r.table} where """ +
-          s"period(minute, 1, '${r.toTs}', ${r.tsColumn})\""
+          periodSpec(r) + "\""
       case other =>
         throw new IllegalArgumentException(s"request type $other")
     }

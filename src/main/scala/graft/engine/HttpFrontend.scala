@@ -42,7 +42,13 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
                     p.substring("command=".length), "UTF-8")
               }.getOrElse(""))
         case _ =>
-          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          // POST: the reference reads the `command` HEADER first
+          // (http_server.py:1268 do_POST) — its canonical clients send
+          // it with an empty body; the body is the fallback shape
+          Option(ex.getRequestHeaders.getFirst("command"))
+            .filter(_.nonEmpty)
+            .getOrElse(new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8))
       }
       val (code, body) =
         try (200, engine.execute(command))
@@ -70,7 +76,9 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
           throw new IllegalArgumentException(
             "Missing 'table' name in REST PUT command"))
         val n = engine.ingest(table, body, hdr("instructions"))
-        (200, s"""{"appended": $n, "table": "$table"}""")
+        // header value is caller-supplied — escape it or a quote in
+        // the name makes this application/json body unparseable
+        (200, s"""{"appended": $n, "table": ${Render.jsonStr(table)}}""")
       } catch { case e: Exception => (400, Render.errorJson(e.getMessage)) }
     val bytes = reply.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")

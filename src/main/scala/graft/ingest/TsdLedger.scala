@@ -108,23 +108,33 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None,
     val ch = java.nio.channels.FileChannel.open(j,
       java.nio.file.StandardOpenOption.READ)
     try {
-      ch.position(journalOffset)
-      val buf = java.nio.ByteBuffer.allocate((size - journalOffset).toInt)
-      while (buf.hasRemaining && ch.read(buf) >= 0) {}
-      buf.flip()
-      // stop at the last complete line: a construct-time read races
-      // other nodes' appends lock-free, so the tail may be torn —
-      // 0x0A never occurs inside a UTF-8 multibyte sequence, so the
-      // byte scan is safe and the partial tail replays next refresh
-      var end = buf.limit()
-      while (end > 0 && buf.get(end - 1) != '\n'.toByte) end -= 1
-      if (end > 0) {
-        new String(buf.array(), 0, end,
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").foreach { line =>
-            if (line.trim.nonEmpty) applyLine(line)
-          }
-        journalOffset += end
+      // bounded-chunk loop: (size - offset) can exceed Int.MaxValue on
+      // a long-lived shared journal — a single allocate of the whole
+      // delta would overflow Int (and heap-spike); 64 MB chunks replay
+      // the SAME complete-line prefix discipline until caught up
+      var progressed = true
+      while (progressed && journalOffset < size) {
+        progressed = false
+        ch.position(journalOffset)
+        val want = math.min(size - journalOffset, 64L << 20)
+        val buf = java.nio.ByteBuffer.allocate(want.toInt)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        buf.flip()
+        // stop at the last complete line: a construct-time read races
+        // other nodes' appends lock-free, so the tail may be torn —
+        // 0x0A never occurs inside a UTF-8 multibyte sequence, so the
+        // byte scan is safe and the partial tail replays next refresh
+        var end = buf.limit()
+        while (end > 0 && buf.get(end - 1) != '\n'.toByte) end -= 1
+        if (end > 0) {
+          new String(buf.array(), 0, end,
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").foreach { line =>
+              if (line.trim.nonEmpty) applyLine(line)
+            }
+          journalOffset += end
+          progressed = true
+        }
       }
     } finally ch.close()
   }
@@ -171,8 +181,10 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None,
   }
 
   private def entryToJson(e: Entry): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\")
-      .replace("\"", "\\\"") + "\""
+    // FULL escaping (control chars included): a newline in a
+    // caller-supplied table/source name would otherwise split this
+    // record across journal lines and permanently poison every replay
+    def q(s: String) = graft.engine.Render.jsonStr(s)
     s"""{"file_id": ${e.fileId}, "dbms": ${q(e.dbms)}, """ +
       s""""table": ${q(e.table)}, "source": ${q(e.source)}, """ +
       s""""file_hash": ${q(e.fileHash)}, """ +
@@ -236,9 +248,8 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None,
   def remove(fileHash: String): Unit = withLedger {
     entries = entries.filterNot(_.fileHash == fileHash)
     if (shared && journal.isDefined) {
-      val q = "\"" + fileHash.replace("\\", "\\\\")
-        .replace("\"", "\\\"") + "\""
-      appendLine(s"""{"tombstone": $q}""")
+      appendLine(
+        s"""{"tombstone": ${graft.engine.Render.jsonStr(fileHash)}}""")
     } else rewriteJournal()
   }
 

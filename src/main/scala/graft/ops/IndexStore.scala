@@ -146,9 +146,22 @@ object IndexStore {
       case Some(n) => Some(spark.read.parquet(s"$dir/v=$n"))
       case None =>
         val (fs, p) = fsOf(spark, dir)
-        val legacy = fs.exists(p) && fs.listStatus(p)
-          .exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
-        if (legacy) Some(spark.read.parquet(dir)) else None
+        // legacy root-level files are read BY EXPLICIT PATH, never via
+        // the directory: a crash between a first upgrade-write's v=1
+        // materialization and its marker leaves root files AND a dirty
+        // v=1 dir, and directory-level partition discovery would throw
+        // 'conflicting directory structures' on the mixed depths —
+        // breaking the crash-at-any-point readability contract
+        val legacyFiles =
+          if (!fs.exists(p)) Array.empty[String]
+          else fs.listStatus(p).collect {
+            case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+                !st.getPath.getName.startsWith(".") =>
+              st.getPath.toString
+          }
+        if (legacyFiles.nonEmpty)
+          Some(spark.read.parquet(legacyFiles.toIndexedSeq: _*))
+        else None
     }
 
   /** Commit `df` as the next version and return its number. The old
