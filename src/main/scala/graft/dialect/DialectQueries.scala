@@ -859,9 +859,21 @@ object DialectQueries {
     val reply = engine.execute(s"connect dbms nat_remote where " +
       s"type = jdbc and url = $url and dbtable = nat")
     require(reply.contains("connected"), reply)
-    engine.query("""sql edge "select n_regionkey, count(*) as n_nations """ +
-      """from nat_remote where n_nationkey >= 5 group by n_regionkey """ +
-      """order by n_regionkey"""")
+    val df = engine.query(
+      """sql edge "select n_regionkey, count(*) as n_nations """ +
+        """from nat_remote where n_nationkey >= 5 group by n_regionkey """ +
+        """order by n_regionkey"""")
+    // materialize the (tiny) aggregate BEFORE shutting the temp Derby
+    // database down — the JDBC scan is lazy, and without the shutdown
+    // each Bench iteration leaves another database booted in-process,
+    // accumulating memory across runs
+    val rows = df.collect().toSeq
+    import scala.jdk.CollectionConverters._
+    val out = s.createDataFrame(rows.asJava, df.schema)
+    try java.sql.DriverManager
+      .getConnection(s"jdbc:derby:$root/db;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
+    out
   }
   private val q206Sql =
     "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations " +

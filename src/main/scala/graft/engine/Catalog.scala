@@ -51,6 +51,10 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   @volatile private var tables = Map.empty[String, TableReg]
   @volatile private var jdbcTables = Map.empty[String, JdbcReg]
   @volatile private var views = Map.empty[String, ViewDef]
+  /** See [[kafkaOffset]]/[[saveKafkaOffset]] — declared BEFORE the
+    * constructor's reload() so rehydration isn't wiped by the field
+    * initializer. */
+  @volatile private var kafkaOffsets = Map.empty[(String, Int), Long]
   @volatile private var policies = Map.empty[String, String] // id -> policy JSON
   /** key -> the exact `<kind> attach ...` command that re-registers
     * the artifact (recorded by each Engine create command). */
@@ -112,8 +116,44 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
 
   def jdbcMeta(name: String): Option[JdbcReg] = jdbcTables.get(name)
 
+  /** Persisted native-Kafka consumer cursor: (topic, partition) ->
+    * next offset to fetch. Journaled AFTER each landed batch
+    * (`kafkaoff_<topic>.json` beside the other catalog files), so a
+    * consumer restart resumes where the last landing stopped instead
+    * of re-seeding from the reset policy and re-landing every retained
+    * message as duplicate rows. Land-then-journal ordering makes a
+    * crash BETWEEN the two re-deliver at most ONE fetch batch
+    * (at-least-once floor), never the whole topic; the reference's
+    * consumer gets the same guarantee from its group commit
+    * (api/al_kafka.py enable.auto.commit). */
+  def kafkaOffset(topic: String, partition: Int): Option[Long] =
+    kafkaOffsets.get((topic, partition))
+
+  def saveKafkaOffset(topic: String, partition: Int,
+      next: Long): Unit = synchronized {
+    kafkaOffsets += (topic, partition) -> next
+    // one file per topic: the write is proportional to the topic's
+    // partition count, not the node's topic count
+    val parts = kafkaOffsets.collect {
+      case ((t, p), o) if t == topic => (p, o)
+    }.toSeq.sortBy(_._1)
+    persist(s"kafkaoff_${sanitize(topic)}.json",
+      s"""{"kafka_offsets": {"topic": ${q(topic)}, "partitions": {""" +
+        parts.map { case (p, o) => s"${q(p.toString)}: $o" }
+          .mkString(", ") + "}}}")
+  }
+
   def createView(name: String, table: String,
       columns: Seq[(String, String)]): Unit = synchronized {
+    // keep the no-shadowing invariant symmetric with registerTable /
+    // registerJdbcTable: table() resolves views FIRST, so a view named
+    // like an existing table (parquet or JDBC) would silently hide it.
+    // Re-defining an existing VIEW stays allowed (idempotent replace).
+    require(!jdbcTables.contains(name),
+      s"$name is already a registered JDBC table — the view would " +
+        "shadow it")
+    require(!tables.contains(name),
+      s"$name is already a registered table — the view would shadow it")
     views += name -> ViewDef(name, table, columns)
     persist(s"view_$name.json",
       s"""{"view": {"name": ${q(name)}, "table": ${q(table)}, """ +
@@ -183,6 +223,12 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
               (j \ "url").extract[String],
               (j \ "dbtable").extract[String],
               (j \ "options").extract[Map[String, String]])
+          } else if (fn.startsWith("kafkaoff_") && fn.endsWith(".json")) {
+            val k = JsonMethods.parse(body) \ "kafka_offsets"
+            val topic = (k \ "topic").extract[String]
+            (k \ "partitions").extract[Map[String, Long]].foreach {
+              case (p, o) => kafkaOffsets += (topic, p.toInt) -> o
+            }
           } else if (fn.startsWith("policy_") && fn.endsWith(".json")) {
             policies += fn.stripPrefix("policy_")
               .stripSuffix(".json") -> body

@@ -2397,9 +2397,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // whatever the initial reset policy was).
     val partCount = scala.collection.mutable.Map(
       topics.map(tp => tp -> client.partitions(tp)): _*)
+    // seed order: the catalog's journaled cursor FIRST (the offset
+    // after the last batch this node landed — a restarted consumer
+    // resumes there, re-ingesting nothing), then the reset policy for
+    // a partition never consumed here before
     val offsets = scala.collection.mutable.Map(topics.flatMap { tp =>
       (0 until partCount(tp)).map(p =>
-        (tp, p) -> client.listOffset(tp, earliest, p))
+        (tp, p) -> catalog.kafkaOffset(tp, p)
+          .getOrElse(client.listOffset(tp, earliest, p)))
     }: _*)
     // high-water marks from the last fetch, for the board's lag figure
     val hws = scala.collection.mutable.Map.empty[(String, Int), Long]
@@ -2425,7 +2430,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             val known = partCount(tp)
             if (now > known) {
               (known until now).foreach { p =>
-                offsets((tp, p)) = client.listOffset(tp, earliest = true, p)
+                offsets((tp, p)) = catalog.kafkaOffset(tp, p).getOrElse(
+                  client.listOffset(tp, earliest = true, p))
               }
               partCount(tp) = now
               logRing(eventLog, (System.currentTimeMillis,
@@ -2448,13 +2454,43 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               // consumer also lands poll batches, not single records,
               // api/al_kafka.py:158-226 buffering) — messages are
               // one-line JSON docs, the line-oriented contract the
-              // whole watch-dir chain already has
-              val f = dir.resolve(s"k${epoch}_${n.incrementAndGet()}_" +
-                s"${tp.replaceAll("[^A-Za-z0-9]", "_")}_$p.json")
-              val body = msgs.map(m => new String(m._3,
-                java.nio.charset.StandardCharsets.UTF_8)).mkString("\n")
-              java.nio.file.Files.writeString(f, body)
+              // whole watch-dir chain already has. A payload with an
+              // embedded newline (pretty-printed JSON) would land as
+              // SEVERAL broken lines, so violators are re-serialized
+              // compact (still exactly one row per message); a payload
+              // that is not JSON at all routes to <dir>/err intact —
+              // it must neither corrupt the landing nor be dropped
+              // silently.
+              val lines = msgs.map { m =>
+                val raw = new String(m._3,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                if (raw.indexOf('\n') < 0 && raw.indexOf('\r') < 0) raw
+                else
+                  try org.json4s.jackson.JsonMethods.compact(
+                    org.json4s.jackson.JsonMethods.parse(raw))
+                  catch {
+                    case _: Exception =>
+                      val ed = dir.resolve("err")
+                      java.nio.file.Files.createDirectories(ed)
+                      java.nio.file.Files.writeString(ed.resolve(
+                        s"k${epoch}_${tp.replaceAll("[^A-Za-z0-9]", "_")}" +
+                          s"_${p}_${m._1}.bad"), raw)
+                      logRing(errorLog, (System.currentTimeMillis,
+                        s"kafka consumer $tp/$p",
+                        s"non-JSON multiline payload at offset ${m._1} " +
+                          "routed to err dir"))
+                      null
+                  }
+              }.filter(_ != null)
+              if (lines.nonEmpty) {
+                val f = dir.resolve(s"k${epoch}_${n.incrementAndGet()}_" +
+                  s"${tp.replaceAll("[^A-Za-z0-9]", "_")}_$p.json")
+                java.nio.file.Files.writeString(f, lines.mkString("\n"))
+              }
               offsets((tp, p)) = msgs.last._1 + 1
+              // journal AFTER the landing: a crash between the two
+              // re-delivers at most this one batch
+              catalog.saveKafkaOffset(tp, p, msgs.last._1 + 1)
               drained = false
             }
           } catch {
@@ -2518,12 +2554,21 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       s"(reset ${if (earliest) "earliest" else "latest"}, landing in $dir)"
   }
 
-  /** `exit kafka consumer` — stop every native consumer loop. */
+  /** `exit kafka consumer` — stop every native consumer loop.
+    * Cooperative first, forceful second: the stop flag alone lets an
+    * in-flight LANDING (file write + offset journal) finish — an
+    * interrupt during that window would abort the write via
+    * `ClosedByInterruptException` AFTER bytes hit disk but BEFORE the
+    * offset journals, re-landing the batch on restart. Only a thread
+    * still alive after the grace join (parked in the poll sleep or a
+    * wedged socket) gets interrupted. */
   private def exitKafkaConsumer(): String = {
     val victims = kafkaConsumers.synchronized {
       val v = kafkaConsumers.toList; kafkaConsumers.clear(); v
     }
-    victims.foreach { h => h.stop.set(true); h.thread.interrupt() }
+    victims.foreach(_.stop.set(true))
+    victims.foreach(_.thread.join(1500))
+    victims.foreach { h => if (h.thread.isAlive) h.thread.interrupt() }
     victims.foreach(_.thread.join(2000))
     s"stopped ${victims.size} kafka consumer(s)"
   }
@@ -2580,14 +2625,81 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     require(partKeys == 0 || partKeys == 4,
       "connect dbms: partition_column, lower_bound, upper_bound and " +
         "num_partitions must be given together")
-    catalog.registerJdbcTable(name, url, dbtable, opts)
+    // no explicit partition quadruple: AUTO-DERIVE it (a one-task
+    // JDBC scan is the 100 TB anti-pattern). One cheap remote probe at
+    // registration — schema via a WHERE 1=0 cursor, then MIN/MAX of
+    // the first numeric column, computed BY the remote engine — fills
+    // the triple; explicit options always win, and a probe failure
+    // (no numeric column, empty table, exotic dialect) falls back to
+    // the documented single-cursor scan rather than failing the
+    // connect.
+    val autoOpts =
+      if (partKeys == 4) opts
+      else opts ++ deriveJdbcPartitioning(url, dbtable, opts)
+    catalog.registerJdbcTable(name, url, dbtable, autoOpts)
     // connectivity + schema probe now, not at first query
     val n = catalog.table(name).schema.fields.length
     s"dbms $name connected: jdbc $dbtable ($n columns" +
-      (if (partKeys == 4) s", ${opts("numPartitions")} parallel cursors"
+      (if (autoOpts.contains("numPartitions"))
+         s", ${autoOpts("numPartitions")} parallel cursors" +
+           (if (partKeys == 4) "" else
+             s" (auto on ${autoOpts("partitionColumn")})")
        else ", single cursor — set partition_column/num_partitions " +
          "for a parallel scan") + ")"
   }
+
+  /** Probe the remote once and derive the Spark JDBC parallel-scan
+    * triple: first integral/decimal column (schema from a zero-row
+    * cursor), MIN/MAX via one remote aggregate, numPartitions capped
+    * by both local parallelism and the key span. Returns empty when
+    * nothing derivable — the scan then stays single-cursor. */
+  private def deriveJdbcPartitioning(url: String, dbtable: String,
+      opts: Map[String, String]): Map[String, String] =
+    try {
+      val props = new java.util.Properties
+      opts.get("user").foreach(props.setProperty("user", _))
+      opts.get("password").foreach(props.setProperty("password", _))
+      opts.get("driver").foreach(c => Class.forName(c))
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        val st = conn.createStatement()
+        val zero = st.executeQuery(
+          s"SELECT * FROM $dbtable WHERE 1=0")
+        val md = zero.getMetaData
+        import java.sql.Types._
+        val keyCol = (1 to md.getColumnCount).find { i =>
+          md.getColumnType(i) match {
+            case TINYINT | SMALLINT | INTEGER | BIGINT | DECIMAL |
+                NUMERIC => true
+            case _ => false
+          }
+        }.map(md.getColumnName)
+        zero.close()
+        keyCol match {
+          case None => Map.empty
+          case Some(c) =>
+            val rs = st.executeQuery(
+              s"SELECT MIN($c), MAX($c) FROM $dbtable")
+            val out =
+              if (!rs.next()) Map.empty[String, String]
+              else {
+                val lo = rs.getLong(1); val loNull = rs.wasNull()
+                val hi = rs.getLong(2); val hiNull = rs.wasNull()
+                if (loNull || hiNull || lo >= hi) Map.empty[String, String]
+                else {
+                  val maxUseful = math.min(hi - lo + 1,
+                    spark.sparkContext.defaultParallelism.toLong)
+                  val nParts = math.max(2L, math.min(8L, maxUseful))
+                  Map("partitionColumn" -> c,
+                    "lowerBound" -> lo.toString,
+                    "upperBound" -> hi.toString,
+                    "numPartitions" -> nParts.toString)
+                }
+              }
+            rs.close(); out
+        }
+      } finally conn.close()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Live watch-dir streamers by table (`run streamer` /
     * `exit streamer`). */

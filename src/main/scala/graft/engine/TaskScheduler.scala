@@ -176,9 +176,21 @@ final class TaskScheduler(exec: String => String,
         t.lastRun = Long.MinValue
         s"Task '$name' re-armed"
       case "run" =>
-        val st = runTask(t, schedId)
-        t.synchronized { t.lastStatus = st }
-        s"Task '$name' executed"
+        // a manual run must honor the same single-flight guard as the
+        // pooled tick dispatch — otherwise it can execute concurrently
+        // with a scheduled run of the same task and race on
+        // prevStamp/lastRun/counter
+        val claimed = t.synchronized {
+          if (t.inFlight) false else { t.inFlight = true; true }
+        }
+        if (!claimed) s"Task '$name' already running — run skipped"
+        else {
+          try {
+            val st = runTask(t, schedId)
+            t.synchronized { t.lastStatus = st; t.inFlight = false }
+          } finally t.synchronized { t.inFlight = false }
+          s"Task '$name' executed"
+        }
       case other =>
         throw new IllegalArgumentException(s"task: unknown operation '$other'")
     }
@@ -198,13 +210,19 @@ final class TaskScheduler(exec: String => String,
     val now = clock()
     val (due, timeoutMs) = synchronized {
       val s = sched(schedId)
+      // check-and-CLAIM inFlight atomically per task (under the task's
+      // own monitor, the same one the completion/clear path uses): a
+      // concurrent tick or a manual `task run` racing this filter can
+      // no longer both select the same task
       (s.tasks.filter { t =>
-        t.mode == "Active" && !t.inFlight && now >= t.startAt &&
-          (t.lastRun == Long.MinValue || now - t.lastRun >= t.repeatMs)
+        t.mode == "Active" && now >= t.startAt &&
+          (t.lastRun == Long.MinValue || now - t.lastRun >= t.repeatMs) &&
+          t.synchronized {
+            if (t.inFlight) false else { t.inFlight = true; true }
+          }
       }.toList, s.taskTimeoutMs)
     }
     val futs = due.map { t =>
-      t.inFlight = true
       t -> pool.submit(new Runnable {
         def run(): Unit = {
           // status write + inFlight clear are ONE atomic block under

@@ -84,7 +84,16 @@ object TsdLedger {
   * which is exactly what the reference uses (tsd_info IS a DBMS
   * table, dbms/db_info.py:1738). */
 final class TsdLedger(journal: Option[java.nio.file.Path] = None,
-    shared: Boolean = false) {
+    shared: Boolean = false,
+    /** Initial replay chunk (bytes); production default 64 MB. Exposed
+      * so specs can exercise the longer-than-chunk-line growth/skip
+      * path without writing multi-GB journals. */
+    private[ingest] val replayChunkBytes: Long = 64L << 20,
+    /** Growth ceiling for a newline-free chunk; production default is
+      * the max JVM array size (a line bigger than that cannot be
+      * buffered at all and is skipped to its terminating newline). */
+    private[ingest] val replayMaxChunkBytes: Long =
+      Int.MaxValue.toLong - 8) {
   import TsdLedger.Entry
 
   private var entries = Vector.empty[Entry]
@@ -113,10 +122,11 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None,
       // delta would overflow Int (and heap-spike); 64 MB chunks replay
       // the SAME complete-line prefix discipline until caught up
       var progressed = true
+      var chunkBytes = replayChunkBytes
       while (progressed && journalOffset < size) {
         progressed = false
         ch.position(journalOffset)
-        val want = math.min(size - journalOffset, 64L << 20)
+        val want = math.min(size - journalOffset, chunkBytes)
         val buf = java.nio.ByteBuffer.allocate(want.toInt)
         while (buf.hasRemaining && ch.read(buf) >= 0) {}
         buf.flip()
@@ -133,8 +143,42 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None,
               if (line.trim.nonEmpty) applyLine(line)
             }
           journalOffset += end
+          chunkBytes = replayChunkBytes
           progressed = true
+        } else if (want < size - journalOffset) {
+          // newline-free FULL chunk with more committed bytes behind
+          // it: one journal line is longer than the chunk. Grow and
+          // retry (replay must not wedge silently at this offset); a
+          // line that cannot fit a max-size array at all is
+          // unparseable anyway — skip past its terminating newline so
+          // every later entry still applies.
+          if (chunkBytes < replayMaxChunkBytes) {
+            chunkBytes = math.min(chunkBytes * 2, replayMaxChunkBytes)
+            progressed = true
+          } else {
+            var pos = journalOffset + want
+            var found = -1L
+            val scan = java.nio.ByteBuffer.allocate(1 << 20)
+            while (found < 0 && pos < size) {
+              scan.clear(); ch.position(pos)
+              val n = ch.read(scan)
+              if (n <= 0) pos = size
+              else {
+                var i = 0
+                while (found < 0 && i < n) {
+                  if (scan.get(i) == '\n'.toByte) found = pos + i + 1
+                  i += 1
+                }
+                pos += n
+              }
+            }
+            if (found >= 0) { // line dropped, replay continues after it
+              journalOffset = found; chunkBytes = replayChunkBytes
+              progressed = true
+            } // else torn giant tail with no newline yet: next refresh
+          }
         }
+        // else: torn tail at EOF (no newline yet) — next refresh
       }
     } finally ch.close()
   }

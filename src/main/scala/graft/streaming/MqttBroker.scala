@@ -218,9 +218,13 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
             case 6 => // PUBREL -> PUBCOMP (completes the QoS 2 exchange)
               val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
               inflight.synchronized(inflight -= packetId)
-              out.write(Array[Byte](0x70, 0x02,
-                ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
-              out.flush()
+              // out.synchronized: forward() may be writing a PUBLISH to
+              // this same stream from another handler thread
+              out.synchronized {
+                out.write(Array[Byte](0x70, 0x02,
+                  ((packetId >> 8) & 0xff).toByte, (packetId & 0xff).toByte))
+                out.flush()
+              }
             case 4 => // PUBACK from a subscriber: at-least-once done
             case 8 => // SUBSCRIBE -> register filters, SUBACK
               val packetId = ((body(0) & 0xff) << 8) | (body(1) & 0xff)
@@ -263,7 +267,9 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
                 out.flush()
               }
             case 12 => // PINGREQ -> PINGRESP
-              out.write(Array[Byte](0xd0.toByte, 0x00)); out.flush()
+              out.synchronized {
+                out.write(Array[Byte](0xd0.toByte, 0x00)); out.flush()
+              }
             case 14 => // DISCONNECT
               open = false
             case _ => // unsupported control packet: ignore body

@@ -332,4 +332,79 @@ class ConcurrencySoakSpec extends SparkSpec {
       .head().getLong(0) === 8L)
     feB.stop(); producer.close(); broker.stop()
   }
+
+  test("kafka restart soak: consumer killed/restarted MID-STREAM twice " +
+      "(offset journal carries the cursor) with a broker truncation " +
+      "between restarts — every surviving message lands exactly once, " +
+      "truncated-unseen messages never appear") {
+    val dir = java.nio.file.Files.createTempDirectory("krsoak")
+    val root = dir.resolve("root")
+    val land = dir.resolve("land")
+    val broker = new graft.streaming.KafkaMiniBroker()
+    val kport = broker.start()
+    val producer = new graft.streaming.KafkaNativeClient("localhost", kport)
+    try {
+      def startConsumer(): graft.engine.Engine = {
+        // a FRESH engine + FRESH catalog per (re)start — only the
+        // persisted journal under `root` carries the cursor across
+        val e = new graft.engine.Engine(spark,
+          new graft.engine.Catalog(spark, Some(root)))
+        e.execute(s"run kafka consumer where ip = localhost and " +
+          s"port = $kport and topic = kr and dir = $land " +
+          "and reset = earliest and poll = 30")
+        e
+      }
+      def landed(): Seq[String] =
+        Option(land.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.isFile)
+          .flatMap(f => java.nio.file.Files.readString(f.toPath)
+            .linesIterator.toSeq)
+      def awaitLanded(n: Int): Unit = {
+        val deadline = System.currentTimeMillis + 15000
+        while (landed().size < n && System.currentTimeMillis < deadline)
+          Thread.sleep(30)
+      }
+      // ---- phase 1: feed WHILE killing and restarting mid-stream ----
+      val e1 = startConsumer()
+      val feeder = new Thread(() => (0 until 30).foreach { i =>
+        producer.produceStrings("kr", Seq(s"""{"n": $i}"""))
+        Thread.sleep(20)
+      })
+      feeder.start()
+      Thread.sleep(250) // mid-stream: some landed, feeder still going
+      e1.execute("exit kafka consumer")
+      Thread.sleep(150) // messages pile up while the consumer is down
+      val e2 = startConsumer()
+      feeder.join(30000)
+      awaitLanded(30)
+      Thread.sleep(300) // settle: replays would land immediately
+      val p1 = landed()
+      assert(p1.size === 30, s"phase 1 landed ${p1.size}: $p1")
+      assert((0 until 30).forall(i =>
+        p1.count(_ == s"""{"n": $i}""") == 1),
+        s"phase-1 duplicates/losses: ${p1.sorted}")
+      // ---- phase 2: truncate past UNSEEN messages, restart again ----
+      e2.execute("exit kafka consumer")
+      // 4 messages the stopped consumer never sees...
+      producer.produceStrings("kr",
+        (0 until 4).map(i => s"""{"lost": $i}"""))
+      // ...retention eats them (journal now points below log start)
+      broker.truncate("kr", 34L)
+      producer.produceStrings("kr",
+        (0 until 3).map(i => s"""{"post": $i}"""))
+      val e3 = startConsumer()
+      awaitLanded(33)
+      Thread.sleep(300)
+      val p2 = landed()
+      assert(p2.size === 33, s"phase 2 landed ${p2.size}")
+      assert((0 until 3).forall(i =>
+        p2.count(_ == s"""{"post": $i}""") == 1), p2.sorted.toString)
+      assert(!p2.exists(_.contains("lost")),
+        "truncated-unseen messages reappeared")
+      assert((0 until 30).forall(i =>
+        p2.count(_ == s"""{"n": $i}""") == 1),
+        "phase-1 messages re-landed after the truncation restart")
+      e3.execute("exit kafka consumer")
+    } finally { producer.close(); broker.stop() }
+  }
 }

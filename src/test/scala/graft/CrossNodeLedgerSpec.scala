@@ -124,4 +124,28 @@ class CrossNodeLedgerSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).sorted
     assert(ids.length === 2)
   }
+
+  test("replay survives a journal line longer than the replay chunk: " +
+      "the chunk grows to land it (no silent wedge), and a line above " +
+      "the growth ceiling is skipped so every LATER entry still applies") {
+    val j = java.nio.file.Files.createTempDirectory("bigline")
+      .resolve("tsd_ledger.ndjson")
+    val writer = new TsdLedger(Some(j), shared = true)
+    val big = "x" * 5000 // instructions blob -> a ~5 KB journal line
+    assert(writer.record("d", "t", "s", "h_big", big, 1L) === Some(1))
+    assert(writer.record("d", "t", "s", "h_after", "", 2L) === Some(2))
+    // 1 KB initial chunk: the first line never fits until growth kicks
+    // in — before the fix this replay stalled at offset 0 forever
+    val grown = new TsdLedger(Some(j), shared = true,
+      replayChunkBytes = 1024L)
+    assert(grown.list(Some("t")).map(_.fileHash) ===
+      Seq("h_big", "h_after"))
+    // growth CEILING below the line size: the giant line is
+    // unparseable at that budget and must be SKIPPED — the entry after
+    // it still applies, and so does a fresh append
+    val capped = new TsdLedger(Some(j), shared = true,
+      replayChunkBytes = 1024L, replayMaxChunkBytes = 2048L)
+    assert(capped.list(Some("t")).map(_.fileHash) === Seq("h_after"))
+    assert(capped.record("d", "t", "s", "h_new", "", 3L).nonEmpty)
+  }
 }

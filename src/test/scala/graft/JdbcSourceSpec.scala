@@ -70,6 +70,42 @@ class JdbcSourceSpec extends SparkSpec {
         "dbtable = m and partition_column = k"))
   }
 
+  test("an UNOPTIONED registration auto-derives the parallel-scan " +
+      "triple from a one-probe MIN/MAX of the first numeric column: " +
+      ">1 range-bounded cursor, same rows") {
+    val (url, _) = derby(120)
+    val engine = new Engine(spark, new Catalog(spark))
+    val reply = engine.execute(s"connect dbms remauto where type = jdbc " +
+      s"and url = $url and dbtable = m")
+    assert(reply.contains("auto on K"), reply)
+    val reg = engine.catalog.jdbcMeta("remauto").get
+    assert(reg.options.get("partitionColumn").contains("K"),
+      reg.options.toString)
+    assert(reg.options("lowerBound") === "0" &&
+      reg.options("upperBound") === "119", reg.options.toString)
+    val df = engine.catalog.table("remauto")
+    assert(df.rdd.getNumPartitions > 1,
+      s"auto-derived scan still single-task: ${reg.options}")
+    // partition ranges cover the key space exactly once
+    assert(df.count() === 120L)
+    assert(df.agg(sum("v")).head.getLong(0) ===
+      (0 until 120).map(i => (i * 7 % 100).toLong).sum)
+    // explicit options always WIN over derivation
+    engine.execute(s"connect dbms remexp where type = jdbc and " +
+      s"url = $url and dbtable = m and partition_column = k and " +
+      "lower_bound = 0 and upper_bound = 120 and num_partitions = 3")
+    assert(engine.catalog.table("remexp").rdd.getNumPartitions === 3)
+    // a table with NO numeric column falls back to single-cursor
+    // (probe failure must not fail the connect)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE strs (s VARCHAR(8))")
+    finally conn.close()
+    val r2 = engine.execute(s"connect dbms remstr where type = jdbc " +
+      s"and url = $url and dbtable = strs")
+    assert(r2.contains("single cursor"), r2)
+  }
+
   test("key=value pairs inside the JDBC url are not misread as " +
       "command options") {
     val (url0, _) = derby(5)
@@ -131,5 +167,16 @@ class JdbcSourceSpec extends SparkSpec {
       cat.registerTable("remshadow", p))
     // no duplicate names in the listing
     assert(cat.tableNames.count(_ == "remshadow") === 1)
+    // the invariant is SYMMETRIC for views: table() resolves views
+    // first, so a view named like the JDBC (or parquet) table would
+    // silently hide it
+    intercept[IllegalArgumentException](
+      cat.createView("remshadow", "events_local", Seq("k" -> "k")))
+    intercept[IllegalArgumentException](
+      cat.createView("events_local", "remshadow", Seq("k" -> "k")))
+    // re-defining an existing VIEW stays allowed (idempotent replace)
+    cat.createView("vw_ok", "events_local", Seq("k" -> "k1"))
+    cat.createView("vw_ok", "events_local", Seq("k" -> "k2"))
+    assert(cat.table("vw_ok").columns.toSeq === Seq("k2"))
   }
 }

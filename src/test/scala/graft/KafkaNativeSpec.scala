@@ -358,4 +358,95 @@ class KafkaChainE2ESpec extends SparkSpec {
       engine.execute("exit streamer")
     } finally { producer.close(); broker.stop() }
   }
+
+  test("consumer restart resumes from the journaled offset: every " +
+      "message lands exactly once across stop/restart (catalog-root " +
+      "offset journal beats the reset policy)") {
+    import graft.engine.{Catalog, Engine}
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val producer = new KafkaNativeClient("localhost", port)
+    try {
+      val root = java.nio.file.Files.createTempDirectory("kafkaroot")
+      val dir = java.nio.file.Files.createTempDirectory("kafkaonce")
+      def lines() =
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.isFile)
+          .flatMap(f => java.nio.file.Files.readString(f.toPath)
+            .linesIterator.toSeq)
+      val e1 = new Engine(spark, new Catalog(spark, Some(root)))
+      e1.execute(s"run kafka consumer where ip = localhost " +
+        s"and port = $port and topic = once and dir = $dir " +
+        "and reset = earliest and poll = 50")
+      producer.produceStrings("once",
+        Seq("""{"m": 1}""", """{"m": 2}""", """{"m": 3}"""))
+      var deadline = System.currentTimeMillis + 10000
+      while (lines().size < 3 && System.currentTimeMillis < deadline)
+        Thread.sleep(30)
+      assert(lines().size === 3, s"first run landed ${lines()}")
+      e1.execute("exit kafka consumer")
+      // journal persisted beside the catalog files
+      assert(java.nio.file.Files.exists(root.resolve(
+        "kafkaoff_once.json")), "offset journal not persisted")
+      // restart: a FRESH catalog reloads the journal; reset=earliest
+      // would re-land all 3 retained messages without it
+      val e2 = new Engine(spark, new Catalog(spark, Some(root)))
+      e2.execute(s"run kafka consumer where ip = localhost " +
+        s"and port = $port and topic = once and dir = $dir " +
+        "and reset = earliest and poll = 50")
+      producer.produceStrings("once",
+        Seq("""{"m": 4}""", """{"m": 5}"""))
+      deadline = System.currentTimeMillis + 10000
+      while (lines().size < 5 && System.currentTimeMillis < deadline)
+        Thread.sleep(30)
+      // settle window: duplicates from a replay would land right away
+      Thread.sleep(400)
+      val got = lines()
+      assert(got.size === 5, s"exactly-once violated: $got")
+      assert((1 to 5).forall(i => got.count(_.contains(s"\"m\": $i")) == 1),
+        s"per-message exactly-once violated: $got")
+      e2.execute("exit kafka consumer")
+    } finally { producer.close(); broker.stop() }
+  }
+
+  test("embedded-newline payloads: pretty-printed JSON re-serializes " +
+      "compact (ONE row per message); a non-JSON multiline payload " +
+      "routes to the err dir, never the landing") {
+    import graft.engine.{Catalog, Engine}
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    val producer = new KafkaNativeClient("localhost", port)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("kafkandjson")
+      val engine = new Engine(spark, new Catalog(spark))
+      engine.execute(s"run kafka consumer where ip = localhost " +
+        s"and port = $port and topic = nd and dir = $dir " +
+        "and reset = earliest and poll = 50")
+      val pretty = "{\n  \"device\": \"p1\",\n  \"value\": 42\n}"
+      val garbage = "not json\nat all"
+      producer.produceStrings("nd", Seq(pretty, garbage,
+        """{"device": "ok", "value": 1}"""))
+      def landed() =
+        Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.isFile)
+          .flatMap(f => java.nio.file.Files.readString(f.toPath)
+            .linesIterator.toSeq)
+      val deadline = System.currentTimeMillis + 10000
+      while (landed().size < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(30)
+      val got = landed()
+      assert(got.size === 2, s"landing: $got")
+      // the pretty payload became exactly one compact line
+      val compactLine = got.filter(_.contains("p1"))
+      assert(compactLine.size === 1 && !compactLine.head.contains("\n") &&
+        compactLine.head.contains("42"), s"compacted: $compactLine")
+      // the garbage routed to err intact
+      val errDir = dir.resolve("err").toFile
+      val errFiles = Option(errDir.listFiles()).getOrElse(Array.empty)
+      assert(errFiles.length === 1, s"err dir: ${errFiles.toSeq}")
+      assert(java.nio.file.Files.readString(errFiles.head.toPath)
+        === garbage)
+      engine.execute("exit kafka consumer")
+    } finally { producer.close(); broker.stop() }
+  }
 }

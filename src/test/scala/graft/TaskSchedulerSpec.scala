@@ -71,6 +71,76 @@ class TaskSchedulerSpec extends SparkSpec {
     assert(ts.tick() === 1)
   }
 
+  test("single-flight under races: a manual `task run` is refused while " +
+      "a scheduled run is in flight, concurrent ticks never " +
+      "double-dispatch, and the guard clears when the run finishes") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val started = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val runs = new java.util.concurrent.atomic.AtomicInteger
+    var now = 1000000L
+    val ts = new TaskScheduler(_ => {
+      runs.incrementAndGet(); started.countDown()
+      release.await(10, TimeUnit.SECONDS); "ok"
+    }, () => now)
+    ts.add("slow", "cmd slow", repeatMs = 1L)
+    ts.setTaskTimeout(50L) // tick returns while the task still runs
+    assert(ts.tick() === 1)
+    assert(started.await(5, TimeUnit.SECONDS))
+    // the pooled run is STILL executing (blocked on `release`) —
+    // a due re-tick must not re-dispatch, and a manual run must be
+    // refused, not raced
+    now += 10000
+    assert(ts.tick() === 0, "in-flight task re-dispatched by tick")
+    assert(ts.taskCmd("run", "slow").contains("skipped"),
+      "manual run raced an in-flight scheduled run")
+    assert(runs.get() === 1)
+    release.countDown()
+    // wait for the pooled completion to clear inFlight
+    val deadline = System.currentTimeMillis + 5000
+    while (ts.tasksOf().head.inFlight &&
+        System.currentTimeMillis < deadline) Thread.sleep(10)
+    // guard cleared: both dispatch paths work again
+    assert(ts.taskCmd("run", "slow") === "Task 'slow' executed")
+    now += 10000
+    assert(ts.tick() === 1)
+    assert(runs.get() === 3)
+  }
+
+  test("tick/manual hammer: many interleaved ticks and manual runs " +
+      "never overlap two executions of one task") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val active = new AtomicInteger
+    val overlaps = new AtomicInteger
+    val runs = new AtomicInteger
+    @volatile var now = 1000000L
+    val ts = new TaskScheduler(_ => {
+      if (active.incrementAndGet() > 1) overlaps.incrementAndGet()
+      Thread.sleep(1) // widen the overlap window
+      runs.incrementAndGet()
+      active.decrementAndGet(); "ok"
+    }, () => now)
+    ts.add("hammered", "cmd h", repeatMs = 1L)
+    ts.setTaskTimeout(1L) // every tick returns immediately, leaving
+    // the pooled run racing the next dispatch attempt
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        (0 until 200).foreach { _ =>
+          now += 10
+          if (i % 2 == 0) ts.tick()
+          else ts.taskCmd("run", "hammered")
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(30000))
+    val deadline = System.currentTimeMillis + 5000
+    while (ts.tasksOf().head.inFlight &&
+        System.currentTimeMillis < deadline) Thread.sleep(10)
+    assert(overlaps.get() === 0,
+      s"${overlaps.get()} overlapping executions of one task")
+    assert(runs.get() > 0)
+  }
+
   test("TIME(PREVIOUS)/TIME(CURRENT) substitution chains across runs") {
     val (ts, ran, now, setNow) = fixture()
     ts.start(spawnThread = false) // sets wakeMs default 10 s
