@@ -532,6 +532,15 @@ object Plans {
           "grams; the left-join back to the doc list is on the doc " +
           "key, so the whole pass is linear and embarrassingly " +
           "parallel at any corpus size"),
+      "q208_federated_include" ->
+        ("federated include= union: parquet scan UNION JDBCRelation " +
+          "scan under ONE two-phase hash aggregate — each side keeps " +
+          "its own pushdown (ReadSchema pruning on the parquet scan, " +
+          "remote-cursor projection on the JDBC scan), the union adds " +
+          "no shuffle of its own, and the auto-derived partition " +
+          "triple keeps the foreign side a parallel range-bounded " +
+          "scan; at fleet scale this is the reference's " +
+          "shard-include shape with heterogeneous shard engines"),
       "q206_jdbc_scan" ->
         ("foreign-engine scan over the built-in JDBC source: the " +
           "plan is JDBCRelation scan -> two-phase hash aggregate; " +

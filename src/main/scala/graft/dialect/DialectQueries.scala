@@ -879,7 +879,64 @@ object DialectQueries {
     "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations " +
       "FROM nation WHERE n_nationkey >= 5 GROUP BY 1 ORDER BY 1"
 
+  /** q208 — FEDERATED include=: ONE dialect query unions a local
+    * parquet table with a JDBC-served foreign table (the reference's
+    * include already treats foreign tables as the queried table,
+    * cmd/member_cmd.py:110-113 — its shards are all remote cursors).
+    * nation is SPLIT for the fixture: keys < 12 in a registered
+    * parquet table, keys >= 12 in a live embedded Derby registered
+    * via `connect dbms` (auto-derived parallel cursors); the oracle
+    * aggregates the WHOLE parquet nation, so a row lost, duplicated,
+    * or retyped on either side of the federation breaks the hash. */
+  private val q208: QFn = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("q208")
+    if (System.getProperty("derby.system.home") == null)
+      System.setProperty("derby.system.home", root.toString)
+    val url = s"jdbc:derby:$root/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE nat_hi (n_nationkey INT, " +
+        "n_name VARCHAR(64), n_regionkey INT)")
+      val ps = conn.prepareStatement("INSERT INTO nat_hi VALUES (?, ?, ?)")
+      Tables.load(s, d, "nation").where("n_nationkey >= 12")
+        .collect().foreach { r =>
+          ps.setInt(1, r.getInt(0)); ps.setString(2, r.getString(1))
+          ps.setInt(3, r.getInt(2)); ps.addBatch()
+        }
+      ps.executeBatch()
+    } finally conn.close()
+    val low = root.resolve("nation_low.parquet").toString
+    Tables.load(s, d, "nation").where("n_nationkey < 12")
+      .select("n_nationkey", "n_name", "n_regionkey").write.parquet(low)
+    val cat = new graft.engine.Catalog(s)
+    cat.registerTable("nation_low", low)
+    val engine = new graft.engine.Engine(s, cat)
+    val reply = engine.execute(s"connect dbms nat_hi_remote where " +
+      s"type = jdbc and url = $url and dbtable = nat_hi")
+    require(reply.contains("connected"), reply)
+    val df = engine.query(
+      """sql edge include = (nat_hi_remote) "select n_regionkey, """ +
+        """count(*) as n_nations, min(n_nationkey) as min_key, """ +
+        """max(n_nationkey) as max_key from nation_low """ +
+        """group by n_regionkey order by n_regionkey"""")
+    // materialize before the Derby shutdown (lazy JDBC scan; and the
+    // temp database must not stay booted across bench iterations)
+    val rows = df.collect().toSeq
+    import scala.jdk.CollectionConverters._
+    val out = s.createDataFrame(rows.asJava, df.schema)
+    try java.sql.DriverManager
+      .getConnection(s"jdbc:derby:$root/db;shutdown=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = clean stop
+    out
+  }
+  private val q208Sql =
+    "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations, " +
+      "min(n_nationkey) AS min_key, max(n_nationkey) AS max_key " +
+      "FROM nation GROUP BY 1 ORDER BY 1"
+
   val queries: Map[String, QFn] = Map(
+    "q208_federated_include" -> q208,
     "q206_jdbc_scan" -> q206,
     "q201_scheduled_sync" -> q201,
     "q204_ha_sync" -> q204,
@@ -908,6 +965,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q208_federated_include" -> q208Sql,
     "q206_jdbc_scan" -> q206Sql,
     "q201_scheduled_sync" -> q201Sql,
     "q204_ha_sync" -> q204Sql,

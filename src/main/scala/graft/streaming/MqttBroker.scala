@@ -89,7 +89,13 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
           // packet ids are non-zero 16-bit (spec §2.3.1) and must be
           // unique among in-flight forwards — `& 0x7fff | 1` gave
           // consecutive forwards the SAME id (2|1 == 3|1), which a
-          // compliant subscriber discards as a DUP retransmission
+          // compliant subscriber discards as a DUP retransmission.
+          // WRAP ASSUMPTION: the counter repeats every 32,768
+          // forwards, so an id collides only if a subscriber still has
+          // that id IN FLIGHT (un-acked) after 32k subsequent
+          // forwards — an in-flight window no MQTT client sustains
+          // (spec Receive Maximum is capped at 65,535, and broker
+          // QoS-1 forwards here are fire-and-forget, not retried).
           val id = (nextForwardId.getAndIncrement() & 0x7fff) + 1
           Array[Byte](((id >> 8) & 0xff).toByte, (id & 0xff).toByte)
         } else Array.emptyByteArray
@@ -134,6 +140,17 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
       cont = (b & 0x80) != 0
       i += 1
     }
+    // frame-size sanity (same treatment as the Kafka client's frame
+    // cap): a continuation bit on the 4th byte is a protocol
+    // violation (spec §2.2.3 caps the varint at 4 bytes), and an
+    // adversarial length would otherwise make readFully allocate up
+    // to 256 MB PER CONNECTION before a single payload byte arrives.
+    // Drop the connection, never the broker.
+    if (cont) throw new java.io.IOException(
+      "malformed remaining length (continuation past 4 bytes)")
+    if (value > MqttBroker.MaxFrameBytes) throw new java.io.IOException(
+      s"frame of $value bytes exceeds the ${MqttBroker.MaxFrameBytes}" +
+        " cap")
     value
   }
 
@@ -324,4 +341,12 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
     conns.forEach(s => try s.close() catch { case _: Exception => () })
     conns.clear()
   }
+}
+
+object MqttBroker {
+  /** Largest accepted frame body. The reference's MQTT payloads are
+    * sensor JSON documents (KBs); 16 MB leaves three orders of
+    * magnitude of headroom while bounding what one adversarial or
+    * corrupted length prefix can make a connection allocate. */
+  val MaxFrameBytes: Int = 16 << 20
 }

@@ -63,6 +63,16 @@ final class MqttClient(host: String, port: Int, clientId: String,
       cont = (b & 0x80) != 0
       i += 1
     }
+    // same frame-size sanity as the broker side: a malformed varint
+    // (continuation past 4 bytes, spec §2.2.3) or an absurd length
+    // from a broken/hostile broker must fail the read loop (the
+    // client stops and the service board reports it down) instead of
+    // allocating up to 256 MB mid-stream
+    if (cont) throw new java.io.IOException(
+      "malformed remaining length (continuation past 4 bytes)")
+    if (value > MqttBroker.MaxFrameBytes) throw new java.io.IOException(
+      s"frame of $value bytes exceeds the ${MqttBroker.MaxFrameBytes}" +
+        " cap")
     value
   }
 

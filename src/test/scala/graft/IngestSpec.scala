@@ -669,6 +669,104 @@ class MqttBrokerSpec extends SparkSpec {
       assert(got.toArray.toSeq === Seq("m1"))
     } finally broker.stop()
   }
+
+  test("adversarial inputs drop only the offending CONNECTION, never " +
+      "the broker: oversized remaining-length, malformed varint, and " +
+      "a mid-frame disconnect all leave a healthy peer serving") {
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]
+    val broker = new MqttBroker((_, p) => got.add(p))
+    val port = broker.start()
+    try {
+      def freshConn(): (java.net.Socket, java.io.OutputStream,
+          java.io.InputStream) = {
+        val s = new java.net.Socket("localhost", port)
+        s.setSoTimeout(5000)
+        val o = s.getOutputStream; val i = s.getInputStream
+        o.write(connectPacket); o.flush()
+        val connack = new Array[Byte](4)
+        assert(i.read(connack) === 4 && connack(0) === 0x20.toByte)
+        (s, o, i)
+      }
+      // 1) oversized remaining length: a 200 MB frame claim must be
+      // refused BEFORE the broker allocates it; the connection dies
+      val (s1, o1, i1) = freshConn()
+      // varint for ~200 MB: 0x80 0x80 0x80 0x64 -> 0x64 << 21
+      o1.write(Array[Byte](0x30, 0x80.toByte, 0x80.toByte, 0x80.toByte,
+        0x64)); o1.flush()
+      assert(i1.read() === -1, "oversized frame did not drop the conn")
+      s1.close()
+      // 2) malformed varint (continuation bit on all 4 bytes)
+      val (s2, o2, i2) = freshConn()
+      o2.write(Array[Byte](0x30, 0x81.toByte, 0x81.toByte, 0x81.toByte,
+        0x81.toByte)); o2.flush()
+      assert(i2.read() === -1, "malformed varint did not drop the conn")
+      s2.close()
+      // 3) mid-frame disconnect: half a PUBLISH body, then close —
+      // nothing may reach the sink from the torn frame
+      val (s3, o3, _) = freshConn()
+      val torn = publishPacket("t/half", "never-delivered", qos = 0)
+      o3.write(torn, 0, torn.length / 2); o3.flush()
+      s3.close()
+      Thread.sleep(150)
+      // 4) the broker is still healthy: a well-formed peer publishes
+      // and gets its QoS-1 ack
+      val (s4, o4, i4) = freshConn()
+      o4.write(publishPacket("t/ok", "healthy", qos = 1, packetId = 11))
+      o4.flush()
+      val puback = new Array[Byte](4)
+      var off = 0
+      while (off < 4) { val r = i4.read(puback, off, 4 - off)
+        assert(r > 0); off += r }
+      assert(puback(0) === 0x40.toByte && puback(3) === 11.toByte)
+      s4.close()
+      val deadline = System.currentTimeMillis + 5000
+      while (got.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(20)
+      assert(got.toArray.toSeq === Seq("healthy"),
+        s"torn-frame bytes leaked into the sink: ${got.toArray.toSeq}")
+    } finally broker.stop()
+  }
+
+  test("duplicate QoS 2 PUBREL (a retransmitted release) answers " +
+      "PUBCOMP each time and never re-delivers or crashes the handler") {
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]
+    val broker = new MqttBroker((_, p) => got.add(p))
+    val port = broker.start()
+    try {
+      val sock = new java.net.Socket("localhost", port)
+      sock.setSoTimeout(5000)
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      out.write(connectPacket); out.flush()
+      val connack = new Array[Byte](4)
+      assert(in.read(connack) === 4)
+      def expect4(tpe: Byte, pid: Int): Unit = {
+        val buf = new Array[Byte](4)
+        var off = 0
+        while (off < 4) { val r = in.read(buf, off, 4 - off)
+          assert(r > 0); off += r }
+        assert(buf(0) === tpe && buf(3) === (pid & 0xff).toByte)
+      }
+      out.write(publishPacket("t", "m1", qos = 2, packetId = 5)); out.flush()
+      expect4(0x50, 5) // PUBREC
+      out.write(Array[Byte](0x62, 0x02, 0x00, 0x05)); out.flush() // PUBREL
+      expect4(0x70, 5) // PUBCOMP
+      // the sender's PUBCOMP was lost, so it retransmits PUBREL —
+      // twice, for good measure
+      out.write(Array[Byte](0x62, 0x02, 0x00, 0x05)); out.flush()
+      expect4(0x70, 5)
+      out.write(Array[Byte](0x62, 0x02, 0x00, 0x05)); out.flush()
+      expect4(0x70, 5)
+      // and a PUBREL for an id that never existed is answered too
+      // (idempotent release), not treated as a protocol error
+      out.write(Array[Byte](0x62, 0x02, 0x00, 0x63)); out.flush()
+      expect4(0x70, 0x63)
+      sock.close()
+      Thread.sleep(100)
+      assert(got.toArray.toSeq === Seq("m1"))
+    } finally broker.stop()
+  }
+
 }
 
 class TopicRouterSpec extends SparkSpec {

@@ -179,4 +179,43 @@ class JdbcSourceSpec extends SparkSpec {
     cat.createView("vw_ok", "events_local", Seq("k" -> "k2"))
     assert(cat.table("vw_ok").columns.toSeq === Seq("k2"))
   }
+
+  test("federated include=: ONE dialect query unions a parquet table " +
+      "with a JDBC table — both scans keep their own pushdown and the " +
+      "union is shuffle-free") {
+    val (url, _) = derby(40)
+    val root = java.nio.file.Files.createTempDirectory("fedinc")
+    import spark.implicits._
+    val p = root.resolve("local.parquet").toString
+    (100 until 140).map(i => (i, s"g${i % 3}", (i * 3 % 50).toLong))
+      .toDF("k", "grp", "v").write.parquet(p)
+    val cat = new Catalog(spark)
+    cat.registerTable("loc", p)
+    val engine = new Engine(spark, cat)
+    engine.execute(s"connect dbms remfed where type = jdbc and " +
+      s"url = $url and dbtable = m")
+    val df = engine.query(
+      """sql edge include = (remfed) "select grp, count(*) as n, """ +
+        """sum(v) as sv from loc where k >= 0 group by grp order by grp"""")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 40 local + 40 remote rows, all keys >= 0
+    assert(got.map(_._2).sum === 80L, got.toString)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation"), plan)
+    assert(plan.toLowerCase.contains("parquet"), plan)
+    // the remote side still pushes its filter to the foreign engine
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(K,0)"), plan)
+    // union + PARTIAL aggregation happen below the shuffle, and the
+    // only exchanges are the aggregate's hash repartition and the
+    // order-by's range repartition, both on the group key — the
+    // federation itself introduces no data movement (AQE prints the
+    // plan twice, so assert on exchange KINDS, not line counts)
+    assert(plan.contains("partial_count"), plan)
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange "))
+      .map(_.replaceAll(".*Exchange ", "").takeWhile(_ != '(')).toSet
+    assert(exchanges.subsetOf(Set("hashpartitioning",
+      "rangepartitioning")), s"unexpected exchanges $exchanges\n$plan")
+  }
 }
