@@ -859,25 +859,36 @@ object DialectQueries {
     val reply = engine.execute(s"connect dbms nat_remote where " +
       s"type = jdbc and url = $url and dbtable = nat")
     require(reply.contains("connected"), reply)
-    val df = engine.query(
+    rotateDerby(s"$root/db") // bounds booted instances across runs
+    engine.query(
       """sql edge "select n_regionkey, count(*) as n_nations """ +
         """from nat_remote where n_nationkey >= 5 group by n_regionkey """ +
         """order by n_regionkey"""")
-    // materialize the (tiny) aggregate BEFORE shutting the temp Derby
-    // database down — the JDBC scan is lazy, and without the shutdown
-    // each Bench iteration leaves another database booted in-process,
-    // accumulating memory across runs
-    val rows = df.collect().toSeq
-    import scala.jdk.CollectionConverters._
-    val out = s.createDataFrame(rows.asJava, df.schema)
-    try java.sql.DriverManager
-      .getConnection(s"jdbc:derby:$root/db;shutdown=true")
-    catch { case _: java.sql.SQLException => () } // 08006 = clean shutdown
-    out
   }
   private val q206Sql =
     "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations " +
       "FROM nation WHERE n_nationkey >= 5 GROUP BY 1 ORDER BY 1"
+
+  /** Temp embedded-Derby lifecycle for the JDBC fixture queries
+    * (q206/q208): each invocation boots a fresh throwaway database.
+    * Shutting it down INSIDE the QFn would force materialization (the
+    * returned plan is a lazy JDBC scan) and hide the real
+    * JDBCRelation plan from Plans/bench — so instead the PREVIOUS
+    * fixture database shuts down when the next one boots. Repeated
+    * Bench iterations therefore hold at most ONE booted instance
+    * (the r14 accumulation concern), the caller's lazy plan stays
+    * valid until the next fixture query runs, and the last instance
+    * dies with the JVM (embedded Derby needs no clean shutdown for a
+    * throwaway database). */
+  private val lastDerby =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private def rotateDerby(dbPath: String): Unit = {
+    val prev = lastDerby.getAndSet(dbPath)
+    if (prev != null && prev != dbPath)
+      try java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$prev;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // 08006 = stopped
+  }
 
   /** q208 — FEDERATED include=: ONE dialect query unions a local
     * parquet table with a JDBC-served foreign table (the reference's
@@ -915,20 +926,12 @@ object DialectQueries {
     val reply = engine.execute(s"connect dbms nat_hi_remote where " +
       s"type = jdbc and url = $url and dbtable = nat_hi")
     require(reply.contains("connected"), reply)
-    val df = engine.query(
+    rotateDerby(s"$root/db") // bounds booted instances across runs
+    engine.query(
       """sql edge include = (nat_hi_remote) "select n_regionkey, """ +
         """count(*) as n_nations, min(n_nationkey) as min_key, """ +
         """max(n_nationkey) as max_key from nation_low """ +
         """group by n_regionkey order by n_regionkey"""")
-    // materialize before the Derby shutdown (lazy JDBC scan; and the
-    // temp database must not stay booted across bench iterations)
-    val rows = df.collect().toSeq
-    import scala.jdk.CollectionConverters._
-    val out = s.createDataFrame(rows.asJava, df.schema)
-    try java.sql.DriverManager
-      .getConnection(s"jdbc:derby:$root/db;shutdown=true")
-    catch { case _: java.sql.SQLException => () } // 08006 = clean stop
-    out
   }
   private val q208Sql =
     "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations, " +
