@@ -859,7 +859,7 @@ object DialectQueries {
     val reply = engine.execute(s"connect dbms nat_remote where " +
       s"type = jdbc and url = $url and dbtable = nat")
     require(reply.contains("connected"), reply)
-    rotateDerby(s"$root/db") // bounds booted instances across runs
+    rotateDerby(s"$root/db", root.toString) // bound instances + disk
     engine.query(
       """sql edge "select n_regionkey, count(*) as n_nations """ +
         """from nat_remote where n_nationkey >= 5 group by n_regionkey """ +
@@ -881,13 +881,28 @@ object DialectQueries {
     * dies with the JVM (embedded Derby needs no clean shutdown for a
     * throwaway database). */
   private val lastDerby =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
-  private def rotateDerby(dbPath: String): Unit = {
-    val prev = lastDerby.getAndSet(dbPath)
-    if (prev != null && prev != dbPath)
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+  private def rotateDerby(dbPath: String, fixtureRoot: String): Unit = {
+    val prev = lastDerby.getAndSet((dbPath, fixtureRoot))
+    if (prev != null && prev._1 != dbPath) {
       try java.sql.DriverManager
-        .getConnection(s"jdbc:derby:$prev;shutdown=true")
+        .getConnection(s"jdbc:derby:${prev._1};shutdown=true")
       catch { case _: java.sql.SQLException => () } // 08006 = stopped
+      // bound DISK too, not just booted instances: each invocation
+      // creates a whole fixture tree (Derby db + parquet copy) under
+      // a fresh temp root — delete the previous one after shutdown
+      try {
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val r = java.nio.file.Paths.get(prev._2)
+        if (Files.exists(r)) {
+          val all = Files.walk(r)
+          try all.sorted(java.util.Comparator.reverseOrder[Path]())
+            .iterator().asScala.foreach(Files.deleteIfExists(_))
+          finally all.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** q208 — FEDERATED include=: ONE dialect query unions a local
@@ -926,7 +941,7 @@ object DialectQueries {
     val reply = engine.execute(s"connect dbms nat_hi_remote where " +
       s"type = jdbc and url = $url and dbtable = nat_hi")
     require(reply.contains("connected"), reply)
-    rotateDerby(s"$root/db") // bounds booted instances across runs
+    rotateDerby(s"$root/db", root.toString) // bound instances + disk
     engine.query(
       """sql edge include = (nat_hi_remote) "select n_regionkey, """ +
         """count(*) as n_nations, min(n_nationkey) as min_key, """ +

@@ -69,6 +69,15 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     require(!jdbcTables.contains(name),
       s"$name is already a registered JDBC table — the JDBC " +
         "registration would shadow this parquet one")
+    // the third leg of the no-shadowing invariant: table() resolves
+    // views FIRST, so registering a table under an existing view's
+    // name would be silently shadowed live and then resolve to the
+    // TABLE after a restart (reload loads table_ before view_ and
+    // drops the colliding view into reloadErrors) — same name,
+    // different data across the restart. Refuse loudly instead.
+    require(!views.contains(name),
+      s"$name is already a view — the table registration would be " +
+        "shadowed by it")
     val sch = schema.getOrElse(Tables.loadPath(spark, path, nanoTs).schema)
     tables += name -> TableReg(name, path, sch.json, nanoTs)
     persist(s"table_$name.json",

@@ -2387,6 +2387,21 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           s"reset must be earliest|latest, got $other")
       }
     val pollMs = kv("poll").map(_.toLong).getOrElse(500L)
+    // one live consumer per topic per node: the catalog's offset
+    // journal is keyed (topic, partition), so a second consumer of
+    // the same topic (different landing dir) would clobber the
+    // first's cursor and turn its restart resume into silent message
+    // loss. The reference gets the same exclusion from its consumer
+    // group; here the node IS the group.
+    kafkaConsumers.synchronized {
+      val live = kafkaConsumers.filter(_.thread.isAlive)
+        .flatMap(_.topics.split(",").map(_.trim)).toSet
+      val dup = topics.filter(live.contains)
+      require(dup.isEmpty,
+        s"kafka consumer already polling topic(s) ${dup.mkString(", ")}" +
+          " on this node — exit it first (the per-topic offset journal" +
+          " admits one cursor per node)")
+    }
     val client = new graft.streaming.KafkaNativeClient(host, port)
     // connectivity + auto-create probe; enumerate EVERY partition the
     // Metadata response reports (not just partition 0) and seed each
@@ -2470,7 +2485,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
                     org.json4s.jackson.JsonMethods.parse(raw))
                   catch {
                     case _: Exception =>
-                      val ed = dir.resolve("err")
+                      // BESIDE the watch dir, never inside it — the
+                      // streamer's file source lists the watch dir
+                      // and must not see .bad files as data
+                      val ed = dir.resolveSibling(
+                        dir.getFileName.toString + ".err")
                       java.nio.file.Files.createDirectories(ed)
                       java.nio.file.Files.writeString(ed.resolve(
                         s"k${epoch}_${tp.replaceAll("[^A-Za-z0-9]", "_")}" +
@@ -2478,7 +2497,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
                       logRing(errorLog, (System.currentTimeMillis,
                         s"kafka consumer $tp/$p",
                         s"non-JSON multiline payload at offset ${m._1} " +
-                          "routed to err dir"))
+                          s"routed to $ed"))
                       null
                   }
               }.filter(_ != null)
@@ -2663,6 +2682,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         val st = conn.createStatement()
+        // bounded probe: `connect dbms` must stay cheap even when the
+        // remote's first numeric column is un-indexed — a MIN/MAX that
+        // can't finish inside the timeout falls back to single-cursor
+        // (the caller can still set the quadruple explicitly)
+        try st.setQueryTimeout(30)
+        catch { case scala.util.control.NonFatal(_) => () } // driver opt
         val zero = st.executeQuery(
           s"SELECT * FROM $dbtable WHERE 1=0")
         val md = zero.getMetaData

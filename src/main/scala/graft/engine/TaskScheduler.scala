@@ -185,9 +185,12 @@ final class TaskScheduler(exec: String => String,
         }
         if (!claimed) s"Task '$name' already running — run skipped"
         else {
+          // exactly ONE clear (in the finally): a second clear after
+          // the status write could release a claim some OTHER thread
+          // acquired in between, breaking single-flight
           try {
             val st = runTask(t, schedId)
-            t.synchronized { t.lastStatus = st; t.inFlight = false }
+            t.synchronized { t.lastStatus = st }
           } finally t.synchronized { t.inFlight = false }
           s"Task '$name' executed"
         }

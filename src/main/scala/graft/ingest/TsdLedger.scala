@@ -89,11 +89,14 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None,
       * so specs can exercise the longer-than-chunk-line growth/skip
       * path without writing multi-GB journals. */
     private[ingest] val replayChunkBytes: Long = 64L << 20,
-    /** Growth ceiling for a newline-free chunk; production default is
-      * the max JVM array size (a line bigger than that cannot be
-      * buffered at all and is skipped to its terminating newline). */
-    private[ingest] val replayMaxChunkBytes: Long =
-      Int.MaxValue.toLong - 8) {
+    /** Growth ceiling for a newline-free chunk. A legitimate ledger
+      * line is <1 KB (per-batch metadata), so anything beyond this is
+      * corruption — skipped to its terminating newline rather than
+      * grown further. Kept WELL below the max array size on purpose:
+      * the growth path must actually survive its allocations for the
+      * skip branch to be reachable (doubling toward 2 GB would OOM
+      * replay out of the constructor first). */
+    private[ingest] val replayMaxChunkBytes: Long = 256L << 20) {
   import TsdLedger.Entry
 
   private var entries = Vector.empty[Entry]
@@ -149,9 +152,9 @@ final class TsdLedger(journal: Option[java.nio.file.Path] = None,
           // newline-free FULL chunk with more committed bytes behind
           // it: one journal line is longer than the chunk. Grow and
           // retry (replay must not wedge silently at this offset); a
-          // line that cannot fit a max-size array at all is
-          // unparseable anyway — skip past its terminating newline so
-          // every later entry still applies.
+          // line past the growth ceiling is corruption (real entries
+          // are <1 KB) — skip past its terminating newline so every
+          // later entry still applies.
           if (chunkBytes < replayMaxChunkBytes) {
             chunkBytes = math.min(chunkBytes * 2, replayMaxChunkBytes)
             progressed = true

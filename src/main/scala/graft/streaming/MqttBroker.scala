@@ -195,7 +195,11 @@ final class MqttBroker(sink: (String, String) => Unit, port: Int = 0) {
                   inflight = inflightFor(clientId)
                 }
               }
-              out.write(Array[Byte](0x20, 0x02, 0x00, 0x00)); out.flush()
+              // out.synchronized like every other reply: a re-CONNECT
+              // after SUBSCRIBE races forward()'s PUBLISH frames
+              out.synchronized {
+                out.write(Array[Byte](0x20, 0x02, 0x00, 0x00)); out.flush()
+              }
             case 3 => // PUBLISH
               val qos = (flags >> 1) & 0x03
               val topicLen = ((body(0) & 0xff) << 8) | (body(1) & 0xff)

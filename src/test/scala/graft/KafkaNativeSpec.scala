@@ -440,8 +440,11 @@ class KafkaChainE2ESpec extends SparkSpec {
       val compactLine = got.filter(_.contains("p1"))
       assert(compactLine.size === 1 && !compactLine.head.contains("\n") &&
         compactLine.head.contains("42"), s"compacted: $compactLine")
-      // the garbage routed to err intact
-      val errDir = dir.resolve("err").toFile
+      // the garbage routed to the SIBLING err dir intact (beside the
+      // watch dir, never inside it — the streamer's file source must
+      // not see .bad files as data)
+      val errDir = dir.resolveSibling(
+        dir.getFileName.toString + ".err").toFile
       val errFiles = Option(errDir.listFiles()).getOrElse(Array.empty)
       assert(errFiles.length === 1, s"err dir: ${errFiles.toSeq}")
       assert(java.nio.file.Files.readString(errFiles.head.toPath)
