@@ -146,7 +146,16 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     val parts = kafkaOffsets.collect {
       case ((t, p), o) if t == topic => (p, o)
     }.toSeq.sortBy(_._1)
-    persist(s"kafkaoff_${sanitize(topic)}.json",
+    // filename = sanitized name + a topic hash: two topics that
+    // differ only in sanitized-away characters ("a/b" vs "a_b") must
+    // not share a file (reload reads the topic from the JSON body,
+    // so the filename only has to be collision-free)
+    val h = {
+      val c = new java.util.zip.CRC32
+      c.update(topic.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.lang.Long.toHexString(c.getValue)
+    }
+    persist(s"kafkaoff_${sanitize(topic)}_$h.json",
       s"""{"kafka_offsets": {"topic": ${q(topic)}, "partitions": {""" +
         parts.map { case (p, o) => s"${q(p.toString)}: $o" }
           .mkString(", ") + "}}}")
@@ -301,7 +310,23 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   private def persist(file: String, content: String): Unit =
     root.foreach { r =>
       Files.createDirectories(r)
-      Files.writeString(r.resolve(file), content)
+      // write-temp + atomic rename, never truncate-in-place: a crash
+      // mid-write must leave the PREVIOUS record intact, not a torn
+      // file that reload silently files under reloadErrors (for the
+      // kafka offset journal a torn file would mean re-seeding from
+      // the reset policy — re-ingesting the whole retained topic)
+      val tmp = r.resolve(file + ".tmp")
+      Files.writeString(tmp, content)
+      try Files.move(tmp, r.resolve(file),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      catch {
+        case _: java.nio.file.AtomicMoveNotSupportedException =>
+          // exotic filesystems: plain replace keeps the behavior,
+          // losing only the atomicity upgrade
+          Files.move(tmp, r.resolve(file),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
 
   /** The metadata root this catalog persists to (None = in-memory) —

@@ -2387,20 +2387,29 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           s"reset must be earliest|latest, got $other")
       }
     val pollMs = kv("poll").map(_.toLong).getOrElse(500L)
-    // one live consumer per topic per node: the catalog's offset
-    // journal is keyed (topic, partition), so a second consumer of
-    // the same topic (different landing dir) would clobber the
-    // first's cursor and turn its restart resume into silent message
-    // loss. The reference gets the same exclusion from its consumer
-    // group; here the node IS the group.
-    kafkaConsumers.synchronized {
-      val live = kafkaConsumers.filter(_.thread.isAlive)
-        .flatMap(_.topics.split(",").map(_.trim)).toSet
-      val dup = topics.filter(live.contains)
-      require(dup.isEmpty,
-        s"kafka consumer already polling topic(s) ${dup.mkString(", ")}" +
-          " on this node — exit it first (the per-topic offset journal" +
-          " admits one cursor per node)")
+    // one live consumer per topic per OFFSET JOURNAL: the journal is
+    // keyed (topic, partition) under the catalog root, so a second
+    // consumer of the same topic — from this engine OR another engine
+    // over the same root — would clobber the first's cursor and turn
+    // its restart resume into silent message loss. The claim registry
+    // is JVM-wide and keyed by the root (Engine.kafkaTopicClaims), as
+    // wide as the journal it protects; the reference gets the same
+    // exclusion from its consumer group — here the journal scope IS
+    // the group. Claims release on exit and on poll-thread death.
+    val claimScope = Engine.claimScope(catalog, this)
+    val scopeClaims = Engine.kafkaTopicClaims.computeIfAbsent(claimScope,
+      _ => new java.util.concurrent.ConcurrentHashMap[
+        String, java.lang.Boolean]())
+    val claimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    topics.foreach { tp =>
+      if (scopeClaims.putIfAbsent(tp, java.lang.Boolean.TRUE) != null) {
+        claimed.foreach(scopeClaims.remove(_)) // roll back partial claims
+        throw new IllegalArgumentException(
+          s"kafka consumer already polling topic $tp against this " +
+            "offset journal — exit it first (the per-topic journal " +
+            "admits one cursor per metadata root)")
+      }
+      claimed += tp
     }
     val client = new graft.streaming.KafkaNativeClient(host, port)
     // connectivity + auto-create probe; enumerate EVERY partition the
@@ -2409,18 +2418,30 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // RE-PROBED periodically in the loop: a repartitioned topic's new
     // partitions are picked up live (seeded from earliest — everything
     // in a NEW partition is data this consumer has never seen,
-    // whatever the initial reset policy was).
-    val partCount = scala.collection.mutable.Map(
-      topics.map(tp => tp -> client.partitions(tp)): _*)
-    // seed order: the catalog's journaled cursor FIRST (the offset
-    // after the last batch this node landed — a restarted consumer
-    // resumes there, re-ingesting nothing), then the reset policy for
-    // a partition never consumed here before
-    val offsets = scala.collection.mutable.Map(topics.flatMap { tp =>
-      (0 until partCount(tp)).map(p =>
-        (tp, p) -> catalog.kafkaOffset(tp, p)
-          .getOrElse(client.listOffset(tp, earliest, p)))
-    }: _*)
+    // whatever the initial reset policy was). A probe failure here
+    // (broker down) must release the topic claims before propagating,
+    // or the failed connect would block every retry forever.
+    val (partCount, offsets) =
+      try {
+        val pc = scala.collection.mutable.Map(
+          topics.map(tp => tp -> client.partitions(tp)): _*)
+        // seed order: the catalog's journaled cursor FIRST (the
+        // offset after the last batch this node landed — a restarted
+        // consumer resumes there, re-ingesting nothing), then the
+        // reset policy for a partition never consumed here before
+        val off = scala.collection.mutable.Map(topics.flatMap { tp =>
+          (0 until pc(tp)).map(p =>
+            (tp, p) -> catalog.kafkaOffset(tp, p)
+              .getOrElse(client.listOffset(tp, earliest, p)))
+        }: _*)
+        (pc, off)
+      } catch {
+        case e: Throwable =>
+          topics.foreach(scopeClaims.remove(_))
+          try client.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+          throw e
+      }
     // high-water marks from the last fetch, for the board's lag figure
     val hws = scala.collection.mutable.Map.empty[(String, Int), Long]
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -2433,7 +2454,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // persistently failing sibling (poll-thread-private)
     val errStreaks =
       scala.collection.mutable.Map.empty[(String, Int), Int]
-    val th = new Thread(() => {
+    val th = new Thread(() => try {
       var rounds = 0L
       while (!stop.get()) {
         var drained = true
@@ -2479,27 +2500,34 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               val lines = msgs.map { m =>
                 val raw = new String(m._3,
                   java.nio.charset.StandardCharsets.UTF_8)
-                if (raw.indexOf('\n') < 0 && raw.indexOf('\r') < 0) raw
-                else
-                  try org.json4s.jackson.JsonMethods.compact(
-                    org.json4s.jackson.JsonMethods.parse(raw))
-                  catch {
-                    case _: Exception =>
-                      // BESIDE the watch dir, never inside it — the
-                      // streamer's file source lists the watch dir
-                      // and must not see .bad files as data
-                      val ed = dir.resolveSibling(
-                        dir.getFileName.toString + ".err")
-                      java.nio.file.Files.createDirectories(ed)
-                      java.nio.file.Files.writeString(ed.resolve(
-                        s"k${epoch}_${tp.replaceAll("[^A-Za-z0-9]", "_")}" +
-                          s"_${p}_${m._1}.bad"), raw)
-                      logRing(errorLog, (System.currentTimeMillis,
-                        s"kafka consumer $tp/$p",
-                        s"non-JSON multiline payload at offset ${m._1} " +
-                          s"routed to $ed"))
-                      null
-                  }
+                // EVERY payload is parsed: a valid single-line doc
+                // passes through verbatim, a valid multiline
+                // (pretty-printed) doc re-serializes compact, and a
+                // non-JSON payload — single-line or not — routes to
+                // the err dir so it can neither corrupt the landing
+                // nor vanish silently (the parse is µs on sensor-doc
+                // sizes; downstream re-parses every line anyway)
+                try {
+                  val parsed = org.json4s.jackson.JsonMethods.parse(raw)
+                  if (raw.indexOf('\n') < 0 && raw.indexOf('\r') < 0) raw
+                  else org.json4s.jackson.JsonMethods.compact(parsed)
+                } catch {
+                  case _: Exception =>
+                    // BESIDE the watch dir, never inside it — the
+                    // streamer's file source lists the watch dir
+                    // and must not see .bad files as data
+                    val ed = dir.resolveSibling(
+                      dir.getFileName.toString + ".err")
+                    java.nio.file.Files.createDirectories(ed)
+                    java.nio.file.Files.writeString(ed.resolve(
+                      s"k${epoch}_${tp.replaceAll("[^A-Za-z0-9]", "_")}" +
+                        s"_${p}_${m._1}.bad"), raw)
+                    logRing(errorLog, (System.currentTimeMillis,
+                      s"kafka consumer $tp/$p",
+                      s"non-JSON payload at offset ${m._1} " +
+                        s"routed to $ed"))
+                    null
+                }
               }.filter(_ != null)
               if (lines.nonEmpty) {
                 val f = dir.resolve(s"k${epoch}_${n.incrementAndGet()}_" +
@@ -2556,6 +2584,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           catch { case _: InterruptedException => stop.set(true) }
       }
       client.close()
+    } finally {
+      // release the journal-scope claims however the loop ends — a
+      // dead consumer must not block a replacement
+      topics.foreach(scopeClaims.remove(_))
     }, s"graft-kafka-consumer-$epoch")
     th.setDaemon(true)
     handle.thread = th
@@ -2680,12 +2712,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       opts.get("password").foreach(props.setProperty("password", _))
       opts.get("driver").foreach(c => Class.forName(c))
       val conn = java.sql.DriverManager.getConnection(url, props)
+      // HARD-bounded probe: `connect dbms` runs on the engine write
+      // lock, so an unbounded MIN/MAX over an un-indexed remote would
+      // stall every mutating command behind one connect.
+      // setQueryTimeout is best-effort (drivers may not support it) —
+      // the watchdog closes the CONNECTION at the deadline, which
+      // aborts the in-flight statement in any driver; the resulting
+      // SQLException falls into the outer catch -> single-cursor
+      // fallback (the caller can still set the quadruple explicitly).
+      val watchdog = new java.util.Timer("graft-jdbc-probe-watchdog", true)
+      watchdog.schedule(new java.util.TimerTask {
+        def run(): Unit =
+          try conn.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+      }, 30000L)
       try {
         val st = conn.createStatement()
-        // bounded probe: `connect dbms` must stay cheap even when the
-        // remote's first numeric column is un-indexed — a MIN/MAX that
-        // can't finish inside the timeout falls back to single-cursor
-        // (the caller can still set the quadruple explicitly)
         try st.setQueryTimeout(30)
         catch { case scala.util.control.NonFatal(_) => () } // driver opt
         val zero = st.executeQuery(
@@ -2723,7 +2765,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               }
             rs.close(); out
         }
-      } finally conn.close()
+      } finally { watchdog.cancel(); conn.close() }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Live watch-dir streamers by table (`run streamer` /
@@ -5567,4 +5609,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       case None => throw new IllegalArgumentException(s"bad suggest: $t")
     }
   }
+}
+
+object Engine {
+  /** JVM-wide live-consumer topic claims, keyed by the catalog
+    * metadata root the offset journal lives under. The per-engine
+    * duplicate-topic guard alone is not enough: two Engine instances
+    * over ONE catalog root would each pass their local check and then
+    * clobber the shared (topic, partition) cursor — this registry
+    * makes the claim as wide as the journal it protects. Rootless
+    * catalogs key by engine identity (journal is in-memory anyway, no
+    * cross-engine hazard). Claims release on consumer exit and on
+    * poll-thread death. */
+  private[engine] val kafkaTopicClaims =
+    new java.util.concurrent.ConcurrentHashMap[
+      String,
+      java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]]()
+  private[engine] def claimScope(catalog: Catalog, engine: AnyRef): String =
+    catalog.metaRoot
+      .map(_.toAbsolutePath.normalize.toString)
+      .getOrElse("engine:" + System.identityHashCode(engine).toHexString)
 }

@@ -385,9 +385,11 @@ class KafkaChainE2ESpec extends SparkSpec {
         Thread.sleep(30)
       assert(lines().size === 3, s"first run landed ${lines()}")
       e1.execute("exit kafka consumer")
-      // journal persisted beside the catalog files
-      assert(java.nio.file.Files.exists(root.resolve(
-        "kafkaoff_once.json")), "offset journal not persisted")
+      // journal persisted beside the catalog files (name carries a
+      // topic hash so sanitized collisions can't share a file)
+      assert(Option(root.toFile.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.matches("kafkaoff_once_[0-9a-f]+\\.json")),
+        "offset journal not persisted")
       // restart: a FRESH catalog reloads the journal; reset=earliest
       // would re-land all 3 retained messages without it
       val e2 = new Engine(spark, new Catalog(spark, Some(root)))
@@ -424,7 +426,8 @@ class KafkaChainE2ESpec extends SparkSpec {
         "and reset = earliest and poll = 50")
       val pretty = "{\n  \"device\": \"p1\",\n  \"value\": 42\n}"
       val garbage = "not json\nat all"
-      producer.produceStrings("nd", Seq(pretty, garbage,
+      val garbage1l = "also not json, single line"
+      producer.produceStrings("nd", Seq(pretty, garbage, garbage1l,
         """{"device": "ok", "value": 1}"""))
       def landed() =
         Option(dir.toFile.listFiles()).getOrElse(Array.empty).toSeq
@@ -446,10 +449,48 @@ class KafkaChainE2ESpec extends SparkSpec {
       val errDir = dir.resolveSibling(
         dir.getFileName.toString + ".err").toFile
       val errFiles = Option(errDir.listFiles()).getOrElse(Array.empty)
-      assert(errFiles.length === 1, s"err dir: ${errFiles.toSeq}")
-      assert(java.nio.file.Files.readString(errFiles.head.toPath)
-        === garbage)
+      assert(errFiles.length === 2, s"err dir: ${errFiles.toSeq}")
+      val errBodies = errFiles.map(f =>
+        java.nio.file.Files.readString(f.toPath)).toSet
+      // BOTH garbage shapes quarantined: multiline AND single-line
+      // (a single-line non-JSON line would otherwise corrupt the
+      // landing just as surely, one failed row at a time)
+      assert(errBodies === Set(garbage, garbage1l), errBodies.toString)
       engine.execute("exit kafka consumer")
     } finally { producer.close(); broker.stop() }
+  }
+
+  test("the offset-journal topic claim is as wide as the journal: a " +
+      "SECOND engine over the same catalog root is refused the topic " +
+      "while the first polls it, and admitted after exit") {
+    import graft.engine.{Catalog, Engine}
+    val broker = new KafkaMiniBroker()
+    val port = broker.start()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("kclaim")
+      val d1 = java.nio.file.Files.createTempDirectory("kclaim1")
+      val d2 = java.nio.file.Files.createTempDirectory("kclaim2")
+      val e1 = new Engine(spark, new Catalog(spark, Some(root)))
+      val e2 = new Engine(spark, new Catalog(spark, Some(root)))
+      e1.execute(s"run kafka consumer where ip = localhost and " +
+        s"port = $port and topic = claimed and dir = $d1 " +
+        "and reset = earliest and poll = 50")
+      // same topic, same journal scope, DIFFERENT engine: refused —
+      // two live cursors would clobber each other's restart point
+      val ex = intercept[IllegalArgumentException](e2.execute(
+        s"run kafka consumer where ip = localhost and port = $port " +
+          s"and topic = claimed and dir = $d2 and reset = earliest"))
+      assert(ex.getMessage.contains("already polling topic claimed"))
+      // a DIFFERENT topic on the second engine is fine
+      e2.execute(s"run kafka consumer where ip = localhost and " +
+        s"port = $port and topic = other and dir = $d2 " +
+        "and reset = earliest and poll = 50")
+      // after the first exits, the claim releases and e2 may take it
+      e1.execute("exit kafka consumer")
+      e2.execute(s"run kafka consumer where ip = localhost and " +
+        s"port = $port and topic = claimed and dir = $d2 " +
+        "and reset = earliest and poll = 50")
+      e2.execute("exit kafka consumer")
+    } finally broker.stop()
   }
 }
