@@ -2302,8 +2302,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         () => dataDir.fold("")(d => s"ingest root $d")),
       ("Message Broker", () => false, () => ""),
       ("Msg Client", () => msgClients.synchronized(msgClients.nonEmpty),
-        () => msgClients.synchronized(
-          if (msgClients.isEmpty) "" else s"${msgClients.size} client(s)")),
+        () => msgClients.synchronized {
+          if (msgClients.isEmpty) ""
+          else {
+            val reconnecting = msgClients.count(c => !c.isConnected)
+            s"${msgClients.size} client(s)" +
+              (if (reconnecting > 0) s" ($reconnecting reconnecting)"
+               else "")
+          }
+        }),
       ("Streamer", () => false, () => ""),
       ("Scheduler", () => taskScheduler.ids.exists(taskScheduler.isRunning),
         () => { val on = taskScheduler.ids.filter(taskScheduler.isRunning)

@@ -34,10 +34,13 @@ final class MqttClient(host: String, port: Int, clientId: String,
     sink: (String, String) => Unit) {
 
   @volatile private var running = false
-  private var sock: Socket = _
-  private var out: OutputStream = _
+  @volatile private var sock: Socket = _
+  @volatile private var out: OutputStream = _
+  @volatile private var connected = false
   private var reader: Thread = _
   private var pinger: Thread = _
+  private var subscribed: Seq[(String, Int)] = Nil
+  private var handshakeMs: Long = 5000
 
   private def remLen(n: Int): Array[Byte] = {
     var v = n
@@ -87,11 +90,15 @@ final class MqttClient(host: String, port: Int, clientId: String,
     buf
   }
 
-  private def send(firstByte: Int, body: Array[Byte]): Unit =
-    out.synchronized {
-      out.write(Array[Byte](firstByte.toByte) ++ remLen(body.length) ++ body)
-      out.flush()
+  private def send(firstByte: Int, body: Array[Byte]): Unit = {
+    // read the CURRENT stream once: reconnect swaps `out`, and two
+    // writers must serialize on the same stream instance they write
+    val o = out
+    o.synchronized {
+      o.write(Array[Byte](firstByte.toByte) ++ remLen(body.length) ++ body)
+      o.flush()
     }
+  }
 
   /** Connect, subscribe to `topics` (filter -> requested qos), and
     * start the delivery loop. Blocks until CONNACK + SUBACK arrive (or
@@ -108,36 +115,13 @@ final class MqttClient(host: String, port: Int, clientId: String,
         s"topic $t requests QoS $q — only QoS 0/1 receiver flows are " +
           "implemented (QoS 2 would redeliver forever under PUBACK)")
     }
-    sock = new Socket(host, port)
-    sock.setSoTimeout(timeoutMs.toInt)
-    out = sock.getOutputStream
-    val in = sock.getInputStream
-    // CONNECT: clean session, keepalive 60
-    val cid = clientId.getBytes(StandardCharsets.UTF_8)
-    val connBody = Array[Byte](0, 4, 'M', 'Q', 'T', 'T', 4, 2, 0, 60) ++
-      Array[Byte]((cid.length >> 8).toByte, (cid.length & 0xff).toByte) ++ cid
-    send(0x10, connBody)
-    val connack = expect(in, 2)
-    require((connack._2.length >= 2) && connack._2(1) == 0,
-      s"broker refused CONNECT (code ${connack._2.lift(1).getOrElse(-1)})")
-    // SUBSCRIBE (packet id 1)
-    val subBody = Array[Byte](0, 1) ++ topics.flatMap { case (t, qos) =>
-      val tb = t.getBytes(StandardCharsets.UTF_8)
-      Array[Byte]((tb.length >> 8).toByte, (tb.length & 0xff).toByte) ++
-        tb ++ Array[Byte]((qos & 0x03).toByte)
-    }
-    send(0x82, subBody) // SUBSCRIBE fixed header flags = 0b0010 (spec)
-    val suback = expect(in, 9)
-    // granted QoS must be <= the requested (so <= 1 after the clamp
-    // above) — a broker granting 2 would enter the unimplemented
-    // PUBREC flow, so treat it as a rejection too
-    require(suback._2.length >= 2 + topics.length &&
-      suback._2.drop(2).forall(b => (b & 0xff) <= 1),
-      "broker rejected subscription (or granted QoS 2)")
-    // delivery loop
+    subscribed = topics
+    handshakeMs = timeoutMs
+    val in = connect()
+    // delivery + reconnect supervisor loop
     running = true
-    sock.setSoTimeout(0)
-    reader = new Thread(() => loop(in))
+    connected = true
+    reader = new Thread(() => supervise(in))
     reader.setDaemon(true)
     reader.start()
     // keepalive: CONNECT advertises 60 s, so a spec-compliant broker
@@ -148,13 +132,82 @@ final class MqttClient(host: String, port: Int, clientId: String,
       while (running) {
         try Thread.sleep(30000L)
         catch { case _: InterruptedException => return }
-        if (running)
+        if (running && connected)
           try send(0xc0, Array.emptyByteArray) // PINGREQ
-          catch { case scala.util.control.NonFatal(_) => return }
+          catch { case scala.util.control.NonFatal(_) => () }
+        // a failed ping means the session is dropping — the reader
+        // loop notices and the supervisor reconnects; the pinger
+        // must survive to serve the NEXT session
       }
     })
     pinger.setDaemon(true)
     pinger.start()
+  }
+
+  /** One full session establishment: socket + CONNECT/CONNACK +
+    * SUBSCRIBE/SUBACK over [[subscribed]]. Used by [[start]] and by
+    * every reconnect attempt. */
+  private def connect(): InputStream = {
+    val s = new Socket(host, port)
+    s.setSoTimeout(handshakeMs.toInt)
+    sock = s
+    out = s.getOutputStream
+    val in = s.getInputStream
+    // CONNECT: clean session, keepalive 60
+    val cid = clientId.getBytes(StandardCharsets.UTF_8)
+    val connBody = Array[Byte](0, 4, 'M', 'Q', 'T', 'T', 4, 2, 0, 60) ++
+      Array[Byte]((cid.length >> 8).toByte, (cid.length & 0xff).toByte) ++ cid
+    send(0x10, connBody)
+    val connack = expect(in, 2)
+    require((connack._2.length >= 2) && connack._2(1) == 0,
+      s"broker refused CONNECT (code ${connack._2.lift(1).getOrElse(-1)})")
+    // SUBSCRIBE (packet id 1)
+    val subBody = Array[Byte](0, 1) ++ subscribed.flatMap { case (t, qos) =>
+      val tb = t.getBytes(StandardCharsets.UTF_8)
+      Array[Byte]((tb.length >> 8).toByte, (tb.length & 0xff).toByte) ++
+        tb ++ Array[Byte]((qos & 0x03).toByte)
+    }
+    send(0x82, subBody) // SUBSCRIBE fixed header flags = 0b0010 (spec)
+    val suback = expect(in, 9)
+    // granted QoS must be <= the requested (so <= 1 after the clamp
+    // above) — a broker granting 2 would enter the unimplemented
+    // PUBREC flow, so treat it as a rejection too
+    require(suback._2.length >= 2 + subscribed.length &&
+      suback._2.drop(2).forall(b => (b & 0xff) <= 1),
+      "broker rejected subscription (or granted QoS 2)")
+    s.setSoTimeout(0)
+    in
+  }
+
+  /** Delivery loop + RECONNECT supervisor: when the session drops
+    * while the client is still `running` (broker restart, network
+    * blip, malformed frame), re-establish it with capped exponential
+    * backoff and keep delivering — the reference's client survives
+    * broker restarts the same way (mqtt_client.py keeps its
+    * subscriptions and re-registers on reconnect). An un-acked QoS 1
+    * message in flight at the drop is retransmitted by the broker
+    * after reconnect: at-least-once holds across the gap. Only an
+    * explicit [[stop]] ends the loop. */
+  private def supervise(in0: InputStream): Unit = {
+    var in = in0
+    while (running) {
+      loop(in) // returns on session drop (or stop)
+      connected = false
+      var delay = 500L
+      while (running && !connected) {
+        try {
+          try sock.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+          in = connect()
+          connected = true
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            try Thread.sleep(delay)
+            catch { case _: InterruptedException => running = false }
+            delay = math.min(delay * 2, 30000L)
+        }
+      }
+    }
   }
 
   /** Read packets until one of `msgType` arrives (PUBLISH arriving
@@ -191,9 +244,10 @@ final class MqttClient(host: String, port: Int, clientId: String,
 
   private def loop(in: InputStream): Unit = {
     try {
-      while (running) {
+      var open = true
+      while (running && open) {
         val first = in.read()
-        if (first < 0) running = false
+        if (first < 0) open = false // session drop -> supervisor
         else {
           val body = readFully(in, readRemainingLength(in))
           (first >> 4) & 0x0f match {
@@ -204,12 +258,19 @@ final class MqttClient(host: String, port: Int, clientId: String,
         }
       }
     } catch {
-      case scala.util.control.NonFatal(_) => running = false
+      // IOException/EOF/malformed frame: return to the supervisor,
+      // which reconnects (or exits if stop() cleared running)
+      case scala.util.control.NonFatal(_) => ()
     }
   }
 
-  /** True while the delivery loop is attached to the broker. */
+  /** True from [[start]] until [[stop]] — stays true across
+    * reconnect attempts (the subscription is still owned). */
   def isRunning: Boolean = running
+
+  /** True while a live session is attached; false during a
+    * reconnect backoff (the service board's "degraded" signal). */
+  def isConnected: Boolean = running && connected
 
   def stop(): Unit = {
     running = false

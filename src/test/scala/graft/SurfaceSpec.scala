@@ -364,6 +364,46 @@ class MqttClientChainE2ESpec extends SparkSpec {
         .contains("1 msg client(s) disconnected"))
     } finally broker.stop()
   }
+
+  test("the msg client RECONNECTS: a broker restart on the same port " +
+      "is survived — the subscription re-establishes and delivery " +
+      "resumes without operator action") {
+    val got = new java.util.concurrent.CopyOnWriteArrayList[String]
+    var broker = new MqttBroker((_, _) => ())
+    val port = broker.start()
+    val client = new MqttClient("localhost", port, "graft-reconn",
+      (_, p) => got.add(p))
+    try {
+      client.start(Seq(("plant/+", 1)))
+      connectAndPublish(port, "plant/a", Seq("""{"m": 1}"""))
+      val d1 = System.currentTimeMillis + 5000
+      while (got.size < 1 && System.currentTimeMillis < d1)
+        Thread.sleep(20)
+      assert(got.size === 1, s"pre-restart delivery: ${got.size}")
+      assert(client.isConnected)
+      // the plant broker restarts (same port, fresh process state)
+      broker.stop()
+      val d2 = System.currentTimeMillis + 5000
+      while (client.isConnected && System.currentTimeMillis < d2)
+        Thread.sleep(20)
+      assert(!client.isConnected, "client never noticed the drop")
+      assert(client.isRunning, "client gave up instead of reconnecting")
+      broker = new MqttBroker((_, _) => (), port)
+      assert(broker.start() === port)
+      // the client re-subscribes on its own; a publish after the
+      // restart is delivered with no operator action
+      val d3 = System.currentTimeMillis + 15000
+      while (!client.isConnected && System.currentTimeMillis < d3)
+        Thread.sleep(50)
+      assert(client.isConnected, "client never re-attached")
+      connectAndPublish(port, "plant/b", Seq("""{"m": 2}"""))
+      val d4 = System.currentTimeMillis + 5000
+      while (got.size < 2 && System.currentTimeMillis < d4)
+        Thread.sleep(20)
+      assert(got.toArray.toSeq === Seq("""{"m": 1}""", """{"m": 2}"""),
+        got.toArray.toSeq.toString)
+    } finally { client.stop(); broker.stop() }
+  }
 }
 
 class GoldenOutputSpec extends SparkSpec {
