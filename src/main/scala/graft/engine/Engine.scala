@@ -2504,38 +2504,18 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
               // that is not JSON at all routes to <dir>/err intact —
               // it must neither corrupt the landing nor be dropped
               // silently.
-              val lines = msgs.map { m =>
+              val lines = msgs.flatMap { m =>
                 val raw = new String(m._3,
                   java.nio.charset.StandardCharsets.UTF_8)
-                // EVERY payload is parsed: a valid single-line doc
-                // passes through verbatim, a valid multiline
-                // (pretty-printed) doc re-serializes compact, and a
-                // non-JSON payload — single-line or not — routes to
-                // the err dir so it can neither corrupt the landing
-                // nor vanish silently (the parse is µs on sensor-doc
-                // sizes; downstream re-parses every line anyway)
-                try {
-                  val parsed = org.json4s.jackson.JsonMethods.parse(raw)
-                  if (raw.indexOf('\n') < 0 && raw.indexOf('\r') < 0) raw
-                  else org.json4s.jackson.JsonMethods.compact(parsed)
-                } catch {
-                  case _: Exception =>
-                    // BESIDE the watch dir, never inside it — the
-                    // streamer's file source lists the watch dir
-                    // and must not see .bad files as data
-                    val ed = dir.resolveSibling(
-                      dir.getFileName.toString + ".err")
-                    java.nio.file.Files.createDirectories(ed)
-                    java.nio.file.Files.writeString(ed.resolve(
-                      s"k${epoch}_${tp.replaceAll("[^A-Za-z0-9]", "_")}" +
-                        s"_${p}_${m._1}.bad"), raw)
-                    logRing(errorLog, (System.currentTimeMillis,
-                      s"kafka consumer $tp/$p",
-                      s"non-JSON payload at offset ${m._1} " +
-                        s"routed to $ed"))
-                    null
+                normalizeNdjsonPayload(raw).orElse {
+                  quarantinePayload(dir,
+                    s"k${epoch}_${tp.replaceAll("[^A-Za-z0-9]", "_")}" +
+                      s"_${p}_${m._1}.bad", raw,
+                    s"kafka consumer $tp/$p",
+                    s"offset ${m._1}")
+                  None
                 }
-              }.filter(_ != null)
+              }
               if (lines.nonEmpty) {
                 val f = dir.resolve(s"k${epoch}_${n.incrementAndGet()}_" +
                   s"${tp.replaceAll("[^A-Za-z0-9]", "_")}_$p.json")
@@ -2610,6 +2590,35 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         }.mkString("; ")))
     s"kafka consumer polling ${topics.mkString(", ")} at $host:$port " +
       s"(reset ${if (earliest) "earliest" else "latest"}, landing in $dir)"
+  }
+
+  /** The line-oriented landing contract, enforced at EVERY message
+    * transport (Kafka consumer, MQTT msg client): every payload is
+    * parsed — a valid single-line JSON doc passes through verbatim, a
+    * valid multiline (pretty-printed) doc re-serializes compact, and
+    * a non-JSON payload returns None so the caller can quarantine it
+    * (it must neither corrupt the NDJSON landing nor vanish
+    * silently). The parse is µs on sensor-doc sizes; downstream
+    * re-parses every line anyway. */
+  private def normalizeNdjsonPayload(raw: String): Option[String] =
+    try {
+      val parsed = org.json4s.jackson.JsonMethods.parse(raw)
+      Some(
+        if (raw.indexOf('\n') < 0 && raw.indexOf('\r') < 0) raw
+        else org.json4s.jackson.JsonMethods.compact(parsed))
+    } catch { case _: Exception => None }
+
+  /** Route a contract-violating payload to the err dir BESIDE the
+    * watch dir (`<dir>.err` — never inside it: the streamer's file
+    * source lists the watch dir and must not see .bad files as data)
+    * and record the event in the error ring. */
+  private def quarantinePayload(dir: java.nio.file.Path, name: String,
+      raw: String, who: String, where: String): Unit = {
+    val ed = dir.resolveSibling(dir.getFileName.toString + ".err")
+    java.nio.file.Files.createDirectories(ed)
+    java.nio.file.Files.writeString(ed.resolve(name), raw)
+    logRing(errorLog, (System.currentTimeMillis, who,
+      s"non-JSON payload at $where routed to $ed"))
   }
 
   /** `exit kafka consumer` — stop every native consumer loop.
@@ -3274,9 +3283,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val client = new graft.streaming.MqttClient(host, port,
       s"graft-$clientEpoch",
       (topic, payload) => {
-        val f = dir.resolve(s"m${clientEpoch}_${n.incrementAndGet()}_" +
-          s"${topic.replaceAll("[^A-Za-z0-9]", "_")}.json")
-        java.nio.file.Files.writeString(f, payload)
+        val stem = s"m${clientEpoch}_${n.incrementAndGet()}_" +
+          topic.replaceAll("[^A-Za-z0-9]", "_")
+        // same landing contract as the Kafka consumer: one-line JSON
+        // per file; pretty-printed folds compact, garbage quarantines
+        normalizeNdjsonPayload(payload) match {
+          case Some(line) => java.nio.file.Files.writeString(
+            dir.resolve(stem + ".json"), line)
+          case None => quarantinePayload(dir, stem + ".bad", payload,
+            s"msg client $topic", "mqtt delivery")
+        }
       })
     client.start(topics.toSeq.map(tp => (tp, qos)))
     msgClients.synchronized { msgClients += client }

@@ -365,6 +365,40 @@ class MqttClientChainE2ESpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("msg client landings honor the line-oriented contract: " +
+      "pretty-printed JSON folds to ONE compact line, garbage " +
+      "quarantines beside the watch dir") {
+    val watch = java.nio.file.Files.createTempDirectory("mqc_norm")
+    val broker = new MqttBroker((_, _) => ())
+    val port = broker.start()
+    val engine = new Engine(spark, new Catalog(spark))
+    try {
+      engine.execute(s"run msg client where broker = localhost and " +
+        s"port = $port and topic = norm/# and dir = $watch")
+      connectAndPublish(port, "norm/a", Seq(
+        "{\n  \"device\": \"p\",\n  \"value\": 9\n}",
+        "not json at all",
+        """{"device": "ok", "value": 1}"""))
+      def landed() =
+        Option(watch.toFile.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(_.isFile)
+      val deadline = System.currentTimeMillis + 8000
+      while (landed().size < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(30)
+      val bodies = landed().map(f =>
+        java.nio.file.Files.readString(f.toPath))
+      assert(bodies.size === 2, bodies.toString)
+      assert(bodies.forall(!_.contains("\n")), bodies.toString)
+      val errDir = watch.resolveSibling(
+        watch.getFileName.toString + ".err").toFile
+      val errs = Option(errDir.listFiles()).getOrElse(Array.empty)
+      assert(errs.length === 1 &&
+        java.nio.file.Files.readString(errs.head.toPath)
+          === "not json at all", errs.toSeq.toString)
+      engine.execute("exit msg client")
+    } finally broker.stop()
+  }
+
   test("the msg client RECONNECTS: a broker restart on the same port " +
       "is survived — the subscription re-establishes and delivery " +
       "resumes without operator action") {
