@@ -23,12 +23,46 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
 
+  /** Read a request body up to `cap` bytes; one byte beyond throws
+    * (caller answers 413). readAllBytes on an unbounded client body
+    * would buffer arbitrarily much driver heap — the reference bounds
+    * its reply volume the same way (query_mode max_volume,
+    * member_cmd.py:99); ingest batches far above the cap should go
+    * through the watch-dir/streamer path, which never holds a whole
+    * batch in memory. */
+  private def readBody(ex: HttpExchange, cap: Int): String = {
+    val in = ex.getRequestBody
+    val buf = new java.io.ByteArrayOutputStream(math.min(cap, 1 << 16))
+    val chunk = new Array[Byte](8192)
+    var n = in.read(chunk)
+    while (n >= 0) {
+      if (buf.size + n > cap) throw HttpFrontend.BodyTooLarge(cap)
+      buf.write(chunk, 0, n)
+      n = in.read(chunk)
+    }
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  /** Discard the rest of an oversized request body (bounded) so the
+    * client finishes its send and can read the 413 — closing the
+    * exchange mid-upload surfaces as a connection reset with no
+    * response. Discarding buffers nothing; a stream still flowing at
+    * the drain bound gets the hard close. */
+  private def drainDiscard(ex: HttpExchange): Unit =
+    try {
+      val in = ex.getRequestBody
+      val chunk = new Array[Byte](8192)
+      var left = 256L << 20
+      var n = in.read(chunk)
+      while (n >= 0 && left > 0) { left -= n; n = in.read(chunk) }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       // PUT = data ingest (http_server.py:1844 do_PUT): headers carry
       // dbms/table/instructions, the body carries the JSON rows
       if (ex.getRequestMethod == "PUT") { handlePut(ex); return }
-      val command = ex.getRequestMethod match {
+      def command = ex.getRequestMethod match {
         case "GET" =>
           // the reference's canonical REST shape sends the command in
           // the `command` HEADER (http_server.py:931 do_GET; curl
@@ -47,12 +81,16 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
           // it with an empty body; the body is the fallback shape
           Option(ex.getRequestHeaders.getFirst("command"))
             .filter(_.nonEmpty)
-            .getOrElse(new String(ex.getRequestBody.readAllBytes(),
-              StandardCharsets.UTF_8))
+            .getOrElse(readBody(ex, HttpFrontend.MaxCommandBytes))
       }
       val (code, body) =
         try (200, engine.execute(command))
-        catch { case e: Exception => (400, Render.errorJson(e.getMessage)) }
+        catch {
+          case HttpFrontend.BodyTooLarge(cap) =>
+            drainDiscard(ex)
+            (413, Render.errorJson(s"request body exceeds $cap bytes"))
+          case e: Exception => (400, Render.errorJson(e.getMessage))
+        }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)
@@ -68,10 +106,9 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
     * row count. */
   private def handlePut(ex: HttpExchange): Unit = {
     val hdr = (k: String) => Option(ex.getRequestHeaders.getFirst(k))
-    val body = new String(ex.getRequestBody.readAllBytes(),
-      StandardCharsets.UTF_8)
     val (code, reply) =
       try {
+        val body = readBody(ex, HttpFrontend.MaxPutBytes)
         val table = hdr("table").getOrElse(
           throw new IllegalArgumentException(
             "Missing 'table' name in REST PUT command"))
@@ -79,7 +116,13 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
         // header value is caller-supplied — escape it or a quote in
         // the name makes this application/json body unparseable
         (200, s"""{"appended": $n, "table": ${Render.jsonStr(table)}}""")
-      } catch { case e: Exception => (400, Render.errorJson(e.getMessage)) }
+      } catch {
+        case HttpFrontend.BodyTooLarge(cap) =>
+          drainDiscard(ex)
+          (413, Render.errorJson(s"request body exceeds $cap bytes — " +
+            "route bulk loads through the watch-dir/streamer path"))
+        case e: Exception => (400, Render.errorJson(e.getMessage))
+      }
     val bytes = reply.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.add("Content-Type", "application/json")
     ex.sendResponseHeaders(code, bytes.length)
@@ -91,11 +134,15 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
   // POST /grafana with the panel payload -> json rows
   server.createContext("/grafana", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
-      val payload = new String(ex.getRequestBody.readAllBytes(),
-        StandardCharsets.UTF_8)
       val (code, body) =
-        try (200, Render.json(GrafanaRoute.run(engine, payload)))
-        catch { case e: Exception => (400, Render.errorJson(e.getMessage)) }
+        try (200, Render.json(GrafanaRoute.run(engine,
+          readBody(ex, HttpFrontend.MaxCommandBytes))))
+        catch {
+          case HttpFrontend.BodyTooLarge(cap) =>
+            drainDiscard(ex)
+            (413, Render.errorJson(s"request body exceeds $cap bytes"))
+          case e: Exception => (400, Render.errorJson(e.getMessage))
+        }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.add("Content-Type", "application/json")
       ex.sendResponseHeaders(code, bytes.length)
@@ -120,4 +167,15 @@ final class HttpFrontend(engine: Engine, port: Int = 0) {
   }
 
   def stop(): Unit = { live = false; server.stop(0) }
+}
+
+object HttpFrontend {
+  /** Command / Grafana payload bound — commands are human-sized. */
+  val MaxCommandBytes: Int = 1 << 20
+  /** PUT ingest body bound: a generous batch (the reference's streamer
+    * flushes at 10 KB, streaming_data.py:30); bigger loads belong on
+    * the streaming path. */
+  val MaxPutBytes: Int = 64 << 20
+  final case class BodyTooLarge(cap: Int)
+    extends RuntimeException(s"body exceeds $cap bytes")
 }

@@ -782,6 +782,32 @@ class HttpFrontendSpec extends SparkSpec {
       assert(bad.statusCode() === 400)
     } finally fe.stop()
   }
+
+  test("request bodies are BOUNDED: an oversized POST command answers " +
+      "413 without buffering the body, and normal traffic still flows") {
+    val fe = new HttpFrontend(new Engine(spark, new Catalog(spark)))
+    val port = fe.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      // 2 MB command body vs the 1 MB cap: refused with 413, not OOM
+      val big = new String(Array.fill(2 << 20)('x'))
+      val over = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(big))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(over.statusCode() === 413, over.body())
+      assert(over.body().contains("exceeds"))
+      // the server is still healthy afterward
+      val ok = client.send(
+        java.net.http.HttpRequest.newBuilder(
+          java.net.URI.create(s"http://localhost:$port/"))
+          .header("command", "get tables").build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() === 200)
+    } finally fe.stop()
+  }
 }
 
 class BlockchainCmdSpec extends SparkSpec {
