@@ -197,6 +197,16 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
   }
   def artifactList: Seq[(String, String)] = artifacts.toSeq.sortBy(_._1)
 
+  /** Drop an attach record (an explicitly exited SERVICE must not be
+    * resurrected by the next `attach all` — the operator stopped it). */
+  def removeArtifact(key: String): Unit = synchronized {
+    artifacts -= key
+    root.foreach { r =>
+      try Files.deleteIfExists(r.resolve(s"artifact_${sanitize(key)}.json"))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   /** Entries the last [[reload]] could not restore (path vanished,
     * unparseable file) — surfaced, never thrown. */
   def reloadErrors: Seq[String] = reloadErrs

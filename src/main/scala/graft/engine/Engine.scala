@@ -2358,7 +2358,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * instead of hiding behind a Running status). */
   private final class KafkaConsumerHandle(val topics: String,
       val client: graft.streaming.KafkaNativeClient,
-      val stop: java.util.concurrent.atomic.AtomicBoolean) {
+      val stop: java.util.concurrent.atomic.AtomicBoolean,
+      val artifactKey: String) {
     @volatile var thread: Thread = null
     val health = new java.util.concurrent.atomic.AtomicReference[String]("")
   }
@@ -2454,8 +2455,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val n = new java.util.concurrent.atomic.AtomicInteger
     val epoch = java.lang.Long.toHexString(System.nanoTime())
+    val artifactKey = s"kafka consumer:${topics.mkString(",")}"
     val handle = new KafkaConsumerHandle(topics.mkString(", "),
-      client, stop)
+      client, stop, artifactKey)
     // consecutive-failure streaks PER (topic, partition) — a healthy
     // partition's success must not erase the degraded status of a
     // persistently failing sibling (poll-thread-private)
@@ -2580,6 +2582,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     handle.thread = th
     th.start()
     kafkaConsumers.synchronized { kafkaConsumers += handle }
+    // the ingest topology is part of the standing fleet: `attach all`
+    // after an engine restart re-issues this exact command, and the
+    // offset journal makes the resumed consumer land nothing twice
+    // (an explicit `exit kafka consumer` drops the record — a stopped
+    // service must stay stopped)
+    catalog.recordArtifact(artifactKey, t.trim)
     registerService("Kafka Consumer",
       () => kafkaConsumers.synchronized(
         kafkaConsumers.exists(_.thread.isAlive)),
@@ -2637,6 +2645,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     victims.foreach(_.thread.join(1500))
     victims.foreach { h => if (h.thread.isAlive) h.thread.interrupt() }
     victims.foreach(_.thread.join(2000))
+    victims.foreach(h => catalog.removeArtifact(h.artifactKey))
     s"stopped ${victims.size} kafka consumer(s)"
   }
 
@@ -2843,6 +2852,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       this, table, rows, path, s"${path}_ckpt_streamer", flush,
       name = Some(s"streamer_$table"))
     streamers.synchronized { streamers(table) = q }
+    catalog.recordArtifact(s"streamer:$table", t.trim)
     registerService("Streamer",
       () => streamers.synchronized(streamers.values.exists(_.isActive)),
       () => streamers.synchronized(streamers.filter(_._2.isActive)
@@ -2863,7 +2873,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     require(which.isEmpty || victims.nonEmpty,
       s"no streamer for ${which.get}")
     victims.foreach { case (tb, q) =>
-      q.stop(); streamers.synchronized { streamers.remove(tb) } }
+      q.stop(); streamers.synchronized { streamers.remove(tb) }
+      catalog.removeArtifact(s"streamer:$tb") }
     s"stopped ${victims.size} streamer(s)"
   }
 
@@ -3248,6 +3259,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
 
   private val msgClients =
     scala.collection.mutable.ArrayBuffer.empty[graft.streaming.MqttClient]
+  private val msgClientKeys =
+    scala.collection.mutable.ArrayBuffer.empty[String]
 
   /** `run msg client where broker = <host> and port = <n> and
     * topic = <t>[,<t2>…] and dir = <watch-dir> [and qos = 1]` — the
@@ -3295,7 +3308,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         }
       })
     client.start(topics.toSeq.map(tp => (tp, qos)))
-    msgClients.synchronized { msgClients += client }
+    val mcKey = s"msg client:${topics.mkString(",")}"
+    msgClients.synchronized { msgClients += client; msgClientKeys += mcKey }
+    catalog.recordArtifact(mcKey, t.trim)
     s"msg client subscribed to ${topics.mkString(", ")} at $host:$port " +
       s"(qos $qos, landing in $dir)"
   }
@@ -3306,6 +3321,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       val k = msgClients.size
       msgClients.foreach(_.stop())
       msgClients.clear()
+      msgClientKeys.foreach(catalog.removeArtifact)
+      msgClientKeys.clear()
       k
     }
     s"$n msg client(s) disconnected"

@@ -269,4 +269,87 @@ class RestartRecoverySpec extends SparkSpec {
       e2.execute("exit streamer")
     } finally { producer.close(); broker.stop() }
   }
+
+  test("attach all restores the INGEST topology after a crash: the " +
+      "rebooted engine re-attaches the recorded kafka consumer and " +
+      "streamer, resumes from the offset journal, and lands each " +
+      "message exactly once; an explicitly exited service stays down") {
+    val root = java.nio.file.Files.createTempDirectory("rrattach")
+    val land = root.resolve("land")
+    val broker = new graft.streaming.KafkaMiniBroker()
+    val kport = broker.start()
+    val producer = new graft.streaming.KafkaNativeClient("localhost", kport)
+    try {
+      val e1 = new graft.engine.Engine(spark,
+        new graft.engine.Catalog(spark, Some(root)))
+      e1.dataDir = Some(root.resolve("data").toString)
+      e1.execute("""policy add ap {"mapping": {
+        "dbms": "edge", "table": "arows",
+        "schema": {
+          "device": {"type": "varchar", "bring": "[device]"},
+          "value": {"type": "int", "bring": "[value]"}
+        }}}""")
+      e1.execute(s"run kafka consumer where ip = localhost and " +
+        s"port = $kport and topic = att and dir = $land " +
+        "and reset = earliest and poll = 40")
+      e1.execute(s"run streamer where dir = $land and table = arows " +
+        "and policy = ap and flush = 1")
+      // the ingest topology is RECORDED as standing artifacts
+      val recs = e1.execute("get artifacts")
+      assert(recs.contains("kafka consumer:att") &&
+        recs.contains("streamer:arows"), recs)
+      producer.produceStrings("att",
+        (0 until 4).map(i => s"""{"device": "a$i", "value": $i}"""))
+      def drain(e: graft.engine.Engine, want: Long): Long = {
+        val q = e.streamerQueries("arows")
+        def rows(): Long =
+          try e.catalog.table("arows").count()
+          catch { case _: Exception => 0L }
+        val deadline = System.currentTimeMillis + 20000
+        var n = rows()
+        while (n < want && System.currentTimeMillis < deadline) {
+          q.processAllAvailable(); Thread.sleep(60); n = rows()
+        }
+        n
+      }
+      assert(drain(e1, 4) === 4L)
+      // CRASH simulation — no `exit` commands run, so the artifact
+      // records survive: kill the poll thread directly and stop the
+      // streaming query (in a real crash the process dies; in-process
+      // the thread must die to release the topic claim)
+      import scala.jdk.CollectionConverters._
+      Thread.getAllStackTraces.keySet.asScala
+        .filter(_.getName.startsWith("graft-kafka-consumer-"))
+        .foreach(_.interrupt())
+      val deadline = System.currentTimeMillis + 10000
+      while (Thread.getAllStackTraces.keySet.asScala
+          .exists(_.getName.startsWith("graft-kafka-consumer-")) &&
+          System.currentTimeMillis < deadline) Thread.sleep(30)
+      e1.streamerQueries("arows").stop()
+      // messages arriving while the node is down
+      producer.produceStrings("att",
+        (4 until 7).map(i => s"""{"device": "a$i", "value": $i}"""))
+      // reboot: ONE command restores the whole topology
+      val e2 = new graft.engine.Engine(spark,
+        new graft.engine.Catalog(spark, Some(root)))
+      e2.dataDir = Some(root.resolve("data").toString)
+      val attach = e2.execute("attach all")
+      assert(attach.contains("attached kafka consumer:att") &&
+        attach.contains("attached streamer:arows") &&
+        !attach.contains("FAILED"), attach)
+      assert(drain(e2, 7) === 7L)
+      Thread.sleep(400)
+      e2.streamerQueries("arows").processAllAvailable()
+      import spark.implicits._
+      val per = e2.catalog.table("arows").groupBy("device").count()
+        .as[(String, Long)].collect().toMap
+      assert(per.size === 7 && per.values.forall(_ == 1L),
+        s"attach-all restart not exactly-once: $per")
+      // an EXPLICIT exit undeclares: the next attach must not resurrect
+      e2.execute("exit kafka consumer")
+      assert(!e2.execute("get artifacts").contains("kafka consumer:att"))
+      e2.execute("exit streamer")
+      assert(!e2.execute("get artifacts").contains("streamer:arows"))
+    } finally { producer.close(); broker.stop() }
+  }
 }
