@@ -1171,12 +1171,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
             else 1000L
           taskScheduler.setTaskTimeout(m.group(1).toLong * unit, id)
         }
-      taskScheduler.start(id)
+      val reply = taskScheduler.start(id)
+      catalog.recordArtifact(s"scheduler:$id", t.trim)
+      reply
     }
     else if (low.startsWith("exit scheduler")) {
       val id = "(?i)^exit scheduler\\s+(\\d+)".r
         .findFirstMatchIn(t).map(_.group(1).toInt).getOrElse(1)
-      taskScheduler.stop(id)
+      val reply = taskScheduler.stop(id)
+      catalog.removeArtifact(s"scheduler:$id")
+      reply
     }
     else if (low.startsWith("schedule ")) scheduleCmd(t)
     else if (low.startsWith("task ")) taskModeCmd(t)
@@ -2404,6 +2408,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // wide as the journal it protects; the reference gets the same
     // exclusion from its consumer group — here the journal scope IS
     // the group. Claims release on exit and on poll-thread death.
+    // idempotent on re-declaration: `attach all` (or a retried
+    // command) while THIS engine already polls exactly these topics
+    // is a no-op, not a claim failure
+    kafkaConsumers.synchronized {
+      val mine = kafkaConsumers.filter(_.thread.isAlive)
+        .map(_.topics).toSet
+      if (mine.contains(topics.mkString(", ")))
+        return s"kafka consumer already polling ${topics.mkString(", ")}"
+    }
     val claimScope = Engine.claimScope(catalog, this)
     val scopeClaims = Engine.kafkaTopicClaims.computeIfAbsent(claimScope,
       _ => new java.util.concurrent.ConcurrentHashMap[
@@ -2820,9 +2833,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       throw new IllegalArgumentException(s"run streamer requires $k ="))
     val (dir, table) = (req("dir"), req("table"))
     val flush = kv("flush").map(_.toLong).getOrElse(60L)
+    // idempotent on re-declaration (the attach-all replay path)
     streamers.synchronized {
-      require(!streamers.get(table).exists(_.isActive),
-        s"streamer for $table already running")
+      if (streamers.get(table).exists(_.isActive))
+        return s"streamer for $table already running"
     }
     val raw = graft.streaming.StreamIngest.watchDir(spark, dir,
       archiveDir = kv("archive"))
@@ -3192,10 +3206,26 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       s"task-${low.hashCode.toHexString}")
     val schedId = intOpt(opts, "scheduler").getOrElse(1)
     val startAt = startOpt(opts)
-    val task =
-      taskScheduler.add(name, command, repeatMs, startAt, schedId)
-    s"Task ${task.id} '$name' scheduled every ${repeatMs / 1000} " +
-      s"seconds on scheduler $schedId"
+    // idempotent on an identical re-declaration (the attach-all replay
+    // path — and a retried schedule command — must not FAIL on
+    // "Duplicate task name" when the existing task IS this one)
+    val existing = taskScheduler.tasksOf(schedId)
+      .find(tk => tk.mode != "Removed" && tk.name == name)
+    val reply = existing match {
+      case Some(tk) if tk.command == command =>
+        s"Task ${tk.id} '$name' already scheduled on scheduler $schedId"
+      case _ =>
+        val task =
+          taskScheduler.add(name, command, repeatMs, startAt, schedId)
+        s"Task ${task.id} '$name' scheduled every ${repeatMs / 1000} " +
+          s"seconds on scheduler $schedId"
+    }
+    // standing tasks are part of the declared fleet: `attach all`
+    // after a reboot re-registers them (task remove undeclares); the
+    // reference stores its scheduled jobs as policies on the shared
+    // ledger for the same reason
+    catalog.recordArtifact(s"task:$schedId:$name", t.trim)
+    reply
   }
 
   /** `task stop|resume|run|remove|init where name = "x"
@@ -3209,7 +3239,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     val name = strOpt(opts, "name").getOrElse(
       throw new IllegalArgumentException("task: name = required"))
     val schedId = intOpt(opts, "scheduler").getOrElse(1)
-    taskScheduler.taskCmd(op, name, schedId, startOpt(opts))
+    val reply = taskScheduler.taskCmd(op, name, schedId, startOpt(opts))
+    if (op == "remove") catalog.removeArtifact(s"task:$schedId:$name")
+    reply
   }
 
   /** `time = N second|minute|hour|day[s]` → millis. */
@@ -3285,6 +3317,17 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     require(qos >= 0 && qos <= 1,
       s"run msg client: qos $qos unsupported — this client implements " +
         "QoS 0/1 only (QoS 2 receiver flow is not implemented)")
+    // idempotent on re-declaration (the attach-all replay path): the
+    // same topic set with a live client is a no-op, not a duplicate
+    // subscription delivering every message twice
+    msgClients.synchronized {
+      val key = s"msg client:${topics.mkString(",")}"
+      // keys and clients are parallel buffers — test THE client that
+      // owns this key, not any client
+      val i = msgClientKeys.indexOf(key)
+      if (i >= 0 && i < msgClients.size && msgClients(i).isRunning)
+        return s"msg client already subscribed to ${topics.mkString(", ")}"
+    }
     // file names must be unique ACROSS client restarts and across two
     // clients sharing a dir/topic: a bare per-client counter restarts
     // at 1 and Files.writeString TRUNCATES, overwriting an unprocessed

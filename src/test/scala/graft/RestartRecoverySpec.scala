@@ -294,10 +294,13 @@ class RestartRecoverySpec extends SparkSpec {
         "and reset = earliest and poll = 40")
       e1.execute(s"run streamer where dir = $land and table = arows " +
         "and policy = ap and flush = 1")
-      // the ingest topology is RECORDED as standing artifacts
+      e1.execute("""schedule time = 1 hours and name = "keep" """ +
+        "task sync all where table = arows")
+      // the ingest topology + standing tasks are RECORDED artifacts
       val recs = e1.execute("get artifacts")
       assert(recs.contains("kafka consumer:att") &&
-        recs.contains("streamer:arows"), recs)
+        recs.contains("streamer:arows") &&
+        recs.contains("task:1:keep"), recs)
       producer.produceStrings("att",
         (0 until 4).map(i => s"""{"device": "a$i", "value": $i}"""))
       def drain(e: graft.engine.Engine, want: Long): Long = {
@@ -336,7 +339,13 @@ class RestartRecoverySpec extends SparkSpec {
       val attach = e2.execute("attach all")
       assert(attach.contains("attached kafka consumer:att") &&
         attach.contains("attached streamer:arows") &&
+        attach.contains("attached task:1:keep") &&
         !attach.contains("FAILED"), attach)
+      // the whole replay is IDEMPOTENT: a second attach with
+      // everything already live is all no-ops, zero FAILED rows
+      val again = e2.execute("attach all")
+      assert(!again.contains("FAILED"), again)
+      assert(e2.execute("get scheduler 1").contains("keep"))
       assert(drain(e2, 7) === 7L)
       Thread.sleep(400)
       e2.streamerQueries("arows").processAllAvailable()
