@@ -192,18 +192,41 @@ final class Catalog(spark: SparkSession, root: Option[Path] = None) {
     * overwrites rather than duplicates. */
   def recordArtifact(key: String, attachCmd: String): Unit = synchronized {
     artifacts += key -> attachCmd
-    persist(s"artifact_${sanitize(key)}.json",
+    persist(artifactFile(key),
       s"""{"artifact": {"key": ${q(key)}, "attach": ${q(attachCmd)}}}""")
+    // upgrade: drop a record persisted under the legacy (un-hashed)
+    // name so it cannot linger and replay a stale command
+    root.foreach { r =>
+      val legacy = r.resolve(s"artifact_${sanitize(key)}.json")
+      try Files.deleteIfExists(legacy)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
   def artifactList: Seq[(String, String)] = artifacts.toSeq.sortBy(_._1)
+  /** The recorded attach command for `key`, if any (the conflict check
+    * for idempotent service re-declarations). */
+  def artifactRecord(key: String): Option[String] = artifacts.get(key)
+
+  /** Filename = sanitized key + key hash: two keys differing only in
+    * sanitized-away characters (topic wildcards `#`/`+`, `,`-joined
+    * topic lists) must not share a file — same scheme as the kafka
+    * offset journal. */
+  private def artifactFile(key: String): String = {
+    val c = new java.util.zip.CRC32
+    c.update(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"artifact_${sanitize(key)}_${java.lang.Long.toHexString(c.getValue)}.json"
+  }
 
   /** Drop an attach record (an explicitly exited SERVICE must not be
     * resurrected by the next `attach all` — the operator stopped it). */
   def removeArtifact(key: String): Unit = synchronized {
     artifacts -= key
     root.foreach { r =>
-      try Files.deleteIfExists(r.resolve(s"artifact_${sanitize(key)}.json"))
-      catch { case scala.util.control.NonFatal(_) => () }
+      try {
+        Files.deleteIfExists(r.resolve(artifactFile(key)))
+        // legacy (pre-hash) name too
+        Files.deleteIfExists(r.resolve(s"artifact_${sanitize(key)}.json"))
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 

@@ -683,6 +683,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       low.startsWith("run ha sync") || low.startsWith("delete archive") ||
       low.startsWith("run streamer") ||
       low.startsWith("run kafka consumer") ||
+      // msg client start/exit: the duplicate-subscription check and
+      // the registry insert bracket a network handshake — write-side
+      // serialization is what makes check-then-insert atomic (two
+      // concurrent declarations of the same topics must collapse to
+      // ONE subscription, not deliver every message twice). stop()
+      // joins no thread that needs the write lock, so the exit is
+      // safe on this side too.
+      low.startsWith("run msg client") ||
+      low.startsWith("exit msg client") ||
       familyVerb.findFirstIn(low).isDefined
   }
 
@@ -2309,7 +2318,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         () => msgClients.synchronized {
           if (msgClients.isEmpty) ""
           else {
-            val reconnecting = msgClients.count(c => !c.isConnected)
+            val reconnecting =
+              msgClients.valuesIterator.count(c => !c.isConnected)
             s"${msgClients.size} client(s)" +
               (if (reconnecting > 0) s" ($reconnecting reconnecting)"
                else "")
@@ -2408,14 +2418,24 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     // wide as the journal it protects; the reference gets the same
     // exclusion from its consumer group — here the journal scope IS
     // the group. Claims release on exit and on poll-thread death.
-    // idempotent on re-declaration: `attach all` (or a retried
-    // command) while THIS engine already polls exactly these topics
-    // is a no-op, not a claim failure
+    // idempotent on an IDENTICAL re-declaration: `attach all` (or a
+    // retried command) while THIS engine already polls these topics
+    // under the same command is a no-op; a CONFLICTING re-declaration
+    // (same topics, different dir/reset/poll) is refused loudly —
+    // silently keeping the old config would make the new command a
+    // 200-status lie
     kafkaConsumers.synchronized {
       val mine = kafkaConsumers.filter(_.thread.isAlive)
         .map(_.topics).toSet
-      if (mine.contains(topics.mkString(", ")))
+      if (mine.contains(topics.mkString(", "))) {
+        val key = s"kafka consumer:${topics.mkString(",")}"
+        val recorded = catalog.artifactRecord(key)
+        require(recorded.contains(t.trim),
+          s"kafka consumer for ${topics.mkString(", ")} already " +
+            "running with a different configuration — exit it first " +
+            s"(recorded: ${recorded.getOrElse("?")})")
         return s"kafka consumer already polling ${topics.mkString(", ")}"
+      }
     }
     val claimScope = Engine.claimScope(catalog, this)
     val scopeClaims = Engine.kafkaTopicClaims.computeIfAbsent(claimScope,
@@ -2833,10 +2853,18 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       throw new IllegalArgumentException(s"run streamer requires $k ="))
     val (dir, table) = (req("dir"), req("table"))
     val flush = kv("flush").map(_.toLong).getOrElse(60L)
-    // idempotent on re-declaration (the attach-all replay path)
+    // idempotent on an IDENTICAL re-declaration (the attach-all
+    // replay path); a conflicting one (same table, different
+    // dir/policy/flush) is refused loudly
     streamers.synchronized {
-      if (streamers.get(table).exists(_.isActive))
+      if (streamers.get(table).exists(_.isActive)) {
+        val recorded = catalog.artifactRecord(s"streamer:$table")
+        require(recorded.contains(t.trim),
+          s"streamer for $table already running with a different " +
+            s"configuration — exit it first " +
+            s"(recorded: ${recorded.getOrElse("?")})")
         return s"streamer for $table already running"
+      }
     }
     val raw = graft.streaming.StreamIngest.watchDir(spark, dir,
       archiveDir = kv("archive"))
@@ -3240,7 +3268,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       throw new IllegalArgumentException("task: name = required"))
     val schedId = intOpt(opts, "scheduler").getOrElse(1)
     val reply = taskScheduler.taskCmd(op, name, schedId, startOpt(opts))
-    if (op == "remove") catalog.removeArtifact(s"task:$schedId:$name")
+    op match {
+      case "remove" =>
+        catalog.removeArtifact(s"task:$schedId:$name")
+        catalog.removeArtifact(s"taskmode:$schedId:$name")
+      case "stop" =>
+        // persist the STOPPED mode: `attach all` replays the schedule
+        // (Active by default) and then this command — key sorts after
+        // task:<id>:<name>, so the replay order re-stops it. An
+        // operator-paused task must not come back Active on reboot.
+        catalog.recordArtifact(s"taskmode:$schedId:$name", t.trim)
+      case "resume" =>
+        catalog.removeArtifact(s"taskmode:$schedId:$name")
+      case _ => ()
+    }
     reply
   }
 
@@ -3290,9 +3331,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           })
 
   private val msgClients =
-    scala.collection.mutable.ArrayBuffer.empty[graft.streaming.MqttClient]
-  private val msgClientKeys =
-    scala.collection.mutable.ArrayBuffer.empty[String]
+    scala.collection.mutable.Map.empty[String, graft.streaming.MqttClient]
 
   /** `run msg client where broker = <host> and port = <n> and
     * topic = <t>[,<t2>…] and dir = <watch-dir> [and qos = 1]` — the
@@ -3317,16 +3356,22 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     require(qos >= 0 && qos <= 1,
       s"run msg client: qos $qos unsupported — this client implements " +
         "QoS 0/1 only (QoS 2 receiver flow is not implemented)")
-    // idempotent on re-declaration (the attach-all replay path): the
-    // same topic set with a live client is a no-op, not a duplicate
-    // subscription delivering every message twice
+    // idempotent on an IDENTICAL re-declaration (the attach-all
+    // replay path): a live client for these topics under the same
+    // command is a no-op — but a conflicting re-declaration (same
+    // topics, different dir/qos/broker) is refused loudly, never
+    // silently ignored (write-side serialization makes this
+    // check-then-insert atomic)
+    val mcKey = s"msg client:${topics.mkString(",")}"
     msgClients.synchronized {
-      val key = s"msg client:${topics.mkString(",")}"
-      // keys and clients are parallel buffers — test THE client that
-      // owns this key, not any client
-      val i = msgClientKeys.indexOf(key)
-      if (i >= 0 && i < msgClients.size && msgClients(i).isRunning)
+      if (msgClients.get(mcKey).exists(_.isRunning)) {
+        val recorded = catalog.artifactRecord(mcKey)
+        require(recorded.contains(t.trim),
+          s"msg client for ${topics.mkString(", ")} already running " +
+            s"with a different configuration — exit it first " +
+            s"(recorded: ${recorded.getOrElse("?")})")
         return s"msg client already subscribed to ${topics.mkString(", ")}"
+      }
     }
     // file names must be unique ACROSS client restarts and across two
     // clients sharing a dir/topic: a bare per-client counter restarts
@@ -3351,8 +3396,11 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         }
       })
     client.start(topics.toSeq.map(tp => (tp, qos)))
-    val mcKey = s"msg client:${topics.mkString(",")}"
-    msgClients.synchronized { msgClients += client; msgClientKeys += mcKey }
+    msgClients.synchronized {
+      // a dead previous client under the same key is superseded
+      msgClients.get(mcKey).foreach(_.stop())
+      msgClients(mcKey) = client
+    }
     catalog.recordArtifact(mcKey, t.trim)
     s"msg client subscribed to ${topics.mkString(", ")} at $host:$port " +
       s"(qos $qos, landing in $dir)"
@@ -3362,10 +3410,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   private def exitMsgClient(): String = {
     val n = msgClients.synchronized {
       val k = msgClients.size
-      msgClients.foreach(_.stop())
+      msgClients.valuesIterator.foreach(_.stop())
+      msgClients.keysIterator.foreach(catalog.removeArtifact)
       msgClients.clear()
-      msgClientKeys.foreach(catalog.removeArtifact)
-      msgClientKeys.clear()
       k
     }
     s"$n msg client(s) disconnected"

@@ -153,9 +153,15 @@ final class MqttClient(host: String, port: Int, clientId: String,
     sock = s
     out = s.getOutputStream
     val in = s.getInputStream
-    // CONNECT: clean session, keepalive 60
+    // CONNECT: PERSISTENT session (CleanSession=0, stable clientId),
+    // keepalive 60. Clean-session reconnects would make the broker
+    // discard un-acked QoS 1 deliveries and anything queued during an
+    // outage (spec 3.1.2-6) — the supervise() at-least-once claim
+    // REQUIRES session continuity; the explicit re-SUBSCRIBE after
+    // reconnect keeps this correct against brokers (like the embedded
+    // one) whose subscription state is per-connection anyway.
     val cid = clientId.getBytes(StandardCharsets.UTF_8)
-    val connBody = Array[Byte](0, 4, 'M', 'Q', 'T', 'T', 4, 2, 0, 60) ++
+    val connBody = Array[Byte](0, 4, 'M', 'Q', 'T', 'T', 4, 0, 0, 60) ++
       Array[Byte]((cid.length >> 8).toByte, (cid.length & 0xff).toByte) ++ cid
     send(0x10, connBody)
     val connack = expect(in, 2)
@@ -199,7 +205,16 @@ final class MqttClient(host: String, port: Int, clientId: String,
           try sock.close()
           catch { case scala.util.control.NonFatal(_) => () }
           in = connect()
-          connected = true
+          // stop() may have fired while connect() was in flight: it
+          // closed the PREVIOUS socket, so the fresh session would
+          // linger as a zombie subscriber (QoS 1 deliveries never
+          // read or acked) — tear it down before exiting
+          if (!running) {
+            try send(0xe0, Array.emptyByteArray)
+            catch { case scala.util.control.NonFatal(_) => () }
+            try sock.close()
+            catch { case scala.util.control.NonFatal(_) => () }
+          } else connected = true
         } catch {
           case scala.util.control.NonFatal(_) =>
             try Thread.sleep(delay)
@@ -275,6 +290,10 @@ final class MqttClient(host: String, port: Int, clientId: String,
   def stop(): Unit = {
     running = false
     if (pinger != null) pinger.interrupt()
+    // interrupt the supervisor too: a reconnect parked in the backoff
+    // sleep (or blocked inside a socket connect) must not linger for
+    // its full timeout after an explicit stop
+    if (reader != null) reader.interrupt()
     try send(0xe0, Array.emptyByteArray) catch {
       case scala.util.control.NonFatal(_) => ()
     }

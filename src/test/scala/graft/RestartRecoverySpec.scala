@@ -296,11 +296,24 @@ class RestartRecoverySpec extends SparkSpec {
         "and policy = ap and flush = 1")
       e1.execute("""schedule time = 1 hours and name = "keep" """ +
         "task sync all where table = arows")
+      e1.execute("""schedule time = 1 hours and name = "paused" """ +
+        "task get tables")
+      // an operator-PAUSED task must come back paused after a reboot
+      e1.execute("""task stop where name = "paused"""")
       // the ingest topology + standing tasks are RECORDED artifacts
       val recs = e1.execute("get artifacts")
       assert(recs.contains("kafka consumer:att") &&
         recs.contains("streamer:arows") &&
-        recs.contains("task:1:keep"), recs)
+        recs.contains("task:1:keep") &&
+        recs.contains("taskmode:1:paused"), recs)
+      // a CONFLICTING re-declaration (same topic, different dir) is
+      // refused loudly, never silently ignored
+      val conflict = intercept[IllegalArgumentException](e1.execute(
+        s"run kafka consumer where ip = localhost and port = $kport " +
+          s"and topic = att and dir = ${root.resolve("elsewhere")} " +
+          "and reset = earliest"))
+      assert(conflict.getMessage.contains("different configuration"),
+        conflict.getMessage)
       producer.produceStrings("att",
         (0 until 4).map(i => s"""{"device": "a$i", "value": $i}"""))
       def drain(e: graft.engine.Engine, want: Long): Long = {
@@ -345,7 +358,12 @@ class RestartRecoverySpec extends SparkSpec {
       // everything already live is all no-ops, zero FAILED rows
       val again = e2.execute("attach all")
       assert(!again.contains("FAILED"), again)
-      assert(e2.execute("get scheduler 1").contains("keep"))
+      val sched = e2.execute("get scheduler 1")
+      assert(sched.contains("keep"), sched)
+      // the paused task re-registered AND re-paused (taskmode replay
+      // sorts after the schedule replay)
+      assert(sched.linesIterator.exists(l =>
+        l.contains("paused") && l.contains("Stopped")), sched)
       assert(drain(e2, 7) === 7L)
       Thread.sleep(400)
       e2.streamerQueries("arows").processAllAvailable()
