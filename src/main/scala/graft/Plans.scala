@@ -541,6 +541,16 @@ object Plans {
           "triple keeps the foreign side a parallel range-bounded " +
           "scan; at fleet scale this is the reference's " +
           "shard-include shape with heterogeneous shard engines"),
+      "q209_modbus_chain" ->
+        ("Modbus PLC ingest chain: the QUERY plan is the landed " +
+          "table's parquet scan -> two-phase hash aggregate (the " +
+          "ingest chain — native Modbus TCP poll, batched block " +
+          "reads, NDJSON landing, streamer fold — is control/ingest " +
+          "plane and leaves no operator in the read path); the wire " +
+          "cost per poll is bounded by the read PLAN, not the map " +
+          "width: contiguous single-address points merge into block " +
+          "reads (ModbusMap.plan), so a 100-point device polls in " +
+          "O(blocks) round-trips"),
       "q206_jdbc_scan" ->
         ("foreign-engine scan over the built-in JDBC source: the " +
           "plan is JDBCRelation scan -> two-phase hash aggregate; " +

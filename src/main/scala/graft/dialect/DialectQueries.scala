@@ -953,7 +953,107 @@ object DialectQueries {
       "min(n_nationkey) AS min_key, max(n_nationkey) AS max_key " +
       "FROM nation GROUP BY 1 ORDER BY 1"
 
+  /** q209 — the NATIVE Modbus TCP ingest chain under the oracle (the
+    * §2.1 PLC row's driver-gate closure; wire stack
+    * streaming/ModbusTcp.scala, `run plc client` per
+    * cmd/member_cmd.py:21390 + api/plc_client.py:219, decode per
+    * api/modbus_client.py:1183): each nation row is loaded into an
+    * embedded Modbus server's register bank — the key as a plain
+    * holding register, key×1e6 as a 2-register big-endian long, the
+    * region as an input register, region+0.5 as a 2-register IEEE-754
+    * float, and key-parity as a coil — and `run plc client` polls it
+    * over the wire, decodes the map, and lands one wide NDJSON row
+    * per poll. `run streamer` maps the landings through a mapping
+    * policy into a table, and the aggregate hash-matches DuckDB over
+    * the parquet nation: a poll lost or double-landed, or ANY decode
+    * slip (sign, word order, float bits, bit unpack, scale) breaks
+    * the hash. The 25 run/exit cycles double as a client-lifecycle
+    * soak. */
+  private val q209: QFn = (s, d) => {
+    import graft.streaming.{ModbusBank, ModbusTcpServer}
+    val nations = Tables.load(s, d, "nation")
+      .select("n_nationkey", "n_regionkey")
+      .collect().sortBy(_.getInt(0))
+    val srv = new ModbusTcpServer()
+    val port = srv.start()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("q209")
+      val land = root.resolve("land")
+      val cat = new graft.engine.Catalog(s)
+      val engine = new graft.engine.Engine(s, cat)
+      engine.dataDir = Some(root.resolve("data").toString)
+      engine.execute("""policy add pn {"mapping": {
+        "dbms": "edge", "table": "plcnat",
+        "schema": {
+          "nkey": {"type": "bigint", "bring": "[nkey]"},
+          "km": {"type": "bigint", "bring": "[km]"},
+          "rkey": {"type": "bigint", "bring": "[rkey]"},
+          "rf": {"type": "double", "bring": "[rf]"},
+          "odd": {"type": "bigint", "bring": "[odd]"}}}}""")
+      val runCmd = s"run plc client where type = modbus and " +
+        s"hostname = localhost and port = $port and name = plcnat " +
+        s"and frequency = 300 and dir = $land and table = plcnat and " +
+        """map = [{"name":"nkey","register":0},""" +
+        """{"name":"km","register":[2,3],"type":"long"},""" +
+        """{"name":"rkey","inputRegister":0},""" +
+        """{"name":"rf","inputRegister":[4,5],"type":"float"},""" +
+        """{"name":"odd","coil":0}]"""
+      def landedCount(): Int = {
+        if (!java.nio.file.Files.isDirectory(land)) return 0
+        val st = java.nio.file.Files.list(land)
+        try st.filter(_.toString.endsWith(".json")).count().toInt
+        finally st.close()
+      }
+      nations.zipWithIndex.foreach { case (r, i) =>
+        val (nkey, rkey) = (r.getInt(0), r.getInt(1))
+        val km = nkey.toLong * 1000000L
+        val fbits = java.lang.Float.floatToIntBits(rkey.toFloat + 0.5f)
+        srv.setBank(ModbusBank(
+          coils = Vector(nkey % 2),
+          holding = Vector(nkey, 0,
+            ((km >> 16) & 0xFFFF).toInt, (km & 0xFFFF).toInt),
+          input = Vector(rkey, 0, 0, 0,
+            (fbits >>> 16) & 0xFFFF, fbits & 0xFFFF)))
+        engine.execute(runCmd)
+        val deadline = System.currentTimeMillis + 30000
+        while (landedCount() < i + 1 &&
+            System.currentTimeMillis < deadline) Thread.sleep(10)
+        require(landedCount() == i + 1,
+          s"q209: poll $i landed ${landedCount()} of ${i + 1}")
+        engine.execute("exit plc plcnat")
+      }
+      engine.execute(s"run streamer where dir = $land and " +
+        "table = plcnat and policy = pn and flush = 1")
+      val want = nations.length.toLong
+      val q = engine.streamerQueries("plcnat")
+      val deadline = System.currentTimeMillis + 120000
+      def rows(): Long =
+        try cat.table("plcnat").count() catch { case _: Exception => 0L }
+      var have = rows()
+      while (have < want && System.currentTimeMillis < deadline) {
+        q.processAllAvailable()
+        have = rows()
+        if (have < want) Thread.sleep(50)
+      }
+      require(have == want, s"q209: $have of $want rows landed")
+      engine.execute("exit streamer")
+      engine.query("""sql edge "select rkey, """ +
+        """count(*) as n_nations, sum(nkey) as sum_key, """ +
+        """sum(km) as sum_km, max(rf) as max_rf, sum(odd) as n_odd """ +
+        """from plcnat group by rkey order by rkey"""")
+    } finally srv.stop()
+  }
+  private val q209Sql =
+    "SELECT CAST(n_regionkey AS BIGINT) AS rkey, " +
+      "CAST(count(*) AS BIGINT) AS n_nations, " +
+      "sum(n_nationkey) AS sum_key, " +
+      "sum(n_nationkey) * 1000000 AS sum_km, " +
+      "CAST(max(n_regionkey) + 0.5 AS DOUBLE) AS max_rf, " +
+      "sum(n_nationkey % 2) AS n_odd " +
+      "FROM nation GROUP BY 1 ORDER BY 1"
+
   val queries: Map[String, QFn] = Map(
+    "q209_modbus_chain" -> q209,
     "q208_federated_include" -> q208,
     "q206_jdbc_scan" -> q206,
     "q201_scheduled_sync" -> q201,
@@ -983,6 +1083,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q209_modbus_chain" -> q209Sql,
     "q208_federated_include" -> q208Sql,
     "q206_jdbc_scan" -> q206Sql,
     "q201_scheduled_sync" -> q201Sql,

@@ -692,6 +692,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       // safe on this side too.
       low.startsWith("run msg client") ||
       low.startsWith("exit msg client") ||
+      // plc client start: check-then-insert brackets a TCP connect —
+      // write-side serialization keeps duplicate declarations atomic,
+      // same reasoning as run msg client / run kafka consumer
+      low.startsWith("run plc client") ||
       familyVerb.findFirstIn(low).isDefined
   }
 
@@ -711,7 +715,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     * needed. Regressions: StreamerExitSpec (both shapes). */
   private def isUnguarded(low: String): Boolean =
     low.startsWith("exit streamer") ||
-      low.startsWith("exit kafka consumer")
+      low.startsWith("exit kafka consumer") ||
+      // exit plc joins its poll thread, which takes no engine locks —
+      // holding none here keeps the join free of lock-order hazards
+      low.startsWith("exit plc")
 
   def execute(command: String): String = {
     val entry = (System.currentTimeMillis, command.trim)
@@ -1202,6 +1209,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("exit streamer")) exitStreamer(t)
     else if (low.startsWith("run kafka consumer")) runKafkaConsumer(t)
     else if (low.startsWith("exit kafka consumer")) exitKafkaConsumer()
+    else if (low.startsWith("run plc client")) runPlcClient(t)
+    else if (low.startsWith("get plc clients")) getPlcClients()
+    else if (low.startsWith("get plc values")) getPlcValues(t)
+    else if (low.startsWith("exit plc")) exitPlc(t)
     else if (low.startsWith("get processes")) {
       val json = "(?i)where\\s+format\\s*=\\s*json".r
         .findFirstIn(low).isDefined
@@ -2680,6 +2691,304 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     victims.foreach(_.thread.join(2000))
     victims.foreach(h => catalog.removeArtifact(h.artifactKey))
     s"stopped ${victims.size} kafka consumer(s)"
+  }
+
+  /** One live PLC poller: poll thread + stop flag + the board
+    * counters the reference keeps per client (clients_info_,
+    * api/plc_client.py:270-276 — protocol, status, frequency,
+    * Reads). `reads` counts LANDED polls only: an empty poll (every
+    * point failed) lands nothing and does not count, the reference's
+    * PLC_modbus_empty_poll semantics. */
+  private final class PlcClientHandle(val name: String,
+      val protocol: String, val frequency: Double,
+      val stop: java.util.concurrent.atomic.AtomicBoolean,
+      val artifactKey: String, val command: String) {
+    @volatile var thread: Thread = null
+    @volatile var status: String = "running"
+    val reads = new java.util.concurrent.atomic.AtomicLong
+    val health = new java.util.concurrent.atomic.AtomicReference[String]("")
+  }
+
+  // insertion-ordered and RETAINING terminated entries, like the
+  // reference's clients_info_ (a terminated client stays on the
+  // board and its name becomes reusable)
+  private val plcClients = scala.collection.mutable.LinkedHashMap
+    .empty[String, PlcClientHandle]
+
+  /** `map = [ ... ]` is a bracketed JSON value with spaces — the \S+
+    * option grammar cannot carry it; take the balanced bracket span
+    * (string-literal aware, so a `]` inside a name does not close
+    * early). */
+  private def modbusMapJson(t: String): String = {
+    val m = "(?i)\\bmap\\s*=\\s*\\[".r.findFirstMatchIn(t).getOrElse(
+      throw new IllegalArgumentException(
+        "plc command requires map = [ ... ]"))
+    val from = m.end - 1
+    var depth = 0; var i = from; var end = -1; var inStr = false
+    while (i < t.length && end < 0) {
+      val c = t.charAt(i)
+      if (inStr) {
+        if (c == '\\') i += 1
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '[' => depth += 1
+        case ']' => depth -= 1; if (depth == 0) end = i
+        case _ => ()
+      }
+      i += 1
+    }
+    require(end > from, "plc command: unbalanced brackets in map =")
+    t.substring(from, end + 1)
+  }
+
+  /** `run plc client where type = modbus and hostname = <h> and
+    * port = <p> and name = <id> and frequency = <sec> and dir =
+    * <landing> [and device_id = <unit>] [and table = <t> | and
+    * dynamic = true] and map = [ ... ]` — the reference's industrial
+    * poller (`run plc client`, cmd/member_cmd.py:21390,
+    * api/plc_client.py:219) for its Modbus TCP connector
+    * (api/modbus_client.py): every `frequency` seconds read the map's
+    * points over a native Modbus TCP client (graft wire stack, no
+    * pymodbus), decode long/float/byte + swap/scale/offset, and land
+    * ONE wide NDJSON row per poll — {"timestamp", "duration",
+    * <name>: value, ...} — in the watch dir, where the ordinary
+    * streamer → mapping-policy → table chain takes over (the same
+    * downstream as the Kafka and MQTT transports; the reference
+    * routes all three through add_data). With `dynamic = true` (and
+    * no table), each point lands its own row in a
+    * `{name}_{field}` subdirectory — one table per map point
+    * (modbus_client.py:92 modbus_dynamic_table_name).
+    *
+    * Reads are BATCHED: single-address points of one kind merge into
+    * contiguous block reads (ModbusMap.plan), so a wide map costs a
+    * handful of TCP round-trips per poll. A failed point drops its
+    * column from that row (never a null placeholder); a poll where
+    * EVERY point fails lands nothing and does not count a Read. The
+    * reference's opcua/etherip types are declared out of parity
+    * scope (SURVEY §2.1) — only `type = modbus` is accepted. */
+  private def runPlcClient(t: String): String = {
+    import graft.streaming.{ModbusMap, ModbusTcpClient}
+    def kv(k: String): Option[String] =
+      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"run plc client requires $k ="))
+    val ptype = req("type").toLowerCase
+    require(ptype == "modbus",
+      s"run plc client: type $ptype is out of parity scope " +
+        "(SURVEY §2.1) — only type = modbus is supported")
+    val host = req("hostname")
+    val port = req("port").toInt
+    val name = req("name")
+    val unit = kv("device_id").map(_.toInt).getOrElse(1)
+    val freq = req("frequency").toDouble
+    require(freq > 0, "frequency must be > 0 seconds")
+    val dir = java.nio.file.Paths.get(req("dir"))
+    java.nio.file.Files.createDirectories(dir)
+    val dynamic = kv("dynamic").exists(_.equalsIgnoreCase("true"))
+    val table = kv("table")
+    require(!(dynamic && table.isDefined),
+      "run plc client: dynamic = true cannot be combined with " +
+        "table = ... (omit table =)")
+    val points = ModbusMap.parse(modbusMapJson(t))
+    val (ops, _) = ModbusMap.plan(points)
+    // idempotent on an IDENTICAL re-declaration (the attach-all
+    // replay path); a conflicting re-declaration of a RUNNING name is
+    // refused loudly (the reference refuses duplicate client names,
+    // api/plc_client.py:287); a terminated client's name is reusable
+    val artifactKey = s"plc client:$name"
+    plcClients.synchronized {
+      plcClients.get(name).filter(_.status == "running").foreach { h =>
+        require(h.command == t.trim,
+          s"plc client $name already running with a different " +
+            s"configuration — exit it first (recorded: ${h.command})")
+        return s"plc client $name already polling"
+      }
+    }
+    val client = new ModbusTcpClient(host, port)
+    client.connect() // fail fast on an unreachable server
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val handle = new PlcClientHandle(name, ptype, freq, stop,
+      artifactKey, t.trim)
+    val epoch = java.lang.Long.toHexString(System.nanoTime())
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val isoUtc = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      .withZone(java.time.ZoneOffset.UTC)
+    val errStreaks = scala.collection.mutable.Map.empty[String, Int]
+    def pollOnce(): Boolean = {
+      import org.json4s._
+      val t0 = System.currentTimeMillis
+      val read = ModbusMap.readAll(client, unit, points)
+      val t1 = System.currentTimeMillis
+      val decoded: Seq[(String, JValue)] = read.flatMap {
+        case (p, Right(v)) =>
+          errStreaks.remove(p.name)
+          Some(p.name -> v)
+        case (p, Left(err)) =>
+          // failed point: omit the column (no null placeholder),
+          // surface the streak on the board like the Kafka loop
+          errStreaks(p.name) = errStreaks.getOrElse(p.name, 0) + 1
+          logRing(errorLog, (System.currentTimeMillis,
+            s"plc client $name ${p.tag}", err))
+          None
+      }
+      handle.health.set(
+        if (errStreaks.isEmpty) ""
+        else {
+          val (worstName, k) = errStreaks.maxBy(_._2)
+          s"degraded: $worstName x$k" +
+            (if (errStreaks.size > 1) s" (+${errStreaks.size - 1} more)"
+             else "")
+        })
+      if (decoded.isEmpty) return false // empty poll: no land, no Read
+      val ts = JString(isoUtc.format(java.time.Instant.ofEpochMilli(t0)))
+      if (dynamic) {
+        decoded.foreach { case (field, v) =>
+          val sub = dir.resolve(ModbusMap.dynamicTableName(name, field))
+          java.nio.file.Files.createDirectories(sub)
+          val row = JObject(List("timestamp" -> ts, "value" -> v))
+          java.nio.file.Files.writeString(
+            sub.resolve(s"p${epoch}_${n.incrementAndGet()}.json"),
+            org.json4s.jackson.JsonMethods.compact(row))
+        }
+      } else {
+        val row = JObject(
+          ("timestamp" -> ts) :: ("duration" -> JLong(t1 - t0)) ::
+            decoded.toList)
+        java.nio.file.Files.writeString(
+          dir.resolve(s"p${epoch}_${n.incrementAndGet()}.json"),
+          org.json4s.jackson.JsonMethods.compact(row))
+      }
+      true
+    }
+    val th = new Thread(() => try {
+      while (!stop.get()) {
+        val began = System.currentTimeMillis
+        try { if (pollOnce()) handle.reads.incrementAndGet() }
+        catch { case scala.util.control.NonFatal(e) =>
+          logRing(errorLog, (System.currentTimeMillis,
+            s"plc client $name poll",
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))) }
+        // sliced sleep: a long frequency must not pin `exit plc`
+        // against the grace join — the stop flag is honored within
+        // ~50 ms without resorting to an interrupt mid-landing
+        var leftMs = (math.max(freq -
+          (System.currentTimeMillis - began) / 1000.0, 0) * 1000).toLong
+        while (!stop.get() && leftMs > 0) {
+          val nap = math.min(leftMs, 50L)
+          try Thread.sleep(nap)
+          catch { case _: InterruptedException => stop.set(true) }
+          leftMs -= nap
+        }
+      }
+    } finally {
+      handle.status = "terminated"
+      try client.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }, s"graft-plc-$name")
+    th.setDaemon(true)
+    handle.thread = th
+    th.start()
+    plcClients.synchronized { plcClients(name) = handle }
+    // the ingest topology is part of the standing fleet: `attach
+    // all` after an engine restart re-issues this exact command (an
+    // explicit `exit plc` drops the record)
+    catalog.recordArtifact(artifactKey, t.trim)
+    registerService("PLC Client",
+      () => plcClients.synchronized(
+        plcClients.valuesIterator.exists(_.status == "running")),
+      () => plcClients.synchronized {
+        plcClients.valuesIterator.filter(_.status == "running").map { h =>
+          val hl = h.health.get()
+          s"${h.name} (${h.protocol})" + (if (hl.isEmpty) "" else s" $hl")
+        }.mkString("; ")
+      })
+    s"plc client $name polling $host:$port every ${freq}s " +
+      s"(${points.size} point(s) in ${ops.size} read(s), " +
+      s"landing in $dir)"
+  }
+
+  /** `get plc clients` — the reference's status board
+    * (api/plc_client.py:99): Client Name | Protocol | Status |
+    * Frequency | Reads. Terminated clients stay listed. */
+  private def getPlcClients(): String = {
+    val rows = plcClients.synchronized {
+      plcClients.valuesIterator.map(h =>
+        Seq(h.name, h.protocol, h.status, h.frequency.toString,
+          h.reads.get.toString)).toSeq
+    }
+    if (rows.isEmpty) return "no plc clients declared"
+    val header = Seq("Client Name", "Protocol", "Status", "Frequency",
+      "Reads")
+    val widths = header.indices.map(i =>
+      (header(i) +: rows.map(_(i))).map(_.length).max)
+    def line(cells: Seq[String]) =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    (line(header) +: rows.map(line)).mkString("\n")
+  }
+
+  /** `get plc values where type = modbus and hostname = <h> and
+    * port = <p> [and device_id = <unit>] and map = [ ... ]` — the
+    * reference's ONE-SHOT read (`get plc values`,
+    * api/plc_client.py:627): connect, execute one batched poll
+    * cycle, render each point's decoded value (or its error) as one
+    * JSON object, disconnect. The diagnostic twin of `run plc
+    * client` — same map grammar, same decode, no landing. */
+  private def getPlcValues(t: String): String = {
+    import graft.streaming.{ModbusMap, ModbusTcpClient}
+    def kv(k: String): Option[String] =
+      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"get plc values requires $k ="))
+    val ptype = req("type").toLowerCase
+    require(ptype == "modbus",
+      s"get plc values: type $ptype is out of parity scope " +
+        "(SURVEY §2.1) — only type = modbus is supported")
+    val points = ModbusMap.parse(modbusMapJson(t))
+    val unit = kv("device_id").map(_.toInt).getOrElse(1)
+    val client = new ModbusTcpClient(req("hostname"), req("port").toInt)
+    try {
+      client.connect()
+      import org.json4s._
+      val fields = ModbusMap.readAll(client, unit, points).map {
+        case (p, Right(v)) => p.name -> v
+        case (p, Left(err)) =>
+          p.name -> JObject(List("error" -> JString(err)))
+      }
+      org.json4s.jackson.JsonMethods.compact(JObject(fields.toList))
+    } finally client.close()
+  }
+
+  /** `exit plc <name|all>` — stop the named poller (or every
+    * poller), reference cmd `exit plc 1` / `exit plc all`
+    * (member_cmd.py:21942). Cooperative stop + interrupt out of the
+    * frequency sleep; the artifact record drops so a stopped client
+    * stays stopped across `attach all`. */
+  private def exitPlc(t: String): String = {
+    val who = t.trim.split("\\s+").drop(2).mkString(" ")
+    require(who.nonEmpty, "usage: exit plc <name|all>")
+    val victims = plcClients.synchronized {
+      if (who.equalsIgnoreCase("all"))
+        plcClients.valuesIterator.filter(_.status == "running").toList
+      else {
+        val h = plcClients.get(who).getOrElse(
+          throw new IllegalArgumentException(s"no plc client $who"))
+        if (h.status == "running") List(h) else Nil
+      }
+    }
+    // cooperative first (let an in-flight poll finish its landing —
+    // an interrupt mid-write truncates the NDJSON file), forceful
+    // for a thread still parked in the frequency sleep or a wedged
+    // socket — the exit-kafka-consumer discipline
+    victims.foreach(_.stop.set(true))
+    victims.foreach { h => if (h.thread != null) h.thread.join(1500) }
+    victims.foreach { h =>
+      if (h.thread != null && h.thread.isAlive) h.thread.interrupt() }
+    victims.foreach { h => if (h.thread != null) h.thread.join(2000) }
+    victims.foreach(h => catalog.removeArtifact(h.artifactKey))
+    s"stopped ${victims.size} plc client(s)"
   }
 
   /** `connect dbms <name> where type = jdbc and url = <jdbc-url> and
