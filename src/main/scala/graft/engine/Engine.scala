@@ -1212,6 +1212,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     else if (low.startsWith("run plc client")) runPlcClient(t)
     else if (low.startsWith("get plc clients")) getPlcClients()
     else if (low.startsWith("get plc values")) getPlcValues(t)
+    else if (low.startsWith("get plc struct")) getPlcStruct(t)
     else if (low.startsWith("exit plc")) exitPlc(t)
     else if (low.startsWith("get processes")) {
       val json = "(?i)where\\s+format\\s*=\\s*json".r
@@ -2959,6 +2960,102 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       }
       org.json4s.jackson.JsonMethods.compact(JObject(fields.toList))
     } finally client.close()
+  }
+
+  /** `get plc struct where type = modbus and hostname = <h> and
+    * port = <p> [and device_id = <unit>] [and max_registers = <n>]
+    * [and scan_chunk = <n>] [and format = nodes|map|get_value|
+    * run_client] [and name/frequency/table/dir = ..]` — the
+    * reference's device DISCOVERY (`modbus_struct` + chunked
+    * `discover_all_points`, api/modbus_client.py:906-1065): probe the
+    * four point kinds in chunk-sized block reads over address 0..max,
+    * collect the readable addresses, and render them as canonical
+    * tags (`nodes`), a ready-to-edit register map (`map`, default), or
+    * a ready-to-run command (`get_value` / `run_client`). Chunk
+    * granularity matches the reference: a chunk read that trips
+    * ILLEGAL DATA ADDRESS marks the whole chunk unreadable and the
+    * scan moves on. */
+  private def getPlcStruct(t: String): String = {
+    import graft.streaming.{ModbusError, ModbusTcp, ModbusTcpClient}
+    def kv(k: String): Option[String] =
+      (s"(?i)\\b$k\\s*=\\s*(\\S+)").r.findFirstMatchIn(t).map(_.group(1))
+    def req(k: String): String = kv(k).getOrElse(
+      throw new IllegalArgumentException(s"get plc struct requires $k ="))
+    val ptype = req("type").toLowerCase
+    require(ptype == "modbus",
+      s"get plc struct: type $ptype is out of parity scope " +
+        "(SURVEY §2.1) — only type = modbus is supported")
+    val host = req("hostname")
+    val port = req("port").toInt
+    val unit = kv("device_id").map(_.toInt).getOrElse(1)
+    // reference defaults: 50 addresses probed in chunks of 10
+    val maxAddr = math.max(1, math.min(
+      kv("max_registers").map(_.toInt).getOrElse(50), 65536))
+    val chunk = math.max(1, math.min(
+      kv("scan_chunk").map(_.toInt).getOrElse(10),
+      ModbusTcp.MaxRegistersPerRead))
+    val format = kv("format").map(_.toLowerCase).getOrElse("map")
+    require(Seq("nodes", "map", "get_value", "run_client")
+      .contains(format),
+      s"get plc struct: format $format (expected nodes, map, " +
+        "get_value, or run_client)")
+    val client = new ModbusTcpClient(host, port)
+    val tags = try {
+      client.connect()
+      def scan(prefix: String,
+          read: (Int, Int) => IndexedSeq[Int]): Seq[(String, Int)] = {
+        val found = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+        var addr = 0
+        while (addr < maxAddr) {
+          val count = math.min(chunk, maxAddr - addr)
+          try {
+            val vals = read(addr, count)
+            (0 until vals.length).foreach(i => found += ((prefix, addr + i)))
+          } catch {
+            case ModbusError(_, _) => () // unreadable chunk: move on
+            case _: java.io.IOException => ()
+          }
+          addr += count
+        }
+        found.toSeq
+      }
+      scan("hr", (a, c) => client.readHoldingRegisters(unit, a, c)) ++
+        scan("ir", (a, c) => client.readInputRegisters(unit, a, c)) ++
+        scan("c", (a, c) => client.readCoils(unit, a, c)) ++
+        scan("di", (a, c) => client.readDiscreteInputs(unit, a, c))
+    } finally client.close()
+    require(tags.nonEmpty,
+      "get plc struct: discovery found no readable addresses in the " +
+        s"configured range (device_id=$unit, max_registers=$maxAddr) " +
+        "— increase max_registers or set an explicit map")
+    val sorted = tags.distinct.sortBy { case (p, a) => (p, a) }
+    if (format == "nodes")
+      return sorted.map { case (p, a) => s""""$p:$a"""" }
+        .mkString("[", ", ", "]")
+    val mapJson = sorted.map { case (p, a) =>
+      val srcKey = p match {
+        case "hr" => "register"
+        case "ir" => "inputRegister"
+        case "c" => "coil"
+        case _ => "input"
+      }
+      s"""{"name": "${p}_$a", "$srcKey": $a}"""
+    }.mkString("[", ", ", "]")
+    format match {
+      case "map" => mapJson
+      case "get_value" =>
+        s"get plc values where type = modbus and hostname = $host " +
+          s"and port = $port and device_id = $unit and map = $mapJson"
+      case _ =>
+        val name = kv("name").getOrElse("modbus_client")
+        val freq = kv("frequency").getOrElse("1")
+        val table = kv("table").getOrElse("modbus_readings")
+        val dir = kv("dir").getOrElse("plc_land")
+        s"run plc client where type = modbus and hostname = $host " +
+          s"and port = $port and device_id = $unit and " +
+          s"frequency = $freq and name = $name and table = $table " +
+          s"and dir = $dir and map = $mapJson"
+    }
   }
 
   /** `exit plc <name|all>` — stop the named poller (or every

@@ -207,9 +207,12 @@ final class ModbusTcpServer(bank0: ModbusBank = ModbusBank()) {
   def setBank(b: ModbusBank): Unit = bank.set(b)
   def getBank: ModbusBank = bank.get()
 
-  def start(): Int = synchronized {
+  /** Bind and serve; `port` 0 picks an ephemeral port. A fixed port
+    * lets tests restart the server at the same address (client
+    * reconnect-across-restart soaks). */
+  def start(port: Int = 0): Int = synchronized {
     require(!running.get(), "server already running")
-    server = new ServerSocket(0)
+    server = new ServerSocket(port)
     running.set(true)
     val th = new Thread(() => {
       while (running.get()) {

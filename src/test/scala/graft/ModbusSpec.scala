@@ -203,4 +203,122 @@ class ModbusSpec extends AnyFunSuite {
     assert(dynamicSegment("9lives") == "t_9lives")
     assert(dynamicSegment("") == "x")
   }
+
+  // ---- adversarial server behavior (the client must FAIL CLEANLY —
+  // a typed IOException after the one reconnect retry — never hang,
+  // never return corrupt data) ----------------------------------------
+
+  /** A hostile Modbus server: reads each request, answers with a
+    * scripted response built from the request's transaction id, and
+    * serves every connection the same way (so the client's
+    * reconnect-once retry meets the same hostility twice). */
+  private def withHostileServer(respond: (Int, java.io.DataOutputStream) => Unit)(
+      body: ModbusTcpClient => Unit): Unit = {
+    val ss = new java.net.ServerSocket(0)
+    val alive = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val th = new Thread(() => {
+      while (alive.get()) {
+        try {
+          val s = ss.accept()
+          val in = new java.io.DataInputStream(s.getInputStream)
+          val out = new java.io.DataOutputStream(s.getOutputStream)
+          try {
+            while (alive.get()) {
+              val tid = in.readUnsignedShort()
+              in.readUnsignedShort(); in.readUnsignedShort()
+              val skip = new Array[Byte](6) // unit + 5-byte read PDU
+              in.readFully(skip)
+              respond(tid, out)
+              out.flush()
+            }
+          } catch { case _: java.io.IOException => () }
+          finally s.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    })
+    th.setDaemon(true); th.start()
+    val cli = new ModbusTcpClient("localhost", ss.getLocalPort,
+      timeoutMs = 1500)
+    try body(cli)
+    finally { cli.close(); alive.set(false); ss.close() }
+  }
+
+  test("a mismatched transaction id is a transport error, not data") {
+    withHostileServer { (tid, out) =>
+      out.writeShort(tid + 7); out.writeShort(0); out.writeShort(4)
+      out.writeByte(1); out.writeByte(0x03); out.writeByte(2)
+      out.writeShort(0xBEEF)
+    } { cli =>
+      val e = intercept[java.io.IOException](
+        cli.readHoldingRegisters(1, 0, 1))
+      assert(e.getMessage.contains("transaction id"))
+    }
+  }
+
+  test("an insane MBAP length is rejected before any allocation") {
+    withHostileServer { (tid, out) =>
+      out.writeShort(tid); out.writeShort(0); out.writeShort(60000)
+      out.writeByte(1)
+    } { cli =>
+      val e = intercept[java.io.IOException](
+        cli.readHoldingRegisters(1, 0, 1))
+      assert(e.getMessage.contains("insane frame length"))
+    }
+  }
+
+  test("a lying byte count is rejected") {
+    withHostileServer { (tid, out) =>
+      out.writeShort(tid); out.writeShort(0); out.writeShort(4)
+      out.writeByte(1); out.writeByte(0x03)
+      out.writeByte(7) // claims 7 data bytes, sends 1
+      out.writeByte(0x12)
+    } { cli =>
+      val e = intercept[java.io.IOException](
+        cli.readHoldingRegisters(1, 0, 1))
+      assert(e.getMessage.contains("byte count"))
+    }
+  }
+
+  test("a mid-frame disconnect surfaces as IOException, not a hang") {
+    val ss = new java.net.ServerSocket(0)
+    val th = new Thread(() => {
+      while (!ss.isClosed) {
+        try {
+          val s = ss.accept()
+          val out = new java.io.DataOutputStream(s.getOutputStream)
+          // half an MBAP header, then slam the door
+          out.writeShort(1); out.flush()
+          s.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    })
+    th.setDaemon(true); th.start()
+    val cli = new ModbusTcpClient("localhost", ss.getLocalPort,
+      timeoutMs = 1500)
+    try intercept[java.io.IOException](cli.readHoldingRegisters(1, 0, 1))
+    finally { cli.close(); ss.close() }
+  }
+
+  test("the client rides a server restart on the same port") {
+    val srv1 = new ModbusTcpServer(ModbusBank(holding = Vector(11)))
+    val port = srv1.start()
+    val cli = new ModbusTcpClient("localhost", port, timeoutMs = 3000)
+    try {
+      assert(cli.readHoldingRegisters(1, 0, 1) == IndexedSeq(11))
+      srv1.stop()
+      val srv2 = new ModbusTcpServer(ModbusBank(holding = Vector(22)))
+      // same port: a restarted device at the same address
+      var bound = false
+      val end = System.currentTimeMillis + 5000
+      while (!bound && System.currentTimeMillis < end) {
+        try { srv2.start(port); bound = true }
+        catch { case _: java.io.IOException => Thread.sleep(50) }
+      }
+      assert(bound, "could not rebind the port")
+      try {
+        // the dead socket fails the first attempt; the retry reconnects
+        assert(cli.readHoldingRegisters(1, 0, 1) == IndexedSeq(22))
+      } finally srv2.stop()
+    } finally cli.close()
+  }
 }

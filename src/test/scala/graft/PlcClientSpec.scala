@@ -208,6 +208,82 @@ class PlcClientSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("get plc struct: chunked discovery finds the readable address " +
+      "space, and its run_client rendering is directly executable") {
+    val srv = new ModbusTcpServer(ModbusBank(
+      holding = Vector(10, 20, 30), coils = Vector(1, 0, 1, 1, 0)))
+    val port = srv.start()
+    val root = java.nio.file.Files.createTempDirectory("plc9")
+    val dir = root.resolve("land")
+    val (engine, _) = freshEngine(root)
+    try {
+      val nodes = engine.execute(s"get plc struct where type = modbus " +
+        s"and hostname = localhost and port = $port and " +
+        s"max_registers = 6 and scan_chunk = 2 and format = nodes")
+      // chunk granularity (reference semantics): the [2,4) holding
+      // chunk trips ILLEGAL DATA ADDRESS (register 3 missing), so
+      // hr:2 is NOT discovered even though it is readable alone
+      assert(nodes.contains("\"hr:0\"") && nodes.contains("\"hr:1\""))
+      assert(!nodes.contains("\"hr:2\""))
+      assert(nodes.contains("\"c:0\"") && nodes.contains("\"c:3\""))
+      assert(!nodes.contains("\"c:4\"") && !nodes.contains("ir:"))
+      val map = engine.execute(s"get plc struct where type = modbus " +
+        s"and hostname = localhost and port = $port and " +
+        s"max_registers = 2 and scan_chunk = 2")
+      assert(map.contains("""{"name": "hr_0", "register": 0}"""), map)
+      assert(map.contains("""{"name": "c_1", "coil": 1}"""), map)
+      // the run_client rendering is a complete, runnable command
+      val cmd = engine.execute(s"get plc struct where type = modbus " +
+        s"and hostname = localhost and port = $port and " +
+        s"max_registers = 2 and scan_chunk = 2 and " +
+        s"format = run_client and name = disc and frequency = 0.05 " +
+        s"and table = t and dir = $dir")
+      assert(cmd.startsWith("run plc client where type = modbus"), cmd)
+      engine.execute(cmd)
+      waitFor() { landed(dir).nonEmpty }
+      val j = org.json4s.jackson.JsonMethods.parse(landed(dir).head)
+      import org.json4s._
+      val m = j.asInstanceOf[JObject].obj.toMap[String, JValue]
+      assert(m("hr_0").values == BigInt(10))
+      assert(m("hr_1").values == BigInt(20))
+      assert(m("c_0").values == BigInt(1))
+    } finally { engine.execute("exit plc all"); srv.stop() }
+  }
+
+  test("flaky-network soak: the poller keeps landing rows while the " +
+      "connection is severed under it, and health recovers") {
+    val srv = new ModbusTcpServer(ModbusBank(holding = Vector(4)))
+    val port = srv.start()
+    val root = java.nio.file.Files.createTempDirectory("plc8")
+    val dir = root.resolve("land")
+    val (engine, _) = freshEngine(root)
+    try {
+      engine.execute(s"run plc client where type = modbus and " +
+        s"hostname = localhost and port = $port and name = soak and " +
+        s"frequency = 0.03 and dir = $dir and table = t and " +
+        """map = [{"name":"a","register":0}]""")
+      waitFor() { landed(dir).nonEmpty }
+      (1 to 8).foreach { _ =>
+        srv.dropConnections()
+        Thread.sleep(60)
+      }
+      val afterChaos = landed(dir).size
+      // polling continues across the severed connections
+      waitFor() { landed(dir).size > afterChaos + 3 }
+      // and once the network is calm the degraded streak clears
+      waitFor() {
+        val d = engine.execute("get processes")
+        d.contains("soak (modbus)") && !d.contains("degraded")
+      }
+      landed(dir).foreach { r =>
+        val j = org.json4s.jackson.JsonMethods.parse(r)
+        import org.json4s._
+        assert(j.asInstanceOf[JObject].obj.toMap
+          .apply("a").values == BigInt(4)) // no torn/corrupt values
+      }
+    } finally { engine.execute("exit plc all"); srv.stop() }
+  }
+
   test("attach all replays a recorded plc client after an engine " +
       "restart; exit plc drops the record") {
     val srv = new ModbusTcpServer(ModbusBank(holding = Vector(3)))
