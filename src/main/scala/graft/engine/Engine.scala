@@ -2364,17 +2364,20 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         val detail = if (d.isEmpty) "" else s""", "Details": ${jstr(d)}"""
         s"""${jstr(n)}: {"Status": ${jstr(st)}$detail}"""
       }.mkString("{", ", ", "}")
-    else {
-      val header = Seq("Process", "Status", "Details")
-      val widths = header.indices.map(i =>
-        (header(i) +: rows.map(r => Seq(r._1, r._2, r._3)(i)))
-          .map(_.length).max)
-      def line(cells: Seq[String]) =
-        cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
-          .mkString("| ", " | ", " |")
-      (line(header) +: rows.map(r => line(Seq(r._1, r._2, r._3))))
-        .mkString("\n")
-    }
+    else renderBoard(Seq("Process", "Status", "Details"),
+      rows.map(r => Seq(r._1, r._2, r._3)))
+  }
+
+  /** Column-aligned status board (`| a | b |` rows under a header) —
+    * the one renderer behind `get processes` and `get plc clients`. */
+  private def renderBoard(header: Seq[String],
+      rows: Seq[Seq[String]]): String = {
+    val widths = header.indices.map(i =>
+      (header(i) +: rows.map(_(i))).map(_.length).max)
+    def line(cells: Seq[String]) =
+      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
+        .mkString("| ", " | ", " |")
+    (line(header) +: rows.map(line)).mkString("\n")
   }
 
   /** One live native Kafka consumer: poll thread + stop flag +
@@ -2745,8 +2748,9 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
 
   /** `run plc client where type = modbus and hostname = <h> and
     * port = <p> and name = <id> and frequency = <sec> and dir =
-    * <landing> [and device_id = <unit>] [and table = <t> | and
-    * dynamic = true] and map = [ ... ]` — the reference's industrial
+    * <landing> [and device_id = <unit>] [and timeout = <ms>] [and
+    * table = <t> | and dynamic = true] and map = [ ... ]` — the
+    * reference's industrial
     * poller (`run plc client`, cmd/member_cmd.py:21390,
     * api/plc_client.py:219) for its Modbus TCP connector
     * (api/modbus_client.py): every `frequency` seconds read the map's
@@ -2792,7 +2796,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       "run plc client: dynamic = true cannot be combined with " +
         "table = ... (omit table =)")
     val points = ModbusMap.parse(modbusMapJson(t))
-    val (ops, _) = ModbusMap.plan(points)
+    // the read plan is immutable for the life of the client — compile
+    // once here, reuse every poll cycle (SCALING.md's 'compiles ONCE')
+    val compiledPlan = ModbusMap.plan(points)
+    val ops = compiledPlan._1
     // idempotent on an IDENTICAL re-declaration (the attach-all
     // replay path); a conflicting re-declaration of a RUNNING name is
     // refused loudly (the reference refuses duplicate client names,
@@ -2806,7 +2813,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         return s"plc client $name already polling"
       }
     }
-    val client = new ModbusTcpClient(host, port)
+    val client = new ModbusTcpClient(host, port,
+      timeoutMs = kv("timeout").map(_.toInt).getOrElse(5000))
     client.connect() // fail fast on an unreachable server
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val handle = new PlcClientHandle(name, ptype, freq, stop,
@@ -2820,7 +2828,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     def pollOnce(): Boolean = {
       import org.json4s._
       val t0 = System.currentTimeMillis
-      val read = ModbusMap.readAll(client, unit, points)
+      val read = ModbusMap.readAll(client, unit, points, compiledPlan)
       val t1 = System.currentTimeMillis
       val decoded: Seq[(String, JValue)] = read.flatMap {
         case (p, Right(v)) =>
@@ -2920,14 +2928,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           h.reads.get.toString)).toSeq
     }
     if (rows.isEmpty) return "no plc clients declared"
-    val header = Seq("Client Name", "Protocol", "Status", "Frequency",
-      "Reads")
-    val widths = header.indices.map(i =>
-      (header(i) +: rows.map(_(i))).map(_.length).max)
-    def line(cells: Seq[String]) =
-      cells.zip(widths).map { case (c, w) => c.padTo(w, ' ') }
-        .mkString("| ", " | ", " |")
-    (line(header) +: rows.map(line)).mkString("\n")
+    renderBoard(Seq("Client Name", "Protocol", "Status", "Frequency",
+      "Reads"), rows)
   }
 
   /** `get plc values where type = modbus and hostname = <h> and
@@ -2949,7 +2951,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         "(SURVEY §2.1) — only type = modbus is supported")
     val points = ModbusMap.parse(modbusMapJson(t))
     val unit = kv("device_id").map(_.toInt).getOrElse(1)
-    val client = new ModbusTcpClient(req("hostname"), req("port").toInt)
+    val client = new ModbusTcpClient(req("hostname"), req("port").toInt,
+      timeoutMs = kv("timeout").map(_.toInt).getOrElse(5000))
     try {
       client.connect()
       import org.json4s._
@@ -2999,21 +3002,33 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       .contains(format),
       s"get plc struct: format $format (expected nodes, map, " +
         "get_value, or run_client)")
-    val client = new ModbusTcpClient(host, port)
+    val client = new ModbusTcpClient(host, port,
+      timeoutMs = kv("timeout").map(_.toInt).getOrElse(5000))
+    // ILLEGAL DATA ADDRESS is per-chunk information (the device
+    // answered: nothing there) — a TRANSPORT failure is not. An
+    // accepting-but-unresponsive endpoint would otherwise cost a
+    // socket timeout per chunk across four kind scans, an unbounded
+    // stall under user-set max_registers/scan_chunk; two consecutive
+    // transport failures abort the whole discovery instead.
+    var transportDead = false
     val tags = try {
       client.connect()
       def scan(prefix: String,
           read: (Int, Int) => IndexedSeq[Int]): Seq[(String, Int)] = {
         val found = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
         var addr = 0
-        while (addr < maxAddr) {
+        var ioStreak = 0
+        while (addr < maxAddr && !transportDead) {
           val count = math.min(chunk, maxAddr - addr)
           try {
             val vals = read(addr, count)
+            ioStreak = 0
             (0 until vals.length).foreach(i => found += ((prefix, addr + i)))
           } catch {
-            case ModbusError(_, _) => () // unreadable chunk: move on
-            case _: java.io.IOException => ()
+            case ModbusError(_, _) => ioStreak = 0 // device answered
+            case _: java.io.IOException =>
+              ioStreak += 1
+              if (ioStreak >= 2) transportDead = true
           }
           addr += count
         }
@@ -3024,6 +3039,10 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         scan("c", (a, c) => client.readCoils(unit, a, c)) ++
         scan("di", (a, c) => client.readDiscreteInputs(unit, a, c))
     } finally client.close()
+    require(!transportDead,
+      s"get plc struct: $host:$port stopped answering mid-scan " +
+        "(transport failures on consecutive chunk reads) — discovery " +
+        "aborted; check the device and retry")
     require(tags.nonEmpty,
       "get plc struct: discovery found no readable addresses in the " +
         s"configured range (device_id=$unit, max_registers=$maxAddr) " +
@@ -3066,15 +3085,16 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
   private def exitPlc(t: String): String = {
     val who = t.trim.split("\\s+").drop(2).mkString(" ")
     require(who.nonEmpty, "usage: exit plc <name|all>")
-    val victims = plcClients.synchronized {
-      if (who.equalsIgnoreCase("all"))
-        plcClients.valuesIterator.filter(_.status == "running").toList
-      else {
-        val h = plcClients.get(who).getOrElse(
-          throw new IllegalArgumentException(s"no plc client $who"))
-        if (h.status == "running") List(h) else Nil
-      }
+    // the exit targets EVERY named handle, running or not: a client
+    // whose thread died on its own still has an attach record, and an
+    // explicit exit must drop it (a stopped service stays stopped
+    // across `attach all`) — only the stop/join applies to live ones
+    val named = plcClients.synchronized {
+      if (who.equalsIgnoreCase("all")) plcClients.valuesIterator.toList
+      else List(plcClients.get(who).getOrElse(
+        throw new IllegalArgumentException(s"no plc client $who")))
     }
+    val victims = named.filter(_.status == "running")
     // cooperative first (let an in-flight poll finish its landing —
     // an interrupt mid-write truncates the NDJSON file), forceful
     // for a thread still parked in the frequency sleep or a wedged
@@ -3084,7 +3104,15 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     victims.foreach { h =>
       if (h.thread != null && h.thread.isAlive) h.thread.interrupt() }
     victims.foreach { h => if (h.thread != null) h.thread.join(2000) }
-    victims.foreach(h => catalog.removeArtifact(h.artifactKey))
+    // flip status HERE, not only in the poll thread's finally: a
+    // thread wedged past the grace joins (blocked in a socket read —
+    // interrupt cannot unblock java.io reads) would otherwise leave
+    // the handle "running", making an immediate identical
+    // re-declaration a silent no-op against a stop-flagged zombie
+    named.foreach { h =>
+      h.status = "terminated"
+      catalog.removeArtifact(h.artifactKey)
+    }
     s"stopped ${victims.size} plc client(s)"
   }
 

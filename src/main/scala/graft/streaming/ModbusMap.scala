@@ -84,13 +84,22 @@ object ModbusMap {
     if (sources.size != 1) fail(s"item '$name' must include exactly " +
       "one of register, inputRegister, coil, input")
     val (srcKey, kind) = sources.head
+    // an address must be an integral 0..65535: writeShort would
+    // silently wrap a negative or oversized address onto a DIFFERENT
+    // register of the device (plausible-looking wrong data, no error)
+    def addr(v: JValue): Int = {
+      val d = num(v).getOrElse(
+        fail(s"item '$name' address list must contain only integers"))
+      if (d != Math.rint(d) || d < 0 || d > 65535)
+        fail(s"item '$name': address ${v.values} must be an integer " +
+          "in 0..65535")
+      d.toInt
+    }
     val (start, count) = f(srcKey) match {
-      case a if num(a).isDefined => (num(a).get.toInt, 1)
+      case a if num(a).isDefined => (addr(a), 1)
       case JArray(xs) =>
         if (xs.isEmpty) fail(s"item '$name' has empty address list")
-        val addrs = xs.map(x => num(x).getOrElse(
-          fail(s"item '$name' address list must contain only integers"))
-          .toInt)
+        val addrs = xs.map(addr)
         addrs.sliding(2).foreach {
           case Seq(a, b) if b != a + 1 =>
             fail(s"item '$name': non-consecutive address list; " +
@@ -101,6 +110,8 @@ object ModbusMap {
       case _ => fail(s"item '$name' address must be an integer or a " +
         "list of consecutive integer addresses")
     }
+    if (start + count - 1 > 65535)
+      fail(s"item '$name': address span exceeds the 16-bit space")
     val isBits = kind == "c" || kind == "di"
     if (count > 1 && isBits && count > ModbusTcp.MaxBitsPerRead)
       fail(s"item '$name': requested bit count $count exceeds a safe " +
@@ -133,10 +144,21 @@ object ModbusMap {
       if (t == "long" && (count < 1 || count > 4))
         fail(s"item '$name': type 'long' requires 1 to 4 " +
           "consecutive registers")
+      // float wider than 2 words would silently fall back to a raw
+      // word list (and drop scale/offset) — refuse at parse instead
+      if (t == "float" && count > 2)
+        fail(s"item '$name': type 'float' requires 1 or 2 " +
+          "consecutive registers")
       if (t == "byte" && count <= 4)
         fail(s"item '$name': type 'byte' requires more than 4 " +
           "consecutive registers")
     }
+    // the word half of swap only applies to a 2-register value
+    // (decode would silently skip it for wider spans — refuse the
+    // combination rather than land scrambled numbers)
+    if (count > 2 && swap.exists(s => s == "words" || s == "both"))
+      fail(s"item '$name': swap '${swap.get}' applies only to " +
+        "2-register values")
     Point(name, kind, start, count, typ, swap, scale, offset)
   }
 
@@ -273,9 +295,17 @@ object ModbusMap {
     * block, mirroring the reference's per-tag error rows
     * (modbus_client.py:1290 read loop). */
   def readAll(client: ModbusTcpClient, unit: Int, points: Seq[Point])
+      : Seq[(Point, Either[String, org.json4s.JValue])] =
+    readAll(client, unit, points, plan(points))
+
+  /** The standing-poller variant: the read plan is immutable per
+    * client, so the caller compiles it ONCE at start and every poll
+    * cycle reuses it. */
+  def readAll(client: ModbusTcpClient, unit: Int, points: Seq[Point],
+      compiled: (Seq[ReadOp], Map[(String, Int, Int), (ReadOp, Int)]))
       : Seq[(Point, Either[String, org.json4s.JValue])] = {
     import org.json4s._
-    val (ops, where) = plan(points)
+    val (ops, where) = compiled
     val opResults: Map[ReadOp, Either[String, IndexedSeq[Int]]] =
       ops.map { op =>
         op -> (try Right(op.kind match {

@@ -111,6 +111,34 @@ class ModbusSpec extends AnyFunSuite {
     assert(bad("not json").contains("not valid JSON"))
   }
 
+  test("map validation refuses silent-garbage shapes: wide floats, " +
+      "word swap past 2 registers, out-of-range addresses") {
+    // float on 3 registers would decode to a raw word list and drop
+    // scale/offset — refused at parse
+    assert(bad("""[{"name":"x","register":[0,1,2],"type":"float"}]""")
+      .contains("1 or 2"))
+    // the word half of swap only applies to 2-register values
+    assert(bad(
+      """[{"name":"x","register":[0,1,2,3],"type":"long","swap":"words"}]""")
+      .contains("2-register"))
+    assert(bad(
+      """[{"name":"x","register":[0,1,2],"swap":"both"}]""")
+      .contains("2-register"))
+    // writeShort would silently wrap these onto different registers
+    assert(bad("""[{"name":"x","register":-1}]""").contains("0..65535"))
+    assert(bad("""[{"name":"x","register":70000}]""")
+      .contains("0..65535"))
+    assert(bad("""[{"name":"x","register":1.9}]""").contains("0..65535"))
+    assert(bad("""[{"name":"x","register":[65535,65536]}]""")
+      .contains("0..65535"))
+    // still-legal shapes parse: 2-register float with word swap,
+    // byte-only swap on a wide block, the top address
+    assert(ModbusMap.parse(
+      """[{"name":"a","register":[0,1],"type":"float","swap":"both"},
+        |{"name":"b","register":[2,3,4,5,6],"type":"byte","swap":"bytes"},
+        |{"name":"c","register":65535}]""".stripMargin).size == 3)
+  }
+
   test("map accepts the documented shapes, including object form") {
     val pts = ModbusMap.parse(
       """{"values":[{"name":"a","register":0},

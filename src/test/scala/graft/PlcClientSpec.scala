@@ -208,6 +208,67 @@ class PlcClientSpec extends SparkSpec {
     } finally srv.stop()
   }
 
+  test("get plc struct aborts on consecutive transport failures " +
+      "instead of timing out once per chunk") {
+    // accepts the connection, never answers any read
+    val silent = new java.net.ServerSocket(0)
+    val sink = new Thread(() => {
+      try while (!silent.isClosed) { silent.accept() }
+      catch { case _: java.io.IOException => () }
+    })
+    sink.setDaemon(true); sink.start()
+    val root = java.nio.file.Files.createTempDirectory("plc11")
+    val (engine, _) = freshEngine(root)
+    try {
+      val t0 = System.currentTimeMillis
+      val e = intercept[IllegalArgumentException](engine.execute(
+        s"get plc struct where type = modbus and hostname = localhost " +
+          s"and port = ${silent.getLocalPort} and timeout = 200 and " +
+          s"max_registers = 65536 and scan_chunk = 1"))
+      assert(e.getMessage.contains("stopped answering"), e.getMessage)
+      // 65536 addrs x 4 kinds at ~400ms/chunk would be a day; the
+      // streak abort must cut it to a couple of chunk reads
+      assert(System.currentTimeMillis - t0 < 10000)
+    } finally silent.close()
+  }
+
+  test("exit plc on a wedged client still terminates the handle and " +
+      "drops the artifact, so the name is immediately reusable") {
+    // a silent server: accepts the connection and never answers — the
+    // poll thread blocks in the socket read past both grace joins
+    // (interrupt cannot unblock a java.io socket read)
+    val silent = new java.net.ServerSocket(0)
+    val sink = new Thread(() => {
+      try while (!silent.isClosed) { silent.accept() }
+      catch { case _: java.io.IOException => () }
+    })
+    sink.setDaemon(true); sink.start()
+    val root = java.nio.file.Files.createTempDirectory("plc10")
+    val dir = root.resolve("land")
+    val (engine, cat) = freshEngine(root)
+    try {
+      engine.execute(s"run plc client where type = modbus and " +
+        s"hostname = localhost and port = ${silent.getLocalPort} and " +
+        s"name = wedge and frequency = 60 and dir = $dir and " +
+        s"""table = t and map = [{"name":"a","register":0}]""")
+      Thread.sleep(100) // let the poll enter the blocking read
+      val out = engine.execute("exit plc wedge")
+      // the thread is still stuck in the read, but the handle must be
+      // terminated NOW: board truth, artifact dropped, name reusable
+      assert(engine.execute("get plc clients").contains("terminated"))
+      assert(cat.artifactRecord("plc client:wedge").isEmpty, out)
+      val srv = new ModbusTcpServer(ModbusBank(holding = Vector(1)))
+      val p2 = srv.start()
+      try {
+        val re = engine.execute(s"run plc client where type = modbus " +
+          s"and hostname = localhost and port = $p2 and name = wedge " +
+          s"and frequency = 60 and dir = $dir and table = t and " +
+          """map = [{"name":"a","register":0}]""")
+        assert(re.contains("polling"), re)
+      } finally { engine.execute("exit plc all"); srv.stop() }
+    } finally silent.close()
+  }
+
   test("get plc struct: chunked discovery finds the readable address " +
       "space, and its run_client rendering is directly executable") {
     val srv = new ModbusTcpServer(ModbusBank(
