@@ -221,6 +221,11 @@ class ConcurrencySoakSpec extends SparkSpec {
       "and reset = earliest and poll = 50")
     engA.execute(s"run streamer where dir = $land and table = kt " +
       "and policy = sp and flush = 1")
+    // ---- plc chain: embedded modbus server under run/exit churn ----
+    val plcSrv = new graft.streaming.ModbusTcpServer(
+      graft.streaming.ModbusBank(holding = Vector(42)))
+    val plcPort = plcSrv.start()
+    val plcLand = dir.resolve("plcland")
     // ---- live scheduler (REAL wake thread): fold + ha sync tasks ---
     engA.taskScheduler.start(wakeMs = 200L)
     engA.execute("""schedule time = 1 seconds and name = "fleet" """ +
@@ -271,6 +276,26 @@ class ConcurrencySoakSpec extends SparkSpec {
         Thread.sleep(60)
       }
     }
+    // plc lifecycle churn: declare/poll/exit cycles (mutating
+    // commands contending on the write lock with the scheduler's
+    // sync tasks) while a board reader hammers the read path
+    val plcChurn = thread("plcChurn") {
+      for (_ <- 0 until 4) {
+        engA.execute(s"run plc client where type = modbus and " +
+          s"hostname = localhost and port = $plcPort and " +
+          s"name = soakplc and frequency = 0.05 and dir = $plcLand " +
+          s"""and table = pt and map = [{"name":"a","register":0}]""")
+        Thread.sleep(150)
+        assert(engA.execute("exit plc soakplc").contains("stopped 1"))
+      }
+    }
+    val plcBoard = thread("plcBoard") {
+      for (_ <- 0 until 12) {
+        engA.execute("get plc clients")
+        engA.execute("get processes")
+        Thread.sleep(50)
+      }
+    }
     // retention chaos against the partitioned side
     val chaos = thread("chaos") {
       for (_ <- 0 until 3) {
@@ -286,7 +311,8 @@ class ConcurrencySoakSpec extends SparkSpec {
         }
       }
     }
-    (writers ++ haWriters :+ kafkaFeeder :+ chaos).foreach(_.join(300000))
+    (writers ++ haWriters :+ kafkaFeeder :+ chaos :+ plcChurn :+
+      plcBoard).foreach(_.join(300000))
     assert(errors.isEmpty, "operational soak failures:\n" +
       errors.toArray.map { case e: Throwable =>
         s"${e.getClass.getName}: ${e.getMessage}" }.mkString("\n"))
@@ -330,7 +356,18 @@ class ConcurrencySoakSpec extends SparkSpec {
       s"A=${hashesA.size} B=${hashesB.size}")
     assert(engA.query("""sql edge "select count(*) as n from ht"""")
       .head().getLong(0) === 8L)
-    feB.stop(); producer.close(); broker.stop()
+    // every plc churn cycle polled at least once and exited cleanly:
+    // rows landed, the final board shows the terminated client, and
+    // no artifact survives to resurrect it
+    val plcFiles = {
+      val st = java.nio.file.Files.list(plcLand)
+      try st.filter(_.toString.endsWith(".json")).count()
+      finally st.close()
+    }
+    assert(plcFiles >= 4, s"plc churn landed only $plcFiles polls")
+    assert(engA.execute("get plc clients").contains("terminated"))
+    assert(catA.artifactRecord("plc client:soakplc").isEmpty)
+    feB.stop(); producer.close(); broker.stop(); plcSrv.stop()
   }
 
   test("kafka restart soak: consumer killed/restarted MID-STREAM twice " +
