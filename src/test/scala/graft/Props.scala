@@ -215,4 +215,79 @@ object GraftProps extends Properties("graft") {
         }
         offsetsOk && monotone && gapsExplained
     }
+
+  // ---- Modbus map kernels (streaming/ModbusMap.scala) --------------
+
+  private val genAddrs = Gen.nonEmptyListOf(Gen.choose(0, 400))
+    .map(_.distinct.sorted)
+
+  property("modbus.batchSingles covers every address exactly once, " +
+      "contiguously, within maxBlock") =
+    forAll(genAddrs, Gen.choose(1, 125)) { (addrs, maxBlock) =>
+      val batches = graft.streaming.ModbusMap.batchSingles(addrs, maxBlock)
+      val covered = batches.flatMap { case (s, c) => s until s + c }
+      covered == addrs &&
+        batches.forall { case (_, c) => c >= 1 && c <= maxBlock } &&
+        batches.forall { case (s, c) =>
+          (s until s + c).forall(addrs.contains) }
+    }
+
+  private val genPoints: Gen[List[graft.streaming.ModbusMap.Point]] =
+    Gen.nonEmptyListOf(for {
+      kind <- Gen.oneOf("hr", "ir", "c", "di")
+      start <- Gen.choose(0, 300)
+      count <- Gen.frequency(4 -> Gen.const(1), 1 -> Gen.choose(2, 4))
+      i <- Gen.choose(0, 1 << 20)
+    } yield graft.streaming.ModbusMap.Point(s"p$i", kind, start, count,
+      None, None, None, None))
+
+  property("modbus.plan resolves every point inside one of its ops") =
+    forAll(genPoints) { pts =>
+      val (ops, where) = graft.streaming.ModbusMap.plan(pts)
+      pts.forall { p =>
+        where.get((p.kind, p.start, p.count)).exists { case (op, off) =>
+          ops.contains(op) && op.kind == p.kind && off >= 0 &&
+            op.start + off == p.start && off + p.count <= op.count
+        }
+      }
+    }
+
+  property("modbus long decode round-trips any value at any width") =
+    forAll(Gen.choose(1, 4).flatMap(n => Gen.zip(Gen.const(n),
+      Gen.choose(
+        if (n == 4) Long.MinValue else -(1L << (n * 16 - 1)),
+        if (n == 4) Long.MaxValue else (1L << (n * 16 - 1)) - 1)))) {
+      case (n, v) =>
+        val words = (0 until n).map(i =>
+          ((v >>> ((n - 1 - i) * 16)) & 0xFFFF).toInt)
+        val p = graft.streaming.ModbusMap.Point("t", "hr", 0, n,
+          Some("long"), None, None, None)
+        graft.streaming.ModbusMap.decode(words, p) ==
+          graft.streaming.ModbusMap.MLong(v)
+    }
+
+  property("modbus float decode round-trips any finite float") =
+    forAll(Gen.choose(-1e30f, 1e30f)) { f =>
+      val bits = java.lang.Float.floatToIntBits(f)
+      val words = IndexedSeq((bits >>> 16) & 0xFFFF, bits & 0xFFFF)
+      val p = graft.streaming.ModbusMap.Point("t", "hr", 0, 2,
+        Some("float"), None, None, None)
+      graft.streaming.ModbusMap.decode(words, p) ==
+        graft.streaming.ModbusMap.MDouble(f.toDouble)
+    }
+
+  property("modbus swap=both on 2 registers is pre-swapping the wire " +
+      "words: decode(swapped input, both) == decode(input, none)") =
+    forAll(Gen.zip(Gen.choose(0, 0xFFFF), Gen.choose(0, 0xFFFF))) {
+      case (w0, w1) =>
+        def bs(w: Int) = ((w & 0xFF) << 8) | (w >> 8)
+        val plain = graft.streaming.ModbusMap.Point("t", "hr", 0, 2,
+          Some("long"), None, None, None)
+        val both = plain.copy(swap = Some("both"))
+        // a device emitting byte-and-word-swapped order: feeding its
+        // raw words through swap=both recovers the true value
+        graft.streaming.ModbusMap.decode(
+          IndexedSeq(bs(w1), bs(w0)), both) ==
+          graft.streaming.ModbusMap.decode(IndexedSeq(w0, w1), plain)
+    }
 }
