@@ -541,6 +541,15 @@ object Plans {
           "triple keeps the foreign side a parallel range-bounded " +
           "scan; at fleet scale this is the reference's " +
           "shard-include shape with heterogeneous shard engines"),
+      "q210_modbus_dynamic_join" ->
+        ("Modbus dynamic per-point tables recombined: two streamed " +
+          "point tables join on the shared poll timestamp (every " +
+          "point of one poll carries the poll's first-read stamp) " +
+          "through a renaming view; the plan is two parquet scans " +
+          "-> one equi-join -> partial/final hash aggregate, and " +
+          "the ingest side stays one landing file per point per " +
+          "poll — table count scales with the MAP, row volume with " +
+          "the poll rate, neither with corpus size"),
       "q209_modbus_chain" ->
         ("Modbus PLC ingest chain: the QUERY plan is the landed " +
           "table's parquet scan -> two-phase hash aggregate (the " +

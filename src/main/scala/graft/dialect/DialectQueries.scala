@@ -1052,7 +1052,107 @@ object DialectQueries {
       "sum(n_nationkey % 2) AS n_odd " +
       "FROM nation GROUP BY 1 ORDER BY 1"
 
+  /** q210 — Modbus `dynamic = true` under the oracle: the PER-POINT
+    * table mode (one table per map `name`, modbus_client.py:92
+    * modbus_dynamic_table_name + :769 modbus_dynamic_publish_row).
+    * Each poll lands each point as its own {timestamp, value} row in
+    * `{client}_{field}`; two mapping policies rename the generic
+    * columns, two streamers fold the two point tables, and the
+    * dialect JOINS them back on the shared poll timestamp (every
+    * point of one poll carries the poll's first-read stamp, the
+    * reference's timestamp_first) — so the recombined (nkey, rkey)
+    * pairs aggregate to the same hash DuckDB computes over parquet
+    * nation. A dynamic-table misroute, a timestamp drifting between
+    * points of one poll, or a lost per-point row all break the
+    * hash. */
+  private val q210: QFn = (s, d) => {
+    import graft.streaming.{ModbusBank, ModbusTcpServer}
+    val nations = Tables.load(s, d, "nation")
+      .select("n_nationkey", "n_regionkey")
+      .collect().sortBy(_.getInt(0))
+    val srv = new ModbusTcpServer()
+    val port = srv.start()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("q210")
+      val land = root.resolve("land")
+      val cat = new graft.engine.Catalog(s)
+      val engine = new graft.engine.Engine(s, cat)
+      engine.dataDir = Some(root.resolve("data").toString)
+      engine.execute("""policy add pnk {"mapping": {
+        "dbms": "edge", "table": "plcdnk",
+        "schema": {
+          "ts": {"type": "timestamp", "bring": "[timestamp]"},
+          "nkey": {"type": "bigint", "bring": "[value]"}}}}""")
+      engine.execute("""policy add prk {"mapping": {
+        "dbms": "edge", "table": "plcdrk",
+        "schema": {
+          "ts": {"type": "timestamp", "bring": "[timestamp]"},
+          "rkey": {"type": "bigint", "bring": "[value]"}}}}""")
+      val runCmd = s"run plc client where type = modbus and " +
+        s"hostname = localhost and port = $port and name = plcd " +
+        s"and frequency = 300 and dir = $land and dynamic = true and " +
+        """map = [{"name":"nk","register":0},""" +
+        """{"name":"rk","inputRegister":0}]"""
+      def landedIn(sub: String): Int = {
+        val p = land.resolve(sub)
+        if (!java.nio.file.Files.isDirectory(p)) return 0
+        val st = java.nio.file.Files.list(p)
+        try st.filter(_.toString.endsWith(".json")).count().toInt
+        finally st.close()
+      }
+      nations.zipWithIndex.foreach { case (r, i) =>
+        srv.setBank(ModbusBank(
+          holding = Vector(r.getInt(0)), input = Vector(r.getInt(1))))
+        engine.execute(runCmd)
+        val deadline = System.currentTimeMillis + 30000
+        while ((landedIn("plcd_nk") < i + 1 ||
+            landedIn("plcd_rk") < i + 1) &&
+            System.currentTimeMillis < deadline) Thread.sleep(10)
+        require(landedIn("plcd_nk") == i + 1 &&
+          landedIn("plcd_rk") == i + 1,
+          s"q210: poll $i landed ${landedIn("plcd_nk")}/" +
+            s"${landedIn("plcd_rk")} of ${i + 1}")
+        engine.execute("exit plc plcd")
+        Thread.sleep(2) // distinct poll stamps at ms resolution
+      }
+      engine.execute(s"run streamer where dir = ${land.resolve("plcd_nk")} " +
+        "and table = plcdnk and policy = pnk and flush = 1")
+      engine.execute(s"run streamer where dir = ${land.resolve("plcd_rk")} " +
+        "and table = plcdrk and policy = prk and flush = 1")
+      val want = nations.length.toLong
+      val qs = Seq(engine.streamerQueries("plcdnk"),
+        engine.streamerQueries("plcdrk"))
+      val deadline = System.currentTimeMillis + 120000
+      def rows(t: String): Long =
+        try cat.table(t).count() catch { case _: Exception => 0L }
+      while ((rows("plcdnk") < want || rows("plcdrk") < want) &&
+          System.currentTimeMillis < deadline) {
+        qs.foreach(_.processAllAvailable())
+        if (rows("plcdnk") < want || rows("plcdrk") < want)
+          Thread.sleep(50)
+      }
+      require(rows("plcdnk") == want && rows("plcdrk") == want,
+        s"q210: ${rows("plcdnk")}/${rows("plcdrk")} of $want rows")
+      engine.execute("exit streamer")
+      // the dialect join binds columns by bare name, so the shared
+      // `ts` is renamed on one side through a view (the documented
+      // recipe in the join's own refusal message)
+      engine.execute("create view plcdrk_v on plcdrk " +
+        "(ts as ts2, rkey)")
+      engine.query("""sql edge "select rkey, count(*) as n_nations, """ +
+        """sum(nkey) as sum_key from plcdnk join plcdrk_v """ +
+        """on plcdnk.ts = plcdrk_v.ts2 """ +
+        """group by rkey order by rkey"""")
+    } finally srv.stop()
+  }
+  private val q210Sql =
+    "SELECT CAST(n_regionkey AS BIGINT) AS rkey, " +
+      "CAST(count(*) AS BIGINT) AS n_nations, " +
+      "sum(n_nationkey) AS sum_key " +
+      "FROM nation GROUP BY 1 ORDER BY 1"
+
   val queries: Map[String, QFn] = Map(
+    "q210_modbus_dynamic_join" -> q210,
     "q209_modbus_chain" -> q209,
     "q208_federated_include" -> q208,
     "q206_jdbc_scan" -> q206,
@@ -1083,6 +1183,7 @@ object DialectQueries {
     "q45_dialect_casts" -> q45)
 
   val oracles: Map[String, String] = Map(
+    "q210_modbus_dynamic_join" -> q210Sql,
     "q209_modbus_chain" -> q209Sql,
     "q208_federated_include" -> q208Sql,
     "q206_jdbc_scan" -> q206Sql,
