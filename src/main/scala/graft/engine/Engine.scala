@@ -2347,7 +2347,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       ("Kafka Consumer", () => false,
         () => "start with `run kafka consumer where ip = .. and " +
           "port = .. and topic = .. and dir = ..` (native wire-" +
-          "protocol client — no connector jar needed)"))
+          "protocol client — no connector jar needed)"),
+      ("PLC Client", () => false,
+        () => "start with `run plc client where type = modbus and " +
+          "hostname = .. and port = .. and name = .. and frequency " +
+          "= .. and dir = .. and map = [..]` (native Modbus TCP " +
+          "stack — no pymodbus equivalent needed)"))
     val rows = board.map { case (name, act, det) =>
       val (a, d) = dynamic.get(name).map(v => (v._1(), v._2()))
         .getOrElse((act(), det()))

@@ -69,6 +69,8 @@ class PlcClientSpec extends SparkSpec {
         board.contains("running"), board)
       val procs = engine.execute("get processes")
       assert(procs.contains("PLC Client"), procs)
+      assert(procs.linesIterator.find(_.contains("PLC Client"))
+        .exists(_.contains("Running")), procs)
       assert(engine.execute("exit plc dev1").contains("stopped 1"))
       assert(engine.execute("get plc clients").contains("terminated"))
       val after = landed(dir).size

@@ -312,6 +312,7 @@ class ProcessesBoardSpec extends SparkSpec {
     assert(pre.contains("| Process") && pre.contains("Status"))
     assert(pre.contains("TCP Server") && pre.contains("Not declared"))
     assert(pre.contains("run kafka consumer where"))
+    assert(pre.contains("run plc client where"))
     // start services: REST frontend self-registers, scheduler via command
     val fe = new HttpFrontend(engine)
     val port = fe.start()
