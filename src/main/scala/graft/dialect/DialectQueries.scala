@@ -953,6 +953,42 @@ object DialectQueries {
       "min(n_nationkey) AS min_key, max(n_nationkey) AS max_key " +
       "FROM nation GROUP BY 1 ORDER BY 1"
 
+  /** Fixture plumbing shared by the PLC chain queries (q209/q210) —
+    * one definition of the landing counter and the two wait
+    * disciplines, like rotateDerby for the JDBC fixtures. */
+  private def jsonCount(dir: java.nio.file.Path): Int = {
+    if (!java.nio.file.Files.isDirectory(dir)) return 0
+    val st = java.nio.file.Files.list(dir)
+    try st.filter(_.toString.endsWith(".json")).count().toInt
+    finally st.close()
+  }
+
+  /** Poll `count` until it reaches `want` (30 s bound), else fail
+    * with the query's context. */
+  private def awaitLanding(want: Int, ctx: String)(count: => Int): Unit = {
+    val deadline = System.currentTimeMillis + 30000
+    while (count < want && System.currentTimeMillis < deadline)
+      Thread.sleep(10)
+    require(count == want, s"$ctx: landed $count of $want")
+  }
+
+  /** Drive the given streamer queries until every listed table holds
+    * `want` rows (120 s bound). */
+  private def drainStreamers(cat: graft.engine.Catalog,
+      qs: Seq[org.apache.spark.sql.streaming.StreamingQuery],
+      tables: Seq[String], want: Long, ctx: String): Unit = {
+    def rows(t: String): Long =
+      try cat.table(t).count() catch { case _: Exception => 0L }
+    val deadline = System.currentTimeMillis + 120000
+    while (tables.exists(rows(_) < want) &&
+        System.currentTimeMillis < deadline) {
+      qs.foreach(_.processAllAvailable())
+      if (tables.exists(rows(_) < want)) Thread.sleep(50)
+    }
+    require(tables.forall(rows(_) == want),
+      s"$ctx: ${tables.map(rows).mkString("/")} of $want rows landed")
+  }
+
   /** q209 — the NATIVE Modbus TCP ingest chain under the oracle (the
     * §2.1 PLC row's driver-gate closure; wire stack
     * streaming/ModbusTcp.scala, `run plc client` per
@@ -998,12 +1034,6 @@ object DialectQueries {
         """{"name":"rkey","inputRegister":0},""" +
         """{"name":"rf","inputRegister":[4,5],"type":"float"},""" +
         """{"name":"odd","coil":0}]"""
-      def landedCount(): Int = {
-        if (!java.nio.file.Files.isDirectory(land)) return 0
-        val st = java.nio.file.Files.list(land)
-        try st.filter(_.toString.endsWith(".json")).count().toInt
-        finally st.close()
-      }
       nations.zipWithIndex.foreach { case (r, i) =>
         val (nkey, rkey) = (r.getInt(0), r.getInt(1))
         val km = nkey.toLong * 1000000L
@@ -1015,27 +1045,13 @@ object DialectQueries {
           input = Vector(rkey, 0, 0, 0,
             (fbits >>> 16) & 0xFFFF, fbits & 0xFFFF)))
         engine.execute(runCmd)
-        val deadline = System.currentTimeMillis + 30000
-        while (landedCount() < i + 1 &&
-            System.currentTimeMillis < deadline) Thread.sleep(10)
-        require(landedCount() == i + 1,
-          s"q209: poll $i landed ${landedCount()} of ${i + 1}")
+        awaitLanding(i + 1, s"q209 poll $i")(jsonCount(land))
         engine.execute("exit plc plcnat")
       }
       engine.execute(s"run streamer where dir = $land and " +
         "table = plcnat and policy = pn and flush = 1")
-      val want = nations.length.toLong
-      val q = engine.streamerQueries("plcnat")
-      val deadline = System.currentTimeMillis + 120000
-      def rows(): Long =
-        try cat.table("plcnat").count() catch { case _: Exception => 0L }
-      var have = rows()
-      while (have < want && System.currentTimeMillis < deadline) {
-        q.processAllAvailable()
-        have = rows()
-        if (have < want) Thread.sleep(50)
-      }
-      require(have == want, s"q209: $have of $want rows landed")
+      drainStreamers(cat, Seq(engine.streamerQueries("plcnat")),
+        Seq("plcnat"), nations.length.toLong, "q209")
       engine.execute("exit streamer")
       engine.query("""sql edge "select rkey, """ +
         """count(*) as n_nations, sum(nkey) as sum_key, """ +
@@ -1093,25 +1109,13 @@ object DialectQueries {
         s"and frequency = 300 and dir = $land and dynamic = true and " +
         """map = [{"name":"nk","register":0},""" +
         """{"name":"rk","inputRegister":0}]"""
-      def landedIn(sub: String): Int = {
-        val p = land.resolve(sub)
-        if (!java.nio.file.Files.isDirectory(p)) return 0
-        val st = java.nio.file.Files.list(p)
-        try st.filter(_.toString.endsWith(".json")).count().toInt
-        finally st.close()
-      }
+      def landedIn(sub: String): Int = jsonCount(land.resolve(sub))
       nations.zipWithIndex.foreach { case (r, i) =>
         srv.setBank(ModbusBank(
           holding = Vector(r.getInt(0)), input = Vector(r.getInt(1))))
         engine.execute(runCmd)
-        val deadline = System.currentTimeMillis + 30000
-        while ((landedIn("plcd_nk") < i + 1 ||
-            landedIn("plcd_rk") < i + 1) &&
-            System.currentTimeMillis < deadline) Thread.sleep(10)
-        require(landedIn("plcd_nk") == i + 1 &&
-          landedIn("plcd_rk") == i + 1,
-          s"q210: poll $i landed ${landedIn("plcd_nk")}/" +
-            s"${landedIn("plcd_rk")} of ${i + 1}")
+        awaitLanding(i + 1, s"q210 poll $i")(
+          math.min(landedIn("plcd_nk"), landedIn("plcd_rk")))
         engine.execute("exit plc plcd")
         Thread.sleep(2) // distinct poll stamps at ms resolution
       }
@@ -1119,20 +1123,10 @@ object DialectQueries {
         "and table = plcdnk and policy = pnk and flush = 1")
       engine.execute(s"run streamer where dir = ${land.resolve("plcd_rk")} " +
         "and table = plcdrk and policy = prk and flush = 1")
-      val want = nations.length.toLong
-      val qs = Seq(engine.streamerQueries("plcdnk"),
-        engine.streamerQueries("plcdrk"))
-      val deadline = System.currentTimeMillis + 120000
-      def rows(t: String): Long =
-        try cat.table(t).count() catch { case _: Exception => 0L }
-      while ((rows("plcdnk") < want || rows("plcdrk") < want) &&
-          System.currentTimeMillis < deadline) {
-        qs.foreach(_.processAllAvailable())
-        if (rows("plcdnk") < want || rows("plcdrk") < want)
-          Thread.sleep(50)
-      }
-      require(rows("plcdnk") == want && rows("plcdrk") == want,
-        s"q210: ${rows("plcdnk")}/${rows("plcdrk")} of $want rows")
+      drainStreamers(cat,
+        Seq(engine.streamerQueries("plcdnk"),
+          engine.streamerQueries("plcdrk")),
+        Seq("plcdnk", "plcdrk"), nations.length.toLong, "q210")
       engine.execute("exit streamer")
       // the dialect join binds columns by bare name, so the shared
       // `ts` is renamed on one side through a view (the documented

@@ -227,9 +227,7 @@ object GraftProps extends Properties("graft") {
       val batches = graft.streaming.ModbusMap.batchSingles(addrs, maxBlock)
       val covered = batches.flatMap { case (s, c) => s until s + c }
       covered == addrs &&
-        batches.forall { case (_, c) => c >= 1 && c <= maxBlock } &&
-        batches.forall { case (s, c) =>
-          (s until s + c).forall(addrs.contains) }
+        batches.forall { case (_, c) => c >= 1 && c <= maxBlock }
     }
 
   private val genPoints: Gen[List[graft.streaming.ModbusMap.Point]] =
