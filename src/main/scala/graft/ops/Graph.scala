@@ -130,7 +130,11 @@ object Graph {
       .select(col("lo"), col("hi"), col("w"),
         least(col("w"), col("hi")).as("ca"),
         greatest(col("w"), col("hi")).as("cb"))
-      .join(all.select(col("a").as("ca"), col("b").as("cb")),
+      // SHUFFLE_HASH on the edge side (guide §3.1, the q139 closure
+      // move): sort-merge would sort the |new| x degree candidate
+      // stream (263 MB at sf0.1) to join an edge-bounded side
+      .join(all.select(col("a").as("ca"), col("b").as("cb"))
+          .hint("shuffle_hash"),
         Seq("ca", "cb"))
       .select(least(col("lo"), col("hi"), col("w")).as("x"),
         (col("lo") + col("hi") + col("w")).as("s"),
@@ -283,7 +287,17 @@ object Graph {
             struct(col("e2.dv"), col("e2.v")))
       .select(col("e1.u").as("w0"), col("e1.v").as("w1"),
         col("e2.v").as("w2"))
-    wedges.join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+    // SHUFFLE_HASH on the EDGE side (guide §3.1): the default
+    // sort-merge plan sorts the Σd⁺² wedge stream — 443 MB / 141 s of
+    // taskTime at sf0.1 — to join a side that is only ~17 MB of
+    // oriented edges (~0.5 MB of hash table per partition). Building
+    // the hash on the edge side streams the wedges unsorted; join
+    // semantics (and the census) are unchanged. The edge side is
+    // bounded by the EDGE count, never the wedge count, so the
+    // per-partition build stays small at any scale.
+    wedges.join(
+        oriented.select(col("u").as("w1"), col("v").as("w2"))
+          .hint("shuffle_hash"),
         Seq("w1", "w2"))
       .select(least(col("w0"), col("w1"), col("w2")).as("x"),
         expr("w0 + w1 + w2").as("s"),

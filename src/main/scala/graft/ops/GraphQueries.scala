@@ -126,8 +126,13 @@ object GraphQueries {
   private val q141: QFn = (sp, d) => {
     import graft.ops.{PipelineQueries, TextOps}
     val docs = PipelineQueries.wide(sp, d, "documents", "doc_id")
-    val sh = docs.select(col("doc_id"),
-      explode(TextOps.shingleHashes(col("text"), 3)).as("h"))
+    // pinned on the shingle key: the df aggregate, the df-cut join and
+    // the pair self-join below all cluster on `h`, so ONE explicit-N
+    // exchange serves all three — and AQE cannot coalesce the pair
+    // EXPANSION onto one core from the sub-MB input size (Par doc;
+    // measured 11.8 s of 14.4 s serialized in 1-2 task stages)
+    val sh = Par.pin(docs.select(col("doc_id"),
+      explode(TextOps.shingleHashes(col("text"), 3)).as("h")), col("h"))
     val dfc = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val rare = sh.join(dfc.filter(col("df").between(2, 20)), "h")
     val pairs = rare.as("x").join(rare.as("y"),

@@ -43,7 +43,17 @@ object PipelineQueries {
   private[ops] def wide(s: SparkSession, dir: String, n: String, key: String): DataFrame = {
     val df = t(s, dir, n)
     val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(col(key)) else df
+    // EXPLICIT-N repartition (REPARTITION_BY_NUM), not repartition(col):
+    // AQE coalesces a keyed-only repartition back down by INPUT bytes
+    // (advisory/minPartitionSize), and a small parquet table is far
+    // below one minPartitionSize — so every downstream per-row kernel
+    // (shingle/simhash/variant explodes) ran on ONE core, exactly the
+    // serialization this helper exists to prevent (PERF lesson 1). A
+    // user-specified partition count is AQE-exempt by contract. On a
+    // real layout the file splits already exceed `cores` and this
+    // branch never fires.
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores, col(key))
+    else df
   }
 
   // =====================================================================
@@ -271,12 +281,16 @@ object PipelineQueries {
   private val q165: QFn = (s, d) => {
     val docs = wide(s, d, "documents", "doc_id")
       .select(col("doc_id"), F.simhash32(col("text")).as("sig"))
-    val banded = docs.select(col("doc_id"), col("sig"),
+    // pinned on the band key: the dense sig32 demo geometry expands to
+    // ~3M candidate popcounts off a sub-MB band frame — AQE's
+    // byte-sized coalesce ran all of it on one core (Par doc)
+    val banded = Par.pin(docs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"),
           expr(s"(sig >> ${8 * k}) & 255").as("bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bits").as("bits"))
+        col("bb.band").as("band"), col("bb.bits").as("bits")),
+      col("band"), col("bits"))
     val b2 = banded.toDF("doc_b", "sig_b", "band", "bits")
     banded.join(b2, Seq("band", "bits"))
       .filter(col("doc_id") < col("doc_b"))

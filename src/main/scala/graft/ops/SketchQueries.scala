@@ -124,7 +124,13 @@ object SketchQueries {
     // production path. The distinct frame below feeds ONLY the
     // exact-truth columns.
     val sk = sh0.groupBy("source").agg(F.kmvAgg(col("h"), KmvK).as("sk"))
-    val sh = sh0.distinct()
+    // exact-truth path pinned on h (Par doc): HashPartitioning(h)
+    // satisfies the distinct's (source, h) clustering AND the
+    // intersection self-join's h key, so one explicit-N exchange keeps
+    // the whole exact-pair chain at cluster parallelism — AQE's
+    // byte-sized coalesce ran it on one core (3 x ~3 s single-task
+    // jobs measured). The production KMV path above is untouched.
+    val sh = Par.pin(sh0, col("h")).distinct()
     val ed = sh.groupBy("source").agg(count(lit(1)).as("ed"))
     val xi = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))

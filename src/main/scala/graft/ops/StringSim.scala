@@ -132,8 +132,13 @@ object StringSim {
     * why spell-correction engines ship exactly this shape. */
   def deletionJoin(df: DataFrame, strCol: String, d: Int): DataFrame = {
     require(d >= 1, "edit-distance threshold d must be >= 1")
-    val strs = df.select(col(strCol).as("s")).filter(col("s").isNotNull)
-      .distinct()
+    // pinned on the string key so the distinct's output stage — where
+    // the variant fan-out below is computed — runs at cluster
+    // parallelism; a distinct-names frame is KBs at any corpus size the
+    // names deduplicate to, and AQE's byte-sized coalesce was running
+    // the whole L^d/d! expansion on one core (Par doc)
+    val strs = Par.pin(df.select(col(strCol).as("s"))
+      .filter(col("s").isNotNull), col("s")).distinct()
     // V_d(s) built by d rounds of "keep + all single deletions".
     var vexpr = "array(s)"
     for (_ <- 1 to d) vexpr =
@@ -142,7 +147,11 @@ object StringSim {
         "array_union(array(v), transform(sequence(1, char_length(v)), " +
         "i -> concat(substring(v, 1, i - 1), " +
         "substring(v, i + 1, char_length(v))))) END)))"
-    val vars = strs.select(col("s"), explode(expr(vexpr)).as("u"))
+    // pinned on the variant key: the bucket near-clique pair expansion
+    // and the bounded-levenshtein verify run in this exchange's output
+    // stage (same Par rationale)
+    val vars = Par.pin(strs.select(col("s"), explode(expr(vexpr)).as("u")),
+      col("u"))
     val cand = vars.join(vars.toDF("s2", "u"), Seq("u"))
       .filter(col("s") < col("s2"))
       .select(col("s").as("s_a"), col("s2").as("s_b"))
