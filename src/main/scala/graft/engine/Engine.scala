@@ -428,17 +428,21 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       import org.json4s.jackson.JsonMethods
       // strict parse: jackson's default readValue stops at the FIRST
       // JSON value and silently discards trailing tokens — '{"a":1}
-      // {"b":2}' would ingest one row and drop the other
-      def parseStrict(s: String): Option[JValue] = {
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-        mapper.enable(com.fasterxml.jackson.databind
-          .DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+      // {"b":2}' would ingest one row and drop the other. One mapper
+      // for the whole body: constructing an ObjectMapper per LINE cost
+      // more than the parse itself on multi-thousand-line PUT bodies.
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.enable(com.fasterxml.jackson.databind
+        .DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+      def parseStrict(s: String): Option[JValue] =
         try { mapper.readTree(s); JsonMethods.parseOpt(s) }
         catch { case _: Exception => None }
-      }
+      // validation needs only strictness, not the parsed value
+      def validLine(s: String): Boolean =
+        try { mapper.readTree(s); true } catch { case _: Exception => false }
       val ls = trimmed.split('\n').toSeq.map(_.trim).filter(_.nonEmpty)
       // NDJSON first (every line its own complete JSON value)
-      if (ls.length > 1 && ls.forall(l => parseStrict(l).isDefined)) ls
+      if (ls.length > 1 && ls.forall(validLine)) ls
       else parseStrict(trimmed) match {
         case Some(JArray(docs)) =>
           docs.map(d => JsonMethods.compact(JsonMethods.render(d)))
@@ -482,12 +486,18 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
       } catch { case _: Exception => () } // empty/unreadable: no seed
       ledgerSeeded += table
     }
+    // a mapping policy may drop/reshape rows, so its row count needs a
+    // Spark count; the plain path aligns 1:1 with the validated JSON
+    // lines — lines.size IS the row count (PERMISSIVE json never drops
+    // a row), and skipping the count saves one Spark job per PUT
+    var alignedCount: Option[Long] = None
     val aligned = instructions.flatMap(catalog.policy) match {
       case Some(policyJson) =>
         graft.ingest.MappingPolicy.compile(
           graft.ingest.MappingPolicy.fromJson(policyJson),
           lines.toDF("value"), "value")
       case None =>
+        alignedCount = Some(lines.size.toLong)
         val raw = spark.read.json(spark.createDataset(lines))
         val sysNames = Set("row_id", "insert_timestamp", "tsd_name", "tsd_id")
         // auto-create aligns to the reference's inference rules
@@ -507,7 +517,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           case None => raw
         }
     }
-    val n = aligned.count()
+    val n = alignedCount.getOrElse(aligned.count())
     // reserve-append-fold under the engine write lock: concurrent PUTs
     // (same table or not) serialize here — see the thread-safety
     // contract in the class doc. Parsing/alignment above ran unlocked.
