@@ -18,6 +18,15 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // let AQE rewrite a sort-merge join to shuffled-hash when the
+      // RUNTIME-measured per-partition build side fits task memory —
+      // skips sorting the big streamed side (e.g. the triangle wedge
+      // stream: 443 MB / 141 s of taskTime at sf0.1). A per-partition
+      // memory bound is scale-independent: at any data size AQE only
+      // flips when the measured build fits, where a static
+      // SHUFFLE_HASH hint OOM'd the 10x probe (optimization r15).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -142,16 +142,13 @@ object Dedup {
     val mask = (1L << bandBits) - 1
     val sigs = df.select(col(idCol).as("id"),
       F.simhash64(col(textCol)).as("sig"))
-    // pinned on the band key (Par doc): the candidate popcount volume
-    // is quadratic in band occupancy while the band frame itself is
-    // bytes-per-doc — AQE's byte-sized coalesce serializes the verify
-    val banded = Par.pin(sigs.select(col("id"), col("sig"),
+    val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until nBands).map(k =>
         struct(lit(k).as("band"),
           expr(s"(sig >> ${bandBits * k}) & $mask").as("bits"))): _*))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"),
-        col("bb.bits").as("bits")), col("band"), col("bits"))
+        col("bb.bits").as("bits"))
     val b2 = banded.toDF("id_b", "sig_b", "band", "bits")
     banded.join(b2, Seq("band", "bits"))
       .filter(col("id") < col("id_b"))
@@ -222,11 +219,8 @@ object Dedup {
         .select(col(idOut), col(sigOut), col("bb.band").as("band"),
           col("bb.bits").as("bits"))
     val b = banded(simhashIndex(newDocs, textCol, idCol), "new_id", "sig_n")
-    // pin the corpus side on the band key (Par doc) — the batch side's
-    // ENSURE exchange must match its partition count, so one pin keeps
-    // the whole batch x index verify at cluster parallelism
-    val c = Par.pin(banded(corpusIndex.select(col("id"), col("sig")),
-      "corpus_id", "sig_c"), col("band"), col("bits"))
+    val c = banded(corpusIndex.select(col("id"), col("sig")),
+      "corpus_id", "sig_c")
     b.join(c, Seq("band", "bits"))
       .select(col("new_id"), col("corpus_id"),
         expr("bit_count(sig_n ^ sig_c)").as("hamming"))

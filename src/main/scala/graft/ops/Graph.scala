@@ -130,11 +130,11 @@ object Graph {
       .select(col("lo"), col("hi"), col("w"),
         least(col("w"), col("hi")).as("ca"),
         greatest(col("w"), col("hi")).as("cb"))
-      // SHUFFLE_HASH on the edge side (guide §3.1, the q139 closure
-      // move): sort-merge would sort the |new| x degree candidate
-      // stream (263 MB at sf0.1) to join an edge-bounded side
-      .join(all.select(col("a").as("ca"), col("b").as("cb"))
-          .hint("shuffle_hash"),
+      // unhinted for the same reason as the census closure join: AQE
+      // flips this to shuffled-hash from measured sizes (the SMJ sort
+      // of the |new| x degree candidate stream is the cost), and a
+      // forced hint OOMs when the edge side outgrows task memory
+      .join(all.select(col("a").as("ca"), col("b").as("cb")),
         Seq("ca", "cb"))
       .select(least(col("lo"), col("hi"), col("w")).as("x"),
         (col("lo") + col("hi") + col("w")).as("s"),
@@ -287,17 +287,16 @@ object Graph {
             struct(col("e2.dv"), col("e2.v")))
       .select(col("e1.u").as("w0"), col("e1.v").as("w1"),
         col("e2.v").as("w2"))
-    // SHUFFLE_HASH on the EDGE side (guide §3.1): the default
-    // sort-merge plan sorts the Σd⁺² wedge stream — 443 MB / 141 s of
-    // taskTime at sf0.1 — to join a side that is only ~17 MB of
-    // oriented edges (~0.5 MB of hash table per partition). Building
-    // the hash on the edge side streams the wedges unsorted; join
-    // semantics (and the census) are unchanged. The edge side is
-    // bounded by the EDGE count, never the wedge count, so the
-    // per-partition build stays small at any scale.
+    // the closure join is left UNHINTED: the sort-merge default sorts
+    // the Σd⁺² wedge stream (443 MB / 141 s of taskTime at sf0.1) to
+    // join an edge-bounded side, and AQE rewrites it to a shuffled-
+    // hash join at runtime (maxShuffledHashJoinLocalMapThreshold in
+    // the session conf) WHEN the measured per-partition build fits —
+    // a forced SHUFFLE_HASH hint here OOM'd the 10x probe ("not
+    // enough memory to build hash map"): the edge side grows with the
+    // corpus, so only a runtime size check is safe (PERF lesson 36).
     wedges.join(
-        oriented.select(col("u").as("w1"), col("v").as("w2"))
-          .hint("shuffle_hash"),
+        oriented.select(col("u").as("w1"), col("v").as("w2")),
         Seq("w1", "w2"))
       .select(least(col("w0"), col("w1"), col("w2")).as("x"),
         expr("w0 + w1 + w2").as("s"),

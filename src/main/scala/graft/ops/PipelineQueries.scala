@@ -281,18 +281,31 @@ object PipelineQueries {
   private val q165: QFn = (s, d) => {
     val docs = wide(s, d, "documents", "doc_id")
       .select(col("doc_id"), F.simhash32(col("text")).as("sig"))
-    // pinned on the band key: the dense sig32 demo geometry expands to
-    // ~3M candidate popcounts off a sub-MB band frame — AQE's
-    // byte-sized coalesce ran all of it on one core (Par doc)
-    val banded = Par.pin(docs.select(col("doc_id"), col("sig"),
+    // SALTED band join (guide §2.5): the dense sig32/8-bit demo
+    // geometry has only 1024 (band, bits) values, so buckets are hot
+    // by construction — at bench scale AQE's byte-sized coalesce ran
+    // the ~3M candidate popcounts on ONE core (measured 6.5 s), and a
+    // fixed-N pin fixed that but disabled AQE's skew split, which the
+    // 10x probe punished 4.4x (233 s vs 53 s unpinned: sig-identical
+    // replicas pile into single band values). The salt splits every
+    // bucket S ways DETERMINISTICALLY (pmod of the doc id — never
+    // rand(), SPARK-38388): side A carries its own salt, side B
+    // explodes to all S, so each ordered pair meets exactly once at
+    // salt(A); bytes cost is S x one slim side, quadratic bucket work
+    // divides by S, and the exchange stays AQE-sized at every scale.
+    val saltS = s.sparkContext.defaultParallelism
+    val banded = docs.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map(k =>
         struct(lit(k).as("band"),
           expr(s"(sig >> ${8 * k}) & 255").as("bits"))): _*)).as("bb"))
       .select(col("doc_id"), col("sig"),
-        col("bb.band").as("band"), col("bb.bits").as("bits")),
-      col("band"), col("bits"))
-    val b2 = banded.toDF("doc_b", "sig_b", "band", "bits")
-    banded.join(b2, Seq("band", "bits"))
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val bA = banded.withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(saltS.toLong)))
+    val bB = banded.toDF("doc_b", "sig_b", "band", "bits")
+      .withColumn("salt",
+        explode(array((0 until saltS).map(i => lit(i.toLong)): _*)))
+    bA.join(bB, Seq("band", "bits", "salt"))
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         expr("bit_count(sig ^ sig_b)").as("hamming"))
