@@ -12,29 +12,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      // let AQE rewrite a sort-merge join to shuffled-hash when the
-      // RUNTIME-measured per-partition build side fits task memory —
-      // skips sorting the big streamed side (e.g. the triangle wedge
-      // stream: 443 MB / 141 s of taskTime at sf0.1). A per-partition
-      // memory bound is scale-independent: at any data size AQE only
-      // flips when the measured build fits, where a static
-      // SHUFFLE_HASH hint OOM'd the 10x probe (optimization r15).
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // audited bounded-input windows only — see the note in Verify.scala
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    // session conf (incl. the AQE shuffled-hash rewrite bound) comes from
+    // the ONE shared construction site — see Sessions.defaults
+    val spark = Sessions.local("graft-bench")
 
     // JVM + codegen warm-up (untimed): one representative of each major
     // plan family (scan+limit, aggregate, window, broadcast join), so
@@ -109,13 +89,22 @@ object Bench {
     val line =
       f"""{"metric":"total_query_time","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+      "BENCH_full_latest.json")
+    // The full line above is ~6 KB at 210 queries and the driver's
+    // stdout-tail capture (~2.2 KB) cuts off its START, so the driver's
+    // parser saw no bench numbers in r14/r15 (PERF prev/now_bench_ok
+    // false). ALSO print a compact LAST line that always fits in the
+    // tail window (r15 verdict item 2). Timing methodology and the full
+    // per-query line are unchanged; this is an additional summary.
+    val nOk = results.count(_._2 >= 0)
+    println(
+      f"""{"metric":"total_query_time","value":$total%.3f,"unit":"sec","n":$nOk,"queries_file":"$outFile","sf":"$sfDir"}""")
     // the driver's log tail truncates long per-query maps — ALSO write
     // the full line to a file so every round's complete bench is a
     // committed artifact (round-9 verdict item 7). Unfiltered runs
     // only: a SPARK_GRAFT_ONLY local iteration must not clobber it.
     if (only.isEmpty) {
-      val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
-        "BENCH_full_latest.json")
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile), line + "\n")
       catch { case scala.util.control.NonFatal(e) =>

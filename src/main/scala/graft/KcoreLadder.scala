@@ -16,13 +16,7 @@ object KcoreLadder {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local("graft-kcore-ladder")
     spark.sparkContext.setLogLevel("ERROR")
     val e0 = graft.engine.Tables.load(spark, sfDir, "orders")
       .join(graft.engine.Tables.load(spark, sfDir, "lineitem"),

@@ -15,21 +15,21 @@ object PlanDump {
       .getOrElse(Seq("q141_label_propagation"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.001")
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // mirror the Bench session conf (SHJ threshold, cpus, shuffle
+    // partitions) so committed plan evidence reflects the executed
+    // configuration (r15 advice item 2)
+    val spark = Sessions.local("graft-plandump")
     spark.sparkContext.setLogLevel("ERROR")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r16")
     java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get("plans/r15"))
+      java.nio.file.Paths.get(outDir))
     names.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       val plan = df.queryExecution
         .explainString(ExplainMode.fromString("formatted"))
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"plans/r15/${q}_$suffix.txt"), plan)
-      println(s"wrote plans/r15/${q}_$suffix.txt")
+        java.nio.file.Paths.get(s"$outDir/${q}_$suffix.txt"), plan)
+      println(s"wrote $outDir/${q}_$suffix.txt")
     }
     spark.stop()
   }

@@ -6,10 +6,7 @@ import org.apache.spark.sql.execution.ExplainMode
   * headline queries, as reviewable evidence of the scale shapes. */
 object Plans {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = Sessions.local("graft-plans", defaultCpus = "4")
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     val picks = Seq(

@@ -9,13 +9,7 @@ object QProf {
   def main(args: Array[String]): Unit = {
     val q = args.headOption.getOrElse("q63_bigram_rarity")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local("graft-qprof")
     spark.sparkContext.setLogLevel("ERROR")
     // Bench-faithful: rebuild the DataFrame per iteration (fresh
     // analysis + optimization + AQE + codegen each time), plus one

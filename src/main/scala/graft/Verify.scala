@@ -6,30 +6,19 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // same AQE join-rewrite bound as Bench (see the note there), so
-      // the correctness gate executes the plans the bench times
-      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-        "64m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // Every unpartitioned window in the repo is deliberately bounded —
-    // post-LIMIT top-K ranks (Curation.scoreWith/lmQuality, the PQ/SQ8
-    // codebook seeds) or the <=1001-row quality lattice (q159) — and
-    // Spark 4 constant-folds any literal partitionBy key back to an
-    // empty partition spec, so WindowExec's blanket warning cannot be
-    // silenced site-by-site. Each site carries its bounded-input audit
-    // comment; the logger is demoted HERE so the log stays readable.
-    // A NEW warning source must pass the same audit before this list
-    // grows.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.window.WindowExec",
-      org.apache.logging.log4j.Level.ERROR)
+    // shared session defaults (Sessions.defaults) — the correctness gate
+    // executes under exactly the conf the bench times.
+    //
+    // WindowExec-warning note: every unpartitioned window in the repo is
+    // deliberately bounded — post-LIMIT top-K ranks (Curation.scoreWith/
+    // lmQuality, the PQ/SQ8 codebook seeds) or the <=1001-row quality
+    // lattice (q159) — and Spark 4 constant-folds any literal
+    // partitionBy key back to an empty partition spec, so WindowExec's
+    // blanket warning cannot be silenced site-by-site. Each site carries
+    // its bounded-input audit comment; the logger is demoted centrally
+    // (Sessions.local) so the log stays readable. A NEW warning source
+    // must pass the same audit before this list grows.
+    val spark = Sessions.local("graft-verify", defaultCpus = "4")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated substring filter for local iteration
     // (mirrors Bench's SPARK_GRAFT_ONLY); the driver never sets it

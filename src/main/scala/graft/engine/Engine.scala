@@ -488,8 +488,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
     }
     // a mapping policy may drop/reshape rows, so its row count needs a
     // Spark count; the plain path aligns 1:1 with the validated JSON
-    // lines — lines.size IS the row count (PERMISSIVE json never drops
-    // a row), and skipping the count saves one Spark job per PUT
+    // lines — lines.size IS the row count — but ONLY when every line is
+    // a JSON OBJECT: spark.read.json expands a top-level-array line
+    // into one row per element and silently drops a root-level `null`
+    // line, so those shapes keep the exact Spark count (r15 advice).
+    // A complete JSON value is an object iff its first char is '{'
+    // (lines are trimmed NDJSON or compact-rendered values).
     var alignedCount: Option[Long] = None
     val aligned = instructions.flatMap(catalog.policy) match {
       case Some(policyJson) =>
@@ -497,7 +501,8 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           graft.ingest.MappingPolicy.fromJson(policyJson),
           lines.toDF("value"), "value")
       case None =>
-        alignedCount = Some(lines.size.toLong)
+        if (lines.forall(_.startsWith("{")))
+          alignedCount = Some(lines.size.toLong)
         val raw = spark.read.json(spark.createDataset(lines))
         val sysNames = Set("row_id", "insert_timestamp", "tsd_name", "tsd_id")
         // auto-create aligns to the reference's inference rules

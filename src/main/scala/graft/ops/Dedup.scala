@@ -1308,9 +1308,12 @@ object Similarity {
       k: Int, iters: Int = 3): DataFrame = {
     val e = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       F.dotF(col(vecCol), col(vecCol)).as("n2"))
+    // seed centroids are consumed only inside round 1 — their
+    // truncation folds into round 1's checkpoint job (one eager action
+    // per ROUND, not per round + seed; see pqTrainSubs)
     var cents = e.orderBy(col("id")).limit(k)
       .select(col("id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
-      .localCheckpoint()
+    if (iters == 0) cents = cents.localCheckpoint()
     for (_ <- 1 to iters) {
       val recentered = assign(e, cents)
         .select(col("cent_id"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -1360,9 +1363,11 @@ object Similarity {
     val e = corpus.select(col(idCol).as("id"),
       expr(s"transform($vecCol, x -> cast(floor(x * $scale) as bigint))")
         .as("vq"))
+    // seed checkpoint folded into round 1 (one action per round — see
+    // pqTrainSubs); iters == 0 keeps it: the seeds are the result
     var cents = e.orderBy(col("id")).limit(k)
       .select(col("id").as("cent_id"), col("vq").as("s"), lit(1L).as("m"))
-      .localCheckpoint()
+    if (iters == 0) cents = cents.localCheckpoint()
     def assignQ(cs: DataFrame): DataFrame =
       e.join(broadcast(cs))
         .withColumn("num",
@@ -1753,7 +1758,20 @@ object Similarity {
   }
 
   /** The Lloyd loop of [[pqCodebooks]] over pre-built (sub, id, sv)
-    * rows; `ids` supplies the seed ordering (ksub smallest ids). */
+    * rows; `ids` supplies the seed ordering (ksub smallest ids).
+    *
+    * Eager-action budget (optimization r16, guide §2.6/§5): ONE
+    * localCheckpoint per ROUND, none for the seeds — the seed frame is
+    * consumed only inside round 1, so its truncation point is folded
+    * into round 1's checkpoint job (the seed subtree is re-derived
+    * twice inside that one job — assign's broadcast side + the
+    * lost-codeword oq side — a sample-sized scan, where the extra
+    * serialized ACTION was a measured fixed cost on every PQ/IVF build:
+    * q127 ran 55 dribble jobs at sf0.1). Each round still truncates:
+    * books appears twice per round, so unbounded lineage would
+    * recompute 2^iters-fold. iters == 0 keeps the seed checkpoint —
+    * the seeds ARE the returned books, consumed by many downstream
+    * plans. */
   private def pqTrainSubs(subs: DataFrame, ids: DataFrame, ksub: Int,
       iters: Int): DataFrame = {
     // the rank window runs on <= ksub rows; partitionBy(lit) keeps the
@@ -1765,7 +1783,7 @@ object Similarity {
           .partitionBy(lit(0)).orderBy(col("id"))) - 1)
     var books = subs.join(broadcast(seedIds), "id")
       .select(col("sub"), col("code"), col("sv").as("cq"))
-      .localCheckpoint()
+    if (iters == 0) books = books.localCheckpoint()
     for (_ <- 1 to iters) {
       val re = pqAssign(subs, books).join(subs, Seq("sub", "id"))
         .select(col("sub"), col("code"),
@@ -2119,14 +2137,18 @@ object Similarity {
     val coarse = pqCodebooks(corpus, vecCol, idCol, 1, ncells, iters,
       scale)
     // cells and residuals each feed TWO consumers (artifact rows +
-    // fine-book training / encode); materialize once — both are
-    // artifact-sized (numSub ints / dims longs per vector), and
-    // re-running the broadcast-argmin over the corpus per consumer
-    // would double the build's dominant stage
-    val cells = pqEncode(corpus, coarse, vecCol, idCol, 1, scale)
+    // fine-book training / encode); materialize ONCE, as ONE action:
+    // the residual frame (id, cell, vq) already carries the coarse
+    // assignment, so the cell rows are a free projection of the
+    // checkpointed residuals instead of a second checkpoint job
+    // (optimization r16 — one truncation point per build artifact,
+    // guide §2.6/§5; result rows identical by construction)
+    val res = pqResiduals(corpus,
+        pqEncode(corpus, coarse, vecCol, idCol, 1, scale),
+        coarse, vecCol, idCol, scale)
       .localCheckpoint()
-    val res = pqResiduals(corpus, cells, coarse, vecCol, idCol, scale)
-      .localCheckpoint()
+    val cells = res.select(col("id"), lit(0).as("sub"),
+      col("cell").as("code"))
     val fine = pqResidualBooks(res, numSub, ksub, iters)
     residualRows(cells, pqResidualEncode(res, fine, numSub))
       .unionByName(residualBookRows(coarse, fine))

@@ -225,6 +225,9 @@ object QuantQueries {
 
   private val q113: QFn = (s, d) => {
     val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    // NOT checkpointed (unlike q127): this artifact has only TWO role
+    // consumers and the books branch constant-folds away, so the extra
+    // eager action measured net-worse (2.01 -> 2.35 s filtered A/B)
     val idx = Similarity.refreshPqIndex(
       Similarity.pqIndex(vecs.filter(col("vec_id") < 400),
         "embedding", "vec_id", numSub = 4, ksub = 8, iters = 1),
@@ -328,12 +331,15 @@ object QuantQueries {
     val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
     val coarse = Similarity.pqCodebooks(vecs, "embedding", "vec_id",
       numSub = 1, ksub = 16, iters = 1, scale = 1000)
-    // cells and res each feed two consumers — materialize once (the
-    // residualIvfIndex build does the same; result is hash-identical)
-    val cells = Similarity.pqEncode(vecs, coarse, "embedding", "vec_id",
-      numSub = 1, scale = 1000).localCheckpoint()
-    val res = Similarity.pqResiduals(vecs, cells, coarse,
-      "embedding", "vec_id", scale = 1000).localCheckpoint()
+    // cells and res each feed two consumers — materialize once, as ONE
+    // action (the residualIvfIndex build does the same; the cell rows
+    // are a projection of the residual frame; result hash-identical)
+    val res = Similarity.pqResiduals(vecs,
+      Similarity.pqEncode(vecs, coarse, "embedding", "vec_id",
+        numSub = 1, scale = 1000),
+      coarse, "embedding", "vec_id", scale = 1000).localCheckpoint()
+    val cells = res.select(col("id"), lit(0).as("sub"),
+      col("cell").as("code"))
     val books = Similarity.pqResidualBooks(res, numSub = 4, ksub = 8,
       iters = 1)
     val rcodes = Similarity.pqResidualEncode(res, books, numSub = 4)
@@ -543,12 +549,17 @@ object QuantQueries {
 
   private val q127: QFn = (s, d) => {
     val vecs = PipelineQueries.wide(s, d, "embeddings", "vec_id")
+    // the folded artifact is consumed FOUR times by the search (one
+    // role filter each) — materialize it once (in production the fold
+    // output is an IndexStore.write, a real materialization; here the
+    // checkpoint is its stand-in), collapsing 4 replicas of the fold
+    // subtree out of the serve plan (r16: planning gap 2.1 s -> small)
     val idx = Similarity.refreshResidualIvfIndex(
       Similarity.residualIvfIndex(vecs.filter(col("vec_id") < 400),
         "embedding", "vec_id", ncells = 16, numSub = 4, ksub = 8,
         iters = 1),
       vecs.filter(col("vec_id") >= 400), "embedding", "vec_id",
-      numSub = 4)
+      numSub = 4).localCheckpoint()
     Similarity.searchResidualIndex(idx, vecs.filter(col("vec_id") < 20),
         "embedding", "vec_id", k = 3, nprobe = 4, numSub = 4)
       .withColumnRenamed("id", "vec_id")
