@@ -32,7 +32,9 @@ object OpProf {
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
+          .flatMap(p => Option(p.getProperty("spark.job.description"))
+            .orElse(Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
         jobs.synchronized {
           jobs(e.jobId) = JobRow(e.jobId, e.time, site = site)
           e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)

@@ -522,6 +522,12 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
           case None => raw
         }
     }
+    // label the PUT's jobs (guide §1.5) so profiles attribute the
+    // count/append/fold phases; thread-local, restored in the finally
+    val prevDesc = spark.sparkContext
+      .getLocalProperty("spark.job.description")
+    spark.sparkContext.setJobDescription(s"rest_put $table")
+    try {
     val n = alignedCount.getOrElse(aligned.count())
     // reserve-append-fold under the engine write lock: concurrent PUTs
     // (same table or not) serialize here — see the thread-safety
@@ -557,7 +563,14 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
                   "ingested rows")
               TimePartitions.write(stamped, tsCol, unit, pn, path,
                 org.apache.spark.sql.SaveMode.Append)
-            case None => stamped.write.mode("append").parquet(path)
+            case None =>
+              // REBALANCE before the append (guide §6): a PUT batch
+              // inherits the JSON reader's partition count and was
+              // appending one near-empty file per core per PUT; AQE
+              // sizes the append adaptively (small batch -> one file)
+              // so table scans and folds stop paying per-file opens
+              // that grow with PUT count
+              stamped.hint("REBALANCE").write.mode("append").parquet(path)
           }
         } catch { case e: Throwable =>
           // roll the reservation back or a transient write failure would
@@ -595,6 +608,7 @@ final class Engine(val spark: SparkSession, val catalog: Catalog,
         n
     }
     }
+    } finally spark.sparkContext.setJobDescription(prevDesc)
   }
 
   /** Recently executed / recently failed commands (the reference's

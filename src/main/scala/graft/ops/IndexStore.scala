@@ -195,7 +195,20 @@ object IndexStore {
     val before = versions(spark, dir)
     val next = before.map(_._1).maxOption.getOrElse(0L) + 1L
     val vDir = s"$dir/v=$next"
-    df.write.mode("overwrite").parquet(vDir)
+    // job label (guide §1.5): commits dominate the lifecycle families'
+    // job streams — make each attributable in profiles/the UI
+    val sc = spark.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"indexstore commit v=$next $dir")
+    // REBALANCE before the write (guide §6): without it the version
+    // inherits the upstream partition count — a few-hundred-row fold
+    // union was committing 64 near-empty files, and every subsequent
+    // fold/serve re-listed and re-opened all of them. AQE sizes the
+    // output adaptively: tiny artifact -> one file, huge artifact ->
+    // advisory-sized files (a fixed coalesce(1) would be wrong at
+    // scale; REBALANCE also splits skewed partitions).
+    try df.hint("REBALANCE").write.mode("overwrite").parquet(vDir)
+    finally sc.setJobDescription(prevDesc)
     tags.foreach { t =>
       fs.create(new Path(vDir, s"_GRAFT_TAG_$t"), false).close()
     }
