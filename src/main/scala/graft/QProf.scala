@@ -24,9 +24,14 @@ object QProf {
       println(f"iter $i: fresh-plan ${(t1 - t0) / 1e9}%.3f s, " +
         f"same-df re-run ${(t2 - t1) / 1e9}%.3f s")
     }
-    println(SparkEntry.queries(q)(spark, sfDir)
-      .queryExecution.executedPlan.toString.linesIterator.take(3)
-      .mkString("\n"))
+    // EXECUTE THIS DataFrame's own QueryExecution before printing:
+    // with AQE the final plan (join-strategy flips, coalesced reads)
+    // only exists after a run, and a .write wraps the plan in its own
+    // QueryExecution — so collect() here, not the noop sink, or the
+    // printout stays isFinalPlan=false with the initial shapes
+    val last = SparkEntry.queries(q)(spark, sfDir)
+    last.collect()
+    println(last.queryExecution.executedPlan.toString)
     spark.stop()
   }
 }

@@ -1077,12 +1077,25 @@ object CoreQueries {
     * min/max rendered AS STRINGS stay on the command receipt because
     * double/timestamp formatting is engine-private (the q154 lesson
     * applied preemptively: never hash what an engine formats). */
-  private val q168: QFn = (s, d) =>
-    graft.ops.Profile.profile(t(s, d, "orders"))
+  private val q168: QFn = (s, d) => {
+    // widen a fewer-splits-than-cores scan (the PipelineQueries.wide
+    // contract): the profile's Expand x(#distinct cols + 1) partial
+    // aggregate was serialized onto the single input split's one task
+    // (2.9 s of 4.5 s at sf0.1); on a real layout the file splits
+    // exceed `cores` and this branch never fires. Aggregates are
+    // partition-order-free, so the result is identical.
+    val src = t(s, d, "orders")
+    val cores = s.sparkContext.defaultParallelism
+    val widened =
+      if (src.rdd.getNumPartitions < cores)
+        src.repartition(cores, col("o_orderkey"))
+      else src
+    graft.ops.Profile.profile(widened)
       .select(col("col_name"), col("col_type"), col("n_rows"),
         col("n_nulls"), col("n_distinct"), col("len_min"),
         col("len_max"), col("len_avg"))
       .orderBy(col("col_name"))
+  }
   private val q168Sql = {
     val cols = Seq(
       ("o_orderkey", "bigint", false), ("o_custkey", "bigint", false),

@@ -130,11 +130,15 @@ object Graph {
       .select(col("lo"), col("hi"), col("w"),
         least(col("w"), col("hi")).as("ca"),
         greatest(col("w"), col("hi")).as("cb"))
-      // unhinted for the same reason as the census closure join: AQE
-      // flips this to shuffled-hash from measured sizes (the SMJ sort
-      // of the |new| x degree candidate stream is the cost), and a
-      // forced hint OOMs when the edge side outgrows task memory
-      .join(all.select(col("a").as("ca"), col("b").as("cb")),
+      // unhinted + both sides pinned, exactly like the census closure
+      // join (see triangles): the pin keeps the edge-set build side at
+      // |edges|/N per task so AQE's runtime shuffled-hash rewrite can
+      // fire safely at every scale — unpinned, coalescing grew the
+      // build partitions past the memory-safe threshold and this join
+      // OOM'd the 10x organic probe outright at r15's constant 64m
+      .transform(df => Par.pinFine(df, 2, col("ca"), col("cb")))
+      .join(Par.pinFine(all.select(col("a").as("ca"), col("b").as("cb")),
+          2, col("ca"), col("cb")),
         Seq("ca", "cb"))
       .select(least(col("lo"), col("hi"), col("w")).as("x"),
         (col("lo") + col("hi") + col("w")).as("s"),
@@ -287,16 +291,51 @@ object Graph {
             struct(col("e2.dv"), col("e2.v")))
       .select(col("e1.u").as("w0"), col("e1.v").as("w1"),
         col("e2.v").as("w2"))
-    // the closure join is left UNHINTED: the sort-merge default sorts
-    // the Σd⁺² wedge stream (443 MB / 141 s of taskTime at sf0.1) to
-    // join an edge-bounded side, and AQE rewrites it to a shuffled-
-    // hash join at runtime (maxShuffledHashJoinLocalMapThreshold in
-    // the session conf) WHEN the measured per-partition build fits —
-    // a forced SHUFFLE_HASH hint here OOM'd the 10x probe ("not
-    // enough memory to build hash map"): the edge side grows with the
-    // corpus, so only a runtime size check is safe (PERF lesson 36).
-    wedges.join(
-        oriented.select(col("u").as("w1"), col("v").as("w2")),
+    // CLUSTER-MODE option (default OFF): Bloom-gate the wedge stream
+    // against the oriented edge set before the closure exchange (guide
+    // §3.2). Measured at sf0.1 (optimization r15): closure shuffle
+    // 443.8 MB -> 18.9 MB (23x) and closure-join taskTime 141 s ->
+    // 44 s — but NET SLOWER wall-clock locally (9.3 -> 11-15 s),
+    // because on local NVMe the shuffle is free and the filter costs
+    // one extra serialized action (the edge count) plus a scan. On a
+    // network-bound cluster the 23x shuffle cut is the dominant term,
+    // so the gate ships flagged instead of deleted. False positives
+    // only pass extra wedges to the exact closure join — the result
+    // is identical either way (spec'd in GraphSpec).
+    val bloomGate = und.sparkSession.conf
+      .getOption("spark.graft.triangles.bloomWedgeFilter")
+      .exists(_.toBoolean)
+    val gatedWedges =
+      if (!bloomGate) wedges
+      else {
+        val keyed = oriented.select(
+          xxhash64(col("u"), col("v")).as("k"))
+        val bf = keyed.stat.bloomFilter("k",
+          math.max(keyed.count(), 1L), 0.01)
+        val bfB = und.sparkSession.sparkContext.broadcast(bf)
+        val mightContain =
+          udf((k: Long) => bfB.value.mightContainLong(k))
+        wedges.filter(mightContain(xxhash64(col("w1"), col("w2"))))
+      }
+    // the closure join is UNHINTED but PINNED on both sides (r16): the
+    // sort-merge default sorts the Σd⁺² wedge stream (443 MB / 141 s
+    // of taskTime at sf0.1) to join an edge-bounded side, and AQE
+    // rewrites it to shuffled-hash at runtime WHEN the measured
+    // per-partition build fits (maxShuffledHashJoinLocalMapThreshold —
+    // session conf, derived from heap/slots in Sessions). A forced
+    // SHUFFLE_HASH hint OOM'd the 10x probe (r15), and WITHOUT the pin
+    // AQE's byte-sized coalescing merges the edge side toward
+    // advisory-sized build partitions — above any memory-safe
+    // threshold, so the rewrite stopped firing (r16: q139 4.5 -> 7.2 s
+    // at sf0.1 under the derived threshold). The explicit-N
+    // repartition on the join key IS the join's own exchange (no extra
+    // pass), is AQE-coalesce-exempt by contract, and keeps the build
+    // side at |edges|/N per task at EVERY scale — small enough to
+    // hash-build safely, which is what makes the rewrite fire. Skew on
+    // (w1, w2) is codegree-bounded (≤ d⁺max = O(√m)).
+    Par.pinFine(gatedWedges, 2, col("w1"), col("w2")).join(
+        Par.pinFine(oriented.select(col("u").as("w1"), col("v").as("w2")),
+          2, col("w1"), col("w2")),
         Seq("w1", "w2"))
       .select(least(col("w0"), col("w1"), col("w2")).as("x"),
         expr("w0 + w1 + w2").as("s"),

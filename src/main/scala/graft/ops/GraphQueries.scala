@@ -315,7 +315,15 @@ object GraphQueries {
       col("o_orderkey") === col("l_orderkey"))
     val e1 = und(pairs(joined.filter(col("o_orderkey") % 4 =!= 0)))
       .localCheckpoint()
-    val eNew = und(pairs(joined)).join(e1, Seq("a", "b"), "left_anti")
+    // both anti-join sides pinned on the key (r16): AQE coalesces the
+    // e1 BUILD side toward advisory-sized partitions, and at 10x the
+    // runtime SMJ->shuffled-hash rewrite then builds advisory-sized
+    // hash maps on every core at once — the probe OOM site. Pinned,
+    // builds stay |e1|/N per task at every scale; the explicit-N
+    // repartition is the join's own exchange (no extra pass).
+    val eNew = graft.ops.Par.pin(und(pairs(joined)), col("a"), col("b"))
+      .join(graft.ops.Par.pin(e1, col("a"), col("b")),
+        Seq("a", "b"), "left_anti")
       .localCheckpoint()
     def counts(tri: DataFrame) = tri
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))

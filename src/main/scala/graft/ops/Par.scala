@@ -28,4 +28,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Par {
   def pin(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, keys: _*)
+
+  /** [[pin]] at `factor` x cluster parallelism — for a join whose BUILD
+    * side must stay hash-buildable inside a task's execution-memory
+    * share even when co-scheduled with memory-hungry stages: an AQE
+    * SMJ→shuffled-hash rewrite sizes builds by the PARTITION, so more
+    * partitions = proportionally smaller, safer builds (a shuffled-hash
+    * build cannot spill; an underestimate is an OOM, not a slowdown).
+    * The extra partitions only add scheduling on the already-pinned
+    * exchange — no extra shuffle. */
+  def pinFine(df: DataFrame, factor: Int, keys: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sparkContext.defaultParallelism * factor, keys: _*)
 }

@@ -819,7 +819,13 @@ object PipelineQueries {
     // materialize once: jaccardPairs consumes its input FOUR times
     // (shingle explode, df join, and two verify probes) — without the
     // checkpoint the dedup groupBy+join replays per consumer (PERF.md
-    // lesson 8: materialize shuffled intermediates, recompute pure maps)
+    // lesson 8: materialize shuffled intermediates, recompute pure maps).
+    // NOT pinned: AQE coalesces this join's output to 1-3 partitions
+    // and the checkpoint freezes that, but a Par.pin here measured NET
+    // WORSE (solo A/B 2.03 -> 2.91 s, r16) — the jaccard pipeline is
+    // many small exchanges where AQE's coalescing is right (the r15
+    // jaccard-family lesson; pin only measured multi-second single-task
+    // expansions).
     val exactKept = docs.join(keep,
       docs("h") === keep("kh") && docs("doc_id") === keep("keep_id"))
       .select(docs("doc_id"), col("lang"), col("text"))

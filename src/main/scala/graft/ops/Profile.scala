@@ -25,16 +25,15 @@ object Profile {
     import spark.implicits._
     val fields = df.schema.fields
     require(fields.nonEmpty, "empty schema")
-    def nd(c: String): Column =
-      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
     val aggCols: Seq[Column] = count(lit(1)).as("__n") +: fields.toSeq.flatMap {
       f =>
         val c = f.name
         val base = Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-          nd(c).as(s"__nd_$c"),
           min(col(c)).cast(StringType).as(s"__min_$c"),
-          max(col(c)).cast(StringType).as(s"__max_$c"))
+          max(col(c)).cast(StringType).as(s"__max_$c")) ++
+          (if (exact) Seq.empty
+           else Seq(approx_count_distinct(col(c)).as(s"__nd_$c")))
         val strExtra = f.dataType match {
           case StringType => Seq(
             min(length(col(c))).as(s"__lmin_$c"),
@@ -44,6 +43,29 @@ object Profile {
         }
         base ++ strExtra
     }
+    // Exact mode runs the per-column distinct counts as OVERLAPPED
+    // concurrent jobs (guide §2.6) instead of folding them into the one
+    // agg: N exact countDistincts in one agg plan as an Expand x(N+1) —
+    // every row replicated N+1 times through the partial aggregate on
+    // ONE lineage, serially. Split out, each count is a column-pruned
+    // scan (columnar input: the N scans together read about one full-
+    // width pass) + one distinct aggregate, and they back-fill each
+    // other's stragglers from a small thread pool. Same exact answers.
+    // Approx mode (the 100 TB default) keeps all HLL sketches on the
+    // single agg pass — map-side, one scan, nothing distinct-shuffled.
+    val ndFuture: Map[String, java.util.concurrent.Future[Long]] =
+      if (!exact) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(fields.length, 8))
+        try fields.toSeq.map { f =>
+          f.name -> pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              df.agg(countDistinct(col(f.name))).head().getLong(0)
+          })
+        }.toMap
+        finally pool.shutdown() // tasks already queued; pool drains
+      }
     val r = df.agg(aggCols.head, aggCols.tail: _*).head()
     val n = r.getAs[Long]("__n")
     val rows = fields.map { f =>
@@ -58,7 +80,7 @@ object Profile {
         case _ => (None, None, None)
       }
       (c, f.dataType.simpleString, n, nulls,
-        r.getAs[Long](s"__nd_$c"),
+        ndFuture.get(c).map(_.get()).getOrElse(r.getAs[Long](s"__nd_$c")),
         Option(r.getAs[String](s"__min_$c")),
         Option(r.getAs[String](s"__max_$c")),
         lmin, lmax, lavg)

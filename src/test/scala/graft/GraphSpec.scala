@@ -226,6 +226,19 @@ class GraphSpec extends SparkSpec {
       === Set((7L, 8L, 9L)))
   }
 
+  test("the bloom wedge gate (cluster-mode flag) changes nothing in " +
+      "the census — false positives only feed the exact closure join") {
+    val n = 40L
+    val edges = (0L until n).flatMap { i =>
+      Seq((i, (i + 1) % n), (i, (i + 2) % n), (i, (i * 13 + 7) % n))
+    }.filter { case (a, b) => a != b }
+    val off = triSet(edges)
+    spark.conf.set("spark.graft.triangles.bloomWedgeFilter", "true")
+    try assert(triSet(edges, parts = 5) === off)
+    finally spark.conf.unset("spark.graft.triangles.bloomWedgeFilter")
+    assert(off.nonEmpty)
+  }
+
   test("triangleDelta == triangles(union) minus triangles(old), " +
       "including triangles with 2 and 3 new edges (deduped)") {
     val old = Seq((1L, 2L), (2L, 3L), (4L, 5L))
